@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's required configuration.
+  *
+  * The knobs mirror what a 1000-executor deployment would set cluster-wide;
+  * local tests only shrink parallelism numbers, never semantics:
+  *   - UTC session timezone (reference events are epoch-µs UTC,
+  *     reference machine-dashboard/model.rs `timestamp with time zone`).
+  *   - `nanosAsLong`: the event log's parquet uses INT64 TIMESTAMP(NANOS)
+  *     which Spark does not read natively; we read the raw long and
+  *     normalize in [[Tables]].
+  *   - AQE on: runtime coalescing + skew-join splitting is the scale story
+  *     for the 100 TB target (replaces hand-tuned partition counts).
+  */
+object GraftSession {
+
+  /** Apply engine defaults onto an existing builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 32): SparkSession = {
+    val s = tune(
+      SparkSession.builder().master(s"local[$cores]"),
+      shufflePartitions = cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the test corpus (TESTDATA.md) and the event
+  * envelope normalization.
+  *
+  * The reference consumes an append-only event log with envelope fields
+  * (source/stream/lamport/offset/timestamp/payload — reference
+  * machine-dashboard/logic.rs:16-23, runner.rs:299). The driver corpus's
+  * `events` table plays that role here: `event_id` is the total order
+  * (lamport analog), `user_id` the stream/entity key, `event_type` the
+  * payload tag, `props` the JSON payload.
+  *
+  * Scale note: at 100 TB the event log would be date-partitioned parquet;
+  * every loader here returns a plain scan so Catalyst can push filters
+  * and prune columns/partitions — no caching, no collect.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // nanosAsLong is session-level; ensure it even if the caller built a
+    // bare session (harmless if already set).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Events with the envelope normalized:
+    *   - `ts_ns`   raw INT64 nanoseconds (as stored),
+    *   - `ts_us`   epoch microseconds (the reference's native precision,
+    *               FIXTURES.md §1),
+    *   - `ts`      TimestampType at µs, truncated from ns,
+    *   - `k`       the payload's order key extracted from `props` JSON.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns DIV 1000")) // integer div: / would go through double and lose ns precision
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+  }
+}

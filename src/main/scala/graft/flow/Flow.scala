@@ -1,0 +1,63 @@
+package graft.flow
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Typed multiset collection — the reference's `Flow<T>` surface
+  * (reference flow.rs:210-213) re-expressed over `Dataset[T]`.
+  *
+  * Semantics: a `Flow` is a bag of records; operators are the reference's
+  * stateless combinators (flow.rs:236-284, 364-462). Where the reference
+  * runs closures record-at-a-time on one thread, here each closure runs
+  * data-parallel inside Spark tasks; `groupBy` introduces the shuffle that
+  * replaces the reference's arrangement build (flow.rs:372-380).
+  *
+  * Two profiles share this surface:
+  *   - snapshot profile: the Dataset IS the current multiset;
+  *   - delta profile: use [[graft.core.Deltas]] on `toDF` for signed
+  *     multiplicities (negate/threshold/consolidate).
+  *
+  * Note for performance-critical pipelines: closure-based ops (`map`,
+  * `filter` on Scala functions) serialize/deserialize rows at the closure
+  * boundary. The query layer (graft.queries) therefore prefers Column
+  * expressions; this facade is the semantic-parity API, matching the
+  * reference's host-language-closure programming model (SURVEY.md §2.10).
+  */
+final case class Flow[T](ds: Dataset[T]) {
+
+  /** P1 `filter` (reference flow.rs:236-238). */
+  def filter(p: T => Boolean): Flow[T] = Flow(ds.filter(p))
+
+  /** P3 `map` (reference flow.rs:246-248). */
+  def map[U: Encoder](f: T => U): Flow[U] = Flow(ds.map(f))
+
+  /** P5 `map_in_place` — type-preserving map (reference flow.rs:259-266). */
+  def mapInPlace(f: T => T)(implicit e: Encoder[T]): Flow[T] = Flow(ds.map(f))
+
+  /** P6 `flat_map` (reference flow.rs:269-275). */
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Flow[U] =
+    Flow(ds.flatMap(f(_).iterator))
+
+  /** P8 `inspect` — side-effecting peek, pass-through (reference
+    * flow.rs:383-394). Runs on executors; for debugging/metrics only. */
+  def inspect(f: T => Unit)(implicit e: Encoder[T]): Flow[T] =
+    Flow(ds.map { t => f(t); t })
+
+  /** U1 `concat` — multiset union / UNION ALL (reference flow.rs:411-431). */
+  def concat(other: Flow[T]): Flow[T] = Flow(ds.union(other.ds))
+
+  /** A1 `distinct` (reference flow.rs:447-449). */
+  def distinct(): Flow[T] = Flow(ds.distinct())
+
+  /** G1 `group_by` — key by computed key; the shuffle this implies is the
+    * analog of the reference's arrangement build (flow.rs:372-380). */
+  def groupBy[K: Encoder](f: T => K): GroupedFlow[K, T] =
+    new GroupedFlow(ds.groupByKey(f))
+
+  def union(other: Flow[T]): Flow[T] = concat(other)
+}
+
+object Flow {
+  /** U2 `concat_many` — n-ary union (reference flow.rs:416-442). */
+  def concatMany[T](flows: Seq[Flow[T]]): Flow[T] =
+    flows.reduce(_ concat _)
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: language ID,
+  * quality scoring, token counting, fingerprinting, shingling, MinHash and
+  * SimHash signatures.
+  *
+  * Everything is a pure Column expression over `org.apache.spark.sql.
+  * functions` — no UDFs — so each op stays inside whole-stage codegen and
+  * is trivially mirrored by the DuckDB oracle. Hashing is md5-based
+  * (available bit-identically in both engines): the low 60 bits of
+  * `md5(seed ++ value)` as a non-negative Long.
+  */
+object Text {
+
+  /** Whitespace-normalized, lower-cased text. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Deterministic 60-bit hash: first 15 hex digits of md5, as a Long.
+    * DuckDB mirror: `CAST('0x' || substr(md5(seed||x),1,15) AS BIGINT)`. */
+  def hash64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Document fingerprint: md5 of normalized text (whole-doc content
+    * hash; the unit of exact dedup). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** `n`-token shingles ("w1 w2 w3" strings). Empty array when the doc has
+    * fewer than n tokens. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: `k` independent permutation-minima over the
+    * doc's distinct shingles. Signature element i =
+    * min over shingles of hash64(shingle, seed=i). */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(array_distinct(shingleArr),
+        x => conv(substring(md5(concat(s.cast("string"), x)), 1, 15), 16, 10)
+          .cast("long"))))
+
+  /** 48-bit SimHash over distinct tokens: bit i of the signature is the
+    * majority vote of bit i across token hashes. 48 bits keeps the
+    * per-token hash inside the md5-prefix Long in both engines. Bit
+    * positions are unrolled at plan-build time (Scala-level loop) —
+    * exact integer math, single codegen'd projection. */
+  def simhash(c: Column, bits: Int = 48): Column = {
+    val tokHashes = transform(array_distinct(tokens(c)), t => hash64(t, 0))
+    (0 until bits).map { i =>
+      val votes = aggregate(tokHashes, lit(0L),
+        (a, h) => a + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0L, lit(1L << i)).otherwise(0L)
+    }.reduce[Column](_ + _)
+  }
+
+  /** Stopword-hit count against a fixed lexicon. */
+  def stopwordHits(c: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(lexicon: _*)))
+
+  private val EN_STOP = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> EN_STOP,
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu"),
+  )
+
+  /** Stopword-lexicon heuristic language ID: argmax of per-language hit
+    * counts; ties break toward the alphabetically-first language; zero
+    * hits everywhere → 'und'. An explicit CASE chain so the DuckDB oracle
+    * can mirror it verbatim. At scale, real lexicons would be broadcast
+    * and this stays a single codegen'd projection. */
+  def langId(c: Column): Column = {
+    val hits = langLexicons.map { case (lang, lex) => lang -> stopwordHits(c, lex) }
+    val langsOrdered = hits.sortBy(_._1) // de, en, es, fr — tie → first
+    langsOrdered.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, h), i), els) =>
+        val beatsLater = langsOrdered.drop(i + 1)
+          .map { case (_, h2) => h >= h2 }
+          .foldLeft(h > 0)(_ && _)
+        when(beatsLater, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Heuristic quality features + score in [0,1]:
+    * penalizes very short docs, high punctuation ratio, low alphabetic
+    * ratio, and token repetition. All sub-terms exposed for testing. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?]", "")) / greatest(length(c), lit(1))
+
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^a-zA-Z]", "")) / greatest(length(c), lit(1))
+
+  def distinctTokenRatio(c: Column): Column =
+    size(array_distinct(tokens(c))) / greatest(tokenCount(c), lit(1))
+
+  def qualityScore(c: Column): Column = {
+    val lenTerm = least(tokenCount(c) / lit(100.0), lit(1.0))
+    round(
+      lenTerm * lit(0.4)
+        + (lit(1.0) - punctRatio(c)) * lit(0.2)
+        + alphaRatio(c) * lit(0.2)
+        + distinctTokenRatio(c) * lit(0.2),
+      6)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Corpus deduplication at training-data scale. All variants follow the
+  * same distributed shape: per-doc signature (narrow, codegen'd) →
+  * candidate generation by key equality (one shuffle on the signature,
+  * never an all-pairs cross join) → exact verification on the candidates.
+  *
+  * At 100 TB: signatures are tiny relative to text, so the shuffles move
+  * kilobytes per doc; the only quadratic work is inside a bucket, which
+  * LSH parameters keep small (and a `groupBy(bucket).count` skew check is
+  * the operational guardrail — salt or drop degenerate buckets).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id doc per identical normalized text.
+    * One hash aggregation on the 128-bit fingerprint. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", Text.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Doc → (band_idx, band_hash) candidate keys for MinHash-LSH.
+    * numHashes = bands * rowsPerBand. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("id"),
+        Text.wordShingles(col(textCol), shingleLen).as("shingles"))
+      .filter(size(col("shingles")) > 0) // drop docs too short to shingle
+      .select(col("id"), Text.minhashSignature(col("shingles"), k).as("sig"))
+    withSig.select(
+      col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          md5(to_json(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+            .as("bh")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"),
+        col("bk.bh").as("band_hash"))
+  }
+
+  /** MinHash-LSH near-dup pairs: docs sharing ≥1 band bucket, verified by
+    * estimated Jaccard (signature agreement) ≥ `tau`. Returns (id_a, id_b,
+    * jaccard_est) with id_a < id_b. */
+  def minhashLsh(docs: DataFrame, tau: Double, idCol: String = "doc_id",
+                 textCol: String = "text", shingleLen: Int = 3,
+                 bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val banded = minhashBands(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1))
+          / size(col("sig_a")).cast("double")).as("jaccard_est"))
+      .distinct()
+      .filter(col("jaccard_est") >= tau)
+  }
+
+  /** SimHash dedup: exact-signature groups (hamming-0). The banded
+    * hamming-≤k variant reuses the same shape with signature chunks as
+    * band keys. */
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("sh", Text.simhash(col(textCol)))
+      .groupBy(col("sh"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  /** SimHash near-dup pairs within hamming distance ≤ 3 via 4-way band
+    * split (any pair at distance ≤3 agrees on ≥1 of 4 12-bit chunks). */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = 4
+    val chunkBits = 12
+    val sigs = docs.select(col(idCol).as("id"), Text.simhash(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * chunkBits).bitwiseAND((1L << chunkBits) - 1)
+            .as("ck"))): _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    val l = banded.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column to
+    * bound the candidate space (at scale: block by LSH band instead —
+    * see [[minhashLsh]]; the blocked-exact form is the verification
+    * primitive). */
+  def ngramJaccard(docs: DataFrame, tau: Double, blockCol: String,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 3): DataFrame = {
+    val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("blk"), col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("g"))
+    val pairsCommon = exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.g") === col("y.g")
+          && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairsCommon
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ tau within a blocking column
+    * (label here; LSH bucket from
+    * [[graft.functions.Vectors.hyperplaneBucket]] at scale). */
+  def embeddingNearDup(emb: DataFrame, tau: Double, blockCol: String = "label",
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{Vectors => V}
+    val e = emb.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(V.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

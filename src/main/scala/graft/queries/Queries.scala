@@ -1,0 +1,541 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, Deltas}
+import graft.functions.Text
+import graft.ops.{Dedup, Ann, Multimodal}
+
+/** The oracle-checked query surface: every operator family from
+  * SURVEY.md §2 plus the training-data-pipeline ops, each as a
+  * (Spark implementation, equivalent DuckDB SQL) pair.
+  *
+  * Parity rules that keep the hash-compare honest:
+  *  - identical output column names and orders, aliased on both sides;
+  *  - integer-typed outputs are BIGINT on both sides (Spark `size`/
+  *    `row_number` are INT → cast; DuckDB `len`/`list_sum` are
+  *    BIGINT/HUGEINT → cast);
+  *  - double outputs come from decimal-exact aggregation cast to double,
+  *    or from identical left-to-right folds (never reordered float sums);
+  *  - timestamps are exported as epoch microseconds BIGINT (the
+  *    reference's native precision);
+  *  - every query ends in a deterministic ORDER BY on a unique key.
+  */
+object Queries {
+
+  /** Each query: name -> (spark impl, duckdb oracle sql). */
+  type Q = (String, ((SparkSession, String) => DataFrame, String))
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private val one = lit(1).cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- events
+  // DuckDB-side normalized events CTE mirroring Tables.events.
+  private val EV =
+    """ev AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_us(ts) AS ts_us,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)""".stripMargin
+
+  /** Flagship (reference machine-dashboard/logic.rs:6-30): latest status
+    * per entity = per-key argmax, G7/M1. One hash aggregation with
+    * partial map-side argmax (O(1) state/key) — deliberately not a
+    * window: at 100 TB a window would sort every partition; max_by
+    * keeps only one row per key alive. */
+  val qDashboard: Q = "q_dashboard" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_type"), col("value"), col("ts_us")),
+          struct(col("ts_us"), col("event_id"))).as("top"))
+        .select(col("user_id"),
+          col("top.event_type").as("status"),
+          col("top.value").as("value"),
+          col("top.ts_us").as("since_us"))
+        .orderBy(col("user_id"))
+    },
+    s"""WITH $EV,
+       |r AS (SELECT user_id, event_type, value, ts_us,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) rn
+       |  FROM ev)
+       |SELECT user_id, event_type AS status, value, ts_us AS since_us
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)
+
+  /** Interval matching (reference machine-usage/logic.rs:15-57): pair each
+    * 'view' (started) with the next 'click' (stopped) on the same
+    * (user, k) in event order — LEAD over the keyed, ordered stream.
+    * (The reference's sequential matcher coincides with LEAD pairing on
+    * alternating sequences; the exact sequential semantics are covered by
+    * the typed reduceSorted operator + unit tests.) */
+  val qUsage: Q = "q_usage" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+      val w = Window.partitionBy(col("user_id"), col("k"))
+        .orderBy(col("event_id"))
+      ev.withColumn("nxt_type", lead(col("event_type"), 1).over(w))
+        .withColumn("nxt_ts", lead(col("ts_us"), 1).over(w))
+        .filter(col("event_type") === "view" && col("nxt_type") === "click")
+        .select(col("user_id"), col("k").as("ord"),
+          col("ts_us").as("started_us"),
+          (col("nxt_ts") - col("ts_us")).as("duration_us"))
+        .orderBy(col("user_id"), col("started_us"))
+    },
+    s"""WITH $EV,
+       |f AS (SELECT * FROM ev WHERE event_type IN ('view', 'click')),
+       |w AS (SELECT user_id, k, ts_us, event_type,
+       |  lead(event_type) OVER (PARTITION BY user_id, k ORDER BY event_id) nxt_type,
+       |  lead(ts_us)      OVER (PARTITION BY user_id, k ORDER BY event_id) nxt_ts
+       |  FROM f)
+       |SELECT user_id, k AS ord, ts_us AS started_us, nxt_ts - ts_us AS duration_us
+       |FROM w WHERE event_type = 'view' AND nxt_type = 'click'
+       |ORDER BY user_id, started_us""".stripMargin)
+
+  /** Grouped running-sum summary (reference finished-goods-1/logic.rs:13-53):
+    * groupBy + decimal-exact sum + count. */
+  val qProduction: Q = "q_production" -> (
+    (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(dec(col("value"))).cast("double").as("total_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    s"""WITH $EV
+       |SELECT event_type, user_id,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |  count(*) AS n_events
+       |FROM ev GROUP BY event_type, user_id
+       |ORDER BY event_type, user_id""".stripMargin)
+
+  // ------------------------------------------------------------ relational
+
+  /** TPC-H Q1 shape: wide aggregation, decimal-exact. */
+  val q1Agg: Q = "q1_agg" -> (
+    (s: SparkSession, d: String) => {
+      val px = dec(col("l_extendedprice")); val dc = dec(col("l_discount"))
+      val tx = dec(col("l_tax"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(px).cast("double").as("sum_base_price"),
+          sum(px * (one - dc)).cast("double").as("sum_disc_price"),
+          sum(px * (one - dc) * (one + tx)).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** TPC-H Q3 shape: selective dimension filter → join → aggregate.
+    * customer is broadcast (dimension ≪ fact); lineitem never shuffles
+    * before the aggregate's own exchange. */
+  val q3Join: Q = "q3_join" -> (
+    (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(ord.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(20)
+    },
+    """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+
+  /** TPC-H Q5 shape: star join through 4 dimensions, all broadcast. */
+  val q5Join: Q = "q5_join_multi" -> (
+    (s: SparkSession, d: String) => {
+      val dims = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(ord.join(broadcast(dims), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin)
+
+  /** A1 distinct. */
+  val qDistinct: Q = "q_distinct" -> (
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d).select(col("event_type"), col("user_id"))
+        .distinct().orderBy(col("event_type"), col("user_id")),
+    """SELECT DISTINCT event_type, user_id FROM events
+      |ORDER BY event_type, user_id""".stripMargin)
+
+  /** U3+U1: EXCEPT via negate∘concat∘consolidate (delta algebra on the
+    * DataFrame mult encoding; reference flow.rs:364-366). */
+  val qExcept: Q = "q_except" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      val b = ev.filter(col("event_type") === "error").select(col("user_id")).distinct()
+      Deltas.consolidate(Deltas.concat(a, Deltas.negate(b)))
+        .filter(col(Deltas.MULT) > 0).select(col("user_id"))
+        .orderBy(col("user_id"))
+    },
+    """SELECT user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |ORDER BY user_id""".stripMargin)
+
+  /** INTERSECT (composable from the delta algebra; Spark native here). */
+  val qIntersect: Q = "q_intersect" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "signup").select(col("user_id")).distinct()
+        .intersect(
+          ev.filter(col("event_type") === "click").select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    },
+    """SELECT user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+      |ORDER BY user_id""".stripMargin)
+
+  /** EXCEPT ALL — bag semantics with multiplicities (reference sink bag
+    * contract, sqlite.rs:296-309). */
+  val qExceptAll: Q = "q_exceptall" -> (
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_linestatus") === "F").select(col("l_returnflag"))
+        .exceptAll(li.filter(col("l_linestatus") === "O").select(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))
+    },
+    """SELECT l_returnflag FROM (
+      |  SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+      |  EXCEPT ALL
+      |  SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O')
+      |ORDER BY l_returnflag""".stripMargin)
+
+  /** A3 per-element count = delta consolidation (reference flow.rs:460-462,
+    * coll.rs:89-101). */
+  val qCount: Q = "q_count" -> (
+    (s: SparkSession, d: String) =>
+      Deltas.count(Tables.events(s, d).select(col("event_type"), col("user_id")))
+        .orderBy(col("event_type"), col("user_id")),
+    """SELECT event_type, user_id, count(*) AS mult FROM events
+      |GROUP BY event_type, user_id
+      |ORDER BY event_type, user_id""".stripMargin)
+
+  /** A2/G8 threshold — multiplicity transform, capped at 2 (reference
+    * flow.rs:453-457, 531-533). */
+  val qThreshold: Q = "q_threshold" -> (
+    (s: SparkSession, d: String) =>
+      Deltas.threshold(
+        Tables.events(s, d).select(col("event_type"), col("user_id")),
+        m => least(m, lit(2L)))
+        .orderBy(col("event_type"), col("user_id")),
+    """SELECT event_type, user_id, LEAST(count(*), 2) AS mult FROM events
+      |GROUP BY event_type, user_id
+      |ORDER BY event_type, user_id""".stripMargin)
+
+  /** Global top-k (ORDER BY + LIMIT → TakeOrderedAndProject: per-partition
+    * heaps, no global sort). */
+  val qTopK: Q = "q_topk" -> (
+    (s: SparkSession, d: String) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(15),
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""".stripMargin)
+
+  /** Ranking-window running total per key (decimal-exact). */
+  val qWindowRunning: Q = "q_window_running" -> (
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("run_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS run_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  /** G7 argmax per key via max_by aggregate (not a window — O(1) state). */
+  val qMaxBy: Q = "q_maxby_part" -> (
+    (s: SparkSession, d: String) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(max_by(
+          struct(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("m"))
+        .select(col("l_partkey"), col("m.l_orderkey").as("l_orderkey"),
+          col("m.l_linenumber").as("l_linenumber"),
+          col("m.l_extendedprice").as("l_extendedprice"))
+        .orderBy(col("l_partkey")),
+    """SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_partkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) rn
+      |  FROM lineitem)
+      |WHERE rn = 1 ORDER BY l_partkey""".stripMargin)
+
+  /** G5/G6 min/max per key. */
+  val qMinMax: Q = "q_minmax" -> (
+    (s: SparkSession, d: String) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey")),
+    """SELECT o_custkey, min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+
+  // --------------------------------------------------- training-data ops
+
+  private val NORM = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+  private def TOKS = s"string_split($NORM, ' ')"
+
+  /** Exact dedup (hash-groupBy on content fingerprint). */
+  val qDedupExact: Q = "q_dedup_exact" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("fp")),
+    s"""SELECT md5($NORM) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM documents GROUP BY fp ORDER BY fp""".stripMargin)
+
+  /** Content fingerprint per doc. */
+  val qFingerprint: Q = "q_fingerprint" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    s"""SELECT doc_id, md5($NORM) AS fp FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Token counting. */
+  val qTokenCount: Q = "q_token_count" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id")),
+    s"""SELECT doc_id, len($TOKS) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Language ID heuristic (stopword lexicons, deterministic CASE chain). */
+  val qLangId: Q = "q_lang_id" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT doc_id, $de AS h_de, $en AS h_en, $es AS h_es, $fr AS h_fr
+         |  FROM documents)
+         |SELECT doc_id, CASE
+         |  WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |  WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |  WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |  WHEN h_fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+
+  /** Quality scoring (length/punct/alpha/repetition features). */
+  val qQuality: Q = "q_quality" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    s"""SELECT doc_id, round(
+       |  LEAST(len($TOKS) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |  + (CAST(1.0 AS DOUBLE) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / GREATEST(length(text), 1)) * CAST(0.2 AS DOUBLE)
+       |  + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / GREATEST(length(text), 1) * CAST(0.2 AS DOUBLE)
+       |  + len(list_distinct($TOKS)) / GREATEST(len($TOKS), 1) * CAST(0.2 AS DOUBLE), 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // MinHash-LSH near-dup pairs. k = bands * rowsPerBand = 32.
+  private val MH_BANDS = 8; private val MH_ROWS = 4; private val MH_TAU = 0.5
+  val qMinhashLsh: Q = "q_minhash_lsh" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.minhashLsh(Tables.documents(s, d), tau = MH_TAU,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .orderBy(col("id_a"), col("id_b")),
+    {
+      val k = MH_BANDS * MH_ROWS
+      s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+         |sh AS (SELECT id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |sig AS (SELECT id, list_transform(range(0, $k), s ->
+         |    list_min(list_transform(g, x ->
+         |      CAST('0x' || substr(md5(CAST(s AS VARCHAR) || x), 1, 15) AS BIGINT)))) AS sig
+         |  FROM sh),
+         |banded AS (SELECT id, sig, b.band AS band,
+         |    md5(CAST(to_json(sig[b.band*$MH_ROWS+1:b.band*$MH_ROWS+$MH_ROWS]) AS VARCHAR)) AS band_hash
+         |  FROM sig, (SELECT unnest(range(0, $MH_BANDS)) AS band) b),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    len(list_filter(range(1, $k + 1), i -> a.sig[i] = b.sig[i])) / $k.0 AS jaccard_est
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id)
+         |SELECT id_a, id_b, jaccard_est FROM pairs
+         |WHERE jaccard_est >= $MH_TAU ORDER BY id_a, id_b""".stripMargin
+    })
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by lang. */
+  val qNgramJaccard: Q = "q_ngram_jaccard" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), tau = 0.5, blockCol = "lang")
+        .orderBy(col("id_a"), col("id_b")),
+    s"""WITH t AS (SELECT doc_id AS id, lang, $TOKS AS toks FROM documents),
+       |sh AS (SELECT id, lang, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |  FROM t WHERE len(toks) >= 3),
+       |ex AS (SELECT id, lang, len(g) AS n_sh, unnest(g) AS gr FROM sh),
+       |pc AS (SELECT x.id AS id_a, y.id AS id_b, x.n_sh AS na, y.n_sh AS nb,
+       |    count(*) AS common
+       |  FROM ex x JOIN ex y ON x.lang = y.lang AND x.gr = y.gr AND x.id < y.id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, common / CAST(na + nb - common AS DOUBLE) AS jaccard
+       |FROM pc WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin)
+
+  /** SimHash signatures (48-bit, majority-vote bits over token hashes). */
+  val qSimhash: Q = "q_simhash" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.simhash(col("text")).as("sh"))
+        .orderBy(col("doc_id")),
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(list_distinct($TOKS), tk ->
+       |      CAST('0x' || substr(md5('0' || tk), 1, 15) AS BIGINT)) AS th
+       |  FROM documents)
+       |SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), i ->
+       |    CASE WHEN list_sum(list_transform(th, h ->
+       |        CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh
+       |FROM t ORDER BY doc_id""".stripMargin)
+
+  /** Embedding cosine near-dup, blocked by label. */
+  val qEmbedNearDup: Q = "q_embed_neardup" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), tau = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+    s"""WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin)
+
+  /** Brute-force cosine top-k ANN (exact baseline; broadcast query set). */
+  val qAnnBrute: Q = "q_ann_brute" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings WHERE vec_id < 10),
+       |scored AS (SELECT q_id, c.vec_id AS n_id,
+       |    round(${cosSql("q_v", "c.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+       |ranked AS (SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin)
+
+  /** Multimodal plumbing: binary column + stubbed decode (sha256-derived
+    * fake features); the oracle checks the real parts (bytes, digest,
+    * deterministic stub arithmetic). */
+  val qMultimodal: Q = "q_multimodal" -> (
+    (s: SparkSession, d: String) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"), col("sha256"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("media_id"))
+    },
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS sha256,
+      |  CAST(16 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) * 4 AS BIGINT) AS width,
+      |  CAST(16 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) * 4 AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 2
+      |    THEN 1 + CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 64
+      |    ELSE 1 END AS BIGINT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin)
+
+  /** DuckDB mirror of Vectors.cosine: identical left-to-right double fold. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    val d = dot(a, b); val na = dot(a, a); val nb = dot(b, b)
+    s"(CASE WHEN sqrt($na) * sqrt($nb) > 0 THEN $d / (sqrt($na) * sqrt($nb)) ELSE 0.0 END)"
+  }
+
+  /** All oracle-checked queries, in SURVEY §2 inventory order. */
+  val all: Seq[Q] = Seq(
+    qDashboard, qUsage, qProduction,
+    q1Agg, q3Join, q5Join,
+    qDistinct, qExcept, qIntersect, qExceptAll,
+    qCount, qThreshold,
+    qTopK, qWindowRunning, qMaxBy, qMinMax,
+    qDedupExact, qFingerprint, qTokenCount, qLangId, qQuality,
+    qMinhashLsh, qNgramJaccard, qSimhash, qEmbedNearDup,
+    qAnnBrute, qMultimodal,
+  )
+}

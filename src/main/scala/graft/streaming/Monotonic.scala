@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A signed-multiplicity change record — the engine's output unit
+  * (reference flow.rs:137-145: deltas `(record, +n | -n)`). */
+final case class Delta[T](record: T, mult: Long)
+
+/** The reference's monotonic stateful operators (reference flow.rs:286-361):
+  * streaming argmax / first-seen-representative that keep **one row of
+  * state per key** instead of retaining the whole group — its only
+  * hand-written optimization, and the exact shape Spark's
+  * `flatMapGroupsWithState` is built for (state store per key, update
+  * output mode, emit retraction+insertion deltas on change).
+  *
+  * Both panic in the reference when the current max / representative is
+  * retracted (append-only contract, flow.rs:306-310, 343-348); here the
+  * same violation throws `IllegalStateException` — retractions are
+  * modeled as `Delta(v, -1)` inputs.
+  *
+  * Scale: state is O(distinct keys) and accessed via the state store
+  * (RocksDB-backed on a real cluster); input partitioning is by key, so
+  * 1000 executors shard the keyspace with no coordination.
+  */
+object Monotonic {
+
+  /** M1 `monotonic_max_by` (reference flow.rs:291-321): per key `keyOf(v)`,
+    * keep only the current maximum record; when a new max arrives emit
+    * `(old, -1), (new, +1)`; duplicates of the current max adjust
+    * multiplicity bookkeeping only.
+    */
+  def maxByUpdates[T, K](
+      changes: Iterator[Delta[T]],
+      state: Option[T],
+      keep: (T, T) => Boolean // keep(incumbent, candidate) = incumbent stays
+  ): (Option[T], List[Delta[T]]) = {
+    var cur = state
+    val out = scala.collection.mutable.ListBuffer.empty[Delta[T]]
+    changes.foreach { case Delta(v, m) =>
+      if (m < 0) {
+        if (cur.contains(v))
+          throw new IllegalStateException(
+            s"monotonic_max_by: removal of current maximum $v (append-only contract, reference flow.rs:306-310)")
+        // removal of a non-max record: no-op, it was never emitted
+      } else if (m > 0) {
+        cur match {
+          case None => cur = Some(v); out += Delta(v, 1L)
+          case Some(c) if keep(c, v) => () // incumbent stays
+          case Some(c) => cur = Some(v); out += Delta(c, -1L) += Delta(v, 1L)
+        }
+      }
+    }
+    (cur, out.toList)
+  }
+
+  /** M2 `monotonic_representative_by` (reference flow.rs:330-361): per key,
+    * the first-seen record is the representative; later arrivals only bump
+    * a reference count; removing the representative while others remain
+    * panics in the reference → throws here.
+    */
+  def representativeUpdates[T](
+      changes: Iterator[Delta[T]],
+      state: Option[(T, Long)] // (representative, net count of all records in key)
+  ): (Option[(T, Long)], List[Delta[T]]) = {
+    var cur = state
+    val out = scala.collection.mutable.ListBuffer.empty[Delta[T]]
+    changes.foreach { case Delta(v, m) =>
+      cur match {
+        case None =>
+          if (m > 0) { cur = Some((v, m)); out += Delta(v, 1L) }
+          else throw new IllegalStateException(
+            s"monotonic_representative_by: removal from empty key state ($v)")
+        case Some((rep, n)) =>
+          if (m < 0 && v == rep && n + m > 0)
+            throw new IllegalStateException(
+              s"monotonic_representative_by: removal of representative $rep while key non-empty (reference flow.rs:343-348)")
+          val n2 = n + m
+          if (n2 <= 0) { cur = None; out += Delta(rep, -1L) }
+          else cur = Some((rep, n2))
+      }
+    }
+    (cur, out.toList)
+  }
+
+  /** Streaming M1 over a keyed stream of deltas. `ord` orders records; the
+    * larger record (by `ord`) wins the key. */
+  def maxByStream[T, K](ds: Dataset[Delta[T]], keyOf: T => K)(
+      implicit ordT: Ordering[T], ke: Encoder[K], te: Encoder[T],
+      oe: Encoder[Delta[T]]): Dataset[Delta[T]] =
+    ds.groupByKey(d => keyOf(d.record))
+      .flatMapGroupsWithState[T, Delta[T]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[Delta[T]], gs: GroupState[T]) =>
+          val (next, out) = maxByUpdates[T, K](
+            it, gs.getOption, (inc, cand) => ordT.gteq(inc, cand))
+          next match {
+            case Some(v) => gs.update(v)
+            case None    => gs.remove()
+          }
+          out.iterator
+      }
+
+  /** Streaming M2: first-seen representative per key. */
+  def representativeStream[T, K](ds: Dataset[Delta[T]], keyOf: T => K)(
+      implicit ke: Encoder[K], se: Encoder[(T, Long)],
+      oe: Encoder[Delta[T]]): Dataset[Delta[T]] =
+    ds.groupByKey(d => keyOf(d.record))
+      .flatMapGroupsWithState[(T, Long), Delta[T]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[Delta[T]], gs: GroupState[(T, Long)]) =>
+          val (next, out) = representativeUpdates[T](it, gs.getOption)
+          next match {
+            case Some(s) => gs.update(s)
+            case None    => gs.remove()
+          }
+          out.iterator
+      }
+}
