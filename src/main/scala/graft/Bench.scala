@@ -9,6 +9,14 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state timing: one untimed warmup pass at the smallest SF
+    // triggers codegen compilation + JIT for every query plan, the way a
+    // long-lived cluster's executors are warm. The timed pass then
+    // measures the engine, not HotSpot.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -44,14 +44,25 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: `k` independent permutation-minima over the
-    * doc's distinct shingles. Signature element i =
-    * min over shingles of hash64(shingle, seed=i). */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(array_distinct(shingleArr),
-        x => conv(substring(md5(concat(s.cast("string"), x)), 1, 15), 16, 10)
-          .cast("long"))))
+  /** Mersenne prime modulus for the MinHash affine permutations:
+    * products stay within exact Long range (28-bit base × 31-bit
+    * coefficient). Signature construction lives in
+    * [[graft.ops.Dedup.minhashSignatures]] (explode + aggregate shape —
+    * array-lambda formulations are interpreted, not codegen'd, and
+    * benchmarked ~20× slower). */
+  val MH_P: Long = 2147483647L
+
+  /** Deterministic (a, b) coefficient pairs for permutation i — fixed
+    * LCG, identical constants inlined into the DuckDB oracle. */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def next(): Long = { // xorshift64
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (x & Long.MaxValue) % (MH_P - 1) + 1
+    }
+    Seq.fill(k)((next(), next()))
+  }
+
 
   /** 48-bit SimHash over distinct tokens: bit i of the signature is the
     * majority vote of bit i across token hashes. 48 bits keeps the

@@ -25,22 +25,41 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-doc MinHash signatures via explode + k codegen'd `min`
+    * aggregates. Spark's higher-order array lambdas are interpreted (not
+    * codegen'd), so the array-of-lambdas formulation is ~100× slower —
+    * this shape keeps the whole signature build inside whole-stage
+    * codegen with map-side partial mins: one md5 per distinct shingle,
+    * one shuffle of (id, 28-bit hash) pairs. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, k: Int): DataFrame = {
+    val coeffs = Text.minhashCoeffs(k)
+    val ex = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("g"))
+      .select(col("id"),
+        conv(substring(md5(col("g")), 1, 7), 16, 10).cast("long").as("h"))
+    val minima = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(Text.MH_P))).as(s"m$i")
+    }
+    ex.groupBy(col("id"))
+      .agg(minima.head, minima.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** Doc → (band_idx, band_hash) candidate keys for MinHash-LSH.
     * numHashes = bands * rowsPerBand. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = docs
-      .select(col(idCol).as("id"),
-        Text.wordShingles(col(textCol), shingleLen).as("shingles"))
-      .filter(size(col("shingles")) > 0) // drop docs too short to shingle
-      .select(col("id"), Text.minhashSignature(col("shingles"), k).as("sig"))
+    val withSig = minhashSignatures(docs, idCol, textCol, shingleLen, k)
     withSig.select(
       col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          md5(to_json(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-            .as("bh")))).as("bk"))
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          md5(to_json(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+            .as("bh"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"),
         col("bk.bh").as("band_hash"))
   }

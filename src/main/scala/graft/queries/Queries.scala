@@ -214,7 +214,8 @@ object Queries {
     (s: SparkSession, d: String) => {
       val ev = Tables.events(s, d)
       val a = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
-      val b = ev.filter(col("event_type") === "error").select(col("user_id")).distinct()
+      val b = ev.filter(col("event_type") === "purchase" && col("value") > 90)
+        .select(col("user_id")).distinct()
       Deltas.consolidate(Deltas.concat(a, Deltas.negate(b)))
         .filter(col(Deltas.MULT) > 0).select(col("user_id"))
         .orderBy(col("user_id"))
@@ -222,7 +223,7 @@ object Queries {
     """SELECT user_id FROM (
       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
       |  EXCEPT
-      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90)
       |ORDER BY user_id""".stripMargin)
 
   /** INTERSECT (composable from the delta algebra; Spark native here). */
@@ -245,14 +246,14 @@ object Queries {
   val qExceptAll: Q = "q_exceptall" -> (
     (s: SparkSession, d: String) => {
       val li = Tables.lineitem(s, d)
-      li.filter(col("l_linestatus") === "F").select(col("l_returnflag"))
-        .exceptAll(li.filter(col("l_linestatus") === "O").select(col("l_returnflag")))
+      li.filter(col("l_quantity") <= 25).select(col("l_returnflag"))
+        .exceptAll(li.filter(col("l_quantity") <= 20).select(col("l_returnflag")))
         .orderBy(col("l_returnflag"))
     },
     """SELECT l_returnflag FROM (
-      |  SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+      |  SELECT l_returnflag FROM lineitem WHERE l_quantity <= 25
       |  EXCEPT ALL
-      |  SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O')
+      |  SELECT l_returnflag FROM lineitem WHERE l_quantity <= 20)
       |ORDER BY l_returnflag""".stripMargin)
 
   /** A3 per-element count = delta consolidation (reference flow.rs:460-462,
@@ -411,14 +412,16 @@ object Queries {
         .orderBy(col("id_a"), col("id_b")),
     {
       val k = MH_BANDS * MH_ROWS
+      val sigExprs = graft.functions.Text.minhashCoeffs(k).map { case (a, b) =>
+        s"list_min(list_transform(bases, h -> (h * $a + $b) % ${graft.functions.Text.MH_P}))"
+      }.mkString("[", ",\n      ", "]")
       s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
          |sh AS (SELECT id, list_distinct(list_transform(range(1, len(toks) - 1),
          |    i -> array_to_string(toks[i:i+2], ' '))) AS g
          |  FROM t WHERE len(toks) >= 3),
-         |sig AS (SELECT id, list_transform(range(0, $k), s ->
-         |    list_min(list_transform(g, x ->
-         |      CAST('0x' || substr(md5(CAST(s AS VARCHAR) || x), 1, 15) AS BIGINT)))) AS sig
-         |  FROM sh),
+         |bs AS (SELECT id, list_transform(g, x ->
+         |    CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)) AS bases FROM sh),
+         |sig AS (SELECT id, $sigExprs AS sig FROM bs),
          |banded AS (SELECT id, sig, b.band AS band,
          |    md5(CAST(to_json(sig[b.band*$MH_ROWS+1:b.band*$MH_ROWS+$MH_ROWS]) AS VARCHAR)) AS band_hash
          |  FROM sig, (SELECT unnest(range(0, $MH_BANDS)) AS band) b),

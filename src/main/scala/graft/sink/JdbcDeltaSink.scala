@@ -1,0 +1,321 @@
+package graft.sink
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.core.Deltas
+
+/** Declarative output-table schema (reference `DbRecord`/`DbColumn`,
+  * db/mod.rs:134-206): name, SQL type, index flag, version stamp. */
+final case class ColumnSpec(name: String, sqlType: String, index: Boolean = false)
+
+final case class TableSpec(name: String, version: Int, columns: Seq[ColumnSpec]) {
+  def offsetsTable: String = s"${name}_offsets"
+  def colNames: Seq[String] = columns.map(_.name)
+}
+
+/** Shared row-level SQL for the delta protocol (used by the single-table
+  * sink and the multi-table [[UnionDeltaSink]]). */
+private[sink] object DeltaSql {
+
+  def bind(ps: PreparedStatement, params: Seq[Any]): Unit =
+    params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+
+  def nullSafeWhere(spec: TableSpec, values: Seq[Any]): (String, Seq[Any]) = {
+    val (clauses, params) = spec.colNames.zip(values).map { case (n, v) =>
+      if (v == null) (s"$n IS NULL", None) else (s"$n = ?", Some(v))
+    }.unzip
+    (clauses.mkString(" AND "), params.flatten)
+  }
+
+  /** Bag-semantics application of one table's deltas on an open txn. */
+  def applyTableDeltas(c: Connection, spec: TableSpec,
+                       deltas: Seq[(Seq[Any], Long)]): Unit = {
+    val insRow = c.prepareStatement(
+      s"INSERT INTO ${spec.name} (${spec.colNames.mkString(", ")}) VALUES (${spec.colNames.map(_ => "?").mkString(", ")})")
+    deltas.foreach { case (values, mult) =>
+      if (mult > 0) {
+        bind(insRow, values)
+        (0L until mult).foreach(_ => insRow.executeUpdate())
+      } else if (mult < 0) {
+        val (where, params) = nullSafeWhere(spec, values)
+        val cnt = {
+          val ps = c.prepareStatement(s"SELECT COUNT(*) FROM ${spec.name} WHERE $where")
+          bind(ps, params)
+          val rs = ps.executeQuery(); rs.next()
+          val n = rs.getLong(1); rs.close(); ps.close(); n
+        }
+        val del = c.prepareStatement(s"DELETE FROM ${spec.name} WHERE $where")
+        bind(del, params); del.executeUpdate(); del.close()
+        val remain = cnt + mult // delete-then-reinsert (sqlite.rs:238-259)
+        if (remain < 0)
+          throw new IllegalStateException(
+            s"delta retracts more rows than present in ${spec.name}: $values mult=$mult have=$cnt")
+        bind(insRow, values)
+        (0L until remain).foreach(_ => insRow.executeUpdate())
+      }
+    }
+    insRow.close()
+  }
+
+  /** Offsets upsert into `table(source, offset_)` on an open txn. */
+  def upsertOffsets(c: Connection, table: String,
+                    offsets: Map[String, Long]): Unit = {
+    val upd = c.prepareStatement(s"UPDATE $table SET offset_ = ? WHERE source = ?")
+    val ins = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
+    offsets.foreach { case (src, off) =>
+      upd.setLong(1, off); upd.setString(2, src)
+      if (upd.executeUpdate() == 0) {
+        ins.setString(1, src); ins.setLong(2, off); ins.executeUpdate()
+      }
+    }
+    upd.close(); ins.close()
+  }
+}
+
+/** Transactional delta-apply JDBC sink — the reference's exactly-once
+  * protocol (db/mod.rs:369-394, sqlite.rs:238-259) rebuilt for
+  * `foreachBatch`:
+  *
+  * ONE local DB transaction contains (a) the per-source offset upsert
+  * into `{table}_offsets`, (b) the batch-id stamp (idempotent re-delivery:
+  * a replayed micro-batch with an already-applied id is a no-op), and
+  * (c) the delta application with bag semantics — mult > 0 inserts that
+  * many copies; mult < 0 deletes all matching rows and re-inserts
+  * `rows + mult` copies (the reference's SQLite strategy, sqlite.rs:
+  * 238-259), with NULL-safe value matching (sqlite.rs:172-174).
+  *
+  * Schema evolution is the reference's version-stamped drop-and-rebuild
+  * (db/mod.rs:46-53, 282-315): `schema_versions` mismatch ⇒ drop table +
+  * offsets ⇒ recreate ⇒ caller replays from offset 0.
+  *
+  * Scale note: deltas cross the driver because one transaction must span
+  * offsets + all rows — same invariant the reference enforces with a
+  * single DB connection. The volume is the *view's churn per trigger*
+  * (already consolidated), not the input rate; a view whose churn
+  * exceeds driver memory needs a partitioned-transaction target (e.g. a
+  * Delta/Iceberg table) instead of a single SQL endpoint.
+  */
+class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c)
+    finally {
+      // rollback-before-close: a failure inside f must surface, not be
+      // masked by Derby's close-with-active-transaction error
+      try { if (!c.getAutoCommit) c.rollback() } catch { case _: Throwable => () }
+      try c.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
+  }
+
+  private def tableExists(c: Connection, name: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
+    try rs.next() finally rs.close()
+  }
+
+  /** Version-checked DDL bootstrap (reference K5). Returns true if the
+    * table was (re)created — caller must replay from scratch. */
+  def bootstrap(): Boolean = withConn { c =>
+    c.setAutoCommit(false)
+    if (!tableExists(c, "schema_versions"))
+      exec(c, "CREATE TABLE schema_versions (table_name VARCHAR(128) NOT NULL PRIMARY KEY, version INT NOT NULL)")
+    val cur: Option[Int] = {
+      val ps = c.prepareStatement("SELECT version FROM schema_versions WHERE table_name = ?")
+      ps.setString(1, spec.name)
+      val rs = ps.executeQuery()
+      try { if (rs.next()) Some(rs.getInt(1)) else None } finally { rs.close(); ps.close() }
+    }
+    val recreate = cur != Some(spec.version)
+    if (recreate) {
+      for (t <- Seq(spec.name, spec.offsetsTable, s"${spec.name}_batches") if tableExists(c, t))
+        exec(c, s"DROP TABLE $t")
+      val cols = spec.columns.map(col => s"${col.name} ${col.sqlType}").mkString(", ")
+      exec(c, s"CREATE TABLE ${spec.name} ($cols)")
+      spec.columns.filter(_.index).foreach { col =>
+        exec(c, s"CREATE INDEX idx_${spec.name}_${col.name} ON ${spec.name} (${col.name})")
+      }
+      exec(c, s"CREATE TABLE ${spec.offsetsTable} (source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL)")
+      exec(c, s"CREATE TABLE ${spec.name}_batches (batch_id BIGINT NOT NULL)")
+      if (cur.isDefined) {
+        val ps = c.prepareStatement("UPDATE schema_versions SET version = ? WHERE table_name = ?")
+        ps.setInt(1, spec.version); ps.setString(2, spec.name)
+        ps.executeUpdate(); ps.close()
+      } else {
+        val ps = c.prepareStatement("INSERT INTO schema_versions VALUES (?, ?)")
+        ps.setString(1, spec.name); ps.setInt(2, spec.version)
+        ps.executeUpdate(); ps.close()
+      }
+    }
+    c.commit()
+    recreate
+  }
+
+  /** Restart point (reference K6 `get_offsets`, db/mod.rs:126). */
+  def getOffsets(): Map[String, Long] = withConn { c =>
+    val rs = c.createStatement().executeQuery(
+      s"SELECT source, offset_ FROM ${spec.offsetsTable}")
+    val b = Map.newBuilder[String, Long]
+    while (rs.next()) b += rs.getString(1) -> rs.getLong(2)
+    b.result()
+  }
+
+  def lastBatchId(): Option[Long] = withConn { c =>
+    val rs = c.createStatement().executeQuery(
+      s"SELECT MAX(batch_id) FROM ${spec.name}_batches")
+    if (rs.next() && rs.getObject(1) != null) Some(rs.getLong(1)) else None
+  }
+
+  /** Current table contents (bag, for tests/inspection). */
+  def readRows(): Seq[Seq[Any]] = withConn { c =>
+    val rs = c.createStatement().executeQuery(
+      s"SELECT ${spec.colNames.mkString(", ")} FROM ${spec.name}")
+    val b = Seq.newBuilder[Seq[Any]]
+    while (rs.next()) b += spec.colNames.indices.map(i => rs.getObject(i + 1))
+    b.result()
+  }
+
+  /** Apply one consolidated delta batch + offsets in ONE transaction.
+    * Replayed batch ids are skipped (exactly-once under at-least-once
+    * `foreachBatch` delivery). */
+  def applyDeltas(offsets: Map[String, Long], batchId: Long,
+                  deltas: Seq[(Seq[Any], Long)]): Boolean = withConn { c =>
+    c.setAutoCommit(false)
+    c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+    try {
+      val applied = {
+        val ps = c.prepareStatement(
+          s"SELECT COUNT(*) FROM ${spec.name}_batches WHERE batch_id = ?")
+        ps.setLong(1, batchId)
+        val rs = ps.executeQuery(); rs.next()
+        val n = rs.getLong(1); rs.close(); ps.close(); n > 0
+      }
+      if (applied) { c.rollback(); false }
+      else {
+        DeltaSql.upsertOffsets(c, spec.offsetsTable, offsets) // (a) reference db/mod.rs:369-394
+        val bp = c.prepareStatement(s"INSERT INTO ${spec.name}_batches VALUES (?)")
+        bp.setLong(1, batchId); bp.executeUpdate(); bp.close() // (b) batch stamp
+        DeltaSql.applyTableDeltas(c, spec, deltas) // (c) bag-semantics deltas
+        c.commit()
+        true
+      }
+    } catch { case e: Throwable => c.rollback(); throw e }
+  }
+
+  /** `foreachBatch` adapter: consolidates the micro-batch's delta
+    * DataFrame (must carry a `mult` column; plain DataFrames are lifted
+    * at mult 1) and applies it transactionally. Offset columns
+    * (`_source`, `_offset`) are split out if present. */
+  def foreachBatchWriter(): (DataFrame, Long) => Unit = { (df, batchId) =>
+    val hasOffsets = df.columns.contains("_source")
+    val dataDf = df.drop("_source", "_offset")
+    val consolidated = Deltas.consolidate(dataDf)
+    val rows = consolidated.collect().toSeq.map { r: Row =>
+      val values = spec.colNames.map(n => r.getAs[Any](n) match {
+        case null => null
+        case v => v.asInstanceOf[AnyRef]
+      })
+      (values, r.getAs[Long](Deltas.MULT))
+    }
+    val offsets: Map[String, Long] =
+      if (hasOffsets)
+        df.groupBy("_source").max("_offset").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    applyDeltas(offsets, batchId, rows)
+  }
+}
+
+/** Multi-table fan-out sink (reference `Union`, db/mod.rs:237-258,
+  * 273-458): one logical flow feeds several tables whose deltas and the
+  * SHARED offsets/batch tables commit in one transaction — the
+  * all-tables-or-nothing guarantee the reference gives a `Union` of up
+  * to 5 record types.
+  */
+class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
+    extends Serializable {
+
+  private val sinks = specs.map(sp => new JdbcDeltaSink(url, sp))
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c)
+    finally {
+      // rollback-before-close: a failure inside f must surface, not be
+      // masked by Derby's close-with-active-transaction error
+      try { if (!c.getAutoCommit) c.rollback() } catch { case _: Throwable => () }
+      try c.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
+  }
+
+  private def tableExists(c: Connection, name: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
+    try rs.next() finally rs.close()
+  }
+
+  def offsetsTable: String = s"${group}_offsets"
+
+  /** Bootstrap every member table plus the shared offsets/batch tables.
+    * True if any member was (re)created → full replay needed (the
+    * reference replays the whole union on any member's version bump,
+    * db/mod.rs:46-53). */
+  def bootstrap(): Boolean = {
+    val recreated = sinks.map(_.bootstrap()).exists(identity)
+    withConn { c =>
+      c.setAutoCommit(false)
+      if (!tableExists(c, offsetsTable))
+        exec(c, s"CREATE TABLE $offsetsTable (source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL)")
+      if (!tableExists(c, s"${group}_batches"))
+        exec(c, s"CREATE TABLE ${group}_batches (batch_id BIGINT NOT NULL)")
+      c.commit()
+    }
+    recreated
+  }
+
+  def getOffsets(): Map[String, Long] = withConn { c =>
+    val rs = c.createStatement().executeQuery(
+      s"SELECT source, offset_ FROM $offsetsTable")
+    val b = Map.newBuilder[String, Long]
+    while (rs.next()) b += rs.getString(1) -> rs.getLong(2)
+    b.result()
+  }
+
+  /** One transaction across ALL member tables + shared offsets. */
+  def applyDeltas(offsets: Map[String, Long], batchId: Long,
+                  perTable: Map[String, Seq[(Seq[Any], Long)]]): Boolean = {
+    val unknown = perTable.keySet -- specs.map(_.name).toSet
+    require(unknown.isEmpty, s"unknown tables in delta batch: $unknown")
+    withConn { c =>
+      c.setAutoCommit(false)
+      c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+      try {
+        val applied = {
+          val ps = c.prepareStatement(
+            s"SELECT COUNT(*) FROM ${group}_batches WHERE batch_id = ?")
+          ps.setLong(1, batchId)
+          val rs = ps.executeQuery(); rs.next()
+          val n = rs.getLong(1); rs.close(); ps.close(); n > 0
+        }
+        if (applied) { c.rollback(); false }
+        else {
+          DeltaSql.upsertOffsets(c, offsetsTable, offsets)
+          val bp = c.prepareStatement(s"INSERT INTO ${group}_batches VALUES (?)")
+          bp.setLong(1, batchId); bp.executeUpdate(); bp.close()
+          specs.foreach { sp =>
+            perTable.get(sp.name).filter(_.nonEmpty)
+              .foreach(ds => DeltaSql.applyTableDeltas(c, sp, ds))
+          }
+          c.commit()
+          true
+        }
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+  }
+}

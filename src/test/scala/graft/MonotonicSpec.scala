@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.{Delta, Monotonic}
+
+/** Exact golden fixtures from the reference's monotonic-operator tests
+  * (flow.rs:616-640, FIXTURES.md §4): i32 inputs, key = x % 5, batch →
+  * consolidated delta assertions. */
+class MonotonicSpec extends SparkTestBase {
+
+  /** Batch-feed harness mirroring machine.rs:183-189 `assert`: feed a
+    * batch through per-key state, consolidate emitted deltas. */
+  private class MaxHarness {
+    private var state = Map.empty[Int, Int]
+    def feed(xs: Seq[Int]): Seq[(Int, Long)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Delta[Int]]
+      xs.groupBy(_ % 5).foreach { case (k, vs) =>
+        val (next, deltas) = Monotonic.maxByUpdates[Int, Int](
+          vs.map(Delta(_, 1L)).iterator, state.get(k),
+          (inc, cand) => inc >= cand)
+        next.foreach(v => state += k -> v)
+        out ++= deltas
+      }
+      consolidate(out.toSeq)
+    }
+  }
+
+  private class RepHarness {
+    private var state = Map.empty[Int, (Int, Long)]
+    def feed(xs: Seq[Int]): Seq[(Int, Long)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Delta[Int]]
+      xs.groupBy(_ % 5).foreach { case (k, vs) =>
+        val (next, deltas) = Monotonic.representativeUpdates[Int](
+          vs.map(Delta(_, 1L)).iterator, state.get(k))
+        next match {
+          case Some(s) => state += k -> s
+          case None => state -= k
+        }
+        out ++= deltas
+      }
+      consolidate(out.toSeq)
+    }
+  }
+
+  private def consolidate(ds: Seq[Delta[Int]]): Seq[(Int, Long)] =
+    ds.groupBy(_.record).view.mapValues(_.map(_.mult).sum)
+      .filter(_._2 != 0).toSeq.sorted
+
+  test("monotonic_max_by golden sequence (flow.rs:616-628)") {
+    val h = new MaxHarness
+    assert(h.feed(Seq(1)) === Seq(1 -> 1L))
+    assert(h.feed(Seq(1)) === Seq.empty) // duplicate of current max: no delta
+    assert(h.feed(Seq(11, 2)) === Seq(1 -> -1L, 2 -> 1L, 11 -> 1L))
+    assert(h.feed(Seq(6, 7)) === Seq(2 -> -1L, 7 -> 1L)) // 6 < 11 same key: no-op
+  }
+
+  test("monotonic_representative_by golden sequence (flow.rs:630-640)") {
+    val h = new RepHarness
+    assert(h.feed(Seq(1)) === Seq(1 -> 1L))
+    assert(h.feed(Seq(1)) === Seq.empty)
+    assert(h.feed(Seq(11, 2)) === Seq(2 -> 1L)) // 11 joins key 1: rep stays 1
+    assert(h.feed(Seq(6, 7)) === Seq.empty)     // both keys already represented
+  }
+
+  test("max removal panics (append-only contract, flow.rs:306-310)") {
+    intercept[IllegalStateException] {
+      Monotonic.maxByUpdates[Int, Int](
+        Iterator(Delta(5, 1L), Delta(5, -1L)), None, (a, b) => a >= b)
+    }
+  }
+
+  test("representative removal panics while key non-empty (flow.rs:343-348)") {
+    intercept[IllegalStateException] {
+      Monotonic.representativeUpdates[Int](
+        Iterator(Delta(5, 1L), Delta(7, 1L), Delta(5, -1L)), None)
+    }
+    // but removing the last record of a key retracts the representative
+    val (st, out) = Monotonic.representativeUpdates[Int](
+      Iterator(Delta(5, 1L), Delta(5, -1L)), None)
+    assert(st === None && out === List(Delta(5, 1L), Delta(5, -1L)))
+  }
+
+  test("streaming M1 over MemoryStream emits retraction+insertion per new max") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Delta[Int]]
+    val out = Monotonic.maxByStream[Int, Int](mem.toDS(), _ % 5)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("m1_test").start()
+    try {
+      mem.addData(Delta(1, 1L)); q.processAllAvailable()
+      mem.addData(Delta(11, 1L), Delta(2, 1L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT record, mult FROM m1_test")
+        .as[(Int, Long)].collect().toSeq
+      // batch 1: +1 ; batch 2: -1 +11 +2
+      assert(consolidate(rows.map { case (r, m) => Delta(r, m) })
+        === Seq(2 -> 1L, 11 -> 1L)) // net state: 1 retracted
+      assert(rows.contains((1, -1L)), "retraction of old max must be emitted")
+    } finally q.stop()
+  }
+}
