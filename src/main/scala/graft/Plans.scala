@@ -1,0 +1,21 @@
+package graft
+
+/** Physical-plan audit: dumps `explain("formatted")` for the headline
+  * queries so scan pruning (`PushedFilters`/`ReadSchema`), join strategy
+  * (BroadcastHashJoin vs SortMergeJoin) and WholeStageCodegen spans can
+  * be reviewed per round. Usage: runMain graft.Plans [names...]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(4)
+    val d = "/root/testdata/sf0.001"
+    val names = if (args.nonEmpty) args.toSet else
+      Set("q1_agg", "q3_join", "q5_join_multi", "q_dashboard", "q_lookback",
+        "q_minhash_lsh", "q_ann_brute")
+    graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
+      println(s"\n========== $name ==========")
+      impl(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -36,6 +36,10 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  /** Raw events scan (ts left as the stored ns Long). */
+  def read_events_raw(s: SparkSession, d: String): DataFrame =
+    read(s, d, "events")
+
   /** Events with the envelope normalized:
     *   - `ts_ns`   raw INT64 nanoseconds (as stored),
     *   - `ts_us`   epoch microseconds (the reference's native precision,

@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product of two equal-length float arrays, accumulated in double
-    * in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Dot product of two equal-length float/double arrays, accumulated in
+    * double in index order. Backed by the codegen'd [[graft.functions.
+    * expr.VectorDot]] expression (the equivalent `aggregate∘zip_with`
+    * fold runs interpreted per element and dominates ANN pair joins). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expr.VectorDot(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -29,23 +31,27 @@ object Vectors {
     when(nn > 0.0, d / nn).otherwise(lit(0.0))
   }
 
-  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id with `p`
-    * deterministic pseudo-random planes. Plane j's i-th coefficient is a
-    * ±1 derived from md5(j,i) — reproducible on any engine, no RNG state.
-    * Bucket = p-bit sign pattern of the plane dot products.
+  /** Deterministic ±1 hyperplane coefficients: plane j's i-th entry from
+    * the low bit of md5("j:i"), computed at plan-build time (JVM) and
+    * inlined as literals into both the Spark plan and the DuckDB oracle. */
+  def deterministicPlanes(dim: Int, planes: Int): Seq[Seq[Double]] =
+    (0 until planes).map { j =>
+      (0 until dim).map { i =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+        if ((dig(dig.length - 1) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: the p-bit
+    * sign pattern of the plane dot products. Coefficients are literal
+    * arrays → the whole bucket id is one codegen'd projection per row.
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { j =>
-      // coefficient c_ji = +1 if low bit of md5("j:i") else -1
-      val prods = (0 until dim).map { i =>
-        val coef = when(
-          conv(substring(md5(lit(s"$j:$i")), 1, 15), 16, 10).cast("long")
-            .bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
-        coef * element_at(vec, i + 1).cast("double")
-      }
-      val s = prods.reduce(_ + _)
-      when(s > 0.0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    bits.reduce[Column](_ + _)
+    val coefs = deterministicPlanes(dim, planes)
+    coefs.zipWithIndex.map { case (plane, j) =>
+      val s = dot(vec, typedLit(plane))
+      when(s > 0.0, lit(1L << j)).otherwise(0L)
+    }.reduce[Column](_ + _)
   }
 }

@@ -126,19 +126,52 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, tau: Double, blockCol: String,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
+    // Shingle sets as SORTED 60-bit hash arrays (8-byte join keys;
+    // collision odds ~2^-60, deterministic, mirrored in the oracle).
+    // Persisted: the signature table feeds candidate generation AND both
+    // sides of the verification join — without it the full scan→shingle→
+    // hash pipeline re-executes for every self-join branch (~4×). At
+    // data scale this is the "write signatures to a table first" step.
     val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_distinct(Text.wordShingles(col(textCol), n)).as("sh"))
+      sort_array(array_distinct(transform(
+        Text.wordShingles(col(textCol), n),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("sh"))
       .filter(size(col("sh")) > 0)
-    val exploded = sh.select(col("blk"), col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("g"))
-    val pairsCommon = exploded.as("x")
-      .join(exploded.as("y"),
-        col("x.blk") === col("y.blk") && col("x.g") === col("y.g")
-          && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
-      .agg(count(lit(1)).as("common"))
-    pairsCommon
+      .withColumn("n_sh", size(col("sh")))
+      .persist()
+    // Prefix filter (AllPairs/PPJoin): two sets with J ≥ tau must share
+    // an element within the first |d| - ceil(tau*|d|) + 1 positions under
+    // a shared total order. Order rarest-first — (document frequency,
+    // hash) ascending — so prefixes hold each doc's most discriminative
+    // shingles and the candidate join stays sparse even on corpora with
+    // dense common shingles. Plus the length filter: J ≥ tau forces
+    // tau ≤ |A|/|B| ≤ 1/tau. Exact verification via array_intersect runs
+    // only on surviving candidates.
+    val inst = sh.select(col("blk"), col("id"), col("n_sh"),
+      explode(col("sh")).as("gh"))
+    val dfreq = inst.groupBy(col("blk"), col("gh"))
+      .agg(count(lit(1)).as("df"))
+    val ordered = inst.join(dfreq, Seq("blk", "gh"))
+      .groupBy(col("blk"), col("id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("ord"))
+      .persist() // feeds both sides of the candidate self-join
+    val pref = ordered.select(col("blk"), col("id"), col("n_sh"),
+      explode(slice(col("ord"), lit(1),
+        (col("n_sh") - ceil(lit(tau) * col("n_sh")).cast("int") + 1))).as("p"))
+      .select(col("blk"), col("id"), col("n_sh"), col("p.gh").as("gh"))
+    val candidates = pref.as("x")
+      .join(pref.as("y"),
+        col("x.blk") === col("y.blk") && col("x.gh") === col("y.gh")
+          && col("x.id") < col("y.id")
+          && col("y.n_sh") * lit(tau) <= col("x.n_sh")
+          && col("x.n_sh") * lit(tau) <= col("y.n_sh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+    withSets
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
           .as("jaccard"))
@@ -151,11 +184,17 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, tau: Double, blockCol: String = "label",
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.{Vectors => V}
-    val e = emb.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    // norms are per-ROW, so compute them before the pair join: the naive
+    // cosine-per-pair recomputes both norms for every candidate (3
+    // interpreted array folds/pair instead of 1)
+    val e = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), V.norm(col(vecCol)).as("nrm"))
+    val d = V.dot(col("a.v"), col("b.v"))
+    val nn = col("a.nrm") * col("b.nrm")
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(V.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(when(nn > 0.0, d / nn).otherwise(lit(0.0)), 6).as("cos"))
       .filter(col("cos") >= tau)
   }
 }

@@ -442,10 +442,12 @@ object Queries {
        |sh AS (SELECT id, lang, list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> array_to_string(toks[i:i+2], ' '))) AS g
        |  FROM t WHERE len(toks) >= 3),
-       |ex AS (SELECT id, lang, len(g) AS n_sh, unnest(g) AS gr FROM sh),
+       |ex0 AS (SELECT id, lang, len(g) AS n_sh, unnest(g) AS gr FROM sh),
+       |ex AS (SELECT id, lang, n_sh,
+       |    CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS gh FROM ex0),
        |pc AS (SELECT x.id AS id_a, y.id AS id_b, x.n_sh AS na, y.n_sh AS nb,
        |    count(*) AS common
-       |  FROM ex x JOIN ex y ON x.lang = y.lang AND x.gr = y.gr AND x.id < y.id
+       |  FROM ex x JOIN ex y ON x.lang = y.lang AND x.gh = y.gh AND x.id < y.id
        |  GROUP BY 1, 2, 3, 4)
        |SELECT id_a, id_b, common / CAST(na + nb - common AS DOUBLE) AS jaccard
        |FROM pc WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
@@ -472,10 +474,13 @@ object Queries {
     (s: SparkSession, d: String) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), tau = 0.35)
         .orderBy(col("id_a"), col("id_b")),
-    s"""WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+    s"""WITH e AS (SELECT label, vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(CASE WHEN a.nrm * b.nrm > 0.0
+       |      THEN ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |      ELSE 0.0 END, 6) AS cos
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
        |ORDER BY id_a, id_b""".stripMargin)
 
@@ -496,6 +501,81 @@ object Queries {
        |  FROM scored)
        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin)
+
+  /** S6 payload decode + demux (reference machine.rs:65-79): try-decode
+    * the JSON payload against per-variant schemas; rows that fail a
+    * variant's schema fall through (null), decode-error rows are
+    * countable. `from_json` in PERMISSIVE shape: here all props parse as
+    * {k}, and the demux tags the variant from event_type. */
+  val qPayloadDecode: Q = "q_payload_decode" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.read_events_raw(s, d)
+      val parsed = ev.select(col("event_id"), col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).as("p"))
+      parsed.select(col("event_id"),
+        when(col("event_type").isin("view", "click"), lit("interaction"))
+          .when(col("event_type").isin("purchase", "signup"), lit("conversion"))
+          .otherwise(lit("fault")).as("variant"),
+        col("p.k").as("k"),
+        col("p").isNull.cast("long").as("decode_error"))
+        .orderBy(col("event_id"))
+    },
+    """SELECT event_id,
+      |  CASE WHEN event_type IN ('view', 'click') THEN 'interaction'
+      |       WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+      |       ELSE 'fault' END AS variant,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(CASE WHEN json_valid(props) THEN 0 ELSE 1 END AS BIGINT) AS decode_error
+      |FROM events ORDER BY event_id""".stripMargin)
+
+  /** S2 `new_limited` look-back (reference flow.rs:225-231): event-time
+    * cutoff as a source predicate — pushes to the parquet scan (file/
+    * partition pruning at scale; `PushedFilters` in the plan). */
+  val qLookback: Q = "q_lookback" -> (
+    (s: SparkSession, d: String) => {
+      // cutoff on the STORED ns column, not derived ts_us: a predicate on
+      // a derived expression cannot reach the parquet scan; this form
+      // shows up in PushedFilters (file/row-group pruning at scale)
+      Tables.events(s, d)
+        .filter(col("ts_ns") >= 1705708800000000000L) // 2024-01-20 (last ~11 days)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts_us")).as("first_us"))
+        .orderBy(col("event_type"))
+    },
+    """SELECT event_type, count(*) AS n, min(epoch_us(ts)) AS first_us
+      |FROM events WHERE epoch_us(ts) >= 1705708800000000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  /** LSH-bucketed ANN (scale path): hyperplane signatures on both sides,
+    * same-bucket candidates only. */
+  val qAnnLsh: Q = "q_ann_lsh" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 3, dim = 64, planes = 6)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    {
+      val planes = graft.functions.Vectors.deterministicPlanes(64, 6)
+      def planeDot(v: String, p: Seq[Double]) = {
+        val lst = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * ($lst)[i]))"
+      }
+      def bucket(v: String) = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${planeDot(v, p)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_v, bucket FROM b WHERE vec_id < 50),
+         |scored AS (SELECT q_id, c.vec_id AS n_id,
+         |    round(${cosSql("q_v", "c.embedding")}, 6) AS cos
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    })
 
   /** Multimodal plumbing: binary column + stubbed decode (sha256-derived
     * fake features); the oracle checks the real parts (bytes, digest,
@@ -522,11 +602,13 @@ object Queries {
       |    ELSE 1 END AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin)
 
-  /** DuckDB mirror of Vectors.cosine: identical left-to-right double fold. */
+  /** DuckDB mirror of Vectors.dot: identical left-to-right double fold. */
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  /** DuckDB mirror of Vectors.cosine. */
   private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    val d = dot(a, b); val na = dot(a, a); val nb = dot(b, b)
+    val d = dotSql(a, b); val na = dotSql(a, a); val nb = dotSql(b, b)
     s"(CASE WHEN sqrt($na) * sqrt($nb) > 0 THEN $d / (sqrt($na) * sqrt($nb)) ELSE 0.0 END)"
   }
 
@@ -539,6 +621,7 @@ object Queries {
     qTopK, qWindowRunning, qMaxBy, qMinMax,
     qDedupExact, qFingerprint, qTokenCount, qLangId, qQuality,
     qMinhashLsh, qNgramJaccard, qSimhash, qEmbedNearDup,
-    qAnnBrute, qMultimodal,
+    qAnnBrute, qAnnLsh, qMultimodal,
+    qPayloadDecode, qLookback,
   )
 }
