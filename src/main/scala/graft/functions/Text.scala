@@ -34,15 +34,33 @@ object Text {
     * hash; the unit of exact dedup). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** `n`-token shingles ("w1 w2 w3" strings). Empty array when the doc has
-    * fewer than n tokens. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** `n`-token shingles ("w1 w2 w3" strings) from a token-array column.
+    * Empty array when the doc has fewer than n tokens.
+    *
+    * PERFORMANCE CONTRACT: inside a higher-order lambda, a free-variable
+    * subexpression re-evaluates per ELEMENT (Spark HOFs are interpreted,
+    * no CSE) — a `sequence`-index formulation re-tokenized the whole doc
+    * per shingle (O(tokens²), ~10× the query). This builds shingles as
+    * `zip_with` over shifted slices: every array argument is evaluated
+    * once per ROW, the lambda touches only its bound variables. The
+    * zip_with tail-padding nulls (from the shorter shifted array) are the
+    * sub-n-token positions — filtered out, which also yields [] for
+    * too-short docs. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    require(n >= 1, s"shingle length must be >= 1, got $n")
+    val joined = (1 until n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc,
+        slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    if (n == 1) joined else filter(joined, _.isNotNull)
   }
+
+  /** Convenience over raw text; call sites that feed HOF pipelines should
+    * materialize `tokens` in a prior projection and use
+    * [[shinglesFromTokens]]. */
+  def wordShingles(c: Column, n: Int): Column =
+    shinglesFromTokens(tokens(c), n)
 
   /** Mersenne prime modulus for the MinHash affine permutations:
     * products stay within exact Long range (28-bit base × 31-bit
@@ -69,15 +87,20 @@ object Text {
     * per-token hash inside the md5-prefix Long in both engines. Bit
     * positions are unrolled at plan-build time (Scala-level loop) —
     * exact integer math, single codegen'd projection. */
-  def simhash(c: Column, bits: Int = 48): Column = {
-    val tokHashes = transform(array_distinct(tokens(c)), t => hash64(t, 0))
+  def simhash(c: Column, bits: Int = 48): Column =
+    simhashFromHashes(transform(array_distinct(tokens(c)), t => hash64(t, 0)), bits)
+
+  /** SimHash from a materialized token-hash array column. Feed an
+    * ATTRIBUTE (hash array from a prior projection): the expression
+    * references its input once per bit, so a non-trivial subtree here
+    * would tokenize+digest `bits` times per row. */
+  def simhashFromHashes(tokHashes: Column, bits: Int = 48): Column =
     (0 until bits).map { i =>
       val votes = aggregate(tokHashes, lit(0L),
         (a, h) => a + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
           .otherwise(-1L))
       when(votes > 0L, lit(1L << i)).otherwise(0L)
     }.reduce[Column](_ + _)
-  }
 
   /** Stopword-hit count against a fixed lexicon. */
   def stopwordHits(c: Column, lexicon: Seq[String]): Column =

@@ -34,9 +34,13 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, k: Int): DataFrame = {
     val coeffs = Text.minhashCoeffs(k)
+    // tokens materialized in their own projection: referencing them from
+    // shingle construction must not re-run tokenization (see
+    // Text.shinglesFromTokens performance contract)
     val ex = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("g"))
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(Text.shinglesFromTokens(col("toks"), shingleLen))).as("g"))
       .select(col("id"),
         conv(substring(md5(col("g")), 1, 7), 16, 10).cast("long").as("h"))
     val minima = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -132,10 +136,13 @@ object Dedup {
     // sides of the verification join — without it the full scan→shingle→
     // hash pipeline re-executes for every self-join branch (~4×). At
     // data scale this is the "write signatures to a table first" step.
-    val sh = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      sort_array(array_distinct(transform(
-        Text.wordShingles(col(textCol), n),
-        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("sh"))
+    val sh = docs
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("blk"), col("id"),
+        sort_array(array_distinct(transform(
+          Text.shinglesFromTokens(col("toks"), n),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
       .persist()

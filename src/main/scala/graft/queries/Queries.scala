@@ -457,7 +457,10 @@ object Queries {
   val qSimhash: Q = "q_simhash" -> (
     (s: SparkSession, d: String) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), Text.simhash(col("text")).as("sh"))
+        .select(col("doc_id"),
+          transform(array_distinct(Text.tokens(col("text"))),
+            t => Text.hash64(t, 0)).as("th"))
+        .select(col("doc_id"), Text.simhashFromHashes(col("th")).as("sh"))
         .orderBy(col("doc_id")),
     s"""WITH t AS (SELECT doc_id,
        |    list_transform(list_distinct($TOKS), tk ->
