@@ -54,6 +54,18 @@ final case class Flow[T](ds: Dataset[T]) {
     new GroupedFlow(ds.groupByKey(f))
 
   def union(other: Flow[T]): Flow[T] = concat(other)
+
+  /** U1+U3 composition as a direct op: bag difference
+    * (`concat(other.negate)` + consolidation, reference flow.rs:364-366
+    * doc). */
+  def exceptAll(other: Flow[T]): Flow[T] = Flow(ds.exceptAll(other.ds))
+
+  /** Set difference (EXCEPT): A1 distinct of the bag difference. */
+  def except(other: Flow[T]): Flow[T] = Flow(ds.except(other.ds))
+
+  /** INTERSECT (absent from the reference surface, composable from
+    * threshold — SURVEY §2.5; native here). */
+  def intersect(other: Flow[T]): Flow[T] = Flow(ds.intersect(other.ds))
 }
 
 object Flow {
