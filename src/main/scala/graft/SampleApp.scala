@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.examples._
+object SampleApp {
+  def main(args: Array[String]): Unit = {
+    implicit val s = graft.core.GraftSession.local(4)
+    import s.implicits._
+    // typed example pipeline through the public API
+    val evs = s.createDataset(Seq(
+      MachineEvent("src1", "Drill1", 1, 1000L, started = true, "4711"),
+      MachineEvent("src1", "Drill1", 2, 5000L, started = false, "4711"),
+      MachineEvent("src1", "Drill2", 3, 2000L, started = true, "4713")))
+    println("DASHBOARD " + Examples.dashboard(evs).collect().toList)
+    println("USAGE     " + Examples.usage(evs).collect().toList)
+    // salted join + batch-incremental sync through the public API
+    val big = ((1 to 1000).map(_ => (1L, 1L)) ++ Seq((2L, 9L))).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    println("SALTED    " + graft.ops.SkewJoin.saltedJoin(big, dim, Seq("k"), 4).groupBy("name").count().collect().toList)
+    val sink = new graft.sink.JdbcDeltaSink("jdbc:derby:memory:sample;create=true",
+      graft.sink.TableSpec("v", 1, Seq(graft.sink.ColumnSpec("k", "VARCHAR(8)"), graft.sink.ColumnSpec("n", "BIGINT"))))
+    sink.bootstrap()
+    graft.sink.BatchIncremental.sync(s, Seq(("a", 1L)).toDF("k", "n"), sink, Map("s" -> 1L), 0L)
+    graft.sink.BatchIncremental.sync(s, Seq(("a", 2L), ("b", 1L)).toDF("k", "n"), sink, Map("s" -> 2L), 1L)
+    println("SYNCED    " + sink.readRows() + " offsets=" + sink.getOffsets())
+    s.stop()
+  }
+}
