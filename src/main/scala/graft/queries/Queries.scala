@@ -405,33 +405,89 @@ object Queries {
 
   // MinHash-LSH near-dup pairs. k = bands * rowsPerBand = 32.
   private val MH_BANDS = 8; private val MH_ROWS = 4; private val MH_TAU = 0.5
+
+  /** DuckDB mirror of Dedup.minhashLsh as chained CTEs over a source
+    * relation `src(id, text)` — reused by the composite pipeline oracle.
+    * Emits relation `mh_pairs(id_a, id_b, jaccard_est)`. */
+  private def minhashPairsCtes(src: String): String = {
+    val k = MH_BANDS * MH_ROWS
+    val sigExprs = graft.functions.Text.minhashCoeffs(k).map { case (a, b) =>
+      s"list_min(list_transform(bases, h -> (h * $a + $b) % ${graft.functions.Text.MH_P}))"
+    }.mkString("[", ",\n      ", "]")
+    s"""mh_t AS (SELECT id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks FROM $src),
+       |mh_sh AS (SELECT id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |  FROM mh_t WHERE len(toks) >= 3),
+       |mh_bs AS (SELECT id, list_transform(g, x ->
+       |    CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)) AS bases FROM mh_sh),
+       |mh_sig AS (SELECT id, $sigExprs AS sig FROM mh_bs),
+       |mh_banded AS (SELECT id, sig, b.band AS band,
+       |    md5(CAST(to_json(sig[b.band*$MH_ROWS+1:b.band*$MH_ROWS+$MH_ROWS]) AS VARCHAR)) AS band_hash
+       |  FROM mh_sig, (SELECT unnest(range(0, $MH_BANDS)) AS band) b),
+       |mh_pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    len(list_filter(range(1, $k + 1), i -> a.sig[i] = b.sig[i])) / $k.0 AS jaccard_est
+       |  FROM mh_banded a JOIN mh_banded b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id)""".stripMargin
+  }
+
   val qMinhashLsh: Q = "q_minhash_lsh" -> (
     (s: SparkSession, d: String) =>
       Dedup.minhashLsh(Tables.documents(s, d), tau = MH_TAU,
         shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
         .orderBy(col("id_a"), col("id_b")),
-    {
-      val k = MH_BANDS * MH_ROWS
-      val sigExprs = graft.functions.Text.minhashCoeffs(k).map { case (a, b) =>
-        s"list_min(list_transform(bases, h -> (h * $a + $b) % ${graft.functions.Text.MH_P}))"
-      }.mkString("[", ",\n      ", "]")
-      s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
-         |sh AS (SELECT id, list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> array_to_string(toks[i:i+2], ' '))) AS g
-         |  FROM t WHERE len(toks) >= 3),
-         |bs AS (SELECT id, list_transform(g, x ->
-         |    CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)) AS bases FROM sh),
-         |sig AS (SELECT id, $sigExprs AS sig FROM bs),
-         |banded AS (SELECT id, sig, b.band AS band,
-         |    md5(CAST(to_json(sig[b.band*$MH_ROWS+1:b.band*$MH_ROWS+$MH_ROWS]) AS VARCHAR)) AS band_hash
-         |  FROM sig, (SELECT unnest(range(0, $MH_BANDS)) AS band) b),
-         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |    len(list_filter(range(1, $k + 1), i -> a.sig[i] = b.sig[i])) / $k.0 AS jaccard_est
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id)
-         |SELECT id_a, id_b, jaccard_est FROM pairs
-         |WHERE jaccard_est >= $MH_TAU ORDER BY id_a, id_b""".stripMargin
-    })
+    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")}
+       |SELECT id_a, id_b, jaccard_est FROM mh_pairs
+       |WHERE jaccard_est >= $MH_TAU ORDER BY id_a, id_b""".stripMargin)
+
+  /** Composite training-corpus pipeline: exact dedup → MinHash near-dup
+    * removal (drop the higher id of each pair) → quality floor → per-
+    * language corpus stats. The end-to-end shape of a 100 TB data-prep
+    * job, each stage reusing the library ops. */
+  val qCorpusPipeline: Q = "q_corpus_pipeline" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      // stage 1: exact dedup (keep lowest doc_id per fingerprint)
+      val kept = docs
+        .withColumn("fp", Text.fingerprint(col("text")))
+        .withColumn("keep_id", min(col("doc_id"))
+          .over(Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") === col("keep_id"))
+        .drop("fp", "keep_id")
+      // stage 2: near-dup removal — drop id_b of every LSH pair
+      val nearDupIds = Dedup.minhashLsh(kept, tau = MH_TAU,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .select(col("id_b").as("doc_id")).distinct()
+      val depuped = kept.join(nearDupIds, Seq("doc_id"), "left_anti")
+      // stage 3: quality floor + stats (decimal-exact quality sum)
+      depuped
+        .withColumn("q", Text.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(col("q").cast("decimal(9,6)")).cast("double").as("sum_quality"))
+        .orderBy(col("lang"))
+    },
+    s"""WITH kept AS (
+       |  SELECT doc_id, text, lang FROM (
+       |    SELECT doc_id, text, lang,
+       |      min(doc_id) OVER (PARTITION BY md5($NORM)) AS keep_id
+       |    FROM documents) WHERE doc_id = keep_id),
+       |src0 AS (SELECT doc_id AS id, text FROM kept),
+       |${minhashPairsCtes("src0")},
+       |neardup AS (SELECT DISTINCT id_b FROM mh_pairs WHERE jaccard_est >= $MH_TAU),
+       |deduped AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT id_b FROM neardup)),
+       |scored AS (SELECT lang, len($TOKS) AS n_tokens, round(
+       |    LEAST(len($TOKS) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / GREATEST(length(text), 1)) * CAST(0.2 AS DOUBLE)
+       |    + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / GREATEST(length(text), 1) * CAST(0.2 AS DOUBLE)
+       |    + len(list_distinct($TOKS)) / GREATEST(len($TOKS), 1) * CAST(0.2 AS DOUBLE), 6) AS q
+       |  FROM deduped)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(CAST(q AS DECIMAL(9,6))) AS DOUBLE) AS sum_quality
+       |FROM scored WHERE q >= 0.5
+       |GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** Exact n-gram Jaccard near-dup pairs, blocked by lang. */
   val qNgramJaccard: Q = "q_ngram_jaccard" -> (
@@ -625,6 +681,6 @@ object Queries {
     qDedupExact, qFingerprint, qTokenCount, qLangId, qQuality,
     qMinhashLsh, qNgramJaccard, qSimhash, qEmbedNearDup,
     qAnnBrute, qAnnLsh, qMultimodal,
-    qPayloadDecode, qLookback,
+    qPayloadDecode, qLookback, qCorpusPipeline,
   )
 }
