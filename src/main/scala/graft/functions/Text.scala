@@ -24,6 +24,14 @@ object Text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-style pre-tokenization count: alphabetic runs, digit runs, and
+    * single non-alphanumeric marks — the unit a byte-pair encoder would
+    * merge over (pattern kept lookahead-free so Java regex and RE2
+    * agree). */
+  val BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BPE_PATTERN), lit(0)))
+
   /** Deterministic 60-bit hash: first 15 hex digits of md5, as a Long.
     * DuckDB mirror: `CAST('0x' || substr(md5(seed||x),1,15) AS BIGINT)`. */
   def hash64(c: Column, seed: Int): Column =

@@ -35,6 +35,45 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) top-k: the corpus is partitioned into cells by
+    * nearest centroid; a query searches only its `nprobe` closest cells.
+    * Centroids here are `k` fixed corpus vectors (deterministic seed
+    * selection — in production a k-means pass would refine them; the
+    * index/probe machinery is identical). The cell table is the
+    * "inverted file": at 100 TB it is written once, partitioned by
+    * cell id, and queries prune to nprobe partitions.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidIds: Seq[Long], nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus
+      .filter(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    def nearestCells(df: DataFrame, pre: String, n: Int) = {
+      val w = Window.partitionBy(col(s"${pre}_id"))
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      df.select(col(idCol).as(s"${pre}_id"), col(vecCol).as(s"${pre}_v"))
+        .join(broadcast(cents))
+        .select(col(s"${pre}_id"), col(s"${pre}_v"), col("c_id"),
+          Vectors.cosine(col(s"${pre}_v"), col("c_v")).as("c_cos"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .select(col(s"${pre}_id"), col(s"${pre}_v"), col("c_id").as("cell"))
+    }
+    val cells = nearestCells(corpus, "n", 1)      // inverted file: 1 cell/vector
+    val probes = nearestCells(queries, "q", nprobe) // multi-probe
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(Vectors.cosine(col("q_v"), col("n_v")), 6).as("cos"))
+    // no dedup needed: each corpus vector lives in exactly one cell
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: both sides bucketed by `planes` random
     * hyperplanes; candidates = same-bucket pairs. Returns up to k
     * neighbors per query (fewer if the bucket is sparse — the recall/cost

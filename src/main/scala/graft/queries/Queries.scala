@@ -364,6 +364,16 @@ object Queries {
         .orderBy(col("doc_id")),
     s"""SELECT doc_id, len($TOKS) AS n_tokens FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** BPE-style pre-token counting (the merge units a BPE tokenizer sees). */
+  val qTokenBpe: Q = "q_token_bpe" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+    raw"""SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin)
+
   /** Language ID heuristic (stopword lexicons, deterministic CASE chain). */
   val qLangId: Q = "q_lang_id" -> (
     (s: SparkSession, d: String) =>
@@ -636,6 +646,38 @@ object Queries {
          |ORDER BY q_id, rank""".stripMargin
     })
 
+  /** IVF ANN: inverted-file cells from fixed seed centroids, nprobe=2. */
+  val qAnnIvf: Q = "q_ann_ivf" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+        centroidIds = (0L until 16L), nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    {
+      val centList = (0 until 16).mkString("(", ", ", ")")
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_v
+         |  FROM embeddings WHERE vec_id IN $centList),
+         |cell_n AS (SELECT n_id, n_v, c_id AS cell FROM (
+         |  SELECT e.vec_id AS n_id, e.embedding AS n_v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.c_v")} DESC, c.c_id) AS crank
+         |  FROM embeddings e CROSS JOIN cents c) WHERE crank = 1),
+         |probe_q AS (SELECT q_id, q_v, c_id AS cell FROM (
+         |  SELECT e.vec_id AS q_id, e.embedding AS q_v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.c_v")} DESC, c.c_id) AS crank
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE crank <= 2),
+         |scored AS (SELECT q_id, n_id, round(${cosSql("q_v", "n_v")}, 6) AS cos
+         |  FROM cell_n JOIN probe_q USING (cell) WHERE q_id <> n_id),
+         |ranked AS (SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    })
+
   /** Multimodal plumbing: binary column + stubbed decode (sha256-derived
     * fake features); the oracle checks the real parts (bytes, digest,
     * deterministic stub arithmetic). */
@@ -680,7 +722,7 @@ object Queries {
     qTopK, qWindowRunning, qMaxBy, qMinMax,
     qDedupExact, qFingerprint, qTokenCount, qLangId, qQuality,
     qMinhashLsh, qNgramJaccard, qSimhash, qEmbedNearDup,
-    qAnnBrute, qAnnLsh, qMultimodal,
-    qPayloadDecode, qLookback, qCorpusPipeline,
+    qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
+    qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
   )
 }
