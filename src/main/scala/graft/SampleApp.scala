@@ -25,3 +25,22 @@ object SampleApp {
     s.stop()
   }
 }
+// (rolling fingerprint + simhash banding demo appended for API drive)
+object SampleApp2 {
+  def main(args: Array[String]): Unit = {
+    val s = graft.core.GraftSession.local(4)
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    val docs = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+        transform(Text.tokens(col("text")), t => Text.hash64(t, 0)).as("th"))
+      .select(col("doc_id"), Text.rollingFingerprint(col("th")).as("rh"))
+      .collect().toList
+    println("ROLLING " + fp)
+    println("SIMBAND " + graft.ops.Dedup.simhashNearDup(
+      Seq((1L, "x y z w q r"), (2L, "x y z w q r s")).toDF("doc_id", "text"))
+      .collect().toList)
+    s.stop()
+  }
+}

@@ -42,6 +42,15 @@ object Text {
     * hash; the unit of exact dedup). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** Polynomial rolling-hash fingerprint over a materialized token-hash
+    * array (attribute — see the HOF performance contract):
+    * h = fold(h * B + tok_hash mod P). Order-sensitive (unlike a token
+    * set hash) and incrementally updatable — the classic streaming
+    * fingerprint. */
+  def rollingFingerprint(tokHashes: Column): Column =
+    aggregate(tokHashes, lit(0L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, lit(MH_P)))
+
   /** `n`-token shingles ("w1 w2 w3" strings) from a token-array column.
     * Empty array when the doc has fewer than n tokens.
     *

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.ops.{Dedup, Multimodal}
+
+/** Text/multimodal operator units not covered by the oracle queries. */
+class TextOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("rolling fingerprint is order-sensitive; set-identical docs differ") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
+    val out = docs
+      .select(col("id"),
+        transform(Text.tokens(col("text")), t => Text.hash64(t, 0)).as("th"))
+      .select(col("id"), Text.rollingFingerprint(col("th")).as("rh"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === out(2L), "identical docs hash equal")
+    assert(out(1L) !== out(3L), "reordered tokens hash differently")
+  }
+
+  test("simhash near-dup banding finds all pairs within hamming<=3") {
+    // docs sharing most tokens land within small hamming distance
+    val docs = Seq(
+      (1L, "spark query engine fast scalable distributed"),
+      (2L, "spark query engine fast scalable distributed extra"), // near-dup of 1
+      (3L, "completely different words entirely unrelated corpus text")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs).as[(Long, Long, Long)].collect()
+    val brute = docs.select(col("doc_id"), Text.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val expected = for {
+      (ia, sa) <- brute; (ib, sb) <- brute
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected.toSet,
+      "banded candidates must equal brute-force hamming<=3 pairs")
+  }
+
+  test("multimodal: frame sampling plan + partition-parallel extraction") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((0L, "image payload"), (2L, "video payload here")).toDF("doc_id", "text")
+        .withColumnRenamed("doc_id", "doc_id"))
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect().map(f => f.media_id -> f).toMap
+    assert(rows(0L).modality === "image" && rows(0L).n_frames === 1)
+    assert(rows(2L).modality === "video" && rows(2L).n_frames >= 1)
+    assert(rows(0L).feature.length === 8)
+    assert(rows(0L).sha256.length === 64)
+    val sampled = Multimodal.frameSamplePlan(feats.toDF(), stride = 4, maxFrames = 8)
+      .filter(col("media_id") === 2L)
+      .select(col("sampled_frames")).as[Seq[Int]].head()
+    assert(sampled.forall(_ % 4 == 0), "stride sampling")
+    assert(sampled.size <= 8, "frame cap")
+  }
+}
