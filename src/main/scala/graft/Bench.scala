@@ -19,12 +19,16 @@ object Bench {
     }
     // best-of-2: single-run numbers on this box vary ±2× with GC/page
     // cache; the min is the reproducible engine cost
+    spark.catalog.clearCache() // drop warmup-pass persisted data
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // queries that persist intermediates must not leak storage into the
+      // next query's measurement
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -132,20 +132,15 @@ object Dedup {
                    n: Int = 3): DataFrame = {
     // Shingle sets as SORTED 60-bit hash arrays (8-byte join keys;
     // collision odds ~2^-60, deterministic, mirrored in the oracle).
-    // Persisted: the signature table feeds candidate generation AND both
-    // sides of the verification join — without it the full scan→shingle→
-    // hash pipeline re-executes for every self-join branch (~4×). At
-    // data scale this is the "write signatures to a table first" step.
     val sh = docs
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col("blk"), col("id"),
-        sort_array(array_distinct(transform(
+        array_distinct(transform(
           Text.shinglesFromTokens(col("toks"), n),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("sh"))
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n_sh", size(col("sh")))
-      .persist()
     // Prefix filter (AllPairs/PPJoin): two sets with J ≥ tau must share
     // an element within the first |d| - ceil(tau*|d|) + 1 positions under
     // a shared total order. Order rarest-first — (document frequency,
@@ -158,10 +153,17 @@ object Dedup {
       explode(col("sh")).as("gh"))
     val dfreq = inst.groupBy(col("blk"), col("gh"))
       .agg(count(lit(1)).as("df"))
+    // ONE persisted intermediate, consumed by candidate generation (both
+    // self-join sides) and verification: everything downstream derives
+    // from `ordered`, so the scan→shingle→hash pipeline runs exactly
+    // once. At data scale this is the "write the signature table first"
+    // step. (Persisting more than one intermediate per call bloats
+    // executor storage across repeated invocations — no unpersist hook
+    // exists for a lazily returned DataFrame.)
     val ordered = inst.join(dfreq, Seq("blk", "gh"))
       .groupBy(col("blk"), col("id"), col("n_sh"))
       .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("ord"))
-      .persist() // feeds both sides of the candidate self-join
+      .persist()
     val pref = ordered.select(col("blk"), col("id"), col("n_sh"),
       explode(slice(col("ord"), lit(1),
         (col("n_sh") - ceil(lit(tau) * col("n_sh")).cast("int") + 1))).as("p"))
@@ -174,9 +176,14 @@ object Dedup {
           && col("x.n_sh") * lit(tau) <= col("y.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // verification sets recovered from `ordered` (element order is
+    // irrelevant to array_intersect), not from `sh` — keeps `sh` single-
+    // consumer and unpersisted
+    val sets = ordered.select(col("id"),
+      transform(col("ord"), p => p.getField("gh")).as("sh"), col("n_sh"))
     val withSets = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
     withSets
       .select(col("id_a"), col("id_b"),
