@@ -323,6 +323,46 @@ object Queries {
       |  FROM lineitem)
       |WHERE rn = 1 ORDER BY l_partkey""".stripMargin)
 
+  /** ROLLUP subtotals (beyond the reference surface — Spark/DuckDB
+    * native). NULL subtotal markers coalesced to a label so both engines
+    * sort/compare identically. */
+  val qRollup: Q = "q_rollup" -> (
+    (s: SparkSession, d: String) => {
+      val dims = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      Tables.customer(s, d)
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    """SELECT COALESCE(r_name, '(all)') AS r_name,
+      |  COALESCE(n_name, '(all)') AS n_name,
+      |  count(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name, n_name""".stripMargin)
+
+  /** Distinct aggregation (COUNT(DISTINCT ...) — two-phase exact). */
+  val qCountDistinct: Q = "q_count_distinct" -> (
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("k")).as("n_orders"))
+        .orderBy(col("event_type")),
+    s"""WITH $EV
+       |SELECT event_type, count(DISTINCT user_id) AS n_users,
+       |  count(DISTINCT k) AS n_orders
+       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   /** G5/G6 min/max per key. */
   val qMinMax: Q = "q_minmax" -> (
     (s: SparkSession, d: String) =>
@@ -719,7 +759,7 @@ object Queries {
     q1Agg, q3Join, q5Join,
     qDistinct, qExcept, qIntersect, qExceptAll,
     qCount, qThreshold,
-    qTopK, qWindowRunning, qMaxBy, qMinMax,
+    qTopK, qWindowRunning, qMaxBy, qMinMax, qRollup, qCountDistinct,
     qDedupExact, qFingerprint, qTokenCount, qLangId, qQuality,
     qMinhashLsh, qNgramJaccard, qSimhash, qEmbedNearDup,
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
