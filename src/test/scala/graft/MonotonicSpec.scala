@@ -99,3 +99,34 @@ class MonotonicSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+/** Streaming M2 (representativeStream) through MemoryStream. */
+class MonotonicStreamSpec extends SparkTestBase {
+  test("streaming M2 keeps first-seen representative; emits retraction when key empties") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.{Delta, Monotonic}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Delta[Int]]
+    val out = Monotonic.representativeStream[Int, Int](mem.toDS(), _ % 5)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("m2_stream").start()
+    try {
+      mem.addData(Delta(1, 1L), Delta(11, 1L)); q.processAllAvailable() // same key 1
+      mem.addData(Delta(11, -1L), Delta(1, -1L)); q.processAllAvailable() // drain key
+      val rows = spark.sql("SELECT record, mult FROM m2_stream")
+        .as[(Int, Long)].collect().toList
+      assert(rows.contains((1, 1L)), "first-seen rep emitted")
+      assert(rows.contains((1, -1L)), "rep retracted when key empties")
+      assert(!rows.exists(_._1 == 11), "non-representative never emitted")
+    } finally q.stop()
+  }
+
+  test("simhashGroups finds identical-signature duplicate groups") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "different content")).toDF("doc_id", "text")
+    val g = graft.ops.Dedup.simhashGroups(docs).as[(Long, Long, Long)].collect()
+    assert(g.toList === List((g.head._1, 1L, 2L)), "one group: keep doc 1, 2 members")
+  }
+}
