@@ -12,9 +12,16 @@ object Bench {
     // Steady-state timing: one untimed warmup pass at the smallest SF
     // triggers codegen compilation + JIT for every query plan, the way a
     // long-lived cluster's executors are warm. The timed pass then
-    // measures the engine, not HotSpot.
+    // measures the engine, not HotSpot. The warmup dir is the sibling
+    // sf0.001 of the configured SF dir (not a hardcoded path), falling
+    // back to the SF dir itself so the warmup always runs real queries.
+    val warmupDir = {
+      val f = new java.io.File(sfDir)
+      val sibling = new java.io.File(Option(f.getParentFile).getOrElse(f), "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try fn(spark, warmupDir).count()
       catch { case _: Throwable => () }
     }
     // best-of-2: single-run numbers on this box vary ±2× with GC/page

@@ -20,6 +20,22 @@ private[sink] object DeltaSql {
   def bind(ps: PreparedStatement, params: Seq[Any]): Unit =
     params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
 
+  def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
+  }
+
+  /** Identifier-case-robust existence probe. Unquoted identifiers fold
+    * differently per engine — upper (Derby/Oracle/H2), lower (Postgres),
+    * exact (SQLite/MSSQL) — so probe all three spellings; tested on Derby
+    * (upper-folding) with spot checks for the as-given spelling. */
+  def tableExists(c: Connection, name: String): Boolean = {
+    def probe(n: String): Boolean = {
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
+    probe(name) || probe(name.toUpperCase) || probe(name.toLowerCase)
+  }
+
   def nullSafeWhere(spec: TableSpec, values: Seq[Any]): (String, Seq[Any]) = {
     val (clauses, params) = spec.colNames.zip(values).map { case (n, v) =>
       if (v == null) (s"$n IS NULL", None) else (s"$n = ?", Some(v))
@@ -108,18 +124,23 @@ class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
     }
   }
 
-  private def exec(c: Connection, sql: String): Unit = {
-    val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
-  }
+  private def exec(c: Connection, sql: String): Unit = DeltaSql.exec(c, sql)
 
-  private def tableExists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
-  }
+  private def tableExists(c: Connection, name: String): Boolean =
+    DeltaSql.tableExists(c, name)
 
   /** Version-checked DDL bootstrap (reference K5). Returns true if the
     * table was (re)created — caller must replay from scratch. */
-  def bootstrap(): Boolean = withConn { c =>
+  def bootstrap(): Boolean = bootstrapImpl(protocolTables = true)
+
+  /** Union-member bootstrap: data table + index + version row only. The
+    * union's SHARED `${group}_offsets`/`${group}_batches` carry the
+    * protocol (reference db/mod.rs:237-258) — per-member offsets/batches
+    * tables would be dead weight the sink never reads, so they are not
+    * created (and leftovers from a standalone past are dropped). */
+  private[sink] def bootstrapMember(): Boolean = bootstrapImpl(protocolTables = false)
+
+  private def bootstrapImpl(protocolTables: Boolean): Boolean = withConn { c =>
     c.setAutoCommit(false)
     if (!tableExists(c, "schema_versions"))
       exec(c, "CREATE TABLE schema_versions (table_name VARCHAR(128) NOT NULL PRIMARY KEY, version INT NOT NULL)")
@@ -138,8 +159,10 @@ class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
       spec.columns.filter(_.index).foreach { col =>
         exec(c, s"CREATE INDEX idx_${spec.name}_${col.name} ON ${spec.name} (${col.name})")
       }
-      exec(c, s"CREATE TABLE ${spec.offsetsTable} (source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL)")
-      exec(c, s"CREATE TABLE ${spec.name}_batches (batch_id BIGINT NOT NULL)")
+      if (protocolTables) {
+        exec(c, s"CREATE TABLE ${spec.offsetsTable} (source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL)")
+        exec(c, s"CREATE TABLE ${spec.name}_batches (batch_id BIGINT NOT NULL)")
+      }
       if (cur.isDefined) {
         val ps = c.prepareStatement("UPDATE schema_versions SET version = ? WHERE table_name = ?")
         ps.setInt(1, spec.version); ps.setString(2, spec.name)
@@ -251,29 +274,31 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
     }
   }
 
-  private def exec(c: Connection, sql: String): Unit = {
-    val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
-  }
+  private def exec(c: Connection, sql: String): Unit = DeltaSql.exec(c, sql)
 
-  private def tableExists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
-  }
+  private def tableExists(c: Connection, name: String): Boolean =
+    DeltaSql.tableExists(c, name)
 
   def offsetsTable: String = s"${group}_offsets"
 
   /** Bootstrap every member table plus the shared offsets/batch tables.
     * True if any member was (re)created → full replay needed (the
     * reference replays the whole union on any member's version bump,
-    * db/mod.rs:46-53). */
+    * db/mod.rs:46-53). On rebuild the SHARED offset map and batch stamps
+    * are cleared too — the reference removes and repopulates the offset
+    * map with the table — otherwise stale offsets/batch ids would make
+    * the replay a silent no-op and leave the recreated member empty. */
   def bootstrap(): Boolean = {
-    val recreated = sinks.map(_.bootstrap()).exists(identity)
+    val recreated = sinks.map(_.bootstrapMember()).exists(identity)
     withConn { c =>
       c.setAutoCommit(false)
-      if (!tableExists(c, offsetsTable))
-        exec(c, s"CREATE TABLE $offsetsTable (source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL)")
-      if (!tableExists(c, s"${group}_batches"))
-        exec(c, s"CREATE TABLE ${group}_batches (batch_id BIGINT NOT NULL)")
+      for (t <- Seq(offsetsTable, s"${group}_batches")) {
+        if (!tableExists(c, t))
+          exec(c, s"CREATE TABLE $t " + (if (t == offsetsTable)
+            "(source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL)"
+          else "(batch_id BIGINT NOT NULL)"))
+        else if (recreated) exec(c, s"DELETE FROM $t")
+      }
       c.commit()
     }
     recreated

@@ -55,13 +55,17 @@ object Monotonic {
   }
 
   /** M2 `monotonic_representative_by` (reference flow.rs:330-361): per key,
-    * the first-seen record is the representative; later arrivals only bump
-    * a reference count; removing the representative while others remain
-    * panics in the reference → throws here.
+    * the first-seen record is the representative and is emitted once. The
+    * count tracks copies of the REPRESENTATIVE only (flow.rs:341-349);
+    * other records in the key — additions and retractions alike — are
+    * ignored without touching state (flow.rs:350-352). Dropping the rep
+    * count to zero panics in the reference (`assert(*mult != 0)`,
+    * flow.rs:344-348) → throws here; a once-emitted representative is
+    * never retracted.
     */
   def representativeUpdates[T](
       changes: Iterator[Delta[T]],
-      state: Option[(T, Long)] // (representative, net count of all records in key)
+      state: Option[(T, Long)] // (representative, count of rep copies only)
   ): (Option[(T, Long)], List[Delta[T]]) = {
     var cur = state
     val out = scala.collection.mutable.ListBuffer.empty[Delta[T]]
@@ -71,13 +75,13 @@ object Monotonic {
           if (m > 0) { cur = Some((v, m)); out += Delta(v, 1L) }
           else throw new IllegalStateException(
             s"monotonic_representative_by: removal from empty key state ($v)")
-        case Some((rep, n)) =>
-          if (m < 0 && v == rep && n + m > 0)
-            throw new IllegalStateException(
-              s"monotonic_representative_by: removal of representative $rep while key non-empty (reference flow.rs:343-348)")
+        case Some((rep, n)) if v == rep =>
           val n2 = n + m
-          if (n2 <= 0) { cur = None; out += Delta(rep, -1L) }
-          else cur = Some((rep, n2))
+          if (n2 <= 0)
+            throw new IllegalStateException(
+              s"monotonic_representative_by: cannot remove representative $rep from collection (reference flow.rs:343-348)")
+          cur = Some((rep, n2))
+        case Some(_) => () // non-representative record: ignored (flow.rs:350-352)
       }
     }
     (cur, out.toList)

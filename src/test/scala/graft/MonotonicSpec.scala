@@ -68,15 +68,22 @@ class MonotonicSpec extends SparkTestBase {
     }
   }
 
-  test("representative removal panics while key non-empty (flow.rs:343-348)") {
+  test("representative removal panics (flow.rs:343-348)") {
     intercept[IllegalStateException] {
       Monotonic.representativeUpdates[Int](
         Iterator(Delta(5, 1L), Delta(7, 1L), Delta(5, -1L)), None)
     }
-    // but removing the last record of a key retracts the representative
+    // removing even the LAST rep copy panics too — the reference asserts
+    // mult != 0; a representative, once emitted, is never retracted
+    intercept[IllegalStateException] {
+      Monotonic.representativeUpdates[Int](
+        Iterator(Delta(5, 1L), Delta(5, -1L)), None)
+    }
+    // non-representative retraction is ignored without state change
+    // (flow.rs:350-352: prev != data → no output, no mult update)
     val (st, out) = Monotonic.representativeUpdates[Int](
-      Iterator(Delta(5, 1L), Delta(5, -1L)), None)
-    assert(st === None && out === List(Delta(5, 1L), Delta(5, -1L)))
+      Iterator(Delta(5, 1L), Delta(7, 1L), Delta(7, -1L)), None)
+    assert(st === Some((5, 1L)) && out === List(Delta(5, 1L)))
   }
 
   test("streaming M1 over MemoryStream emits retraction+insertion per new max") {
@@ -102,7 +109,7 @@ class MonotonicSpec extends SparkTestBase {
 
 /** Streaming M2 (representativeStream) through MemoryStream. */
 class MonotonicStreamSpec extends SparkTestBase {
-  test("streaming M2 keeps first-seen representative; emits retraction when key empties") {
+  test("streaming M2 keeps first-seen representative; non-rep records are invisible") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     import graft.streaming.{Delta, Monotonic}
@@ -113,12 +120,11 @@ class MonotonicStreamSpec extends SparkTestBase {
       .queryName("m2_stream").start()
     try {
       mem.addData(Delta(1, 1L), Delta(11, 1L)); q.processAllAvailable() // same key 1
-      mem.addData(Delta(11, -1L), Delta(1, -1L)); q.processAllAvailable() // drain key
+      mem.addData(Delta(11, -1L), Delta(1, 1L)); q.processAllAvailable() // non-rep retract + rep copy
       val rows = spark.sql("SELECT record, mult FROM m2_stream")
         .as[(Int, Long)].collect().toList
-      assert(rows.contains((1, 1L)), "first-seen rep emitted")
-      assert(rows.contains((1, -1L)), "rep retracted when key empties")
-      assert(!rows.exists(_._1 == 11), "non-representative never emitted")
+      assert(rows === List((1, 1L)),
+        "first-seen rep emitted exactly once; 11's add/retract invisible")
     } finally q.stop()
   }
 

@@ -107,4 +107,23 @@ class SinkSpec extends SparkTestBase {
       "u_dash" -> Seq((Seq("m2", 2L), 1L)))))
     assert(new JdbcDeltaSink(url, t1).readRows().size === 1)
   }
+
+  test("Union version bump clears shared offsets/batches so replay re-applies") {
+    val url = "jdbc:derby:memory:unionv;create=true"
+    val a1 = TableSpec("uv_a", 1, Seq(ColumnSpec("a", "VARCHAR(32)")))
+    val b = TableSpec("uv_b", 1, Seq(ColumnSpec("b", "BIGINT")))
+    val u1 = new UnionDeltaSink(url, "g2", Seq(a1, b))
+    u1.bootstrap()
+    assert(u1.applyDeltas(Map("s" -> 7L), 0L, Map("uv_a" -> Seq((Seq("x"), 1L)))))
+    assert(u1.getOffsets() === Map("s" -> 7L))
+
+    val a2 = TableSpec("uv_a", 2, a1.columns) // member version bump
+    val u2 = new UnionDeltaSink(url, "g2", Seq(a2, b))
+    assert(u2.bootstrap(), "version bump → full replay required")
+    assert(u2.getOffsets().isEmpty, "stale shared offsets must be cleared")
+    // the replayed batch 0 must APPLY — with stale batch stamps it would
+    // be skipped as already-applied and uv_a would stay empty forever
+    assert(u2.applyDeltas(Map("s" -> 7L), 0L, Map("uv_a" -> Seq((Seq("x"), 1L)))))
+    assert(new JdbcDeltaSink(url, a2).readRows().size === 1)
+  }
 }
