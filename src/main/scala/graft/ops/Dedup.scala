@@ -79,7 +79,10 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    // shuffle_hash: both sides are the same exchange (ReusedExchange —
+    // the signature build runs once); broadcast would rebuild it for the
+    // build side and serialize it through the driver
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
@@ -130,62 +133,54 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, tau: Double, blockCol: String,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
-    // Shingle sets as SORTED 60-bit hash arrays (8-byte join keys;
-    // collision odds ~2^-60, deterministic, mirrored in the oracle).
-    val sh = docs
+    // Shingle sets as 60-bit hashes (8-byte join keys; collision odds
+    // ~2^-60, deterministic, mirrored in the oracle).
+    //
+    // Shape: inverted-index common-count. Explode the distinct string
+    // shingles FIRST, then hash in a flat projection — md5+conv on a
+    // column is whole-stage-codegen'd, while the same hash inside a
+    // `transform` array lambda is interpreted per element (~10× the
+    // query on its own). The self-join on (block, shingle-hash) yields
+    // one row per shared shingle per doc pair; a single aggregation
+    // counts |A ∩ B| and the Jaccard filter closes over the carried set
+    // sizes. Both join sides shuffle the SAME exchange (ReusedExchange
+    // in the plan) — the pipeline runs once.
+    //
+    // Cost model: the join emits Σ_shingle df² rows — linear-ish while
+    // per-block document frequencies stay bounded (max df 14 on the
+    // benchmark corpus). A corpus with stopword-dense shingles needs the
+    // AllPairs/PPJoin prefix-filter ordering instead (rarest-first
+    // prefixes + positional filter) — measured here, the prefix pass
+    // costs an extra df shuffle+join and still leaves ~half the pairs
+    // needing exact verification, so count-common wins until df² blows
+    // up. The J ≥ tau ⇒ tau ≤ |A|/|B| ≤ 1/tau length filter prunes
+    // instance pairs before the aggregation either way.
+    val base = docs
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col("blk"), col("id"),
-        array_distinct(transform(
-          Text.shinglesFromTokens(col("toks"), n),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("n_sh", size(col("sh")))
-    // Prefix filter (AllPairs/PPJoin): two sets with J ≥ tau must share
-    // an element within the first |d| - ceil(tau*|d|) + 1 positions under
-    // a shared total order. Order rarest-first — (document frequency,
-    // hash) ascending — so prefixes hold each doc's most discriminative
-    // shingles and the candidate join stays sparse even on corpora with
-    // dense common shingles. Plus the length filter: J ≥ tau forces
-    // tau ≤ |A|/|B| ≤ 1/tau. Exact verification via array_intersect runs
-    // only on surviving candidates.
-    val inst = sh.select(col("blk"), col("id"), col("n_sh"),
-      explode(col("sh")).as("gh"))
-    val dfreq = inst.groupBy(col("blk"), col("gh"))
-      .agg(count(lit(1)).as("df"))
-    // ONE persisted intermediate, consumed by candidate generation (both
-    // self-join sides) and verification: everything downstream derives
-    // from `ordered`, so the scan→shingle→hash pipeline runs exactly
-    // once. At data scale this is the "write the signature table first"
-    // step. (Persisting more than one intermediate per call bloats
-    // executor storage across repeated invocations — no unpersist hook
-    // exists for a lazily returned DataFrame.)
-    val ordered = inst.join(dfreq, Seq("blk", "gh"))
-      .groupBy(col("blk"), col("id"), col("n_sh"))
-      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("ord"))
-      .persist()
-    val pref = ordered.select(col("blk"), col("id"), col("n_sh"),
-      explode(slice(col("ord"), lit(1),
-        (col("n_sh") - ceil(lit(tau) * col("n_sh")).cast("int") + 1))).as("p"))
-      .select(col("blk"), col("id"), col("n_sh"), col("p.gh").as("gh"))
-    val candidates = pref.as("x")
-      .join(pref.as("y"),
+        array_distinct(Text.shinglesFromTokens(col("toks"), n)).as("gs"))
+      // no `filter(size > 0)` here: explode of an empty array already
+      // emits nothing, and a size() filter would be PUSHED DOWN below
+      // the projections — re-evaluating the whole interpreted shingle
+      // pipeline once more per row in the pushed Filter node
+      .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
+        explode(col("gs")).as("g"))
+      .select(col("blk"), col("id"), col("n_sh"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    // shuffle_hash, not broadcast: the two sides are the SAME exchange
+    // (ReusedExchange — the shingle pipeline runs once), while a
+    // broadcast would serialize the instance table through the driver
+    // AND recompute the pipeline for the build side
+    base.as("x")
+      .join(base.as("y").hint("shuffle_hash"),
         col("x.blk") === col("y.blk") && col("x.gh") === col("y.gh")
           && col("x.id") < col("y.id")
           && col("y.n_sh") * lit(tau) <= col("x.n_sh")
           && col("x.n_sh") * lit(tau) <= col("y.n_sh"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    // verification sets recovered from `ordered` (element order is
-    // irrelevant to array_intersect), not from `sh` — keeps `sh` single-
-    // consumer and unpersisted
-    val sets = ordered.select(col("id"),
-      transform(col("ord"), p => p.getField("gh")).as("sh"), col("n_sh"))
-    val withSets = candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-    withSets
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
       .select(col("id_a"), col("id_b"),
         (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
           .as("jaccard"))
