@@ -24,11 +24,12 @@ object Bench {
       try fn(spark, warmupDir).count()
       catch { case _: Throwable => () }
     }
-    // best-of-2: single-run numbers on this box vary ±2× with GC/page
-    // cache; the min is the reproducible engine cost
+    // best-of-3: single-run numbers on this box vary several-fold with
+    // GC, page cache, and host CPU steal (load spikes with nothing
+    // running locally); the min is the reproducible engine cost
     spark.catalog.clearCache() // drop warmup-pass persisted data
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

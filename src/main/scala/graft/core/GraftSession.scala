@@ -25,6 +25,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // InferFiltersFromConstraints turns every non-outer explode(expr)
+      // into a pushed-down `size(expr) > 0 AND isnotnull(expr)` BELOW
+      // the projection that computes expr — for the interpreted
+      // higher-order shingle pipelines that means re-evaluating the
+      // whole array expression 2 extra times per row (measured ~2× on
+      // the dedup queries). The inferred isnotnull join-key filters it
+      // also generates are covered by parquet stats and join semantics.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 32): SparkSession = {
