@@ -97,19 +97,37 @@ object Dedup {
     * band keys. */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("sh", Text.simhash(col(textCol)))
+    simhashSignatures(docs, idCol, textCol)
       .groupBy(col("sh"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
 
-  /** SimHash near-dup pairs within hamming distance ≤ 3 via 4-way band
-    * split (any pair at distance ≤3 agrees on ≥1 of 4 12-bit chunks). */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+  /** (id, sh) signatures with the token-hash array materialized in its
+    * own projection — `Text.simhash(textCol)` inline would re-tokenize
+    * and re-digest the document once per signature BIT (48×/row): the
+    * 48 majority-vote terms each reference the hash array, and only an
+    * ATTRIBUTE reference survives that fan-out for free
+    * (Text.simhashFromHashes performance contract). */
+  private def simhashSignatures(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        transform(array_distinct(Text.tokens(col(textCol))),
+          t => Text.hash64(t, 0)).as("th"))
+      .select(col("id"), Text.simhashFromHashes(col("th")).as("sh"))
+
+  /** SimHash near-dup pairs within hamming distance ≤ `maxHamming` via
+    * band split: any pair at distance ≤ k agrees on ≥1 of k+1 chunks
+    * (pigeonhole — exact, not probabilistic). Chunk count tracks the
+    * bound: fewer, wider chunks are more selective, so keep maxHamming
+    * as tight as the application allows — on a corpus with dense
+    * near-duplicate structure the candidate volume grows steeply with
+    * each extra allowed bit of distance. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 1,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chunks = 4
-    val chunkBits = 12
-    val sigs = docs.select(col(idCol).as("id"), Text.simhash(col(textCol)).as("sh"))
+    val chunks = maxHamming + 1
+    val chunkBits = 48 / chunks
+    val sigs = simhashSignatures(docs, idCol, textCol)
     val banded = sigs.select(col("id"), col("sh"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),
@@ -118,7 +136,8 @@ object Dedup {
       .select(col("id"), col("sh"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
     val l = banded.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk", "ck"))
+    // shuffle_hash: same-exchange self-join (see ngramJaccard note)
+    l.join(r.hint("shuffle_hash"), Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

@@ -743,6 +743,136 @@ object Queries {
       |    ELSE 1 END AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin)
 
+  /** SimHash near-dup pairs within hamming ≤ 1 via 2×24-bit banding —
+    * exact by pigeonhole (1 differing bit touches ≤ 1 of the 2 chunks),
+    * so the oracle can verify with a direct all-pairs hamming filter.
+    * The tight bound keeps banding selective on this corpus's dense
+    * near-duplicate structure (hamming ≤ 3 admits 100× the pairs). */
+  val qSimhashPairs: Q = "q_simhash_pairs" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.simhashNearDup(Tables.documents(s, d), maxHamming = 1)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id_a"), col("id_b")),
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(list_distinct($TOKS), tk ->
+       |      CAST('0x' || substr(md5('0' || tk), 1, 15) AS BIGINT)) AS th
+       |  FROM documents),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), i ->
+       |    CASE WHEN list_sum(list_transform(th, h ->
+       |        CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh
+       |  FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin)
+
+  /** Polynomial rolling-hash fingerprint (order-sensitive, incrementally
+    * updatable — the streaming fingerprint primitive). */
+  val qRollingFp: Q = "q_rolling_fp" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          transform(col("toks"), t => Text.hash64(t, 0)).as("th"))
+        .select(col("doc_id"), Text.rollingFingerprint(col("th")).as("rfp"))
+        .orderBy(col("doc_id")),
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform($TOKS, tk ->
+       |      CAST('0x' || substr(md5('0' || tk), 1, 15) AS BIGINT)) AS th
+       |  FROM documents)
+       |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+       |    (a, h) -> (a * 1000003 + h) % 2147483647) AS rfp
+       |FROM t ORDER BY doc_id""".stripMargin)
+
+  /** Left outer join — order counts per customer including zero (beyond
+    * the reference surface: it has only inner J1/J2; Spark native). */
+  val qJoinLeft: Q = "q_join_left" -> (
+    (s: SparkSession, d: String) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey")),
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+
+  /** Left-semi join — the reference composes this effect from
+    * negate/concat/distinct; Spark has it native (no payload columns from
+    * the right side, no duplicate inflation). */
+  val qJoinSemi: Q = "q_join_semi" -> (
+    (s: SparkSession, d: String) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** Left-anti join — customers with no orders (EXCEPT-style filtering
+    * without the reference's negate+concat+consolidate detour). */
+  val qJoinAnti: Q = "q_join_anti" -> (
+    (s: SparkSession, d: String) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey")),
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** Sliding-frame window: decimal-exact moving sum/avg of the last 3
+    * orders per customer (frame specs are beyond the reference surface). */
+  val qWindowFrame: Q = "q_window_frame" -> (
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(dec(col("o_totalprice"))).over(w).cast("double")
+            / count(lit(1)).over(w), 6).as("mavg3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    """SELECT o_custkey, o_orderkey, round(
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  /** CUBE over region × nation (all four grouping combinations). */
+  val qCube: Q = "q_cube" -> (
+    (s: SparkSession, d: String) => {
+      val dims = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      Tables.customer(s, d)
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    """SELECT COALESCE(r_name, '(all)') AS r_name,
+      |  COALESCE(n_name, '(all)') AS n_name,
+      |  count(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, n_name)
+      |ORDER BY r_name, n_name""".stripMargin)
+
   /** DuckDB mirror of Vectors.dot: identical left-to-right double fold. */
   private def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -759,9 +889,11 @@ object Queries {
     q1Agg, q3Join, q5Join,
     qDistinct, qExcept, qIntersect, qExceptAll,
     qCount, qThreshold,
-    qTopK, qWindowRunning, qMaxBy, qMinMax, qRollup, qCountDistinct,
-    qDedupExact, qFingerprint, qTokenCount, qLangId, qQuality,
-    qMinhashLsh, qNgramJaccard, qSimhash, qEmbedNearDup,
+    qJoinLeft, qJoinSemi, qJoinAnti,
+    qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
+    qCountDistinct,
+    qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,
+    qMinhashLsh, qNgramJaccard, qSimhash, qSimhashPairs, qEmbedNearDup,
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
   )

@@ -27,7 +27,8 @@ class TextOpsSpec extends SparkTestBase {
       (1L, "spark query engine fast scalable distributed"),
       (2L, "spark query engine fast scalable distributed extra"), // near-dup of 1
       (3L, "completely different words entirely unrelated corpus text")).toDF("doc_id", "text")
-    val pairs = Dedup.simhashNearDup(docs).as[(Long, Long, Long)].collect()
+    val pairs = Dedup.simhashNearDup(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
     val brute = docs.select(col("doc_id"), Text.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect()
     val expected = for {
