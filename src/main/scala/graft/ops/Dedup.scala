@@ -39,8 +39,10 @@ object Dedup {
     // Text.shinglesFromTokens performance contract)
     val ex = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      // no array_distinct: min() is duplicate-insensitive, so the
+      // per-row O(n²) string-equality dedup pass buys nothing here
       .select(col("id"),
-        explode(array_distinct(Text.shinglesFromTokens(col("toks"), shingleLen))).as("g"))
+        explode(Text.shinglesFromTokens(col("toks"), shingleLen)).as("g"))
       .select(col("id"),
         conv(substring(md5(col("g")), 1, 7), 16, 10).cast("long").as("h"))
     val minima = coeffs.zipWithIndex.map { case ((a, b), i) =>

@@ -873,6 +873,36 @@ object Queries {
       |GROUP BY CUBE (r_name, n_name)
       |ORDER BY r_name, n_name""".stripMargin)
 
+  /** Exact percentiles per group (linear interpolation — Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). Exact sort-based
+    * percentile is the verification primitive; the 100 TB path is
+    * `approx_percentile` (KLL-ish sketch, one pass, mergeable) —
+    * see q_approx_distinct for the sketch-family entry. */
+  val qPercentile: Q = "q_percentile" -> (
+    (s: SparkSession, d: String) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"))
+        .orderBy(col("o_custkey")),
+    """SELECT o_custkey,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+
+  /** HLL++ approximate distinct — the 100 TB path for q_count_distinct
+    * (fixed-size mergeable sketch per group vs exact two-phase shuffle).
+    * No DuckDB oracle: the engines' sketches differ by construction, so
+    * the driver records the weaker rows-only check; the exact-vs-approx
+    * relative-error contract is asserted in `TextOpsSpec`. */
+  val qApproxDistinct: Q = "q_approx_distinct" -> (
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        .orderBy(col("event_type")),
+    null) // sentinel: filtered out of oracleSql (approx ≠ SQL-mirrorable)
+
   /** DuckDB mirror of Vectors.dot: identical left-to-right double fold. */
   private def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -891,7 +921,7 @@ object Queries {
     qCount, qThreshold,
     qJoinLeft, qJoinSemi, qJoinAnti,
     qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
-    qCountDistinct,
+    qCountDistinct, qPercentile, qApproxDistinct,
     qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,
     qMinhashLsh, qNgramJaccard, qSimhash, qSimhashPairs, qEmbedNearDup,
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,

@@ -39,4 +39,46 @@ class WatermarkSpec extends SparkTestBase {
         s"late straggler must not bump the closed window (got $counts)")
     } finally q.stop()
   }
+
+  test("session windows merge events within the gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600L * 1000 + min * 60000L)
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("k"), col("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("sw_test").start()
+    try {
+      // 0,3,6 chain into one session (gaps < 5m); 20 starts a new one
+      mem.addData((ts(0), "a"), (ts(3), "a"), (ts(6), "a"), (ts(20), "a"))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT s, n FROM sw_test WHERE k = 'a'")
+        .as[(Timestamp, Long)].collect().toMap
+      assert(sessions === Map(ts(0) -> 3L, ts(20) -> 1L),
+        s"expected two sessions (got $sessions)")
+    } finally q.stop()
+  }
+
+  test("approx_count_distinct stays within the configured relative error") {
+    import spark.implicits._
+    val df = spark.range(50000)
+      .select((col("id") % 50).as("g"), (col("id") % 1337).as("v"))
+    val got = df.groupBy(col("g"))
+      .agg(approx_count_distinct(col("v"), 0.02).as("approx"))
+      .as[(Long, Long)].collect()
+    // every group sees all 1337 distinct values (50000/50 = 1000 rows per
+    // group... 1000 rows cover v = g%1337 stride — compute exact per group)
+    val exact = df.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    got.foreach { case (g, approx) =>
+      val e = exact(g)
+      assert(math.abs(approx - e) <= math.max(3L, (e * 0.1).toLong),
+        s"group $g: approx $approx vs exact $e outside 10%")
+    }
+  }
 }
