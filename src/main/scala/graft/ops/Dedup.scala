@@ -40,9 +40,14 @@ object Dedup {
     val ex = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       // no array_distinct: min() is duplicate-insensitive, so the
-      // per-row O(n²) string-equality dedup pass buys nothing here
+      // per-row O(n²) string-equality dedup pass buys nothing here.
+      // explode_OUTER: plain explode triggers InferFiltersFromGenerate,
+      // which duplicates the whole interpreted shingle expression into a
+      // `size(...) > 0` scan filter (one extra evaluation per row); the
+      // null row an outer explode emits for shingle-less docs yields a
+      // null hash that every downstream min() ignores
       .select(col("id"),
-        explode(Text.shinglesFromTokens(col("toks"), shingleLen)).as("g"))
+        explode_outer(Text.shinglesFromTokens(col("toks"), shingleLen)).as("g"))
       .select(col("id"),
         conv(substring(md5(col("g")), 1, 7), 16, 10).cast("long").as("h"))
     val minima = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -181,12 +186,15 @@ object Dedup {
         Text.tokens(col(textCol)).as("toks"))
       .select(col("blk"), col("id"),
         array_distinct(Text.shinglesFromTokens(col("toks"), n)).as("gs"))
-      // no `filter(size > 0)` here: explode of an empty array already
-      // emits nothing, and a size() filter would be PUSHED DOWN below
-      // the projections — re-evaluating the whole interpreted shingle
-      // pipeline once more per row in the pushed Filter node
+      // explode_OUTER, and no `filter(size > 0)`: a non-outer explode
+      // triggers InferFiltersFromGenerate, which duplicates the whole
+      // interpreted shingle expression into a `size(...) > 0` scan
+      // filter (one extra evaluation per row), and an explicit size()
+      // filter gets pushed below the projection with the same effect.
+      // The null row an outer explode emits for shingle-less docs
+      // hashes to a null join key, which the inner equi-join drops.
       .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
-        explode(col("gs")).as("g"))
+        explode_outer(col("gs")).as("g"))
       .select(col("blk"), col("id"), col("n_sh"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
     // shuffle_hash, not broadcast: the two sides are the SAME exchange

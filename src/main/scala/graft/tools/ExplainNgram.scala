@@ -6,8 +6,9 @@ object ExplainNgram {
       SparkSession.builder().master("local[32]"), shufflePartitions = 32
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries("q_ngram_jaccard")(spark, "/root/testdata/sf0.1")
-    df.explain("formatted")
+    val df = graft.SparkEntry.queries("q_ngram_jaccard")(spark, "/root/testdata/sf0.01")
+    df.count()
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }
