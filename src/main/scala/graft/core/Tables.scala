@@ -26,6 +26,21 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Scan with a parallelism floor for CPU-heavy downstream pipelines.
+    * A parquet scan parallelizes at ROW-GROUP granularity; a small or
+    * coarsely-written file yields one task, serializing all per-row
+    * compute (tokenization, shingling, hashing) on one core. When the
+    * scan under-splits relative to the session, redistribute once —
+    * the rows crossing the wire are the raw scan output, far smaller
+    * than the work they unlock. At production scale the scan yields
+    * thousands of splits and this is a no-op. */
+  private def readParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = read(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
@@ -33,8 +48,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = readParallel(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = readParallel(s, d, "embeddings")
 
   /** Raw events scan (ts left as the stored ns Long). */
   def read_events_raw(s: SparkSession, d: String): DataFrame =

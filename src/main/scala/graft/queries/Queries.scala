@@ -497,13 +497,16 @@ object Queries {
   val qCorpusPipeline: Q = "q_corpus_pipeline" -> (
     (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
-      // stage 1: exact dedup (keep lowest doc_id per fingerprint)
+      // stage 1: exact dedup (keep lowest doc_id per fingerprint).
+      // Persisted: three consumers (both LSH self-join sides + the
+      // anti-join left) would otherwise re-run the scan+window chain.
       val kept = docs
         .withColumn("fp", Text.fingerprint(col("text")))
         .withColumn("keep_id", min(col("doc_id"))
           .over(Window.partitionBy(col("fp"))))
         .filter(col("doc_id") === col("keep_id"))
         .drop("fp", "keep_id")
+        .persist()
       // stage 2: near-dup removal — drop id_b of every LSH pair
       val nearDupIds = Dedup.minhashLsh(kept, tau = MH_TAU,
         shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
