@@ -25,38 +25,26 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signatures via explode + k codegen'd `min`
-    * aggregates. Spark's higher-order array lambdas are interpreted (not
-    * codegen'd), so the array-of-lambdas formulation is ~100× slower —
-    * this shape keeps the whole signature build inside whole-stage
-    * codegen with map-side partial mins: one md5 per distinct shingle,
-    * one shuffle of (id, 28-bit hash) pairs. */
+  /** Per-doc MinHash signatures in ONE codegen'd pass per row
+    * ([[graft.functions.expr.MinHashSignature]]): shingle bytes → md5
+    * prefix → k affine permutations with k running minima in registers.
+    * The signature leaves the scan stage as a finished array — no
+    * shingle explode, no shuffle, no re-aggregation (the previous
+    * explode + k×min-aggregate shape shuffled one row per (doc,
+    * shingle); the original array-lambda shape was ~100× slower still —
+    * Spark HOFs are interpreted). Docs with fewer than `shingleLen`
+    * tokens carry a NULL signature; downstream band joins drop the null
+    * key naturally (an isNotNull filter here would be alias-substituted
+    * below the projection and run the signature twice). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val coeffs = Text.minhashCoeffs(k)
-    // tokens materialized in their own projection: referencing them from
-    // shingle construction must not re-run tokenization (see
-    // Text.shinglesFromTokens performance contract)
-    val ex = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      // no array_distinct: min() is duplicate-insensitive, so the
-      // per-row O(n²) string-equality dedup pass buys nothing here.
-      // explode_OUTER: plain explode triggers InferFiltersFromGenerate,
-      // which duplicates the whole interpreted shingle expression into a
-      // `size(...) > 0` scan filter (one extra evaluation per row); the
-      // null row an outer explode emits for shingle-less docs yields a
-      // null hash that every downstream min() ignores
-      .select(col("id"),
-        explode_outer(Text.shinglesFromTokens(col("toks"), shingleLen)).as("g"))
-      .select(col("id"),
-        conv(substring(md5(col("g")), 1, 7), 16, 10).cast("long").as("h"))
-    val minima = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(Text.MH_P))).as(s"m$i")
-    }
-    ex.groupBy(col("id"))
-      .agg(minima.head, minima.tail: _*)
-      .select(col("id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    toks.select(col("id"),
+      ColumnBridge.column(graft.functions.expr.MinHashSignature(
+        ColumnBridge.expr(col("toks")), shingleLen,
+        coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)).as("sig"))
   }
 
   /** Doc → (band_idx, band_hash) candidate keys for MinHash-LSH.
