@@ -97,19 +97,20 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
 
-  /** (id, sh) signatures with the token-hash array materialized in its
-    * own projection — `Text.simhash(textCol)` inline would re-tokenize
-    * and re-digest the document once per signature BIT (48×/row): the
-    * 48 majority-vote terms each reference the hash array, and only an
-    * ATTRIBUTE reference survives that fan-out for free
-    * (Text.simhashFromHashes performance contract). */
+  /** (id, sh) signatures via the one-pass codegen'd
+    * [[graft.functions.expr.SimHash48]] expression (distinct tokens →
+    * md5 hash → 48 bit votes, all in one row-local loop). The column-
+    * expression formulation it replaces needed the token-hash array
+    * materialized as an attribute — and still paid 48 interpreted
+    * `aggregate` folds per row, one per signature bit. */
   private def simhashSignatures(docs: DataFrame, idCol: String,
-                                textCol: String): DataFrame =
+                                textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     docs
-      .select(col(idCol).as("id"),
-        transform(array_distinct(Text.tokens(col(textCol))),
-          t => Text.hash64(t, 0)).as("th"))
-      .select(col("id"), Text.simhashFromHashes(col("th")).as("sh"))
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), ColumnBridge.column(graft.functions.expr.SimHash48(
+        ColumnBridge.expr(col("toks")))).as("sh"))
+  }
 
   /** SimHash near-dup pairs within hamming distance ≤ `maxHamming` via
     * band split: any pair at distance ≤ k agrees on ≥1 of k+1 chunks
@@ -150,15 +151,15 @@ object Dedup {
     // Shingle sets as 60-bit hashes (8-byte join keys; collision odds
     // ~2^-60, deterministic, mirrored in the oracle).
     //
-    // Shape: inverted-index common-count. Explode the distinct string
-    // shingles FIRST, then hash in a flat projection — md5+conv on a
-    // column is whole-stage-codegen'd, while the same hash inside a
-    // `transform` array lambda is interpreted per element (~10× the
-    // query on its own). The self-join on (block, shingle-hash) yields
-    // one row per shared shingle per doc pair; a single aggregation
-    // counts |A ∩ B| and the Jaccard filter closes over the carried set
-    // sizes. Both join sides shuffle the SAME exchange (ReusedExchange
-    // in the plan) — the pipeline runs once.
+    // Shape: inverted-index common-count. The distinct shingle-hash SET
+    // per doc comes from the one-pass codegen'd [[ShingleHashes]]
+    // expression (the zip_with + array_distinct + per-shingle-md5
+    // pipeline it replaces ran through the interpreter and was
+    // re-duplicated by filter-inference rules). The self-join on
+    // (block, shingle-hash) yields one row per shared shingle per doc
+    // pair; a single aggregation counts |A ∩ B| and the Jaccard filter
+    // closes over the carried set sizes. Both join sides shuffle the
+    // SAME exchange — the pipeline runs once.
     //
     // Cost model: the join emits Σ_shingle df² rows — linear-ish while
     // per-block document frequencies stay bounded (max df 14 on the
@@ -169,22 +170,22 @@ object Dedup {
     // needing exact verification, so count-common wins until df² blows
     // up. The J ≥ tau ⇒ tau ≤ |A|/|B| ≤ 1/tau length filter prunes
     // instance pairs before the aggregation either way.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val base = docs
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col("blk"), col("id"),
-        array_distinct(Text.shinglesFromTokens(col("toks"), n)).as("gs"))
+        ColumnBridge.column(graft.functions.expr.ShingleHashes(
+          ColumnBridge.expr(col("toks")), n, 15)).as("gs"))
       // explode_OUTER, and no `filter(size > 0)`: a non-outer explode
-      // triggers InferFiltersFromGenerate, which duplicates the whole
-      // interpreted shingle expression into a `size(...) > 0` scan
-      // filter (one extra evaluation per row), and an explicit size()
-      // filter gets pushed below the projection with the same effect.
-      // The null row an outer explode emits for shingle-less docs
-      // hashes to a null join key, which the inner equi-join drops.
+      // triggers InferFiltersFromGenerate, which duplicates the shingle
+      // expression into a `size(...) > 0` scan filter (one extra
+      // evaluation per row), and an explicit size() filter gets pushed
+      // below the projection with the same effect. The null row an
+      // outer explode emits for shingle-less docs is a null join key,
+      // which the inner equi-join drops.
       .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
-        explode_outer(col("gs")).as("g"))
-      .select(col("blk"), col("id"), col("n_sh"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        explode_outer(col("gs")).as("gh"))
     // shuffle_hash, not broadcast: the two sides are the SAME exchange
     // (ReusedExchange — the shingle pipeline runs once), while a
     // broadcast would serialize the instance table through the driver
