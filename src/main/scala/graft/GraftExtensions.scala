@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expr.VectorDot
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.expr.{ShingleHashes, SimHash48, VectorDot}
 
 /** Catalyst integration point: `spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) registers the engine's
@@ -25,6 +26,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"vector_dot takes 2 arguments, got ${children.length}")
         VectorDot(children.head, children(1))
+      }))
+
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+    // simhash48(tokens array<string>) -> 48-bit signature
+    ext.injectFunction((
+      new FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash48 takes 1 argument, got ${children.length}")
+        SimHash48(children.head)
+      }))
+
+    // shingle_hashes(tokens array<string>, n, hexLen) -> distinct hash set
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"shingle_hashes takes 3 arguments (tokens, n, hexLen), got ${children.length}")
+        ShingleHashes(children.head,
+          intLit(children(1), "n"), intLit(children(2), "hexLen"))
       }))
   }
 }

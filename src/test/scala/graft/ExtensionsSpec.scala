@@ -26,6 +26,15 @@ class ExtensionsSpec extends SparkTestBase {
         "SELECT vector_dot(array(cast(1.5 as float)), array(cast(2.0 as float))) AS d")
         .collect().head.getDouble(0)
       assert(rf === 3.0)
+      // the one-pass text kernels: parity with the column formulations
+      val sh = s.sql(
+        "SELECT simhash48(array('a','b','a')) = simhash48(array('b','a')) AS eq")
+        .collect().head.getBoolean(0)
+      assert(sh, "simhash48 is distinct-token based")
+      val shingles = s.sql(
+        "SELECT size(shingle_hashes(array('a','b','c','a','b','c'), 3, 15)) AS n")
+        .collect().head.getInt(0)
+      assert(shingles === 3, "4 shingle positions, 3 distinct ('a b c' repeats)")
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
