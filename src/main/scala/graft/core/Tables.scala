@@ -46,6 +46,11 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  // relational tables stay plain scans: their per-row compute is a few
+  // arithmetic ops, so a redistribution exchange costs more than the
+  // single-split scan it would parallelize (measured 2x slower on q1/q5);
+  // the parallelism floor pays off only where per-row work dominates
+  // (tokenization/hashing over documents/embeddings)
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = readParallel(s, d, "documents")
