@@ -66,6 +66,24 @@ final case class Flow[T](ds: Dataset[T]) {
   /** INTERSECT (absent from the reference surface, composable from
     * threshold — SURVEY §2.5; native here). */
   def intersect(other: Flow[T]): Flow[T] = Flow(ds.intersect(other.ds))
+
+  /** P2/P4/P7 `filter_mut`/`map_mut`/`flat_map_mut` escape hatch: an
+    * arbitrary cross-record stateful closure over the ENTIRE flow in one
+    * partition — the reference's execution model made explicit (its
+    * worker is single-threaded by construction, machine.rs:136; an
+    * unkeyed mutable closure is inherently sequential). `order` pins the
+    * traversal order the closure observes (the reference gets lamport
+    * order from its sorted arrangements). O(data) on ONE core — prefer
+    * the keyed equivalents (`GroupedFlow.reduceSorted`,
+    * `flatMapGroupsWithState`) wherever a key exists. */
+  def statefulSequential[U: Encoder](order: Ordering[T])(
+      f: Iterator[T] => Iterator[U])(implicit te: Encoder[T]): Flow[U] = {
+    implicit val ord: Ordering[T] = order
+    Flow(ds.coalesce(1).mapPartitions { it =>
+      val buf = it.to(scala.collection.mutable.ArrayBuffer)
+      f(buf.sortInPlace().iterator)
+    })
+  }
 }
 
 object Flow {

@@ -74,4 +74,21 @@ class FlowSpec extends SparkTestBase {
     val multi = a.join(b)((k, l, r) => Seq((k, l._2), (k, r._2))).ds.count()
     assert(multi === 4)
   }
+
+  test("P2/P4 statefulSequential: cross-record mutable state in pinned order") {
+    import spark.implicits._
+    // running maximum with retraction-style dedup: needs cross-record
+    // state with NO key — the reference's filter_mut shape
+    val f = flowOf(3, 1, 4, 1, 5, 2)
+    val out = f.statefulSequential(Ordering[Int]) { it =>
+      var best = Int.MinValue
+      it.flatMap { x => if (x > best) { best = x; Some(x) } else None }
+    }.ds.collect().toSeq
+    assert(out === Seq(1, 2, 3, 4, 5), "ascending-order traversal emits each new max")
+    val desc = f.statefulSequential(Ordering[Int].reverse) { it =>
+      var best = Int.MinValue
+      it.flatMap { x => if (x > best) { best = x; Some(x) } else None }
+    }.ds.collect().toSeq
+    assert(desc === Seq(5), "descending-order traversal emits only the global max")
+  }
 }
