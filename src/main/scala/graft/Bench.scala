@@ -24,21 +24,28 @@ object Bench {
       try fn(spark, warmupDir).count()
       catch { case _: Throwable => () }
     }
-    // best-of-3: single-run numbers on this box vary several-fold with
-    // GC, page cache, and host CPU steal (load spikes with nothing
-    // running locally); the min is the reproducible engine cost
+    // best-of-3, INTERLEAVED passes: single-run numbers on this box vary
+    // several-fold with GC, page cache, and host CPU steal (load spikes
+    // with nothing running locally). Consecutive repeats of one query
+    // all land inside the same spike; sweeping all queries per pass puts
+    // a transient spike on different queries each pass, so the per-query
+    // min across passes is the reproducible engine cost.
     spark.catalog.clearCache() // drop warmup-pass persisted data
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // queries that persist intermediates must not leak storage into
+        // the next query's measurement
+        spark.catalog.clearCache()
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
       }
-      // queries that persist intermediates must not leak storage into the
-      // next query's measurement
-      spark.catalog.clearCache()
-      name -> times.min
     }
+    val results = names.map(n => n -> best(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
