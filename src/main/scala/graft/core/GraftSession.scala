@@ -18,7 +18,8 @@ object GraftSession {
 
   /** Apply engine defaults onto an existing builder. */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.withExtensions(new graft.GraftExtensions) // native kernels + AS-OF strategy
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -876,6 +876,31 @@ object Queries {
       |GROUP BY CUBE (r_name, n_name)
       |ORDER BY r_name, n_name""".stripMargin)
 
+  /** AS-OF temporal join via the custom operator (logical node →
+    * planner strategy → sort-merge exec, graft.plans.AsOfJoin): each
+    * purchase matched with the user's latest view at or before it.
+    * Oracle: DuckDB's native ASOF JOIN. The output carries only the
+    * matched TIME (not arbitrary right columns), so equal-time tie-breaks
+    * cannot differ between engines. */
+  val qAsOf: Q = "q_asof" -> (
+    (s: SparkSession, d: String) => {
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val v = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      graft.ops.AsOf.join(p, v, Seq(p("user_id")), Seq(v("v_user")),
+          p("ts_us"), v("v_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("v_ts").as("last_view_us"))
+        .orderBy(col("event_id"))
+    },
+    s"""WITH $EV,
+       |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id AS v_user, ts_us AS v_ts FROM ev WHERE event_type = 'view')
+       |SELECT p.event_id, p.user_id, p.ts_us, v.v_ts AS last_view_us
+       |FROM p ASOF JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts_us
+       |ORDER BY p.event_id""".stripMargin)
+
   /** Exact percentiles per group (linear interpolation — Spark
     * `percentile` ≡ DuckDB `quantile_cont`). Exact sort-based
     * percentile is the verification primitive; the 100 TB path is
@@ -922,7 +947,7 @@ object Queries {
     q1Agg, q3Join, q5Join,
     qDistinct, qExcept, qIntersect, qExceptAll,
     qCount, qThreshold,
-    qJoinLeft, qJoinSemi, qJoinAnti,
+    qJoinLeft, qJoinSemi, qJoinAnti, qAsOf,
     qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
     qCountDistinct, qPercentile, qApproxDistinct,
     qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,

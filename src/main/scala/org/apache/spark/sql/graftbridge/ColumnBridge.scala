@@ -12,3 +12,16 @@ object ColumnBridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** Dataset ⇄ LogicalPlan bridge for custom operators: `Dataset.ofRows`
+  * is `private[sql]`, so constructing a DataFrame over a custom logical
+  * node (e.g. graft.plans.AsOfJoin) goes through this shim. */
+object DatasetBridge {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
