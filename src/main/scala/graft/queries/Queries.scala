@@ -901,6 +901,40 @@ object Queries {
        |FROM p ASOF JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts_us
        |ORDER BY p.event_id""".stripMargin)
 
+  /** Interval (range) join via bucketing: purchases attributed to the
+    * 3-day window after each signup of the same user. The bucketed
+    * equi-join shape (ops.RangeJoin) replaces the nested-loop plan a
+    * raw BETWEEN join would get; the oracle is the plain non-equi join. */
+  val qRangeJoin: Q = "q_range_join" -> (
+    (s: SparkSession, d: String) => {
+      val win = 3L * 86400L * 1000000L // 3 days in µs
+      val sg = Tables.events(s, d).filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts_us").as("signup_us"))
+        .withColumn("end_us", col("signup_us") + lit(win))
+      val pu = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts_us").as("purchase_us"))
+      graft.ops.RangeJoin.bucketedInterval(
+          points = pu, intervals = sg,
+          pointKeys = Seq("p_user"), intervalKeys = Seq("user_id"),
+          pointTime = pu("purchase_us"), start = sg("signup_us"), end = sg("end_us"),
+          bucketWidth = win)
+        .select(col("signup_id"), col("user_id"), col("purchase_id"),
+          col("purchase_us"), (col("purchase_us") - col("signup_us")).as("lag_us"))
+        .orderBy(col("signup_id"), col("purchase_id"))
+    },
+    s"""WITH $EV,
+       |sg AS (SELECT event_id AS signup_id, user_id, ts_us AS signup_us
+       |  FROM ev WHERE event_type = 'signup'),
+       |pu AS (SELECT event_id AS purchase_id, user_id AS p_user, ts_us AS purchase_us
+       |  FROM ev WHERE event_type = 'purchase')
+       |SELECT signup_id, user_id, purchase_id, purchase_us,
+       |  purchase_us - signup_us AS lag_us
+       |FROM sg JOIN pu ON p_user = user_id
+       |  AND purchase_us BETWEEN signup_us AND signup_us + CAST(259200000000 AS BIGINT)
+       |ORDER BY signup_id, purchase_id""".stripMargin)
+
   /** Exact percentiles per group (linear interpolation — Spark
     * `percentile` ≡ DuckDB `quantile_cont`). Exact sort-based
     * percentile is the verification primitive; the 100 TB path is
@@ -947,7 +981,7 @@ object Queries {
     q1Agg, q3Join, q5Join,
     qDistinct, qExcept, qIntersect, qExceptAll,
     qCount, qThreshold,
-    qJoinLeft, qJoinSemi, qJoinAnti, qAsOf,
+    qJoinLeft, qJoinSemi, qJoinAnti, qAsOf, qRangeJoin,
     qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
     qCountDistinct, qPercentile, qApproxDistinct,
     qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,
