@@ -66,9 +66,14 @@ object Queries {
   /** Interval matching (reference machine-usage/logic.rs:15-57): pair each
     * 'view' (started) with the next 'click' (stopped) on the same
     * (user, k) in event order — LEAD over the keyed, ordered stream.
-    * (The reference's sequential matcher coincides with LEAD pairing on
-    * alternating sequences; the exact sequential semantics are covered by
-    * the typed reduceSorted operator + unit tests.) */
+    * LEAD pairing is EQUIVALENT to the reference's sequential matcher on
+    * every filtered sequence, not just alternating ones: the matcher
+    * pairs (v, c) iff c immediately follows v in the view/click
+    * subsequence — an intervening view overwrites the open start
+    * (logic.rs:34-43) and an intervening click consumes it
+    * (logic.rs:45-49), which is exactly "immediately follows". The typed
+    * sequential operator (reduceSorted) pins the same semantics in
+    * `SessionizeSpec`. */
   val qUsage: Q = "q_usage" -> (
     (s: SparkSession, d: String) => {
       val ev = Tables.events(s, d)
