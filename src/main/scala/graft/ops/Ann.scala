@@ -74,6 +74,52 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** Lloyd's k-means refinement for the IVF centroids, DataFrame-native:
+    * each iteration is one broadcast of the k current centroids, one
+    * codegen'd nearest-centroid assignment pass over the corpus (no
+    * corpus shuffle), and one k-group aggregation of element-wise sums —
+    * the classic "train the coarse quantizer" pass before building the
+    * inverted file. Deterministic: seeded from `seedIds` corpus vectors,
+    * ties broken by centroid id; empty cells keep their previous
+    * centroid. Returns (cell id, centroid array<double>).
+    *
+    * At 100 TB: iterations scan the corpus `iters` times but never
+    * shuffle it — only k×dim partial sums cross the wire per partition;
+    * train on a sample if even that is too much. */
+  def kmeansCentroids(corpus: DataFrame, seedIds: Seq[Long], iters: Int,
+                      dim: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents: DataFrame = corpus
+      .filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).cast("long").as("c_id"),
+        transform(col(vecCol), x => x.cast("double")).as("c_v"))
+    (1 to iters).foreach { _ =>
+      val assigned = corpus
+        .select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+        .join(broadcast(cents))
+        .select(col("n_id"), col("n_v"), col("c_id"),
+          Vectors.cosine(col("n_v"), col("c_v")).as("c_cos"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("n_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
+        .filter(col("crank") === 1)
+      // element-wise mean per cell: k×dim aggregate, decimal-free (the
+      // mean is a model parameter, not an oracle-compared value)
+      val sums = assigned.groupBy(col("c_id")).agg(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          sum(col("n_v").getItem(i).cast("double"))): _*).as("s"))
+      val updated = sums.select(col("c_id"),
+        zip_with(col("s"), array_repeat(col("n").cast("double"), dim),
+          (si, ni) => si / ni).as("c_v"))
+      // empty cells (no assigned vectors) keep their previous centroid
+      val carried = cents.join(updated.select(col("c_id")), Seq("c_id"), "left_anti")
+      cents = updated.union(carried).persist()
+      cents.count() // materialize per iteration: the lineage must not re-run k passes
+    }
+    cents
+  }
+
   /** LSH-bucketed top-k: both sides bucketed by `planes` random
     * hyperplanes; candidates = same-bucket pairs. Returns up to k
     * neighbors per query (fewer if the bucket is sparse — the recall/cost
