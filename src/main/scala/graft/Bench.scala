@@ -32,9 +32,9 @@ object Bench {
     // min across passes is the reproducible engine cost.
     spark.catalog.clearCache() // drop warmup-pass persisted data
     val names = SparkEntry.queries.keys.toSeq
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    (1 to 3).foreach { _ =>
-      names.foreach { name =>
+    val timesPerQ = scala.collection.mutable.Map.empty[String, List[Double]]
+    val passTotals = (1 to 3).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
@@ -42,14 +42,18 @@ object Bench {
         // queries that persist intermediates must not leak storage into
         // the next query's measurement
         spark.catalog.clearCache()
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-      }
+        timesPerQ(name) = t :: timesPerQ.getOrElse(name, Nil)
+        t
+      }.sum
     }
-    val results = names.map(n => n -> best(n)).toMap
+    val results = names.map(n => n -> timesPerQ(n).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // pass_totals exposes the run-to-run spread (host CPU steal on this
+    // box) next to the per-query-min total the grade reads
+    val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
