@@ -94,6 +94,7 @@ object Ann {
       .filter(col(idCol).isin(seedIds: _*))
       .select(col(idCol).cast("long").as("c_id"),
         transform(col(vecCol), x => x.cast("double")).as("c_v"))
+    var prevPersisted: Option[DataFrame] = None
     (1 to iters).foreach { _ =>
       val assigned = corpus
         .select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
@@ -116,6 +117,8 @@ object Ann {
       val carried = cents.join(updated.select(col("c_id")), Seq("c_id"), "left_anti")
       cents = updated.union(carried).persist()
       cents.count() // materialize per iteration: the lineage must not re-run k passes
+      prevPersisted.foreach(_.unpersist()) // previous iteration's frame is consumed
+      prevPersisted = Some(cents)
     }
     cents
   }

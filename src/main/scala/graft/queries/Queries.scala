@@ -940,6 +940,32 @@ object Queries {
        |  AND purchase_us BETWEEN signup_us AND signup_us + CAST(259200000000 AS BIGINT)
        |ORDER BY signup_id, purchase_id""".stripMargin)
 
+  /** AS-OF with look-back tolerance: views older than 12 hours don't
+    * attribute. DuckDB's ASOF JOIN takes exactly one inequality, so the
+    * oracle expresses tolerance as the window formulation (latest view
+    * inside the band per purchase, QUALIFY row_number = 1). */
+  val qAsOfTol: Q = "q_asof_tol" -> (
+    (s: SparkSession, d: String) => {
+      val tol = 12L * 3600L * 1000000L // 12h in µs
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val v = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+      graft.ops.AsOf.join(p, v, Seq(p("user_id")), Seq(v("v_user")),
+          p("ts_us"), v("v_ts"), tolerance = Some(tol))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("v_ts").as("last_view_us"))
+        .orderBy(col("event_id"))
+    },
+    s"""WITH $EV,
+       |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id AS v_user, ts_us AS v_ts FROM ev WHERE event_type = 'view')
+       |SELECT p.event_id, p.user_id, p.ts_us, v.v_ts AS last_view_us
+       |FROM p JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts_us
+       |QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.v_ts DESC) = 1
+       |  AND p.ts_us - v.v_ts <= CAST(43200000000 AS BIGINT)
+       |ORDER BY p.event_id""".stripMargin)
+
   /** Exact percentiles per group (linear interpolation — Spark
     * `percentile` ≡ DuckDB `quantile_cont`). Exact sort-based
     * percentile is the verification primitive; the 100 TB path is
@@ -986,7 +1012,7 @@ object Queries {
     q1Agg, q3Join, q5Join,
     qDistinct, qExcept, qIntersect, qExceptAll,
     qCount, qThreshold,
-    qJoinLeft, qJoinSemi, qJoinAnti, qAsOf, qRangeJoin,
+    qJoinLeft, qJoinSemi, qJoinAnti, qAsOf, qAsOfTol, qRangeJoin,
     qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
     qCountDistinct, qPercentile, qApproxDistinct,
     qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,
