@@ -192,6 +192,14 @@ class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
     if (rs.next() && rs.getObject(1) != null) Some(rs.getLong(1)) else None
   }
 
+  /** The materialized view as a Spark SOURCE: `spark.read.jdbc` over the
+    * sink's data table (reference K6 companion — downstream jobs consume
+    * the maintained view without touching the event log). Partitioned
+    * reads for big views go through the standard
+    * `option("partitionColumn", …)` route on the same URL/table. */
+  def readAsDataFrame(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.jdbc(url, spec.name, new java.util.Properties())
+
   /** Current table contents (bag, for tests/inspection). */
   def readRows(): Seq[Seq[Any]] = withConn { c =>
     val rs = c.createStatement().executeQuery(
@@ -310,6 +318,39 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
     val b = Map.newBuilder[String, Long]
     while (rs.next()) b += rs.getString(1) -> rs.getLong(2)
     b.result()
+  }
+
+  /** `foreachBatch` adapter for the union: the micro-batch DataFrame
+    * carries a `_table` tag column naming each delta row's target member
+    * (the reference's `Union` dispatches on the record variant,
+    * db/mod.rs:237-258). Rows are consolidated per member on their OWN
+    * column set — members have different schemas, so untagged columns
+    * irrelevant to a member must be null there — and the whole batch
+    * commits in one transaction. Offset columns `_source`/`_offset`
+    * split out as in [[JdbcDeltaSink.foreachBatchWriter]]. */
+  def foreachBatchWriter(): (DataFrame, Long) => Unit = { (df, batchId) =>
+    import org.apache.spark.sql.functions.col
+    val hasOffsets = df.columns.contains("_source")
+    val offsets: Map[String, Long] =
+      if (hasOffsets)
+        df.groupBy("_source").max("_offset").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val perTable = specs.map { sp =>
+      val rows = Deltas.consolidate(
+          df.filter(col("_table") === sp.name)
+            .select(sp.colNames.map(col) :+ col(Deltas.MULT): _*))
+        .collect().toSeq.map { r: Row =>
+          val values = sp.colNames.map(n => r.getAs[Any](n) match {
+            case null => null
+            case v => v.asInstanceOf[AnyRef]
+          })
+          (values, r.getAs[Long](Deltas.MULT))
+        }
+      sp.name -> rows
+    }.toMap
+    applyDeltas(offsets, batchId, perTable.filter(_._2.nonEmpty))
+    ()
   }
 
   /** One transaction across ALL member tables + shared offsets. */

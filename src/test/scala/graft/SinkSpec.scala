@@ -108,6 +108,41 @@ class SinkSpec extends SparkTestBase {
     assert(new JdbcDeltaSink(url, t1).readRows().size === 1)
   }
 
+  test("materialized view reads back as a Spark DataFrame source") {
+    val sink = newSink("readback")
+    sink.bootstrap()
+    sink.applyDeltas(Map("s" -> 1L), 0L, Seq((Seq("aa", 12L), 2L), (Seq("bb", 7L), 1L)))
+    val df = sink.readAsDataFrame(spark)
+    assert(df.columns.toSeq === Seq("A", "B") || df.columns.toSeq === Seq("a", "b"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_.toString)
+    assert(rows.toSeq === Seq(("aa", 12L), ("aa", 12L), ("bb", 7L)),
+      "bag duplicates survive the round-trip")
+  }
+
+  test("Union foreachBatch writer dispatches on the _table tag in one txn") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:unionfb;create=true"
+    val t1 = TableSpec("fb_dash", 1, Seq(ColumnSpec("m", "VARCHAR(32)"), ColumnSpec("n", "BIGINT")))
+    val t2 = TableSpec("fb_usage", 1, Seq(ColumnSpec("m", "VARCHAR(32)"), ColumnSpec("d", "BIGINT")))
+    val union = new UnionDeltaSink(url, "fbg", Seq(t1, t2))
+    union.bootstrap()
+    // one tagged micro-batch feeding both member tables + offsets
+    val df = Seq(
+      ("fb_dash", "m1", Some(1L), None: Option[Long], 1L, "s", 5L),
+      ("fb_dash", "m1", Some(1L), None: Option[Long], 1L, "s", 6L), // consolidates to mult 2
+      ("fb_usage", "m1", None: Option[Long], Some(99L), 1L, "s", 7L))
+      .toDF("_table", "m", "n", "d", "mult", "_source", "_offset")
+    union.foreachBatchWriter()(df, 0L)
+    assert(new JdbcDeltaSink(url, t1).readRows().map(r => (r(0), r(1)))
+      === Seq(("m1", 1L), ("m1", 1L)), "dash rows consolidated to mult 2")
+    assert(new JdbcDeltaSink(url, t2).readRows().map(r => (r(0), r(1)))
+      === Seq(("m1", 99L)))
+    assert(union.getOffsets() === Map("s" -> 7L), "max offset per source")
+    // redelivery of the same batch id is a union-wide no-op
+    union.foreachBatchWriter()(df, 0L)
+    assert(new JdbcDeltaSink(url, t1).readRows().size === 2)
+  }
+
   test("Union version bump clears shared offsets/batches so replay re-applies") {
     val url = "jdbc:derby:memory:unionv;create=true"
     val a1 = TableSpec("uv_a", 1, Seq(ColumnSpec("a", "VARCHAR(32)")))
