@@ -39,4 +39,19 @@ object DeltaPipeline {
   def start(deltas: DataFrame, sink: JdbcDeltaSink, checkpoint: String,
             trigger: Trigger = DefaultTrigger): StreamingQuery =
     writer(deltas, sink, checkpoint, trigger).start()
+
+  /** Union variant (reference K4): one delta stream carrying a `_table`
+    * tag feeds several member tables; every micro-batch commits all
+    * members + the shared offsets in ONE transaction. */
+  def startUnion(deltas: DataFrame, sink: graft.sink.UnionDeltaSink,
+                 checkpoint: String,
+                 trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    sink.bootstrap()
+    deltas.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(sink.foreachBatchWriter())
+      .start()
+  }
 }

@@ -59,4 +59,41 @@ class PipelineSpec extends SparkTestBase {
       assert(rows() === Set(("Drill1", "working", 300L), ("Drill2", "working", 150L)))
     } finally q.stop()
   }
+
+  test("stream → union sink: two tagged views commit per batch in one txn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sink.UnionDeltaSink
+
+    val url = "jdbc:derby:memory:unionstream;create=true"
+    val tDash = TableSpec("us_dash", 1, Seq(
+      ColumnSpec("machine", "VARCHAR(32)"), ColumnSpec("since", "BIGINT")))
+    val tLog = TableSpec("us_log", 1, Seq(
+      ColumnSpec("machine", "VARCHAR(32)"), ColumnSpec("n", "BIGINT")))
+    val union = new UnionDeltaSink(url, "usg", Seq(tDash, tLog))
+
+    val mem = MemoryStream[(String, Long)]
+    // one input stream fans out to two member views: latest-reading rows
+    // (tagged us_dash) and a per-event audit row (tagged us_log)
+    val src = mem.toDF().toDF("machine", "since")
+    val dash = src.select(lit("us_dash").as("_table"), col("machine"),
+      col("since"), lit(null).cast("long").as("n"), lit(1L).as("mult"),
+      lit("s").as("_source"), col("since").as("_offset"))
+    val log = src.select(lit("us_log").as("_table"), col("machine"),
+      lit(null).cast("long").as("since"), lit(1L).as("n"), lit(1L).as("mult"),
+      lit("s").as("_source"), col("since").as("_offset"))
+    val tagged = dash.unionByName(log)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-union-ckpt").toString
+    val q = DeltaPipeline.startUnion(tagged, union, ckpt,
+      Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(("Drill1", 100L), ("Drill2", 150L))
+      q.processAllAvailable()
+      assert(new JdbcDeltaSink(url, tDash).readRows().size === 2)
+      assert(new JdbcDeltaSink(url, tLog).readRows().size === 2)
+      assert(union.getOffsets() === Map("s" -> 150L),
+        "shared offsets advance with the union transaction")
+    } finally q.stop()
+  }
 }
