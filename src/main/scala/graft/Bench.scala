@@ -52,7 +52,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // pass_totals exposes the run-to-run spread (host CPU steal on this
     // box) next to the per-query-min total the grade reads
-    val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val passes = passTotals
+      .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
