@@ -115,8 +115,10 @@ case class SimHash48(child: Expression) extends UnaryExpression {
     SimHash48.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Scala default args don't exist in bytecode — the JVM method is
+    // compute(ArrayData, int), so the bits argument must be emitted here.
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.expr.SimHash48.compute($c);")
+      s"${ev.value} = graft.functions.expr.SimHash48.compute($c, ${SimHash48.BITS});")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash48 =
     copy(child = newChild)

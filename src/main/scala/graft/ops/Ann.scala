@@ -120,7 +120,14 @@ object Ann {
       prevPersisted.foreach(_.unpersist()) // previous iteration's frame is consumed
       prevPersisted = Some(cents)
     }
-    cents
+    // The model is k×dim doubles — collect it and hand back a fresh local
+    // frame so no persisted lineage escapes (the caller would otherwise
+    // own an executor-storage leak per invocation).
+    val rows = cents.select(col("c_id"), col("c_v")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    prevPersisted.foreach(_.unpersist())
+    import spark.implicits._
+    rows.toDF("c_id", "c_v")
   }
 
   /** LSH-bucketed top-k: both sides bucketed by `planes` random

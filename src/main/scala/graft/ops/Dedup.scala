@@ -119,7 +119,7 @@ object Dedup {
     * as tight as the application allows — on a corpus with dense
     * near-duplicate structure the candidate volume grows steeply with
     * each extra allowed bit of distance. */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 1,
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = 48 / chunks

@@ -72,7 +72,10 @@ object Monotonic {
     changes.foreach { case Delta(v, m) =>
       cur match {
         case None =>
-          if (m > 0) { cur = Some((v, m)); out += Delta(v, 1L) }
+          // Reference inserts mult=1 on first sight regardless of the
+          // delta's multiplicity (flow.rs:339-341) — one retraction must
+          // already trip the removal assert, so do NOT store m here.
+          if (m > 0) { cur = Some((v, 1L)); out += Delta(v, 1L) }
           else throw new IllegalStateException(
             s"monotonic_representative_by: removal from empty key state ($v)")
         case Some((rep, n)) if v == rep =>

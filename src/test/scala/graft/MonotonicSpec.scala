@@ -84,6 +84,15 @@ class MonotonicSpec extends SparkTestBase {
     val (st, out) = Monotonic.representativeUpdates[Int](
       Iterator(Delta(5, 1L), Delta(7, 1L), Delta(7, -1L)), None)
     assert(st === Some((5, 1L)) && out === List(Delta(5, 1L)))
+    // first-seen delta with m>1 stores count 1, not m (flow.rs:339-341):
+    // a single retraction of the representative already panics
+    val (st2, _) = Monotonic.representativeUpdates[Int](
+      Iterator(Delta(5, 3L)), None)
+    assert(st2 === Some((5, 1L)))
+    intercept[IllegalStateException] {
+      Monotonic.representativeUpdates[Int](
+        Iterator(Delta(5, 3L), Delta(5, -1L)), None)
+    }
   }
 
   test("streaming M1 over MemoryStream emits retraction+insertion per new max") {

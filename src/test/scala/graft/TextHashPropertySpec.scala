@@ -51,4 +51,44 @@ class TextHashPropertySpec extends SparkTestBase {
       assert(SimHash48.compute(arrData(toks)) === expect, s"tokens: $toks")
     }
   }
+
+  test("custom expressions compile under strict codegen (no interpreter fallback)") {
+    // With fallback disabled, a Janino compile error in doGenCode fails the
+    // query instead of silently degrading to interpreted eval — this pins
+    // the generated Java for every custom expression in the hot path.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+      val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val out = toks.select(
+        ColumnBridge.column(SimHash48(ColumnBridge.expr(col("toks")))).as("sh"),
+        size(ColumnBridge.column(ShingleHashes(
+          ColumnBridge.expr(col("toks")), 3, 15))).as("nsh"))
+        .collect()
+      assert(out.length === 2)
+      assert(out.forall(r => r.getLong(0) != 0L && r.getInt(1) > 0))
+      val coeffs = Text.minhashCoeffs(4)
+      val mh = toks.select(ColumnBridge.column(
+        graft.functions.expr.MinHashSignature(ColumnBridge.expr(col("toks")), 3,
+          coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)).as("sig"))
+        .as[Seq[Long]].collect()
+      assert(mh.forall(_.length === 4))
+      val vd = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+        .select(ColumnBridge.column(graft.functions.expr.VectorDot(
+          ColumnBridge.expr(col("a")), ColumnBridge.expr(col("b")))).as("d"))
+        .as[Double].head()
+      assert(math.abs(vd - 11.0) < 1e-9)
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
 }
