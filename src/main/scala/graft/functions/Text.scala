@@ -119,6 +119,41 @@ object Text {
       when(votes > 0L, lit(1L << i)).otherwise(0L)
     }.reduce[Column](_ + _)
 
+  // ------------------------------------------------------------- redaction
+
+  /** Deny-list term scrub: replace whole-word occurrences of any term
+    * with `repl`. The decontamination primitive — benchmark answers,
+    * canary strings, or blocked vocabulary are removed before training.
+    * Pure regexp_replace (codegen'd, mirrored verbatim by the oracle);
+    * at scale the deny list would be broadcast into one compiled
+    * alternation exactly like this. */
+  /** Alternation over the deny list. Terms must be plain words: the
+    * pattern is interpolated into both engines' regex dialects (Java
+    * regex here, RE2 in DuckDB), and `\Q…\E` quoting only exists in
+    * Java's. */
+  def denyPattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "deny list must not be empty")
+    require(terms.forall(_.matches("[A-Za-z0-9]+")),
+      s"deny terms must be alphanumeric words, got: ${terms.mkString(",")}")
+    s"\\b(${terms.mkString("|")})\\b"
+  }
+
+  def redactTerms(c: Column, terms: Seq[String], repl: String): Column =
+    regexp_replace(c, denyPattern(terms), repl)
+
+  /** Count of whole-word deny-list hits (the redaction audit column). */
+  def redactTermCount(c: Column, terms: Seq[String]): Column =
+    size(regexp_extract_all(c, lit(denyPattern(terms)), lit(0)))
+
+  /** PII-shaped pattern scrubs: emails and long digit runs. Patterns kept
+    * lookahead-free so Java regex and RE2 agree. */
+  val EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LONG_NUMBER_PATTERN = "[0-9][0-9 ()+.-]{5,}[0-9]"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+      LONG_NUMBER_PATTERN, "<NUMBER>")
+
   /** Stopword-hit count against a fixed lexicon. */
   def stopwordHits(c: Column, lexicon: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(lexicon: _*)))

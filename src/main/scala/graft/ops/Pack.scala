@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget training
+  * sequences ("bins") by contiguous fill — the standard pre-tokenization
+  * packing pass that turns a document corpus into equal-budget training
+  * rows.
+  *
+  * Contiguous fill is the distributed-friendly packing policy: within a
+  * partition column (e.g. language or source shard), documents are laid
+  * out in a deterministic order and a running token total is cut every
+  * `budget` tokens. A document straddling a cut opens the next bin
+  * (no document splitting here — `offset_in_bin` tells the tokenizer
+  * where the overflow lands so it can truncate or spill). Everything is
+  * one window aggregation per shard: no driver loop, no state, exact
+  * integer math.
+  *
+  * First-fit-decreasing packs tighter but is inherently sequential per
+  * bin set; at 100 TB the shard-parallel contiguous fill is the policy
+  * that scales, and shards bound the window partitions.
+  */
+object Pack {
+
+  /** Per-document bin assignment.
+    *
+    * Output: the input columns plus
+    *   - `n_tokens`      document token count (from `tokensCol`),
+    *   - `bin`           0-based bin index within the shard,
+    *   - `offset_in_bin` token offset where this document starts in its
+    *                     bin (cum-before modulo budget).
+    */
+  def contiguous(df: DataFrame, budget: Long, shardCol: String,
+                 orderCol: String, tokensCol: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_cum_before",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("_cum_before") / budget).cast("long"))
+      .withColumn("offset_in_bin", pmod(col("_cum_before"), lit(budget)))
+      .drop("_cum_before")
+  }
+
+  /** Bin-level summary (documents per bin, fill level): the sanity view a
+    * packing job materializes next to the assignment. */
+  def binStats(packed: DataFrame, shardCol: String): DataFrame =
+    packed.groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("fill_tokens"))
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.Text
+
+/** Deterministic sampling and corpus-composition primitives.
+  *
+  * A 100 TB training-data pipeline cannot use `rand()`-based sampling:
+  * re-runs must reproduce the same corpus bit-for-bit (for cache reuse,
+  * audits, and incremental rebuilds), and the keep/drop decision must be
+  * computable anywhere — map-side, with no coordination. Every op here
+  * derives its randomness from `md5(seed ++ key)` (the engine's standard
+  * 60-bit hash, [[Text.hash64]]), so sampling is a pure, codegen'd
+  * projection/filter: no shuffle for Bernoulli/mix, one bounded shuffle
+  * for stratified/positioned variants.
+  *
+  * The reference has no sampling surface (its views are exact); these are
+  * part of the beyond-the-reference training-data toolkit, in the same
+  * oracle-checked style.
+  */
+object Sampling {
+
+  /** Keep/drop decisions are made on a fixed 10^6 lattice: hash maps each
+    * key to a uniform unit in [0, 1e6); a fraction f keeps units
+    * < f·1e6. Coarser than a double but exactly mirrorable in SQL. */
+  val SCALE = 1000000L
+
+  /** Uniform unit in [0, SCALE) as a pure function of (seed, key). */
+  def hashUnit(key: Column, seed: Int): Column =
+    pmod(Text.hash64(key.cast("string"), seed), lit(SCALE))
+
+  /** Deterministic Bernoulli sample: keep a row iff its key's hash unit
+    * falls below fraction·SCALE. Map-only (a codegen'd filter directly
+    * over the scan — no shuffle, no state); rerunning with the same seed
+    * reproduces the exact sample, and disjoint seeds give independent
+    * samples for held-out splits. */
+  def bernoulli(df: DataFrame, fraction: Double, keyCol: String,
+                seed: Int = 42): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
+    df.filter(hashUnit(col(keyCol), seed) < lit((fraction * SCALE).toLong))
+  }
+
+  /** Deterministic k-per-stratum sample — the batch analog of a per-key
+    * reservoir: within each stratum, the k keys with the smallest hash
+    * units win (hash order IS the random order, but reproducible).
+    *
+    * Two-phase to survive hot strata at scale: each input partition first
+    * prunes to its local top-k per stratum (the global top-k is a subset
+    * of every partition-local top-k), so the per-stratum sort after the
+    * shuffle sees at most k·partitions rows instead of the whole stratum.
+    */
+  def stratifiedK(df: DataFrame, strataCols: Seq[String], k: Int,
+                  keyCol: String, seed: Int = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // _p is materialized in a projection over the scan, BEFORE the window
+    // exchange, so the local prune groups by the scan partition. (Any
+    // grouping is correct — the global top-k is a subset of each group's
+    // top-k — but the scan partition is what bounds memory.)
+    val withH = df
+      .withColumn("_h", hashUnit(col(keyCol), seed))
+      .withColumn("_p", spark_partition_id())
+    val localW = Window
+      .partitionBy(col("_p") +: strataCols.map(col): _*)
+      .orderBy(col("_h"), col(keyCol))
+    val globalW = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("_h"), col(keyCol))
+    withH
+      .withColumn("_rnp", row_number().over(localW))
+      .filter(col("_rnp") <= k)
+      .drop("_p", "_rnp")
+      .withColumn("_rn", row_number().over(globalW))
+      .filter(col("_rn") <= k)
+      .drop("_h", "_rn")
+  }
+
+  /** Weighted corpus mixing: per-group target rates, with rates > 1
+    * upsampling by duplication. A row in group g with weight w emits
+    * floor(w) copies plus one more iff its hash unit < frac(w)·SCALE —
+    * so expected multiplicity is exactly w, decided row-locally.
+    *
+    * Output gains a `copy` column (0-based duplicate index) so
+    * downstream stages can tell replicas apart. Groups absent from
+    * `weights` get weight 0 (dropped). The weights table is broadcast —
+    * the corpus never shuffles. */
+  def weightedMix(df: DataFrame, groupCol: String, weights: Map[String, Double],
+                  keyCol: String, seed: Int = 42): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val spark = df.sparkSession
+    val wrows = weights.toSeq.sortBy(_._1).map { case (g, w) =>
+      (g, math.floor(w).toLong, ((w - math.floor(w)) * SCALE).toLong)
+    }
+    import spark.implicits._
+    val wdf = wrows.toDF(groupCol, "_whole", "_fracThr")
+    val copies = (col("_whole")
+      + when(hashUnit(col(keyCol), seed) < col("_fracThr"), 1L).otherwise(0L))
+    df.join(broadcast(wdf), Seq(groupCol))
+      .withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_whole", "_fracThr", "_copies")
+  }
+
+  /** Deterministic global shuffle for training export: rows ordered by
+    * hash unit (ties by key) with an explicit 0-based `pos` — the record
+    * order a trainer would consume.
+    *
+    * Scalably: range-partition + sort locally (an ordinary distributed
+    * sort — no single-partition window), then assign positions by
+    * offsetting each partition with the total row count of the
+    * partitions before it (one extra count pass over the sorted data;
+    * the classic zipWithIndex shape). Only per-partition counts travel
+    * to the driver. */
+  def shuffledExport(df: DataFrame, keyCol: String, seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("_h", hashUnit(col(keyCol), seed))
+      .repartitionByRange(col("_h"), col(keyCol))
+      .sortWithinPartitions(col("_h"), col(keyCol))
+    val rdd = sorted.drop("_h").rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    val schema = sorted.drop("_h").schema.add("pos", LongType, nullable = false)
+    spark.createDataFrame(rdd, schema)
+  }
+}

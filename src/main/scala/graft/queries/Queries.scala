@@ -1006,6 +1006,125 @@ object Queries {
     s"(CASE WHEN sqrt($na) * sqrt($nb) > 0 THEN $d / (sqrt($na) * sqrt($nb)) ELSE 0.0 END)"
   }
 
+  // --------------------------------------- sampling / corpus composition
+
+  /** DuckDB mirror of Sampling.hashUnit: md5-derived unit in [0, 1e6). */
+  private def hashUnitSql(keyExpr: String, seed: Int): String =
+    s"CAST('0x' || substr(md5('$seed' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % 1000000"
+
+  /** Deterministic Bernoulli sampling (map-only hash filter — the only
+    * sampling shape that reproduces at 100 TB). */
+  val qSampleHash: Q = "q_sample_hash" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.bernoulli(Tables.documents(s, d), 0.25, "doc_id", seed = 7)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${hashUnitSql("doc_id", 7)} < 250000
+       |ORDER BY doc_id""".stripMargin)
+
+  /** Deterministic k-per-stratum sample (hash-order reservoir, two-phase
+    * per-partition prune before the per-stratum window). */
+  val qStratified: Q = "q_stratified" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.stratifiedK(Tables.documents(s, d), Seq("lang"), 10,
+        "doc_id", seed = 7)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id")),
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY lang ORDER BY ${hashUnitSql("doc_id", 7)}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin)
+
+  /** Weighted corpus mixing: per-language rates with upsampling by
+    * duplication (expected multiplicity = weight, decided row-locally
+    * from the hash unit; broadcast weights, no corpus shuffle). */
+  val qMixWeighted: Q = "q_mix_weighted" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.weightedMix(Tables.documents(s, d), "lang",
+        Map("de" -> 2.25, "en" -> 0.5, "es" -> 0.25, "fr" -> 1.0, "zh" -> 3.0),
+        "doc_id", seed = 7)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy")),
+    s"""WITH w(lang, whole, frac_thr) AS (VALUES
+       |    ('de', 2, 250000), ('en', 0, 500000), ('es', 0, 250000),
+       |    ('fr', 1, 0), ('zh', 3, 0)),
+       |c AS (SELECT doc_id, d.lang,
+       |    whole + CASE WHEN ${hashUnitSql("doc_id", 7)} < frac_thr THEN 1 ELSE 0 END AS copies
+       |  FROM documents d JOIN w ON d.lang = w.lang)
+       |SELECT doc_id, lang, unnest(range(copies)) AS copy
+       |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)
+
+  /** Sequence packing: contiguous fill of 512-token training bins per
+    * language shard (one window aggregation, exact integer math). */
+  val qPackSeq: Q = "q_pack_seq" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Pack.contiguous(docs, budget = 512L, shardCol = "lang",
+        orderCol = "doc_id", tokensCol = "n_tokens")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("bin"), col("offset_in_bin"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    s"""WITH t AS (SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(floor(cb / 512) AS BIGINT) AS bin, cb % 512 AS offset_in_bin
+       |FROM c ORDER BY lang, doc_id""".stripMargin)
+
+  /** Tf-idf top-3 terms per document (linear idf N/df: one IEEE division
+    * of exact integers — bit-identical across engines, unlike ln). */
+  val qTfidf: Q = "q_tfidf" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.tfidfTopK(Tables.documents(s, d), 3)
+        .withColumnRenamed("rank", "trank")
+        .orderBy(col("id"), col("trank")),
+    s"""WITH toks AS (SELECT doc_id AS id, unnest($TOKS) AS term FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT id, term, tf, df,
+       |    CAST(tf AS DOUBLE) * n_docs / df AS tfidf
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+       |r AS (SELECT id, term, tf, df, tfidf, row_number() OVER (
+       |    PARTITION BY id ORDER BY tfidf DESC, term ASC) AS trank FROM scored)
+       |SELECT id, term, tf, df, tfidf, trank FROM r
+       |WHERE trank <= 3 ORDER BY id, trank""".stripMargin)
+
+  /** Deny-list decontamination: whole-word scrub + audit count. */
+  private val DENY = Seq("customer", "vector", "spark")
+  val qRedact: Q = "q_redact" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(Text.redactTerms(col("text"), DENY, "<TERM>")).as("red_fp"),
+          Text.redactTermCount(col("text"), DENY).cast("long").as("n_hits"))
+        .orderBy(col("doc_id")),
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(text, '\\b(customer|vector|spark)\\b', '<TERM>', 'g')) AS red_fp,
+       |  CAST(len(regexp_extract_all(text, '\\b(customer|vector|spark)\\b')) AS BIGINT) AS n_hits
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Deterministic global shuffle for training export: distributed
+    * range-sort by hash + two-pass position assignment (zipWithIndex
+    * shape — only per-partition counts visit the driver). */
+  val qShuffleExport: Q = "q_shuffle_export" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.shuffledExport(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id", seed = 7)
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("pos")),
+    s"""SELECT doc_id, row_number() OVER (
+       |    ORDER BY ${hashUnitSql("doc_id", 7)}, doc_id) - 1 AS pos
+       |FROM documents ORDER BY pos""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -1019,5 +1138,7 @@ object Queries {
     qMinhashLsh, qNgramJaccard, qSimhash, qSimhashPairs, qEmbedNearDup,
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
+    qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
+    qShuffleExport,
   )
 }

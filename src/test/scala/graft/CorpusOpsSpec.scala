@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.ops.{Pack, Sampling, TextStats}
+
+/** Sampling / packing / term-stats / redaction — the corpus-composition
+  * ops added beyond the oracle surface's own checks: determinism,
+  * hand-computed fixtures, and the algebraic contracts (subset/superset,
+  * permutation, expected multiplicity). */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables10
+  private lazy val Tables10 =
+    graft.core.Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+
+  test("bernoulli sampling is deterministic, seed-sensitive, and roughly proportional") {
+    val a1 = Sampling.bernoulli(docs, 0.25, "doc_id", seed = 7)
+      .select("doc_id").as[Long].collect().sorted
+    val a2 = Sampling.bernoulli(docs, 0.25, "doc_id", seed = 7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1 sameElements a2, "same seed reproduces the exact sample")
+    val b = Sampling.bernoulli(docs, 0.25, "doc_id", seed = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(!(a1 sameElements b), "different seed gives a different sample")
+    val n = docs.count().toDouble
+    assert(math.abs(a1.length / n - 0.25) < 0.08, s"got ${a1.length / n}")
+    // growing the fraction only ADDS rows (nested samples share a seed)
+    val wider = Sampling.bernoulli(docs, 0.5, "doc_id", seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1.forall(wider.contains), "f=0.25 sample is a subset of f=0.5")
+  }
+
+  test("stratifiedK takes exactly k per stratum and matches the one-phase formulation") {
+    val out = Sampling.stratifiedK(docs, Seq("lang"), 5, "doc_id", seed = 7)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val langs = docs.select("lang").distinct().as[String].collect()
+    assert(langs.forall(l => counts(l) == 5L))
+    // the two-phase prune must not change the answer
+    val onePhase = docs
+      .withColumn("_h", Sampling.hashUnit(col("doc_id"), 7))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("_h"), col("doc_id"))))
+      .filter(col("rn") <= 5).select("doc_id").as[Long].collect().sorted
+    val twoPhase = out.select("doc_id").as[Long].collect().sorted
+    assert(twoPhase sameElements onePhase)
+  }
+
+  test("weightedMix: whole-number weights duplicate exactly, fractions subsample, absent groups drop") {
+    val in = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "g")
+    val out = Sampling.weightedMix(in, "g", Map("a" -> 2.0, "b" -> 0.0), "id")
+      .select("id", "copy").as[(Long, Long)].collect().sorted
+    assert(out.toSeq === Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)),
+      "a duplicated twice with copy indices; b weight 0 and absent c dropped")
+    // fractional weight ~ expected multiplicity on the corpus
+    val frac = Sampling.weightedMix(docs, "lang", Map("en" -> 0.5), "doc_id")
+    val nEn = docs.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(frac.count() / nEn - 0.5) < 0.15)
+  }
+
+  test("shuffledExport emits a deterministic permutation in hash order") {
+    val out = Sampling.shuffledExport(docs.select("doc_id"), "doc_id", seed = 7)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    val n = docs.count()
+    assert(out.map(_._2).sorted.toSeq === (0L until n).toSeq,
+      "pos is exactly 0..n-1")
+    val again = Sampling.shuffledExport(docs.select("doc_id"), "doc_id", seed = 7)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    assert(out.sortBy(_._1) sameElements again.sortBy(_._1), "reruns agree")
+    // pos order IS hash order
+    val byPos = out.sortBy(_._2).map(_._1)
+    val byHash = docs.select(col("doc_id"),
+        Sampling.hashUnit(col("doc_id"), 7).as("h"))
+      .orderBy(col("h"), col("doc_id")).select("doc_id").as[Long].collect()
+    assert(byPos sameElements byHash)
+  }
+
+  test("contiguous packing: hand-computed bins, offsets, and bin stats") {
+    val in = Seq(
+      ("s", 1L, 300L), ("s", 2L, 300L), ("s", 3L, 100L), ("s", 4L, 600L),
+      ("t", 9L, 10L))
+      .toDF("shard", "id", "n_tokens")
+    val packed = Pack.contiguous(in, budget = 512L, shardCol = "shard",
+      orderCol = "id", tokensCol = "n_tokens")
+    val rows = packed.select("shard", "id", "bin", "offset_in_bin")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // cum-before: 0, 300, 600, 700 → bins 0,0,1,1; offsets 0,300,88,188
+    assert(rows.toSeq === Seq(
+      ("s", 1L, 0L, 0L), ("s", 2L, 0L, 300L),
+      ("s", 3L, 1L, 88L), ("s", 4L, 1L, 188L),
+      ("t", 9L, 0L, 0L)))
+    val stats = Pack.binStats(packed, "shard")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(stats.toSeq === Seq(
+      ("s", 0L, 2L, 600L), ("s", 1L, 2L, 700L), ("t", 0L, 1L, 10L)))
+  }
+
+  test("tfidfTopK: hand-computed ranking on a tiny corpus") {
+    val in = Seq(
+      (1L, "apple apple banana"),   // apple tf=2 df=2, banana tf=1 df=1
+      (2L, "apple cherry"),
+      (3L, "dates dates dates")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopK(in, 2)
+      .select("id", "term", "tfidf", "rank")
+      .as[(Long, String, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    // N=3. doc1: apple 2*3/2=3.0, banana 1*3/1=3.0 → tie → term asc
+    assert(out(1L) === Seq(("apple", 3.0), ("banana", 3.0)))
+    // doc2: cherry 1*3/1=3.0 beats apple 1*3/2=1.5
+    assert(out(2L) === Seq(("cherry", 3.0), ("apple", 1.5)))
+    // doc3: dates 3*3/1=9.0, only term
+    assert(out(3L) === Seq(("dates", 9.0)))
+  }
+
+  test("redaction: whole-word deny terms and PII patterns") {
+    val in = Seq(
+      (1L, "the customer bought a vectorized thing from the customer desk"),
+      (2L, "mail me at a.b+c@ex-ample.co.uk or call +1 (555) 123-4567 x89"))
+      .toDF("id", "text")
+    val terms = Seq("customer", "vector")
+    val red = in.select(col("id"),
+        Text.redactTerms(col("text"), terms, "<T>").as("r"),
+        Text.redactTermCount(col("text"), terms).as("n"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(red(0)._2 === "the <T> bought a vectorized thing from the <T> desk",
+      "whole words only — 'vectorized' untouched")
+    assert(red(0)._3 === 2)
+    val pii = in.filter(col("id") === 2L)
+      .select(Text.redactPii(col("text"))).as[String].head()
+    assert(!pii.contains("@") && pii.contains("<EMAIL>"), pii)
+    assert(!pii.contains("555") && pii.contains("<NUMBER>"), pii)
+  }
+}
