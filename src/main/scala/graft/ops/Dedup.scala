@@ -205,6 +205,71 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup CLUSTERS so a pipeline can keep one
+    * representative per component (dropping `id_b` of every pair
+    * over-deletes when A~B and B~C but the pipeline should keep exactly
+    * one of {A,B,C}).
+    *
+    * Hash-min label propagation: every vertex starts labeled with itself;
+    * each round a vertex takes the minimum label among itself and its
+    * neighbors; at fixpoint the label is the component's minimum id (the
+    * canonical representative). Rounds needed = graph diameter — for
+    * near-dup clusters (dense cliques stitched by a few bridges) that is
+    * small, and each round is one join + one aggregation, both
+    * shuffle-partitioned on vertex id so the exchange layout is reused
+    * across rounds. Each round materializes (persist + count) — the
+    * convergence check needs an action anyway — and unpersists the
+    * previous round; intermediates never stack.
+    *
+    * Returns (id, cluster_id). The final frame is persisted (its lineage
+    * would otherwise replay every round); the CALLER owns unpersisting it
+    * (or `spark.catalog.clearCache()`) when done.
+    *
+    * At 100 TB: the pair list is orders of magnitude smaller than the
+    * corpus (only near-dup docs appear), so the rounds run on the small
+    * relation. For adversarial graphs (long chains), switch to the
+    * large/small-star algorithm (alternation halves long paths); the
+    * plain hash-min here is the right cost for near-dup topology.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "id_a",
+                        bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    labels.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
+        .persist()
+      val changed = next.filter(col("nlabel") < col("label")).count()
+      val prev = labels
+      labels = next.select(col("id"), col("nlabel").as("label")).persist()
+      labels.count()
+      next.unpersist()
+      prev.unpersist()
+      converged = changed == 0
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: no fixpoint after $maxIters rounds (component diameter exceeds maxIters)")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ tau within a blocking column
     * (label here; LSH bucket from
     * [[graft.functions.Vectors.hyperplaneBucket]] at scale). */

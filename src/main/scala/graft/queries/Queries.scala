@@ -495,6 +495,31 @@ object Queries {
        |SELECT id_a, id_b, jaccard_est FROM mh_pairs
        |WHERE jaccard_est >= $MH_TAU ORDER BY id_a, id_b""".stripMargin)
 
+  /** Near-dup CLUSTERS from the LSH pair list (connected components via
+    * hash-min label propagation; oracle: recursive CTE reachability).
+    * cluster_id = min doc id of the component — the canonical
+    * representative a dedup pipeline keeps. */
+  val qDupClusters: Q = "q_dup_clusters" -> (
+    (s: SparkSession, d: String) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, d), tau = MH_TAU,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH RECURSIVE src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")},
+       |p AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= $MH_TAU),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |v AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+
   /** Composite training-corpus pipeline: exact dedup → MinHash near-dup
     * removal (drop the higher id of each pair) → quality floor → per-
     * language corpus stats. The end-to-end shape of a 100 TB data-prep
@@ -1139,6 +1164,6 @@ object Queries {
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
-    qShuffleExport,
+    qShuffleExport, qDupClusters,
   )
 }

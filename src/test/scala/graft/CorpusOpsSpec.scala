@@ -114,6 +114,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3L) === Seq(("dates", 9.0)))
   }
 
+  test("duplicateClusters: components, chain propagation, min-id representative") {
+    // component {1,2,3,4} as a chain (diameter 3 — exercises multi-round
+    // propagation), component {10,11} as a single pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.ops.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    out.foreach(_ => ()) // returned frame is persisted; caller releases
+    spark.catalog.clearCache()
+    // a diameter larger than maxIters fails loudly instead of returning
+    // a half-propagated labeling
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      graft.ops.Dedup.duplicateClusters(chain, maxIters = 2)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("redaction: whole-word deny terms and PII patterns") {
     val in = Seq(
       (1L, "the customer bought a vectorized thing from the customer desk"),
