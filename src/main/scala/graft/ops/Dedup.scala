@@ -222,9 +222,14 @@ object Dedup {
     * convergence check needs an action anyway — and unpersists the
     * previous round; intermediates never stack.
     *
-    * Returns (id, cluster_id). The final frame is persisted (its lineage
-    * would otherwise replay every round); the CALLER owns unpersisting it
-    * (or `spark.catalog.clearCache()`) when done.
+    * Returns (id, cluster_id). Below `localEdgeThreshold` directed edges
+    * the component solve runs as one driver-side union-find over the
+    * collected pair list (near-dup graphs are corpus-tiny; a Spark job
+    * per round would dominate) and the result is a fresh local frame.
+    * On the distributed path the returned frame is backed by one
+    * persisted intermediate (its lineage would otherwise replay every
+    * round); the CALLER owns unpersisting it (or
+    * `spark.catalog.clearCache()`) when done.
     *
     * At 100 TB: the pair list is orders of magnitude smaller than the
     * corpus (only near-dup docs appear), so the rounds run on the small
@@ -233,15 +238,48 @@ object Dedup {
     * plain hash-min here is the right cost for near-dup topology.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "id_a",
-                        bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+                        bCol: String = "id_b", maxIters: Int = 25,
+                        localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // One evaluation of the (possibly expensive) pair pipeline: persist
+    // the undirected list, derive the doubled edge list by explode (a
+    // union of two selects would compute the pair subtree twice).
+    val undirected = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // The pair list is the DUPLICATE graph — orders of magnitude smaller
+    // than the corpus. When it fits on the driver (default 1M directed
+    // edges ≈ 16 MB), solve it in one union-find pass instead of paying
+    // a Spark job per propagation round; the distributed rounds below
+    // are the path for genuinely huge pair lists.
+    val edgeCount = undirected.count() * 2
+    if (edgeCount <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      val es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+      undirected.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb)) // min-id root
+      }
+      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      import spark.implicits._
+      return verts.map(v => (v, find(v))).toSeq.toDF("id", "cluster_id")
+    }
+    val edges = undirected.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    var backing = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
-    labels.count()
+    var labels = backing
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -250,20 +288,21 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      // one persisted frame and ONE action per round: the convergence
+      // count is also what materializes the round's labels (the filter
+      // sits above the cache point, so the full rows are cached)
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
         .persist()
       val changed = next.filter(col("nlabel") < col("label")).count()
-      val prev = labels
-      labels = next.select(col("id"), col("nlabel").as("label")).persist()
-      labels.count()
-      next.unpersist()
-      prev.unpersist()
+      backing.unpersist()
+      backing = next
+      labels = next.select(col("id"), col("nlabel").as("label"))
       converged = changed == 0
     }
-    edges.unpersist()
+    undirected.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters: no fixpoint after $maxIters rounds (component diameter exceeds maxIters)")

@@ -118,18 +118,23 @@ class CorpusOpsSpec extends SparkTestBase {
     // component {1,2,3,4} as a chain (diameter 3 — exercises multi-round
     // propagation), component {10,11} as a single pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
-    val out = graft.ops.Dedup.duplicateClusters(pairs)
+    val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // local union-find path (default threshold)
+    val local = graft.ops.Dedup.duplicateClusters(pairs)
       .as[(Long, Long)].collect().sortBy(_._1)
-    assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
-    out.foreach(_ => ()) // returned frame is persisted; caller releases
-    spark.catalog.clearCache()
+    assert(local.toSeq === expect)
+    // distributed hash-min path (threshold 0) must agree exactly
+    val dist = graft.ops.Dedup.duplicateClusters(pairs, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(dist.toSeq === expect)
+    spark.catalog.clearCache() // distributed path's frame is persisted; caller releases
     // a diameter larger than maxIters fails loudly instead of returning
     // a half-propagated labeling
     val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      graft.ops.Dedup.duplicateClusters(chain, maxIters = 2)
+      graft.ops.Dedup.duplicateClusters(chain, maxIters = 2, localEdgeThreshold = 0)
     }
     spark.catalog.clearCache()
   }
