@@ -12,7 +12,9 @@ object Plans {
     val names = if (args.nonEmpty) args.toSet else
       Set("q1_agg", "q3_join", "q5_join_multi", "q_dashboard", "q_lookback",
         "q_minhash_lsh", "q_ann_brute", "q_ngram_jaccard", "q_simhash_pairs",
-        "q_join_anti", "q_window_frame", "q_topk", "q_asof", "q_range_join")
+        "q_join_anti", "q_window_frame", "q_topk", "q_asof", "q_range_join",
+        "q_sample_hash", "q_stratified", "q_tfidf", "q_pack_seq",
+        "q_mix_weighted")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

@@ -47,31 +47,21 @@ object Sampling {
     * reservoir: within each stratum, the k keys with the smallest hash
     * units win (hash order IS the random order, but reproducible).
     *
-    * Two-phase to survive hot strata at scale: each input partition first
-    * prunes to its local top-k per stratum (the global top-k is a subset
-    * of every partition-local top-k), so the per-stratum sort after the
-    * shuffle sees at most k·partitions rows instead of the whole stratum.
+    * Hot strata at scale: the row_number ≤ k filter is recognized by
+    * Catalyst's rank-limit rewrite, which plants a PARTIAL
+    * WindowGroupLimit below the exchange — every map task pre-prunes to
+    * its local top-k per stratum before shuffling, so the per-stratum
+    * sort sees at most k·partitions rows, never the whole stratum. (A
+    * hand-rolled two-phase prune replicated exactly this and cost one
+    * extra exchange — verified in the physical plan.)
     */
   def stratifiedK(df: DataFrame, strataCols: Seq[String], k: Int,
                   keyCol: String, seed: Int = 42): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // _p is materialized in a projection over the scan, BEFORE the window
-    // exchange, so the local prune groups by the scan partition. (Any
-    // grouping is correct — the global top-k is a subset of each group's
-    // top-k — but the scan partition is what bounds memory.)
-    val withH = df
-      .withColumn("_h", hashUnit(col(keyCol), seed))
-      .withColumn("_p", spark_partition_id())
-    val localW = Window
-      .partitionBy(col("_p") +: strataCols.map(col): _*)
+    val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(col("_h"), col(keyCol))
-    val globalW = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(col("_h"), col(keyCol))
-    withH
-      .withColumn("_rnp", row_number().over(localW))
-      .filter(col("_rnp") <= k)
-      .drop("_p", "_rnp")
-      .withColumn("_rn", row_number().over(globalW))
+    df.withColumn("_h", hashUnit(col(keyCol), seed))
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_h", "_rn")
   }

@@ -32,12 +32,12 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(a1.forall(wider.contains), "f=0.25 sample is a subset of f=0.5")
   }
 
-  test("stratifiedK takes exactly k per stratum and matches the one-phase formulation") {
+  test("stratifiedK takes exactly k per stratum, reproducibly (hash-order reservoir)") {
     val out = Sampling.stratifiedK(docs, Seq("lang"), 5, "doc_id", seed = 7)
     val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
     val langs = docs.select("lang").distinct().as[String].collect()
     assert(langs.forall(l => counts(l) == 5L))
-    // the two-phase prune must not change the answer
+    // agrees with the reference window formulation written out longhand
     val onePhase = docs
       .withColumn("_h", Sampling.hashUnit(col("doc_id"), 7))
       .withColumn("rn", row_number().over(
@@ -137,6 +137,30 @@ class CorpusOpsSpec extends SparkTestBase {
       graft.ops.Dedup.duplicateClusters(chain, maxIters = 2, localEdgeThreshold = 0)
     }
     spark.catalog.clearCache()
+  }
+
+  test("streaming exact dedup: first arrival of a fingerprint wins across micro-batches") {
+    // the incremental profile of Dedup.exact: state-backed dropDuplicates
+    // on the content fingerprint — a later batch's duplicate (even with
+    // different id / whitespace) must not re-emit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dedup = mem.toDF().toDF("doc_id", "text")
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .dropDuplicates("fp")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      mem.addData((1L, "alpha beta"), (2L, "gamma delta"))
+      q.processAllAvailable()
+      mem.addData((3L, "  Alpha   BETA "), (4L, "epsilon zeta"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM stream_dedup")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 4L),
+        "doc 3 is a normalized duplicate of doc 1 from an earlier batch")
+    } finally q.stop()
   }
 
   test("redaction: whole-word deny terms and PII patterns") {
