@@ -44,6 +44,19 @@ object Pack {
       .drop("_cum_before")
   }
 
+  /** Curriculum / batching buckets: ntile over document length within a
+    * shard — equal-population length bands (shortest n-th, …, longest
+    * n-th), the standard length-grouping pass before batch assembly so
+    * co-batched sequences waste minimal padding. Deterministic via the
+    * id tie-break. One rank window per shard; shards bound the sort. */
+  def lengthBuckets(df: DataFrame, nBuckets: Int, shardCol: String,
+                    tokensCol: String, idCol: String): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.withColumn("bucket", ntile(nBuckets).over(
+      Window.partitionBy(col(shardCol))
+        .orderBy(col(tokensCol), col(idCol))).cast("long"))
+  }
+
   /** Bin-level summary (documents per bin, fill level): the sanity view a
     * packing job materializes next to the assignment. */
   def binStats(packed: DataFrame, shardCol: String): DataFrame =

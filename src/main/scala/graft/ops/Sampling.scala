@@ -93,6 +93,29 @@ object Sampling {
       .drop("_whole", "_fracThr", "_copies")
   }
 
+  /** Deterministic train/validation/test assignment: the hash unit is cut
+    * at the cumulative fraction boundaries, so every row gets exactly one
+    * split label, reruns reproduce the assignment, and growing one split
+    * never moves rows between the OTHERS (a row's unit is fixed; only
+    * boundary shifts re-label). Map-only, coordination-free — the only
+    * splitting discipline that survives a distributed 100 TB corpus
+    * rebuild. `fractions` must sum to 1. */
+  def splits(df: DataFrame, fractions: Seq[(String, Double)], keyCol: String,
+             seed: Int = 42): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * SCALE)
+    }.tail
+    val unit = hashUnit(col(keyCol), seed)
+    val labeled = fractions.map(_._1).zip(bounds).init
+      .foldRight(lit(fractions.last._1)) { case ((name, hi), els) =>
+        when(unit < hi, name).otherwise(els)
+      }
+    df.withColumn("split", labeled)
+  }
+
   /** Deterministic global shuffle for training export: rows ordered by
     * hash unit (ties by key) with an explicit 0-based `pos` — the record
     * order a trainer would consume.

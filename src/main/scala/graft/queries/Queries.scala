@@ -1137,6 +1137,39 @@ object Queries {
        |  CAST(len(regexp_extract_all(text, '\\b(customer|vector|spark)\\b')) AS BIGINT) AS n_hits
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Deterministic train/val/test assignment by hash-unit ranges (the
+    * split never moves rows between reruns or unrelated splits). */
+  val qSplits: Q = "q_splits" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.splits(Tables.documents(s, d),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "doc_id", seed = 7)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split")),
+    s"""SELECT split, count(*) AS n_docs, min(doc_id) AS min_id FROM (
+       |  SELECT doc_id, CASE
+       |    WHEN ${hashUnitSql("doc_id", 7)} < 900000 THEN 'train'
+       |    WHEN ${hashUnitSql("doc_id", 7)} < 950000 THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin)
+
+  /** Curriculum length-bucketing: equal-population token-length bands per
+    * language shard (ntile rank window). */
+  val qLengthBuckets: Q = "q_length_buckets" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Pack.lengthBuckets(docs, 4, "lang", "n_tokens", "doc_id")
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    s"""WITH t AS (SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+       |FROM t ORDER BY lang, doc_id""".stripMargin)
+
   /** Deterministic global shuffle for training export: distributed
     * range-sort by hash + two-pass position assignment (zipWithIndex
     * shape — only per-partition counts visit the driver). */
@@ -1164,6 +1197,6 @@ object Queries {
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
-    qShuffleExport, qDupClusters,
+    qShuffleExport, qDupClusters, qSplits, qLengthBuckets,
   )
 }

@@ -114,6 +114,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3L) === Seq(("dates", 9.0)))
   }
 
+  test("splits: total partition, stable under boundary growth, proportional") {
+    val out = Sampling.splits(docs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "doc_id", seed = 7)
+    val n = docs.count()
+    val byLabel = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum === n, "every row gets exactly one split")
+    assert(math.abs(byLabel("train").toDouble / n - 0.8) < 0.08)
+    // growing train at val's expense must never move rows between val
+    // and test, nor eject anything from train
+    val before = out.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val grown = Sampling.splits(docs,
+      Seq("train" -> 0.85, "val" -> 0.05, "test" -> 0.1), "doc_id", seed = 7)
+    val trainAfter = grown.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(before.subsetOf(trainAfter), "train only grows")
+    val testBefore = out.filter(col("split") === "test")
+      .select("doc_id").as[Long].collect().toSet
+    val testAfter = grown.filter(col("split") === "test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(testBefore === testAfter, "test untouched by the train/val shift")
+  }
+
+  test("lengthBuckets: equal-population bands ordered by length") {
+    val in = Seq(("s", 1L, 10L), ("s", 2L, 20L), ("s", 3L, 30L), ("s", 4L, 40L),
+      ("s", 5L, 50L), ("s", 6L, 60L), ("s", 7L, 70L), ("s", 8L, 80L))
+      .toDF("shard", "id", "n_tokens")
+    val out = Pack.lengthBuckets(in, 4, "shard", "n_tokens", "id")
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+  }
+
   test("duplicateClusters: components, chain propagation, min-id representative") {
     // component {1,2,3,4} as a chain (diameter 3 — exercises multi-round
     // propagation), component {10,11} as a single pair
