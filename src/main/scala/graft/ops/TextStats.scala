@@ -24,11 +24,15 @@ import graft.functions.Text
   */
 object TextStats {
 
-  /** (doc, term) term frequencies over normalized whitespace tokens. */
+  /** (doc, term) term frequencies over normalized whitespace tokens.
+    * explode_OUTER: a non-outer explode triggers InferFiltersFromGenerate,
+    * which duplicates the whole tokenization into a scan-level
+    * `size(split(...)) > 0` filter — one extra evaluation per row
+    * (split never returns an empty array, so outer ≡ inner here). */
   def termFrequencies(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(col("toks")).as("term"))
+      .select(col("id"), explode_outer(col("toks")).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
