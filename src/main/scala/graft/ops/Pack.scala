@@ -44,6 +44,42 @@ object Pack {
       .drop("_cum_before")
   }
 
+  /** Fixed-window document chunking with overlap — the tokenizer-prep
+    * pass that turns long documents into model-sized pieces. Chunk
+    * starts are `0, step, 2·step, …` over the token array
+    * (`step = maxTokens − overlap`); each chunk takes up to `maxTokens`
+    * tokens (the last one clips at the document end).
+    *
+    * Map-only: tokens, the start sequence, the explode and the slice all
+    * happen inside one projection pipeline over the scan — no shuffle,
+    * no state, so it runs at scan bandwidth on any corpus size.
+    *
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk) — chunk is the
+    * space-joined token window. */
+  def chunk(docs: DataFrame, maxTokens: Int, overlap: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n"))
+      // explode_outer (see termFrequencies): inner explode would clone
+      // the sequence expression into an inferred scan filter
+      .select(col("id"), col("toks"), col("n"),
+        explode_outer(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(step))).as("start"))
+      .filter(col("start") < col("n")) // zero-token doc guard
+      .select(col("id"),
+        floor(col("start") / step).cast("long").as("chunk_idx"),
+        least(col("n") - col("start"), lit(maxTokens)).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(maxTokens)), " ")
+          .as("chunk"))
+  }
+
   /** Curriculum / batching buckets: ntile over document length within a
     * shard — equal-population length bands (shortest n-th, …, longest
     * n-th), the standard length-grouping pass before batch assembly so

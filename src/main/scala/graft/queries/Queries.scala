@@ -1137,6 +1137,22 @@ object Queries {
        |  CAST(len(regexp_extract_all(text, '\\b(customer|vector|spark)\\b')) AS BIGINT) AS n_hits
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Fixed-window chunking with overlap (map-only tokenizer prep):
+    * 32-token windows every 24 tokens. */
+  val qChunk: Q = "q_chunk" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Pack.chunk(Tables.documents(s, d), maxTokens = 32, overlap = 8)
+        .select(col("id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_fp"))
+        .orderBy(col("id"), col("chunk_idx")),
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks, len($TOKS) AS n
+       |  FROM documents),
+       |c AS (SELECT id, toks, n, unnest(range(0, n, 24)) AS start FROM t)
+       |SELECT id, start // 24 AS chunk_idx,
+       |  LEAST(n - start, 32) AS n_chunk_tokens,
+       |  md5(array_to_string(toks[start+1:start+32], ' ')) AS chunk_fp
+       |FROM c ORDER BY id, chunk_idx""".stripMargin)
+
   /** Deterministic train/val/test assignment by hash-unit ranges (the
     * split never moves rows between reruns or unrelated splits). */
   val qSplits: Q = "q_splits" -> (
@@ -1197,6 +1213,6 @@ object Queries {
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
-    qShuffleExport, qDupClusters, qSplits, qLengthBuckets,
+    qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
   )
 }

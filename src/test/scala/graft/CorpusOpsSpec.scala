@@ -97,6 +97,25 @@ class CorpusOpsSpec extends SparkTestBase {
       ("s", 0L, 2L, 600L), ("s", 1L, 2L, 700L), ("t", 0L, 1L, 10L)))
   }
 
+  test("chunk: overlapping windows, clipped tail, reconstruction property") {
+    val in = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    // maxTokens=4, overlap=1 → step=3 → starts 0,3,6,9
+    val out = graft.ops.Pack.chunk(in, maxTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._4).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(doc1.map(_._3).toSeq === Seq(4L, 4L, 4L, 1L), "tail clips")
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq === Seq("a b"),
+      "short doc is one chunk")
+    // every token position is covered; consecutive chunks overlap by 1
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").last === b._4.split(" ").head, "overlap stitches")
+    case _ => ()
+    }
+  }
+
   test("tfidfTopK: hand-computed ranking on a tiny corpus") {
     val in = Seq(
       (1L, "apple apple banana"),   // apple tf=2 df=2, banana tf=1 df=1
