@@ -30,4 +30,21 @@ object AsOf {
       leftKeys.map(ColumnBridge.expr), rightKeys.map(ColumnBridge.expr),
       lt, rt, tolerance))
   }
+
+  /** Forward AS-OF: for each left row, the EARLIEST right row with equal
+    * keys and `rightTime >= leftTime` (within `tolerance`). Implemented
+    * by time negation over the backward operator — earliest-after on t
+    * is latest-before on −t — so it reuses the same sort-merge exec and
+    * costs one extra projection per side. Tolerance maps exactly:
+    * (−t_l) − (−t_r) ≤ tol  ⇔  t_r − t_l ≤ tol. */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  leftKeys: Seq[Column], rightKeys: Seq[Column],
+                  leftTime: Column, rightTime: Column,
+                  tolerance: Option[Long] = None): DataFrame = {
+    val ln = left.withColumn("_asof_neg_l", -leftTime)
+    val rn = right.withColumn("_asof_neg_r", -rightTime)
+    join(ln, rn, leftKeys, rightKeys,
+      ln("_asof_neg_l"), rn("_asof_neg_r"), tolerance)
+      .drop("_asof_neg_l", "_asof_neg_r")
+  }
 }

@@ -40,7 +40,8 @@ object Sampling {
   def bernoulli(df: DataFrame, fraction: Double, keyCol: String,
                 seed: Int = 42): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
-    df.filter(hashUnit(col(keyCol), seed) < lit((fraction * SCALE).toLong))
+    // round, don't truncate: 0.29 * 1e6 is 289999.99…
+    df.filter(hashUnit(col(keyCol), seed) < lit(math.round(fraction * SCALE)))
   }
 
   /** Deterministic k-per-stratum sample — the batch analog of a per-key
@@ -80,7 +81,7 @@ object Sampling {
     require(weights.values.forall(_ >= 0), "weights must be >= 0")
     val spark = df.sparkSession
     val wrows = weights.toSeq.sortBy(_._1).map { case (g, w) =>
-      (g, math.floor(w).toLong, ((w - math.floor(w)) * SCALE).toLong)
+      (g, math.floor(w).toLong, math.round((w - math.floor(w)) * SCALE))
     }
     import spark.implicits._
     val wdf = wrows.toDF(groupCol, "_whole", "_fracThr")

@@ -991,6 +991,29 @@ object Queries {
        |  AND p.ts_us - v.v_ts <= CAST(43200000000 AS BIGINT)
        |ORDER BY p.event_id""".stripMargin)
 
+  /** Forward AS-OF (earliest right row at-or-after each left row):
+    * next purchase after every signup, via time negation over the same
+    * sort-merge exec. Only the matched TIME is projected (equal-time
+    * right rows would make richer projections nondeterministic). */
+  val qAsOfFwd: Q = "q_asof_fwd" -> (
+    (s: SparkSession, d: String) => {
+      val sg = Tables.events(s, d).filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val pu = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      graft.ops.AsOf.joinForward(sg, pu, Seq(sg("user_id")), Seq(pu("p_user")),
+          sg("ts_us"), pu("p_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("p_ts").as("next_purchase_us"))
+        .orderBy(col("event_id"))
+    },
+    s"""WITH $EV,
+       |sg AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'signup'),
+       |pu AS (SELECT user_id AS p_user, ts_us AS p_ts FROM ev WHERE event_type = 'purchase')
+       |SELECT sg.event_id, sg.user_id, sg.ts_us, pu.p_ts AS next_purchase_us
+       |FROM sg ASOF JOIN pu ON sg.user_id = pu.p_user AND sg.ts_us <= pu.p_ts
+       |ORDER BY sg.event_id""".stripMargin)
+
   /** Exact percentiles per group (linear interpolation — Spark
     * `percentile` ≡ DuckDB `quantile_cont`). Exact sort-based
     * percentile is the verification primitive; the 100 TB path is
@@ -1214,5 +1237,6 @@ object Queries {
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
+    qAsOfFwd,
   )
 }

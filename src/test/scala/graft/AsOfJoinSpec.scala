@@ -32,6 +32,26 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(far.count() === 0, "latest match older than tolerance → no row")
   }
 
+  test("forward variant: earliest right row at-or-after; tolerance bounds look-ahead") {
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 50L)).toDF("id", "t")
+    val r = Seq((1L, 12L, "a"), (1L, 30L, "b"), (2L, 40L, "c")).toDF("rid", "rt", "v")
+    val out = AsOf.joinForward(l, r, Seq(l("id")), Seq(r("rid")), l("t"), r("rt"))
+      .select(col("id"), col("t"), col("rt"), col("v"))
+      .as[(Long, Long, Long, String)].collect().sortBy(x => (x._1, x._2))
+    // (1,10)→(12,a) earliest-after; (1,20)→(30,b); (2,50) has nothing after
+    assert(out.toSeq === Seq((1L, 10L, 12L, "a"), (1L, 20L, 30L, "b")))
+    val l2 = Seq((1L, 10L)).toDF("id", "t")
+    val r2 = Seq((1L, 100L, "late")).toDF("rid", "rt", "v")
+    assert(AsOf.joinForward(l2, r2, Seq(l2("id")), Seq(r2("rid")),
+      l2("t"), r2("rt"), tolerance = Some(50L)).count() === 0,
+      "earliest match beyond the look-ahead tolerance → no row")
+    // equal times match in both directions (<= / >= contract)
+    val l3 = Seq((1L, 10L)).toDF("id", "t")
+    val r3 = Seq((1L, 10L, "same")).toDF("rid", "rt", "v")
+    assert(AsOf.joinForward(l3, r3, Seq(l3("id")), Seq(r3("rid")),
+      l3("t"), r3("rt")).count() === 1)
+  }
+
   test("equals the window-based formulation on the events table") {
     val ev1 = graft.core.Tables.events(spark, sf0001)
     val ev2 = graft.core.Tables.events(spark, sf0001)
