@@ -26,6 +26,18 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** A null ELEMENT nulls the result even when both inputs are non-null,
+    * so nullability must account for containsNull — with the default
+    * (inputs-only) nullability, non-nullable inputs make ev.isNull the
+    * LITERAL `false` and the element-null branch below would fail Janino
+    * compilation (silent interpreter fallback). */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elemNullable(left) || elemNullable(right)
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -64,11 +76,17 @@ case class VectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // only emit the element-null branch when elements CAN be null:
+      // ev.isNull is the literal `false` (not a variable) otherwise
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $s += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
          |}
          |${ev.value} = $s;

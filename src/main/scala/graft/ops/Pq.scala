@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.expr.{PqAdc, PqDistTable, PqEncode, VectorDot}
+
+/** Product-quantization ANN — the memory-bounded scale path for
+  * similarity search (IVF narrows WHERE to look, PQ shrinks WHAT is
+  * kept: 64 floats → m small codes per vector).
+  *
+  * Training runs Lloyd's jointly over all m subspaces: the corpus
+  * explodes once into (id, sub, subvector) rows and each iteration is
+  * ONE job for every subspace together — not m separate k-means runs.
+  * The model lives on the driver between rounds (it is k·m·subDim
+  * doubles by definition — MLlib KMeans' own shape), broadcast back as
+  * a local relation. Assignment maximizes 2·q·c − |c|² (argmin L2²
+  * with the |q|² term dropped) through the codegen'd [[VectorDot]]; the
+  * corpus never shuffles — only k·m codeword partial sums do.
+  *
+  * Encoding and scoring are the [[PqEncode]]/[[PqDistTable]]/[[PqAdc]]
+  * kernels: map-only, whole-stage-codegen, codebook as a reference
+  * object. Model quality is asserted by recall against the exact
+  * brute-force ranking (`PqSpec`) — a quantized index has no exact SQL
+  * oracle by construction.
+  */
+object Pq {
+
+  /** Train the flat `[sub][code][d]` codebook (length m·k·subDim).
+    * Deterministic: seeded from `seedIds` corpus vectors (code = rank in
+    * the sorted seed list), ties in assignment break to the lowest code,
+    * empty cells keep their previous codeword. */
+  def trainCodebooks(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
+                     seedIds: Seq[Long], idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(seedIds.size == k, s"need exactly k=$k seed ids, got ${seedIds.size}")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def subRows(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .select(col("id"), explode_outer(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("id"), col("sub"),
+        transform(slice(col("v"), col("sub") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("sv"))
+
+    val corpusSub = subRows(corpus).persist()
+
+    // The model is k·m·subDim doubles — driver-sized BY DEFINITION, so
+    // the loop keeps it on the driver (exactly MLlib KMeans' shape):
+    // each round is ONE job — assign against a broadcast local relation,
+    // aggregate the per-cell means, collect them back. No growing
+    // lineage, no persisted intermediates beyond the exploded corpus.
+    val cb = new Array[Double](m * k * subDim)
+    def fill(rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        val off = (r.getInt(0) * k + r.getInt(1)) * subDim
+        val cv = r.getSeq[Double](2)
+        var i = 0
+        while (i < subDim) { cb(off + i) = cv(i); i += 1 }
+      }
+
+    val seedCodes = seedIds.sorted.zipWithIndex.map { case (id, c) => (id, c) }
+      .toDF("id", "code")
+    fill(corpusSub.join(broadcast(seedCodes), Seq("id"))
+      .select(col("sub"), col("code"), col("sv").as("cv")).collect())
+
+    def dot(a: Column, b: Column): Column =
+      ColumnBridge.column(VectorDot(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+    (1 to iters).foreach { _ =>
+      val centRows = for (sub <- 0 until m; code <- 0 until k) yield {
+        val off = (sub * k + code) * subDim
+        (sub, code, (0 until subDim).map(d => cb(off + d)))
+      }
+      val cents = centRows.toDF("sub", "code", "cv")
+        .withColumn("nb2", dot(col("cv"), col("cv")))
+      val updated = corpusSub
+        .join(broadcast(cents), Seq("sub"))
+        .select(col("id"), col("sub"), col("sv"), col("code"),
+          (lit(2.0) * dot(col("sv"), col("cv")) - col("nb2")).as("score"))
+        .groupBy(col("id"), col("sub"))
+        .agg(max_by(col("code"), struct(col("score"), -col("code"))).as("code"),
+          first(col("sv")).as("sv")) // sv is constant within the (id, sub) group
+        .groupBy(col("sub"), col("code"))
+        .agg(array((0 until subDim).map(d =>
+          avg(col("sv").getItem(d))): _*).as("cv"))
+        .collect()
+      fill(updated) // empty cells simply keep their previous codeword
+    }
+    corpusSub.unpersist()
+    cb
+  }
+
+  /** (id, codes): the compressed index — one codegen'd pass per row,
+    * emitted straight from the scan stage. */
+  def encode(corpus: DataFrame, m: Int, k: Int, codebook: Array[Double],
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("n_id"),
+      ColumnBridge.column(PqEncode(
+        ColumnBridge.expr(col(vecCol)), m, k, codebook)).as("codes"))
+
+  /** Approximate top-k by asymmetric distance (query builds its m·k
+    * lookup table once; every candidate costs m table reads). Returns
+    * (q_id, n_id, dist2, rank) — rank 1 = closest. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+              m: Int, k: Int, codebook: Array[Double],
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = encode(corpus, m, k, codebook, idCol, vecCol)
+    val qt = queries.select(col(idCol).as("q_id"),
+      ColumnBridge.column(PqDistTable(
+        ColumnBridge.expr(col(vecCol)), m, k, codebook)).as("qtable"))
+    val scored = codes.join(broadcast(qt), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        ColumnBridge.column(PqAdc(ColumnBridge.expr(col("codes")),
+          ColumnBridge.expr(col("qtable")), k)).as("dist2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+}

@@ -1031,6 +1031,23 @@ object Queries {
       |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
 
+  /** Product-quantization ANN — the memory-bounded similarity-search
+    * scale path (64 floats → 8 codes/vector; ADC scoring). Like the HLL
+    * sketch below, a quantized index has no exact SQL mirror: the
+    * driver records the rows-only check; ranking quality is asserted as
+    * recall against exact brute force in `PqSpec`. */
+  val qPqAnn: Q = "q_pq_ann" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.ops.Pq.trainCodebooks(emb, dim = 64, m = 8, k = 16,
+        iters = 2, seedIds = 0L until 16L)
+      graft.ops.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10), topK = 3,
+          m = 8, k = 16, codebook = cb)
+        .withColumn("dist2", round(col("dist2"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    null) // sentinel: quantized model ≠ SQL-mirrorable (rows-only check)
+
   /** HLL++ approximate distinct — the 100 TB path for q_count_distinct
     * (fixed-size mergeable sketch per group vs exact two-phase shuffle).
     * No DuckDB oracle: the engines' sketches differ by construction, so
@@ -1237,6 +1254,6 @@ object Queries {
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
-    qAsOfFwd,
+    qAsOfFwd, qPqAnn,
   )
 }

@@ -84,6 +84,21 @@ class TextHashPropertySpec extends SparkTestBase {
           ColumnBridge.expr(col("a")), ColumnBridge.expr(col("b")))).as("d"))
         .as[Double].head()
       assert(math.abs(vd - 11.0) < 1e-9)
+      // NON-NULLABLE input (array() constructor): ev.isNull is the
+      // literal `false` — the regression case where an unconditional
+      // isNull assignment fails Janino and falls back silently
+      val vdNn = spark.range(1).select(ColumnBridge.column(
+        graft.functions.expr.VectorDot(
+          ColumnBridge.expr(array(lit(1.0d), lit(2.0d))),
+          ColumnBridge.expr(array(lit(3.0d), lit(4.0d))))).as("d"))
+        .as[Double].head()
+      assert(math.abs(vdNn - 11.0) < 1e-9)
+      val pqcb = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0, 0.0, 0.0)
+      val pq = Seq((1L, Seq(1.0f, 1.0f, 4.0f, 4.0f))).toDF("id", "v")
+        .select(ColumnBridge.column(graft.functions.expr.PqEncode(
+          ColumnBridge.expr(col("v")), 2, 2, pqcb)).as("codes"))
+        .as[Seq[Int]].head()
+      assert(pq === Seq(0, 0))
     } finally {
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
         conf.set("spark.sql.codegen.fallback", _))
