@@ -94,11 +94,16 @@ class TextHashPropertySpec extends SparkTestBase {
         .as[Double].head()
       assert(math.abs(vdNn - 11.0) < 1e-9)
       val pqcb = Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0, 0.0, 0.0)
-      val pq = Seq((1L, Seq(1.0f, 1.0f, 4.0f, 4.0f))).toDF("id", "v")
-        .select(ColumnBridge.column(graft.functions.expr.PqEncode(
-          ColumnBridge.expr(col("v")), 2, 2, pqcb)).as("codes"))
-        .as[Seq[Int]].head()
-      assert(pq === Seq(0, 0))
+      val pqRow = Seq((1L, Seq(1.0f, 1.0f, 4.0f, 4.0f))).toDF("id", "v")
+        .select(
+          ColumnBridge.column(graft.functions.expr.PqEncode(
+            ColumnBridge.expr(col("v")), 2, 2, pqcb)).as("codes"),
+          ColumnBridge.column(graft.functions.expr.PqDistTable(
+            ColumnBridge.expr(col("v")), 2, 2, pqcb)).as("tab"))
+        .select(col("codes"), ColumnBridge.column(graft.functions.expr.PqAdc(
+          ColumnBridge.expr(col("codes")), ColumnBridge.expr(col("tab")), 2)).as("d"))
+        .as[(Seq[Int], Double)].head()
+      assert(pqRow._1 === Seq(0, 0) && pqRow._2 > 0.0)
     } finally {
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
         conf.set("spark.sql.codegen.fallback", _))
