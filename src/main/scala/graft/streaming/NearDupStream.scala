@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection: MinHash-LSH with per-bucket
+  * state, so a near-dup of a document from ANY earlier micro-batch is
+  * caught the moment it arrives — the incremental profile of
+  * [[graft.ops.Dedup.minhashLsh]].
+  *
+  * Shape: the codegen'd signature/band pipeline runs map-only on each
+  * micro-batch (same kernels as batch); the stream is then keyed by
+  * (band, band_hash) and `flatMapGroupsWithState` keeps the signatures
+  * seen in each bucket. A new arrival compares against its bucket's
+  * residents (estimated Jaccard = signature agreement), emits
+  * qualifying pairs, and joins the bucket. State per key is capped at
+  * `maxBucket` residents (oldest evicted) — LSH buckets are small by
+  * construction, and the cap bounds state exactly like the reference's
+  * monotonic operators bound theirs to one row per key.
+  *
+  * A pair sharing several bands is emitted once per band (append-mode
+  * streams cannot re-aggregate their own output); downstream
+  * consolidation — a batch `dropDuplicates` on the sink table or the
+  * delta-sink's consolidation step — collapses them.
+  */
+object NearDupStream {
+
+  /** (id_a, id_b, jaccard_est) with id_a < id_b, emitted as arrivals
+    * close a pair. `docs` carries (doc_id, text). */
+  case class Pair(id_a: Long, id_b: Long, jaccard_est: Double)
+
+  def pairs(docs: DataFrame, tau: Double, shingleLen: Int = 3,
+            bands: Int = 8, rowsPerBand: Int = 4,
+            maxBucket: Int = 64,
+            idCol: String = "doc_id", textCol: String = "text"): Dataset[Pair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = graft.ops.Dedup
+      .minhashBands(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"), col("id"), col("sig"))
+      .as[(Int, String, Long, Seq[Long])]
+    val k = (bands * rowsPerBand).toDouble
+    banded
+      .groupByKey { case (band, bh, _, _) => (band, bh) }
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], Pair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), it: Iterator[(Int, String, Long, Seq[Long])],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[Pair]
+          it.foreach { case (_, _, id, sig) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osig) =>
+                val agree = sig.iterator.zip(osig.iterator).count {
+                  case (a, b) => a == b
+                }
+                val est = agree / k
+                if (est >= tau)
+                  out += Pair(math.min(id, oid), math.max(id, oid), est)
+              }
+              seen = ((id, sig) :: seen).take(maxBucket)
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+}

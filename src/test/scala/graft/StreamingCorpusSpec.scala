@@ -11,7 +11,8 @@ import graft.streaming.DeltaPipeline
   * capability (continuously-synced materialized views, reference
   * runner.rs:151-358) applied to the training-data domain — streaming
   * document ingestion through stateful content dedup and a quality
-  * floor, materialized exactly-once into a JDBC table. */
+  * floor, materialized exactly-once into a JDBC table; plus streaming
+  * MinHash near-dup detection across micro-batches. */
 class StreamingCorpusSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -54,6 +55,32 @@ class StreamingCorpusSpec extends SparkTestBase {
 
       // the sink recorded every micro-batch exactly once
       assert(sink.lastBatchId().exists(_ >= 1L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup: a later batch's near-duplicate pairs with earlier state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("upsilon", "phi") // one token differs
+    val unrelated = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val out = graft.streaming.NearDupStream.pairs(
+      mem.toDF().toDF("doc_id", "text"), tau = 0.35)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream").start()
+    try {
+      mem.addData((1L, base), (2L, unrelated))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM neardup_stream").count() === 0,
+        "unrelated docs produce no pairs")
+      mem.addData((3L, nearDup)) // arrives a batch later
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM neardup_stream")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 3L)),
+        "cross-batch near-dup detected against bucket state")
     } finally q.stop()
   }
 }
