@@ -95,6 +95,94 @@ object Pq {
     cb
   }
 
+  /** Train the codebook on a bounded, deterministically-chosen sample
+    * collected to the driver in ONE job — the FAISS training shape.
+    *
+    * Codebook quality needs only O(k·100) vectors per subspace, so the
+    * training input is capped by construction no matter the corpus
+    * size; distributed Lloyd's (one job per iteration, see
+    * [[trainCodebooks]]) only pays off when even that sample cannot sit
+    * on the driver. Sample selection is hash-ordered (md5-unit, the
+    * [[Sampling]] discipline) with the seed vectors forced in, so the
+    * result is rerun-stable and independent of partitioning. Local
+    * iteration semantics match the distributed trainer: seeds sorted →
+    * code, assignment maximizes 2·q·c − |c|² with ties to the lowest
+    * code, empty cells keep their previous codeword. */
+  def trainCodebooksSampled(corpus: DataFrame, dim: Int, m: Int, k: Int,
+                            iters: Int, seedIds: Seq[Long], sampleCap: Int,
+                            seed: Int = 7, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(seedIds.size == k, s"need exactly k=$k seed ids, got ${seedIds.size}")
+    require(sampleCap >= k, s"sampleCap $sampleCap must cover the k=$k seeds")
+    val subDim = dim / m
+    val seedSet = seedIds.toSet
+    // One TakeOrdered job: seeds first (priority -1), then hash order.
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("pri",
+        when(col("id").isInCollection(seedSet), lit(-1L))
+          .otherwise(Sampling.hashUnit(col("id"), seed)))
+      .orderBy(col("pri"), col("id"))
+      .limit(sampleCap)
+      .select(col("id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val byId = sample.toMap
+
+    val cb = new Array[Double](m * k * subDim)
+    // seed: code = rank in the sorted seed list (same as distributed)
+    seedIds.sorted.zipWithIndex.foreach { case (id, code) =>
+      val v = byId.getOrElse(id,
+        sys.error(s"seed id $id not present in corpus sample"))
+      var sub = 0
+      while (sub < m) {
+        System.arraycopy(v, sub * subDim, cb, (sub * k + code) * subDim, subDim)
+        sub += 1
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = new Array[Double](m * k * subDim)
+      val counts = new Array[Long](m * k)
+      sample.foreach { case (_, v) =>
+        var sub = 0
+        while (sub < m) {
+          val base = sub * subDim
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var code = 0
+          while (code < k) {
+            val off = (sub * k + code) * subDim
+            var dot = 0.0; var nb2 = 0.0; var i = 0
+            while (i < subDim) {
+              val c = cb(off + i); dot += v(base + i) * c; nb2 += c * c; i += 1
+            }
+            val score = 2.0 * dot - nb2
+            if (score > bestScore) { bestScore = score; best = code } // ties → lowest
+            code += 1
+          }
+          val off = (sub * k + best) * subDim
+          var i = 0
+          while (i < subDim) { sums(off + i) += v(base + i); i += 1 }
+          counts(sub * k + best) += 1L
+          sub += 1
+        }
+      }
+      var cell = 0
+      while (cell < m * k) {
+        if (counts(cell) > 0) { // empty cells keep their previous codeword
+          val off = cell * subDim
+          var i = 0
+          while (i < subDim) { cb(off + i) = sums(off + i) / counts(cell); i += 1 }
+        }
+        cell += 1
+      }
+      it += 1
+    }
+    cb
+  }
+
   /** (id, codes): the compressed index — one codegen'd pass per row,
     * emitted straight from the scan stage. */
   def encode(corpus: DataFrame, m: Int, k: Int, codebook: Array[Double],

@@ -43,15 +43,22 @@ object TextStats {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /** Top-k terms per document by tf-idf (linear idf). Ranking ties break
-    * by term ascending. Output: (id, term, tf, df, tfidf, rank). */
+    * by term ascending. Output: (id, term, tf, df, tfidf, rank).
+    *
+    * Single corpus pass: df is a window count over the tf rows
+    * (one row per (doc, term), so rows-per-term IS the document
+    * frequency) rather than a second `termFrequencies` pass — the
+    * tokenize+explode+aggregate chain, the expensive part, runs once.
+    * The term-partitioned window shuffles the already-aggregated tf
+    * rows (far smaller than the raw corpus the two-pass form re-scans);
+    * the vocabulary never materializes as a separate join side. */
   def tfidfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val tf = termFrequencies(docs, idCol, textCol)
-    val df_ = documentFrequency(docs, idCol, textCol)
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df_), Seq("term")) // vocabulary-sized build side
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") * col("n_docs") / col("df"))

@@ -1039,8 +1039,8 @@ object Queries {
   val qPqAnn: Q = "q_pq_ann" -> (
     (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
-      val cb = graft.ops.Pq.trainCodebooks(emb, dim = 64, m = 8, k = 16,
-        iters = 2, seedIds = 0L until 16L)
+      val cb = graft.ops.Pq.trainCodebooksSampled(emb, dim = 64, m = 8, k = 16,
+        iters = 2, seedIds = 0L until 16L, sampleCap = 1024)
       graft.ops.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10), topK = 3,
           m = 8, k = 16, codebook = cb)
         .withColumn("dist2", round(col("dist2"), 6))

@@ -53,4 +53,34 @@ class PqSpec extends SparkTestBase {
     assert(mean > 0.3, s"mean recall@$topK = $mean")
     spark.catalog.clearCache()
   }
+
+  test("sampled-local training: deterministic, full-sample ≅ quality of distributed") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val seeds = (0L until k.toLong)
+    val cb1 = Pq.trainCodebooksSampled(emb, dim, m, k, iters = 2,
+      seedIds = seeds, sampleCap = 512)
+    val cb2 = Pq.trainCodebooksSampled(emb, dim, m, k, iters = 2,
+      seedIds = seeds, sampleCap = 512)
+    assert(cb1.length === m * k * (dim / m))
+    assert(cb1.toSeq === cb2.toSeq, "hash-ordered sample → rerun-stable model")
+    // sample repartitioned differently → same model (partition-independent)
+    val cb3 = Pq.trainCodebooksSampled(emb.repartition(7), dim, m, k,
+      iters = 2, seedIds = seeds, sampleCap = 512)
+    assert(cb1.toSeq === cb3.toSeq, "sample selection must not depend on layout")
+
+    val queries = emb.filter(col("vec_id") < 10)
+    val topK = 10
+    val approx = Pq.adcTopK(emb, queries, topK, m, k, cb1)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Ann.bruteTopK(emb, queries, topK)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.3, s"mean recall@$topK = $mean (sampled trainer)")
+    spark.catalog.clearCache()
+  }
 }
