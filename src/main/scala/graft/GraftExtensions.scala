@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.expr.{ShingleHashes, SimHash48, VectorDot}
+import graft.functions.expr.{MisraGries, ShingleHashes, SimHash48, VectorDot}
 
 /** Catalyst integration point: `spark.sql.extensions=graft.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`) registers the engine's
@@ -44,6 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"simhash48 takes 1 argument, got ${children.length}")
         SimHash48(children.head)
+      }))
+
+    // mg_summary(item string, capacity) -> Misra-Gries heavy-hitter
+    // summary: array<struct<item,cnt>> sorted (cnt desc, item asc)
+    ext.injectFunction((
+      new FunctionIdentifier("mg_summary"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_summary"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"mg_summary takes 2 arguments (item, capacity), got ${children.length}")
+        MisraGries(children.head, intLit(children(1), "capacity"))
       }))
 
     // shingle_hashes(tokens array<string>, n, hexLen) -> distinct hash set

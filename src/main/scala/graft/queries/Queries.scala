@@ -1048,6 +1048,26 @@ object Queries {
     },
     null) // sentinel: quantized model ≠ SQL-mirrorable (rows-only check)
 
+  /** Misra-Gries heavy hitters — the fixed-size mergeable path for
+    * "top-k most frequent" (native TypedImperativeAggregate; O(capacity)
+    * state per group crosses the exchange, map-side combined). Unlike
+    * the HLL/PQ sketches this one IS oracle-checkable: capacity 2048
+    * exceeds the distinct-user count of every event_type group, so the
+    * summary's exact-regime contract makes every reported count the
+    * exact frequency — the DuckDB mirror is a plain grouped count. */
+  val qHeavyHitters: Q = "q_heavy_hitters" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Frequency.heavyHitters(Tables.events(s, d),
+          Seq("event_type"), "user_id", capacity = 2048, k = 10)
+        .orderBy(col("event_type"), col("rank")),
+    """SELECT event_type, item, cnt, rank FROM (
+      |  SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+      |    count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS rank
+      |  FROM events GROUP BY event_type, user_id)
+      |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin)
+
   /** HLL++ approximate distinct — the 100 TB path for q_count_distinct
     * (fixed-size mergeable sketch per group vs exact two-phase shuffle).
     * No DuckDB oracle: the engines' sketches differ by construction, so
@@ -1254,6 +1274,6 @@ object Queries {
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
-    qAsOfFwd, qPqAnn,
+    qAsOfFwd, qPqAnn, qHeavyHitters,
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.ops.Frequency
+
+/** Misra-Gries native aggregate: exact-regime equality with a plain
+  * grouped count, the deterministic under-count bound when capacity is
+  * exceeded, and partitioning-invariance in the exact regime (the
+  * property the q_heavy_hitters oracle relies on). */
+class MisraGriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact regime: distinct <= capacity reproduces the exact counts") {
+    val rnd = new Random(42)
+    val rows = Seq.fill(5000)(("g" + rnd.nextInt(3), "u" + rnd.nextInt(40)))
+    val df = rows.toDF("g", "item")
+
+    val mg = Frequency.heavyHitters(df, Seq("g"), "item", capacity = 64, k = 40)
+      .select("g", "item", "cnt").as[(String, String, Long)].collect().toSet
+    val exact = df.groupBy("g", "item").agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(mg === exact, "capacity 64 > 40 distinct → every count exact")
+  }
+
+  test("exact regime is partitioning-invariant") {
+    val rnd = new Random(7)
+    val rows = Seq.fill(4000)(("u" + rnd.nextInt(100), 1))
+    val a = Frequency.heavyHitters(rows.toDF("item", "x").repartition(1),
+      Seq.empty, "item", capacity = 128, k = 100)
+      .select("item", "cnt", "rank").collect().map(_.toSeq).toSeq
+    val b = Frequency.heavyHitters(rows.toDF("item", "x").repartition(13),
+      Seq.empty, "item", capacity = 128, k = 100)
+      .select("item", "cnt", "rank").collect().map(_.toSeq).toSeq
+    assert(a === b, "no decrement fires → layout cannot matter")
+    assert(a.size === 100)
+  }
+
+  test("over capacity: counts are lower bounds within N/(capacity+1), " +
+    "heavy items always survive") {
+    // zipf-ish skew: item i appears ~ 4000/i times, 200 distinct items,
+    // capacity 50 — far over capacity
+    val rows = (1 to 200).flatMap(i => Seq.fill(4000 / i)(s"i$i"))
+    val n = rows.size.toLong
+    val capacity = 50
+    val bound = n / (capacity + 1L)
+
+    val truth = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val mg = Frequency.heavyHitters(rows.toDF("item").withColumn("g", lit(1)),
+      Seq("g"), "item", capacity = capacity, k = capacity)
+      .select("item", "cnt").as[(String, Long)].collect().toMap
+
+    mg.foreach { case (item, cnt) =>
+      val t = truth(item)
+      assert(cnt <= t, s"$item: reported $cnt must not exceed true $t")
+      assert(t - cnt <= bound, s"$item: undercount ${t - cnt} beyond N/(c+1)=$bound")
+    }
+    truth.filter(_._2 > bound).keys.foreach { item =>
+      assert(mg.contains(item), s"guaranteed-heavy item $item missing")
+    }
+  }
+
+  test("mg_summary is callable from SQL and arrives ranked") {
+    val prev = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = graft.core.GraftSession.tune(
+      org.apache.spark.sql.SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions),
+      shufflePartitions = 2).getOrCreate()
+    try {
+      val out = s.sql(
+        """SELECT mg_summary(x, 10) AS hh FROM VALUES
+          |  ('a'),('b'),('a'),('c'),('a'),('b') AS t(x)""".stripMargin)
+        .selectExpr("inline(hh)")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(out === Seq(("a", 3L), ("b", 2L), ("c", 1L)),
+        "sorted cnt desc, item asc")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+}
