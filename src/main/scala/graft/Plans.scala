@@ -14,7 +14,8 @@ object Plans {
         "q_minhash_lsh", "q_ann_brute", "q_ngram_jaccard", "q_simhash_pairs",
         "q_join_anti", "q_window_frame", "q_topk", "q_asof", "q_range_join",
         "q_sample_hash", "q_stratified", "q_tfidf", "q_pack_seq",
-        "q_mix_weighted", "q_chunk", "q_asof_fwd", "q_pq_ann")
+        "q_mix_weighted", "q_chunk", "q_asof_fwd", "q_pq_ann",
+        "q_heavy_hitters")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

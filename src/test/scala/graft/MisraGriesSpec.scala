@@ -61,6 +61,38 @@ class MisraGriesSpec extends SparkTestBase {
     }
   }
 
+  test("streaming trending: the summary accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val agg = mem.toDF().toDF("etype", "user")
+      .groupBy(col("etype"))
+      .agg(Frequency.mgSummary(col("user"), 8).as("hh"))
+      .select(col("etype"), expr("transform(hh, e -> struct(e.item, e.cnt))").as("hh"))
+
+    // update-mode: capture the latest emitted summary per key
+    val latest = scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach { r =>
+          latest(r.getString(0)) = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getString(0), e.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(("click", "u1"), ("click", "u1"), ("click", "u2"), ("view", "u9"))
+      q.processAllAvailable()
+      assert(latest("click") === Seq(("u1", 2L), ("u2", 1L)))
+      mem.addData(("click", "u2"), ("click", "u2"), ("click", "u2"))
+      q.processAllAvailable()
+      assert(latest("click") === Seq(("u2", 4L), ("u1", 2L)),
+        "batch-2 counts merge into batch-1 state, re-ranked")
+      assert(latest("view") === Seq(("u9", 1L)), "untouched key keeps its state")
+    } finally q.stop()
+  }
+
   test("mg_summary is callable from SQL and arrives ranked") {
     val prev = TestSpark.spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
