@@ -1183,6 +1183,29 @@ object Queries {
        |SELECT id, term, tf, df, tfidf, trank FROM r
        |WHERE trank <= 3 ORDER BY id, trank""".stripMargin)
 
+  /** DuckDB mirror of Layout.spread16 (magic-number bit spread). */
+  private def spreadSql(x: String): String = {
+    val s0 = s"($x & 65535)"
+    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
+  /** Z-order (Morton) clustering key — the write-side layout op for
+    * multi-column scan pruning (`ops.Layout.zorderBy`; LayoutSpec
+    * measures the per-file range narrowing). Pure integer bit math,
+    * whole-stage codegen, mirrored 1:1 in DuckDB. */
+  val qZorder: Q = "q_zorder" -> (
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.ops.Layout.morton2(col("user_id"), col("event_id")).as("z"))
+        .orderBy(col("event_id")),
+    s"""SELECT event_id,
+       |  (${spreadSql("user_id")} | (${spreadSql("event_id")} << 1)) AS z
+       |FROM events ORDER BY event_id""".stripMargin)
+
   /** Deny-list decontamination: whole-word scrub + audit count. */
   private val DENY = Seq("customer", "vector", "spark")
   val qRedact: Q = "q_redact" -> (
@@ -1274,6 +1297,6 @@ object Queries {
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
-    qAsOfFwd, qPqAnn, qHeavyHitters,
+    qAsOfFwd, qPqAnn, qHeavyHitters, qZorder,
   )
 }
