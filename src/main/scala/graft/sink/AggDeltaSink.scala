@@ -1,0 +1,143 @@
+package graft.sink
+
+import java.sql.Connection
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained AGGREGATE view: `keys -> (cnt, sums...)`
+  * kept in sync with a signed-delta stream WITHOUT recomputation.
+  *
+  * The reference maintains raw-row views (bag semantics,
+  * [[JdbcDeltaSink]]); this sink extends the same exactly-once protocol
+  * to additive aggregations — the classic incremental-view-maintenance
+  * result that SUM/COUNT are self-maintainable under inserts AND
+  * retractions. Each micro-batch reduces to per-group adjustments
+  *
+  *   dn = Σ mult,   ds_i = Σ value_i · mult
+  *
+  * (computed distributed, map-side combined — only churned groups reach
+  * the driver), applied inside the offsets transaction as
+  * `UPDATE … SET cnt = cnt + ?, s_i = s_i + ?`, inserting absent
+  * groups and DELETING a group whose cnt reaches 0 — the same
+  * zero-elimination as the reference's `Coll` consolidation
+  * (coll.rs:89-101). cnt < 0 aborts the transaction (over-retraction,
+  * the analog of the raw sink's too-many-deletes guard). AVG and other
+  * ratios are derived columns over (sum, cnt) at read time.
+  *
+  * At 100 TB: per-batch work is O(churned groups), not O(view size) and
+  * not O(event log) — the whole point of maintaining the view. Use
+  * DECIMAL sum columns for drift-free accumulation; DOUBLE sums drift
+  * by ordinary float addition under heavy churn.
+  */
+class AggDeltaSink(url: String, name: String, version: Int,
+                   keys: Seq[ColumnSpec], sums: Seq[ColumnSpec])
+    extends Serializable {
+
+  private val spec = TableSpec(name, version,
+    keys ++ Seq(ColumnSpec("cnt", "BIGINT")) ++ sums)
+  private val keySpec = TableSpec(name, version, keys)
+  private val base = new JdbcDeltaSink(url, spec)
+
+  def bootstrap(): Boolean = base.bootstrap()
+  def getOffsets(): Map[String, Long] = base.getOffsets()
+  def lastBatchId(): Option[Long] = base.lastBatchId()
+  def readRows(): Seq[Seq[Any]] = base.readRows()
+  def readAsDataFrame(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    base.readAsDataFrame(spark)
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c)
+    finally {
+      try { if (!c.getAutoCommit) c.rollback() } catch { case _: Throwable => () }
+      try c.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Apply one batch of per-group adjustments + offsets in ONE
+    * transaction. `adjustments`: (key values, dn, per-sum-column ds).
+    * Replayed batch ids are skipped. */
+  def applyAdjustments(offsets: Map[String, Long], batchId: Long,
+                       adjustments: Seq[(Seq[Any], Long, Seq[Any])])
+      : Boolean = withConn { c =>
+    c.setAutoCommit(false)
+    c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+    try {
+      val applied = {
+        val ps = c.prepareStatement(
+          s"SELECT COUNT(*) FROM ${name}_batches WHERE batch_id = ?")
+        ps.setLong(1, batchId)
+        val rs = ps.executeQuery(); rs.next()
+        val n = rs.getLong(1); rs.close(); ps.close(); n > 0
+      }
+      if (applied) { c.rollback(); false }
+      else {
+        DeltaSql.upsertOffsets(c, spec.offsetsTable, offsets)
+        val bp = c.prepareStatement(s"INSERT INTO ${name}_batches VALUES (?)")
+        bp.setLong(1, batchId); bp.executeUpdate(); bp.close()
+
+        val sumSet = sums.map(s => s"${s.name} = ${s.name} + ?").mkString(", ")
+        val setSql = if (sums.isEmpty) "cnt = cnt + ?" else s"cnt = cnt + ?, $sumSet"
+        adjustments.foreach { case (keyVals, dn, dsums) =>
+          require(dsums.length == sums.length,
+            s"expected ${sums.length} sum adjustments, got ${dsums.length}")
+          val (where, whereParams) = DeltaSql.nullSafeWhere(keySpec, keyVals)
+          val upd = c.prepareStatement(
+            s"UPDATE $name SET $setSql WHERE $where")
+          DeltaSql.bind(upd, (dn +: dsums) ++ whereParams)
+          val hit = upd.executeUpdate(); upd.close()
+          if (hit == 0) {
+            if (dn < 0) throw new IllegalStateException(
+              s"aggregate retraction for absent group $keyVals in $name (dn=$dn)")
+            if (dn > 0) { // dn == 0 with no row: pure no-op churn
+              val ins = c.prepareStatement(
+                s"INSERT INTO $name (${spec.colNames.mkString(", ")}) VALUES (${spec.colNames.map(_ => "?").mkString(", ")})")
+              DeltaSql.bind(ins, (keyVals :+ dn) ++ dsums)
+              ins.executeUpdate(); ins.close()
+            }
+          } else {
+            val sel = c.prepareStatement(
+              s"SELECT cnt FROM $name WHERE $where")
+            DeltaSql.bind(sel, whereParams)
+            val rs = sel.executeQuery(); rs.next()
+            val cnt = rs.getLong(1); rs.close(); sel.close()
+            if (cnt < 0) throw new IllegalStateException(
+              s"group $keyVals in $name driven to cnt=$cnt: more retractions than rows")
+            if (cnt == 0) { // zero-elimination (reference coll.rs:89-101)
+              val del = c.prepareStatement(s"DELETE FROM $name WHERE $where")
+              DeltaSql.bind(del, whereParams)
+              del.executeUpdate(); del.close()
+            }
+          }
+        }
+        c.commit()
+        true
+      }
+    } catch { case e: Throwable => c.rollback(); throw e }
+  }
+
+  /** `foreachBatch` adapter: the micro-batch DataFrame carries the key
+    * columns, the value columns, and `mult`; the per-group reduction to
+    * (dn, ds...) runs distributed — only churned groups are collected.
+    * `_source`/`_offset` columns feed the offsets map if present. */
+  def foreachBatchWriter(): (DataFrame, Long) => Unit = { (df, batchId) =>
+    val hasOffsets = df.columns.contains("_source")
+    val dataDf = df.drop("_source", "_offset")
+    val keyCols = keys.map(k => col(k.name))
+    val aggs = sum(col(graft.core.Deltas.MULT)).as("_dn") +:
+      sums.map(s => sum(col(s.name) * col(graft.core.Deltas.MULT)).as(s.name))
+    val adj = dataDf.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        (keys.map(k => r.getAs[Any](k.name)),
+         r.getAs[Long]("_dn"),
+         sums.map(s => r.getAs[Any](s.name)))
+      }
+    val offsets: Map[String, Long] =
+      if (hasOffsets)
+        df.groupBy("_source").max("_offset").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    applyAdjustments(offsets, batchId, adj)
+    ()
+  }
+}

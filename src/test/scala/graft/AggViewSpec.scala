@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.sink.{AggDeltaSink, ColumnSpec}
+
+/** Incremental aggregate-view maintenance: SUM/COUNT views stay exact
+  * under inserts + retractions with O(churned groups) work per batch —
+  * never a recompute — plus zero-elimination, over-retraction detection,
+  * and batch-id idempotence (the raw sink's exactly-once guarantees
+  * carried over to the aggregate protocol). */
+class AggViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshSink(db: String) = new AggDeltaSink(
+    s"jdbc:derby:memory:$db;create=true", "machine_stats", 1,
+    keys = Seq(ColumnSpec("machine", "VARCHAR(32)", index = true)),
+    sums = Seq(ColumnSpec("total_pcs", "BIGINT")))
+
+  private def view(sink: AggDeltaSink): Map[String, (Long, Long)] =
+    sink.readRows().map(r => r(0).asInstanceOf[String] ->
+      ((r(1).asInstanceOf[Number].longValue, r(2).asInstanceOf[Number].longValue)))
+      .toMap
+
+  test("adjustments accumulate, retract, and zero-eliminate exactly") {
+    val sink = freshSink("aggv1")
+    sink.bootstrap()
+    val w = sink.foreachBatchWriter()
+
+    // batch 0: inserts across two groups
+    w(Seq(("Drill1", 5L, 1L), ("Drill1", 7L, 1L), ("Press1", 10L, 1L))
+      .toDF("machine", "total_pcs", "mult"), 0L)
+    assert(view(sink) === Map("Drill1" -> ((2L, 12L)), "Press1" -> ((1L, 10L))))
+
+    // batch 1: retraction + correction (retract 7, assert 8) in ONE batch
+    w(Seq(("Drill1", 7L, -1L), ("Drill1", 8L, 1L), ("Press1", 3L, 1L))
+      .toDF("machine", "total_pcs", "mult"), 1L)
+    assert(view(sink) === Map("Drill1" -> ((2L, 13L)), "Press1" -> ((2L, 13L))))
+
+    // batch 2: retract everything Press1 ever got → group vanishes
+    w(Seq(("Press1", 10L, -1L), ("Press1", 3L, -1L))
+      .toDF("machine", "total_pcs", "mult"), 2L)
+    assert(view(sink) === Map("Drill1" -> ((2L, 13L))),
+      "cnt=0 must delete the group row (zero-elimination)")
+
+    // redelivery of batch 2 is a no-op (exactly-once)
+    w(Seq(("Drill1", 999L, -1L)).toDF("machine", "total_pcs", "mult"), 2L)
+    assert(view(sink) === Map("Drill1" -> ((2L, 13L))),
+      "an already-applied batch id must not re-apply")
+
+    // over-retraction aborts and leaves the view untouched
+    val ex = intercept[IllegalStateException] {
+      w(Seq(("Drill1", 6L, -1L), ("Drill1", 7L, -1L), ("Drill1", 0L, -1L))
+        .toDF("machine", "total_pcs", "mult"), 3L)
+    }
+    assert(ex.getMessage.contains("retractions"))
+    assert(view(sink) === Map("Drill1" -> ((2L, 13L))), "txn rolled back")
+  }
+
+  test("matches a full recompute through a random churn sequence") {
+    val sink = freshSink("aggv2")
+    sink.bootstrap()
+    val w = sink.foreachBatchWriter()
+    val rnd = new scala.util.Random(11)
+    val live = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var batch = 0L
+    (1 to 8).foreach { _ =>
+      val inserts = Seq.fill(rnd.nextInt(20) + 1)(
+        ("m" + rnd.nextInt(5), rnd.nextInt(100).toLong))
+      val removals = rnd.shuffle(live).take(rnd.nextInt(live.size + 1) / 2)
+      removals.foreach(live -= _)
+      live ++= inserts
+      val deltas = inserts.map { case (m, v) => (m, v, 1L) } ++
+        removals.map { case (m, v) => (m, v, -1L) }
+      w(deltas.toDF("machine", "total_pcs", "mult"), batch)
+      batch += 1
+    }
+    val expect = live.groupBy(_._1).map { case (m, vs) =>
+      m -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    assert(view(sink) === expect, "incremental view ≡ recompute at every point")
+  }
+
+  test("streaming end-to-end: delta stream maintains the aggregate view") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = freshSink("aggv3")
+    val mem = MemoryStream[(String, Long, Long)]
+    val deltas = mem.toDF().toDF("machine", "total_pcs", "mult")
+
+    sink.bootstrap()
+    val q = deltas.writeStream.outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-aggckpt").toString)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch(sink.foreachBatchWriter())
+      .start()
+    try {
+      mem.addData(("Drill1", 5L, 1L), ("Press1", 4L, 1L))
+      q.processAllAvailable()
+      mem.addData(("Drill1", 6L, 1L), ("Press1", 4L, -1L))
+      q.processAllAvailable()
+      assert(view(sink) === Map("Drill1" -> ((2L, 11L))),
+        "Press1 zero-eliminated; Drill1 accumulated across micro-batches")
+    } finally q.stop()
+  }
+}
