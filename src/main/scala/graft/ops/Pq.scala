@@ -131,11 +131,20 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val byId = sample.toMap
 
+    val seeds = seedIds.sorted.map(id => byId.getOrElse(id,
+      sys.error(s"seed id $id not present in corpus sample"))).toArray
+    lloydLocal(sample.map(_._2), seeds, m, k, subDim, iters)
+  }
+
+  /** Driver-local joint Lloyd's over all m subspaces (shared by the
+    * sampled raw and residual trainers). Semantics match the
+    * distributed trainer: assignment maximizes 2·q·c − |c|², ties to
+    * the lowest code, empty cells keep their previous codeword. */
+  private def lloydLocal(vectors: Array[Array[Double]],
+                         seeds: Array[Array[Double]],
+                         m: Int, k: Int, subDim: Int, iters: Int): Array[Double] = {
     val cb = new Array[Double](m * k * subDim)
-    // seed: code = rank in the sorted seed list (same as distributed)
-    seedIds.sorted.zipWithIndex.foreach { case (id, code) =>
-      val v = byId.getOrElse(id,
-        sys.error(s"seed id $id not present in corpus sample"))
+    seeds.zipWithIndex.foreach { case (v, code) =>
       var sub = 0
       while (sub < m) {
         System.arraycopy(v, sub * subDim, cb, (sub * k + code) * subDim, subDim)
@@ -146,7 +155,7 @@ object Pq {
     while (it < iters) {
       val sums = new Array[Double](m * k * subDim)
       val counts = new Array[Long](m * k)
-      sample.foreach { case (_, v) =>
+      vectors.foreach { v =>
         var sub = 0
         while (sub < m) {
           val base = sub * subDim
@@ -181,6 +190,114 @@ object Pq {
       it += 1
     }
     cb
+  }
+
+  /** Flatten a (c_id, c_v) centroid frame (e.g. [[Ann.kmeansCentroids]]'
+    * output) into the `[cell][d]` array the IVF-PQ kernels take; cell
+    * index = rank of c_id ascending. ONE collect of a k×dim model. */
+  def centroidArray(cents: DataFrame, dim: Int): Array[Double] = {
+    val rows = cents.select(col("c_id"), col("c_v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val out = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case ((_, v), cell) =>
+      require(v.length == dim, s"centroid dim ${v.length} != $dim")
+      var i = 0
+      while (i < dim) { out(cell * dim + i) = v(i); i += 1 }
+    }
+    out
+  }
+
+  /** Train RESIDUAL codebooks for IVF-PQ on a bounded hash-ordered
+    * sample (one job): each sampled vector is assigned to its nearest
+    * coarse cell and the PQ codebook is fit to `v − c_cell` — residuals
+    * cluster far tighter than raw vectors, so the same m·k budget buys
+    * much lower quantization error (the FAISS IVFPQ construction).
+    * Deterministic: hash-ordered sample, seeds = first k sampled
+    * residuals. `centroids` is the flat `[cell][d]` coarse quantizer. */
+  def trainResidualCodebooksSampled(corpus: DataFrame, centroids: Array[Double],
+                                    dim: Int, m: Int, k: Int, iters: Int,
+                                    sampleCap: Int, seed: Int = 7,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding"): Array[Double] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(centroids.nonEmpty && centroids.length % dim == 0)
+    require(sampleCap >= k, s"sampleCap $sampleCap must cover k=$k seeds")
+    val subDim = dim / m
+    val nCells = centroids.length / dim
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("pri", Sampling.hashUnit(col("id"), seed))
+      .orderBy(col("pri"), col("id"))
+      .limit(sampleCap)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val residuals = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var cell = 0
+      while (cell < nCells) {
+        var d = 0.0; var i = 0
+        while (i < dim) {
+          val diff = v(i) - centroids(cell * dim + i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = cell }
+        cell += 1
+      }
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - centroids(best * dim + i); i += 1 }
+      r
+    }
+    lloydLocal(residuals, residuals.take(k), m, k, subDim, iters)
+  }
+
+  /** IVF-PQ top-k: coarse cells prune WHERE to look (a query probes only
+    * its nProbe nearest cells), residual PQ codes shrink WHAT is kept.
+    * All kernels map-only ([[graft.functions.expr.NearestCell]] /
+    * [[graft.functions.expr.PqEncodeRes]] — the residual subtraction is
+    * fused into the codegen'd distance loops); the corpus shuffles only
+    * by the one cell-key join against the broadcast query tables, and
+    * the residual ADC sum directly approximates |q − v|² (since
+    * v̂ = c_cell + r̂). Returns (q_id, n_id, dist2, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+                centroids: Array[Double], dim: Int, m: Int, k: Int,
+                codebook: Array[Double], nProbe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expr.{CellDists, NearestCell, PqAdc, PqDistTableRes, PqEncodeRes}
+    def e(c: Column) = ColumnBridge.expr(c)
+    def cc(x: org.apache.spark.sql.catalyst.expressions.Expression) =
+      ColumnBridge.column(x)
+
+    val codes = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+      .select(col("n_id"), cc(NearestCell(e(col("nv")), centroids, dim)).as("cell"),
+        col("nv"))
+      .select(col("n_id"), col("cell"),
+        cc(PqEncodeRes(e(col("nv")), e(col("cell")), centroids, dim, m, k,
+          codebook)).as("codes"))
+
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd").asc, col("cell").asc)
+    val qt = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .select(col("q_id"), col("qv"),
+        posexplode(cc(CellDists(e(col("qv")), centroids, dim))))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "cd")
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), col("cell"),
+        cc(PqDistTableRes(e(col("qv")), e(col("cell")), centroids, dim, m, k,
+          codebook)).as("qtable"))
+
+    val scored = codes.join(broadcast(qt), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cc(PqAdc(e(col("codes")), e(col("qtable")), k)).as("dist2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
   }
 
   /** (id, codes): the compressed index — one codegen'd pass per row,

@@ -1048,6 +1048,27 @@ object Queries {
     },
     null) // sentinel: quantized model ≠ SQL-mirrorable (rows-only check)
 
+  /** IVF-PQ ANN — coarse cells prune where to look, residual PQ codes
+    * shrink what is kept (the FAISS IVFPQ composition; rows-only like
+    * q_pq_ann — recall is pinned against exact brute force in PqSpec). */
+  val qIvfPq: Q = "q_ivfpq_ann" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val nCells = 8
+      val cents = graft.ops.Pq.centroidArray(
+        emb.filter(col("vec_id") < nCells)
+          .select(col("vec_id").cast("long").as("c_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+        dim = 64)
+      val cb = graft.ops.Pq.trainResidualCodebooksSampled(emb, cents,
+        dim = 64, m = 8, k = 16, iters = 2, sampleCap = 1024)
+      graft.ops.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), topK = 3,
+          centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 4)
+        .withColumn("dist2", round(col("dist2"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    null) // sentinel: quantized model ≠ SQL-mirrorable (rows-only check)
+
   /** Misra-Gries heavy hitters — the fixed-size mergeable path for
     * "top-k most frequent" (native TypedImperativeAggregate; O(capacity)
     * state per group crosses the exchange, map-side combined). Unlike
@@ -1297,6 +1318,6 @@ object Queries {
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
-    qAsOfFwd, qPqAnn, qHeavyHitters, qZorder,
+    qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq,
   )
 }

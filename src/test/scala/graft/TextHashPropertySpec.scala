@@ -104,6 +104,27 @@ class TextHashPropertySpec extends SparkTestBase {
           ColumnBridge.expr(col("codes")), ColumnBridge.expr(col("tab")), 2)).as("d"))
         .as[(Seq[Int], Double)].head()
       assert(pqRow._1 === Seq(0, 0) && pqRow._2 > 0.0)
+      // IVF-PQ kernels: cell assignment + residual encode/table
+      val cents = Array(0.0, 0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0) // 2 cells, dim 4
+      val ivfRow = Seq((1L, Seq(9.0f, 9.0f, 11.0f, 11.0f))).toDF("id", "v")
+        .select(col("v"),
+          ColumnBridge.column(graft.functions.expr.NearestCell(
+            ColumnBridge.expr(col("v")), cents, 4)).as("cell"),
+          size(ColumnBridge.column(graft.functions.expr.CellDists(
+            ColumnBridge.expr(col("v")), cents, 4))).as("nd"))
+        .select(col("cell"), col("nd"),
+          ColumnBridge.column(graft.functions.expr.PqEncodeRes(
+            ColumnBridge.expr(col("v")), ColumnBridge.expr(col("cell")),
+            cents, 4, 2, 2, pqcb)).as("rcodes"),
+          size(ColumnBridge.column(graft.functions.expr.PqDistTableRes(
+            ColumnBridge.expr(col("v")), ColumnBridge.expr(col("cell")),
+            cents, 4, 2, 2, pqcb))).as("ntab"))
+        .as[(Int, Int, Seq[Int], Int)].head()
+      assert(ivfRow._1 === 1, "(9,9,11,11) sits in cell 1 (centroid 10s)")
+      assert(ivfRow._2 === 2 && ivfRow._4 === 4)
+      // residual vs cell-1 centroid = (-1,-1,1,1): sub0 (-1,-1) → code 0
+      // ((0,0) beats (10,10)); sub1 (1,1) → code 1 ((0,0) beats (5,5))
+      assert(ivfRow._3 === Seq(0, 1))
     } finally {
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
         conf.set("spark.sql.codegen.fallback", _))
