@@ -1,6 +1,6 @@
 package graft.flow
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{Column, Dataset, Encoder}
 
 /** Typed multiset collection — the reference's `Flow<T>` surface
   * (reference flow.rs:210-213) re-expressed over `Dataset[T]`.
@@ -41,6 +41,15 @@ final case class Flow[T](ds: Dataset[T]) {
     * flow.rs:383-394). Runs on executors; for debugging/metrics only. */
   def inspect(f: T => Unit)(implicit e: Encoder[T]): Flow[T] =
     Flow(ds.map { t => f(t); t })
+
+  /** P8's engine-native form: named aggregate metrics collected as a
+    * side effect of the normal pass (no extra job, no executor
+    * callback) — delivered per action via `QueryExecutionListener` /
+    * per micro-batch in `StreamingQueryProgress.observedMetrics`.
+    * Prefer this over [[inspect]] for production counters: `inspect`
+    * pays a per-row closure; an observation is a codegen'd aggregate. */
+  def observe(name: String, metric: Column, metrics: Column*): Flow[T] =
+    Flow(ds.observe(name, metric, metrics: _*))
 
   /** U1 `concat` — multiset union / UNION ALL (reference flow.rs:411-431). */
   def concat(other: Flow[T]): Flow[T] = Flow(ds.union(other.ds))

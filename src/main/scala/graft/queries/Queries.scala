@@ -186,7 +186,8 @@ object Queries {
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      li.join(broadcast(ord.join(broadcast(dims), col("o_custkey") === col("c_custkey"))),
+      li.join(ord.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))

@@ -18,6 +18,34 @@ class FlowSpec extends SparkTestBase {
     assert(f.flatMap(x => Seq.fill(x)(x)).ds.count() === 15)
   }
 
+  test("P8 observe: named metrics ride the action (no extra job)") {
+    import org.apache.spark.sql.functions._
+    val collected = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]](Map.empty)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("flow_stats").foreach { row =>
+          collected.set(row.getValuesMap(Seq("n", "max_v")))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = flowOf(1, 5, 2, 9, 3)
+        .observe("flow_stats", count(lit(1)).as("n"), max(col("value")).as("max_v"))
+        .filter(_ > 2)
+        .ds.collect()
+      assert(out.sorted === Array(3, 5, 9))
+      // listener delivery is asynchronous
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (collected.get.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(collected.get === Map("n" -> 5L, "max_v" -> 9),
+        "metrics observe the PRE-filter flow on the same pass")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("U1/U2: concat is bag union (keeps duplicates)") {
     val a = flowOf(1, 2); val b = flowOf(2, 3)
     assert(a.concat(b).ds.collect().sorted === Array(1, 2, 2, 3))

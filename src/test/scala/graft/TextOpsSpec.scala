@@ -55,4 +55,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(sampled.forall(_ % 4 == 0), "stride sampling")
     assert(sampled.size <= 8, "frame cap")
   }
+
+  test("multimodal features feed the similarity index end-to-end") {
+    // binary → (stub) decode → feature vectors → ANN over those vectors:
+    // the composite a multimodal dedup/retrieval pipeline runs. The stub
+    // decoder is deterministic, so the whole chain reruns bit-identical.
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val top = graft.ops.Ann.bruteTopK(feats, feats.filter(col("vec_id") < 5L), 3)
+    val byQ = top.select("q_id", "n_id", "rank").as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+    assert(byQ.keySet.size === 5 && byQ.values.forall(_.length === 3),
+      "every decoded query gets 3 neighbors from the decoded corpus")
+    val rerun = graft.ops.Ann.bruteTopK(feats, feats.filter(col("vec_id") < 5L), 3)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(rerun === top.select("q_id", "n_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet, "deterministic end-to-end")
+  }
 }
