@@ -1070,6 +1070,47 @@ object Queries {
     },
     null) // sentinel: quantized model ≠ SQL-mirrorable (rows-only check)
 
+  /** Inactivity-gap sessionization (gaps-and-islands): a new session
+    * starts after >6h of silence per user. One window pass per user
+    * (lag → boundary flag → running session index) then a per-session
+    * aggregate — the batch shape of `session_window` (whose merge
+    * semantics `WatermarkSpec` covers for streaming); exact-integer µs
+    * arithmetic end to end. */
+  val qSessions: Q = "q_sessions" -> (
+    (s: SparkSession, d: String) => {
+      val gapUs = 6L * 3600 * 1000000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("new_s",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= gapUs, 0L)
+            .otherwise(1L))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    s"""WITH $EV,
+       |b AS (SELECT user_id, event_id, ts_us,
+       |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) <= ${6L * 3600 * 1000000}
+       |      THEN 0 ELSE 1 END AS new_s
+       |  FROM ev),
+       |si AS (SELECT user_id, ts_us,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM b)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+       |  max(ts_us) - min(ts_us) AS duration_us
+       |FROM si GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin)
+
   /** Misra-Gries heavy hitters — the fixed-size mergeable path for
     * "top-k most frequent" (native TypedImperativeAggregate; O(capacity)
     * state per group crosses the exchange, map-side combined). Unlike
@@ -1319,6 +1360,6 @@ object Queries {
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
-    qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq,
+    qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
   )
 }
