@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming state on the RocksDB state-store provider — the backend
+  * that keeps unbounded keyed state (dedup fingerprints, join
+  * arrangements, monotonic per-key rows) off the executor heap and
+  * spillable to local disk + checkpoint. The default HDFS-backed
+  * provider holds every key in memory; at 100 TB of accumulated state
+  * that is the first thing to fall over, so the engine must run
+  * unchanged when the provider is swapped — this spec pins exactly
+  * that (same dedup semantics, state carried across batches). */
+class StateStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cross-batch streaming dedup runs unchanged on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "fp")
+        .dropDuplicates("fp") // state: one row per fingerprint, forever
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocks_dedup").start()
+      try {
+        mem.addData((1L, "a"), (2L, "b"), (3L, "a"))
+        q.processAllAvailable()
+        mem.addData((4L, "b"), (5L, "c")) // b is a dup ACROSS batches
+        q.processAllAvailable()
+        val out = spark.table("rocks_dedup").select("doc_id", "fp")
+          .as[(Long, String)].collect().toMap
+        assert(out.values.toSet === Set("a", "b", "c"))
+        assert(!out.contains(4L), "cross-batch duplicate must hit RocksDB state")
+        val lastProgress = q.recentProgress.last
+        assert(lastProgress.stateOperators.nonEmpty, "a stateful operator ran")
+      } finally q.stop()
+    } finally {
+      prev.fold(conf.unset(key))(conf.set(key, _))
+    }
+  }
+}
