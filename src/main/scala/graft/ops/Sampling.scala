@@ -94,6 +94,29 @@ object Sampling {
       .drop("_whole", "_fracThr", "_copies")
   }
 
+  /** Weighted sample WITHOUT replacement (sequential Poisson / Ohlsson
+    * order sampling): each row gets priority `u / w` (its hash unit over
+    * its weight) and the k smallest priorities win — heavier rows draw
+    * proportionally smaller priorities, approximating πps inclusion.
+    *
+    * The priority is ONE IEEE division of exactly-representable
+    * operands (integer hash unit, caller-supplied weight), so ranks are
+    * bit-identical across engines — the property that lets
+    * `q_weighted_sample` hash-match DuckDB (the usual u^(1/w) / −ln(u)/w
+    * keys need pow/ln, which carry no cross-engine rounding guarantee).
+    * Physical shape: `orderBy(priority).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition k-row heaps, no global sort,
+    * no single-partition window. */
+  def weightedK(df: DataFrame, k: Int, keyCol: String, weightCol: String,
+                seed: Int = 42): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("_pri",
+        hashUnit(col(keyCol), seed).cast("double") / col(weightCol))
+      .orderBy(col("_pri"), col(keyCol))
+      .limit(k)
+      .drop("_pri")
+  }
+
   /** Deterministic train/validation/test assignment: the hash unit is cut
     * at the cumulative fraction boundaries, so every row gets exactly one
     * split label, reruns reproduce the assignment, and growing one split

@@ -1185,6 +1185,23 @@ object Queries {
        |  FROM documents)
        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin)
 
+  /** Weighted sample without replacement (sequential Poisson order
+    * sampling, priority = hash unit / weight — one IEEE division of
+    * exact operands, bit-identical cross-engine; here weight = document
+    * length, so longer documents are proportionally likelier). */
+  val qWeightedSample: Q = "q_weighted_sample" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.weightedK(
+          Tables.documents(s, d).withColumn("wt", length(col("text"))),
+          k = 50, keyCol = "doc_id", weightCol = "wt", seed = 7)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(${hashUnitSql("doc_id", 7)} AS DOUBLE) / length(text) AS pri
+       |  FROM documents ORDER BY pri, doc_id LIMIT 50)
+       |ORDER BY doc_id""".stripMargin)
+
   /** Weighted corpus mixing: per-language rates with upsampling by
     * duplication (expected multiplicity = weight, decided row-locally
     * from the hash unit; broadcast weights, no corpus shuffle). */
@@ -1361,5 +1378,6 @@ object Queries {
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
+    qWeightedSample,
   )
 }

@@ -116,6 +116,20 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("weightedK: without-replacement, weight-proportional, layout-stable") {
+    val rows = (0L until 400L).map(i =>
+      (i, if (i < 200) 1.0 else 50.0)) // two weight classes
+    val df = rows.toDF("id", "wt")
+    val s1 = Sampling.weightedK(df, 80, "id", "wt", seed = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(s1.distinct.size === 80, "without replacement: 80 distinct rows")
+    val heavy = s1.count(_ >= 200L)
+    assert(heavy > 60, s"50x-weighted rows must dominate the sample, got $heavy/80")
+    val s2 = Sampling.weightedK(df.repartition(7), 80, "id", "wt", seed = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(s1.toSet === s2.toSet, "deterministic under re-layout")
+  }
+
   test("tfidfTopK: hand-computed ranking on a tiny corpus") {
     val in = Seq(
       (1L, "apple apple banana"),   // apple tf=2 df=2, banana tf=1 df=1
