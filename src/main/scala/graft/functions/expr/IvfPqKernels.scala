@@ -124,7 +124,8 @@ case class PqEncodeRes(left: Expression, right: Expression,
     extends BinaryExpression {
 
   require(dim >= 1 && cents.length % dim == 0 && cents.nonEmpty)
-  require(m >= 1 && k >= 1 && codebook.length == m * k * (dim / m),
+  require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+  require(k >= 1 && codebook.length == m * k * (dim / m),
     s"codebook length ${codebook.length} != m*k*subDim ${m * k * (dim / m)}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -163,6 +164,8 @@ object PqEncodeRes {
               cents: Array[Double], dim: Int,
               m: Int, k: Int, cb: Array[Double]): ArrayData = {
     require(v.numElements() == dim, s"vector dim ${v.numElements()} != $dim")
+    require(cell >= 0 && cell < cents.length / dim,
+      s"cell $cell out of range [0, ${cents.length / dim})")
     val subDim = dim / m
     val cOff = cell * dim
     val codes = new Array[Int](m)
@@ -198,7 +201,8 @@ case class PqDistTableRes(left: Expression, right: Expression,
     extends BinaryExpression {
 
   require(dim >= 1 && cents.length % dim == 0 && cents.nonEmpty)
-  require(m >= 1 && k >= 1 && codebook.length == m * k * (dim / m))
+  require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+  require(k >= 1 && codebook.length == m * k * (dim / m))
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -236,6 +240,8 @@ object PqDistTableRes {
               cents: Array[Double], dim: Int,
               m: Int, k: Int, cb: Array[Double]): ArrayData = {
     require(v.numElements() == dim, s"vector dim ${v.numElements()} != $dim")
+    require(cell >= 0 && cell < cents.length / dim,
+      s"cell $cell out of range [0, ${cents.length / dim})")
     val subDim = dim / m
     val cOff = cell * dim
     val out = new Array[Double](m * k)

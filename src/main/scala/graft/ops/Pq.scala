@@ -233,6 +233,8 @@ object Pq {
       .select(col("v"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"corpus sample has ${sample.length} vectors, need at least k=$k seeds")
     val residuals = sample.map { v =>
       var best = 0; var bestD = Double.MaxValue
       var cell = 0

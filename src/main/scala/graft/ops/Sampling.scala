@@ -110,7 +110,12 @@ object Sampling {
   def weightedK(df: DataFrame, k: Int, keyCol: String, weightCol: String,
                 seed: Int = 42): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.withColumn("_pri",
+    // weight null/0 ⇒ NEVER selected. Without the filter, Spark's
+    // non-ANSI divide yields a NULL priority that sorts NULLS FIRST —
+    // such rows would unconditionally WIN sample slots (and DuckDB,
+    // sorting NULLS LAST, would disagree).
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_pri",
         hashUnit(col(keyCol), seed).cast("double") / col(weightCol))
       .orderBy(col("_pri"), col(keyCol))
       .limit(k)

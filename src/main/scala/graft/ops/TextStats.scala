@@ -33,6 +33,10 @@ object TextStats {
                       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode_outer(col("toks")).as("term"))
+      // a NULL text row survives explode_outer as a null term — drop it
+      // explicitly (the filter sits on the generator OUTPUT attribute,
+      // so it cannot be substituted down into the tokenization)
+      .filter(col("term").isNotNull)
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 

@@ -1199,7 +1199,8 @@ object Queries {
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang,
        |    CAST(${hashUnitSql("doc_id", 7)} AS DOUBLE) / length(text) AS pri
-       |  FROM documents ORDER BY pri, doc_id LIMIT 50)
+       |  FROM documents WHERE length(text) > 0
+       |  ORDER BY pri, doc_id LIMIT 50)
        |ORDER BY doc_id""".stripMargin)
 
   /** Weighted corpus mixing: per-language rates with upsampling by

@@ -45,76 +45,59 @@ class AggDeltaSink(url: String, name: String, version: Int,
   def readAsDataFrame(spark: org.apache.spark.sql.SparkSession): DataFrame =
     base.readAsDataFrame(spark)
 
-  private def withConn[A](f: Connection => A): A = {
-    val c = java.sql.DriverManager.getConnection(url)
-    try f(c)
-    finally {
-      try { if (!c.getAutoCommit) c.rollback() } catch { case _: Throwable => () }
-      try c.close() catch { case _: Throwable => () }
-    }
+  private def numericallyZero(v: Any): Boolean = v match {
+    case null => true // SQL SUM over an empty/all-null slice
+    case n: java.lang.Number => n.doubleValue() == 0.0
+    case other => sys.error(s"non-numeric sum adjustment: $other")
   }
 
   /** Apply one batch of per-group adjustments + offsets in ONE
-    * transaction. `adjustments`: (key values, dn, per-sum-column ds).
-    * Replayed batch ids are skipped. */
+    * transaction ([[DeltaSql.inBatchTxn]] — the same exactly-once
+    * protocol as the raw-row sinks). `adjustments`: (key values, dn,
+    * per-sum-column ds). Replayed batch ids are skipped. */
   def applyAdjustments(offsets: Map[String, Long], batchId: Long,
-                       adjustments: Seq[(Seq[Any], Long, Seq[Any])])
-      : Boolean = withConn { c =>
-    c.setAutoCommit(false)
-    c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
-    try {
-      val applied = {
-        val ps = c.prepareStatement(
-          s"SELECT COUNT(*) FROM ${name}_batches WHERE batch_id = ?")
-        ps.setLong(1, batchId)
-        val rs = ps.executeQuery(); rs.next()
-        val n = rs.getLong(1); rs.close(); ps.close(); n > 0
-      }
-      if (applied) { c.rollback(); false }
-      else {
-        DeltaSql.upsertOffsets(c, spec.offsetsTable, offsets)
-        val bp = c.prepareStatement(s"INSERT INTO ${name}_batches VALUES (?)")
-        bp.setLong(1, batchId); bp.executeUpdate(); bp.close()
-
-        val sumSet = sums.map(s => s"${s.name} = ${s.name} + ?").mkString(", ")
-        val setSql = if (sums.isEmpty) "cnt = cnt + ?" else s"cnt = cnt + ?, $sumSet"
-        adjustments.foreach { case (keyVals, dn, dsums) =>
-          require(dsums.length == sums.length,
-            s"expected ${sums.length} sum adjustments, got ${dsums.length}")
-          val (where, whereParams) = DeltaSql.nullSafeWhere(keySpec, keyVals)
-          val upd = c.prepareStatement(
-            s"UPDATE $name SET $setSql WHERE $where")
-          DeltaSql.bind(upd, (dn +: dsums) ++ whereParams)
-          val hit = upd.executeUpdate(); upd.close()
-          if (hit == 0) {
-            if (dn < 0) throw new IllegalStateException(
-              s"aggregate retraction for absent group $keyVals in $name (dn=$dn)")
-            if (dn > 0) { // dn == 0 with no row: pure no-op churn
-              val ins = c.prepareStatement(
-                s"INSERT INTO $name (${spec.colNames.mkString(", ")}) VALUES (${spec.colNames.map(_ => "?").mkString(", ")})")
-              DeltaSql.bind(ins, (keyVals :+ dn) ++ dsums)
-              ins.executeUpdate(); ins.close()
-            }
-          } else {
-            val sel = c.prepareStatement(
-              s"SELECT cnt FROM $name WHERE $where")
-            DeltaSql.bind(sel, whereParams)
-            val rs = sel.executeQuery(); rs.next()
-            val cnt = rs.getLong(1); rs.close(); sel.close()
-            if (cnt < 0) throw new IllegalStateException(
-              s"group $keyVals in $name driven to cnt=$cnt: more retractions than rows")
-            if (cnt == 0) { // zero-elimination (reference coll.rs:89-101)
-              val del = c.prepareStatement(s"DELETE FROM $name WHERE $where")
-              DeltaSql.bind(del, whereParams)
-              del.executeUpdate(); del.close()
-            }
+                       adjustments: Seq[(Seq[Any], Long, Seq[Any])]): Boolean =
+    DeltaSql.inBatchTxn(url, s"${name}_batches", spec.offsetsTable,
+      batchId, offsets) { c =>
+      val sumSet = sums.map(s => s"${s.name} = ${s.name} + ?").mkString(", ")
+      val setSql = if (sums.isEmpty) "cnt = cnt + ?" else s"cnt = cnt + ?, $sumSet"
+      adjustments.foreach { case (keyVals, dn, dsums) =>
+        require(dsums.length == sums.length,
+          s"expected ${sums.length} sum adjustments, got ${dsums.length}")
+        val (where, whereParams) = DeltaSql.nullSafeWhere(keySpec, keyVals)
+        val upd = c.prepareStatement(
+          s"UPDATE $name SET $setSql WHERE $where")
+        DeltaSql.bind(upd, (dn +: dsums) ++ whereParams)
+        val hit = upd.executeUpdate(); upd.close()
+        if (hit == 0) {
+          // absent group: any net effect (dn ≠ 0 OR a nonzero sum
+          // adjustment — e.g. retract(v=1)+insert(v=5) netting dn=0,
+          // ds=+4) means the stream retracts state the view never had
+          if (dn < 0 || (dn == 0 && !dsums.forall(numericallyZero)))
+            throw new IllegalStateException(
+              s"aggregate retraction for absent group $keyVals in $name (dn=$dn, ds=$dsums)")
+          if (dn > 0) {
+            val ins = c.prepareStatement(
+              s"INSERT INTO $name (${spec.colNames.mkString(", ")}) VALUES (${spec.colNames.map(_ => "?").mkString(", ")})")
+            DeltaSql.bind(ins, (keyVals :+ dn) ++ dsums)
+            ins.executeUpdate(); ins.close()
+          }
+        } else {
+          val sel = c.prepareStatement(
+            s"SELECT cnt FROM $name WHERE $where")
+          DeltaSql.bind(sel, whereParams)
+          val rs = sel.executeQuery(); rs.next()
+          val cnt = rs.getLong(1); rs.close(); sel.close()
+          if (cnt < 0) throw new IllegalStateException(
+            s"group $keyVals in $name driven to cnt=$cnt: more retractions than rows")
+          if (cnt == 0) { // zero-elimination (reference coll.rs:89-101)
+            val del = c.prepareStatement(s"DELETE FROM $name WHERE $where")
+            DeltaSql.bind(del, whereParams)
+            del.executeUpdate(); del.close()
           }
         }
-        c.commit()
-        true
       }
-    } catch { case e: Throwable => c.rollback(); throw e }
-  }
+    }
 
   /** `foreachBatch` adapter: the micro-batch DataFrame carries the key
     * columns, the value columns, and `mult`; the per-group reduction to

@@ -73,6 +73,46 @@ private[sink] object DeltaSql {
     insRow.close()
   }
 
+  /** Connection scope with rollback-before-close: a failure inside `f`
+    * must surface, not be masked by Derby's close-with-active-txn error. */
+  def withConn[A](url: String)(f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c)
+    finally {
+      try { if (!c.getAutoCommit) c.rollback() } catch { case _: Throwable => () }
+      try c.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** THE exactly-once batch transaction (one copy for all three sinks):
+    * serializable txn; an already-applied batchId rolls back and
+    * returns false (idempotent redelivery); otherwise offsets upsert +
+    * batch stamp + `body` commit atomically, any throw rolls back. */
+  def inBatchTxn(url: String, batchesTable: String, offsetsTable: String,
+                 batchId: Long, offsets: Map[String, Long])
+                (body: Connection => Unit): Boolean = withConn(url) { c =>
+    c.setAutoCommit(false)
+    c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+    try {
+      val applied = {
+        val ps = c.prepareStatement(
+          s"SELECT COUNT(*) FROM $batchesTable WHERE batch_id = ?")
+        ps.setLong(1, batchId)
+        val rs = ps.executeQuery(); rs.next()
+        val n = rs.getLong(1); rs.close(); ps.close(); n > 0
+      }
+      if (applied) { c.rollback(); false }
+      else {
+        upsertOffsets(c, offsetsTable, offsets)
+        val bp = c.prepareStatement(s"INSERT INTO $batchesTable VALUES (?)")
+        bp.setLong(1, batchId); bp.executeUpdate(); bp.close()
+        body(c)
+        c.commit()
+        true
+      }
+    } catch { case e: Throwable => c.rollback(); throw e }
+  }
+
   /** Offsets upsert into `table(source, offset_)` on an open txn. */
   def upsertOffsets(c: Connection, table: String,
                     offsets: Map[String, Long]): Unit = {
@@ -113,16 +153,7 @@ private[sink] object DeltaSql {
   */
 class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
 
-  private def withConn[A](f: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
-    try f(c)
-    finally {
-      // rollback-before-close: a failure inside f must surface, not be
-      // masked by Derby's close-with-active-transaction error
-      try { if (!c.getAutoCommit) c.rollback() } catch { case _: Throwable => () }
-      try c.close() catch { case _: Throwable => () }
-    }
-  }
+  private def withConn[A](f: Connection => A): A = DeltaSql.withConn(url)(f)
 
   private def exec(c: Connection, sql: String): Unit = DeltaSql.exec(c, sql)
 
@@ -209,32 +240,14 @@ class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
     b.result()
   }
 
-  /** Apply one consolidated delta batch + offsets in ONE transaction.
-    * Replayed batch ids are skipped (exactly-once under at-least-once
-    * `foreachBatch` delivery). */
+  /** Apply one consolidated delta batch + offsets in ONE transaction
+    * (reference db/mod.rs:369-394: offsets upsert + batch stamp + bag-
+    * semantics deltas). Replayed batch ids are skipped (exactly-once
+    * under at-least-once `foreachBatch` delivery). */
   def applyDeltas(offsets: Map[String, Long], batchId: Long,
-                  deltas: Seq[(Seq[Any], Long)]): Boolean = withConn { c =>
-    c.setAutoCommit(false)
-    c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
-    try {
-      val applied = {
-        val ps = c.prepareStatement(
-          s"SELECT COUNT(*) FROM ${spec.name}_batches WHERE batch_id = ?")
-        ps.setLong(1, batchId)
-        val rs = ps.executeQuery(); rs.next()
-        val n = rs.getLong(1); rs.close(); ps.close(); n > 0
-      }
-      if (applied) { c.rollback(); false }
-      else {
-        DeltaSql.upsertOffsets(c, spec.offsetsTable, offsets) // (a) reference db/mod.rs:369-394
-        val bp = c.prepareStatement(s"INSERT INTO ${spec.name}_batches VALUES (?)")
-        bp.setLong(1, batchId); bp.executeUpdate(); bp.close() // (b) batch stamp
-        DeltaSql.applyTableDeltas(c, spec, deltas) // (c) bag-semantics deltas
-        c.commit()
-        true
-      }
-    } catch { case e: Throwable => c.rollback(); throw e }
-  }
+                  deltas: Seq[(Seq[Any], Long)]): Boolean =
+    DeltaSql.inBatchTxn(url, s"${spec.name}_batches", spec.offsetsTable,
+      batchId, offsets)(c => DeltaSql.applyTableDeltas(c, spec, deltas))
 
   /** `foreachBatch` adapter: consolidates the micro-batch's delta
     * DataFrame (must carry a `mult` column; plain DataFrames are lifted
@@ -271,16 +284,7 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
 
   private val sinks = specs.map(sp => new JdbcDeltaSink(url, sp))
 
-  private def withConn[A](f: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
-    try f(c)
-    finally {
-      // rollback-before-close: a failure inside f must surface, not be
-      // masked by Derby's close-with-active-transaction error
-      try { if (!c.getAutoCommit) c.rollback() } catch { case _: Throwable => () }
-      try c.close() catch { case _: Throwable => () }
-    }
-  }
+  private def withConn[A](f: Connection => A): A = DeltaSql.withConn(url)(f)
 
   private def exec(c: Connection, sql: String): Unit = DeltaSql.exec(c, sql)
 
@@ -358,30 +362,12 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
                   perTable: Map[String, Seq[(Seq[Any], Long)]]): Boolean = {
     val unknown = perTable.keySet -- specs.map(_.name).toSet
     require(unknown.isEmpty, s"unknown tables in delta batch: $unknown")
-    withConn { c =>
-      c.setAutoCommit(false)
-      c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
-      try {
-        val applied = {
-          val ps = c.prepareStatement(
-            s"SELECT COUNT(*) FROM ${group}_batches WHERE batch_id = ?")
-          ps.setLong(1, batchId)
-          val rs = ps.executeQuery(); rs.next()
-          val n = rs.getLong(1); rs.close(); ps.close(); n > 0
-        }
-        if (applied) { c.rollback(); false }
-        else {
-          DeltaSql.upsertOffsets(c, offsetsTable, offsets)
-          val bp = c.prepareStatement(s"INSERT INTO ${group}_batches VALUES (?)")
-          bp.setLong(1, batchId); bp.executeUpdate(); bp.close()
-          specs.foreach { sp =>
-            perTable.get(sp.name).filter(_.nonEmpty)
-              .foreach(ds => DeltaSql.applyTableDeltas(c, sp, ds))
-          }
-          c.commit()
-          true
-        }
-      } catch { case e: Throwable => c.rollback(); throw e }
+    DeltaSql.inBatchTxn(url, s"${group}_batches", offsetsTable,
+      batchId, offsets) { c =>
+      specs.foreach { sp =>
+        perTable.get(sp.name).filter(_.nonEmpty)
+          .foreach(ds => DeltaSql.applyTableDeltas(c, sp, ds))
+      }
     }
   }
 }

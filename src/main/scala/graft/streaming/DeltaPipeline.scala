@@ -40,6 +40,21 @@ object DeltaPipeline {
             trigger: Trigger = DefaultTrigger): StreamingQuery =
     writer(deltas, sink, checkpoint, trigger).start()
 
+  /** Aggregate-view variant: the delta stream maintains a
+    * keys → (cnt, sums…) table via [[graft.sink.AggDeltaSink]] —
+    * per-batch work is O(churned groups), never a recompute. */
+  def startAgg(deltas: DataFrame, sink: graft.sink.AggDeltaSink,
+               checkpoint: String,
+               trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    sink.bootstrap()
+    deltas.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(sink.foreachBatchWriter())
+      .start()
+  }
+
   /** Union variant (reference K4): one delta stream carrying a `_table`
     * tag feeds several member tables; every micro-batch commits all
     * members + the shared offsets in ONE transaction. */

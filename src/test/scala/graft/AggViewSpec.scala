@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import graft.sink.{AggDeltaSink, ColumnSpec}
+import graft.streaming.DeltaPipeline
 
 /** Incremental aggregate-view maintenance: SUM/COUNT views stay exact
   * under inserts + retractions with O(churned groups) work per batch —
@@ -56,6 +57,16 @@ class AggViewSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("retractions"))
     assert(view(sink) === Map("Drill1" -> ((2L, 13L))), "txn rolled back")
+
+    // absent group netting dn=0 but ds≠0 (retract v=1 + insert v=5):
+    // the stream retracts state the view never had — must abort, not
+    // silently drop the sum adjustment
+    val ex2 = intercept[IllegalStateException] {
+      w(Seq(("Ghost1", 1L, -1L), ("Ghost1", 5L, 1L))
+        .toDF("machine", "total_pcs", "mult"), 4L)
+    }
+    assert(ex2.getMessage.contains("absent group"))
+    assert(view(sink) === Map("Drill1" -> ((2L, 13L))), "txn rolled back")
   }
 
   test("matches a full recompute through a random churn sequence") {
@@ -88,13 +99,9 @@ class AggViewSpec extends SparkTestBase {
     val mem = MemoryStream[(String, Long, Long)]
     val deltas = mem.toDF().toDF("machine", "total_pcs", "mult")
 
-    sink.bootstrap()
-    val q = deltas.writeStream.outputMode("update")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-aggckpt").toString)
-      .trigger(Trigger.ProcessingTime(0L))
-      .foreachBatch(sink.foreachBatchWriter())
-      .start()
+    val q = DeltaPipeline.startAgg(deltas, sink,
+      java.nio.file.Files.createTempDirectory("graft-aggckpt").toString,
+      Trigger.ProcessingTime(0L))
     try {
       mem.addData(("Drill1", 5L, 1L), ("Press1", 4L, 1L))
       q.processAllAvailable()

@@ -128,6 +128,14 @@ class CorpusOpsSpec extends SparkTestBase {
     val s2 = Sampling.weightedK(df.repartition(7), 80, "id", "wt", seed = 3)
       .select("id").as[Long].collect().toSeq
     assert(s1.toSet === s2.toSet, "deterministic under re-layout")
+    // zero/null weight ⇒ NEVER sampled (without the explicit filter a
+    // NULL priority would sort NULLS FIRST and always win a slot)
+    val withDead = df.union(Seq((900L, 0.0)).toDF("id", "wt"))
+      .union(Seq((901L, Option.empty[Double])).toDF("id", "wt"))
+    val s3 = Sampling.weightedK(withDead, 80, "id", "wt", seed = 3)
+      .select("id").as[Long].collect().toSet
+    assert(!s3.contains(900L) && !s3.contains(901L),
+      "zero- and null-weight rows must be excluded")
   }
 
   test("tfidfTopK: hand-computed ranking on a tiny corpus") {
