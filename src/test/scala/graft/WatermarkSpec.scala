@@ -64,6 +64,39 @@ class WatermarkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed trending: MG summary per event-time window under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600L * 1000 + min * 60000L)
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "item")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.ops.Frequency.mgSummary(col("item"), 8).as("hh"))
+      .select(col("window.start").as("w"),
+        expr("transform(hh, e -> e.item)").as("ranked"))
+
+    val latest = scala.collection.mutable.Map.empty[Timestamp, Seq[String]]
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r => latest(r.getTimestamp(0)) = r.getSeq[String](1))
+        ()
+      }.start()
+    try {
+      mem.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"),
+        (ts(11), "c"), (ts(12), "c"), (ts(13), "b"))
+      q.processAllAvailable()
+      assert(latest(ts(0)) === Seq("a", "b"), "window 1: a(2) > b(1)")
+      assert(latest(ts(10)) === Seq("c", "b"), "window 2: c(2) > b(1)")
+      // next batch: window-1 state merges with new arrivals (b overtakes)
+      mem.addData((ts(4), "b"), (ts(5), "b"))
+      q.processAllAvailable()
+      assert(latest(ts(0)) === Seq("b", "a"),
+        "per-window MG state merges across batches and re-ranks")
+    } finally q.stop()
+  }
+
   test("approx_count_distinct stays within the configured relative error") {
     import spark.implicits._
     val df = spark.range(50000)
