@@ -51,6 +51,62 @@ final case class Flow[T](ds: Dataset[T]) {
   def observe(name: String, metric: Column, metrics: Column*): Flow[T] =
     Flow(ds.observe(name, metric, metrics: _*))
 
+  /** G3 `reduce` for UNBOUNDED groups — the sorted-group contract with
+    * the ENGINE doing the sort: repartition-and-sort-within-partitions
+    * puts each key's values in ascending order via the spillable
+    * shuffle sort, and `f` receives each group as a one-pass
+    * `Iterator[T]` — the group never materializes in task memory (the
+    * `toVector.sorted` in [[GroupedFlow.reduceSorted]] is simpler and
+    * fine for bounded groups; THIS is the hot-key path at 100 TB).
+    *
+    * RDD-level on purpose: secondary sort over an arbitrary Scala
+    * `Ordering` has no Dataset equivalent (`sortWithinPartitions`
+    * takes columns only) — the one genuinely per-partition-imperative
+    * op in the engine. `f`'s output per key is materialized before the
+    * next group starts (outputs are reductions — small by contract);
+    * any unconsumed remainder of the group is drained automatically. */
+  def reduceSortedStreaming[K, W: Encoder](key: T => K, numPartitions: Int = -1)(
+      f: (K, Iterator[T]) => IterableOnce[W])(
+      implicit ordT: Ordering[T], ordK: Ordering[K],
+      ctK: scala.reflect.ClassTag[K], ctT: scala.reflect.ClassTag[T],
+      ctW: scala.reflect.ClassTag[W]): Flow[W] = {
+    val spark = ds.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else math.max(ds.rdd.getNumPartitions, 1)
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = parts
+      override def getPartition(composite: Any): Int = {
+        val h = composite.asInstanceOf[(K, T)]._1.hashCode()
+        java.lang.Math.floorMod(h, parts) // partition by KEY only
+      }
+    }
+    implicit val compositeOrd: Ordering[(K, T)] = Ordering.Tuple2(ordK, ordT)
+    val sorted = ds.rdd.map(t => ((key(t), t), null))
+      .repartitionAndSortWithinPartitions(partitioner)
+    val out = sorted.mapPartitions { pairs =>
+      val base = pairs.map(_._1).buffered
+      new Iterator[W] {
+        private var cur: Iterator[W] = Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && base.hasNext) {
+            val k = base.head._1
+            val run = new Iterator[T] {
+              override def hasNext: Boolean =
+                base.hasNext && ordK.equiv(base.head._1, k)
+              override def next(): T = base.next()._2
+            }
+            // force the output BEFORE draining, then skip what f left
+            val produced = f(k, run).iterator.toVector
+            while (run.hasNext) run.next()
+            cur = produced.iterator
+          }
+        override def hasNext: Boolean = { advance(); cur.hasNext }
+        override def next(): W = { advance(); cur.next() }
+      }
+    }
+    Flow(spark.createDataset(out))
+  }
+
   /** U1 `concat` — multiset union / UNION ALL (reference flow.rs:411-431). */
   def concat(other: Flow[T]): Flow[T] = Flow(ds.union(other.ds))
 

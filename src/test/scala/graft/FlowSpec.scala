@@ -18,6 +18,31 @@ class FlowSpec extends SparkTestBase {
     assert(f.flatMap(x => Seq.fill(x)(x)).ds.count() === 15)
   }
 
+  test("G3 reduceSortedStreaming ≡ reduceSorted; groups stream in order") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(3000)((rnd.nextInt(7), rnd.nextInt(100000)))
+    val f = flowOf(rows: _*)
+
+    // same contract as reduceSorted: full group, ascending order
+    val viaVector = f.groupBy(_._1)
+      .reduceSorted((k, vs) => Seq(k -> vs.map(_._2).mkString(",")))
+      .ds.collect().toMap
+    val viaStream = f
+      .reduceSortedStreaming(_._1)((k, it) =>
+        Seq(k -> it.map(_._2).mkString(",")))
+      .ds.collect().toMap
+    assert(viaStream === viaVector,
+      "engine-sorted streaming groups must equal the in-memory sort")
+
+    // the group is an ITERATOR: an early-terminating consumer (first
+    // element = per-key min) must not need the whole group, and the
+    // remainder must be drained so the next key is intact
+    val firsts = f.reduceSortedStreaming(_._1)((k, it) => Seq(k -> it.next()._2))
+      .ds.collect().toMap
+    val mins = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    assert(firsts === mins, "head of the sorted stream is the per-key min")
+  }
+
   test("P8 observe: named metrics ride the action (no extra job)") {
     import org.apache.spark.sql.functions._
     val collected = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]](Map.empty)
