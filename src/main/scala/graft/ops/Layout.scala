@@ -33,6 +33,28 @@ object Layout {
   def morton2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Small-files compaction: re-layout a parquet directory into
+    * ~`targetBytes` output files (the OPTIMIZE half of lakehouse table
+    * maintenance — a streaming sink that commits every trigger leaves
+    * thousands of KB-files whose open/footer cost dominates scans).
+    * File count = ceil(current on-disk bytes / targetBytes), parquet
+    * compression carrying over ≈1:1. Returns the repartitioned frame —
+    * caller writes it (optionally through [[zorderBy]] first: compact
+    * AND cluster in the same rewrite). Round-robin repartition, not
+    * coalesce: coalesce(n) would chain upstream parallelism down to n
+    * for every stage before the write. */
+  def compactionPartitions(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+  }
+
+  def compact(df: DataFrame, dir: String, targetBytes: Long): DataFrame =
+    df.repartition(compactionPartitions(df.sparkSession, dir, targetBytes))
+
   /** Cluster `df` for scans filtering on BOTH `a` and `b`: range-
     * partition + sort by the interleaved key, so each output file holds
     * a small rectangle of the (a, b) space. Map-only apart from the one

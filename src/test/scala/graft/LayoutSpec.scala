@@ -20,6 +20,27 @@ class LayoutSpec extends SparkTestBase {
     assert(out === Seq(0L, 1L, 2L, 3L, 27L, 0xFFFFFFFFL))
   }
 
+  test("compaction: many small files → few target-sized files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate a per-trigger streaming sink: 40 tiny files
+    (0 until 40).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    }
+    val before = new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 40)
+    val src = spark.read.parquet(s"$dir/t")
+    val totalBytes = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    Layout.compact(src, s"$dir/t", targetBytes = totalBytes / 4)
+      .write.parquet(s"$dir/compacted")
+    val after = new java.io.File(s"$dir/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after >= 4 && after <= 6, s"~4 target-sized files, got $after")
+    assert(spark.read.parquet(s"$dir/compacted").count() === 4000)
+  }
+
   test("z-order bounds both columns' per-partition ranges; single-column sort does not") {
     val grid = (for (x <- 0 until 100; y <- 0 until 100) yield (x.toLong, y.toLong))
       .toDF("x", "y")
