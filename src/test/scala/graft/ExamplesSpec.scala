@@ -42,6 +42,38 @@ class ExamplesSpec extends SparkTestBase {
     assert(out === Set(UsageEntry("Drill1", "4711", 1000L, 4000L)))
   }
 
+  test("usage semantics survive the hot-key streaming reduce (G3 scale path)") {
+    import spark.implicits._
+    import graft.ops.Sessionize
+    // a larger randomized stream: 6 machines × 80 events, lamports
+    // shuffled so arrival order ≠ causal order (the reference's whole
+    // reason for sorted groups)
+    val rnd = new scala.util.Random(13)
+    val events = (1 to 6).flatMap { m =>
+      rnd.shuffle((1 to 80).toList).zipWithIndex.map { case (lam, i) =>
+        ev(s"Drill$m", lam, started = i % 2 == 0, s"o${lam / 3}", lam * 1000L)
+      }
+    }
+    val ds = spark.createDataset(rnd.shuffle(events))
+    val expected = Examples.usage(ds).collect().toSet
+
+    val streamed = graft.flow.Flow(ds)
+      .filter(_.streamName.startsWith("Drill"))
+      .map(e => (e.streamName, e.lamport, e.started, e.order, e.timestampMicros))
+      // tuple ordering = (machine, lamport, …); machine is constant
+      // within a group, so the engine sort IS lamport order
+      .reduceSortedStreaming(_._1) { (machine, it) =>
+        Sessionize.matchIntervals(it.map {
+          case (_, _, true, order, at)  => Sessionize.Started(order, at)
+          case (_, _, false, order, at) => Sessionize.Stopped(order, at)
+        }.to(Iterable)).map(iv =>
+          UsageEntry(machine, iv.order, iv.startedAt, iv.durationMicros))
+      }
+      .ds.collect().toSet
+    assert(streamed === expected,
+      "engine-sorted streaming groups reproduce the reference example exactly")
+  }
+
   test("production summary: first name + total pcs per (article, workstation)") {
     import spark.implicits._
     val goods = Seq(
