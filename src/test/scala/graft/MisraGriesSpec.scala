@@ -37,6 +37,37 @@ class MisraGriesSpec extends SparkTestBase {
     assert(a.size === 100)
   }
 
+  test("property: exact-regime summary is split-invariant (direct buffer merges)") {
+    // Drive update/merge directly (no Spark job per case): for arbitrary
+    // item streams with distinct <= capacity, ANY split into partial
+    // buffers merged in ANY grouping must equal the exact counts —
+    // the invariant the distributed exchange relies on.
+    import org.scalacheck.{Gen, rng}
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      items <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"u$i")) // ≤31 distinct
+      cuts <- Gen.choose(1, 6)
+    } yield (items, cuts)
+    (0 until 40).foreach { i =>
+      val (items, cuts) = gen(Gen.Parameters.default, rng.Seed(7L + i)).get
+      val agg = graft.functions.expr.MisraGries(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.StringType, nullable = true), 64)
+      val parts = items.grouped(math.max(1, items.size / cuts)).toSeq
+      val merged = parts.map { chunk =>
+        val buf = agg.createAggregationBuffer()
+        chunk.foreach { s =>
+          agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        }
+        buf
+      }.reduce(agg.merge)
+      val got = merged.map { case (k, v) => k.toString -> v }.toMap
+      val expect = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got === expect, s"case $i: split into ${parts.size} buffers")
+    }
+  }
+
   test("over capacity: counts are lower bounds within N/(capacity+1), " +
     "heavy items always survive") {
     // zipf-ish skew: item i appears ~ 4000/i times, 200 distinct items,
