@@ -1131,6 +1131,26 @@ object Queries {
       |  FROM events GROUP BY event_type, user_id)
       |WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin)
 
+  /** Daily trending users per event type: the windowed composition of
+    * the MG summary (integer day bucket = ts_us DIV 86400e6 — no
+    * calendar/timezone dependence). Still exact-regime (≤150 distinct
+    * users per cell at sf0.01), so fully oracled. */
+  val qTrending: Q = "q_trending" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Frequency.heavyHitters(
+          Tables.events(s, d)
+            .withColumn("day_idx", expr("ts_us DIV 86400000000")),
+          Seq("event_type", "day_idx"), "user_id", capacity = 2048, k = 3)
+        .orderBy(col("event_type"), col("day_idx"), col("rank")),
+    s"""WITH $EV,
+       |g AS (SELECT event_type, ts_us // 86400000000 AS day_idx,
+       |    CAST(user_id AS VARCHAR) AS item, count(*) AS cnt,
+       |    row_number() OVER (PARTITION BY event_type, ts_us // 86400000000
+       |      ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS rank
+       |  FROM ev GROUP BY event_type, ts_us // 86400000000, user_id)
+       |SELECT event_type, day_idx, item, cnt, rank FROM g
+       |WHERE rank <= 3 ORDER BY event_type, day_idx, rank""".stripMargin)
+
   /** HLL++ approximate distinct — the 100 TB path for q_count_distinct
     * (fixed-size mergeable sketch per group vs exact two-phase shuffle).
     * No DuckDB oracle: the engines' sketches differ by construction, so
@@ -1379,6 +1399,6 @@ object Queries {
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
-    qWeightedSample,
+    qWeightedSample, qTrending,
   )
 }
