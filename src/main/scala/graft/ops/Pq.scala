@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -190,6 +190,25 @@ object Pq {
       it += 1
     }
     cb
+  }
+
+  /** Export a flat `[sub][code][d]` codebook as a (sub, code, cv
+    * array<double>) parquet side-table so an external engine — the
+    * DuckDB oracle — can reproduce encode + ADC scoring bit-exactly
+    * (the kernels' distance loops are left-to-right double folds, which
+    * `list_sum∘list_transform` mirrors). The model is m·k·subDim doubles
+    * — driver-sized by definition — so this is one local-relation write,
+    * not a job over the corpus. */
+  def exportCodebook(spark: SparkSession, cb: Array[Double], m: Int, k: Int,
+                     path: String): Unit = {
+    val subDim = cb.length / (m * k)
+    import spark.implicits._
+    val rows = for (sub <- 0 until m; code <- 0 until k) yield {
+      val off = (sub * k + code) * subDim
+      (sub, code, (0 until subDim).map(d => cb(off + d)))
+    }
+    rows.toDF("sub", "code", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Flatten a (c_id, c_v) centroid frame (e.g. [[Ann.kmeansCentroids]]'

@@ -232,13 +232,19 @@ object Queries {
       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90)
       |ORDER BY user_id""".stripMargin)
 
-  /** INTERSECT (composable from the delta algebra; Spark native here). */
+  /** INTERSECT (composable from the delta algebra). ONE scan of events
+    * with conditional flags per user — the native `.intersect` plans two
+    * scans + two distinct-aggregates of the same table; this shape is one
+    * scan, one shuffle (map-side partial agg on the flags). */
   val qIntersect: Q = "q_intersect" -> (
     (s: SparkSession, d: String) => {
       val ev = Tables.events(s, d)
-      ev.filter(col("event_type") === "signup").select(col("user_id")).distinct()
-        .intersect(
-          ev.filter(col("event_type") === "click").select(col("user_id")).distinct())
+      ev.filter(col("event_type").isin("signup", "click"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "signup", 1).otherwise(0)).as("has_s"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("has_c"))
+        .filter(col("has_s") === 1 && col("has_c") === 1)
+        .select(col("user_id"))
         .orderBy(col("user_id"))
     },
     """SELECT user_id FROM (
@@ -1032,26 +1038,67 @@ object Queries {
       |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
 
+  /** The trained PQ/IVF-PQ model is exported per sf-dir as a parquet
+    * side-table (the oracle SQL below reads the sf0.01 one — the scale
+    * the driver verifies at); encode + ADC are deterministic given the
+    * codebook, so the quantized index IS hash-checkable. */
+  private def codebookPath(sfDir: String, name: String): String =
+    s"/root/repo/artifacts/${name}_${new java.io.File(sfDir).getName}"
+
+  /** DuckDB mirror of the [[graft.functions.expr.PqEncode]] /
+    * [[graft.functions.expr.PqDistTable]] distance loop: Σ_i (v_i −
+    * cw_i)² over one subspace, left-to-right — `cOff` non-empty fuses the
+    * residual subtraction exactly like `PqEncodeRes` ((v − cent) − cw). */
+  private def subDistSql(v: String, cOff: String): String = {
+    val e = s"(CAST($v[cb.sub * 8 + i] AS DOUBLE)$cOff - cb.cv[i])"
+    s"list_sum(list_transform(range(1, 9), i -> $e * $e))"
+  }
+
   /** Product-quantization ANN — the memory-bounded similarity-search
-    * scale path (64 floats → 8 codes/vector; ADC scoring). Like the HLL
-    * sketch below, a quantized index has no exact SQL mirror: the
-    * driver records the rows-only check; ranking quality is asserted as
-    * recall against exact brute force in `PqSpec`. */
+    * scale path (64 floats → 8 codes/vector; ADC scoring). The trained
+    * codebook is exported as a parquet side-table and the oracle
+    * replays the exact pipeline in SQL: per-subspace argmin encode
+    * (ties → lowest code), the query's m·k distance table, and the ADC
+    * sum in subspace order — every float op is the same left-to-right
+    * double fold as the codegen'd kernels, so the hash matches.
+    * Ranking quality vs exact brute force is pinned in `PqSpec`. */
   val qPqAnn: Q = "q_pq_ann" -> (
     (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
       val cb = graft.ops.Pq.trainCodebooksSampled(emb, dim = 64, m = 8, k = 16,
         iters = 2, seedIds = 0L until 16L, sampleCap = 1024)
+      graft.ops.Pq.exportCodebook(s, cb, m = 8, k = 16,
+        codebookPath(d, "pq_codebook"))
       graft.ops.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10), topK = 3,
           m = 8, k = 16, codebook = cb)
         .withColumn("dist2", round(col("dist2"), 6))
         .orderBy(col("q_id"), col("rank"))
     },
-    null) // sentinel: quantized model ≠ SQL-mirrorable (rows-only check)
+    s"""WITH cb AS (SELECT sub, code, cv
+       |    FROM read_parquet('/root/repo/artifacts/pq_codebook_sf0.01/*.parquet')),
+       |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |subd AS (SELECT t.id, cb.sub, cb.code, ${subDistSql("t.v", "")} AS d
+       |  FROM v t CROSS JOIN cb),
+       |enc AS (SELECT id, sub, code FROM (
+       |    SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+       |      ORDER BY d ASC, code ASC) AS rn FROM subd) WHERE rn = 1),
+       |qd AS (SELECT id AS q_id, sub, code, d FROM subd WHERE id < 10),
+       |sc AS (SELECT q.q_id, e.id AS n_id,
+       |    list_sum(list(q.d ORDER BY q.sub)) AS dist2
+       |  FROM enc e JOIN qd q ON q.sub = e.sub AND q.code = e.code
+       |    AND q.q_id <> e.id
+       |  GROUP BY q.q_id, e.id),
+       |rk AS (SELECT q_id, n_id, dist2, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist2 ASC, n_id ASC) AS rank FROM sc)
+       |SELECT q_id, n_id, round(dist2, 6) AS dist2, rank FROM rk
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
 
   /** IVF-PQ ANN — coarse cells prune where to look, residual PQ codes
-    * shrink what is kept (the FAISS IVFPQ composition; rows-only like
-    * q_pq_ann — recall is pinned against exact brute force in PqSpec). */
+    * shrink what is kept (the FAISS IVFPQ composition). Oracled like
+    * q_pq_ann: the coarse quantizer is reproduced in SQL from the same
+    * corpus vectors (cell = vec_id < 8), the residual codebook comes
+    * from the exported side-table, and the residual subtraction is the
+    * same fused `(v − cent) − cw` fold as `PqEncodeRes`. */
   val qIvfPq: Q = "q_ivfpq_ann" -> (
     (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
@@ -1063,12 +1110,50 @@ object Queries {
         dim = 64)
       val cb = graft.ops.Pq.trainResidualCodebooksSampled(emb, cents,
         dim = 64, m = 8, k = 16, iters = 2, sampleCap = 1024)
+      graft.ops.Pq.exportCodebook(s, cb, m = 8, k = 16,
+        codebookPath(d, "ivfpq_codebook"))
       graft.ops.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), topK = 3,
           centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 4)
         .withColumn("dist2", round(col("dist2"), 6))
         .orderBy(col("q_id"), col("rank"))
     },
-    null) // sentinel: quantized model ≠ SQL-mirrorable (rows-only check)
+    s"""WITH cents AS (SELECT CAST(vec_id AS INT) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < 8),
+       |cb AS (SELECT sub, code, cv
+       |    FROM read_parquet('/root/repo/artifacts/ivfpq_codebook_sf0.01/*.parquet')),
+       |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |celld AS (SELECT t.id, c.cell,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      (CAST(t.v[i] AS DOUBLE) - c.c[i]) * (CAST(t.v[i] AS DOUBLE) - c.c[i]))) AS cd
+       |  FROM v t CROSS JOIN cents c),
+       |ncell AS (SELECT id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id
+       |      ORDER BY cd ASC, cell ASC) AS rn FROM celld) WHERE rn = 1),
+       |encd AS (SELECT n.id, n.cell, cb.sub, cb.code,
+       |    ${subDistSql("t.v", " - c.c[cb.sub * 8 + i]")} AS d
+       |  FROM ncell n JOIN v t ON t.id = n.id JOIN cents c ON c.cell = n.cell
+       |  CROSS JOIN cb),
+       |enc AS (SELECT id, cell, sub, code FROM (
+       |    SELECT id, cell, sub, code, row_number() OVER (PARTITION BY id, sub
+       |      ORDER BY d ASC, code ASC) AS rn FROM encd) WHERE rn = 1),
+       |probes AS (SELECT id AS q_id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id
+       |      ORDER BY cd ASC, cell ASC) AS rn FROM celld WHERE id < 10)
+       |  WHERE rn <= 4),
+       |qd AS (SELECT p.q_id, p.cell, cb.sub, cb.code,
+       |    ${subDistSql("t.v", " - c.c[cb.sub * 8 + i]")} AS d
+       |  FROM probes p JOIN v t ON t.id = p.q_id JOIN cents c ON c.cell = p.cell
+       |  CROSS JOIN cb),
+       |sc AS (SELECT q.q_id, e.id AS n_id,
+       |    list_sum(list(q.d ORDER BY q.sub)) AS dist2
+       |  FROM enc e JOIN qd q ON q.cell = e.cell AND q.sub = e.sub
+       |    AND q.code = e.code AND q.q_id <> e.id
+       |  GROUP BY q.q_id, e.id),
+       |rk AS (SELECT q_id, n_id, dist2, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dist2 ASC, n_id ASC) AS rank FROM sc)
+       |SELECT q_id, n_id, round(dist2, 6) AS dist2, rank FROM rk
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
 
   /** Inactivity-gap sessionization (gaps-and-islands): a new session
     * starts after >6h of silence per user. One window pass per user
@@ -1153,16 +1238,25 @@ object Queries {
 
   /** HLL++ approximate distinct — the 100 TB path for q_count_distinct
     * (fixed-size mergeable sketch per group vs exact two-phase shuffle).
-    * No DuckDB oracle: the engines' sketches differ by construction, so
-    * the driver records the weaker rows-only check; the exact-vs-approx
-    * relative-error contract is asserted in `TextOpsSpec`. */
+    * The sketch VALUE has no cross-engine mirror (the engines' HLL
+    * variants differ by construction), so the oracle pins the CONTRACT
+    * instead: the exact count hash-matches, and `within_bound` asserts
+    * |approx − exact| ≤ 5%·exact (2.5σ at rsd = 0.02) in Spark while the
+    * DuckDB side emits the expected literal TRUE — a hard hash check
+    * that fails the round if the sketch ever drifts out of bound. */
   val qApproxDistinct: Q = "q_approx_distinct" -> (
     (s: SparkSession, d: String) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+          countDistinct(col("user_id")).as("n_users_exact"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("n_users_approx") - col("n_users_exact"))
+            <= lit(0.05) * col("n_users_exact")).as("within_bound"))
         .orderBy(col("event_type")),
-    null) // sentinel: filtered out of oracleSql (approx ≠ SQL-mirrorable)
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** DuckDB mirror of Vectors.dot: identical left-to-right double fold. */
   private def dotSql(x: String, y: String): String =
