@@ -32,13 +32,16 @@ object Vectors {
   }
 
   /** Deterministic ±1 hyperplane coefficients: plane j's i-th entry from
-    * the low bit of md5("j:i"), computed at plan-build time (JVM) and
-    * inlined as literals into both the Spark plan and the DuckDB oracle. */
-  def deterministicPlanes(dim: Int, planes: Int): Seq[Seq[Double]] =
+    * the low bit of md5("j:i") (md5("seed:j:i") for seed ≠ 0 —
+    * independent plane families for banded LSH), computed at
+    * plan-build time (JVM) and inlined as literals into both the Spark
+    * plan and the DuckDB oracle. */
+  def deterministicPlanes(dim: Int, planes: Int, seed: Int = 0): Seq[Seq[Double]] =
     (0 until planes).map { j =>
       (0 until dim).map { i =>
+        val key = if (seed == 0) s"$j:$i" else s"$seed:$j:$i"
         val dig = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$j:$i".getBytes("UTF-8"))
+          .digest(key.getBytes("UTF-8"))
         if ((dig(dig.length - 1) & 1) == 1) 1.0 else -1.0
       }
     }
@@ -47,8 +50,8 @@ object Vectors {
     * sign pattern of the plane dot products. Coefficients are literal
     * arrays → the whole bucket id is one codegen'd projection per row.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val coefs = deterministicPlanes(dim, planes)
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Int = 0): Column = {
+    val coefs = deterministicPlanes(dim, planes, seed)
     coefs.zipWithIndex.map { case (plane, j) =>
       val s = dot(vec, typedLit(plane))
       when(s > 0.0, lit(1L << j)).otherwise(0L)

@@ -141,13 +141,115 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** (blk, id, gs) distinct shingle-hash sets — the shared first stage of
+    * [[ngramJaccard]] (one codegen'd pass per row, see the note there). */
+  private def shingleSets(docs: DataFrame, blockCol: String, idCol: String,
+                          textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    docs
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("blk"), col("id"),
+        ColumnBridge.column(graft.functions.expr.ShingleHashes(
+          ColumnBridge.expr(col("toks")), n, 15)).as("gs"))
+  }
+
+  /** Candidate pairs for [[ngramJaccard]]'s df-capped path: pairs sharing
+    * ≥1 shingle with document frequency ≤ `maxDf` inside the block, after
+    * the J ≥ tau length-ratio prune. Public for introspection — the
+    * capped-vs-uncapped candidate count is the operational skew check.
+    *
+    * The df filter materializes only the OVER-CAP grams (at most
+    * Σdf/maxDf distinct values — broadcast-sized by construction) and
+    * anti-joins them map-side, so the capped path adds one partial-
+    * aggregated pass over the gram rows and no sort (a window count
+    * would sort every gram partition). Dropping a gram with df > maxDf
+    * removes df² candidate rows from the join; a stop-gram ("of the …",
+    * df = 10⁶ at corpus scale) would otherwise emit 10¹² rows under one
+    * reduce key. Recall trade, explicitly: a pair whose ENTIRE overlap
+    * is capped grams can no longer surface — at J ≥ tau a near-dup pair
+    * shares ≥ tau/(1+tau) of its grams, so it stays findable unless all
+    * of those are corpus-stopwords; set maxDf comfortably above the df
+    * of any gram that distinguishes documents. */
+  def ngramCandidates(docs: DataFrame, tau: Double, blockCol: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame =
+    ngramCandidatesFrom(shingleSets(docs, blockCol, idCol, textCol, n), tau, maxDf)
+
+  private def ngramCandidatesFrom(sets: DataFrame, tau: Double,
+                                  maxDf: Long): DataFrame = {
+    val base = sets
+      // explode_OUTER, and no `filter(size > 0)` — see ngramJaccard note
+      .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
+        explode_outer(col("gs")).as("gh"))
+    val capped =
+      if (maxDf == Long.MaxValue) base
+      else {
+        val stopGrams = base.groupBy(col("blk"), col("gh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select(col("blk"), col("gh"))
+        base.join(broadcast(stopGrams), Seq("blk", "gh"), "left_anti")
+          .select(col("blk"), col("id"), col("n_sh"), col("gh"))
+      }
+    // shuffle_hash: both sides are the SAME exchange (ReusedExchange)
+    capped.as("x")
+      .join(capped.as("y").hint("shuffle_hash"),
+        col("x.blk") === col("y.blk") && col("x.gh") === col("y.gh")
+          && col("x.id") < col("y.id")
+          && col("y.n_sh") * lit(tau) <= col("x.n_sh")
+          && col("x.n_sh") * lit(tau) <= col("y.n_sh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column to
     * bound the candidate space (at scale: block by LSH band instead —
     * see [[minhashLsh]]; the blocked-exact form is the verification
-    * primitive). */
+    * primitive).
+    *
+    * `maxDf` bounds the inverted-index join's Σdf² cost (see
+    * [[ngramCandidates]]): with a cap, candidate generation uses only
+    * grams with df ≤ maxDf and the Jaccard is then verified EXACTLY
+    * against the full shingle sets (array intersect over the broadcast
+    * candidate list — two map-side joins, no corpus shuffle), so capping
+    * never changes a reported score, only whether an all-stopword
+    * overlap pair is reported at all. */
   def ngramJaccard(docs: DataFrame, tau: Double, blockCol: String,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+    if (maxDf != Long.MaxValue) {
+      // The signature table feeds four consumers (df agg, both join
+      // sides, both verification lookups): persist it once — signatures
+      // are a few % of the text they summarize, and MEMORY_AND_DISK
+      // spills instead of OOMing at corpus scale. The CALLER owns
+      // unpersisting (or `spark.catalog.clearCache()`) when done.
+      val sets = shingleSets(docs, blockCol, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = ngramCandidatesFrom(sets, tau, maxDf)
+      // candidate pairs are near-dup-sized (corpus-small): broadcast them
+      // through both verification lookups so the doc-sized set table is
+      // only scanned, never shuffled
+      val withA = broadcast(cand)
+        .join(sets.select(col("id").as("id_a"), col("gs").as("gs_a")), Seq("id_a"))
+      return broadcast(withA)
+        .join(sets.select(col("id").as("id_b"), col("gs").as("gs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("common"),
+          size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))
+        .select(col("id_a"), col("id_b"),
+          (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= tau)
+    }
+    legacyNgramJaccard(docs, tau, blockCol, idCol, textCol, n)
+  }
+
+  /** Uncapped single-pass count-common form (best plan while per-block
+    * dfs stay bounded — one shuffle, no verification join). */
+  private def legacyNgramJaccard(docs: DataFrame, tau: Double, blockCol: String,
+                                 idCol: String, textCol: String,
+                                 n: Int): DataFrame = {
     // Shingle sets as 60-bit hashes (8-byte join keys; collision odds
     // ~2^-60, deterministic, mirrored in the oracle).
     //
@@ -309,11 +411,71 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ tau within a blocking column
-    * (label here; LSH bucket from
-    * [[graft.functions.Vectors.hyperplaneBucket]] at scale). */
+  /** Embedding near-dup pairs, DEFAULT (scale) path: banded hyperplane
+    * LSH inside the blocking column prunes the candidate space, then the
+    * exact cosine refine decides — output ⊆ [[embeddingNearDupExact]]'s
+    * pairs, equal whenever every qualifying pair shares ≥1 band bucket.
+    *
+    * Candidate generation: `bands` independent plane families
+    * ([[graft.functions.Vectors.deterministicPlanes]] seeded per band)
+    * of `planesPerBand` bits each; a pair is a candidate iff it agrees
+    * on ALL bits of SOME band. For a pair at cosine c, a plane agrees
+    * with probability p = 1 − acos(c)/π, so recall = 1 − (1 − p^b)^L —
+    * at near-dup thresholds (tau ≥ 0.8, p ≥ 0.8) a handful of wide
+    * bands give ≈100% recall with tiny buckets; at loose thresholds L
+    * must grow (the defaults here hold recall ≈ 1 down to tau ≈ 0.35).
+    *
+    * Why this scales where the exact form doesn't: the exact path is
+    * all-pairs WITHIN a block — a popular block of n docs costs n²/2
+    * comparisons. Here a block is subdivided into 2^b buckets per band,
+    * so the quadratic term is Σ_buckets n_b² with n_b ≈ n/2^b — the
+    * bucket width (planesPerBand) bounds the worst candidate bucket
+    * independently of block popularity, and the refine joins touch only
+    * the (corpus-small) candidate pair list. The banded self-join
+    * shuffles one exchange (signatures only, no vectors); the two
+    * refine lookups shuffle the corpus by id. */
   def embeddingNearDup(emb: DataFrame, tau: Double, blockCol: String = "label",
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       dim: Int = 64, bands: Int = 32,
+                       planesPerBand: Int = 3): DataFrame = {
+    import graft.functions.{Vectors => V}
+    val e = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), V.norm(col(vecCol)).as("nrm"))
+    // signatures only — the vectors do NOT ride through the band explode
+    val banded = e.select(col("blk"), col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          V.hyperplaneBucket(col("v"), dim, planesPerBand, seed = b + 1)
+            .as("bkt"))): _*)).as("bb"))
+      .select(col("blk"), col("id"), col("bb.band").as("band"),
+        col("bb.bkt").as("bkt"))
+    // shuffle_hash: both sides are the SAME exchange (ReusedExchange)
+    val cand = banded.as("x")
+      .join(banded.as("y").hint("shuffle_hash"),
+        col("x.blk") === col("y.blk") && col("x.band") === col("y.band")
+          && col("x.bkt") === col("y.bkt") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val d = V.dot(col("va"), col("vb"))
+    val nn = col("na") * col("nb")
+    // shuffle_hash lookups (no sort-merge sorts); at near-dup taus the
+    // candidate list is the small side and a broadcast hint also works
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(when(nn > 0.0, d / nn).otherwise(lit(0.0)), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Embedding near-dup pairs, EXACT form: all pairs within the blocking
+    * column (cartesian per block — n²/2 per block, so only viable while
+    * blocks stay small). This is the verification primitive and test
+    * oracle for the LSH-blocked default above. */
+  def embeddingNearDupExact(emb: DataFrame, tau: Double, blockCol: String = "label",
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.{Vectors => V}
     // norms are per-ROW, so compute them before the pair join: the naive
     // cosine-per-pair recomputes both norms for every candidate (3

@@ -582,7 +582,10 @@ object Queries {
   /** Exact n-gram Jaccard near-dup pairs, blocked by lang. */
   val qNgramJaccard: Q = "q_ngram_jaccard" -> (
     (s: SparkSession, d: String) =>
-      Dedup.ngramJaccard(Tables.documents(s, d), tau = 0.5, blockCol = "lang")
+      // maxDf = 64 sits well above the fixture's max per-block gram df
+      // (14) — the cap changes the plan to filter-verify, not the result
+      Dedup.ngramJaccard(Tables.documents(s, d), tau = 0.5, blockCol = "lang",
+          maxDf = 64)
         .orderBy(col("id_a"), col("id_b")),
     s"""WITH t AS (SELECT doc_id AS id, lang, $TOKS AS toks FROM documents),
        |sh AS (SELECT id, lang, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -618,7 +621,10 @@ object Queries {
        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh
        |FROM t ORDER BY doc_id""".stripMargin)
 
-  /** Embedding cosine near-dup, blocked by label. */
+  /** Embedding cosine near-dup. The Spark side runs the LSH-banded
+    * default path (banded hyperplane candidates + exact cosine refine);
+    * the oracle is the blocked-exact all-pairs form — a hash match
+    * certifies the banding loses no qualifying pair at this tau. */
   val qEmbedNearDup: Q = "q_embed_neardup" -> (
     (s: SparkSession, d: String) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), tau = 0.35)

@@ -213,6 +213,46 @@ class CorpusOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("embeddingNearDup: LSH-banded default ≡ exact all-pairs on the fixture") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val exact = graft.ops.Dedup.embeddingNearDupExact(emb, tau = 0.35)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain qualifying pairs")
+    val lsh = graft.ops.Dedup.embeddingNearDup(emb, tau = 0.35)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // LSH candidates ⊆ block pairs and the refine is the same exact
+    // cosine, so only recall can differ — the band parameters must
+    // recover every qualifying pair on the fixture
+    assert(lsh === exact,
+      s"missed ${(exact -- lsh).size} pairs, spurious ${(lsh -- exact).size}")
+  }
+
+  test("ngramJaccard df cap: prunes stop-gram candidates, keeps rare-gram near-dups") {
+    import graft.ops.Dedup
+    // 20 docs whose ONLY overlap is a shared stop sentence (df = 20 on
+    // its grams), plus one true near-dup pair overlapping on rare grams
+    val stop = "lorem ipsum dolor sit amet"
+    val rows = (1L to 20L).map(i => (i, s"unique$i word$i thing$i $stop")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "alpha beta gamma delta epsilon eta"))
+    val docsIn = rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val uncappedCand = Dedup.ngramCandidates(docsIn, tau = 0.5, blockCol = "lang")
+      .count()
+    val cappedCand = Dedup.ngramCandidates(docsIn, tau = 0.5, blockCol = "lang",
+      maxDf = 5).count()
+    // C(20,2) stop-gram pairs + the true pair vs just the true pair
+    assert(uncappedCand === 191L, s"got $uncappedCand")
+    assert(cappedCand === 1L, s"got $cappedCand")
+    // capped result ≡ uncapped result here (the stop-gram pairs are all
+    // below tau), with identical exact jaccard values
+    val uncapped = Dedup.ngramJaccard(docsIn, tau = 0.5, blockCol = "lang")
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccard(docsIn, tau = 0.5, blockCol = "lang",
+      maxDf = 5).as[(Long, Long, Double)].collect().toSet
+    assert(uncapped === Set((100L, 101L, 0.6)))
+    assert(capped === uncapped)
+  }
+
   test("streaming exact dedup: first arrival of a fingerprint wins across micro-batches") {
     // the incremental profile of Dedup.exact: state-backed dropDuplicates
     // on the content fingerprint — a later batch's duplicate (even with
