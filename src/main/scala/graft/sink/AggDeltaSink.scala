@@ -2,6 +2,7 @@ package graft.sink
 
 import java.sql.Connection
 import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained AGGREGATE view: `keys -> (cnt, sums...)`
@@ -57,6 +58,11 @@ class AggDeltaSink(url: String, name: String, version: Int,
     * per-sum-column ds). Replayed batch ids are skipped. */
   def applyAdjustments(offsets: Map[String, Long], batchId: Long,
                        adjustments: Seq[(Seq[Any], Long, Seq[Any])]): Boolean =
+    applyAdjustmentsStreamed(offsets, batchId, adjustments.iterator)
+
+  /** Iterator form — adjustments stream through the open transaction. */
+  def applyAdjustmentsStreamed(offsets: Map[String, Long], batchId: Long,
+                               adjustments: Iterator[(Seq[Any], Long, Seq[Any])]): Boolean =
     DeltaSql.inBatchTxn(url, s"${name}_batches", spec.offsetsTable,
       batchId, offsets) { c =>
       val sumSet = sums.map(s => s"${s.name} = ${s.name} + ?").mkString(", ")
@@ -110,7 +116,7 @@ class AggDeltaSink(url: String, name: String, version: Int,
     val aggs = sum(col(graft.core.Deltas.MULT)).as("_dn") +:
       sums.map(s => sum(col(s.name) * col(graft.core.Deltas.MULT)).as(s.name))
     val adj = dataDf.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq.map { r =>
+      .toLocalIterator().asScala.map { r =>
         (keys.map(k => r.getAs[Any](k.name)),
          r.getAs[Long]("_dn"),
          sums.map(s => r.getAs[Any](s.name)))
@@ -120,7 +126,7 @@ class AggDeltaSink(url: String, name: String, version: Int,
         df.groupBy("_source").max("_offset").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       else Map.empty
-    applyAdjustments(offsets, batchId, adj)
+    applyAdjustmentsStreamed(offsets, batchId, adj)
     ()
   }
 }

@@ -3,6 +3,7 @@ package graft.sink
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.core.Deltas
+import scala.jdk.CollectionConverters._
 
 /** Batch-profile incremental maintenance (reference `drain_deltas`,
   * machine.rs:169-181, in snapshot form): recompute the view, diff it
@@ -28,10 +29,15 @@ object BatchIncremental {
           sink.readRows().map(vs => Row.fromSeq(vs))).asJava),
       schema)
     val deltas = Deltas.consolidate(Deltas.diff(snapshot, current))
-    val rows = deltas.collect().toSeq.map { r =>
+    // stream the diff through the open txn (one partition on the driver
+    // at a time) — a first sync of a large view is exactly the
+    // full-history-replay case the collect() form would buffer whole
+    var applied = 0L
+    val rows = deltas.toLocalIterator().asScala.map { r =>
+      applied += r.getAs[Long](Deltas.MULT).abs
       (schema.fieldNames.toSeq.map(n => r.getAs[Any](n)), r.getAs[Long](Deltas.MULT))
     }
-    sink.applyDeltas(offsets, batchId, rows)
-    rows.map(_._2.abs).sum
+    sink.applyDeltasStreamed(offsets, batchId, rows)
+    applied
   }
 }

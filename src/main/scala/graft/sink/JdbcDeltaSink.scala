@@ -43,35 +43,66 @@ private[sink] object DeltaSql {
     (clauses.mkString(" AND "), params.flatten)
   }
 
-  /** Bag-semantics application of one table's deltas on an open txn. */
+  /** Bag-semantics application of one table's deltas on an open txn.
+    *
+    * Driver-memory-bounded: `deltas` is an ITERATOR (fed from
+    * `toLocalIterator` by the batch writers, so a full-history replay
+    * never materializes the view on the driver) and inserts go through
+    * JDBC statement batching flushed every `rowBatchSize` rows.
+    * Consolidated deltas have distinct value tuples, so a retraction
+    * can never target a row sitting unflushed in the insert batch.
+    *
+    * Retractions per dialect: with `deleteLimitSql` (MSSQL `DELETE TOP
+    * (?)`) exactly `-mult` rows are deleted; otherwise delete-all and
+    * reinsert `removed + mult` copies, the affected-row count standing
+    * in for a separate COUNT round trip (postgre.rs:245-247 — the
+    * reference reads the delete's row count the same way). */
   def applyTableDeltas(c: Connection, spec: TableSpec,
-                       deltas: Seq[(Seq[Any], Long)]): Unit = {
-    val insRow = c.prepareStatement(
-      s"INSERT INTO ${spec.name} (${spec.colNames.mkString(", ")}) VALUES (${spec.colNames.map(_ => "?").mkString(", ")})")
+                       deltas: Iterator[(Seq[Any], Long)],
+                       dialect: SinkDialect = AnsiDialect,
+                       rowBatchSize: Int = 1000): Unit = {
+    require(rowBatchSize > 0, "rowBatchSize must be positive")
+    val insRow = c.prepareStatement(dialect.insertSql(spec))
+    var pending = 0
+    def flush(): Unit = if (pending > 0) { insRow.executeBatch(); pending = 0 }
+    def queueInserts(values: Seq[Any], copies: Long): Unit =
+      (0L until copies).foreach { _ =>
+        bind(insRow, values)
+        insRow.addBatch()
+        pending += 1
+        if (pending >= rowBatchSize) flush()
+      }
     deltas.foreach { case (values, mult) =>
-      if (mult > 0) {
-        bind(insRow, values)
-        (0L until mult).foreach(_ => insRow.executeUpdate())
-      } else if (mult < 0) {
+      if (mult > 0) queueInserts(values, mult)
+      else if (mult < 0) {
         val (where, params) = nullSafeWhere(spec, values)
-        val cnt = {
-          val ps = c.prepareStatement(s"SELECT COUNT(*) FROM ${spec.name} WHERE $where")
-          bind(ps, params)
-          val rs = ps.executeQuery(); rs.next()
-          val n = rs.getLong(1); rs.close(); ps.close(); n
+        dialect.deleteLimitSql(spec, where) match {
+          case Some(sql) => // bounded delete: remove exactly -mult rows
+            val del = c.prepareStatement(sql)
+            del.setLong(1, -mult)
+            bind2(del, params, offset = 1)
+            val removed = del.executeUpdate(); del.close()
+            if (removed < -mult)
+              throw new IllegalStateException(
+                s"delta retracts more rows than present in ${spec.name}: $values mult=$mult have=$removed")
+          case None => // delete-all, reinsert the surviving copies
+            val del = c.prepareStatement(dialect.deleteAllSql(spec, where))
+            bind(del, params)
+            val removed = del.executeUpdate(); del.close()
+            val remain = removed + mult // delete-then-reinsert (sqlite.rs:238-259)
+            if (remain < 0)
+              throw new IllegalStateException(
+                s"delta retracts more rows than present in ${spec.name}: $values mult=$mult have=$removed")
+            queueInserts(values, remain)
         }
-        val del = c.prepareStatement(s"DELETE FROM ${spec.name} WHERE $where")
-        bind(del, params); del.executeUpdate(); del.close()
-        val remain = cnt + mult // delete-then-reinsert (sqlite.rs:238-259)
-        if (remain < 0)
-          throw new IllegalStateException(
-            s"delta retracts more rows than present in ${spec.name}: $values mult=$mult have=$cnt")
-        bind(insRow, values)
-        (0L until remain).foreach(_ => insRow.executeUpdate())
       }
     }
+    flush()
     insRow.close()
   }
+
+  private def bind2(ps: PreparedStatement, params: Seq[Any], offset: Int): Unit =
+    params.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1 + offset, v) }
 
   /** Connection scope with rollback-before-close: a failure inside `f`
     * must surface, not be masked by Derby's close-with-active-txn error. */
@@ -89,8 +120,10 @@ private[sink] object DeltaSql {
     * returns false (idempotent redelivery); otherwise offsets upsert +
     * batch stamp + `body` commit atomically, any throw rolls back. */
   def inBatchTxn(url: String, batchesTable: String, offsetsTable: String,
-                 batchId: Long, offsets: Map[String, Long])
+                 batchId: Long, offsets: Map[String, Long],
+                 dialect: SinkDialect = AnsiDialect)
                 (body: Connection => Unit): Boolean = withConn(url) { c =>
+    dialect.sessionInitSql.foreach(exec(c, _)) // e.g. MSSQL SERIALIZABLE pin
     c.setAutoCommit(false)
     c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
     try {
@@ -103,7 +136,7 @@ private[sink] object DeltaSql {
       }
       if (applied) { c.rollback(); false }
       else {
-        upsertOffsets(c, offsetsTable, offsets)
+        upsertOffsets(c, offsetsTable, offsets, dialect)
         val bp = c.prepareStatement(s"INSERT INTO $batchesTable VALUES (?)")
         bp.setLong(1, batchId); bp.executeUpdate(); bp.close()
         body(c)
@@ -113,19 +146,30 @@ private[sink] object DeltaSql {
     } catch { case e: Throwable => c.rollback(); throw e }
   }
 
-  /** Offsets upsert into `table(source, offset_)` on an open txn. */
+  /** Offsets upsert into `table(source, offset_)` on an open txn: the
+    * dialect's single-statement form when it has one (Postgres ON
+    * CONFLICT, MSSQL if-exists-updlock), else update-then-insert. */
   def upsertOffsets(c: Connection, table: String,
-                    offsets: Map[String, Long]): Unit = {
-    val upd = c.prepareStatement(s"UPDATE $table SET offset_ = ? WHERE source = ?")
-    val ins = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
-    offsets.foreach { case (src, off) =>
-      upd.setLong(1, off); upd.setString(2, src)
-      if (upd.executeUpdate() == 0) {
-        ins.setString(1, src); ins.setLong(2, off); ins.executeUpdate()
-      }
+                    offsets: Map[String, Long],
+                    dialect: SinkDialect = AnsiDialect): Unit =
+    dialect.offsetsUpsertSql(table) match {
+      case Some(sql) =>
+        val ps = c.prepareStatement(sql)
+        offsets.foreach { case (src, off) =>
+          dialect.bindOffsetsUpsert(ps, src, off); ps.executeUpdate()
+        }
+        ps.close()
+      case None =>
+        val upd = c.prepareStatement(dialect.offsetsUpdateSql(table))
+        val ins = c.prepareStatement(dialect.offsetsInsertSql(table))
+        offsets.foreach { case (src, off) =>
+          upd.setLong(1, off); upd.setString(2, src)
+          if (upd.executeUpdate() == 0) {
+            ins.setString(1, src); ins.setLong(2, off); ins.executeUpdate()
+          }
+        }
+        upd.close(); ins.close()
     }
-    upd.close(); ins.close()
-  }
 }
 
 /** Transactional delta-apply JDBC sink — the reference's exactly-once
@@ -151,7 +195,9 @@ private[sink] object DeltaSql {
   * exceeds driver memory needs a partitioned-transaction target (e.g. a
   * Delta/Iceberg table) instead of a single SQL endpoint.
   */
-class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
+class JdbcDeltaSink(url: String, spec: TableSpec,
+                    dialect: SinkDialect = AnsiDialect,
+                    rowBatchSize: Int = 1000) extends Serializable {
 
   private def withConn[A](f: Connection => A): A = DeltaSql.withConn(url)(f)
 
@@ -186,13 +232,16 @@ class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
       for (t <- Seq(spec.name, spec.offsetsTable, s"${spec.name}_batches") if tableExists(c, t))
         exec(c, s"DROP TABLE $t")
       val cols = spec.columns.map(col => s"${col.name} ${col.sqlType}").mkString(", ")
-      exec(c, s"CREATE TABLE ${spec.name} ($cols)")
+      exec(c, dialect.createTableSql(spec.name, cols))
       spec.columns.filter(_.index).foreach { col =>
-        exec(c, s"CREATE INDEX idx_${spec.name}_${col.name} ON ${spec.name} (${col.name})")
+        exec(c, dialect.createIndexSql(s"idx_${spec.name}_${col.name}",
+          spec.name, col.name))
       }
       if (protocolTables) {
-        exec(c, s"CREATE TABLE ${spec.offsetsTable} (source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL)")
-        exec(c, s"CREATE TABLE ${spec.name}_batches (batch_id BIGINT NOT NULL)")
+        exec(c, dialect.createTableSql(spec.offsetsTable,
+          "source VARCHAR(50) NOT NULL PRIMARY KEY, offset_ BIGINT NOT NULL"))
+        exec(c, dialect.createTableSql(s"${spec.name}_batches",
+          "batch_id BIGINT NOT NULL"))
       }
       if (cur.isDefined) {
         val ps = c.prepareStatement("UPDATE schema_versions SET version = ? WHERE table_name = ?")
@@ -246,30 +295,49 @@ class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
     * under at-least-once `foreachBatch` delivery). */
   def applyDeltas(offsets: Map[String, Long], batchId: Long,
                   deltas: Seq[(Seq[Any], Long)]): Boolean =
+    applyDeltasStreamed(offsets, batchId, deltas.iterator)
+
+  /** Iterator form: the batch rows stream through the open transaction
+    * without ever being whole on the driver (replay-safe — see
+    * [[DeltaSql.applyTableDeltas]]). */
+  def applyDeltasStreamed(offsets: Map[String, Long], batchId: Long,
+                          deltas: Iterator[(Seq[Any], Long)]): Boolean =
     DeltaSql.inBatchTxn(url, s"${spec.name}_batches", spec.offsetsTable,
-      batchId, offsets)(c => DeltaSql.applyTableDeltas(c, spec, deltas))
+      batchId, offsets, dialect)(c =>
+      DeltaSql.applyTableDeltas(c, spec, deltas, dialect, rowBatchSize))
+
+  private[sink] def rowOf(r: Row, colNames: Seq[String]): (Seq[Any], Long) = {
+    val values = colNames.map(n => r.getAs[Any](n) match {
+      case null => null
+      case v => v.asInstanceOf[AnyRef]
+    })
+    (values, r.getAs[Long](Deltas.MULT))
+  }
 
   /** `foreachBatch` adapter: consolidates the micro-batch's delta
     * DataFrame (must carry a `mult` column; plain DataFrames are lifted
     * at mult 1) and applies it transactionally. Offset columns
-    * (`_source`, `_offset`) are split out if present. */
+    * (`_source`, `_offset`) are split out if present.
+    *
+    * The consolidated deltas reach the DB via `toLocalIterator` — one
+    * partition resident on the driver at a time — so a full-history
+    * replay into a fresh sink is bounded by partition size, not view
+    * size (the txn must still span the whole batch; that single-
+    * connection invariant is the reference's, runner.rs:113-122). */
   def foreachBatchWriter(): (DataFrame, Long) => Unit = { (df, batchId) =>
+    import scala.jdk.CollectionConverters._
     val hasOffsets = df.columns.contains("_source")
     val dataDf = df.drop("_source", "_offset")
     val consolidated = Deltas.consolidate(dataDf)
-    val rows = consolidated.collect().toSeq.map { r: Row =>
-      val values = spec.colNames.map(n => r.getAs[Any](n) match {
-        case null => null
-        case v => v.asInstanceOf[AnyRef]
-      })
-      (values, r.getAs[Long](Deltas.MULT))
-    }
+    val rows = consolidated.toLocalIterator().asScala
+      .map(r => rowOf(r, spec.colNames))
     val offsets: Map[String, Long] =
       if (hasOffsets)
         df.groupBy("_source").max("_offset").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       else Map.empty
-    applyDeltas(offsets, batchId, rows)
+    applyDeltasStreamed(offsets, batchId, rows)
+    ()
   }
 }
 
@@ -279,10 +347,12 @@ class JdbcDeltaSink(url: String, spec: TableSpec) extends Serializable {
   * all-tables-or-nothing guarantee the reference gives a `Union` of up
   * to 5 record types.
   */
-class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
+class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec],
+                     dialect: SinkDialect = AnsiDialect,
+                     rowBatchSize: Int = 1000)
     extends Serializable {
 
-  private val sinks = specs.map(sp => new JdbcDeltaSink(url, sp))
+  private val sinks = specs.map(sp => new JdbcDeltaSink(url, sp, dialect, rowBatchSize))
 
   private def withConn[A](f: Connection => A): A = DeltaSql.withConn(url)(f)
 
@@ -334,26 +404,26 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
     * split out as in [[JdbcDeltaSink.foreachBatchWriter]]. */
   def foreachBatchWriter(): (DataFrame, Long) => Unit = { (df, batchId) =>
     import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
     val hasOffsets = df.columns.contains("_source")
     val offsets: Map[String, Long] =
       if (hasOffsets)
         df.groupBy("_source").max("_offset").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       else Map.empty
-    val perTable = specs.map { sp =>
-      val rows = Deltas.consolidate(
-          df.filter(col("_table") === sp.name)
-            .select(sp.colNames.map(col) :+ col(Deltas.MULT): _*))
-        .collect().toSeq.map { r: Row =>
-          val values = sp.colNames.map(n => r.getAs[Any](n) match {
-            case null => null
-            case v => v.asInstanceOf[AnyRef]
-          })
-          (values, r.getAs[Long](Deltas.MULT))
-        }
-      sp.name -> rows
-    }.toMap
-    applyDeltas(offsets, batchId, perTable.filter(_._2.nonEmpty))
+    // one lazy iterator per member, each drained inside the shared txn
+    // (toLocalIterator: one partition on the driver at a time)
+    DeltaSql.inBatchTxn(url, s"${group}_batches", offsetsTable,
+      batchId, offsets, dialect) { c =>
+      specs.zip(sinks).foreach { case (sp, sink) =>
+        val rows = Deltas.consolidate(
+            df.filter(col("_table") === sp.name)
+              .select(sp.colNames.map(col) :+ col(Deltas.MULT): _*))
+          .toLocalIterator().asScala
+          .map(r => sink.rowOf(r, sp.colNames))
+        DeltaSql.applyTableDeltas(c, sp, rows, dialect, rowBatchSize)
+      }
+    }
     ()
   }
 
@@ -363,10 +433,11 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec])
     val unknown = perTable.keySet -- specs.map(_.name).toSet
     require(unknown.isEmpty, s"unknown tables in delta batch: $unknown")
     DeltaSql.inBatchTxn(url, s"${group}_batches", offsetsTable,
-      batchId, offsets) { c =>
+      batchId, offsets, dialect) { c =>
       specs.foreach { sp =>
         perTable.get(sp.name).filter(_.nonEmpty)
-          .foreach(ds => DeltaSql.applyTableDeltas(c, sp, ds))
+          .foreach(ds => DeltaSql.applyTableDeltas(c, sp, ds.iterator,
+            dialect, rowBatchSize))
       }
     }
   }
