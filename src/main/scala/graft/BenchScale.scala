@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling harness for the near-dup family (the quadratic-path check the
+  * sf0.1 bench cannot expose): builds K-fold corpora from sf0.1 whose
+  * DUPLICATE STRUCTURE stays constant while volume grows, then times the
+  * capped/LSH paths against their exact forms.
+  *
+  *  - documents ×K: every token gets a copy-k prefix, so copies share no
+  *    grams (per-gram df constant ⇒ honest linear growth), EXCEPT a stop
+  *    sentence appended to EVERY doc after prefixing — its grams' df is
+  *    the full corpus size n·K, planting exactly the Σdf² blowup
+  *    (3·(nK)² join rows) the df cap exists to kill.
+  *  - embeddings ×K: copy k is sign-flipped per dimension by a hash
+  *    pattern — an orthogonal transform, so intra-copy cosines are
+  *    preserved exactly while cross-copy cosines collapse to noise.
+  *
+  * For the LSH path the bucket width follows the design rule stated on
+  * [[graft.ops.Dedup.embeddingNearDup]]: planesPerBand ≈ log2(block/
+  * targetBucket) — wider buckets as the corpus grows, keeping per-bucket
+  * cost constant so total candidate volume stays ~linear.
+  *
+  * Usage: runMain graft.BenchScale [maxK]   (writes /root/repo/tmp/scale_*)
+  */
+object BenchScale {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def scaledDocs(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val base = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    (0 until k).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        col("lang"),
+        concat(
+          regexp_replace(col("text"), "(\\S+)", s"c$i$$1"),
+          lit(" lorem ipsum dolor sit amet")).as("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  def scaledEmbeddings(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val base = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    (0 until k).map { i =>
+      base.select(
+        (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+        col("label"),
+        transform(col("embedding"), (x, j) =>
+          (x.cast("double") * (pmod(hash(lit(i), j), lit(2)).cast("double") * 2.0
+            - 1.0)).cast("float")).as("embedding"))
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val maxK = if (args.nonEmpty) args(0).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // untimed warmup: pay whole-stage-codegen JIT for both plan shapes
+    // before any measured pass
+    val warm = scaledDocs(spark, sfDir, 1).limit(500)
+    val warmE = scaledEmbeddings(spark, sfDir, 1).limit(500)
+    graft.ops.Dedup.ngramJaccard(warm, 0.5, "lang", maxDf = 64).count()
+    graft.ops.Dedup.ngramJaccard(warm, 0.5, "lang").count()
+    graft.ops.Dedup.embeddingNearDup(warmE, 0.9, bands = 16, planesPerBand = 3).count()
+    graft.ops.Dedup.embeddingNearDupExact(warmE, 0.9).count()
+    spark.catalog.clearCache()
+
+    Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+      // materialize the scaled corpora so generation cost stays out of
+      // the measured operator time
+      val docsPath = s"/root/repo/tmp/scale_docs_$k"
+      val embPath = s"/root/repo/tmp/scale_emb_$k"
+      scaledDocs(spark, sfDir, k).write.mode("overwrite").parquet(docsPath)
+      scaledEmbeddings(spark, sfDir, k).write.mode("overwrite").parquet(embPath)
+      val docs = spark.read.parquet(docsPath)
+      val emb = spark.read.parquet(embPath)
+      val nd = docs.count(); val ne = emb.count()
+
+      // the uncapped form's stop-gram join grows ∝ (nK)² — past K=4 it
+      // is the demonstration itself, not worth the wall-clock
+      val (tCap, nCap, tUncap, nUncap) =
+        if (k <= 4) {
+          val (a, b) = time(graft.ops.Dedup.ngramJaccard(
+            docs, tau = 0.5, blockCol = "lang", maxDf = 64).count())
+          spark.catalog.clearCache()
+          val (c, d2) = time(graft.ops.Dedup.ngramJaccard(
+            docs, tau = 0.5, blockCol = "lang").count())
+          spark.catalog.clearCache()
+          (a, b, c, d2)
+        } else (-1.0, -1L, -1.0, -1L)
+
+      // bucket-width rule: block ≈ ne/5 labels, target ~50/bucket
+      val planes = math.max(3,
+        (math.log(ne.toDouble / 5 / 50) / math.log(2)).ceil.toInt)
+      val (tLsh, nLsh) = time(graft.ops.Dedup.embeddingNearDup(
+        emb, tau = 0.9, bands = 16, planesPerBand = planes).count())
+      spark.catalog.clearCache()
+      val (tExact, nExact) = time(graft.ops.Dedup.embeddingNearDupExact(
+        emb, tau = 0.9).count())
+      spark.catalog.clearCache()
+
+      println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
+        s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
+        s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
+        s""""embed_lsh_sec":${f"$tLsh%.2f"},"embed_exact_sec":${f"$tExact%.2f"},""" +
+        s""""embed_planes":$planes,"embed_pairs_lsh":$nLsh,"embed_pairs_exact":$nExact}""")
+    }
+    spark.stop()
+  }
+}

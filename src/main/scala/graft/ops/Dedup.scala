@@ -430,10 +430,18 @@ object Dedup {
     * comparisons. Here a block is subdivided into 2^b buckets per band,
     * so the quadratic term is Σ_buckets n_b² with n_b ≈ n/2^b — the
     * bucket width (planesPerBand) bounds the worst candidate bucket
-    * independently of block popularity, and the refine joins touch only
-    * the (corpus-small) candidate pair list. The banded self-join
-    * shuffles one exchange (signatures only, no vectors); the two
-    * refine lookups shuffle the corpus by id. */
+    * independently of block popularity. Grow planesPerBand with the
+    * block (≈ log2(block/targetBucket)) to hold bucket width constant.
+    *
+    * Plan shape: vectors ride the ONE banded exchange (L·corpus rows,
+    * both self-join sides reuse it) and the cosine refine runs INLINE in
+    * the join projection — candidate pairs are generated, scored, and
+    * tau-filtered inside a single codegen'd stage without ever being
+    * materialized or re-joined; only the surviving near-dup pairs reach
+    * the final band-dedup exchange. (The alternative — signatures-only
+    * explode + candidate-distinct + two id-join lookups — shuffles the
+    * candidate LIST, whose size is the very thing we can't bound ahead
+    * of time; L·corpus is known at plan time.) */
   def embeddingNearDup(emb: DataFrame, tau: Double, blockCol: String = "label",
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        dim: Int = 64, bands: Int = 32,
@@ -441,33 +449,24 @@ object Dedup {
     import graft.functions.{Vectors => V}
     val e = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).as("v"), V.norm(col(vecCol)).as("nrm"))
-    // signatures only — the vectors do NOT ride through the band explode
-    val banded = e.select(col("blk"), col("id"),
+    val banded = e.select(col("blk"), col("id"), col("v"), col("nrm"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           V.hyperplaneBucket(col("v"), dim, planesPerBand, seed = b + 1)
             .as("bkt"))): _*)).as("bb"))
-      .select(col("blk"), col("id"), col("bb.band").as("band"),
-        col("bb.bkt").as("bkt"))
+      .select(col("blk"), col("id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val d = V.dot(col("x.v"), col("y.v"))
+    val nn = col("x.nrm") * col("y.nrm")
     // shuffle_hash: both sides are the SAME exchange (ReusedExchange)
-    val cand = banded.as("x")
+    banded.as("x")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.blk") === col("y.blk") && col("x.band") === col("y.band")
           && col("x.bkt") === col("y.bkt") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val d = V.dot(col("va"), col("vb"))
-    val nn = col("na") * col("nb")
-    // shuffle_hash lookups (no sort-merge sorts); at near-dup taus the
-    // candidate list is the small side and a broadcast hint also works
-    cand
-      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-        .hint("shuffle_hash"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(when(nn > 0.0, d / nn).otherwise(lit(0.0)), 6).as("cos"))
       .filter(col("cos") >= tau)
+      .distinct() // band-collision dedup, AFTER the filter — tiny input
   }
 
   /** Embedding near-dup pairs, EXACT form: all pairs within the blocking
