@@ -185,11 +185,15 @@ object Dedup {
     val capped =
       if (maxDf == Long.MaxValue) base
       else {
+        // over-cap gram count is bounded by Σdf/maxDf — usually tiny,
+        // but not provably driver-sized, so no hard broadcast hint:
+        // AQE broadcasts the anti-join side when it measures small and
+        // falls back to a shuffle when it doesn't
         val stopGrams = base.groupBy(col("blk"), col("gh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf)
           .select(col("blk"), col("gh"))
-        base.join(broadcast(stopGrams), Seq("blk", "gh"), "left_anti")
+        base.join(stopGrams, Seq("blk", "gh"), "left_anti")
           .select(col("blk"), col("id"), col("n_sh"), col("gh"))
       }
     // shuffle_hash: both sides are the SAME exchange (ReusedExchange)
@@ -199,7 +203,8 @@ object Dedup {
           && col("x.id") < col("y.id")
           && col("y.n_sh") * lit(tau) <= col("x.n_sh")
           && col("x.n_sh") * lit(tau) <= col("y.n_sh"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"))
       .distinct()
   }
 
@@ -230,10 +235,16 @@ object Dedup {
       // candidate pairs are near-dup-sized (corpus-small): broadcast them
       // through both verification lookups so the doc-sized set table is
       // only scanned, never shuffled
+      // lookups keyed on (blk, id): a doc's row identity is its id
+      // WITHIN a block — with a multi-valued blocking column (LSH bands)
+      // or ids unique only per block, joining on id alone would pair gs
+      // rows across blocks and multiply candidates
       val withA = broadcast(cand)
-        .join(sets.select(col("id").as("id_a"), col("gs").as("gs_a")), Seq("id_a"))
+        .join(sets.select(col("blk"), col("id").as("id_a"), col("gs").as("gs_a")),
+          Seq("blk", "id_a"))
       return broadcast(withA)
-        .join(sets.select(col("id").as("id_b"), col("gs").as("gs_b")), Seq("id_b"))
+        .join(sets.select(col("blk"), col("id").as("id_b"), col("gs").as("gs_b")),
+          Seq("blk", "id_b"))
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("common"),
           size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))

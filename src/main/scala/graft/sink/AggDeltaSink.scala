@@ -31,13 +31,14 @@ import org.apache.spark.sql.functions._
   * by ordinary float addition under heavy churn.
   */
 class AggDeltaSink(url: String, name: String, version: Int,
-                   keys: Seq[ColumnSpec], sums: Seq[ColumnSpec])
+                   keys: Seq[ColumnSpec], sums: Seq[ColumnSpec],
+                   dialect: SinkDialect = AnsiDialect)
     extends Serializable {
 
   private val spec = TableSpec(name, version,
     keys ++ Seq(ColumnSpec("cnt", "BIGINT")) ++ sums)
   private val keySpec = TableSpec(name, version, keys)
-  private val base = new JdbcDeltaSink(url, spec)
+  private val base = new JdbcDeltaSink(url, spec, dialect)
 
   def bootstrap(): Boolean = base.bootstrap()
   def getOffsets(): Map[String, Long] = base.getOffsets()
@@ -64,7 +65,7 @@ class AggDeltaSink(url: String, name: String, version: Int,
   def applyAdjustmentsStreamed(offsets: Map[String, Long], batchId: Long,
                                adjustments: Iterator[(Seq[Any], Long, Seq[Any])]): Boolean =
     DeltaSql.inBatchTxn(url, s"${name}_batches", spec.offsetsTable,
-      batchId, offsets) { c =>
+      batchId, offsets, dialect) { c =>
       val sumSet = sums.map(s => s"${s.name} = ${s.name} + ?").mkString(", ")
       val setSql = if (sums.isEmpty) "cnt = cnt + ?" else s"cnt = cnt + ?, $sumSet"
       adjustments.foreach { case (keyVals, dn, dsums) =>

@@ -19,7 +19,9 @@ object BatchIncremental {
 
   /** Diff `snapshot` against the sink's current rows and apply the
     * change in one exactly-once transaction. Returns the number of
-    * delta rows applied. */
+    * delta row-copies applied — 0 both when the view was already in
+    * sync AND when the batchId was an idempotent replay (the skipped
+    * transaction never consumes the streamed diff). */
   def sync(spark: SparkSession, snapshot: DataFrame, sink: JdbcDeltaSink,
            offsets: Map[String, Long], batchId: Long): Long = {
     val schema: StructType = snapshot.schema

@@ -48,9 +48,10 @@ private[sink] object DeltaSql {
     * Driver-memory-bounded: `deltas` is an ITERATOR (fed from
     * `toLocalIterator` by the batch writers, so a full-history replay
     * never materializes the view on the driver) and inserts go through
-    * JDBC statement batching flushed every `rowBatchSize` rows.
-    * Consolidated deltas have distinct value tuples, so a retraction
-    * can never target a row sitting unflushed in the insert batch.
+    * JDBC statement batching flushed every `rowBatchSize` rows. Pending
+    * inserts are flushed before ANY delete executes, so unconsolidated
+    * input (insert and retraction of the same tuple in one batch)
+    * behaves exactly like the old statement-at-a-time form.
     *
     * Retractions per dialect: with `deleteLimitSql` (MSSQL `DELETE TOP
     * (?)`) exactly `-mult` rows are deleted; otherwise delete-all and
@@ -75,6 +76,7 @@ private[sink] object DeltaSql {
     deltas.foreach { case (values, mult) =>
       if (mult > 0) queueInserts(values, mult)
       else if (mult < 0) {
+        flush() // a delete must see every insert queued before it
         val (where, params) = nullSafeWhere(spec, values)
         dialect.deleteLimitSql(spec, where) match {
           case Some(sql) => // bounded delete: remove exactly -mult rows

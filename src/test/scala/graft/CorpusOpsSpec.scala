@@ -251,6 +251,7 @@ class CorpusOpsSpec extends SparkTestBase {
       maxDf = 5).as[(Long, Long, Double)].collect().toSet
     assert(uncapped === Set((100L, 101L, 0.6)))
     assert(capped === uncapped)
+    spark.catalog.clearCache() // capped path persists its signature table
   }
 
   test("streaming exact dedup: first arrival of a fingerprint wins across micro-batches") {

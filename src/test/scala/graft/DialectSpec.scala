@@ -68,6 +68,17 @@ class DialectSpec extends SparkTestBase {
       Seq("SET TRANSACTION ISOLATION LEVEL SERIALIZABLE"))
   }
 
+  test("unconsolidated batch: a queued insert is flushed before the same tuple's retraction") {
+    val sink = new JdbcDeltaSink("jdbc:derby:memory:dialect_unconsol;create=true",
+      spec, AnsiDialect, rowBatchSize = 100)
+    sink.bootstrap()
+    // insert sits in the statement batch (size < rowBatchSize) when the
+    // retraction arrives — the delete must observe it, netting zero rows
+    assert(sink.applyDeltas(Map.empty, 0L,
+      Seq((Seq[Any]("z", 9L), 1L), (Seq[Any]("z", 9L), -1L))))
+    assert(sink.readRows().isEmpty)
+  }
+
   test("bounded batching: tiny rowBatchSize round-trips a large delta batch on Derby") {
     // rowBatchSize = 7 forces dozens of executeBatch flushes across a
     // 500-row batch, interleaved with retractions in the same txn

@@ -49,8 +49,11 @@ class SkewAndSyncSpec extends SparkTestBase {
       === Set(("a", 5L), ("b", 2L), ("c", 9L)))
     assert(sink.getOffsets() === Map("s" -> 2L))
 
-    // idempotent redelivery of the same epoch
+    // idempotent redelivery of the same epoch: skipped txn, and the
+    // return pins the documented contract (0 — the streamed diff is
+    // never consumed for a replayed batchId)
     val applied3 = BatchIncremental.sync(spark, snap2, sink, Map("s" -> 2L), 1L)
+    assert(applied3 === 0L)
     assert(sink.readRows().size === 3)
   }
 
