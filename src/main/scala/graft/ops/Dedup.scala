@@ -87,6 +87,39 @@ object Dedup {
       .filter(col("jaccard_est") >= tau)
   }
 
+  /** Cross-corpus near-dup pairs — benchmark DEcontamination and
+    * incremental-crawl dedup: which `probe` docs near-duplicate any
+    * `corpus` doc. Same banded MinHash-LSH shape as [[minhashLsh]] but
+    * across two inputs: candidates are (corpus, probe) docs sharing ≥1
+    * band bucket, verified by signature-agreement Jaccard ≥ `tau`.
+    * Returns (corpus_id, probe_id, jaccard_est).
+    *
+    * At 100 TB: the corpus side's banded signatures are computed once
+    * and can be written out bucketed by (band, band_hash); each new
+    * probe batch then shuffles only ITS OWN signatures into that layout
+    * — decontaminating a fresh eval set or crawl increment never
+    * re-scans the training corpus text. */
+  def crossMinhashLsh(corpus: DataFrame, probe: DataFrame, tau: Double,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleLen: Int = 3, bands: Int = 8,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val a = minhashBands(corpus, idCol, textCol, shingleLen, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("id").as("corpus_id"), col("sig").as("sig_a"))
+    val b = minhashBands(probe, idCol, textCol, shingleLen, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("id").as("probe_id"), col("sig").as("sig_b"))
+    // two distinct inputs — no shared exchange to reuse; shuffle_hash
+    // still avoids sort-merge sorts and a driver-side broadcast build
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_hash"))
+      .select(col("corpus_id"), col("probe_id"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1))
+          / size(col("sig_a")).cast("double")).as("jaccard_est"))
+      .distinct()
+      .filter(col("jaccard_est") >= tau)
+  }
+
   /** SimHash dedup: exact-signature groups (hamming-0). The banded
     * hamming-≤k variant reuses the same shape with signature chunks as
     * band keys. */

@@ -502,6 +502,29 @@ object Queries {
        |SELECT id_a, id_b, jaccard_est FROM mh_pairs
        |WHERE jaccard_est >= $MH_TAU ORDER BY id_a, id_b""".stripMargin)
 
+  /** Benchmark decontamination: eval docs (odd ids here) that
+    * near-duplicate any training doc (even ids) via cross-corpus
+    * MinHash-LSH. The oracle computes signatures over the union and
+    * keeps exactly the parity-crossing pairs — per-doc signatures are
+    * identical either way, so the hash must match. */
+  val qDecontaminate: Q = "q_decontaminate" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossMinhashLsh(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          tau = MH_TAU, shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    },
+    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")}
+       |SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS corpus_id,
+       |  CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS probe_id,
+       |  jaccard_est
+       |FROM mh_pairs
+       |WHERE jaccard_est >= $MH_TAU AND (id_a % 2) <> (id_b % 2)
+       |ORDER BY corpus_id, probe_id""".stripMargin)
+
   /** Near-dup CLUSTERS from the LSH pair list (connected components via
     * hash-min label propagation; oracle: recursive CTE reachability).
     * cluster_id = min doc id of the component — the canonical
@@ -1493,7 +1516,8 @@ object Queries {
     qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
     qCountDistinct, qPercentile, qApproxDistinct,
     qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,
-    qMinhashLsh, qNgramJaccard, qSimhash, qSimhashPairs, qEmbedNearDup,
+    qMinhashLsh, qDecontaminate, qNgramJaccard, qSimhash, qSimhashPairs,
+    qEmbedNearDup,
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,

@@ -213,6 +213,27 @@ class CorpusOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("crossMinhashLsh: finds cross-corpus near-dups only, never intra-corpus pairs") {
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "completely different training text about spark physical plans"),
+      (14L, "another unrelated training document mentioning catalyst rules"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (23L, "an eval prompt with no overlap whatsoever in its token stream"),
+      // near-dup of ANOTHER probe doc — must NOT be reported (cross only)
+      (25L, "an eval prompt with no overlap whatsoever in its token streams"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.crossMinhashLsh(corpus, probe, tau = 0.5)
+      .select("corpus_id", "probe_id").as[(Long, Long)].collect().toSet
+    assert(hits === Set((10L, 21L)),
+      "only the contaminated eval doc pairs with its training source")
+    // decontaminated eval set = probe ids minus the hit probe ids
+    assert(!hits.exists { case (c, p) => c % 2 == 1 || p % 2 == 0 })
+  }
+
   test("embeddingNearDup: LSH-banded default ≡ exact all-pairs on the fixture") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val exact = graft.ops.Dedup.embeddingNearDupExact(emb, tau = 0.35)
