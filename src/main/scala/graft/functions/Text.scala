@@ -183,6 +183,50 @@ object Text {
     }
   }
 
+  // ------------------------------------------------- repetition signals
+
+  /** Fraction of n-gram positions occupied by repeats of another n-gram:
+    * `1 − distinct/total` — the classic boilerplate/repetition quality
+    * signal (a high duplicate-n-gram fraction marks template spam and
+    * degenerate generations). 0 for docs shorter than n tokens. Map-only:
+    * both sizes come from the same materialized shingle array. */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val sh = shinglesFromTokens(toks, n)
+    round(when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+      .otherwise(lit(0.0)), 6)
+  }
+
+  /** Occurrence count of the MOST FREQUENT n-gram in the doc (≥1 when the
+    * doc has ≥ n tokens, else 0) — the "top n-gram" repetition signal.
+    * One `array_sort` then a single interpreted fold tracking (previous
+    * gram, current run, max run): rows stay independent (no explode +
+    * per-doc re-aggregation shuffle; the signal rides whatever scan is
+    * already running). */
+  def maxNgramRepeat(toks: Column, n: Int): Column = {
+    val sorted = array_sort(shinglesFromTokens(toks, n))
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+  }
+
+  /** Fraction of non-blank lines that repeat another line verbatim —
+    * the boilerplate signal for corpora with real line structure
+    * (headers, nav bars, cookie banners). 0 when the doc has no
+    * newlines (single-line docs are all-distinct by definition). */
+  def dupLineFraction(c: Column): Column = {
+    val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
+    round(when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+      .otherwise(lit(0.0)), 6)
+  }
+
   /** Heuristic quality features + score in [0,1]:
     * penalizes very short docs, high punctuation ratio, low alphabetic
     * ratio, and token repetition. All sub-terms exposed for testing. */

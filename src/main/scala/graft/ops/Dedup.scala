@@ -120,6 +120,38 @@ object Dedup {
       .filter(col("jaccard_est") >= tau)
   }
 
+  /** EXACT n-gram contamination — the strict decontamination rule
+    * (published-benchmark hygiene: an eval doc sharing ANY exact n-token
+    * shingle with a training doc is contaminated; production pipelines
+    * run it at n ≈ 13, the fixture queries lower n to get hits). Returns
+    * one row per contaminated probe doc: (probe_id, hits) with hits =
+    * count of DISTINCT contaminated grams in that doc.
+    *
+    * Scale shape: the corpus side collapses to a DISTINCT set of 60-bit
+    * gram hashes BEFORE the join — the join key is then unique on the
+    * build side, so candidate volume is bounded by the probe's own gram
+    * occurrences (no df_corpus × df_probe blowup on hot grams, the trap
+    * the Jaccard inverted index needs a df cap for). Both sides are
+    * map-only projections (tokenize → shingle → hash in one codegen'd
+    * pass) into a single hash join on the gram hash; per-doc
+    * `array_distinct` happens BEFORE the explode so a gram repeated
+    * within one doc crosses the exchange once. 60-bit hashes stand in
+    * for the gram strings on the wire (collision odds ~n²/2⁶⁰). */
+  def crossNgramContaminated(corpus: DataFrame, probe: DataFrame,
+                             n: Int = 13, idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(Text.shinglesFromTokens(col("toks"), n))).as("gram"))
+      .select(col("id"), Text.hash64(col("gram"), 7).as("g"))
+    val corpusGrams = grams(corpus).select("g").distinct()
+    grams(probe).join(corpusGrams.hint("shuffle_hash"), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("id").as("probe_id"), col("hits"))
+  }
+
   /** SimHash dedup: exact-signature groups (hamming-0). The banded
     * hamming-≤k variant reuses the same shape with signature chunks as
     * band keys. */
@@ -192,18 +224,20 @@ object Dedup {
     * the J ≥ tau length-ratio prune. Public for introspection — the
     * capped-vs-uncapped candidate count is the operational skew check.
     *
-    * The df filter materializes only the OVER-CAP grams (at most
-    * Σdf/maxDf distinct values — broadcast-sized by construction) and
-    * anti-joins them map-side, so the capped path adds one partial-
-    * aggregated pass over the gram rows and no sort (a window count
-    * would sort every gram partition). Dropping a gram with df > maxDf
-    * removes df² candidate rows from the join; a stop-gram ("of the …",
-    * df = 10⁶ at corpus scale) would otherwise emit 10¹² rows under one
-    * reduce key. Recall trade, explicitly: a pair whose ENTIRE overlap
-    * is capped grams can no longer surface — at J ≥ tau a near-dup pair
-    * shares ≥ tau/(1+tau) of its grams, so it stays findable unless all
-    * of those are corpus-stopwords; set maxDf comfortably above the df
-    * of any gram that distinguishes documents. */
+    * POSTINGS-LIST form: the same exchange that builds the inverted
+    * index aggregates each gram's posting list, so df is its size — the
+    * cap is one `size(ps) <= maxDf` filter on the aggregated rows (no
+    * second df pass over the gram rows, no anti-join). Buckets are
+    * ≤ maxDf wide BY CONSTRUCTION, and the per-bucket pair cartesian
+    * runs as two generates over the aggregated row — never a join.
+    * Dropping a gram with df > maxDf removes df² candidate rows; a
+    * stop-gram ("of the …", df = 10⁶ at corpus scale) would otherwise
+    * emit 10¹² rows under one reduce key. Recall trade, explicitly: a
+    * pair whose ENTIRE overlap is capped grams can no longer surface —
+    * at J ≥ tau a near-dup pair shares ≥ tau/(1+tau) of its grams, so
+    * it stays findable unless all of those are corpus-stopwords; set
+    * maxDf comfortably above the df of any gram that distinguishes
+    * documents. */
   def ngramCandidates(docs: DataFrame, tau: Double, blockCol: String,
                       idCol: String = "doc_id", textCol: String = "text",
                       n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame =
@@ -215,30 +249,36 @@ object Dedup {
       // explode_OUTER, and no `filter(size > 0)` — see ngramJaccard note
       .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
         explode_outer(col("gs")).as("gh"))
-    val capped =
-      if (maxDf == Long.MaxValue) base
-      else {
-        // over-cap gram count is bounded by Σdf/maxDf — usually tiny,
-        // but not provably driver-sized, so no hard broadcast hint:
-        // AQE broadcasts the anti-join side when it measures small and
-        // falls back to a shuffle when it doesn't
-        val stopGrams = base.groupBy(col("blk"), col("gh"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-          .select(col("blk"), col("gh"))
-        base.join(stopGrams, Seq("blk", "gh"), "left_anti")
-          .select(col("blk"), col("id"), col("n_sh"), col("gh"))
-      }
-    // shuffle_hash: both sides are the SAME exchange (ReusedExchange)
-    capped.as("x")
-      .join(capped.as("y").hint("shuffle_hash"),
-        col("x.blk") === col("y.blk") && col("x.gh") === col("y.gh")
-          && col("x.id") < col("y.id")
-          && col("y.n_sh") * lit(tau) <= col("x.n_sh")
-          && col("x.n_sh") * lit(tau) <= col("y.n_sh"))
-      .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
-        col("y.id").as("id_b"))
-      .distinct()
+    if (maxDf == Long.MaxValue) {
+      // uncapped: the count-common self-join shape (both sides are the
+      // SAME exchange — ReusedExchange); no df bound, so a collect_list
+      // here could build an unbounded posting array in one reduce key,
+      // while the join streams its output
+      base.as("x")
+        .join(base.as("y").hint("shuffle_hash"),
+          col("x.blk") === col("y.blk") && col("x.gh") === col("y.gh")
+            && col("x.id") < col("y.id")
+            && col("y.n_sh") * lit(tau) <= col("x.n_sh")
+            && col("x.n_sh") * lit(tau) <= col("y.n_sh"))
+        .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
+          col("y.id").as("id_b"))
+        .distinct()
+    } else {
+      // the null gh from shingle-less docs aggregates into one group —
+      // dropped HERE (above the Aggregate; a pre-explode filter would
+      // re-infer a scan-side size() evaluation, see the note above)
+      val postings = base.groupBy(col("blk"), col("gh"))
+        .agg(collect_list(struct(col("id"), col("n_sh"))).as("ps"))
+        .filter(col("gh").isNotNull && size(col("ps")) <= lit(maxDf))
+      postings
+        .select(col("blk"), col("ps"), explode(col("ps")).as("a"))
+        .select(col("blk"), col("a"), explode(col("ps")).as("b"))
+        .filter(col("a.id") < col("b.id")
+          && col("b.n_sh") * lit(tau) <= col("a.n_sh")
+          && col("a.n_sh") * lit(tau) <= col("b.n_sh"))
+        .select(col("blk"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    }
   }
 
   /** Exact n-gram Jaccard near-dup pairs, blocked by a grouping column to
@@ -257,11 +297,11 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
     if (maxDf != Long.MaxValue) {
-      // The signature table feeds four consumers (df agg, both join
-      // sides, both verification lookups): persist it once — signatures
-      // are a few % of the text they summarize, and MEMORY_AND_DISK
-      // spills instead of OOMing at corpus scale. The CALLER owns
-      // unpersisting (or `spark.catalog.clearCache()`) when done.
+      // The signature table feeds three consumers (the postings pass and
+      // both verification lookups): persist it once — signatures are a
+      // few % of the text they summarize, and MEMORY_AND_DISK spills
+      // instead of OOMing at corpus scale. The CALLER owns unpersisting
+      // (or `spark.catalog.clearCache()`) when done.
       val sets = shingleSets(docs, blockCol, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = ngramCandidatesFrom(sets, tau, maxDf)
@@ -511,6 +551,35 @@ object Dedup {
         round(when(nn > 0.0, d / nn).otherwise(lit(0.0)), 6).as("cos"))
       .filter(col("cos") >= tau)
       .distinct() // band-collision dedup, AFTER the filter — tiny input
+  }
+
+  /** Embedding near-dup pairs, ADAPTIVE routing: blocks small enough that
+    * all-pairs is cheap take the exact kernel; only popular blocks pay
+    * the banded-LSH machinery. This is the skew answer in operator form —
+    * per-block cost is min(n²/2, bands·n·bucketWidth), so the plan is
+    * never worse than the better of the two fixed strategies on any
+    * block-size distribution (a corpus of many small blocks plus a few
+    * hot ones is the common real shape).
+    *
+    * Routing needs per-block counts: one column-pruned pre-scan
+    * aggregates blockCol (map-side partial, rows = #blocks — broadcast
+    * back onto the corpus). Pairs never cross blocks, so the union of
+    * the two paths is exactly a partition of the work by block size.
+    * Output equals [[embeddingNearDupExact]] whenever the LSH band
+    * config reaches full recall at tau (the q_embed_neardup equivalence
+    * check pins this at the fixture's hostile tau=0.35). */
+  def embeddingNearDupAdaptive(emb: DataFrame, tau: Double, blockCol: String = "label",
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               dim: Int = 64, bands: Int = 32,
+                               planesPerBand: Int = 3,
+                               smallBlock: Long = 4096L): DataFrame = {
+    val counts = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("_blk_n"))
+    val tagged = emb.join(broadcast(counts), Seq(blockCol))
+    val small = tagged.filter(col("_blk_n") <= smallBlock).drop("_blk_n")
+    val big = tagged.filter(col("_blk_n") > smallBlock).drop("_blk_n")
+    embeddingNearDupExact(small, tau, blockCol, idCol, vecCol)
+      .unionAll(embeddingNearDup(big, tau, blockCol, idCol, vecCol,
+        dim, bands, planesPerBand))
   }
 
   /** Embedding near-dup pairs, EXACT form: all pairs within the blocking

@@ -525,6 +525,62 @@ object Queries {
        |WHERE jaccard_est >= $MH_TAU AND (id_a % 2) <> (id_b % 2)
        |ORDER BY corpus_id, probe_id""".stripMargin)
 
+  /** STRICT decontamination: probe docs (odd ids) sharing any EXACT
+    * 5-token shingle with any corpus doc (even ids), with the count of
+    * distinct contaminated grams per probe doc. Complements
+    * q_decontaminate's near-dup rule: that catches paraphrases, this is
+    * the published-benchmark n-gram-overlap rule (run at n≈13 in
+    * production; n=5 here so the fixture's planted duplicates register).
+    * The Spark side joins on 60-bit gram hashes, the oracle on gram
+    * strings — a hash match certifies the hashing loses nothing. */
+  val qNgramDecontam: Q = "q_ngram_decontam" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossNgramContaminated(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), n = 5)
+        .orderBy(col("probe_id"))
+    },
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+       |  FROM t WHERE len(toks) >= 5),
+       |c AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+       |p AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 1)
+       |SELECT p.doc_id AS probe_id, count(*) AS hits
+       |FROM p JOIN c USING (gram)
+       |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Repetition / boilerplate quality signals, map-only per doc:
+    * duplicate-bigram fraction (1 − distinct/total positions) and the
+    * occurrence count of the most frequent trigram. The Spark side is a
+    * single projection (sort + fold over the shingle array, no explode
+    * or per-doc re-aggregation); the oracle recomputes both via
+    * unnest + GROUP BY — a hash match certifies the fold. */
+  val qRepetition: Q = "q_repetition" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          Text.dupNgramFraction(col("toks"), 2).as("dup2"),
+          Text.maxNgramRepeat(col("toks"), 3).as("rep3"))
+        .orderBy(col("doc_id")),
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |b AS (SELECT doc_id, list_transform(range(1, len(toks)),
+       |    i -> array_to_string(toks[i:i+1], ' ')) AS g2 FROM t),
+       |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS g3
+       |  FROM t WHERE len(toks) >= 3),
+       |cnt AS (SELECT doc_id, g3, count(*) AS c FROM tri GROUP BY 1, 2),
+       |mx AS (SELECT doc_id, max(c) AS mxc FROM cnt GROUP BY 1)
+       |SELECT b.doc_id,
+       |  round(CASE WHEN len(g2) > 0
+       |    THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS dup2,
+       |  COALESCE(mx.mxc, 0) AS rep3
+       |FROM b LEFT JOIN mx USING (doc_id)
+       |ORDER BY doc_id""".stripMargin)
+
   /** Near-dup CLUSTERS from the LSH pair list (connected components via
     * hash-min label propagation; oracle: recursive CTE reachability).
     * cluster_id = min doc id of the component — the canonical
@@ -644,13 +700,17 @@ object Queries {
        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh
        |FROM t ORDER BY doc_id""".stripMargin)
 
-  /** Embedding cosine near-dup. The Spark side runs the LSH-banded
-    * default path (banded hyperplane candidates + exact cosine refine);
-    * the oracle is the blocked-exact all-pairs form — a hash match
-    * certifies the banding loses no qualifying pair at this tau. */
+  /** Embedding cosine near-dup, ADAPTIVE path: blocks up to `smallBlock`
+    * take the exact all-pairs kernel; only popular blocks pay the
+    * banded-LSH candidates + exact cosine refine. At the test SFs every
+    * block is small, so this run certifies the adaptive routing + exact
+    * kernel against the all-pairs oracle; the LSH route's exactness at
+    * this hostile tau is pinned separately (CorpusOpsSpec: mixed-route
+    * equivalence with smallBlock forced below the fixture block width,
+    * and the 391/391 LSH≡exact pair check). */
   val qEmbedNearDup: Q = "q_embed_neardup" -> (
     (s: SparkSession, d: String) =>
-      Dedup.embeddingNearDup(Tables.embeddings(s, d), tau = 0.35)
+      Dedup.embeddingNearDupAdaptive(Tables.embeddings(s, d), tau = 0.35)
         .orderBy(col("id_a"), col("id_b")),
     s"""WITH e AS (SELECT label, vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
@@ -1287,6 +1347,32 @@ object Queries {
       |  TRUE AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** Approximate median via the GK quantile sketch — the 100 TB path for
+    * q_percentile (bounded-memory mergeable summary per group vs an
+    * exact sort). Same contract shape as q_approx_distinct: the sketch
+    * VALUE has no cross-engine mirror, so the oracle pins the exact
+    * median (hash-matched, interpolation-identical to q_percentile) plus
+    * `within_bound` — the approx median must land between the exact 0.49
+    * and 0.51 quantiles (rank error 10× the sketch's guaranteed
+    * 1/accuracy = 0.001) in Spark while DuckDB emits the expected
+    * literal TRUE. Drift out of bound fails the round hard. */
+  val qApproxQuantile: Q = "q_approx_quantile" -> (
+    (s: SparkSession, d: String) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx"),
+          expr("percentile(value, 0.49)").as("lo"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.51)").as("hi"))
+        .select(col("event_type"), round(col("p50"), 6).as("p50_exact"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("within_bound"))
+        .orderBy(col("event_type")),
+    """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   /** DuckDB mirror of Vectors.dot: identical left-to-right double fold. */
   private def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -1514,9 +1600,10 @@ object Queries {
     qCount, qThreshold,
     qJoinLeft, qJoinSemi, qJoinAnti, qAsOf, qAsOfTol, qRangeJoin,
     qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
-    qCountDistinct, qPercentile, qApproxDistinct,
+    qCountDistinct, qPercentile, qApproxDistinct, qApproxQuantile,
     qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,
-    qMinhashLsh, qDecontaminate, qNgramJaccard, qSimhash, qSimhashPairs,
+    qMinhashLsh, qDecontaminate, qNgramDecontam, qRepetition,
+    qNgramJaccard, qSimhash, qSimhashPairs,
     qEmbedNearDup,
     qAnnBrute, qAnnLsh, qAnnIvf, qMultimodal,
     qPayloadDecode, qLookback, qCorpusPipeline, qTokenBpe,

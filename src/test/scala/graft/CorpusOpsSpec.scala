@@ -248,6 +248,23 @@ class CorpusOpsSpec extends SparkTestBase {
       s"missed ${(exact -- lsh).size} pairs, spurious ${(lsh -- exact).size}")
   }
 
+  test("embeddingNearDupAdaptive: mixed small/large routing ≡ exact all-pairs") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val exact = graft.ops.Dedup.embeddingNearDupExact(emb, tau = 0.35)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // fixture blocks are 42-63 wide: smallBlock = 50 forces SOME blocks
+    // down each route, so the union/routing seams are actually exercised
+    val sizes = emb.groupBy("label").count()
+      .select("count").as[Long].collect()
+    assert(sizes.exists(_ <= 50) && sizes.exists(_ > 50),
+      "fixture must straddle the routing threshold for this test to bite")
+    val adaptive = graft.ops.Dedup.embeddingNearDupAdaptive(
+        emb, tau = 0.35, smallBlock = 50L)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(adaptive === exact,
+      s"missed ${(exact -- adaptive).size}, spurious ${(adaptive -- exact).size}")
+  }
+
   test("ngramJaccard df cap: prunes stop-gram candidates, keeps rare-gram near-dups") {
     import graft.ops.Dedup
     // 20 docs whose ONLY overlap is a shared stop sentence (df = 20 on

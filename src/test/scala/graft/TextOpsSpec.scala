@@ -39,6 +39,48 @@ class TextOpsSpec extends SparkTestBase {
       "banded candidates must equal brute-force hamming<=3 pairs")
   }
 
+  test("repetition signals: dup-ngram fraction, max repeat, dup-line fraction") {
+    val docs = Seq(
+      // "a b" appears 3× among 4 bigram positions: dup2 = 1 - 2/4
+      (1L, "a b a b a"),
+      // all bigrams distinct
+      (2L, "a b c d e"),
+      // shorter than n tokens → zeros
+      (3L, "a"),
+      (4L, "x\ny\nx\n\n  \nz")).toDF("id", "text")
+    val out = docs
+      .select(col("id"), Text.tokens(col("text")).as("toks"),
+        col("text"))
+      .select(col("id"),
+        Text.dupNgramFraction(col("toks"), 2).as("dup2"),
+        Text.maxNgramRepeat(col("toks"), 2).as("rep2"),
+        Text.dupLineFraction(col("text")).as("dupLine"))
+      .as[(Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((0.5, 2L, 0.0)))
+    assert(out(2L) === ((0.0, 1L, 0.0)))
+    assert(out(3L) === ((0.0, 0L, 0.0)))
+    // doc 4: non-blank lines x,y,x,z → 1 dup of 4 positions = 0.25; its
+    // tokens after newline-normalization are x y x z → bigrams distinct
+    assert(out(4L)._3 === 0.25)
+  }
+
+  test("crossNgramContaminated: exact shingle overlap flags only true hits") {
+    // probe 11's distinct 3-grams are {q r s, r s q, s q r}; only
+    // "q r s" exists in the corpus (doc 2) → exactly 1 hit, counted
+    // once despite appearing twice in the probe doc. Probe 12 shares
+    // nothing → absent from the output entirely.
+    val corpus = Seq(
+      (2L, "p q r s t"),
+      (4L, "u v w x y")).toDF("doc_id", "text")
+    val probe = Seq(
+      (11L, "q r s q r s"),
+      (12L, "m n o m n o")).toDF("doc_id", "text")
+    val hits = Dedup.crossNgramContaminated(corpus, probe, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits === Map(11L -> 1L))
+  }
+
   test("multimodal: frame sampling plan + partition-parallel extraction") {
     val media = Multimodal.mediaFromDocuments(
       Seq((0L, "image payload"), (2L, "video payload here")).toDF("doc_id", "text")
