@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Semantic deduplication — the SemDeDup recipe (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the corpus embeddings with k-means, then
+  * within each cluster drop all but one representative of every pair of
+  * semantically-near vectors. Near-duplicate *web text* is caught by
+  * MinHash/SimHash ([[Dedup]]); this pass removes *semantic* duplicates
+  * — paraphrases, templated rewrites, translations re-embedded close
+  * together — that share almost no surface n-grams.
+  *
+  * Composition over new machinery:
+  *   - cluster assignment is the codegen'd map-only
+  *     [[graft.functions.expr.NearestCell]] kernel (squared-L2 argmin,
+  *     ties → lowest cell) against a broadcast k×dim model — the same
+  *     coarse quantizer the IVF-PQ index uses, so one trained model can
+  *     serve both the dedup pass and the ANN index;
+  *   - within-cluster pruning reuses [[Dedup.embeddingNearDupAdaptive]]
+  *     with cell as the blocking column: small cells take the exact
+  *     all-pairs kernel, popular cells the banded-LSH path, so a skewed
+  *     cluster-size distribution (the k-means norm) never goes
+  *     quadratic.
+  *
+  * At 100 TB: the model is k×dim doubles (driver-sized — train k
+  * proportional to corpus so cells stay bounded); assignment is one
+  * map-only pass; the only corpus exchange is the pair-generation
+  * shuffle on (cell) / (cell, band, bucket), both bounded by design.
+  */
+object SemDedup {
+
+  /** Corpus with a `cell` column: nearest coarse centroid by squared-L2
+    * (map-only kernel, broadcast model; ties → lowest cell id). */
+  def assignCells(emb: DataFrame, centroids: Array[Double], dim: Int,
+                  vecCol: String = "embedding"): DataFrame = {
+    def cc(x: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      ColumnBridge.column(x)
+    emb.withColumn("cell",
+      cc(graft.functions.expr.NearestCell(
+        ColumnBridge.expr(col(vecCol)), centroids, dim)))
+  }
+
+  /** Survivors of semantic dedup: a vector is dropped iff some lower-id
+    * vector in the same cell sits at cosine ≥ tau from it (keep-lowest-id
+    * — one deterministic pass, no transitive chasing: of every near pair
+    * the lower id survives, exactly the pair relation
+    * [[Dedup.embeddingNearDupAdaptive]] emits). Returns (idCol, cell).
+    */
+  def semDedup(emb: DataFrame, centroids: Array[Double], dim: Int,
+               tau: Double, idCol: String = "vec_id",
+               vecCol: String = "embedding", bands: Int = 32,
+               planesPerBand: Int = 3, smallBlock: Long = 4096L): DataFrame = {
+    val celled = assignCells(emb, centroids, dim, vecCol)
+    val drops = Dedup.embeddingNearDupAdaptive(celled, tau, blockCol = "cell",
+        idCol = idCol, vecCol = vecCol, dim = dim, bands = bands,
+        planesPerBand = planesPerBand, smallBlock = smallBlock)
+      .select(col("id_b").as(idCol)).distinct()
+    celled.select(col(idCol), col("cell"))
+      .join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Export a (c_id, c_v) centroid frame as a parquet side-table (cell =
+    * rank of c_id ascending — the same cell numbering
+    * [[Pq.centroidArray]] produces) so an external engine can replay the
+    * assignment. One local write of a k×dim model. */
+  def exportCentroids(cents: DataFrame, dim: Int, path: String): Unit = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    val rows = cents.select(col("c_id"), col("c_v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), cell) => (cell, v) }.toSeq
+    rows.toDF("cell", "c").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+}

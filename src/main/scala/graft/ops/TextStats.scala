@@ -73,4 +73,54 @@ object TextStats {
       .select(col("id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rank"))
   }
+
+  /** Corpus unigram model: top-`vocabSize` tokens by frequency (ties →
+    * token ascending) with their corpus probability c/N. One
+    * tokenize+explode+agg pass, vocabulary-sized TakeOrdered extraction
+    * — the "train" half of the CCNet-style lexical-likelihood filter.
+    * Returns the model as a driver-local (term → prob) map plus the
+    * total token count (the model is V entries — driver-sized by
+    * definition, like the PQ codebooks). */
+  def unigramModel(docs: DataFrame, vocabSize: Int,
+                   textCol: String = "text"): (Seq[(String, Double)], Long) = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val counts = docs
+      .select(explode_outer(Text.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).head().getLong(0)
+    val vocab = counts.orderBy(col("c").desc, col("term").asc)
+      .limit(vocabSize).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / total.toDouble)
+    (vocab.toSeq, total)
+  }
+
+  /** Per-doc lexical likelihood under a unigram model — the ln-free
+    * analog of unigram perplexity (the same linear-vs-log choice as
+    * tfidf's idf: `ln` has no cross-engine correct-rounding guarantee,
+    * so the score is the MEAN TOKEN PROBABILITY — each term one exact
+    * IEEE division c/N, summed in document order — plus the
+    * out-of-vocabulary fraction, the strongest single gibberish
+    * signal). Monotone ranking for quality filtering either way.
+    *
+    * Scoring is ONE map-only projection: the model rides along as a
+    * single `typedlit` map constant (no join, no shuffle — the 100 TB
+    * shape), the per-doc fold runs left-to-right over the token array,
+    * and every output is exact-integer arithmetic plus one division.
+    * Output: (id, n_toks, oov_frac, mean_tok_prob). */
+  def unigramScores(docs: DataFrame, vocab: Seq[(String, Double)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val model = typedlit(vocab.toMap)
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("n_toks"),
+        size(filter(col("toks"), t => element_at(model, t).isNull))
+          .as("n_oov"),
+        aggregate(col("toks"), lit(0.0d),
+          (acc, t) => acc + coalesce(element_at(model, t), lit(0.0d)))
+          .as("sp"))
+      .select(col("id"), col("n_toks").cast("long").as("n_toks"),
+        round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_frac"),
+        round(col("sp") / col("n_toks"), 6).as("mean_tok_prob"))
+  }
 }

@@ -1244,6 +1244,46 @@ object Queries {
        |SELECT q_id, n_id, round(dist2, 6) AS dist2, rank FROM rk
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
 
+  /** Semantic dedup (the SemDeDup recipe, arXiv:2303.09540): k-means
+    * cells from the IVF coarse-quantizer trainer, then within-cell
+    * cosine pruning (keep-lowest-id of every near pair) through the
+    * adaptive near-dup path — surface-blind paraphrase dedup the
+    * MinHash/SimHash family can't see. Oracled like q_pq_ann: the
+    * trained centroids go to a parquet side-table, and the SQL replays
+    * the exact `NearestCell` assignment (same left-to-right L2 fold,
+    * ties → lowest cell) and the exact pair pruning. */
+  val qSemDedup: Q = "q_semdedup" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ops.Ann.kmeansCentroids(emb,
+        seedIds = 0L until 8L, iters = 2, dim = 64)
+      graft.ops.SemDedup.exportCentroids(cents, dim = 64,
+        codebookPath(d, "semdedup_centroids"))
+      val arr = graft.ops.Pq.centroidArray(cents, dim = 64)
+      graft.ops.SemDedup.semDedup(emb, arr, dim = 64, tau = 0.35)
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH cents AS (SELECT cell, c
+       |    FROM read_parquet('/root/repo/artifacts/semdedup_centroids_sf0.01/*.parquet')),
+       |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |celld AS (SELECT t.id, c.cell,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      (CAST(t.v[i] AS DOUBLE) - c.c[i]) * (CAST(t.v[i] AS DOUBLE) - c.c[i]))) AS cd
+       |  FROM v t CROSS JOIN cents c),
+       |asg AS (SELECT id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id
+       |      ORDER BY cd ASC, cell ASC) AS rn FROM celld) WHERE rn = 1),
+       |e AS (SELECT a.cell, a.id, t.v, sqrt(${dotSql("t.v", "t.v")}) AS nrm
+       |  FROM asg a JOIN v t ON t.id = a.id),
+       |drops AS (SELECT DISTINCT b.id FROM e a JOIN e b
+       |  ON a.cell = b.cell AND a.id < b.id
+       |  WHERE round(CASE WHEN a.nrm * b.nrm > 0.0
+       |    THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
+       |    ELSE 0.0 END, 6) >= 0.35)
+       |SELECT a.id AS vec_id, a.cell FROM asg a
+       |LEFT JOIN drops d ON a.id = d.id WHERE d.id IS NULL
+       |ORDER BY vec_id""".stripMargin)
+
   /** Inactivity-gap sessionization (gaps-and-islands): a new session
     * starts after >6h of silence per user. One window pass per user
     * (lag → boundary flag → running session index) then a per-session
@@ -1493,6 +1533,33 @@ object Queries {
        |SELECT id, term, tf, df, tfidf, trank FROM r
        |WHERE trank <= 3 ORDER BY id, trank""".stripMargin)
 
+  /** Unigram lexical likelihood (the CCNet-style LM quality filter,
+    * ln-free): train = one explode+agg pass, model = top-500 tokens'
+    * exact c/N probabilities as ONE `typedlit` map constant, score =
+    * map-only fold in document order (no join, no shuffle). Mean token
+    * probability ranks docs the way unigram perplexity would (monotone
+    * per-token transform) while staying bit-identical across engines;
+    * oov_frac is the gibberish signal. */
+  val qUnigramQuality: Q = "q_unigram_quality" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val (vocab, _) = graft.ops.TextStats.unigramModel(docs, vocabSize = 500)
+      graft.ops.TextStats.unigramScores(docs, vocab).orderBy(col("id"))
+    },
+    s"""WITH flat AS (SELECT doc_id AS id, unnest($TOKS) AS term,
+       |    generate_subscripts($TOKS, 1) AS pos FROM documents),
+       |counts AS (SELECT term, count(*) AS c FROM flat GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM counts),
+       |vocab AS (SELECT term, CAST(c AS DOUBLE) / n_total AS p
+       |  FROM counts CROSS JOIN n ORDER BY c DESC, term ASC LIMIT 500),
+       |pt AS (SELECT f.id, f.pos, COALESCE(v.p, 0.0) AS p,
+       |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM flat f LEFT JOIN vocab v USING (term)),
+       |agg AS (SELECT id, count(*) AS n_toks, sum(oov) AS n_oov,
+       |    list_sum(list(p ORDER BY pos)) AS sp FROM pt GROUP BY id)
+       |SELECT id, n_toks, round(CAST(n_oov AS DOUBLE) / n_toks, 6) AS oov_frac,
+       |  round(sp / n_toks, 6) AS mean_tok_prob FROM agg ORDER BY id""".stripMargin)
+
   /** DuckDB mirror of Layout.spread16 (magic-number bit spread). */
   private def spreadSql(x: String): String = {
     val s0 = s"($x & 65535)"
@@ -1610,6 +1677,6 @@ object Queries {
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
-    qWeightedSample, qTrending,
+    qWeightedSample, qTrending, qSemDedup, qUnigramQuality,
   )
 }

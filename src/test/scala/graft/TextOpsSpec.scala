@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.ops.{Dedup, Multimodal}
+import graft.ops.{Dedup, Multimodal, TextStats}
 
 /** Text/multimodal operator units not covered by the oracle queries. */
 class TextOpsSpec extends SparkTestBase {
@@ -116,5 +116,26 @@ class TextOpsSpec extends SparkTestBase {
       .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
     assert(rerun === top.select("q_id", "n_id", "rank")
       .as[(Long, Long, Long)].collect().toSet, "deterministic end-to-end")
+  }
+
+  test("unigram model truncates by (count desc, term asc); scores are hand-exact") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1, N=5; V=2 -> {a: 0.6, b: 0.2} (b beats c on term asc)
+    val (vocab, total) = TextStats.unigramModel(docs, vocabSize = 2)
+    assert(total === 5L)
+    assert(vocab === Seq("a" -> 0.6, "b" -> 0.2))
+    val out = TextStats.unigramScores(docs, vocab)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // doc 1: n=3, oov=0, sp=1.4 -> mean 0.466667; doc 2: n=2, oov=1 (c), sp=0.6
+    assert(out(0) === ((1L, 3L, 0.0, 0.466667)))
+    assert(out(1) === ((2L, 2L, 0.5, 0.3)))
+  }
+
+  test("unigram scoring is one map-only projection: no exchange in the plan") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val (vocab, _) = TextStats.unigramModel(docs, vocabSize = 10)
+    val plan = TextStats.unigramScores(docs, vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
 }
