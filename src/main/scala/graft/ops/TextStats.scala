@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
@@ -122,5 +122,61 @@ object TextStats {
       .select(col("id"), col("n_toks").cast("long").as("n_toks"),
         round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_frac"),
         round(col("sp") / col("n_toks"), 6).as("mean_tok_prob"))
+  }
+
+  /** Pairwise corpus drift between source slices: total-variation
+    * distance between per-source unigram distributions — the mixture-
+    * monitoring number behind "did this month's crawl change?" and
+    * "how far apart are these two domains?".
+    *
+    * TV(a,b) = ½ Σ_t |ca/Na − cb/Nb| is computed with exact integer
+    * cross-multiplication: Σ |ca·Nb − cb·Na| / (2·Na·Nb). Integer sums
+    * are order-free, so the aggregate is hash-stable across engines
+    * with ONE final IEEE division — no per-term fp accumulation (the
+    * same exactness discipline as tfidf's linear idf). Terms missing
+    * from one side never need a full-outer join: their mass is
+    * recovered from the totals, Σ_{t∉b} ca·Nb = Nb·(Na − Σ_{t∈both} ca),
+    * so the only term-keyed exchange is an inner self-join of the
+    * (source, term) counts — vocabulary-sized, ≤ #sources rows per key.
+    * Products go through decimal(38,0) (exact to 38 digits; bigint
+    * would overflow once per-source token counts pass ~3·10⁹ at equal
+    * vocab scale — the 100 TB regime).
+    *
+    * Output: (src_a, src_b, shared_terms, tv_dist) for every unordered
+    * source pair, tv_dist ∈ [0,1]. */
+  def sourceDrift(docs: DataFrame, srcCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(srcCol).as("src"),
+        explode_outer(Text.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val joined = counts.as("a")
+      .join(counts.as("b"),
+        col("a.term") === col("b.term") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+      .join(broadcast(totals.select(col("src").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("src").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(abs(dec(col("ca")) * dec(col("nb")) - dec(col("cb")) * dec(col("na"))))
+          .as("s_abs"),
+        sum(col("ca")).as("s_ca"), sum(col("cb")).as("s_cb"))
+    // every pair appears even with zero shared terms (TV = 1 there)
+    val pairs = totals.select(col("src").as("src_a"), col("n").as("na"))
+      .crossJoin(totals.select(col("src").as("src_b"), col("n").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(joined, Seq("src_a", "src_b", "na", "nb"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
+        round(
+          (coalesce(col("s_abs").cast("double"), lit(0.0))
+            + col("nb").cast("double") * (col("na") - coalesce(col("s_ca"), lit(0L))).cast("double")
+            + col("na").cast("double") * (col("nb") - coalesce(col("s_cb"), lit(0L))).cast("double"))
+          / (lit(2.0) * col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("tv_dist"))
   }
 }

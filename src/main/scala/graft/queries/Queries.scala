@@ -1560,6 +1560,38 @@ object Queries {
        |SELECT id, n_toks, round(CAST(n_oov AS DOUBLE) / n_toks, 6) AS oov_frac,
        |  round(sp / n_toks, 6) AS mean_tok_prob FROM agg ORDER BY id""".stripMargin)
 
+  /** Corpus drift between source slices: exact-integer total-variation
+    * distance over per-source unigram distributions (Σ|ca·Nb − cb·Na|
+    * through decimal(38,0), ONE final division — order-free integer
+    * aggregation, hash-stable across engines). Inner join only: missing-
+    * term mass is recovered from the totals, so the only term-keyed
+    * exchange is the vocabulary-sized counts self-join. */
+  val qCorpusDrift: Q = "q_corpus_drift" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.sourceDrift(Tables.documents(s, d))
+        .orderBy(col("src_a"), col("src_b")),
+    s"""WITH flat AS (SELECT source AS src, unnest($TOKS) AS term FROM documents),
+       |counts AS (SELECT src, term, count(*) AS c FROM flat GROUP BY 1, 2),
+       |totals AS (SELECT src, sum(c) AS n FROM counts GROUP BY 1),
+       |j AS (SELECT a.src AS src_a, b.src AS src_b, a.c AS ca, b.c AS cb
+       |  FROM counts a JOIN counts b ON a.term = b.term AND a.src < b.src),
+       |g AS (SELECT src_a, src_b, count(*) AS shared_terms,
+       |    sum(abs(CAST(ca AS DECIMAL(19,0)) * CAST(tb.n AS DECIMAL(19,0))
+       |      - CAST(cb AS DECIMAL(19,0)) * CAST(ta.n AS DECIMAL(19,0)))) AS s_abs,
+       |    sum(ca) AS s_ca, sum(cb) AS s_cb
+       |  FROM j JOIN totals ta ON ta.src = j.src_a
+       |  JOIN totals tb ON tb.src = j.src_b
+       |  GROUP BY 1, 2),
+       |p AS (SELECT ta.src AS src_a, tb.src AS src_b, ta.n AS na, tb.n AS nb
+       |  FROM totals ta JOIN totals tb ON ta.src < tb.src)
+       |SELECT p.src_a, p.src_b, COALESCE(g.shared_terms, 0) AS shared_terms,
+       |  round((COALESCE(CAST(g.s_abs AS DOUBLE), 0.0)
+       |    + CAST(p.nb AS DOUBLE) * CAST(p.na - COALESCE(g.s_ca, 0) AS DOUBLE)
+       |    + CAST(p.na AS DOUBLE) * CAST(p.nb - COALESCE(g.s_cb, 0) AS DOUBLE))
+       |    / (2.0 * CAST(p.na AS DOUBLE) * CAST(p.nb AS DOUBLE)), 6) AS tv_dist
+       |FROM p LEFT JOIN g ON g.src_a = p.src_a AND g.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin)
+
   /** DuckDB mirror of Layout.spread16 (magic-number bit spread). */
   private def spreadSql(x: String): String = {
     val s0 = s"($x & 65535)"
@@ -1677,6 +1709,6 @@ object Queries {
     qSampleHash, qStratified, qMixWeighted, qPackSeq, qTfidf, qRedact,
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
-    qWeightedSample, qTrending, qSemDedup, qUnigramQuality,
+    qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
   )
 }

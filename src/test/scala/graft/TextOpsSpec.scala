@@ -131,6 +131,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(1) === ((2L, 2L, 0.5, 0.3)))
   }
 
+  test("source drift: hand-exact TV distance, disjoint vocabularies hit 1.0") {
+    val docs = Seq(
+      (1L, "a a b", "sA"), (2L, "a c c c", "sB"), (3L, "d", "sC"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.sourceDrift(docs)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // pA={a:2/3,b:1/3}, pB={a:1/4,c:3/4}: TV = ½(5/12+4/12+9/12) = 0.75
+    assert(out(("sA", "sB")) === ((1L, 0.75)))
+    assert(out(("sA", "sC")) === ((0L, 1.0)), "disjoint vocab = full drift")
+    assert(out(("sB", "sC")) === ((0L, 1.0)))
+  }
+
+  test("source drift is invariant to how docs are split within a source") {
+    val one = Seq((1L, "x y x z", "s1"), (2L, "x y", "s2")).toDF("doc_id", "text", "source")
+    val split = Seq((1L, "x y", "s1"), (2L, "x z", "s1"), (3L, "x", "s2"),
+      (4L, "y", "s2")).toDF("doc_id", "text", "source")
+    val a = TextStats.sourceDrift(one).as[(String, String, Long, Double)].collect().toSet
+    val b = TextStats.sourceDrift(split).as[(String, String, Long, Double)].collect().toSet
+    assert(a === b, "distribution distance depends on counts, not doc boundaries")
+  }
+
   test("unigram scoring is one map-only projection: no exchange in the plan") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val (vocab, _) = TextStats.unigramModel(docs, vocabSize = 10)
