@@ -265,3 +265,81 @@ object PqDistTableRes {
     new GenericArrayData(out)
   }
 }
+
+/** vector → nearest centroid index by COSINE (argmax, ties to the lowest
+  * cell id) — the assignment kernel of the cosine Lloyd's trainer
+  * ([[graft.ops.Ann.kmeansCentroids]]). Same design rules as
+  * [[NearestCell]]: the driver-held model rides as a reference object,
+  * one codegen'd pass per row, map-only — the corpus is never joined or
+  * windowed to be assigned. Centroid norms are precomputed once on the
+  * driver (k values), so each row pays one self-dot plus k dot products
+  * — not 3k array folds. */
+case class NearestCentroidCos(child: Expression, cents: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  require(dim >= 1 && cents.nonEmpty && cents.length % dim == 0,
+    s"centroid array length ${cents.length} must be a multiple of dim=$dim")
+
+  @transient private lazy val norms: Array[Double] =
+    NearestCentroidCos.cellNorms(cents, dim)
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    PqCommon.checkVec(child.dataType, "nearest_centroid_cos")
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidCos.compute(input.asInstanceOf[ArrayData],
+      PqCommon.isFloat(child), cents, norms, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("kmCents", cents, "double[]")
+    val nRef = ctx.addReferenceObj("kmNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.NearestCentroidCos.compute($c, ${PqCommon.isFloat(child)}, $cRef, $nRef, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidCos =
+    copy(child = newChild)
+}
+
+object NearestCentroidCos {
+  def cellNorms(cents: Array[Double], dim: Int): Array[Double] = {
+    val n = cents.length / dim
+    val out = new Array[Double](n)
+    var cell = 0
+    while (cell < n) {
+      var s = 0.0; var i = 0
+      val off = cell * dim
+      while (i < dim) { val x = cents(off + i); s += x * x; i += 1 }
+      out(cell) = math.sqrt(s)
+      cell += 1
+    }
+    out
+  }
+
+  /** argmax over cells of cos(v, c) — zero-norm pairs score 0, matching
+    * [[graft.functions.Vectors.cosine]]. */
+  def compute(v: ArrayData, isFloat: Boolean, cents: Array[Double],
+              norms: Array[Double], dim: Int): Int = {
+    require(v.numElements() == dim, s"vector dim ${v.numElements()} != $dim")
+    val nCells = cents.length / dim
+    var nv = 0.0
+    var i = 0
+    while (i < dim) { val x = PqCommon.elem(v, i, isFloat); nv += x * x; i += 1 }
+    val sv = math.sqrt(nv)
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var cell = 0
+    while (cell < nCells) {
+      var dot = 0.0; var j = 0
+      val off = cell * dim
+      while (j < dim) { dot += PqCommon.elem(v, j, isFloat) * cents(off + j); j += 1 }
+      val denom = sv * norms(cell)
+      val cos = if (denom > 0.0) dot / denom else 0.0
+      if (cos > bestCos) { bestCos = cos; best = cell }
+      cell += 1
+    }
+    best
+  }
+}

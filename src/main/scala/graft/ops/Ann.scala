@@ -46,6 +46,7 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidIds: Seq[Long], nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val cents = corpus
       .filter(col(idCol).isin(centroidIds: _*))
       .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
@@ -60,7 +61,21 @@ object Ann {
         .filter(col("crank") <= n)
         .select(col(s"${pre}_id"), col(s"${pre}_v"), col("c_id").as("cell"))
     }
-    val cells = nearestCells(corpus, "n", 1)      // inverted file: 1 cell/vector
+    // inverted file, 1 cell/vector: map-only cosine-argmax kernel against
+    // the collected k×dim model (ties → lowest index = lowest c_id, the
+    // window form's rule) — the CORPUS side is never joined or windowed
+    // to be assigned; only the tiny query side pays the rank window
+    val model = cents
+      .select(col("c_id").cast("long"),
+        transform(col("c_v"), x => x.cast("double"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val flat = model.flatMap(_._2)
+    val dim = flat.length / model.length
+    val cellIds = typedlit(model.map(_._1).toSeq)
+    val cells = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      element_at(cellIds,
+        ColumnBridge.column(graft.functions.expr.NearestCentroidCos(
+          ColumnBridge.expr(col(vecCol)), flat, dim)) + 1).as("cell"))
     val probes = nearestCells(queries, "q", nprobe) // multi-probe
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -74,60 +89,58 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
-  /** Lloyd's k-means refinement for the IVF centroids, DataFrame-native:
-    * each iteration is one broadcast of the k current centroids, one
-    * codegen'd nearest-centroid assignment pass over the corpus (no
-    * corpus shuffle), and one k-group aggregation of element-wise sums —
-    * the classic "train the coarse quantizer" pass before building the
-    * inverted file. Deterministic: seeded from `seedIds` corpus vectors,
-    * ties broken by centroid id; empty cells keep their previous
-    * centroid. Returns (cell id, centroid array<double>).
+  /** Lloyd's k-means refinement for the IVF centroids: the model lives
+    * on the DRIVER (k×dim doubles, like the PQ codebooks), so each
+    * iteration is ONE codegen'd map-only assignment pass over the corpus
+    * ([[graft.functions.expr.NearestCentroidCos]] — cosine argmax
+    * against the model as a reference object, no join, no window) plus
+    * one k-group aggregation of element-wise sums. Deterministic:
+    * seeded from `seedIds` corpus vectors, ties broken by centroid id
+    * (cells ordered by c_id); empty cells keep their previous centroid.
+    * Returns (cell id, centroid array<double>).
     *
     * At 100 TB: iterations scan the corpus `iters` times but never
-    * shuffle it — only k×dim partial sums cross the wire per partition;
-    * train on a sample if even that is too much. */
+    * shuffle, join, or window it — only k×dim partial sums cross the
+    * wire per partition (the earlier broadcast-join + row_number form
+    * materialized n×k assignment rows and shuffled the corpus by id
+    * every iteration); train on a sample if even the scans are too
+    * much. */
   def kmeansCentroids(corpus: DataFrame, seedIds: Seq[Long], iters: Int,
                       dim: Int, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = corpus.sparkSession
-    var cents: DataFrame = corpus
+    var model: Array[(Long, Array[Double])] = corpus
       .filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).cast("long").as("c_id"),
-        transform(col(vecCol), x => x.cast("double")).as("c_v"))
-    var prevPersisted: Option[DataFrame] = None
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(model.nonEmpty, "no seed vectors found for the given seedIds")
     (1 to iters).foreach { _ =>
-      val assigned = corpus
-        .select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
-        .join(broadcast(cents))
-        .select(col("n_id"), col("n_v"), col("c_id"),
-          Vectors.cosine(col("n_v"), col("c_v")).as("c_cos"))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(col("n_id")).orderBy(col("c_cos").desc, col("c_id").asc)))
-        .filter(col("crank") === 1)
+      val flat = model.flatMap(_._2)
+      val assigned = corpus.select(
+        ColumnBridge.column(graft.functions.expr.NearestCentroidCos(
+          ColumnBridge.expr(col(vecCol)), flat, dim)).as("cell"),
+        col(vecCol).as("n_v"))
       // element-wise mean per cell: k×dim aggregate, decimal-free (the
       // mean is a model parameter, not an oracle-compared value)
-      val sums = assigned.groupBy(col("c_id")).agg(
+      val sums = assigned.groupBy(col("cell")).agg(
         count(lit(1)).as("n"),
         array((0 until dim).map(i =>
           sum(col("n_v").getItem(i).cast("double"))): _*).as("s"))
-      val updated = sums.select(col("c_id"),
-        zip_with(col("s"), array_repeat(col("n").cast("double"), dim),
-          (si, ni) => si / ni).as("c_v"))
-      // empty cells (no assigned vectors) keep their previous centroid
-      val carried = cents.join(updated.select(col("c_id")), Seq("c_id"), "left_anti")
-      cents = updated.union(carried).persist()
-      cents.count() // materialize per iteration: the lineage must not re-run k passes
-      prevPersisted.foreach(_.unpersist()) // previous iteration's frame is consumed
-      prevPersisted = Some(cents)
+        .collect()
+      val updated = model.clone()
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        updated(cell) = (model(cell)._1, r.getSeq[Double](2).map(_ / n).toArray)
+      }
+      model = updated
     }
-    // The model is k×dim doubles — collect it and hand back a fresh local
-    // frame so no persisted lineage escapes (the caller would otherwise
-    // own an executor-storage leak per invocation).
-    val rows = cents.select(col("c_id"), col("c_v")).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    prevPersisted.foreach(_.unpersist())
     import spark.implicits._
-    rows.toDF("c_id", "c_v")
+    model.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("c_id", "c_v")
   }
 
   /** LSH-bucketed top-k: both sides bucketed by `planes` random

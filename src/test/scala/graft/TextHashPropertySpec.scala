@@ -125,6 +125,17 @@ class TextHashPropertySpec extends SparkTestBase {
       // residual vs cell-1 centroid = (-1,-1,1,1): sub0 (-1,-1) → code 0
       // ((0,0) beats (10,10)); sub1 (1,1) → code 1 ((0,0) beats (5,5))
       assert(ivfRow._3 === Seq(0, 1))
+      // cosine-argmax assignment kernel (the k-means / IVF corpus side):
+      // direction matters, magnitude doesn't — (0.1, 0.1, 0, 0) aligns
+      // with the (10, 10, 0, 0) centroid despite the nearer-by-L2 origin
+      val cosCents = Array(10.0, 10.0, 0.0, 0.0, 0.0, 0.0, 10.0, 10.0)
+      val cosRow = Seq((1L, Seq(0.1f, 0.1f, 0.0f, 0.0f)),
+          (2L, Seq(0.0f, 0.0f, 5.0f, 5.0f))).toDF("id", "v")
+        .select(col("id"), ColumnBridge.column(
+          graft.functions.expr.NearestCentroidCos(
+            ColumnBridge.expr(col("v")), cosCents, 4)).as("cell"))
+        .as[(Long, Int)].collect().toMap
+      assert(cosRow === Map(1L -> 0, 2L -> 1))
     } finally {
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
         conf.set("spark.sql.codegen.fallback", _))
