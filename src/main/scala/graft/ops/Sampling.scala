@@ -94,6 +94,39 @@ object Sampling {
       .drop("_whole", "_fracThr", "_copies")
   }
 
+  /** Temperature-balanced corpus mixing — the n^α source re-weighting of
+    * multilingual / multi-source LM training (α=1 keeps natural
+    * proportions, α→0 approaches uniform-per-group; GPT-3/PaLM use
+    * α ≈ 0.3–0.7): group g's share of the output is n_g^α / Σ n^α, at
+    * an expected output size of `totalFraction`·N rows. Rates are
+    * computed on the driver from the per-group counts (one tiny agg —
+    * #groups rows) and delegated to [[weightedMix]], so the corpus-side
+    * work is the same map-only copies projection; rates > 1 upsample
+    * rare groups by duplication.
+    *
+    * Cross-engine exactness: for α = 0.5 the weight math is `sqrt` —
+    * correctly rounded by IEEE-754, unlike `pow`/`ln` — and the fold
+    * over groups runs in group-ascending order, so the oracle replays
+    * the rate computation bit-for-bit (other α work but carry pow's
+    * engine-dependent last ulp; keep them out of hash-checked paths). */
+  def temperatureMix(df: DataFrame, groupCol: String, alpha: Double,
+                     totalFraction: Double, keyCol: String,
+                     seed: Int = 42): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(totalFraction > 0, s"totalFraction must be > 0, got $totalFraction")
+    def powA(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val counts = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ntot = counts.map(_._2).sum.toDouble
+    var sw = 0.0
+    counts.foreach { case (_, n) => sw += powA(n.toDouble) } // group-asc fold
+    val rates = counts.map { case (g, n) =>
+      g -> ((totalFraction * ntot) * (powA(n.toDouble) / sw)) / n.toDouble
+    }
+    weightedMix(df, groupCol, rates.toMap, keyCol, seed)
+  }
+
   /** Weighted sample WITHOUT replacement (sequential Poisson / Ohlsson
     * order sampling): each row gets priority `u / w` (its hash unit over
     * its weight) and the k smallest priorities win — heavier rows draw

@@ -60,6 +60,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(math.abs(frac.count() / nEn - 0.5) < 0.15)
   }
 
+  test("temperatureMix: alpha=1 at full fraction is the identity; alpha=0.5 flattens toward rare groups") {
+    // alpha=1: every group's rate is exactly totalFraction (n^1/N cancels)
+    val id = Sampling.temperatureMix(docs, "lang", alpha = 1.0,
+      totalFraction = 1.0, keyCol = "doc_id")
+    assert(id.count() === docs.count(), "alpha=1, F=1 keeps every row once")
+    assert(id.filter(col("copy") =!= 0L).count() === 0L)
+    // alpha=0.5: heavy groups sampled below natural share, light above
+    val shares = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Sampling.temperatureMix(docs, "lang", alpha = 0.5,
+      totalFraction = 0.5, keyCol = "doc_id")
+    val mixedShares = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (heavy, light) = (shares.maxBy(_._2)._1, shares.minBy(_._2)._1)
+    val before = shares(heavy).toDouble / shares(light)
+    val after = mixedShares(heavy).toDouble / mixedShares(light)
+    assert(after < before,
+      s"sqrt re-weighting must compress the heavy/light ratio ($before -> $after)")
+    // deterministic: rerun reproduces the exact multiset
+    val again = Sampling.temperatureMix(docs, "lang", alpha = 0.5,
+      totalFraction = 0.5, keyCol = "doc_id")
+      .select("doc_id", "copy").as[(Long, Long)].collect().sorted
+    assert(again.toSeq === mixed.select("doc_id", "copy")
+      .as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("shuffledExport emits a deterministic permutation in hash order") {
     val out = Sampling.shuffledExport(docs.select("doc_id"), "doc_id", seed = 7)
       .select("doc_id", "pos").as[(Long, Long)].collect()
