@@ -61,6 +61,52 @@ object SemDedup {
       .join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus SEMANTIC decontamination — the embedding-level analog
+    * of [[Dedup.crossMinhashLsh]]: flag corpus vectors at cosine ≥ tau
+    * from ANY probe (benchmark / eval-set) vector. Surface-level n-gram
+    * screens miss paraphrased leakage; this pass catches it in
+    * embedding space.
+    *
+    * Blocking: corpus side takes ONE cell each (map-only `NearestCell`);
+    * the probe side — small by construction (it is a benchmark) — is
+    * assigned to its `nProbe` nearest cells (`CellDists` + rank window
+    * over probes only) and broadcast, so near-boundary pairs are caught
+    * without ever shuffling the corpus: the join is
+    * corpus-scan ⨝ broadcast(probes-by-cell), refined inline by exact
+    * cosine. Raising `nProbe` trades cost for boundary recall, the IVF
+    * recall knob.
+    *
+    * Output: (idCol, n_hits, max_cos) for contaminated corpus vectors
+    * only — both aggregates are order-free (count, max) so the result
+    * is hash-stable. */
+  def crossSemContaminated(corpus: DataFrame, probe: DataFrame,
+                           centroids: Array[Double], dim: Int, tau: Double,
+                           nProbe: Int = 2, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.{Vectors => V}
+    import org.apache.spark.sql.expressions.Window
+    def e(c: Column) = ColumnBridge.expr(c)
+    def cc(x: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      ColumnBridge.column(x)
+    val c = assignCells(corpus, centroids, dim, vecCol)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_v"), col("cell"))
+    val probeW = Window.partitionBy(col("p_id"))
+      .orderBy(col("cd").asc, col("cell").asc)
+    val p = probe.select(col(idCol).as("p_id"), col(vecCol).as("p_v"),
+        posexplode(cc(graft.functions.expr.CellDists(e(col(vecCol)), centroids, dim))))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "cd")
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("p_id"), col("p_v"), col("cell"))
+    c.join(broadcast(p), Seq("cell"))
+      .select(col("n_id"), col("p_id"),
+        round(V.cosine(col("n_v"), col("p_v")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("n_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+      .withColumnRenamed("n_id", idCol)
+  }
+
   /** Export a (c_id, c_v) centroid frame as a parquet side-table (cell =
     * rank of c_id ascending — the same cell numbering
     * [[Pq.centroidArray]] produces) so an external engine can replay the

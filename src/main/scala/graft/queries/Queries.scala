@@ -1284,6 +1284,53 @@ object Queries {
        |LEFT JOIN drops d ON a.id = d.id WHERE d.id IS NULL
        |ORDER BY vec_id""".stripMargin)
 
+  /** Cross-corpus SEMANTIC decontamination: corpus vectors (vec_id ≥ 20)
+    * at cosine ≥ 0.35 from any probe/benchmark vector (vec_id < 20) —
+    * paraphrased leakage that n-gram screens miss. Corpus side is ONE
+    * map-only `NearestCell` pass; the probe side multi-probes its 2
+    * nearest cells and broadcasts, so boundary pairs are caught without
+    * shuffling the corpus. The oracle replays cell assignment (same
+    * left-to-right L2 fold), multi-probe ranking, and the exact cosine
+    * refine. */
+  val qSemDecontam: Q = "q_sem_decontam" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ops.Pq.centroidArray(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("long").as("c_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+        dim = 64)
+      graft.ops.SemDedup.crossSemContaminated(
+          emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+          cents, dim = 64, tau = 0.35, nProbe = 2)
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH cents AS (SELECT CAST(vec_id AS INT) AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < 8),
+       |v AS (SELECT vec_id AS id, embedding AS v,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |celld AS (SELECT t.id, c.cell,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      (CAST(t.v[i] AS DOUBLE) - c.c[i]) * (CAST(t.v[i] AS DOUBLE) - c.c[i]))) AS cd
+       |  FROM v t CROSS JOIN cents c),
+       |corpus AS (SELECT id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id
+       |      ORDER BY cd ASC, cell ASC) AS rn FROM celld WHERE id >= 20)
+       |  WHERE rn = 1),
+       |probes AS (SELECT id AS p_id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id
+       |      ORDER BY cd ASC, cell ASC) AS rn FROM celld WHERE id < 20)
+       |  WHERE rn <= 2),
+       |pairs AS (SELECT c.id AS n_id, p.p_id,
+       |    round(CASE WHEN a.nrm * b.nrm > 0.0
+       |      THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
+       |      ELSE 0.0 END, 6) AS cos
+       |  FROM corpus c JOIN probes p USING (cell)
+       |  JOIN v a ON a.id = c.id JOIN v b ON b.id = p.p_id)
+       |SELECT n_id AS vec_id, count(*) AS n_hits, max(cos) AS max_cos
+       |FROM pairs WHERE cos >= 0.35 GROUP BY 1 ORDER BY vec_id""".stripMargin)
+
   /** Inactivity-gap sessionization (gaps-and-islands): a new session
     * starts after >6h of silence per user. One window pass per user
     * (lag → boundary flag → running session index) then a per-session
@@ -1488,6 +1535,32 @@ object Queries {
        |c AS (SELECT doc_id, d.lang,
        |    whole + CASE WHEN ${hashUnitSql("doc_id", 7)} < frac_thr THEN 1 ELSE 0 END AS copies
        |  FROM documents d JOIN w ON d.lang = w.lang)
+       |SELECT doc_id, lang, unnest(range(copies)) AS copy
+       |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)
+
+  /** Temperature-balanced mixing (α = 0.5): group share ∝ sqrt(n_g) —
+    * the multilingual-LM source-balancing recipe. Rates derive from the
+    * per-group counts with IEEE-exact sqrt and a group-ascending fold,
+    * so the oracle recomputes them bit-for-bit; the corpus-side work is
+    * the same map-only hash-threshold copies projection as
+    * q_mix_weighted. */
+  val qTemperatureMix: Q = "q_temperature_mix" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.temperatureMix(Tables.documents(s, d), "lang",
+        alpha = 0.5, totalFraction = 0.5, keyCol = "doc_id", seed = 11)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy")),
+    s"""WITH n AS (SELECT lang, count(*) AS ng FROM documents GROUP BY 1),
+       |s AS (SELECT list_sum(list(sqrt(CAST(ng AS DOUBLE)) ORDER BY lang)) AS sw,
+       |    CAST(sum(ng) AS DOUBLE) AS ntot FROM n),
+       |w AS (SELECT lang, ng,
+       |    (0.5 * ntot * (sqrt(CAST(ng AS DOUBLE)) / sw)) / CAST(ng AS DOUBLE) AS rate
+       |  FROM n CROSS JOIN s),
+       |t AS (SELECT lang, CAST(floor(rate) AS BIGINT) AS whole,
+       |    CAST(round((rate - floor(rate)) * 1000000, 0) AS BIGINT) AS frac_thr FROM w),
+       |c AS (SELECT doc_id, d.lang,
+       |    whole + CASE WHEN ${hashUnitSql("doc_id", 11)} < frac_thr THEN 1 ELSE 0 END AS copies
+       |  FROM documents d JOIN t ON d.lang = t.lang)
        |SELECT doc_id, lang, unnest(range(copies)) AS copy
        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)
 
@@ -1710,5 +1783,6 @@ object Queries {
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
+    qTemperatureMix, qSemDecontam,
   )
 }

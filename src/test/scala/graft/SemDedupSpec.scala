@@ -49,6 +49,35 @@ class SemDedupSpec extends SparkTestBase {
     assert(out === Map(1L -> 0, 2L -> 1))
   }
 
+  test("crossSemContaminated: multi-probe catches cross-cell leakage a single probe misses") {
+    // corpus c101 lands in cell 0 (L2), its near-duplicate probe p1 in
+    // cell 1 — only p1's SECOND-nearest cell reaches it
+    val corpus = Seq(
+      (101L, Seq(1.0f, 0.0f, 0.0f, 0.8f)),  // cell 0; cos(·, p1) ≈ 0.976
+      (102L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),  // cell 1; orthogonal to probes
+      (103L, Seq(0.0f, 0.0f, 0.9f, 1.0f)),  // cell 1; cos(·, p1) ≈ 0.58
+    ).toDF("vec_id", "embedding")
+    val probes = Seq(
+      (1L, Seq(0.8f, 0.0f, 0.0f, 1.0f)),    // nearest cell 1, second cell 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),    // far from everything
+    ).toDF("vec_id", "embedding")
+    val two = SemDedup.crossSemContaminated(corpus, probes, cents, dim,
+      tau = 0.9, nProbe = 2).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(two.keySet === Set(101L) && two(101L)._1 === 1L,
+      s"only the paraphrase pair crosses tau=0.9: $two")
+    assert(math.abs(two(101L)._2 - 1.6 / 1.64) < 1e-5)
+    val one = SemDedup.crossSemContaminated(corpus, probes, cents, dim,
+      tau = 0.9, nProbe = 1).count()
+    assert(one === 0L, "nProbe=1 misses the cross-cell pair — the recall knob")
+    // at a looser tau the same-cell pairs (102, p1) and (103, p1) appear
+    // even with nProbe=1 (cos ≈ 0.78 and 0.58)
+    val loose = SemDedup.crossSemContaminated(corpus, probes, cents, dim,
+      tau = 0.5, nProbe = 1).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(loose.keySet === Set(102L, 103L))
+  }
+
   test("on real embeddings: survivors ∪ drops = corpus, survivors have no lower-id near neighbor in-cell") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val model = graft.ops.Pq.centroidArray(
