@@ -146,11 +146,18 @@ object TextStats {
     * source pair, tv_dist ∈ [0,1]. */
   def sourceDrift(docs: DataFrame, srcCol: String = "source",
                   textCol: String = "text"): DataFrame = {
+    // (src, term) counts are vocabulary-sized, but their lineage is the
+    // full tokenize+explode+agg corpus pass — and counts feeds BOTH
+    // self-join sides plus the totals (the unpersisted plan re-scans the
+    // corpus six times). Persist the small aggregate; the session's
+    // clearCache between queries releases it (the q_corpus_pipeline
+    // convention for multi-consumer intermediates).
     val counts = docs
       .select(col(srcCol).as("src"),
         explode_outer(Text.tokens(col(textCol))).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c"))
+      .persist()
     val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("n"))
     def dec(c: Column) = c.cast("decimal(19,0)")
     val joined = counts.as("a")

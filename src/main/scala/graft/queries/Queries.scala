@@ -658,6 +658,54 @@ object Queries {
        |FROM scored WHERE q >= 0.5
        |GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** Curation pipeline v2 — the MODEL-side composite (q_corpus_pipeline
+    * is the surface-side one): unigram-LM quality floor (OOV fraction
+    * over a top-500 corpus vocabulary) → temperature-balanced mixing
+    * (α = 0.5 over lang, rates recomputed on the FILTERED corpus) →
+    * per-lang output stats. Every stage is the already-oracled library
+    * op; the oracle chains their exact SQL mirrors, so the whole
+    * composition stays hash-checked end to end. */
+  val qCurationPipeline: Q = "q_curation_pipeline" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val (vocab, _) = graft.ops.TextStats.unigramModel(docs, vocabSize = 500)
+      val scored = graft.ops.TextStats.unigramScores(docs, vocab)
+      val kept = docs.join(
+        scored.filter(col("oov_frac") <= 0.2).select(col("id").as("doc_id")),
+        Seq("doc_id"))
+      graft.ops.Sampling.temperatureMix(kept, "lang", alpha = 0.5,
+          totalFraction = 0.5, keyCol = "doc_id", seed = 13)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    },
+    s"""WITH flat AS (SELECT doc_id AS id, unnest($TOKS) AS term FROM documents),
+       |counts AS (SELECT term, count(*) AS c FROM flat GROUP BY 1),
+       |vocab AS (SELECT term FROM counts ORDER BY c DESC, term ASC LIMIT 500),
+       |sc AS (SELECT f.id, count(*) AS n_toks,
+       |    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM flat f LEFT JOIN vocab v USING (term) GROUP BY f.id),
+       |kept AS (SELECT d.* FROM documents d JOIN sc ON sc.id = d.doc_id
+       |  WHERE round(CAST(sc.n_oov AS DOUBLE) / sc.n_toks, 6) <= 0.2),
+       |n AS (SELECT lang, count(*) AS ng FROM kept GROUP BY 1),
+       |s AS (SELECT list_sum(list(sqrt(CAST(ng AS DOUBLE)) ORDER BY lang)) AS sw,
+       |    CAST(sum(ng) AS DOUBLE) AS ntot FROM n),
+       |w AS (SELECT lang, ng,
+       |    (0.5 * ntot * (sqrt(CAST(ng AS DOUBLE)) / sw)) / CAST(ng AS DOUBLE) AS rate
+       |  FROM n CROSS JOIN s),
+       |t AS (SELECT lang, CAST(floor(rate) AS BIGINT) AS whole,
+       |    CAST(round((rate - floor(rate)) * 1000000, 0) AS BIGINT) AS frac_thr FROM w),
+       |c AS (SELECT k.doc_id, k.lang, len($TOKS) AS n_tokens,
+       |    whole + CASE WHEN ${hashUnitSql("doc_id", 13)} < frac_thr THEN 1 ELSE 0 END AS copies
+       |  FROM kept k JOIN t ON k.lang = t.lang),
+       |m AS (SELECT doc_id, lang, n_tokens, unnest(range(copies)) AS copy
+       |  FROM c WHERE copies > 0)
+       |SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin)
+
   /** Exact n-gram Jaccard near-dup pairs, blocked by lang. */
   val qNgramJaccard: Q = "q_ngram_jaccard" -> (
     (s: SparkSession, d: String) =>
@@ -1783,6 +1831,6 @@ object Queries {
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
-    qTemperatureMix, qSemDecontam,
+    qTemperatureMix, qSemDecontam, qCurationPipeline,
   )
 }
