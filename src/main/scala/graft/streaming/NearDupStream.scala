@@ -30,6 +30,60 @@ object NearDupStream {
     * close a pair. `docs` carries (doc_id, text). */
   case class Pair(id_a: Long, id_b: Long, jaccard_est: Double)
 
+  /** Streaming SEMANTIC near-dup: the incremental profile of
+    * [[graft.ops.SemDedup]]. Each arrival is cell-assigned by the
+    * map-only [[graft.functions.expr.NearestCentroidCos]] kernel
+    * (broadcast model, same as batch), then compared by exact cosine
+    * against its cell's resident vectors held in
+    * `flatMapGroupsWithState` — a paraphrase of a document from any
+    * earlier micro-batch is caught on arrival. State per cell is capped
+    * at `maxResidents` (oldest evicted): cells are corpus/k sized by
+    * construction, and the cap bounds state the way `maxBucket` does
+    * for the MinHash stream. Emits (id_a, id_b, cos) with id_a < id_b;
+    * runs unchanged on the RocksDB state store at scale. */
+  def semanticPairs(vecs: DataFrame, centroids: Array[Double], dim: Int,
+                    tau: Double, maxResidents: Int = 256,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Dataset[Pair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val celled = graft.ops.SemDedup.assignCells(vecs, centroids, dim, vecCol)
+      .select(col("cell"),
+        col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .as[(Int, Long, Seq[Double])]
+    celled
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Double])], Pair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[(Int, Long, Seq[Double])],
+         state: GroupState[List[(Long, Array[Double])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[Pair]
+          def cos(a: Array[Double], b: Array[Double]): Double = {
+            var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+            }
+            val nn = math.sqrt(na) * math.sqrt(nb)
+            if (nn > 0.0) d / nn else 0.0
+          }
+          it.foreach { case (_, id, vSeq) =>
+            if (!seen.exists(_._1 == id)) {
+              val v = vSeq.toArray
+              seen.foreach { case (oid, ov) =>
+                val c = cos(v, ov)
+                if (c >= tau)
+                  out += Pair(math.min(id, oid), math.max(id, oid), c)
+              }
+              seen = ((id, v) :: seen).take(maxResidents)
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   def pairs(docs: DataFrame, tau: Double, shingleLen: Int = 3,
             bands: Int = 8, rowsPerBand: Int = 4,
             maxBucket: Int = 64,

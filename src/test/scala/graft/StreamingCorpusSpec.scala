@@ -83,4 +83,31 @@ class StreamingCorpusSpec extends SparkTestBase {
         "cross-batch near-dup detected against bucket state")
     } finally q.stop()
   }
+
+  test("streaming semantic near-dup: paraphrase caught across micro-batches, cells isolate state") {
+    implicit val sqlCtx = spark.sqlContext
+    // model: two orthogonal cells
+    val cents = Array(1.0, 0.0, 0.0, 0.0,
+                      0.0, 0.0, 0.0, 1.0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = graft.streaming.NearDupStream.semanticPairs(
+      mem.toDF().toDF("vec_id", "embedding"), cents, dim = 4, tau = 0.95)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("semdup_stream").start()
+    try {
+      mem.addData((1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),  // cell 0
+                  (2L, Seq(0.0f, 0.0f, 0.2f, 1.0f)))  // cell 1
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM semdup_stream").count() === 0,
+        "cross-cell vectors are never compared")
+      // batch 2: a near-duplicate of vector 1 (same direction, scaled)
+      mem.addData((3L, Seq(2.0f, 0.2f, 0.0f, 0.0f)),
+                  (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f))) // cell 0 but orthogonal
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM semdup_stream")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 3L)),
+        "cross-batch semantic pair detected against cell-resident state")
+    } finally q.stop()
+  }
 }
