@@ -348,4 +348,68 @@ object Pq {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Materialize the compressed IVF-PQ inverted file: (n_id, codes)
+    * parquet PARTITIONED BY cell — encode once over the corpus (one
+    * codegen'd NearestCell + PqEncodeRes pass, map-only), probe many.
+    * This is the durable form of the index [[ivfPqTopK]] builds inline;
+    * at 100 TB the encode is the single big job and every later query
+    * touches only its probe cells' directories. */
+  def writeIndex(corpus: DataFrame, centroids: Array[Double], dim: Int,
+                 m: Int, k: Int, codebook: Array[Double], path: String,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.functions.expr.{NearestCell, PqEncodeRes}
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+      .select(col("n_id"),
+        ColumnBridge.column(NearestCell(
+          ColumnBridge.expr(col("nv")), centroids, dim)).as("cell"),
+        col("nv"))
+      .select(col("n_id"), col("cell"),
+        ColumnBridge.column(PqEncodeRes(ColumnBridge.expr(col("nv")),
+          ColumnBridge.expr(col("cell")), centroids, dim, m, k,
+          codebook)).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Query a [[writeIndex]]-materialized index. The probe cells are a
+    * driver-sized list (nProbe × |queries|), pushed as a PARTITION
+    * filter onto the index scan — only the probed cell directories are
+    * read (assert via PartitionFilters in the plan; PqIndexSpec does).
+    * Scoring is identical to [[ivfPqTopK]]'s: broadcast residual ADC
+    * tables, m lookups per candidate. */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, topK: Int,
+                         centroids: Array[Double], dim: Int, m: Int, k: Int,
+                         codebook: Array[Double], nProbe: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expr.{CellDists, PqAdc, PqDistTableRes}
+    def e(c: Column) = ColumnBridge.expr(c)
+    def cc(x: org.apache.spark.sql.catalyst.expressions.Expression) =
+      ColumnBridge.column(x)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd").asc, col("cell").asc)
+    val qt = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .select(col("q_id"), col("qv"),
+        posexplode(cc(CellDists(e(col("qv")), centroids, dim))))
+      .withColumnRenamed("pos", "cell").withColumnRenamed("col", "cd")
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("q_id"), col("cell"),
+        cc(PqDistTableRes(e(col("qv")), e(col("cell")), centroids, dim, m, k,
+          codebook)).as("qtable"))
+    val probeCells = qt.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // nProbe × |queries| ints — driver-sized
+    val codes = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val scored = codes.join(broadcast(qt), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cc(PqAdc(e(col("codes")), e(col("qtable")), k)).as("dist2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }
