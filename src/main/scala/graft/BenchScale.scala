@@ -109,11 +109,30 @@ object BenchScale {
         emb, tau = 0.9).count())
       spark.catalog.clearCache()
 
+      // round-4 text/model ops: all designed linear-in-corpus — the
+      // model/aggregate side is vocabulary- or k-sized regardless of K
+      val (tUni, _) = time {
+        val (vocab, _) = graft.ops.TextStats.unigramModel(docs, vocabSize = 500)
+        graft.ops.TextStats.unigramScores(docs, vocab).count()
+      }
+      spark.catalog.clearCache()
+      val (tDrift, _) = time(graft.ops.TextStats.sourceDrift(docs, "lang").count())
+      spark.catalog.clearCache()
+      val (tSem, _) = time {
+        val model = graft.ops.Pq.centroidArray(
+          graft.ops.Ann.kmeansCentroids(emb, 0L until 8L, iters = 2, dim = 64),
+          dim = 64)
+        graft.ops.SemDedup.semDedup(emb, model, dim = 64, tau = 0.9).count()
+      }
+      spark.catalog.clearCache()
+
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
         s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
         s""""embed_lsh_sec":${f"$tLsh%.2f"},"embed_exact_sec":${f"$tExact%.2f"},""" +
-        s""""embed_planes":$planes,"embed_pairs_lsh":$nLsh,"embed_pairs_exact":$nExact}""")
+        s""""embed_planes":$planes,"embed_pairs_lsh":$nLsh,"embed_pairs_exact":$nExact,""" +
+        s""""unigram_sec":${f"$tUni%.2f"},"drift_sec":${f"$tDrift%.2f"},""" +
+        s""""semdedup_sec":${f"$tSem%.2f"}}""")
     }
     spark.stop()
   }

@@ -1236,29 +1236,58 @@ object Queries {
     * corpus vectors (cell = vec_id < 8), the residual codebook comes
     * from the exported side-table, and the residual subtraction is the
     * same fused `(v − cent) − cw` fold as `PqEncodeRes`. */
+  /** Shared Spark pipeline of q_ivfpq_ann / q_ivfpq_stored up to the
+    * probe: coarse quantizer from raw corpus vectors, residual codebook
+    * training, and the codebook export the oracle reads. */
+  private def ivfPqSetup(s: SparkSession, d: String, cbName: String) = {
+    val emb = Tables.embeddings(s, d)
+    val nCells = 8
+    val cents = graft.ops.Pq.centroidArray(
+      emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").cast("long").as("c_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+      dim = 64)
+    val cb = graft.ops.Pq.trainResidualCodebooksSampled(emb, cents,
+      dim = 64, m = 8, k = 16, iters = 2, sampleCap = 1024)
+    graft.ops.Pq.exportCodebook(s, cb, m = 8, k = 16, codebookPath(d, cbName))
+    (emb, cents, cb)
+  }
+
   val qIvfPq: Q = "q_ivfpq_ann" -> (
     (s: SparkSession, d: String) => {
-      val emb = Tables.embeddings(s, d)
-      val nCells = 8
-      val cents = graft.ops.Pq.centroidArray(
-        emb.filter(col("vec_id") < nCells)
-          .select(col("vec_id").cast("long").as("c_id"),
-            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
-        dim = 64)
-      val cb = graft.ops.Pq.trainResidualCodebooksSampled(emb, cents,
-        dim = 64, m = 8, k = 16, iters = 2, sampleCap = 1024)
-      graft.ops.Pq.exportCodebook(s, cb, m = 8, k = 16,
-        codebookPath(d, "ivfpq_codebook"))
+      val (emb, cents, cb) = ivfPqSetup(s, d, "ivfpq_codebook")
       graft.ops.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), topK = 3,
           centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 4)
         .withColumn("dist2", round(col("dist2"), 6))
         .orderBy(col("q_id"), col("rank"))
     },
+    ivfPqOracleSql("ivfpq_codebook"))
+
+  /** The DURABLE index path, driver-checked: write the cell-partitioned
+    * inverted file, then answer the same probes from storage — results
+    * (and so the oracle) are identical to q_ivfpq_ann; only the plan
+    * differs (index scan with probe-cell partition pruning,
+    * PqIndexSpec pins the PartitionFilters shape). */
+  val qIvfPqStored: Q = "q_ivfpq_stored" -> (
+    (s: SparkSession, d: String) => {
+      val (emb, cents, cb) = ivfPqSetup(s, d, "ivfpq_stored_codebook")
+      val idxPath = codebookPath(d, "ivfpq_index")
+      graft.ops.Pq.writeIndex(emb, cents, dim = 64, m = 8, k = 16,
+        codebook = cb, path = idxPath)
+      graft.ops.Pq.ivfPqTopKFromIndex(s, idxPath,
+          emb.filter(col("vec_id") < 10), topK = 3,
+          centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 4)
+        .withColumn("dist2", round(col("dist2"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ivfPqOracleSql("ivfpq_stored_codebook"))
+
+  private def ivfPqOracleSql(cbName: String): String =
     s"""WITH cents AS (SELECT CAST(vec_id AS INT) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
        |  FROM embeddings WHERE vec_id < 8),
        |cb AS (SELECT sub, code, cv
-       |    FROM read_parquet('/root/repo/artifacts/ivfpq_codebook_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/${cbName}_sf0.01/*.parquet')),
        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |celld AS (SELECT t.id, c.cell,
        |    list_sum(list_transform(range(1, 65), i ->
@@ -1290,7 +1319,7 @@ object Queries {
        |rk AS (SELECT q_id, n_id, dist2, row_number() OVER (PARTITION BY q_id
        |    ORDER BY dist2 ASC, n_id ASC) AS rank FROM sc)
        |SELECT q_id, n_id, round(dist2, 6) AS dist2, rank FROM rk
-       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   /** Semantic dedup (the SemDeDup recipe, arXiv:2303.09540): k-means
     * cells from the IVF coarse-quantizer trainer, then within-cell
@@ -1831,6 +1860,6 @@ object Queries {
     qShuffleExport, qDupClusters, qSplits, qLengthBuckets, qChunk,
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
-    qTemperatureMix, qSemDecontam, qCurationPipeline,
+    qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
   )
 }
