@@ -64,11 +64,16 @@ object Ann {
     // inverted file, 1 cell/vector: map-only cosine-argmax kernel against
     // the collected k×dim model (ties → lowest index = lowest c_id, the
     // window form's rule) — the CORPUS side is never joined or windowed
-    // to be assigned; only the tiny query side pays the rank window
+    // to be assigned; only the tiny query side pays the rank window.
+    // NOTE: collecting the model makes frame CONSTRUCTION run one small
+    // job (filter-isin over the corpus) — build-time work for an
+    // index-build API, like the PQ trainers.
     val model = cents
       .select(col("c_id").cast("long"),
         transform(col("c_v"), x => x.cast("double"))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(model.nonEmpty,
+      s"no corpus rows matched centroidIds (${centroidIds.take(5).mkString(",")}…)")
     val flat = model.flatMap(_._2)
     val dim = flat.length / model.length
     val cellIds = typedlit(model.map(_._1).toSeq)

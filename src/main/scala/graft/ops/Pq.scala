@@ -389,18 +389,22 @@ object Pq {
       ColumnBridge.column(x)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("cd").asc, col("cell").asc)
-    val qt = queries
+    // ranked (q_id, cell, qv) BEFORE the ADC-table build: the cell list
+    // is collected from this cheap frame, so the m·k table kernels run
+    // once (in the join), not once per consumer
+    val probePairs = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .select(col("q_id"), col("qv"),
         posexplode(cc(CellDists(e(col("qv")), centroids, dim))))
       .withColumnRenamed("pos", "cell").withColumnRenamed("col", "cd")
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
-      .select(col("q_id"), col("cell"),
-        cc(PqDistTableRes(e(col("qv")), e(col("cell")), centroids, dim, m, k,
-          codebook)).as("qtable"))
-    val probeCells = qt.select(col("cell")).distinct()
+      .select(col("q_id"), col("cell"), col("qv"))
+    val probeCells = probePairs.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // nProbe × |queries| ints — driver-sized
+    val qt = probePairs.select(col("q_id"), col("cell"),
+      cc(PqDistTableRes(e(col("qv")), e(col("cell")), centroids, dim, m, k,
+        codebook)).as("qtable"))
     val codes = spark.read.parquet(path)
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
     val scored = codes.join(broadcast(qt), Seq("cell"))

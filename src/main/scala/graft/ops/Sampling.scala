@@ -115,7 +115,11 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
     require(totalFraction > 0, s"totalFraction must be > 0, got $totalFraction")
     def powA(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
-    val counts = df.groupBy(col(groupCol).cast("string").as("g"))
+    // NULL groups are dropped, matching the delegate's contract (a null
+    // group key never matches the weights join) — and a null in sortBy
+    // would NPE the driver-side rate fold
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val ntot = counts.map(_._2).sum.toDouble

@@ -84,15 +84,21 @@ object TextStats {
   def unigramModel(docs: DataFrame, vocabSize: Int,
                    textCol: String = "text"): (Seq[(String, Double)], Long) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    // persist the vocabulary-sized counts: total + top-V are two
+    // consumers, and without it each re-runs the corpus tokenize pass
+    // (the sourceDrift convention; released here, model in hand)
     val counts = docs
       .select(explode_outer(Text.tokens(col(textCol))).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c"))).head().getLong(0)
-    val vocab = counts.orderBy(col("c").desc, col("term").asc)
-      .limit(vocabSize).collect()
-      .map(r => r.getString(0) -> r.getLong(1).toDouble / total.toDouble)
-    (vocab.toSeq, total)
+      .persist()
+    try {
+      val total = counts.agg(sum(col("c"))).head().getLong(0)
+      val vocab = counts.orderBy(col("c").desc, col("term").asc)
+        .limit(vocabSize).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble / total.toDouble)
+      (vocab.toSeq, total)
+    } finally { counts.unpersist(); () }
   }
 
   /** Per-doc lexical likelihood under a unigram model — the ln-free
@@ -112,7 +118,10 @@ object TextStats {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val model = typedlit(vocab.toMap)
-    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    // NULL-text docs are dropped (an unnest-based SQL mirror produces no
+    // rows for them; emitting a null-scored row here would break parity)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), size(col("toks")).as("n_toks"),
         size(filter(col("toks"), t => element_at(model, t).isNull))
           .as("n_oov"),
