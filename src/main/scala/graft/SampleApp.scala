@@ -44,3 +44,36 @@ object SampleApp2 {
     s.stop()
   }
 }
+// (round-4 curation ops drive: unigram quality → temperature mix →
+// drift; semantic dedup + cross-corpus semantic decontamination)
+object SampleApp3 {
+  def main(args: Array[String]): Unit = {
+    val s = graft.core.GraftSession.local(4)
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "web"),
+      (3L, "zzz qqq xxx vvv kkk jjj", "spam"),
+    ).toDF("doc_id", "text", "source")
+    val (vocab, n) = graft.ops.TextStats.unigramModel(docs, vocabSize = 8)
+    println("VOCAB   " + vocab.take(3) + s" (N=$n)")
+    println("SCORES  " + graft.ops.TextStats.unigramScores(docs, vocab)
+      .collect().toList)
+    println("MIX     " + graft.ops.Sampling.temperatureMix(docs, "source",
+      alpha = 0.5, totalFraction = 1.0, keyCol = "doc_id")
+      .groupBy("source").count().collect().toList)
+    println("DRIFT   " + graft.ops.TextStats.sourceDrift(docs)
+      .collect().toList)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    println("SEMDUP  " + graft.ops.SemDedup.semDedup(emb, cents, dim = 4,
+      tau = 0.95).collect().toList)
+    println("SEMCONT " + graft.ops.SemDedup.crossSemContaminated(
+      emb.filter(col("vec_id") > 1), emb.filter(col("vec_id") === 1),
+      cents, dim = 4, tau = 0.95).collect().toList)
+    s.stop()
+  }
+}

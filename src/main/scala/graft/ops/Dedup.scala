@@ -37,30 +37,33 @@ object Dedup {
     * key naturally (an isNotNull filter here would be alias-substituted
     * below the projection and run the signature twice). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int, k: Int): DataFrame = {
+                        shingleLen: Int, k: Int,
+                        carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val coeffs = Text.minhashCoeffs(k)
-    val toks = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-    toks.select(col("id"),
-      ColumnBridge.column(graft.functions.expr.MinHashSignature(
+    val toks = docs.select(col(idCol).as("id") +: Text.tokens(col(textCol)).as("toks")
+      +: carry.map(col): _*)
+    toks.select(col("id") +: ColumnBridge.column(graft.functions.expr.MinHashSignature(
         ColumnBridge.expr(col("toks")), shingleLen,
-        coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)).as("sig"))
+        coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)).as("sig")
+      +: carry.map(col): _*)
   }
 
   /** Doc → (band_idx, band_hash) candidate keys for MinHash-LSH.
     * numHashes = bands * rowsPerBand. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   shingleLen: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+                   shingleLen: Int, bands: Int, rowsPerBand: Int,
+                   carry: Seq[String] = Nil): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = minhashSignatures(docs, idCol, textCol, shingleLen, k)
+    val withSig = minhashSignatures(docs, idCol, textCol, shingleLen, k, carry)
     withSig.select(
-      col("id"), col("sig"),
+      col("id") +: col("sig") +:
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           md5(to_json(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-            .as("bh"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"),
-        col("bk.bh").as("band_hash"))
+            .as("bh"))): _*)).as("bk") +: carry.map(col): _*)
+      .select(col("id") +: col("sig") +: col("bk.band").as("band") +:
+        col("bk.bh").as("band_hash") +: carry.map(col): _*)
   }
 
   /** MinHash-LSH near-dup pairs: docs sharing ≥1 band bucket, verified by

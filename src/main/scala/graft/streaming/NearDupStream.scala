@@ -30,6 +30,70 @@ object NearDupStream {
     * close a pair. `docs` carries (doc_id, text). */
   case class Pair(id_a: Long, id_b: Long, jaccard_est: Double)
 
+  /** [[pairs]] with an EVENT-TIME DETECTION HORIZON — the unbounded-
+    * stream form: bucket residents older than `horizonMs` behind the
+    * watermark are pruned on every bucket visit, and idle buckets are
+    * reaped by an event-time timeout (state.remove once everything in
+    * them has expired). Without this, the bucket KEY space — not just
+    * the per-bucket resident list the cap bounds — grows with the
+    * stream's lifetime; with it, total state is bounded by the horizon's
+    * arrival volume. A pair is emitted iff the earlier document is
+    * still within the horizon when the later one arrives — the standard
+    * "near-dup within a window" contract of log/feed dedup. */
+  def pairsWindowed(docs: DataFrame, tau: Double, tsCol: String,
+                    watermarkDelay: String, horizonMs: Long,
+                    shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                    maxBucket: Int = 64, idCol: String = "doc_id",
+                    textCol: String = "text"): Dataset[Pair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the WATERMARKED timestamp attribute itself must reach the grouped
+    // Dataset (event-time timeout resolves it from the child plan), so
+    // it rides as a Timestamp field and converts to millis in the state
+    // function
+    val banded = graft.ops.Dedup
+      .minhashBands(docs.withWatermark(tsCol, watermarkDelay),
+        idCol, textCol, shingleLen, bands, rowsPerBand, carry = Seq(tsCol))
+      .select(col("band"), col("band_hash"), col("id"), col("sig"),
+        col(tsCol)) // untouched: a cast/alias would strip the watermark tag
+      .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
+    val k = (bands * rowsPerBand).toDouble
+    banded
+      .groupByKey { case (band, bh, _, _, _) => (band, bh) }
+      .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], Pair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String),
+         it: Iterator[(Int, String, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[List[(Long, Seq[Long], Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var seen = state.getOption.getOrElse(Nil)
+            .filter(_._3 >= wm - horizonMs) // expired residents leave
+          val out = scala.collection.mutable.ListBuffer.empty[Pair]
+          it.foreach { case (_, _, id, sig, ts) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osig, _) =>
+                val agree = sig.iterator.zip(osig.iterator).count {
+                  case (a, b) => a == b
+                }
+                val est = agree / k
+                if (est >= tau)
+                  out += Pair(math.min(id, oid), math.max(id, oid), est)
+              }
+              seen = ((id, sig, ts.getTime) :: seen).take(maxBucket)
+            }
+          }
+          if (seen.isEmpty) state.remove()
+          else {
+            state.update(seen)
+            // reap the bucket when its newest resident ages out even if
+            // no further arrivals ever visit this key
+            state.setTimeoutTimestamp(
+              math.max(seen.map(_._3).max + horizonMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming SEMANTIC near-dup: the incremental profile of
     * [[graft.ops.SemDedup]]. Each arrival is cell-assigned by the
     * map-only [[graft.functions.expr.NearestCentroidCos]] kernel

@@ -84,6 +84,37 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed near-dup: pairs within the horizon, expired residents never pair, idle buckets reaped") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nd1 = base.replace("upsilon", "phi")
+    val nd2 = base.replace("upsilon", "chi")
+    val unrelated = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.NearDupStream.pairsWindowed(
+      mem.toDF().toDF("doc_id", "text", "ts"), tau = 0.35, tsCol = "ts",
+      watermarkDelay = "0 seconds", horizonMs = 10 * 60 * 1000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("windowed_neardup").start()
+    try {
+      mem.addData((1L, base, ts(0)))
+      q.processAllAvailable()
+      mem.addData((4L, nd1, ts(5)))         // within horizon of doc 1
+      q.processAllAvailable()
+      mem.addData((2L, unrelated, ts(30)))  // advances the watermark
+      q.processAllAvailable()
+      mem.addData((5L, nd2, ts(31)))        // doc 1 and 4 now expired
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM windowed_neardup")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 4L)),
+        s"only the in-horizon pair is emitted: $pairs")
+    } finally q.stop()
+  }
+
   test("streaming semantic near-dup: paraphrase caught across micro-batches, cells isolate state") {
     implicit val sqlCtx = spark.sqlContext
     // model: two orthogonal cells
