@@ -43,4 +43,36 @@ class StateStoreSpec extends SparkTestBase {
       prev.fold(conf.unset(key))(conf.set(key, _))
     }
   }
+
+  test("windowed near-dup (event-time timeout state) runs unchanged on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = graft.streaming.NearDupStream.pairsWindowed(
+        mem.toDF().toDF("doc_id", "text", "ts"), tau = 0.35, tsCol = "ts",
+        watermarkDelay = "0 seconds", horizonMs = 10 * 60 * 1000L)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("rocks_windowed").start()
+      try {
+        mem.addData((1L, base, ts(0)))
+        q.processAllAvailable()
+        mem.addData((2L, base.replace("upsilon", "phi"), ts(5)))
+        q.processAllAvailable()
+        val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM rocks_windowed")
+          .as[(Long, Long)].collect().toSet
+        assert(pairs === Set((1L, 2L)),
+          "cross-batch pair through RocksDB-held bucket state")
+      } finally q.stop()
+    } finally {
+      prev.fold(conf.unset(key))(conf.set(key, _))
+    }
+  }
 }
