@@ -40,6 +40,9 @@ object Dedup {
                         shingleLen: Int, k: Int,
                         carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    val reserved = Set("id", "toks", "sig", "bk", "band", "band_hash")
+    require(carry.forall(c => !reserved(c)),
+      s"carry columns collide with internal aliases: ${carry.filter(reserved)}")
     val coeffs = Text.minhashCoeffs(k)
     val toks = docs.select(col(idCol).as("id") +: Text.tokens(col(textCol)).as("toks")
       +: carry.map(col): _*)

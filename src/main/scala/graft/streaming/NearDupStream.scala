@@ -30,6 +30,19 @@ object NearDupStream {
     * close a pair. `docs` carries (doc_id, text). */
   case class Pair(id_a: Long, id_b: Long, jaccard_est: Double)
 
+  /** Shared scoring kernel of the two MinHash streams: estimated
+    * Jaccard (signature agreement) of the arrival against each
+    * resident, emitting qualifying pairs. */
+  private def scoreAgainst(id: Long, sig: Seq[Long],
+                           residents: Iterator[(Long, Seq[Long])],
+                           k: Double, tau: Double): Iterator[Pair] =
+    residents.flatMap { case (oid, osig) =>
+      val agree = sig.iterator.zip(osig.iterator).count { case (a, b) => a == b }
+      val est = agree / k
+      if (est >= tau) Some(Pair(math.min(id, oid), math.max(id, oid), est))
+      else None
+    }
+
   /** [[pairs]] with an EVENT-TIME DETECTION HORIZON — the unbounded-
     * stream form: bucket residents older than `horizonMs` behind the
     * watermark are pruned on every bucket visit, and idle buckets are
@@ -54,6 +67,10 @@ object NearDupStream {
     val banded = graft.ops.Dedup
       .minhashBands(docs.withWatermark(tsCol, watermarkDelay),
         idCol, textCol, shingleLen, bands, rowsPerBand, carry = Seq(tsCol))
+      // sub-shingleLen docs carry a NULL signature; the batch path's
+      // inner join drops the null key naturally, but groupByKey would
+      // deliver it to the state function — filter explicitly
+      .filter(col("sig").isNotNull)
       .select(col("band"), col("band_hash"), col("id"), col("sig"),
         col(tsCol)) // untouched: a cast/alias would strip the watermark tag
       .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
@@ -71,15 +88,14 @@ object NearDupStream {
           val out = scala.collection.mutable.ListBuffer.empty[Pair]
           it.foreach { case (_, _, id, sig, ts) =>
             if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, osig, _) =>
-                val agree = sig.iterator.zip(osig.iterator).count {
-                  case (a, b) => a == b
-                }
-                val est = agree / k
-                if (est >= tau)
-                  out += Pair(math.min(id, oid), math.max(id, oid), est)
-              }
-              seen = ((id, sig, ts.getTime) :: seen).take(maxBucket)
+              val tsMs = ts.getTime
+              // the horizon binds PAIRWISE, not just via the watermark:
+              // two docs landing in one micro-batch (or under a lagging
+              // watermark) must still be within horizonMs of each other
+              out ++= scoreAgainst(id, sig,
+                seen.iterator.filter(r => math.abs(tsMs - r._3) <= horizonMs)
+                  .map(r => (r._1, r._2)), k, tau)
+              seen = ((id, sig, tsMs) :: seen).take(maxBucket)
             }
           }
           if (seen.isEmpty) state.remove()
@@ -156,6 +172,7 @@ object NearDupStream {
     import spark.implicits._
     val banded = graft.ops.Dedup
       .minhashBands(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+      .filter(col("sig").isNotNull) // see pairsWindowed: groupByKey keeps null keys
       .select(col("band"), col("band_hash"), col("id"), col("sig"))
       .as[(Int, String, Long, Seq[Long])]
     val k = (bands * rowsPerBand).toDouble
@@ -169,14 +186,7 @@ object NearDupStream {
           val out = scala.collection.mutable.ListBuffer.empty[Pair]
           it.foreach { case (_, _, id, sig) =>
             if (!seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, osig) =>
-                val agree = sig.iterator.zip(osig.iterator).count {
-                  case (a, b) => a == b
-                }
-                val est = agree / k
-                if (est >= tau)
-                  out += Pair(math.min(id, oid), math.max(id, oid), est)
-              }
+              out ++= scoreAgainst(id, sig, seen.iterator, k, tau)
               seen = ((id, sig) :: seen).take(maxBucket)
             }
           }
