@@ -115,6 +115,32 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed near-dup: horizon binds pairwise within one micro-batch; short docs don't crash") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.NearDupStream.pairsWindowed(
+      mem.toDF().toDF("doc_id", "text", "ts"), tau = 0.35, tsCol = "ts",
+      watermarkDelay = "0 seconds", horizonMs = 10 * 60 * 1000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("windowed_pairwise").start()
+    try {
+      // identical docs 22 hours apart arriving in the SAME micro-batch:
+      // the watermark hasn't moved yet, so only the pairwise check can
+      // (and must) suppress the pair
+      mem.addData(
+        (1L, base, java.sql.Timestamp.valueOf("2026-01-01 01:00:00")),
+        (2L, base, java.sql.Timestamp.valueOf("2026-01-01 23:00:00")),
+        // sub-shingleLen docs: NULL signature must not reach the state fn
+        (3L, "hi there", java.sql.Timestamp.valueOf("2026-01-01 01:00:00")),
+        (4L, "two toks", java.sql.Timestamp.valueOf("2026-01-01 01:00:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM windowed_pairwise").count() === 0,
+        "distant same-batch docs never pair; short docs are dropped, not fatal")
+    } finally q.stop()
+  }
+
   test("streaming semantic near-dup: paraphrase caught across micro-batches, cells isolate state") {
     implicit val sqlCtx = spark.sqlContext
     // model: two orthogonal cells
