@@ -75,4 +75,33 @@ class StateStoreSpec extends SparkTestBase {
       prev.fold(conf.unset(key))(conf.set(key, _))
     }
   }
+
+  test("semantic near-dup (cell-resident vector state) runs unchanged on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cents = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val out = graft.streaming.NearDupStream.semanticPairs(
+        mem.toDF().toDF("vec_id", "embedding"), cents, dim = 4, tau = 0.95)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("rocks_semantic").start()
+      try {
+        mem.addData((1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)))
+        q.processAllAvailable()
+        mem.addData((2L, Seq(2.0f, 0.2f, 0.0f, 0.0f))) // scaled copy, later batch
+        q.processAllAvailable()
+        val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM rocks_semantic")
+          .as[(Long, Long)].collect().toSet
+        assert(pairs === Set((1L, 2L)),
+          "cross-batch semantic pair through RocksDB-held cell state")
+      } finally q.stop()
+    } finally {
+      prev.fold(conf.unset(key))(conf.set(key, _))
+    }
+  }
 }
