@@ -61,6 +61,42 @@ object SemDedup {
       .join(drops, Seq(idCol), "left_anti")
   }
 
+  /** [[semDedup]] with the paper's diversity-preserving keep rule: of
+    * every near pair, KEEP the member FARTHEST from its cell centroid
+    * (arXiv:2303.09540 §3 — edge examples carry more training signal
+    * than cluster cores; ties → lower id). A vector is dropped iff some
+    * same-cell near neighbor beats it on (centroid distance, id). Same
+    * plan shape as the default: one extra map-only `CellDists` lookup
+    * per row for the distance, pairs through the adaptive path. */
+  def semDedupDiverse(emb: DataFrame, centroids: Array[Double], dim: Int,
+                      tau: Double, idCol: String = "vec_id",
+                      vecCol: String = "embedding", bands: Int = 32,
+                      planesPerBand: Int = 3,
+                      smallBlock: Long = 4096L): DataFrame = {
+    def cc(x: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      ColumnBridge.column(x)
+    val celled = assignCells(emb, centroids, dim, vecCol)
+      .withColumn("d2", element_at(
+        cc(graft.functions.expr.CellDists(
+          ColumnBridge.expr(col(vecCol)), centroids, dim)),
+        col("cell") + 1))
+    val pairs = Dedup.embeddingNearDupAdaptive(celled, tau, blockCol = "cell",
+      idCol = idCol, vecCol = vecCol, dim = dim, bands = bands,
+      planesPerBand = planesPerBand, smallBlock = smallBlock)
+    val d2 = celled.select(col(idCol).as("_did"), col("d2"))
+    val scored = pairs
+      .join(d2.select(col("_did").as("id_a"), col("d2").as("d2_a")), Seq("id_a"))
+      .join(d2.select(col("_did").as("id_b"), col("d2").as("d2_b")), Seq("id_b"))
+    // the loser of each pair: nearer to the centroid, ties to higher id
+    val drops = scored.select(
+        when(col("d2_a") < col("d2_b")
+          || (col("d2_a") === col("d2_b") && col("id_a") > col("id_b")),
+          col("id_a")).otherwise(col("id_b")).as(idCol))
+      .distinct()
+    celled.select(col(idCol), col("cell"), col("d2"))
+      .join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Cross-corpus SEMANTIC decontamination — the embedding-level analog
     * of [[Dedup.crossMinhashLsh]]: flag corpus vectors at cosine ≥ tau
     * from ANY probe (benchmark / eval-set) vector. Surface-level n-gram

@@ -1408,6 +1408,48 @@ object Queries {
        |SELECT n_id AS vec_id, count(*) AS n_hits, max(cos) AS max_cos
        |FROM pairs WHERE cos >= 0.35 GROUP BY 1 ORDER BY vec_id""".stripMargin)
 
+  /** Semantic dedup, DIVERSITY-PRESERVING keep rule (the SemDeDup
+    * paper's choice): of every near pair keep the member FARTHEST from
+    * its cell centroid — edge examples over cluster cores. Oracled like
+    * q_semdedup plus the centroid-distance lookup (the same
+    * left-to-right L2 fold both engines already replay). */
+  val qSemDedupDiv: Q = "q_semdedup_div" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ops.Ann.kmeansCentroids(emb,
+        seedIds = 0L until 8L, iters = 2, dim = 64)
+      graft.ops.SemDedup.exportCentroids(cents, dim = 64,
+        codebookPath(d, "semdiv_centroids"))
+      val arr = graft.ops.Pq.centroidArray(cents, dim = 64)
+      graft.ops.SemDedup.semDedupDiverse(emb, arr, dim = 64, tau = 0.35)
+        .withColumn("d2", round(col("d2"), 6))
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH cents AS (SELECT cell, c
+       |    FROM read_parquet('/root/repo/artifacts/semdiv_centroids_sf0.01/*.parquet')),
+       |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |celld AS (SELECT t.id, c.cell,
+       |    list_sum(list_transform(range(1, 65), i ->
+       |      (CAST(t.v[i] AS DOUBLE) - c.c[i]) * (CAST(t.v[i] AS DOUBLE) - c.c[i]))) AS cd
+       |  FROM v t CROSS JOIN cents c),
+       |asg AS (SELECT id, cell, cd AS d2 FROM (
+       |    SELECT id, cell, cd, row_number() OVER (PARTITION BY id
+       |      ORDER BY cd ASC, cell ASC) AS rn FROM celld) WHERE rn = 1),
+       |e AS (SELECT a.cell, a.id, a.d2, t.v, sqrt(${dotSql("t.v", "t.v")}) AS nrm
+       |  FROM asg a JOIN v t ON t.id = a.id),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.d2 AS d2_a, b.d2 AS d2_b,
+       |    round(CASE WHEN a.nrm * b.nrm > 0.0
+       |      THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)
+       |      ELSE 0.0 END, 6) AS cos
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.id < b.id),
+       |drops AS (SELECT DISTINCT CASE
+       |    WHEN d2_a < d2_b OR (d2_a = d2_b AND id_a > id_b) THEN id_a
+       |    ELSE id_b END AS id
+       |  FROM pairs WHERE cos >= 0.35)
+       |SELECT a.id AS vec_id, a.cell, round(a.d2, 6) AS d2 FROM asg a
+       |LEFT JOIN drops d ON a.id = d.id WHERE d.id IS NULL
+       |ORDER BY vec_id""".stripMargin)
+
   /** Inactivity-gap sessionization (gaps-and-islands): a new session
     * starts after >6h of silence per user. One window pass per user
     * (lag → boundary flag → running session index) then a per-session
@@ -1861,5 +1903,6 @@ object Queries {
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
+    qSemDedupDiv,
   )
 }

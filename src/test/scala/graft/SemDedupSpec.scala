@@ -49,6 +49,30 @@ class SemDedupSpec extends SparkTestBase {
     assert(out === Map(1L -> 0, 2L -> 1))
   }
 
+  test("semDedupDiverse keeps the pair member farthest from its centroid") {
+    // cell 0 centroid is e1: vec 1 sits ON it, vec 2 is the same
+    // direction but farther out in magnitude... direction is what cosine
+    // sees, so craft radial difference via an off-axis component
+    val duo = Seq(
+      (1L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),  // near centroid (small d2)
+      (2L, Seq(1.0f, 0.40f, 0.0f, 0.0f)),  // same direction-ish, larger d2
+    ).toDF("vec_id", "embedding")
+    // cos(1,2) ≈ 0.93 — a near pair at tau 0.9; default keeps id 1,
+    // the diverse rule keeps id 2 (farther from the centroid)
+    val byId = SemDedup.semDedup(duo, cents, dim, tau = 0.9)
+      .as[(Long, Int)].collect().map(_._1).toSet
+    assert(byId === Set(1L))
+    val diverse = SemDedup.semDedupDiverse(duo, cents, dim, tau = 0.9)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(diverse === Set(2L),
+      "the diversity rule keeps the edge example, not the cluster core")
+    // non-near vectors survive under both rules
+    val all = duo.unionAll(Seq((9L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding"))
+    assert(SemDedup.semDedupDiverse(all, cents, dim, tau = 0.9)
+      .select(col("vec_id")).as[Long].collect().toSet === Set(2L, 9L))
+  }
+
   test("crossSemContaminated: multi-probe catches cross-cell leakage a single probe misses") {
     // corpus c101 lands in cell 0 (L2), its near-duplicate probe p1 in
     // cell 1 — only p1's SECOND-nearest cell reaches it
