@@ -20,9 +20,14 @@ object Bench {
       val sibling = new java.io.File(Option(f.getParentFile).getOrElse(f), "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmupDir).count()
-      catch { case _: Throwable => () }
+      catch {
+        // A query that fails only at the bench SF must surface as an
+        // error in the tail, not as a silent timing anomaly later.
+        case t: Throwable =>
+          System.err.println(s"[bench] warmup failed for $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
     }
     // best-of-3, INTERLEAVED passes: single-run numbers on this box vary
     // several-fold with GC, page cache, and host CPU steal (load spikes
@@ -55,7 +60,23 @@ object Bench {
     val passes = passTotals
       .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passes,"sf":"$sfDir"}""")
+    // Full per-query line first (kept for humans and history) ...
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passes,"sf":"$sfDir"}"""
+    println(fullLine)
+    // ... then persist the same JSON to a file, and end on a SHORT
+    // summary line. The driver captures a bounded tail of the sbt
+    // output; at 78 queries the mega-line's head ("metric","value")
+    // fell outside that window in round 4 (BENCH_r04 parsed: null).
+    // The LAST line printed must therefore always be short enough to
+    // parse on its own.
+    try {
+      val out = java.nio.file.Paths.get("BENCH_QUERIES.json")
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_QUERIES.json: ${t.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"pass_totals":$passes,"sf":"$sfDir","queries_file":"BENCH_QUERIES.json"}""")
     spark.stop()
   }
 }
