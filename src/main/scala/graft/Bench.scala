@@ -20,13 +20,13 @@ object Bench {
       val sibling = new java.io.File(Option(f.getParentFile).getOrElse(f), "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
+    // Failure lines go to stdout: the driver's tail capture reads the
+    // sbt stdout stream, so stderr messages would never reach the tail.
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmupDir).count()
       catch {
-        // A query that fails only at the bench SF must surface as an
-        // error in the tail, not as a silent timing anomaly later.
         case t: Throwable =>
-          System.err.println(s"[bench] warmup failed for $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          println(s"[bench] warmup failed for $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
     }
     // best-of-3, INTERLEAVED passes: single-run numbers on this box vary
@@ -38,11 +38,18 @@ object Bench {
     spark.catalog.clearCache() // drop warmup-pass persisted data
     val names = SparkEntry.queries.keys.toSeq
     val timesPerQ = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failed = scala.collection.mutable.Set.empty[String]
     val passTotals = (1 to 3).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        catch {
+          // A query that fails only at the bench SF must be visibly an
+          // error, not the (short) time-to-exception posing as a fast run.
+          case t: Throwable =>
+            failed += name
+            println(s"[bench] FAILED $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // queries that persist intermediates must not leak storage into
         // the next query's measurement
@@ -51,10 +58,12 @@ object Bench {
         t
       }.sum
     }
-    val results = names.map(n => n -> timesPerQ(n).min).toMap
+    // failed queries report -1, never their time-to-exception
+    val results = names.map(n => n -> (if (failed(n)) -1.0 else timesPerQ(n).min)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total covers succeeding queries only; failures are flagged separately
+    val total = results.values.filter(_ >= 0).sum
     // pass_totals exposes the run-to-run spread (host CPU steal on this
     // box) next to the per-query-min total the grade reads
     val passes = passTotals
@@ -68,15 +77,29 @@ object Bench {
     // output; at 78 queries the mega-line's head ("metric","value")
     // fell outside that window in round 4 (BENCH_r04 parsed: null).
     // The LAST line printed must therefore always be short enough to
-    // parse on its own.
-    try {
-      val out = java.nio.file.Paths.get("BENCH_QUERIES.json")
-      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    // parse on its own. The file path is anchored to an env var (or the
+    // JVM's own user.dir) so it lands where the driver looks regardless
+    // of launch cwd; write-to-temp + atomic move so a failed write can
+    // never leave a stale previous run's file posing as this run's.
+    val queriesFile: Option[String] = try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", System.getProperty("user.dir")))
+      val out = dir.resolve("BENCH_QUERIES.json")
+      java.nio.file.Files.deleteIfExists(out) // no stale file if this write fails
+      val tmp = java.nio.file.Files.createTempFile(dir, "BENCH_QUERIES", ".tmp")
+      java.nio.file.Files.write(tmp, (fullLine + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Some(out.toAbsolutePath.toString)
     } catch {
       case t: Throwable =>
-        System.err.println(s"[bench] could not write BENCH_QUERIES.json: ${t.getMessage}")
+        println(s"[bench] could not write BENCH_QUERIES.json: ${t.getMessage}")
+        None
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"pass_totals":$passes,"sf":"$sfDir","queries_file":"BENCH_QUERIES.json"}""")
+    val failedArr = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fileField = queriesFile.map(p => s""","queries_file":"$p"""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedArr,"pass_totals":$passes,"sf":"$sfDir"$fileField}""")
     spark.stop()
   }
 }

@@ -24,6 +24,31 @@ object Plans {
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
     }
+    // Stored-index pruning demonstrated, not just asserted: at the
+    // fixture's 10 probes × nProbe=4 the IN-list covers all 8 cells, so
+    // the q_ivfpq_stored dump above can't show pruning doing work. One
+    // query at nProbe=1 probes exactly one cell — the IN-list below
+    // must name a strict subset (PqIndexSpec pins this plus the
+    // files-read metric).
+    if (names("q_ivfpq_stored")) {
+      import org.apache.spark.sql.functions._
+      val emb = graft.core.Tables.embeddings(spark, d)
+      val cents = graft.ops.Pq.centroidArray(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("long").as("c_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+        dim = 64)
+      val cb = graft.ops.Pq.trainResidualCodebooksSampled(emb, cents,
+        dim = 64, m = 8, k = 16, iters = 2, sampleCap = 1024)
+      val idxPath = java.nio.file.Files.createTempDirectory("plans_ivfpq").toString
+      graft.ops.Pq.writeIndex(emb, cents, dim = 64, m = 8, k = 16,
+        codebook = cb, path = idxPath)
+      println(s"\n========== q_ivfpq_stored (nProbe=1, 1 query — pruning demo) ==========")
+      graft.ops.Pq.ivfPqTopKFromIndex(spark, idxPath,
+          emb.filter(col("vec_id") === 17), topK = 3,
+          centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 1)
+        .explain("formatted")
+    }
     spark.stop()
   }
 }

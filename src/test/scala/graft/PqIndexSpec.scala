@@ -50,4 +50,66 @@ class PqIndexSpec extends SparkTestBase {
     assert(pf.exists(_.contains("cell")),
       s"probe cells must prune partitions, got: $pf")
   }
+
+  test("nProbe=1, one query: scan reads a STRICT subset of the cell directories") {
+    // At nProbe=2 with 10 probes the IN-list covers all 8 cells, so the
+    // round-trip test above can't distinguish real pruning from a no-op
+    // filter. One query at nProbe=1 probes exactly one cell; both the
+    // plan's IN-list and the post-run files-read metric must show the
+    // other 7 directories untouched.
+    val (emb, cents, cb) = setup()
+    val dir = java.nio.file.Files.createTempDirectory("pq_index1").toString
+    Pq.writeIndex(emb, cents, dim = 64, m = 8, k = 16, codebook = cb,
+      path = dir)
+    val totalFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+
+    val oneQuery = emb.filter(col("vec_id") === 17)
+    // keep ONE DataFrame (one QueryExecution) for both the collect and
+    // the plan/metric inspection — a derived .select would execute its
+    // own plan copy and leave this one's metrics at zero
+    val fromIndex = Pq.ivfPqTopKFromIndex(spark, dir, oneQuery, topK = 3,
+      centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 1)
+      .select("q_id", "n_id", "rank")
+    val got = fromIndex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = Pq.ivfPqTopK(emb, oneQuery, topK = 3,
+      centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 1)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === inline, "nProbe=1 stored probe matches inline")
+
+    // 1) static proof: the PartitionFilters IN-list names exactly 1 cell
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    val pfLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters line in the executed plan"))
+    val inList = "cell#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(pfLine)
+      .orElse("cell#\\d+L? = (\\d+)".r.findFirstMatchIn(pfLine))
+      .getOrElse(fail(s"no cell IN-list/equality in: $pfLine"))
+    val nCellsProbed = inList.group(1).split(",").count(_.trim.nonEmpty)
+    assert(nCellsProbed === 1,
+      s"one query at nProbe=1 must probe exactly 1 of 8 cells, got $nCellsProbed: $pfLine")
+
+    // 2) runtime proof: the scan's files-read metric is a strict subset
+    // of the index's parquet files (the collect() above populated it)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides the physical tree behind AdaptiveSparkPlanExec and (in
+    // Spark 4) per-stage QueryStageExec leaves — unwrap both
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val scanMetrics = scans(fromIndex.queryExecution.executedPlan)
+      .collectFirst {
+        case s if s.relation.location.rootPaths.exists(_.toString.contains(
+          new java.io.File(dir).getName)) => s.metrics
+      }
+      .getOrElse(fail("no FileSourceScanExec over the index path"))
+    val filesRead = scanMetrics("numFiles").value
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"expected a strict subset of $totalFiles index files read, got $filesRead")
+  }
 }
