@@ -535,14 +535,26 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, tau: Double, blockCol: String = "label",
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        dim: Int = 64, bands: Int = 32,
-                       planesPerBand: Int = 3): DataFrame = {
+                       planesPerBand: Int = 3,
+                       widthCol: Option[String] = None): DataFrame = {
     import graft.functions.{Vectors => V}
-    val e = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), V.norm(col(vecCol)).as("nrm"))
+    // widthCol: per-BLOCK band width (≤ planesPerBand, which is then the
+    // max). All rows compute the full planesPerBand-bit signature once;
+    // each block keeps its own w-bit prefix — one plane family, one
+    // banded exchange, yet hot blocks get exponentially finer buckets.
+    // Equal-width rows mask identically, so pairs (never cross-block)
+    // still agree iff their w common bits agree.
+    val wCol = widthCol.map(c => col(c).cast("int"))
+    val e = emb.select(Seq(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), V.norm(col(vecCol)).as("nrm")) ++
+      wCol.map(_.as("w")): _*)
+    def masked(bkt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (wCol.isEmpty) bkt
+      else bkt.bitwiseAND(expr("shiftleft(1L, w) - 1L"))
     val banded = e.select(col("blk"), col("id"), col("v"), col("nrm"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          V.hyperplaneBucket(col("v"), dim, planesPerBand, seed = b + 1)
+          masked(V.hyperplaneBucket(col("v"), dim, planesPerBand, seed = b + 1))
             .as("bkt"))): _*)).as("bb"))
       .select(col("blk"), col("id"), col("v"), col("nrm"),
         col("bb.band").as("band"), col("bb.bkt").as("bkt"))
@@ -578,14 +590,33 @@ object Dedup {
                                idCol: String = "vec_id", vecCol: String = "embedding",
                                dim: Int = 64, bands: Int = 32,
                                planesPerBand: Int = 3,
-                               smallBlock: Long = 4096L): DataFrame = {
+                               smallBlock: Long = 4096L,
+                               targetBucket: Long = 50L): DataFrame = {
     val counts = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("_blk_n"))
     val tagged = emb.join(broadcast(counts), Seq(blockCol))
     val small = tagged.filter(col("_blk_n") <= smallBlock).drop("_blk_n")
+    // AUTO-WIDTH banding for the popular blocks, from the same pre-scan
+    // that routes them: w_b = max(planesPerBand, ceil(log2(n_b /
+    // targetBucket))) holds expected bucket width ≈ targetBucket no
+    // matter how hot the block — per-block LSH cost stays bands·n_b·
+    // targetBucket instead of growing with n_b²/2^planesPerBand. Width
+    // is capped (≤20 → ≥1M buckets/band) and the widths frame is
+    // #blocks-sized, so the max-width lookup is a driver-sized agg on
+    // the already-aggregated counts, not another corpus pass.
+    val widths = counts.filter(col("_blk_n") > smallBlock)
+      .select(col(blockCol), least(lit(20),
+        greatest(lit(planesPerBand),
+          ceil(log2(col("_blk_n").cast("double") / targetBucket)).cast("int")))
+        .cast("int").as("_ppb"))
+    val maxW = widths.agg(max(col("_ppb"))).collect()(0) match {
+      case r if r.isNullAt(0) => planesPerBand // no popular blocks
+      case r => r.getInt(0)
+    }
     val big = tagged.filter(col("_blk_n") > smallBlock).drop("_blk_n")
+      .join(broadcast(widths), Seq(blockCol))
     embeddingNearDupExact(small, tau, blockCol, idCol, vecCol)
       .unionAll(embeddingNearDup(big, tau, blockCol, idCol, vecCol,
-        dim, bands, planesPerBand))
+        dim, bands, planesPerBand = maxW, widthCol = Some("_ppb")))
   }
 
   /** Embedding near-dup pairs, EXACT form: all pairs within the blocking

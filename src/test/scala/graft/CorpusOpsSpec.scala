@@ -291,6 +291,34 @@ class CorpusOpsSpec extends SparkTestBase {
       s"missed ${(exact -- adaptive).size}, spurious ${(adaptive -- exact).size}")
   }
 
+  test("embeddingNearDupAdaptive auto-width: hot block widens its bands, results still ≡ exact") {
+    // One 600-row hot block with targetBucket=4 forces the per-block
+    // band width to ceil(log2(600/4)) = 8 bits (vs the default 3) —
+    // the width column must ride the banded exchange and the bucket
+    // mask must stay consistent within the block, or pairs get lost.
+    // Planted duplicates are PARALLEL vectors (every plane agrees at
+    // any width), so equivalence with exact is width-proof: a miss
+    // here means broken plumbing, not an LSH recall tradeoff.
+    val rows = (0 until 600).map { i =>
+      val base = Array.tabulate(8) { j =>
+        // deterministic pseudo-random direction per group of 3
+        val h = ((i / 3) * 31 + j * 17) % 13
+        (h - 6).toDouble / 6.0
+      }
+      val scale = 1.0 + (i % 3) * 0.5 // 3 parallel copies per direction
+      (i.toLong, base.map(x => (x * scale).toFloat).toSeq, 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val exact = graft.ops.Dedup.embeddingNearDupExact(emb, tau = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 600, "each 3-copy group contributes 3 parallel pairs")
+    val auto = graft.ops.Dedup.embeddingNearDupAdaptive(
+        emb, tau = 0.999, dim = 8, smallBlock = 100L, targetBucket = 4L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto === exact,
+      s"missed ${(exact -- auto).size}, spurious ${(auto -- exact).size}")
+  }
+
   test("ngramJaccard df cap: prunes stop-gram candidates, keeps rare-gram near-dups") {
     import graft.ops.Dedup
     // 20 docs whose ONLY overlap is a shared stop sentence (df = 20 on

@@ -167,4 +167,48 @@ class StreamingCorpusSpec extends SparkTestBase {
         "cross-batch semantic pair detected against cell-resident state")
     } finally q.stop()
   }
+
+  test("windowed semantic near-dup: in-horizon pairs only, expired residents evicted, on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.getOption(key)
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cents = Array(1.0, 0.0, 0.0, 0.0,
+                        0.0, 0.0, 0.0, 1.0)
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+      val out = graft.streaming.NearDupStream.semanticPairsWindowed(
+        mem.toDF().toDF("vec_id", "embedding", "ts"), cents, dim = 4,
+        tau = 0.95, tsCol = "ts", watermarkDelay = "0 seconds",
+        horizonMs = 10 * 60 * 1000L)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("windowed_semantic").start()
+      try {
+        val v = Seq(1.0f, 0.1f, 0.0f, 0.0f) // cell 0
+        mem.addData((1L, v, ts(0)))
+        q.processAllAvailable()
+        mem.addData((4L, v.map(_ * 2), ts(5))) // within horizon of vec 1
+        q.processAllAvailable()
+        // watermark advances past vec 1 and 4's horizon
+        mem.addData((2L, Seq(0.0f, 0.0f, 0.2f, 1.0f), ts(30))) // cell 1
+        q.processAllAvailable()
+        mem.addData((5L, v.map(_ * 3), ts(31))) // vecs 1 and 4 expired
+        q.processAllAvailable()
+        // same-batch vectors far apart in event time (>horizon from
+        // vec 5 and from each other): only the pairwise horizon check
+        // can suppress these pairs (watermark lags)
+        mem.addData((6L, v, ts(45)), (7L, v, ts(56)))
+        q.processAllAvailable()
+        val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM windowed_semantic")
+          .as[(Long, Long)].collect().toSet
+        assert(pairs === Set((1L, 4L)),
+          s"only the in-horizon semantic pair is emitted: $pairs")
+      } finally q.stop()
+    } finally {
+      prev.fold(conf.unset(key))(conf.set(key, _))
+    }
+  }
 }
