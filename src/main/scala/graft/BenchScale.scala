@@ -105,6 +105,12 @@ object BenchScale {
       val (tLsh, nLsh) = time(graft.ops.Dedup.embeddingNearDup(
         emb, tau = 0.9, bands = 16, planesPerBand = planes).count())
       spark.catalog.clearCache()
+      // the ADAPTIVE path derives the same width per block from its own
+      // pre-scan (auto-width) — must track the manual rule above and
+      // return the identical pair set
+      val (tAuto, nAuto) = time(graft.ops.Dedup.embeddingNearDupAdaptive(
+        emb, tau = 0.9, bands = 16).count())
+      spark.catalog.clearCache()
       val (tExact, nExact) = time(graft.ops.Dedup.embeddingNearDupExact(
         emb, tau = 0.9).count())
       spark.catalog.clearCache()
@@ -118,21 +124,28 @@ object BenchScale {
       spark.catalog.clearCache()
       val (tDrift, _) = time(graft.ops.TextStats.sourceDrift(docs, "lang").count())
       spark.catalog.clearCache()
-      val (tSem, _) = time {
-        val model = graft.ops.Pq.centroidArray(
-          graft.ops.Ann.kmeansCentroids(emb, 0L until 8L, iters = 2, dim = 64),
-          dim = 64)
-        graft.ops.SemDedup.semDedup(emb, model, dim = 64, tau = 0.9).count()
-      }
+      // train and apply timed APART: the apply side (assignment +
+      // within-cell pruning through the adaptive path) is the
+      // steady-state corpus-maintenance cost — q_semdedup_stored's
+      // repetition shape — while Lloyd's is a once-per-model cost
+      val (tSemTrain, model) = time(graft.ops.Pq.centroidArray(
+        graft.ops.Ann.kmeansCentroids(emb, 0L until 8L, iters = 2, dim = 64),
+        dim = 64))
+      spark.catalog.clearCache()
+      val (tSemApply, _) = time(
+        graft.ops.SemDedup.semDedup(emb, model, dim = 64, tau = 0.9).count())
       spark.catalog.clearCache()
 
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
         s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
-        s""""embed_lsh_sec":${f"$tLsh%.2f"},"embed_exact_sec":${f"$tExact%.2f"},""" +
-        s""""embed_planes":$planes,"embed_pairs_lsh":$nLsh,"embed_pairs_exact":$nExact,""" +
+        s""""embed_lsh_sec":${f"$tLsh%.2f"},"embed_auto_sec":${f"$tAuto%.2f"},""" +
+        s""""embed_exact_sec":${f"$tExact%.2f"},""" +
+        s""""embed_planes":$planes,"embed_pairs_lsh":$nLsh,""" +
+        s""""embed_pairs_auto":$nAuto,"embed_pairs_exact":$nExact,""" +
         s""""unigram_sec":${f"$tUni%.2f"},"drift_sec":${f"$tDrift%.2f"},""" +
-        s""""semdedup_sec":${f"$tSem%.2f"}}""")
+        s""""semdedup_train_sec":${f"$tSemTrain%.2f"},""" +
+        s""""semdedup_apply_sec":${f"$tSemApply%.2f"}}""")
     }
     spark.stop()
   }

@@ -371,6 +371,18 @@ object Pq {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
+  /** [[writeIndex]] iff the index is absent (no `_SUCCESS` marker) —
+    * the write-once/probe-many lifecycle: the first call pays the
+    * encode job, every later call goes straight to the probe. Encode
+    * is deterministic given (centroids, codebook), so a rebuilt index
+    * is identical to a reused one. */
+  def writeIndexIfAbsent(corpus: DataFrame, centroids: Array[Double],
+                         dim: Int, m: Int, k: Int, codebook: Array[Double],
+                         path: String, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit =
+    if (!new java.io.File(path, "_SUCCESS").isFile)
+      writeIndex(corpus, centroids, dim, m, k, codebook, path, idCol, vecCol)
+
   /** Query a [[writeIndex]]-materialized index. The probe cells are a
     * driver-sized list (nProbe × |queries|), pushed as a PARTITION
     * filter onto the index scan — only the probed cell directories are

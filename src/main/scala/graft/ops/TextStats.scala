@@ -195,4 +195,98 @@ object TextStats {
           / (lit(2.0) * col("na").cast("double") * col("nb").cast("double")), 6)
           .as("tv_dist"))
   }
+
+  /** Cross-document DUPLICATED-SPAN accounting — the distributable form
+    * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a span of `spanLen`
+    * consecutive tokens that appears in ≥2 distinct documents is
+    * boilerplate/memorization risk; a doc's `dup_frac` (duplicated ÷
+    * total distinct spans) is the filter signal.
+    *
+    * A true suffix array is a global sort over the corpus — hostile to
+    * a shared-nothing engine. Fixed-length span hashing keeps the
+    * recall property that matters (any duplicated substring of length
+    * ≥ spanLen contains a duplicated spanLen-gram) while the plan stays
+    * one explode + one span-keyed exchange: per-doc distinct spans,
+    * span-count aggregate (partial map-side), co-partitioned join back
+    * (same key, no second corpus shuffle), per-doc re-aggregate.
+    * Hot boilerplate spans skew nothing: the count row is 1 row per
+    * span joined 1:1 onto each (doc, span) row.
+    *
+    * Output: (id, n_spans, n_dup_spans, dup_frac); docs with fewer than
+    * spanLen tokens have no spans and produce no row. */
+  def duplicatedSpans(docs: DataFrame, spanLen: Int,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sp = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(array_distinct(
+        Text.shinglesFromTokens(col("toks"), spanLen))).as("span"))
+      .select(col("id"), Text.hash64(col("span"), 0).as("h"))
+    // rows are (doc, span)-distinct, so count(*) per span = #docs
+    val counts = sp.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    sp.join(counts, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Corpus bigram model: top-`vocabSize` bigrams by frequency (ties →
+    * bigram ascending) scored as conditional probability c(w1 w2) /
+    * c(w1) — the second-order companion of [[unigramModel]]. Counts
+    * come from one tokenize pass (bigram explode + unigram explode of
+    * the SAME persisted token arrays); the model is V entries —
+    * driver-sized by definition. */
+  def bigramModel(docs: DataFrame, vocabSize: Int,
+                  textCol: String = "text"): Seq[(String, Double)] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(Text.tokens(col(textCol)).as("toks")).persist()
+    try {
+      val big = toks
+        .select(explode(Text.shinglesFromTokens(col("toks"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bg").asc).limit(vocabSize).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val firsts = big.map(_._1.split(' ')(0)).distinct.toSeq
+      val uni = toks.select(explode(col("toks")).as("t"))
+        .filter(col("t").isin(firsts: _*))
+        .groupBy(col("t")).agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      big.map { case (bg, c) =>
+        bg -> c.toDouble / uni(bg.split(' ')(0)).toDouble
+      }.toSeq
+    } finally { toks.unpersist(); () }
+  }
+
+  /** Per-doc fluency under a bigram model — catches scrambled or
+    * concatenated text that unigram stats can't see (every token
+    * common, no two adjacent ones likely). Same exactness discipline
+    * as [[unigramScores]]: each model entry is ONE IEEE division of
+    * exact integer counts, the per-doc fold runs left-to-right, and
+    * scoring is one map-only projection with the model riding as a
+    * `typedlit` map constant (no join, no shuffle — the 100 TB shape).
+    *
+    * Output: (id, n_bigrams, hit_frac, mean_cond_prob); docs with
+    * fewer than 2 tokens have no bigrams and produce no row. */
+  def bigramScores(docs: DataFrame, model: Seq[(String, Double)],
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val m = typedlit(model.toMap)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), Text.shinglesFromTokens(col("toks"), 2).as("bgs"))
+      .filter(size(col("bgs")) >= 1)
+      .select(col("id"), size(col("bgs")).as("n_bigrams"),
+        size(filter(col("bgs"), b => element_at(m, b).isNull)).as("n_miss"),
+        aggregate(col("bgs"), lit(0.0d),
+          (acc, b) => acc + coalesce(element_at(m, b), lit(0.0d))).as("sp"))
+      .select(col("id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        round(lit(1.0) - col("n_miss").cast("double") / col("n_bigrams"), 6)
+          .as("hit_frac"),
+        round(col("sp") / col("n_bigrams"), 6).as("mean_cond_prob"))
+  }
 }

@@ -160,4 +160,54 @@ class TextOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+
+  test("duplicatedSpans: shared 5-token span counted, unique docs at zero, short docs dropped") {
+    val boiler = "all rights reserved by the publisher"
+    val docs = Seq(
+      (1L, s"intro one two three $boiler"),          // shares the span
+      (2L, s"other words entirely here $boiler"),    // shares the span
+      (3L, "completely unrelated text with many different tokens inside"),
+      (4L, "too short")).toDF("doc_id", "text")      // < 5 tokens: no row
+    val out = TextStats.duplicatedSpans(docs, spanLen = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "sub-span docs produce no row")
+    // "all rights reserved by the" and "rights reserved by the publisher"
+    // are the two spans both docs share
+    assert(out(1L)._2 === 2L, s"doc 1 shares 2 spans: ${out(1L)}")
+    assert(out(2L)._2 === 2L, s"doc 2 shares 2 spans: ${out(2L)}")
+    assert(out(3L)._2 === 0L, "unique doc has no duplicated span")
+  }
+
+  test("duplicatedSpans: span repeated WITHIN one doc only is not cross-doc duplication") {
+    val docs = Seq(
+      (1L, "p q r s t filler p q r s t"), // same span twice, one doc
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = TextStats.duplicatedSpans(docs, spanLen = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(1L) === 0L, "intra-doc repetition is q_repetition's domain")
+  }
+
+  test("bigram quality: fluent text outscores the same tokens scrambled") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val scrambled = "mat the on dog sat the and rug cat the on sat the"
+    val corpus = (1L to 20L).map(i => (i, fluent)) :+ (99L, scrambled)
+    val docs = corpus.toDF("doc_id", "text")
+    val model = TextStats.bigramModel(docs, vocabSize = 50)
+    val out = TextStats.bigramScores(docs, model)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out(1L)._2 > out(99L)._2,
+      s"fluent mean_cond_prob ${out(1L)} must beat scrambled ${out(99L)}")
+    assert(out(1L)._1 === 1.0, "every fluent bigram is in the model")
+  }
+
+  test("bigram scoring is one map-only projection: no exchange in the plan") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val model = TextStats.bigramModel(docs, vocabSize = 10)
+    val plan = TextStats.bigramScores(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
 }
