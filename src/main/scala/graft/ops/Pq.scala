@@ -211,6 +211,34 @@ object Pq {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Load an [[exportCodebook]] side-table back into the flat
+    * `[sub][code][d]` array the kernels take (parquet doubles
+    * round-trip bit-exactly). One driver-sized read. */
+  def loadCodebook(spark: SparkSession, path: String, m: Int,
+                   k: Int): Array[Double] = {
+    val rows = spark.read.parquet(path).select(col("sub"), col("code"), col("cv"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .sortBy(_._1)
+    require(rows.length == m * k, s"codebook at $path is not $m×$k")
+    rows.flatMap(_._2.toArray)
+  }
+
+  /** TRAIN-ONCE residual codebook: train + export iff the side-table is
+    * absent, then serve from the store (the [[writeIndexIfAbsent]] /
+    * SemDedup.centroidsStored lifecycle — the trainer is deterministic,
+    * so a rebuilt store is identical to a reused one). */
+  def codebookStored(corpus: DataFrame, centroids: Array[Double], dim: Int,
+                     m: Int, k: Int, iters: Int, sampleCap: Int,
+                     path: String): Array[Double] = {
+    val spark = corpus.sparkSession
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
+      val cb = trainResidualCodebooksSampled(corpus, centroids,
+        dim = dim, m = m, k = k, iters = iters, sampleCap = sampleCap)
+      exportCodebook(spark, cb, m, k, path)
+    }
+    loadCodebook(spark, path, m, k)
+  }
+
   /** Flatten a (c_id, c_v) centroid frame (e.g. [[Ann.kmeansCentroids]]'
     * output) into the `[cell][d]` array the IVF-PQ kernels take; cell
     * index = rank of c_id ascending. ONE collect of a k×dim model. */

@@ -206,12 +206,13 @@ object TextStats {
     * A true suffix array is a global sort over the corpus — hostile to
     * a shared-nothing engine. Fixed-length span hashing keeps the
     * recall property that matters (any duplicated substring of length
-    * ≥ spanLen contains a duplicated spanLen-gram) while the plan stays
-    * one explode + one span-keyed exchange: per-doc distinct spans,
-    * span-count aggregate (partial map-side), co-partitioned join back
-    * (same key, no second corpus shuffle), per-doc re-aggregate.
-    * Hot boilerplate spans skew nothing: the count row is 1 row per
-    * span joined 1:1 onto each (doc, span) row.
+    * ≥ spanLen contains a duplicated spanLen-gram) while the corpus is
+    * TOKENIZED ONCE: per-doc distinct spans explode onto one span-keyed
+    * exchange, the per-span doc count is a window over that same
+    * exchange (the tfidf df trick — a groupBy+join would re-scan and
+    * re-tokenize the corpus for the count side), then one re-aggregate
+    * by doc. Hot boilerplate spans cost their row count, never a join
+    * blowup.
     *
     * Output: (id, n_spans, n_dup_spans, dup_frac); docs with fewer than
     * spanLen tokens have no spans and produce no row. */
@@ -224,8 +225,8 @@ object TextStats {
         Text.shinglesFromTokens(col("toks"), spanLen))).as("span"))
       .select(col("id"), Text.hash64(col("span"), 0).as("h"))
     // rows are (doc, span)-distinct, so count(*) per span = #docs
-    val counts = sp.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-    sp.join(counts, Seq("h"))
+    sp.withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))

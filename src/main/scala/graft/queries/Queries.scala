@@ -1273,7 +1273,16 @@ object Queries {
     * the index exists for — not the encode job. */
   val qIvfPqStored: Q = "q_ivfpq_stored" -> (
     (s: SparkSession, d: String) => {
-      val (emb, cents, cb) = ivfPqSetup(s, d, "ivfpq_stored_codebook")
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ops.Pq.centroidArray(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("long").as("c_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+        dim = 64)
+      // codebook AND index both write-once: reps pay the probe only
+      val cb = graft.ops.Pq.codebookStored(emb, cents, dim = 64, m = 8,
+        k = 16, iters = 2, sampleCap = 1024,
+        path = codebookPath(d, "ivfpq_stored_codebook"))
       val idxPath = codebookPath(d, "ivfpq_index")
       graft.ops.Pq.writeIndexIfAbsent(emb, cents, dim = 64, m = 8, k = 16,
         codebook = cb, path = idxPath)
