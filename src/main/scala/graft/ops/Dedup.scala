@@ -146,16 +146,51 @@ object Dedup {
   def crossNgramContaminated(corpus: DataFrame, probe: DataFrame,
                              n: Int = 13, idCol: String = "doc_id",
                              textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        explode(array_distinct(Text.shinglesFromTokens(col("toks"), n))).as("gram"))
-      .select(col("id"), Text.hash64(col("gram"), 7).as("g"))
-    val corpusGrams = grams(corpus).select("g").distinct()
-    grams(probe).join(corpusGrams.hint("shuffle_hash"), Seq("g"))
+    val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
+      .select("g").distinct()
+    ngramHashes(probe, n, idCol, textCol)
+      .join(corpusGrams.hint("shuffle_hash"), Seq("g"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("hits"))
       .select(col("id").as("probe_id"), col("hits"))
+  }
+
+  /** Per-doc distinct n-gram hashes (one codegen'd tokenize→shingle→
+    * hash projection; a gram repeated within one doc crosses the
+    * exchange once). */
+  private def ngramHashes(df: DataFrame, n: Int, idCol: String,
+                          textCol: String): DataFrame = df
+    .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    .select(col("id"),
+      explode(array_distinct(Text.shinglesFromTokens(col("toks"), n))).as("gram"))
+    .select(col("id"), Text.hash64(col("gram"), 7).as("g"))
+
+  /** Contamination REPORT — the graded companion of
+    * [[crossNgramContaminated]]'s binary rule: for EVERY probe/eval doc
+    * (clean ones included, at 0.0), the fraction of its distinct
+    * n-grams that appear anywhere in the training corpus — the
+    * "dirty if > X% overlap" reporting number benchmark cards publish
+    * (the GPT-3/WMT-style overlap audit), where the strict rule is a
+    * special case (hit_frac > 0).
+    *
+    * Same scale shape as the strict rule: corpus collapses to a
+    * DISTINCT gram-hash set before the join (unique build-side key —
+    * no df×df blowup), probe grams LEFT-join it so misses survive to
+    * the per-doc aggregate. Probe docs with fewer than n tokens have
+    * no grams and produce no row. */
+  def contaminationReport(corpus: DataFrame, probe: DataFrame,
+                          n: Int = 13, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
+      .select("g").distinct().withColumn("_hit", lit(1L))
+    ngramHashes(probe, n, idCol, textCol)
+      .join(corpusGrams.hint("shuffle_hash"), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("id").as("probe_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("hit_frac"))
   }
 
   /** SimHash dedup: exact-signature groups (hamming-0). The banded

@@ -551,6 +551,31 @@ object Queries {
        |FROM p JOIN c USING (gram)
        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Contamination REPORT: per eval doc (odd ids), the fraction of its
+    * distinct 5-grams found anywhere in the training corpus (even ids)
+    * — clean docs included at 0.0, the graded "dirty if > X% overlap"
+    * number whose strict special case is q_ngram_decontam. */
+  val qContamFrac: Q = "q_contam_frac" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), n = 5)
+        .orderBy(col("probe_id"))
+    },
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+       |  FROM t WHERE len(toks) >= 5),
+       |c AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+       |p AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 1),
+       |j AS (SELECT p.doc_id, CASE WHEN c.gram IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM p LEFT JOIN c USING (gram))
+       |SELECT doc_id AS probe_id, count(*) AS n_grams,
+       |  CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS hit_frac
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Repetition / boilerplate quality signals, map-only per doc:
     * duplicate-bigram fraction (1 − distinct/total positions) and the
     * occurrence count of the most frequent trigram. The Spark side is a
@@ -1993,6 +2018,6 @@ object Queries {
     qAsOfFwd, qPqAnn, qHeavyHitters, qZorder, qIvfPq, qSessions,
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
-    qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality,
+    qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
   )
 }

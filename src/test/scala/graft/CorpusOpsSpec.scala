@@ -260,6 +260,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!hits.exists { case (c, p) => c % 2 == 1 || p % 2 == 0 })
   }
 
+  test("contaminationReport: graded overlap fraction, clean probes at 0.0, strict rule is its >0 cut") {
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "alpha beta gamma delta epsilon nine ten eleven"), // partial overlap
+      (3L, "totally different words with no shared grams at all"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta")) // full overlap
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.contaminationReport(corpus, probe, n = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // probe 1 has 4 distinct 5-grams, of which 1 ("alpha..epsilon") is in
+    // the corpus; probe 5 has 4, all 4 in the corpus; probe 3 none
+    assert(out(1L) === ((4L, 1L, 0.25)), s"partial: ${out(1L)}")
+    assert(out(3L) === ((5L, 0L, 0.0)), s"clean probe must appear at 0.0: ${out(3L)}")
+    assert(out(5L) === ((4L, 4L, 1.0)), s"full overlap: ${out(5L)}")
+    // consistency with the strict rule: contaminated = hit_frac > 0
+    val strict = graft.ops.Dedup.crossNgramContaminated(corpus, probe, n = 5)
+      .select("probe_id").as[Long].collect().toSet
+    assert(strict === out.filter(_._2._3 > 0).keySet)
+  }
+
   test("embeddingNearDup: LSH-banded default ≡ exact all-pairs on the fixture") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val exact = graft.ops.Dedup.embeddingNearDupExact(emb, tau = 0.35)
