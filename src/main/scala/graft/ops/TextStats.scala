@@ -236,31 +236,38 @@ object TextStats {
   }
 
   /** Corpus bigram model: top-`vocabSize` bigrams by frequency (ties →
-    * bigram ascending) scored as conditional probability c(w1 w2) /
-    * c(w1) — the second-order companion of [[unigramModel]]. Counts
-    * come from one tokenize pass (bigram explode + unigram explode of
-    * the SAME persisted token arrays); the model is V entries —
+    * bigram ascending) scored as the bigram MLE c(w1 w2) / c(w1·) where
+    * c(w1·) = Σ_w2 c(w1 w2) is w1's count as a bigram PREFIX — the
+    * second-order companion of [[unigramModel]]. ONE corpus tokenize
+    * pass builds the bigram counts; the prefix denominators are a
+    * second aggregate over that DISTINCT-BIGRAM table (vocabulary-
+    * sized, never the corpus again). The model is V entries —
     * driver-sized by definition. */
   def bigramModel(docs: DataFrame, vocabSize: Int,
                   textCol: String = "text"): Seq[(String, Double)] = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(Text.tokens(col(textCol)).as("toks")).persist()
+    // persist the distinct-bigram counts (vocabulary-sized): the top-V
+    // extraction and the prefix-sum aggregate are two consumers, and
+    // without it each re-runs the corpus tokenize pass
+    val bcnt = docs.filter(col(textCol).isNotNull)
+      .select(Text.tokens(col(textCol)).as("toks"))
+      .select(explode(Text.shinglesFromTokens(col("toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .persist()
     try {
-      val big = toks
-        .select(explode(Text.shinglesFromTokens(col("toks"), 2)).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val big = bcnt
         .orderBy(col("c").desc, col("bg").asc).limit(vocabSize).collect()
         .map(r => (r.getString(0), r.getLong(1)))
       val firsts = big.map(_._1.split(' ')(0)).distinct.toSeq
-      val uni = toks.select(explode(col("toks")).as("t"))
-        .filter(col("t").isin(firsts: _*))
-        .groupBy(col("t")).agg(count(lit(1)).as("c")).collect()
+      val prefix = bcnt
+        .select(substring_index(col("bg"), " ", 1).as("w"), col("c"))
+        .filter(col("w").isin(firsts: _*))
+        .groupBy(col("w")).agg(sum(col("c")).as("c")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       big.map { case (bg, c) =>
-        bg -> c.toDouble / uni(bg.split(' ')(0)).toDouble
+        bg -> c.toDouble / prefix(bg.split(' ')(0)).toDouble
       }.toSeq
-    } finally { toks.unpersist(); () }
+    } finally { bcnt.unpersist(); () }
   }
 
   /** Per-doc fluency under a bigram model — catches scrambled or

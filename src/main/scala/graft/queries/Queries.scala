@@ -1853,10 +1853,10 @@ object Queries {
        |    generate_subscripts(bgs, 1) AS pos FROM bg),
        |bcnt AS (SELECT b, count(*) AS c FROM flat GROUP BY 1),
        |vocab AS (SELECT b, c FROM bcnt ORDER BY c DESC, b ASC LIMIT 500),
-       |uni AS (SELECT tk, count(*) AS c
-       |  FROM (SELECT unnest(toks) AS tk FROM t) GROUP BY 1),
-       |model AS (SELECT v.b, CAST(v.c AS DOUBLE) / u.c AS p
-       |  FROM vocab v JOIN uni u ON u.tk = split_part(v.b, ' ', 1)),
+       |pfx AS (SELECT split_part(b, ' ', 1) AS w, CAST(sum(c) AS BIGINT) AS c
+       |  FROM bcnt GROUP BY 1),
+       |model AS (SELECT v.b, CAST(v.c AS DOUBLE) / p.c AS p
+       |  FROM vocab v JOIN pfx p ON p.w = split_part(v.b, ' ', 1)),
        |pt AS (SELECT f.id, f.pos, COALESCE(m.p, 0.0) AS p,
        |    CASE WHEN m.b IS NULL THEN 1 ELSE 0 END AS miss
        |  FROM flat f LEFT JOIN model m USING (b)),
