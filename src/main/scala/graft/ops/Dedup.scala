@@ -626,32 +626,33 @@ object Dedup {
                                dim: Int = 64, bands: Int = 32,
                                planesPerBand: Int = 3,
                                smallBlock: Long = 4096L,
-                               targetBucket: Long = 50L): DataFrame = {
+                               targetBucket: Long = 50L,
+                               maxPlanes: Int = 16): DataFrame = {
     val counts = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("_blk_n"))
     val tagged = emb.join(broadcast(counts), Seq(blockCol))
     val small = tagged.filter(col("_blk_n") <= smallBlock).drop("_blk_n")
     // AUTO-WIDTH banding for the popular blocks, from the same pre-scan
-    // that routes them: w_b = max(planesPerBand, ceil(log2(n_b /
-    // targetBucket))) holds expected bucket width ≈ targetBucket no
-    // matter how hot the block — per-block LSH cost stays bands·n_b·
-    // targetBucket instead of growing with n_b²/2^planesPerBand. Width
-    // is capped (≤20 → ≥1M buckets/band) and the widths frame is
-    // #blocks-sized, so the max-width lookup is a driver-sized agg on
-    // the already-aggregated counts, not another corpus pass.
+    // that routes them: w_b = clamp(planesPerBand .. maxPlanes,
+    // ceil(log2(n_b / targetBucket))) holds expected bucket width ≈
+    // targetBucket no matter how hot the block — per-block LSH cost
+    // stays bands·n_b·targetBucket instead of growing with
+    // n_b²/2^planesPerBand. The plane family is generated at maxPlanes
+    // bits and each block keeps its w_b-bit prefix, so NO data-dependent
+    // collect is needed and the operator stays fully lazy (an earlier
+    // max-width lookup cost every caller one extra corpus-scan job).
+    // maxPlanes=16 (65k buckets/band) holds targetBucket=50 up to ~3M-row
+    // blocks; hotter blocks degrade gracefully (buckets grow past
+    // targetBucket, still 2^16-way subdivided).
     val widths = counts.filter(col("_blk_n") > smallBlock)
-      .select(col(blockCol), least(lit(20),
+      .select(col(blockCol), least(lit(maxPlanes),
         greatest(lit(planesPerBand),
           ceil(log2(col("_blk_n").cast("double") / targetBucket)).cast("int")))
         .cast("int").as("_ppb"))
-    val maxW = widths.agg(max(col("_ppb"))).collect()(0) match {
-      case r if r.isNullAt(0) => planesPerBand // no popular blocks
-      case r => r.getInt(0)
-    }
     val big = tagged.filter(col("_blk_n") > smallBlock).drop("_blk_n")
       .join(broadcast(widths), Seq(blockCol))
     embeddingNearDupExact(small, tau, blockCol, idCol, vecCol)
       .unionAll(embeddingNearDup(big, tau, blockCol, idCol, vecCol,
-        dim, bands, planesPerBand = maxW, widthCol = Some("_ppb")))
+        dim, bands, planesPerBand = maxPlanes, widthCol = Some("_ppb")))
   }
 
   /** Embedding near-dup pairs, EXACT form: all pairs within the blocking

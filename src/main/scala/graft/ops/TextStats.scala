@@ -212,7 +212,10 @@ object TextStats {
     * exchange (the tfidf df trick — a groupBy+join would re-scan and
     * re-tokenize the corpus for the count side), then one re-aggregate
     * by doc. Hot boilerplate spans cost their row count, never a join
-    * blowup.
+    * blowup; the honest residual is a straggler (a span in 10⁸ docs is
+    * one window partition — linear, but one task). If one span
+    * dominates a corpus, trade back to the two-scan form: groupBy(h)
+    * count (map-side partial, skew-free) joined onto a re-scan.
     *
     * Output: (id, n_spans, n_dup_spans, dup_frac); docs with fewer than
     * spanLen tokens have no spans and produce no row. */
