@@ -146,8 +146,7 @@ object Dedup {
   def crossNgramContaminated(corpus: DataFrame, probe: DataFrame,
                              n: Int = 13, idCol: String = "doc_id",
                              textCol: String = "text"): DataFrame = {
-    val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
-      .select("g").distinct()
+    val corpusGrams = corpusGramSet(corpus, n, idCol, textCol)
     ngramHashes(probe, n, idCol, textCol)
       .join(corpusGrams.hint("shuffle_hash"), Seq("g"))
       .groupBy(col("id"))
@@ -157,13 +156,23 @@ object Dedup {
 
   /** Per-doc distinct n-gram hashes (one codegen'd tokenize→shingle→
     * hash projection; a gram repeated within one doc crosses the
-    * exchange once). */
-  private def ngramHashes(df: DataFrame, n: Int, idCol: String,
-                          textCol: String): DataFrame = df
+    * exchange once). Public: the streaming decontamination path builds
+    * its probe side from the same projection. */
+  def ngramHashes(df: DataFrame, n: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = df
     .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
     .select(col("id"),
       explode(array_distinct(Text.shinglesFromTokens(col("toks"), n))).as("gram"))
     .select(col("id"), Text.hash64(col("gram"), 7).as("g"))
+
+  /** The corpus side of n-gram decontamination as a standalone frame:
+    * DISTINCT 60-bit gram hashes. Materialize it once (parquet) and
+    * every later screen — batch or streaming — joins against the same
+    * set; at 100 TB this is the artifact you keep, not recompute. */
+  def corpusGramSet(corpus: DataFrame, n: Int = 13,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    ngramHashes(corpus, n, idCol, textCol).select("g").distinct()
 
   /** Contamination REPORT — the graded companion of
     * [[crossNgramContaminated]]'s binary rule: for EVERY probe/eval doc
@@ -181,8 +190,8 @@ object Dedup {
   def contaminationReport(corpus: DataFrame, probe: DataFrame,
                           n: Int = 13, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val corpusGrams = ngramHashes(corpus, n, idCol, textCol)
-      .select("g").distinct().withColumn("_hit", lit(1L))
+    val corpusGrams = corpusGramSet(corpus, n, idCol, textCol)
+      .withColumn("_hit", lit(1L))
     ngramHashes(probe, n, idCol, textCol)
       .join(corpusGrams.hint("shuffle_hash"), Seq("g"), "left")
       .groupBy(col("id"))

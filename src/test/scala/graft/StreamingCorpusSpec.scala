@@ -168,6 +168,35 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stream-static gram join, stateless and append-mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val corpusGrams = graft.ops.Dedup.corpusGramSet(corpus, n = 5)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.DecontamStream.contaminatedGrams(
+      mem.toDF().toDF("doc_id", "text"), corpusGrams, n = 5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("decontam_stream").start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta epsilon nine ten"), // 1 hit
+                  (2L, "totally unrelated words in this evaluation doc"))
+      q.processAllAvailable()
+      mem.addData((3L, "one two three four five six")) // 2 hits, later batch
+      q.processAllAvailable()
+      import spark.implicits._
+      val hits = spark.sql(
+        "SELECT probe_id, count(*) FROM decontam_stream GROUP BY 1")
+        .as[(Long, Long)].collect().toMap
+      assert(hits === Map(1L -> 1L, 3L -> 2L),
+        s"per-batch verdicts across micro-batches: $hits")
+      // stateless: no state store operator in the streaming plan
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not create streaming state")
+    } finally q.stop()
+  }
+
   test("windowed semantic near-dup: in-horizon pairs only, expired residents evicted, on RocksDB") {
     implicit val sqlCtx = spark.sqlContext
     val conf = spark.conf
