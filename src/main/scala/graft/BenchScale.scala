@@ -124,6 +124,25 @@ object BenchScale {
       spark.catalog.clearCache()
       val (tDrift, _) = time(graft.ops.TextStats.sourceDrift(docs, "lang").count())
       spark.catalog.clearCache()
+      // round-6 ops, all designed ~linear: duplicated spans (the
+      // scaled corpus's appended stop sentence is a deliberate hot
+      // span — df = n·K in ONE window partition, the documented
+      // straggler bound), graded contamination (distinct corpus-gram
+      // build + left join), bigram model+score (one corpus pass +
+      // vocabulary-sized prefix agg; map-only scoring)
+      val (tSpans, _) = time(
+        graft.ops.TextStats.duplicatedSpans(docs, spanLen = 5).count())
+      spark.catalog.clearCache()
+      val (tContam, _) = time(graft.ops.Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), n = 5).count())
+      spark.catalog.clearCache()
+      val (tBigram, _) = time {
+        val model = graft.ops.TextStats.bigramModel(docs, vocabSize = 500)
+        graft.ops.TextStats.bigramScores(docs, model).count()
+      }
+      spark.catalog.clearCache()
+
       // train and apply timed APART: the apply side (assignment +
       // within-cell pruning through the adaptive path) is the
       // steady-state corpus-maintenance cost — q_semdedup_stored's
@@ -145,7 +164,9 @@ object BenchScale {
         s""""embed_pairs_auto":$nAuto,"embed_pairs_exact":$nExact,""" +
         s""""unigram_sec":${f"$tUni%.2f"},"drift_sec":${f"$tDrift%.2f"},""" +
         s""""semdedup_train_sec":${f"$tSemTrain%.2f"},""" +
-        s""""semdedup_apply_sec":${f"$tSemApply%.2f"}}""")
+        s""""semdedup_apply_sec":${f"$tSemApply%.2f"},""" +
+        s""""dup_spans_sec":${f"$tSpans%.2f"},"contam_sec":${f"$tContam%.2f"},""" +
+        s""""bigram_sec":${f"$tBigram%.2f"}}""")
     }
     spark.stop()
   }

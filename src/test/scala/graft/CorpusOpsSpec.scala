@@ -342,6 +342,28 @@ class CorpusOpsSpec extends SparkTestBase {
       s"missed ${(exact -- auto).size}, spurious ${(auto -- exact).size}")
   }
 
+  test("per-block width mask coarsens buckets: w=1 yields far more candidates than w=16") {
+    // the auto-width contract in candidate-count form: a narrower mask
+    // must merge buckets (more candidates), a wider one split them —
+    // if the mask silently stopped applying, recall at loose taus would
+    // degrade with no failing assertion anywhere else (the equivalence
+    // tests' planted duplicates are parallel vectors, which collide at
+    // ANY width)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (0 until 8).map(j => (((i * 31 + j * 17) % 13) - 6).toFloat), 0)
+    }
+    def pairs(w: Int): Long = {
+      val emb = rows.toDF("vec_id", "embedding", "label")
+        .withColumn("_ppb", lit(w))
+      graft.ops.Dedup.embeddingNearDup(emb, tau = -1.0, blockCol = "label",
+        dim = 8, bands = 4, planesPerBand = 16, widthCol = Some("_ppb")).count()
+    }
+    val wide = pairs(16)
+    val narrow = pairs(1)
+    assert(narrow > wide * 5,
+      s"mask must coarsen buckets: w=1 gave $narrow vs w=16 $wide")
+  }
+
   test("ngramJaccard df cap: prunes stop-gram candidates, keeps rare-gram near-dups") {
     import graft.ops.Dedup
     // 20 docs whose ONLY overlap is a shared stop sentence (df = 20 on
