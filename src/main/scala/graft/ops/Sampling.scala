@@ -67,6 +67,28 @@ object Sampling {
       .drop("_h", "_rn")
   }
 
+  /** Per-group QUALITY cap — the C4/RefinedWeb "at most k documents per
+    * domain, best first" rule: rank within each group by (scoreCol
+    * DESC, keyCol ASC — the tiebreak makes the cut deterministic) and
+    * keep rank ≤ k. Over-represented boilerplate domains are truncated
+    * to their k best docs; small domains pass through whole.
+    *
+    * Differs from [[stratifiedK]] in WHAT survives: stratifiedK keeps a
+    * hash-random k per stratum (unbiased sample), this keeps the TOP-k
+    * by a quality signal (curation). Same scale shape: Catalyst plans
+    * the rank filter as two-phase WindowGroupLimit, so every map task
+    * prunes to its local top-k before the per-group exchange — a hot
+    * domain never sorts whole partitions. */
+  def capPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                  k: Int, keyCol: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Weighted corpus mixing: per-group target rates, with rates > 1
     * upsampling by duplication. A row in group g with weight w emits
     * floor(w) copies plus one more iff its hash unit < frac(w)·SCALE —

@@ -465,6 +465,30 @@ object Queries {
        |  + len(list_distinct($TOKS)) / GREATEST(len($TOKS), 1) * CAST(0.2 AS DOUBLE), 6) AS quality
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Per-source quality cap: at most 40 docs per source, BEST first
+    * (quality desc, doc_id asc) — the C4/RefinedWeb per-domain
+    * truncation. Two-phase WindowGroupLimit: map tasks prune to local
+    * top-40 before the per-source exchange. */
+  val qDomainCap: Q = "q_domain_cap" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.capPerGroup(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              Text.qualityScore(col("text")).as("quality")),
+          groupCol = "source", scoreCol = "quality", k = 40,
+          keyCol = "doc_id")
+        .orderBy(col("source"), col("quality").desc, col("doc_id")),
+    s"""WITH sc AS (SELECT doc_id, source, round(
+       |    LEAST(len($TOKS) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / GREATEST(length(text), 1)) * CAST(0.2 AS DOUBLE)
+       |    + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / GREATEST(length(text), 1) * CAST(0.2 AS DOUBLE)
+       |    + len(list_distinct($TOKS)) / GREATEST(len($TOKS), 1) * CAST(0.2 AS DOUBLE), 6) AS quality
+       |  FROM documents),
+       |rk AS (SELECT doc_id, source, quality, row_number() OVER (
+       |    PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn FROM sc)
+       |SELECT doc_id, source, quality FROM rk WHERE rn <= 40
+       |ORDER BY source, quality DESC, doc_id""".stripMargin)
+
   // MinHash-LSH near-dup pairs. k = bands * rowsPerBand = 32.
   private val MH_BANDS = 8; private val MH_ROWS = 4; private val MH_TAU = 0.5
 
@@ -2019,5 +2043,6 @@ object Queries {
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
+    qDomainCap,
   )
 }

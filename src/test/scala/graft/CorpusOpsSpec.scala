@@ -342,6 +342,21 @@ class CorpusOpsSpec extends SparkTestBase {
       s"missed ${(exact -- auto).size}, spurious ${(auto -- exact).size}")
   }
 
+  test("capPerGroup: top-k by score per group, deterministic ties, map-side WindowGroupLimit") {
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8), (4L, "a", 0.1),
+      (5L, "b", 0.5)).toDF("doc_id", "source", "q")
+    val capped = graft.ops.Sampling.capPerGroup(
+      docs, groupCol = "source", scoreCol = "q", k = 2, keyCol = "doc_id")
+    val ids = capped.select("doc_id").as[Long].collect().toSet
+    // tie at 0.8 breaks to the lower doc_id; small group passes whole
+    assert(ids === Set(1L, 2L, 5L), s"got $ids")
+    // the rank filter must plan as the two-phase WindowGroupLimit so map
+    // tasks prune to local top-k before the per-group exchange
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("per-block width mask coarsens buckets: w=1 yields far more candidates than w=16") {
     // the auto-width contract in candidate-count form: a narrower mask
     // must merge buckets (more candidates), a wider one split them —
