@@ -347,27 +347,39 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
     if (maxDf != Long.MaxValue) {
-      // The signature table feeds three consumers (the postings pass and
-      // both verification lookups): persist it once — signatures are a
+      // The signature table feeds two consumers (the postings pass and
+      // the verification lookup): persist it once — signatures are a
       // few % of the text they summarize, and MEMORY_AND_DISK spills
       // instead of OOMing at corpus scale. The CALLER owns unpersisting
       // (or `spark.catalog.clearCache()`) when done.
       val sets = shingleSets(docs, blockCol, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = ngramCandidatesFrom(sets, tau, maxDf)
-      // candidate pairs are near-dup-sized (corpus-small): broadcast them
-      // through both verification lookups so the doc-sized set table is
-      // only scanned, never shuffled
-      // lookups keyed on (blk, id): a doc's row identity is its id
-      // WITHIN a block — with a multi-valued blocking column (LSH bands)
-      // or ids unique only per block, joining on id alone would pair gs
-      // rows across blocks and multiply candidates
-      val withA = broadcast(cand)
-        .join(sets.select(col("blk"), col("id").as("id_a"), col("gs").as("gs_a")),
-          Seq("blk", "id_a"))
-      return broadcast(withA)
-        .join(sets.select(col("blk"), col("id").as("id_b"), col("gs").as("gs_b")),
-          Seq("blk", "id_b"))
+      // ONE verification lookup: each candidate pair explodes to two
+      // slim (blk, pair, id, side) rows — integers only — which
+      // broadcast onto the scanned (never shuffled) set table; the
+      // matched shingle arrays then meet at a candidate-keyed exchange
+      // where the pair re-assembles. The previous two-step chain
+      // broadcast the INTERMEDIATE (candidate ⨝ gs_a) — full shingle
+      // arrays through the driver, candidates × setSize × 8B of driver
+      // memory at scale; here arrays move only executor-to-executor and
+      // only for candidate rows. Lookup keyed on (blk, id): a doc's row
+      // identity is its id WITHIN a block — with a multi-valued
+      // blocking column (LSH bands), grouping keeps blk so per-block
+      // pair multiplicity is preserved exactly as before.
+      val cexp = cand.select(col("blk"), col("id_a"), col("id_b"),
+          explode(array(
+            struct(col("id_a").as("id"), lit(0).as("side")),
+            struct(col("id_b").as("id"), lit(1).as("side")))).as("l"))
+        .select(col("blk"), col("id_a"), col("id_b"),
+          col("l.id").as("id"), col("l.side").as("side"))
+      return broadcast(cexp)
+        .join(sets.select(col("blk"), col("id"), col("gs")), Seq("blk", "id"))
+        .groupBy(col("blk"), col("id_a"), col("id_b"))
+        .agg(
+          // exactly one non-null gs per side per group → deterministic
+          first(when(col("side") === 0, col("gs")), ignoreNulls = true).as("gs_a"),
+          first(when(col("side") === 1, col("gs")), ignoreNulls = true).as("gs_b"))
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("common"),
           size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))
