@@ -151,8 +151,27 @@ object BenchScale {
         graft.ops.Ann.kmeansCentroids(emb, 0L until 8L, iters = 2, dim = 64),
         dim = 64))
       spark.catalog.clearCache()
-      val (tSemApply, _) = time(
-        graft.ops.SemDedup.semDedup(emb, model, dim = 64, tau = 0.9).count())
+      // min-of-3 (the Bench convention): single samples at K=16 landed
+      // inside host-CPU-steal spikes two rounds running — the min is
+      // the reproducible engine cost, the spread is the box
+      val tSemApply = (1 to 3).map { _ =>
+        val (t, _) = time(
+          graft.ops.SemDedup.semDedup(emb, model, dim = 64, tau = 0.9).count())
+        spark.catalog.clearCache(); t
+      }.min
+
+      // round-6 late additions, both designed ~linear: the Bloom
+      // decontamination screen (map-side filter, survivors-only
+      // exchange) and the hashed-NB classifier (one train pass into a
+      // buckets-sized model, map-only scoring)
+      val (tBloom, _) = time(graft.ops.BloomScreen.corpusContaminatedBloom(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), n = 5).count())
+      spark.catalog.clearCache()
+      val (tQc, _) = time {
+        val (m, cut) = graft.ops.QualityClassifier.train(docs)
+        graft.ops.QualityClassifier.score(docs, m, cutPpm = cut).count()
+      }
       spark.catalog.clearCache()
 
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
@@ -166,7 +185,9 @@ object BenchScale {
         s""""semdedup_train_sec":${f"$tSemTrain%.2f"},""" +
         s""""semdedup_apply_sec":${f"$tSemApply%.2f"},""" +
         s""""dup_spans_sec":${f"$tSpans%.2f"},"contam_sec":${f"$tContam%.2f"},""" +
-        s""""bigram_sec":${f"$tBigram%.2f"}}""")
+        s""""bigram_sec":${f"$tBigram%.2f"},""" +
+        s""""bloom_decontam_sec":${f"$tBloom%.2f"},""" +
+        s""""quality_classifier_sec":${f"$tQc%.2f"}}""")
     }
     spark.stop()
   }

@@ -2022,6 +2022,70 @@ object Queries {
        |    ORDER BY ${hashUnitSql("doc_id", 7)}, doc_id) - 1 AS pos
        |FROM documents ORDER BY pos""".stripMargin)
 
+  /** Corpus-side decontamination with a Bloom pre-screen — the
+    * production direction (flag TRAINING docs sharing a 5-gram with
+    * the eval set, the rows you drop before training). The Bloom
+    * filter screens corpus grams MAP-SIDE before the exchange; the
+    * exact confirm join makes the sketch invisible to the result, so
+    * the oracle is the plain exact join with the sides of
+    * q_ngram_decontam swapped. */
+  val qBloomDecontam: Q = "q_bloom_decontam" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      // sketch sized to the eval suite (~122k distinct grams at sf0.1):
+      // ~8 bits/key — the fpp survivors die in the confirm join anyway
+      graft.ops.BloomScreen.corpusContaminatedBloom(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), n = 5,
+          expectedItems = 1L << 17, numBits = 1L << 20)
+        .orderBy(col("corpus_id"))
+    },
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+       |  FROM t WHERE len(toks) >= 5),
+       |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0)
+       |SELECT c.doc_id AS corpus_id, count(*) AS hits
+       |FROM c JOIN e USING (gram)
+       |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Hashed Naive-Bayes quality classifier (the fastText-style
+    * heuristic-distillation filter): train bucket weights from the
+    * q_quality heuristic as labels, score map-only with the model as a
+    * typedlit constant. All integer ppm arithmetic — the oracle
+    * replays train AND score bit-exactly. */
+  val qQualityClassifier: Q = "q_quality_classifier" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val (model, cut) = graft.ops.QualityClassifier.train(docs,
+        buckets = 1024, seed = 11, labelThreshold = 0.68)
+      graft.ops.QualityClassifier.score(docs, model, buckets = 1024,
+        seed = 11, cutPpm = cut).orderBy(col("doc_id"))
+    },
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks,
+       |    LEAST(len($TOKS) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / GREATEST(length(text), 1)) * CAST(0.2 AS DOUBLE)
+       |    + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / GREATEST(length(text), 1) * CAST(0.2 AS DOUBLE)
+       |    + len(list_distinct($TOKS)) / GREATEST(len($TOKS), 1) * CAST(0.2 AS DOUBLE) AS q
+       |  FROM documents),
+       |lab AS (SELECT doc_id, toks,
+       |    CASE WHEN round(q, 6) >= 0.68 THEN 1 ELSE 0 END AS good FROM t),
+       |b AS (SELECT doc_id, good,
+       |    CAST('0x' || substr(md5('11' || unnest(toks)), 1, 15) AS BIGINT) % 1024 AS bucket
+       |  FROM lab),
+       |w AS (SELECT bucket,
+       |    (1000000 * (CAST(sum(good) AS BIGINT) + 1)) // (count(*) + 2) AS w
+       |  FROM b GROUP BY 1),
+       |cut AS (SELECT (1000000 * (CAST(sum(good) AS BIGINT) + 1)) // (count(*) + 2) AS c
+       |  FROM b),
+       |sc AS (SELECT doc_id, count(*) AS n_toks,
+       |    CAST(sum(COALESCE(w.w, 500000)) AS BIGINT) AS sw
+       |  FROM b LEFT JOIN w USING (bucket) GROUP BY 1)
+       |SELECT doc_id, n_toks, CAST(sw // n_toks AS BIGINT) AS score_ppm,
+       |  CAST(CASE WHEN sw // n_toks >= (SELECT c FROM cut) THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2043,6 +2107,6 @@ object Queries {
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
-    qDomainCap,
+    qDomainCap, qBloomDecontam, qQualityClassifier,
   )
 }
