@@ -33,4 +33,23 @@ object DecontamStream {
     graft.ops.Dedup.ngramHashes(probeStream, n, idCol, textCol)
       .join(corpusGrams, Seq("g"))
       .select(col("id").as("probe_id"), col("g"))
+
+  /** [[contaminatedGrams]] with the [[graft.ops.BloomScreen]] pre-screen:
+    * when the static gram set is past the broadcast threshold, the
+    * stream-static join shuffles EVERY probe gram EVERY micro-batch.
+    * The sketch (built once from the same static set, alongside the
+    * parquet artifact) screens stream grams map-only inside the batch,
+    * so only true hits plus the fpp sliver reach the join — per-batch
+    * cost tracks the batch's contamination, not its size. Exact confirm
+    * against the same static side keeps verdicts sketch-free; still
+    * stateless, still append-mode. */
+  def contaminatedGramsScreened(probeStream: DataFrame,
+                                corpusGrams: DataFrame,
+                                bloomBits: Array[Byte], n: Int = 13,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame =
+    graft.ops.Dedup.ngramHashes(probeStream, n, idCol, textCol)
+      .filter(graft.ops.BloomScreen.mightContain(bloomBits, col("g")))
+      .join(corpusGrams, Seq("g"))
+      .select(col("id").as("probe_id"), col("g"))
 }

@@ -197,6 +197,68 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination with the Bloom pre-screen: same verdicts, still stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")).toDF("doc_id", "text")
+    val corpusGrams = graft.ops.Dedup.corpusGramSet(corpus, n = 5)
+    val bloom = graft.ops.BloomScreen
+      .buildBloom(corpusGrams, "g", 1024L, 1L << 14).get
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.DecontamStream.contaminatedGramsScreened(
+      mem.toDF().toDF("doc_id", "text"), corpusGrams, bloom, n = 5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("decontam_bloom_stream").start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta epsilon nine ten"), // 1 hit
+                  (2L, "totally unrelated words in this evaluation doc"))
+      q.processAllAvailable()
+      mem.addData((3L, "one two three four five six")) // 2 hits, later batch
+      q.processAllAvailable()
+      import spark.implicits._
+      val hits = spark.sql(
+        "SELECT probe_id, count(*) FROM decontam_bloom_stream GROUP BY 1")
+        .as[(Long, Long)].collect().toMap
+      assert(hits === Map(1L -> 1L, 3L -> 2L),
+        s"screened stream must reach the unscreened verdicts: $hits")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the sketch filter must not introduce streaming state")
+    } finally q.stop()
+  }
+
+  test("quality-classifier scoring runs unchanged on a stream (map-only, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // train on the batch corpus; score fresh docs as they arrive — the
+    // model is a plan constant, so the streaming plan needs no join,
+    // no state, no watermark
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (model, cut) = graft.ops.QualityClassifier.train(corpus,
+      buckets = 256, seed = 11)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.ops.QualityClassifier.score(
+      mem.toDF().toDF("doc_id", "text"), model, buckets = 256, seed = 11,
+      cutPpm = cut)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("qc_stream").start()
+    try {
+      mem.addData((1L, "alpha beta gamma"), (2L, "one two three four"))
+      q.processAllAvailable()
+      mem.addData((3L, "later batch doc"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, score_ppm, pred FROM qc_stream")
+        .as[(Long, Long, Long)].collect()
+      assert(rows.map(_._1).toSet === Set(1L, 2L, 3L))
+      rows.foreach { case (_, ppm, pred) =>
+        assert(ppm >= 0 && ppm < 1000000L)
+        assert(pred === (if (ppm >= cut) 1L else 0L))
+      }
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "map-only scoring must not create streaming state")
+    } finally q.stop()
+  }
+
   test("windowed semantic near-dup: in-horizon pairs only, expired residents evicted, on RocksDB") {
     implicit val sqlCtx = spark.sqlContext
     val conf = spark.conf
