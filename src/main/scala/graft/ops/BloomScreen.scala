@@ -84,16 +84,81 @@ object BloomScreen {
                               expectedItems: Long = 1L << 20,
                               numBits: Long = 1L << 23): DataFrame = {
     val evalGrams = Dedup.corpusGramSet(eval, n, idCol, textCol).persist()
-    buildBloom(evalGrams, "g", expectedItems, numBits) match {
-      case None => // empty eval set: nothing can be contaminated
+    screenAndConfirm(corpus, evalGrams,
+      buildBloom(evalGrams, "g", expectedItems, numBits), n, idCol, textCol)
+  }
+
+  /** The screen+confirm core shared by the inline and stored variants:
+    * map-side sketch filter on the corpus grams, exact join against the
+    * gram set, per-doc hit count. An absent sketch means the reference
+    * set was empty — nothing can be contaminated. */
+  private def screenAndConfirm(corpus: DataFrame, refGrams: DataFrame,
+                               bloom: Option[Array[Byte]], n: Int,
+                               idCol: String, textCol: String): DataFrame =
+    bloom match {
+      case None =>
         corpus.select(col(idCol).as("corpus_id"), lit(0L).as("hits")).limit(0)
-      case Some(bloom) =>
+      case Some(b) =>
         Dedup.ngramHashes(corpus, n, idCol, textCol)
-          .filter(mightContain(bloom, col("g")))
-          .join(evalGrams.hint("shuffle_hash"), Seq("g"))
+          .filter(mightContain(b, col("g")))
+          .join(refGrams.hint("shuffle_hash"), Seq("g"))
           .groupBy(col("id"))
           .agg(count(lit(1)).as("hits"))
           .select(col("id").as("corpus_id"), col("hits"))
     }
+
+  /** The KEEP-CURRENT artifact lifecycle for the reference gram set —
+    * the same write-iff-absent shape as the stored k-means centroids
+    * and the durable IVF-PQ index: distinct-collapse the eval set's
+    * grams to parquet and its Bloom sketch to `bloom.bin` iff the
+    * store marker is absent, then serve every screen FROM the store.
+    * First call pays the eval-side tokenize+distinct; every later
+    * screen — batch or streaming, any corpus increment — is one
+    * parquet read + one small file read. Both halves are
+    * deterministic (the gram set is a distinct projection; a Bloom's
+    * bit array is the OR of per-key bit sets, so build order cannot
+    * change it) — a rebuilt store is bit-identical to a reused one.
+    * Returns (gram set, sketch); sketch is None for an empty set. */
+  def gramSetStored(eval: DataFrame, path: String, n: Int = 13,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    expectedItems: Long = 1L << 20,
+                    numBits: Long = 1L << 23): (DataFrame, Option[Array[Byte]]) = {
+    val spark = eval.sparkSession
+    val dir = new java.io.File(path)
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val gramsPath = new java.io.File(dir, "grams").getPath
+    val bloomFile = new java.io.File(dir, "bloom.bin")
+    if (!marker.isFile) {
+      Dedup.corpusGramSet(eval, n, idCol, textCol)
+        .write.mode("overwrite").parquet(gramsPath)
+      buildBloom(spark.read.parquet(gramsPath), "g", expectedItems, numBits)
+        .foreach(b => java.nio.file.Files.write(bloomFile.toPath, b))
+      new java.io.FileOutputStream(marker).close()
+    }
+    val sketch =
+      if (bloomFile.isFile)
+        Some(java.nio.file.Files.readAllBytes(bloomFile.toPath))
+      else None
+    (spark.read.parquet(gramsPath), sketch)
+  }
+
+  /** [[corpusContaminatedBloom]] served from a [[gramSetStored]] store:
+    * the steady-state decontamination shape — screening a corpus (or a
+    * fresh crawl increment) never recomputes the eval side. */
+  def corpusContaminatedFromStore(corpus: DataFrame, path: String,
+                                  n: Int = 13, idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame = {
+    val (grams, sketch) = {
+      val dir = new java.io.File(path)
+      require(new java.io.File(dir, "_SUCCESS").isFile,
+        s"no gram-set store at $path — build it with gramSetStored")
+      val spark = corpus.sparkSession
+      val bloomFile = new java.io.File(dir, "bloom.bin")
+      (spark.read.parquet(new java.io.File(dir, "grams").getPath),
+        if (bloomFile.isFile)
+          Some(java.nio.file.Files.readAllBytes(bloomFile.toPath))
+        else None)
+    }
+    screenAndConfirm(corpus, grams, sketch, n, idCol, textCol)
   }
 }

@@ -2040,6 +2040,12 @@ object Queries {
           expectedItems = 1L << 17, numBits = 1L << 20)
         .orderBy(col("corpus_id"))
     },
+    bloomDecontamOracleSql)
+
+  /** Both Bloom-decontamination variants screen even (training) docs
+    * against odd (eval) docs' 5-grams — the exact confirm join makes
+    * the sketch invisible, so one oracle serves inline and stored. */
+  private def bloomDecontamOracleSql: String =
     s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')))) AS gram
@@ -2048,7 +2054,25 @@ object Queries {
        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0)
        |SELECT c.doc_id AS corpus_id, count(*) AS hits
        |FROM c JOIN e USING (gram)
-       |GROUP BY 1 ORDER BY 1""".stripMargin)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Steady-state decontamination: the eval gram set + Bloom sketch
+    * live as a write-once store ([[graft.ops.BloomScreen.gramSetStored]]
+    * — the centroids/codebook lifecycle applied to the reference set);
+    * screening the corpus never recomputes the eval side. Same answer
+    * as q_bloom_decontam by construction. */
+  val qBloomStored: Q = "q_bloom_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "bloom_gramset")
+      graft.ops.BloomScreen.gramSetStored(
+        docs.filter(col("doc_id") % 2 === 1), store, n = 5,
+        expectedItems = 1L << 17, numBits = 1L << 20)
+      graft.ops.BloomScreen.corpusContaminatedFromStore(
+          docs.filter(col("doc_id") % 2 === 0), store, n = 5)
+        .orderBy(col("corpus_id"))
+    },
+    bloomDecontamOracleSql)
 
   /** Hashed Naive-Bayes quality classifier (the fastText-style
     * heuristic-distillation filter): train bucket weights from the
@@ -2107,6 +2131,6 @@ object Queries {
     qWeightedSample, qTrending, qSemDedup, qUnigramQuality, qCorpusDrift,
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
-    qDomainCap, qBloomDecontam, qQualityClassifier,
+    qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
   )
 }

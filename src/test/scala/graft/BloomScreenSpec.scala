@@ -75,6 +75,46 @@ class BloomScreenSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("gram-set store: write-once, serve-many, rebuild bit-identical") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val eval = docs.filter(col("doc_id") % 2 === 1)
+    val store = java.nio.file.Files.createTempDirectory("graft-gramstore").toString
+
+    val (_, sketch1) = BloomScreen.gramSetStored(eval, store, n = 5)
+    val fromStore = BloomScreen.corpusContaminatedFromStore(corpus, store, n = 5)
+      .as[(Long, Long)].collect().toSet
+    val inline = BloomScreen.corpusContaminatedBloom(corpus, eval, n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(fromStore === inline, "stored and inline screens must agree")
+    spark.catalog.clearCache()
+
+    // serve-many: a second call must not rewrite the store
+    val marker = new java.io.File(store, "_SUCCESS")
+    val stamp = marker.lastModified()
+    val gramsStamp = new java.io.File(store, "grams").lastModified()
+    val (_, sketch2) = BloomScreen.gramSetStored(eval, store, n = 5)
+    assert(marker.lastModified() === stamp &&
+      new java.io.File(store, "grams").lastModified() === gramsStamp,
+      "present store must be served, not rebuilt")
+    assert(java.util.Arrays.equals(sketch1.get, sketch2.get))
+
+    // determinism: a forced rebuild reproduces the sketch bit-for-bit
+    // (a bloom's bit array is an OR of per-key bit sets — order-free)
+    val store2 = java.nio.file.Files.createTempDirectory("graft-gramstore2").toString
+    val (_, sketch3) = BloomScreen.gramSetStored(eval, store2, n = 5)
+    assert(java.util.Arrays.equals(sketch1.get, sketch3.get),
+      "deterministic build: rebuilt store must be bit-identical")
+  }
+
+  test("corpusContaminatedFromStore refuses a missing store") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      BloomScreen.corpusContaminatedFromStore(docs, "/tmp/graft-no-such-store")
+    }
+    assert(ex.getMessage.contains("gramSetStored"))
+  }
+
   test("buildBloom/mightContain: no false negatives, fpp-bounded false positives") {
     val members = spark.range(0, 1000).select((col("id") * 7L).as("k"))
     val bloom = BloomScreen.buildBloom(members, "k", 1000L, 1L << 16).get
