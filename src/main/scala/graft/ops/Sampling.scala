@@ -204,6 +204,35 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Leakage-safe train/val/test assignment: the split unit is the
+    * near-duplicate CLUSTER, not the document. A naive per-doc split
+    * puts a doc in eval while its near-twin trains — the benchmark-
+    * leakage failure mode that survives even perfect decontamination
+    * of EXTERNAL eval sets. Here every doc hashes on its duplicate-
+    * cluster representative (`clusters` = the (id, cluster_id) frame
+    * from [[Dedup.duplicateClusters]]; unclustered docs — the
+    * overwhelming majority — group as themselves via left join +
+    * coalesce), so connected docs always land in the SAME split.
+    *
+    * Cost: ONE join against the cluster table (duplicate-graph-sized,
+    * orders of magnitude under the corpus — Catalyst/AQE broadcasts it
+    * when it fits, falls back to a shuffle join when a pathological dup
+    * rate inflates it), then the same map-only hash-cut as [[splits]]
+    * with its determinism and boundary-monotonicity contract — on the
+    * group key. Output adds `split_group` (the unit that hashed) and
+    * `split`. */
+  def leakageSafeSplits(docs: DataFrame, clusters: DataFrame,
+                        fractions: Seq[(String, Double)], keyCol: String,
+                        seed: Int = 42): DataFrame = {
+    val grouped = docs
+      .join(clusters.select(col("id").as(keyCol), col("cluster_id")),
+        Seq(keyCol), "left")
+      .withColumn("split_group",
+        coalesce(col("cluster_id"), col(keyCol).cast("long")))
+      .drop("cluster_id")
+    splits(grouped, fractions, "split_group", seed)
+  }
+
   /** Deterministic global shuffle for training export: rows ordered by
     * hash unit (ties by key) with an explicit 0-based `pos` — the record
     * order a trainer would consume.

@@ -2110,6 +2110,40 @@ object Queries {
        |  CAST(CASE WHEN sw // n_toks >= (SELECT c FROM cut) THEN 1 ELSE 0 END AS BIGINT) AS pred
        |FROM sc ORDER BY doc_id""".stripMargin)
 
+  /** Leakage-safe train/val/test: near-duplicates co-assign — the split
+    * hashes the duplicate-CLUSTER representative (from the same MinHash
+    * pair graph as q_dup_clusters), so an eval doc can never have a
+    * training near-twin. Unclustered docs group as themselves. */
+  val qLeakageSplit: Q = "q_leakage_split" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, tau = MH_TAU,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+      val clusters = Dedup.duplicateClusters(pairs)
+      graft.ops.Sampling.leakageSafeSplits(docs, clusters,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "doc_id", seed = 7)
+        .select(col("doc_id"), col("split_group"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH RECURSIVE src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")},
+       |p AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= $MH_TAU),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |v AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |g AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS split_group
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+       |SELECT doc_id, split_group, CASE
+       |    WHEN ${hashUnitSql("split_group", 7)} < 800000 THEN 'train'
+       |    WHEN ${hashUnitSql("split_group", 7)} < 900000 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM g ORDER BY doc_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2132,5 +2166,6 @@ object Queries {
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
+    qLeakageSplit,
   )
 }

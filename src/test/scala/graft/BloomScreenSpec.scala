@@ -115,6 +115,23 @@ class BloomScreenSpec extends SparkTestBase {
     assert(ex.getMessage.contains("gramSetStored"))
   }
 
+  test("property: no false negatives on arbitrary key sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keySet = Gen.choose(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Long.MinValue + 1, Long.MaxValue)))
+    (0 until 15).foreach { i =>
+      val keys = keySet(Gen.Parameters.default, Seed(1000L + i)).get.distinct
+      val bloom = BloomScreen.buildBloom(
+        keys.toDF("k"), "k", keys.size.toLong.max(1), 1L << 12).get
+      val survived = keys.toDF("k")
+        .filter(BloomScreen.mightContain(bloom, col("k")))
+        .as[Long].collect().toSet
+      assert(survived === keys.toSet,
+        s"case $i: a member was screened out — bloom lost a key")
+    }
+  }
+
   test("buildBloom/mightContain: no false negatives, fpp-bounded false positives") {
     val members = spark.range(0, 1000).select((col("id") * 7L).as("k"))
     val bloom = BloomScreen.buildBloom(members, "k", 1000L, 1L << 16).get

@@ -448,4 +448,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pii.contains("@") && pii.contains("<EMAIL>"), pii)
     assert(!pii.contains("555") && pii.contains("<NUMBER>"), pii)
   }
+
+  test("leakageSafeSplits: near-dup clusters co-assign; singletons match plain splits") {
+    val corpus = Seq(
+      (1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"),
+      (10L, "ee"), (11L, "ff"), (12L, "gg"), (20L, "hh"))
+      .toDF("doc_id", "text")
+    // duplicate graph: {1,2,3} via a chain, {10,11} direct — 4, 12, 20 clean
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = graft.ops.Dedup.duplicateClusters(pairs)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.leakageSafeSplits(corpus, clusters, fr, "doc_id", seed = 7)
+      .select(col("doc_id"), col("split_group"), col("split"))
+      .as[(Long, Long, String)].collect().toSeq
+    spark.catalog.clearCache() // duplicateClusters persists its edge list
+    assert(out.size === 8, "exactly one row per doc")
+    assert(out.map(_._1).distinct.size === 8)
+    // every cluster member hashes on the SAME representative → same split
+    val m = out.map(t => t._1 -> t).toMap
+    assert(Seq(1L, 2L, 3L).map(m(_)._2).distinct === Seq(1L),
+      "chain cluster groups under its min id")
+    assert(Seq(1L, 2L, 3L).map(m(_)._3).distinct.size === 1,
+      "cluster {1,2,3} must land in one split")
+    assert(Seq(10L, 11L).map(m(_)._3).distinct.size === 1,
+      "cluster {10,11} must land in one split")
+    // clean docs group as themselves and agree with the plain splitter
+    val plain = Sampling.splits(corpus, fr, "doc_id", seed = 7)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    Seq(4L, 12L, 20L).foreach { id =>
+      assert(m(id)._2 === id, s"singleton $id groups as itself")
+      assert(m(id)._3 === plain(id), s"singleton $id must match plain splits")
+    }
+    // determinism: a rerun reproduces the assignment exactly
+    val again = Sampling.leakageSafeSplits(corpus, clusters, fr, "doc_id", seed = 7)
+      .select(col("doc_id"), col("split_group"), col("split"))
+      .as[(Long, Long, String)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(again.toSet === out.toSet)
+  }
 }

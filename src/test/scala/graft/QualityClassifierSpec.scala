@@ -68,6 +68,38 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
 
+  test("property: train and score are layout-invariant on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // integer-exact aggregation is order-free, so physical layout must
+    // never change a weight, the cut, or a score — the contract that
+    // makes the oracle replay possible at any partitioning
+    val token = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val doc = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, token).map(_.mkString(" ")))
+    (0 until 3).foreach { i =>
+      val texts = (0 until 40).flatMap(j =>
+        doc(Gen.Parameters.default, Seed(i * 100L + j)))
+      val corpus = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val (m1, c1) = QualityClassifier.train(corpus, buckets = 64, seed = 11)
+      val (m2, c2) = QualityClassifier.train(corpus.repartition(7),
+        buckets = 64, seed = 11)
+      assert(m1 === m2 && c1 === c2, s"case $i: layout changed the model")
+      val s1 = QualityClassifier.score(corpus, m1, buckets = 64, seed = 11,
+        cutPpm = c1).as[(Long, Long, Long, Long)].collect().toSet
+      val s2 = QualityClassifier.score(corpus.repartition(5), m2,
+        buckets = 64, seed = 11, cutPpm = c2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(s1 === s2, s"case $i: layout changed a score")
+      s1.foreach { case (_, n, ppm, pred) =>
+        assert(n > 0 && ppm >= 0 && ppm < 1000000L)
+        assert(pred === (if (ppm >= c1) 1L else 0L))
+      }
+    }
+  }
+
   test("fresh docs score without retraining (unseen buckets take the prior)") {
     val model = Map(0L -> 900000L) // deliberately partial model
     val fresh = Seq((1L, "zzz qqq xyzzy")).toDF("doc_id", "text")
