@@ -21,7 +21,8 @@ object Plans {
         "q_ann_ivf", "q_decontaminate", "q_ngram_decontam", "q_repetition",
         "q_sem_decontam", "q_curation_pipeline", "q_ivfpq_stored",
         "q_semdedup_stored", "q_dup_spans", "q_bigram_quality",
-        "q_bloom_decontam", "q_quality_classifier")
+        "q_bloom_decontam", "q_quality_classifier", "q_bloom_stored",
+        "q_leakage_split")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
