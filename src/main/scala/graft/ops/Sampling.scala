@@ -255,4 +255,35 @@ object Sampling {
     val schema = sorted.drop("_h").schema.add("pos", LongType, nullable = false)
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Trainer-facing sharded export: rows in the [[shuffledExport]]
+    * order, cut into fixed-size shards — `shard = pos div shardSize`,
+    * `pos_in_shard = pos % shardSize`. Deterministic end to end (the
+    * order is the reproducible hash order), so a rebuilt export is the
+    * SAME export; write with `partitionBy("shard")` for one file set
+    * per shard. Map-only on top of the position assignment. */
+  def exportShards(df: DataFrame, shardSize: Int, keyCol: String,
+                   seed: Int = 42): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    shuffledExport(df, keyCol, seed)
+      .withColumn("shard", expr(s"pos div $shardSize"))
+      .withColumn("pos_in_shard", expr(s"pos % $shardSize"))
+  }
+
+  /** Per-shard manifest — the verifiable artifact a rebuilt or
+    * transferred export is checked against: row count, position range,
+    * and a CONTENT fingerprint (md5 over the shard's per-row
+    * fingerprints concatenated in shard order). Content hashing is
+    * deliberate: parquet bytes are not canonical (encoder/metadata
+    * variance), so byte checksums can't certify a rebuild — the
+    * ordered row-fingerprint chain can, in any engine. State per
+    * group is shardSize rows by construction, so the aggregate is
+    * bounded no matter how big the export. */
+  def shardManifest(shards: DataFrame, fpCol: String): DataFrame =
+    shards.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col(fpCol).as("fp")))),
+          x => x.getField("fp")), "")).as("content_fp"))
 }

@@ -2144,6 +2144,28 @@ object Queries {
        |    ELSE 'test' END AS split
        |FROM g ORDER BY doc_id""".stripMargin)
 
+  /** Sharded training export with a verifiable manifest: rows in the
+    * deterministic shuffle order cut into 256-row shards; each shard's
+    * content fingerprint is md5 over its ordered per-row fingerprints
+    * — rebuild-checkable in any engine (parquet bytes are not
+    * canonical; the row-fingerprint chain is). */
+  val qExportShards: Q = "q_export_shards" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+      graft.ops.Sampling.shardManifest(
+          graft.ops.Sampling.exportShards(docs, shardSize = 256, "doc_id", seed = 7),
+          "fp")
+        .orderBy(col("shard"))
+    },
+    s"""WITH o AS (SELECT doc_id, md5($NORM) AS fp, row_number() OVER (
+       |    ORDER BY ${hashUnitSql("doc_id", 7)}, doc_id) - 1 AS pos
+       |  FROM documents)
+       |SELECT pos // 256 AS shard, count(*) AS n_rows,
+       |  min(pos) AS min_pos, max(pos) AS max_pos,
+       |  md5(string_agg(fp, '' ORDER BY pos)) AS content_fp
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2166,6 +2188,6 @@ object Queries {
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
-    qLeakageSplit,
+    qLeakageSplit, qExportShards,
   )
 }

@@ -449,6 +449,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pii.contains("555") && pii.contains("<NUMBER>"), pii)
   }
 
+  test("exportShards + shardManifest: full shards, remainder tail, rebuild-identical fingerprints") {
+    val in = (1L to 10L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    val shards = Sampling.exportShards(in, shardSize = 4, "doc_id", seed = 7)
+      .select(col("doc_id"), col("fp"), col("pos"), col("shard"), col("pos_in_shard"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._3)
+    assert(shards.map(_._3).toSeq === (0L until 10L), "positions are a permutation")
+    shards.foreach { case (_, _, pos, shard, pis) =>
+      assert(shard === pos / 4 && pis === pos % 4)
+    }
+    val manifest = Sampling.shardManifest(
+      Sampling.exportShards(in, shardSize = 4, "doc_id", seed = 7), "fp")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(manifest.map(m => m._1 -> m._2).toSeq === Seq(0L -> 4L, 1L -> 4L, 2L -> 2L),
+      "two full shards and the remainder tail")
+    // the manifest fingerprint IS the ordered per-row fingerprint chain
+    val expectFp = shards.groupBy(_._4).view.mapValues { rows =>
+      val joined = rows.sortBy(_._3).map(_._2).mkString
+      java.security.MessageDigest.getInstance("MD5").digest(joined.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toMap
+    manifest.foreach { case (shard, _, minP, maxP, fp) =>
+      assert(fp === expectFp(shard), s"shard $shard content fingerprint")
+      assert(minP === shard * 4 && maxP === math.min(shard * 4 + 3, 9))
+    }
+    // determinism: a rebuilt export certifies against the same manifest
+    val again = Sampling.shardManifest(
+      Sampling.exportShards(in.repartition(3), shardSize = 4, "doc_id", seed = 7), "fp")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq === manifest.toSeq,
+      "layout must not change the export: same shards, same fingerprints")
+  }
+
   test("leakageSafeSplits: near-dup clusters co-assign; singletons match plain splits") {
     val corpus = Seq(
       (1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"),
