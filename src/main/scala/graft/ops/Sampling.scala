@@ -153,6 +153,39 @@ object Sampling {
     weightedMix(df, groupCol, rates.toMap, keyCol, seed)
   }
 
+  /** Token-budget mixing — fit a TOKEN budget, not a row fraction: the
+    * "how many epochs of each source" arithmetic of LM data recipes.
+    * Source s gets budget share tok_s^α / Σ tok^α (temperature over
+    * token MASS — α=1 natural, α→0 uniform-per-source), so each of its
+    * docs repeats at epochs_s = (budget · share_s) / tok_s; >1 means
+    * multiple epochs of a rare source, <1 downsamples an abundant one.
+    * At α=1 every source's epoch count collapses to budget/Σtok — the
+    * "one mixing ratio for the whole corpus" identity.
+    *
+    * Per-source token totals are one tiny aggregate (#sources rows) to
+    * the driver; the corpus-side work is [[weightedMix]]'s map-only
+    * copies projection — the corpus never shuffles. Same cross-engine
+    * exactness discipline as [[temperatureMix]]: α = 0.5 uses sqrt
+    * (IEEE-correctly-rounded, unlike pow/ln) and the share fold runs
+    * group-ascending, so an oracle replays the epoch math bit-for-bit. */
+  def budgetMix(df: DataFrame, groupCol: String, tokensCol: String,
+                budgetTokens: Long, alpha: Double, keyCol: String,
+                seed: Int = 42): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    def powA(x: Double) = if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(sum(col(tokensCol)).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var sw = 0.0
+    counts.foreach { case (_, t) => sw += powA(t.toDouble) } // group-asc fold
+    val rates = counts.map { case (g, t) =>
+      g -> (budgetTokens.toDouble * (powA(t.toDouble) / sw)) / t.toDouble
+    }
+    weightedMix(df, groupCol, rates.toMap, keyCol, seed)
+  }
+
   /** Weighted sample WITHOUT replacement (sequential Poisson / Ohlsson
     * order sampling): each row gets priority `u / w` (its hash unit over
     * its weight) and the k smallest priorities win — heavier rows draw

@@ -1765,6 +1765,34 @@ object Queries {
        |SELECT doc_id, lang, unnest(range(copies)) AS copy
        |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)
 
+  /** Token-budget mixing: 50k-token budget split over language shards
+    * at temperature α=0.5 on token MASS — per-doc epochs replayed
+    * bit-for-bit (sqrt + group-asc fold, the q_temperature_mix
+    * discipline over sum(tokens) instead of row counts). */
+  val qBudgetMix: Q = "q_budget_mix" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.budgetMix(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long")),
+          "lang", "n_tokens", budgetTokens = 50000L, alpha = 0.5,
+          keyCol = "doc_id", seed = 11)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy(col("doc_id"), col("copy")),
+    s"""WITH n AS (SELECT lang, CAST(sum(len($TOKS)) AS BIGINT) AS tok
+       |  FROM documents GROUP BY 1),
+       |s AS (SELECT list_sum(list(sqrt(CAST(tok AS DOUBLE)) ORDER BY lang)) AS sw
+       |  FROM n),
+       |w AS (SELECT lang, tok,
+       |    (CAST(50000 AS DOUBLE) * (sqrt(CAST(tok AS DOUBLE)) / sw)) / CAST(tok AS DOUBLE) AS rate
+       |  FROM n CROSS JOIN s),
+       |t AS (SELECT lang, CAST(floor(rate) AS BIGINT) AS whole,
+       |    CAST(round((rate - floor(rate)) * 1000000, 0) AS BIGINT) AS frac_thr FROM w),
+       |c AS (SELECT doc_id, d.lang,
+       |    whole + CASE WHEN ${hashUnitSql("doc_id", 11)} < frac_thr THEN 1 ELSE 0 END AS copies
+       |  FROM documents d JOIN t ON d.lang = t.lang)
+       |SELECT doc_id, lang, unnest(range(copies)) AS copy
+       |FROM c WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)
+
   /** Sequence packing: contiguous fill of 512-token training bins per
     * language shard (one window aggregation, exact integer math). */
   val qPackSeq: Q = "q_pack_seq" -> (
@@ -2188,6 +2216,6 @@ object Queries {
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
-    qLeakageSplit, qExportShards,
+    qLeakageSplit, qExportShards, qBudgetMix,
   )
 }

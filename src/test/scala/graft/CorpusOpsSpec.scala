@@ -449,6 +449,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pii.contains("555") && pii.contains("<NUMBER>"), pii)
   }
 
+  test("budgetMix: α=1 collapses to one epoch rate; α=0.5 tilts epochs toward the rare source") {
+    // big source: 4 docs × 100 tokens; rare source: 1 doc × 50 tokens
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("tok").mkString(" "))
+    val corpus = (Seq(doc(1, "big", 100), doc(2, "big", 100), doc(3, "big", 100),
+        doc(4, "big", 100), doc(10, "rare", 50)))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+    val budget = 900L // 2× the 450-token corpus
+
+    // α=1: epochs_s = budget/Σtok for EVERY source — must equal the
+    // uniform-rate weightedMix exactly
+    val nat = Sampling.budgetMix(corpus, "source", "n_tokens", budget,
+        alpha = 1.0, keyCol = "doc_id", seed = 7)
+      .select(col("doc_id"), col("copy")).as[(Long, Long)].collect().toSet
+    val uniform = Sampling.weightedMix(corpus, "source",
+        Map("big" -> 2.0, "rare" -> 2.0), "doc_id", seed = 7)
+      .select(col("doc_id"), col("copy")).as[(Long, Long)].collect().toSet
+    assert(nat === uniform, "natural mixing = one epoch count corpus-wide")
+
+    // α=0.5: the rare source's epoch count strictly exceeds the big
+    // source's (temperature flattens token mass)
+    val tempered = Sampling.budgetMix(corpus, "source", "n_tokens", budget,
+        alpha = 0.5, keyCol = "doc_id", seed = 7)
+      .groupBy(col("source")).agg(countDistinct(col("doc_id"), col("copy")).as("emitted"))
+      .as[(String, Long)].collect().toMap
+    val bigEpochs = tempered("big") / 4.0
+    val rareEpochs = tempered("rare").toDouble
+    assert(rareEpochs > bigEpochs,
+      s"α=0.5 must upsample the rare source: rare $rareEpochs vs big $bigEpochs epochs")
+  }
+
   test("exportShards + shardManifest: full shards, remainder tail, rebuild-identical fingerprints") {
     val in = (1L to 10L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
