@@ -367,28 +367,66 @@ object Dedup {
       // identity is its id WITHIN a block — with a multi-valued
       // blocking column (LSH bands), grouping keeps blk so per-block
       // pair multiplicity is preserved exactly as before.
-      val cexp = cand.select(col("blk"), col("id_a"), col("id_b"),
-          explode(array(
-            struct(col("id_a").as("id"), lit(0).as("side")),
-            struct(col("id_b").as("id"), lit(1).as("side")))).as("l"))
-        .select(col("blk"), col("id_a"), col("id_b"),
-          col("l.id").as("id"), col("l.side").as("side"))
-      return broadcast(cexp)
-        .join(sets.select(col("blk"), col("id"), col("gs")), Seq("blk", "id"))
-        .groupBy(col("blk"), col("id_a"), col("id_b"))
-        .agg(
-          // exactly one non-null gs per side per group → deterministic
-          first(when(col("side") === 0, col("gs")), ignoreNulls = true).as("gs_a"),
-          first(when(col("side") === 1, col("gs")), ignoreNulls = true).as("gs_b"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("common"),
-          size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))
+      return verifiedOverlap(sets, cand)
         .select(col("id_a"), col("id_b"),
           (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
             .as("jaccard"))
         .filter(col("jaccard") >= tau)
     }
     legacyNgramJaccard(docs, tau, blockCol, idCol, textCol, n)
+  }
+
+  /** The ONE-lookup exact verification shared by the set-overlap
+    * metrics: candidate pairs explode to two slim integer rows that
+    * broadcast onto the scanned (never shuffled) set table; matched
+    * shingle arrays meet at a candidate-keyed exchange where each pair
+    * re-assembles. Returns (id_a, id_b, common, na, nb) — every set
+    * metric (Jaccard, containment, overlap coefficient) is one
+    * projection over it. */
+  private def verifiedOverlap(sets: DataFrame, cand: DataFrame): DataFrame = {
+    val cexp = cand.select(col("blk"), col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("id"), lit(0).as("side")),
+          struct(col("id_b").as("id"), lit(1).as("side")))).as("l"))
+      .select(col("blk"), col("id_a"), col("id_b"),
+        col("l.id").as("id"), col("l.side").as("side"))
+    broadcast(cexp)
+      .join(sets.select(col("blk"), col("id"), col("gs")), Seq("blk", "id"))
+      .groupBy(col("blk"), col("id_a"), col("id_b"))
+      .agg(
+        // exactly one non-null gs per side per group → deterministic
+        first(when(col("side") === 0, col("gs")), ignoreNulls = true).as("gs_a"),
+        first(when(col("side") === 1, col("gs")), ignoreNulls = true).as("gs_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long").as("common"),
+        size(col("gs_a")).as("na"), size(col("gs_b")).as("nb"))
+  }
+
+  /** n-gram CONTAINMENT (Broder's asymmetric companion of resemblance):
+    * common / min(na, nb) — "is the smaller doc (near-)inside the
+    * other?". Symmetric Jaccard structurally misses the quote/subset
+    * near-dup — a 50-gram doc wholly contained in a 5000-gram doc
+    * scores J ≈ 0.01 but containment 1.0 — and that is the dominant
+    * duplication mode of boilerplate-wrapped and concatenated web text.
+    *
+    * Same df-capped postings plan as [[ngramJaccard]] with the length-
+    * ratio candidate filter OFF (passing tau=0 disables it): the
+    * Jaccard prefilter `na/nb ≥ τ` is exactly the bound containment
+    * must NOT apply, since containment pairs have arbitrarily
+    * mismatched sizes. Candidate volume stays df-capped; verification
+    * is the shared one-lookup pass. */
+  def ngramContainment(docs: DataFrame, tau: Double, blockCol: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 3, maxDf: Long = 64): DataFrame = {
+    require(maxDf != Long.MaxValue, "containment runs the df-capped plan")
+    val sets = shingleSets(docs, blockCol, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = ngramCandidatesFrom(sets, tau = 0.0, maxDf)
+    verifiedOverlap(sets, cand)
+      .select(col("id_a"), col("id_b"),
+        (col("common") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= tau)
   }
 
   /** Uncapped single-pass count-common form (best plan while per-block

@@ -778,6 +778,30 @@ object Queries {
        |FROM pc WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** n-gram CONTAINMENT at τ=0.6 — the asymmetric companion of
+    * q_ngram_jaccard (common / min set size): catches the quote/subset
+    * near-dup whose symmetric Jaccard is structurally tiny. Same
+    * df-capped postings plan, length-ratio candidate filter off. */
+  val qNgramContainment: Q = "q_ngram_containment" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.ngramContainment(Tables.documents(s, d), tau = 0.6,
+          blockCol = "lang", maxDf = 64)
+        .orderBy(col("id_a"), col("id_b")),
+    s"""WITH t AS (SELECT doc_id AS id, lang, $TOKS AS toks FROM documents),
+       |sh AS (SELECT id, lang, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |  FROM t WHERE len(toks) >= 3),
+       |ex0 AS (SELECT id, lang, len(g) AS n_sh, unnest(g) AS gr FROM sh),
+       |ex AS (SELECT id, lang, n_sh,
+       |    CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS gh FROM ex0),
+       |pc AS (SELECT x.id AS id_a, y.id AS id_b, x.n_sh AS na, y.n_sh AS nb,
+       |    count(*) AS common
+       |  FROM ex x JOIN ex y ON x.lang = y.lang AND x.gh = y.gh AND x.id < y.id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, common / CAST(LEAST(na, nb) AS DOUBLE) AS containment
+       |FROM pc WHERE common / CAST(LEAST(na, nb) AS DOUBLE) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin)
+
   /** SimHash signatures (48-bit, majority-vote bits over token hashes). */
   val qSimhash: Q = "q_simhash" -> (
     (s: SparkSession, d: String) =>
@@ -2216,6 +2240,6 @@ object Queries {
     qTemperatureMix, qSemDecontam, qCurationPipeline, qIvfPqStored,
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
-    qLeakageSplit, qExportShards, qBudgetMix,
+    qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
   )
 }

@@ -449,6 +449,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pii.contains("555") && pii.contains("<NUMBER>"), pii)
   }
 
+  test("ngramContainment: quoted doc scores 1.0 where Jaccard is structurally tiny") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val filler = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $quote"), // long doc containing the quote
+      (2L, quote),             // the quote alone
+      (3L, "an entirely different document about something else entirely here"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val cont = graft.ops.Dedup.ngramContainment(corpus, tau = 0.9, blockCol = "lang")
+      .as[(Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    assert(cont.map(c => (c._1, c._2)).toSet === Set((1L, 2L)),
+      s"the quote is fully contained: $cont")
+    assert(cont.head._3 === 1.0, "every gram of the smaller doc appears in the larger")
+    // the symmetric metric cannot see this pair at any useful tau
+    val jac = graft.ops.Dedup.ngramJaccard(corpus, tau = 0.5, blockCol = "lang",
+      maxDf = 64).as[(Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    assert(jac.isEmpty, s"Jaccard misses the quote/subset near-dup: $jac")
+  }
+
   test("budgetMix: α=1 collapses to one epoch rate; α=0.5 tilts epochs toward the rare source") {
     // big source: 4 docs × 100 tokens; rare source: 1 doc × 50 tokens
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("tok").mkString(" "))
