@@ -558,41 +558,75 @@ object Dedup {
       import spark.implicits._
       return verts.map(v => (v, find(v))).toSeq.toDF("id", "cluster_id")
     }
-    val edges = undirected.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    var backing = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
-    var labels = backing
+    // Distributed path: alternating LARGE-STAR / SMALL-STAR rounds
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    // — every pass contracts components toward their min id and the
+    // round count is O(log n) REGARDLESS of diameter. The hash-min
+    // label propagation this replaces needed O(diameter) rounds, so an
+    // adversarial chain (crawl-ring boilerplate, page-N-quotes-page-N−1
+    // chains) blew any fixed round budget; stars halve such paths
+    // instead of walking them. Per round: two grouped aggregates +
+    // joins on the EDGE list (orders of magnitude under the corpus),
+    // one persisted frame, convergence checked on the canonical edge
+    // set. Fixpoint is a star forest centered at component minima —
+    // identical labels to the union-find path (property-tested).
+    def canonical(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // localCheckpoint per round, NOT persist: each round reads `cur`
+    // several times (symmetrize + both grouped joins), so an
+    // un-truncated lineage multiplies in size every round and the
+    // logical plan itself becomes the bottleneck (tree blowup) long
+    // before the data does. Checkpointing pins the round's edges as
+    // plain cached blocks with a leaf plan — the standard discipline
+    // for iterative dataframe algorithms.
+    var cur = canonical(undirected
+      .select(col("src").as("u"), col("dst").as("v"))).localCheckpoint(true)
+    var curCount = cur.count()
+    undirected.unpersist()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       it += 1
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nmin"))
-      // one persisted frame and ONE action per round: the convergence
-      // count is also what materializes the round's labels (the filter
-      // sits above the cache point, so the full rows are cached)
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("nlabel"))
-        .persist()
-      val changed = next.filter(col("nlabel") < col("label")).count()
-      backing.unpersist()
-      backing = next
-      labels = next.select(col("id"), col("nlabel").as("label"))
-      converged = changed == 0
+      // large-star: u's whole neighborhood learns m = min(N(u) ∪ {u});
+      // each LARGER neighbor re-wires to m. Every undirected edge is
+      // seen from its smaller endpoint exactly once, so the output
+      // stays edge-sized; emitted (b, m) has m ≤ a < b — canonical.
+      val sym = cur.select(col("u").as("a"), col("v").as("b"))
+        .union(cur.select(col("v").as("a"), col("u").as("b")))
+      val ls = sym
+        .join(sym.groupBy(col("a")).agg(min(col("b")).as("mb")), Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), least(col("mb"), col("a")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: u (now only the big end of canonical edges) and all
+      // its smaller neighbors re-wire to its min neighbor mv.
+      val next = ls
+        .join(ls.groupBy(col("u")).agg(min(col("v")).as("mv")), Seq("u"))
+        .select(explode(array(
+          struct(col("u").as("su"), col("mv").as("sv")),
+          struct(col("v").as("su"), col("mv").as("sv")))).as("e"))
+        .select(col("e.su").as("u"), col("e.sv").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      // fixpoint iff the canonical edge set is unchanged: equal sizes
+      // and no edge outside the old set (one anti-join action)
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      cur.unpersist()
+      cur = next
+      curCount = nextCount
     }
-    undirected.unpersist()
     if (!converged)
       throw new IllegalStateException(
-        s"duplicateClusters: no fixpoint after $maxIters rounds (component diameter exceeds maxIters)")
-    labels.select(col("id"), col("label").as("cluster_id"))
+        s"duplicateClusters: no star fixpoint after $maxIters rounds")
+    // star forest: every edge points a member at its component min;
+    // centers label themselves (min() is defensive — at fixpoint each
+    // member carries exactly one center)
+    cur.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(cur.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
   }
 
   /** Embedding near-dup pairs, DEFAULT (scale) path: banded hyperplane

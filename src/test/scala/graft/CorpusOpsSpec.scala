@@ -224,19 +224,56 @@ class CorpusOpsSpec extends SparkTestBase {
     val local = graft.ops.Dedup.duplicateClusters(pairs)
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(local.toSeq === expect)
-    // distributed hash-min path (threshold 0) must agree exactly
+    // distributed star-contraction path (threshold 0) must agree exactly
     val dist = graft.ops.Dedup.duplicateClusters(pairs, localEdgeThreshold = 0)
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(dist.toSeq === expect)
     spark.catalog.clearCache() // distributed path's frame is persisted; caller releases
-    // a diameter larger than maxIters fails loudly instead of returning
-    // a half-propagated labeling
-    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+    // an un-converged run still fails loudly instead of returning a
+    // half-contracted labeling
+    val chain = (1L to 64L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      graft.ops.Dedup.duplicateClusters(chain, maxIters = 2, localEdgeThreshold = 0)
+      graft.ops.Dedup.duplicateClusters(chain, maxIters = 1, localEdgeThreshold = 0)
     }
     spark.catalog.clearCache()
+  }
+
+  test("duplicateClusters: star contraction solves a 200-chain within the log-round budget") {
+    // the adversarial case for hash-min propagation: a 200-node chain
+    // needs 199 min-label rounds; large/small-star contracts paths by
+    // halving, so the default 25-round budget is plenty (~log n passes)
+    val chain = (1L to 200L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val out = graft.ops.Dedup.duplicateClusters(chain, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.length === 200)
+    assert(out.forall(_._2 === 1L), "one component, min-id representative")
+  }
+
+  test("property: distributed star contraction ≡ union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      n <- Gen.choose(5, 30)
+      m <- Gen.choose(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong); b <- Gen.choose(1L, n.toLong)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2)
+    (0 until 3).foreach { i =>
+      val es = edgeGen(Gen.Parameters.default, Seed(77L + i)).get
+      if (es.nonEmpty) {
+        val pairs = es.toDF("id_a", "id_b")
+        val viaUf = graft.ops.Dedup.duplicateClusters(pairs)
+          .as[(Long, Long)].collect().sortBy(_._1).toSeq
+        val viaStars = graft.ops.Dedup.duplicateClusters(pairs,
+          localEdgeThreshold = 0).as[(Long, Long)].collect().sortBy(_._1).toSeq
+        spark.catalog.clearCache()
+        assert(viaStars === viaUf, s"case $i diverged on edges: $es")
+      }
+    }
   }
 
   test("crossMinhashLsh: finds cross-corpus near-dups only, never intra-corpus pairs") {
