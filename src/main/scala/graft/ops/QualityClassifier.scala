@@ -72,6 +72,36 @@ object QualityClassifier {
       cutPpm)
   }
 
+  /** The train-once model lifecycle (the stored-centroids shape):
+    * train and export iff the store marker is absent — weights as a
+    * (bucket, w) parquet side-table, the learned cut as a one-row
+    * `cut/` table — then serve (model, cut) FROM the store. The
+    * trainer is deterministic (integer aggregation is order-free), so
+    * a rebuilt store is value-identical to a reused one; scoring a
+    * fresh crawl pays one driver-sized parquet read, never a training
+    * pass over the original corpus. */
+  def modelStored(docs: DataFrame, path: String, buckets: Int = 1024,
+                  seed: Int = 11, labelThreshold: Double = 0.68,
+                  textCol: String = "text"): (Map[Long, Long], Long) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dir = new java.io.File(path)
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val wPath = new java.io.File(dir, "weights").getPath
+    val cPath = new java.io.File(dir, "cut").getPath
+    if (!marker.isFile) {
+      val (model, cut) = train(docs, buckets, seed, labelThreshold, textCol)
+      model.toSeq.sortBy(_._1).toDF("bucket", "w")
+        .coalesce(1).write.mode("overwrite").parquet(wPath)
+      Seq(cut).toDF("cut_ppm").coalesce(1).write.mode("overwrite").parquet(cPath)
+      new java.io.FileOutputStream(marker).close()
+    }
+    val model = spark.read.parquet(wPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = spark.read.parquet(cPath).head.getLong(0)
+    (model, cut)
+  }
+
   /** Score: mean bucket weight over the doc's token sequence, integer
     * ppm; pred = 1 iff score_ppm ≥ cutPpm. One map-only projection.
     * Output: (doc_id, n_toks, score_ppm, pred). */

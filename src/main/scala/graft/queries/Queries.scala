@@ -2074,6 +2074,21 @@ object Queries {
        |    ORDER BY ${hashUnitSql("doc_id", 7)}, doc_id) - 1 AS pos
        |FROM documents ORDER BY pos""".stripMargin)
 
+  /** The classifier's train-once lifecycle: weights + learned cut from
+    * the write-once side-table; scoring never re-reads the training
+    * pass. Same answer as q_quality_classifier by determinism. */
+  val qQcStored: Q = "q_qc_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val (model, cut) = graft.ops.QualityClassifier.modelStored(docs,
+        codebookPath(d, "qc_model"), buckets = 1024, seed = 11,
+        labelThreshold = 0.68)
+      graft.ops.QualityClassifier.score(docs, model, buckets = 1024,
+        seed = 11, cutPpm = cut).orderBy(col("doc_id"))
+    },
+    // a def, not a reference to the later val — object-init-order safe
+    qualityClassifierOracleSql)
+
   /** Corpus-side decontamination with a Bloom pre-screen — the
     * production direction (flag TRAINING docs sharing a 5-gram with
     * the eval set, the rows you drop before training). The Bloom
@@ -2139,6 +2154,12 @@ object Queries {
       graft.ops.QualityClassifier.score(docs, model, buckets = 1024,
         seed = 11, cutPpm = cut).orderBy(col("doc_id"))
     },
+    qualityClassifierOracleSql)
+
+  /** Shared by the inline and stored classifier queries — training is
+    * deterministic, so both replay against the same train+cut+score
+    * SQL. */
+  private def qualityClassifierOracleSql: String =
     s"""WITH t AS (SELECT doc_id, $TOKS AS toks,
        |    LEAST(len($TOKS) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
        |    + (CAST(1.0 AS DOUBLE) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / GREATEST(length(text), 1)) * CAST(0.2 AS DOUBLE)
@@ -2160,7 +2181,7 @@ object Queries {
        |  FROM b LEFT JOIN w USING (bucket) GROUP BY 1)
        |SELECT doc_id, n_toks, CAST(sw // n_toks AS BIGINT) AS score_ppm,
        |  CAST(CASE WHEN sw // n_toks >= (SELECT c FROM cut) THEN 1 ELSE 0 END AS BIGINT) AS pred
-       |FROM sc ORDER BY doc_id""".stripMargin)
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Leakage-safe train/val/test: near-duplicates co-assign — the split
     * hashes the duplicate-CLUSTER representative (from the same MinHash
@@ -2241,5 +2262,6 @@ object Queries {
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
+    qQcStored,
   )
 }

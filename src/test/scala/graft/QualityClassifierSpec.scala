@@ -68,6 +68,19 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
 
+  test("model store: write-once, serve-many, value-identical to a fresh train") {
+    val store = java.nio.file.Files.createTempDirectory("graft-qcmodel").toString
+    val (m1, c1) = QualityClassifier.modelStored(docs, store, buckets = 256, seed = 11)
+    val (mFresh, cFresh) = QualityClassifier.train(docs, buckets = 256, seed = 11)
+    assert(m1 === mFresh && c1 === cFresh,
+      "stored model must equal a fresh deterministic train")
+    val marker = new java.io.File(store, "_SUCCESS")
+    val stamp = marker.lastModified()
+    val (m2, c2) = QualityClassifier.modelStored(docs, store, buckets = 256, seed = 11)
+    assert(marker.lastModified() === stamp, "present store is served, not rebuilt")
+    assert(m2 === m1 && c2 === c1)
+  }
+
   test("property: train and score are layout-invariant on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
