@@ -93,6 +93,21 @@ object Dedup {
       .filter(col("jaccard_est") >= tau)
   }
 
+  /** Banding auto-tune for MinHash LSH: among the (bands, rowsPerBand)
+    * factorizations of signature length k, pick the one whose S-curve
+    * threshold (1/b)^(1/r) — the similarity where candidate probability
+    * 1−(1−s^r)^b crosses ~½ — lands closest to the target tau. Driver-
+    * side arithmetic over ≤ d(k) pairs; the output feeds
+    * [[minhashLsh]]/[[crossMinhashLsh]] so recall at tau comes from the
+    * math rather than folklore constants. Higher tau → fewer, longer
+    * bands (stricter buckets); lower tau → many short bands. */
+  def lshBanding(k: Int, tau: Double): (Int, Int) = {
+    require(k >= 1, s"signature length must be >= 1, got $k")
+    require(tau > 0 && tau < 1, s"tau in (0,1), got $tau")
+    (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - tau) }
+  }
+
   /** Cross-corpus near-dup pairs — benchmark DEcontamination and
     * incremental-crawl dedup: which `probe` docs near-duplicate any
     * `corpus` doc. Same banded MinHash-LSH shape as [[minhashLsh]] but

@@ -486,6 +486,24 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(!pii.contains("555") && pii.contains("<NUMBER>"), pii)
   }
 
+  test("lshBanding: derives the fixture's banding from the math; monotone in tau") {
+    // the oracle queries' hand-picked (8 bands × 4 rows) at k=32,
+    // tau=0.5 is exactly what the S-curve tuner selects
+    assert(graft.ops.Dedup.lshBanding(32, 0.5) === (8, 4))
+    // stricter targets get longer bands (fewer, tighter buckets)
+    val rows = Seq(0.2, 0.5, 0.8, 0.95)
+      .map(t => graft.ops.Dedup.lshBanding(32, t)._2)
+    assert(rows === rows.sorted, s"rowsPerBand must grow with tau: $rows")
+    // the chosen threshold brackets tau better than any other split
+    val (b, r) = graft.ops.Dedup.lshBanding(16, 0.7)
+    assert(b * r === 16)
+    val thr = math.pow(1.0 / b, 1.0 / r)
+    (1 to 16).filter(16 % _ == 0).foreach { b2 =>
+      val alt = math.pow(1.0 / b2, 1.0 / (16 / b2))
+      assert(math.abs(thr - 0.7) <= math.abs(alt - 0.7) + 1e-12)
+    }
+  }
+
   test("ngramContainment: quoted doc scores 1.0 where Jaccard is structurally tiny") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val filler = (1 to 80).map(i => s"filler$i").mkString(" ")
