@@ -173,6 +173,13 @@ object BenchScale {
         graft.ops.QualityClassifier.score(docs, m, cutPpm = cut).count()
       }
       spark.catalog.clearCache()
+      // containment rides the same df-capped postings machinery as the
+      // capped jaccard but with NO length-ratio candidate prefilter —
+      // the df cap is the only bound, so its K-curve is the honest cost
+      // of the asymmetric metric
+      val (tCont, nCont) = time(graft.ops.Dedup.ngramContainment(
+        docs, tau = 0.6, blockCol = "lang", maxDf = 64).count())
+      spark.catalog.clearCache()
 
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
@@ -187,7 +194,8 @@ object BenchScale {
         s""""dup_spans_sec":${f"$tSpans%.2f"},"contam_sec":${f"$tContam%.2f"},""" +
         s""""bigram_sec":${f"$tBigram%.2f"},""" +
         s""""bloom_decontam_sec":${f"$tBloom%.2f"},""" +
-        s""""quality_classifier_sec":${f"$tQc%.2f"}}""")
+        s""""quality_classifier_sec":${f"$tQc%.2f"},""" +
+        s""""containment_sec":${f"$tCont%.2f"},"containment_pairs":$nCont}""")
     }
     spark.stop()
   }

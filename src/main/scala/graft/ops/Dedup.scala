@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -308,8 +308,25 @@ object Dedup {
                       n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame =
     ngramCandidatesFrom(shingleSets(docs, blockCol, idCol, textCol, n), tau, maxDf)
 
-  private def ngramCandidatesFrom(sets: DataFrame, tau: Double,
-                                  maxDf: Long): DataFrame = {
+  /** Capped-branch candidate prune: `minCommon(na, nb)` is the smallest
+    * exact overlap the FINAL metric filter will accept for a pair with
+    * those set sizes. While the postings pass generates pairs it also
+    * counts each pair's shared capped grams `c` and each doc's capped-
+    * gram count `n_cap`; since every shared gram is either capped
+    * (counted in `c`) or uncapped (at most `min(na-na_cap, nb-nb_cap)`
+    * of those can be shared),
+    *     common ≤ c + min(na - na_cap, nb - nb_cap)
+    * — any pair whose bound misses `minCommon` would fail the exact
+    * verification filter too, so dropping it changes NOTHING in the
+    * output while sparing its verification. This is the asymmetric-
+    * metric bound: containment has no length-ratio prefilter, so
+    * without it every chance single-gram collision (c = 1) rides into
+    * the verify join — measured at the K-fold sweep, 5.5M candidates
+    * for 1 264 real pairs at K=16, and the candidate broadcast became
+    * the scale wall (~K^1.5). With the bound, candidate volume tracks
+    * output volume. */
+  private def ngramCandidatesFrom(sets: DataFrame, tau: Double, maxDf: Long,
+      minCommon: Option[(Column, Column) => Column] = None): DataFrame = {
     val base = sets
       // explode_OUTER, and no `filter(size > 0)` — see ngramJaccard note
       .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
@@ -335,14 +352,52 @@ object Dedup {
       val postings = base.groupBy(col("blk"), col("gh"))
         .agg(collect_list(struct(col("id"), col("n_sh"))).as("ps"))
         .filter(col("gh").isNotNull && size(col("ps")) <= lit(maxDf))
-      postings
-        .select(col("blk"), col("ps"), explode(col("ps")).as("a"))
-        .select(col("blk"), col("a"), explode(col("ps")).as("b"))
-        .filter(col("a.id") < col("b.id")
-          && col("b.n_sh") * lit(tau) <= col("a.n_sh")
-          && col("a.n_sh") * lit(tau) <= col("b.n_sh"))
-        .select(col("blk"), col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
+      minCommon match {
+        case None =>
+          postings
+            .select(col("blk"), col("ps"), explode(col("ps")).as("a"))
+            .select(col("blk"), col("a"), explode(col("ps")).as("b"))
+            .filter(col("a.id") < col("b.id")
+              && col("b.n_sh") * lit(tau) <= col("a.n_sh")
+              && col("a.n_sh") * lit(tau) <= col("b.n_sh"))
+            .select(col("blk"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+            .distinct()
+        case Some(bound) =>
+          // two consumers (pair counts + per-doc capped counts): persist,
+          // caller's clearCache (the ngramJaccard convention) releases it
+          val cached = postings
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nCap = cached
+            .select(col("blk"), explode(col("ps")).as("p"))
+            .groupBy(col("blk"), col("p.id").as("id"))
+            .agg(count(lit(1)).as("n_cap"))
+          // the count agg replaces distinct(): same exchange volume (the
+          // per-bucket generates either way), plus the shared-gram count
+          val pairs = cached
+            .select(col("blk"), col("ps"), explode(col("ps")).as("a"))
+            .select(col("blk"), col("a"), explode(col("ps")).as("b"))
+            .filter(col("a.id") < col("b.id")
+              && col("b.n_sh") * lit(tau) <= col("a.n_sh")
+              && col("a.n_sh") * lit(tau) <= col("b.n_sh"))
+            .groupBy(col("blk"), col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+            .agg(count(lit(1)).as("c"))
+          // n_cap rides to each pair on the ids — slim integer shuffles,
+          // linear in pair count (shuffle_hash: pairs ≫ docs, but the doc
+          // side is corpus-sized so never driver-broadcast at scale).
+          // The 1e-6 slack keeps the prune strictly conservative against
+          // the verify filter's own double rounding: a dropped pair's
+          // bound misses the requirement by more than any float error.
+          pairs
+            .join(nCap.select(col("blk"), col("id").as("id_a"),
+              col("n_cap").as("na_cap")).hint("shuffle_hash"), Seq("blk", "id_a"))
+            .join(nCap.select(col("blk"), col("id").as("id_b"),
+              col("n_cap").as("nb_cap")).hint("shuffle_hash"), Seq("blk", "id_b"))
+            .filter((col("c") + least(col("na") - col("na_cap"),
+                col("nb") - col("nb_cap"))).cast("double")
+              >= bound(col("na"), col("nb")) - lit(1e-6))
+            .select(col("blk"), col("id_a"), col("id_b"))
+      }
     }
   }
 
@@ -369,7 +424,11 @@ object Dedup {
       // (or `spark.catalog.clearCache()`) when done.
       val sets = shingleSets(docs, blockCol, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = ngramCandidatesFrom(sets, tau, maxDf)
+      // J ≥ tau ⟺ common ≥ tau/(1+tau)·(na+nb): the count-bound prune
+      // (see ngramCandidatesFrom) drops chance-collision pairs that
+      // cannot reach it, before they cost a verification
+      val cand = ngramCandidatesFrom(sets, tau, maxDf,
+        Some((na, nb) => (na + nb) * lit(tau / (1 + tau))))
       // ONE verification lookup: each candidate pair explodes to two
       // slim (blk, pair, id, side) rows — integers only — which
       // broadcast onto the scanned (never shuffled) set table; the
@@ -428,15 +487,25 @@ object Dedup {
     * ratio candidate filter OFF (passing tau=0 disables it): the
     * Jaccard prefilter `na/nb ≥ τ` is exactly the bound containment
     * must NOT apply, since containment pairs have arbitrarily
-    * mismatched sizes. Candidate volume stays df-capped; verification
-    * is the shared one-lookup pass. */
+    * mismatched sizes. What replaces it is the exact count bound
+    * (see [[ngramCandidatesFrom]]): a pair must share enough capped
+    * grams that `common` could still reach `tau·min(na,nb)` — without
+    * it every chance single-gram collision becomes a candidate and the
+    * verify stage, not the postings pass, turns super-linear (measured
+    * ~K^1.5 on the K-fold sweep). Verification is the shared
+    * one-lookup pass. */
   def ngramContainment(docs: DataFrame, tau: Double, blockCol: String,
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 3, maxDf: Long = 64): DataFrame = {
     require(maxDf != Long.MaxValue, "containment runs the df-capped plan")
     val sets = shingleSets(docs, blockCol, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = ngramCandidatesFrom(sets, tau = 0.0, maxDf)
+    // C ≥ tau ⟺ common ≥ tau·min(na,nb): with no length-ratio filter
+    // this count bound is the ONLY candidate prune the asymmetric
+    // metric admits — and it is exact (verify-filter-equivalent), so
+    // the reported pair set is unchanged
+    val cand = ngramCandidatesFrom(sets, tau = 0.0, maxDf,
+      Some((na, nb) => least(na, nb) * lit(tau)))
     verifiedOverlap(sets, cand)
       .select(col("id_a"), col("id_b"),
         (col("common") / least(col("na"), col("nb")).cast("double"))

@@ -525,6 +525,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(jac.isEmpty, s"Jaccard misses the quote/subset near-dup: $jac")
   }
 
+  test("ngramContainment count-bound prune: boundary pair kept, chance collision dropped") {
+    // the count-bound candidate prune (common ≤ c + min uncapped grams)
+    // must be invisible in the output: a pair sitting EXACTLY at
+    // containment = tau survives the slack arithmetic, while a pair
+    // sharing one chance gram far below tau is pruned before (not by)
+    // verification — same reported set as the unpruned plan
+    val corpus = Seq(
+      // A: 7 tokens → 5 grams; B shares exactly 3 of them (prefix
+      // "w1..w5" = grams g1 g2 g3) → containment 3/5 = 0.6 exactly
+      (1L, "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "w1 w2 w3 w4 w5 x6 x7 x8 x9"),
+      // C shares ONE gram with A (suffix w5 w6 w7) and nothing else:
+      // containment 1/5 = 0.2 — a chance collision the bound prunes
+      (3L, "y1 y2 y3 y4 w5 w6 w7 y8 y9"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val cont = graft.ops.Dedup.ngramContainment(corpus, tau = 0.6,
+      blockCol = "lang", maxDf = 64).as[(Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    assert(cont.map(c => (c._1, c._2)).toSet === Set((1L, 2L)), s"got ${cont.toSeq}")
+    assert(cont.head._3 === 0.6, "boundary pair reports its exact score")
+  }
+
   test("budgetMix: α=1 collapses to one epoch rate; α=0.5 tilts epochs toward the rare source") {
     // big source: 4 docs × 100 tokens; rare source: 1 doc × 50 tokens
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("tok").mkString(" "))
