@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Text
 
 /** Corpus deduplication at training-data scale. All variants follow the
@@ -130,8 +131,15 @@ object Dedup {
     val b = minhashBands(probe, idCol, textCol, shingleLen, bands, rowsPerBand)
       .select(col("band"), col("band_hash"),
         col("id").as("probe_id"), col("sig").as("sig_b"))
-    // two distinct inputs — no shared exchange to reuse; shuffle_hash
-    // still avoids sort-merge sorts and a driver-side broadcast build
+    bandedCrossVerify(a, b, tau)
+  }
+
+  /** The shared cross-corpus band-bucket join + signature-agreement
+    * verify: two distinct inputs — no shared exchange to reuse;
+    * shuffle_hash still avoids sort-merge sorts and a driver-side
+    * broadcast build. */
+  private def bandedCrossVerify(a: DataFrame, b: DataFrame,
+                                tau: Double): DataFrame =
     a.join(b.hint("shuffle_hash"), Seq("band", "band_hash"))
       .select(col("corpus_id"), col("probe_id"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
@@ -139,6 +147,45 @@ object Dedup {
           / size(col("sig_a")).cast("double")).as("jaccard_est"))
       .distinct()
       .filter(col("jaccard_est") >= tau)
+
+  /** Write-iff-absent banded MinHash signature store — the KEEP-CURRENT
+    * artifact lifecycle (the stored-centroid / gram-set shape) for the
+    * [[crossMinhashLsh]] corpus side: the training corpus is signed and
+    * banded ONCE to parquet; every later dedup of a crawl increment or
+    * eval probe reads (band, band_hash, id, sig) rows and never touches
+    * the corpus text again. Signatures are deterministic (fixed affine
+    * coefficients), so a rebuilt store is bit-identical to a reused one
+    * and both serve the same oracle. At cluster scale, write the store
+    * `bucketBy(band_hash)` into a table so each probe batch shuffles
+    * one-sided into the fixed bucket layout. */
+  def minhashBandsStored(corpus: DataFrame, path: String,
+                         shingleLen: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 4, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    if (!new java.io.File(path, "_SUCCESS").isFile)
+      minhashBands(corpus, idCol, textCol, shingleLen, bands, rowsPerBand)
+        .select(col("id"), col("sig"), col("band"), col("band_hash"))
+        .write.mode("overwrite").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
+  /** [[crossMinhashLsh]] served from a [[minhashBandsStored]] store —
+    * the steady-state incremental-dedup shape: only the probe batch is
+    * signed; the corpus side is a parquet read of its stored banded
+    * signatures. Returns (corpus_id, probe_id, jaccard_est). */
+  def minhashIncremental(probe: DataFrame, path: String, tau: Double,
+                         shingleLen: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 4, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no signature store at $path — build it with minhashBandsStored")
+    val a = probe.sparkSession.read.parquet(path)
+      .select(col("band"), col("band_hash"),
+        col("id").as("corpus_id"), col("sig").as("sig_a"))
+    val b = minhashBands(probe, idCol, textCol, shingleLen, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("id").as("probe_id"), col("sig").as("sig_b"))
+    bandedCrossVerify(a, b, tau)
   }
 
   /** EXACT n-gram contamination — the strict decontamination rule
@@ -511,6 +558,81 @@ object Dedup {
         (col("common") / least(col("na"), col("nb")).cast("double"))
           .as("containment"))
       .filter(col("containment") >= tau)
+  }
+
+  /** Exact duplicated-span REMOVAL — the rewrite companion of
+    * [[graft.ops.TextStats.duplicatedSpans]] (which only reports): the
+    * distributed profile of suffix-array substring dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"),
+    * where all but one occurrence of every corpus-duplicated token span
+    * is CUT OUT of the text. Keep rule, deterministic: occurrences of a
+    * span hash rank by (doc id, position); rank 1 keeps its tokens,
+    * every later occurrence marks its `spanLen` tokens for removal. A
+    * token survives iff no non-canonical duplicated span covers it.
+    *
+    * Plan — fully relational, two corpus-scale exchanges, no
+    * interpreted HOF in the hot path:
+    *  1. span occurrences (id, pos, hash) rank over a hash-partitioned
+    *     window (the [[graft.ops.TextStats.duplicatedSpans]] exchange;
+    *     same hot-span straggler caveat — a span in 10⁸ docs is one
+    *     window partition);
+    *  2. each duplicate occurrence becomes ±1 coverage EVENTS at
+    *     (pos, pos+spanLen); events union the exploded token rows and
+    *     one id-partitioned running sum gives each token its coverage
+    *     depth — interval overlap without a range join;
+    *  3. one aggregation per doc rebuilds the kept text in order
+    *     (collect_list skips the nulls the kept-filter leaves, so
+    *     totals and the rebuilt text come from the same pass; docs
+    *     whose every token was removed stay present with empty text).
+    *
+    * Output: (id, n_tokens, n_removed, clean_text), one row per
+    * non-null-text doc. The token table feeds stages 1 and 2: persisted
+    * MEMORY_AND_DISK, caller owns `spark.catalog.clearCache()` (the
+    * [[ngramJaccard]] convention). */
+  def spanDedup(docs: DataFrame, spanLen: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = toks
+      .select(col("id"), posexplode(Text.shinglesFromTokens(col("toks"), spanLen)))
+      .select(col("id"), col("pos"), Text.hash64(col("col"), 0).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+      .filter(col("rn") > 1)
+      .select(col("id"), col("pos"))
+    // ord sequences same-position rows: both of an occurrence's events
+    // apply before the token there — a span STARTING at p covers p's
+    // token, a span ENDING at p (exclusive) does not. Both events leave
+    // one generate over the SAME dup row (two separate projections
+    // would re-run the span explode + rank window once per union
+    // branch — seen in the plan dump, the whole subtree doubled)
+    val events = dups
+      .select(col("id"), explode(array(
+        struct(col("pos").as("pos"), lit(1L).as("delta")),
+        struct((col("pos") + lit(spanLen)).as("pos"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("id"), col("e.pos").as("pos"), lit(0).as("ord"),
+        col("e.delta").as("delta"), lit(null).cast("string").as("tok"))
+    val tokenRows = toks
+      .select(col("id"), posexplode(col("toks")))
+      .select(col("id"), col("pos"), lit(1).as("ord"), lit(0L).as("delta"),
+        col("col").as("tok"))
+    events.unionAll(tokenRows)
+      .withColumn("cov", sum(col("delta")).over(
+        Window.partitionBy(col("id")).orderBy(col("pos"), col("ord"))))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n_tokens"),
+        // collect_list drops nulls: only kept (uncovered) tokens land
+        collect_list(when(col("ord") === 1 && col("cov") === 0,
+          struct(col("pos"), col("tok")))).as("kept"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(array_sort(col("kept")), s => s.getField("tok")))
+          .as("clean_text"))
   }
 
   /** Uncapped single-pass count-common form (best plan while per-block

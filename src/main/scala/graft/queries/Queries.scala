@@ -531,6 +531,19 @@ object Queries {
     * MinHash-LSH. The oracle computes signatures over the union and
     * keeps exactly the parity-crossing pairs — per-doc signatures are
     * identical either way, so the hash must match. */
+  /** Shared by the inline and store-served cross-corpus queries —
+    * signatures are deterministic, so both replay against the same
+    * banded-pairs SQL. */
+  private def decontamOracleSql: String =
+    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")}
+       |SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS corpus_id,
+       |  CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS probe_id,
+       |  jaccard_est
+       |FROM mh_pairs
+       |WHERE jaccard_est >= $MH_TAU AND (id_a % 2) <> (id_b % 2)
+       |ORDER BY corpus_id, probe_id""".stripMargin
+
   val qDecontaminate: Q = "q_decontaminate" -> (
     (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
@@ -540,14 +553,24 @@ object Queries {
           tau = MH_TAU, shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
         .orderBy(col("corpus_id"), col("probe_id"))
     },
-    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
-       |${minhashPairsCtes("src0")}
-       |SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS corpus_id,
-       |  CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS probe_id,
-       |  jaccard_est
-       |FROM mh_pairs
-       |WHERE jaccard_est >= $MH_TAU AND (id_a % 2) <> (id_b % 2)
-       |ORDER BY corpus_id, probe_id""".stripMargin)
+    decontamOracleSql)
+
+  /** q_decontaminate served from the write-iff-absent banded-signature
+    * store: the corpus side (even ids) is signed once to parquet, the
+    * probe batch (odd ids) joins the stored (band, band_hash) rows —
+    * the steady-state incremental-crawl dedup shape. Same oracle as the
+    * inline form (deterministic signatures). */
+  val qMinhashStored: Q = "q_minhash_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "minhash_sigs")
+      Dedup.minhashBandsStored(docs.filter(col("doc_id") % 2 === 0), store,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+      Dedup.minhashIncremental(docs.filter(col("doc_id") % 2 === 1), store,
+          tau = MH_TAU, shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    },
+    decontamOracleSql)
 
   /** STRICT decontamination: probe docs (odd ids) sharing any EXACT
     * 5-token shingle with any corpus doc (even ids), with the count of
@@ -1909,6 +1932,40 @@ object Queries {
        |    / count(*), 6) AS dup_frac
        |FROM ex JOIN c USING (h) GROUP BY id ORDER BY id""".stripMargin)
 
+  /** Exact duplicated-span REMOVAL (the rewrite companion of
+    * q_dup_spans): all but the first (id, pos)-ranked occurrence of
+    * every corpus-duplicated 5-token span is cut out of the text.
+    * Two corpus exchanges — span-hash rank window, then an
+    * id-partitioned ±1 coverage event scan that resolves interval
+    * overlap without a range join — and one per-doc rebuild. */
+  val qSpanDedup: Q = "q_span_dedup" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.spanDedup(Tables.documents(s, d), spanLen = 5)
+        .orderBy(col("id")),
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |sp AS (SELECT id, list_transform(range(1, len(toks) - 3),
+       |    i -> {'pos': i, 'g': array_to_string(toks[i:i+4], ' ')}) AS gs
+       |  FROM t WHERE len(toks) >= 5),
+       |occ AS (SELECT id, u.pos AS pos,
+       |    CAST('0x' || substr(md5('0' || u.g), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT id, unnest(gs) AS u FROM sp)),
+       |dup AS (SELECT id, pos FROM (
+       |    SELECT id, pos, row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+       |    FROM occ) WHERE rn > 1),
+       |tok AS (SELECT id, u.pos AS pos, u.tok AS tok
+       |  FROM (SELECT id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM t)),
+       |kept AS (SELECT k.id, k.pos, k.tok FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.id = k.id
+       |    AND k.pos >= d.pos AND k.pos < d.pos + 5)),
+       |agg AS (SELECT id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY id)
+       |SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
+
   /** Per-doc fluency under a top-500 bigram model (conditional
     * probability c(w1 w2)/c(w1)) — scrambled/concatenated text scores
     * near zero even when every token is common. Training is two
@@ -2262,6 +2319,6 @@ object Queries {
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
-    qQcStored,
+    qQcStored, qSpanDedup, qMinhashStored,
   )
 }

@@ -547,6 +547,49 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(cont.head._3 === 0.6, "boundary pair reports its exact score")
   }
 
+  test("minhashIncremental: store-served probe returns exactly the inline cross-corpus pairs") {
+    val docs = (1L to 40L).map { i =>
+      // planted cross-parity near-dups: doc 2k ≈ doc 2k+1 for k % 3 == 0
+      val base = s"alpha$i beta$i gamma delta epsilon zeta eta theta iota kappa"
+      (i, if (i % 6 == 1) base.replace(s"alpha$i beta$i", s"alpha${i - 1} beta${i - 1}")
+          else base)
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val probe = docs.filter($"doc_id" % 2 === 1)
+    val inline = graft.ops.Dedup.crossMinhashLsh(corpus, probe, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhstore").toFile
+    val store = new java.io.File(dir, "sigs").getPath
+    graft.ops.Dedup.minhashBandsStored(corpus, store)
+    // second build call must be a no-op read (write-iff-absent)
+    graft.ops.Dedup.minhashBandsStored(corpus, store)
+    val served = graft.ops.Dedup.minhashIncremental(probe, store, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inline.nonEmpty, "fixture must produce cross-parity pairs")
+    assert(served === inline)
+  }
+
+  test("spanDedup: first occurrence keeps, later and self-repeated spans are cut out") {
+    // spanLen=3 fixture exercising every rule: the canonical (lowest
+    // id, pos) occurrence keeps its tokens; a doc QUOTING doc 1 loses
+    // exactly the quoted region (overlapping dup spans merge via the
+    // coverage events); a doc that IS a duplicated span empties; and
+    // within-doc repetition collapses to the first period
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d e z"),
+      (3L, "a b c"),
+      (4L, "p q r p q r p q"))
+      .toDF("doc_id", "text")
+    val byId = graft.ops.Dedup.spanDedup(corpus, spanLen = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    spark.catalog.clearCache()
+    assert(byId(1L) === ((5L, 0L, "a b c d e")), "canonical doc untouched")
+    assert(byId(2L) === ((8L, 5L, "x y z")), "quoted region cut, frame kept")
+    assert(byId(3L) === ((3L, 3L, "")), "doc that IS a dup span empties but stays")
+    assert(byId(4L) === ((8L, 5L, "p q r")), "self-repetition collapses to one period")
+  }
+
   test("budgetMix: α=1 collapses to one epoch rate; α=0.5 tilts epochs toward the rare source") {
     // big source: 4 docs × 100 tokens; rare source: 1 doc × 50 tokens
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("tok").mkString(" "))
