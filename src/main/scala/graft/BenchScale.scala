@@ -86,18 +86,19 @@ object BenchScale {
       val emb = spark.read.parquet(embPath)
       val nd = docs.count(); val ne = emb.count()
 
-      // the uncapped form's stop-gram join grows ∝ (nK)² — past K=4 it
-      // is the demonstration itself, not worth the wall-clock
-      val (tCap, nCap, tUncap, nUncap) =
+      // the capped form is bounded (df cap + count-bound prune) — run it
+      // at every K; the uncapped form's stop-gram join grows ∝ (nK)², so
+      // past K=4 it is the demonstration itself, not worth the wall-clock
+      val (tCap, nCap) = time(graft.ops.Dedup.ngramJaccard(
+        docs, tau = 0.5, blockCol = "lang", maxDf = 64).count())
+      spark.catalog.clearCache()
+      val (tUncap, nUncap) =
         if (k <= 4) {
-          val (a, b) = time(graft.ops.Dedup.ngramJaccard(
-            docs, tau = 0.5, blockCol = "lang", maxDf = 64).count())
-          spark.catalog.clearCache()
           val (c, d2) = time(graft.ops.Dedup.ngramJaccard(
             docs, tau = 0.5, blockCol = "lang").count())
           spark.catalog.clearCache()
-          (a, b, c, d2)
-        } else (-1.0, -1L, -1.0, -1L)
+          (c, d2)
+        } else (-1.0, -1L)
 
       // bucket-width rule: block ≈ ne/5 labels, target ~50/bucket
       val planes = math.max(3,

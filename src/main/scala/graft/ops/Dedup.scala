@@ -592,16 +592,33 @@ object Dedup {
   def spanDedup(docs: DataFrame, spanLen: Int, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = toks
-      .select(col("id"), posexplode(Text.shinglesFromTokens(col("toks"), spanLen)))
-      .select(col("id"), col("pos"), Text.hash64(col("col"), 0).as("h"))
+    val toks = tokenTable(docs, idCol, textCol)
+    val dups = spanOccurrences(toks, spanLen)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
       .filter(col("rn") > 1)
       .select(col("id"), col("pos"))
+    cutCovered(toks, dups, spanLen)
+  }
+
+  /** (id, toks) token table shared by the span-dedup stages: persisted
+    * MEMORY_AND_DISK, caller owns `spark.catalog.clearCache()`. */
+  private def tokenTable(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (id, pos, h) span occurrences off a [[tokenTable]]. */
+  private def spanOccurrences(toks: DataFrame, spanLen: Int): DataFrame =
+    toks
+      .select(col("id"), posexplode(Text.shinglesFromTokens(col("toks"), spanLen)))
+      .select(col("id"), col("pos"), Text.hash64(col("col"), 0).as("h"))
+
+  /** Stages 2+3 of [[spanDedup]]: cut every token covered by a `dups`
+    * occurrence and rebuild the kept text per doc. */
+  private def cutCovered(toks: DataFrame, dups: DataFrame,
+                         spanLen: Int): DataFrame = {
     // ord sequences same-position rows: both of an occurrence's events
     // apply before the token there — a span STARTING at p covers p's
     // token, a span ENDING at p (exclusive) does not. Both events leave
@@ -633,6 +650,48 @@ object Dedup {
         concat_ws(" ",
           transform(array_sort(col("kept")), s => s.getField("tok")))
           .as("clean_text"))
+  }
+
+  /** Write-iff-absent distinct span-hash store — [[spanDedup]]'s corpus
+    * artifact (the [[minhashBandsStored]] lifecycle at span
+    * granularity): the cleaned corpus's span hashes collapse to one
+    * distinct parquet column, signed once. */
+  def spanSetStored(corpus: DataFrame, path: String, spanLen: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
+    if (!new java.io.File(path, "_SUCCESS").isFile)
+      spanOccurrences(
+        corpus.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks")),
+        spanLen)
+        .select(col("h")).distinct()
+        .write.mode("overwrite").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
+  /** [[spanDedup]] of a fresh batch AGAINST a [[spanSetStored]] corpus —
+    * incremental substring dedup: a batch span occurrence is cut if its
+    * span exists anywhere in the stored corpus (the corpus already owns
+    * the canonical copy) OR it repeats within the batch (batch-internal
+    * rank > 1). The corpus is never re-tokenized; the store join and
+    * the batch-internal rank share the span-hash exchange key. */
+  def spanDedupIncremental(batch: DataFrame, path: String, spanLen: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no span store at $path — build it with spanSetStored")
+    val store = batch.sparkSession.read.parquet(path)
+      .select(col("h"), lit(true).as("in_store"))
+    val toks = tokenTable(batch, idCol, textCol)
+    val dups = spanOccurrences(toks, spanLen)
+      .join(store.hint("shuffle_hash"), Seq("h"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+      .filter(col("in_store").isNotNull || col("rn") > 1)
+      .select(col("id"), col("pos"))
+    cutCovered(toks, dups, spanLen)
   }
 
   /** Uncapped single-pass count-common form (best plan while per-block

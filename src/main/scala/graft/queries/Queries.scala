@@ -1966,6 +1966,48 @@ object Queries {
        |  COALESCE(a.clean_text, '') AS clean_text
        |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
 
+  /** Incremental substring dedup: q_span_dedup's cut applied to a fresh
+    * batch (odd ids) against the write-iff-absent span-hash store of
+    * the corpus (even ids) — a batch occurrence is cut if its span
+    * exists anywhere in the stored corpus OR repeats within the batch.
+    * The corpus is never re-tokenized. */
+  val qSpanDedupStored: Q = "q_span_dedup_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "span_set")
+      Dedup.spanSetStored(docs.filter(col("doc_id") % 2 === 0), store, spanLen = 5)
+      Dedup.spanDedupIncremental(docs.filter(col("doc_id") % 2 === 1), store,
+          spanLen = 5)
+        .orderBy(col("id"))
+    },
+    s"""WITH t0 AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |sp AS (SELECT id, list_transform(range(1, len(toks) - 3),
+       |    i -> {'pos': i, 'g': array_to_string(toks[i:i+4], ' ')}) AS gs
+       |  FROM t0 WHERE len(toks) >= 5),
+       |occ AS (SELECT id, u.pos AS pos,
+       |    CAST('0x' || substr(md5('0' || u.g), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT id, unnest(gs) AS u FROM sp)),
+       |cg AS (SELECT DISTINCT h FROM occ WHERE id % 2 = 0),
+       |bo AS (SELECT id, pos, h,
+       |    row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+       |  FROM occ WHERE id % 2 = 1),
+       |dup AS (SELECT bo.id, bo.pos FROM bo LEFT JOIN cg ON cg.h = bo.h
+       |  WHERE bo.rn > 1 OR cg.h IS NOT NULL),
+       |t AS (SELECT id, toks FROM t0 WHERE id % 2 = 1),
+       |tok AS (SELECT id, u.pos AS pos, u.tok AS tok
+       |  FROM (SELECT id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM t)),
+       |kept AS (SELECT k.id, k.pos, k.tok FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.id = k.id
+       |    AND k.pos >= d.pos AND k.pos < d.pos + 5)),
+       |agg AS (SELECT id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY id)
+       |SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
+
   /** Per-doc fluency under a top-500 bigram model (conditional
     * probability c(w1 w2)/c(w1)) — scrambled/concatenated text scores
     * near zero even when every token is common. Training is two
@@ -2319,6 +2361,6 @@ object Queries {
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
-    qQcStored, qSpanDedup, qMinhashStored,
+    qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored,
   )
 }

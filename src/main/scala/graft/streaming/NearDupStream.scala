@@ -259,4 +259,35 @@ object NearDupStream {
           out.iterator
       }
   }
+
+  /** Streaming probe against a
+    * [[graft.ops.Dedup.minhashBandsStored]] corpus store — the
+    * streaming form of [[graft.ops.Dedup.minhashIncremental]]: each
+    * micro-batch signs and bands itself map-only, then STREAM-STATIC
+    * joins the stored (band, band_hash) rows. STATELESS — the corpus
+    * is the static side, so nothing accumulates across batches and
+    * per-batch cost tracks the batch, not the corpus (which is never
+    * re-signed and never re-read beyond the joined buckets). Returns
+    * (corpus_id, probe_id, jaccard_est); a pair sharing several bands
+    * emits once per band (the append-mode contract of the sibling
+    * streams — downstream consolidation collapses them). */
+  def againstStore(docs: DataFrame, path: String, tau: Double,
+                   shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no signature store at $path — build it with minhashBandsStored")
+    val stored = docs.sparkSession.read.parquet(path)
+      .select(col("band"), col("band_hash"),
+        col("id").as("corpus_id"), col("sig").as("sig_a"))
+    graft.ops.Dedup
+      .minhashBands(docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("id").as("probe_id"), col("sig").as("sig_b"))
+      .join(stored, Seq("band", "band_hash"))
+      .select(col("corpus_id"), col("probe_id"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1))
+          / size(col("sig_a")).cast("double")).as("jaccard_est"))
+      .filter(col("jaccard_est") >= tau)
+  }
 }

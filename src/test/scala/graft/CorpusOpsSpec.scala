@@ -590,6 +590,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byId(4L) === ((8L, 5L, "p q r")), "self-repetition collapses to one period")
   }
 
+  test("spanDedupIncremental: store spans cut every batch occurrence, batch ranks internally") {
+    val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstore").toFile
+    val store = new java.io.File(dir, "spans").getPath
+    graft.ops.Dedup.spanSetStored(corpus, store, spanLen = 3)
+    val batch = Seq(
+      // quotes the corpus doc: even its FIRST batch occurrence is cut
+      (1L, "x y a b c d e z"),
+      // batch-internal repetition, unknown to the corpus: rank 1 keeps
+      (3L, "p q r s p q r s"),
+      (5L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.spanDedupIncremental(batch, store, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) === ((8L, 5L, "x y z")), "stored corpus span cut from the batch")
+    assert(out(3L) === ((8L, 4L, "p q r s")), "within-batch repetition collapses")
+    assert(out(5L) === ((5L, 4L, "t")),
+      "doc 3 holds the batch-canonical 'p q r s' spans; doc 5's copies are cut")
+  }
+
   test("budgetMix: α=1 collapses to one epoch rate; α=0.5 tilts epochs toward the rare source") {
     // big source: 4 docs × 100 tokens; rare source: 1 doc × 50 tokens
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("tok").mkString(" "))

@@ -84,6 +84,45 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming store probe: batches match the batch incremental path, no state accrues") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((10L, base),
+      (12L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhstream").toFile
+    val store = new java.io.File(dir, "sigs").getPath
+    graft.ops.Dedup.minhashBandsStored(corpus, store)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.NearDupStream.againstStore(
+      mem.toDF().toDF("doc_id", "text"), store, tau = 0.35)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("mh_store_stream").start()
+    try {
+      mem.addData((1L, base.replace("upsilon", "phi")), (2L, "unrelated text here"))
+      q.processAllAvailable()
+      mem.addData((3L, "one two three four five six seven eight nine ten eleven alt"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT DISTINCT corpus_id, probe_id FROM mh_store_stream")
+        .as[(Long, Long)].collect().toSet
+      // must equal the batch incremental path on the same probe docs
+      val probe = Seq((1L, base.replace("upsilon", "phi")),
+        (2L, "unrelated text here"),
+        (3L, "one two three four five six seven eight nine ten eleven alt"))
+        .toDF("doc_id", "text")
+      val batch = graft.ops.Dedup.minhashIncremental(probe, store, tau = 0.35)
+        .select($"corpus_id", $"probe_id").as[(Long, Long)].collect().toSet
+      assert(got === batch)
+      assert(got.nonEmpty, "fixture must produce store hits")
+      // stream-static join is stateless: no state store rows reported
+      assert(q.lastProgress.stateOperators.isEmpty
+        || q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "againstStore must not accumulate streaming state")
+    } finally q.stop()
+  }
+
   test("windowed near-dup: pairs within the horizon, expired residents never pair, idle buckets reaped") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
