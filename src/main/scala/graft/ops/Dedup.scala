@@ -694,6 +694,44 @@ object Dedup {
     cutCovered(toks, dups, spanLen)
   }
 
+  /** Corpus-level BOILERPLATE removal — the template-span cut of the
+    * RefinedWeb/CCNet cleaning stage: a span whose document frequency
+    * (distinct docs containing it) reaches `minDf` is navigation/
+    * license/header boilerplate, and EVERY occurrence is cut —
+    * including the first. This is the semantic complement of
+    * [[spanDedup]]: there, a duplicated span has a canonical owner
+    * (rank 1 keeps); boilerplate has none.
+    *
+    * Plan: span occurrences aggregate per hash to a distinct-doc count
+    * (two-phase (h,id)-dedup then h-count — no per-span occurrence
+    * lists, so a span present in 10⁸ docs costs one counter, not a
+    * collected list, and hot templates cannot skew an executor); the
+    * df-filtered hash set (the boilerplate dictionary — df ≥ minDf
+    * spans only, a small fraction by construction) then
+    * shuffle-hash-joins the occurrences, which re-explode map-only off
+    * the cached token table rather than re-scanning the corpus. Token
+    * cut + text rebuild ride [[cutCovered]].
+    *
+    * Output: (id, n_tokens, n_removed, clean_text), one row per
+    * non-null-text doc. Token table persisted MEMORY_AND_DISK; caller
+    * owns `spark.catalog.clearCache()`. */
+  def boilerplateRemoval(docs: DataFrame, spanLen: Int, minDf: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val toks = tokenTable(docs, idCol, textCol)
+    val occ = spanOccurrences(toks, spanLen)
+    val hot = occ
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"))
+    val dups = occ.join(hot.hint("shuffle_hash"), Seq("h"))
+      .select(col("id"), col("pos"))
+    cutCovered(toks, dups, spanLen)
+  }
+
   /** Uncapped single-pass count-common form (best plan while per-block
     * dfs stay bounded — one shuffle, no verification join). */
   private def legacyNgramJaccard(docs: DataFrame, tau: Double, blockCol: String,

@@ -2008,6 +2008,37 @@ object Queries {
        |  COALESCE(a.clean_text, '') AS clean_text
        |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
 
+  /** Corpus-level boilerplate removal: every occurrence of a span that
+    * appears in >= minDf distinct docs is cut — including the first
+    * (template spans have no canonical owner, unlike q_span_dedup's
+    * keep-rank-1 rule). */
+  val qBoilerplate: Q = "q_boilerplate" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.boilerplateRemoval(Tables.documents(s, d), spanLen = 4, minDf = 3)
+        .orderBy(col("id")),
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |sp AS (SELECT id, list_transform(range(1, len(toks) - 2),
+       |    i -> {'pos': i, 'g': array_to_string(toks[i:i+3], ' ')}) AS gs
+       |  FROM t WHERE len(toks) >= 4),
+       |occ AS (SELECT id, u.pos AS pos,
+       |    CAST('0x' || substr(md5('0' || u.g), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT id, unnest(gs) AS u FROM sp)),
+       |hot AS (SELECT h FROM occ GROUP BY h HAVING count(DISTINCT id) >= 3),
+       |dup AS (SELECT o.id, o.pos FROM occ o JOIN hot USING (h)),
+       |tok AS (SELECT id, u.pos AS pos, u.tok AS tok
+       |  FROM (SELECT id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM t)),
+       |kept AS (SELECT k.id, k.pos, k.tok FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.id = k.id
+       |    AND k.pos >= d.pos AND k.pos < d.pos + 4)),
+       |agg AS (SELECT id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY id)
+       |SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
+
   /** Per-doc fluency under a top-500 bigram model (conditional
     * probability c(w1 w2)/c(w1)) — scrambled/concatenated text scores
     * near zero even when every token is common. Training is two
@@ -2361,6 +2392,6 @@ object Queries {
     qSemDedupDiv, qSemDedupStored, qDupSpans, qBigramQuality, qContamFrac,
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
-    qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored,
+    qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
   )
 }

@@ -612,6 +612,31 @@ class CorpusOpsSpec extends SparkTestBase {
       "doc 3 holds the batch-canonical 'p q r s' spans; doc 5's copies are cut")
   }
 
+  test("boilerplateRemoval: df>=minDf spans cut everywhere incl. first copy; within-doc repeats survive") {
+    val docs = Seq(
+      (1L, "hdr one two three a b"),
+      (2L, "hdr one two three c d"),
+      (3L, "e hdr one two three f"),
+      // within-doc repetition only: df=1, NOT boilerplate (spanDedup
+      // would cut the second copy; boilerplate must not)
+      (4L, "p q r s p q r s"),
+      (5L, "x y z w k l m n"),
+      // "x y z w" df=2 < minDf=3: survives
+      (6L, "x y z w o u v t"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.boilerplateRemoval(docs, spanLen = 4, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) === ((6L, 4L, "a b")), "first copy of the template is cut too")
+    assert(out(2L) === ((6L, 4L, "c d")))
+    assert(out(3L) === ((6L, 4L, "e f")), "template cut mid-doc")
+    assert(out(4L) === ((8L, 0L, "p q r s p q r s")),
+      "within-doc repeat has df=1 — boilerplate keeps it")
+    assert(out(5L) === ((8L, 0L, "x y z w k l m n")))
+    assert(out(6L) === ((8L, 0L, "x y z w o u v t")), "df=2 below minDf survives")
+  }
+
   test("budgetMix: α=1 collapses to one epoch rate; α=0.5 tilts epochs toward the rare source") {
     // big source: 4 docs × 100 tokens; rare source: 1 doc × 50 tokens
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("tok").mkString(" "))
