@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Tables, Deltas}
 import graft.functions.Text
-import graft.ops.{Dedup, Ann, Multimodal}
+import graft.ops.{Dedup, Ann, Multimodal, Dsir}
 
 /** The oracle-checked query surface: every operator family from
   * SURVEY.md §2 plus the training-data-pipeline ops, each as a
@@ -2039,6 +2039,39 @@ object Queries {
        |  COALESCE(a.clean_text, '') AS clean_text
        |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
 
+  /** DSIR importance ranking (Xie et al. 2023): hashed unigram+bigram
+    * bag LMs for target (lang='en') vs raw (all docs); per-doc weight =
+    * Σ λ_bucket over gram occurrences, top-100 by (weight, id). λ table
+    * trained once into the write-iff-absent store; the oracle reads the
+    * same parquet, so both engines sum identical 6-dp decimals —
+    * exact. */
+  val qDsir: Q = "q_dsir" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val ratios = Dsir.ratiosStored(docs.filter(col("lang") === "en"), docs,
+        buckets = 4096, path = codebookPath(d, "dsir_ratios"))
+      Dsir.score(docs, ratios, buckets = 4096)
+        // decimal-exact inside; double only at the output boundary
+        .withColumn("weight", col("weight").cast("double"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(100)
+    },
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |g AS (SELECT id, unnest(list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram
+       |  FROM t),
+       |b AS (SELECT id,
+       |    CAST('0x' || substr(md5('0' || gram), 1, 15) AS BIGINT) % 4096 AS bucket
+       |  FROM g),
+       |r AS (SELECT bucket, llr
+       |  FROM read_parquet('/root/repo/artifacts/dsir_ratios_sf0.01/*.parquet')),
+       |w AS (SELECT id AS doc_id,
+       |    CAST(CAST(sum(r.llr) AS DECIMAL(18,6)) AS DOUBLE) AS weight,
+       |    count(*) AS n_grams
+       |  FROM b JOIN r USING (bucket) GROUP BY id)
+       |SELECT doc_id, weight, n_grams FROM w
+       |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin)
+
   /** Per-doc fluency under a top-500 bigram model (conditional
     * probability c(w1 w2)/c(w1)) — scrambled/concatenated text scores
     * near zero even when every token is common. Training is two
@@ -2393,5 +2426,6 @@ object Queries {
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
     qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
+    qDsir,
   )
 }

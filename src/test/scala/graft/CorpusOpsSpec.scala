@@ -637,6 +637,40 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(6L) === ((8L, 0L, "x y z w o u v t")), "df=2 below minDf survives")
   }
 
+  test("DSIR: target-like docs outrank off-target; map-only scoring bit-equal; store write-once") {
+    val target = Seq(
+      (100L, "cat dog cat dog bird"),
+      (101L, "dog cat bird cat fish")).toDF("doc_id", "text")
+    val raw = target.union(Seq(
+      (200L, "xx yy zz ww vv uu"),
+      (201L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    val ratios = graft.ops.Dsir.trainLogRatios(target, raw, buckets = 512)
+    assert(ratios.count() === 512, "every bucket materializes a ratio row")
+    val w = graft.ops.Dsir.score(raw, ratios, buckets = 512)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+    // 6 tokens -> 6 unigrams + 5 bigrams
+    assert(w(200L)._2 === 11L, "gram occurrences = tokens + bigrams")
+    assert(w(100L)._1.compareTo(w(200L)._1) > 0,
+      "a doc drawn from the target distribution outranks an off-target doc")
+    assert(w(101L)._1.compareTo(w(201L)._1) > 0)
+    // map-only fold: same decimals, same counts (exact arithmetic both ways)
+    val m = graft.ops.Dsir.scoreMapOnly(raw, ratios, buckets = 512)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+    assert(m === w, "zero-exchange scoring is bit-equal to the distributed sum")
+    // write-iff-absent lifecycle: second call serves the stored table
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toFile
+    val path = new java.io.File(dir, "ratios").getPath
+    val r1 = graft.ops.Dsir.ratiosStored(target, raw, 512, path)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toSet
+    val r2 = graft.ops.Dsir.ratiosStored(target, raw, 512, path)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toSet
+    assert(r1 === r2)
+    assert(r1 === ratios.collect().map(r => (r.getLong(0), r.getDecimal(1))).toSet,
+      "stored ratios identical to a fresh train (deterministic trainer)")
+  }
+
   test("budgetMix: α=1 collapses to one epoch rate; α=0.5 tilts epochs toward the rare source") {
     // big source: 4 docs × 100 tokens; rare source: 1 doc × 50 tokens
     def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("tok").mkString(" "))

@@ -123,6 +123,40 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DSIR scoring runs unchanged on a stream (map-only, stateless, bit-equal to batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // λ table trained on the batch corpus; the stream scores each
+    // arriving doc with a zero-exchange decimal fold — no join, no
+    // state, no watermark
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val ratios = graft.ops.Dsir.trainLogRatios(
+      corpus.filter($"lang" === "en"), corpus, buckets = 512)
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.ops.Dsir.scoreMapOnly(
+      mem.toDF().toDF("doc_id", "text"), ratios, buckets = 512)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dsir_stream").start()
+    try {
+      mem.addData((1L, "alpha beta gamma"), (2L, "one two three four"))
+      q.processAllAvailable()
+      mem.addData((3L, "later batch doc"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, weight, n_grams FROM dsir_stream")
+        .as[(Long, java.math.BigDecimal, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = graft.ops.Dsir.scoreMapOnly(
+        Seq((1L, "alpha beta gamma"), (2L, "one two three four"),
+          (3L, "later batch doc")).toDF("doc_id", "text"),
+        ratios, buckets = 512)
+        .as[(Long, java.math.BigDecimal, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === batch, "stream scores bit-equal the batch fold")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "map-only scoring must not create streaming state")
+    } finally q.stop()
+  }
+
   test("windowed near-dup: pairs within the horizon, expired residents never pair, idle buckets reaped") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
