@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -152,6 +152,72 @@ object Ann {
     * hyperplanes; candidates = same-bucket pairs. Returns up to k
     * neighbors per query (fewer if the bucket is sparse — the recall/cost
     * tradeoff of ANN). */
+  // ---------------------------------------------- int8 quantized tier
+
+  /** Global symmetric int8 quantization scale: max |component| over the
+    * corpus. One scan collapsing to ONE scalar; float→double widening
+    * and comparisons only — no accumulation — so the scale is
+    * bit-identical in any engine and any partition order. */
+  def int8Scale(emb: DataFrame, vecCol: String = "embedding"): Double =
+    emb.agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
+      .head.getDouble(0)
+
+  /** q_i = round(x_i · 127 / scale) as TINYINT — symmetric linear int8
+    * (the FAISS/SQ8 shape with one global scale). round() first makes
+    * the value integral, so the narrowing cast is exact under both
+    * Spark (truncate) and DuckDB (nearest) semantics. */
+  private def quantizeVec(vec: Column, scale: Double): Column =
+    transform(vec, x =>
+      round(x.cast("double") * lit(127.0) / lit(scale)).cast("tinyint"))
+
+  /** Write-iff-absent int8-quantized embedding store: (id, q, scale).
+    * The 100 TB play is the STORE, not the math: 4× less to scan per
+    * ANN pass, and scoring becomes exact 64-bit integer dot products —
+    * order-free, engine-free, SIMD-friendly — instead of float folds.
+    * Quantization is deterministic given the scale, so rebuild ≡ reuse
+    * (the codebook lifecycle). */
+  def int8Stored(emb: DataFrame, path: String, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
+      val m = int8Scale(emb, vecCol)
+      emb.select(col(idCol).as("id"), quantizeVec(col(vecCol), m).as("q"),
+          lit(m).as("scale"))
+        .write.mode("overwrite").parquet(path)
+    }
+    emb.sparkSession.read.parquet(path)
+  }
+
+  /** Σ a_i·b_i over int8 codes, widened to LONG — exact (64 dims × 127²
+    * is far inside long range), hence associative and order-free. */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** [[bruteTopK]] in quantized space: probes quantize with the store's
+    * scale (map-side, broadcast), the corpus side reads only the int8
+    * store — the full-precision vectors are never touched. The scale
+    * cancels in cosine, so ranks track the float ranks up to
+    * quantization error. */
+  def bruteTopKInt8(stored: DataFrame, probes: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val m = stored.select(col("scale")).head.getDouble(0)
+    val q = probes.select(col(idCol).as("q_id"),
+      quantizeVec(col(vecCol), m).as("q_q"))
+    val c = stored.select(col("id").as("n_id"), col("q").as("n_q"))
+    val d = idot(col("q_q"), col("n_q")).cast("double")
+    val nn = sqrt(idot(col("q_q"), col("q_q")).cast("double")) *
+      sqrt(idot(col("n_q"), col("n_q")).cast("double"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(when(nn > 0.0, d / nn).otherwise(lit(0.0)), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               planes: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {

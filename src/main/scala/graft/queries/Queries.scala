@@ -1708,6 +1708,14 @@ object Queries {
       |  TRUE AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** DuckDB mirror of Ann.idot: exact 64-bit integer dot over int8 codes. */
+  private def int8DotSql(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS BIGINT) * CAST($y[i] AS BIGINT)))"
+
+  /** sqrt of the integer self-dot, as the IEEE double both engines agree on. */
+  private def int8NormSql(x: String): String =
+    s"sqrt(CAST(${int8DotSql(x, x)} AS DOUBLE))"
+
   /** DuckDB mirror of Vectors.dot: identical left-to-right double fold. */
   private def dotSql(x: String, y: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -2038,6 +2046,37 @@ object Queries {
        |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
        |  COALESCE(a.clean_text, '') AS clean_text
        |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
+
+  /** int8-quantized ANN: brute cosine top-k over the write-once int8
+    * store (4× smaller scans; exact 64-bit integer dot products —
+    * order-free in any engine). The oracle quantizes the probes with
+    * the stored scale and replays the integer math. */
+  val qAnnInt8: Q = "q_ann_int8" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val store = Ann.int8Stored(emb, codebookPath(d, "int8_emb"))
+      Ann.bruteTopKInt8(store, emb.filter(col("vec_id") < 10), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH st AS (SELECT id, q
+       |    FROM read_parquet('/root/repo/artifacts/int8_emb_sf0.01/*.parquet')),
+       |sc AS (SELECT any_value(scale) AS m
+       |    FROM read_parquet('/root/repo/artifacts/int8_emb_sf0.01/*.parquet')),
+       |pq AS (SELECT vec_id AS q_id, list_transform(embedding, x ->
+       |      CAST(round(CAST(x AS DOUBLE) * 127.0 / sc.m) AS TINYINT)) AS qq
+       |  FROM embeddings CROSS JOIN sc WHERE vec_id < 10),
+       |scored AS (SELECT q_id, st.id AS n_id,
+       |    round(CASE WHEN ${int8NormSql("qq")} * ${int8NormSql("st.q")} > 0
+       |      THEN CAST(${int8DotSql("qq", "st.q")} AS DOUBLE)
+       |        / (${int8NormSql("qq")} * ${int8NormSql("st.q")})
+       |      ELSE 0.0 END, 6) AS cos
+       |  FROM pq JOIN st ON st.id <> q_id),
+       |ranked AS (SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin)
 
   /** DSIR importance ranking (Xie et al. 2023): hashed unigram+bigram
     * bag LMs for target (lang='en') vs raw (all docs); per-doc weight =
@@ -2426,6 +2465,6 @@ object Queries {
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
     qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
-    qDsir,
+    qDsir, qAnnInt8,
   )
 }

@@ -637,6 +637,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(6L) === ((8L, 0L, "x y z w o u v t")), "df=2 below minDf survives")
   }
 
+  test("int8 ANN: codes bounded, identical copies at cos 1.0 exactly, store write-once") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1.0f, 0f, 0f)),
+      (3L, Array(0f, 0.9f, 0.2f, 0f)),
+      (4L, Array(-1.0f, 0f, 0f, 0f)),
+      (5L, Array(1.0f, 0f, 0f, 0f))) // exact copy of 0
+      .toDF("vec_id", "embedding")
+    assert(graft.ops.Ann.int8Scale(vecs) === 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8").toFile
+    val path = new java.io.File(dir, "emb").getPath
+    val store = graft.ops.Ann.int8Stored(vecs, path)
+    val codes = store.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(codes(0L) === Seq[Byte](127, 0, 0, 0))
+    assert(codes(1L) === Seq[Byte](114, 13, 0, 0), "0.9*127=114.3 rounds to 114, 0.1*127=12.7 to 13")
+    assert(codes.values.forall(_.forall(b => b >= -127 && b <= 127)))
+    // second call must serve the store, not retrain (write-iff-absent)
+    val again = graft.ops.Ann.int8Stored(vecs, path).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(again === codes)
+    val top = graft.ops.Ann.bruteTopKInt8(store, vecs.filter($"vec_id" === 0L), k = 3)
+      .select("q_id", "n_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(top(0) === ((0L, 5L, 1.0, 1L)), "the exact copy scores integer-exact cos 1.0")
+    assert(top(1)._2 === 1L, "nearest non-copy is the 0.9/0.1 vector")
+    assert(top(2)._2 === 2L || top(2)._2 === 3L)
+    assert(top.forall(t => t._3 <= 1.0 && t._3 >= -1.0))
+  }
+
   test("DSIR: target-like docs outrank off-target; map-only scoring bit-equal; store write-once") {
     val target = Seq(
       (100L, "cat dog cat dog bird"),
