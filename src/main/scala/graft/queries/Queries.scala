@@ -1122,6 +1122,26 @@ object Queries {
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
 
   /** CUBE over region × nation (all four grouping combinations). */
+  /** Pivot (cross-tab): per-source doc counts spread across the lang
+    * columns. Values are DECLARED (`pivot(col, values)`), so the plan
+    * is one pass — no distinct-values collect job before the agg, the
+    * form that survives a 100 TB scan. */
+  val qPivot: Q = "q_pivot" -> (
+    (s: SparkSession, d: String) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source")),
+    """SELECT source,
+      |  count(*) FILTER (lang = 'de') AS de,
+      |  count(*) FILTER (lang = 'en') AS en,
+      |  count(*) FILTER (lang = 'es') AS es,
+      |  count(*) FILTER (lang = 'fr') AS fr,
+      |  count(*) FILTER (lang = 'zh') AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+
   val qCube: Q = "q_cube" -> (
     (s: SparkSession, d: String) => {
       val dims = Tables.nation(s, d)
@@ -2449,6 +2469,7 @@ object Queries {
     qCount, qThreshold,
     qJoinLeft, qJoinSemi, qJoinAnti, qAsOf, qAsOfTol, qRangeJoin,
     qTopK, qWindowRunning, qWindowFrame, qMaxBy, qMinMax, qRollup, qCube,
+    qPivot,
     qCountDistinct, qPercentile, qApproxDistinct, qApproxQuantile,
     qDedupExact, qFingerprint, qRollingFp, qTokenCount, qLangId, qQuality,
     qMinhashLsh, qDecontaminate, qNgramDecontam, qRepetition,
