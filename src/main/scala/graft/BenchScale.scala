@@ -182,6 +182,37 @@ object BenchScale {
         docs, tau = 0.6, blockCol = "lang", maxDf = 64).count())
       spark.catalog.clearCache()
 
+      // this round's additions, all designed ~linear — boilerplate
+      // removal (the appended stop sentence IS a planted template:
+      // df = n·K, but the df agg holds one counter per span and the cut
+      // join emits ~5 occurrences per doc), DSIR (two bucket-sized
+      // count aggs to train; scoring one scan — broadcast-join form vs
+      // the zero-exchange map fold), int8 ANN (store build one scan;
+      // 10-probe brute pass O(10·n) integer dots)
+      val (tBp, _) = time(graft.ops.Dedup.boilerplateRemoval(
+        docs, spanLen = 4, minDf = 3).count())
+      spark.catalog.clearCache()
+      val (tDsirTrain, ratios) = time(graft.ops.Dsir.trainLogRatios(
+        docs.filter(col("lang") === "en"), docs, buckets = 4096))
+      val (tDsirScore, _) = time(
+        graft.ops.Dsir.score(docs, ratios, buckets = 4096).count())
+      spark.catalog.clearCache()
+      val (tDsirMap, _) = time(
+        graft.ops.Dsir.scoreMapOnly(docs, ratios, buckets = 4096).count())
+      spark.catalog.clearCache()
+      val int8Path = s"/root/repo/tmp/scale_int8_$k"
+      locally { // write-iff-absent store: clear so the build is measured
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(int8Path))
+      }
+      val (tInt8Build, _) = time(graft.ops.Ann.int8Stored(emb, int8Path))
+      val (tInt8Ann, _) = time(graft.ops.Ann.bruteTopKInt8(
+        spark.read.parquet(int8Path), emb.filter(col("vec_id") < 10), k = 3)
+        .count())
+      spark.catalog.clearCache()
+
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
         s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
@@ -196,7 +227,13 @@ object BenchScale {
         s""""bigram_sec":${f"$tBigram%.2f"},""" +
         s""""bloom_decontam_sec":${f"$tBloom%.2f"},""" +
         s""""quality_classifier_sec":${f"$tQc%.2f"},""" +
-        s""""containment_sec":${f"$tCont%.2f"},"containment_pairs":$nCont}""")
+        s""""containment_sec":${f"$tCont%.2f"},"containment_pairs":$nCont,""" +
+        s""""boilerplate_sec":${f"$tBp%.2f"},""" +
+        s""""dsir_train_sec":${f"$tDsirTrain%.2f"},""" +
+        s""""dsir_score_sec":${f"$tDsirScore%.2f"},""" +
+        s""""dsir_map_sec":${f"$tDsirMap%.2f"},""" +
+        s""""int8_build_sec":${f"$tInt8Build%.2f"},""" +
+        s""""int8_ann_sec":${f"$tInt8Ann%.2f"}}""")
     }
     spark.stop()
   }

@@ -24,7 +24,8 @@ object Plans {
         "q_bloom_decontam", "q_quality_classifier", "q_bloom_stored",
         "q_leakage_split", "q_export_shards", "q_budget_mix",
         "q_ngram_containment", "q_qc_stored", "q_span_dedup", "q_minhash_stored",
-        "q_span_dedup_stored", "q_boilerplate", "q_dsir", "q_ann_int8")
+        "q_span_dedup_stored", "q_boilerplate", "q_dsir", "q_ann_int8",
+        "q_hard_negatives")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

@@ -152,6 +152,32 @@ object Ann {
     * hyperplanes; candidates = same-bucket pairs. Returns up to k
     * neighbors per query (fewer if the bucket is sparse — the recall/cost
     * tradeoff of ANN). */
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the k nearest CORPUS vectors with a DIFFERENT label — the nearest
+    * wrong-class examples, the informative negatives batch-builders
+    * want. Same shape as [[bruteTopK]]: queries broadcast, the corpus
+    * (the 100 TB side) scanned once with no shuffle; the label
+    * inequality rides the join condition so excluded pairs are never
+    * scored. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q),
+        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        round(Vectors.cosine(col("q_v"), col("n_v")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("cos"), col("rank"))
+  }
+
   // ---------------------------------------------- int8 quantized tier
 
   /** Global symmetric int8 quantization scale: max |component| over the

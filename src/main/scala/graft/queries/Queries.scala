@@ -2067,6 +2067,28 @@ object Queries {
        |  COALESCE(a.clean_text, '') AS clean_text
        |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
 
+  /** Hard-negative mining: per probe, the 3 nearest corpus vectors of a
+    * DIFFERENT label (contrastive-training negatives). Probe side
+    * broadcast; corpus scanned once, label inequality in the join
+    * condition. */
+  val qHardNegatives: Q = "q_hard_negatives" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v, label AS q_label
+       |    FROM embeddings WHERE vec_id < 10),
+       |scored AS (SELECT q_id, q_label, c.vec_id AS n_id, c.label AS n_label,
+       |    round(${cosSql("q_v", "c.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings c ON c.vec_id <> q_id AND c.label <> q_label),
+       |ranked AS (SELECT q_id, q_label, n_id, n_label, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, q_label, n_id, n_label, cos, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+
   /** int8-quantized ANN: brute cosine top-k over the write-once int8
     * store (4× smaller scans; exact 64-bit integer dot products —
     * order-free in any engine). The oracle quantizes the probes with
@@ -2486,6 +2508,6 @@ object Queries {
     qDomainCap, qBloomDecontam, qQualityClassifier, qBloomStored,
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
     qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
-    qDsir, qAnnInt8,
+    qDsir, qAnnInt8, qHardNegatives,
   )
 }

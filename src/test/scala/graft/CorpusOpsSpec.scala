@@ -637,6 +637,23 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(6L) === ((8L, 0L, "x y z w o u v t")), "df=2 below minDf survives")
   }
 
+  test("hardNegatives: nearest wrong-label only — a same-label twin never appears") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f), 7),
+      (1L, Array(1.0f, 0f, 0f), 7),    // identical twin, SAME label: excluded
+      (2L, Array(0.9f, 0.1f, 0f), 3),  // near, different label: rank 1
+      (3L, Array(0f, 1.0f, 0f), 3),    // orthogonal, different label
+      (4L, Array(-1.0f, 0f, 0f), 5))   // opposite, different label
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Ann.hardNegatives(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .select("q_id", "n_id", "n_label", "rank")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq === Seq(2L, 3L, 4L),
+      "ranked by cosine among wrong-label vectors only")
+    assert(!out.map(_._2).contains(1L), "the same-label twin is never a negative")
+    assert(out.forall(_._3 != 7))
+  }
+
   test("int8 ANN: codes bounded, identical copies at cos 1.0 exactly, store write-once") {
     val vecs = Seq(
       (0L, Array(1.0f, 0f, 0f, 0f)),
