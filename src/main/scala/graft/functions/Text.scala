@@ -158,7 +158,27 @@ object Text {
   def stopwordHits(c: Column, lexicon: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(lexicon: _*)))
 
+  /** Stopword hits over a MATERIALIZED token array (attribute — avoids
+    * re-tokenizing when several rules share one tokenize pass). */
+  def stopwordHitsFromTokens(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, t => t.isin(lexicon: _*))).cast("long")
+
+  /** Total characters across tokens — the numerator of mean word
+    * length, kept as an exact integer so ratio rules can
+    * cross-multiply instead of dividing. */
+  def tokenLenSum(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+
+  /** Tokens containing at least one (lower-case) letter — the Gopher
+    * "words with an alphabetic character" signal. Call on normText
+    * tokens (already lower-cased). */
+  def alphaWordCount(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+
   private val EN_STOP = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** The EN lexicon, shared with the Gopher-rule filter. */
+  val EN_STOPWORDS: Seq[String] = EN_STOP
   private val langLexicons: Seq[(String, Seq[String])] = Seq(
     "en" -> EN_STOP,
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est"),

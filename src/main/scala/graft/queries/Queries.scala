@@ -2483,6 +2483,146 @@ object Queries {
        |  md5(string_agg(fp, '' ORDER BY pos)) AS content_fp
        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Gopher-style document filter (the repetition/format heuristics of
+    * the Gopher corpus paper, re-expressed integer-exact): every ratio
+    * rule is CROSS-MULTIPLIED (5·alpha ≥ 4·n, 3n ≤ Σlen ≤ 10n, …), never
+    * divided, so both engines compare the same integers bit-for-bit.
+    * One tokenize projection feeds every signal — map-only, zero
+    * exchanges; at 100 TB this rides the ingest scan. */
+  val qGopherQuality: Q = "q_gopher_quality" -> (
+    (s: SparkSession, d: String) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("sh", Text.shinglesFromTokens(col("toks"), 2))
+      t.select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          Text.tokenLenSum(col("toks")).as("len_sum"),
+          Text.alphaWordCount(col("toks")).as("alpha_words"),
+          Text.stopwordHitsFromTokens(col("toks"), Text.EN_STOPWORDS)
+            .as("stop_hits"),
+          size(col("sh")).cast("long").as("n_grams"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct_grams"))
+        .withColumn("keep",
+          when(col("n_words").between(50L, 100000L)
+            && col("len_sum") >= col("n_words") * 3L
+            && col("len_sum") <= col("n_words") * 10L
+            && col("alpha_words") * 5L >= col("n_words") * 4L
+            && col("stop_hits") >= 2L
+            && (col("n_grams") === 0L
+              || col("n_distinct_grams") * 5L >= col("n_grams") * 4L),
+            1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh
+       |  FROM t),
+       |f AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS len_sum,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS stop_hits,
+       |    CAST(len(sh) AS BIGINT) AS n_grams,
+       |    CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_grams
+       |  FROM g)
+       |SELECT doc_id, n_words, len_sum, alpha_words, stop_hits, n_grams,
+       |  n_distinct_grams,
+       |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+       |    AND len_sum BETWEEN 3 * n_words AND 10 * n_words
+       |    AND 5 * alpha_words >= 4 * n_words
+       |    AND stop_hits >= 2
+       |    AND (n_grams = 0 OR 5 * n_distinct_grams >= 4 * n_grams)
+       |  THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin)
+
+  /** Corpus snapshot diff: added/removed/changed/unchanged counts per
+    * source between version 1 (the documents table) and a
+    * deterministically simulated version 2 (drop id%7=0, revise id%7=1,
+    * add clones of id%7=2 under new ids). The diff itself is the
+    * operator: ONE co-partitioned full-outer hash join of two
+    * fingerprint projections on the doc key — at 100 TB each side
+    * shuffles once on doc_id (or not at all off bucketed stores), and
+    * the content compare is an md5 equality, never a text compare. */
+  val qCorpusDiff: Q = "q_corpus_diff" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), col("source"),
+        Text.fingerprint(col("text")).as("fp"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(
+            when(pmod(col("doc_id"), lit(7L)) === 1L,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("fp"))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(7L)) === 2L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            Text.fingerprint(col("text")).as("fp")))
+      v1.withColumnRenamed("source", "src_a").withColumnRenamed("fp", "fp_a")
+        .join(v2.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("fp", "fp_b"), Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_a"), col("src_b")).as("source"),
+          when(col("fp_b").isNull, "removed")
+            .when(col("fp_a").isNull, "added")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    },
+    s"""WITH v1 AS (SELECT doc_id, source, md5($NORM) AS fp FROM documents),
+       |v2 AS (SELECT doc_id, source,
+       |    md5(lower(trim(regexp_replace(
+       |      CASE WHEN doc_id % 7 = 1 THEN text || ' rev2' ELSE text END,
+       |      '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, md5($NORM) FROM documents
+       |  WHERE doc_id % 7 = 2),
+       |j AS (SELECT COALESCE(a.source, b.source) AS source,
+       |    CASE WHEN b.fp IS NULL THEN 'removed'
+       |      WHEN a.fp IS NULL THEN 'added'
+       |      WHEN a.fp <> b.fp THEN 'changed'
+       |      ELSE 'unchanged' END AS status
+       |  FROM v1 a FULL OUTER JOIN v2 b USING (doc_id))
+       |SELECT source, status, CAST(count(*) AS BIGINT) AS n
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Exact weighted quantiles per group (token-count-weighted median and
+    * p90 of doc length per source): cumulative-weight window, quantile =
+    * first value whose cumulative weight crosses q·total — the
+    * cross-multiplied integer form (2·cum ≥ tot, 10·cum ≥ 9·tot), no
+    * floating division anywhere. ONE exchange on the group key serves
+    * both the running sum and the per-group total; the final per-group
+    * min is a partial-aggregated hash agg on the same key. */
+  val qWeightedQuantile: Q = "q_weighted_quantile" -> (
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("wt"))
+        .withColumn("cum", sum(col("wt")).over(w))
+        .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("source"))))
+      base.groupBy(col("source"))
+        .agg(
+          min(when(col("cum") * 2L >= col("tot"), col("n_chars"))).as("w_median"),
+          min(when(col("cum") * 10L >= col("tot") * 9L, col("n_chars"))).as("w_p90"),
+          max(col("tot")).as("tot_w"))
+        .orderBy(col("source"))
+    },
+    s"""WITH b AS (SELECT doc_id, source, n_chars,
+       |    CAST(len($TOKS) AS BIGINT) AS wt FROM documents),
+       |c AS (SELECT source, n_chars,
+       |    sum(wt) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(wt) OVER (PARTITION BY source) AS tot
+       |  FROM b)
+       |SELECT source,
+       |  min(CASE WHEN 2 * cum >= tot THEN n_chars END) AS w_median,
+       |  min(CASE WHEN 10 * cum >= 9 * tot THEN n_chars END) AS w_p90,
+       |  CAST(max(tot) AS BIGINT) AS tot_w
+       |FROM c GROUP BY source ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2509,5 +2649,6 @@ object Queries {
     qLeakageSplit, qExportShards, qBudgetMix, qNgramContainment,
     qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
     qDsir, qAnnInt8, qHardNegatives,
+    qGopherQuality, qCorpusDiff, qWeightedQuantile,
   )
 }
