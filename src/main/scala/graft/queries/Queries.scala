@@ -2623,6 +2623,104 @@ object Queries {
        |  CAST(max(tot) AS BIGINT) AS tot_w
        |FROM c GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Chunk→document embedding pooling over the int8 store: per-dimension
+    * integer SUMS (plus the chunk count), never a float mean — exact in
+    * any engine and any order, and the caller can divide at the edge.
+    * Reads ONLY the quantized store (4× less scan than float vectors).
+    * The explode+hash-agg shape partial-aggregates map-side wherever a
+    * doc's chunks are co-located (they are, in id-ordered stores); the
+    * packed-array alternative (collect_list + zip_with fold) trades
+    * shuffle volume for no partial agg — explode wins when chunks
+    * cluster, which an id-partitioned store guarantees. */
+  val qPooledEmbed: Q = "q_pooled_embed" -> (
+    (s: SparkSession, d: String) => {
+      val store = Ann.int8Stored(Tables.embeddings(s, d),
+        codebookPath(d, "int8_emb"))
+      store.select(floor(col("id") / 8L).cast("long").as("doc_id"),
+          posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("v")).cast("long").as("sum_q"),
+          count(lit(1)).as("n_chunks"))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy(col("doc_id"), col("dim"))
+    },
+    s"""WITH st AS (SELECT id, q
+       |    FROM read_parquet('/root/repo/artifacts/int8_emb_sf0.01/*.parquet')),
+       |e AS (SELECT id // 8 AS doc_id,
+       |    unnest(q) AS v,
+       |    unnest(range(len(q))) AS dim
+       |  FROM st)
+       |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+       |  CAST(sum(v) AS BIGINT) AS sum_q,
+       |  CAST(count(*) AS BIGINT) AS n_chunks
+       |FROM e GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)
+
+  /** Dataset card: the per-(source,lang) / per-source / global corpus
+    * summary in ONE pass — GROUPING SETS, not three scans union'd. The
+    * distinct-fingerprint count folds the exact-dup rate into the card;
+    * token and char totals are integer sums. At 100 TB this is one
+    * Expand(×3) over the scan feeding one partial-aggregated exchange —
+    * the canonical "corpus stats" job. */
+  val qDatasetCard: Q = "q_dataset_card" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("lang"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.tokenCount(col("text")).cast("long").as("nt"), col("n_chars"))
+      docs.groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("nt")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("n_unique"), col("total_tokens"),
+          col("total_chars"))
+        .orderBy(col("source"), col("lang"))
+    },
+    s"""SELECT COALESCE(source, '(all)') AS source,
+       |  COALESCE(lang, '(all)') AS lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT md5($NORM)) AS BIGINT) AS n_unique,
+       |  CAST(sum(len($TOKS)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |GROUP BY GROUPING SETS ((source, lang), (source), ())
+       |ORDER BY 1, 2""".stripMargin)
+
+  /** Per-doc most-similar document ("find the near-twin"): the MinHash
+    * band join supplies candidates (tau=0 keeps every banded pair), then
+    * one symmetric max_by argmax per doc — highest estimate, ties to the
+    * smallest neighbor id. Same bounded-bucket machinery as the dedup
+    * family, so candidate cost is band-bucket-sized, never all-pairs;
+    * the argmax is O(1) state per key. jaccard_est = matches/32 is a
+    * dyadic rational — exact in doubles, safe to hash-compare. */
+  val qNearestDoc: Q = "q_nearest_doc" -> (
+    (s: SparkSession, d: String) => {
+      val pairs = Dedup.minhashLsh(Tables.documents(s, d), tau = 0.0,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nn"),
+          col("jaccard_est"))
+        .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nn"),
+          col("jaccard_est")))
+      sym.groupBy(col("id"))
+        .agg(max_by(struct(col("nn"), col("jaccard_est")),
+          struct(col("jaccard_est"), (-col("nn")).as("tie"))).as("t"))
+        .select(col("id").as("doc_id"), col("t.nn").as("nn_id"),
+          col("t.jaccard_est").as("jaccard_est"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")},
+       |sym AS (SELECT id_a AS id, id_b AS nn, jaccard_est FROM mh_pairs
+       |  UNION ALL SELECT id_b, id_a, jaccard_est FROM mh_pairs),
+       |r AS (SELECT id, nn, jaccard_est, row_number() OVER (
+       |    PARTITION BY id ORDER BY jaccard_est DESC, nn ASC) AS rn
+       |  FROM sym)
+       |SELECT id AS doc_id, nn AS nn_id, jaccard_est
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2650,5 +2748,6 @@ object Queries {
     qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
+    qPooledEmbed, qDatasetCard, qNearestDoc,
   )
 }
