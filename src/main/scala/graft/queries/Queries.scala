@@ -2721,6 +2721,67 @@ object Queries {
        |SELECT id AS doc_id, nn AS nn_id, jaccard_est
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 
+  /** Unrolled k-round BPE oracle. Per round: pair counts over the
+    * vocab-sized symbol table, a LIMIT-1 argmax with the trainer's
+    * (freq desc, l, r) tie-break, and a per-word RECURSIVE-CTE fold
+    * replaying the trainer's greedy left-to-right merge application
+    * exactly (a row per scan position; terminal rows at pos = len+1).
+    * If a round finds no pairs its m-CTE is empty and every later
+    * round inherits an empty table — matching the trainer's early
+    * stop row-for-row. Every chain CTE is MATERIALIZED: DuckDB inlines
+    * plain CTEs at each reference, and with two references per round
+    * the 6-round chain re-evaluates exponentially without the hint
+    * (measured: >10 min inlined, sub-second materialized). */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(sym)),
+         |    i -> [sym[i], sym[i+1]])) AS pr, freq FROM $prev),
+         |c$r AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS rr,
+         |    CAST(sum(freq) AS BIGINT) AS f FROM p$r GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, rr, f FROM c$r ORDER BY f DESC, l, rr LIMIT 1),
+         |a$r(word, freq, sym, pos, out) AS (
+         |  SELECT word, freq, sym, 1, CAST([] AS VARCHAR[]) FROM $prev
+         |  UNION ALL
+         |  SELECT a.word, a.freq, a.sym,
+         |    CASE WHEN a.pos < len(a.sym) AND a.sym[a.pos] = m.l
+         |        AND a.sym[a.pos + 1] = m.rr
+         |      THEN a.pos + 2 ELSE a.pos + 1 END,
+         |    CASE WHEN a.pos < len(a.sym) AND a.sym[a.pos] = m.l
+         |        AND a.sym[a.pos + 1] = m.rr
+         |      THEN list_append(a.out, m.l || m.rr)
+         |      ELSE list_append(a.out, a.sym[a.pos]) END
+         |  FROM a$r a, m$r m WHERE a.pos <= len(a.sym)),
+         |s$r AS MATERIALIZED (SELECT word, freq, out AS sym FROM a$r
+         |  WHERE pos = len(sym) + 1)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(r => s"SELECT $r AS rank, l, rr, f FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |t AS MATERIALIZED (SELECT unnest($TOKS) AS word FROM documents),
+       |w AS MATERIALIZED (SELECT word, count(*) AS freq FROM t GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, freq,
+       |    list_transform(range(length(word)), i -> substr(word, i + 1, 1)) AS sym
+       |  FROM w),
+       |${rounds.mkString(",\n")},
+       |mm AS ($unions)
+       |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", rr AS "right",
+       |  f AS freq
+       |FROM mm ORDER BY rank""".stripMargin
+  }
+
+  /** BPE tokenizer training ([[graft.ops.Bpe]]): 6 learned merges with
+    * their pair frequencies. The corpus is scanned ONCE (word counts);
+    * every round after that is an aggregation over the vocabulary-sized
+    * symbol table plus a one-row driver argmax — the same model-sized
+    * collect lifecycle as the k-means and PQ codebook trainers. */
+  val qBpeMerges: Q = "q_bpe_merges" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Bpe.trainMergesDf(Tables.documents(s, d), k = 6)
+        .orderBy(col("rank")),
+    bpeOracleSql(6))
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2748,6 +2809,6 @@ object Queries {
     qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
-    qPooledEmbed, qDatasetCard, qNearestDoc,
+    qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges,
   )
 }
