@@ -97,4 +97,30 @@ object Bpe {
       merges.foldLeft(split(col("word"), "")) { case (c, (l, r)) =>
         applyMerge(c, l, r)
       })
+
+  /** Write-iff-absent merge-table store (the tokenizer artifact
+    * lifecycle: train once, encode forever). Deterministic retrain ≡
+    * reuse, so an oracle re-deriving the merges agrees with a consumer
+    * reading the store. */
+  def mergesStored(docs: DataFrame, k: Int, path: String,
+                   textCol: String = "text"): DataFrame = {
+    if (!new java.io.File(path, "_SUCCESS").isFile)
+      trainMergesDf(docs, k, textCol).write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** Per-document BPE token count under a stored merge table: encode
+    * runs once per DISTINCT word (vocab-sized), then a broadcast join
+    * maps every word occurrence to its token count — the corpus side
+    * is one explode + partial-aggregated sum, never re-encoded. */
+  def tokenCountPerDoc(docs: DataFrame, merges: Seq[(String, String)],
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val vocab = encode(wordCounts(docs, textCol).select(col("word")), merges)
+      .select(col("word"), size(col("sym")).cast("long").as("n_tok"))
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tok")).as("n_bpe_tokens"))
+  }
 }

@@ -2732,7 +2732,7 @@ object Queries {
     * plain CTEs at each reference, and with two references per round
     * the 6-round chain re-evaluates exponentially without the hint
     * (measured: >10 min inlined, sub-second materialized). */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS MATERIALIZED (SELECT unnest(list_transform(range(1, len(sym)),
@@ -2755,16 +2755,20 @@ object Queries {
          |s$r AS MATERIALIZED (SELECT word, freq, out AS sym FROM a$r
          |  WHERE pos = len(sym) + 1)""".stripMargin
     }
-    val unions = (1 to k)
-      .map(r => s"SELECT $r AS rank, l, rr, f FROM m$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE
-       |t AS MATERIALIZED (SELECT unnest($TOKS) AS word FROM documents),
+       |t AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
        |w AS MATERIALIZED (SELECT word, count(*) AS freq FROM t GROUP BY word),
        |s0 AS MATERIALIZED (SELECT word, freq,
        |    list_transform(range(length(word)), i -> substr(word, i + 1, 1)) AS sym
        |  FROM w),
-       |${rounds.mkString(",\n")},
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val unions = (1 to k)
+      .map(r => s"SELECT $r AS rank, l, rr, f FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeOracleCtes(k)},
        |mm AS ($unions)
        |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", rr AS "right",
        |  f AS freq
@@ -2781,6 +2785,29 @@ object Queries {
       graft.ops.Bpe.trainMergesDf(Tables.documents(s, d), k = 6)
         .orderBy(col("rank")),
     bpeOracleSql(6))
+
+  /** Tokenizer APPLY under the stored merge table: per-doc BPE token
+    * count. Encode runs once per DISTINCT word (vocab-sized) and the
+    * corpus side is one explode + broadcast map-join + partial-agg sum
+    * — no document is ever re-encoded. The oracle re-derives the
+    * merges (training is deterministic, so store ≡ retrain) and reads
+    * the final round's symbol table for the word→token-count map. */
+  val qBpeEncode: Q = "q_bpe_encode" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe
+        .mergesStored(docs, k = 6, codebookPath(d, "bpe_merges"))
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.tokenCountPerDoc(docs, merges)
+        .orderBy(col("doc_id"))
+    },
+    s"""${bpeOracleCtes(6)},
+       |v AS MATERIALIZED (SELECT word, CAST(len(sym) AS BIGINT) AS n_tok
+       |  FROM s6)
+       |SELECT t.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM t JOIN v USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
@@ -2809,6 +2836,6 @@ object Queries {
     qQcStored, qSpanDedup, qMinhashStored, qSpanDedupStored, qBoilerplate,
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
-    qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges,
+    qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
   )
 }
