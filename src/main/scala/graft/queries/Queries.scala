@@ -2809,6 +2809,62 @@ object Queries {
        |FROM t JOIN v USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 
+  /** ANN index EVALUATION: recall@3 of the IVF index against the
+    * brute-force ground truth, per probe — the measurement loop every
+    * production ANN deployment runs on a probe sample before trusting
+    * an index. Integer-exact output (hit count and k, never a float
+    * recall). At 100 TB ground truth comes from the same bounded probe
+    * sample (10 queries here), so the brute side stays a broadcast-
+    * probe scan, not an all-pairs join. */
+  val qAnnRecall: Q = "q_ann_recall" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10)
+      val truth = Ann.bruteTopK(emb, probes, k = 3)
+        .select(col("q_id"), col("n_id"))
+      val approx = Ann.ivfTopK(emb, probes, k = 3,
+          centroidIds = (0L until 16L), nprobe = 2)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "n_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("k"))
+        .orderBy(col("q_id"))
+    },
+    {
+      val centList = (0 until 16).mkString("(", ", ", ")")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+         |  WHERE vec_id < 10),
+         |scored_b AS (SELECT q_id, c.vec_id AS n_id,
+         |    round(${cosSql("q_v", "c.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+         |b AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored_b) WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_v
+         |  FROM embeddings WHERE vec_id IN $centList),
+         |cell_n AS (SELECT n_id, n_v, c_id AS cell FROM (
+         |  SELECT e.vec_id AS n_id, e.embedding AS n_v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.c_v")} DESC, c.c_id) AS crank
+         |  FROM embeddings e CROSS JOIN cents c) WHERE crank = 1),
+         |probe_q AS (SELECT q_id, q_v, c_id AS cell FROM (
+         |  SELECT e.vec_id AS q_id, e.embedding AS q_v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.c_v")} DESC, c.c_id) AS crank
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE crank <= 2),
+         |scored_i AS (SELECT q_id, n_id, round(${cosSql("q_v", "n_v")}, 6) AS cos
+         |  FROM cell_n JOIN probe_q USING (cell) WHERE q_id <> n_id),
+         |iv AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored_i) WHERE rank <= 3)
+         |SELECT b.q_id,
+         |  CAST(count(iv.n_id) AS BIGINT) AS n_hit,
+         |  CAST(count(*) AS BIGINT) AS k
+         |FROM b LEFT JOIN iv USING (q_id, n_id)
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2837,5 +2893,6 @@ object Queries {
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
+    qAnnRecall,
   )
 }
