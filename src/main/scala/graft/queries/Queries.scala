@@ -2489,52 +2489,62 @@ object Queries {
     * divided, so both engines compare the same integers bit-for-bit.
     * One tokenize projection feeds every signal — map-only, zero
     * exchanges; at 100 TB this rides the ingest scan. */
-  val qGopherQuality: Q = "q_gopher_quality" -> (
-    (s: SparkSession, d: String) => {
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .withColumn("sh", Text.shinglesFromTokens(col("toks"), 2))
-      t.select(
-          col("doc_id"),
-          size(col("toks")).cast("long").as("n_words"),
-          Text.tokenLenSum(col("toks")).as("len_sum"),
-          Text.alphaWordCount(col("toks")).as("alpha_words"),
-          Text.stopwordHitsFromTokens(col("toks"), Text.EN_STOPWORDS)
-            .as("stop_hits"),
-          size(col("sh")).cast("long").as("n_grams"),
-          size(array_distinct(col("sh"))).cast("long").as("n_distinct_grams"))
-        .withColumn("keep",
-          when(col("n_words").between(50L, 100000L)
-            && col("len_sum") >= col("n_words") * 3L
-            && col("len_sum") <= col("n_words") * 10L
-            && col("alpha_words") * 5L >= col("n_words") * 4L
-            && col("stop_hits") >= 2L
-            && (col("n_grams") === 0L
-              || col("n_distinct_grams") * 5L >= col("n_grams") * 4L),
-            1L).otherwise(0L))
-        .orderBy(col("doc_id"))
-    },
-    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-       |g AS (SELECT doc_id, toks,
+  /** The Gopher signals + keep flag as a DataFrame (shared by the
+    * standalone filter query and the packing composite). */
+  private def gopherSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("sh", Text.shinglesFromTokens(col("toks"), 2))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        Text.tokenLenSum(col("toks")).as("len_sum"),
+        Text.alphaWordCount(col("toks")).as("alpha_words"),
+        Text.stopwordHitsFromTokens(col("toks"), Text.EN_STOPWORDS)
+          .as("stop_hits"),
+        size(col("sh")).cast("long").as("n_grams"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct_grams"))
+      .withColumn("keep",
+        when(col("n_words").between(50L, 100000L)
+          && col("len_sum") >= col("n_words") * 3L
+          && col("len_sum") <= col("n_words") * 10L
+          && col("alpha_words") * 5L >= col("n_words") * 4L
+          && col("stop_hits") >= 2L
+          && (col("n_grams") === 0L
+            || col("n_distinct_grams") * 5L >= col("n_grams") * 4L),
+          1L).otherwise(0L))
+
+  /** DuckDB mirror of [[gopherSignals]]: CTEs gf(doc_id, signals…) and
+    * the keep condition over gf's columns. */
+  private val GOPHER_CTES =
+    s"""gt AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |gg AS (SELECT doc_id, toks,
        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh
-       |  FROM t),
-       |f AS (SELECT doc_id,
+       |  FROM gt),
+       |gf AS (SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_words,
        |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS len_sum,
        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS stop_hits,
        |    CAST(len(sh) AS BIGINT) AS n_grams,
        |    CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_grams
-       |  FROM g)
+       |  FROM gg)""".stripMargin
+
+  private val GOPHER_COND =
+    """n_words BETWEEN 50 AND 100000
+      |    AND len_sum BETWEEN 3 * n_words AND 10 * n_words
+      |    AND 5 * alpha_words >= 4 * n_words
+      |    AND stop_hits >= 2
+      |    AND (n_grams = 0 OR 5 * n_distinct_grams >= 4 * n_grams)""".stripMargin
+
+  val qGopherQuality: Q = "q_gopher_quality" -> (
+    (s: SparkSession, d: String) =>
+      gopherSignals(Tables.documents(s, d)).orderBy(col("doc_id")),
+    s"""WITH $GOPHER_CTES
        |SELECT doc_id, n_words, len_sum, alpha_words, stop_hits, n_grams,
        |  n_distinct_grams,
-       |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-       |    AND len_sum BETWEEN 3 * n_words AND 10 * n_words
-       |    AND 5 * alpha_words >= 4 * n_words
-       |    AND stop_hits >= 2
-       |    AND (n_grams = 0 OR 5 * n_distinct_grams >= 4 * n_grams)
+       |  CAST(CASE WHEN $GOPHER_COND
        |  THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM f ORDER BY doc_id""".stripMargin)
+       |FROM gf ORDER BY doc_id""".stripMargin)
 
   /** Corpus snapshot diff: added/removed/changed/unchanged counts per
     * source between version 1 (the documents table) and a
@@ -2755,8 +2765,7 @@ object Queries {
          |s$r AS MATERIALIZED (SELECT word, freq, out AS sym FROM a$r
          |  WHERE pos = len(sym) + 1)""".stripMargin
     }
-    s"""WITH RECURSIVE
-       |t AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
+    s"""t AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
        |w AS MATERIALIZED (SELECT word, count(*) AS freq FROM t GROUP BY word),
        |s0 AS MATERIALIZED (SELECT word, freq,
        |    list_transform(range(length(word)), i -> substr(word, i + 1, 1)) AS sym
@@ -2768,7 +2777,8 @@ object Queries {
     val unions = (1 to k)
       .map(r => s"SELECT $r AS rank, l, rr, f FROM m$r")
       .mkString("\n  UNION ALL ")
-    s"""${bpeOracleCtes(k)},
+    s"""WITH RECURSIVE
+       |${bpeOracleCtes(k)},
        |mm AS ($unions)
        |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", rr AS "right",
        |  f AS freq
@@ -2802,12 +2812,57 @@ object Queries {
       graft.ops.Bpe.tokenCountPerDoc(docs, merges)
         .orderBy(col("doc_id"))
     },
-    s"""${bpeOracleCtes(6)},
+    s"""WITH RECURSIVE
+       |${bpeOracleCtes(6)},
        |v AS MATERIALIZED (SELECT word, CAST(len(sym) AS BIGINT) AS n_tok
        |  FROM s6)
        |SELECT t.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_bpe_tokens
        |FROM t JOIN v USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+
+  /** Round-closing composite — "prepare a training shard": Gopher-keep
+    * docs, count their BPE tokens under the STORED merge table, pack
+    * into 512-token sequences per source. One corpus tokenize feeds the
+    * filter, the (vocab-sized) encode feeds a broadcast map-join, and
+    * the packer is the same single-window cumulative plan as
+    * q_pack_seq — three pipeline stages, one exchange each. */
+  val qBpePack: Q = "q_bpe_pack" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe
+        .mergesStored(docs, k = 6, codebookPath(d, "bpe_merges"))
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val kept = docs.join(
+        gopherSignals(docs).filter(col("keep") === 1L).select(col("doc_id")),
+        Seq("doc_id"))
+      val counts = graft.ops.Bpe.tokenCountPerDoc(kept, merges)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.ops.Pack.contiguous(counts, budget = 512L, shardCol = "source",
+          orderCol = "doc_id", tokensCol = "n_bpe_tokens")
+        .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+          col("bin"), col("offset_in_bin"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    s"""WITH RECURSIVE
+       |$GOPHER_CTES,
+       |${bpeOracleCtes(6)},
+       |v AS MATERIALIZED (SELECT word, CAST(len(sym) AS BIGINT) AS n_tok
+       |  FROM s6),
+       |kept AS (SELECT doc_id FROM gf WHERE $GOPHER_COND),
+       |cnt AS (SELECT t.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_bpe_tokens
+       |  FROM t JOIN kept USING (doc_id) JOIN v USING (word)
+       |  GROUP BY t.doc_id),
+       |src AS (SELECT d.doc_id, d.source, cnt.n_bpe_tokens
+       |  FROM documents d JOIN cnt USING (doc_id)),
+       |cum AS (SELECT doc_id, source, n_bpe_tokens,
+       |    CAST(COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS cb
+       |  FROM src)
+       |SELECT doc_id, source, n_bpe_tokens,
+       |  CAST(floor(cb / 512) AS BIGINT) AS bin, cb % 512 AS offset_in_bin
+       |FROM cum ORDER BY source, doc_id""".stripMargin)
 
   /** ANN index EVALUATION: recall@3 of the IVF index against the
     * brute-force ground truth, per probe — the measurement loop every
@@ -2893,6 +2948,6 @@ object Queries {
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
-    qAnnRecall,
+    qAnnRecall, qBpePack,
   )
 }
