@@ -213,6 +213,17 @@ object BenchScale {
         .count())
       spark.catalog.clearCache()
 
+      // BPE: the copy prefixes multiply the VOCABULARY by K (c0key,
+      // c1key, … are distinct words), so the trainer's curve is the
+      // honest vocab-growth cost — every round's pair agg runs over a
+      // K× symbol table — while encode stays corpus-linear (vocab-sized
+      // broadcast map-join over the explode)
+      val (tBpeTrain, bpeMerges) = time(graft.ops.Bpe.trainMerges(docs, k = 6))
+      spark.catalog.clearCache()
+      val (tBpeEnc, _) = time(graft.ops.Bpe.tokenCountPerDoc(docs,
+        bpeMerges.map(m => (m._2, m._3))).count())
+      spark.catalog.clearCache()
+
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
         s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
@@ -233,7 +244,9 @@ object BenchScale {
         s""""dsir_score_sec":${f"$tDsirScore%.2f"},""" +
         s""""dsir_map_sec":${f"$tDsirMap%.2f"},""" +
         s""""int8_build_sec":${f"$tInt8Build%.2f"},""" +
-        s""""int8_ann_sec":${f"$tInt8Ann%.2f"}}""")
+        s""""int8_ann_sec":${f"$tInt8Ann%.2f"},""" +
+        s""""bpe_train_sec":${f"$tBpeTrain%.2f"},""" +
+        s""""bpe_encode_sec":${f"$tBpeEnc%.2f"}}""")
     }
     spark.stop()
   }

@@ -25,7 +25,10 @@ object Plans {
         "q_leakage_split", "q_export_shards", "q_budget_mix",
         "q_ngram_containment", "q_qc_stored", "q_span_dedup", "q_minhash_stored",
         "q_span_dedup_stored", "q_boilerplate", "q_dsir", "q_ann_int8",
-        "q_hard_negatives")
+        "q_hard_negatives", "q_gopher_quality", "q_corpus_diff",
+        "q_weighted_quantile", "q_pooled_embed", "q_dataset_card",
+        "q_nearest_doc", "q_bpe_merges", "q_bpe_encode", "q_ann_recall",
+        "q_bpe_pack")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

@@ -109,6 +109,19 @@ object Bpe {
     docs.sparkSession.read.parquet(path)
   }
 
+  /** Per-document BPE token count as a pure column expression — the
+    * map-only, stateless form for streams and ride-along projections:
+    * no explode, no join, no exchange. Re-encodes every word
+    * OCCURRENCE, so in batch the vocab-amortized broadcast-join form
+    * [[tokenCountPerDoc]] wins; on a stream this form needs zero state
+    * and composes with any other per-row transform. */
+  def tokenCountCol(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(transform(Text.tokens(text), w =>
+      size(merges.foldLeft(split(w, "")) { case (c, (l, r)) =>
+        applyMerge(c, l, r)
+      }).cast("long")),
+      lit(0L), (a, x) => a + x)
+
   /** Per-document BPE token count under a stored merge table: encode
     * runs once per DISTINCT word (vocab-sized), then a broadcast join
     * maps every word occurrence to its token count — the corpus side

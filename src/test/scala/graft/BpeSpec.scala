@@ -50,4 +50,15 @@ class BpeSpec extends SparkTestBase {
       .select(col("sym")).as[Seq[String]].head()
     assert(out === Seq("lo", "w", "est"))
   }
+
+  test("map-only tokenCountCol equals the broadcast-join form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainMerges(docs, k = 4).map(m => (m._2, m._3))
+    val joined = Bpe.tokenCountPerDoc(docs, merges)
+      .as[(Long, Long)].collect().toMap
+    val mapOnly = docs.select(col("doc_id"),
+        Bpe.tokenCountCol(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(joined === mapOnly)
+  }
 }

@@ -332,6 +332,38 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stored BPE merges tokenize a stream (map-only column encode, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // train on the batch corpus once; the merge table is a plan
+    // constant, so streaming token accounting is a stateless projection
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val merges = graft.ops.Bpe.trainMerges(corpus, k = 4).map(m => (m._2, m._3))
+    val mem = MemoryStream[(Long, String)]
+    val out = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.Bpe.tokenCountCol(col("text"), merges).as("n_bpe_tokens"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bpe_stream").start()
+    try {
+      mem.addData((1L, "low lower"), (2L, "newest widest"))
+      q.processAllAvailable()
+      mem.addData((3L, "low"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, n_bpe_tokens FROM bpe_stream")
+        .as[(Long, Long)].collect().toMap
+      // batch-path equality on the same texts pins the streaming result
+      val batch = Seq((1L, "low lower"), (2L, "newest widest"), (3L, "low"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.ops.Bpe.tokenCountCol(col("text"), merges).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(rows === batch)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "column encode must not create streaming state")
+    } finally q.stop()
+  }
+
   test("windowed semantic near-dup: in-horizon pairs only, expired residents evicted, on RocksDB") {
     implicit val sqlCtx = spark.sqlContext
     val conf = spark.conf
