@@ -2920,6 +2920,57 @@ object Queries {
          |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
     })
 
+  /** MinHash-LSH EVALUATION: recall of the banded pipeline against
+    * exact-Jaccard ground truth on a bounded probe sample (300 docs) — the dedup twin of q_ann_recall, measuring banding AND
+    * estimation error end-to-end. Ground truth is integer-exact
+    * (2·|A∩B| ≥ |A∪B| for tau=0.5, cross-multiplied); the sample bound
+    * keeps the exact side O(sample²·setsize) at ANY corpus scale, while
+    * the LSH side is the production operator restricted to the sample.
+    * Docs under 3 tokens have empty shingle sets (J=0, never true
+    * pairs) — both engines agree by construction. */
+  val qLshRecall: Q = "q_lsh_recall" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val sample = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"),
+          array_distinct(Text.wordShingles(col("text"), 3)).as("g"))
+      val a = sample.select(col("id").as("id_a"), col("g").as("ga"))
+      val b = sample.select(col("id").as("id_b"), col("g").as("gb"))
+      val truth = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
+          size(array_union(col("ga"), col("gb"))).cast("long").as("un"))
+        .filter(col("inter") * 2L >= col("un") && col("un") > 0L)
+      val lsh = Dedup.minhashLsh(docs, tau = MH_TAU,
+          shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .filter(col("id_a") < 300 && col("id_b") < 300)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      truth.join(lsh, Seq("id_a", "id_b"), "left_outer")
+        .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")},
+       |smp AS (SELECT doc_id AS id,
+       |    CASE WHEN len($TOKS) >= 3 THEN list_distinct(
+       |      list_transform(range(1, len($TOKS) - 1),
+       |        i -> array_to_string(($TOKS)[i:i+2], ' ')))
+       |    ELSE [] END AS g
+       |  FROM documents WHERE doc_id < 300),
+       |truth AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS BIGINT) AS inter,
+       |    CAST(len(a.g) + len(b.g)
+       |      - len(list_filter(a.g, x -> list_contains(b.g, x))) AS BIGINT) AS un
+       |  FROM smp a JOIN smp b ON a.id < b.id),
+       |tp AS (SELECT * FROM truth WHERE inter * 2 >= un AND un > 0),
+       |lsh AS (SELECT id_a, id_b, 1 AS hit FROM mh_pairs
+       |  WHERE jaccard_est >= $MH_TAU AND id_a < 300 AND id_b < 300)
+       |SELECT tp.id_a, tp.id_b, tp.inter, tp.un,
+       |  CAST(COALESCE(lsh.hit, 0) AS BIGINT) AS hit
+       |FROM tp LEFT JOIN lsh USING (id_a, id_b)
+       |ORDER BY id_a, id_b""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2948,6 +2999,6 @@ object Queries {
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
-    qAnnRecall, qBpePack,
+    qAnnRecall, qBpePack, qLshRecall,
   )
 }
