@@ -2971,6 +2971,50 @@ object Queries {
        |FROM tp LEFT JOIN lsh USING (id_a, id_b)
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** Tokenizer EVALUATION: compression (fertility) per source — total
+    * chars vs total BPE tokens under the stored merge table, plus
+    * whitespace-token totals for reference. Two integer sums per group
+    * (the caller divides): integer-exact, one aggregation over the
+    * encode join. The per-domain fertility table is how a tokenizer's
+    * fit to a corpus mix is actually judged. */
+  val qBpeFertility: Q = "q_bpe_fertility" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe
+        .mergesStored(docs, k = 6, codebookPath(d, "bpe_merges"))
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.tokenCountPerDoc(docs, merges)
+        .join(docs.select(col("doc_id"), col("source"),
+          Text.tokenLenSum(Text.tokens(col("text"))).as("n_chars_tok"),
+          Text.tokenCount(col("text")).cast("long").as("n_ws_tokens")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars_tok")).as("total_chars"),
+          sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+          sum(col("n_ws_tokens")).as("total_ws_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    },
+    s"""WITH RECURSIVE
+       |${bpeOracleCtes(6)},
+       |v AS MATERIALIZED (SELECT word, CAST(len(sym) AS BIGINT) AS n_tok
+       |  FROM s6),
+       |cnt AS (SELECT t.doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_bpe
+       |  FROM t JOIN v USING (word) GROUP BY t.doc_id),
+       |base AS (SELECT doc_id, source,
+       |    CAST(COALESCE(list_sum(list_transform($TOKS, x -> length(x))), 0)
+       |      AS BIGINT) AS n_chars_tok,
+       |    CAST(len($TOKS) AS BIGINT) AS n_ws
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(sum(n_chars_tok) AS BIGINT) AS total_chars,
+       |  CAST(sum(cnt.n_bpe) AS BIGINT) AS total_bpe_tokens,
+       |  CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM base JOIN cnt USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -2999,6 +3043,6 @@ object Queries {
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
-    qAnnRecall, qBpePack, qLshRecall,
+    qAnnRecall, qBpePack, qLshRecall, qBpeFertility,
   )
 }
