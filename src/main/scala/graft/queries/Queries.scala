@@ -3015,6 +3015,74 @@ object Queries {
        |FROM base JOIN cnt USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Curation FUNNEL observability: per-source counts of docs surviving
+    * each stage — Gopher rules, then exact-dedup representative (min id
+    * per fingerprint among rule survivors), then 5-gram
+    * decontamination against a held-out eval slice (id%10=7). The
+    * funnel rides FLAGS through the production operators' own shapes
+    * (map-only rules, one fp window, one gram semi-join) and pays one
+    * extra aggregation — not one extra pipeline run per stage, which is
+    * how funnels are usually (wastefully) measured. Integer-exact. */
+  val qCurationFunnel: Q = "q_curation_funnel" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val evalGrams = docs.filter(pmod(col("doc_id"), lit(10L)) === 7L)
+        .select(explode(array_distinct(
+          Text.wordShingles(col("text"), 5))).as("gram"))
+        .distinct()
+      val contam = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.wordShingles(col("text"), 5))).as("gram"))
+        .join(evalGrams, Seq("gram"))
+        .select(col("doc_id")).distinct()
+        .withColumn("dirty", lit(1L))
+      val base = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(col("text")).as("fp"))
+        .join(gopherSignals(docs).select(col("doc_id"), col("keep")),
+          Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left_outer")
+      val w = Window.partitionBy(col("fp"))
+      base
+        .withColumn("rep",
+          min(when(col("keep") === 1L, col("doc_id"))).over(w))
+        .withColumn("s1", col("keep"))
+        .withColumn("s2",
+          when(col("keep") === 1L && col("doc_id") === col("rep"), 1L)
+            .otherwise(0L))
+        .withColumn("s3",
+          when(col("s2") === 1L && col("dirty").isNull, 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"), sum(col("s1")).as("n_gopher"),
+          sum(col("s2")).as("n_unique"), sum(col("s3")).as("n_clean"))
+        .orderBy(col("source"))
+    },
+    s"""WITH $GOPHER_CTES,
+       |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, len($TOKS) - 3), i -> array_to_string(($TOKS)[i:i+4], ' ')))) AS gram
+       |  FROM documents WHERE doc_id % 10 = 7 AND len($TOKS) >= 5),
+       |pg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len($TOKS) - 3), i -> array_to_string(($TOKS)[i:i+4], ' ')))) AS gram
+       |  FROM documents WHERE doc_id % 10 <> 7 AND len($TOKS) >= 5),
+       |dirty AS (SELECT DISTINCT pg.doc_id FROM pg JOIN eg USING (gram)),
+       |base AS (SELECT d.doc_id, d.source, md5($NORM) AS fp,
+       |    CASE WHEN $GOPHER_COND THEN 1 ELSE 0 END AS keep,
+       |    CASE WHEN dirty.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dirty
+       |  FROM documents d
+       |  JOIN gf ON gf.doc_id = d.doc_id
+       |  LEFT JOIN dirty ON dirty.doc_id = d.doc_id
+       |  WHERE d.doc_id % 10 <> 7),
+       |rep AS (SELECT doc_id, source, keep, dirty,
+       |    min(CASE WHEN keep = 1 THEN doc_id END) OVER (PARTITION BY fp) AS rep_id
+       |  FROM base)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(keep) AS BIGINT) AS n_gopher,
+       |  CAST(sum(CASE WHEN keep = 1 AND doc_id = rep_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_unique,
+       |  CAST(sum(CASE WHEN keep = 1 AND doc_id = rep_id AND dirty = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       |FROM rep GROUP BY source ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -3043,6 +3111,6 @@ object Queries {
     qDsir, qAnnInt8, qHardNegatives,
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
-    qAnnRecall, qBpePack, qLshRecall, qBpeFertility,
+    qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
   )
 }
