@@ -3083,6 +3083,34 @@ object Queries {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
        |FROM rep GROUP BY source ORDER BY source""".stripMargin)
 
+  /** LSH threshold TUNING curve: candidate-pair histogram by MinHash
+    * signature agreement (matches/32), with the cumulative
+    * pairs-at-or-above count — the table an operator reads to pick tau
+    * before a dedup run (how many pairs each threshold admits). One
+    * pass over the banded candidates into a histogram-sized output
+    * (≤33 rows), integer-exact. */
+  val qLshTune: Q = "q_lsh_tune" -> (
+    (s: SparkSession, d: String) => {
+      val k = MH_BANDS * MH_ROWS
+      val hist = Dedup.minhashLsh(Tables.documents(s, d), tau = 0.0,
+          shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .select(round(col("jaccard_est") * k).cast("long").as("n_match"))
+        .groupBy(col("n_match")).agg(count(lit(1)).as("n_pairs"))
+      hist.withColumn("n_at_or_above",
+          sum(col("n_pairs")).over(Window.orderBy(col("n_match").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("n_match"))
+    },
+    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")},
+       |h AS (SELECT CAST(round(jaccard_est * ${MH_BANDS * MH_ROWS}) AS BIGINT)
+       |    AS n_match, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM mh_pairs GROUP BY 1)
+       |SELECT n_match, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY n_match DESC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_above
+       |FROM h ORDER BY n_match""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -3112,5 +3140,6 @@ object Queries {
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
+    qLshTune,
   )
 }
