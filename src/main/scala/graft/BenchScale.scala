@@ -134,6 +134,15 @@ object BenchScale {
       val (tSpans, _) = time(
         graft.ops.TextStats.duplicatedSpans(docs, spanLen = 5).count())
       spark.catalog.clearCache()
+      // hotSpanGuard: the argmin/groupBy+join route around the
+      // universal-span window straggler — the stop sentence planted in
+      // every scaled doc (df = n·K) is exactly its target shape. The
+      // acceptance bound is guard ≤ 2× window on this mostly-benign
+      // corpus (the guard's second exchange is its only extra cost)
+      val (tSpansGuard, _) = time(
+        graft.ops.TextStats.duplicatedSpans(docs, spanLen = 5,
+          hotSpanGuard = true).count())
+      spark.catalog.clearCache()
       val (tContam, _) = time(graft.ops.Dedup.contaminationReport(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), n = 5).count())
@@ -234,7 +243,9 @@ object BenchScale {
         s""""unigram_sec":${f"$tUni%.2f"},"drift_sec":${f"$tDrift%.2f"},""" +
         s""""semdedup_train_sec":${f"$tSemTrain%.2f"},""" +
         s""""semdedup_apply_sec":${f"$tSemApply%.2f"},""" +
-        s""""dup_spans_sec":${f"$tSpans%.2f"},"contam_sec":${f"$tContam%.2f"},""" +
+        s""""dup_spans_sec":${f"$tSpans%.2f"},""" +
+        s""""dup_spans_guard_sec":${f"$tSpansGuard%.2f"},""" +
+        s""""contam_sec":${f"$tContam%.2f"},""" +
         s""""bigram_sec":${f"$tBigram%.2f"},""" +
         s""""bloom_decontam_sec":${f"$tBloom%.2f"},""" +
         s""""quality_classifier_sec":${f"$tQc%.2f"},""" +

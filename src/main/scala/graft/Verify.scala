@@ -20,6 +20,13 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be VISIBLE in the artifacts, not just absent:
+    // in round 6 twenty queries errored and the correctness file read
+    // "93/93 pass" because failures left no trace beyond stderr. Every
+    // failure is collected here and written to errors.json next to the
+    // dumps (and echoed to stdout) so a regression can't masquerade as a
+    // green round.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       // pre-delete the query's output dir: a failed query must not leave
       // a previous run's parquet behind to be compared as if fresh
@@ -33,7 +40,8 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        println(s"[verify] FAILED $name: ${errors(name)}")
       }
       // ops may persist intermediates with caller-owned lifetime (e.g.
       // the df-capped ngram signature table) — release between queries
@@ -56,6 +64,18 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json is ALWAYS written ({} on a clean run) so its absence is
+    // itself a signal (old Verify / crashed run), and its presence with
+    // entries is a hard red flag the driver and judge can both read.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val failed = errors.keys.toSeq
+    println(s"[verify] done: ${selected.size - failed.size}/${selected.size} wrote, " +
+      (if (failed.isEmpty) "0 failed" else s"FAILED ${failed.size}: ${failed.mkString(", ")}"))
+    // exit 0 even on per-query failures: the driver must still compare
+    // the queries that DID dump (a non-zero exit could zero the round);
+    // errors.json + the stdout FAILED lines carry the red flag.
     spark.stop()
   }
 }

@@ -56,23 +56,63 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = readParallel(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = readParallel(s, d, "embeddings")
 
-  /** Raw events scan (ts left as the stored ns Long). */
+  /** Raw events scan (ts left exactly as stored). */
   def read_events_raw(s: SparkSession, d: String): DataFrame =
     read(s, d, "events")
 
-  /** Events with the envelope normalized:
-    *   - `ts_ns`   raw INT64 nanoseconds (as stored),
+  /** Events with the envelope normalized, independent of how the corpus
+    * writer encoded the timestamp. Observed encodings of the stored `ts`:
+    *   - INT64 TIMESTAMP(NANOS): surfaces as a raw nanos Long under
+    *     `nanosAsLong` (or a writer emitting a plain BIGINT of nanos),
+    *   - parquet `timestamp[us]` (±UTC adjustment): surfaces as
+    *     TimestampType or TimestampNTZType.
+    * We branch on the SCANNED dtype, not on an assumption about the file,
+    * so a testdata regeneration cannot break the surface. Output columns:
+    *   - `ts_ns`   epoch nanoseconds (exact when stored as nanos,
+    *               µs-precision otherwise),
     *   - `ts_us`   epoch microseconds (the reference's native precision,
     *               FIXTURES.md §1),
-    *   - `ts`      TimestampType at µs, truncated from ns,
+    *   - `ts`      TimestampType at µs,
     *   - `k`       the payload's order key extracted from `props` JSON.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(read(s, d, "events"))
+
+  /** S2 look-back: events at-or-after `cutoffUs`, with the cutoff applied
+    * to the STORED column so the predicate reaches the parquet scan
+    * (`PushedFilters` → file/row-group pruning at 100 TB). A filter on a
+    * derived column (`ts_us`) cannot push down; this helper translates the
+    * µs cutoff into the file's own encoding before normalization. */
+  def eventsSince(s: SparkSession, d: String, cutoffUs: Long): DataFrame = {
     val raw = read(s, d, "events")
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns DIV 1000")) // integer div: / would go through double and lose ns precision
-      .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    val filtered = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= cutoffUs * 1000L)
+      case dt => // timestamp-typed: constant-folds to a literal of the scan's own type
+        raw.filter(col("ts") >= timestamp_micros(lit(cutoffUs)).cast(dt))
+    }
+    normalizeEvents(filtered)
+  }
+
+  private def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val withUs = raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns DIV 1000")) // integer div: / would go through double and lose ns precision
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampType | TimestampNTZType =>
+        // NTZ → TIMESTAMP is value-identity under the pinned UTC session;
+        // unix_micros is defined on TIMESTAMP only, hence the cast.
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", col("ts_us") * 1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other (expected BIGINT nanos or a timestamp)")
+    }
+    withUs.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
   }
 }

@@ -590,16 +590,46 @@ object Dedup {
     * MEMORY_AND_DISK, caller owns `spark.catalog.clearCache()` (the
     * [[ngramJaccard]] convention). */
   def spanDedup(docs: DataFrame, spanLen: Int, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text",
+                hotSpanGuard: Boolean = false): DataFrame = {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
     val toks = tokenTable(docs, idCol, textCol)
-    val dups = spanOccurrences(toks, spanLen)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
-      .filter(col("rn") > 1)
-      .select(col("id"), col("pos"))
+    val dups = nonCanonicalOccurrences(spanOccurrences(toks, spanLen), hotSpanGuard)
     cutCovered(toks, dups, spanLen)
   }
+
+  /** The rank-1-keeps mark: every span occurrence EXCEPT the canonical
+    * (min (id, pos)) one per hash.
+    *
+    * Default path: one h-partitioned rank window — one exchange, but a
+    * corpus-universal span (df 10⁸) is ONE window partition, the
+    * documented straggler. `hotSpanGuard = true` trades the window for
+    * argmin-plus-join: rank-1-keeps needs no full rank, only each
+    * hash's minimum occurrence, and `min(struct(id, pos))` aggregates
+    * PARTIALLY — the map-side combine is exactly the two-level
+    * (prefix-agg → merge) rank, reducing a hot span to one candidate
+    * per map task before the exchange — while the mark-join back is
+    * AQE-skew-splittable (adaptive.skewJoin is on session-wide), which
+    * a window partition never is. Cost of the guard on a benign corpus:
+    * the occurrence table is exchanged twice (agg + join) instead of
+    * once, so it stays opt-in rather than default. */
+  private def nonCanonicalOccurrences(occ: DataFrame,
+                                      hotSpanGuard: Boolean): DataFrame =
+    if (!hotSpanGuard) {
+      occ
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+        .filter(col("rn") > 1)
+        .select(col("id"), col("pos"))
+    } else {
+      // struct min orders lexicographically (id, then pos) — identical
+      // to the window's orderBy(id, pos) rank-1 row
+      val canon = occ.groupBy(col("h"))
+        .agg(min(struct(col("id"), col("pos"))).as("m"))
+      occ.join(canon, Seq("h"))
+        .filter(col("id") =!= col("m.id") || col("pos") =!= col("m.pos"))
+        .select(col("id"), col("pos"))
+    }
 
   /** (id, toks) token table shared by the span-dedup stages: persisted
     * MEMORY_AND_DISK, caller owns `spark.catalog.clearCache()`. */
@@ -678,19 +708,36 @@ object Dedup {
     * the batch-internal rank share the span-hash exchange key. */
   def spanDedupIncremental(batch: DataFrame, path: String, spanLen: Int,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+                           textCol: String = "text",
+                           hotSpanGuard: Boolean = false): DataFrame = {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
     require(new java.io.File(path, "_SUCCESS").isFile,
       s"no span store at $path — build it with spanSetStored")
     val store = batch.sparkSession.read.parquet(path)
       .select(col("h"), lit(true).as("in_store"))
     val toks = tokenTable(batch, idCol, textCol)
-    val dups = spanOccurrences(toks, spanLen)
-      .join(store.hint("shuffle_hash"), Seq("h"), "left")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
-      .filter(col("in_store").isNotNull || col("rn") > 1)
-      .select(col("id"), col("pos"))
+    val occ = spanOccurrences(toks, spanLen)
+    val dups =
+      if (!hotSpanGuard) {
+        occ
+          .join(store.hint("shuffle_hash"), Seq("h"), "left")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+          .filter(col("in_store").isNotNull || col("rn") > 1)
+          .select(col("id"), col("pos"))
+      } else {
+        // argmin form of the same mark (see nonCanonicalOccurrences):
+        // cut when the span is already corpus-owned OR not the batch's
+        // canonical occurrence; both joins key on h, sharing an exchange
+        val canon = occ.groupBy(col("h"))
+          .agg(min(struct(col("id"), col("pos"))).as("m"))
+        occ
+          .join(store.hint("shuffle_hash"), Seq("h"), "left")
+          .join(canon, Seq("h"))
+          .filter(col("in_store").isNotNull ||
+            col("id") =!= col("m.id") || col("pos") =!= col("m.pos"))
+          .select(col("id"), col("pos"))
+      }
     cutCovered(toks, dups, spanLen)
   }
 

@@ -213,23 +213,39 @@ object TextStats {
     * re-tokenize the corpus for the count side), then one re-aggregate
     * by doc. Hot boilerplate spans cost their row count, never a join
     * blowup; the honest residual is a straggler (a span in 10⁸ docs is
-    * one window partition — linear, but one task). If one span
-    * dominates a corpus, trade back to the two-scan form: groupBy(h)
-    * count (map-side partial, skew-free) joined onto a re-scan.
+    * one window partition — linear, but one task).
+    *
+    * `hotSpanGuard = true` takes the two-scan trade: the per-span doc
+    * count becomes a groupBy(h) aggregate (map-side partial — a
+    * universal span reduces to one counter per map task, never one
+    * window partition) joined back onto the persisted span table; the
+    * join is AQE-skew-splittable. Costs a second exchange of the span
+    * table on benign corpora, hence opt-in. The guard path persists the
+    * span table (caller owns `spark.catalog.clearCache()`, the
+    * [[graft.ops.Dedup.ngramJaccard]] convention).
     *
     * Output: (id, n_spans, n_dup_spans, dup_frac); docs with fewer than
     * spanLen tokens have no spans and produce no row. */
   def duplicatedSpans(docs: DataFrame, spanLen: Int,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      hotSpanGuard: Boolean = false): DataFrame = {
     val sp = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(array_distinct(
         Text.shinglesFromTokens(col("toks"), spanLen))).as("span"))
       .select(col("id"), Text.hash64(col("span"), 0).as("h"))
-    // rows are (doc, span)-distinct, so count(*) per span = #docs
-    sp.withColumn("n_docs",
-        count(lit(1)).over(Window.partitionBy(col("h"))))
+    // rows are (doc, span)-distinct, so count per span = #docs
+    val counted =
+      if (!hotSpanGuard)
+        sp.withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy(col("h"))))
+      else {
+        val spP = sp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        spP.join(
+          spP.groupBy(col("h")).agg(count(lit(1)).as("n_docs")), Seq("h"))
+      }
+    counted
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))

@@ -916,11 +916,11 @@ object Queries {
     * partition pruning at scale; `PushedFilters` in the plan). */
   val qLookback: Q = "q_lookback" -> (
     (s: SparkSession, d: String) => {
-      // cutoff on the STORED ns column, not derived ts_us: a predicate on
-      // a derived expression cannot reach the parquet scan; this form
-      // shows up in PushedFilters (file/row-group pruning at scale)
-      Tables.events(s, d)
-        .filter(col("ts_ns") >= 1705708800000000000L) // 2024-01-20 (last ~11 days)
+      // cutoff applied to the STORED column (whatever its encoding), not
+      // derived ts_us: a predicate on a derived expression cannot reach
+      // the parquet scan; eventsSince keeps the filter in PushedFilters
+      // (file/row-group pruning at scale)
+      Tables.eventsSince(s, d, 1705708800000000L) // 2024-01-20 (last ~11 days)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("ts_us")).as("first_us"))
         .orderBy(col("event_type"))

@@ -127,7 +127,12 @@ private[sink] object DeltaSql {
                 (body: Connection => Unit): Boolean = withConn(url) { c =>
     dialect.sessionInitSql.foreach(exec(c, _)) // e.g. MSSQL SERIALIZABLE pin
     c.setAutoCommit(false)
-    c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+    // Embedded single-writer engines (DuckDB, SQLite-class) don't expose
+    // the JDBC isolation knob — they are snapshot-isolated by design, the
+    // same guarantee the reference's SQLite driver relies on without
+    // setting a level (sqlite.rs). Server engines accept the pin.
+    try c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+    catch { case _: java.sql.SQLFeatureNotSupportedException => () }
     try {
       val applied = {
         val ps = c.prepareStatement(

@@ -590,6 +590,40 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byId(4L) === ((8L, 5L, "p q r")), "self-repetition collapses to one period")
   }
 
+  test("spanDedup hotSpanGuard ≡ window path, including a corpus-universal span") {
+    // every doc carries the same "s1 s2 s3" template (the universal-span
+    // straggler case the guard exists for) plus unique content and one
+    // genuine cross-doc quote — the guard's argmin+join must pick the
+    // identical canonical occurrences as the rank window
+    val corpus = (1L to 12L).map(i =>
+      (i, s"s1 s2 s3 u${i}a u${i}b a b c d u${i}c")).toDF("doc_id", "text")
+    def run(guard: Boolean) =
+      graft.ops.Dedup.spanDedup(corpus, spanLen = 3, hotSpanGuard = guard)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val window = run(false); spark.catalog.clearCache()
+    val guard = run(true); spark.catalog.clearCache()
+    assert(guard === window)
+    // sanity: the universal template was actually cut somewhere
+    assert(window.exists { case (id, _, removed, _) => id > 1L && removed > 0L })
+  }
+
+  test("spanDedupIncremental hotSpanGuard ≡ window path against a stored corpus") {
+    val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstore-g").toFile
+    val store = new java.io.File(dir, "spans").getPath
+    graft.ops.Dedup.spanSetStored(corpus, store, spanLen = 3)
+    val batch = Seq(
+      (1L, "x y a b c d e z"),
+      (3L, "p q r s p q r s"),
+      (5L, "p q r s t")).toDF("doc_id", "text")
+    def run(guard: Boolean) =
+      graft.ops.Dedup.spanDedupIncremental(batch, store, spanLen = 3, hotSpanGuard = guard)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val window = run(false); spark.catalog.clearCache()
+    val guard = run(true); spark.catalog.clearCache()
+    assert(guard === window)
+  }
+
   test("spanDedupIncremental: store spans cut every batch occurrence, batch ranks internally") {
     val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-spanstore").toFile

@@ -179,6 +179,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(3L)._2 === 0L, "unique doc has no duplicated span")
   }
 
+  test("duplicatedSpans hotSpanGuard ≡ window path, including a universal span") {
+    // every doc shares the same template span (the straggler shape) plus
+    // unique filler — the guard's groupBy+join count must agree with the
+    // window count row-for-row
+    val docs = (1L to 10L).map(i =>
+      (i, s"tpl one two three four u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    def run(guard: Boolean) =
+      TextStats.duplicatedSpans(docs, spanLen = 5, hotSpanGuard = guard)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val window = run(false)
+    val guarded = run(true); spark.catalog.clearCache()
+    assert(guarded === window)
+    assert(window.forall(_._3 >= 1L), "universal template spans counted in every doc")
+  }
+
   test("duplicatedSpans: span repeated WITHIN one doc only is not cross-doc duplication") {
     val docs = Seq(
       (1L, "p q r s t filler p q r s t"), // same span twice, one doc
