@@ -1960,6 +1960,19 @@ object Queries {
        |    / count(*), 6) AS dup_frac
        |FROM ex JOIN c USING (h) GROUP BY id ORDER BY id""".stripMargin)
 
+  /** q_dup_spans through the hot-span straggler guard: identical
+    * semantics (the oracle is shared verbatim), different physical
+    * plan — the per-span doc count is a partially-aggregated
+    * groupBy(h) joined back (AQE-skew-splittable) instead of one
+    * window partition per span hash, the route a corpus-universal
+    * template span needs at 10⁸ docs. */
+  val qDupSpansGuard: Q = "q_dup_spans_guard" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.duplicatedSpans(Tables.documents(s, d), spanLen = 5,
+          hotSpanGuard = true)
+        .orderBy(col("id")),
+    qDupSpans._2._2)
+
   /** Exact duplicated-span REMOVAL (the rewrite companion of
     * q_dup_spans): all but the first (id, pos)-ranked occurrence of
     * every corpus-duplicated 5-token span is cut out of the text.
@@ -1993,6 +2006,16 @@ object Queries {
        |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
        |  COALESCE(a.clean_text, '') AS clean_text
        |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
+
+  /** q_span_dedup through the hot-span straggler guard: identical
+    * semantics (shared oracle), but rank-1-keeps is computed as a
+    * partially-aggregated argmin per span hash + AQE-splittable mark
+    * join instead of the single-partition rank window. */
+  val qSpanDedupGuard: Q = "q_span_dedup_guard" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.spanDedup(Tables.documents(s, d), spanLen = 5, hotSpanGuard = true)
+        .orderBy(col("id")),
+    qSpanDedup._2._2)
 
   /** Incremental substring dedup: q_span_dedup's cut applied to a fresh
     * batch (odd ids) against the write-iff-absent span-hash store of
@@ -3140,6 +3163,6 @@ object Queries {
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
-    qLshTune,
+    qLshTune, qDupSpansGuard, qSpanDedupGuard,
   )
 }
