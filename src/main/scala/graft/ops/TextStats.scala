@@ -241,9 +241,18 @@ object TextStats {
         sp.withColumn("n_docs",
           count(lit(1)).over(Window.partitionBy(col("h"))))
       else {
+        // only df ≥ 2 matters downstream, so the count dictionary is
+        // filtered BEFORE the join — corpus-cardinality → the (small)
+        // duplicated-span set, which broadcasts; a left-join miss means
+        // df = 1 (the null n_docs fails the ≥2 test below). Without the
+        // filter the join is a corpus-scale sort-merge (measured 5×
+        // the window's cost); with it, AQE broadcast/skew handles both
+        // the benign and the hot-template corpus
         val spP = sp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         spP.join(
-          spP.groupBy(col("h")).agg(count(lit(1)).as("n_docs")), Seq("h"))
+          spP.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+            .filter(col("n_docs") >= 2),
+          Seq("h"), "left")
       }
     counted
       .groupBy(col("id"))
