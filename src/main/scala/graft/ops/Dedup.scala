@@ -169,6 +169,35 @@ object Dedup {
     corpus.sparkSession.read.parquet(path)
   }
 
+  /** Fold a NEW batch's banded signatures into a [[minhashBandsStored]]
+    * store — the missing half of the incremental lifecycle: after a
+    * crawl increment is deduplicated against the corpus, its surviving
+    * docs' signatures must JOIN the store so the NEXT increment
+    * deduplicates against corpus + this batch. Parquet-append of the
+    * batch's signature rows (new part files only — the corpus
+    * signatures are never rewritten, the right shape for a 100 TB
+    * store; at cluster scale the same append lands new files in the
+    * `bucketBy(band_hash)` table layout). Idempotent per `batchTag`: a
+    * marker file records an applied batch, so a replayed pipeline stage
+    * cannot double-sign (the [[JdbcDeltaSink]] batch-stamp idea at file
+    * granularity). Caller guarantees id-uniqueness across batches (the
+    * same contract every store consumer already assumes). */
+  def minhashStoreAppend(batch: DataFrame, path: String, batchTag: String,
+                         shingleLen: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 4, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no signature store at $path — build it with minhashBandsStored")
+    val marker = new java.io.File(path, s"_appended_$batchTag")
+    if (!marker.isFile) {
+      minhashBands(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
+        .select(col("id"), col("sig"), col("band"), col("band_hash"))
+        .write.mode("append").parquet(path)
+      marker.createNewFile()
+    }
+    batch.sparkSession.read.parquet(path)
+  }
+
   /** [[crossMinhashLsh]] served from a [[minhashBandsStored]] store —
     * the steady-state incremental-dedup shape: only the probe batch is
     * signed; the corpus side is a parquet read of its stored banded
@@ -708,6 +737,47 @@ object Dedup {
         .select(col("h")).distinct()
         .write.mode("overwrite").parquet(path)
     corpus.sparkSession.read.parquet(path)
+  }
+
+  /** Fold a NEW batch's span hashes into a [[spanSetStored]] store —
+    * the [[minhashStoreAppend]] lifecycle at span granularity: after
+    * [[spanDedupIncremental]] cleans a batch, the batch's spans join
+    * the store so the next batch's copies of them are cut as
+    * corpus-owned. Appends only hashes NOT already stored (left-anti
+    * against the current store keeps the store distinct — its size
+    * stays the corpus's distinct-span count, not its batch count).
+    * The anti-joined delta is STAGED to a sibling temp dir and then
+    * appended in a second job: one Spark job must not list-read and
+    * append the same directory. Idempotent per `batchTag` via marker
+    * file. Spans of the RAW batch text are stored (seen-ness, not
+    * kept-ness: the canonical copy of a batch-internal duplicate
+    * lives in the batch, and the store must own every span the corpus
+    * has ever seen — the Lee et al. profile's contract). */
+  def spanSetStoredAppend(batch: DataFrame, path: String, spanLen: Int,
+                          batchTag: String, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no span store at $path — build it with spanSetStored")
+    val spark = batch.sparkSession
+    val marker = new java.io.File(path, s"_appended_$batchTag")
+    if (!marker.isFile) {
+      val staging = path + s"_staging_$batchTag"
+      spanOccurrences(
+        batch.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks")),
+        spanLen)
+        .select(col("h")).distinct()
+        .join(spark.read.parquet(path), Seq("h"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging).write.mode("append").parquet(path)
+      marker.createNewFile()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(staging))
+    }
+    spark.read.parquet(path)
   }
 
   /** [[spanDedup]] of a fresh batch AGAINST a [[spanSetStored]] corpus —

@@ -572,6 +572,46 @@ object Queries {
     },
     decontamOracleSql)
 
+  /** The FULL incremental-dedup lifecycle over three corpus slices
+    * (doc_id mod 3): slice 0 is the signed corpus, slice 1 a crawl
+    * increment deduplicated against it whose SURVIVORS' signatures are
+    * then folded into the store (minhashStoreAppend — new parquet
+    * files, corpus rows never rewritten), slice 2 the next increment,
+    * deduplicated against corpus + survivors. The oracle replays the
+    * whole lifecycle from one union-wide pair table: a slice-2 pair
+    * counts iff its other side is slice 0 or a slice-1 survivor. */
+  val qMinhashAppend: Q = "q_minhash_append" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "minhash_append")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val batch1 = docs.filter(col("doc_id") % 3 === 1)
+      val batch2 = docs.filter(col("doc_id") % 3 === 2)
+      Dedup.minhashBandsStored(corpus, store,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+      val dupIds = Dedup.minhashIncremental(batch1, store, tau = MH_TAU,
+          shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .select(col("probe_id").as("doc_id")).distinct()
+      Dedup.minhashStoreAppend(batch1.join(dupIds, Seq("doc_id"), "left_anti"),
+        store, batchTag = "b1",
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+      Dedup.minhashIncremental(batch2, store, tau = MH_TAU,
+          shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    },
+    s"""WITH src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")},
+       |b1dup AS (SELECT DISTINCT CASE WHEN id_a % 3 = 1 THEN id_a ELSE id_b END AS id
+       |  FROM mh_pairs WHERE jaccard_est >= $MH_TAU
+       |    AND ((id_a % 3) + (id_b % 3) = 1)),
+       |sel AS (SELECT CASE WHEN id_a % 3 = 2 THEN id_b ELSE id_a END AS corpus_id,
+       |    CASE WHEN id_a % 3 = 2 THEN id_a ELSE id_b END AS probe_id, jaccard_est
+       |  FROM mh_pairs WHERE jaccard_est >= $MH_TAU
+       |    AND ((id_a % 3 = 2) <> (id_b % 3 = 2)))
+       |SELECT corpus_id, probe_id, jaccard_est FROM sel
+       |WHERE corpus_id % 3 = 0 OR corpus_id NOT IN (SELECT id FROM b1dup)
+       |ORDER BY corpus_id, probe_id""".stripMargin)
+
   /** STRICT decontamination: probe docs (odd ids) sharing any EXACT
     * 5-token shingle with any corpus doc (even ids), with the count of
     * distinct contaminated grams per probe doc. Complements
@@ -1295,8 +1335,20 @@ object Queries {
     * side-table (the oracle SQL below reads the sf0.01 one — the scale
     * the driver verifies at); encode + ADC are deterministic given the
     * codebook, so the quantized index IS hash-checkable. */
-  private def codebookPath(sfDir: String, name: String): String =
-    s"/root/repo/artifacts/${name}_${new java.io.File(sfDir).getName}"
+  /** Derived-store path, CONTENT-KEYED to the source corpus: the key
+    * folds each parquet's name and size, so a testdata regeneration
+    * re-keys every store and they rebuild (write-iff-absent) instead of
+    * serving stale signatures against a freshly-computed oracle — the
+    * store-side analog of the events-ts lesson (r6: 20 queries lost to
+    * a silent re-encode). Same-content reuse still hits the old path. */
+  private def codebookPath(sfDir: String, name: String): String = {
+    val f = new java.io.File(sfDir)
+    val sig = Option(f.listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(x => x.getName.hashCode.toLong * 31L ^ x.length()).sum)
+      .getOrElse(0L)
+    s"/root/repo/artifacts/${name}_${f.getName}_${java.lang.Long.toHexString(sig)}"
+  }
 
   /** DuckDB mirror of the [[graft.functions.expr.PqEncode]] /
     * [[graft.functions.expr.PqDistTable]] distance loop: Σ_i (v_i −
@@ -2045,6 +2097,53 @@ object Queries {
        |dup AS (SELECT bo.id, bo.pos FROM bo LEFT JOIN cg ON cg.h = bo.h
        |  WHERE bo.rn > 1 OR cg.h IS NOT NULL),
        |t AS (SELECT id, toks FROM t0 WHERE id % 2 = 1),
+       |tok AS (SELECT id, u.pos AS pos, u.tok AS tok
+       |  FROM (SELECT id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM t)),
+       |kept AS (SELECT k.id, k.pos, k.tok FROM tok k
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.id = k.id
+       |    AND k.pos >= d.pos AND k.pos < d.pos + 5)),
+       |agg AS (SELECT id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY id)
+       |SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN agg a USING (id) ORDER BY t.id""".stripMargin)
+
+  /** The span-store APPEND lifecycle (q_minhash_append at span
+    * granularity, three slices by doc_id mod 3): slice 0 seeds the
+    * span-hash store, slice 1's spans are folded in via
+    * spanSetStoredAppend (anti-joined delta staged then appended — the
+    * store stays the distinct set of everything seen), and slice 2 is
+    * cleaned against the grown store: its occurrences of ANY slice-0/1
+    * span are cut as corpus-owned, plus batch-internal rank-1-keeps.
+    * The oracle rebuilds the grown gram set directly from slices 0+1. */
+  val qSpanAppend: Q = "q_span_append" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "span_append")
+      Dedup.spanSetStored(docs.filter(col("doc_id") % 3 === 0), store, spanLen = 5)
+      Dedup.spanSetStoredAppend(docs.filter(col("doc_id") % 3 === 1), store,
+        spanLen = 5, batchTag = "b1")
+      Dedup.spanDedupIncremental(docs.filter(col("doc_id") % 3 === 2), store,
+          spanLen = 5)
+        .orderBy(col("id"))
+    },
+    s"""WITH t0 AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |sp AS (SELECT id, list_transform(range(1, len(toks) - 3),
+       |    i -> {'pos': i, 'g': array_to_string(toks[i:i+4], ' ')}) AS gs
+       |  FROM t0 WHERE len(toks) >= 5),
+       |occ AS (SELECT id, u.pos AS pos,
+       |    CAST('0x' || substr(md5('0' || u.g), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT id, unnest(gs) AS u FROM sp)),
+       |cg AS (SELECT DISTINCT h FROM occ WHERE id % 3 < 2),
+       |bo AS (SELECT id, pos, h,
+       |    row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+       |  FROM occ WHERE id % 3 = 2),
+       |dup AS (SELECT bo.id, bo.pos FROM bo LEFT JOIN cg ON cg.h = bo.h
+       |  WHERE bo.rn > 1 OR cg.h IS NOT NULL),
+       |t AS (SELECT id, toks FROM t0 WHERE id % 3 = 2),
        |tok AS (SELECT id, u.pos AS pos, u.tok AS tok
        |  FROM (SELECT id, unnest(list_transform(range(1, len(toks) + 1),
        |    i -> {'pos': i, 'tok': toks[i]})) AS u FROM t)),
@@ -3163,6 +3262,6 @@ object Queries {
     qGopherQuality, qCorpusDiff, qWeightedQuantile,
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
-    qLshTune, qDupSpansGuard, qSpanDedupGuard,
+    qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
   )
 }

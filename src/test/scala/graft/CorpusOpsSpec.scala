@@ -590,6 +590,59 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byId(4L) === ((8L, 5L, "p q r")), "self-repetition collapses to one period")
   }
 
+  test("minhashStoreAppend: grown store serves the same pairs as an inline corpus union; replay is a no-op") {
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "completely different content about databases and indexes")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (13L, "novel text about distributed query engines at scale")).toDF("doc_id", "text")
+    val probe = Seq(
+      (21L, "novel text about distributed query engines at scale today"),
+      (23L, "unrelated musings on garden vegetables and weather")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhappend").toFile
+    val store = new java.io.File(dir, "sigs").getPath
+    graft.ops.Dedup.minhashBandsStored(corpus, store)
+    val before = spark.read.parquet(store).count()
+    graft.ops.Dedup.minhashStoreAppend(batch1, store, batchTag = "b1")
+    val after = spark.read.parquet(store).count()
+    assert(after > before, "append added the batch signatures")
+    // replayed stage (same tag): marker makes it a no-op
+    graft.ops.Dedup.minhashStoreAppend(batch1, store, batchTag = "b1")
+    assert(spark.read.parquet(store).count() === after)
+    val served = graft.ops.Dedup.minhashIncremental(probe, store, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = graft.ops.Dedup.crossMinhashLsh(
+      corpus.unionAll(batch1), probe, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served === inline)
+    assert(served.exists(_._1 == 13L),
+      "fixture must produce a pair against the APPENDED batch doc")
+  }
+
+  test("spanSetStoredAppend: store stays the distinct span set of everything seen; replay is a no-op") {
+    val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq((11L, "a b c d x"), (12L, "p q r s t")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanappend").toFile
+    val store = new java.io.File(dir, "spans").getPath
+    graft.ops.Dedup.spanSetStored(corpus, store, spanLen = 3)
+    graft.ops.Dedup.spanSetStoredAppend(batch, store, spanLen = 3, batchTag = "b1")
+    graft.ops.Dedup.spanSetStoredAppend(batch, store, spanLen = 3, batchTag = "b1")
+    val grown = spark.read.parquet(store).as[Long].collect().toSeq
+    assert(grown.distinct.size === grown.size, "anti-join keeps the store duplicate-free")
+    // reference store built on the union in one shot must be identical
+    val refDir = java.nio.file.Files.createTempDirectory("graft-spanref").toFile
+    val refStore = new java.io.File(refDir, "spans").getPath
+    graft.ops.Dedup.spanSetStored(corpus.unionAll(batch), refStore, spanLen = 3)
+    assert(grown.toSet === spark.read.parquet(refStore).as[Long].collect().toSet)
+    // a next batch quoting the APPENDED batch is cut as corpus-owned
+    val next = Seq((21L, "z p q r s w")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.spanDedupIncremental(next, store, spanLen = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    spark.catalog.clearCache()
+    assert(out(21L) === ((6L, 4L, "z w")), "appended batch's spans cut from the next batch")
+  }
+
   test("spanDedup hotSpanGuard ≡ window path, including a corpus-universal span") {
     // every doc carries the same "s1 s2 s3" template (the universal-span
     // straggler case the guard exists for) plus unique content and one
