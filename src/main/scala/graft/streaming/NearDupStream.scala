@@ -290,4 +290,92 @@ object NearDupStream {
           / size(col("sig_a")).cast("double")).as("jaccard_est"))
       .filter(col("jaccard_est") >= tau)
   }
+
+  /** SELF-MAINTAINING streaming dedup corpus — [[againstStore]] plus the
+    * [[graft.ops.Dedup.minhashStoreAppend]] fold-in, per micro-batch:
+    *
+    *  1. the batch is deduplicated against the store (cross pairs) AND
+    *     against itself (keep-lowest-id: a doc is cut when it pairs at
+    *     ≥ tau with a lower-id doc of the same batch — the rank-1-keeps
+    *     rule at doc granularity; exact transitive clustering is
+    *     [[graft.ops.Dedup.duplicateClusters]]' job, not a stream's);
+    *  2. the SURVIVORS' signatures are appended to the store with
+    *     `batchTag = batch id` — so Structured Streaming's at-least-once
+    *     foreachBatch replay meets the marker file and cannot
+    *     double-sign (the [[graft.sink.JdbcDeltaSink]] batch-stamp
+    *     contract at file granularity);
+    *  3. `onBatch(batchId, dupPairs, survivors)` hands both results to
+    *     the caller (sink, metrics, quarantine) inside the same batch.
+    *
+    * Batch N+1 therefore dedups against corpus + every prior batch's
+    * survivors, with per-batch cost tracking the batch (the store is
+    * read, never re-signed). Seed the store first with
+    * [[graft.ops.Dedup.minhashBandsStored]] (an empty corpus seeds an
+    * empty store: the schema and `_SUCCESS` are what matter). Caller
+    * starts the returned writer (`.start()` + checkpoint as usual). */
+  def selfMaintaining(docs: DataFrame, path: String, tau: Double,
+                      shingleLen: Int = 3, bands: Int = 8,
+                      rowsPerBand: Int = 4, idCol: String = "doc_id",
+                      textCol: String = "text")
+                     (onBatch: (Long, DataFrame, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no signature store at $path — seed it with minhashBandsStored")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      // one signing pass per batch, reused by both joins and the append
+      val sigs = graft.ops.Dedup
+        .minhashBands(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
+        .persist()
+      val stored = spark.read.parquet(path)
+        .select(col("band"), col("band_hash"),
+          col("id").as("corpus_id"), col("sig").as("sig_a"))
+      // the batch's OWN ids are excluded from the corpus side: under
+      // foreachBatch's at-least-once replay, a re-executed batch whose
+      // first attempt already appended its survivors would otherwise
+      // "pair" with itself — the anti-join (pair-scale, after the
+      // bucket join) makes every attempt compute the same result,
+      // while the append's marker file makes the write land once
+      val crossPairs = sigs
+        .select(col("band"), col("band_hash"),
+          col("id").as("probe_id"), col("sig").as("sig_b"))
+        .join(stored.hint("shuffle_hash"), Seq("band", "band_hash"))
+        .select(col("corpus_id"), col("probe_id"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+            when(x === y, 1).otherwise(0)), v => v === 1))
+            / size(col("sig_a")).cast("double")).as("jaccard_est"))
+        .distinct()
+        .filter(col("jaccard_est") >= tau)
+        .join(sigs.select(col("id").as("corpus_id")).distinct(),
+          Seq("corpus_id"), "left_anti")
+        .persist()
+      // within-batch: pairs with id_a < id_b; the id_b side is cut
+      val innerCut = sigs.select(col("band"), col("band_hash"),
+          col("id").as("id_a"), col("sig").as("sig_a"))
+        .join(sigs.select(col("band"), col("band_hash"),
+          col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+            when(x === y, 1).otherwise(0)), v => v === 1))
+            / size(col("sig_a")).cast("double")).as("j"))
+        .filter(col("j") >= tau)
+        .select(col("id_b").as(idCol)).distinct()
+      val dupOfStore = crossPairs.select(col("probe_id").as(idCol)).distinct()
+      val survivors = batch
+        .join(dupOfStore, Seq(idCol), "left_anti")
+        .join(innerCut, Seq(idCol), "left_anti")
+        .persist()
+      // FORCE both results before the append: they read the store's
+      // pre-batch file set, and lazy evaluation would otherwise let the
+      // append land first — the batch would then "pair" with itself
+      crossPairs.count(); survivors.count()
+      graft.ops.Dedup.minhashStoreAppend(survivors, path,
+        batchTag = s"batch_$batchId", shingleLen, bands, rowsPerBand,
+        idCol, textCol)
+      onBatch(batchId, crossPairs, survivors)
+      sigs.unpersist(); crossPairs.unpersist(); survivors.unpersist()
+      ()
+    }
+  }
 }

@@ -123,6 +123,55 @@ class StreamingCorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("self-maintaining dedup corpus: each batch dedups against corpus + prior survivors, store grows") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-selfmaint").toFile
+    val store = new java.io.File(dir, "sigs").getPath
+    graft.ops.Dedup.minhashBandsStored(corpus, store)
+
+    val flagged = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val kept = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val mem = MemoryStream[(Long, String)]
+    val writer = graft.streaming.NearDupStream.selfMaintaining(
+      mem.toDF().toDF("doc_id", "text"), store, tau = 0.5) {
+      (batchId, dupPairs, survivors) =>
+        flagged(batchId) = dupPairs.select("corpus_id", "probe_id")
+          .as[(Long, Long)].collect().toSet
+        kept(batchId) = survivors.select("doc_id").as[Long].collect().toSet
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-selfmaint-ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: one exact dup of the seeded corpus (deterministic
+      // band hit), one novel doc, plus a within-batch exact pair
+      // (13 canonical, 15 cut by keep-lowest-id)
+      mem.addData(
+        (11L, "the quick brown fox jumps over the lazy dog tonight"),
+        (13L, "novel text about distributed query engines at scale"),
+        (15L, "novel text about distributed query engines at scale"))
+      q.processAllAvailable()
+      assert(flagged(0L).contains((2L, 11L)), s"corpus dup flagged: ${flagged(0L)}")
+      assert(kept(0L) === Set(13L),
+        s"novel canonical doc survives: kept=${kept(0L)} flagged=${flagged(0L)}")
+      // batch 1: an exact dup of batch 0's SURVIVOR — catchable only
+      // because the fold-in happened — and one novel doc
+      mem.addData(
+        (21L, "novel text about distributed query engines at scale"),
+        (23L, "unrelated musings on garden vegetables and weather"))
+      q.processAllAvailable()
+      assert(flagged(1L).exists { case (c, p) => c == 13L && p == 21L },
+        s"batch-1 doc pairs with batch-0 survivor via the grown store: ${flagged(1L)}")
+      assert(kept(1L) === Set(23L), s"only the novel doc survives: ${kept(1L)}")
+      // store holds exactly corpus + survivors, each signed once
+      val ids = spark.read.parquet(store).select("id").distinct()
+        .as[Long].collect().toSet
+      assert(ids === Set(2L, 13L, 23L), s"store ids: $ids")
+    } finally q.stop()
+  }
+
   test("DSIR scoring runs unchanged on a stream (map-only, stateless, bit-equal to batch)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
