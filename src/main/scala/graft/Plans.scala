@@ -28,7 +28,8 @@ object Plans {
         "q_hard_negatives", "q_gopher_quality", "q_corpus_diff",
         "q_weighted_quantile", "q_pooled_embed", "q_dataset_card",
         "q_nearest_doc", "q_bpe_merges", "q_bpe_encode", "q_ann_recall",
-        "q_bpe_pack", "q_dup_spans_guard", "q_span_dedup_guard")
+        "q_bpe_pack", "q_dup_spans_guard", "q_span_dedup_guard",
+        "q_minhash_append", "q_span_append")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

@@ -759,26 +759,58 @@ object Dedup {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
     require(new java.io.File(path, "_SUCCESS").isFile,
       s"no span store at $path — build it with spanSetStored")
-    val spark = batch.sparkSession
-    val marker = new java.io.File(path, s"_appended_$batchTag")
-    if (!marker.isFile) {
-      val staging = path + s"_staging_$batchTag"
+    spanStageDelta(batch, path, spanLen, batchTag, idCol, textCol)
+    spanCommitAppend(batch.sparkSession, path, batchTag)
+    batch.sparkSession.read.parquet(path)
+  }
+
+  /** Phase 1 of the append: materialize the batch's NEW hashes (not in
+    * the store) to the [[spanDeltaPath]] sidecar. Does not touch the
+    * store, so plans built AFTER staging but BEFORE
+    * [[spanCommitAppend]] can anti-join the delta and stay correct
+    * whether they execute before or after the commit — the property
+    * the streaming loop's cache-invalidation-under-append needs.
+    * Write-iff-absent per tag. */
+  def spanStageDelta(batch: DataFrame, path: String, spanLen: Int,
+                     batchTag: String, idCol: String = "doc_id",
+                     textCol: String = "text"): String = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no span store at $path — build it with spanSetStored")
+    val delta = spanDeltaPath(path, batchTag)
+    if (!new java.io.File(delta, "_SUCCESS").isFile)
       spanOccurrences(
         batch.filter(col(textCol).isNotNull)
           .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks")),
         spanLen)
         .select(col("h")).distinct()
-        .join(spark.read.parquet(path), Seq("h"), "left_anti")
-        .write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging).write.mode("append").parquet(path)
-      marker.createNewFile()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(staging))
-    }
-    spark.read.parquet(path)
+        .join(batch.sparkSession.read.parquet(path), Seq("h"), "left_anti")
+        .write.mode("overwrite").parquet(delta)
+    delta
   }
+
+  /** Phase 2: fold the staged delta's files into the store (parquet
+    * append — a copy job reading only the delta) and stamp the marker.
+    * No-op when the marker exists (redelivery). */
+  def spanCommitAppend(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batchTag: String): Unit = {
+    val marker = new java.io.File(path, s"_appended_$batchTag")
+    if (!marker.isFile) {
+      spark.read.parquet(spanDeltaPath(path, batchTag))
+        .write.mode("append").parquet(path)
+      marker.createNewFile()
+      ()
+    }
+  }
+
+  /** The sidecar recording exactly the hashes `batchTag`'s append added
+    * (the anti-joined delta). RETAINED, not cleaned up: it is the only
+    * record that lets a replayed batch reconstruct the store as it
+    * stood BEFORE its own append (see [[spanDedupIncremental]]'s
+    * `replayTag`) — the store itself has no provenance column.
+    * Batch-sized; a production pipeline GCs deltas once the downstream
+    * checkpoint has committed past the batch. */
+  def spanDeltaPath(path: String, batchTag: String): String =
+    path + s"_delta_$batchTag"
 
   /** [[spanDedup]] of a fresh batch AGAINST a [[spanSetStored]] corpus —
     * incremental substring dedup: a batch span occurrence is cut if its
@@ -789,12 +821,25 @@ object Dedup {
   def spanDedupIncremental(batch: DataFrame, path: String, spanLen: Int,
                            idCol: String = "doc_id",
                            textCol: String = "text",
-                           hotSpanGuard: Boolean = false): DataFrame = {
+                           hotSpanGuard: Boolean = false,
+                           replayTag: Option[String] = None): DataFrame = {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
     require(new java.io.File(path, "_SUCCESS").isFile,
       s"no span store at $path — build it with spanSetStored")
-    val store = batch.sparkSession.read.parquet(path)
-      .select(col("h"), lit(true).as("in_store"))
+    // replayTag: this batch may ALREADY have appended its spans (an
+    // at-least-once redelivery after a crash downstream) — cutting the
+    // batch against its own contribution would empty it. The retained
+    // append delta ([[spanDeltaPath]]) records exactly what it added;
+    // anti-joining it out reconstructs the pre-batch store view, so
+    // first run and replay compute the identical cut.
+    val rawStore = batch.sparkSession.read.parquet(path)
+    val storeView = replayTag
+      .map(spanDeltaPath(path, _))
+      .filter(d => new java.io.File(d, "_SUCCESS").isFile)
+      .map(d => rawStore.join(
+        batch.sparkSession.read.parquet(d), Seq("h"), "left_anti"))
+      .getOrElse(rawStore)
+    val store = storeView.select(col("h"), lit(true).as("in_store"))
     val toks = tokenTable(batch, idCol, textCol)
     val occ = spanOccurrences(toks, spanLen)
     val dups =

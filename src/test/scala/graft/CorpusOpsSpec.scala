@@ -643,6 +643,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(21L) === ((6L, 4L, "z w")), "appended batch's spans cut from the next batch")
   }
 
+  test("spanDedupIncremental replayTag: cut after the batch's own append equals the pre-append cut") {
+    val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanreplay").toFile
+    val store = new java.io.File(dir, "spans").getPath
+    graft.ops.Dedup.spanSetStored(corpus, store, spanLen = 3)
+    val batch = Seq((21L, "x y a b c d e z"), (23L, "f g h i j")).toDF("doc_id", "text")
+    def cut(tag: Option[String]) =
+      graft.ops.Dedup.spanDedupIncremental(batch, store, spanLen = 3, replayTag = tag)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val firstAttempt = cut(None); spark.catalog.clearCache()
+    graft.ops.Dedup.spanSetStoredAppend(batch, store, spanLen = 3, batchTag = "b9")
+    // naive redelivery would now cut the batch against its OWN spans
+    // (everything removed); the retained delta restores the pre-append
+    // store view and the replay reproduces the first attempt exactly
+    val replay = cut(Some("b9")); spark.catalog.clearCache()
+    assert(replay === firstAttempt)
+    val naive = cut(None); spark.catalog.clearCache()
+    assert(naive.forall { case (_, n, removed, _) => removed == n },
+      "control: without replayTag the redelivered batch empties itself")
+  }
+
   test("spanDedup hotSpanGuard ≡ window path, including a corpus-universal span") {
     // every doc carries the same "s1 s2 s3" template (the universal-span
     // straggler case the guard exists for) plus unique content and one

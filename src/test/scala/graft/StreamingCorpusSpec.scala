@@ -134,10 +134,12 @@ class StreamingCorpusSpec extends SparkTestBase {
 
     val flagged = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
     val kept = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val mem = MemoryStream[(Long, String)]
     val writer = graft.streaming.NearDupStream.selfMaintaining(
       mem.toDF().toDF("doc_id", "text"), store, tau = 0.5) {
       (batchId, dupPairs, survivors) =>
+        calls.incrementAndGet()
         flagged(batchId) = dupPairs.select("corpus_id", "probe_id")
           .as[(Long, Long)].collect().toSet
         kept(batchId) = survivors.select("doc_id").as[Long].collect().toSet
@@ -169,6 +171,42 @@ class StreamingCorpusSpec extends SparkTestBase {
       val ids = spark.read.parquet(store).select("id").distinct()
         .as[Long].collect().toSet
       assert(ids === Set(2L, 13L, 23L), s"store ids: $ids")
+      // replay-robustness covers re-invocation, but steady state must be
+      // one body execution per micro-batch — a systematic double run
+      // would double every batch's cost in production
+      assert(calls.get() === 2, s"foreachBatch bodies ran ${calls.get()} times for 2 batches")
+    } finally q.stop()
+  }
+
+  test("self-maintaining span store: each batch's text is cleaned against corpus + prior batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstream").toFile
+    val store = new java.io.File(dir, "spans").getPath
+    graft.ops.Dedup.spanSetStored(corpus, store, spanLen = 3)
+
+    val cleaned = scala.collection.mutable.Map.empty[Long, Map[Long, (Long, Long, String)]]
+    val mem = MemoryStream[(Long, String)]
+    val writer = graft.streaming.SpanStream.selfMaintaining(
+      mem.toDF().toDF("doc_id", "text"), store, spanLen = 3) {
+      (batchId, out) =>
+        cleaned(batchId) = out.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spanstream-ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: doc 11 quotes the seeded corpus, doc 13 is novel
+      mem.addData((11L, "x y a b c d e z"), (13L, "p q r s t"))
+      q.processAllAvailable()
+      assert(cleaned(0L)(11L) === ((8L, 5L, "x y z")), s"corpus quote cut: ${cleaned(0L)}")
+      assert(cleaned(0L)(13L) === ((5L, 0L, "p q r s t")), "novel doc intact")
+      // batch 1: doc 21 quotes BATCH 0's doc 13 — cuttable only because
+      // batch 0's spans were folded into the store
+      mem.addData((21L, "m n p q r s t w"))
+      q.processAllAvailable()
+      assert(cleaned(1L)(21L) === ((8L, 5L, "m n w")),
+        s"prior-batch spans are corpus-owned: ${cleaned(1L)}")
     } finally q.stop()
   }
 
