@@ -643,6 +643,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(21L) === ((6L, 4L, "z w")), "appended batch's spans cut from the next batch")
   }
 
+  test("store compaction: file count collapses, content and markers survive, appends stay idempotent") {
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+    val store = new java.io.File(dir, "sigs").getPath
+    graft.ops.Dedup.minhashBandsStored(corpus, store)
+    // three appended batches → four file sets
+    (1 to 3).foreach { i =>
+      graft.ops.Dedup.minhashStoreAppend(
+        Seq((100L + i, s"batch $i text about subject number $i entirely"))
+          .toDF("doc_id", "text"),
+        store, batchTag = s"b$i")
+    }
+    def parquetFiles() = new java.io.File(store).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(store)
+      .orderBy("id", "band").collect().toSeq
+    val filesBefore = parquetFiles()
+    assert(filesBefore >= 4, s"append left one file set per batch: $filesBefore")
+    val n = graft.ops.Stores.compact(spark, store)
+    assert(parquetFiles() === n && n < filesBefore, s"compacted to $n files")
+    assert(spark.read.parquet(store).orderBy("id", "band").collect().toSeq === before,
+      "compaction is content-identical")
+    // a replayed batch still finds its marker: no double-append
+    graft.ops.Dedup.minhashStoreAppend(
+      Seq((101L, "batch 1 text about subject number 1 entirely")).toDF("doc_id", "text"),
+      store, batchTag = "b1")
+    assert(spark.read.parquet(store).count() === before.size,
+      "marker survived the swap; replay appended nothing")
+  }
+
   test("spanDedupIncremental replayTag: cut after the batch's own append equals the pre-append cut") {
     val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-spanreplay").toFile
