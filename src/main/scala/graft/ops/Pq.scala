@@ -385,7 +385,14 @@ object Pq {
     * touches only its probe cells' directories. */
   def writeIndex(corpus: DataFrame, centroids: Array[Double], dim: Int,
                  m: Int, k: Int, codebook: Array[Double], path: String,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    encodeForIndex(corpus, centroids, dim, m, k, codebook, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  private def encodeForIndex(corpus: DataFrame, centroids: Array[Double],
+                             dim: Int, m: Int, k: Int,
+                             codebook: Array[Double], idCol: String,
+                             vecCol: String): DataFrame = {
     import graft.functions.expr.{NearestCell, PqEncodeRes}
     corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
       .select(col("n_id"),
@@ -396,7 +403,31 @@ object Pq {
         ColumnBridge.column(PqEncodeRes(ColumnBridge.expr(col("nv")),
           ColumnBridge.expr(col("cell")), centroids, dim, m, k,
           codebook)).as("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Fold NEW vectors into a [[writeIndex]]-materialized index — the
+    * FAISS `add()` lifecycle: encode with the index's FROZEN model
+    * (same centroids/codebook — additions never retrain) and append
+    * the coded rows into their cell partitions as new files; probes
+    * see them through the same partition-pruned scan. Marker-file
+    * idempotent per `batchTag` (the
+    * [[graft.ops.Dedup.minhashStoreAppend]] contract). The standard
+    * caveat applies and is the caller's schedule to own: under
+    * distribution drift the frozen cells degrade recall, and the
+    * remedy is a periodic retrain + [[writeIndex]] rebuild. */
+  def indexAppend(newVecs: DataFrame, centroids: Array[Double], dim: Int,
+                  m: Int, k: Int, codebook: Array[Double], path: String,
+                  batchTag: String, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no index at $path — build it with writeIndex")
+    val marker = new java.io.File(path, s"_appended_$batchTag")
+    if (!marker.isFile) {
+      encodeForIndex(newVecs, centroids, dim, m, k, codebook, idCol, vecCol)
+        .write.mode("append").partitionBy("cell").parquet(path)
+      marker.createNewFile()
+      ()
+    }
   }
 
   /** [[writeIndex]] iff the index is absent (no `_SUCCESS` marker) —

@@ -34,6 +34,11 @@ object Stores {
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val dir = new java.io.File(path)
     require(new java.io.File(dir, "_SUCCESS").isFile, s"no store at $path")
+    require(!Option(dir.listFiles()).getOrElse(Array.empty).exists(f =>
+      f.isDirectory && f.getName.contains("=")),
+      s"$path is hive-partitioned (e.g. the IVF-PQ index) — a flat " +
+        "rewrite would destroy partition pruning; compact per partition " +
+        "or rebuild via its writer")
     val dataFiles = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.length()).sum

@@ -51,6 +51,49 @@ class PqIndexSpec extends SparkTestBase {
       s"probe cells must prune partitions, got: $pf")
   }
 
+  test("indexAppend: new vectors land in their cells, probes find them, replay is a no-op") {
+    import spark.implicits._
+    val (emb, cents, cb) = setup()
+    val dir = java.nio.file.Files.createTempDirectory("pq_index_append").toString
+    // seed with everything EXCEPT two held-out vectors
+    Pq.writeIndex(emb.filter(col("vec_id") >= 10), cents,
+      dim = 64, m = 8, k = 16, codebook = cb, path = dir)
+    val heldOut = emb.filter(col("vec_id") < 2)
+    Pq.indexAppend(heldOut, cents, dim = 64, m = 8, k = 16, codebook = cb,
+      path = dir, batchTag = "b1")
+    val rowsAfter = spark.read.parquet(dir).count()
+    // replayed append: marker makes it a no-op
+    Pq.indexAppend(heldOut, cents, dim = 64, m = 8, k = 16, codebook = cb,
+      path = dir, batchTag = "b1")
+    assert(spark.read.parquet(dir).count() === rowsAfter)
+    // the appended rows are probe-VISIBLE through the partition-pruned
+    // path: the grown index must answer exactly like a from-scratch
+    // index over the union (PQ distances are approximate, so parity
+    // with the rebuild — not exact self-match — is the invariant)
+    val ref = java.nio.file.Files.createTempDirectory("pq_index_ref").toString
+    Pq.writeIndex(emb.filter(col("vec_id") >= 10 || col("vec_id") < 2), cents,
+      dim = 64, m = 8, k = 16, codebook = cb, path = ref)
+    def probe(p: String) = Pq.ivfPqTopKFromIndex(spark, p,
+        heldOut, topK = 3,
+        centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 2)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val grown = probe(dir)
+    assert(grown === probe(ref), "grown index answers like the rebuild")
+    val appendedIds = spark.read.parquet(dir)
+      .filter(col("n_id") < 2).select("n_id").as[Long].collect().toSet
+    assert(appendedIds === Set(0L, 1L),
+      s"appended rows present in the partitioned layout: $appendedIds")
+    val a = spark.read.parquet(dir).select("n_id", "cell", "codes")
+      .collect().map(_.toString).sorted
+    val b = spark.read.parquet(ref).select("n_id", "cell", "codes")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "append ≡ rebuild (frozen model, deterministic encode)")
+    // compaction refuses the partitioned layout instead of flattening it
+    intercept[IllegalArgumentException] {
+      graft.ops.Stores.compact(spark, dir)
+    }
+  }
+
   test("nProbe=1, one query: scan reads a STRICT subset of the cell directories") {
     // At nProbe=2 with 10 probes the IN-list covers all 8 cells, so the
     // round-trip test above can't distinguish real pruning from a no-op
