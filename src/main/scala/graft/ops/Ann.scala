@@ -188,13 +188,17 @@ object Ann {
     emb.agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
       .head.getDouble(0)
 
-  /** q_i = round(x_i · 127 / scale) as TINYINT — symmetric linear int8
-    * (the FAISS/SQ8 shape with one global scale). round() first makes
-    * the value integral, so the narrowing cast is exact under both
-    * Spark (truncate) and DuckDB (nearest) semantics. */
+  /** q_i = round(x_i · 127 / scale) as TINYINT, clipped to ±127 —
+    * symmetric linear int8 (the FAISS/SQ8 shape with one global scale).
+    * round() first makes the value integral, so the narrowing cast is
+    * exact under both Spark (truncate) and DuckDB (nearest) semantics;
+    * the clip is a no-op for vectors inside the scale (the build-time
+    * case, where scale IS the max) and saturates out-of-range values —
+    * probes and frozen-scale appends larger than anything stored. */
   private def quantizeVec(vec: Column, scale: Double): Column =
     transform(vec, x =>
-      round(x.cast("double") * lit(127.0) / lit(scale)).cast("tinyint"))
+      greatest(lit(-127.0), least(lit(127.0),
+        round(x.cast("double") * lit(127.0) / lit(scale)))).cast("tinyint"))
 
   /** Write-iff-absent int8-quantized embedding store: (id, q, scale).
     * The 100 TB play is the STORE, not the math: 4× less to scan per
@@ -211,6 +215,32 @@ object Ann {
         .write.mode("overwrite").parquet(path)
     }
     emb.sparkSession.read.parquet(path)
+  }
+
+  /** Fold NEW vectors into an [[int8Stored]] store — the frozen-model
+    * append (the [[Pq.indexAppend]] shape at scalar-quantization
+    * granularity): additions quantize with the STORE's scale, never a
+    * recomputed one — a fresh global max would re-scale nothing already
+    * stored and silently mix two scales in one store. A new vector
+    * larger than the stored max CLIPS to ±127 (the standard SQ8 add
+    * semantics; re-quantize via a rebuild when drift makes clipping
+    * material). Marker-file idempotent per `batchTag`; flat layout, so
+    * [[Stores.compact]] applies as-is. */
+  def int8StoreAppend(newVecs: DataFrame, path: String, batchTag: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no int8 store at $path — build it with int8Stored")
+    val marker = new java.io.File(path, s"_appended_$batchTag")
+    if (!marker.isFile) {
+      val m = newVecs.sparkSession.read.parquet(path)
+        .select(col("scale")).head.getDouble(0)
+      newVecs.select(col(idCol).as("id"),
+          quantizeVec(col(vecCol), m).as("q"), lit(m).as("scale"))
+        .write.mode("append").parquet(path)
+      marker.createNewFile()
+    }
+    newVecs.sparkSession.read.parquet(path)
   }
 
   /** Σ a_i·b_i over int8 codes, widened to LONG — exact (64 dims × 127²

@@ -793,6 +793,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.forall(_._3 != 7))
   }
 
+  test("int8StoreAppend: frozen scale, out-of-range additions clip, replay is a no-op") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8app").toFile
+    val path = new java.io.File(dir, "emb").getPath
+    graft.ops.Ann.int8Stored(vecs, path)
+    // addition quantizes with the STORE's scale (1.0): 0.5 → 64,
+    // and the 2.0 component exceeds the frozen max → clips to 127
+    val adds = Seq((10L, Array(0.5f, 2.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    graft.ops.Ann.int8StoreAppend(adds, path, batchTag = "b1")
+    graft.ops.Ann.int8StoreAppend(adds, path, batchTag = "b1") // replay no-op
+    val store = spark.read.parquet(path)
+    assert(store.count() === 3)
+    val q10 = store.filter(col("id") === 10L).head.getSeq[Byte](1)
+    assert(q10 === Seq[Byte](64, 127, 0, 0), s"0.5→64 (round), 2.0 clips to 127: $q10")
+    assert(store.select("scale").distinct().count() === 1, "one scale for the whole store")
+    // the appended vector is probe-visible through the integer kernel
+    // (self-pairs are excluded, so probe with vector 0: its angle to
+    // the appended (64,127,0,0) beats the orthogonal vector 1)
+    val top = graft.ops.Ann.bruteTopKInt8(store,
+        vecs.filter(col("vec_id") === 0L), k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(top === Set((0L, 10L)), s"appended vector is vector 0's nearest: $top")
+  }
+
   test("int8 ANN: codes bounded, identical copies at cos 1.0 exactly, store write-once") {
     val vecs = Seq(
       (0L, Array(1.0f, 0f, 0f, 0f)),
