@@ -1335,19 +1335,37 @@ object Queries {
     * side-table (the oracle SQL below reads the sf0.01 one — the scale
     * the driver verifies at); encode + ADC are deterministic given the
     * codebook, so the quantized index IS hash-checkable. */
-  /** Derived-store path, CONTENT-KEYED to the source corpus: the key
-    * folds each parquet's name and size, so a testdata regeneration
-    * re-keys every store and they rebuild (write-iff-absent) instead of
-    * serving stale signatures against a freshly-computed oracle — the
+  /** Derived-store path, CONTENT-GUARDED against the source corpus:
+    * the PATH is stable (`artifacts/<name>_<sf>` — the oracle SQL
+    * reads it by that literal name), and a `._content` sidecar records
+    * a key folding each source parquet's name and size. A testdata
+    * regeneration flips the key, which WIPES the store so the
+    * write-iff-absent builders rebuild against the new corpus instead
+    * of serving stale signatures to a freshly-computed oracle — the
     * store-side analog of the events-ts lesson (r6: 20 queries lost to
-    * a silent re-encode). Same-content reuse still hits the old path. */
+    * a silent re-encode). The earlier content-keyed-SUFFIX variant
+    * protected the store but silently broke every oracle's hardcoded
+    * `read_parquet` path; path-stable + guarded wipe protects both. */
   private def codebookPath(sfDir: String, name: String): String = {
     val f = new java.io.File(sfDir)
     val sig = Option(f.listFiles())
       .map(_.filter(_.getName.endsWith(".parquet"))
         .map(x => x.getName.hashCode.toLong * 31L ^ x.length()).sum)
       .getOrElse(0L)
-    s"/root/repo/artifacts/${name}_${f.getName}_${java.lang.Long.toHexString(sig)}"
+    val path = s"/root/repo/artifacts/${name}_${f.getName}"
+    val hex = java.lang.Long.toHexString(sig)
+    val sidecar = new java.io.File(path + "._content")
+    val fresh = sidecar.isFile &&
+      new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8").trim == hex
+    if (!fresh) {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(new java.io.File(path))
+      sidecar.getParentFile.mkdirs()
+      java.nio.file.Files.write(sidecar.toPath, hex.getBytes("UTF-8"))
+    }
+    path
   }
 
   /** DuckDB mirror of the [[graft.functions.expr.PqEncode]] /
