@@ -3251,6 +3251,234 @@ object Queries {
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_above
        |FROM h ORDER BY n_match""".stripMargin)
 
+  // ------------------------------------------- PCA / embedding spectrum
+
+  /** 8×8 upper-triangle block of the population covariance of the
+    * embedding corpus, via the ONE-PASS [[graft.functions.expr.
+    * VectorMoments]] native aggregate: the corpus scan ships one
+    * ~17 KB (n, Σx, Σxxᵀ) summary per partition (map-side combine),
+    * never a per-row outer-product explosion — the 100 TB covariance
+    * shape. The driver-side eigensolve consumes the same moments
+    * (PcaSpec pins the solver); this query hash-checks the moments
+    * math against a DuckDB replay. */
+  val qPcaCov: Q = "q_pca_cov" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val m = Tables.embeddings(s, d)
+        .agg(graft.ops.Pca.moments(col("embedding"), 64).as("m"))
+      val pairs = (for { i <- 0 until 8; j <- i until 8 } yield (i, j))
+        .toDF("i", "j")
+      pairs.crossJoin(m)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round(
+            element_at(col("m.ss"),
+              expr("CAST(i * 64 - (i * (i - 1)) DIV 2 + (j - i) + 1 AS INT)"))
+                / col("m.n")
+              - (element_at(col("m.s"), expr("CAST(i + 1 AS INT)")) / col("m.n"))
+                * (element_at(col("m.s"), expr("CAST(j + 1 AS INT)")) / col("m.n")),
+            6).as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+    """WITH idx AS (SELECT unnest(range(0, 8)) AS i),
+      |p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+      |c AS (SELECT p.i, p.j,
+      |    avg(CAST(e.embedding[p.i + 1] AS DOUBLE) * CAST(e.embedding[p.j + 1] AS DOUBLE))
+      |      - avg(CAST(e.embedding[p.i + 1] AS DOUBLE))
+      |        * avg(CAST(e.embedding[p.j + 1] AS DOUBLE)) AS cov
+      |  FROM p, embeddings e GROUP BY p.i, p.j)
+      |SELECT i, j, round(cov, 6) AS cov FROM c ORDER BY i, j""".stripMargin)
+
+  /** PCA-space ANN recall vs full-dimension truth: fit a 16-component
+    * projector (train-once store, like the PQ codebooks), project the
+    * corpus map-only (literal eigenvectors, codegen'd dots, mean
+    * offset folded to a constant), brute top-10 in 16-d vs 64-d per
+    * probe. The oracle reads the STORED projector parquet and replays
+    * projection + both rankings + recall — same lifecycle as the
+    * q_pq_ann codebook oracle; every dot is an in-order double fold on
+    * both sides, so the hash matches exactly. Recall quantifies what
+    * the 4× cheaper scan gives up (PcaSpec bounds it from below). */
+  val qPcaRecall: Q = "q_pca_recall" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ops.Pca.fitStored(s, emb, "embedding", dim = 64,
+        k = 16, path = codebookPath(d, "pca_model"))
+      val proj = graft.ops.Pca.project(emb, "embedding", model, "pvec")
+      val pcaTop = Ann.bruteTopK(proj, proj.filter(col("vec_id") % 50 === 0),
+        k = 10, vecCol = "pvec")
+      val trueTop = Ann.bruteTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        k = 10)
+      trueTop.select(col("q_id"), col("n_id"))
+        .join(pcaTop.select(col("q_id"), col("n_id")).withColumn("m", lit(1)),
+          Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("m")).as("hits"))
+        .select(col("q_id"), col("hits"),
+          round(col("hits") / 10.0, 6).as("recall"))
+        .orderBy(col("q_id"))
+    }, {
+      val dot16 =
+        "list_sum(list_transform(range(1, 17), i -> a.pvec[i] * b.pvec[i]))"
+      val n16 = (v: String) =>
+        s"sqrt(list_sum(list_transform(range(1, 17), i -> $v.pvec[i] * $v.pvec[i])))"
+      s"""WITH mrows AS (SELECT comp_id, vec
+         |    FROM read_parquet('/root/repo/artifacts/pca_model_sf0.01/*.parquet')),
+         |mn AS (SELECT vec FROM mrows WHERE comp_id = -1),
+         |comps AS (SELECT comp_id, mrows.vec,
+         |    list_sum(list_transform(range(1, 65), i -> mrows.vec[i] * mn.vec[i])) AS off
+         |  FROM mrows, mn WHERE comp_id >= 0),
+         |p AS (SELECT e.vec_id, list(
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * c.vec[i])) - c.off
+         |    ORDER BY c.comp_id) AS pvec
+         |  FROM embeddings e, comps c GROUP BY e.vec_id),
+         |pr AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    round(CASE WHEN ${n16("a")} * ${n16("b")} > 0
+         |      THEN $dot16 / (${n16("a")} * ${n16("b")}) ELSE 0.0 END, 6) AS cos
+         |  FROM p a JOIN p b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |prk AS (SELECT q_id, n_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM pr),
+         |tr AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+         |trk AS (SELECT q_id, n_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM tr)
+         |SELECT t.q_id, CAST(count(p2.n_id) AS BIGINT) AS hits,
+         |  round(count(p2.n_id) / 10.0, 6) AS recall
+         |FROM (SELECT * FROM trk WHERE rk <= 10) t
+         |LEFT JOIN (SELECT * FROM prk WHERE rk <= 10) p2
+         |  ON p2.q_id = t.q_id AND p2.n_id = t.n_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+    })
+
+  // ------------------------------- WordPiece tokenizer (greedy matcher)
+
+  private val WP_MAXLEN = 4; private val WP_VOCAB = 200
+
+  /** Shared vocab CTEs over `documents` → relation `v(piece, weight)`:
+    * occurrence-weighted substring candidates (len ≤ 4), top-200 ∪ all
+    * single chars — the DuckDB mirror of [[graft.ops.Wordpiece.vocab]].
+    */
+  private def wpVocabCtes: String =
+    s"""wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($TOKS) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY word),
+       |cand AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS weight
+       |  FROM (SELECT unnest(flatten(list_transform(range(1, length(word) + 1),
+       |      s -> list_transform(range(1, least($WP_MAXLEN, length(word) - s + 1) + 1),
+       |        l -> substr(word, CAST(s AS INT), CAST(l AS INT)))))) AS piece, freq
+       |    FROM wf) GROUP BY piece),
+       |topc AS (SELECT piece, weight FROM cand
+       |  ORDER BY weight DESC, piece LIMIT $WP_VOCAB),
+       |v AS MATERIALIZED (SELECT DISTINCT piece, weight FROM (
+       |  SELECT piece, weight FROM topc
+       |  UNION ALL
+       |  SELECT piece, weight FROM cand WHERE length(piece) = 1))""".stripMargin
+
+  /** WordPiece vocabulary seeding ([[graft.ops.Wordpiece]]): top-200
+    * substring pieces by occurrence-weighted corpus frequency ∪ single
+    * chars. The top-N is `orderBy.limit` (TakeOrderedAndProject:
+    * distributed partial top-k, no single-partition window) — vocab
+    * selection stays scale-safe when the candidate table is millions
+    * of pieces. */
+  val qWpVocab: Q = "q_wp_vocab" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Wordpiece.vocab(Tables.documents(s, d),
+          maxLen = WP_MAXLEN, vocabSize = WP_VOCAB)
+        .orderBy(col("piece")),
+    s"""WITH ${wpVocabCtes}
+       |SELECT piece, weight FROM v ORDER BY piece""".stripMargin)
+
+  /** WordPiece ENCODE: greedy longest-match-first, fully relational —
+    * the jump table (position → longest matching piece) is an ordinary
+    * equi-join against the vocab (any vocab size; no literal map, no
+    * UDF), and the greedy walk is one in-order `aggregate` fold over
+    * each distinct word's step array. Documents never re-encode a
+    * word: the vocab-sized word→count map broadcast-joins onto the
+    * exploded corpus (the [[graft.ops.Bpe.tokenCountPerDoc]] shape).
+    * The oracle replays the identical jump table + walk as a recursive
+    * CTE; all-integer arithmetic → exact hash match. */
+  val qWpEncode: Q = "q_wp_encode" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val v = graft.ops.Wordpiece.vocab(docs, WP_MAXLEN, WP_VOCAB)
+      graft.ops.Wordpiece.tokenCountPerDoc(docs, v, WP_MAXLEN)
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH RECURSIVE ${wpVocabCtes},
+       |docw AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
+       |w AS MATERIALIZED (SELECT DISTINCT word FROM docw WHERE length(word) >= 1),
+       |ap AS MATERIALIZED (SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos FROM w),
+       |cnd AS (SELECT ap.word, ap.pos, CAST(ls.l AS INT) AS l,
+       |    substr(ap.word, ap.pos, CAST(ls.l AS INT)) AS piece
+       |  FROM ap, (SELECT unnest(range(1, $WP_MAXLEN + 1)) AS l) ls
+       |  WHERE ap.pos + ls.l - 1 <= length(ap.word)),
+       |jump AS MATERIALIZED (SELECT word, pos, max(l) AS step
+       |  FROM cnd JOIN v USING (piece) GROUP BY word, pos),
+       |walk(word, pos, n) AS (
+       |  SELECT word, 1, 0 FROM w
+       |  UNION ALL
+       |  SELECT k.word, k.pos + COALESCE(j.step, 1), k.n + 1
+       |  FROM walk k LEFT JOIN jump j ON j.word = k.word AND j.pos = k.pos
+       |  WHERE k.pos <= length(k.word)),
+       |wcount AS MATERIALIZED (SELECT word, n FROM walk
+       |  WHERE pos = length(word) + 1)
+       |SELECT f.doc_id, CAST(sum(c.n) AS BIGINT) AS n_wp_tokens
+       |FROM docw f JOIN wcount c USING (word)
+       |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin)
+
+  // -------------------------------------- curriculum / training order
+
+  /** Per-doc n-gram NOVELTY vs the corpus prefix (first-seen fraction
+    * of the doc's distinct bigram set, corpus ordered by doc_id) — the
+    * "is this document new information" curriculum signal. One
+    * gram-keyed exchange; never all-pairs
+    * ([[graft.ops.Curriculum.novelty]]). */
+  val qNovelty: Q = "q_novelty" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Curriculum.novelty(Tables.documents(s, d), n = 2)
+        .orderBy(col("doc_id")),
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))) AS gram
+       |  FROM t),
+       |fo AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram)
+       |SELECT d.doc_id,
+       |  CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       |  CAST(count(*) AS BIGINT) AS total_grams,
+       |  round(CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS novelty
+       |FROM dg d JOIN fo f USING (gram)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+
+  /** Source-interleaved curriculum order: rank within source by
+    * quality, then `position = (rank−1)·S + src_idx` — ARITHMETIC
+    * interleave, no global row_number/total sort; every training-order
+    * prefix carries the same source mix
+    * ([[graft.ops.Curriculum.interleavedOrder]]). */
+  val qCurriculum: Q = "q_curriculum" -> (
+    (s: SparkSession, d: String) => {
+      val sc = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("quality"))
+      graft.ops.Curriculum.interleavedOrder(sc, "source", "quality")
+        .orderBy(col("position"))
+    },
+    s"""WITH sc AS (SELECT doc_id, source, round(
+       |    LEAST(len($TOKS) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / GREATEST(length(text), 1)) * CAST(0.2 AS DOUBLE)
+       |    + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / GREATEST(length(text), 1) * CAST(0.2 AS DOUBLE)
+       |    + len(list_distinct($TOKS)) / GREATEST(len($TOKS), 1) * CAST(0.2 AS DOUBLE), 6) AS quality
+       |  FROM documents),
+       |si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |ns AS (SELECT count(*) AS s FROM si),
+       |rk AS (SELECT doc_id, source, quality, row_number() OVER (
+       |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rank FROM sc)
+       |SELECT r.doc_id, r.source, r.quality, CAST(r.rank AS BIGINT) AS rank,
+       |  CAST((r.rank - 1) * ns.s + si.src_idx AS BIGINT) AS position
+       |FROM rk r JOIN si USING (source), ns ORDER BY position""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -3281,5 +3509,6 @@ object Queries {
     qPooledEmbed, qDatasetCard, qNearestDoc, qBpeMerges, qBpeEncode,
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
+    qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
   )
 }
