@@ -3427,6 +3427,60 @@ object Queries {
        |FROM docw f JOIN wcount c USING (word)
        |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin)
 
+  /** Unigram-LM tokenizer (SentencePiece default; [[graft.ops.
+    * Unigram]]): 2 hard-EM rounds trained and stored once, then
+    * per-doc Viterbi token counts — max-likelihood segmentation, ties
+    * to the longer piece. The oracle reads the STORED score table and
+    * replays the identical Viterbi DP as a recursive CTE carrying the
+    * best-log-prob and piece-count lists; every DP value is the same
+    * double-arithmetic chain on both sides, so counts hash-match
+    * exactly. Completes the tokenizer trio (BPE merges / WordPiece
+    * greedy / Unigram Viterbi) on one shared relational skeleton. */
+  val qUnigramTokens: Q = "q_unigram_tokens" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val scores = graft.ops.Unigram.trainStored(s, docs,
+        maxLen = WP_MAXLEN, vocabSize = WP_VOCAB, rounds = 2,
+        path = codebookPath(d, "unigram_scores"))
+      graft.ops.Unigram.tokenCountPerDoc(docs, scores, WP_MAXLEN)
+        .orderBy(col("doc_id"))
+    }, {
+      val selv = """COALESCE(list_max(list_transform(c.lst,
+        |      x -> k.best[k.e + 2 - x.l] + x.ls)), k.best[k.e + 1] - 20.0)""".stripMargin
+      val sell = s"""COALESCE(list_max(list_transform(list_filter(c.lst,
+        |      x -> k.best[k.e + 2 - x.l] + x.ls = ($selv)),
+        |      x -> x.l)), 1)""".stripMargin
+      s"""WITH RECURSIVE
+         |sc AS MATERIALIZED (SELECT piece, ls
+         |  FROM read_parquet('/root/repo/artifacts/unigram_scores_sf0.01/*.parquet')),
+         |docw AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
+         |w AS MATERIALIZED (SELECT DISTINCT word FROM docw WHERE length(word) >= 1),
+         |ap AS (SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos FROM w),
+         |cnd AS MATERIALIZED (
+         |  SELECT t.word, CAST(t.pos + t.l - 1 AS INT) AS e, CAST(t.l AS INT) AS l, sc.ls
+         |  FROM (SELECT ap.word, ap.pos, lz.l,
+         |        substr(ap.word, ap.pos, CAST(lz.l AS INT)) AS piece
+         |      FROM ap, (SELECT unnest(range(1, $WP_MAXLEN + 1)) AS l) lz
+         |      WHERE ap.pos + lz.l - 1 <= length(ap.word)) t
+         |  JOIN sc ON sc.piece = t.piece),
+         |cbe AS MATERIALIZED (SELECT word, e,
+         |    list(struct_pack(l := l, ls := ls)) AS lst
+         |  FROM cnd GROUP BY word, e),
+         |walk(word, e, best, cnt) AS (
+         |  SELECT word, 0, [CAST(0.0 AS DOUBLE)], [CAST(0 AS BIGINT)] FROM w
+         |  UNION ALL
+         |  SELECT k.word, k.e + 1,
+         |    list_append(k.best, $selv),
+         |    list_append(k.cnt, k.cnt[k.e + 2 - ($sell)] + 1)
+         |  FROM walk k LEFT JOIN cbe c ON c.word = k.word AND c.e = k.e + 1
+         |  WHERE k.e < length(k.word)),
+         |wc AS MATERIALIZED (SELECT word, cnt[length(word) + 1] AS n
+         |  FROM walk WHERE e = length(word))
+         |SELECT f.doc_id, CAST(sum(c2.n) AS BIGINT) AS n_unigram_tokens
+         |FROM docw f JOIN wc c2 USING (word)
+         |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
+    })
+
   // -------------------------------------- curriculum / training order
 
   /** Per-doc n-gram NOVELTY vs the corpus prefix (first-seen fraction
@@ -3510,5 +3564,6 @@ object Queries {
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
+    qUnigramTokens,
   )
 }
