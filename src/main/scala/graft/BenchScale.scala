@@ -233,6 +233,47 @@ object BenchScale {
         bpeMerges.map(m => (m._2, m._3))).count())
       spark.catalog.clearCache()
 
+      // round-7 additions, all designed ~linear: PCA fit is ONE moments
+      // pass (17 KB per-partition summaries) + a driver eigensolve and
+      // projection is map-only; WordPiece and Unigram amortize over the
+      // distinct-word table (the copy prefixes multiply VOCABULARY by K
+      // — the honest vocab-growth curve, like BPE); novelty is one
+      // gram-keyed exchange; curriculum interleave is a per-source
+      // window + arithmetic position (no global sort)
+      val (tPcaFit, pcaModel) = time(
+        graft.ops.Pca.fit(emb, "embedding", dim = 64, k = 16))
+      val (tPcaProj, _) = time(
+        graft.ops.Pca.project(emb, "embedding", pcaModel).count())
+      spark.catalog.clearCache()
+      val (tWpVocab, wpV) = time {
+        val v = graft.ops.Wordpiece.vocab(docs, maxLen = 4, vocabSize = 200)
+          .persist()
+        v.count(); v
+      }
+      val (tWpEnc, _) = time(
+        graft.ops.Wordpiece.tokenCountPerDoc(docs, wpV, maxLen = 4).count())
+      wpV.unpersist()
+      spark.catalog.clearCache()
+      val (tUgTrain, ugScores) = time {
+        val words = graft.ops.Wordpiece.words(docs).persist()
+        val s1 = graft.ops.Unigram.emRound(words,
+          graft.ops.Unigram.seedScoresFromWords(words, maxLen = 4, vocabSize = 200),
+          maxLen = 4).persist()
+        s1.count(); words.unpersist(); s1
+      }
+      val (tUgEnc, _) = time(
+        graft.ops.Unigram.tokenCountPerDoc(docs, ugScores, maxLen = 4).count())
+      ugScores.unpersist()
+      spark.catalog.clearCache()
+      val (tNov, _) = time(graft.ops.Curriculum.novelty(docs, n = 2).count())
+      spark.catalog.clearCache()
+      val (tCurr, _) = time {
+        val sc = docs.select(col("doc_id"), col("lang"),
+          graft.functions.Text.qualityScore(col("text")).as("q"))
+        graft.ops.Curriculum.interleavedOrder(sc, "lang", "q").count()
+      }
+      spark.catalog.clearCache()
+
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
         s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
@@ -257,7 +298,15 @@ object BenchScale {
         s""""int8_build_sec":${f"$tInt8Build%.2f"},""" +
         s""""int8_ann_sec":${f"$tInt8Ann%.2f"},""" +
         s""""bpe_train_sec":${f"$tBpeTrain%.2f"},""" +
-        s""""bpe_encode_sec":${f"$tBpeEnc%.2f"}}""")
+        s""""bpe_encode_sec":${f"$tBpeEnc%.2f"},""" +
+        s""""pca_fit_sec":${f"$tPcaFit%.2f"},""" +
+        s""""pca_project_sec":${f"$tPcaProj%.2f"},""" +
+        s""""wp_vocab_sec":${f"$tWpVocab%.2f"},""" +
+        s""""wp_encode_sec":${f"$tWpEnc%.2f"},""" +
+        s""""unigram_train_sec":${f"$tUgTrain%.2f"},""" +
+        s""""unigram_encode_sec":${f"$tUgEnc%.2f"},""" +
+        s""""novelty_sec":${f"$tNov%.2f"},""" +
+        s""""curriculum_sec":${f"$tCurr%.2f"}}""")
     }
     spark.stop()
   }

@@ -29,7 +29,9 @@ object Plans {
         "q_weighted_quantile", "q_pooled_embed", "q_dataset_card",
         "q_nearest_doc", "q_bpe_merges", "q_bpe_encode", "q_ann_recall",
         "q_bpe_pack", "q_dup_spans_guard", "q_span_dedup_guard",
-        "q_minhash_append", "q_span_append")
+        "q_minhash_append", "q_span_append",
+        "q_pca_cov", "q_pca_recall", "q_wp_vocab", "q_wp_encode",
+        "q_novelty", "q_curriculum", "q_unigram_tokens")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

@@ -41,8 +41,12 @@ object Unigram {
   /** Seed scores: log(weight / Σweight) over the [[Wordpiece]]
     * candidate top-`vocabSize` ∪ all single chars. */
   def seedScores(docs: DataFrame, maxLen: Int, vocabSize: Int,
-                 textCol: String = "text"): DataFrame = {
-    val v = Wordpiece.vocab(docs, maxLen, vocabSize, textCol)
+                 textCol: String = "text"): DataFrame =
+    seedScoresFromWords(Wordpiece.words(docs, textCol), maxLen, vocabSize)
+
+  def seedScoresFromWords(wordsDf: DataFrame, maxLen: Int,
+                          vocabSize: Int): DataFrame = {
+    val v = Wordpiece.vocabFromWords(wordsDf, maxLen, vocabSize)
     val total = v.agg(sum(col("weight"))).head().getLong(0)
     v.select(col("piece"),
       log(col("weight").cast("double") / lit(total.toDouble)).as("ls"))
@@ -122,11 +126,13 @@ object Unigram {
                   vocabSize: Int, rounds: Int, path: String,
                   textCol: String = "text"): DataFrame = {
     if (!new java.io.File(path, "_SUCCESS").isFile) {
-      val words = Bpe.wordCounts(docs, textCol)
-        .filter(length(col("word")) >= 1)
-      var scores = seedScores(docs, maxLen, vocabSize, textCol)
+      // one corpus scan: the persisted distinct-word table feeds the
+      // seed vocab and every EM round
+      val words = Wordpiece.words(docs, textCol).persist()
+      var scores = seedScoresFromWords(words, maxLen, vocabSize)
       (1 to rounds).foreach { _ => scores = emRound(words, scores, maxLen) }
       scores.coalesce(1).write.mode("overwrite").parquet(path)
+      words.unpersist()
     }
     docs.sparkSession.read.parquet(path)
   }
@@ -137,8 +143,7 @@ object Unigram {
   def tokenCountPerDoc(docs: DataFrame, scores: DataFrame, maxLen: Int,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val words = Bpe.wordCounts(docs, textCol)
-      .filter(length(col("word")) >= 1)
+    val words = Wordpiece.words(docs, textCol)
     val wc = viterbiWords(words, scores, maxLen)
       .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
     docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))

@@ -40,13 +40,23 @@ object Wordpiece {
   /** Substring candidates with occurrence weights: every (start, len ≤
     * maxLen) substring of each distinct word contributes that word's
     * corpus frequency per occurrence. */
-  def candidates(docs: DataFrame, maxLen: Int,
-                 textCol: String = "text"): DataFrame =
+  /** The corpus word-frequency table every stage shares — compute it
+    * ONCE per pipeline and pass it to the `*FromWords` forms below;
+    * the table is vocab-bounded, so callers persist it for pennies
+    * instead of re-scanning the corpus per stage. */
+  def words(docs: DataFrame, textCol: String = "text"): DataFrame =
     Bpe.wordCounts(docs, textCol)
       // empty words (blank documents tokenize to [""]) must not reach
       // sequence(1, 0), which counts DOWN in Spark ([1, 0]); the
       // oracle's range(1, 1) is empty — filter them out on both sides
       .filter(length(col("word")) >= 1)
+
+  def candidates(docs: DataFrame, maxLen: Int,
+                 textCol: String = "text"): DataFrame =
+    candidatesFromWords(words(docs, textCol), maxLen)
+
+  def candidatesFromWords(wordsDf: DataFrame, maxLen: Int): DataFrame =
+    wordsDf
       .withColumn("pos", explode(expr("sequence(1, length(word))")))
       .withColumn("l", explode(expr(s"sequence(1, $maxLen)")))
       .filter(col("pos") + col("l") - lit(1) <= length(col("word")))
@@ -56,8 +66,12 @@ object Wordpiece {
   /** Vocabulary: top `vocabSize` candidates by (weight desc, piece asc)
     * ∪ all single characters (guaranteed coverage). */
   def vocab(docs: DataFrame, maxLen: Int, vocabSize: Int,
-            textCol: String = "text"): DataFrame = {
-    val cand = candidates(docs, maxLen, textCol)
+            textCol: String = "text"): DataFrame =
+    vocabFromWords(words(docs, textCol), maxLen, vocabSize)
+
+  def vocabFromWords(wordsDf: DataFrame, maxLen: Int,
+                     vocabSize: Int): DataFrame = {
+    val cand = candidatesFromWords(wordsDf, maxLen)
     val top = cand.orderBy(col("weight").desc, col("piece")).limit(vocabSize)
     top.union(cand.filter(length(col("piece")) === 1)).distinct()
   }
@@ -65,10 +79,12 @@ object Wordpiece {
   /** Greedy longest-match piece count per distinct word of the corpus:
     * (word, n_pieces). `vocabDf` must have a `piece` column. */
   def wordPieceCounts(docs: DataFrame, vocabDf: DataFrame, maxLen: Int,
-                      textCol: String = "text"): DataFrame = {
-    val words = Bpe.wordCounts(docs, textCol).select(col("word"))
-      .filter(length(col("word")) >= 1) // see candidates: sequence(1, 0) trap
-    val allPos = words
+                      textCol: String = "text"): DataFrame =
+    wordPieceCountsFromWords(words(docs, textCol), vocabDf, maxLen)
+
+  def wordPieceCountsFromWords(wordsDf: DataFrame, vocabDf: DataFrame,
+                               maxLen: Int): DataFrame = {
+    val allPos = wordsDf.select(col("word"))
       .withColumn("pos", explode(expr("sequence(1, length(word))")))
     val jump = allPos
       .withColumn("l", explode(expr(s"sequence(1, $maxLen)")))
@@ -96,6 +112,22 @@ object Wordpiece {
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val wc = wordPieceCounts(docs, vocabDf, maxLen, textCol)
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .join(broadcast(wc), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_pieces")).as("n_wp_tokens"))
+  }
+
+  /** The full vocab+encode pipeline with the corpus scanned exactly
+    * TWICE (word counts; final per-doc explode) — the distinct-word
+    * table is computed once, persisted (vocab-bounded), and shared by
+    * candidate enumeration, the jump table, and the count join. */
+  def tokenCountPerDocEndToEnd(docs: DataFrame, maxLen: Int, vocabSize: Int,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    val w = words(docs, textCol).persist()
+    val v = vocabFromWords(w, maxLen, vocabSize)
+    val wc = wordPieceCountsFromWords(w, v, maxLen)
     docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
       .join(broadcast(wc), Seq("word"))
       .groupBy(col(idCol))

@@ -3399,12 +3399,10 @@ object Queries {
     * The oracle replays the identical jump table + walk as a recursive
     * CTE; all-integer arithmetic → exact hash match. */
   val qWpEncode: Q = "q_wp_encode" -> (
-    (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
-      val v = graft.ops.Wordpiece.vocab(docs, WP_MAXLEN, WP_VOCAB)
-      graft.ops.Wordpiece.tokenCountPerDoc(docs, v, WP_MAXLEN)
-        .orderBy(col("doc_id"))
-    },
+    (s: SparkSession, d: String) =>
+      graft.ops.Wordpiece.tokenCountPerDocEndToEnd(
+          Tables.documents(s, d), WP_MAXLEN, WP_VOCAB)
+        .orderBy(col("doc_id")),
     s"""WITH RECURSIVE ${wpVocabCtes},
        |docw AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
        |w AS MATERIALIZED (SELECT DISTINCT word FROM docw WHERE length(word) >= 1),
