@@ -46,6 +46,21 @@ object Vectors {
       }
     }
 
+  /** Johnson-Lindenstrauss random projection to `k` dims: the VALUE
+    * path of the same deterministic ±1 planes the LSH bucket uses for
+    * signs — `(1/√k)·Rx` (Achlioptas 2003: ±1 entries satisfy the JL
+    * lemma with the same guarantees as Gaussian R). Map-only: k
+    * codegen'd dots against literal coefficient arrays; the identical
+    * literals inline into the DuckDB oracle, so projections
+    * hash-match. The model-free cousin of [[graft.ops.Pca.project]] —
+    * no training pass, distance preservation in expectation instead
+    * of variance-optimal. */
+  def randomProject(vec: Column, dim: Int, k: Int, seed: Int = 0): Seq[Column] = {
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    deterministicPlanes(dim, k, seed).map(p =>
+      dot(vec, typedLit(p)) * scale)
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: the p-bit
     * sign pattern of the plane dot products. Coefficients are literal
     * arrays → the whole bucket id is one codegen'd projection per row.

@@ -3351,6 +3351,33 @@ object Queries {
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     })
 
+  /** Johnson-Lindenstrauss random projection ([[graft.functions.
+    * Vectors.randomProject]]): (1/√k)·Rx with deterministic ±1 planes
+    * — the train-free companion of the PCA projector (distance
+    * preservation in expectation, no corpus pass). Map-only, k
+    * codegen'd dots; the SAME plane literals inline into the oracle.
+    * Bounded output: first 50 vectors × 8 components. */
+  val qRandProj: Q = "q_rand_proj" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      val coords = graft.functions.Vectors
+        .randomProject(col("embedding"), dim = 64, k = 8, seed = 7)
+        .zipWithIndex.map { case (c, j) => round(c, 6).as(s"p$j") }
+      emb.select(col("vec_id") +: coords: _*).orderBy(col("vec_id"))
+    }, {
+      val planes = graft.functions.Vectors.deterministicPlanes(64, 8, seed = 7)
+      val scale = 1.0 / math.sqrt(8.0)
+      val cols = planes.zipWithIndex.map { case (p, j) =>
+        val lit = p.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"round(list_sum(list_transform(range(1, 65), i -> " +
+          s"CAST(embedding[i] AS DOUBLE) * ($lit)[i])) * $scale, 6) AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+    })
+
   // ------------------------------- WordPiece tokenizer (greedy matcher)
 
   private val WP_MAXLEN = 4; private val WP_VOCAB = 200
@@ -3562,6 +3589,6 @@ object Queries {
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
-    qUnigramTokens,
+    qUnigramTokens, qRandProj,
   )
 }
