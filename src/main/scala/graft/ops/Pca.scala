@@ -192,6 +192,71 @@ object Pca {
       back.tail.map(_._2), back.tail.map(_._3))
   }
 
+  /** INCREMENTAL fit — the store-append lifecycle applied to a linear
+    * model: moments are ADDITIVE, so the store holds one (n, Σx, Σxxᵀ)
+    * row per ingested batch and the model refits from their sum
+    * without ever re-scanning earlier data. A crawl increment costs
+    * one scan of ITSELF plus a d²-sized row append; the refit reads
+    * back rows-per-batch (model-sized) and runs the same driver
+    * eigensolve. Idempotent per `batchTag` via marker files (the
+    * `minhashStoreAppend` replay contract): a re-delivered batch
+    * cannot double-count. */
+  def momentsStored(spark: SparkSession, df: DataFrame, vecCol: String,
+                    dim: Int, path: String, batchTag: String): Unit = {
+    val marker = new java.io.File(path, s"_appended_$batchTag")
+    if (marker.isFile) return
+    val row = df.agg(moments(col(vecCol), dim).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.ss"))
+    val mode = if (new java.io.File(path, "_SUCCESS").isFile) "append"
+      else "overwrite"
+    row.coalesce(1).write.mode(mode).parquet(path)
+    marker.createNewFile(); ()
+  }
+
+  /** Total moments from a store: element-wise sum over the per-batch
+    * rows (batch-count-sized — trivially driver-safe). */
+  def momentsOfStore(spark: SparkSession, path: String, dim: Int)
+      : (Long, Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(path)
+      .select(col("n"), col("s"), col("ss")).collect()
+    require(rows.nonEmpty, s"empty moments store at $path")
+    val triLen = dim * (dim + 1) / 2
+    val s = new Array[Double](dim)
+    val ss = new Array[Double](triLen)
+    var n = 0L
+    rows.foreach { r =>
+      n += r.getLong(0)
+      val rs = r.getSeq[Double](1); val rss = r.getSeq[Double](2)
+      var i = 0
+      while (i < dim) { s(i) += rs(i); i += 1 }
+      i = 0
+      while (i < triLen) { ss(i) += rss(i); i += 1 }
+    }
+    (n, s, ss)
+  }
+
+  /** Fit the top-k model from a moments store (no corpus access). */
+  def fitFromStore(spark: SparkSession, path: String, dim: Int, k: Int)
+      : Model = {
+    val (n, s, ss) = momentsOfStore(spark, path, dim)
+    require(n > 0, s"moments store at $path has no rows")
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = ss(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    Model(n, mean, vals.take(k), vecs.take(k))
+  }
+
   /** Map-only projection: adds `outCol` = array<double> of length k.
     * Eigenvectors ride into the plan as literals; each coordinate is a
     * codegen'd dot minus the constant mean offset. */

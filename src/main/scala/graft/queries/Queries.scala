@@ -3351,6 +3351,40 @@ object Queries {
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     })
 
+  /** INCREMENTAL PCA — the append-store lifecycle on a linear model:
+    * three corpus slices land their (n, Σx, Σxxᵀ) moments as separate
+    * store rows (marker-idempotent per batch; earlier slices never
+    * re-scanned) and the covariance refits from the row SUM. The
+    * oracle is the FULL-CORPUS covariance replay (same SQL as
+    * q_pca_cov): hash-matching it proves merged batch moments ≡ the
+    * one-pass fit — additivity is the entire design, certified. */
+  val qPcaIncremental: Q = "q_pca_incremental" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val store = codebookPath(d, "pca_moments")
+      (0 until 3).foreach { b =>
+        graft.ops.Pca.momentsStored(s, emb.filter(col("vec_id") % 3 === b),
+          "embedding", dim = 64, path = store, batchTag = s"b$b")
+      }
+      val (n, sm, ss) = graft.ops.Pca.momentsOfStore(s, store, 64)
+      val rows = for { i <- 0 until 8; j <- i until 8 } yield {
+        val t = i * 64 - i * (i - 1) / 2 + (j - i)
+        (i.toLong, j.toLong, ss(t) / n - (sm(i) / n) * (sm(j) / n))
+      }
+      rows.toDF("i", "j", "raw")
+        .select(col("i"), col("j"), round(col("raw"), 6).as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+    """WITH idx AS (SELECT unnest(range(0, 8)) AS i),
+      |p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+      |c AS (SELECT p.i, p.j,
+      |    avg(CAST(e.embedding[p.i + 1] AS DOUBLE) * CAST(e.embedding[p.j + 1] AS DOUBLE))
+      |      - avg(CAST(e.embedding[p.i + 1] AS DOUBLE))
+      |        * avg(CAST(e.embedding[p.j + 1] AS DOUBLE)) AS cov
+      |  FROM p, embeddings e GROUP BY p.i, p.j)
+      |SELECT i, j, round(cov, 6) AS cov FROM c ORDER BY i, j""".stripMargin)
+
   /** Johnson-Lindenstrauss random projection ([[graft.functions.
     * Vectors.randomProject]]): (1/√k)·Rx with deterministic ±1 planes
     * — the train-free companion of the PCA projector (distance
@@ -3589,6 +3623,6 @@ object Queries {
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
-    qUnigramTokens, qRandProj,
+    qUnigramTokens, qRandProj, qPcaIncremental,
   )
 }

@@ -99,6 +99,28 @@ class PcaSpec extends SparkTestBase {
     assert(rec > 0.35, s"mean recall $rec at sf0.001")
   }
 
+  test("moments store: batch additivity, replay idempotence, store-only refit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("pca_m").toString + "/store"
+    Pca.momentsStored(spark, emb.filter(col("vec_id") % 2 === 0),
+      "embedding", 64, dir, "b0")
+    Pca.momentsStored(spark, emb.filter(col("vec_id") % 2 === 1),
+      "embedding", 64, dir, "b1")
+    // replayed batch: the marker must stop a double-count
+    Pca.momentsStored(spark, emb.filter(col("vec_id") % 2 === 1),
+      "embedding", 64, dir, "b1")
+    val fromStore = Pca.fitFromStore(spark, dir, 64, 4)
+    val direct = Pca.fit(emb, "embedding", 64, 4)
+    assert(fromStore.n === direct.n)
+    (0 until 4).foreach { j =>
+      assert(math.abs(fromStore.eigvals(j) - direct.eigvals(j)) < 1e-9)
+      val dot = fromStore.comps(j).indices
+        .map(i => fromStore.comps(j)(i) * direct.comps(j)(i)).sum
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
+        s"component $j from store must span the same direction (|<u,v>| = $dot)")
+    }
+  }
+
   test("moments plan: partial aggregation, single exchange, no explosion") {
     // raw scan (Tables.embeddings adds a parallelism-floor repartition
     // exchange at tiny SF that would obscure the operator's own shape)

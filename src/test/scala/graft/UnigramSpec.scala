@@ -57,6 +57,26 @@ class UnigramSpec extends SparkTestBase {
     assert(l1 > l0 + 1.0, "round 1 should improve LL substantially")
   }
 
+  test("viterbi log-likelihood dominates the single-char segmentation") {
+    // Viterbi maximizes over ALL segmentations, so per word its LL must
+    // be >= the all-single-chars segmentation's LL (chars are always in
+    // the seed vocab) — a corpus-wide optimality property, not a fixture
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val words = graft.ops.Wordpiece.words(docs).persist()
+    val scores = Unigram.seedScoresFromWords(words, maxLen = 4, vocabSize = 200)
+    val vit = Unigram.viterbiWords(words, scores, maxLen = 4)
+      .select(col("word"), col("ll"))
+    val charLl = words.select(col("word"),
+        explode(split(col("word"), "")).as("piece"))
+      .filter(length(col("piece")) === 1)
+      .join(scores, Seq("piece"))
+      .groupBy(col("word")).agg(sum(col("ls")).as("char_ll"))
+    val viol = vit.join(charLl, Seq("word"))
+      .filter(col("ll") < col("char_ll") - lit(1e-9)).count()
+    assert(viol === 0)
+    words.unpersist(); ()
+  }
+
   test("per-doc counts equal the direct per-word Viterbi sum") {
     val docs = Seq((1L, "ab ab c"), (2L, "abc")).toDF("doc_id", "text")
     val scores = Seq(
