@@ -261,12 +261,20 @@ object Pca {
     * Eigenvectors ride into the plan as literals; each coordinate is a
     * codegen'd dot minus the constant mean offset. */
   def project(df: DataFrame, vecCol: String, model: Model,
-              outCol: String = "pvec"): DataFrame = {
+              outCol: String = "pvec", whiten: Boolean = false): DataFrame = {
     val comps = model.comps.map(_.toSeq)
     val offsets = model.comps.map(c =>
       c.indices.map(i => c(i) * model.mean(i)).sum)
+    // whitening folds into the same per-component constants: coordinate
+    // j scales by 1/√λ_j, so the projected covariance is the identity
+    // (PcaSpec pins it via a VectorMoments pass over the projections) —
+    // the right input space for Euclidean ANN/k-means when the spectrum
+    // is skewed. Still map-only, still one codegen'd dot per coordinate.
+    val scales = model.eigvals.map(v =>
+      if (whiten) 1.0 / math.sqrt(math.max(v, 1e-12)) else 1.0)
     val coords = comps.zipWithIndex.map { case (c, j) =>
-      graft.functions.Vectors.dot(col(vecCol), typedlit(c)) - lit(offsets(j))
+      (graft.functions.Vectors.dot(col(vecCol), typedlit(c))
+        - lit(offsets(j))) * lit(scales(j))
     }
     df.withColumn(outCol, array(coords: _*))
   }

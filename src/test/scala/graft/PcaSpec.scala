@@ -99,6 +99,20 @@ class PcaSpec extends SparkTestBase {
     assert(rec > 0.35, s"mean recall $rec at sf0.001")
   }
 
+  test("whitened projections have identity covariance (self-check via moments)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Pca.fit(emb, "embedding", 64, 8)
+    val proj = Pca.project(emb, "embedding", model, "pvec", whiten = true)
+    // run the SAME moments aggregate over the 8-dim projections: the
+    // whitened covariance must be I (diag 1, off-diag 0)
+    val (_, mean, cov) = Pca.covariance(proj, "pvec", 8)
+    mean.foreach(m => assert(math.abs(m) < 1e-8, s"whitened mean $m"))
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov(i)(j) - want) < 1e-6, s"cov($i,$j) = ${cov(i)(j)}")
+    }
+  }
+
   test("moments store: batch additivity, replay idempotence, store-only refit") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("pca_m").toString + "/store"
