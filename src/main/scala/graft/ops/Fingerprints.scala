@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Local document fingerprinting and content-defined segmentation —
+  * the two classic robust-to-edit primitives a corpus pipeline layers
+  * under plagiarism-style overlap detection and chunk-level dedup:
+  *
+  *   - winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003): select the
+  *     minimum k-gram hash of every sliding window of w consecutive
+  *     k-grams. The selected set is ~1/w the size of the full shingle
+  *     set yet GUARANTEES that any shared token run of length
+  *     ≥ w + k − 1 contributes at least one shared fingerprint — the
+  *     sparsification that makes postings-list overlap joins w× cheaper
+  *     with a detection floor instead of a probabilistic recall.
+  *   - content-defined chunking (Rabin-style CDC, as in LBFS/storage
+  *     dedup): close a chunk after token j whenever the k-gram ending
+  *     at j hashes to 0 mod `divisor`. Boundaries depend only on local
+  *     content, so inserting or deleting a token reshapes chunks ONLY
+  *     around the edit — every other chunk hash is unchanged, which is
+  *     what makes chunk-level exact dedup robust to edits (fixed-width
+  *     chunking shifts every later boundary).
+  *
+  * Both are single codegen'd per-row projections off one tokenize pass —
+  * no shuffle until the caller joins/aggregates the (id, fingerprint)
+  * postings, and those joins inherit the df-cap discipline of the
+  * n-gram family ([[Dedup.ngramJaccard]]). At 100 TB: fingerprints are
+  * a few longs per doc (winnow) or one long per ~divisor tokens (CDC) —
+  * kilobytes of signature per megabyte of text crossing the exchange.
+  */
+object Fingerprints {
+
+  /** Sliding-window minimum over an array ATTRIBUTE: position i of the
+    * result is min(arr[i..i+w−1]); positions without a full window are
+    * dropped (empty array when size(arr) < w). Built like
+    * [[Text.shinglesFromTokens]] — w−1 zip_with passes over shifted
+    * slices, so every argument array is evaluated once per ROW and the
+    * lambda touches only bound variables. The null marker keeps Spark's
+    * null-skipping `least` from silently shrinking the trailing
+    * windows instead of dropping them. */
+  def slidingMin(arr: Column, w: Int): Column = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val mins = (1 until w).foldLeft(arr) { (acc, j) =>
+      zip_with(acc, slice(arr, lit(j + 1), greatest(size(arr) - j, lit(0))),
+        (a, b) => when(b.isNull, lit(null)).otherwise(least(a, b)))
+    }
+    if (w == 1) mins else filter(mins, _.isNotNull)
+  }
+
+  private val WINNOW_SEED = 11
+  private val CDC_SEED = 13
+  private val CHUNK_SEED = 17
+
+  /** Per-doc winnowed fingerprint postings: (id, fp) rows, fp = a
+    * selected k-gram hash. Docs shorter than w + k − 1 tokens emit no
+    * rows (no full window exists). */
+  def winnow(docs: DataFrame, k: Int, w: Int, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        transform(Text.shinglesFromTokens(col("toks"), k),
+          g => Text.hash64(g, WINNOW_SEED)).as("sh"))
+      .select(col("id"),
+        explode(array_distinct(slidingMin(col("sh"), w))).as("fp"))
+
+  /** Overlap pairs from winnowed fingerprints: docs sharing at least
+    * `minShared` selected fingerprints, by postings-list self-join.
+    * Corpus-universal fingerprints (boilerplate) are pruned by the df
+    * cap BEFORE the join — a fingerprint shared by the whole corpus
+    * would otherwise contribute df² candidate pairs; df=1 fingerprints
+    * are dropped too (they cannot witness a pair). The per-key join
+    * fan-out is therefore ≤ dfCap², the same plan-time bound as the
+    * n-gram postings family. */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Int,
+                  dfCap: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val fps = winnow(docs, k, w, idCol, textCol)
+    val shareable = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("fp")
+    val posted = fps.join(shareable, "fp")
+    posted.as("a").join(posted.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Content-defined chunks: one row per chunk with 1-based start token,
+    * token count, and the chunk's content hash. Token j ends a chunk
+    * when the k-gram ending at j (k-gram index j − k + 1) hashes ≡ 0
+    * mod `divisor`; a boundary at the last token is dropped (it would
+    * open an empty chunk). Docs shorter than k tokens are one chunk.
+    * Expected chunk length ≈ `divisor` tokens. */
+  def cdcChunks(docs: DataFrame, k: Int, divisor: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val base = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        transform(Text.shinglesFromTokens(col("toks"), k),
+          g => Text.hash64(g, CDC_SEED)).as("sh"))
+    // boundary END positions (token index of the k-gram's last token),
+    // trailing boundary excluded; sh may be empty → no sequence() call
+    // on an empty range (sequence(1,0) would DEScend)
+    val bends = base.withColumn("bends",
+      when(size(col("sh")) > 0,
+        filter(
+          transform(sequence(lit(1), size(col("sh"))),
+            i => when(pmod(element_at(col("sh"), i), lit(divisor.toLong)) === 0L,
+              i + lit(k - 1))),
+          j => j.isNotNull && j < size(col("toks"))))
+        .otherwise(array().cast("array<int>")))
+    val chunked = bends
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bends"), _ + 1)))
+      .withColumn("ends",
+        concat(col("bends"), array(size(col("toks")))))
+      // chunk structs built BEFORE the explode so `toks` is not
+      // duplicated onto every chunk row; outer attribute references
+      // inside the lambda are plain row-value reads
+      .withColumn("chunks",
+        zip_with(col("starts"), col("ends"), (st, en) => struct(
+          st.cast("long").as("start_tok"),
+          (en - st + 1).cast("long").as("n_toks"),
+          Text.hash64(array_join(slice(col("toks"), st, en - st + 1), " "),
+            CHUNK_SEED).as("chunk_hash"))))
+    chunked
+      .select(col("id"), posexplode(col("chunks")))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.start_tok"), col("col.n_toks"), col("col.chunk_hash"))
+  }
+}

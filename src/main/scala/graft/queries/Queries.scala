@@ -3592,6 +3592,137 @@ object Queries {
        |  CAST((r.rank - 1) * ns.s + si.src_idx AS BIGINT) AS position
        |FROM rk r JOIN si USING (source), ns ORDER BY position""".stripMargin)
 
+  // ------------------------- local fingerprints / content-defined chunks
+
+  /** Winnowed fingerprint postings (Schleimer et al., SIGMOD 2003;
+    * [[graft.ops.Fingerprints.winnow]]): min k-gram hash per sliding
+    * window of w — a ~1/w-size shingle set with a DETECTION GUARANTEE
+    * (any shared run ≥ w+k−1 tokens shares a fingerprint), unlike
+    * MinHash's probabilistic recall. Map-only per-row selection; the
+    * postings are the sparse input every overlap join downstream
+    * consumes. */
+  val qWinnow: Q = "q_winnow" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Fingerprints.winnow(Tables.documents(s, d), k = 3, w = 4)
+        .orderBy(col("id"), col("fp")),
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |s AS (SELECT id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> CAST('0x' || substr(md5('11' || array_to_string(toks[i:i+2], ' ')), 1, 15) AS BIGINT)) AS sh
+       |  FROM t),
+       |w AS (SELECT id, list_sort(list_distinct(list_transform(
+       |    range(1, greatest(len(sh) - 3, 0) + 1), i -> list_min(sh[i:i+3])))) AS fps
+       |  FROM s)
+       |SELECT id, unnest(fps) AS fp FROM w ORDER BY id, fp""".stripMargin)
+
+  /** Overlap pairs over winnowed fingerprints
+    * ([[graft.ops.Fingerprints.winnowPairs]]): postings self-join with
+    * the df-cap prune (boilerplate fingerprints dropped BEFORE the
+    * join, df=1 can't witness a pair) — per-key fan-out ≤ dfCap², the
+    * n-gram postings family's plan-time bound, on a postings table
+    * winnowing already shrank ~4×. */
+  val qWinnowPairs: Q = "q_winnow_pairs" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Fingerprints.winnowPairs(Tables.documents(s, d),
+        k = 3, w = 4, minShared = 2, dfCap = 50)
+        .orderBy(col("id_a"), col("id_b")),
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |s AS (SELECT id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> CAST('0x' || substr(md5('11' || array_to_string(toks[i:i+2], ' ')), 1, 15) AS BIGINT)) AS sh
+       |  FROM t),
+       |f AS (SELECT id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(sh) - 3, 0) + 1), i -> list_min(sh[i:i+3])))) AS fp
+       |  FROM s),
+       |ok AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+       |p AS (SELECT fp, id FROM f JOIN ok USING (fp))
+       |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+       |FROM p a JOIN p b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin)
+
+  /** Content-defined chunking ([[graft.ops.Fingerprints.cdcChunks]]):
+    * Rabin-style boundaries (k-gram hash ≡ 0 mod divisor) so an edit
+    * reshapes only its own chunk — chunk hashes away from the edit are
+    * stable, the property fixed-width chunking lacks and chunk-level
+    * dedup needs. Single projection + posexplode; expected chunk ≈ 16
+    * tokens. */
+  val qCdcChunks: Q = "q_cdc_chunks" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Fingerprints.cdcChunks(Tables.documents(s, d),
+        k = 3, divisor = 16)
+        .orderBy(col("id"), col("chunk_idx")),
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |s AS (SELECT id, toks, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> CAST('0x' || substr(md5('13' || array_to_string(toks[i:i+2], ' ')), 1, 15) AS BIGINT)) AS sh
+       |  FROM t),
+       |b AS (SELECT id, toks, list_filter(list_transform(range(1, len(sh) + 1),
+       |    i -> CASE WHEN sh[i] % 16 = 0 THEN i + 2 END),
+       |    j -> j IS NOT NULL AND j < len(toks)) AS bends
+       |  FROM s),
+       |c AS (SELECT id, toks,
+       |    list_prepend(1, list_transform(bends, x -> x + 1)) AS starts,
+       |    list_append(bends, len(toks)) AS ends
+       |  FROM b),
+       |x AS (SELECT id, starts, ends,
+       |    list_transform(range(1, len(starts) + 1), i ->
+       |      CAST('0x' || substr(md5('17' ||
+       |        array_to_string(toks[starts[i]:ends[i]], ' ')), 1, 15) AS BIGINT)) AS hs
+       |  FROM c)
+       |SELECT id, CAST(unnest(range(1, len(starts) + 1)) - 1 AS BIGINT) AS chunk_idx,
+       |  CAST(unnest(starts) AS BIGINT) AS start_tok,
+       |  CAST(unnest(list_transform(range(1, len(starts) + 1),
+       |    i -> ends[i] - starts[i] + 1)) AS BIGINT) AS n_toks,
+       |  unnest(hs) AS chunk_hash
+       |FROM x ORDER BY id, chunk_idx""".stripMargin)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-LANGUAGE
+    * head/middle/tail terciles of bigram-LM fluency — the standard
+    * "keep the head, audit the middle, drop the tail" curation gate.
+    * Scoring is the map-only [[graft.ops.TextStats.bigramScores]] path;
+    * the tercile is one per-lang window rank (tie-broken by id for a
+    * total order). At 100 TB the window becomes per-lang cutpoints from
+    * approx quantiles (driver-sized: 2 numbers per language) broadcast
+    * into a map-only bucket — the exact-ntile form here is the
+    * oracle-checkable equivalent. */
+  val qPplBuckets: Q = "q_ppl_buckets" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.ops.TextStats.bigramModel(docs, vocabSize = 500)
+      val scored = graft.ops.TextStats.bigramScores(docs, model)
+        .select(col("id"), col("mean_cond_prob"))
+      val withLang = scored.join(
+        docs.select(col("doc_id").as("id"), col("lang")), "id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_cond_prob").desc, col("id"))
+      withLang
+        .select(col("id"), col("lang"), col("mean_cond_prob"),
+          when(ntile(3).over(w) === 1, "head")
+            .when(ntile(3).over(w) === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("id"))
+    },
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |bg AS (SELECT id, list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1]) AS bgs
+       |  FROM t WHERE len(toks) >= 2),
+       |flat AS (SELECT id, unnest(bgs) AS b,
+       |    generate_subscripts(bgs, 1) AS pos FROM bg),
+       |bcnt AS (SELECT b, count(*) AS c FROM flat GROUP BY 1),
+       |vocab AS (SELECT b, c FROM bcnt ORDER BY c DESC, b ASC LIMIT 500),
+       |pfx AS (SELECT split_part(b, ' ', 1) AS w, CAST(sum(c) AS BIGINT) AS c
+       |  FROM bcnt GROUP BY 1),
+       |model AS (SELECT v.b, CAST(v.c AS DOUBLE) / p.c AS p
+       |  FROM vocab v JOIN pfx p ON p.w = split_part(v.b, ' ', 1)),
+       |pt AS (SELECT f.id, f.pos, COALESCE(m.p, 0.0) AS p
+       |  FROM flat f LEFT JOIN model m USING (b)),
+       |agg AS (SELECT id, count(*) AS n_bigrams,
+       |    list_sum(list(p ORDER BY pos)) AS sp FROM pt GROUP BY id),
+       |sc AS (SELECT a.id, d.lang, round(sp / n_bigrams, 6) AS mean_cond_prob
+       |  FROM agg a JOIN documents d ON d.doc_id = a.id)
+       |SELECT id, lang, mean_cond_prob,
+       |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_cond_prob DESC, id)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM sc ORDER BY id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -3624,5 +3755,6 @@ object Queries {
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental,
+    qWinnow, qWinnowPairs, qCdcChunks, qPplBuckets,
   )
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Fingerprints
+
+/** Winnowing + content-defined chunking: the paper guarantees, not just
+  * output shapes — detection floor (winnow), partition + edit-stability
+  * (CDC), and the df-cap prune (pairs). */
+class FingerprintsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("slidingMin equals brute force on random arrays") {
+    val rnd = new scala.util.Random(7)
+    val arrays = Seq.fill(20)(Seq.fill(rnd.nextInt(12))(rnd.nextLong()))
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+    for (w <- Seq(1, 3, 4)) {
+      val got = df.select(col("id"), Fingerprints.slidingMin(col("arr"), w).as("m"))
+        .as[(Long, Seq[Long])].collect().toMap
+      arrays.zipWithIndex.foreach { case (a, i) =>
+        val expect = if (a.size < w) Seq.empty[Long]
+          else a.sliding(w).map(_.min).toSeq
+        assert(got(i.toLong) == expect, s"w=$w arr=$a")
+      }
+    }
+  }
+
+  test("winnow guarantee: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
+    // k=3, w=4: guarantee threshold = 6 shared consecutive tokens
+    val shared = "alpha bravo charlie delta echo foxtrot" // 6 tokens
+    val d = docs(
+      1L -> s"one two three $shared four five six",
+      2L -> s"zz yy xx ww $shared vv uu",
+      3L -> "completely different tokens with no overlap at all here")
+    val fps = Fingerprints.winnow(d, k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) & fps(3L)).isEmpty || true) // no guarantee either way; just no crash
+    // selection is sparse: strictly fewer fingerprints than k-grams
+    val nGrams1 = d.filter($"doc_id" === 1L)
+      .select(size(graft.functions.Text.wordShingles($"text", 3))).as[Int].head()
+    assert(fps(1L).size < nGrams1)
+  }
+
+  test("winnow: too-short docs emit no rows; w=1 keeps every distinct k-gram hash") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b") // 5 tokens → 3 grams < w+?; 2 tokens < k
+    assert(Fingerprints.winnow(d, k = 3, w = 4).filter($"id" === 2L).count() == 0)
+    val all1 = Fingerprints.winnow(d, k = 3, w = 1).filter($"id" === 1L).count()
+    assert(all1 == 3) // every 3-gram of doc 1 selected at w=1
+  }
+
+  test("winnowPairs: planted near-dup found, df cap prunes universal fingerprints") {
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> template,
+      2L -> (template + " tail one"),
+      3L -> "unrelated words entirely distinct from the template corpus")
+    val pairs = Fingerprints.winnowPairs(d, k = 3, w = 4, minShared = 2, dfCap = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    // dfCap = 1 prunes EVERY fingerprint (df >= 2 needed to witness) → no pairs
+    assert(Fingerprints.winnowPairs(d, k = 3, w = 4, minShared = 1, dfCap = 1).count() == 0)
+  }
+
+  test("cdcChunks partitions the token sequence exactly") {
+    val d = docs(
+      1L -> (1 to 200).map(i => s"w${i % 37}x$i").mkString(" "),
+      2L -> "tiny",
+      3L -> "")
+    val chunks = Fingerprints.cdcChunks(d, k = 3, divisor = 8)
+      .select($"id", $"chunk_idx", $"start_tok", $"n_toks")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val nToks = d.select($"doc_id", size(graft.functions.Text.tokens($"text")))
+      .as[(Long, Int)].collect().toMap
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1L, "first chunk starts at token 1")
+      // consecutive: each chunk starts where the previous ended + 1
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _ =>
+      }
+      assert(sorted.last._3 + sorted.last._4 - 1 == nToks(id).toLong,
+        "last chunk ends at the last token")
+    }
+    assert(chunks(2L).length == 1 && chunks(3L).length == 1,
+      "sub-k docs are one chunk")
+    assert(chunks(1L).length > 1, "long doc splits")
+  }
+
+  test("cdcChunks: a one-token edit only reshapes chunks at the edit point") {
+    val toks = (1 to 300).map(i => s"v${i % 53}q$i")
+    val edited = (toks.take(150) :+ "INSERTED") ++ toks.drop(150)
+    val d = docs(1L -> toks.mkString(" "), 2L -> edited.mkString(" "))
+    val hs = Fingerprints.cdcChunks(d, k = 3, divisor = 8)
+      .select($"id", $"chunk_hash").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val common = hs(1L) & hs(2L)
+    // every chunk not near the edit is hash-identical: the insert only
+    // perturbs k-grams overlapping it (2k−1 grams), which can cross at
+    // most two existing boundaries → ≤ 3 chunks differ per side
+    assert(hs(1L).size - common.size <= 3,
+      s"edit leaked: ${hs(1L).size - common.size} original chunks changed")
+    assert(hs(2L).size - common.size <= 3)
+    assert(common.nonEmpty)
+  }
+
+  test("ppl buckets: per-lang terciles balanced, head outranks tail") {
+    val q = graft.queries.Queries.all.toMap.apply("q_ppl_buckets")._1
+    val out = q(spark, sf0001)
+      .select($"lang", $"bucket", $"mean_cond_prob")
+      .as[(String, String, Double)].collect()
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._2).view.mapValues(_.length)
+      val s = Seq("head", "middle", "tail").map(b => sizes.getOrElse(b, 0))
+      assert(s.max - s.min <= 1, s"$lang tercile sizes $s")
+      val headMin = rows.filter(_._2 == "head").map(_._3).min
+      val tailMax = rows.filter(_._2 == "tail").map(_._3).max
+      assert(headMin >= tailMax, s"$lang head $headMin < tail $tailMax")
+    }
+  }
+}
