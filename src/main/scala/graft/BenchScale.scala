@@ -274,6 +274,21 @@ object BenchScale {
       }
       spark.catalog.clearCache()
 
+      // winnowing + CDC: per-row projections (expected corpus-linear);
+      // the pairs join is the df-capped postings shape, and the scaled
+      // corpus's appended stop sentence plants universal FINGERPRINTS
+      // (df = n·K) — exactly what the cap must prune before the
+      // self-join, or the curve goes (nK)²
+      val (tWinnow, _) = time(
+        graft.ops.Fingerprints.winnow(docs, k = 3, w = 4).count())
+      spark.catalog.clearCache()
+      val (tWinnowPairs, nWinnowPairs) = time(graft.ops.Fingerprints
+        .winnowPairs(docs, k = 3, w = 4, minShared = 2, dfCap = 64).count())
+      spark.catalog.clearCache()
+      val (tCdc, _) = time(
+        graft.ops.Fingerprints.cdcChunks(docs, k = 3, divisor = 16).count())
+      spark.catalog.clearCache()
+
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
         s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
@@ -306,7 +321,11 @@ object BenchScale {
         s""""unigram_train_sec":${f"$tUgTrain%.2f"},""" +
         s""""unigram_encode_sec":${f"$tUgEnc%.2f"},""" +
         s""""novelty_sec":${f"$tNov%.2f"},""" +
-        s""""curriculum_sec":${f"$tCurr%.2f"}}""")
+        s""""curriculum_sec":${f"$tCurr%.2f"},""" +
+        s""""winnow_sec":${f"$tWinnow%.2f"},""" +
+        s""""winnow_pairs_sec":${f"$tWinnowPairs%.2f"},""" +
+        s""""winnow_pairs":$nWinnowPairs,""" +
+        s""""cdc_sec":${f"$tCdc%.2f"}}""")
     }
     spark.stop()
   }

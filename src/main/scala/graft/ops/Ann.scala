@@ -178,6 +178,32 @@ object Ann {
         col("cos"), col("rank"))
   }
 
+  /** Exact cosine re-rank of an approximate shortlist — stage 2 of the
+    * standard two-stage retrieval: the compressed-domain stage (PQ /
+    * IVF-PQ / LSH) over-fetches `|shortlist| = rerankFrom · |Q|`
+    * candidates cheaply; the full-precision metric then runs ONLY on
+    * those rows. The corpus join is keyed on n_id (point-lookup-shaped
+    * — the tiny shortlist side broadcasts against the vector store scan),
+    * so at 100 TB the exact arithmetic touches thousands of rows, not
+    * |corpus| · |Q|. Shortlist needs (q_id, n_id); queries must be
+    * broadcast-small (they are hinted). */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  k: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    shortlist.select("q_id", "n_id")
+      .join(cv, "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(Vectors.cosine(col("q_v"), col("n_v")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   // ---------------------------------------------- int8 quantized tier
 
   /** Global symmetric int8 quantization scale: max |component| over the

@@ -1416,6 +1416,51 @@ object Queries {
        |SELECT q_id, n_id, round(dist2, 6) AS dist2, rank FROM rk
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
 
+  /** Two-stage retrieval: PQ shortlist (ADC top-10, compressed domain)
+    * → EXACT cosine re-rank to top-3 ([[graft.ops.Ann.rerankExact]]) —
+    * the standard production ANN shape (over-fetch cheap, re-rank
+    * exact). The oracle replays the q_pq_ann shortlist CTEs at rank ≤ 10
+    * and re-ranks with the same full-precision cosine as q_ann_brute.
+    * Same deterministic codebook train+export as q_pq_ann (identical
+    * side-table, whichever query runs first writes it). */
+  val qAnnRerank: Q = "q_ann_rerank" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = graft.ops.Pq.trainCodebooksSampled(emb, dim = 64, m = 8, k = 16,
+        iters = 2, seedIds = 0L until 16L, sampleCap = 1024)
+      graft.ops.Pq.exportCodebook(s, cb, m = 8, k = 16,
+        codebookPath(d, "pq_codebook"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val shortlist = graft.ops.Pq.adcTopK(emb, queries, topK = 10,
+        m = 8, k = 16, codebook = cb)
+      graft.ops.Ann.rerankExact(shortlist, emb, queries, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH cb AS (SELECT sub, code, cv
+       |    FROM read_parquet('/root/repo/artifacts/pq_codebook_sf0.01/*.parquet')),
+       |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |subd AS (SELECT t.id, cb.sub, cb.code, ${subDistSql("t.v", "")} AS d
+       |  FROM v t CROSS JOIN cb),
+       |enc AS (SELECT id, sub, code FROM (
+       |    SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+       |      ORDER BY d ASC, code ASC) AS rn FROM subd) WHERE rn = 1),
+       |qd AS (SELECT id AS q_id, sub, code, d FROM subd WHERE id < 10),
+       |sc AS (SELECT q.q_id, e.id AS n_id,
+       |    list_sum(list(q.d ORDER BY q.sub)) AS dist2
+       |  FROM enc e JOIN qd q ON q.sub = e.sub AND q.code = e.code
+       |    AND q.q_id <> e.id
+       |  GROUP BY q.q_id, e.id),
+       |sl AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dist2 ASC, n_id ASC) AS rank FROM sc) WHERE rank <= 10),
+       |x AS (SELECT s.q_id, s.n_id,
+       |    round(${cosSql("qv.v", "cv.v")}, 6) AS cos
+       |  FROM sl s JOIN v qv ON qv.id = s.q_id JOIN v cv ON cv.id = s.n_id),
+       |rr AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id ASC) AS rank FROM x)
+       |SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank FROM rr
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+
   /** IVF-PQ ANN — coarse cells prune where to look, residual PQ codes
     * shrink what is kept (the FAISS IVFPQ composition). Oracled like
     * q_pq_ann: the coarse quantizer is reproduced in SQL from the same
@@ -3755,6 +3800,6 @@ object Queries {
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental,
-    qWinnow, qWinnowPairs, qCdcChunks, qPplBuckets,
+    qWinnow, qWinnowPairs, qCdcChunks, qPplBuckets, qAnnRerank,
   )
 }

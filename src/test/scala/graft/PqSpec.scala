@@ -117,4 +117,41 @@ class PqSpec extends SparkTestBase {
     assert(mean > 0.25, s"mean recall@$topK = $mean (IVF-PQ, nProbe=4)")
     spark.catalog.clearCache()
   }
+
+  test("exact re-rank: full shortlist reproduces brute force; over-fetch lifts recall") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val seeds = (0L until k.toLong)
+    val cb = Pq.trainCodebooks(emb, dim, m, k, iters = 2, seedIds = seeds)
+
+    // degenerate shortlist = the whole corpus → re-rank IS brute force
+    val full = Pq.adcTopK(emb, queries, topK = n, m, k, cb)
+    val rr = Ann.rerankExact(full, emb, queries, k = 3)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = Ann.bruteTopK(emb, queries, k = 3)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(rr === brute, "re-rank over a full shortlist must equal brute force")
+
+    // two-stage (over-fetch 10 → exact top-3) recall vs brute top-3 must
+    // beat the PQ-only top-3: the exact metric can only fix the ordering
+    // INSIDE the shortlist, and a 10-deep shortlist usually contains the
+    // true top-3 even when ADC misorders them
+    def recall(res: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]) = {
+      val rs = truth.map { case (q, t) =>
+        res.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val truth3 = brute.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pqOnly = Pq.adcTopK(emb, queries, topK = 3, m, k, cb)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val staged = Ann.rerankExact(Pq.adcTopK(emb, queries, topK = 10, m, k, cb),
+        emb, queries, k = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(recall(staged, truth3) >= recall(pqOnly, truth3),
+      "two-stage must not be worse than PQ-only at the same k")
+    spark.catalog.clearCache()
+  }
 }
