@@ -135,4 +135,32 @@ object Fingerprints {
       .select(col("id"), col("pos").cast("long").as("chunk_idx"),
         col("col.start_tok"), col("col.n_toks"), col("col.chunk_hash"))
   }
+
+  /** Per-doc duplicated-chunk mass — what CDC chunking exists FOR: the
+    * fraction of each doc's tokens living in chunks whose content hash
+    * appears in ≥ 2 docs anywhere in the corpus (cross-document; a
+    * chunk repeated only within one doc doesn't count). Robust to edits
+    * because the boundaries are content-defined: a near-copy with one
+    * insertion still shares every chunk away from the edit. One
+    * chunk-hash-keyed aggregation (distinct-doc count per hash is
+    * 2-bounded via a cheap `min/max` trick: df_docs ≥ 2 ⟺ min(id) ≠
+    * max(id)) + one join back — the exact-dedup shape one level below
+    * the document. */
+  def cdcDupMass(docs: DataFrame, k: Int, divisor: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = cdcChunks(docs, k, divisor, idCol, textCol)
+    val shared = chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("chunk_hash"), lit(1L).as("is_shared"))
+    chunks.join(shared, Seq("chunk_hash"), "left")
+      .groupBy(col("id"))
+      .agg(
+        sum(col("n_toks")).as("total_toks"),
+        coalesce(sum(when(col("is_shared") === 1L, col("n_toks"))), lit(0L))
+          .as("dup_toks"))
+      .select(col("id"), col("total_toks"), col("dup_toks"),
+        round(col("dup_toks").cast("double") / col("total_toks"), 6)
+          .as("dup_frac"))
+  }
 }

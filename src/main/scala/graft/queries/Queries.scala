@@ -3719,6 +3719,45 @@ object Queries {
        |  unnest(hs) AS chunk_hash
        |FROM x ORDER BY id, chunk_idx""".stripMargin)
 
+  /** Chunk-level dedup mass over CDC chunks
+    * ([[graft.ops.Fingerprints.cdcDupMass]]): per doc, the token
+    * fraction living in chunks shared with ANOTHER doc — the
+    * storage-dedup view of corpus redundancy, edit-robust because the
+    * chunk boundaries are content-defined. */
+  val qCdcDedup: Q = "q_cdc_dedup" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Fingerprints.cdcDupMass(Tables.documents(s, d),
+        k = 3, divisor = 16)
+        .orderBy(col("id")),
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |s AS (SELECT id, toks, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> CAST('0x' || substr(md5('13' || array_to_string(toks[i:i+2], ' ')), 1, 15) AS BIGINT)) AS sh
+       |  FROM t),
+       |b AS (SELECT id, toks, list_filter(list_transform(range(1, len(sh) + 1),
+       |    i -> CASE WHEN sh[i] % 16 = 0 THEN i + 2 END),
+       |    j -> j IS NOT NULL AND j < len(toks)) AS bends
+       |  FROM s),
+       |c AS (SELECT id, toks,
+       |    list_prepend(1, list_transform(bends, x -> x + 1)) AS starts,
+       |    list_append(bends, len(toks)) AS ends
+       |  FROM b),
+       |ch AS (SELECT id,
+       |    CAST(unnest(list_transform(range(1, len(starts) + 1),
+       |      i -> ends[i] - starts[i] + 1)) AS BIGINT) AS n_toks,
+       |    unnest(list_transform(range(1, len(starts) + 1), i ->
+       |      CAST('0x' || substr(md5('17' ||
+       |        array_to_string(toks[starts[i]:ends[i]], ' ')), 1, 15) AS BIGINT))) AS chunk_hash
+       |  FROM c),
+       |sh2 AS (SELECT chunk_hash FROM ch GROUP BY chunk_hash
+       |  HAVING min(id) <> max(id))
+       |SELECT ch.id, CAST(sum(ch.n_toks) AS BIGINT) AS total_toks,
+       |  CAST(COALESCE(sum(CASE WHEN s2.chunk_hash IS NOT NULL
+       |    THEN ch.n_toks END), 0) AS BIGINT) AS dup_toks,
+       |  round(COALESCE(sum(CASE WHEN s2.chunk_hash IS NOT NULL
+       |    THEN ch.n_toks END), 0) / CAST(sum(ch.n_toks) AS DOUBLE), 6) AS dup_frac
+       |FROM ch LEFT JOIN sh2 s2 USING (chunk_hash)
+       |GROUP BY ch.id ORDER BY ch.id""".stripMargin)
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-LANGUAGE
     * head/middle/tail terciles of bigram-LM fluency — the standard
     * "keep the head, audit the middle, drop the tail" curation gate.
@@ -3800,6 +3839,6 @@ object Queries {
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental,
-    qWinnow, qWinnowPairs, qCdcChunks, qPplBuckets, qAnnRerank,
+    qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
   )
 }

@@ -109,6 +109,23 @@ class FingerprintsSpec extends SparkTestBase {
     assert(common.nonEmpty)
   }
 
+  test("cdcDupMass: near-copies carry high dup mass, unique docs zero; intra-doc repeats don't count") {
+    val toks = (1 to 300).map(i => s"v${i % 53}q$i")
+    val edited = (toks.take(150) :+ "INSERTED") ++ toks.drop(150)
+    val selfRep = (1 to 5).flatMap(_ => (1 to 40).map(i => s"rep$i")) // repeats only within itself
+    val d = docs(
+      1L -> toks.mkString(" "),
+      2L -> edited.mkString(" "),
+      3L -> (1 to 100).map(i => s"uniq${i}z").mkString(" "),
+      4L -> selfRep.mkString(" "))
+    val m = graft.ops.Fingerprints.cdcDupMass(d, k = 3, divisor = 8)
+      .select($"id", $"dup_frac").as[(Long, Double)].collect().toMap
+    assert(m(1L) > 0.8, s"near-copy dup_frac ${m(1L)}")
+    assert(m(2L) > 0.8)
+    assert(m(3L) == 0.0, "unique doc must carry zero dup mass")
+    assert(m(4L) == 0.0, "within-doc repetition is not cross-doc dup mass")
+  }
+
   test("ppl buckets: per-lang terciles balanced, head outranks tail") {
     val q = graft.queries.Queries.all.toMap.apply("q_ppl_buckets")._1
     val out = q(spark, sf0001)
