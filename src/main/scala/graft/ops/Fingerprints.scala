@@ -77,7 +77,11 @@ object Fingerprints {
   def winnowPairs(docs: DataFrame, k: Int, w: Int, minShared: Int,
                   dfCap: Int, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val fps = winnow(docs, k, w, idCol, textCol)
+    // the postings feed BOTH the df histogram and the join sides —
+    // persisted so the tokenize→winnow pass runs once, not 3× (caller-
+    // owned lifetime, the tokenTable convention; at 100 TB this is the
+    // written-once fingerprint store, cf. minhashBandsStored)
+    val fps = winnow(docs, k, w, idCol, textCol).persist()
     val shareable = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
@@ -148,7 +152,9 @@ object Fingerprints {
     * the document. */
   def cdcDupMass(docs: DataFrame, k: Int, divisor: Int,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chunks = cdcChunks(docs, k, divisor, idCol, textCol)
+    // chunk table feeds the shared-hash agg AND the join back — persist
+    // so chunking runs once (caller-owned lifetime, tokenTable convention)
+    val chunks = cdcChunks(docs, k, divisor, idCol, textCol).persist()
     val shared = chunks.groupBy(col("chunk_hash"))
       .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
       .filter(col("lo") =!= col("hi"))
