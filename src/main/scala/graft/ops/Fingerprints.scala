@@ -95,6 +95,66 @@ object Fingerprints {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Write-iff-absent winnowed-fingerprint store — the KEEP-CURRENT
+    * artifact lifecycle ([[Dedup.minhashBandsStored]] shape) for the
+    * postings side: the corpus is tokenized + winnowed ONCE to parquet
+    * (id, fp); every later overlap probe reads the postings and never
+    * touches the corpus text again. Selection is deterministic (md5
+    * hashes, fixed window), so a rebuilt store is bit-identical to a
+    * reused one. At cluster scale, bucketBy(fp) so probe batches
+    * shuffle one-sided into the fixed layout. */
+  def winnowStored(corpus: DataFrame, path: String, k: Int = 3, w: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    if (!new java.io.File(path, "_SUCCESS").isFile)
+      winnow(corpus, k, w, idCol, textCol)
+        .write.mode("overwrite").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
+  /** Fold a NEW batch's winnowed fingerprints into a [[winnowStored]]
+    * store (parquet-append, new files only; marker-file idempotent per
+    * `batchTag` — a replayed stage cannot double-post). Caller
+    * guarantees id-uniqueness across batches. */
+  def winnowStoreAppend(batch: DataFrame, path: String, batchTag: String,
+                        k: Int = 3, w: Int = 4, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no fingerprint store at $path — build it with winnowStored")
+    val marker = new java.io.File(path, s"_appended_$batchTag")
+    if (!marker.isFile) {
+      winnow(batch, k, w, idCol, textCol).write.mode("append").parquet(path)
+      marker.createNewFile()
+    }
+    batch.sparkSession.read.parquet(path)
+  }
+
+  /** Probe a fresh batch against a [[winnowStored]] corpus — the
+    * steady-state incremental shape: only the BATCH is tokenized and
+    * winnowed; the corpus side is a postings read. Returns (corpus_id,
+    * probe_id, n_shared) for pairs sharing ≥ `minShared` fingerprints.
+    * The df cap prunes corpus-universal fingerprints (df computed on
+    * the STORED postings — boilerplate shared by the whole corpus would
+    * contribute df_corpus × df_probe join rows); df = 1 corpus
+    * fingerprints stay (cross pairs need no corpus-internal repeat). */
+  def winnowIncremental(probe: DataFrame, path: String, minShared: Int,
+                        dfCap: Int, k: Int = 3, w: Int = 4,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(new java.io.File(path, "_SUCCESS").isFile,
+      s"no fingerprint store at $path — build it with winnowStored")
+    val stored = probe.sparkSession.read.parquet(path)
+    val rare = stored.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap).select("fp")
+    val corpusSide = stored.join(rare, "fp")
+      .select(col("fp"), col("id").as("corpus_id"))
+    val probeSide = winnow(probe, k, w, idCol, textCol)
+      .select(col("fp"), col("id").as("probe_id"))
+    corpusSide.join(probeSide, "fp")
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Content-defined chunks: one row per chunk with 1-based start token,
     * token count, and the chunk's content hash. Token j ends a chunk
     * when the k-gram ending at j (k-gram index j − k + 1) hashes ≡ 0

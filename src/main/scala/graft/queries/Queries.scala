@@ -3719,6 +3719,40 @@ object Queries {
        |  unnest(hs) AS chunk_hash
        |FROM x ORDER BY id, chunk_idx""".stripMargin)
 
+  /** Winnowed-fingerprint STORE lifecycle
+    * ([[graft.ops.Fingerprints.winnowStored]] /
+    * [[graft.ops.Fingerprints.winnowIncremental]]): even docs are the
+    * posted corpus (written once), odd docs the probe batch — only the
+    * batch is tokenized; the corpus side is a postings read with the
+    * df cap applied to STORED fingerprints. Deterministic selection ⇒
+    * store-served pairs ≡ inline, so the oracle is one union-wide
+    * computation. */
+  val qWinnowStored: Q = "q_winnow_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "winnow_fps")
+      graft.ops.Fingerprints.winnowStored(
+        docs.filter(col("doc_id") % 2 === 0), store, k = 3, w = 4)
+      graft.ops.Fingerprints.winnowIncremental(
+        docs.filter(col("doc_id") % 2 === 1), store,
+        minShared = 2, dfCap = 50, k = 3, w = 4)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    },
+    s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+       |s AS (SELECT id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |    i -> CAST('0x' || substr(md5('11' || array_to_string(toks[i:i+2], ' ')), 1, 15) AS BIGINT)) AS sh
+       |  FROM t),
+       |f AS (SELECT id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(sh) - 3, 0) + 1), i -> list_min(sh[i:i+3])))) AS fp
+       |  FROM s),
+       |corp AS (SELECT fp, id AS corpus_id FROM f WHERE id % 2 = 0),
+       |ok AS (SELECT fp FROM corp GROUP BY fp HAVING count(*) <= 50),
+       |pr AS (SELECT fp, id AS probe_id FROM f WHERE id % 2 = 1)
+       |SELECT c.corpus_id, p.probe_id, count(*) AS n_shared
+       |FROM corp c JOIN ok USING (fp) JOIN pr p ON p.fp = c.fp
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY corpus_id, probe_id""".stripMargin)
+
   /** Chunk-level dedup mass over CDC chunks
     * ([[graft.ops.Fingerprints.cdcDupMass]]): per doc, the token
     * fraction living in chunks shared with ANOTHER doc — the
@@ -3840,5 +3874,6 @@ object Queries {
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
+    qWinnowStored,
   )
 }

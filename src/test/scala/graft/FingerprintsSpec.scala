@@ -126,6 +126,39 @@ class FingerprintsSpec extends SparkTestBase {
     assert(m(4L) == 0.0, "within-doc repetition is not cross-doc dup mass")
   }
 
+  test("winnow store: write-once, served probe == inline, append marker-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("winnow_store").toFile
+    val path = new java.io.File(dir, "fps").getPath
+    val template = (1 to 30).map(i => s"st$i").mkString(" ")
+    val corpus = docs(2L -> template, 4L -> "some other corpus doc entirely")
+    val probe = docs(1L -> (template + " suffix"), 3L -> "nothing shared here at all")
+
+    graft.ops.Fingerprints.winnowStored(corpus, path, k = 3, w = 4)
+    val files1 = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    graft.ops.Fingerprints.winnowStored(corpus, path, k = 3, w = 4) // no-op
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) == files1, "second build must be a no-op")
+
+    val served = graft.ops.Fingerprints.winnowIncremental(probe, path,
+        minShared = 2, dfCap = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served.exists(p => p._1 == 2L && p._2 == 1L), "stored corpus must match probe near-dup")
+    assert(!served.exists(_._2 == 3L))
+
+    // append survivors; replaying the same batchTag must not double-post
+    graft.ops.Fingerprints.winnowStoreAppend(probe, path, "b1", k = 3, w = 4)
+    val rows = spark.read.parquet(path).count()
+    graft.ops.Fingerprints.winnowStoreAppend(probe, path, "b1", k = 3, w = 4)
+    assert(spark.read.parquet(path).count() == rows, "replayed append must be a no-op")
+    // a later batch now collides with the appended doc 1 as well
+    val probe2 = docs(5L -> (template + " another tail"))
+    val inc2 = graft.ops.Fingerprints.winnowIncremental(probe2, path,
+        minShared = 2, dfCap = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc2.exists(p => p._1 == 2L && p._2 == 5L))
+    assert(inc2.exists(p => p._1 == 1L && p._2 == 5L), "appended batch must be probe-visible")
+  }
+
   test("ppl buckets: per-lang terciles balanced, head outranks tail") {
     val q = graft.queries.Queries.all.toMap.apply("q_ppl_buckets")._1
     val out = q(spark, sf0001)
