@@ -170,16 +170,16 @@ object Fingerprints {
         transform(Text.shinglesFromTokens(col("toks"), k),
           g => Text.hash64(g, CDC_SEED)).as("sh"))
     // boundary END positions (token index of the k-gram's last token),
-    // trailing boundary excluded; sh may be empty → no sequence() call
-    // on an empty range (sequence(1,0) would DEScend)
+    // trailing boundary excluded. The (element, index) transform lambda
+    // walks `sh` ONCE per row — an element_at(sh, i)-over-sequence
+    // formulation re-evaluated the whole derived hash array per ELEMENT
+    // (the interpreted-HOF trap, Text.shinglesFromTokens contract) and
+    // went quadratic in doc length: 97 s at sf0.1 vs 1.2 s for this form
     val bends = base.withColumn("bends",
-      when(size(col("sh")) > 0,
-        filter(
-          transform(sequence(lit(1), size(col("sh"))),
-            i => when(pmod(element_at(col("sh"), i), lit(divisor.toLong)) === 0L,
-              i + lit(k - 1))),
-          j => j.isNotNull && j < size(col("toks"))))
-        .otherwise(array().cast("array<int>")))
+      filter(
+        transform(col("sh"),
+          (h, i) => when(pmod(h, lit(divisor.toLong)) === 0L, i + lit(k))),
+        j => j.isNotNull && j < size(col("toks"))))
     val chunked = bends
       .withColumn("starts",
         concat(array(lit(1)), transform(col("bends"), _ + 1)))
