@@ -159,6 +159,55 @@ class FingerprintsSpec extends SparkTestBase {
     assert(inc2.exists(p => p._1 == 1L && p._2 == 5L), "appended batch must be probe-visible")
   }
 
+  test("self-maintaining fingerprint stream: detection floor holds across corpus, batch, and prior survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val template = (1 to 30).map(i => s"fs$i").mkString(" ")
+    val corpus = docs(2L -> template)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpstream").toFile
+    val store = new java.io.File(dir, "fps").getPath
+    graft.ops.Fingerprints.winnowStored(corpus, store, k = 3, w = 4)
+
+    val novel = (1 to 30).map(i => s"nv${i}a").mkString(" ")
+    val flagged = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val kept = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val mem = MemoryStream[(Long, String)]
+    val writer = graft.streaming.FingerprintStream.selfMaintaining(
+      mem.toDF().toDF("doc_id", "text"), store, minShared = 2, dfCap = 50) {
+      (batchId, pairs, survivors) =>
+        flagged(batchId) = pairs.select("corpus_id", "probe_id")
+          .as[(Long, Long)].collect().toSet
+        kept(batchId) = survivors.select("doc_id").as[Long].collect().toSet
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fpstream-ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: a near-copy of the corpus doc (guaranteed hit: shares a
+      // 30-token run), a novel doc, and a within-batch near-copy of the
+      // novel doc (keep-lowest-id cuts 15)
+      mem.addData(
+        (11L, template + " trailing extra"),
+        (13L, novel),
+        (15L, novel + " tail"))
+      q.processAllAvailable()
+      assert(flagged(0L).contains((2L, 11L)), s"corpus dup flagged: ${flagged(0L)}")
+      assert(kept(0L) === Set(13L), s"kept: ${kept(0L)}")
+      // batch 1: a near-copy of batch 0's SURVIVOR — catchable only via
+      // the fold-in — plus a genuinely new doc
+      mem.addData(
+        (21L, novel + " different tail"),
+        (23L, (1 to 30).map(i => s"zz${i}q").mkString(" ")))
+      q.processAllAvailable()
+      assert(flagged(1L).exists { case (c, p) => c == 13L && p == 21L },
+        s"survivor dup flagged via grown store: ${flagged(1L)}")
+      assert(kept(1L) === Set(23L), s"kept: ${kept(1L)}")
+      // store = corpus + survivors only, each posted once
+      val ids = spark.read.parquet(store).select("id").distinct()
+        .as[Long].collect().toSet
+      assert(ids === Set(2L, 13L, 23L), s"store ids: $ids")
+    } finally q.stop()
+  }
+
   test("ppl buckets: per-lang terciles balanced, head outranks tail") {
     val q = graft.queries.Queries.all.toMap.apply("q_ppl_buckets")._1
     val out = q(spark, sf0001)
