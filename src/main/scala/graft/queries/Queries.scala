@@ -3296,6 +3296,57 @@ object Queries {
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_above
        |FROM h ORDER BY n_match""".stripMargin)
 
+  /** Orthogonal Procrustes embedding-space alignment
+    * ([[graft.ops.Procrustes]]): the "new model" space is a planted
+    * orthogonal map of the corpus embeddings (coordinate permutation
+    * i → 7i mod 64 with alternating signs) plus a deterministic
+    * integer-derived perturbation (±0.005/coordinate) — so the fitted
+    * rotation must RECOVER the planted map and the per-vector residual
+    * after alignment is perturbation-sized (≈0.02), far from both zero
+    * and the rounding boundary. One moments pass fits R (train-once
+    * store, the PCA-projector lifecycle); application is map-only
+    * codegen'd dots. The oracle reads the STORED rotation and replays
+    * alignment + residual + cosine with the same in-order double
+    * folds. */
+  val qProcrustes: Q = "q_procrustes" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val withB = emb.select(col("vec_id"), col("embedding"),
+        transform(sequence(lit(0), lit(63)), i =>
+          element_at(col("embedding"), pmod(i * 7, lit(64)) + 1).cast("double")
+            * when(pmod(i, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+            + (pmod(col("vec_id") * 37 + i * 101, lit(1000)).cast("double")
+              / lit(100000.0) - lit(0.005))).as("b"))
+      val r = graft.ops.Procrustes.fitStored(s, withB, "embedding", "b",
+        dim = 64, path = codebookPath(d, "procrustes_rot"))
+      graft.ops.Procrustes.align(withB, "embedding", r, "av")
+        .select(col("vec_id"),
+          round(sqrt(aggregate(
+            zip_with(col("av"), col("b"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), _ + _)), 6).as("resid"),
+          round(graft.functions.Vectors.cosine(col("av"), col("b")), 6)
+            .as("cos_aligned"))
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH r AS (SELECT comp_id, vec
+       |    FROM read_parquet('/root/repo/artifacts/procrustes_rot_sf0.01/*.parquet')),
+       |e AS (SELECT vec_id, embedding,
+       |    list_transform(range(0, 64), i -> CAST(embedding[(i * 7) % 64 + 1] AS DOUBLE)
+       |      * (CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)
+       |      + ((vec_id * 37 + i * 101) % 1000) / 100000.0 - 0.005) AS b
+       |  FROM embeddings),
+       |al AS (SELECT e2.vec_id, list(
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(e2.embedding[i] AS DOUBLE) * r.vec[i]))
+       |    ORDER BY r.comp_id) AS av
+       |  FROM e e2, r GROUP BY e2.vec_id)
+       |SELECT e.vec_id,
+       |  round(sqrt(list_sum(list_transform(range(1, 65),
+       |    i -> (al.av[i] - e.b[i]) * (al.av[i] - e.b[i])))), 6) AS resid,
+       |  round(${cosSql("al.av", "e.b")}, 6) AS cos_aligned
+       |FROM e JOIN al ON al.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin)
+
   // ------------------------------------------- PCA / embedding spectrum
 
   /** 8×8 upper-triangle block of the population covariance of the
@@ -3874,6 +3925,6 @@ object Queries {
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
-    qWinnowStored,
+    qWinnowStored, qProcrustes,
   )
 }
