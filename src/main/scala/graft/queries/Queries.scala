@@ -3105,6 +3105,91 @@ object Queries {
          |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
     })
 
+  /** Retrieval RANKING metrics for the ANN family — MRR and NDCG@10 of
+    * the IVF ranking against brute-force truth (the graded companions
+    * of q_ann_recall's set overlap: recall says WHETHER the truth was
+    * found, these say WHERE it landed). Log discounts are PRECOMPUTED
+    * literals inlined into both engines (Scala Double.toString
+    * round-trips exactly), so no runtime log whose last-ulp could
+    * differ between Java and libm; DCG folds in explicit rank order on
+    * both sides. */
+  val qAnnMetrics: Q = "q_ann_metrics" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 10)
+      val kk = 10
+      val disc = (1 to kk).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      val idcg = disc.scanLeft(0.0)(_ + _).tail
+      val truth = Ann.bruteTopK(emb, probes, k = kk)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("t_rank"))
+      val approx = Ann.ivfTopK(emb, probes, k = kk,
+          centroidIds = (0L until 16L), nprobe = 2)
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"))
+      approx.join(truth, Seq("q_id", "n_id"), "left")
+        .select(col("q_id"), col("rank"),
+          when(col("t_rank").isNotNull, lit(1.0)).otherwise(lit(0.0)).as("hit"),
+          col("t_rank"))
+        .groupBy(col("q_id"))
+        .agg(
+          sum(col("hit")).cast("long").as("n_hit"),
+          coalesce(max(when(col("t_rank") === 1L,
+            round(lit(1.0) / col("rank"), 6))), lit(0.0)).as("mrr"),
+          aggregate(sort_array(collect_list(struct(col("rank"), col("hit")))),
+            lit(0.0), (acc, x) => acc + x.getField("hit")
+              * element_at(typedlit(disc), x.getField("rank").cast("int")))
+            .as("dcg_raw"))
+        .select(col("q_id"), col("n_hit"), col("mrr"),
+          round(when(col("n_hit") > 0,
+            col("dcg_raw") / element_at(typedlit(idcg), col("n_hit").cast("int")))
+            .otherwise(lit(0.0)), 6).as("ndcg"))
+        .orderBy(col("q_id"))
+    },
+    {
+      val centList = (0 until 16).mkString("(", ", ", ")")
+      val kk = 10
+      val disc = (1 to kk).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      val idcg = disc.scanLeft(0.0)(_ + _).tail
+      val discSql = disc.mkString("[", ", ", "]")
+      val idcgSql = idcg.mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+         |  WHERE vec_id < 10),
+         |scored_b AS (SELECT q_id, c.vec_id AS n_id,
+         |    round(${cosSql("q_v", "c.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+         |b AS (SELECT q_id, n_id, t_rank FROM (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS t_rank
+         |  FROM scored_b) WHERE t_rank <= $kk),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_v
+         |  FROM embeddings WHERE vec_id IN $centList),
+         |cell_n AS (SELECT n_id, n_v, c_id AS cell FROM (
+         |  SELECT e.vec_id AS n_id, e.embedding AS n_v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.c_v")} DESC, c.c_id) AS crank
+         |  FROM embeddings e CROSS JOIN cents c) WHERE crank = 1),
+         |probe_q AS (SELECT q_id, q_v, c_id AS cell FROM (
+         |  SELECT e.vec_id AS q_id, e.embedding AS q_v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.c_v")} DESC, c.c_id) AS crank
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE crank <= 2),
+         |scored_i AS (SELECT q_id, n_id, round(${cosSql("q_v", "n_v")}, 6) AS cos
+         |  FROM cell_n JOIN probe_q USING (cell) WHERE q_id <> n_id),
+         |iv AS (SELECT q_id, n_id, rank FROM (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored_i) WHERE rank <= $kk),
+         |j AS (SELECT iv.q_id, iv.rank,
+         |    CASE WHEN b.n_id IS NULL THEN 0.0 ELSE 1.0 END AS hit, b.t_rank
+         |  FROM iv LEFT JOIN b USING (q_id, n_id)),
+         |g AS (SELECT q_id,
+         |    CAST(sum(CASE WHEN hit = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |    COALESCE(max(CASE WHEN t_rank = 1 THEN round(1.0 / rank, 6) END), 0.0) AS mrr,
+         |    list_sum(list(hit * ($discSql)[rank] ORDER BY rank)) AS dcg_raw
+         |  FROM j GROUP BY q_id)
+         |SELECT q_id, n_hit, mrr,
+         |  round(CASE WHEN n_hit > 0 THEN dcg_raw / ($idcgSql)[n_hit]
+         |    ELSE 0.0 END, 6) AS ndcg
+         |FROM g ORDER BY q_id""".stripMargin
+    })
+
   /** MinHash-LSH EVALUATION: recall of the banded pipeline against
     * exact-Jaccard ground truth on a bounded probe sample (300 docs) — the dedup twin of q_ann_recall, measuring banding AND
     * estimation error end-to-end. Ground truth is integer-exact
@@ -3925,6 +4010,6 @@ object Queries {
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
-    qWinnowStored, qProcrustes,
+    qWinnowStored, qProcrustes, qAnnMetrics,
   )
 }
