@@ -178,6 +178,58 @@ object Ann {
         col("cos"), col("rank"))
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB 2007): each query probes
+    * its OWN hyperplane bucket plus the buckets reached by flipping its
+    * `nProbe − 1` lowest-|margin| sign bits — the planes the vector
+    * sits closest to, hence the buckets its true neighbors most likely
+    * fell into. Recall climbs like running multiple hash tables at the
+    * memory/storage cost of ONE: the corpus is bucketed once and never
+    * duplicated; only the (broadcast-small) probe side fans out
+    * nProbe×. Flip order ties break toward the lower plane index so
+    * the probe set is deterministic and oracle-replayable. */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        dim: Int, planes: Int = 8, nProbe: Int = 3,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= planes + 1,
+      s"need 1 <= nProbe=$nProbe <= planes+1=${planes + 1}")
+    val coefs = Vectors.deterministicPlanes(dim, planes)
+    val dotCols = coefs.map(p => Vectors.dot(col(vecCol), typedlit(p)))
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      array(dotCols: _*).as("ds"))
+    val base = (0 until planes).map(j =>
+        when(element_at(col("ds"), j + 1) > 0.0, lit(1L << j)).otherwise(0L))
+      .reduce[Column](_ + _)
+    val flipOrder = sort_array(array((0 until planes).map(j =>
+      struct(abs(element_at(col("ds"), j + 1)).as("m"), lit(j).as("j"))): _*))
+    // 1L << j for data-dependent j as a bounded when-chain (the Scala
+    // shiftleft helper only takes a literal shift)
+    def bitOf(jc: Column): Column =
+      (1 until planes).foldLeft(when(jc === 0, lit(1L)))(
+        (acc, j) => acc.when(jc === j, lit(1L << j))).otherwise(lit(0L))
+    val qProbes = q0
+      .withColumn("base", base)
+      .withColumn("ord", flipOrder)
+      .withColumn("bucket", explode(concat(array(col("base")),
+        transform(slice(col("ord"), 1, nProbe - 1),
+          e => col("base").bitwiseXOR(bitOf(e.getField("j")))))))
+      .select(col("q_id"), col("q_v"), col("bucket"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      Vectors.hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
+    // no pair dedup needed: a corpus doc lives in exactly ONE bucket
+    // and the query's probe buckets are pairwise distinct (single-bit
+    // flips of distinct bits), so (q, n) can match at most once
+    val scored = c.join(broadcast(qProbes), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(Vectors.cosine(col("q_v"), col("n_v")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** Exact cosine re-rank of an approximate shortlist — stage 2 of the
     * standard two-stage retrieval: the compressed-domain stage (PQ /
     * IVF-PQ / LSH) over-fetches `|shortlist| = rerankFrom · |Q|`

@@ -999,6 +999,52 @@ object Queries {
          |ORDER BY q_id, rank""".stripMargin
     })
 
+  /** Multi-probe LSH ([[graft.ops.Ann.multiProbeLshTopK]], Lv et al.
+    * 2007): the query probes its own bucket plus nProbe−1 single-bit
+    * flips of its lowest-|margin| planes — multiple-table recall at
+    * one table's storage. The oracle replays the margin sort (ties →
+    * lower plane index), the XOR'd probe buckets, and the ranking. */
+  val qAnnMultiProbe: Q = "q_ann_multiprobe" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.multiProbeLshTopK(emb, emb.filter(col("vec_id") < 50), k = 3,
+        dim = 64, planes = 6, nProbe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    {
+      val planes = graft.functions.Vectors.deterministicPlanes(64, 6)
+      def planeDot(v: String, p: Seq[Double]) = {
+        val lst = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"list_sum(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * ($lst)[i]))"
+      }
+      def bucket(v: String) = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN ${planeDot(v, p)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      val dsList = planes.map(p => planeDot("embedding", p))
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_v, bucket AS base,
+         |    $dsList AS ds
+         |  FROM b WHERE vec_id < 50),
+         |m AS (SELECT q_id, j, abs(ds[j + 1]) AS am
+         |  FROM q, unnest(range(0, 6)) AS t(j)),
+         |fl AS (SELECT q_id, j, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY am ASC, j ASC) AS fr FROM m),
+         |pb AS (SELECT q_id, q_v, base AS bucket FROM q
+         |  UNION ALL
+         |  SELECT q.q_id, q.q_v, xor(q.base, (CAST(1 AS BIGINT) << f.j))
+         |  FROM fl f JOIN q USING (q_id) WHERE f.fr <= 2),
+         |scored AS (SELECT pb.q_id, c.vec_id AS n_id,
+         |    round(${cosSql("pb.q_v", "c.embedding")}, 6) AS cos
+         |  FROM pb JOIN b c ON c.bucket = pb.bucket AND c.vec_id <> pb.q_id),
+         |ranked AS (SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    })
+
   /** IVF ANN: inverted-file cells from fixed seed centroids, nprobe=2. */
   val qAnnIvf: Q = "q_ann_ivf" -> (
     (s: SparkSession, d: String) => {
@@ -4010,6 +4056,6 @@ object Queries {
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
-    qWinnowStored, qProcrustes, qAnnMetrics,
+    qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
   )
 }

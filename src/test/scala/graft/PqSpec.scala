@@ -154,4 +154,31 @@ class PqSpec extends SparkTestBase {
       "two-stage must not be worse than PQ-only at the same k")
     spark.catalog.clearCache()
   }
+
+  test("multi-probe LSH: nProbe=1 equals single-probe; extra probes only add recall") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = asMap(Ann.lshTopK(emb, queries, k = 5, dim = 64, planes = 6))
+    val mp1 = asMap(Ann.multiProbeLshTopK(emb, queries, k = 5, dim = 64,
+      planes = 6, nProbe = 1))
+    assert(mp1 === single, "nProbe=1 must reduce to plain LSH")
+
+    val mp3 = asMap(Ann.multiProbeLshTopK(emb, queries, k = 5, dim = 64,
+      planes = 6, nProbe = 3))
+    val truth = asMap(Ann.bruteTopK(emb, queries, k = 5))
+    def recall(res: Map[Long, Set[Long]]) = {
+      val rs = truth.map { case (q, t) =>
+        res.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    assert(recall(mp3) >= recall(single),
+      s"multi-probe recall ${recall(mp3)} < single ${recall(single)}")
+    // candidate coverage strictly grows on this corpus: some query found
+    // a neighbor single-probe missed (6 planes → sparse buckets)
+    assert(mp3.values.map(_.size).sum >= single.values.map(_.size).sum)
+    spark.catalog.clearCache()
+  }
 }
