@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape pins for this round's operators: the properties
+  * that make them 100 TB-safe are PLAN facts (no cartesian products,
+  * probe sides broadcast, df caps applied before self-joins), so they
+  * are asserted here — a regression that silently flips a join to
+  * nested-loop or materializes all-pairs fails the suite, not just the
+  * bench. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // force execution so AQE settles on final plans
+    def unwrap(p: SparkPlan): String = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    unwrap(df.queryExecution.executedPlan)
+  }
+
+  test("winnowPairs: no cartesian product; the join keys on fp") {
+    val plan = planString(graft.ops.Fingerprints.winnowPairs(
+      graft.core.Tables.documents(spark, sf0001), k = 3, w = 4,
+      minShared = 2, dfCap = 50))
+    assert(!plan.contains("CartesianProduct"), "postings join went all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "postings join went nested-loop")
+    spark.catalog.clearCache()
+  }
+
+  test("rerankExact: queries broadcast, no nested-loop against the corpus") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val shortlist = graft.ops.Ann.bruteTopK(emb, queries, k = 10)
+    val plan = planString(
+      graft.ops.Ann.rerankExact(shortlist, emb, queries, k = 3))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "query side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("multiProbeLshTopK: bucket-keyed join, probe side broadcast, no cartesian") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val plan = planString(graft.ops.Ann.multiProbeLshTopK(
+      emb, emb.filter(col("vec_id") < 5), k = 3, dim = 64,
+      planes = 6, nProbe = 3))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cdcDupMass: single chunk materialization feeds both consumers (InMemory reuse)") {
+    val out = graft.ops.Fingerprints.cdcDupMass(
+      graft.core.Tables.documents(spark, sf0001), k = 3, divisor = 16)
+    val plan = planString(out)
+    // the persisted chunk table must appear as an in-memory scan —
+    // i.e. the tokenize+chunk pass is NOT inlined twice
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"chunk table not reused from cache:\n${plan.take(800)}")
+    spark.catalog.clearCache()
+  }
+}
