@@ -31,7 +31,10 @@ object Plans {
         "q_bpe_pack", "q_dup_spans_guard", "q_span_dedup_guard",
         "q_minhash_append", "q_span_append",
         "q_pca_cov", "q_pca_recall", "q_wp_vocab", "q_wp_encode",
-        "q_novelty", "q_curriculum", "q_unigram_tokens")
+        "q_novelty", "q_curriculum", "q_unigram_tokens",
+        "q_winnow", "q_winnow_pairs", "q_winnow_stored", "q_cdc_chunks",
+        "q_cdc_dedup", "q_ppl_buckets", "q_ann_rerank", "q_procrustes",
+        "q_ann_metrics", "q_ann_multiprobe")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
