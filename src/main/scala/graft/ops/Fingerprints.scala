@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -82,6 +82,15 @@ object Fingerprints {
     // owned lifetime, the tokenTable convention; at 100 TB this is the
     // written-once fingerprint store, cf. minhashBandsStored)
     val fps = winnow(docs, k, w, idCol, textCol).persist()
+    pairsFromPostings(fps, minShared, dfCap)
+  }
+
+  /** [[winnowPairs]]' capped self-join over PRECOMPUTED (id, fp)
+    * postings — the single definition of the within-corpus df-cap
+    * discipline, shared with the streaming loop so batch and stream
+    * cannot diverge. */
+  def pairsFromPostings(fps: DataFrame, minShared: Int,
+                        dfCap: Int): DataFrame = {
     val shareable = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
@@ -117,15 +126,25 @@ object Fingerprints {
     * guarantees id-uniqueness across batches. */
   def winnowStoreAppend(batch: DataFrame, path: String, batchTag: String,
                         k: Int = 3, w: Int = 4, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    postingsAppend(winnow(batch, k, w, idCol, textCol), path, batchTag,
+      batch.sparkSession)
+
+  /** [[winnowStoreAppend]] over PRECOMPUTED postings — selection is
+    * deterministic, so appending already-computed (id, fp) rows is
+    * identical to re-winnowing the docs; the streaming loop uses this
+    * to append its persisted batch postings instead of paying a second
+    * tokenize+winnow pass over the survivors. */
+  def postingsAppend(postings: DataFrame, path: String, batchTag: String,
+                     spark: SparkSession): DataFrame = {
     require(new java.io.File(path, "_SUCCESS").isFile,
       s"no fingerprint store at $path — build it with winnowStored")
     val marker = new java.io.File(path, s"_appended_$batchTag")
     if (!marker.isFile) {
-      winnow(batch, k, w, idCol, textCol).write.mode("append").parquet(path)
+      postings.select("id", "fp").write.mode("append").parquet(path)
       marker.createNewFile()
     }
-    batch.sparkSession.read.parquet(path)
+    spark.read.parquet(path)
   }
 
   /** Probe a fresh batch against a [[winnowStored]] corpus — the
@@ -142,14 +161,22 @@ object Fingerprints {
                         textCol: String = "text"): DataFrame = {
     require(new java.io.File(path, "_SUCCESS").isFile,
       s"no fingerprint store at $path — build it with winnowStored")
-    val stored = probe.sparkSession.read.parquet(path)
+    crossPairsFromPostings(probe.sparkSession.read.parquet(path),
+      winnow(probe, k, w, idCol, textCol), minShared, dfCap)
+  }
+
+  /** [[winnowIncremental]]'s store⋈probe join over PRECOMPUTED probe
+    * postings — the single definition of the cross-corpus df-cap
+    * discipline (cap on STORED df only; corpus df = 1 stays, a cross
+    * pair needs no corpus-internal repeat), shared with the streaming
+    * loop. */
+  def crossPairsFromPostings(stored: DataFrame, probePostings: DataFrame,
+                             minShared: Int, dfCap: Int): DataFrame = {
     val rare = stored.groupBy(col("fp"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap).select("fp")
-    val corpusSide = stored.join(rare, "fp")
+    stored.join(rare, "fp")
       .select(col("fp"), col("id").as("corpus_id"))
-    val probeSide = winnow(probe, k, w, idCol, textCol)
-      .select(col("fp"), col("id").as("probe_id"))
-    corpusSide.join(probeSide, "fp")
+      .join(probePostings.select(col("fp"), col("id").as("probe_id")), "fp")
       .groupBy(col("corpus_id"), col("probe_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

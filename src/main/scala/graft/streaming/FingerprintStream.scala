@@ -44,31 +44,17 @@ object FingerprintStream {
       val spark = batch.sparkSession
       val fps = graft.ops.Fingerprints
         .winnow(batch, k, w, idCol, textCol).persist()
-      val stored = spark.read.parquet(path)
-      val rare = stored.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap).select("fp")
-      val crossPairs = stored.join(rare, "fp")
-        .select(col("fp"), col("id").as("corpus_id"))
-        .join(fps.select(col("fp"), col("id").as("probe_id")), "fp")
-        .groupBy(col("corpus_id"), col("probe_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= minShared)
+      // cross + within-batch joins are the BATCH operators' own
+      // definitions over the precomputed postings (one df-cap
+      // discipline, no stream/batch divergence)
+      val crossPairs = graft.ops.Fingerprints
+        .crossPairsFromPostings(spark.read.parquet(path), fps,
+          minShared, dfCap)
         .join(fps.select(col("id").as("corpus_id")).distinct(),
           Seq("corpus_id"), "left_anti")
         .persist()
-      // within-batch: the winnowPairs discipline on the batch's own
-      // postings (df ≥ 2 to witness, ≤ cap against degenerate batches)
-      val innerRare = fps.groupBy(col("fp"))
-        .agg(count(lit(1)).as("bdf"))
-        .filter(col("bdf") >= 2 && col("bdf") <= dfCap).select("fp")
-      val posted = fps.join(innerRare, "fp")
-      val innerCut = posted.as("a")
-        .join(posted.as("b"),
-          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minShared)
+      val innerCut = graft.ops.Fingerprints
+        .pairsFromPostings(fps, minShared, dfCap)
         .select(col("id_b").as(idCol)).distinct()
       val dupOfStore = crossPairs.select(col("probe_id").as(idCol)).distinct()
       val survivors = batch
@@ -76,8 +62,12 @@ object FingerprintStream {
         .join(innerCut, Seq(idCol), "left_anti")
         .persist()
       crossPairs.count(); survivors.count()
-      graft.ops.Fingerprints.winnowStoreAppend(survivors, path,
-        batchTag = s"batch_$batchId", k, w, idCol, textCol)
+      // survivors' postings are a filter of the ALREADY-persisted batch
+      // postings (selection is deterministic) — append those instead of
+      // re-tokenizing the surviving documents
+      graft.ops.Fingerprints.postingsAppend(
+        fps.join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+        path, batchTag = s"batch_$batchId", spark)
       onBatch(batchId, crossPairs, survivors)
       fps.unpersist(); crossPairs.unpersist(); survivors.unpersist()
       ()
