@@ -1801,6 +1801,129 @@ object Queries {
        |FROM si GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin)
 
+  /** Weekly COHORT retention — the classic event-analytics matrix:
+    * users bucketed by first-seen week (integer week = ts_us DIV 7d —
+    * no calendar/timezone dependence), activity counted per (cohort,
+    * weeks-since) cell. Two hash aggregations + one cohort-count join;
+    * at 100 TB the matrix itself is weeks² rows — driver-trivial
+    * output from corpus-scale input. */
+  val qCohort: Q = "q_cohort" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us DIV 604800000000").as("wk"))
+        .distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = first.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_n"))
+      ev.join(first, "user_id")
+        .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          round(col("n_active") / col("cohort_n").cast("double"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    },
+    s"""WITH $EV,
+       |uw AS (SELECT DISTINCT user_id, ts_us // 604800000000 AS wk FROM ev),
+       |f AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+       |sz AS (SELECT cohort_wk, count(*) AS cohort_n FROM f GROUP BY 1),
+       |m AS (SELECT f.cohort_wk, u.wk - f.cohort_wk AS week_offset,
+       |    count(DISTINCT u.user_id) AS n_active
+       |  FROM uw u JOIN f USING (user_id) GROUP BY 1, 2)
+       |SELECT m.cohort_wk, m.week_offset, CAST(m.n_active AS BIGINT) AS n_active,
+       |  round(m.n_active / CAST(sz.cohort_n AS DOUBLE), 6) AS retention
+       |FROM m JOIN sz USING (cohort_wk)
+       |ORDER BY cohort_wk, week_offset""".stripMargin)
+
+  /** Ordered FUNNEL: signup → view → click → purchase, each step's
+    * earliest completion strictly AFTER the previous step's — per-user
+    * chained min-aggregations (each stage a semi-join against the
+    * shrinking prior stage; never a per-user event sort). Output is
+    * the 4-row funnel with conversion vs stage 1. */
+  val qFunnelSteps: Q = "q_funnel_steps" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val steps = Seq("signup", "view", "click", "purchase")
+      val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+        case (prev, (step, _)) =>
+          val base = ev.filter(col("event_type") === step)
+          val eligible = prev match {
+            case None => base
+            case Some(p) => base.join(p.select(col("user_id"),
+                col("t").as("prev_t")), "user_id")
+              .filter(col("ts_us") > col("prev_t"))
+          }
+          Some(eligible.groupBy(col("user_id")).agg(min(col("ts_us")).as("t")))
+      }.flatten
+      val tagged = stages.zip(steps).zipWithIndex.map {
+        case ((df, step), i) => df.select(lit(i + 1L).as("stage"),
+          lit(step).as("step"), col("user_id"))
+      }.reduce(_ unionAll _)
+      val counts = tagged.groupBy(col("stage"), col("step"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val base = counts.filter(col("stage") === 1L)
+        .select(col("n_users").as("n1"))
+      counts.crossJoin(base)
+        .select(col("stage"), col("step"), col("n_users"),
+          round(col("n_users") / col("n1").cast("double"), 6).as("conversion"))
+        .orderBy(col("stage"))
+    },
+    s"""WITH $EV,
+       |s1 AS (SELECT user_id, min(ts_us) AS t FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+       |  JOIN s1 ON s1.user_id = e.user_id
+       |  WHERE e.event_type = 'view' AND e.ts_us > s1.t GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+       |  JOIN s2 ON s2.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts_us > s2.t GROUP BY 1),
+       |s4 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+       |  JOIN s3 ON s3.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts_us > s3.t GROUP BY 1),
+       |n AS (SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s1
+       |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+       |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+       |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4),
+       |b AS (SELECT n_users AS n1 FROM n WHERE stage = 1)
+       |SELECT CAST(stage AS BIGINT) AS stage, step,
+       |  CAST(n_users AS BIGINT) AS n_users,
+       |  round(n_users / CAST(b.n1 AS DOUBLE), 6) AS conversion
+       |FROM n, b ORDER BY stage""".stripMargin)
+
+  /** Time-grid RESAMPLE with zero-fill: each user's event counts on a
+    * regular 6-hour grid spanning their own first..last activity —
+    * gap-filling for downstream time-series models. The grid explode
+    * is per-user bounded (span/bucket rows); counts ride one hash
+    * aggregation; the join back is grid ⋈ counts on (user, bucket). */
+  val qResample: Q = "q_resample" -> (
+    (s: SparkSession, d: String) => {
+      val bucketUs = 21600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us DIV $bucketUs").as("b"))
+      val counts = ev.groupBy(col("user_id"), col("b"))
+        .agg(count(lit(1)).as("n_events"))
+      val grid = counts.groupBy(col("user_id"))
+        .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("b"))
+      grid.join(counts, Seq("user_id", "b"), "left")
+        .select(col("user_id"), col("b").as("bucket"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+    s"""WITH $EV,
+       |c AS (SELECT user_id, ts_us // 21600000000 AS b, count(*) AS n
+       |  FROM ev GROUP BY 1, 2),
+       |sp AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1),
+       |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM sp)
+       |SELECT g.user_id, g.b AS bucket,
+       |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+       |FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.b = g.b
+       |ORDER BY g.user_id, bucket""".stripMargin)
+
   /** Misra-Gries heavy hitters — the fixed-size mergeable path for
     * "top-k most frequent" (native TypedImperativeAggregate; O(capacity)
     * state per group crosses the exchange, map-side combined). Unlike
@@ -4057,5 +4180,6 @@ object Queries {
     qUnigramTokens, qRandProj, qPcaIncremental,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
+    qCohort, qFunnelSteps, qResample,
   )
 }
