@@ -92,6 +92,13 @@ object BenchScale {
       val (tCap, nCap) = time(graft.ops.Dedup.ngramJaccard(
         docs, tau = 0.5, blockCol = "lang", maxDf = 64).count())
       spark.catalog.clearCache()
+      // prefix-filtered exact join: COMPLETE recall with no df cap —
+      // the planted stop sentence (df = n·K in every doc) never enters
+      // a prefix because every doc carries rarer grams, so the curve
+      // must stay ~linear where the naive uncapped path goes (nK)²
+      val (tPrefix, nPrefix) = time(graft.ops.Dedup.ngramJaccardPrefix(
+        docs, tau = 0.5, blockCol = "lang").count())
+      spark.catalog.clearCache()
       val (tUncap, nUncap) =
         if (k <= 4) {
           val (c, d2) = time(graft.ops.Dedup.ngramJaccard(
@@ -291,6 +298,7 @@ object BenchScale {
 
       println(s"""{"k":$k,"docs":$nd,"vecs":$ne,""" +
         s""""ngram_capped_sec":${f"$tCap%.2f"},"ngram_uncapped_sec":${f"$tUncap%.2f"},""" +
+        s""""ngram_prefix_sec":${f"$tPrefix%.2f"},"ngram_pairs_prefix":$nPrefix,""" +
         s""""ngram_pairs_capped":$nCap,"ngram_pairs_uncapped":$nUncap,""" +
         s""""embed_lsh_sec":${f"$tLsh%.2f"},"embed_auto_sec":${f"$tAuto%.2f"},""" +
         s""""embed_exact_sec":${f"$tExact%.2f"},""" +

@@ -589,6 +589,58 @@ object Dedup {
       .filter(col("containment") >= tau)
   }
 
+  /** PREFIX-FILTERED exact Jaccard join — the SSJoin/PPJoin prefix
+    * principle (Chaudhuri et al. ICDE 2006; Xiao et al. WWW 2008)
+    * as the COMPLETE-recall companion of [[ngramJaccard]]'s df-capped
+    * plan: order every doc's distinct grams by global rarity (df asc,
+    * hash asc — one shared total order) and index only the PREFIX,
+    * the first |g| − ⌈tau·|g|⌉ + 1 grams. For any pair with J ≥ tau,
+    * common ≥ tau·max(|a|,|b|) (via the length-ratio bound), and the
+    * prefix lemma then guarantees the prefixes intersect — so unlike
+    * the df cap's documented recall trade, NO qualifying pair can be
+    * dropped, while hot grams still rarely generate candidates: a
+    * corpus stop-gram sorts LAST in every doc and enters a prefix
+    * only when nearly everything else in that doc is rarer.
+    *
+    * Cost vs the cap: one extra df exchange + a per-doc rarity sort
+    * (window over bounded per-doc gram counts). The residual risk is
+    * a genuinely boilerplate-only near-dup cluster whose prefixes ARE
+    * hot grams — the cap path drops those pairs, this path pays df²
+    * for them; the prefix-key df histogram is the operational skew
+    * check. Verification is the shared one-lookup pass. */
+  def ngramJaccardPrefix(docs: DataFrame, tau: Double, blockCol: String,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
+    val sets = shingleSets(docs, blockCol, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = sets
+      .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
+        explode(col("gs")).as("gh"))
+    val dfTab = grams.groupBy(col("blk"), col("gh"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("blk"), col("id"))
+      .orderBy(col("df").asc, col("gh").asc)
+    val prefix = grams.join(dfTab, Seq("blk", "gh"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n_sh") - ceil(col("n_sh") * lit(tau)).cast("int") + 1)
+      .select(col("blk"), col("gh"), col("id"), col("n_sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.blk") === col("b.blk") && col("a.gh") === col("b.gh")
+          && col("a.id") < col("b.id")
+          && col("b.n_sh") * lit(tau) <= col("a.n_sh")
+          && col("a.n_sh") * lit(tau) <= col("b.n_sh"))
+      .select(col("a.blk").as("blk"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"))
+      .distinct()
+    verifiedOverlap(sets, cand)
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Exact duplicated-span REMOVAL — the rewrite companion of
     * [[graft.ops.TextStats.duplicatedSpans]] (which only reports): the
     * distributed profile of suffix-array substring dedup (Lee et al.

@@ -841,6 +841,32 @@ object Queries {
        |FROM pc WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** PREFIX-FILTERED exact Jaccard at τ=0.4
+    * ([[graft.ops.Dedup.ngramJaccardPrefix]], the SSJoin/PPJoin prefix
+    * principle): docs index only their |g| − ⌈τ·|g|⌉ + 1 globally-
+    * rarest grams; the prefix lemma makes the candidate set COMPLETE
+    * (no recall trade, unlike the df cap), so the oracle is the plain
+    * exact all-pairs form. */
+  val qNgramPrefix: Q = "q_ngram_prefix" -> (
+    (s: SparkSession, d: String) =>
+      Dedup.ngramJaccardPrefix(Tables.documents(s, d), tau = 0.4,
+          blockCol = "lang")
+        .orderBy(col("id_a"), col("id_b")),
+    s"""WITH t AS (SELECT doc_id AS id, lang, $TOKS AS toks FROM documents),
+       |sh AS (SELECT id, lang, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |  FROM t WHERE len(toks) >= 3),
+       |ex0 AS (SELECT id, lang, len(g) AS n_sh, unnest(g) AS gr FROM sh),
+       |ex AS (SELECT id, lang, n_sh,
+       |    CAST('0x' || substr(md5(gr), 1, 15) AS BIGINT) AS gh FROM ex0),
+       |pc AS (SELECT x.id AS id_a, y.id AS id_b, x.n_sh AS na, y.n_sh AS nb,
+       |    count(*) AS common
+       |  FROM ex x JOIN ex y ON x.lang = y.lang AND x.gh = y.gh AND x.id < y.id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, common / CAST(na + nb - common AS DOUBLE) AS jaccard
+       |FROM pc WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin)
+
   /** n-gram CONTAINMENT at τ=0.6 — the asymmetric companion of
     * q_ngram_jaccard (common / min set size): catches the quote/subset
     * near-dup whose symmetric Jaccard is structurally tiny. Same
@@ -4180,6 +4206,6 @@ object Queries {
     qUnigramTokens, qRandProj, qPcaIncremental,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
-    qCohort, qFunnelSteps, qResample,
+    qCohort, qFunnelSteps, qResample, qNgramPrefix,
   )
 }
