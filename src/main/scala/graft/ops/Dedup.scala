@@ -517,14 +517,20 @@ object Dedup {
       // identity is its id WITHIN a block — with a multi-valued
       // blocking column (LSH bands), grouping keeps blk so per-block
       // pair multiplicity is preserved exactly as before.
-      return verifiedOverlap(sets, cand)
-        .select(col("id_a"), col("id_b"),
-          (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
-            .as("jaccard"))
-        .filter(col("jaccard") >= tau)
+      return jaccardFromOverlap(verifiedOverlap(sets, cand), tau)
     }
     legacyNgramJaccard(docs, tau, blockCol, idCol, textCol, n)
   }
+
+  /** The Jaccard projection + threshold over a [[verifiedOverlap]]
+    * frame — shared by the capped and prefix plans so the metric's
+    * arithmetic (and any future tie/cast fix) has ONE definition. */
+  private def jaccardFromOverlap(verified: DataFrame, tau: Double): DataFrame =
+    verified
+      .select(col("id_a"), col("id_b"),
+        (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
 
   /** The ONE-lookup exact verification shared by the set-overlap
     * metrics: candidate pairs explode to two slim integer rows that
@@ -614,6 +620,10 @@ object Dedup {
     require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1, got $tau")
     val sets = shingleSets(docs, blockCol, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // inner explode (not the capped path's explode_outer): shingle-less
+    // docs are droppable here OUTRIGHT — they join no df row and index
+    // no prefix — and the df join consumes the rows before any
+    // filter-inference rule could push a size() back to the scan
     val grams = sets
       .select(col("blk"), col("id"), size(col("gs")).as("n_sh"),
         explode(col("gs")).as("gh"))
@@ -626,7 +636,10 @@ object Dedup {
       .filter(col("rn") <=
         col("n_sh") - ceil(col("n_sh") * lit(tau)).cast("int") + 1)
       .select(col("blk"), col("gh"), col("id"), col("n_sh"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // same-exchange self-join: shuffle_hash keeps the ReusedExchange/
+    // no-sort shape (the uncapped path's documented choice) — without
+    // the hint SMJ adds two sorts over the prefix-gram volume
+    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.gh") === col("b.gh")
           && col("a.id") < col("b.id")
           && col("b.n_sh") * lit(tau) <= col("a.n_sh")
@@ -634,11 +647,7 @@ object Dedup {
       .select(col("a.blk").as("blk"), col("a.id").as("id_a"),
         col("b.id").as("id_b"))
       .distinct()
-    verifiedOverlap(sets, cand)
-      .select(col("id_a"), col("id_b"),
-        (col("common") / (col("na") + col("nb") - col("common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    jaccardFromOverlap(verifiedOverlap(sets, cand), tau)
   }
 
   /** Exact duplicated-span REMOVAL — the rewrite companion of

@@ -53,6 +53,16 @@ class FunnelStreamSpec extends SparkTestBase {
       assert(b2.count(a => a.user_id == 2L && a.stage == 2) == 1)
       // each (user, stage) emitted at most once over the whole run
       assert(b2.groupBy(a => (a.user_id, a.stage)).values.forall(_.length == 1))
+      // frozen-once-set: a LATE earlier signup must not rewrite user 1's
+      // stage-1 time, and a late view between it and the published time
+      // must not advance anything — the emitted stream stays internally
+      // consistent (no stage-2 time before the published stage-1 time)
+      mem.addData((1L, "signup", 50L, 11L), (1L, "view", 80L, 12L))
+      q.processAllAvailable()
+      val b3 = spark.table("funnel_adv")
+        .as[FunnelStream.StageAdvance].collect()
+      assert(b3.count(_.user_id == 1L) == 4, "late events must emit nothing new")
+      assert(b3.filter(_.user_id == 1L).forall(a => a.stage != 1 || a.t_us == 100L))
     } finally q.stop()
   }
 
