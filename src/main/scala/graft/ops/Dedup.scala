@@ -635,15 +635,27 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("n_sh") - ceil(col("n_sh") * lit(tau)).cast("int") + 1)
-      .select(col("blk"), col("gh"), col("id"), col("n_sh"))
+      .select(col("blk"), col("gh"), col("id"), col("n_sh"), col("rn"))
     // same-exchange self-join: shuffle_hash keeps the ReusedExchange/
     // no-sort shape (the uncapped path's documented choice) — without
-    // the hint SMJ adds two sorts over the prefix-gram volume
+    // the hint SMJ adds two sorts over the prefix-gram volume.
+    // POSITIONAL filter (PPJoin's second filter), exact: in the shared
+    // (df, hash) total order every common gram of a qualifying pair
+    // sorts at-or-after the pair's FIRST shared gram in both docs, so
+    // common ≤ 1 + min(na − rn_a, nb − rn_b) at that match; a pair
+    // whose every match fails the J ≥ tau requirement
+    // (common ≥ tau/(1+tau)·(na+nb)) cannot qualify — in particular its
+    // first shared gram fails it, so dropping those match rows loses
+    // nothing while sparing their distinct+verify cost. The 1e-6 slack
+    // keeps the prune strictly conservative against double rounding.
     val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.gh") === col("b.gh")
           && col("a.id") < col("b.id")
           && col("b.n_sh") * lit(tau) <= col("a.n_sh")
-          && col("a.n_sh") * lit(tau) <= col("b.n_sh"))
+          && col("a.n_sh") * lit(tau) <= col("b.n_sh")
+          && (lit(1) + least(col("a.n_sh") - col("a.rn"),
+                col("b.n_sh") - col("b.rn"))).cast("double")
+            >= (col("a.n_sh") + col("b.n_sh")) * lit(tau / (1 + tau)) - lit(1e-6))
       .select(col("a.blk").as("blk"), col("a.id").as("id_a"),
         col("b.id").as("id_b"))
       .distinct()
