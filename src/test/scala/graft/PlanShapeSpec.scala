@@ -52,6 +52,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ngramJaccardPrefix: hash self-join on the prefix postings, no cartesian/nested-loop") {
+    val plan = planString(graft.ops.Dedup.ngramJaccardPrefix(
+      graft.core.Tables.documents(spark, sf0001), tau = 0.4, blockCol = "lang"))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      "prefix self-join must be a hash join (shuffle_hash hint)")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
   test("cdcDupMass: single chunk materialization feeds both consumers (InMemory reuse)") {
     val out = graft.ops.Fingerprints.cdcDupMass(
       graft.core.Tables.documents(spark, sf0001), k = 3, divisor = 16)
