@@ -1950,6 +1950,51 @@ object Queries {
        |FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.b = g.b
        |ORDER BY g.user_id, bucket""".stripMargin)
 
+  /** Expanding-window z-score anomalies: each event's `value` scored
+    * against the user's OWN history (all strictly-earlier events — a
+    * cumulative frame, deliberately not sliding: both engines
+    * accumulate fixed-start frames sequentially in frame order, so the
+    * double chains match bit-for-bit, while sliding frames may go
+    * through a segment tree whose association order differs). Flags
+    * |z| > 3 once the baseline has ≥ 8 observations. The per-user
+    * window is the sessionize exchange; everything after is map-only. */
+  val qRollingZ: Q = "q_rolling_z" -> (
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("n", count(col("value")).over(w))
+        .withColumn("sm", sum(col("value")).over(w))
+        .withColumn("s2", sum(col("value") * col("value")).over(w))
+        .filter(col("n") >= 8)
+        .withColumn("mean", col("sm") / col("n"))
+        .withColumn("vr", col("s2") / col("n") - col("mean") * col("mean"))
+        .filter(col("vr") > 1e-12)
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("vr")))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("event_id"))
+    },
+    s"""WITH $EV,
+       |b AS (SELECT event_id, user_id, ts_us, value,
+       |    count(value) OVER w AS n,
+       |    sum(value) OVER w AS sm,
+       |    sum(value * value) OVER w AS s2
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |m AS (SELECT event_id, user_id, ts_us, value, n,
+       |    sm / n AS mean, s2 / n - (sm / n) * (sm / n) AS vr
+       |  FROM b WHERE n >= 8),
+       |z AS (SELECT event_id, user_id, ts_us,
+       |    (value - mean) / sqrt(vr) AS z
+       |  FROM m WHERE vr > 1e-12)
+       |SELECT event_id, user_id, ts_us, round(z, 6) AS z
+       |FROM z WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin)
+
   /** Misra-Gries heavy hitters — the fixed-size mergeable path for
     * "top-k most frequent" (native TypedImperativeAggregate; O(capacity)
     * state per group crosses the exchange, map-side combined). Unlike
@@ -4206,6 +4251,6 @@ object Queries {
     qUnigramTokens, qRandProj, qPcaIncremental,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
-    qCohort, qFunnelSteps, qResample, qNgramPrefix,
+    qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
   )
 }
