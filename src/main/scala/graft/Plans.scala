@@ -35,7 +35,8 @@ object Plans {
         "q_winnow", "q_winnow_pairs", "q_winnow_stored", "q_cdc_chunks",
         "q_cdc_dedup", "q_ppl_buckets", "q_ann_rerank", "q_procrustes",
         "q_ann_metrics", "q_ann_multiprobe",
-        "q_cohort", "q_funnel_steps", "q_resample", "q_ngram_prefix")
+        "q_cohort", "q_funnel_steps", "q_resample", "q_ngram_prefix",
+        "q_rolling_z")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
