@@ -1950,6 +1950,105 @@ object Queries {
        |FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.b = g.b
        |ORDER BY g.user_id, bucket""".stripMargin)
 
+  /** Per-user rate limiting — deterministic burst throttling: within
+    * each (user, hour) bucket only the first `cap` events by (ts,
+    * event_id) are admitted; the rest are flagged with their overflow
+    * rank. One window rank per (user, hour) partition (bounded by the
+    * bucket's arrival volume); the admission decision is row-local
+    * after it. The bot-burst / crawler-throttle gate every ingestion
+    * pipeline ends up needing. */
+  val qRateLimit: Q = "q_rate_limit" -> (
+    (s: SparkSession, d: String) => {
+      val cap = 3
+      val dayUs = 86400000000L
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          expr(s"ts_us DIV $dayUs").as("day"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("event_id"), col("user_id"), col("day"), col("rk"))
+        .filter(col("rk") > cap)
+        .orderBy(col("event_id"))
+    },
+    s"""WITH $EV,
+       |r AS (SELECT event_id, user_id, ts_us // 86400000000 AS day,
+       |    CAST(row_number() OVER (PARTITION BY user_id, ts_us // 86400000000
+       |      ORDER BY ts_us, event_id) AS BIGINT) AS rk
+       |  FROM ev)
+       |SELECT event_id, user_id, day, rk
+       |FROM r WHERE rk > 3 ORDER BY event_id""".stripMargin)
+
+  /** Windowed funnel — q_funnel_steps with a CONVERSION WINDOW: every
+    * later step must land within `windowUs` of the user's STAGE-1 time
+    * (the "converted within 7 days of signup" product question). Same
+    * chained shrinking min-aggregations; the deadline rides each
+    * stage's filter. */
+  val qFunnelWindowed: Q = "q_funnel_windowed" -> (
+    (s: SparkSession, d: String) => {
+      val windowUs = 7L * 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val steps = Seq("signup", "view", "click", "purchase")
+      val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+        case (prev, (step, _)) =>
+          val base = ev.filter(col("event_type") === step)
+          val eligible = prev match {
+            case None => base.withColumn("t0", col("ts_us"))
+            case Some(p) => base.join(p.select(col("user_id"),
+                col("t").as("prev_t"), col("t0")), "user_id")
+              .filter(col("ts_us") > col("prev_t")
+                && col("ts_us") <= col("t0") + windowUs)
+          }
+          // carry the stage-1 anchor: min over (t, t0) pairs ordered by
+          // t — min(struct) keeps the anchor of the EARLIEST completion
+          Some(eligible.groupBy(col("user_id"))
+            .agg(min(struct(col("ts_us"), col("t0"))).as("m"))
+            .select(col("user_id"), col("m.ts_us").as("t"),
+              col("m.t0").as("t0")))
+      }.flatten
+      val tagged = stages.zip(steps).zipWithIndex.map {
+        case ((df, step), i) => df.select(lit(i + 1L).as("stage"),
+          lit(step).as("step"), col("user_id"))
+      }.reduce(_ unionAll _)
+      tagged.groupBy(col("stage"), col("step"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("stage"))
+    },
+    s"""WITH $EV,
+       |s1 AS (SELECT user_id, min(ts_us) AS t, min(ts_us) AS t0 FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT user_id, t, t0 FROM (
+       |  SELECT e.user_id, e.ts_us AS t, s1.t0,
+       |      row_number() OVER (PARTITION BY e.user_id
+       |        ORDER BY e.ts_us, s1.t0) AS rn
+       |    FROM ev e JOIN s1 ON s1.user_id = e.user_id
+       |    WHERE e.event_type = 'view' AND e.ts_us > s1.t
+       |      AND e.ts_us <= s1.t0 + ${7L * 86400000000L})
+       |  WHERE rn = 1),
+       |s3 AS (SELECT user_id, t, t0 FROM (
+       |  SELECT e.user_id, e.ts_us AS t, s2.t0,
+       |      row_number() OVER (PARTITION BY e.user_id
+       |        ORDER BY e.ts_us, s2.t0) AS rn
+       |    FROM ev e JOIN s2 ON s2.user_id = e.user_id
+       |    WHERE e.event_type = 'click' AND e.ts_us > s2.t
+       |      AND e.ts_us <= s2.t0 + ${7L * 86400000000L})
+       |  WHERE rn = 1),
+       |s4 AS (SELECT user_id, t, t0 FROM (
+       |  SELECT e.user_id, e.ts_us AS t, s3.t0,
+       |      row_number() OVER (PARTITION BY e.user_id
+       |        ORDER BY e.ts_us, s3.t0) AS rn
+       |    FROM ev e JOIN s3 ON s3.user_id = e.user_id
+       |    WHERE e.event_type = 'purchase' AND e.ts_us > s3.t
+       |      AND e.ts_us <= s3.t0 + ${7L * 86400000000L})
+       |  WHERE rn = 1)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+       |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+       |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+       |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+       |ORDER BY stage""".stripMargin)
+
   /** Expanding-window z-score anomalies: each event's `value` scored
     * against the user's OWN history (all strictly-earlier events — a
     * cumulative frame, deliberately not sliding: both engines
@@ -4252,5 +4351,6 @@ object Queries {
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
+    qRateLimit, qFunnelWindowed,
   )
 }
