@@ -36,7 +36,7 @@ object Plans {
         "q_cdc_dedup", "q_ppl_buckets", "q_ann_rerank", "q_procrustes",
         "q_ann_metrics", "q_ann_multiprobe",
         "q_cohort", "q_funnel_steps", "q_resample", "q_ngram_prefix",
-        "q_rolling_z")
+        "q_rolling_z", "q_rate_limit", "q_funnel_windowed")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
