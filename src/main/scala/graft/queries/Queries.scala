@@ -1869,28 +1869,52 @@ object Queries {
     * chained min-aggregations (each stage a semi-join against the
     * shrinking prior stage; never a per-user event sort). Output is
     * the 4-row funnel with conversion vs stage 1. */
+  /** Shared funnel scaffold of q_funnel_steps / q_funnel_windowed:
+    * chained shrinking min-aggregations carrying the stage-1 anchor
+    * (`t0`), with an optional per-stage conversion deadline, and
+    * ZERO-FILLED stage rows — an empty stage must still produce its
+    * row (the oracle's `count(*) FROM s4` over an empty CTE does), or
+    * the first corpus where nobody converts row-mismatches. */
+  private def funnelCounts(s: SparkSession, ev: DataFrame,
+                           steps: Seq[String],
+                           windowUs: Option[Long]): DataFrame = {
+    import s.implicits._
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val base = ev.filter(col("event_type") === step)
+        val eligible = prev match {
+          case None => base.withColumn("t0", col("ts_us"))
+          case Some(p) =>
+            val joined = base.join(p.select(col("user_id"),
+                col("t").as("prev_t"), col("t0")), "user_id")
+              .filter(col("ts_us") > col("prev_t"))
+            windowUs.fold(joined)(wu =>
+              joined.filter(col("ts_us") <= col("t0") + wu))
+        }
+        Some(eligible.groupBy(col("user_id"))
+          .agg(min(struct(col("ts_us"), col("t0"))).as("m"))
+          .select(col("user_id"), col("m.ts_us").as("t"),
+            col("m.t0").as("t0")))
+    }.flatten
+    val stageFrame = steps.zipWithIndex
+      .map { case (st, i) => (i + 1L, st) }.toDF("stage", "step")
+    val tagged = stages.zip(steps).zipWithIndex.map {
+      case ((df, step), i) => df.select(lit(i + 1L).as("stage"),
+        lit(step).as("step"), col("user_id"))
+    }.reduce(_ unionAll _)
+    val counts = tagged.groupBy(col("stage"), col("step"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    stageFrame.join(counts, Seq("stage", "step"), "left")
+      .select(col("stage"), col("step"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
   val qFunnelSteps: Q = "q_funnel_steps" -> (
     (s: SparkSession, d: String) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts_us"))
-      val steps = Seq("signup", "view", "click", "purchase")
-      val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-        case (prev, (step, _)) =>
-          val base = ev.filter(col("event_type") === step)
-          val eligible = prev match {
-            case None => base
-            case Some(p) => base.join(p.select(col("user_id"),
-                col("t").as("prev_t")), "user_id")
-              .filter(col("ts_us") > col("prev_t"))
-          }
-          Some(eligible.groupBy(col("user_id")).agg(min(col("ts_us")).as("t")))
-      }.flatten
-      val tagged = stages.zip(steps).zipWithIndex.map {
-        case ((df, step), i) => df.select(lit(i + 1L).as("stage"),
-          lit(step).as("step"), col("user_id"))
-      }.reduce(_ unionAll _)
-      val counts = tagged.groupBy(col("stage"), col("step"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+      val counts = funnelCounts(s, ev,
+        Seq("signup", "view", "click", "purchase"), windowUs = None)
       val base = counts.filter(col("stage") === 1L)
         .select(col("n_users").as("n1"))
       counts.crossJoin(base)
@@ -1951,9 +1975,9 @@ object Queries {
        |ORDER BY g.user_id, bucket""".stripMargin)
 
   /** Per-user rate limiting — deterministic burst throttling: within
-    * each (user, hour) bucket only the first `cap` events by (ts,
+    * each (user, day) bucket only the first `cap` events by (ts,
     * event_id) are admitted; the rest are flagged with their overflow
-    * rank. One window rank per (user, hour) partition (bounded by the
+    * rank. One window rank per (user, day) partition (bounded by the
     * bucket's arrival volume); the admission decision is row-local
     * after it. The bot-burst / crawler-throttle gate every ingestion
     * pipeline ends up needing. */
@@ -1986,33 +2010,10 @@ object Queries {
     * stage's filter. */
   val qFunnelWindowed: Q = "q_funnel_windowed" -> (
     (s: SparkSession, d: String) => {
-      val windowUs = 7L * 86400000000L
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts_us"))
-      val steps = Seq("signup", "view", "click", "purchase")
-      val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-        case (prev, (step, _)) =>
-          val base = ev.filter(col("event_type") === step)
-          val eligible = prev match {
-            case None => base.withColumn("t0", col("ts_us"))
-            case Some(p) => base.join(p.select(col("user_id"),
-                col("t").as("prev_t"), col("t0")), "user_id")
-              .filter(col("ts_us") > col("prev_t")
-                && col("ts_us") <= col("t0") + windowUs)
-          }
-          // carry the stage-1 anchor: min over (t, t0) pairs ordered by
-          // t — min(struct) keeps the anchor of the EARLIEST completion
-          Some(eligible.groupBy(col("user_id"))
-            .agg(min(struct(col("ts_us"), col("t0"))).as("m"))
-            .select(col("user_id"), col("m.ts_us").as("t"),
-              col("m.t0").as("t0")))
-      }.flatten
-      val tagged = stages.zip(steps).zipWithIndex.map {
-        case ((df, step), i) => df.select(lit(i + 1L).as("stage"),
-          lit(step).as("step"), col("user_id"))
-      }.reduce(_ unionAll _)
-      tagged.groupBy(col("stage"), col("step"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+      funnelCounts(s, ev, Seq("signup", "view", "click", "purchase"),
+          windowUs = Some(7L * 86400000000L))
         .orderBy(col("stage"))
     },
     s"""WITH $EV,

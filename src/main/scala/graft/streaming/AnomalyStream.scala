@@ -10,9 +10,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * cumulative frame is a sequential left-to-right accumulation, this
   * fold applies events in the same (ts, event id) order and therefore
   * computes the BIT-IDENTICAL mean/variance chain: on in-order input
-  * the emitted anomalies equal the batch query's rows exactly
-  * (AnomalyStreamSpec pins it). Score-then-fold per event: the current
-  * event is judged against strictly-earlier history only. */
+  * the emitted anomaly SET equals the batch query's (same events, z
+  * values agreeing to the batch's 6-decimal rounding — the stream
+  * emits raw z; AnomalyStreamSpec pins it). Score-then-fold per
+  * event: the current event is judged against strictly-earlier
+  * history only. */
 object AnomalyStream {
 
   case class Anomaly(event_id: Long, user_id: Long, ts_us: Long, z: Double)
@@ -24,6 +26,9 @@ object AnomalyStream {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
+      // skip-null = the batch semantics (count(value)/sum(value) ignore
+      // nulls, so a null event never advances the baseline there either)
+      .filter(col(valCol).isNotNull)
       .select(col(idCol).cast("long").as("uid"),
         col(tsCol).cast("long").as("ts"),
         col(valCol).cast("double").as("v"),

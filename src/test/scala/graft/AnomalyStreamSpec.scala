@@ -27,8 +27,13 @@ class AnomalyStreamSpec extends SparkTestBase {
       val (h1, h2) = ev.splitAt(ev.length / 2)
       mem.addData(h1.toSeq); q.processAllAvailable()
       mem.addData(h2.toSeq); q.processAllAvailable()
+      // same rounding semantics as Spark's round(z, 6) (BigDecimal
+      // HALF_UP on the decimal repr — math.round(z*1e6) would diverge
+      // on 7th-decimal half-ties)
       val streamed = spark.table("anom").as[AnomalyStream.Anomaly]
-        .collect().map(a => (a.event_id, math.round(a.z * 1e6) / 1e6)).toSet
+        .collect().map(a => (a.event_id,
+          BigDecimal(a.z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)).toSet
       val batch = graft.queries.Queries.all.toMap.apply("q_rolling_z")._1(
           spark, sf0001)
         .select($"event_id", $"z").as[(Long, Double)].collect().toSet
