@@ -631,11 +631,18 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("blk"), col("id"))
       .orderBy(col("df").asc, col("gh").asc)
+    // persisted: the prefix table is BOTH sides of the self-join below,
+    // and without the cache the df aggregate + rarity window subtree is
+    // physically built once per side (the dominant cost of this path —
+    // the base shingle scan alone reusing does not help). Cache
+    // lifetime is caller-owned (clearCache between units of work), the
+    // same convention as `sets` above.
     val prefix = grams.join(dfTab, Seq("blk", "gh"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("n_sh") - ceil(col("n_sh") * lit(tau)).cast("int") + 1)
       .select(col("blk"), col("gh"), col("id"), col("n_sh"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same-exchange self-join: shuffle_hash keeps the ReusedExchange/
     // no-sort shape (the uncapped path's documented choice) — without
     // the hint SMJ adds two sorts over the prefix-gram volume.

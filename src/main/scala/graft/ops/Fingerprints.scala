@@ -78,9 +78,12 @@ object Fingerprints {
                   dfCap: Int, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     // the postings feed BOTH the df histogram and the join sides —
-    // persisted so the tokenize→winnow pass runs once, not 3× (caller-
-    // owned lifetime, the tokenTable convention; at 100 TB this is the
-    // written-once fingerprint store, cf. minhashBandsStored)
+    // persisted so the tokenize→winnow pass runs once, not 3×. Cache
+    // lifetime is CALLER-owned (spark.catalog.clearCache() between
+    // units of work, as Verify/Bench do — the tokenTable convention);
+    // a caller that wants an explicit handle computes winnow() itself,
+    // persists, and calls pairsFromPostings directly. At 100 TB this
+    // is the written-once fingerprint store, cf. minhashBandsStored.
     val fps = winnow(docs, k, w, idCol, textCol).persist()
     pairsFromPostings(fps, minShared, dfCap)
   }
@@ -114,7 +117,7 @@ object Fingerprints {
     * shuffle one-sided into the fixed layout. */
   def winnowStored(corpus: DataFrame, path: String, k: Int = 3, w: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").isFile)
+    if (!Stores.exists(corpus.sparkSession, path, "_SUCCESS"))
       winnow(corpus, k, w, idCol, textCol)
         .write.mode("overwrite").parquet(path)
     corpus.sparkSession.read.parquet(path)
@@ -134,15 +137,16 @@ object Fingerprints {
     * deterministic, so appending already-computed (id, fp) rows is
     * identical to re-winnowing the docs; the streaming loop uses this
     * to append its persisted batch postings instead of paying a second
-    * tokenize+winnow pass over the survivors. */
+    * tokenize+winnow pass over the survivors. Committed via
+    * [[Stores.appendCommit]]: staged write + rename + marker-last, so
+    * a crash between data write and marker cannot double-post the
+    * batch on retry, and all store I/O goes through the Hadoop
+    * FileSystem API (works beyond the local filesystem). */
   def postingsAppend(postings: DataFrame, path: String, batchTag: String,
                      spark: SparkSession): DataFrame = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no fingerprint store at $path — build it with winnowStored")
-    val marker = new java.io.File(path, s"_appended_$batchTag")
-    if (!marker.isFile) {
-      postings.select("id", "fp").write.mode("append").parquet(path)
-      marker.createNewFile()
+    Stores.requireStore(spark, path, "build it with winnowStored")
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      postings.select("id", "fp").write.mode("overwrite").parquet(staging)
     }
     spark.read.parquet(path)
   }
@@ -159,8 +163,7 @@ object Fingerprints {
                         dfCap: Int, k: Int = 3, w: Int = 4,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no fingerprint store at $path — build it with winnowStored")
+    Stores.requireStore(probe.sparkSession, path, "build it with winnowStored")
     crossPairsFromPostings(probe.sparkSession.read.parquet(path),
       winnow(probe, k, w, idCol, textCol), minShared, dfCap)
   }
@@ -240,8 +243,18 @@ object Fingerprints {
   def cdcDupMass(docs: DataFrame, k: Int, divisor: Int,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // chunk table feeds the shared-hash agg AND the join back — persist
-    // so chunking runs once (caller-owned lifetime, tokenTable convention)
-    val chunks = cdcChunks(docs, k, divisor, idCol, textCol).persist()
+    // so chunking runs once (CALLER-owned cache lifetime, clearCache
+    // between units of work; pass precomputed chunks to
+    // cdcDupMassFromChunks for an explicit handle)
+    cdcDupMassFromChunks(cdcChunks(docs, k, divisor, idCol, textCol).persist())
+  }
+
+  /** [[cdcDupMass]] over a PRECOMPUTED (id, chunk_idx, start_tok,
+    * n_toks, chunk_hash) chunk table — the postings-accepting variant
+    * (cf. [[pairsFromPostings]]) for callers that own the chunk
+    * table's persistence and want to unpersist it after consuming the
+    * result. */
+  def cdcDupMassFromChunks(chunks: DataFrame): DataFrame = {
     val shared = chunks.groupBy(col("chunk_hash"))
       .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
       .filter(col("lo") =!= col("hi"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Maintenance for the parquet artifact stores (signature tables, span
   * sets, int8 vectors, IVF-PQ cells): the append lifecycle
@@ -12,6 +13,83 @@ import org.apache.spark.sql.SparkSession
   * size-targeted files while preserving its append markers, so the
   * loop can keep running against the compacted store. */
 object Stores {
+
+  /** The `path`'s filesystem from the session's Hadoop conf — the one
+    * indirection that makes every store check/commit below work on any
+    * Hadoop-visible filesystem (local, HDFS, object-store connectors),
+    * not just `java.io.File`'s local disk. */
+  def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether `path/name` exists (Hadoop FS). */
+  def exists(spark: SparkSession, path: String, name: String): Boolean =
+    fileSystem(spark, path).exists(new HPath(path, name))
+
+  def requireStore(spark: SparkSession, path: String, hint: String): Unit =
+    require(exists(spark, path, "_SUCCESS"), s"no store at $path — $hint")
+
+  /** EXACTLY-ONCE batch append into a parquet store, replay- and
+    * crash-safe where a bare `mode("append")` + marker is not: a crash
+    * between the append and the marker write would double-post the
+    * batch's rows on retry. Protocol (all steps idempotent, marker
+    * LAST):
+    *
+    *  1. no-op if `_appended_<batchTag>` exists (redelivery);
+    *  2. `write(stagingDir)` materializes the batch under
+    *     `path/_staging_<batchTag>` (caller uses mode OVERWRITE so a
+    *     partial previous attempt is replaced wholesale; the leading
+    *     underscore hides the dir from parquet reads of `path`);
+    *  3. any `append-<batchTag>-*` data files from a previous
+    *     partially-renamed attempt are deleted (deterministic names
+    *     make the cleanup exact);
+    *  4. each staged data file renames into the store under
+    *     `append-<batchTag>-<i>-<name>` — partition subdirectories
+    *     (`cell=…`) are preserved relative to the staging root, so
+    *     hive-partitioned stores keep pruning;
+    *  5. the marker is created (the commit point), then staging is
+    *     deleted.
+    *
+    * A crash anywhere before 5 leaves a retry that converges on the
+    * identical file set; after 5, retries no-op. Single-writer per
+    * batchTag (the store contract the streaming loops already hold). */
+  def appendCommit(spark: SparkSession, path: String, batchTag: String)
+                  (write: String => Unit): Unit = {
+    val fs = fileSystem(spark, path)
+    val store = new HPath(path)
+    val marker = new HPath(store, s"_appended_$batchTag")
+    if (fs.exists(marker)) return
+    val staging = new HPath(store, s"_staging_$batchTag")
+    write(staging.toString)
+    val prefix = s"append-$batchTag-"
+    def dataFilesUnder(root: HPath): Seq[(HPath, String)] = {
+      def walk(p: HPath, rel: String): Seq[(HPath, String)] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory) {
+            if (name.startsWith("_") || name.startsWith(".")) Nil
+            else walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+          } else if (name.startsWith("_") || name.startsWith(".")) Nil
+          else Seq((st.getPath, rel))
+        }
+      walk(root, "")
+    }
+    // 3. exact cleanup of a prior partially-renamed attempt
+    dataFilesUnder(store).foreach { case (p, _) =>
+      if (p.getName.startsWith(prefix)) fs.delete(p, false)
+    }
+    // 4. stage → store renames (deterministic names, relative dirs kept)
+    dataFilesUnder(staging).sortBy { case (p, rel) => (rel, p.getName) }
+      .zipWithIndex.foreach { case ((p, rel), i) =>
+        val destDir = if (rel.isEmpty) store else new HPath(store, rel)
+        if (!rel.isEmpty) fs.mkdirs(destDir)
+        val dest = new HPath(destDir, f"$prefix$i%05d-${p.getName}")
+        require(fs.rename(p, dest), s"append commit: rename $p -> $dest failed")
+      }
+    // 5. commit point
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    ()
+  }
 
   /** Rewrite `path` into ⌈bytes / targetFileBytes⌉ files.
     *

@@ -1917,9 +1917,15 @@ object Queries {
         Seq("signup", "view", "click", "purchase"), windowUs = None)
       val base = counts.filter(col("stage") === 1L)
         .select(col("n_users").as("n1"))
+      // n1 = 0 guard on BOTH sides: Spark's Divide yields NULL on 0/0
+      // while DuckDB's double division follows IEEE (inf/nan), so an
+      // unguarded ratio row-mismatches on exactly the empty-funnel
+      // corpus the zero-filled stage rows exist for
       counts.crossJoin(base)
         .select(col("stage"), col("step"), col("n_users"),
-          round(col("n_users") / col("n1").cast("double"), 6).as("conversion"))
+          round(when(col("n1") > 0L,
+              col("n_users") / col("n1").cast("double"))
+            .otherwise(lit(0.0)), 6).as("conversion"))
         .orderBy(col("stage"))
     },
     s"""WITH $EV,
@@ -1941,7 +1947,8 @@ object Queries {
        |b AS (SELECT n_users AS n1 FROM n WHERE stage = 1)
        |SELECT CAST(stage AS BIGINT) AS stage, step,
        |  CAST(n_users AS BIGINT) AS n_users,
-       |  round(n_users / CAST(b.n1 AS DOUBLE), 6) AS conversion
+       |  round(CASE WHEN b.n1 > 0 THEN n_users / CAST(b.n1 AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS conversion
        |FROM n, b ORDER BY stage""".stripMargin)
 
   /** Time-grid RESAMPLE with zero-fill: each user's event counts on a

@@ -208,6 +208,81 @@ class FingerprintsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream replay is bit-identical even when the first attempt's append crosses dfCap") {
+    // w=1 makes winnowing deterministic: fingerprints = distinct k-gram
+    // hashes. Scenario engineered so the FIRST attempt's append pushes
+    // stored df(g_X) from dfCap to dfCap+1: a replay that recomputed the
+    // df histogram over the already-appended store would prune g_X, drop
+    // doc 11's pairs below minShared, and emit divergent survivors. The
+    // fix (batch ids anti-joined out BEFORE the histogram) must emit
+    // identical results on both attempts and leave the store unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("fp_replay").toFile
+    val store = new java.io.File(dir, "fps").getPath
+    val corpus = docs(
+      1L -> "a1 a2 x1 x2 x3 a3 a4 y1 y2 y3 a5",
+      2L -> "b1 b2 x1 x2 x3 b3 b4 y1 y2 y3 b5",
+      3L -> "c1 c2 x1 x2 x3 c3 c4 c5 c6")
+    graft.ops.Fingerprints.winnowStored(corpus, store, k = 3, w = 1)
+    // batch: 10 shares ONLY g_X with the store (survives, appends g_X →
+    // stored df(g_X) = 4 > dfCap=3); 11 shares g_X+g_Y with docs 1,2
+    // (flagged, n_shared = 2 = minShared)
+    val batch = docs(
+      10L -> "s1 s2 x1 x2 x3 s4 s5",
+      11L -> "p0 x1 x2 x3 p1 y1 y2 y3 p2")
+    var results = Vector.empty[(Set[(Long, Long, Long)], Set[Long])]
+    def run(): Unit =
+      graft.streaming.FingerprintStream.processBatch(batch, 0L, store,
+        minShared = 2, dfCap = 3, k = 3, w = 1, "doc_id", "text") {
+        (_, pairs, survivors) =>
+          results :+= ((
+            pairs.select("corpus_id", "probe_id", "n_shared")
+              .as[(Long, Long, Long)].collect().toSet,
+            survivors.select("doc_id").as[Long].collect().toSet))
+      }
+    run()
+    assert(results(0)._1 === Set((1L, 11L, 2L), (2L, 11L, 2L)),
+      s"first attempt pairs: ${results(0)._1}")
+    assert(results(0)._2 === Set(10L))
+    val storeRows = spark.read.parquet(store)
+      .as[(Long, Long)].collect().sorted.toSeq
+    run() // at-least-once redelivery AFTER the append
+    assert(results(1) === results(0),
+      s"replay diverged: ${results(1)} vs ${results(0)}")
+    assert(spark.read.parquet(store).as[(Long, Long)].collect().sorted.toSeq
+      === storeRows, "replay must not change the store")
+  }
+
+  test("postingsAppend converges after simulated crashes (stale staging, partial rename)") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_commit").toFile
+    val store = new java.io.File(dir, "fps").getPath
+    graft.ops.Fingerprints.winnowStored(
+      docs(1L -> (1 to 30).map(i => s"base$i").mkString(" ")), store, k = 3, w = 4)
+    val before = spark.read.parquet(store).as[(Long, Long)].collect().sorted.toSeq
+    val batchFps = Seq((50L, 111L), (50L, 222L), (51L, 333L)).toDF("id", "fp")
+
+    // crash #1: a previous attempt died after a PARTIAL staging write —
+    // stale garbage sits in the staging dir; mode-overwrite restaging
+    // must replace it wholesale
+    Seq((99L, 999L)).toDF("id", "fp").write.mode("overwrite")
+      .parquet(new java.io.File(store, "_staging_bZ").getPath)
+    // crash #2: a previous attempt of the SAME batch died mid-rename —
+    // an already-renamed data file sits in the store without a marker;
+    // the deterministic-name cleanup must delete it before re-renaming
+    val stray = new java.io.File(store, "append-bZ-00000-stale.parquet")
+    val anyPart = new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(anyPart.toPath, stray.toPath)
+
+    graft.ops.Fingerprints.postingsAppend(batchFps, store, "bZ", spark)
+    val after = spark.read.parquet(store).as[(Long, Long)].collect().sorted.toSeq
+    assert(after === (before ++ Seq((50L, 111L), (50L, 222L), (51L, 333L))).sorted,
+      s"store after crash-recovered commit: $after")
+    assert(!new java.io.File(store, "_staging_bZ").exists(), "staging cleaned up")
+    // and the marker now blocks any further replay
+    graft.ops.Fingerprints.postingsAppend(batchFps, store, "bZ", spark)
+    assert(spark.read.parquet(store).count() === after.size.toLong)
+  }
+
   test("ppl buckets: per-lang terciles balanced, head outranks tail") {
     val q = graft.queries.Queries.all.toMap.apply("q_ppl_buckets")._1
     val out = q(spark, sf0001)
