@@ -1,0 +1,109 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** The REAL image-decode path: javax.imageio bytes → true dimensions,
+  * channel means, luminance grid — plus the fallback contract for
+  * undecodable bytes and codec-less modalities. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos); bos.toByteArray
+  }
+  private def jpeg(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos); bos.toByteArray
+  }
+  /** left half solid `leftRgb`, right half solid `rightRgb` */
+  private def halves(w: Int, h: Int, leftRgb: Int, rightRgb: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) leftRgb else rightRgb)
+    img
+  }
+
+  test("decodeImage: true dimensions, channel means, luminance grid on a synthetic PNG") {
+    // 64×48, left half pure red, right half pure blue
+    val bytes = png(halves(64, 48, 0xff0000, 0x0000ff))
+    val Some((w, h, feat)) = Multimodal.decodeImage(bytes)
+    assert(w === 64 && h === 48)
+    assert(feat.length === 3 + 16)
+    val Array(mr, mg, mb) = feat.take(3)
+    assert(math.abs(mr - 0.5) < 0.02, s"meanR $mr")   // red covers half
+    assert(math.abs(mg - 0.0) < 0.01, s"meanG $mg")
+    assert(math.abs(mb - 0.5) < 0.02, s"meanB $mb")
+    // 4×4 luminance grid, row-major: columns 0-1 are the red half
+    // (BT.601 luma 0.299), columns 2-3 the blue half (0.114)
+    val grid = feat.drop(3)
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val expect = if (gx < 2) 0.299 else 0.114
+      assert(math.abs(grid(gy * 4 + gx) - expect) < 0.01,
+        s"cell ($gy,$gx) = ${grid(gy * 4 + gx)}, want $expect")
+    }
+  }
+
+  test("decodeImage: JPEG decodes to true dimensions; garbage bytes return None") {
+    val Some((w, h, _)) = Multimodal.decodeImage(jpeg(halves(30, 20, 0x808080, 0x808080)))
+    assert(w === 30 && h === 20)
+    assert(Multimodal.decodeImage("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeImage: large image stride-samples deterministically") {
+    // 1200×900 forces stride > 1; two decodes must be bit-identical and
+    // the uniform color must survive sampling exactly
+    val bytes = png(halves(1200, 900, 0x336699, 0x336699))
+    val Some((w1, h1, f1)) = Multimodal.decodeImage(bytes)
+    val Some((w2, h2, f2)) = Multimodal.decodeImage(bytes)
+    assert(w1 === 1200 && h1 === 900)
+    assert((w1, h1) === (w2, h2) && f1.toSeq === f2.toSeq, "deterministic")
+    assert(math.abs(f1(0) - 0x33 / 255.0) < 0.01)
+    assert(math.abs(f1(1) - 0x66 / 255.0) < 0.01)
+    assert(math.abs(f1(2) - 0x99 / 255.0) < 0.01)
+  }
+
+  test("extractFeatures routes real images through the decoder, everything else through the stub") {
+    val realPng = png(halves(40, 25, 0x00ff00, 0x00ff00))
+    val media = Seq(
+      (1L, "image", realPng),                          // real decode
+      (2L, "image", "plain text".getBytes("UTF-8")),   // undecodable → stub
+      (3L, "audio", realPng.clone)                     // codec-less modality → stub
+    ).toDF("media_id", "modality", "content")
+    val rows = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(rows(1L).decoded && rows(1L).width === 40 && rows(1L).height === 25
+      && rows(1L).n_frames === 1 && rows(1L).feature.length === 19)
+    assert(!rows(2L).decoded && rows(2L).feature.length === 8)
+    // the stub's sha256-derived dimensions, pinned (the q_multimodal oracle
+    // hardcodes this derivation)
+    val dig = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("plain text".getBytes("UTF-8"))
+    assert(rows(2L).width === 16 + (dig(0) & 0xff) * 4)
+    assert(rows(2L).height === 16 + (dig(1) & 0xff) * 4)
+    assert(!rows(3L).decoded, "audio has no in-JDK codec — stub path")
+    assert(rows(3L).n_bytes === realPng.length.toLong)
+  }
+
+  test("decoded image features feed the ANN index (binary → decode → top-k)") {
+    // four distinguishable images: ANN over REAL decoded features must
+    // rank the near-identical pair together
+    val imgs = Seq(
+      10L -> png(halves(32, 32, 0xff0000, 0x0000ff)),
+      11L -> png(halves(32, 32, 0xfe0101, 0x0101fe)), // near-dup of 10
+      12L -> png(halves(32, 32, 0x00ff00, 0x00ff00)),
+      13L -> png(halves(32, 32, 0xffffff, 0x000000)))
+    val media = imgs.toDF("media_id", "content").withColumn("modality", lit("image"))
+    val feats = Multimodal.extractFeatures(media).toDF()
+    assert(feats.filter(col("decoded")).count() === 4)
+    val vecs = feats.select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val top1 = graft.ops.Ann.bruteTopK(vecs, vecs.filter(col("vec_id") === 10L), 2)
+      .filter(col("rank") === 1) // bruteTopK already excludes the query itself
+      .select("n_id").as[Long].head()
+    assert(top1 === 11L, "nearest neighbor of 10 must be its near-dup 11")
+  }
+}
