@@ -83,15 +83,59 @@ object Tables {
     * (`PushedFilters` → file/row-group pruning at 100 TB). A filter on a
     * derived column (`ts_us`) cannot push down; this helper translates the
     * µs cutoff into the file's own encoding before normalization. */
-  def eventsSince(s: SparkSession, d: String, cutoffUs: Long): DataFrame = {
-    val raw = read(s, d, "events")
-    val filtered = raw.schema("ts").dataType match {
+  def eventsSince(s: SparkSession, d: String, cutoffUs: Long): DataFrame =
+    normalizeEvents(storedTsAtLeast(read(s, d, "events"), cutoffUs))
+
+  /** The µs cutoff translated into the scan's OWN ts encoding, so the
+    * predicate constant-folds to a literal of the stored type and
+    * reaches the parquet reader as a PushedFilter. */
+  private def storedTsAtLeast(raw: DataFrame, cutoffUs: Long): DataFrame =
+    raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.filter(col("ts") >= cutoffUs * 1000L)
       case dt => // timestamp-typed: constant-folds to a literal of the scan's own type
         raw.filter(col("ts") >= timestamp_micros(lit(cutoffUs)).cast(dt))
     }
-    normalizeEvents(filtered)
+
+  /** UTC day of the stored ts, in the file's own encoding — the
+    * partition key [[writeEventsPartitioned]] lays the log out by. */
+  private def storedTsDay(raw: DataFrame): org.apache.spark.sql.Column =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        to_date(timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        to_date(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
+  /** Rewrite the flat events file into the `dt=<DATE>`-partitioned
+    * layout a 100 TB log actually ships in (the Scale note above). The
+    * stored `ts` column keeps its original encoding — partitioning
+    * changes the directory layout, never the value encoding, so both
+    * readers below keep their dtype branch. */
+  def writeEventsPartitioned(s: SparkSession, d: String, outPath: String): Unit = {
+    val raw = read(s, d, "events")
+    raw.withColumn("dt", storedTsDay(raw))
+      .write.mode("overwrite").partitionBy("dt").parquet(outPath)
+  }
+
+  /** [[eventsSince]] over a [[writeEventsPartitioned]] layout — the
+    * look-back cutoff lands TWICE, once per pruning tier:
+    *   - on the `dt` PARTITION column (`PartitionFilters`): directories
+    *     before the cutoff's UTC day are pruned at listing time and
+    *     never become scan splits — the tier that makes a 30-day
+    *     look-back on a 10-year log read 1% of it;
+    *   - on the stored `ts` column (`PushedFilters`): row-group stats
+    *     prune inside the surviving partitions (day granularity is
+    *     coarse; the cutoff usually falls mid-day).
+    * PartitionPruneSpec asserts both filters and the strict-subset
+    * directory read on each ts encoding. */
+  def eventsSincePartitioned(s: SparkSession, path: String, cutoffUs: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(path)
+    val cutoffDay = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(cutoffUs, 86400000000L))
+    val pruned = raw.filter(col("dt") >= lit(java.sql.Date.valueOf(cutoffDay)))
+    normalizeEvents(storedTsAtLeast(pruned, cutoffUs)).drop("dt")
   }
 
   private def normalizeEvents(raw: DataFrame): DataFrame = {
