@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.spark.sql.types._
+
+/** Checkpoint KILL-AND-RESTART E2E for a self-maintaining loop: the
+  * per-batch specs prove marker idempotence; this one proves the whole
+  * machine — a file-source [[graft.streaming.FingerprintStream]] whose
+  * batch 1 CRASHES after its store append but before the streaming
+  * checkpoint commit (the worst-ordered at-least-once window), then
+  * restarts from the same checkpoint. Structured Streaming replays
+  * batch 1 with the same id and file set; the store and the emitted
+  * pairs/survivors must end bit-identical to an uninterrupted run. */
+class FingerprintRestartSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def writeDocs(dir: String, name: String, rows: (Long, String)*): Unit =
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$name")
+
+  test("crash after append, before checkpoint commit: restart converges to the uninterrupted run") {
+    val root = java.nio.file.Files.createTempDirectory("fp_restart").toString
+    val template = (1 to 30).map(i => s"rk$i").mkString(" ")
+    val corpus = Seq(2L -> template).toDF("doc_id", "text")
+    val batch0 = Seq(
+      11L -> (template + " trailing extra"),              // dup of corpus
+      13L -> (1 to 30).map(i => s"nva${i}b").mkString(" ")) // novel → survives
+    val batch1 = Seq(
+      21L -> ((1 to 30).map(i => s"nva${i}b").mkString(" ") + " tail"), // dup of 13
+      23L -> (1 to 30).map(i => s"fresh${i}x").mkString(" "))           // novel
+
+    // drive both files through one loop instance; crashIn = the store
+    // whose batch 1 should die once, AFTER the append
+    def run(store: String, in: String, ckpt: String, crash: Boolean)
+        : Map[Long, (Set[(Long, Long)], Set[Long])] = {
+      graft.ops.Fingerprints.winnowStored(corpus, store, k = 3, w = 4)
+      val out = scala.collection.mutable.Map.empty[Long, (Set[(Long, Long)], Set[Long])]
+      @volatile var armed = crash
+      def start() = graft.streaming.FingerprintStream.selfMaintaining(
+        spark.readStream.schema(schema).parquet(in), store,
+        minShared = 2, dfCap = 50) { (bid, pairs, survivors) =>
+        val r = (pairs.select("corpus_id", "probe_id").as[(Long, Long)].collect().toSet,
+          survivors.select("doc_id").as[Long].collect().toSet)
+        if (bid == 1L && armed) {
+          armed = false
+          throw new RuntimeException("injected crash: append done, checkpoint commit not")
+        }
+        out(bid) = r
+      }.option("checkpointLocation", ckpt).start()
+
+      writeDocs(root, s"$in-stage/b0", batch0: _*)
+      // atomically-visible copy into the watched dir
+      new java.io.File(s"$root/$in-stage/b0").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(in, s"b0-$i.parquet"))
+        }
+      val q1 = start()
+      q1.processAllAvailable() // batch 0
+      writeDocs(root, s"$in-stage/b1", batch1: _*)
+      new java.io.File(s"$root/$in-stage/b1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(in, s"b1-$i.parquet"))
+        }
+      if (crash) {
+        intercept[StreamingQueryException] { q1.processAllAvailable() }
+        assert(!q1.isActive, "query must have died on the injected crash")
+        // RESTART from the same checkpoint: batch 1 replays (same id,
+        // same file set) against a store its first attempt already grew
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      } else {
+        try q1.processAllAvailable() finally q1.stop()
+      }
+      if (q1.isActive) q1.stop()
+      out.toMap
+    }
+
+    val inA = s"$root/inA"; val inB = s"$root/inB"
+    new java.io.File(inA).mkdirs(); new java.io.File(inB).mkdirs()
+    val crashed = run(s"$root/store", inA, s"$root/ckpt", crash = true)
+    val clean = run(s"$root/storeRef", inB, s"$root/ckptRef", crash = false)
+
+    assert(crashed === clean,
+      s"replayed batch must emit the uninterrupted run's results: $crashed vs $clean")
+    assert(crashed(1L)._1.exists { case (c, p) => c == 13L && p == 21L },
+      "the survivor-dup pair must be present in the replayed batch")
+    def storeRows(p: String) =
+      spark.read.parquet(p).as[(Long, Long)].collect().sorted.toSeq
+    assert(storeRows(s"$root/store") === storeRows(s"$root/storeRef"),
+      "store after crash+restart must equal the uninterrupted store bit-for-bit")
+  }
+}
