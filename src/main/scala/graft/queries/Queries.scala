@@ -4068,6 +4068,131 @@ object Queries {
          |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
     })
 
+  /** Tokenizer-trio CROSS-VALIDATION — the standard data-card table
+    * comparing the three trained tokenizers (BPE merges / WordPiece
+    * greedy / Unigram Viterbi) on ONE corpus: per tokenizer, total
+    * token count, fertility (tokens per whitespace word), and
+    * compression (chars per token). All three per-doc count tables are
+    * individually oracle-verified (q_bpe_encode / q_wp_encode /
+    * q_unigram_tokens); this query pins their RELATIVE behavior so a
+    * regression in any one trainer shows up as a shifted ratio even if
+    * its own query happens to still pass. Each tokenization is one
+    * corpus-touched-once pipeline (distinct-word table + model
+    * broadcast); the totals are three scalar aggregates — the extra
+    * cost over running the three encoders is one 3-row union. The
+    * oracle nests each tokenizer's existing recursive-CTE replay in
+    * its own scoped subquery (names stay local), so the three DPs
+    * cannot collide. */
+  val qTokenizerCard: Q = "q_tokenizer_card" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe
+        .mergesStored(docs, k = 6, codebookPath(d, "bpe_merges"))
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val scores = graft.ops.Unigram.trainStored(s, docs,
+        maxLen = WP_MAXLEN, vocabSize = WP_VOCAB, rounds = 2,
+        path = codebookPath(d, "unigram_scores"))
+      val base = docs.agg(
+        sum(Text.tokenLenSum(Text.tokens(col("text")))).as("chars"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("ws"))
+      def card(namev: String, perDoc: DataFrame, cnt: String): DataFrame =
+        perDoc.agg(sum(col(cnt)).as("n")).crossJoin(base)
+          .select(lit(namev).as("tokenizer"),
+            col("n").as("total_tokens"),
+            round(col("n") / col("ws").cast("double"), 6).as("fertility"),
+            round(col("chars") / col("n").cast("double"), 6).as("chars_per_token"))
+      card("bpe", graft.ops.Bpe.tokenCountPerDoc(docs, merges), "n_bpe_tokens")
+        .unionAll(card("unigram",
+          graft.ops.Unigram.tokenCountPerDoc(docs, scores, WP_MAXLEN),
+          "n_unigram_tokens"))
+        .unionAll(card("wordpiece",
+          graft.ops.Wordpiece.tokenCountPerDocEndToEnd(docs, WP_MAXLEN, WP_VOCAB),
+          "n_wp_tokens"))
+        .orderBy(col("tokenizer"))
+    }, {
+      val selv = """COALESCE(list_max(list_transform(c.lst,
+        |      x -> k.best[k.e + 2 - x.l] + x.ls)), k.best[k.e + 1] - 20.0)""".stripMargin
+      val sell = s"""COALESCE(list_max(list_transform(list_filter(c.lst,
+        |      x -> k.best[k.e + 2 - x.l] + x.ls = ($selv)),
+        |      x -> x.l)), 1)""".stripMargin
+      s"""WITH
+         |bpe AS MATERIALIZED (
+         |  WITH RECURSIVE ${bpeOracleCtes(6)},
+         |  v AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_tok FROM s6)
+         |  SELECT CAST(sum(v.n_tok) AS BIGINT) AS n FROM t JOIN v USING (word)),
+         |wp AS MATERIALIZED (
+         |  WITH RECURSIVE ${wpVocabCtes},
+         |docw AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
+         |w AS MATERIALIZED (SELECT DISTINCT word FROM docw WHERE length(word) >= 1),
+         |ap AS MATERIALIZED (SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos FROM w),
+         |cnd AS (SELECT ap.word, ap.pos, CAST(ls.l AS INT) AS l,
+         |    substr(ap.word, ap.pos, CAST(ls.l AS INT)) AS piece
+         |  FROM ap, (SELECT unnest(range(1, $WP_MAXLEN + 1)) AS l) ls
+         |  WHERE ap.pos + ls.l - 1 <= length(ap.word)),
+         |jump AS MATERIALIZED (SELECT word, pos, max(l) AS step
+         |  FROM cnd JOIN v USING (piece) GROUP BY word, pos),
+         |walk(word, pos, n) AS (
+         |  SELECT word, 1, 0 FROM w
+         |  UNION ALL
+         |  SELECT k.word, k.pos + COALESCE(j.step, 1), k.n + 1
+         |  FROM walk k LEFT JOIN jump j ON j.word = k.word AND j.pos = k.pos
+         |  WHERE k.pos <= length(k.word)),
+         |wcount AS MATERIALIZED (SELECT word, n FROM walk
+         |  WHERE pos = length(word) + 1)
+         |  SELECT CAST(sum(c.n) AS BIGINT) AS n
+         |  FROM docw f JOIN wcount c USING (word)),
+         |ug AS MATERIALIZED (
+         |  WITH RECURSIVE
+         |sc AS MATERIALIZED (SELECT piece, ls
+         |  FROM read_parquet('/root/repo/artifacts/unigram_scores_sf0.01/*.parquet')),
+         |docw AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
+         |w AS MATERIALIZED (SELECT DISTINCT word FROM docw WHERE length(word) >= 1),
+         |ap AS (SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos FROM w),
+         |cnd AS MATERIALIZED (
+         |  SELECT t.word, CAST(t.pos + t.l - 1 AS INT) AS e, CAST(t.l AS INT) AS l, sc.ls
+         |  FROM (SELECT ap.word, ap.pos, lz.l,
+         |        substr(ap.word, ap.pos, CAST(lz.l AS INT)) AS piece
+         |      FROM ap, (SELECT unnest(range(1, $WP_MAXLEN + 1)) AS l) lz
+         |      WHERE ap.pos + lz.l - 1 <= length(ap.word)) t
+         |  JOIN sc ON sc.piece = t.piece),
+         |cbe AS MATERIALIZED (SELECT word, e,
+         |    list(struct_pack(l := l, ls := ls)) AS lst
+         |  FROM cnd GROUP BY word, e),
+         |walk(word, e, best, cnt) AS (
+         |  SELECT word, 0, [CAST(0.0 AS DOUBLE)], [CAST(0 AS BIGINT)] FROM w
+         |  UNION ALL
+         |  SELECT k.word, k.e + 1,
+         |    list_append(k.best, $selv),
+         |    list_append(k.cnt, k.cnt[k.e + 2 - ($sell)] + 1)
+         |  FROM walk k LEFT JOIN cbe c ON c.word = k.word AND c.e = k.e + 1
+         |  WHERE k.e < length(k.word)),
+         |wc AS MATERIALIZED (SELECT word, cnt[length(word) + 1] AS n
+         |  FROM walk WHERE e = length(word))
+         |  SELECT CAST(sum(c2.n) AS BIGINT) AS n
+         |  FROM docw f JOIN wc c2 USING (word)),
+         |base AS (SELECT
+         |    CAST(sum(COALESCE(list_sum(list_transform($TOKS, x -> length(x))), 0)) AS BIGINT) AS chars,
+         |    CAST(sum(len($TOKS)) AS BIGINT) AS ws
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT 'bpe' AS tokenizer, bpe.n AS total_tokens,
+         |    round(bpe.n / CAST(base.ws AS DOUBLE), 6) AS fertility,
+         |    round(base.chars / CAST(bpe.n AS DOUBLE), 6) AS chars_per_token
+         |  FROM bpe, base
+         |  UNION ALL
+         |  SELECT 'unigram', ug.n,
+         |    round(ug.n / CAST(base.ws AS DOUBLE), 6),
+         |    round(base.chars / CAST(ug.n AS DOUBLE), 6)
+         |  FROM ug, base
+         |  UNION ALL
+         |  SELECT 'wordpiece', wp.n,
+         |    round(wp.n / CAST(base.ws AS DOUBLE), 6),
+         |    round(base.chars / CAST(wp.n AS DOUBLE), 6)
+         |  FROM wp, base)
+         |ORDER BY tokenizer""".stripMargin
+    })
+
   // -------------------------------------- curriculum / training order
 
   /** Per-doc n-gram NOVELTY vs the corpus prefix (first-seen fraction
@@ -4355,7 +4480,7 @@ object Queries {
     qAnnRecall, qBpePack, qLshRecall, qBpeFertility, qCurationFunnel,
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
-    qUnigramTokens, qRandProj, qPcaIncremental,
+    qUnigramTokens, qRandProj, qPcaIncremental, qTokenizerCard,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
