@@ -58,12 +58,67 @@ object BenchScale {
     }.reduce(_ unionAll _)
   }
 
+  /** Events ×K by USER duplication: copy k offsets user_id (and
+    * event_id, for uniqueness), everything else — timestamps, types,
+    * values, the stored ts encoding — passes through untouched. Rows
+    * grow K× while every PER-USER series stays its original length, so
+    * the per-user windows (rolling-z's cumulative frame, rate-limit's
+    * ordered partition) keep constant partition size: the honest shape
+    * for event analytics, where production growth is users, not
+    * per-user history. Written to parquet so generation cost stays out
+    * of the measured operator time; returns the dir the Tables loaders
+    * read. */
+  def scaledEventsDir(spark: SparkSession, sfDir: String, k: Int): String = {
+    val raw = graft.core.Tables.read_events_raw(spark, sfDir)
+    val scaled = (0 until k).map { i =>
+      raw.select(
+        (col("event_id") + lit(i.toLong * 1000000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    val dir = s"/root/repo/tmp/scale_events_$k"
+    scaled.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val EVENT_QUERIES = Seq("q_funnel_steps", "q_funnel_windowed",
+    "q_cohort", "q_resample", "q_rate_limit", "q_rolling_z", "q_sessions")
+
   def main(args: Array[String]): Unit = {
     val maxK = if (args.nonEmpty) args(0).toInt else 4
+    // optional families filter: `runMain graft.BenchScale 32 events`
+    // ladders ONLY the event-analytics family (the docs/embeddings
+    // ladders are unchanged by event work and cost ~25 min at K=32)
+    val eventsOnly = args.lift(1).contains("events")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
+
+    // event-analytics ladder over K-duplicated users — all designed
+    // ~linear: funnel = chained shrinking min-aggs (never a per-user
+    // sort), cohort = two hash aggs, resample = per-user-bounded grid
+    // explode, rate-limit/sessions = one window over constant-size user
+    // partitions, rolling-z = one cumulative per-user window (straggler
+    // bound = ONE user's history length, constant under user
+    // duplication — the documented q_rolling_z bound)
+    def eventsLadder(): Unit =
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val evDir = scaledEventsDir(spark, sfDir, k)
+        val nEv = spark.read.parquet(s"$evDir/events.parquet").count()
+        val fields = EVENT_QUERIES.map { name =>
+          val (t, _) = time(SparkEntry.queries(name)(spark, evDir).count())
+          spark.catalog.clearCache()
+          s""""${name.stripPrefix("q_")}_sec":${f"$t%.2f"}"""
+        }
+        println(s"""{"k":$k,"events":$nEv,${fields.mkString(",")}}""")
+      }
+    // untimed warmup for the event plans (codegen JIT), then the ladder
+    EVENT_QUERIES.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    spark.catalog.clearCache()
+    eventsLadder()
+    if (eventsOnly) { spark.stop(); return }
 
     // untimed warmup: pay whole-stage-codegen JIT for both plan shapes
     // before any measured pass
