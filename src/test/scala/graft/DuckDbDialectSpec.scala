@@ -21,40 +21,8 @@ import graft.sink._
   */
 class DuckDbDialectSpec extends SparkTestBase {
 
-  /** DriverManager only honors drivers whose classloader can "see" the
-    * caller; a URLClassLoader-loaded driver needs this delegate. */
-  private class DriverShim(d: java.sql.Driver) extends java.sql.Driver {
-    def connect(u: String, p: java.util.Properties): java.sql.Connection = d.connect(u, p)
-    def acceptsURL(u: String): Boolean = d.acceptsURL(u)
-    def getPropertyInfo(u: String, p: java.util.Properties): Array[java.sql.DriverPropertyInfo] =
-      d.getPropertyInfo(u, p)
-    def getMajorVersion: Int = d.getMajorVersion
-    def getMinorVersion: Int = d.getMinorVersion
-    def jdbcCompliant(): Boolean = d.jdbcCompliant()
-    def getParentLogger: java.util.logging.Logger = d.getParentLogger
-  }
-
-  private lazy val duckdbReady: Boolean = {
-    import scala.jdk.CollectionConverters._
-    val roots = (sys.env.get("COURSIER_CACHE").toSeq :+
-      (sys.props("user.home") + "/.cache/coursier"))
-      .map(new java.io.File(_)).filter(_.isDirectory)
-    val jar = roots.iterator.flatMap { r =>
-      val s = java.nio.file.Files.walk(r.toPath)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.matches("duckdb_jdbc-.*\\.jar")).toList
-      finally s.close()
-    }.toSeq.headOption
-    jar.exists { j =>
-      try {
-        val cl = new java.net.URLClassLoader(Array(j.toUri.toURL), getClass.getClassLoader)
-        val drv = cl.loadClass("org.duckdb.DuckDBDriver")
-          .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
-        java.sql.DriverManager.registerDriver(new DriverShim(drv))
-        true
-      } catch { case _: Throwable => false }
-    }
-  }
+  // driver loading shared with MssqlLiveSpec (one registration per JVM)
+  private def duckdbReady: Boolean = TestJdbc.duckdbReady
 
   private def freshUrl(tag: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-duckdb-$tag")
