@@ -4449,6 +4449,209 @@ object Queries {
        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM sc ORDER BY id""".stripMargin)
 
+  // ------------------------------- round 8: basket / attribution / overlap
+
+  /** Market-basket frequent pairs over order line items ([[graft.ops.
+    * Baskets.frequentPairs]]): which parts are co-ordered, with lift.
+    * The A-Priori prune (both items individually frequent) bounds the
+    * basket self-join the way the df cap bounds the n-gram one; TPC-H
+    * baskets are ≤ 7 items, so no hot-basket guard needed here (the
+    * operator carries one for degenerate corpora). */
+  val qCopurchase: Q = "q_copurchase" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Baskets.frequentPairs(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minItemSupport = 5, minPairSupport = 2)
+        .orderBy(col("item_a"), col("item_b")),
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      |f AS (SELECT item, CAST(count(*) AS BIGINT) AS supp FROM b
+      |  GROUP BY 1 HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item, f.supp FROM b JOIN f USING (item)),
+      |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+      |p AS (SELECT x.item AS item_a, y.item AS item_b,
+      |    x.supp AS supp_a, y.supp AS supp_b, CAST(count(*) AS BIGINT) AS support
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, support, supp_a, supp_b,
+      |  round(CAST(support AS DOUBLE) * n_baskets
+      |    / (CAST(supp_a AS DOUBLE) * supp_b), 6) AS lift
+      |FROM p, n ORDER BY item_a, item_b""".stripMargin)
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: one lead window per user (partition size = one user's
+    * history, the documented event-family bound), then a states²-sized
+    * aggregate; the row-probability normalizer is a window over that
+    * TINY matrix, never the corpus. */
+  val qTransitions: Q = "q_transitions" -> (
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("prob", round(col("n") / sum(col("n"))
+          .over(Window.partitionBy(col("event_type"))).cast("double"), 6))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    s"""WITH $EV,
+       |nx AS (SELECT event_type, lead(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+       |  FROM ev),
+       |m AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT event_type, next_type, n,
+       |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS prob
+       |FROM m ORDER BY event_type, next_type""".stripMargin)
+
+  /** LAST-TOUCH attribution: each purchase credits the user's most
+    * recent preceding non-purchase event. One ignore-nulls last_value
+    * window per user (constant partition size), then a touch-type-sized
+    * aggregate; revenue sums in DECIMAL so the total is order-free
+    * exact (the q1_agg convention). */
+  val qAttribution: Q = "q_attribution" -> (
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"), col("value"))
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(dec(col("value"))).cast("double").as("revenue"))
+        .orderBy(col("touch"))
+    },
+    s"""WITH $EV,
+       |t AS (SELECT event_type, value, last_value(
+       |    CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM ev)
+       |SELECT COALESCE(touch, 'none') AS touch,
+       |  CAST(count(*) AS BIGINT) AS n_purchases,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY touch""".stripMargin)
+
+  /** Per-user-day OHLC resample of the event value — the time-series
+    * downsample shape: open/close are argmin/argmax SELECTIONS on the
+    * (ts, event_id) order (never a sort), high/low plain min/max — all
+    * order-free single-pass aggregates, O(1) state per (user, day). */
+  val qOhlc: Q = "q_ohlc" -> (
+    (s: SparkSession, d: String) => {
+      val dayUs = 86400000000L
+      Tables.events(s, d)
+        .groupBy(col("user_id"), expr(s"ts_us DIV $dayUs").as("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    s"""WITH $EV,
+       |o AS (SELECT user_id, ts_us // ${86400000000L} AS day, value,
+       |    row_number() OVER (PARTITION BY user_id, ts_us // ${86400000000L}
+       |      ORDER BY ts_us, event_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY user_id, ts_us // ${86400000000L}
+       |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+       |  FROM ev)
+       |SELECT user_id, day,
+       |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       |  max(value) AS high, min(value) AS low,
+       |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM o GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin)
+
+  /** Pairwise VOCABULARY OVERLAP matrix across sources (Jaccard over
+    * distinct-token sets) — the corpus-comparison companion of
+    * q_corpus_drift's distributional distance. The term self-join's
+    * per-key fan-out is ≤ sources² (a token row exists once per source
+    * after the distinct), so the join is bounded by the SOURCE count,
+    * not the corpus — no df cap needed. */
+  val qSourceOverlap: Q = "q_source_overlap" -> (
+    (s: SparkSession, d: String) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      st.as("a").join(st.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("source").as("src_a"), col("nv").as("nv_a")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("nv").as("nv_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"), col("n_common"),
+          round(col("n_common")
+            / (col("nv_a") + col("nv_b") - col("n_common")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    s"""WITH st AS (SELECT DISTINCT source, unnest($TOKS) AS term FROM documents),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY 1),
+       |c AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, za.nv AS nv_a, zb.nv AS nv_b, n_common,
+       |  round(n_common / CAST(za.nv + zb.nv - n_common AS DOUBLE), 6) AS jaccard
+       |FROM c JOIN sz za ON za.source = c.src_a JOIN sz zb ON zb.source = c.src_b
+       |ORDER BY src_a, src_b""".stripMargin)
+
+  /** RFM customer segmentation with FIXED thresholds — deliberately not
+    * data-derived quantiles: an ntile over all customers is a global
+    * sort (one window partition at 100 TB), while fixed cutoffs keep
+    * scoring map-only after the one per-customer aggregate. Monetary
+    * sums in DECIMAL (order-free exact). */
+  val qRfm: Q = "q_rfm" -> (
+    (s: SparkSession, d: String) => {
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("o_totalprice"))).cast("double").as("monetary"))
+      val r = when(col("last_order") >= lit("1997-01-01").cast("date"), 4)
+        .when(col("last_order") >= lit("1995-01-01").cast("date"), 3)
+        .when(col("last_order") >= lit("1993-06-01").cast("date"), 2).otherwise(1)
+      val f = when(col("frequency") >= 20, 4)
+        .when(col("frequency") >= 10, 3)
+        .when(col("frequency") >= 5, 2).otherwise(1)
+      val m = when(col("monetary") >= 2000000, 4)
+        .when(col("monetary") >= 1000000, 3)
+        .when(col("monetary") >= 500000, 2).otherwise(1)
+      base.select(col("o_custkey"), col("last_order"), col("frequency"),
+          col("monetary"), r.cast("long").as("r_score"),
+          f.cast("long").as("f_score"), m.cast("long").as("m_score"))
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy(col("o_custkey"))
+    },
+    """WITH base AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1),
+      |sc AS (SELECT o_custkey, last_order, frequency, monetary,
+      |  CAST(CASE WHEN last_order >= DATE '1997-01-01' THEN 4
+      |       WHEN last_order >= DATE '1995-01-01' THEN 3
+      |       WHEN last_order >= DATE '1993-06-01' THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+      |  CAST(CASE WHEN frequency >= 20 THEN 4 WHEN frequency >= 10 THEN 3
+      |       WHEN frequency >= 5 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+      |  CAST(CASE WHEN monetary >= 2000000 THEN 4 WHEN monetary >= 1000000 THEN 3
+      |       WHEN monetary >= 500000 THEN 2 ELSE 1 END AS BIGINT) AS m_score
+      |  FROM base)
+      |SELECT o_custkey, last_order, frequency, monetary, r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm
+      |FROM sc ORDER BY o_custkey""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -4481,6 +4684,7 @@ object Queries {
     qLshTune, qDupSpansGuard, qSpanDedupGuard, qMinhashAppend, qSpanAppend,
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental, qTokenizerCard,
+    qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
