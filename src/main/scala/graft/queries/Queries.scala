@@ -4652,6 +4652,57 @@ object Queries {
       |  r_score * 100 + f_score * 10 + m_score AS rfm
       |FROM sc ORDER BY o_custkey""".stripMargin)
 
+  /** Linear INTERPOLATION join — each purchase gets the user's value
+    * series interpolated at its timestamp from the nearest surrounding
+    * view events: one backward + one forward as-of join (both the
+    * custom sort-merge [[graft.plans.AsOfJoin]] operator, the forward
+    * leg by time negation), then a map-only lerp. The composition
+    * pattern: calibration-curve lookup at scale without a range join —
+    * two ordered merges instead of an interval explosion. Exact-hit
+    * guard: a view AT the purchase instant makes both legs pick it
+    * (t0 = t1) — the lerp's denominator would be 0, so the guard
+    * returns that exact sample. */
+  val qInterp: Q = "q_interp" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"),
+          col("value").as("v_val"))
+      val prev = graft.ops.AsOf.join(p, v,
+          Seq(p("user_id")), Seq(v("v_user")), p("ts_us"), v("v_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("v_ts").as("t0"), col("v_val").as("v0"))
+      val nxt = graft.ops.AsOf.joinForward(p, v,
+          Seq(p("user_id")), Seq(v("v_user")), p("ts_us"), v("v_ts"))
+        .select(col("event_id").as("e2"), col("v_ts").as("t1"),
+          col("v_val").as("v1"))
+      prev.join(nxt, col("event_id") === col("e2"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("t0"), col("t1"),
+          round(when(col("t1") =!= col("t0"),
+              (col("v0") * (col("t1") - col("ts_us"))
+                + col("v1") * (col("ts_us") - col("t0")))
+                / (col("t1") - col("t0")))
+            .otherwise(col("v0")), 6).as("value_interp"))
+        .orderBy(col("event_id"))
+    },
+    s"""WITH $EV,
+       |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id AS v_user, ts_us AS v_ts, value AS v_val
+       |  FROM ev WHERE event_type = 'view'),
+       |pv AS (SELECT p.event_id, p.user_id, p.ts_us, v.v_ts AS t0, v.v_val AS v0
+       |  FROM p ASOF JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts_us),
+       |nx AS (SELECT p.event_id, v.v_ts AS t1, v.v_val AS v1
+       |  FROM p ASOF JOIN v ON p.user_id = v.v_user AND v.v_ts >= p.ts_us)
+       |SELECT pv.event_id, pv.user_id, pv.ts_us, pv.t0, nx.t1,
+       |  round(CASE WHEN nx.t1 <> pv.t0
+       |    THEN (pv.v0 * (nx.t1 - pv.ts_us) + nx.v1 * (pv.ts_us - pv.t0))
+       |      / (nx.t1 - pv.t0)
+       |    ELSE pv.v0 END, 6) AS value_interp
+       |FROM pv JOIN nx USING (event_id) ORDER BY event_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -4685,6 +4736,7 @@ object Queries {
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental, qTokenizerCard,
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
+    qInterp,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
