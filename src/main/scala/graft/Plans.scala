@@ -36,7 +36,9 @@ object Plans {
         "q_cdc_dedup", "q_ppl_buckets", "q_ann_rerank", "q_procrustes",
         "q_ann_metrics", "q_ann_multiprobe",
         "q_cohort", "q_funnel_steps", "q_resample", "q_ngram_prefix",
-        "q_rolling_z", "q_rate_limit", "q_funnel_windowed")
+        "q_rolling_z", "q_rate_limit", "q_funnel_windowed",
+        "q_tokenizer_card", "q_copurchase", "q_transitions", "q_attribution",
+        "q_ohlc", "q_source_overlap", "q_rfm", "q_interp", "q_multimodal")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
