@@ -4703,6 +4703,122 @@ object Queries {
        |    ELSE pv.v0 END, 6) AS value_interp
        |FROM pv JOIN nx USING (event_id) ORDER BY event_id""".stripMargin)
 
+  /** Rolling 7-day distinct active users — EXACT sliding count-distinct
+    * without a sliding window operator: each (user, day) activity row
+    * fans out to the ≤ 7 window-end days it contributes to (a bounded
+    * explode, the resample grid trick), then ONE hash aggregation
+    * counts distinct users per window end. At 100 TB this is the shape
+    * that replaces a per-day 7-day-lookback rescan: the fan-out factor
+    * is the window length, never the data. */
+  val qRollingDau: Q = "q_rolling_dau" -> (
+    (s: SparkSession, d: String) => {
+      val dayUs = 86400000000L
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("day"))
+        .distinct()
+      val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .crossJoin(bounds)
+        .filter(col("wday").between(col("lo"), col("hi")))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("dau_7d"))
+        .orderBy(col("wday"))
+    },
+    s"""WITH $EV,
+       |ud AS (SELECT DISTINCT user_id, ts_us // ${86400000000L} AS day FROM ev),
+       |w AS (SELECT user_id, unnest(range(day, day + 7)) AS wday FROM ud),
+       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud)
+       |SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
+       |FROM w, b WHERE wday BETWEEN lo AND hi
+       |GROUP BY 1 ORDER BY wday""".stripMargin)
+
+  /** Per-user FEATURE table (the churn-model input shape): lifetime
+    * span, per-type counts, active days, decimal-exact value total —
+    * one hash aggregation, O(1) state per user, map-only expressions
+    * after it. The per-type counts are conditional sums, not a pivot
+    * operator: the column set is fixed at plan time, so codegen fuses
+    * the whole row. */
+  val qUserFeatures: Q = "q_user_features" -> (
+    (s: SparkSession, d: String) => {
+      val dayUs = 86400000000L
+      def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          n("view").as("n_views"), n("click").as("n_clicks"),
+          n("purchase").as("n_purchases"), n("signup").as("n_signups"),
+          min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+          countDistinct(expr(s"ts_us DIV $dayUs")).as("active_days"),
+          sum(dec(col("value"))).cast("double").as("value_total"))
+        .withColumn("span_days",
+          (col("last_us") - col("first_us")) / lit(86400000000L))
+        .orderBy(col("user_id"))
+    },
+    s"""WITH $EV
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+       |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+       |  min(ts_us) AS first_us, max(ts_us) AS last_us,
+       |  CAST(count(DISTINCT ts_us // ${86400000000L}) AS BIGINT) AS active_days,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total,
+       |  (max(ts_us) - min(ts_us)) / CAST(${86400000000L} AS DOUBLE) AS span_days
+       |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin)
+
+  /** Data-quality CONSTRAINT REPORT — the validation pass a pipeline
+    * runs before promoting a snapshot: null checks, key uniqueness,
+    * referential integrity (anti-join count), range checks. Each check
+    * is one scalar aggregate (integrity is one join), unioned into a
+    * tiny report table; nothing here is driver-side row iteration. */
+  val qDqChecks: Q = "q_dq_checks" -> (
+    (s: SparkSession, d: String) => {
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val cust = Tables.customer(s, d)
+      val ev = Tables.events(s, d)
+      def check(namev: String, agg: DataFrame): DataFrame =
+        agg.select(lit(namev).as("check"), col("violations"))
+      check("orders_null_custkey",
+          orders.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("violations")))
+        .unionAll(check("orders_dup_orderkey",
+          orders.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("violations"))))
+        .unionAll(check("orders_orphan_custkey",
+          orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+              "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .unionAll(check("lineitem_orphan_orderkey",
+          li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+              "left_anti")
+            .agg(count(lit(1)).as("violations"))))
+        .unionAll(check("lineitem_nonpositive_qty",
+          li.agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+            .as("violations"))))
+        .unionAll(check("events_null_type",
+          ev.agg(sum(when(col("event_type").isNull, 1L).otherwise(0L))
+            .as("violations"))))
+        .orderBy(col("check"))
+    },
+    s"""WITH $EV
+       |SELECT * FROM (
+       |  SELECT 'orders_null_custkey' AS "check", CAST(
+       |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS violations FROM orders
+       |  UNION ALL SELECT 'orders_dup_orderkey',
+       |    count(*) - count(DISTINCT o_orderkey) FROM orders
+       |  UNION ALL SELECT 'orders_orphan_custkey', count(*) FROM orders
+       |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       |  UNION ALL SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem
+       |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       |  UNION ALL SELECT 'lineitem_nonpositive_qty',
+       |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+       |  UNION ALL SELECT 'events_null_type',
+       |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) FROM ev)
+       |ORDER BY "check"""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -4736,7 +4852,7 @@ object Queries {
     qPcaCov, qPcaRecall, qWpVocab, qWpEncode, qNovelty, qCurriculum,
     qUnigramTokens, qRandProj, qPcaIncremental, qTokenizerCard,
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
-    qInterp,
+    qInterp, qRollingDau, qUserFeatures, qDqChecks,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
