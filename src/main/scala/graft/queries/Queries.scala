@@ -4819,6 +4819,60 @@ object Queries {
        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) FROM ev)
        |ORDER BY "check"""".stripMargin)
 
+  /** q_lookback on the PARTITIONED layout — the 100 TB pruning story as
+    * a graded query: the flat events file is laid out once per corpus
+    * as `dt=<DATE>` directories (content-guarded artifact, the
+    * codebookPath lifecycle), and [[Tables.eventsSincePartitioned]]
+    * reads it with the cutoff landing as BOTH a PartitionFilter
+    * (directories before the cutoff day never listed) and a
+    * PushedFilter (row-group stats inside the surviving days).
+    * Identical result to q_lookback by construction — the oracle is
+    * the same flat-scan SQL. */
+  val qLookbackPartitioned: Q = "q_lookback_partitioned" -> (
+    (s: SparkSession, d: String) => {
+      val part = codebookPath(d, "events_by_day")
+      if (!new java.io.File(part, "_SUCCESS").isFile)
+        Tables.writeEventsPartitioned(s, d, part)
+      Tables.eventsSincePartitioned(s, part, 1705708800000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts_us")).as("first_us"))
+        .orderBy(col("event_type"))
+    },
+    """SELECT event_type, count(*) AS n, min(epoch_us(ts)) AS first_us
+      |FROM events WHERE epoch_us(ts) >= 1705708800000000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  /** Multimodal DATASET CARD: per-modality asset counts, byte volume,
+    * decode success, frame bound — the observability row a binary-asset
+    * pipeline promotes alongside the text card. One aggregation over
+    * the partition-parallel extractor. `n_decoded` is 0 on THIS corpus
+    * by construction (the payloads are UTF-8 text bytes, which no image
+    * reader accepts — MultimodalSpec proves the >0 path on real PNGs);
+    * the oracle pins that plus the stub's sha-derived frame counts. */
+  val qMediaCard: Q = "q_media_card" -> (
+    (s: SparkSession, d: String) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+          max(col("n_frames").cast("long")).as("max_frames"))
+        .orderBy(col("modality"))
+    },
+    """WITH m AS (SELECT
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(CASE WHEN doc_id % 3 = 2
+      |      THEN 1 + CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 64
+      |      ELSE 1 END AS BIGINT) AS n_frames
+      |  FROM documents)
+      |SELECT modality, CAST(count(*) AS BIGINT) AS n_assets,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(0 AS BIGINT) AS n_decoded, max(n_frames) AS max_frames
+      |FROM m GROUP BY 1 ORDER BY modality""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -4853,6 +4907,7 @@ object Queries {
     qUnigramTokens, qRandProj, qPcaIncremental, qTokenizerCard,
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qInterp, qRollingDau, qUserFeatures, qDqChecks,
+    qLookbackPartitioned, qMediaCard,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
