@@ -307,16 +307,15 @@ object Ann {
   def int8StoreAppend(newVecs: DataFrame, path: String, batchTag: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no int8 store at $path — build it with int8Stored")
-    val marker = new java.io.File(path, s"_appended_$batchTag")
-    if (!marker.isFile) {
+    Stores.requireStore(newVecs.sparkSession, path,
+      "build it with int8Stored")
+    // staged write + marker-LAST commit (exactly-once across crashes)
+    Stores.appendCommit(newVecs.sparkSession, path, batchTag) { staging =>
       val m = newVecs.sparkSession.read.parquet(path)
         .select(col("scale")).head.getDouble(0)
       newVecs.select(col(idCol).as("id"),
           quantizeVec(col(vecCol), m).as("q"), lit(m).as("scale"))
-        .write.mode("append").parquet(path)
-      marker.createNewFile()
+        .write.mode("overwrite").parquet(staging)
     }
     newVecs.sparkSession.read.parquet(path)
   }

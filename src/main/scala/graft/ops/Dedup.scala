@@ -186,14 +186,14 @@ object Dedup {
                          shingleLen: Int = 3, bands: Int = 8,
                          rowsPerBand: Int = 4, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no signature store at $path — build it with minhashBandsStored")
-    val marker = new java.io.File(path, s"_appended_$batchTag")
-    if (!marker.isFile) {
+    Stores.requireStore(batch.sparkSession, path,
+      "build it with minhashBandsStored")
+    // staged write + marker-LAST commit (exactly-once under a crash
+    // between data and marker — the bare append+marker had that window)
+    Stores.appendCommit(batch.sparkSession, path, batchTag) { staging =>
       minhashBands(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
         .select(col("id"), col("sig"), col("band"), col("band_hash"))
-        .write.mode("append").parquet(path)
-      marker.createNewFile()
+        .write.mode("overwrite").parquet(staging)
     }
     batch.sparkSession.read.parquet(path)
   }
@@ -872,15 +872,13 @@ object Dedup {
     * append — a copy job reading only the delta) and stamp the marker.
     * No-op when the marker exists (redelivery). */
   def spanCommitAppend(spark: org.apache.spark.sql.SparkSession,
-                       path: String, batchTag: String): Unit = {
-    val marker = new java.io.File(path, s"_appended_$batchTag")
-    if (!marker.isFile) {
+                       path: String, batchTag: String): Unit =
+    // staged copy of the delta + marker-LAST commit (exactly-once; a
+    // crash between the copy and the marker cannot double-post spans)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
       spark.read.parquet(spanDeltaPath(path, batchTag))
-        .write.mode("append").parquet(path)
-      marker.createNewFile()
-      ()
+        .write.mode("overwrite").parquet(staging)
     }
-  }
 
   /** The sidecar recording exactly the hashes `batchTag`'s append added
     * (the anti-joined delta). RETAINED, not cleaned up: it is the only

@@ -203,14 +203,17 @@ object Pca {
     * cannot double-count. */
   def momentsStored(spark: SparkSession, df: DataFrame, vecCol: String,
                     dim: Int, path: String, batchTag: String): Unit = {
-    val marker = new java.io.File(path, s"_appended_$batchTag")
-    if (marker.isFile) return
     val row = df.agg(moments(col(vecCol), dim).as("m"))
       .select(col("m.n"), col("m.s"), col("m.ss"))
-    val mode = if (new java.io.File(path, "_SUCCESS").isFile) "append"
-      else "overwrite"
-    row.coalesce(1).write.mode(mode).parquet(path)
-    marker.createNewFile(); ()
+    // bootstrap an EMPTY store (overwrite-idempotent, no data rows) so
+    // EVERY batch — the first included — lands through the same staged
+    // marker-LAST commit: no branch where a crash between data write
+    // and marker could double-post on retry
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      row.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      row.coalesce(1).write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Total moments from a store: element-wise sum over the per-batch

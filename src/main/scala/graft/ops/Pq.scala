@@ -419,14 +419,13 @@ object Pq {
                   m: Int, k: Int, codebook: Array[Double], path: String,
                   batchTag: String, idCol: String = "vec_id",
                   vecCol: String = "embedding"): Unit = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no index at $path — build it with writeIndex")
-    val marker = new java.io.File(path, s"_appended_$batchTag")
-    if (!marker.isFile) {
+    Stores.requireStore(newVecs.sparkSession, path,
+      "build it with writeIndex")
+    // staged write + marker-LAST commit; the `cell=` partition subdirs
+    // are preserved relative to the staging root, so pruning survives
+    Stores.appendCommit(newVecs.sparkSession, path, batchTag) { staging =>
       encodeForIndex(newVecs, centroids, dim, m, k, codebook, idCol, vecCol)
-        .write.mode("append").partitionBy("cell").parquet(path)
-      marker.createNewFile()
-      ()
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
     }
   }
 
