@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
   *
   * Media assets are opaque `binary` columns with typed metadata — the
   * layout a 100 TB multimodal training set uses (parquet binary + metadata
-  * struct, partitioned by modality/date). The IMAGE decode path is REAL:
-  * `javax.imageio` (in-JDK, offline, headless-safe) decodes PNG/JPEG/GIF/
-  * BMP bytes to true dimensions, channel statistics, and a down-sampled
-  * luminance grid. Bytes that are not a decodable image (and the audio/
-  * video modalities, for which the JDK ships no codec) fall back to
-  * `byteFeatures` — a loudly-labeled deterministic STUB deriving
-  * pseudo-features from the sha256 of the bytes, so the distributed
-  * plumbing (schema, batching, partition-parallel extraction) stays
-  * exercised end-to-end either way; `decoded` records which path a row
-  * took. Swapping in an audio/video codec changes only the closure body
-  * (in PySpark this would be `mapInPandas` over an Arrow batch of the
-  * same shape).
+  * struct, partitioned by modality/date). The IMAGE and AUDIO decode
+  * paths are REAL and in-JDK (offline, headless-safe): `javax.imageio`
+  * decodes PNG/JPEG/GIF/BMP bytes to true dimensions, channel
+  * statistics, and a down-sampled luminance grid;
+  * `javax.sound.sampled` parses WAV/AIFF/AU PCM to sample rate,
+  * channel count, frame count, RMS/zero-crossing features. Undecodable
+  * bytes — and VIDEO, the one modality the JDK ships no codec for —
+  * fall back to `byteFeatures`, a loudly-labeled deterministic STUB
+  * deriving pseudo-features from the sha256 of the bytes, so the
+  * distributed plumbing (schema, batching, partition-parallel
+  * extraction) stays exercised end-to-end either way; `decoded`
+  * records which path a row took. Swapping in a video codec changes
+  * only the closure body (in PySpark this would be `mapInPandas` over
+  * an Arrow batch of the same shape).
   */
 object Multimodal {
 
@@ -88,11 +90,61 @@ object Multimodal {
       }
     } catch { case _: Exception => None } // e.g. CMYK JPEG on a stock reader
 
+  /** REAL audio decode via the JDK's javax.sound.sampled — WAV/AIFF/AU
+    * container parsing plus PCM sample access, no external dependency,
+    * no audio hardware touched (pure parsing, headless-safe). Returns
+    * None when no reader accepts the bytes or the encoding is not
+    * integer PCM. Features: [rms, zero-crossing rate, mean |sample|] —
+    * the cheap speech/music/silence discriminators a corpus filter
+    * runs before any model. Samples fold in frame order over channel 0
+    * (deterministic); 16-bit little/big-endian and 8-bit PCM covered. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val ok = (fmt.getEncoding == PCM_SIGNED || fmt.getEncoding == PCM_UNSIGNED) &&
+          (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8)
+        if (!ok) return None
+        val frameBytes = fmt.getFrameSize
+        val raw = in.readAllBytes()
+        val nFrames = if (frameBytes > 0) raw.length / frameBytes else 0
+        if (nFrames == 0) return None
+        var sumSq = 0.0; var sumAbs = 0.0; var zc = 0L
+        var prev = 0.0; var first = true
+        var f = 0
+        while (f < nFrames) {
+          val off = f * frameBytes // channel 0 leads each frame
+          val s: Double =
+            if (fmt.getSampleSizeInBits == 16) {
+              val (b0, b1) = (raw(off) & 0xff, raw(off + 1) & 0xff)
+              val v = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+              (if (v >= 0x8000) v - 0x10000 else v) / 32768.0
+            } else { // 8-bit: unsigned center-128 by convention
+              val v = raw(off) & 0xff
+              if (fmt.getEncoding == PCM_UNSIGNED) (v - 128) / 128.0
+              else (if (v >= 0x80) v - 0x100 else v) / 128.0
+            }
+          sumSq += s * s; sumAbs += math.abs(s)
+          if (!first && (s > 0) != (prev > 0)) zc += 1
+          prev = s; first = false
+          f += 1
+        }
+        val feat = Array(
+          math.sqrt(sumSq / nFrames).toFloat,       // RMS level
+          (zc.toDouble / nFrames).toFloat,          // zero-crossing rate
+          (sumAbs / nFrames).toFloat)               // mean |amplitude|
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, nFrames, feat))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** STUB fallback: deterministic pseudo-features from the sha256 of the
-    * bytes. This is NOT a decoder — it exists so the audio/video
-    * modalities (no in-JDK codec) and undecodable image bytes still flow
-    * through the full distributed pipeline with a stable, testable
-    * schema. Marked loudly so no one mistakes it for analysis. */
+    * bytes. This is NOT a decoder — it exists so the video modality (no
+    * in-JDK codec) and undecodable image/audio bytes still flow through
+    * the full distributed pipeline with a stable, testable schema.
+    * Marked loudly so no one mistakes it for analysis. */
   def byteFeatures(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
     val dig = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
     val hex = dig.map("%02x".format(_)).mkString
@@ -109,19 +161,31 @@ object Multimodal {
       feature = (0 until 8).map(i => (b(i) / 255.0f) - 0.5f).toArray)
   }
 
-  /** Decode one asset: real ImageIO path for images, stub fallback
-    * otherwise (and for image bytes no reader accepts). */
-  def decode(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures =
-    if (modality == "image")
-      decodeImage(bytes) match {
+  /** Decode one asset: real ImageIO path for images, real sampled-audio
+    * path for audio, stub fallback otherwise (video has no in-JDK
+    * codec; undecodable bytes fall through on every modality). Audio
+    * maps (sampleRate, channels) into the width/height metadata slots
+    * and its frame count into n_frames. */
+  def decode(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
+    def sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    modality match {
+      case "image" => decodeImage(bytes) match {
         case Some((w, h, feat)) =>
-          val dig = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-          MediaFeatures(mediaId, modality, bytes.length.toLong,
-            dig.map("%02x".format(_)).mkString, w, h, n_frames = 1,
+          MediaFeatures(mediaId, modality, bytes.length.toLong, sha,
+            w, h, n_frames = 1, decoded = true, feature = feat)
+        case None => byteFeatures(mediaId, modality, bytes)
+      }
+      case "audio" => decodeAudio(bytes) match {
+        case Some((rate, channels, nFrames, feat)) =>
+          MediaFeatures(mediaId, modality, bytes.length.toLong, sha,
+            width = rate, height = channels, n_frames = nFrames,
             decoded = true, feature = feat)
         case None => byteFeatures(mediaId, modality, bytes)
       }
-    else byteFeatures(mediaId, modality, bytes)
+      case _ => byteFeatures(mediaId, modality, bytes)
+    }
+  }
 
   /** Partition-parallel feature extraction over a binary column. The
     * iterator-in/iterator-out shape is the batch contract (`mapInPandas`

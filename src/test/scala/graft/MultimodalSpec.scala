@@ -89,6 +89,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(3L).n_bytes === realPng.length.toLong)
   }
 
+  private def wav(rate: Float, bits: Int, seconds: Double,
+                  sample: Int => Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (rate * seconds).toInt
+    val fmt = new AudioFormat(rate, bits, 1, true, false) // mono PCM LE
+    val raw = new Array[Byte](n * (bits / 8))
+    for (i <- 0 until n) {
+      val v = sample(i)
+      if (bits == 16) {
+        val s = math.max(-32768, math.min(32767, math.rint(v * 32767))).toInt
+        raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      } else raw(i) = math.max(-128, math.min(127, math.rint(v * 127))).toInt.toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: sine WAV yields true rate/frames, RMS ~ a/sqrt(2), ZCR ~ 2f/rate") {
+    val rate = 8000f; val freq = 440.0; val amp = 0.5
+    val bytes = wav(rate, 16, 1.0,
+      i => amp * math.sin(2 * math.Pi * freq * i / rate))
+    val Some((r, ch, frames, feat)) = graft.ops.Multimodal.decodeAudio(bytes)
+    assert(r === 8000 && ch === 1 && frames === 8000)
+    val Array(rms, zcr, meanAbs) = feat
+    assert(math.abs(rms - amp / math.sqrt(2)) < 0.01, s"rms $rms")
+    assert(math.abs(zcr - 2 * freq / rate) < 0.005, s"zcr $zcr")
+    assert(math.abs(meanAbs - amp * 2 / math.Pi) < 0.01, s"meanAbs $meanAbs")
+    // silence: zero everything
+    val Some((_, _, _, silent)) = graft.ops.Multimodal.decodeAudio(
+      wav(rate, 16, 0.25, _ => 0.0))
+    assert(silent(0) === 0f && silent(1) === 0f && silent(2) === 0f)
+    // garbage is not audio
+    assert(graft.ops.Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures: audio rows with real WAV bytes decode; rate/channels land in metadata") {
+    val bytes = wav(16000f, 16, 0.5, i => 0.25 * math.sin(2 * math.Pi * 100 * i / 16000f))
+    val media = Seq(
+      (1L, "audio", bytes),
+      (2L, "audio", "text payload".getBytes("UTF-8")), // fallback
+      (3L, "video", bytes.clone)                        // codec-less → stub
+    ).toDF("media_id", "modality", "content")
+    val rows = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(rows(1L).decoded && rows(1L).width === 16000 && rows(1L).height === 1
+      && rows(1L).n_frames === 8000 && rows(1L).feature.length === 3)
+    assert(!rows(2L).decoded && rows(2L).feature.length === 8)
+    assert(!rows(3L).decoded, "video stays on the labeled stub")
+  }
+
   test("decoded image features feed the ANN index (binary → decode → top-k)") {
     // four distinguishable images: ANN over REAL decoded features must
     // rank the near-identical pair together
