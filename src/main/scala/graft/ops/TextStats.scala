@@ -325,4 +325,50 @@ object TextStats {
           .as("hit_frac"),
         round(col("sp") / col("n_bigrams"), 6).as("mean_cond_prob"))
   }
+
+  /** Windowed word CO-OCCURRENCE with a linear PMI score — the
+    * GloVe/PPMI preparation pass: unordered word pairs within ±`window`
+    * token positions, scored pmi_lin = c_ab·N / (c_a·c_b) (the exact
+    * PMI ratio WITHOUT the log — monotone in PMI, so ranking and
+    * thresholds agree, and ln-free keeps the score bit-identical
+    * across engines, the tfidf/unigram convention).
+    *
+    * Pair generation is MAP-ONLY and corpus-LINEAR: position i pairs
+    * with i+1..i+window via `window` shifted zip_with passes over each
+    * doc's token array — never a positions self-join, whose per-doc
+    * equi-join fan-out would be len² before any distance filter. Total
+    * pair volume = tokens × window, one pair-keyed exchange with
+    * map-side partial counts; hot words (stopwords) inflate counts,
+    * not fan-out — there is no join to explode. `minCount`/`minPair`
+    * trim the tail AFTER aggregation. The token table feeds three
+    * consumers — persisted MEMORY_AND_DISK, caller-owned lifetime
+    * (clearCache between units of work, the tokenTable convention). */
+  def cooccurrence(docs: DataFrame, window: Int, minCount: Long,
+                   minPair: Long, textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(Text.tokens(col(textCol)).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = (1 to window).map { k =>
+      toks.select(explode(zip_with(col("ts"),
+          slice(col("ts"), lit(k + 1), greatest(size(col("ts")) - k, lit(0))),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("pr"))
+        .filter(col("pr.y").isNotNull) // zip_with pads the shifted side
+    }.reduce(_ unionAll _)
+    val pc = pairs
+      .select(least(col("pr.x"), col("pr.y")).as("w1"),
+        greatest(col("pr.x"), col("pr.y")).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+    val wc = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(coalesce(sum(size(col("ts"))), lit(0))
+      .cast("long").as("n_tokens"))
+    pc.join(wc.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(wc.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .filter(col("c_a") >= minCount && col("c_b") >= minCount)
+      .crossJoin(tot) // 1-row totals, the q_funnel_steps base shape
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("c_ab").cast("double") * col("n_tokens")
+          / (col("c_a").cast("double") * col("c_b")), 6).as("pmi_lin"))
+  }
 }

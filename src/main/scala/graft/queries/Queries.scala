@@ -4873,6 +4873,37 @@ object Queries {
       |  CAST(0 AS BIGINT) AS n_decoded, max(n_frames) AS max_frames
       |FROM m GROUP BY 1 ORDER BY modality""".stripMargin)
 
+  /** Windowed co-occurrence + linear PMI ([[graft.ops.TextStats
+    * .cooccurrence]]) — the GloVe/PPMI prep pass. Pair generation is
+    * map-only shifted zip_with (corpus-linear, tokens × window pair
+    * rows), never a positions self-join; the oracle USES the self-join
+    * (fine at oracle scale) to independently confirm the map-only
+    * form's counts. */
+  val qCooccur: Q = "q_cooccur" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.cooccurrence(Tables.documents(s, d),
+          window = 2, minCount = 5, minPair = 3)
+        .orderBy(col("w1"), col("w2")),
+    s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+       |pos AS (SELECT doc_id, unnest(ts) AS w,
+       |    generate_subscripts(ts, 1) AS p FROM t),
+       |pr AS (
+       |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       |  UNION ALL
+       |  SELECT least(a.w, b.w), greatest(a.w, b.w)
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 2),
+       |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+       |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM pos)
+       |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+       |  round(CAST(c_ab AS DOUBLE) * n_tokens
+       |    / (CAST(a.c AS DOUBLE) * b.c), 6) AS pmi_lin
+       |FROM pc JOIN wc a ON a.w = pc.w1 JOIN wc b ON b.w = pc.w2, n
+       |WHERE a.c >= 5 AND b.c >= 5
+       |ORDER BY w1, w2""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -4907,7 +4938,7 @@ object Queries {
     qUnigramTokens, qRandProj, qPcaIncremental, qTokenizerCard,
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qInterp, qRollingDau, qUserFeatures, qDqChecks,
-    qLookbackPartitioned, qMediaCard,
+    qLookbackPartitioned, qMediaCard, qCooccur,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
