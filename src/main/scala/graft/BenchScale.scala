@@ -85,12 +85,27 @@ object BenchScale {
   private val EVENT_QUERIES = Seq("q_funnel_steps", "q_funnel_windowed",
     "q_cohort", "q_resample", "q_rate_limit", "q_rolling_z", "q_sessions")
 
+  /** Baskets ×K by ORDER duplication: basket count grows K×, every
+    * basket keeps its original item set, item/pair supports grow K× —
+    * the honest retail-growth shape. The basket self-join's volume is
+    * Σ L_b² over baskets: linear in K when per-basket size is fixed. */
+  def scaledBaskets(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val base = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    (0 until k).map { i =>
+      base.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("basket"),
+        col("l_partkey").as("item"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val maxK = if (args.nonEmpty) args(0).toInt else 4
     // optional families filter: `runMain graft.BenchScale 32 events`
-    // ladders ONLY the event-analytics family (the docs/embeddings
-    // ladders are unchanged by event work and cost ~25 min at K=32)
+    // ladders ONLY the event-analytics family; `… 32 r8` ladders only
+    // the basket-pairs + co-occurrence family (the full docs/embeddings
+    // sweep costs ~25 min at K=32 and is unchanged by those additions)
     val eventsOnly = args.lift(1).contains("events")
+    val r8Only = args.lift(1).contains("r8")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -114,6 +129,48 @@ object BenchScale {
         }
         println(s"""{"k":$k,"events":$nEv,${fields.mkString(",")}}""")
       }
+    // basket-pairs + co-occurrence ladder: copurchase baskets grow by
+    // ORDER duplication (per-basket size fixed ⇒ self-join volume
+    // linear); cooccur runs on the prefixed doc copies whose appended
+    // stop sentence makes its words' counts n·K — the map-only pair
+    // generation has NO join to explode, so the curve must stay linear
+    // exactly where a positions self-join would go hot-key-quadratic
+    def r8Ladder(): Unit =
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val bPath = s"/root/repo/tmp/scale_baskets_$k"
+        scaledBaskets(spark, sfDir, k).write.mode("overwrite").parquet(bPath)
+        val baskets = spark.read.parquet(bPath)
+        val nb = baskets.count()
+        // thresholds scale WITH K: duplication multiplies every support
+        // by K, so fixed cutoffs would stop filtering at K ≥ 2 and the
+        // output would jump from 3.6k pairs to every co-occurring pair
+        // (1.2M) — K-scaled cutoffs keep selectivity, and therefore the
+        // measured work, structurally constant per input row
+        val (tCop, nCop) = time(graft.ops.Baskets.frequentPairs(
+          baskets, "basket", "item",
+          minItemSupport = 5L * k, minPairSupport = 2L * k).count())
+        spark.catalog.clearCache()
+        val dPath = s"/root/repo/tmp/scale_docs_r8_$k"
+        scaledDocs(spark, sfDir, k).write.mode("overwrite").parquet(dPath)
+        val docs = spark.read.parquet(dPath)
+        val ndoc = docs.count()
+        val (tPmi, nPmi) = time(graft.ops.TextStats.cooccurrence(
+          docs, window = 2, minCount = 5, minPair = 3).count())
+        spark.catalog.clearCache()
+        println(s"""{"k":$k,"basket_rows":$nb,"docs":$ndoc,""" +
+          s""""copurchase_sec":${f"$tCop%.2f"},"copurchase_pairs":$nCop,""" +
+          s""""cooccur_sec":${f"$tPmi%.2f"},"cooccur_pairs":$nPmi}""")
+      }
+    if (r8Only) {
+      graft.ops.Baskets.frequentPairs(scaledBaskets(spark, sfDir, 1)
+        .limit(5000), "basket", "item", 2, 1).count() // JIT warmup
+      graft.ops.TextStats.cooccurrence(
+        scaledDocs(spark, sfDir, 1).limit(300), 2, 2, 2).count()
+      spark.catalog.clearCache()
+      r8Ladder()
+      spark.stop(); return
+    }
+
     // untimed warmup for the event plans (codegen JIT), then the ladder
     EVENT_QUERIES.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     spark.catalog.clearCache()
