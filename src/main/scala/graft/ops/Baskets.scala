@@ -24,6 +24,72 @@ import org.apache.spark.sql.functions._
   * corpus-scale state. */
 object Baskets {
 
+  /** INCREMENTAL pair-count store — the additive-statistics lifecycle
+    * ([[Pca.momentsStored]]'s idea on retail data): co-occurrence
+    * counts, item supports, and the basket total are all SUMS over
+    * basket-disjoint batches, so each order batch appends only ITS
+    * counts (one self-join over the batch, never the history) and the
+    * report aggregates the store. Thresholds and lift apply at REPORT
+    * time over the summed supports — the A-Priori prune cannot run per
+    * batch (an item rare in one batch may be frequent overall), so the
+    * store keeps raw counts; store volume is linear in data (distinct
+    * pairs per batch ≤ Σ L_b²). One table, one commit per batch: rows
+    * are discriminated by shape — (item_a, item_b, n) pair counts,
+    * (item_a, NULL, n) item supports, (NULL, NULL, n) basket count —
+    * so a batch's three statistics land atomically through a single
+    * [[Stores.appendCommit]] (no partial-batch mix on crash). Caller
+    * guarantees basket-disjointness across batchTags (the id-uniqueness
+    * contract every append store carries). */
+  def pairStoreAppend(baskets: DataFrame, path: String, batchTag: String): DataFrame = {
+    val spark = baskets.sparkSession
+    val b = baskets.select(col("basket"), col("item")).distinct()
+    val pairRows = b.as("x").join(b.as("y"),
+        col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n"))
+    val itemRows = b.groupBy(col("item").as("item_a"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("item_a"), lit(null).cast("long").as("item_b"), col("n"))
+    val totalRow = b.agg(countDistinct(col("basket")).as("n"))
+      .select(lit(null).cast("long").as("item_a"),
+        lit(null).cast("long").as("item_b"), col("n"))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      pairRows.limit(0).write.mode("overwrite").parquet(path) // empty bootstrap
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      pairRows.unionAll(itemRows).unionAll(totalRow)
+        .write.mode("overwrite").parquet(staging)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Frequent-pair report from a [[pairStoreAppend]] store: sum the
+    * per-batch counts, then the same thresholds/lift as
+    * [[frequentPairs]]. Equals a from-scratch [[frequentPairs]] run
+    * over the union of all appended batches (additivity — the oracle
+    * for q_copurchase_stored certifies it end-to-end). */
+  def frequentPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+                             path: String, minItemSupport: Long,
+                             minPairSupport: Long): DataFrame = {
+    val st = spark.read.parquet(path)
+    val pairs = st.filter(col("item_b").isNotNull)
+      .groupBy(col("item_a"), col("item_b")).agg(sum(col("n")).as("support"))
+      .filter(col("support") >= minPairSupport)
+    val items = st.filter(col("item_b").isNull && col("item_a").isNotNull)
+      .groupBy(col("item_a")).agg(sum(col("n")).as("supp"))
+      .filter(col("supp") >= minItemSupport)
+    val nBaskets = st.filter(col("item_a").isNull && col("item_b").isNull)
+      .agg(sum(col("n")).as("n_baskets"))
+    pairs
+      .join(items.select(col("item_a"), col("supp").as("supp_a")), "item_a")
+      .join(items.select(col("item_a").as("item_b"), col("supp").as("supp_b")),
+        "item_b")
+      .crossJoin(nBaskets)
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("supp_a"), col("supp_b"),
+        round(col("support").cast("double") * col("n_baskets")
+          / (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
+  }
+
   /** (item_a, item_b, support, supp_a, supp_b, lift) for every pair of
     * frequent items co-occurring in ≥ `minPairSupport` baskets.
     * lift = P(ab) / (P(a)·P(b)) = support·n_baskets / (supp_a·supp_b):

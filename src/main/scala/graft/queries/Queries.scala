@@ -4904,6 +4904,40 @@ object Queries {
        |WHERE a.c >= 5 AND b.c >= 5
        |ORDER BY w1, w2""".stripMargin)
 
+  /** q_copurchase through the INCREMENTAL pair-count store
+    * ([[graft.ops.Baskets.pairStoreAppend]]): the order log arrives in
+    * three basket-disjoint batches, each appending only its own counts
+    * (additive statistics — the PCA-moments lifecycle on retail data);
+    * the report sums the store and applies thresholds/lift. The oracle
+    * is the FULL-corpus mining SQL, so the equality certifies
+    * additivity end-to-end: never rescanning history costs nothing. */
+  val qCopurchaseStored: Q = "q_copurchase_stored" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "basket_pairs")
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      (0 until 3).foreach { i =>
+        graft.ops.Baskets.pairStoreAppend(
+          b.filter(pmod(col("basket"), lit(3)) === i), path, s"slice_$i")
+      }
+      graft.ops.Baskets.frequentPairsFromStore(s, path,
+          minItemSupport = 5, minPairSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      |f AS (SELECT item, CAST(count(*) AS BIGINT) AS supp FROM b
+      |  GROUP BY 1 HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item, f.supp FROM b JOIN f USING (item)),
+      |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+      |p AS (SELECT x.item AS item_a, y.item AS item_b,
+      |    x.supp AS supp_a, y.supp AS supp_b, CAST(count(*) AS BIGINT) AS support
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, support, supp_a, supp_b,
+      |  round(CAST(support AS DOUBLE) * n_baskets
+      |    / (CAST(supp_a AS DOUBLE) * supp_b), 6) AS lift
+      |FROM p, n ORDER BY item_a, item_b""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -4938,7 +4972,7 @@ object Queries {
     qUnigramTokens, qRandProj, qPcaIncremental, qTokenizerCard,
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qInterp, qRollingDau, qUserFeatures, qDqChecks,
-    qLookbackPartitioned, qMediaCard, qCooccur,
+    qLookbackPartitioned, qMediaCard, qCooccur, qCopurchaseStored,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,

@@ -35,6 +35,33 @@ class BasketsSpec extends SparkTestBase {
     assert(out((1L, 2L)) > 1.0, s"lift ${out((1L, 2L))}")
   }
 
+  test("incremental pair store: batch appends sum to the from-scratch mining; replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("basket_store").toString
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(25).toLong))
+    val b = rows.toDF("basket", "item")
+    // three basket-disjoint slices appended separately
+    (0 until 3).foreach { i =>
+      graft.ops.Baskets.pairStoreAppend(
+        b.filter(pmod($"basket", lit(3)) === i), dir, s"s$i")
+    }
+    val storeRows = spark.read.parquet(dir).count()
+    // replayed batch: marker makes it a no-op
+    graft.ops.Baskets.pairStoreAppend(
+      b.filter(pmod($"basket", lit(3)) === 1), dir, "s1")
+    assert(spark.read.parquet(dir).count() === storeRows)
+    val fromStore = graft.ops.Baskets
+      .frequentPairsFromStore(spark, dir, minItemSupport = 3, minPairSupport = 2)
+      .select("item_a", "item_b", "support", "supp_a", "supp_b", "lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val scratch = graft.ops.Baskets
+      .frequentPairs(b, "basket", "item", minItemSupport = 3, minPairSupport = 2)
+      .select("item_a", "item_b", "support", "supp_a", "supp_b", "lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(fromStore === scratch, "additive store report ≡ from-scratch mining")
+    assert(fromStore.nonEmpty)
+  }
+
   test("hot-basket guard drops the mega-basket's pair explosion, keeps the rest") {
     val normal = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L))
     // every mega item is FREQUENT (each also sits alone in its own
