@@ -36,10 +36,15 @@ object Baskets {
     * pairs per batch ≤ Σ L_b²). One table, one commit per batch: rows
     * are discriminated by shape — (item_a, item_b, n) pair counts,
     * (item_a, NULL, n) item supports, (NULL, NULL, n) basket count —
-    * so a batch's three statistics land atomically through a single
-    * [[Stores.appendCommit]] (no partial-batch mix on crash). Caller
-    * guarantees basket-disjointness across batchTags (the id-uniqueness
-    * contract every append store carries). */
+    * through a single [[Stores.appendCommit]]. The commit is
+    * exactly-once on COMPLETION (a retried crash converges to the
+    * identical file set), but a crash MID-rename can leave a readable
+    * store holding part of the batch's rows until the retry runs —
+    * reports between a crash and its retry would mix partial
+    * statistics, so the contract is the streaming loops': single
+    * writer per tag, retry a failed append before the next report.
+    * Caller guarantees basket-disjointness across batchTags (the
+    * id-uniqueness contract every append store carries). */
   def pairStoreAppend(baskets: DataFrame, path: String, batchTag: String): DataFrame = {
     val spark = baskets.sparkSession
     val b = baskets.select(col("basket"), col("item")).distinct()

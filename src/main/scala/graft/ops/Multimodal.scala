@@ -121,7 +121,11 @@ object Multimodal {
             if (fmt.getSampleSizeInBits == 16) {
               val (b0, b1) = (raw(off) & 0xff, raw(off + 1) & 0xff)
               val v = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
-              (if (v >= 0x8000) v - 0x10000 else v) / 32768.0
+              // unsigned stores silence at the 0x8000 midpoint — decode
+              // by center-shift, NOT two's complement, or a silent clip
+              // reads as maximally loud
+              if (fmt.getEncoding == PCM_UNSIGNED) (v - 0x8000) / 32768.0
+              else (if (v >= 0x8000) v - 0x10000 else v) / 32768.0
             } else { // 8-bit: unsigned center-128 by convention
               val v = raw(off) & 0xff
               if (fmt.getEncoding == PCM_UNSIGNED) (v - 128) / 128.0
@@ -205,12 +209,18 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling plan for video-like assets: every
-    * `stride`-th frame index up to `maxFrames`. Pure column expression. */
+    * `stride`-th frame index up to `maxFrames`. Pure column expression.
+    * The sequence generates ONLY the sampled indices (stepped, capped)
+    * — building the full 0..n_frames-1 array and filtering would
+    * materialize a multi-hundred-MB array per row once n_frames is a
+    * real decoded frame count (an hour at 44.1 kHz is 1.6e8 frames)
+    * instead of the old stub's ≤ 64. */
   def frameSamplePlan(features: DataFrame, stride: Int, maxFrames: Int): DataFrame =
     features.select(col("media_id"), col("n_frames"),
-      filter(
-        sequence(lit(0), col("n_frames") - 1),
-        i => i % stride === 0 && i < stride * maxFrames).as("sampled_frames"))
+      sequence(lit(0L),
+        least(col("n_frames").cast("long") - 1,
+          lit(stride.toLong * (maxFrames - 1))),
+        lit(stride.toLong)).as("sampled_frames"))
 
   /** Build a synthetic media table from the documents corpus (UTF-8 bytes
     * as payload) — test scaffolding for the binary pipeline. Text bytes

@@ -4667,9 +4667,15 @@ object Queries {
       val ev = Tables.events(s, d)
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"))
+      // views deduped to ONE row per (user, ts) — as-of ties among
+      // equal timestamps are engine-unspecified (Spark's operator and
+      // DuckDB's ASOF both pick arbitrarily), so the series must be
+      // unique per instant for the lerp to be deterministic; the
+      // representative is the (ts, event_id)-max event, the ordering
+      // discipline every other event query uses
       val v = ev.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts_us").as("v_ts"),
-          col("value").as("v_val"))
+        .groupBy(col("user_id").as("v_user"), col("ts_us").as("v_ts"))
+        .agg(max_by(col("value"), col("event_id")).as("v_val"))
       val prev = graft.ops.AsOf.join(p, v,
           Seq(p("user_id")), Seq(v("v_user")), p("ts_us"), v("v_ts"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
@@ -4690,8 +4696,9 @@ object Queries {
     },
     s"""WITH $EV,
        |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
-       |v AS (SELECT user_id AS v_user, ts_us AS v_ts, value AS v_val
-       |  FROM ev WHERE event_type = 'view'),
+       |v AS (SELECT user_id AS v_user, ts_us AS v_ts,
+       |    arg_max(value, event_id) AS v_val
+       |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
        |pv AS (SELECT p.event_id, p.user_id, p.ts_us, v.v_ts AS t0, v.v_val AS v0
        |  FROM p ASOF JOIN v ON p.user_id = v.v_user AND v.v_ts <= p.ts_us),
        |nx AS (SELECT p.event_id, v.v_ts AS t1, v.v_val AS v1
@@ -4786,6 +4793,9 @@ object Queries {
         .unionAll(check("orders_dup_orderkey",
           orders.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
             .as("violations"))))
+        // left_anti ≡ the oracle's NOT EXISTS under NULL foreign keys
+        // (both count a NULL-keyed row as an orphan); NOT IN would
+        // diverge — a single NULL in the subquery zeroes it
         .unionAll(check("orders_orphan_custkey",
           orders.join(cust, orders("o_custkey") === cust("c_custkey"),
               "left_anti")
@@ -4809,10 +4819,12 @@ object Queries {
        |    AS violations FROM orders
        |  UNION ALL SELECT 'orders_dup_orderkey',
        |    count(*) - count(DISTINCT o_orderkey) FROM orders
-       |  UNION ALL SELECT 'orders_orphan_custkey', count(*) FROM orders
-       |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-       |  UNION ALL SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem
-       |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       |  UNION ALL SELECT 'orders_orphan_custkey', count(*) FROM orders o
+       |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+       |      WHERE c.c_custkey = o.o_custkey)
+       |  UNION ALL SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+       |    WHERE NOT EXISTS (SELECT 1 FROM orders o2
+       |      WHERE o2.o_orderkey = l.l_orderkey)
        |  UNION ALL SELECT 'lineitem_nonpositive_qty',
        |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
        |  UNION ALL SELECT 'events_null_type',
@@ -4831,7 +4843,7 @@ object Queries {
   val qLookbackPartitioned: Q = "q_lookback_partitioned" -> (
     (s: SparkSession, d: String) => {
       val part = codebookPath(d, "events_by_day")
-      if (!new java.io.File(part, "_SUCCESS").isFile)
+      if (!graft.ops.Stores.exists(s, part, "_SUCCESS"))
         Tables.writeEventsPartitioned(s, d, part)
       Tables.eventsSincePartitioned(s, part, 1705708800000000L)
         .groupBy(col("event_type"))

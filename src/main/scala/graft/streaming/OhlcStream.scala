@@ -45,15 +45,22 @@ object OhlcStream {
           it.foreach { case (_, ts, v, eid) =>
             st =
               if (st == null) St(ts, eid, v, v, v, ts, eid, v, 1L)
-              else St(
-                if (ts < st.oTs || (ts == st.oTs && eid < st.oId)) ts else st.oTs,
-                if (ts < st.oTs || (ts == st.oTs && eid < st.oId)) eid else st.oId,
-                if (ts < st.oTs || (ts == st.oTs && eid < st.oId)) v else st.o,
-                math.max(st.hi, v), math.min(st.lo, v),
-                if (ts > st.cTs || (ts == st.cTs && eid > st.cId)) ts else st.cTs,
-                if (ts > st.cTs || (ts == st.cTs && eid > st.cId)) eid else st.cId,
-                if (ts > st.cTs || (ts == st.cTs && eid > st.cId)) v else st.c,
-                st.n + 1L)
+              else {
+                // one predicate per selection, shared by the key AND
+                // value fields — the "all three come from the winning
+                // event" invariant the batch min_by(struct) gives
+                val isOpen = ts < st.oTs || (ts == st.oTs && eid < st.oId)
+                val isClose = ts > st.cTs || (ts == st.cTs && eid > st.cId)
+                St(
+                  if (isOpen) ts else st.oTs,
+                  if (isOpen) eid else st.oId,
+                  if (isOpen) v else st.o,
+                  math.max(st.hi, v), math.min(st.lo, v),
+                  if (isClose) ts else st.cTs,
+                  if (isClose) eid else st.cId,
+                  if (isClose) v else st.c,
+                  st.n + 1L)
+              }
           }
           state.update(st)
           Iterator.single(Ohlc(key._1, key._2, st.o, st.hi, st.lo, st.c, st.n))

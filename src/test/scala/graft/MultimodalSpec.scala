@@ -85,7 +85,7 @@ class MultimodalSpec extends SparkTestBase {
       .digest("plain text".getBytes("UTF-8"))
     assert(rows(2L).width === 16 + (dig(0) & 0xff) * 4)
     assert(rows(2L).height === 16 + (dig(1) & 0xff) * 4)
-    assert(!rows(3L).decoded, "audio has no in-JDK codec — stub path")
+    assert(!rows(3L).decoded, "PNG bytes are not decodable audio — fallback path")
     assert(rows(3L).n_bytes === realPng.length.toLong)
   }
 

@@ -93,7 +93,7 @@ class TextOpsSpec extends SparkTestBase {
     assert(rows(0L).sha256.length === 64)
     val sampled = Multimodal.frameSamplePlan(feats.toDF(), stride = 4, maxFrames = 8)
       .filter(col("media_id") === 2L)
-      .select(col("sampled_frames")).as[Seq[Int]].head()
+      .select(col("sampled_frames")).as[Seq[Long]].head()
     assert(sampled.forall(_ % 4 == 0), "stride sampling")
     assert(sampled.size <= 8, "frame cap")
   }
