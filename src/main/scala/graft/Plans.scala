@@ -38,7 +38,10 @@ object Plans {
         "q_cohort", "q_funnel_steps", "q_resample", "q_ngram_prefix",
         "q_rolling_z", "q_rate_limit", "q_funnel_windowed",
         "q_tokenizer_card", "q_copurchase", "q_transitions", "q_attribution",
-        "q_ohlc", "q_source_overlap", "q_rfm", "q_interp", "q_multimodal")
+        "q_ohlc", "q_source_overlap", "q_rfm", "q_interp", "q_multimodal",
+        "q_cooccur", "q_copurchase_stored", "q_rolling_dau",
+        "q_user_features", "q_dq_checks", "q_lookback_partitioned",
+        "q_media_card")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
