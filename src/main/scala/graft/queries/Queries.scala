@@ -4950,6 +4950,73 @@ object Queries {
       |    / (CAST(supp_a AS DOUBLE) * supp_b), 6) AS lift
       |FROM p, n ORDER BY item_a, item_b""".stripMargin)
 
+  /** Exact EDIT-DISTANCE near-dup — the LSH-then-verify shape with true
+    * Levenshtein as the verifier: SimHash pigeonhole banding (exact
+    * recall at hamming ≤ 6) bounds the candidate set, then the
+    * THRESHOLDED Levenshtein kernel (banded DP, O(len·k) not O(len²);
+    * returns −1 above the bound, so the engine never fills the full
+    * matrix) verifies only candidates. At 100 TB the edit-distance
+    * work is candidates × bounded-band DP — the banding does the
+    * pruning, the verify does character-exact truth. The oracle
+    * replays the signature + hamming prune and applies plain
+    * levenshtein to the survivors. */
+  val qEditDup: Q = "q_editdup" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.simhashNearDup(docs, maxHamming = 6)
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"),
+          levenshtein(col("t_a"), col("t_b"), 40).as("ed"))
+        .filter(col("ed") >= 0 && col("ed") <= 40)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          col("ed").cast("long").as("edit_dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(list_distinct($TOKS), tk ->
+       |      CAST('0x' || substr(md5('0' || tk), 1, 15) AS BIGINT)) AS th
+       |  FROM documents),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), i ->
+       |    CASE WHEN list_sum(list_transform(th, h ->
+       |        CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh
+       |  FROM t),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 6)
+       |SELECT c.id_a, c.id_b, c.hamming,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.id_a
+       |JOIN documents db ON db.doc_id = c.id_b
+       |WHERE levenshtein(da.text, db.text) <= 40
+       |ORDER BY id_a, id_b""".stripMargin)
+
+  /** Salted two-phase aggregation over a HOT-KEY distribution — the
+    * skew-mitigation path ([[graft.ops.SkewJoin.saltedSum]]) as a
+    * graded query: event_type has a handful of values, so an unsalted
+    * sum funnels each key through one reducer; salting spreads each
+    * key over 8 partial sums that a second tiny aggregation folds.
+    * Values sum in DECIMAL so partial-order differences cannot move a
+    * bit — the salted result must hash-match the plain-sum oracle
+    * exactly. */
+  val qSaltedSum: Q = "q_salted_sum" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), dec(col("value")).as("v"))
+      graft.ops.SkewJoin.saltedSum(ev, Seq("event_type"), "v",
+          salts = 8, resultName = "total")
+        .select(col("event_type"), col("total").cast("double").as("total"))
+        .orderBy(col("event_type"))
+    },
+    s"""WITH $EV
+       |SELECT event_type,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -4985,6 +5052,7 @@ object Queries {
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qInterp, qRollingDau, qUserFeatures, qDqChecks,
     qLookbackPartitioned, qMediaCard, qCooccur, qCopurchaseStored,
+    qEditDup, qSaltedSum,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
