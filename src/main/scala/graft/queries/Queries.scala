@@ -5017,6 +5017,48 @@ object Queries {
        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
        |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin)
 
+  /** SCD TYPE-2 history build — the warehouse dimension-maintenance
+    * shape, derived straight from the event stream: one row per
+    * (user, value run) with effective [from, to] bounds, open rows
+    * closed at the 9999-12-31 sentinel (no NULL bounds — interval
+    * queries stay BETWEEN-able). Two window passes over ONE exchange:
+    * the change filter's lag and the run-closing lead share the
+    * (user, ts, event id) sort order, so Catalyst plans a single
+    * partition+sort serving both. Doubles are only COMPARED and
+    * carried, never combined — hash-safe. */
+  val qScd2: Q = "q_scd2" -> (
+    (s: SparkSession, d: String) => {
+      val endUs = 253402300799999999L // 9999-12-31T23:59:59.999999Z
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .filter(col("value").isNotNull)
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .filter(col("pv").isNull || col("pv") =!= col("value"))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("ts_us"), 1).over(w) - 1, lit(endUs)))
+        .select(col("user_id"), col("value"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"),
+          when(col("valid_to_us") === endUs, 1L).otherwise(0L).as("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    },
+    s"""WITH $EV,
+       |v AS (SELECT user_id, event_id, ts_us, value,
+       |    lag(value) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS pv
+       |  FROM ev WHERE value IS NOT NULL),
+       |ch AS (SELECT user_id, event_id, ts_us, value FROM v
+       |  WHERE pv IS NULL OR pv <> value),
+       |h AS (SELECT user_id, value, ts_us AS valid_from_us,
+       |    COALESCE(lead(ts_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) - 1, 253402300799999999) AS valid_to_us
+       |  FROM ch)
+       |SELECT user_id, value, valid_from_us, valid_to_us,
+       |  CAST(CASE WHEN valid_to_us = 253402300799999999
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+       |FROM h ORDER BY user_id, valid_from_us""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -5052,7 +5094,7 @@ object Queries {
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qInterp, qRollingDau, qUserFeatures, qDqChecks,
     qLookbackPartitioned, qMediaCard, qCooccur, qCopurchaseStored,
-    qEditDup, qSaltedSum,
+    qEditDup, qSaltedSum, qScd2,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
