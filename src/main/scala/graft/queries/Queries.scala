@@ -4957,13 +4957,18 @@ object Queries {
     * returns −1 above the bound, so the engine never fills the full
     * matrix) verifies only candidates. At 100 TB the edit-distance
     * work is candidates × bounded-band DP — the banding does the
-    * pruning, the verify does character-exact truth. The oracle
+    * pruning, the verify does character-exact truth. The hamming
+    * bound stays TIGHT (3 ⇒ 12-bit chunks, 4096 buckets each): at 6
+    * the chunks shrink to 6 bits / 64 buckets and the same-bucket
+    * candidate volume went n²/64-shaped — measured 7.3 s vs 1.5 s at
+    * sf0.1, exactly the steep-growth warning on the operator. The
+    * oracle
     * replays the signature + hamming prune and applies plain
     * levenshtein to the survivors. */
   val qEditDup: Q = "q_editdup" -> (
     (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
-      val cand = Dedup.simhashNearDup(docs, maxHamming = 6)
+      val cand = Dedup.simhashNearDup(docs, maxHamming = 3)
       cand
         .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
         .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
@@ -4986,7 +4991,7 @@ object Queries {
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sh, b.sh)) <= 6)
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
        |SELECT c.id_a, c.id_b, c.hamming,
        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
        |FROM cand c
