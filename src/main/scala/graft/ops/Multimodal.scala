@@ -169,15 +169,24 @@ object Multimodal {
     * to a codec: at corpus scale most undecodable payloads (mislabeled
     * rows, truncated uploads) fail HERE in a few comparisons instead of
     * paying a full reader-probe + exception per row (measured: the
-    * probe-everything path cost q_multimodal 2.1× at sf0.1). Purely an
-    * optimization — the decoders keep their own try/catch, so a sniff
-    * false-positive still falls back safely. */
+    * probe-everything path cost q_multimodal 2.1× at sf0.1). Contract:
+    * a sniff FALSE POSITIVE falls back safely through the decoder's
+    * try/catch; a format OUTSIDE the sniffed set takes the stub
+    * fallback even if some exotic reader could have decoded it — the
+    * list below covers every container the stock JDK readers accept
+    * (PNG/JPEG/GIF/BMP/TIFF; WBMP is headerless and excluded by
+    * design), and extending decode support means extending this list
+    * in the same commit. */
   private def looksLikeImage(b: Array[Byte]): Boolean =
     b.length >= 4 && (
       (b(0) == 0x89.toByte && b(1) == 'P'.toByte) ||            // PNG
       (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||           // JPEG
       (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // GIF
-      (b(0) == 'B'.toByte && b(1) == 'M'.toByte))               // BMP
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||             // BMP
+      (b(0) == 'I'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 0x2A.toByte && b(3) == 0.toByte) ||             // TIFF LE
+      (b(0) == 'M'.toByte && b(1) == 'M'.toByte &&
+        b(2) == 0.toByte && b(3) == 0x2A.toByte))               // TIFF BE
 
   private def looksLikeAudio(b: Array[Byte]): Boolean =
     (b.length >= 12 &&

@@ -4952,7 +4952,7 @@ object Queries {
 
   /** Exact EDIT-DISTANCE near-dup — the LSH-then-verify shape with true
     * Levenshtein as the verifier: SimHash pigeonhole banding (exact
-    * recall at hamming ≤ 6) bounds the candidate set, then the
+    * recall at the hamming ≤ 3 bound) bounds the candidate set, then the
     * THRESHOLDED Levenshtein kernel (banded DP, O(len·k) not O(len²);
     * returns −1 above the bound, so the engine never fills the full
     * matrix) verifies only candidates. At 100 TB the edit-distance
@@ -4969,11 +4969,17 @@ object Queries {
     (s: SparkSession, d: String) => {
       val docs = Tables.documents(s, d)
       val cand = Dedup.simhashNearDup(docs, maxHamming = 3)
+      // distance over the ASCII PROJECTION (non-ASCII → '?'): Spark's
+      // levenshtein counts codepoints, DuckDB's counts BYTES — they
+      // agree only on ASCII, so both sides project first ('é' vs 'e'
+      // is 1 edit in Spark, 2 in DuckDB; the projection makes it 1
+      // everywhere and keeps the oracle valid on any future corpus)
+      def ascii(c: Column) = regexp_replace(c, "[^\\p{ASCII}]", "?")
       cand
         .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
         .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"),
-          levenshtein(col("t_a"), col("t_b"), 40).as("ed"))
+          levenshtein(ascii(col("t_a")), ascii(col("t_b")), 40).as("ed"))
         .filter(col("ed") >= 0 && col("ed") <= 40)
         .select(col("id_a"), col("id_b"), col("hamming"),
           col("ed").cast("long").as("edit_dist"))
@@ -4993,11 +4999,13 @@ object Queries {
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
        |SELECT c.id_a, c.id_b, c.hamming,
-       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |  CAST(levenshtein(regexp_replace(da.text, '[^[:ascii:]]', '?', 'g'),
+       |    regexp_replace(db.text, '[^[:ascii:]]', '?', 'g')) AS BIGINT) AS edit_dist
        |FROM cand c
        |JOIN documents da ON da.doc_id = c.id_a
        |JOIN documents db ON db.doc_id = c.id_b
-       |WHERE levenshtein(da.text, db.text) <= 40
+       |WHERE levenshtein(regexp_replace(da.text, '[^[:ascii:]]', '?', 'g'),
+       |  regexp_replace(db.text, '[^[:ascii:]]', '?', 'g')) <= 40
        |ORDER BY id_a, id_b""".stripMargin)
 
   /** Salted two-phase aggregation over a HOT-KEY distribution — the

@@ -13,10 +13,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * pairs (states²-sized), or a batch count over the sink.
   *
   * Ordering contract: transitions are defined by each user's event
-  * ORDER, so the stream assumes per-user in-order delivery across
+  * ORDER, so the stream expects per-user in-order delivery across
   * micro-batches (the [[FunnelStream]] contract); within a batch
   * events are sorted by (ts, event id) before folding, so any
-  * within-batch arrival order is fine. */
+  * within-batch arrival order is fine. The contract is ENFORCED, not
+  * assumed: the state keeps the last event's (ts, event id), and a
+  * cross-batch late event (at-or-before the stored position) is
+  * DROPPED instead of emitting a wrong-order transition — the same
+  * drop-late discipline a watermark would impose. */
 object TransitionStream {
 
   case class Transition(user_id: Long, from_type: String, to_type: String,
@@ -41,8 +45,13 @@ object TransitionStream {
           var last = state.getOption.orNull
           val out = scala.collection.mutable.ListBuffer.empty[Transition]
           it.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, ts, tp, eid) =>
-            if (last != null) out += Transition(uid, last._3, tp, ts)
-            last = (ts, eid, tp)
+            // enforce the in-order contract: a late arrival (at-or-
+            // before the stored last position) cannot define a forward
+            // transition — drop it rather than emit a wrong-order pair
+            if (last == null || ts > last._1 || (ts == last._1 && eid > last._2)) {
+              if (last != null) out += Transition(uid, last._3, tp, ts)
+              last = (ts, eid, tp)
+            }
           }
           if (last != null) state.update(last)
           out.iterator

@@ -51,4 +51,29 @@ class TransitionStreamSpec extends SparkTestBase {
       s"stream transitions ${got.toMap} vs batch $batchTruth")
     assert(got.values.sum === events.size - 7L, "one transition per event after each user's first")
   }
+
+  test("cross-batch late arrival is dropped, not emitted as a wrong-order transition") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val emitted = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val q = graft.streaming.TransitionStream.transitions(
+        mem.toDF().toDF("user_id", "ts_us", "event_type", "event_id"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.TransitionStream.Transition], _: Long) =>
+        b.collect().foreach(t => emitted += ((t.from_type, t.to_type))); ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("trans-late-ckpt").toString)
+      .start()
+    try {
+      mem.addData((1L, 1000L, "signup", 1L), (1L, 2000L, "view", 2L))
+      q.processAllAvailable()
+      // late: ts 1500 arrives AFTER the user advanced to 2000 — dropped
+      mem.addData((1L, 1500L, "click", 3L), (1L, 3000L, "purchase", 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.toList === List(("signup", "view"), ("view", "purchase")),
+      s"late click must vanish: $emitted")
+  }
 }
