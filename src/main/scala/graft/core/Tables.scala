@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    readPath(spark, s"$sfDir/$name.parquet")
+
+  /** Single entry point for every parquet scan this object issues —
+    * session-level read conf lives here, not at call sites. */
+  private[graft] def readPath(spark: SparkSession, path: String): DataFrame = {
     // nanosAsLong is session-level; ensure it even if the caller built a
     // bare session (harmless if already set).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.read.parquet(path)
   }
 
   /** Scan with a parallelism floor for CPU-heavy downstream pipelines.
@@ -98,13 +103,27 @@ object Tables {
     }
 
   /** UTC day of the stored ts, in the file's own encoding — the
-    * partition key [[writeEventsPartitioned]] lays the log out by. */
+    * partition key [[writeEventsPartitioned]] lays the log out by.
+    *
+    * Deliberately SESSION-TIMEZONE-FREE: the key is pure epoch-day
+    * arithmetic (`date_from_unix_date(epoch_us DIV 86_400e6)`), never
+    * `to_date(timestamp)` — the latter converts through the session
+    * timezone, so a bare non-UTC session would lay the log out on
+    * shifted day boundaries and [[eventsSincePartitioned]]'s UTC
+    * cutoff could then prune a directory still holding rows at/after
+    * the cutoff (silent row loss). `unix_micros` reads the instant's
+    * UTC micros regardless of session tz; NTZ wall-times are treated
+    * as UTC (the corpus convention). Domain is post-1970, so integer
+    * DIV ≡ floor here. */
   private def storedTsDay(raw: DataFrame): org.apache.spark.sql.Column =
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        to_date(timestamp_micros(expr("ts DIV 1000")))
-      case _ =>
-        to_date(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.LongType => // raw nanos
+        expr("date_from_unix_date(CAST(ts DIV 86400000000000 AS INT))")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→date is wall-clock truncation, tz-free by construction
+        to_date(col("ts"))
+      case _ => // instant-typed: unix_micros is tz-free
+        expr("date_from_unix_date(CAST(unix_micros(ts) DIV 86400000000 AS INT))")
     }
 
   /** Rewrite the flat events file into the `dt=<DATE>`-partitioned
@@ -130,11 +149,13 @@ object Tables {
     * PartitionPruneSpec asserts both filters and the strict-subset
     * directory read on each ts encoding. */
   def eventsSincePartitioned(s: SparkSession, path: String, cutoffUs: Long): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(path)
+    val raw = readPath(s, path)
     val cutoffDay = java.time.LocalDate.ofEpochDay(
       Math.floorDiv(cutoffUs, 86400000000L))
-    val pruned = raw.filter(col("dt") >= lit(java.sql.Date.valueOf(cutoffDay)))
+    // LocalDate literal: a DateType value is a plain epoch-day count, so
+    // the partition-filter compare is tz-free end to end (the dt key
+    // itself is tz-free — see storedTsDay).
+    val pruned = raw.filter(col("dt") >= lit(cutoffDay))
     normalizeEvents(storedTsAtLeast(pruned, cutoffUs)).drop("dt")
   }
 

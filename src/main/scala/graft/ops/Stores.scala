@@ -57,8 +57,16 @@ object Stores {
     val fs = fileSystem(spark, path)
     val store = new HPath(path)
     val marker = new HPath(store, s"_appended_$batchTag")
-    if (fs.exists(marker)) return
     val staging = new HPath(store, s"_staging_$batchTag")
+    if (fs.exists(marker)) {
+      // Redelivery after a crash BETWEEN step 5's marker create and the
+      // staging delete would otherwise leak the staged copy forever
+      // (the underscore prefix hides it from reads, so nothing else
+      // ever reclaims it). The delete is idempotent and still behind
+      // the marker, so the commit semantics are unchanged.
+      fs.delete(staging, true)
+      return
+    }
     write(staging.toString)
     val prefix = s"append-$batchTag-"
     def dataFilesUnder(root: HPath): Seq[(HPath, String)] = {

@@ -4817,18 +4817,22 @@ object Queries {
        |  SELECT 'orders_null_custkey' AS "check", CAST(
        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS violations FROM orders
-       |  UNION ALL SELECT 'orders_dup_orderkey',
-       |    count(*) - count(DISTINCT o_orderkey) FROM orders
-       |  UNION ALL SELECT 'orders_orphan_custkey', count(*) FROM orders o
+       |  UNION ALL SELECT 'orders_dup_orderkey', CAST(
+       |    count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+       |  UNION ALL SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+       |    FROM orders o
        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
        |      WHERE c.c_custkey = o.o_custkey)
-       |  UNION ALL SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+       |  UNION ALL SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT)
+       |    FROM lineitem l
        |    WHERE NOT EXISTS (SELECT 1 FROM orders o2
        |      WHERE o2.o_orderkey = l.l_orderkey)
-       |  UNION ALL SELECT 'lineitem_nonpositive_qty',
-       |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
-       |  UNION ALL SELECT 'events_null_type',
-       |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) FROM ev)
+       |  UNION ALL SELECT 'lineitem_nonpositive_qty', CAST(
+       |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM lineitem
+       |  UNION ALL SELECT 'events_null_type', CAST(
+       |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM ev)
        |ORDER BY "check"""".stripMargin)
 
   /** q_lookback on the PARTITIONED layout — the 100 TB pruning story as

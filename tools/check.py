@@ -36,10 +36,27 @@ for name, sql in sorted(oracle.items()):
         print(f"  {name}: ROWS {len(sdf)} vs {len(odf)}"); fails.append(name); continue
     s = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
     o = odf.sort_values(list(odf.columns)).reset_index(drop=True)
-    try:
-        o = o.astype(s.dtypes.to_dict())
-    except Exception as e:
-        print(f"  {name}: DTYPE {s.dtypes.to_dict()} vs {o.dtypes.to_dict()} ({e})")
+    # Dtype gate (mirrors the driver's value-hash strictness): a dtype
+    # mismatch is a FAILURE unless it is a benign same-kind widening
+    # (int32 vs int64, float32 vs float64) — those we upcast and compare.
+    # A float-vs-int gap (e.g. DuckDB HUGEINT -> pandas float64 vs Spark
+    # int64) must fail locally, because the driver's hash fails on it.
+    dtype_bad = []
+    for c in s.columns:
+        sk, ok = s[c].dtype.kind, o[c].dtype.kind
+        if s[c].dtype == o[c].dtype:
+            continue
+        if sk in "iu" and ok in "iu":
+            s[c] = s[c].astype("int64"); o[c] = o[c].astype("int64")
+        elif sk == "f" and ok == "f":
+            s[c] = s[c].astype("float64"); o[c] = o[c].astype("float64")
+        elif sk == "M" and ok == "M":
+            s[c] = s[c].astype("datetime64[us]")
+            o[c] = o[c].astype("datetime64[us]")
+        else:
+            dtype_bad.append((c, str(s[c].dtype), str(o[c].dtype)))
+    if dtype_bad:
+        print(f"  {name}: DTYPE {dtype_bad} (spark vs oracle)")
         fails.append(name); continue
     eq = s.equals(o)
     if not eq:
