@@ -52,12 +52,17 @@ object Baskets {
         col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
       .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
       .agg(count(lit(1)).as("n"))
+    // The NULL discriminators must carry the batch's OWN item dtype —
+    // a hard-coded cast("long") breaks string-SKU catalogs (the union
+    // would widen item_a to string on one branch and fail or coerce on
+    // the other).
+    val itemType = b.schema("item").dataType
+    val nullItem = lit(null).cast(itemType)
     val itemRows = b.groupBy(col("item").as("item_a"))
       .agg(count(lit(1)).as("n"))
-      .select(col("item_a"), lit(null).cast("long").as("item_b"), col("n"))
+      .select(col("item_a"), nullItem.as("item_b"), col("n"))
     val totalRow = b.agg(countDistinct(col("basket")).as("n"))
-      .select(lit(null).cast("long").as("item_a"),
-        lit(null).cast("long").as("item_b"), col("n"))
+      .select(nullItem.as("item_a"), nullItem.as("item_b"), col("n"))
     if (!Stores.exists(spark, path, "_SUCCESS"))
       pairRows.limit(0).write.mode("overwrite").parquet(path) // empty bootstrap
     Stores.appendCommit(spark, path, batchTag) { staging =>

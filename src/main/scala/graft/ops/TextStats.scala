@@ -344,9 +344,21 @@ object TextStats {
     * consumers — persisted MEMORY_AND_DISK, caller-owned lifetime
     * (clearCache between units of work, the tokenTable convention). */
   def cooccurrence(docs: DataFrame, window: Int, minCount: Long,
-                   minPair: Long, textCol: String = "text"): DataFrame = {
+                   minPair: Long, textCol: String = "text"): DataFrame =
+    cooccurrenceTokens(
+      docs.select(Text.tokens(col(textCol)).as("ts")),
+      window, minCount, minPair, tokensCol = "ts")
+
+  /** [[cooccurrence]] over a PRE-TOKENIZED corpus (`tokensCol` is an
+    * array&lt;string&gt; column): pipelines that already hold a token
+    * table (tokenizer training, packing, dedup shingling) feed it here
+    * directly instead of paying a second tokenize-and-persist of the
+    * raw text — the same one-pass persist then applies to the shared
+    * token table, not a private copy. */
+  def cooccurrenceTokens(docs: DataFrame, window: Int, minCount: Long,
+                         minPair: Long, tokensCol: String): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val toks = docs.select(Text.tokens(col(textCol)).as("ts"))
+    val toks = docs.select(col(tokensCol).as("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = (1 to window).map { k =>
       toks.select(explode(zip_with(col("ts"),

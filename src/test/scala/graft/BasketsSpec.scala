@@ -62,6 +62,22 @@ class BasketsSpec extends SparkTestBase {
     assert(fromStore.nonEmpty)
   }
 
+  test("string-SKU catalog: the store's NULL discriminators carry the item dtype") {
+    val dir = java.nio.file.Files.createTempDirectory("basket_sku").toString
+    val b = Seq(
+      (1L, "SKU-A"), (1L, "SKU-B"), (2L, "SKU-A"), (2L, "SKU-B"),
+      (3L, "SKU-A"), (3L, "SKU-B"), (3L, "SKU-C")).toDF("basket", "item")
+    graft.ops.Baskets.pairStoreAppend(b, dir, "b0")
+    val st = spark.read.parquet(dir)
+    assert(st.schema("item_a").dataType ===
+      org.apache.spark.sql.types.StringType, "store keeps the SKU dtype")
+    val got = graft.ops.Baskets
+      .frequentPairsFromStore(spark, dir, minItemSupport = 2, minPairSupport = 2)
+      .select("item_a", "item_b", "support")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("SKU-A", "SKU-B", 3L)), s"got $got")
+  }
+
   test("hot-basket guard drops the mega-basket's pair explosion, keeps the rest") {
     val normal = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L))
     // every mega item is FREQUENT (each also sits alone in its own

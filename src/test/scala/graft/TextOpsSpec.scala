@@ -225,4 +225,19 @@ class TextOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
   }
+  test("cooccurrenceTokens over a pre-tokenized corpus equals the text path") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick dog naps while the brown fox runs",
+      "lazy afternoons suit the lazy dog best").toDF("text")
+    val fromText = TextStats.cooccurrence(docs, window = 2,
+        minCount = 2, minPair = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val tokenized = docs.select(Text.tokens(col("text")).as("toks"))
+    val fromTokens = TextStats.cooccurrenceTokens(tokenized, window = 2,
+        minCount = 2, minPair = 2, tokensCol = "toks")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromText.nonEmpty && fromTokens === fromText,
+      "the tokens overload must be value-identical to the text path")
+  }
 }
