@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Feature row produced by the decoder. `decoded` = a real codec ran;
-    * false = the byte-derived stub fallback (audio/video, or bytes that
-    * no installed image reader accepts). */
+  /** Feature row produced by the decoder. `decoded` = the emitted
+    * metadata/features were genuinely parsed from the bytes (ImageIO
+    * pixels, sampled-audio PCM, or an AVI/MP4 container-header walk —
+    * for video the width/height/n_frames/duration are real but PIXEL
+    * features are not, the JDK ships no codec); false = the sha-derived
+    * stub fallback for bytes nothing could parse. */
   final case class MediaFeatures(
       media_id: Long,
       modality: String,
@@ -201,12 +204,146 @@ object Multimodal {
       b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte &&
       b(3) == 'd'.toByte)                                       // AU
 
+  /** REAL video container metadata, parsed from the bytes themselves —
+    * no codec needed (the JDK ships none), because dimensions, frame
+    * count, duration and codec id live in the CONTAINER headers, which
+    * are plain length-prefixed byte structures:
+    *
+    *  - RIFF/AVI: chunk walk to `LIST hdrl` → `avih` (µs-per-frame,
+    *    total frames, width, height) and `LIST strl` → `strh` with
+    *    fccType `vids` for the codec fourcc;
+    *  - MP4 / ISO BMFF: box walk (`size`+`type`, 64-bit largesize
+    *    honored) to `moov/mvhd` (timescale+duration → µs) and the
+    *    `vide`-handler `trak` (tkhd 16.16 width/height, stbl/stsz
+    *    sample count, stsd first-entry fourcc).
+    *
+    * So only the PIXEL features remain stubbed for video; the metadata
+    * a curation pipeline filters on (resolution, duration, codec,
+    * frame count) is real. Returns None for anything that does not
+    * parse as one of the two containers — the caller falls back to the
+    * loud stub, same as undecodable image/audio bytes. */
+  def parseVideoContainer(bytes: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (bytes.length >= 12 && fourccAt(bytes, 0) == "RIFF" &&
+        fourccAt(bytes, 8) == "AVI ") parseAvi(bytes)
+      else if (bytes.length >= 12 && fourccAt(bytes, 4) == "ftyp") parseMp4(bytes)
+      else None
+    } catch { case _: Exception => None } // truncated/corrupt header
+
+  /** Container-level video metadata (no pixels decoded). */
+  final case class VideoMeta(width: Int, height: Int, nFrames: Int,
+                             durationUs: Long, fourcc: String)
+
+  private def fourccAt(b: Array[Byte], off: Int): String =
+    if (off + 4 > b.length) ""
+    else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def u64be(b: Array[Byte], off: Int): Long =
+    (u32be(b, off) << 32) | u32be(b, off + 4)
+
+  /** RIFF chunk walk: `[fourcc][size u32 LE][data]`, data padded to an
+    * even boundary; `LIST` chunks carry a list-type fourcc then
+    * sub-chunks. One linear pass collects avih + the `vids` strh. */
+  private def parseAvi(b: Array[Byte]): Option[VideoMeta] = {
+    var avih: Option[Int] = None          // payload offset
+    var vidsFourcc: Option[String] = None
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fourccAt(b, off)
+        val size = u32le(b, off + 4).toInt
+        val payload = off + 8
+        if (size < 0 || payload + size > to) return // truncated: stop cleanly
+        if (id == "LIST" && size >= 4) {
+          // list type fourcc, then sub-chunks
+          walk(payload + 4, payload + size)
+        } else if (id == "avih") avih = Some(payload)
+        else if (id == "strh" && size >= 8 && fourccAt(b, payload) == "vids")
+          vidsFourcc = Some(fourccAt(b, payload + 4))
+        off = payload + size + (size & 1) // even padding
+      }
+    }
+    walk(12, math.min(b.length, 12 + u32le(b, 4).toInt + 8))
+    avih.collect { case a if a + 40 <= b.length =>
+      val usPerFrame = u32le(b, a)
+      val nFrames = u32le(b, a + 16).toInt
+      VideoMeta(
+        width = u32le(b, a + 32).toInt, height = u32le(b, a + 36).toInt,
+        nFrames = nFrames, durationUs = usPerFrame * nFrames,
+        fourcc = vidsFourcc.getOrElse("????"))
+    }
+  }
+
+  /** ISO BMFF box walk. Boxes are `[size u32 BE][type 4cc]`; size 1 →
+    * 64-bit largesize follows; size 0 → box runs to the end. Containers
+    * (moov/trak/mdia/minf/stbl) nest plain box sequences, so one
+    * recursive walker covers the whole tree. */
+  private def parseMp4(b: Array[Byte]): Option[VideoMeta] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var durationUs = 0L
+    // per-trak candidates; committed when the trak's handler is `vide`
+    var w = 0; var h = 0; var frames = 0; var fcc = "????"
+    var tW = 0; var tH = 0; var tFrames = 0; var tFcc = "????"; var tVide = false
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val size32 = u32be(b, off)
+        val typ = fourccAt(b, off + 4)
+        val (payload, end) =
+          if (size32 == 1 && off + 16 <= to) (off + 16L, off + u64be(b, off + 8))
+          else if (size32 == 0) (off + 8L, to.toLong)
+          else (off + 8L, off + size32)
+        if (end > to || end <= off) return // corrupt: stop cleanly
+        val p = payload.toInt
+        typ match {
+          case t if containers(t) =>
+            if (t == "trak") { tW = 0; tH = 0; tFrames = 0; tFcc = "????"; tVide = false }
+            walk(p, end.toInt)
+            if (t == "trak" && tVide) { w = tW; h = tH; frames = tFrames; fcc = tFcc }
+          case "mvhd" if p < end =>
+            val v = b(p) & 0xff
+            val (ts, dur) =
+              if (v == 1) (u32be(b, p + 20), u64be(b, p + 24))
+              else (u32be(b, p + 12), u32be(b, p + 16))
+            if (ts > 0) durationUs = dur * 1000000L / ts
+          case "tkhd" if p < end =>
+            val v = b(p) & 0xff
+            val base = if (v == 1) p + 88 else p + 76 // 16.16 fixed width/height
+            if (base + 8 <= end) {
+              tW = (u32be(b, base) >> 16).toInt
+              tH = (u32be(b, base + 4) >> 16).toInt
+            }
+          case "hdlr" if p + 12 <= end =>
+            if (fourccAt(b, p + 8) == "vide") tVide = true
+          case "stsz" if p + 12 <= end =>
+            tFrames = u32be(b, p + 8).toInt // sample_count
+          case "stsd" if p + 20 <= end =>
+            tFcc = fourccAt(b, p + 12) // first sample entry's format
+          case _ => ()
+        }
+        off = end.toInt
+      }
+    }
+    walk(0, b.length)
+    if (w > 0 && h > 0) Some(VideoMeta(w, h, frames, durationUs, fcc)) else None
+  }
+
   /** Decode one asset: real ImageIO path for images, real sampled-audio
-    * path for audio, stub fallback otherwise (video has no in-JDK
-    * codec; undecodable bytes fall through on every modality — most at
-    * the magic-byte sniff, the rest in the decoder's own try/catch).
-    * Audio maps (sampleRate, channels) into the width/height metadata
-    * slots and its frame count into n_frames. */
+    * path for audio, real CONTAINER-HEADER parse for AVI/MP4 video
+    * (metadata only — pixel features stay stubbed, the JDK ships no
+    * codec), stub fallback otherwise (undecodable bytes fall through on
+    * every modality — most at the magic-byte sniff, the rest in the
+    * decoder's own try/catch). Audio maps (sampleRate, channels) into
+    * the width/height metadata slots and its frame count into
+    * n_frames. */
   def decode(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
     def sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map("%02x".format(_)).mkString
@@ -224,6 +361,20 @@ object Multimodal {
           MediaFeatures(mediaId, modality, bytes.length.toLong, sha,
             width = rate, height = channels, n_frames = nFrames,
             decoded = true, feature = feat)
+        case None => byteFeatures(mediaId, modality, bytes)
+      }
+      case "video" => parseVideoContainer(bytes) match {
+        case Some(m) =>
+          // every emitted value is parsed or arithmetic over parsed
+          // values — duration (s), fps, mean bytes/frame: the triage
+          // features a curation filter runs before any pixel work
+          val durS = m.durationUs / 1e6
+          MediaFeatures(mediaId, modality, bytes.length.toLong, sha,
+            width = m.width, height = m.height, n_frames = m.nFrames,
+            decoded = true,
+            feature = Array(durS.toFloat,
+              (if (durS > 0) m.nFrames / durS else 0.0).toFloat,
+              (bytes.length.toDouble / math.max(m.nFrames, 1)).toFloat))
         case None => byteFeatures(mediaId, modality, bytes)
       }
       case _ => byteFeatures(mediaId, modality, bytes)

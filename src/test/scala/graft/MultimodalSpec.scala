@@ -157,4 +157,98 @@ class MultimodalSpec extends SparkTestBase {
       .select("n_id").as[Long].head()
     assert(top1 === 11L, "nearest neighbor of 10 must be its near-dup 11")
   }
+  // ---- synthetic video containers (real header layouts, no codec data)
+
+  /** Minimal but structurally-true AVI: RIFF('AVI ') with LIST(hdrl)
+    * holding avih (µs/frame, totalFrames, w, h) and LIST(strl)→strh
+    * (fccType 'vids', handler fourcc). */
+  private def aviBytes(w: Int, h: Int, nFrames: Int, usPerFrame: Int,
+                       fourcc: String): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => bb.write(((v >> (8 * i)) & 0xff).toInt))
+    val avih = { // 56-byte main header payload
+      val a = new Array[Byte](56)
+      def put(off: Int, v: Long): Unit =
+        (0 until 4).foreach(i => a(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      put(0, usPerFrame); put(16, nFrames); put(32, w); put(36, h); a
+    }
+    val strh = { // fccType + handler + zero padding
+      val a = new Array[Byte](56)
+      "vids".getBytes("US-ASCII").copyToArray(a, 0)
+      fourcc.getBytes("US-ASCII").copyToArray(a, 4); a
+    }
+    // sizes: hdrl list payload = 'hdrl' + avih chunk + strl list chunk
+    val strlPayload = 4 + 8 + strh.length           // 'strl' + strh hdr+data
+    val hdrlPayload = 4 + 8 + avih.length + 8 + strlPayload
+    val riffPayload = 4 + 8 + hdrlPayload           // 'AVI ' + LIST hdr+data
+    cc("RIFF"); u32(riffPayload); cc("AVI ")
+    cc("LIST"); u32(hdrlPayload); cc("hdrl")
+    cc("avih"); u32(avih.length); bb.write(avih)
+    cc("LIST"); u32(strlPayload); cc("strl")
+    cc("strh"); u32(strh.length); bb.write(strh)
+    bb.toByteArray
+  }
+
+  /** Minimal but structurally-true MP4: ftyp + moov(mvhd v0, trak(tkhd,
+    * mdia(hdlr 'vide', minf(stbl(stsd avc1, stsz n))))). */
+  private def mp4Bytes(w: Int, h: Int, nFrames: Int, timescale: Int,
+                       duration: Int, fourcc: String): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", new Array[Byte](12) ++ u32(timescale) ++
+      u32(duration) ++ new Array[Byte](80))
+    val tkhd = box("tkhd", new Array[Byte](76) ++
+      u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val hdlr = box("hdlr", new Array[Byte](8) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](12))
+    val stsd = box("stsd", new Array[Byte](8) ++ u32(86) ++
+      fourcc.getBytes("US-ASCII") ++ new Array[Byte](78))
+    val stsz = box("stsz", new Array[Byte](4) ++ u32(0) ++ u32(nFrames))
+    val stbl = box("stbl", stsd ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ moov
+  }
+
+  test("parseVideoContainer: AVI header walk yields true w/h/frames/duration/fourcc") {
+    val m = Multimodal.parseVideoContainer(
+      aviBytes(w = 1280, h = 720, nFrames = 300, usPerFrame = 33333,
+        fourcc = "mjpg")).getOrElse(fail("AVI did not parse"))
+    assert(m.width === 1280 && m.height === 720 && m.nFrames === 300)
+    assert(m.durationUs === 33333L * 300 && m.fourcc === "mjpg")
+  }
+
+  test("parseVideoContainer: MP4 box walk yields true w/h/frames/duration/fourcc") {
+    val m = Multimodal.parseVideoContainer(
+      mp4Bytes(w = 1920, h = 1080, nFrames = 240, timescale = 600,
+        duration = 6000, fourcc = "avc1")).getOrElse(fail("MP4 did not parse"))
+    assert(m.width === 1920 && m.height === 1080 && m.nFrames === 240)
+    assert(m.durationUs === 10000000L && m.fourcc === "avc1")
+  }
+
+  test("video rows with real container bytes decode metadata; text bytes still stub") {
+    val rows = Seq(
+      (1L, "video", aviBytes(640, 480, 100, 40000, "mjpg")),
+      (2L, "video", mp4Bytes(320, 240, 60, 30, 60, "avc1")),
+      (3L, "video", "not a container at all".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.extractFeatures(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(1L).decoded && out(1L).width === 640 && out(1L).n_frames === 100)
+    assert(out(2L).decoded && out(2L).width === 320 && out(2L).n_frames === 60)
+    // fps feature: 60 frames over 2 s (timescale 30, duration 60)
+    assert(math.abs(out(2L).feature(1) - 30f) < 1e-3)
+    assert(!out(3L).decoded, "unparseable bytes must keep the loud stub path")
+    // truncated container: must not throw, must stub
+    val trunc = aviBytes(640, 480, 100, 40000, "mjpg").take(20)
+    assert(Multimodal.parseVideoContainer(trunc).isEmpty)
+  }
 }
