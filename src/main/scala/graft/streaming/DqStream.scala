@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming twin of the q_dq_checks constraint report
+  * ([[graft.queries.Queries]] — reference: the reports the dashboard
+  * examples derive per ingest, machine-dashboard/logic.rs): violation
+  * counts maintained INCREMENTALLY over the event delta stream, so the
+  * report is always current without ever rescanning history.
+  *
+  * Every supported check decomposes into monotone aggregates over
+  * batch-disjoint slices:
+  *
+  *  - [[DqStream.NullCheck]] / [[DqStream.NonPositiveCheck]]: the
+  *    violation count is a plain SUM — each batch appends its own
+  *    count;
+  *  - [[DqStream.OrphanCheck]] (foreign key into a static dimension):
+  *    each row is judged once against the broadcastable dim, so
+  *    per-batch anti-join counts are additive too (stream-static
+  *    join, the watermark-free kind);
+  *  - [[DqStream.DupKeyCheck]]: `count(*) − count(DISTINCT key)` is
+  *    NOT batch-additive, but both terms are: the store keeps a
+  *    first-seen key set (new keys anti-joined against the store
+  *    before appending) plus a row counter, and the report reads
+  *    `Σ rows − |stored keys|` — exact across any batch split, no
+  *    approximation.
+  *
+  * All of a batch's contributions land as DISCRIMINATED ROWS of ONE
+  * store table through a single [[graft.ops.Stores.appendCommit]]
+  * (the [[graft.ops.Baskets.pairStoreAppend]] layout): `(check, key,
+  * n)` where key NULL = an additive count row, key set = a first-seen
+  * key (cast to string — injective for the key types a constraint
+  * column carries). One commit per batch keeps the whole batch's
+  * report contribution atomic and replay-idempotent: a redelivered
+  * batch finds the marker and no-ops, so at-least-once delivery never
+  * double-counts.
+  *
+  * At 100 TB: per-batch cost tracks the batch (one pass + one
+  * broadcast anti-join per orphan check + one key anti-join per dup
+  * check against the store's pruned key column); the report is an
+  * aggregation over counts rows plus a key count — never a rescan of
+  * the event history. The key store grows with DISTINCT keys, the
+  * same envelope as any exactly-once id registry. */
+object DqStream {
+
+  sealed trait Check { def name: String }
+  /** Violation: `column IS NULL`. */
+  final case class NullCheck(name: String, column: String) extends Check
+  /** Violation: `column <= 0`. */
+  final case class NonPositiveCheck(name: String, column: String) extends Check
+  /** Violation: duplicate occurrences of `column` (count − distinct). */
+  final case class DupKeyCheck(name: String, column: String) extends Check
+  /** Violation: `column` has no match in `dim(dimColumn)` (NULL keys
+    * count as orphans — the batch report's left_anti semantics). */
+  final case class OrphanCheck(name: String, column: String,
+                               dim: DataFrame, dimColumn: String) extends Check
+
+  /** The ONE-SHOT batch report over `df` with the same check
+    * definitions — the oracle twin ([[graft.streaming.AnomalyStream]]
+    * convention: spec asserts batch ≡ streamed on the same rows). */
+  def batchReport(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val spark = df.sparkSession
+    checks.map {
+      case NullCheck(n, c) =>
+        df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("violations"))
+          .select(lit(n).as("check"), coalesce(col("violations"), lit(0L)).as("violations"))
+      case NonPositiveCheck(n, c) =>
+        df.agg(sum(when(col(c) <= 0, 1L).otherwise(0L)).as("violations"))
+          .select(lit(n).as("check"), coalesce(col("violations"), lit(0L)).as("violations"))
+      case DupKeyCheck(n, c) =>
+        df.agg((count(lit(1)) - countDistinct(col(c))).as("violations"))
+          .select(lit(n).as("check"), col("violations"))
+      case OrphanCheck(n, c, dim, dc) =>
+        df.join(dim, df(c) === dim(dc), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(n).as("check"), col("violations"))
+    }.reduce(_ unionAll _).orderBy(col("check"))
+  }
+
+  private val ROWS_PREFIX = "_rows:"
+
+  /** One micro-batch's report contribution, committed atomically.
+    * Public so the replay contract is directly testable: a second call
+    * with the same batchTag must leave the store (and therefore the
+    * report) unchanged. */
+  def processBatch(batch: DataFrame, path: String, batchTag: String,
+                   checks: Seq[Check]): Unit = {
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      // additive count rows, one tiny agg per check (each is a
+      // map-side-combined scan of the cached batch)
+      val countRows: Seq[DataFrame] = checks.flatMap {
+        case NullCheck(n, c) => Seq(
+          cached.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n"))
+            .select(lit(n).as("check"), lit(null).cast("string").as("key"),
+              coalesce(col("n"), lit(0L)).as("n")))
+        case NonPositiveCheck(n, c) => Seq(
+          cached.agg(sum(when(col(c) <= 0, 1L).otherwise(0L)).as("n"))
+            .select(lit(n).as("check"), lit(null).cast("string").as("key"),
+              coalesce(col("n"), lit(0L)).as("n")))
+        case OrphanCheck(n, c, dim, dc) => Seq(
+          cached.join(dim, cached(c) === dim(dc), "left_anti")
+            .agg(count(lit(1)).as("n"))
+            .select(lit(n).as("check"), lit(null).cast("string").as("key"),
+              col("n")))
+        case DupKeyCheck(n, _) => Seq(
+          cached.agg(count(lit(1)).as("n"))
+            .select(lit(ROWS_PREFIX + n).as("check"),
+              lit(null).cast("string").as("key"), col("n")))
+      }
+      // first-seen keys for each dup check: the batch's distinct keys
+      // minus what the store already holds (pre-batch view; on replay
+      // the marker below makes the whole append a no-op anyway)
+      val storeExists = graft.ops.Stores.exists(spark, path, "_SUCCESS")
+      val keyRows: Seq[DataFrame] = checks.collect {
+        case DupKeyCheck(n, c) =>
+          val batchKeys = cached.select(col(c).cast("string").as("key"))
+            .filter(col("key").isNotNull).distinct()
+          val novel =
+            if (!storeExists) batchKeys
+            else batchKeys.join(
+              spark.read.parquet(path)
+                .filter(col("check") === n && col("key").isNotNull)
+                .select(col("key")),
+              Seq("key"), "left_anti")
+          novel.select(lit(n).as("check"), col("key"), lit(1L).as("n"))
+      }
+      val contribution = (countRows ++ keyRows).reduce(_ unionAll _)
+      if (!storeExists)
+        contribution.limit(0).write.mode("overwrite").parquet(path)
+      graft.ops.Stores.appendCommit(spark, path, batchTag) { staging =>
+        contribution.write.mode("overwrite").parquet(staging)
+      }
+    } finally { cached.unpersist(); () }
+  }
+
+  /** The current report from a [[processBatch]] store: `(check,
+    * violations)` in the batch report's exact shape. */
+  def report(spark: SparkSession, path: String, checks: Seq[Check]): DataFrame = {
+    val st = spark.read.parquet(path)
+    checks.map {
+      case DupKeyCheck(n, _) =>
+        // Σ rows − |first-seen keys|, both exact over the store
+        val rows = st.filter(col("check") === (ROWS_PREFIX + n))
+          .agg(coalesce(sum(col("n")), lit(0L)).as("r"))
+        val keys = st.filter(col("check") === n && col("key").isNotNull)
+          .agg(count(lit(1)).as("k"))
+        rows.crossJoin(keys) // two 1-row sides
+          .select(lit(n).as("check"), (col("r") - col("k")).as("violations"))
+      case c =>
+        st.filter(col("check") === c.name && col("key").isNull)
+          .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
+          .select(lit(c.name).as("check"), col("violations"))
+    }.reduce(_ unionAll _).orderBy(col("check"))
+  }
+
+  /** Wire the loop onto a stream (foreachBatch; checkpoint dir is the
+    * caller's, the [[FingerprintStream.selfMaintaining]] convention). */
+  def attach(stream: DataFrame, path: String, checks: Seq[Check])
+            (onBatch: (Long, DataFrame) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processBatch(batch, path, s"batch_$batchId", checks)
+      onBatch(batchId, report(batch.sparkSession, path, checks))
+    }
+}

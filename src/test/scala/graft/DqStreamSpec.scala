@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.DqStream
+import graft.streaming.DqStream._
+
+/** Incremental data-quality report: batch ≡ streamed on the same rows
+  * (the AnomalyStream/OhlcStream batch-twin contract), replay never
+  * double-counts, dup counting exact across any batch split. */
+class DqStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (order_id, cust_id nullable, qty) — dups, nulls, orphans, nonpos
+  private val rows: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)] = Seq(
+    (101L: java.lang.Long, 1L: java.lang.Long, 5L: java.lang.Long),
+    (102L: java.lang.Long, 2L: java.lang.Long, 0L: java.lang.Long),   // nonpos
+    (103L: java.lang.Long, null, 3L: java.lang.Long),                 // null cust (+orphan)
+    (101L: java.lang.Long, 1L: java.lang.Long, 2L: java.lang.Long),   // dup 101
+    (104L: java.lang.Long, 9L: java.lang.Long, -1L: java.lang.Long),  // orphan 9, nonpos
+    (105L: java.lang.Long, 3L: java.lang.Long, 7L: java.lang.Long),
+    (101L: java.lang.Long, 2L: java.lang.Long, 1L: java.lang.Long),   // dup 101 again
+    (106L: java.lang.Long, 1L: java.lang.Long, 4L: java.lang.Long))
+  private def df(rs: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)]) =
+    rs.toDF("order_id", "cust_id", "qty")
+
+  private def checks = {
+    val dim = Seq(1L, 2L, 3L).toDF("c_id")
+    Seq(
+      NullCheck("null_cust", "cust_id"),
+      NonPositiveCheck("nonpos_qty", "qty"),
+      DupKeyCheck("dup_order", "order_id"),
+      OrphanCheck("orphan_cust", "cust_id", dim, "c_id"))
+  }
+
+  private def reportMap(r: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    r.as[(String, Long)].collect().toMap
+
+  test("batchReport pins the expected violation counts") {
+    val got = reportMap(DqStream.batchReport(df(rows), checks))
+    assert(got === Map("null_cust" -> 1L, "nonpos_qty" -> 2L,
+      "dup_order" -> 2L, "orphan_cust" -> 2L), s"got $got")
+  }
+
+  test("streamed report over micro-batches equals the one-shot batch report") {
+    val path = java.nio.file.Files.createTempDirectory("dq_store").toString
+    // a split that puts the dup key's occurrences in THREE different
+    // batches — the non-additive check's hard case
+    val slices = Seq(rows.slice(0, 3), rows.slice(3, 5), rows.slice(5, 8))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      DqStream.processBatch(df(s), path, s"b$i", checks)
+    }
+    val streamed = reportMap(DqStream.report(spark, path, checks))
+    val oneShot = reportMap(DqStream.batchReport(df(rows), checks))
+    assert(streamed === oneShot, s"streamed $streamed vs batch $oneShot")
+
+    // replay of a middle batch: marker no-op, report unchanged
+    DqStream.processBatch(df(slices(1)), path, "b1", checks)
+    assert(reportMap(DqStream.report(spark, path, checks)) === oneShot,
+      "redelivered batch must not change the report")
+  }
+
+  test("attach: live MemoryStream run converges to the batch report") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("dq_live").toString
+    val mem = MemoryStream[(java.lang.Long, java.lang.Long, java.lang.Long)]
+    @volatile var last: Map[String, Long] = Map.empty
+    val q = DqStream.attach(
+        mem.toDF().toDF("order_id", "cust_id", "qty"), path, checks) {
+        (_, rep) => last = reportMap(rep)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dq_ckpt").toString)
+      .start()
+    try {
+      mem.addData(rows.slice(0, 4)); q.processAllAvailable()
+      mem.addData(rows.slice(4, 8)); q.processAllAvailable()
+      val oneShot = reportMap(DqStream.batchReport(df(rows), checks))
+      assert(last === oneShot, s"live $last vs batch $oneShot")
+    } finally q.stop()
+  }
+}
