@@ -161,6 +161,58 @@ object BenchScale {
           s""""copurchase_sec":${f"$tCop%.2f"},"copurchase_pairs":$nCop,""" +
           s""""cooccur_sec":${f"$tPmi%.2f"},"cooccur_pairs":$nPmi}""")
       }
+    // edit-distance near-dup ladder (`… 32 editdup`): the family whose
+    // cost model — candidates ∝ PLANTED pairs, not n²/buckets — was
+    // asserted from a single measured point. scaledDocs holds near-dup
+    // density constant: every copy keeps the base corpus's internal
+    // near-dup structure (tokens deterministically prefixed per copy,
+    // so within-copy signature geometry is preserved) while cross-copy
+    // docs share almost no tokens (hamming ~half the bits, far above
+    // the bound). Linear pairs/sec in K plus ~zero cross-copy
+    // candidates is the banded regime holding; superlinear growth or
+    // cross-copy leakage is the n²/buckets failure the 12-bit-chunk
+    // choice exists to prevent.
+    def editdupLadder(): Unit =
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val dPath = s"/root/repo/tmp/scale_docs_ed_$k"
+        scaledDocs(spark, sfDir, k).write.mode("overwrite").parquet(dPath)
+        val docs = spark.read.parquet(dPath)
+        val ndoc = docs.count()
+        def ascii(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "[^\\p{ASCII}]", "?")
+        // headline: the full q_editdup shape (band → hamming ≤ 3 →
+        // thresholded banded-DP levenshtein verify on survivors only)
+        val (tEd, nVer) = time {
+          val cand = graft.ops.Dedup.simhashNearDup(docs, maxHamming = 3)
+          cand
+            .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+            .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+            .select(levenshtein(ascii(col("t_a")), ascii(col("t_b")), 40).as("ed"))
+            .filter(col("ed") >= 0 && col("ed") <= 40)
+            .count()
+        }
+        spark.catalog.clearCache()
+        // cost-model introspection (untimed): candidate volume and the
+        // cross-copy leakage that would signal bucket-collision noise
+        val cand = graft.ops.Dedup.simhashNearDup(docs, maxHamming = 3)
+          .persist()
+        val nCand = cand.count()
+        val nCross = cand
+          .filter(expr("id_a DIV 1000000000") =!= expr("id_b DIV 1000000000"))
+          .count()
+        cand.unpersist()
+        spark.catalog.clearCache()
+        println(s"""{"k":$k,"docs":$ndoc,"editdup_sec":${f"$tEd%.2f"},""" +
+          s""""verified_pairs":$nVer,"cand_pairs":$nCand,""" +
+          s""""cross_copy_cand":$nCross}""")
+      }
+    if (args.lift(1).contains("editdup")) {
+      val warm = scaledDocs(spark, sfDir, 1).limit(500)
+      graft.ops.Dedup.simhashNearDup(warm, 3).count() // JIT warmup
+      spark.catalog.clearCache()
+      editdupLadder()
+      spark.stop(); return
+    }
     if (r8Only) {
       graft.ops.Baskets.frequentPairs(scaledBaskets(spark, sfDir, 1)
         .limit(5000), "basket", "item", 2, 1).count() // JIT warmup

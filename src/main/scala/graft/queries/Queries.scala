@@ -4835,6 +4835,50 @@ object Queries {
        |    FROM ev)
        |ORDER BY "check"""".stripMargin)
 
+  /** The constraint report maintained INCREMENTALLY
+    * ([[graft.streaming.DqStream]]): the event log arrives in three
+    * id-disjoint slices, each batch appending only its own monotone
+    * contribution (null/non-positive/orphan counts additive; the
+    * non-additive dup-key check split into a running row count plus a
+    * first-seen key store, reported as rows − distinct keys). The
+    * oracle is the FULL-corpus one-shot SQL, so equality certifies the
+    * decomposition end-to-end — the always-current report never
+    * rescans history (the q_copurchase_stored lifecycle on data
+    * quality). Replays no-op on the store's per-batch markers. */
+  val qDqStored: Q = "q_dq_stored" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "dq_report")
+      import graft.streaming.DqStream
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val checks = Seq(
+        DqStream.NullCheck("events_null_type", "event_type"),
+        DqStream.NonPositiveCheck("events_nonpos_value", "value"),
+        DqStream.DupKeyCheck("events_dup_id", "event_id"),
+        DqStream.OrphanCheck("events_orphan_user", "user_id",
+          Tables.customer(s, d), "c_custkey"))
+      (0 until 3).foreach { i =>
+        DqStream.processBatch(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          path, s"slice_$i", checks)
+      }
+      DqStream.report(s, path, checks)
+    },
+    s"""WITH $EV
+       |SELECT * FROM (
+       |  SELECT 'events_dup_id' AS "check", CAST(
+       |    count(*) - count(DISTINCT event_id) AS BIGINT) AS violations
+       |    FROM ev
+       |  UNION ALL SELECT 'events_nonpos_value', CAST(
+       |    sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM ev
+       |  UNION ALL SELECT 'events_null_type', CAST(
+       |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM ev
+       |  UNION ALL SELECT 'events_orphan_user', CAST(count(*) AS BIGINT)
+       |    FROM ev
+       |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+       |      WHERE c.c_custkey = ev.user_id))
+       |ORDER BY "check"""".stripMargin)
+
   /** q_lookback on the PARTITIONED layout — the 100 TB pruning story as
     * a graded query: the flat events file is laid out once per corpus
     * as `dt=<DATE>` directories (content-guarded artifact, the
@@ -5111,7 +5155,7 @@ object Queries {
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qInterp, qRollingDau, qUserFeatures, qDqChecks,
     qLookbackPartitioned, qMediaCard, qCooccur, qCopurchaseStored,
-    qEditDup, qSaltedSum, qScd2,
+    qEditDup, qSaltedSum, qScd2, qDqStored,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
