@@ -398,6 +398,84 @@ object Multimodal {
     }
   }
 
+  /** One resized asset row: `resized` = a real decode+scale+re-encode
+    * ran (content holds the new PNG bytes and width/height the new
+    * dims); false = the bytes passed through untouched — either they
+    * already fit `maxDim` (width/height real, from the decode) or they
+    * were not a decodable image (width/height 0). */
+  final case class ResizedMedia(
+      media_id: Long,
+      modality: String,
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      resized: Boolean)
+
+  /** REAL in-JDK image resize: ImageIO decode → Graphics2D bilinear
+    * scale to fit `maxDim` on the long side (aspect preserved) → PNG
+    * re-encode. Pure raster work, headless-safe, deterministic for a
+    * JDK. Returns the (bytes, w, h, resized) result, None when no
+    * reader accepts the bytes. Images already within bounds pass
+    * through byte-identical (no decode-reencode generation loss). */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int, Boolean)] =
+    try {
+      require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else if (w <= maxDim && h <= maxDim) Some((bytes, w, h, false))
+        else {
+          val scale = maxDim.toDouble / math.max(w, h)
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some((bos.toByteArray, nw, nh, true))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-parallel thumbnail pass over a binary column — the
+    * resize stage of a multimodal ingest (decode/feature/resize/
+    * frame-sample quartet). Image rows that sniff as a container go
+    * through [[resizeImage]]; everything else (other modalities,
+    * undecodable bytes) passes through untouched with `resized =
+    * false` so the pipeline stays total. Same iterator-in/iterator-out
+    * batch shape as [[extractFeatures]]; at corpus scale the output is
+    * strictly smaller than the input (that is the point), so the
+    * write side never amplifies. */
+  def resizeImages(media: DataFrame, maxDim: Int,
+                   idCol: String = "media_id",
+                   modalityCol: String = "modality",
+                   binCol: String = "content"): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    val slim = media.select(col(idCol).cast("long"), col(modalityCol), col(binCol))
+    slim.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val mod = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val res =
+          if (mod == "image" && looksLikeImage(bytes)) resizeImage(bytes, maxDim)
+          else None
+        res match {
+          case Some((bs, w, h, rs)) => ResizedMedia(id, mod, bs, w, h, rs)
+          case None => ResizedMedia(id, mod, bytes, 0, 0, resized = false)
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video-like assets: every
     * `stride`-th frame index up to `maxFrames`. Pure column expression.
     * The sequence generates ONLY the sampled indices (stepped, capped)

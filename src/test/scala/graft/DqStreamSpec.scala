@@ -60,6 +60,22 @@ class DqStreamSpec extends SparkTestBase {
       "redelivered batch must not change the report")
   }
 
+  test("store compaction preserves the report and the replay markers") {
+    val path = java.nio.file.Files.createTempDirectory("dq_compact").toString
+    val slices = Seq(rows.slice(0, 3), rows.slice(3, 5), rows.slice(5, 8))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      DqStream.processBatch(df(s), path, s"b$i", checks)
+    }
+    val before = reportMap(DqStream.report(spark, path, checks))
+    graft.ops.Stores.compact(spark, path) // 10^4 batches = 10^4 file sets otherwise
+    assert(reportMap(DqStream.report(spark, path, checks)) === before,
+      "compaction must not change the report")
+    // a replayed batch must still find its marker AFTER compaction
+    DqStream.processBatch(df(slices(0)), path, "b0", checks)
+    assert(reportMap(DqStream.report(spark, path, checks)) === before,
+      "post-compaction replay must no-op on the carried marker")
+  }
+
   test("attach: live MemoryStream run converges to the batch report") {
     implicit val sqlCtx = spark.sqlContext
     val path = java.nio.file.Files.createTempDirectory("dq_live").toString

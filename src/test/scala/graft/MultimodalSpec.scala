@@ -218,6 +218,41 @@ class MultimodalSpec extends SparkTestBase {
     ftyp ++ moov
   }
 
+  test("resizeImage: downscale fits maxDim with aspect kept; small images pass through byte-identical") {
+    val img = new BufferedImage(100, 60, BufferedImage.TYPE_INT_RGB)
+    (0 until 100).foreach(x => (0 until 60).foreach(y =>
+      img.setRGB(x, y, if (x < 50) 0xff0000 else 0x0000ff)))
+    val bytes = png(img)
+    val (out, w, h, resized) = Multimodal.resizeImage(bytes, 50)
+      .getOrElse(fail("PNG did not resize"))
+    assert(resized && w === 50 && h === 30, s"got ${w}x$h")
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth === 50 && back.getHeight === 30)
+    // content survives the scale: left half red-dominant, right blue-dominant
+    val l = back.getRGB(10, 15); val r = back.getRGB(40, 15)
+    assert(((l >> 16) & 0xff) > (l & 0xff), "left stays red-dominant")
+    assert((r & 0xff) > ((r >> 16) & 0xff), "right stays blue-dominant")
+    // within-bounds: byte-identical passthrough, no generation loss
+    val (same, w2, h2, rs2) = Multimodal.resizeImage(bytes, 512).get
+    assert(!rs2 && w2 === 100 && h2 === 60 && (same eq bytes))
+    assert(Multimodal.resizeImage("junk".getBytes, 50).isEmpty)
+  }
+
+  test("resizeImages: image rows shrink, other rows pass through untouched") {
+    val big = new BufferedImage(80, 40, BufferedImage.TYPE_INT_RGB)
+    val rows = Seq(
+      (1L, "image", png(big)),
+      (2L, "audio", Array[Byte](1, 2, 3)),
+      (3L, "image", "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.resizeImages(rows, maxDim = 20).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).resized && out(1L).width === 20 && out(1L).height === 10)
+    assert(!out(2L).resized && out(2L).content.toSeq === Seq[Byte](1, 2, 3))
+    assert(!out(3L).resized && out(3L).width === 0,
+      "undecodable image bytes pass through with zeroed dims")
+  }
+
   test("parseVideoContainer: AVI header walk yields true w/h/frames/duration/fourcc") {
     val m = Multimodal.parseVideoContainer(
       aviBytes(w = 1280, h = 720, nFrames = 300, usPerFrame = 33333,
