@@ -327,15 +327,7 @@ object Dedup {
     * each extra allowed bit of distance. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chunks = maxHamming + 1
-    val chunkBits = 48 / chunks
-    val sigs = simhashSignatures(docs, idCol, textCol)
-    val banded = sigs.select(col("id"), col("sh"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * chunkBits).bitwiseAND((1L << chunkBits) - 1)
-            .as("ck"))): _*)).as("b"))
-      .select(col("id"), col("sh"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    val banded = bandSigs(simhashSignatures(docs, idCol, textCol), maxHamming)
     val l = banded.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
     // shuffle_hash: same-exchange self-join (see ngramJaccard note)
@@ -345,6 +337,89 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Pigeonhole band split of an (id, sh) signature table: k+1 chunks
+    * of 48/(k+1) bits each — any pair at hamming ≤ k agrees on ≥1
+    * chunk. Shared by the one-shot [[simhashNearDup]] and the
+    * incremental [[simhashStoreAppend]]. */
+  private def bandSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val chunkBits = 48 / chunks
+    sigs.select(col("id"), col("sh"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * chunkBits).bitwiseAND((1L << chunkBits) - 1)
+            .as("ck"))): _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+  }
+
+  /** INCREMENTAL SimHash near-dup — the steady-state edit-dup shape:
+    * each batch signs only ITS documents, emits exactly the NEW pairs
+    * (within-batch, plus batch-vs-earlier-batches from the signature
+    * store), and appends its signatures. The union of emissions over
+    * batches EQUALS the from-scratch [[simhashNearDup]] over the full
+    * corpus: banding recall is exact at the bound (pigeonhole), and
+    * each unordered pair surfaces exactly once — in the batch of its
+    * LATER document (q_editdup_stored's oracle certifies this
+    * end-to-end). Per-batch cost is batch×(batch+store-probe), never a
+    * corpus re-pair: at 100 TB the corpus side is a parquet read of
+    * (id, sh, tag) — 17 bytes/doc — bucket-joined on the batch's own
+    * chunk keys.
+    *
+    * The store row carries its append `tag`, and the cross side reads
+    * only tags STRICTLY BEFORE this batch's — so a replayed batch
+    * (at-least-once delivery, or a Verify re-run over a populated
+    * store) recomputes the IDENTICAL emission instead of pairing
+    * against batches that arrived after it; the append itself no-ops
+    * on the batch marker. Caller contract: tags are unique per batch
+    * and lexicographically ordered by arrival (zero-padded sequence
+    * numbers / batch ids). */
+  def simhashStoreAppend(docs: DataFrame, path: String, batchTag: String,
+                         maxHamming: Int = 3, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = bandSigs(sigs, maxHamming)
+    val within = {
+      val l = bb.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
+      val r = bb.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r.hint("shuffle_hash"), Seq("chunk", "ck"))
+        .filter(col("id_a") < col("id_b"))
+    }
+    val crossOpt =
+      if (!Stores.exists(spark, path, "_SUCCESS")) None
+      else Some {
+        val stored = spark.read.parquet(path)
+          .filter(col("tag") < lit(batchTag)) // earlier batches only (replay-stable)
+        val bs = bandSigs(stored, maxHamming)
+          .select(col("chunk"), col("ck"), col("id").as("sid"), col("sh").as("ssh"))
+        // canonical (least, greatest) — store and batch ids are
+        // disjoint (the append store's id-uniqueness contract)
+        bb.select(col("chunk"), col("ck"), col("id").as("bid"), col("sh").as("bsh"))
+          .join(bs.hint("shuffle_hash"), Seq("chunk", "ck"))
+          .select(least(col("bid"), col("sid")).as("id_a"),
+            greatest(col("bid"), col("sid")).as("id_b"),
+            col("bsh").as("sh_a"), col("ssh").as("sh_b"))
+      }
+    val pairs = (within.select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+        +: crossOpt.toSeq).reduce(_ unionAll _)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // force BEFORE the append: the emission reads the pre-batch store
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      sigs.select(col("id"), col("sh"), lit(batchTag).as("tag"))
+        .limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      sigs.select(col("id"), col("sh"), lit(batchTag).as("tag"))
+        .write.mode("overwrite").parquet(staging)
+    }
+    sigs.unpersist()
+    pairs
   }
 
   /** (blk, id, gs) distinct shingle-hash sets — the shared first stage of

@@ -5056,6 +5056,61 @@ object Queries {
        |  regexp_replace(db.text, '[^[:ascii:]]', '?', 'g')) <= 40
        |ORDER BY id_a, id_b""".stripMargin)
 
+  /** q_editdup through the INCREMENTAL signature store
+    * ([[graft.ops.Dedup.simhashStoreAppend]]): the corpus arrives in
+    * three id-disjoint slices; each batch signs only its own docs,
+    * emits the new near-pairs (within-batch + batch-vs-store at the
+    * exact pigeonhole bound), and appends its (id, sh, tag) rows. The
+    * union of emissions is verified with the same thresholded
+    * Levenshtein as q_editdup, and the oracle is q_editdup's
+    * FULL-CORPUS SQL — equality certifies exactly-once pair coverage
+    * across the batch split (each unordered pair surfaces in the batch
+    * of its later doc). Steady-state cost per batch is
+    * batch×(batch+store-probe), never a corpus re-pair; replays
+    * recompute identical emissions off the strictly-earlier-tag store
+    * view and no-op the append on its marker. */
+  val qEditDupStored: Q = "q_editdup_stored" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "simhash_sig_store")
+      val docs = Tables.documents(s, d)
+      val emitted = (0 until 3).map { i =>
+        Dedup.simhashStoreAppend(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), path, s"slice_$i")
+      }.reduce(_ unionAll _)
+      def ascii(c: Column) = regexp_replace(c, "[^\\p{ASCII}]", "?")
+      emitted
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"),
+          levenshtein(ascii(col("t_a")), ascii(col("t_b")), 40).as("ed"))
+        .filter(col("ed") >= 0 && col("ed") <= 40)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          col("ed").cast("long").as("edit_dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    s"""WITH t AS (SELECT doc_id,
+       |    list_transform(list_distinct($TOKS), tk ->
+       |      CAST('0x' || substr(md5('0' || tk), 1, 15) AS BIGINT)) AS th
+       |  FROM documents),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 48), i ->
+       |    CASE WHEN list_sum(list_transform(th, h ->
+       |        CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sh
+       |  FROM t),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+       |SELECT c.id_a, c.id_b, c.hamming,
+       |  CAST(levenshtein(regexp_replace(da.text, '[^[:ascii:]]', '?', 'g'),
+       |    regexp_replace(db.text, '[^[:ascii:]]', '?', 'g')) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.id_a
+       |JOIN documents db ON db.doc_id = c.id_b
+       |WHERE levenshtein(regexp_replace(da.text, '[^[:ascii:]]', '?', 'g'),
+       |  regexp_replace(db.text, '[^[:ascii:]]', '?', 'g')) <= 40
+       |ORDER BY id_a, id_b""".stripMargin)
+
   /** Salted two-phase aggregation over a HOT-KEY distribution — the
     * skew-mitigation path ([[graft.ops.SkewJoin.saltedSum]]) as a
     * graded query: event_type has a handful of values, so an unsalted
@@ -5155,7 +5210,7 @@ object Queries {
     qCopurchase, qTransitions, qAttribution, qOhlc, qSourceOverlap, qRfm,
     qInterp, qRollingDau, qUserFeatures, qDqChecks,
     qLookbackPartitioned, qMediaCard, qCooccur, qCopurchaseStored,
-    qEditDup, qSaltedSum, qScd2, qDqStored,
+    qEditDup, qSaltedSum, qScd2, qDqStored, qEditDupStored,
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,

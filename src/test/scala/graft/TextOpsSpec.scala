@@ -39,6 +39,35 @@ class TextOpsSpec extends SparkTestBase {
       "banded candidates must equal brute-force hamming<=3 pairs")
   }
 
+  test("simhashStoreAppend: batch emissions union to the from-scratch pairs; replay identical") {
+    val dir = java.nio.file.Files.createTempDirectory("simhash_store").toString
+    // real corpus slice: enough docs that several near-pairs straddle
+    // the batch boundaries
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val slices = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val emitted = slices.zipWithIndex.map { case (b, i) =>
+      Dedup.simhashStoreAppend(b, dir, f"slice_$i")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    // each unordered pair emits exactly once, in its later doc's batch
+    assert(emitted.map(_.size).sum === emitted.reduce(_ ++ _).size,
+      "no pair may emit from two different batches")
+    val scratch = Dedup.simhashNearDup(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(emitted.reduce(_ ++ _) === scratch,
+      "incremental emissions must union to the one-shot result")
+    // replay of the middle batch over the now-full store: the
+    // strictly-earlier-tag view recomputes the identical emission and
+    // the append no-ops on its marker
+    val storeRows = spark.read.parquet(dir).count()
+    val replayed = Dedup.simhashStoreAppend(slices(1), dir, "slice_1")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed === emitted(1), "replay must recompute the same emission")
+    assert(spark.read.parquet(dir).count() === storeRows)
+  }
+
   test("repetition signals: dup-ngram fraction, max repeat, dup-line fraction") {
     val docs = Seq(
       // "a b" appears 3× among 4 bigram positions: dup2 = 1 - 2/4
