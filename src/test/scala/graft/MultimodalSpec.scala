@@ -269,6 +269,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.durationUs === 10000000L && m.fourcc === "avc1")
   }
 
+  test("parseVideoContainer: every truncation and byte-flip parses or returns None, never throws") {
+    val avi = aviBytes(640, 480, 100, 40000, "mjpg")
+    val mp4 = mp4Bytes(320, 240, 60, 30, 60, "avc1")
+    val rnd = new scala.util.Random(7)
+    Seq(avi, mp4).foreach { full =>
+      (0 to full.length).foreach { n =>
+        Multimodal.parseVideoContainer(full.take(n)) // must not throw
+      }
+      (0 until 200).foreach { _ =>
+        val mut = full.clone()
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+        Multimodal.parseVideoContainer(mut) // must not throw
+      }
+    }
+    (0 until 100).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      assert(Multimodal.parseVideoContainer(junk).isEmpty ||
+        junk.length >= 12) // tiny buffers can never parse
+    }
+  }
+
   test("video rows with real container bytes decode metadata; text bytes still stub") {
     val rows = Seq(
       (1L, "video", aviBytes(640, 480, 100, 40000, "mjpg")),
