@@ -5021,13 +5021,17 @@ object Queries {
       // levenshtein counts codepoints, DuckDB's counts BYTES — they
       // agree only on ASCII, so both sides project first ('é' vs 'e'
       // is 1 edit in Spark, 2 in DuckDB; the projection makes it 1
-      // everywhere and keeps the oracle valid on any future corpus)
+      // everywhere and keeps the oracle valid on any future corpus).
+      // Projected ONCE PER DOC, before the join — after it, the regexp
+      // would re-run per CANDIDATE pair row (2 evaluations × 320k pairs
+      // at sf0.1 instead of one × 5k docs; measured ~1.4× on the query)
       def ascii(c: Column) = regexp_replace(c, "[^\\p{ASCII}]", "?")
+      val proj = docs.select(col("doc_id"), ascii(col("text")).as("t"))
       cand
-        .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+        .join(proj.select(col("doc_id").as("id_a"), col("t").as("t_a")), "id_a")
+        .join(proj.select(col("doc_id").as("id_b"), col("t").as("t_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"),
-          levenshtein(ascii(col("t_a")), ascii(col("t_b")), 40).as("ed"))
+          levenshtein(col("t_a"), col("t_b"), 40).as("ed"))
         .filter(col("ed") >= 0 && col("ed") <= 40)
         .select(col("id_a"), col("id_b"), col("hamming"),
           col("ed").cast("long").as("edit_dist"))
@@ -5077,12 +5081,14 @@ object Queries {
         Dedup.simhashStoreAppend(
           docs.filter(pmod(col("doc_id"), lit(3)) === i), path, s"slice_$i")
       }.reduce(_ unionAll _)
+      // ascii projected once per doc, pre-join (see q_editdup's note)
       def ascii(c: Column) = regexp_replace(c, "[^\\p{ASCII}]", "?")
+      val proj = docs.select(col("doc_id"), ascii(col("text")).as("t"))
       emitted
-        .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+        .join(proj.select(col("doc_id").as("id_a"), col("t").as("t_a")), "id_a")
+        .join(proj.select(col("doc_id").as("id_b"), col("t").as("t_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"),
-          levenshtein(ascii(col("t_a")), ascii(col("t_b")), 40).as("ed"))
+          levenshtein(col("t_a"), col("t_b"), 40).as("ed"))
         .filter(col("ed") >= 0 && col("ed") <= 40)
         .select(col("id_a"), col("id_b"), col("hamming"),
           col("ed").cast("long").as("edit_dist"))
