@@ -184,10 +184,13 @@ object BenchScale {
         // thresholded banded-DP levenshtein verify on survivors only)
         val (tEd, nVer) = time {
           val cand = graft.ops.Dedup.simhashNearDup(docs, maxHamming = 3)
+          // ascii projected once per doc, pre-join (the shipped
+          // q_editdup shape — post-join it re-ran per candidate pair)
+          val proj = docs.select(col("doc_id"), ascii(col("text")).as("t"))
           cand
-            .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
-            .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
-            .select(levenshtein(ascii(col("t_a")), ascii(col("t_b")), 40).as("ed"))
+            .join(proj.select(col("doc_id").as("id_a"), col("t").as("t_a")), "id_a")
+            .join(proj.select(col("doc_id").as("id_b"), col("t").as("t_b")), "id_b")
+            .select(levenshtein(col("t_a"), col("t_b"), 40).as("ed"))
             .filter(col("ed") >= 0 && col("ed") <= 40)
             .count()
         }
