@@ -335,8 +335,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // hamming BEFORE distinct: bit_count is a per-row instruction,
+      // the distinct is an exchange — filter first so only true
+      // near-pairs (not every same-bucket collision) cross the wire
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Pigeonhole band split of an (id, sh) signature table: k+1 chunks
@@ -407,8 +410,8 @@ object Dedup {
         +: crossOpt.toSeq).reduce(_ unionAll _)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before the distinct exchange
       .distinct()
-      .filter(col("hamming") <= maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count() // force BEFORE the append: the emission reads the pre-batch store
     if (!Stores.exists(spark, path, "_SUCCESS"))
