@@ -72,4 +72,36 @@ class PlanShapeSpec extends SparkTestBase {
       s"chunk table not reused from cache:\n${plan.take(800)}")
     spark.catalog.clearCache()
   }
+  test("simhashStoreAppend emission: hash joins on band keys, no cartesian/nested-loop") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_simhash").toString
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    // seed an earlier batch so the CROSS (batch-vs-store) side is in the plan
+    graft.ops.Dedup.simhashStoreAppend(
+      docs.filter(col("doc_id") % 2 === 0), dir, "b0")
+    val out = graft.ops.Dedup.simhashStoreAppend(
+      docs.filter(col("doc_id") % 2 === 1), dir, "b1")
+    val plan = planString(out)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      "banded pair joins must be hash joins")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("DqStream report: store scans carry per-check PushedFilters, no row funnel") {
+    import graft.streaming.DqStream
+    val dir = java.nio.file.Files.createTempDirectory("plan_dq").toString
+    import spark.implicits._
+    val checks = Seq(
+      DqStream.NullCheck("nc", "v"),
+      DqStream.DupKeyCheck("dk", "k"))
+    DqStream.processBatch(
+      Seq((1L, 5L), (1L, 6L)).toDF("k", "v"), dir, "b0", checks)
+    val rep = DqStream.report(spark, dir, checks)
+    val plan = planString(rep)
+    assert(plan.contains("PushedFilters: [EqualTo(check,"),
+      s"check discriminator must push into the store scan:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
