@@ -209,6 +209,50 @@ object BenchScale {
           s""""verified_pairs":$nVer,"cand_pairs":$nCand,""" +
           s""""cross_copy_cand":$nCross}""")
       }
+    // incremental-store ladder (`… 32 edstore`): the steady-state claim
+    // on simhashStoreAppend — per-batch cost = batch×(batch+store-probe)
+    // — measured directly. A FIXED probe batch (a perturbed copy-0 with
+    // fresh ids: near-dups only of the store's copy-0 slice, so the
+    // emission/verify term stays ~constant) appends against stores
+    // seeded at K× the base corpus. The time curve isolates the
+    // store-probe term: linear in store size, never store² — and far
+    // below re-running the one-shot editdup over corpus+batch.
+    def edStoreLadder(): Unit = {
+      val base = graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val probe = base.select(
+        (col("doc_id") + lit(999000000000L)).as("doc_id"),
+        concat(regexp_replace(col("text"), "(\\S+)", "c0$1"),
+          lit(" lorem ipsum dolor sit amet zz perturbation")).as("text"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val dir = s"/root/repo/tmp/ed_store_$k"
+        rm(new java.io.File(dir))
+        // seed the store DIRECTLY with signatures (sign + write): the
+        // ladder measures the probe append, not the seed's own pairing
+        scaledDocs(spark, sfDir, k)
+          .select(col("doc_id").as("id"),
+            graft.functions.Text.simhash(col("text")).as("sh"),
+            lit("a_seed").as("tag"))
+          .write.mode("overwrite").parquet(dir)
+        val nStore = spark.read.parquet(dir).count()
+        val (t, nEmit) = time(
+          graft.ops.Dedup.simhashStoreAppend(probe, dir, "b_probe").count())
+        spark.catalog.clearCache()
+        println(s"""{"k":$k,"store_docs":$nStore,"probe_docs":5000,""" +
+          s""""append_sec":${f"$t%.2f"},"emitted_pairs":$nEmit}""")
+      }
+    }
+    if (args.lift(1).contains("edstore")) {
+      graft.ops.Dedup.simhashStoreAppend(
+        scaledDocs(spark, sfDir, 1).limit(300),
+        s"/root/repo/tmp/ed_store_warm_${System.nanoTime()}", "w0").count()
+      spark.catalog.clearCache()
+      edStoreLadder()
+      spark.stop(); return
+    }
     if (args.lift(1).contains("editdup")) {
       val warm = scaledDocs(spark, sfDir, 1).limit(500)
       graft.ops.Dedup.simhashNearDup(warm, 3).count() // JIT warmup
