@@ -28,6 +28,15 @@ object Tables {
     // nanosAsLong is session-level; ensure it even if the caller built a
     // bare session (harmless if already set).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The engine's time semantics are epoch-µs (the reference's native
+    // precision) — tz-free by definition. Every session-tz-dependent
+    // derivation downstream (NTZ→instant casts in normalizeEvents,
+    // to_date/date_format in queries) is only correct under UTC, which
+    // GraftSession.tune pins; pin it here too so a BARE session gets
+    // identical values instead of silently tz-shifted ones. The
+    // partition key stays tz-free arithmetic regardless (storedTsDay) —
+    // this is defense-in-depth, not the only guard.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(path)
   }
 
