@@ -271,7 +271,10 @@ object Multimodal {
         off = payload + size + (size & 1) // even padding
       }
     }
-    walk(12, math.min(b.length, 12 + u32le(b, 4).toInt + 8))
+    // the RIFF size field counts everything after offset 8, so the
+    // container ends at 8 + size — clamp there so trailing junk
+    // appended to a valid AVI can never be walked as chunks
+    walk(12, math.min(b.length.toLong, 8L + u32le(b, 4)).toInt)
     avih.collect { case a if a + 40 <= b.length =>
       val usPerFrame = u32le(b, a)
       val nFrames = u32le(b, a + 16).toInt
