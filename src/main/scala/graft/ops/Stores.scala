@@ -99,6 +99,43 @@ object Stores {
     ()
   }
 
+  /** Targeted store REWRITE — the takedown/retraction lifecycle
+    * ([[graft.ops.Retention]]'s file-targeted deletes, applied to the
+    * row-level case an append store needs: remove one document's
+    * signatures/fingerprints/pairs from a store that is otherwise
+    * append-only). Keeps only rows satisfying `keep`; same two-phase
+    * swap as [[compact]], and the `_appended_*` markers are CARRIED —
+    * a replayed batch must still no-op after a retraction, or
+    * at-least-once delivery would re-insert the retracted rows from a
+    * redelivered batch that contained them (the marker is the record
+    * that the batch landed; retraction is a later, separate fact).
+    * Single-writer contract as everywhere; run between batches.
+    * Returns the kept row count. */
+  def rewriteWhere(spark: SparkSession, path: String,
+                   keep: org.apache.spark.sql.Column): Long = {
+    val dir = new java.io.File(path)
+    require(new java.io.File(dir, "_SUCCESS").isFile, s"no store at $path")
+    require(!Option(dir.listFiles()).getOrElse(Array.empty).exists(f =>
+      f.isDirectory && f.getName.contains("=")),
+      s"$path is hive-partitioned — retract per partition or rebuild")
+    val markers = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_appended_"))
+      .map(_.getName)
+    val tmp = path + "_retracting"
+    val kept = spark.read.parquet(path).filter(keep)
+    val n = kept.count()
+    kept.write.mode("overwrite").parquet(tmp)
+    markers.foreach(m => new java.io.File(tmp, m).createNewFile())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"retraction swap failed: could not rename $tmp to $path")
+    spark.catalog.refreshByPath(path)
+    n
+  }
+
   /** Rewrite `path` into ⌈bytes / targetFileBytes⌉ files.
     *
     * Procedure: write the compacted copy to a sibling dir, then swap

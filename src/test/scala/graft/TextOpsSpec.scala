@@ -97,6 +97,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(spark.read.parquet(a).count() === spark.read.parquet(b).count())
   }
 
+  test("store retraction: markers survive, replays cannot resurrect, emissions skip retracted ids") {
+    val dir = java.nio.file.Files.createTempDirectory("simhash_ret").toString
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val s0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val s2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    Dedup.simhashStoreAppend(s0, dir, "b000")
+    Dedup.simhashStoreAppend(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), dir, "b001")
+    val victim = spark.read.parquet(dir)
+      .filter(col("tag") === "b000").select("id").as[Long].head()
+    val before = spark.read.parquet(dir).count()
+    val kept = graft.ops.Stores.rewriteWhere(spark, dir, col("id") =!= victim)
+    assert(kept === before - 1)
+    // replay of the batch that CONTAINED the victim: marker no-op —
+    // retraction must not be undone by at-least-once redelivery
+    Dedup.simhashStoreAppend(s0, dir, "b000")
+    assert(spark.read.parquet(dir).filter(col("id") === victim).count() === 0,
+      "a replayed batch must not resurrect a retracted row")
+    // a NEW batch's emission can no longer pair against the victim
+    val em = Dedup.simhashStoreAppend(s2, dir, "b002")
+      .as[(Long, Long, Long)].collect()
+    assert(!em.exists(p => p._1 == victim || p._2 == victim),
+      "emissions must not reference retracted ids")
+  }
+
   test("repetition signals: dup-ngram fraction, max repeat, dup-line fraction") {
     val docs = Seq(
       // "a b" appears 3× among 4 bigram positions: dup2 = 1 - 2/4
