@@ -56,6 +56,15 @@ object DqStream {
     * count as orphans — the batch report's left_anti semantics). */
   final case class OrphanCheck(name: String, column: String,
                                dim: DataFrame, dimColumn: String) extends Check
+  /** Violation: `column` outside [lo, hi] (NULLs don't count — range
+    * violations and null violations are separate signals). */
+  final case class RangeCheck(name: String, column: String,
+                              lo: Double, hi: Double) extends Check
+  /** Violation: non-NULL `column` has no match of `pattern` (rlike
+    * FIND semantics — anchor with ^…$ for a full-string format
+    * constraint on ids, codes, enum strings). */
+  final case class MatchCheck(name: String, column: String,
+                              pattern: String) extends Check
 
   /** The ONE-SHOT batch report over `df` with the same check
     * definitions — the oracle twin ([[graft.streaming.AnomalyStream]]
@@ -76,6 +85,14 @@ object DqStream {
         df.join(dim, df(c) === dim(dc), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit(n).as("check"), col("violations"))
+      case RangeCheck(n, c, lo, hi) =>
+        df.agg(sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+            .as("violations"))
+          .select(lit(n).as("check"), coalesce(col("violations"), lit(0L)).as("violations"))
+      case MatchCheck(n, c, pat) =>
+        df.agg(sum(when(col(c).isNotNull && !col(c).rlike(pat), 1L)
+            .otherwise(0L)).as("violations"))
+          .select(lit(n).as("check"), coalesce(col("violations"), lit(0L)).as("violations"))
     }.reduce(_ unionAll _).orderBy(col("check"))
   }
 
@@ -110,6 +127,15 @@ object DqStream {
           cached.agg(count(lit(1)).as("n"))
             .select(lit(ROWS_PREFIX + n).as("check"),
               lit(null).cast("string").as("key"), col("n")))
+        case RangeCheck(n, c, lo, hi) => Seq(
+          cached.agg(sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)).as("n"))
+            .select(lit(n).as("check"), lit(null).cast("string").as("key"),
+              coalesce(col("n"), lit(0L)).as("n")))
+        case MatchCheck(n, c, pat) => Seq(
+          cached.agg(sum(when(col(c).isNotNull && !col(c).rlike(pat), 1L)
+              .otherwise(0L)).as("n"))
+            .select(lit(n).as("check"), lit(null).cast("string").as("key"),
+              coalesce(col("n"), lit(0L)).as("n")))
       }
       // first-seen keys for each dup check: the batch's distinct keys
       // minus what the store already holds (pre-batch view; on replay

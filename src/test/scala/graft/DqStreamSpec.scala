@@ -60,6 +60,22 @@ class DqStreamSpec extends SparkTestBase {
       "redelivered batch must not change the report")
   }
 
+  test("range and match checks: additive counts, batch == streamed") {
+    val path = java.nio.file.Files.createTempDirectory("dq_rm").toString
+    val rows = Seq(
+      ("SKU-1", 10.0), ("SKU-2", -3.0), ("bad id", 55.0),
+      ("SKU-9", 200.0), (null, 42.0)).toDF("code", "v")
+    val cks = Seq(
+      RangeCheck("v_range", "v", 0.0, 100.0),
+      MatchCheck("code_fmt", "code", "SKU-[0-9]+"))
+    val expect = Map("v_range" -> 2L, "code_fmt" -> 1L) // -3, 200; "bad id"
+    assert(reportMap(DqStream.batchReport(rows, cks)) === expect)
+    DqStream.processBatch(rows.limit(2), path, "b0", cks)
+    DqStream.processBatch(rows.offset(2), path, "b1", cks)
+    assert(reportMap(DqStream.report(spark, path, cks)) === expect,
+      "split-batch range/match counts must sum to the one-shot report")
+  }
+
   test("store compaction preserves the report and the replay markers") {
     val path = java.nio.file.Files.createTempDirectory("dq_compact").toString
     val slices = Seq(rows.slice(0, 3), rows.slice(3, 5), rows.slice(5, 8))

@@ -50,7 +50,9 @@ class IncrementalPropertySpec extends SparkTestBase {
       DqStream.NullCheck("nulls", "v"),
       DqStream.NonPositiveCheck("nonpos", "q"),
       DqStream.DupKeyCheck("dups", "k"),
-      DqStream.OrphanCheck("orphans", "v", dim, "c_id"))
+      DqStream.OrphanCheck("orphans", "v", dim, "c_id"),
+      DqStream.RangeCheck("range", "q", 0.0, 5.0),
+      DqStream.MatchCheck("fmt", "v", "[1-3]"))
     val row = for {
       k <- Gen.choose(1L, 12L)           // collisions likely
       v <- Gen.oneOf(Gen.const(null: java.lang.Long),
