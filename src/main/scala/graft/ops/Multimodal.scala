@@ -479,6 +479,89 @@ object Multimodal {
     }
   }
 
+  /** One resampled asset row ([[ResizedMedia]]'s audio counterpart):
+    * `resampled` = a real decimation ran (`content` holds the new WAV
+    * bytes, `sample_rate`/`n_frames` the new values); false =
+    * passthrough (not decodable PCM audio, or factor 1). */
+  final case class ResampledMedia(
+      media_id: Long,
+      modality: String,
+      content: Array[Byte],
+      sample_rate: Int,
+      n_frames: Int,
+      resampled: Boolean)
+
+  /** REAL in-JDK audio downsample by integer DECIMATION: parse the PCM
+    * container via javax.sound.sampled, keep every `factor`-th frame
+    * (all channels; frame-aligned so channels never de-interleave),
+    * re-encode WAV at rate/factor — the JDK writes the container, no
+    * manual header. Deterministic, headless-safe. Returns None when
+    * the bytes are not integer PCM the parser accepts. Plain
+    * decimation aliases frequencies above the new Nyquist — the honest
+    * cheap path for speech-corpus rate normalization where the band of
+    * interest is well under it; a polyphase low-pass belongs to a real
+    * DSP dependency, not hand-rolled here. */
+  def decimateAudio(bytes: Array[Byte], factor: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      require(factor >= 1, s"factor must be >= 1, got $factor")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val ok = (fmt.getEncoding == PCM_SIGNED || fmt.getEncoding == PCM_UNSIGNED) &&
+          fmt.getFrameSize > 0
+        if (!ok) return None
+        val raw = in.readAllBytes()
+        val fb = fmt.getFrameSize
+        val nFrames = raw.length / fb
+        if (nFrames == 0) return None
+        if (factor == 1)
+          return Some((bytes, fmt.getSampleRate.toInt, nFrames)) // passthrough
+        val kept = (nFrames + factor - 1) / factor
+        val out = new Array[Byte](kept * fb)
+        var i = 0
+        while (i < kept) {
+          System.arraycopy(raw, i * factor * fb, out, i * fb, fb)
+          i += 1
+        }
+        val newFmt = new javax.sound.sampled.AudioFormat(
+          fmt.getEncoding, fmt.getSampleRate / factor, fmt.getSampleSizeInBits,
+          fmt.getChannels, fb, fmt.getFrameRate / factor, fmt.isBigEndian)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), newFmt, kept.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Some((bos.toByteArray, (fmt.getSampleRate / factor).toInt, kept))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-parallel rate-normalization pass — [[resizeImages]]'s
+    * audio twin: sniffed audio rows decimate, everything else passes
+    * through untouched, keeping the pass total over mixed corpora. */
+  def resampleAudio(media: DataFrame, factor: Int,
+                    idCol: String = "media_id",
+                    modalityCol: String = "modality",
+                    binCol: String = "content"): Dataset[ResampledMedia] = {
+    implicit val enc = Encoders.product[ResampledMedia]
+    val slim = media.select(col(idCol).cast("long"), col(modalityCol), col(binCol))
+    slim.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val mod = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val res =
+          if (mod == "audio" && looksLikeAudio(bytes)) decimateAudio(bytes, factor)
+          else None
+        res match {
+          case Some((bs, rate, n)) =>
+            ResampledMedia(id, mod, bs, rate, n, resampled = factor > 1)
+          case None => ResampledMedia(id, mod, bytes, 0, 0, resampled = false)
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video-like assets: every
     * `stride`-th frame index up to `maxFrames`. Pure column expression.
     * The sequence generates ONLY the sampled indices (stepped, capped)

@@ -140,6 +140,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(!rows(3L).decoded, "video stays on the labeled stub")
   }
 
+  test("decimateAudio: rate and frames divide by the factor; sine survives; round-trips the decoder") {
+    val rate = 8000f; val freq = 440.0; val amp = 0.5
+    val bytes = wav(rate, 16, 1.0,
+      i => amp * math.sin(2 * math.Pi * freq * i / rate))
+    val (out, newRate, frames) = graft.ops.Multimodal.decimateAudio(bytes, 2)
+      .getOrElse(fail("WAV did not decimate"))
+    assert(newRate === 4000 && frames === 4000)
+    // the output is itself a decodable WAV with the expected signal:
+    // same RMS (sine stays a sine under 2:1 decimation at 440 Hz),
+    // doubled normalized frequency => doubled zero-crossing rate
+    val Some((r2, _, f2, feat)) = graft.ops.Multimodal.decodeAudio(out)
+    assert(r2 === 4000 && f2 === 4000)
+    assert(math.abs(feat(0) - amp / math.sqrt(2)) < 0.02, s"rms ${feat(0)}")
+    assert(math.abs(feat(1) - 2 * freq / 4000) < 0.01, s"zcr ${feat(1)}")
+    // factor 1: byte-identical passthrough
+    val (same, r1, f1) = graft.ops.Multimodal.decimateAudio(bytes, 1).get
+    assert((same eq bytes) && r1 === 8000 && f1 === 8000)
+    assert(graft.ops.Multimodal.decimateAudio("junk".getBytes, 2).isEmpty)
+  }
+
+  test("resampleAudio: audio rows decimate, other rows pass through untouched") {
+    val bytes = wav(8000f, 16, 0.5, i => 0.4 * math.sin(2 * math.Pi * 200 * i / 8000))
+    val rows = Seq(
+      (1L, "audio", bytes),
+      (2L, "image", Array[Byte](9, 9)),
+      (3L, "audio", "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "content")
+    val out = graft.ops.Multimodal.resampleAudio(rows, factor = 2).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).resampled && out(1L).sample_rate === 4000 &&
+      out(1L).n_frames === 2000)
+    assert(!out(2L).resampled && out(2L).content.toSeq === Seq[Byte](9, 9))
+    assert(!out(3L).resampled && out(3L).sample_rate === 0)
+  }
+
   test("decoded image features feed the ANN index (binary → decode → top-k)") {
     // four distinguishable images: ANN over REAL decoded features must
     // rank the near-identical pair together
