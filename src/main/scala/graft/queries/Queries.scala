@@ -4847,7 +4847,10 @@ object Queries {
     * quality). Replays no-op on the store's per-batch markers. */
   val qDqStored: Q = "q_dq_stored" -> (
     (s: SparkSession, d: String) => {
-      val path = codebookPath(d, "dq_report")
+      // the store name carries the CHECK-SET version: markers make a
+      // populated store no-op new appends, so a changed check list must
+      // land in a fresh store or the added checks would read as zero
+      val path = codebookPath(d, "dq_report_v3")
       import graft.streaming.DqStream
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -4856,7 +4859,13 @@ object Queries {
         DqStream.NonPositiveCheck("events_nonpos_value", "value"),
         DqStream.DupKeyCheck("events_dup_id", "event_id"),
         DqStream.OrphanCheck("events_orphan_user", "user_id",
-          Tables.customer(s, d), "c_custkey"))
+          Tables.customer(s, d), "c_custkey"),
+        // bounds chosen to BITE on this corpus (nonzero counts give the
+        // hash real evidence): values run 0.01-490, and the enum
+        // whitelist excludes two of the five event types
+        DqStream.RangeCheck("events_value_range", "value", 0.0, 50.0),
+        DqStream.MatchCheck("events_type_format", "event_type",
+          "^(view|click|signup)$"))
       (0 until 3).foreach { i =>
         DqStream.processBatch(ev.filter(pmod(col("event_id"), lit(3)) === i),
           path, s"slice_$i", checks)
@@ -4876,7 +4885,14 @@ object Queries {
        |  UNION ALL SELECT 'events_orphan_user', CAST(count(*) AS BIGINT)
        |    FROM ev
        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
-       |      WHERE c.c_custkey = ev.user_id))
+       |      WHERE c.c_custkey = ev.user_id)
+       |  UNION ALL SELECT 'events_value_range', CAST(
+       |    sum(CASE WHEN value < 0.0 OR value > 50.0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) FROM ev
+       |  UNION ALL SELECT 'events_type_format', CAST(
+       |    sum(CASE WHEN event_type IS NOT NULL
+       |      AND NOT regexp_matches(event_type, '^(view|click|signup)$$')
+       |      THEN 1 ELSE 0 END) AS BIGINT) FROM ev)
        |ORDER BY "check"""".stripMargin)
 
   /** q_lookback on the PARTITIONED layout — the 100 TB pruning story as
