@@ -296,6 +296,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.durationUs === 33333L * 300 && m.fourcc === "mjpg")
   }
 
+  test("parseVideoContainer: MP4 picks the vide trak when an audio trak precedes it") {
+    def u32(v: Long): Array[Byte] =
+      Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+    def trak(handler: String, w: Int, h: Int, n: Int, fourcc: String) = {
+      val tkhd = box("tkhd", new Array[Byte](76) ++
+        u32(w.toLong << 16) ++ u32(h.toLong << 16))
+      val hdlr = box("hdlr", new Array[Byte](8) ++
+        handler.getBytes("US-ASCII") ++ new Array[Byte](12))
+      val stsd = box("stsd", new Array[Byte](8) ++ u32(86) ++
+        fourcc.getBytes("US-ASCII") ++ new Array[Byte](78))
+      val stsz = box("stsz", new Array[Byte](4) ++ u32(0) ++ u32(n))
+      box("trak", tkhd ++ box("mdia", hdlr ++ box("minf", box("stbl", stsd ++ stsz))))
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", new Array[Byte](12) ++ u32(600) ++ u32(1200) ++
+      new Array[Byte](80))
+    // audio trak FIRST (soun, 0x0 "dims", 900 samples), video second
+    val moov = box("moov", mvhd ++
+      trak("soun", 0, 0, 900, "mp4a") ++ trak("vide", 640, 360, 48, "avc1"))
+    val m = Multimodal.parseVideoContainer(ftyp ++ moov)
+      .getOrElse(fail("multi-trak MP4 did not parse"))
+    assert(m.width === 640 && m.height === 360 && m.nFrames === 48,
+      s"must take the vide trak's values, got $m")
+    assert(m.fourcc === "avc1" && m.durationUs === 2000000L)
+  }
+
   test("parseVideoContainer: MP4 box walk yields true w/h/frames/duration/fourcc") {
     val m = Multimodal.parseVideoContainer(
       mp4Bytes(w = 1920, h = 1080, nFrames = 240, timescale = 600,

@@ -74,4 +74,8 @@ class PartitionTzSpec extends SparkTestBase {
   test("timestamp encoding: non-UTC session loses no rows") {
     check("evtz-ts")(timestamp_micros(col("ts")))
   }
+
+  test("timestamp_ntz encoding: non-UTC session loses no rows") {
+    check("evtz-ntz")(timestamp_micros(col("ts")).cast("timestamp_ntz"))
+  }
 }
