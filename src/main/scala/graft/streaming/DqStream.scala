@@ -166,6 +166,8 @@ object DqStream {
   /** The current report from a [[processBatch]] store: `(check,
     * violations)` in the batch report's exact shape. */
   def report(spark: SparkSession, path: String, checks: Seq[Check]): DataFrame = {
+    graft.ops.Stores.requireStore(spark, path,
+      "run processBatch (or attach) at least once before reading the report")
     val st = spark.read.parquet(path)
     checks.map {
       case DupKeyCheck(n, _) =>

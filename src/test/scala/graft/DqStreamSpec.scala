@@ -76,6 +76,19 @@ class DqStreamSpec extends SparkTestBase {
       "split-batch range/match counts must sum to the one-shot report")
   }
 
+  test("empty batches contribute zeros; report before any batch fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("dq_empty").toString
+    val err = intercept[IllegalArgumentException] {
+      DqStream.report(spark, path, checks)
+    }
+    assert(err.getMessage.contains("processBatch"))
+    DqStream.processBatch(df(rows.slice(0, 4)), path, "b0", checks)
+    val before = reportMap(DqStream.report(spark, path, checks))
+    DqStream.processBatch(df(Nil), path, "b1", checks) // empty micro-batch
+    assert(reportMap(DqStream.report(spark, path, checks)) === before,
+      "an empty batch must not move any counter")
+  }
+
   test("store compaction preserves the report and the replay markers") {
     val path = java.nio.file.Files.createTempDirectory("dq_compact").toString
     val slices = Seq(rows.slice(0, 3), rows.slice(3, 5), rows.slice(5, 8))
