@@ -123,6 +123,22 @@ class TextOpsSpec extends SparkTestBase {
       "emissions must not reference retracted ids")
   }
 
+  test("simhashStoreAppend: empty batch emits nothing; retract-all leaves a readable empty store") {
+    val dir = java.nio.file.Files.createTempDirectory("simhash_edge").toString
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).limit(20)
+    Dedup.simhashStoreAppend(docs, dir, "b000")
+    val empty = Dedup.simhashStoreAppend(docs.limit(0), dir, "b001")
+    assert(empty.count() === 0, "empty batch must emit no pairs")
+    val n = spark.read.parquet(dir).count()
+    assert(n === 20, s"empty batch must append no signatures, store has $n")
+    // retract everything: store stays readable, next append starts clean
+    assert(graft.ops.Stores.rewriteWhere(spark, dir, lit(false)) === 0)
+    val after = Dedup.simhashStoreAppend(
+      docs.withColumn("doc_id", col("doc_id") + 1000L), dir, "b002")
+    assert(after.count() >= 0 && spark.read.parquet(dir).count() === 20)
+  }
+
   test("repetition signals: dup-ngram fraction, max repeat, dup-line fraction") {
     val docs = Seq(
       // "a b" appears 3× among 4 bigram positions: dup2 = 1 - 2/4
