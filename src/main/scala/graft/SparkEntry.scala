@@ -24,7 +24,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Queries whose semantics are not
     * SQL-mirrorable (approximate sketches) carry a null sentinel and are
-    * omitted — the driver records a rows-only check for those. */
-  def oracleSql: Map[String, String] =
-    Queries.all.collect { case (name, (_, sql)) if sql != null => name -> sql }.toMap
+    * omitted — the driver records a rows-only check for those.
+    *
+    * Artifact-store paths are targeted at sf0.01 (the driver's gate);
+    * [[graft.queries.Queries.oracleSqlFor]] retargets them for any
+    * other scale (Verify substitutes its actual sfDir). */
+  def oracleSql: Map[String, String] = Queries.oracleSqlFor("sf0.01")
 }

@@ -60,7 +60,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracle SQL retargeted at THIS run's sf dir — artifact-store reads
+    // in the SQL follow the codebookPath layout, so the sf0.1 sweep
+    // runs unmodified (sf-parametric, not sf0.01-hardcoded)
+    val json = graft.queries.Queries.oracleSqlFor(sfDir)
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** One warning per JVM when a non-UTC session timezone is pinned. */
+  private val tzWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     readPath(spark, s"$sfDir/$name.parquet")
 
@@ -36,7 +39,20 @@ object Tables {
     // identical values instead of silently tz-shifted ones. The
     // partition key stays tz-free arithmetic regardless (storedTsDay) —
     // this is defense-in-depth, not the only guard.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    //
+    // PUBLIC API CONTRACT: this mutation is SESSION-GLOBAL — it also
+    // affects non-Graft timestamp queries run later in the same
+    // session. A deliberately non-UTC session gets one warning (not
+    // one per scan) rather than a silent clobber; Graft's own
+    // correctness requires the pin, so it is applied regardless.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC") {
+      if (tzWarned.compareAndSet(false, true))
+        System.err.println(
+          s"[graft] pinning spark.sql.session.timeZone=UTC for the session (was $tz); " +
+          "Graft time semantics are tz-free epoch-µs — see Tables.readPath")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     spark.read.parquet(path)
   }
 

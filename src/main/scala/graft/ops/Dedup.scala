@@ -377,7 +377,16 @@ object Dedup {
     * against batches that arrived after it; the append itself no-ops
     * on the batch marker. Caller contract: tags are unique per batch
     * and lexicographically ordered by arrival (zero-padded sequence
-    * numbers / batch ids). */
+    * numbers / batch ids).
+    *
+    * The returned emission DataFrame is persisted MEMORY_AND_DISK
+    * (the count barrier below already materialized it) and the CALLER
+    * OWNS the unpersist: release it after consuming — `.unpersist()`,
+    * or the session-level `spark.catalog.clearCache()` the Verify
+    * loop runs between queries — or a long-running driver accumulates
+    * one cached emission per batch. Releasing early is safe: the
+    * lineage reads the strictly-earlier-tag store view, so a
+    * recompute after the append reproduces the same rows. */
   def simhashStoreAppend(docs: DataFrame, path: String, batchTag: String,
                          maxHamming: Int = 3, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {

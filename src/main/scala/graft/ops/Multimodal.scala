@@ -285,6 +285,64 @@ object Multimodal {
     }
   }
 
+  /** (offset, size) of every video frame chunk inside the AVI's `LIST
+    * movi`: ids `##dc` (compressed) / `##db` (uncompressed) where `##`
+    * is the two-digit stream number — the dc/db suffix is video by the
+    * RIFF/AVI chunk-id convention (audio is `##wb`), so no strl
+    * cross-reference is needed to separate the streams. Same clamped
+    * walk as [[parseAvi]] (RIFF size bound, even padding, truncation
+    * stops cleanly). */
+  private def aviFrameChunks(b: Array[Byte]): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    def isDigit(c: Char) = c >= '0' && c <= '9'
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fourccAt(b, off)
+        val size = u32le(b, off + 4).toInt
+        val payload = off + 8
+        if (size < 0 || payload + size > to) return
+        if (id == "LIST" && size >= 4) walk(payload + 4, payload + size)
+        else if (id.length == 4 && isDigit(id(0)) && isDigit(id(1)) &&
+          id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0)
+          out += ((payload, size))
+        off = payload + size + (size & 1)
+      }
+    }
+    walk(12, math.min(b.length.toLong, 8L + u32le(b, 4)).toInt)
+    out.result()
+  }
+
+  /** REAL pixel features for MJPEG-in-AVI — the one video codec the
+    * stock JDK can decode, because each `00dc` frame chunk is a plain
+    * JPEG ([[decodeImage]]'s reader handles it; no new dependency).
+    * Samples the FIRST, MIDDLE and LAST frames (the standard cheap
+    * triage set: catches fade-ins, mid-content, end cards) and returns
+    * the image-feature vector (3 channel means + GRID² luminance)
+    * AVERAGED over the frames that decoded — deterministic, order-
+    * fixed. None when no frame chunk decodes (not MJPEG after all,
+    * corrupt frames, headerless payloads). */
+  private def mjpegFrameFeatures(b: Array[Byte]): Option[Array[Float]] = {
+    val chunks = aviFrameChunks(b)
+    if (chunks.isEmpty) return None
+    val picks = Vector(0, chunks.size / 2, chunks.size - 1).distinct
+    val feats = picks.flatMap { i =>
+      val (off, size) = chunks(i)
+      decodeImage(java.util.Arrays.copyOfRange(b, off, off + size))
+        .map(_._3)
+    }
+    if (feats.isEmpty) None
+    else {
+      val acc = new Array[Float](feats.head.length)
+      feats.foreach { f =>
+        var i = 0; while (i < acc.length) { acc(i) += f(i); i += 1 }
+      }
+      var i = 0
+      while (i < acc.length) { acc(i) /= feats.size; i += 1 }
+      Some(acc)
+    }
+  }
+
   /** ISO BMFF box walk. Boxes are `[size u32 BE][type 4cc]`; size 1 →
     * 64-bit largesize follows; size 0 → box runs to the end. Containers
     * (moov/trak/mdia/minf/stbl) nest plain box sequences, so one
@@ -370,14 +428,24 @@ object Multimodal {
         case Some(m) =>
           // every emitted value is parsed or arithmetic over parsed
           // values — duration (s), fps, mean bytes/frame: the triage
-          // features a curation filter runs before any pixel work
+          // features a curation filter runs before any pixel work.
+          // MJPEG-in-AVI additionally gets REAL pixel features (the
+          // frame chunks are plain JPEGs the stock reader decodes):
+          // the 3 triage floats are followed by the image-grade
+          // channel-mean + luminance-grid vector averaged over the
+          // first/middle/last frames — feature.length distinguishes
+          // the two shapes (3 = container-only, 3+19 = pixels real).
           val durS = m.durationUs / 1e6
+          val triage = Array(durS.toFloat,
+            (if (durS > 0) m.nFrames / durS else 0.0).toFloat,
+            (bytes.length.toDouble / math.max(m.nFrames, 1)).toFloat)
+          val pixels =
+            if (m.fourcc.equalsIgnoreCase("MJPG")) mjpegFrameFeatures(bytes)
+            else None
           MediaFeatures(mediaId, modality, bytes.length.toLong, sha,
             width = m.width, height = m.height, n_frames = m.nFrames,
             decoded = true,
-            feature = Array(durS.toFloat,
-              (if (durS > 0) m.nFrames / durS else 0.0).toFloat,
-              (bytes.length.toDouble / math.max(m.nFrames, 1)).toFloat))
+            feature = pixels.fold(triage)(triage ++ _))
         case None => byteFeatures(mediaId, modality, bytes)
       }
       case _ => byteFeatures(mediaId, modality, bytes)

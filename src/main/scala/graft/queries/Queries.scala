@@ -1407,6 +1407,26 @@ object Queries {
     * side-table (the oracle SQL below reads the sf0.01 one — the scale
     * the driver verifies at); encode + ADC are deterministic given the
     * codebook, so the quantized index IS hash-checkable. */
+  /** Placeholder for the sf-dir BASENAME inside oracle SQL that reads
+    * a derived artifact store ([[codebookPath]] lays stores out as
+    * `artifacts/<name>_<sfBasename>`). The raw SQL in [[all]] carries
+    * this token; [[oracleSqlFor]] substitutes the actual basename, so
+    * the same oracle set runs unmodified at ANY scale factor — the
+    * sf0.1 sweep (the engine's best scale-bug detector) is turnkey
+    * instead of needing 14 hand-retargeted paths. */
+  val SF_NAME_TOKEN = "__SF_NAME__"
+  private val SF = SF_NAME_TOKEN
+
+  /** The oracle SQL map with artifact-store paths targeted at `sfDir`'s
+    * basename (accepts a full dir path or a bare name like "sf0.01").
+    * Null-sentinel (non-SQL-expressible) queries are omitted. */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val sfName = new java.io.File(sfDir).getName
+    all.collect { case (name, (_, sql)) if sql != null =>
+      name -> sql.replace(SF_NAME_TOKEN, sfName)
+    }.toMap
+  }
+
   /** Derived-store path, CONTENT-GUARDED against the source corpus:
     * the PATH is stable (`artifacts/<name>_<sf>` — the oracle SQL
     * reads it by that literal name), and a `._content` sidecar records
@@ -1470,7 +1490,7 @@ object Queries {
         .orderBy(col("q_id"), col("rank"))
     },
     s"""WITH cb AS (SELECT sub, code, cv
-       |    FROM read_parquet('/root/repo/artifacts/pq_codebook_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/pq_codebook_${SF}/*.parquet')),
        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |subd AS (SELECT t.id, cb.sub, cb.code, ${subDistSql("t.v", "")} AS d
        |  FROM v t CROSS JOIN cb),
@@ -1509,7 +1529,7 @@ object Queries {
         .orderBy(col("q_id"), col("rank"))
     },
     s"""WITH cb AS (SELECT sub, code, cv
-       |    FROM read_parquet('/root/repo/artifacts/pq_codebook_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/pq_codebook_${SF}/*.parquet')),
        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |subd AS (SELECT t.id, cb.sub, cb.code, ${subDistSql("t.v", "")} AS d
        |  FROM v t CROSS JOIN cb),
@@ -1602,7 +1622,7 @@ object Queries {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
        |  FROM embeddings WHERE vec_id < 8),
        |cb AS (SELECT sub, code, cv
-       |    FROM read_parquet('/root/repo/artifacts/${cbName}_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/${cbName}_${SF}/*.parquet')),
        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |celld AS (SELECT t.id, c.cell,
        |    list_sum(list_transform(range(1, 65), i ->
@@ -1677,7 +1697,7 @@ object Queries {
 
   private def semDedupOracleSql(centName: String): String =
     s"""WITH cents AS (SELECT cell, c
-       |    FROM read_parquet('/root/repo/artifacts/${centName}_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/${centName}_${SF}/*.parquet')),
        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |celld AS (SELECT t.id, c.cell,
        |    list_sum(list_transform(range(1, 65), i ->
@@ -1762,7 +1782,7 @@ object Queries {
         .orderBy(col("vec_id"))
     },
     s"""WITH cents AS (SELECT cell, c
-       |    FROM read_parquet('/root/repo/artifacts/semdiv_centroids_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/semdiv_centroids_${SF}/*.parquet')),
        |v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |celld AS (SELECT t.id, c.cell,
        |    list_sum(list_transform(range(1, 65), i ->
@@ -2634,9 +2654,9 @@ object Queries {
         .orderBy(col("q_id"), col("rank"))
     },
     s"""WITH st AS (SELECT id, q
-       |    FROM read_parquet('/root/repo/artifacts/int8_emb_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/int8_emb_${SF}/*.parquet')),
        |sc AS (SELECT any_value(scale) AS m
-       |    FROM read_parquet('/root/repo/artifacts/int8_emb_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/int8_emb_${SF}/*.parquet')),
        |pq AS (SELECT vec_id AS q_id, list_transform(embedding, x ->
        |      CAST(round(CAST(x AS DOUBLE) * 127.0 / sc.m) AS TINYINT)) AS qq
        |  FROM embeddings CROSS JOIN sc WHERE vec_id < 10),
@@ -2677,7 +2697,7 @@ object Queries {
        |    CAST('0x' || substr(md5('0' || gram), 1, 15) AS BIGINT) % 4096 AS bucket
        |  FROM g),
        |r AS (SELECT bucket, llr
-       |  FROM read_parquet('/root/repo/artifacts/dsir_ratios_sf0.01/*.parquet')),
+       |  FROM read_parquet('/root/repo/artifacts/dsir_ratios_${SF}/*.parquet')),
        |w AS (SELECT id AS doc_id,
        |    CAST(CAST(sum(r.llr) AS DECIMAL(18,6)) AS DOUBLE) AS weight,
        |    count(*) AS n_grams
@@ -3187,7 +3207,7 @@ object Queries {
         .orderBy(col("doc_id"), col("dim"))
     },
     s"""WITH st AS (SELECT id, q
-       |    FROM read_parquet('/root/repo/artifacts/int8_emb_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/int8_emb_${SF}/*.parquet')),
        |e AS (SELECT id // 8 AS doc_id,
        |    unnest(q) AS v,
        |    unnest(range(len(q))) AS dim
@@ -3761,7 +3781,7 @@ object Queries {
         .orderBy(col("vec_id"))
     },
     s"""WITH r AS (SELECT comp_id, vec
-       |    FROM read_parquet('/root/repo/artifacts/procrustes_rot_sf0.01/*.parquet')),
+       |    FROM read_parquet('/root/repo/artifacts/procrustes_rot_${SF}/*.parquet')),
        |e AS (SELECT vec_id, embedding,
        |    list_transform(range(0, 64), i -> CAST(embedding[(i * 7) % 64 + 1] AS DOUBLE)
        |      * (CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)
@@ -3849,7 +3869,7 @@ object Queries {
       val n16 = (v: String) =>
         s"sqrt(list_sum(list_transform(range(1, 17), i -> $v.pvec[i] * $v.pvec[i])))"
       s"""WITH mrows AS (SELECT comp_id, vec
-         |    FROM read_parquet('/root/repo/artifacts/pca_model_sf0.01/*.parquet')),
+         |    FROM read_parquet('/root/repo/artifacts/pca_model_${SF}/*.parquet')),
          |mn AS (SELECT vec FROM mrows WHERE comp_id = -1),
          |comps AS (SELECT comp_id, mrows.vec,
          |    list_sum(list_transform(range(1, 65), i -> mrows.vec[i] * mn.vec[i])) AS off
@@ -4039,7 +4059,7 @@ object Queries {
         |      x -> x.l)), 1)""".stripMargin
       s"""WITH RECURSIVE
          |sc AS MATERIALIZED (SELECT piece, ls
-         |  FROM read_parquet('/root/repo/artifacts/unigram_scores_sf0.01/*.parquet')),
+         |  FROM read_parquet('/root/repo/artifacts/unigram_scores_${SF}/*.parquet')),
          |docw AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
          |w AS MATERIALIZED (SELECT DISTINCT word FROM docw WHERE length(word) >= 1),
          |ap AS (SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos FROM w),
@@ -4145,7 +4165,7 @@ object Queries {
          |ug AS MATERIALIZED (
          |  WITH RECURSIVE
          |sc AS MATERIALIZED (SELECT piece, ls
-         |  FROM read_parquet('/root/repo/artifacts/unigram_scores_sf0.01/*.parquet')),
+         |  FROM read_parquet('/root/repo/artifacts/unigram_scores_${SF}/*.parquet')),
          |docw AS MATERIALIZED (SELECT doc_id, unnest($TOKS) AS word FROM documents),
          |w AS MATERIALIZED (SELECT DISTINCT word FROM docw WHERE length(word) >= 1),
          |ap AS (SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos FROM w),
@@ -4847,10 +4867,11 @@ object Queries {
     * quality). Replays no-op on the store's per-batch markers. */
   val qDqStored: Q = "q_dq_stored" -> (
     (s: SparkSession, d: String) => {
-      // the store name carries the CHECK-SET version: markers make a
-      // populated store no-op new appends, so a changed check list must
-      // land in a fresh store or the added checks would read as zero
-      val path = codebookPath(d, "dq_report_v3")
+      // the store name carries the CHECK-SET/schema version: markers
+      // make a populated store no-op new appends, so a changed check
+      // list (or store schema — v4 added the crash-retry tag column)
+      // must land in a fresh store or reads would miss columns
+      val path = codebookPath(d, "dq_report_v4")
       import graft.streaming.DqStream
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -4866,8 +4887,12 @@ object Queries {
         DqStream.RangeCheck("events_value_range", "value", 0.0, 50.0),
         DqStream.MatchCheck("events_type_format", "event_type",
           "^(view|click|signup)$"))
+      // coalesce routes NULL-id rows into slice 0 so the batch split is
+      // a true partition of the input (a bare pmod === i drops NULLs
+      // from every slice and would undercount vs the one-shot oracle)
       (0 until 3).foreach { i =>
-        DqStream.processBatch(ev.filter(pmod(col("event_id"), lit(3)) === i),
+        DqStream.processBatch(
+          ev.filter(coalesce(pmod(col("event_id"), lit(3)), lit(0)) === i),
           path, s"slice_$i", checks)
       }
       DqStream.report(s, path, checks)
@@ -5093,9 +5118,12 @@ object Queries {
     (s: SparkSession, d: String) => {
       val path = codebookPath(d, "simhash_sig_store")
       val docs = Tables.documents(s, d)
+      // coalesce: NULL-id docs (none in this corpus, but the split must
+      // be a true partition) land in slice 0 instead of vanishing
       val emitted = (0 until 3).map { i =>
         Dedup.simhashStoreAppend(
-          docs.filter(pmod(col("doc_id"), lit(3)) === i), path, s"slice_$i")
+          docs.filter(coalesce(pmod(col("doc_id"), lit(3)), lit(0)) === i),
+          path, s"slice_$i")
       }.reduce(_ unionAll _)
       // ascii projected once per doc, pre-join (see q_editdup's note)
       def ascii(c: Column) = regexp_replace(c, "[^\\p{ASCII}]", "?")

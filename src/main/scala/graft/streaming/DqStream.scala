@@ -30,12 +30,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * All of a batch's contributions land as DISCRIMINATED ROWS of ONE
   * store table through a single [[graft.ops.Stores.appendCommit]]
   * (the [[graft.ops.Baskets.pairStoreAppend]] layout): `(check, key,
-  * n)` where key NULL = an additive count row, key set = a first-seen
-  * key (cast to string — injective for the key types a constraint
-  * column carries). One commit per batch keeps the whole batch's
-  * report contribution atomic and replay-idempotent: a redelivered
-  * batch finds the marker and no-ops, so at-least-once delivery never
-  * double-counts.
+  * n, tag)` where key NULL = an additive count row, key set = a
+  * first-seen key (cast to string — injective for the key types a
+  * constraint column carries). One commit per batch keeps the whole
+  * batch's report contribution atomic and replay-idempotent: a
+  * redelivered batch finds the marker and no-ops, so at-least-once
+  * delivery never double-counts.
+  *
+  * The `tag` column makes the dup-key contribution CRASH-RETRY safe,
+  * not just redelivery safe (the [[graft.ops.Dedup.simhashStoreAppend]]
+  * guard): the novel-key anti-join reads the store lazily inside the
+  * staged write, and a crash between appendCommit's renames and its
+  * marker leaves this batch's own key rows visible to the retry. The
+  * anti-join therefore probes only rows with `tag` STRICTLY BEFORE
+  * this batch's, so a retry recomputes the identical staged
+  * contribution no matter how much of the previous attempt landed.
+  * Caller contract (as for simhashStoreAppend): tags are unique per
+  * batch and lexicographically ordered by arrival.
   *
   * At 100 TB: per-batch cost tracks the batch (one pass + one
   * broadcast anti-join per orphan check + one key anti-join per dup
@@ -138,8 +149,11 @@ object DqStream {
               coalesce(col("n"), lit(0L)).as("n")))
       }
       // first-seen keys for each dup check: the batch's distinct keys
-      // minus what the store already holds (pre-batch view; on replay
-      // the marker below makes the whole append a no-op anyway)
+      // minus what STRICTLY-EARLIER batches hold. The tag cut (not the
+      // bare store) makes the staged rows deterministic across crash
+      // retries — a partially-renamed previous attempt of THIS batch
+      // carries tag == batchTag and is excluded from the probe; full
+      // redelivery after the marker no-ops in appendCommit anyway.
       val storeExists = graft.ops.Stores.exists(spark, path, "_SUCCESS")
       val keyRows: Seq[DataFrame] = checks.collect {
         case DupKeyCheck(n, c) =>
@@ -149,12 +163,14 @@ object DqStream {
             if (!storeExists) batchKeys
             else batchKeys.join(
               spark.read.parquet(path)
-                .filter(col("check") === n && col("key").isNotNull)
+                .filter(col("tag") < lit(batchTag) &&
+                  col("check") === n && col("key").isNotNull)
                 .select(col("key")),
               Seq("key"), "left_anti")
           novel.select(lit(n).as("check"), col("key"), lit(1L).as("n"))
       }
       val contribution = (countRows ++ keyRows).reduce(_ unionAll _)
+        .withColumn("tag", lit(batchTag))
       if (!storeExists)
         contribution.limit(0).write.mode("overwrite").parquet(path)
       graft.ops.Stores.appendCommit(spark, path, batchTag) { staging =>

@@ -32,7 +32,7 @@ object DumpQ {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val sql = graft.SparkEntry.oracleSql.get(name)
+    val sql = graft.queries.Queries.oracleSqlFor(sfDir).get(name)
     val json = sql.map(s => s"${q(name)}: ${q(s)}").mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     println(s"[dumpq] $name -> $outDir" + (if (sql.isEmpty) " (no oracle)" else ""))

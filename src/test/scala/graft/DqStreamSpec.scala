@@ -89,6 +89,28 @@ class DqStreamSpec extends SparkTestBase {
       "an empty batch must not move any counter")
   }
 
+  test("crash retry between renames and marker recomputes identical keys (tag guard)") {
+    val path = java.nio.file.Files.createTempDirectory("dq_crash").toString
+    val slices = Seq(rows.slice(0, 3), rows.slice(3, 5), rows.slice(5, 8))
+    DqStream.processBatch(df(slices(0)), path, "b0", checks)
+    DqStream.processBatch(df(slices(1)), path, "b1", checks)
+    // simulate a crash AFTER appendCommit's step-4 renames but BEFORE
+    // the step-5 marker: b1's data files are already in the store, the
+    // marker is not — delete it and retry. The retry's novel-key
+    // anti-join sees b1's own key rows in the store; the strictly-
+    // earlier-tag cut must exclude them or the re-staged batch loses
+    // its keys and the dup count permanently overcounts.
+    val marker = new java.io.File(path, "_appended_b1")
+    assert(marker.isFile, "precondition: b1 committed")
+    assert(marker.delete())
+    DqStream.processBatch(df(slices(1)), path, "b1", checks)
+    DqStream.processBatch(df(slices(2)), path, "b2", checks)
+    val streamed = reportMap(DqStream.report(spark, path, checks))
+    val oneShot = reportMap(DqStream.batchReport(df(rows), checks))
+    assert(streamed === oneShot,
+      s"crash-retried run $streamed must equal uninterrupted $oneShot")
+  }
+
   test("store compaction preserves the report and the replay markers") {
     val path = java.nio.file.Files.createTempDirectory("dq_compact").toString
     val slices = Seq(rows.slice(0, 3), rows.slice(3, 5), rows.slice(5, 8))

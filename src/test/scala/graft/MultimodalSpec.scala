@@ -226,6 +226,44 @@ class MultimodalSpec extends SparkTestBase {
     bb.toByteArray
   }
 
+  /** Structurally-true MJPEG AVI built byte-by-byte: the [[aviBytes]]
+    * header section (avih + vids strh, fourcc MJPG) followed by a
+    * `LIST movi` whose `00dc` chunks hold REAL JPEG bytes, each padded
+    * to the RIFF even boundary. The RIFF size covers both lists. */
+  private def aviMjpegBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                            usPerFrame: Int): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => bb.write(((v >> (8 * i)) & 0xff).toInt))
+    val avih = {
+      val a = new Array[Byte](56)
+      def put(off: Int, v: Long): Unit =
+        (0 until 4).foreach(i => a(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      put(0, usPerFrame); put(16, frames.size); put(32, w); put(36, h); a
+    }
+    val strh = {
+      val a = new Array[Byte](56)
+      "vids".getBytes("US-ASCII").copyToArray(a, 0)
+      "MJPG".getBytes("US-ASCII").copyToArray(a, 4); a
+    }
+    val strlPayload = 4 + 8 + strh.length
+    val hdrlPayload = 4 + 8 + avih.length + 8 + strlPayload
+    val moviPayload = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffPayload = 4 + 8 + hdrlPayload + 8 + moviPayload
+    cc("RIFF"); u32(riffPayload); cc("AVI ")
+    cc("LIST"); u32(hdrlPayload); cc("hdrl")
+    cc("avih"); u32(avih.length); bb.write(avih)
+    cc("LIST"); u32(strlPayload); cc("strl")
+    cc("strh"); u32(strh.length); bb.write(strh)
+    cc("LIST"); u32(moviPayload); cc("movi")
+    frames.foreach { f =>
+      cc("00dc"); u32(f.length); bb.write(f)
+      if ((f.length & 1) == 1) bb.write(0) // even padding
+    }
+    bb.toByteArray
+  }
+
   /** Minimal but structurally-true MP4: ftyp + moov(mvhd v0, trak(tkhd,
     * mdia(hdlr 'vide', minf(stbl(stsd avc1, stsz n))))). */
   private def mp4Bytes(w: Int, h: Int, nFrames: Int, timescale: Int,
@@ -370,5 +408,68 @@ class MultimodalSpec extends SparkTestBase {
     // truncated container: must not throw, must stub
     val trunc = aviBytes(640, 480, 100, 40000, "mjpg").take(20)
     assert(Multimodal.parseVideoContainer(trunc).isEmpty)
+  }
+
+  test("MJPEG-in-AVI: movi frame chunks decode to REAL pixel features") {
+    // frame 1 solid red, frame 2 solid blue — the averaged channel
+    // means prove BOTH sampled frames were actually decoded (a single
+    // frame, or the sha stub, could not land near (0.5, 0, 0.5))
+    val solid = (rgb: Int) => {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(y => (0 until 32).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    val avi = aviMjpegBytes(
+      Seq(jpeg(solid(0xff0000)), jpeg(solid(0x0000ff))), 32, 32, 40000)
+    val f = Multimodal.decode(7L, "video", avi)
+    assert(f.decoded && f.width === 32 && f.n_frames === 2)
+    assert(f.feature.length === 3 + 3 + 16,
+      s"triage + image features expected, got length ${f.feature.length}")
+    val Array(mr, mg, mb) = f.feature.slice(3, 6)
+    assert(math.abs(mr - 0.5) < 0.05, s"meanR $mr (avg of red+blue frames)")
+    assert(math.abs(mg - 0.0) < 0.05, s"meanG $mg")
+    assert(math.abs(mb - 0.5) < 0.05, s"meanB $mb")
+    // luminance grid: flat frames → near-uniform cells
+    val grid = f.feature.drop(6)
+    assert(grid.length === 16 && (grid.max - grid.min) < 0.02)
+
+    // odd-length frames exercise the RIFF even-padding walk
+    val oddJpeg = jpeg(solid(0x00ff00))
+    val oddFrames = Seq(oddJpeg ++ Array[Byte](), oddJpeg) // lengths as produced
+    val f2 = Multimodal.decode(8L, "video",
+      aviMjpegBytes(oddFrames, 32, 32, 40000))
+    assert(f2.decoded && f2.feature.length === 3 + 3 + 16)
+    assert(math.abs(f2.feature(4) - 1.0) < 0.05, "green frames decode")
+
+    // MJPG fourcc but corrupt frame payloads: triage features only,
+    // never a throw — the pixel path degrades to the container path
+    val bad = aviMjpegBytes(Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5)),
+      32, 32, 40000)
+    val f3 = Multimodal.decode(9L, "video", bad)
+    assert(f3.decoded && f3.feature.length === 3,
+      "undecodable frames must keep the container-only feature shape")
+
+    // non-MJPG codec with a movi list: no pixel attempt, length 3
+    val xvid = aviBytes(640, 480, 100, 40000, "xvid")
+    val f4 = Multimodal.decode(10L, "video", xvid)
+    assert(f4.decoded && f4.feature.length === 3)
+  }
+
+  test("MJPEG-in-AVI: first/middle/last sampling picks distinct frames") {
+    // 5 frames: red, red, green, blue, blue → sampled (0, 2, 4) =
+    // red+green+blue → means ≈ (1/3, 1/3, 1/3); if sampling collapsed
+    // to one frame the means would sit at a pure primary instead
+    val solid = (rgb: Int) => {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    val frames = Seq(0xff0000, 0xff0000, 0x00ff00, 0x0000ff, 0x0000ff)
+      .map(c => jpeg(solid(c)))
+    val f = Multimodal.decode(11L, "video", aviMjpegBytes(frames, 16, 16, 40000))
+    assert(f.feature.length === 3 + 3 + 16)
+    val Array(mr, mg, mb) = f.feature.slice(3, 6)
+    Seq(mr, mg, mb).foreach(m =>
+      assert(math.abs(m - 1.0 / 3) < 0.06, s"sampled means $mr $mg $mb"))
   }
 }

@@ -46,15 +46,21 @@ for name, sql in sorted(oracle.items()):
         sk, ok = s[c].dtype.kind, o[c].dtype.kind
         if s[c].dtype == o[c].dtype:
             continue
-        if sk in "iu" and ok in "iu":
-            s[c] = s[c].astype("int64"); o[c] = o[c].astype("int64")
-        elif sk == "f" and ok == "f":
-            s[c] = s[c].astype("float64"); o[c] = o[c].astype("float64")
-        elif sk == "M" and ok == "M":
-            s[c] = s[c].astype("datetime64[us]")
-            o[c] = o[c].astype("datetime64[us]")
-        else:
-            dtype_bad.append((c, str(s[c].dtype), str(o[c].dtype)))
+        # The upcasts can still raise on same-kind-but-incompatible pairs
+        # (tz-aware vs naive datetime64 are both kind 'M'); route that to
+        # a per-query DTYPE failure instead of killing the whole sweep.
+        try:
+            if sk in "iu" and ok in "iu":
+                s[c] = s[c].astype("int64"); o[c] = o[c].astype("int64")
+            elif sk == "f" and ok == "f":
+                s[c] = s[c].astype("float64"); o[c] = o[c].astype("float64")
+            elif sk == "M" and ok == "M":
+                s[c] = s[c].astype("datetime64[us]")
+                o[c] = o[c].astype("datetime64[us]")
+            else:
+                dtype_bad.append((c, str(s[c].dtype), str(o[c].dtype)))
+        except (TypeError, ValueError) as e:
+            dtype_bad.append((c, str(s[c].dtype), str(o[c].dtype), str(e)))
     if dtype_bad:
         print(f"  {name}: DTYPE {dtype_bad} (spark vs oracle)")
         fails.append(name); continue
