@@ -160,8 +160,7 @@ object Stores {
     require(!Option(dir.listFiles()).getOrElse(Array.empty).exists(f =>
       f.isDirectory && f.getName.contains("=")),
       s"$path is hive-partitioned (e.g. the IVF-PQ index) — a flat " +
-        "rewrite would destroy partition pruning; compact per partition " +
-        "or rebuild via its writer")
+        "rewrite would destroy partition pruning; use compactPartitioned")
     val dataFiles = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.length()).sum
@@ -185,5 +184,62 @@ object Stores {
     // or cache still pointing at the deleted files
     spark.catalog.refreshByPath(path)
     n
+  }
+
+  /** [[compact]] for HIVE-PARTITIONED stores (the IVF-PQ index layout:
+    * `cell=<k>/` directories fed by [[graft.ops.Pq.indexAppend]], which
+    * accrues one small file set per batch exactly like the flat stores
+    * did). Each partition directory is rewritten INDEPENDENTLY into
+    * ⌈bytes / targetFileBytes⌉ files and swapped in place — the
+    * directory name carries the partition value, so pruning is
+    * preserved by construction, and the root's `_appended_*` markers
+    * are never touched (they live outside the partition dirs), so a
+    * replayed batch still no-ops after compaction.
+    *
+    * Crash window: each cell swap is the same two-phase
+    * rewrite-then-rename as [[compact]]; a crash between cells leaves
+    * some compacted and some not — row-identical either way, and a
+    * re-run converges (a leftover `_compacting` sibling is replaced
+    * wholesale by its cell's next rewrite). Same single-writer,
+    * run-between-batches contract as everywhere. Returns the total
+    * data-file count across partitions after compaction. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    require(new java.io.File(dir, "_SUCCESS").isFile, s"no store at $path")
+    val cellDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    require(cellDirs.nonEmpty,
+      s"$path has no partition directories — use compact for flat stores")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    var total = 0
+    cellDirs.foreach { cd =>
+      val files = Option(cd.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val n = math.max(1,
+        math.ceil(files.map(_.length()).sum.toDouble / targetFileBytes).toInt)
+      if (files.length > n) {
+        val tmp = cd.getPath + "_compacting"
+        rm(new java.io.File(tmp)) // leftover from a crashed prior run
+        // the cell's files carry the non-partition columns only; the
+        // rewrite keeps that shape and the dir name keeps the value
+        spark.read.parquet(cd.getPath).repartition(n)
+          .write.mode("overwrite").parquet(tmp)
+        // parquet job artifacts (_SUCCESS) don't belong inside a
+        // partition dir — underscore files are reader-ignored, but
+        // keep the layout exactly what partitionBy would have written
+        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+          .foreach(rm)
+        rm(cd)
+        require(new java.io.File(tmp).renameTo(cd),
+          s"cell compaction swap failed: could not rename $tmp to $cd")
+        total += n
+      } else total += files.length
+    }
+    spark.catalog.refreshByPath(path)
+    total
   }
 }

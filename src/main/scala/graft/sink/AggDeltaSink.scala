@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * DECIMAL sum columns for drift-free accumulation; DOUBLE sums drift
   * by ordinary float addition under heavy churn.
   */
-class AggDeltaSink(url: String, name: String, version: Int,
+class AggDeltaSink(url: String, val name: String, version: Int,
                    keys: Seq[ColumnSpec], sums: Seq[ColumnSpec],
                    dialect: SinkDialect = AnsiDialect)
     extends Serializable {
@@ -41,6 +41,11 @@ class AggDeltaSink(url: String, name: String, version: Int,
   private val base = new JdbcDeltaSink(url, spec, dialect)
 
   def bootstrap(): Boolean = base.bootstrap()
+
+  /** Union-member bootstrap (data table + version row only; the
+    * union's shared offsets/batch tables are the group's) — lets an
+    * aggregate view join a [[UnionDeltaSink]] next to raw members. */
+  private[sink] def bootstrapMember(): Boolean = base.bootstrapMember()
   def getOffsets(): Map[String, Long] = base.getOffsets()
   def lastBatchId(): Option[Long] = base.lastBatchId()
   def readRows(): Seq[Seq[Any]] = base.readRows()
@@ -66,6 +71,15 @@ class AggDeltaSink(url: String, name: String, version: Int,
                                adjustments: Iterator[(Seq[Any], Long, Seq[Any])]): Boolean =
     DeltaSql.inBatchTxn(url, s"${name}_batches", spec.offsetsTable,
       batchId, offsets, dialect) { c =>
+      applyAdjustmentsInTxn(c, adjustments)
+    }
+
+  /** The per-group UPDATE/INSERT/zero-eliminate protocol over an OPEN
+    * transaction — shared by [[applyAdjustmentsStreamed]] (own txn) and
+    * [[UnionDeltaSink]] (the group's shared txn, so a raw member and
+    * this view commit all-or-nothing together). */
+  private[sink] def applyAdjustmentsInTxn(
+      c: Connection, adjustments: Iterator[(Seq[Any], Long, Seq[Any])]): Unit = {
       val sumSet = sums.map(s => s"${s.name} = ${s.name} + ?").mkString(", ")
       val setSql = if (sums.isEmpty) "cnt = cnt + ?" else s"cnt = cnt + ?, $sumSet"
       adjustments.foreach { case (keyVals, dn, dsums) =>
@@ -112,16 +126,7 @@ class AggDeltaSink(url: String, name: String, version: Int,
     * `_source`/`_offset` columns feed the offsets map if present. */
   def foreachBatchWriter(): (DataFrame, Long) => Unit = { (df, batchId) =>
     val hasOffsets = df.columns.contains("_source")
-    val dataDf = df.drop("_source", "_offset")
-    val keyCols = keys.map(k => col(k.name))
-    val aggs = sum(col(graft.core.Deltas.MULT)).as("_dn") +:
-      sums.map(s => sum(col(s.name) * col(graft.core.Deltas.MULT)).as(s.name))
-    val adj = dataDf.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
-      .toLocalIterator().asScala.map { r =>
-        (keys.map(k => r.getAs[Any](k.name)),
-         r.getAs[Long]("_dn"),
-         sums.map(s => r.getAs[Any](s.name)))
-      }
+    val adj = adjustmentsOf(df.drop("_source", "_offset"))
     val offsets: Map[String, Long] =
       if (hasOffsets)
         df.groupBy("_source").max("_offset").collect()
@@ -130,4 +135,26 @@ class AggDeltaSink(url: String, name: String, version: Int,
     applyAdjustmentsStreamed(offsets, batchId, adj)
     ()
   }
+
+  /** The distributed per-group reduction of a signed-delta batch to
+    * (key, dn, ds…) adjustments — map-side combined, only churned
+    * groups cross the driver. Shared by [[foreachBatchWriter]] and the
+    * union's mixed-member writer. */
+  private[sink] def adjustmentsOf(dataDf: DataFrame)
+      : Iterator[(Seq[Any], Long, Seq[Any])] = {
+    val keyCols = keys.map(k => col(k.name))
+    val aggs = sum(col(graft.core.Deltas.MULT)).as("_dn") +:
+      sums.map(s => sum(col(s.name) * col(graft.core.Deltas.MULT)).as(s.name))
+    dataDf.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      .toLocalIterator().asScala.map { r =>
+        (keys.map(k => r.getAs[Any](k.name)),
+         r.getAs[Long]("_dn"),
+         sums.map(s => r.getAs[Any](s.name)))
+      }
+  }
+
+  /** Columns a union micro-batch must carry for this member: its keys
+    * and sum inputs (plus `mult`). */
+  private[sink] def dataColNames: Seq[String] =
+    (keys ++ sums).map(_.name)
 }

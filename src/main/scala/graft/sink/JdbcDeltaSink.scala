@@ -353,11 +353,22 @@ class JdbcDeltaSink(url: String, spec: TableSpec,
   * SHARED offsets/batch tables commit in one transaction — the
   * all-tables-or-nothing guarantee the reference gives a `Union` of up
   * to 5 record types.
+  *
+  * `aggMembers` extends the union BEYOND the reference's raw-row
+  * members: an incrementally-maintained [[AggDeltaSink]] view can join
+  * the group, its per-group adjustments applied inside the SAME shared
+  * transaction as the raw members' deltas — one flow feeding a raw
+  * audit table and its rollup, atomically, replay-idempotent on the
+  * shared batch stamp.
   */
 class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec],
                      dialect: SinkDialect = AnsiDialect,
-                     rowBatchSize: Int = 1000)
+                     rowBatchSize: Int = 1000,
+                     aggMembers: Seq[AggDeltaSink] = Nil)
     extends Serializable {
+
+  require(specs.map(_.name).toSet.intersect(aggMembers.map(_.name).toSet).isEmpty,
+    "raw and aggregate members must not share table names")
 
   private val sinks = specs.map(sp => new JdbcDeltaSink(url, sp, dialect, rowBatchSize))
 
@@ -378,7 +389,8 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec],
     * map with the table — otherwise stale offsets/batch ids would make
     * the replay a silent no-op and leave the recreated member empty. */
   def bootstrap(): Boolean = {
-    val recreated = sinks.map(_.bootstrapMember()).exists(identity)
+    val recreated = (sinks.map(_.bootstrapMember()) ++
+      aggMembers.map(_.bootstrapMember())).exists(identity)
     withConn { c =>
       c.setAutoCommit(false)
       for (t <- Seq(offsetsTable, s"${group}_batches")) {
@@ -430,21 +442,44 @@ class UnionDeltaSink(url: String, group: String, specs: Seq[TableSpec],
           .map(r => sink.rowOf(r, sp.colNames))
         DeltaSql.applyTableDeltas(c, sp, rows, dialect, rowBatchSize)
       }
+      // aggregate members: same tag dispatch, their rows reduced to
+      // per-group adjustments (distributed) and applied in THIS txn
+      aggMembers.foreach { agg =>
+        agg.applyAdjustmentsInTxn(c, agg.adjustmentsOf(
+          df.filter(col("_table") === agg.name)
+            .select(agg.dataColNames.map(col) :+ col(Deltas.MULT): _*)))
+      }
     }
     ()
   }
 
   /** One transaction across ALL member tables + shared offsets. */
   def applyDeltas(offsets: Map[String, Long], batchId: Long,
-                  perTable: Map[String, Seq[(Seq[Any], Long)]]): Boolean = {
+                  perTable: Map[String, Seq[(Seq[Any], Long)]]): Boolean =
+    applyMixed(offsets, batchId, perTable)
+
+  /** [[applyDeltas]] extended to aggregate members: raw deltas and
+    * per-group adjustments (key values, dn, per-sum ds) commit in the
+    * one shared transaction — all-members-or-nothing, raw and view
+    * alike. Replayed batch ids skip the whole batch. */
+  def applyMixed(offsets: Map[String, Long], batchId: Long,
+                 perTable: Map[String, Seq[(Seq[Any], Long)]],
+                 perAgg: Map[String, Seq[(Seq[Any], Long, Seq[Any])]] = Map.empty)
+      : Boolean = {
     val unknown = perTable.keySet -- specs.map(_.name).toSet
     require(unknown.isEmpty, s"unknown tables in delta batch: $unknown")
+    val unknownAgg = perAgg.keySet -- aggMembers.map(_.name).toSet
+    require(unknownAgg.isEmpty, s"unknown aggregate members: $unknownAgg")
     DeltaSql.inBatchTxn(url, s"${group}_batches", offsetsTable,
       batchId, offsets, dialect) { c =>
       specs.foreach { sp =>
         perTable.get(sp.name).filter(_.nonEmpty)
           .foreach(ds => DeltaSql.applyTableDeltas(c, sp, ds.iterator,
             dialect, rowBatchSize))
+      }
+      aggMembers.foreach { agg =>
+        perAgg.get(agg.name).filter(_.nonEmpty)
+          .foreach(adj => agg.applyAdjustmentsInTxn(c, adj.iterator))
       }
     }
   }

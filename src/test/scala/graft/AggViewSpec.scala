@@ -111,4 +111,62 @@ class AggViewSpec extends SparkTestBase {
         "Press1 zero-eliminated; Drill1 accumulated across micro-batches")
     } finally q.stop()
   }
+
+  test("union membership: raw member + aggregate view commit in ONE shared transaction") {
+    import graft.sink.{TableSpec, JdbcDeltaSink, UnionDeltaSink}
+    val url = "jdbc:derby:memory:aggunion;create=true"
+    val rawSpec = TableSpec("audit_rows", 1, Seq(
+      ColumnSpec("machine", "VARCHAR(32)", index = true),
+      ColumnSpec("pcs", "BIGINT")))
+    val agg = new AggDeltaSink(url, "machine_rollup", 1,
+      keys = Seq(ColumnSpec("machine", "VARCHAR(32)", index = true)),
+      sums = Seq(ColumnSpec("total_pcs", "BIGINT")))
+    val union = new UnionDeltaSink(url, "mixgrp", Seq(rawSpec),
+      aggMembers = Seq(agg))
+    union.bootstrap()
+
+    // one batch feeds the raw audit table AND its rollup atomically
+    assert(union.applyMixed(Map("s" -> 10L), 0L,
+      Map("audit_rows" -> Seq((Seq("m1", 5L), 1L), (Seq("m1", 7L), 1L))),
+      Map("machine_rollup" -> Seq((Seq("m1"), 2L, Seq(12L))))))
+    assert(new JdbcDeltaSink(url, rawSpec).readRows().size === 2)
+    assert(view(agg) === Map("m1" -> ((2L, 12L))))
+    assert(union.getOffsets() === Map("s" -> 10L))
+
+    // redelivery: union-wide no-op across BOTH member kinds
+    assert(!union.applyMixed(Map("s" -> 99L), 0L,
+      Map("audit_rows" -> Seq((Seq("m2", 1L), 1L))),
+      Map("machine_rollup" -> Seq((Seq("m2"), 1L, Seq(1L))))))
+    assert(new JdbcDeltaSink(url, rawSpec).readRows().size === 2)
+    assert(view(agg) === Map("m1" -> ((2L, 12L))))
+
+    // an over-retraction in the AGG member rolls back the RAW member's
+    // rows of the same batch — all-members-or-nothing
+    intercept[IllegalStateException] {
+      union.applyMixed(Map.empty, 1L,
+        Map("audit_rows" -> Seq((Seq("m9", 1L), 1L))),
+        Map("machine_rollup" -> Seq((Seq("ghost"), -5L, Seq(-99L)))))
+    }
+    assert(new JdbcDeltaSink(url, rawSpec).readRows()
+      .forall(_.head != "m9"), "raw rows of the aborted batch rolled back")
+    assert(view(agg) === Map("m1" -> ((2L, 12L))))
+    // the aborted batch id is NOT stamped: a corrected retry applies
+    assert(union.applyMixed(Map.empty, 1L,
+      Map("audit_rows" -> Seq((Seq("m9", 1L), 1L))),
+      Map("machine_rollup" -> Seq((Seq("m9"), 1L, Seq(1L))))))
+    assert(view(agg) === Map("m1" -> ((2L, 12L)), "m9" -> ((1L, 1L))))
+
+    // foreachBatch writer: _table tag dispatches to raw AND agg members
+    import spark.implicits._
+    val w = union.foreachBatchWriter()
+    val batch = Seq(
+      ("audit_rows", "m1", 9L: java.lang.Long, null: java.lang.Long, 1L),
+      ("machine_rollup", "m1", null: java.lang.Long, 9L: java.lang.Long, 1L),
+      ("machine_rollup", "m9", null: java.lang.Long, 1L: java.lang.Long, -1L))
+      .toDF("_table", "machine", "pcs", "total_pcs", "mult")
+    w(batch, 2L)
+    assert(new JdbcDeltaSink(url, rawSpec).readRows().count(_.head == "m1") === 3)
+    assert(view(agg) === Map("m1" -> ((3L, 21L))),
+      "m9 zero-eliminated, m1 accumulated through the tagged writer")
+  }
 }

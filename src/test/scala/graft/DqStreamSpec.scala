@@ -127,6 +127,63 @@ class DqStreamSpec extends SparkTestBase {
       "post-compaction replay must no-op on the carried marker")
   }
 
+  test("checkpoint kill-and-restart: crash after append, before commit — report converges") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val root = java.nio.file.Files.createTempDirectory("dq_restart").toString
+    val schema = StructType(Seq(
+      StructField("order_id", LongType), StructField("cust_id", LongType),
+      StructField("qty", LongType)))
+    val batch0 = rows.slice(0, 4)
+    val batch1 = rows.slice(4, 8) // carries a dup of batch0's 101
+
+    def feed(in: String, name: String,
+             rs: Seq[(java.lang.Long, java.lang.Long, java.lang.Long)]): Unit = {
+      val stage = s"$root/stage-$name"
+      df(rs).coalesce(1).write.mode("overwrite").parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(in, s"$name-$i.parquet"))
+        }
+    }
+
+    def run(store: String, in: String, ckpt: String, crash: Boolean): Map[String, Long] = {
+      new java.io.File(in).mkdirs()
+      @volatile var armed = crash
+      def start() = DqStream.attach(
+          spark.readStream.schema(schema).parquet(in), store, checks) { (bid, _) =>
+          // the crash window: processBatch's appendCommit already ran
+          // (possibly only its renames, in the worst real crash — the
+          // tag-guard test covers that half), the streaming commit has not
+          if (bid == 1L && armed) {
+            armed = false
+            throw new RuntimeException("injected crash: append done, commit not")
+          }
+        }.option("checkpointLocation", ckpt).start()
+      feed(in, "b0", batch0)
+      val q1 = start()
+      q1.processAllAvailable()
+      feed(in, "b1", batch1)
+      if (crash) {
+        intercept[StreamingQueryException] { q1.processAllAvailable() }
+        assert(!q1.isActive)
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      } else {
+        try q1.processAllAvailable() finally q1.stop()
+      }
+      if (q1.isActive) q1.stop()
+      reportMap(DqStream.report(spark, store, checks))
+    }
+
+    val crashed = run(s"$root/store", s"$root/inA", s"$root/ckpt", crash = true)
+    val clean = run(s"$root/storeRef", s"$root/inB", s"$root/ckptRef", crash = false)
+    val oneShot = reportMap(DqStream.batchReport(df(rows), checks))
+    assert(crashed === clean && clean === oneShot,
+      s"crashed $crashed / clean $clean / one-shot $oneShot must all agree")
+  }
+
   test("attach: live MemoryStream run converges to the batch report") {
     implicit val sqlCtx = spark.sqlContext
     val path = java.nio.file.Files.createTempDirectory("dq_live").toString

@@ -88,10 +88,67 @@ class PqIndexSpec extends SparkTestBase {
     val b = spark.read.parquet(ref).select("n_id", "cell", "codes")
       .collect().map(_.toString).sorted
     assert(a.sameElements(b), "append ≡ rebuild (frozen model, deterministic encode)")
-    // compaction refuses the partitioned layout instead of flattening it
+    // FLAT compaction refuses the partitioned layout instead of
+    // flattening it; the cell-aware path is compactPartitioned
     intercept[IllegalArgumentException] {
       graft.ops.Stores.compact(spark, dir)
     }
+  }
+
+  test("compactPartitioned: fewer files per cell, identical probes, markers survive") {
+    import spark.implicits._
+    val (emb, cents, cb) = setup()
+    val dir = java.nio.file.Files.createTempDirectory("pq_compact").toString
+    Pq.writeIndex(emb.filter(col("vec_id") >= 10), cents,
+      dim = 64, m = 8, k = 16, codebook = cb, path = dir)
+    // several appends → several file sets per touched cell (the
+    // small-files accrual compaction exists to reverse)
+    (0 until 3).foreach { b =>
+      Pq.indexAppend(emb.filter(col("vec_id") >= (b * 3) && col("vec_id") < (b * 3 + 3)),
+        cents, dim = 64, m = 8, k = 16, codebook = cb,
+        path = dir, batchTag = s"b$b")
+    }
+    def cellFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    def probe() = Pq.ivfPqTopKFromIndex(spark, dir,
+        emb.filter(col("vec_id") < 5), topK = 3,
+        centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 2)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val filesBefore = cellFiles()
+    val rowsBefore = spark.read.parquet(dir)
+      .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
+    val probeBefore = probe()
+    assert(filesBefore.values.max > 1, "precondition: appends accrued files")
+
+    val total = graft.ops.Stores.compactPartitioned(spark, dir)
+    val filesAfter = cellFiles()
+    assert(total === filesAfter.values.sum)
+    assert(filesAfter.keySet === filesBefore.keySet, "cell dirs preserved")
+    assert(filesAfter.values.forall(_ === 1),
+      s"tiny cells compact to one file each: $filesAfter")
+    assert(filesAfter.values.sum < filesBefore.values.sum)
+    val rowsAfter = spark.read.parquet(dir)
+      .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter === rowsBefore, "compaction must not change rows")
+    assert(probe() === probeBefore, "probe results identical after compaction")
+    // partition pruning still works on the compacted layout
+    val pruned = Pq.ivfPqTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id") === 17), topK = 3,
+      centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 1)
+    val pf = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")), s"pruning survives compaction: $pf")
+    // markers survive → a replayed append is still a no-op
+    val markers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_appended_")).map(_.getName).toSet
+    assert(markers === Set("_appended_b0", "_appended_b1", "_appended_b2"))
+    Pq.indexAppend(emb.filter(col("vec_id") >= 0 && col("vec_id") < 3),
+      cents, dim = 64, m = 8, k = 16, codebook = cb, path = dir, batchTag = "b0")
+    assert(spark.read.parquet(dir)
+      .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
+      === rowsAfter, "post-compaction replay must no-op on the carried marker")
   }
 
   test("nProbe=1, one query: scan reads a STRICT subset of the cell directories") {
