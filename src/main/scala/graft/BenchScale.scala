@@ -245,6 +245,96 @@ object BenchScale {
           s""""append_sec":${f"$t%.2f"},"emitted_pairs":$nEmit}""")
       }
     }
+    // ANN ladder (`… 32 ann`): vectors ×K by sign-flip perturbation
+    // (scaledEmbeddings), model FROZEN at the base corpus (the FAISS
+    // add() lifecycle — additions never retrain), probes fixed. The
+    // claims under test, each a curve not a single point:
+    //  - encode (writeIndex) and brute-force top-k are corpus-linear
+    //    (map-only encode; one broadcast-join scan for brute);
+    //  - the STORED-index probe reads only the probed cells, so its
+    //    cost tracks the nProbe/nCells FRACTION of the corpus —
+    //    probe4/probe1 ≈ 4 at every K, and each nProbe series grows
+    //    linearly in K (cells grow with the corpus; the fraction is
+    //    the lever, the partition-pruned scan is the mechanism);
+    //  - exact re-rank over a fixed-size shortlist adds a near-
+    //    constant term on top of its shortlist probe.
+    def annLadder(): Unit = {
+      val dim = 64; val m = 8; val kCode = 16; val nCells = 16
+      val baseEmb = graft.core.Tables.embeddings(spark, sfDir)
+      val cents = graft.ops.Pq.centroidArray(
+        baseEmb.filter(col("vec_id") < nCells)
+          .select(col("vec_id").cast("long").as("c_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+        dim)
+      val cb = graft.ops.Pq.trainResidualCodebooksSampled(baseEmb, cents,
+        dim, m, kCode, iters = 2, sampleCap = 512)
+      // 200 probes: at the sf0.1 base (2k vectors) a 10-probe set is
+      // pure job-launch overhead at every K — the first run's curves
+      // were flat because the measured work was milliseconds under
+      // ~1 s of scheduling. 200 probes × the K=256 top rung puts the
+      // scored-row volume (the actual cost driver) in whole seconds.
+      val probes = baseEmb.filter(col("vec_id") < 200)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val embPath = s"/root/repo/tmp/ann_emb_$k"
+        scaledEmbeddings(spark, sfDir, k).write.mode("overwrite").parquet(embPath)
+        val emb = spark.read.parquet(embPath)
+        val nv = emb.count()
+        val idxDir = s"/root/repo/tmp/ann_index_$k"
+        rm(new java.io.File(idxDir))
+        val (tEnc, _) = time(graft.ops.Pq.writeIndex(
+          emb, cents, dim, m, kCode, cb, idxDir))
+        val (tBrute, _) = time(
+          graft.ops.Ann.bruteTopK(emb, probes, 10).count())
+        spark.catalog.clearCache()
+        def probeIdx(nProbe: Int, topK: Int = 10) =
+          graft.ops.Pq.ivfPqTopKFromIndex(spark, idxDir, probes, topK,
+            cents, dim, m, kCode, cb, nProbe)
+        val (tP1, _) = time(probeIdx(1).count())
+        spark.catalog.clearCache()
+        val (tP4, _) = time(probeIdx(4).count())
+        spark.catalog.clearCache()
+        // nProbe = nCells: the probed fraction is 1.0, so the ADC term
+        // runs over the whole corpus — the rung that separates the
+        // fraction-proportional compute from the index-scan floor
+        val (tP16, _) = time(probeIdx(nCells).count())
+        spark.catalog.clearCache()
+        val (tRr, _) = time(graft.ops.Ann.rerankExact(
+          probeIdx(4, topK = 10), emb, probes, k = 3).count())
+        spark.catalog.clearCache()
+        println(s"""{"k":$k,"vecs":$nv,"encode_sec":${f"$tEnc%.2f"},""" +
+          s""""brute_sec":${f"$tBrute%.2f"},"probe1_sec":${f"$tP1%.2f"},""" +
+          s""""probe4_sec":${f"$tP4%.2f"},"probe16_sec":${f"$tP16%.2f"},""" +
+          s""""rerank_sec":${f"$tRr%.2f"}}""")
+      }
+    }
+    if (args.lift(1).contains("ann")) {
+      // untimed warmup of every measured plan shape (codegen JIT)
+      val w = scaledEmbeddings(spark, sfDir, 1).limit(400)
+        .persist()
+      val dim = 64
+      val wc = graft.ops.Pq.centroidArray(
+        graft.core.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("long").as("c_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+        dim)
+      val wcb = graft.ops.Pq.trainResidualCodebooksSampled(w, wc,
+        dim, 8, 16, iters = 1, sampleCap = 128)
+      val wIdx = s"/root/repo/tmp/ann_index_warm"
+      graft.ops.Pq.writeIndex(w, wc, dim, 8, 16, wcb, wIdx)
+      val wq = w.limit(3)
+      graft.ops.Ann.bruteTopK(w, wq, 5).count()
+      graft.ops.Pq.ivfPqTopKFromIndex(spark, wIdx, wq, 5,
+        wc, dim, 8, 16, wcb, nProbe = 1).count()
+      graft.ops.Ann.rerankExact(
+        graft.ops.Pq.ivfPqTopKFromIndex(spark, wIdx, wq, 5,
+          wc, dim, 8, 16, wcb, nProbe = 1), w, wq, 3).count()
+      w.unpersist(); spark.catalog.clearCache()
+      annLadder()
+      spark.stop(); return
+    }
     if (args.lift(1).contains("edstore")) {
       graft.ops.Dedup.simhashStoreAppend(
         scaledDocs(spark, sfDir, 1).limit(300),
