@@ -1617,6 +1617,47 @@ object Queries {
     },
     ivfPqOracleSql("ivfpq_stored_codebook"))
 
+  /** The stored IVF-PQ index LIFECYCLE under the driver's hash gate:
+    * build the index WITHOUT two slices of the corpus, fold them in
+    * via [[graft.ops.Pq.indexAppend]] (frozen model — additions never
+    * retrain), then [[graft.ops.Stores.compactPartitioned]] the
+    * accrued per-batch file sets, and probe. The oracle is the same
+    * one-shot full-corpus SQL as q_ivfpq_stored, so equality
+    * certifies append ≡ rebuild AND that cell-aware compaction is
+    * row- and pruning-preserving, end to end (PqIndexSpec pins the
+    * file-count/marker mechanics; this puts the lifecycle's ANSWERS
+    * under the gate). Reps: the base index is write-once, appends
+    * no-op on their markers (carried through compaction), compaction
+    * no-ops on already-single-file cells. Codebook artifact shared
+    * with q_ivfpq_stored — whichever runs first writes it. */
+  val qIvfPqCompact: Q = "q_ivfpq_compact" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.ops.Pq.centroidArray(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("long").as("c_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("c_v")),
+        dim = 64)
+      val cb = graft.ops.Pq.codebookStored(emb, cents, dim = 64, m = 8,
+        k = 16, iters = 2, sampleCap = 1024,
+        path = codebookPath(d, "ivfpq_stored_codebook"))
+      val idxPath = codebookPath(d, "ivfpq_index_app")
+      graft.ops.Pq.writeIndexIfAbsent(emb.filter(col("vec_id") >= 20), cents,
+        dim = 64, m = 8, k = 16, codebook = cb, path = idxPath)
+      graft.ops.Pq.indexAppend(emb.filter(col("vec_id") < 10), cents,
+        dim = 64, m = 8, k = 16, codebook = cb, path = idxPath, batchTag = "b0")
+      graft.ops.Pq.indexAppend(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20), cents,
+        dim = 64, m = 8, k = 16, codebook = cb, path = idxPath, batchTag = "b1")
+      graft.ops.Stores.compactPartitioned(s, idxPath)
+      graft.ops.Pq.ivfPqTopKFromIndex(s, idxPath,
+          emb.filter(col("vec_id") < 10), topK = 3,
+          centroids = cents, dim = 64, m = 8, k = 16, codebook = cb, nProbe = 4)
+        .withColumn("dist2", round(col("dist2"), 6))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ivfPqOracleSql("ivfpq_stored_codebook"))
+
   private def ivfPqOracleSql(cbName: String): String =
     s"""WITH cents AS (SELECT CAST(vec_id AS INT) AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
@@ -4920,6 +4961,69 @@ object Queries {
        |      THEN 1 ELSE 0 END) AS BIGINT) FROM ev)
        |ORDER BY "check"""".stripMargin)
 
+  /** The reference's `Union` fan-out EXTENDED with an incrementally-
+    * maintained AGGREGATE member (db/mod.rs:237-258 gives raw tables
+    * only): one event flow feeds a raw audit table and its per-user
+    * rollup through [[graft.sink.UnionDeltaSink]] in ONE transaction
+    * per batch, then a later batch RETRACTS every click event from
+    * BOTH members — the takedown shape — which must decrement and
+    * zero-eliminate exactly. The query reads the maintained view
+    * back; the oracle recomputes it from scratch over the surviving
+    * rows, so equality certifies insert + retract + zero-elimination
+    * end-to-end through the shared-txn protocol (AggViewSpec pins the
+    * mechanics; this puts the view's CONTENT under the hash gate).
+    * Integer cents keep the sums drift-free (the AggDeltaSink DECIMAL
+    * guidance). Reps: the in-memory Derby db persists per JVM and the
+    * replayed batch ids no-op on the shared batch stamps — the view
+    * is already exact. */
+  val qAggViewUnion: Q = "q_aggview_union" -> (
+    (s: SparkSession, d: String) => {
+      import graft.sink.{AggDeltaSink, ColumnSpec, TableSpec, UnionDeltaSink}
+      val ev = Tables.events(s, d)
+        .filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val db = "aggunion_" + new java.io.File(d).getName
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val rawSpec = TableSpec("audit_events", 1, Seq(
+        ColumnSpec("event_id", "BIGINT"), ColumnSpec("user_id", "BIGINT"),
+        ColumnSpec("cents", "BIGINT")))
+      val agg = new AggDeltaSink(url, "user_stats", 1,
+        keys = Seq(ColumnSpec("user_id", "BIGINT", index = true)),
+        sums = Seq(ColumnSpec("total_cents", "BIGINT")))
+      val union = new UnionDeltaSink(url, "grp_union_agg", Seq(rawSpec),
+        aggMembers = Seq(agg))
+      union.bootstrap()
+      val w = union.foreachBatchWriter()
+      // each batch fans one delta set into BOTH members via the
+      // _table tag (columns irrelevant to a member ride as NULL)
+      def tagged(part: DataFrame, mult: Long) =
+        part.select(lit("audit_events").as("_table"), col("event_id"),
+            col("user_id"), col("cents"),
+            lit(null).cast("long").as("total_cents"),
+            lit(mult).as("mult"))
+          .unionAll(part.select(lit("user_stats").as("_table"),
+            lit(null).cast("long").as("event_id"), col("user_id"),
+            lit(null).cast("long").as("cents"),
+            col("cents").as("total_cents"), lit(mult).as("mult")))
+      w(tagged(ev.filter(pmod(col("event_id"), lit(2)) === 0), 1L), 0L)
+      w(tagged(ev.filter(pmod(col("event_id"), lit(2)) === 1), 1L), 1L)
+      w(tagged(ev.filter(col("event_type") === "click"), -1L), 2L)
+      agg.readAsDataFrame(s)
+        .toDF("user_id", "cnt", "total_cents")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("cnt").cast("long").as("cnt"),
+          col("total_cents").cast("long").as("total_cents"))
+        .orderBy(col("user_id"))
+    },
+    s"""WITH $EV,
+       |sl AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+       |  FROM ev WHERE event_id % 7 = 0 AND event_type <> 'click')
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM sl GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   /** q_lookback on the PARTITIONED layout — the 100 TB pruning story as
     * a graded query: the flat events file is laid out once per corpus
     * as `dt=<DATE>` directories (content-guarded artifact, the
@@ -5264,6 +5368,6 @@ object Queries {
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
-    qRateLimit, qFunnelWindowed,
+    qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion,
   )
 }
