@@ -196,24 +196,43 @@ object Stores {
     * are never touched (they live outside the partition dirs), so a
     * replayed batch still no-ops after compaction.
     *
-    * Crash window: each cell swap is the same two-phase
-    * rewrite-then-rename as [[compact]]; a crash between cells leaves
-    * some compacted and some not — row-identical either way, and a
-    * re-run converges (a leftover `_compacting` sibling is replaced
-    * wholesale by its cell's next rewrite). Same single-writer,
-    * run-between-batches contract as everywhere. Returns the total
-    * data-file count across partitions after compaction. */
+    * Crash windows, all convergent on re-run: the per-cell rewrite
+    * lands in a DOT-PREFIXED sibling (`._compact_cell=<k>` — hidden
+    * from every parquet read; a bare `cell=<k>_compacting` name would
+    * be parsed as a PHANTOM PARTITION VALUE by the next hive-layout
+    * scan), the swap is delete-then-rename, and the recovery pass at
+    * the top completes or discards leftovers: a leftover WITH its
+    * cell dir still present is a partial rewrite (discard, redo); a
+    * leftover WITHOUT its cell dir means the crash hit between the
+    * delete and the rename, and the leftover is by construction the
+    * complete stripped rewrite (the delete only ever runs after the
+    * write finished) — rename it into place. A crash between cells
+    * leaves some compacted and some not: row-identical either way.
+    * Same single-writer, run-between-batches contract as everywhere.
+    * Returns the total data-file count across partitions. */
   def compactPartitioned(spark: SparkSession, path: String,
                          targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val dir = new java.io.File(path)
     require(new java.io.File(dir, "_SUCCESS").isFile, s"no store at $path")
-    val cellDirs = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-    require(cellDirs.nonEmpty,
-      s"$path has no partition directories — use compact for flat stores")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    val TMP = "._compact_"
+    // recovery pass: converge leftovers from a crashed prior run
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(TMP))
+      .foreach { tmp =>
+        val cd = new java.io.File(dir, tmp.getName.stripPrefix(TMP))
+        if (!cd.exists())
+          require(tmp.renameTo(cd),
+            s"compaction recovery failed: could not rename $tmp to $cd")
+        else rm(tmp)
+      }
+    val cellDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("=") &&
+        !f.getName.startsWith("."))
+    require(cellDirs.nonEmpty,
+      s"$path has no partition directories — use compact for flat stores")
     var total = 0
     cellDirs.foreach { cd =>
       val files = Option(cd.listFiles()).getOrElse(Array.empty)
@@ -221,20 +240,20 @@ object Stores {
       val n = math.max(1,
         math.ceil(files.map(_.length()).sum.toDouble / targetFileBytes).toInt)
       if (files.length > n) {
-        val tmp = cd.getPath + "_compacting"
-        rm(new java.io.File(tmp)) // leftover from a crashed prior run
+        val tmp = new java.io.File(dir, TMP + cd.getName)
         // the cell's files carry the non-partition columns only; the
         // rewrite keeps that shape and the dir name keeps the value
         spark.read.parquet(cd.getPath).repartition(n)
-          .write.mode("overwrite").parquet(tmp)
-        // parquet job artifacts (_SUCCESS) don't belong inside a
-        // partition dir — underscore files are reader-ignored, but
-        // keep the layout exactly what partitionBy would have written
-        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        // strip parquet job artifacts (_SUCCESS) so the swapped dir is
+        // exactly what partitionBy would have written; MUST run before
+        // the delete — recovery relies on a cell-less leftover being
+        // the finished, stripped rewrite
+        Option(tmp.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("_") || f.getName.startsWith("."))
           .foreach(rm)
         rm(cd)
-        require(new java.io.File(tmp).renameTo(cd),
+        require(tmp.renameTo(cd),
           s"cell compaction swap failed: could not rename $tmp to $cd")
         total += n
       } else total += files.length

@@ -149,6 +149,43 @@ class PqIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(dir)
       .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
       === rowsAfter, "post-compaction replay must no-op on the carried marker")
+
+    // crash window 1: a leftover rewrite whose cell dir still exists
+    // (crash mid-write) — the recovery pass must DISCARD it, and its
+    // dot prefix must hide it from reads in the meantime (a bare
+    // cell=X_compacting name would read back as a phantom partition)
+    val someCell = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val junk = new java.io.File(dir, "._compact_" + someCell.getName)
+    junk.mkdirs()
+    spark.read.parquet(someCell.getPath).limit(1)
+      .write.mode("overwrite").parquet(junk.getPath)
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir)
+      .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
+      === rowsAfter, "a dot-prefixed leftover must be invisible to reads")
+    graft.ops.Stores.compactPartitioned(spark, dir)
+    assert(!junk.exists(), "partial-rewrite leftover discarded")
+    assert(spark.read.parquet(dir)
+      .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
+      === rowsAfter)
+
+    // crash window 2: the crash hit between the cell delete and the
+    // rename — cell dir gone, finished rewrite stranded under the
+    // hidden name. Recovery must complete the swap, restoring rows.
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val stranded = new java.io.File(dir, "._compact_" + victim.getName)
+    assert(victim.renameTo(stranded))
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir).count() < rowsAfter.size,
+      "precondition: the victim cell's rows are missing")
+    graft.ops.Stores.compactPartitioned(spark, dir)
+    assert(victim.isDirectory && !stranded.exists())
+    assert(spark.read.parquet(dir)
+      .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
+      === rowsAfter, "recovery completes the crashed swap, rows restored")
+    assert(probe() === probeBefore, "probes unchanged after both recoveries")
   }
 
   test("nProbe=1, one query: scan reads a STRICT subset of the cell directories") {
