@@ -383,4 +383,86 @@ object TextStats {
         round(col("c_ab").cast("double") * col("n_tokens")
           / (col("c_a").cast("double") * col("c_b")), 6).as("pmi_lin"))
   }
+
+  /** The Robertson/Lucene BM25 idf table — `ln((N − df + ½)/(df + ½)
+    * + 1)` for every df the capped postings can carry (1..maxDf).
+    * Computed ONCE on the driver and shipped to both engines as DATA
+    * (a broadcast join here, an exported parquet side-table for the
+    * oracle): `ln` has no cross-engine correct-rounding guarantee, so
+    * it must never run inside either engine's expression evaluator —
+    * the table form makes every downstream float op plain IEEE
+    * +,*,/ (this file's header discipline). maxDf+1 rows: df-capped
+    * postings make the domain tiny by construction. */
+  def bm25IdfRows(nDocs: Long, maxDf: Long): Seq[(Long, Double)] =
+    (1L to maxDf).map(df =>
+      df -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0))
+
+  /** BM25 more-like-this retrieval: score every corpus document
+    * sharing ≥1 capped-df term with a query document, top-`k` per
+    * query — the lexical complement to the embedding-space
+    * hard-negative mining ([[graft.ops.Ann]]): BM25 surfaces the
+    * near-misses that SHARE WORDS but differ in meaning.
+    *
+    * score(q, d) = Σ_{t ∈ q ∩ d} idf(df_t) · tf_td(k1+1) /
+    *                (tf_td + k1(1 − b + b·dl_d/avgdl))
+    *
+    * Plan shape at 100 TB ([[ngramCandidates]]' postings discipline):
+    * one explode+agg builds (doc, term, tf); document frequency is a
+    * vocabulary-sized agg; terms with df > `maxDf` are DROPPED — a
+    * stop-term's posting list would put df·|queries| candidate rows
+    * under one key, and a term that frequent separates nothing (the
+    * classic BM25 stop-list, made explicit). The query side (≤ a few
+    * hundred capped terms per query doc) broadcasts onto the postings
+    * scan, so candidates are bounded by |query terms| × maxDf — never
+    * a corpus×corpus join. The per-pair sum folds in TERM ORDER
+    * (sort_array + aggregate) so the float total is deterministic and
+    * engine-portable. Ranking uses the full-precision score;
+    * `bm25` in the output is rounded for the compare. */
+  def bm25TopK(docs: DataFrame, queryIds: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 100,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val nDocs = docs.count() // one scalar, the model-sized driver action
+    import spark.implicits._
+    val idf = broadcast(bm25IdfRows(nDocs, maxDf).toDF("df", "idf"))
+    val tf = termFrequencies(docs, idCol, textCol)
+      .persist() // corpus side + df + dl + query side all read it once
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val qt = tf.join(queryIds.select(col(idCol).as("id")), Seq("id"))
+      .select(col("id").as("q_id"), col("term"))
+    val cand = qt
+      .join(dfq.hint("broadcast"), Seq("term"))
+      .join(idf, Seq("df"))
+      .join(tf.select(col("id").as("doc_id"), col("term"), col("tf")), Seq("term"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(dl.select(col("id").as("doc_id"), col("dl")), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), col("term"),
+        (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("c"))
+    val scored = cand
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0),
+        (acc, e) => acc + e.getField("c")).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    // tf stays persisted with caller-owned lifetime (the ngram
+    // signature-table convention): four plan branches read it, and the
+    // result is lazy — an unpersist here would discard the cache
+    // before anything ran. Verify's between-query clearCache (or the
+    // caller's) releases it.
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"),
+        round(col("score"), 6).as("bm25"), col("rank"))
+  }
 }

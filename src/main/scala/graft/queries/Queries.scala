@@ -2433,6 +2433,57 @@ object Queries {
        |SELECT id, term, tf, df, tfidf, trank FROM r
        |WHERE trank <= 3 ORDER BY id, trank""".stripMargin)
 
+  /** BM25 more-like-this retrieval ([[graft.ops.TextStats.bm25TopK]]):
+    * top-3 lexical neighbors for five query documents over df-capped
+    * postings — the word-overlap complement to q_hard_negatives'
+    * embedding-space mining. The idf table (the only `ln` anywhere in
+    * the pipeline) is computed once on the driver and shipped to BOTH
+    * engines as data — exported parquet for the oracle, broadcast join
+    * in the plan — so every in-engine float op is plain IEEE +,*,/
+    * and the per-pair sum folds in term order on both sides. */
+  val qBm25: Q = "q_bm25" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      // the synthetic corpus has a ~31-term vocabulary with df ≈ 0.8N
+      // — a production-style absolute cap would drop every term, so
+      // the cap is set to N here (disabled; it stays the scale lever,
+      // see bm25TopK's doc) and the oracle adapts identically
+      val n = docs.count()
+      val idfPath = codebookPath(d, "bm25_idf")
+      graft.ops.TextStats.bm25IdfRows(n, maxDf = n)
+        .toDF("df", "idf").coalesce(1)
+        .write.mode("overwrite").parquet(idfPath)
+      graft.ops.TextStats.bm25TopK(docs,
+          docs.filter(col("doc_id") < 5).select(col("doc_id")),
+          k = 3, maxDf = n)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH toks AS (SELECT doc_id AS id, unnest($TOKS) AS term FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf
+       |  GROUP BY 1 HAVING count(*) <= (SELECT count(*) FROM documents)),
+       |idf AS (SELECT df, idf
+       |  FROM read_parquet('/root/repo/artifacts/bm25_idf_${SF}/*.parquet')),
+       |qt AS (SELECT id AS q_id, term FROM tf WHERE id < 5),
+       |cand AS (SELECT q.q_id, t.id AS doc_id, t.term, t.tf, d.dl, i.idf
+       |  FROM qt q JOIN dfq f USING (term) JOIN idf i USING (df)
+       |  JOIN tf t ON t.term = q.term AND t.id <> q.q_id
+       |  JOIN dl d ON d.id = t.id),
+       |sc AS (SELECT q_id, doc_id, list_sum(list(
+       |    idf * (CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 *
+       |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |    ORDER BY term)) AS score
+       |  FROM cand CROSS JOIN stats GROUP BY 1, 2),
+       |r AS (SELECT q_id, doc_id, round(score, 6) AS bm25, row_number()
+       |    OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM sc)
+       |SELECT q_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank FROM r
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+
   /** Unigram lexical likelihood (the CCNet-style LM quality filter,
     * ln-free): train = one explode+agg pass, model = top-500 tokens'
     * exact c/N probabilities as ONE `typedlit` map constant, score =
@@ -5368,6 +5419,6 @@ object Queries {
     qWinnow, qWinnowPairs, qCdcChunks, qCdcDedup, qPplBuckets, qAnnRerank,
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
-    qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion,
+    qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
   )
 }

@@ -181,6 +181,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3L) === Seq(("dates", 9.0)))
   }
 
+  test("bm25TopK: hand-computed scores, df cap drops stop terms, self excluded") {
+    val in = Seq(
+      (1L, "apple banana"),
+      (2L, "apple banana cherry"),
+      (3L, "apple dates"),
+      (4L, "apple")).toDF("doc_id", "text")
+    // N=4; df: apple 4, banana 2, cherry 1, dates 1; dl: 2,3,2,1;
+    // avgdl = 8/4 = 2. Cap at maxDf=3 drops "apple" (the stop term) —
+    // doc 4 then shares nothing and can never be a candidate.
+    val k1 = 1.2; val b = 0.75
+    val idf = TextStats.bm25IdfRows(4L, 3L).toMap
+    def contrib(df: Long, tf: Long, dl: Long): Double =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / 2.0))
+    val out = TextStats.bm25TopK(in,
+        in.filter(col("doc_id") === 1L).select(col("doc_id")),
+        k = 3, maxDf = 3)
+      .select("q_id", "doc_id", "bm25", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq
+    // only doc 2 shares an uncapped term (banana) with doc 1
+    assert(out.map(r => (r._1, r._2, r._4)) === Seq((1L, 2L, 1L)), s"got $out")
+    val expect = math.rint(contrib(df = 2, tf = 1, dl = 3) * 1e6) / 1e6
+    assert(out.head._3 === expect, s"score ${out.head._3} != $expect")
+
+    // with the cap open, apple joins the sum and docs 3 and 4 appear
+    val all = TextStats.bm25TopK(in,
+        in.filter(col("doc_id") === 1L).select(col("doc_id")),
+        k = 3, maxDf = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === Set(2L, 3L, 4L), "uncapped: every apple-sharer scored")
+  }
+
   test("splits: total partition, stable under boundary growth, proportional") {
     val out = Sampling.splits(docs,
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "doc_id", seed = 7)
