@@ -2484,6 +2484,40 @@ object Queries {
        |SELECT q_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank FROM r
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
 
+  /** PII scrub ([[graft.ops.Redact.scrub]]): redacted text + per-kind
+    * match counts, map-only codegen'd regexes, no shuffle. The
+    * synthetic corpus carries no PII, so the query ENRICHES each doc
+    * with deterministic synthetic identifiers — an email, a phone,
+    * an IPv4 derived from doc_id — identically in the Spark plan and
+    * the oracle SQL; the hash compare then certifies the full
+    * redacted STRING byte-for-byte, i.e. that both engines' regex
+    * subsets agree exactly on these patterns (the Redact portability
+    * contract). */
+  val qPiiScrub: Q = "q_pii_scrub" -> (
+    (s: SparkSession, d: String) => {
+      val enriched = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      graft.ops.Redact.scrub(enriched).orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\+\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g'),
+      |    '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g') AS redacted
+      |FROM (SELECT doc_id, text || ' contact user' || doc_id
+      |    || '@example.com via 10.0.' || (doc_id % 256) || '.7 or +1-555-'
+      |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
   /** Unigram lexical likelihood (the CCNet-style LM quality filter,
     * ln-free): train = one explode+agg pass, model = top-500 tokens'
     * exact c/N probabilities as ONE `typedlit` map constant, score =
@@ -5420,5 +5454,6 @@ object Queries {
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
+    qPiiScrub,
   )
 }

@@ -340,4 +340,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(fromText.nonEmpty && fromTokens === fromText,
       "the tokens overload must be value-identical to the text path")
   }
+
+  test("Redact.scrub: emails, phones, IPv4s replaced and counted; near-misses untouched") {
+    val rows = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io then call +1-555-0042"),
+      (2L, "host 10.0.200.7 peer 192.168.1.1 but version 1.2.3.4000 stays"),
+      (3L, "no pii here, just words"),
+      (4L, "not-an-email @missing.local nor +1-55-0042 short"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Redact.scrub(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out(1L) === ((2L, 1L, 0L,
+      "mail [EMAIL] and [EMAIL] then call [PHONE]")))
+    // 1.2.3.4000: the final quad is 4 digits — \b{1,3}\b cannot match
+    assert(out(2L) === ((0L, 0L, 2L,
+      "host [IP] peer [IP] but version 1.2.3.4000 stays")))
+    assert(out(3L) === ((0L, 0L, 0L, "no pii here, just words")))
+    assert(out(4L)._1 === 0L, "a bare @domain is not an email")
+    assert(out(4L)._2 === 0L, "+1-55-0042 has a short exchange group")
+  }
 }
