@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution): match incoming "dirty" records to a
+  * master table by fuzzy name similarity, WITHOUT the cartesian product —
+  * candidates are generated only within equal blocking keys (Fellegi &
+  * Sunter 1969 blocking; Christen 2012 survey).
+  *
+  * Scale: the candidate count is Σ_b |probes_b| × |master_b| over blocks b —
+  * plan-time bounded by the block-key cardinality the caller chooses, never
+  * |P| × |M|. The join shuffles both sides by the block key once; a cheap
+  * length-difference prune runs before the O(len²) edit distance (an edit
+  * distance of k changes length by at most k, so |len(a) − len(b)| > maxDist
+  * disqualifies without the DP). A hot block is the same skew problem as any
+  * hot join key — salt it with [[SkewJoin]] if one block dominates.
+  */
+object Linkage {
+
+  /** Best master match per probe record within shared blocking keys.
+    *
+    * @return one row per probe that has ≥1 candidate within maxDist:
+    *         (probeId, bestId, dist, n_candidates) — best = lowest edit
+    *         distance, ties broken by lowest master id (deterministic).
+    */
+  def blockedBestMatch(probes: DataFrame, master: DataFrame,
+                       blockCols: Seq[String],
+                       probeIdCol: String, probeNameCol: String,
+                       masterIdCol: String, masterNameCol: String,
+                       maxDist: Int): DataFrame = {
+    val p = probes.select(
+      (blockCols.map(col) :+ col(probeIdCol).as("probe_id")
+        :+ col(probeNameCol).as("probe_name")): _*)
+    val m = master.select(
+      (blockCols.map(col) :+ col(masterIdCol).as("master_id")
+        :+ col(masterNameCol).as("master_name")): _*)
+    val cand = p.join(m, blockCols)
+      .filter(abs(length(col("probe_name")) - length(col("master_name")))
+        <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("probe_name"), col("master_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
+    val w = Window.partitionBy(col("probe_id"))
+    val rk = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist"), col("master_id"))
+    cand
+      .withColumn("n_candidates", count(lit(1)).over(w).cast("long"))
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("master_id"), col("dist"),
+        col("n_candidates"))
+  }
+}

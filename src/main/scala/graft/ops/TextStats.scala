@@ -465,4 +465,58 @@ object TextStats {
       .select(col("q_id"), col("doc_id"),
         round(col("score"), 6).as("bm25"), col("rank"))
   }
+
+  /** Distinctive-terms "card" per group (source/domain): for each group,
+    * the terms whose in-group vs rest-of-corpus odds ratio is highest —
+    * the interpretability pass run over a corpus slice before mixing it
+    * into a training set (c-TF-IDF / log-odds family; Monroe, Colaresi &
+    * Quinn 2008 "Fightin' Words"). Deliberately LOG-FREE: `ln` has no
+    * cross-engine correct-rounding guarantee (file header), so this ranks
+    * by the raw odds ratio with Haldane–Anscombe 0.5 smoothing — each
+    * factor (count + 0.5) is exactly representable, the products stay
+    * under 2^53, and the single IEEE division is bit-identical across
+    * engines; log-monotonicity makes the ranking identical to log-odds.
+    *
+    * Scale: one tokenize+explode pass; (group, term) counts are map-side
+    * combinable; per-term totals re-aggregate the ALREADY-collapsed
+    * (group, term) rows (≤ vocab × n_groups, far smaller than the
+    * corpus); per-group totals and the grand total are broadcast. The
+    * final top-k window partitions by group over candidate terms only
+    * (n_st ≥ minCount — the df-cap pattern bounding the window input).
+    *
+    * @return (group, term, n_st, odds, rank): top-k terms per group by
+    *         (odds desc, term asc), odds rounded to 6 decimals.
+    */
+  def distinctiveTerms(docs: DataFrame, groupCol: String,
+                       minCount: Long, topK: Int,
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(groupCol).as("grp"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("grp"), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull && col("term").rlike("^[a-z]{3,}$"))
+    val st = toks.groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("n_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perTerm = st.groupBy(col("term")).agg(sum(col("n_st")).as("n_t"))
+    val perGrp = st.groupBy(col("grp")).agg(sum(col("n_st")).as("n_s"))
+    val grand = st.agg(sum(col("n_st")).as("n_all"))
+    def d(c: Column): Column = c.cast("double")
+    val scored = st.filter(col("n_st") >= minCount)
+      .join(perTerm, Seq("term"))
+      .join(broadcast(perGrp), Seq("grp"))
+      .crossJoin(broadcast(grand))
+      .withColumn("odds",
+        ((d(col("n_st")) + lit(0.5)) *
+          (d(col("n_all") - col("n_s") - (col("n_t") - col("n_st"))) + lit(0.5))) /
+        ((d(col("n_s") - col("n_st")) + lit(0.5)) *
+          (d(col("n_t") - col("n_st")) + lit(0.5))))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("odds").desc, col("term").asc)
+    // st unpersists with the caller/Verify clearCache (bm25TopK note):
+    // three lazy plan branches read it.
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("term"), col("n_st"),
+        round(col("odds"), 6).as("odds"), col("rank"))
+  }
 }

@@ -5414,6 +5414,173 @@ object Queries {
        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
        |FROM h ORDER BY user_id, valid_from_us""".stripMargin)
 
+  /** PageRank centrality over the co-purchase graph
+    * ([[graft.ops.Graph.pageRank]]): which parts sit at the center of
+    * the basket network. Fixed 3 power iterations so the oracle can
+    * replay the unrolled recurrence; inbound mass sums in
+    * DECIMAL(28,18) (order-free exact), and every scalar step —
+    * 1/n seed, (1-d)/n base, d*mass — is the same IEEE double
+    * expression on both sides, so the unrounded ranks are
+    * bit-identical. Scale: one persisted (src,dst,deg) relation reused
+    * per iteration; per-iteration cost is one |E| shuffle-join + one
+    * aggregation — no cartesian, no driver loop over nodes; the
+    * min-item-support prefilter keeps the per-basket pair blow-up to
+    * frequent items (the df-cap pattern). */
+  val qPageRank: Q = "q_pagerank" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("part")).limit(20)
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+      |m1 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(r0.rank / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS im
+      |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT m1.node,
+      |    (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * im AS rank FROM m1, nn),
+      |m2 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(r1.rank / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS im
+      |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT m2.node,
+      |    (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * im AS rank FROM m2, nn),
+      |m3 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(r2.rank / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS im
+      |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT m3.node,
+      |    (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * im AS rank FROM m3, nn)
+      |SELECT node AS part, round(rank, 6) AS rank FROM r3
+      |ORDER BY round(rank, 6) DESC, part LIMIT 20""".stripMargin)
+
+  /** Blocked record linkage ([[graft.ops.Linkage.blockedBestMatch]]):
+    * a deterministically corrupted copy of every third customer (one
+    * digit spliced out of the name at a key-derived position) is
+    * matched back to the master table — candidates only within the
+    * same nation block, a length-difference prune ahead of the O(len²)
+    * DP, best match by (edit distance, master key). All-integer
+    * output, so the oracle comparison is exact. Scale: candidate
+    * pairs = Σ_block |probes|×|master|, bounded by block cardinality —
+    * never the |P|×|M| cartesian. */
+  val qEntityMatch: Q = "q_entity_match" -> (
+    (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d)
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("d_key"), col("c_nationkey"),
+          expr("concat(substring(c_name, 1, cast(c_custkey % 8 as int) + 9), " +
+            "substring(c_name, cast(c_custkey % 8 as int) + 11, 100))")
+            .as("d_name"))
+      graft.ops.Linkage.blockedBestMatch(dirty, cust, Seq("c_nationkey"),
+          "d_key", "d_name", "c_custkey", "c_name", maxDist = 2)
+        .select(col("probe_id").as("d_key"),
+          col("master_id").as("match_key"), col("dist"), col("n_candidates"))
+        .orderBy(col("d_key"))
+    },
+    """WITH dirty AS (SELECT c_custkey AS d_key, c_nationkey,
+      |    substr(c_name, 1, CAST(c_custkey % 8 AS INT) + 9)
+      |      || substr(c_name, CAST(c_custkey % 8 AS INT) + 11, 100) AS d_name
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |cand AS (SELECT d.d_key, c.c_custkey,
+      |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+      |  FROM dirty d JOIN customer c USING (c_nationkey)
+      |  WHERE abs(length(d.d_name) - length(c.c_name)) <= 2
+      |    AND levenshtein(d.d_name, c.c_name) <= 2),
+      |best AS (SELECT d_key, c_custkey AS match_key, dist,
+      |    CAST(count(*) OVER (PARTITION BY d_key) AS BIGINT) AS n_candidates,
+      |    row_number() OVER (PARTITION BY d_key ORDER BY dist, c_custkey) AS rn
+      |  FROM cand)
+      |SELECT d_key, match_key, dist, n_candidates FROM best
+      |WHERE rn = 1 ORDER BY d_key""".stripMargin)
+
+  /** Distinctive-terms card per source
+    * ([[graft.ops.TextStats.distinctiveTerms]]): top terms by in-group
+    * vs rest-of-corpus odds ratio — the interpretability pass run over
+    * a corpus slice before mixing. Log-free by design (`ln` has no
+    * cross-engine rounding guarantee): the smoothed odds ratio is a
+    * ratio of exactly-representable products, bit-identical across
+    * engines and rank-equivalent to log-odds. */
+  val qDomainTerms: Q = "q_domain_terms" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.distinctiveTerms(Tables.documents(s, d),
+          "source", minCount = 10, topK = 10)
+        .orderBy(col("source"), col("rank")),
+    s"""WITH tt AS (SELECT grp, term FROM (
+       |    SELECT source AS grp, unnest($TOKS) AS term FROM documents)
+       |  WHERE regexp_matches(term, '^[a-z]{3,}$$')),
+       |st AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS n_st
+       |  FROM tt GROUP BY 1, 2),
+       |pt AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t
+       |  FROM st GROUP BY 1),
+       |pg AS (SELECT grp, CAST(sum(n_st) AS BIGINT) AS n_s
+       |  FROM st GROUP BY 1),
+       |g AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_all FROM st),
+       |sc AS (SELECT st.grp, st.term, st.n_st,
+       |    ((CAST(st.n_st AS DOUBLE) + 0.5) *
+       |     (CAST(g.n_all - pg.n_s - (pt.n_t - st.n_st) AS DOUBLE) + 0.5))
+       |    / ((CAST(pg.n_s - st.n_st AS DOUBLE) + 0.5) *
+       |       (CAST(pt.n_t - st.n_st AS DOUBLE) + 0.5)) AS odds
+       |  FROM st JOIN pt USING (term) JOIN pg USING (grp), g
+       |  WHERE st.n_st >= 10),
+       |rk AS (SELECT grp, term, n_st, odds,
+       |    CAST(row_number() OVER (PARTITION BY grp
+       |      ORDER BY odds DESC, term) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT grp AS source, term, n_st, round(odds, 6) AS odds, rank
+       |FROM rk WHERE rank <= 10 ORDER BY source, rank""".stripMargin)
+
+  /** Trailing EWMA per user over the last 20 events — time-series
+    * smoothing with a DYADIC decay (1/2 per step) so every weight is a
+    * power of two: value/2^k is an EXACT double scaling, the weighted
+    * terms sum order-free in DECIMAL(38,24), and the weight-sum closes
+    * to 2 − 2^(1−m) exactly — no `pow`, no `ln`, bit-identical across
+    * engines. One window pass per user (the documented event-family
+    * partition bound) then a per-user aggregate. */
+  val qEwma: Q = "q_ewma" -> (
+    (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .filter(col("value").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .withColumn("term", (col("value") /
+          expr("cast(shiftleft(cast(1 as bigint), rn - 1) as double)"))
+          .cast("decimal(38,24)"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("term")).as("num"), count(lit(1)).as("m"))
+        .select(col("user_id"), col("m").as("n_used"),
+          round(col("num").cast("double") /
+            (lit(2.0) - lit(1.0) / expr(
+              "cast(shiftleft(cast(1 as bigint), cast(m as int) - 1) as double)")),
+            6).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+    s"""WITH $EV,
+       |r AS (SELECT user_id, value, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+       |  FROM ev WHERE value IS NOT NULL),
+       |t AS (SELECT user_id,
+       |    CAST(value / CAST(CAST(1 AS BIGINT) << (rn - 1) AS DOUBLE)
+       |      AS DECIMAL(38,24)) AS term
+       |  FROM r WHERE rn <= 20),
+       |a AS (SELECT user_id, CAST(sum(term) AS DOUBLE) AS num,
+       |    CAST(count(*) AS BIGINT) AS m FROM t GROUP BY 1)
+       |SELECT user_id, m AS n_used,
+       |  round(num / (CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE)
+       |    / CAST(CAST(1 AS BIGINT) << (m - 1) AS DOUBLE)), 6) AS ewma
+       |FROM a ORDER BY user_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -5454,6 +5621,6 @@ object Queries {
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
-    qPiiScrub,
+    qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
   )
 }

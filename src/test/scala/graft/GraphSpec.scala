@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank over edge lists ([[graft.ops.Graph]]): closed-form checks on
+  * tiny graphs, mass conservation, and the co-purchase edge builder's
+  * support prefilter. */
+class GraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("symmetric 2-cycle converges to uniform ranks immediately") {
+    // a <-> b: deg 1 each, rank flows wholly to the other node, so the
+    // uniform seed is the fixed point at every iteration
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(math.abs(r(1L) - 0.5) < 1e-12 && math.abs(r(2L) - 0.5) < 1e-12)
+  }
+
+  test("triangle plus pendant: hub outranks spokes, mass conserved") {
+    // undirected: triangle 1-2-3, plus 4 attached to 1 => 1 is the hub
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ranks.size === 4)
+    assert(ranks(1L) > ranks(2L) && ranks(1L) > ranks(4L))
+    assert(math.abs(ranks(2L) - ranks(3L)) < 1e-12,
+      "symmetric nodes 2 and 3 must tie exactly")
+    // total mass: n*(1-d)/n + d*(sum of distributed mass) = 1 when every
+    // node has out-degree >= 1 (undirected invariant)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+  }
+
+  test("directed chain ranks sink above source; iteration count matters") {
+    // 1 -> 2 -> 1 keeps mass cycling; adding 1 -> 3 splits 1's mass
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L), "node 1 receives from both 2 and 3")
+    assert(math.abs(r(2L) - r(3L)) < 1e-12)
+  }
+
+  test("copurchaseEdges: support prefilter bounds the pair blow-up") {
+    // item 99 appears in one basket only -> dropped at minItemSupport=2
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 99L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L),
+      (13L, 2L), (13L, 3L)).toDF("basket", "item")
+    val e = Graph.copurchaseEdges(baskets, "basket", "item", minItemSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!e.exists(p => p._1 == 99L || p._2 == 99L), "rare item filtered")
+    assert(e === Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("duplicate edges collapse: rank equals the deduplicated graph") {
+    val base = Seq((1L, 2L), (2L, 1L))
+    val dup = (base ++ base ++ base).toDF("src", "dst")
+    val r = Graph.pageRank(dup, "src", "dst", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-12)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Linkage
+
+/** Blocked record linkage ([[graft.ops.Linkage.blockedBestMatch]]):
+  * candidate generation stays within blocks, best-match tie-breaks are
+  * deterministic, and the length prune never changes results. */
+class LinkageSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val master = Seq(
+    (1L, 10, "alice cooper"),
+    (2L, 10, "alice cooperr"), // distance 1 from alice cooper
+    (3L, 20, "bob marley"),
+    (4L, 20, "bobby marley"),
+    (5L, 30, "carol king")).toDF("id", "nation", "name")
+
+  test("best match = lowest distance, ties broken by lowest master id") {
+    val probes = Seq((100L, 10, "alice cooper")).toDF("pid", "nation", "pname")
+    val r = Linkage.blockedBestMatch(probes, master, Seq("nation"),
+      "pid", "pname", "id", "name", maxDist = 2).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("master_id") === 1L, "exact match (dist 0) wins")
+    assert(row.getAs[Long]("dist") === 0L)
+    assert(row.getAs[Long]("n_candidates") === 2L, "both block members within 2")
+  }
+
+  test("blocking: a closer name in ANOTHER block is never a candidate") {
+    val probes = Seq((200L, 20, "alice cooper")).toDF("pid", "nation", "pname")
+    val r = Linkage.blockedBestMatch(probes, master, Seq("nation"),
+      "pid", "pname", "id", "name", maxDist = 2).collect()
+    assert(r.isEmpty, "block 20 has no name within distance 2")
+  }
+
+  test("probe with no candidate inside maxDist is absent from output") {
+    val probes = Seq(
+      (300L, 30, "carole kingg"), // dist 2 from carol king
+      (301L, 30, "zzzzzz")).toDF("pid", "nation", "pname")
+    val r = Linkage.blockedBestMatch(probes, master, Seq("nation"),
+      "pid", "pname", "id", "name", maxDist = 2)
+      .collect().map(x => x.getAs[Long]("probe_id")).toSet
+    assert(r === Set(300L))
+  }
+
+  test("equidistant candidates tie-break by master id") {
+    val m = Seq((7L, 1, "abcd"), (9L, 1, "abce")).toDF("id", "nation", "name")
+    val probes = Seq((1L, 1, "abcf")).toDF("pid", "nation", "pname")
+    val r = Linkage.blockedBestMatch(probes, m, Seq("nation"),
+      "pid", "pname", "id", "name", maxDist = 1).collect().head
+    assert(r.getAs[Long]("dist") === 1L)
+    assert(r.getAs[Long]("master_id") === 7L)
+    assert(r.getAs[Long]("n_candidates") === 2L)
+  }
+
+  test("length prune is sound: |len diff| > maxDist cannot match anyway") {
+    // "ab" vs "abcdef": length diff 4 > maxDist 2; prune removes it before
+    // the DP, and the DP would have rejected it too (dist >= 4)
+    val m = Seq((1L, 1, "abcdef")).toDF("id", "nation", "name")
+    val probes = Seq((1L, 1, "ab")).toDF("pid", "nation", "pname")
+    val r = Linkage.blockedBestMatch(probes, m, Seq("nation"),
+      "pid", "pname", "id", "name", maxDist = 2).collect()
+    assert(r.isEmpty)
+  }
+}

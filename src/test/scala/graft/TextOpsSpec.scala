@@ -360,4 +360,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(4L)._1 === 0L, "a bare @domain is not an email")
     assert(out(4L)._2 === 0L, "+1-55-0042 has a short exchange group")
   }
+
+  test("distinctiveTerms: a group-exclusive term tops its group's card") {
+    // "kappa" only in source A, "lambda" only in B; shared filler elsewhere
+    val docs = Seq(
+      (1L, "the kappa process runs the kappa stage kappa kappa kappa " * 3, "A"),
+      (2L, "the kappa pipeline and the kappa merge kappa kappa kappa " * 3, "A"),
+      (3L, "the lambda report and the lambda sheet lambda lambda lambda " * 3, "B"),
+      (4L, "the lambda ledger for the lambda audit lambda lambda lambda " * 3, "B"))
+      .toDF("doc_id", "text", "source")
+    val card = graft.ops.TextStats.distinctiveTerms(docs, "source",
+      minCount = 3, topK = 3)
+    val top = card.filter(col("rank") === 1).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("term")).toMap
+    assert(top("A") === "kappa")
+    assert(top("B") === "lambda")
+    // "the" appears evenly -> odds near 1, never rank 1
+    val theRows = card.filter(col("term") === "the").collect()
+    assert(theRows.forall(_.getAs[Long]("rank") > 1L))
+    // short/non-alpha tokens never enter the card
+    assert(card.filter(length(col("term")) < 3).count() === 0)
+  }
 }
