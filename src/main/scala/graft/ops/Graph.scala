@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   * relation is persisted ONCE and reused by every iteration, so the per-
   * iteration cost is |E| shuffled bytes — never a cartesian, never
   * driver-side iteration over nodes. Rank state is 16 bytes per node.
-  * Contribution sums run in DECIMAL(28,18) so the per-node inbound mass is
-  * order-free exact (the q1_agg convention): the final ranks are
-  * bit-identical across partitionings, engines, and retries.
+  * Contribution sums run in fixed-point longs (floor(x·1e18)) so the
+  * per-node inbound mass is order-free exact (the q1_agg convention, at
+  * long-sum speed): the final ranks are bit-identical across
+  * partitionings, engines, and retries.
   */
 object Graph {
 
@@ -40,37 +41,52 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
+    // The raw edge list feeds the degree table and the loop relation —
+    // persist it so an expensive upstream lineage (e.g. the co-purchase
+    // pair build) runs ONCE, not once per branch.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg doubles as the NODE SET (its keys are the distinct sources,
+    // which under the every-node-has-out-degree invariant is every node)
+    // — no separate distinct pass.
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // one driver scalar (node count), not row data
     // (src, dst, deg) is the loop-invariant relation: persist once, reuse
     // every iteration (re-shuffling |E| per iteration is the naive cost).
+    // Materialized by iteration 1's action — no dedicated warm-up job.
     val eDeg = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // one driver scalar (node count), not row data
     val base = (1.0 - damping) / n
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = deg.select(col("src").as("node")).withColumn("rank", lit(1.0 / n))
     var prev: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
-          // order-free exact inbound mass: decimal partial aggregates
-          (col("rank") / col("deg")).cast("decimal(28,18)").as("c"))
+          // order-free exact inbound mass: fixed-point LONG partial
+          // aggregates (floor(x·1e18) — deterministic IEEE both engines;
+          // per-node mass ≤ total mass 1, so the scaled sum fits a long;
+          // long sums codegen far faster than Decimal128)
+          floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
       val next = contribs.groupBy("node")
         .agg(sum(col("c")).as("in_mass"))
         .select(col("node"),
-          (lit(base) + lit(damping) * col("in_mass").cast("double")).as("rank"))
+          (lit(base) + lit(damping) *
+            (col("in_mass").cast("double") / lit(1e18))).as("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the previous iteration
+      if (it == 1) e.unpersist() // eDeg is cached now; drop its input
       if (prev != null) prev.unpersist()
       prev = next
       ranks = next
     }
     eDeg.unpersist()
-    nodes.unpersist()
+    deg.unpersist()
+    // the final iteration's ranks stay persisted (already materialized);
+    // the CALLER owns releasing them (or Verify's between-query
+    // clearCache) — the bm25TopK/tokenTable convention.
     ranks
   }
 
@@ -82,15 +98,29 @@ object Graph {
     */
   def copurchaseEdges(baskets: DataFrame, basketCol: String, itemCol: String,
                       minItemSupport: Long): DataFrame = {
-    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
+    // Collected-set shape, NOT a basket self-join: one shuffle collapses
+    // the raw rows to per-basket item sets (collect_set dedups, so no
+    // pre-distinct pass), the support filter runs over the exploded sets
+    // (|distinct (basket,item)| rows, far smaller than the input), and
+    // the quadratic pair step is a MAP-SIDE double explode — a self-join
+    // would re-evaluate (and re-shuffle) its whole input lineage once
+    // per side. Per-basket blow-up stays bounded by frequent items only.
+    val sets0 = baskets
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .groupBy("basket").agg(collect_set(col("item")).as("items"))
+      // read by two branches below (support counts + filtered sets);
+      // small (one row per basket). Caller/Verify clearCache owns
+      // eviction — the tokenTable convention.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = sets0.select(col("basket"), explode(col("items")).as("item"))
     val freq = b.groupBy("item").agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= minItemSupport)
       .select("item")
-    val fb = b.join(freq, "item").select("basket", "item")
-    fb.as("x").join(fb.as("y"),
-        col("x.basket") === col("y.basket") && col("x.item") =!= col("y.item"))
-      .select(col("x.item").as("src"), col("y.item").as("dst"))
+    val fsets = b.join(freq, "item")
+      .groupBy("basket").agg(collect_set(col("item")).as("items"))
+    fsets.select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
   }
 }

@@ -5418,7 +5418,7 @@ object Queries {
     * ([[graft.ops.Graph.pageRank]]): which parts sit at the center of
     * the basket network. Fixed 3 power iterations so the oracle can
     * replay the unrolled recurrence; inbound mass sums in
-    * DECIMAL(28,18) (order-free exact), and every scalar step —
+    * fixed-point longs (order-free exact), and every scalar step —
     * 1/n seed, (1-d)/n base, d*mass — is the same IEEE double
     * expression on both sides, so the unrounded ranks are
     * bit-identical. Scale: one persisted (src,dst,deg) relation reused
@@ -5446,20 +5446,20 @@ object Queries {
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
       |m1 AS (SELECT e.dst AS node,
-      |    CAST(sum(CAST(r0.rank / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS im
+      |    CAST(sum(CAST(floor(r0.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
       |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
-      |r1 AS (SELECT m1.node,
-      |    (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * im AS rank FROM m1, nn),
+      |r1 AS (SELECT m1.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m1, nn),
       |m2 AS (SELECT e.dst AS node,
-      |    CAST(sum(CAST(r1.rank / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS im
+      |    CAST(sum(CAST(floor(r1.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
       |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
-      |r2 AS (SELECT m2.node,
-      |    (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * im AS rank FROM m2, nn),
+      |r2 AS (SELECT m2.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m2, nn),
       |m3 AS (SELECT e.dst AS node,
-      |    CAST(sum(CAST(r2.rank / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS im
+      |    CAST(sum(CAST(floor(r2.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
       |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
-      |r3 AS (SELECT m3.node,
-      |    (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * im AS rank FROM m3, nn)
+      |r3 AS (SELECT m3.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m3, nn)
       |SELECT node AS part, round(rank, 6) AS rank FROM r3
       |ORDER BY round(rank, 6) DESC, part LIMIT 20""".stripMargin)
 
@@ -5475,12 +5475,21 @@ object Queries {
   val qEntityMatch: Q = "q_entity_match" -> (
     (s: SparkSession, d: String) => {
       val cust = Tables.customer(s, d)
+      // second blocking key: the name's LAST character. The corruption
+      // model splices out a character at position 10..17 of an 18-char
+      // name, so the final character is invariant — the true master
+      // always shares the block, and the key cuts candidate pairs ~10×
+      // (multi-key blocking: recall is traded only where the corruption
+      // could touch the key, which here it cannot).
       val dirty = cust.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey").as("d_key"), col("c_nationkey"),
           expr("concat(substring(c_name, 1, cast(c_custkey % 8 as int) + 9), " +
             "substring(c_name, cast(c_custkey % 8 as int) + 11, 100))")
             .as("d_name"))
-      graft.ops.Linkage.blockedBestMatch(dirty, cust, Seq("c_nationkey"),
+        .withColumn("blk", expr("right(d_name, 1)"))
+      val masters = cust.withColumn("blk", expr("right(c_name, 1)"))
+      graft.ops.Linkage.blockedBestMatch(dirty, masters,
+          Seq("c_nationkey", "blk"),
           "d_key", "d_name", "c_custkey", "c_name", maxDist = 2)
         .select(col("probe_id").as("d_key"),
           col("master_id").as("match_key"), col("dist"), col("n_candidates"))
@@ -5492,7 +5501,9 @@ object Queries {
       |  FROM customer WHERE c_custkey % 3 = 0),
       |cand AS (SELECT d.d_key, c.c_custkey,
       |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
-      |  FROM dirty d JOIN customer c USING (c_nationkey)
+      |  FROM dirty d JOIN customer c
+      |    ON d.c_nationkey = c.c_nationkey
+      |    AND right(d.d_name, 1) = right(c.c_name, 1)
       |  WHERE abs(length(d.d_name) - length(c.c_name)) <= 2
       |    AND levenshtein(d.d_name, c.c_name) <= 2),
       |best AS (SELECT d_key, c_custkey AS match_key, dist,
