@@ -98,6 +98,19 @@ object BenchScale {
     }.reduce(_ unionAll _)
   }
 
+  /** K disjoint copies of the co-purchase graph: both basket AND item
+    * ids shift per copy, so |V| and |E| scale ×K (order duplication
+    * alone keeps the DISTINCT pair set constant — it grows support, not
+    * structure). */
+  def scaledGraphBaskets(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val base = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    (0 until k).map { i =>
+      base.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("basket"),
+        (col("l_partkey") + lit(i.toLong * 1000000000L)).as("item"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val maxK = if (args.nonEmpty) args(0).toInt else 4
     // optional families filter: `runMain graft.BenchScale 32 events`
@@ -348,6 +361,32 @@ object BenchScale {
       graft.ops.Dedup.simhashNearDup(warm, 3).count() // JIT warmup
       spark.catalog.clearCache()
       editdupLadder()
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("graph")) {
+      // graph ladder: K disjoint co-purchase graph copies — edge build
+      // and per-iteration cost must both track |E| linearly (the loop
+      // relation is |E| rows; contributions aggregate map-side first).
+      // Linkage ladders on K-duplicated customers with shifted keys:
+      // candidates = Σ block², blocks grow in COUNT not size under key
+      // shifting, so the curve must stay linear.
+      graft.ops.Graph.pageRank(
+        graft.ops.Graph.copurchaseEdges(
+          scaledGraphBaskets(spark, sfDir, 1).limit(5000),
+          "basket", "item", 2), "src", "dst", 1).count() // JIT warmup
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val baskets = scaledGraphBaskets(spark, sfDir, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        baskets.count()
+        val edges = graft.ops.Graph.copurchaseEdges(baskets, "basket", "item", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (tEdge, nE) = time(edges.count())
+        val (tPr, _) = time(
+          graft.ops.Graph.pageRank(edges, "src", "dst", 3).count())
+        println(s"""{"k":$k,"edges":$nE,"edge_build_sec":${f"$tEdge%.2f"},"pagerank3_sec":${f"$tPr%.2f"}}""")
+        spark.catalog.clearCache()
+      }
       spark.stop(); return
     }
     if (r8Only) {
