@@ -63,4 +63,43 @@ class LinkageSpec extends SparkTestBase {
       "pid", "pname", "id", "name", maxDist = 2).collect()
     assert(r.isEmpty)
   }
+
+  test("streaming twin: candidates arrive in the probe's batch; reduction equals batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Int, String)]
+    val probes = mem.toDF().toDF("pid", "nation", "pname")
+    val out = graft.streaming.LinkageStream.candidates(probes, master,
+      Seq("nation"), "pid", "pname", "id", "name", maxDist = 2)
+    val q = out.writeStream.format("memory").queryName("link_cand")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, 10, "alice cooper"))
+      q.processAllAvailable()
+      val b1 = spark.sql("select * from link_cand").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(b1 === Set((100L, 1L, 0L), (100L, 2L, 1L)),
+        "verdict complete within the arrival batch; stateless plan")
+      mem.addData((200L, 20, "bob marley"), (201L, 30, "zzzzzz"))
+      q.processAllAvailable()
+      val all = spark.sql("select * from link_cand").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(all.filter(_._1 == 200L).map(_._2) === Set(3L, 4L))
+      assert(!all.exists(_._1 == 201L), "no candidate within maxDist")
+      // stateless: no state store operators in the progress
+      assert(q.lastProgress.stateOperators.isEmpty)
+      // downstream min-reduction over the landed rows == the batch op
+      val streamed = all.groupBy(_._1).map { case (pid, cs) =>
+        val best = cs.toSeq.map(c => (c._3, c._2)).min
+        (pid, best._2, best._1)
+      }.toSet
+      val probesBatch = Seq((100L, 10, "alice cooper"), (200L, 20, "bob marley"),
+        (201L, 30, "zzzzzz")).toDF("pid", "nation", "pname")
+      val batch = Linkage.blockedBestMatch(probesBatch, master, Seq("nation"),
+        "pid", "pname", "id", "name", maxDist = 2).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("master_id"),
+          r.getAs[Long]("dist"))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
