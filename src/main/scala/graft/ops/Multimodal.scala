@@ -630,6 +630,166 @@ object Multimodal {
     }
   }
 
+  /** One PCM sample (channel 0) decoded to [-1, 1) — the same
+    * center-shift rules as [[decodeAudio]] (unsigned stores silence at
+    * the encoding midpoint). */
+  private def pcmAt(raw: Array[Byte], off: Int, bits: Int,
+                    bigEndian: Boolean, unsigned: Boolean): Double =
+    if (bits == 16) {
+      val (b0, b1) = (raw(off) & 0xff, raw(off + 1) & 0xff)
+      val v = if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+      if (unsigned) (v - 0x8000) / 32768.0
+      else (if (v >= 0x8000) v - 0x10000 else v) / 32768.0
+    } else {
+      val v = raw(off) & 0xff
+      if (unsigned) (v - 128) / 128.0
+      else (if (v >= 0x80) v - 0x100 else v) / 128.0
+    }
+
+  /** Iterative radix-2 Cooley–Tukey FFT, in place (re/im length must be
+    * a power of two). ~30 lines beats shipping a DSP dependency the
+    * container doesn't have; O(n log n), allocation-free. */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var k = 0
+        val half = len >> 1
+        while (k < half) {
+          val ur = re(s + k); val ui = im(s + k)
+          val xr = re(s + k + half); val xi = im(s + k + half)
+          val vr = xr * cwr - xi * cwi
+          val vi = xr * cwi + xi * cwr
+          re(s + k) = ur + vr; im(s + k) = ui + vi
+          re(s + k + half) = ur - vr; im(s + k + half) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr; cwr = nwr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** REAL spectral features over the first `nFft` channel-0 samples:
+    * Hann window → in-JDK FFT → power spectrum (DC excluded). Features,
+    * all in Hz except the last: spectral centroid, 85% rolloff,
+    * bandwidth (power-weighted std around the centroid), and spectral
+    * flatness (geometric/arithmetic power mean ∈ (0,1]: ~1 noise-like,
+    * →0 tonal) — the classic cheap timbre signature (speech/music
+    * screens, bandwidth filters for upsampled junk audio). Deterministic:
+    * fixed window, fixed length, no RNG.
+    */
+  def audioSpectral(bytes: Array[Byte], nFft: Int = 4096): Option[Array[Float]] = {
+    require(nFft >= 64 && (nFft & (nFft - 1)) == 0, "nFft must be a power of two >= 64")
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val bits = fmt.getSampleSizeInBits
+        val ok = (fmt.getEncoding == PCM_SIGNED || fmt.getEncoding == PCM_UNSIGNED) &&
+          (bits == 16 || bits == 8)
+        if (!ok) return None
+        val frameBytes = fmt.getFrameSize
+        if (frameBytes <= 0) return None
+        val raw = in.readNBytes(frameBytes * nFft)
+        val n0 = raw.length / frameBytes
+        if (n0 < 64) return None
+        val unsigned = fmt.getEncoding == PCM_UNSIGNED
+        val re = new Array[Double](nFft)
+        val im = new Array[Double](nFft) // zero-padded past n0
+        var f = 0
+        while (f < n0) {
+          val w = 0.5 * (1.0 - math.cos(2.0 * math.Pi * f / (n0 - 1)))
+          re(f) = pcmAt(raw, f * frameBytes, bits, fmt.isBigEndian, unsigned) * w
+          f += 1
+        }
+        fftInPlace(re, im)
+        val rate = fmt.getSampleRate.toDouble
+        val half = nFft >> 1
+        var pSum = 0.0; var fpSum = 0.0
+        var logSum = 0.0
+        val p = new Array[Double](half)
+        var k = 1 // skip DC
+        while (k < half) {
+          val pk = re(k) * re(k) + im(k) * im(k)
+          p(k) = pk
+          pSum += pk; fpSum += pk * (k * rate / nFft)
+          logSum += math.log(pk + 1e-20)
+          k += 1
+        }
+        if (pSum <= 0.0) return None
+        val centroid = fpSum / pSum
+        var acc = 0.0; var kr = 1
+        while (kr < half && acc < 0.85 * pSum) { acc += p(kr); kr += 1 }
+        val rolloff = (kr - 1) * rate / nFft
+        var varSum = 0.0
+        k = 1
+        while (k < half) {
+          val d = k * rate / nFft - centroid
+          varSum += p(k) * d * d
+          k += 1
+        }
+        val bandwidth = math.sqrt(varSum / pSum)
+        val flatness = math.exp(logSum / (half - 1)) / (pSum / (half - 1))
+        Some(Array(centroid.toFloat, rolloff.toFloat,
+          bandwidth.toFloat, flatness.toFloat))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Spectral row: Hz-valued features when `analyzed`; zeros otherwise
+    * (non-audio or undecodable rows pass through so the stage is total
+    * over mixed corpora — the resampleAudio convention). */
+  final case class SpectralMedia(
+      media_id: Long, modality: String, centroid_hz: Float,
+      rolloff_hz: Float, bandwidth_hz: Float, flatness: Float,
+      analyzed: Boolean)
+
+  /** Distributed spectral analysis over a binary media table — map-only
+    * (mapPartitions for the binary decode, the documented exception),
+    * one row in → one row out, no shuffle: at 100 TB this is scan-bound
+    * and embarrassingly parallel. */
+  def spectralAudioFeatures(media: DataFrame, nFft: Int = 4096,
+                            idCol: String = "media_id",
+                            modalityCol: String = "modality",
+                            binCol: String = "content"): Dataset[SpectralMedia] = {
+    implicit val enc = Encoders.product[SpectralMedia]
+    val slim = media.select(col(idCol).cast("long"), col(modalityCol), col(binCol))
+    slim.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val mod = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val res =
+          if (mod == "audio" && looksLikeAudio(bytes)) audioSpectral(bytes, nFft)
+          else None
+        res match {
+          case Some(a) => SpectralMedia(id, mod, a(0), a(1), a(2), a(3), analyzed = true)
+          case None    => SpectralMedia(id, mod, 0f, 0f, 0f, 0f, analyzed = false)
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video-like assets: every
     * `stride`-th frame index up to `maxFrames`. Pure column expression.
     * The sequence generates ONLY the sampled indices (stepped, capped)

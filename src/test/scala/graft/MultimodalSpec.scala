@@ -472,4 +472,54 @@ class MultimodalSpec extends SparkTestBase {
     Seq(mr, mg, mb).foreach(m =>
       assert(math.abs(m - 1.0 / 3) < 0.06, s"sampled means $mr $mg $mb"))
   }
+
+  test("audioSpectral: pure sine centers the spectrum at its frequency") {
+    val rate = 16000f
+    val bytes = wav(rate, 16, 0.5, i => 0.5 * math.sin(2 * math.Pi * 440 * i / rate))
+    val Some(a) = Multimodal.audioSpectral(bytes): @unchecked
+    val (centroid, rolloff, bandwidth, flatness) = (a(0), a(1), a(2), a(3))
+    assert(math.abs(centroid - 440f) < 25f, s"centroid $centroid !~ 440")
+    assert(math.abs(rolloff - 440f) < 40f, s"rolloff $rolloff !~ 440")
+    assert(bandwidth < 120f, s"tone bandwidth $bandwidth should be narrow")
+    assert(flatness < 0.05f, s"tonal flatness $flatness should be ~0")
+  }
+
+  test("audioSpectral: two equal tones center between them; noise is flat and wide") {
+    val rate = 16000f
+    val two = wav(rate, 16, 0.5, i =>
+      0.3 * math.sin(2 * math.Pi * 440 * i / rate)
+        + 0.3 * math.sin(2 * math.Pi * 3000 * i / rate))
+    val Some(t) = Multimodal.audioSpectral(two): @unchecked
+    assert(math.abs(t(0) - (440f + 3000f) / 2) < 150f, s"two-tone centroid ${t(0)}")
+    // deterministic LCG "white" noise: flat spectrum -> centroid ~ Nyquist/2,
+    // flatness near 1, bandwidth wide
+    var seed = 12345L
+    val noise = wav(rate, 16, 0.5, _ => {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 20) & 0xffff).toDouble / 65536.0 - 0.5
+    })
+    val Some(w) = Multimodal.audioSpectral(noise): @unchecked
+    assert(math.abs(w(0) - 4000f) < 600f, s"white centroid ${w(0)} !~ 4000")
+    assert(w(3) > 0.5f, s"white flatness ${w(3)} should be ~1")
+    assert(w(2) > t(2), "noise bandwidth exceeds the two-tone bandwidth")
+  }
+
+  test("spectralAudioFeatures: map-only stage is total over mixed corpora") {
+    val rate = 16000f
+    val tone = wav(rate, 16, 0.5, i => 0.5 * math.sin(2 * math.Pi * 1000 * i / rate))
+    val rows = Seq(
+      (1L, "audio", tone),
+      (2L, "audio", "not really audio bytes".getBytes("UTF-8")),
+      (3L, "image", tone) // wrong modality: passes through unanalyzed
+    ).toDF("media_id", "modality", "content")
+    val out = Multimodal.spectralAudioFeatures(rows)
+      .collect().map(s => s.media_id -> s).toMap
+    assert(out(1L).analyzed && math.abs(out(1L).centroid_hz - 1000f) < 40f)
+    assert(!out(2L).analyzed && out(2L).centroid_hz === 0f)
+    assert(!out(3L).analyzed)
+    // no exchange in the plan: one map-partitions pass
+    val plan = Multimodal.spectralAudioFeatures(rows)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"spectral stage must not shuffle:\n$plan")
+  }
 }
