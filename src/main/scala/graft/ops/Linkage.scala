@@ -25,6 +25,27 @@ object Linkage {
     *         (probeId, bestId, dist, n_candidates) — best = lowest edit
     *         distance, ties broken by lowest master id (deterministic).
     */
+  /** Within-table fuzzy-duplicate pairs (the master-data dedup shape):
+    * every (id_a < id_b) pair inside a shared block whose names are
+    * within maxDist. Feed the result to
+    * [[graft.ops.Dedup.duplicateClusters]] for the transitive entity
+    * clusters — pairwise dropping over-deletes when A~B~C.
+    * Same scale bound as [[blockedBestMatch]]: Σ_b |block_b|² pairs,
+    * never |M|²; the length prune runs before the O(len²) DP.
+    */
+  def blockedPairs(records: DataFrame, blockCols: Seq[String],
+                   idCol: String, nameCol: String,
+                   maxDist: Int): DataFrame = {
+    val m = records.select(
+      (blockCols.map(col) :+ col(idCol).as("rid") :+ col(nameCol).as("rname")): _*)
+    val joinCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col("x.rid") < col("y.rid")
+    m.as("x").join(m.as("y"), joinCond)
+      .filter(abs(length(col("x.rname")) - length(col("y.rname"))) <= maxDist)
+      .filter(levenshtein(col("x.rname"), col("y.rname")) <= maxDist)
+      .select(col("x.rid").as("id_a"), col("y.rid").as("id_b"))
+  }
+
   def blockedBestMatch(probes: DataFrame, master: DataFrame,
                        blockCols: Seq[String],
                        probeIdCol: String, probeNameCol: String,

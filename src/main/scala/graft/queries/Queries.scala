@@ -5592,6 +5592,42 @@ object Queries {
        |    / CAST(CAST(1 AS BIGINT) << (m - 1) AS DOUBLE)), 6) AS ewma
        |FROM a ORDER BY user_id""".stripMargin)
 
+  /** Transitive entity clusters over the master table itself
+    * ([[graft.ops.Linkage.blockedPairs]] →
+    * [[graft.ops.Dedup.duplicateClusters]]): customers whose names are
+    * within edit distance 2 inside a (nation, last-char) block form
+    * fuzzy-duplicate components — the master-data dedup shape, where
+    * pairwise dropping would over-delete A~B~C chains. Cluster id =
+    * component minimum (the q_dup_clusters hash-min contract, mirrored
+    * by the oracle's recursive closure). Components cannot span blocks,
+    * so the closure recursion is block-bounded. */
+  val qEntityClusters: Q = "q_entity_clusters" -> (
+    (s: SparkSession, d: String) => {
+      val m = Tables.customer(s, d)
+        .withColumn("blk", expr("right(c_name, 1)"))
+      val pairs = graft.ops.Linkage.blockedPairs(m,
+        Seq("c_nationkey", "blk"), "c_custkey", "c_name", maxDist = 2)
+      graft.ops.Dedup.duplicateClusters(pairs)
+        .select(col("id").as("c_custkey"), col("cluster_id"))
+        .orderBy(col("c_custkey"))
+    },
+    """WITH RECURSIVE m AS (SELECT c_custkey, c_nationkey, c_name,
+      |    right(c_name, 1) AS blk FROM customer),
+      |p AS (SELECT x.c_custkey AS id_a, y.c_custkey AS id_b
+      |  FROM m x JOIN m y ON x.c_nationkey = y.c_nationkey
+      |    AND x.blk = y.blk AND x.c_custkey < y.c_custkey
+      |  WHERE abs(length(x.c_name) - length(y.c_name)) <= 2
+      |    AND levenshtein(x.c_name, y.c_name) <= 2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p),
+      |v AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM v
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+      |SELECT id AS c_custkey, min(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -5633,5 +5669,6 @@ object Queries {
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
+    qEntityClusters,
   )
 }

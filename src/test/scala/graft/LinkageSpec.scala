@@ -102,4 +102,24 @@ class LinkageSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("blockedPairs -> duplicateClusters: transitive chain clusters once, blocks isolate") {
+    val recs = Seq(
+      (1L, 1, "abcd"), (2L, 1, "abce"), (3L, 1, "abef"), // chain 1~2~3 (1~3 dist 3)
+      (4L, 1, "zzzz"),                                    // same block, no match
+      (5L, 2, "abcd")                                     // other block: never pairs with 1
+    ).toDF("id", "nation", "name")
+    val pairs = Linkage.blockedPairs(recs, Seq("nation"), "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // abcd~abce dist 1; abce~abef dist 2; abcd~abef dist 2
+    assert(pairs === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "cross-block never pairs")
+    val clusters = graft.ops.Dedup.duplicateClusters(
+      Linkage.blockedPairs(recs, Seq("nation"), "id", "name", maxDist = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 1L,
+      "transitive closure labels the chain with the component minimum")
+    assert(!clusters.contains(4L), "unmatched records stay out of the cluster map")
+  }
 }
