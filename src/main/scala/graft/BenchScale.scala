@@ -367,9 +367,6 @@ object BenchScale {
       // graph ladder: K disjoint co-purchase graph copies — edge build
       // and per-iteration cost must both track |E| linearly (the loop
       // relation is |E| rows; contributions aggregate map-side first).
-      // Linkage ladders on K-duplicated customers with shifted keys:
-      // candidates = Σ block², blocks grow in COUNT not size under key
-      // shifting, so the curve must stay linear.
       graft.ops.Graph.pageRank(
         graft.ops.Graph.copurchaseEdges(
           scaledGraphBaskets(spark, sfDir, 1).limit(5000),
@@ -386,6 +383,52 @@ object BenchScale {
           graft.ops.Graph.pageRank(edges, "src", "dst", 3).count())
         println(s"""{"k":$k,"edges":$nE,"edge_build_sec":${f"$tEdge%.2f"},"pagerank3_sec":${f"$tPr%.2f"}}""")
         spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("linkage")) {
+      // linkage ladder: K customer copies with SHIFTED nation keys —
+      // blocks grow in COUNT, not size (candidates = Σ_b |block_b|², so
+      // constant block size under K-folding must give a linear curve;
+      // duplicating into the SAME blocks would be the quadratic trap).
+      import graft.core.Tables
+      def scaledCust(k: Int): DataFrame = {
+        val base = Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+        (0 until k).map { i =>
+          base.select(
+            (col("c_custkey") + lit(i.toLong * 1000000000L)).as("c_custkey"),
+            (col("c_nationkey") + lit(i * 1000)).as("c_nationkey"),
+            col("c_name"))
+        }.reduce(_ unionAll _)
+      }
+      def dirty(cust: DataFrame): DataFrame = cust
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("d_key"), col("c_nationkey"),
+          expr("concat(substring(c_name, 1, cast(c_custkey % 8 as int) + 9), " +
+            "substring(c_name, cast(c_custkey % 8 as int) + 11, 100))").as("d_name"))
+        .withColumn("blk", expr("right(d_name, 1)"))
+      val warmC = scaledCust(1).limit(2000)
+        .withColumn("blk", expr("right(c_name, 1)"))
+      graft.ops.Linkage.blockedBestMatch(dirty(warmC), warmC,
+        Seq("c_nationkey", "blk"), "d_key", "d_name",
+        "c_custkey", "c_name", 2).count() // JIT warmup
+      graft.ops.Dedup.duplicateClusters(graft.ops.Linkage.blockedPairs(
+        warmC, Seq("c_nationkey", "blk"), "c_custkey", "c_name", 2)).count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val cust = scaledCust(k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nC = cust.count()
+        val masters = cust.withColumn("blk", expr("right(c_name, 1)"))
+        val (tBest, nM) = time(graft.ops.Linkage.blockedBestMatch(
+          dirty(cust), masters, Seq("c_nationkey", "blk"),
+          "d_key", "d_name", "c_custkey", "c_name", 2).count())
+        val (tClus, nK) = time(graft.ops.Dedup.duplicateClusters(
+          graft.ops.Linkage.blockedPairs(masters, Seq("c_nationkey", "blk"),
+            "c_custkey", "c_name", 2)).count())
+        println(s"""{"k":$k,"customers":$nC,"best_match_sec":${f"$tBest%.2f"},"matched":$nM,"cluster_sec":${f"$tClus%.2f"},"clustered":$nK}""")
+        cust.unpersist(); spark.catalog.clearCache()
       }
       spark.stop(); return
     }
