@@ -104,4 +104,40 @@ class PlanShapeSpec extends SparkTestBase {
       s"check discriminator must push into the store scan:\n${plan.take(600)}")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("pageRank: iteration join is hash-based on the edge relation, no cartesian") {
+    val edges = graft.ops.Graph.copurchaseEdges(
+      graft.core.Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minItemSupport = 2)
+    val ranks = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 2)
+    val plan = planString(ranks)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"), "rank join must be an equi-join")
+    spark.catalog.clearCache()
+  }
+
+  test("blockedBestMatch: equi-join on the block key, length prune in the plan, no cartesian") {
+    val cust = graft.core.Tables.customer(spark, sf0001)
+    val dirty = cust.select(col("c_custkey").as("d_key"), col("c_nationkey"),
+      col("c_name").as("d_name"))
+    val plan = planString(graft.ops.Linkage.blockedBestMatch(dirty, cust,
+      Seq("c_nationkey"), "d_key", "d_name", "c_custkey", "c_name", maxDist = 2))
+    assert(!plan.contains("CartesianProduct"),
+      "blocking must key the join — all-pairs means the block key fell out")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("levenshtein"), "edit distance evaluates post-join, in-plan")
+  }
+
+  test("distinctiveTerms: per-group totals broadcast; no cartesian beyond the 1-row grand total") {
+    val plan = planString(graft.ops.TextStats.distinctiveTerms(
+      graft.core.Tables.documents(spark, sf0001), "source",
+      minCount = 2, topK = 3))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "per-group totals must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
 }
