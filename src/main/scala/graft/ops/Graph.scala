@@ -90,6 +90,64 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Haveliwala 2002, "Topic-sensitive PageRank"):
+    * the reset mass lands only on the SEED set, so rank concentrates in
+    * the seeds' neighborhood — the "related items" / recommendation form
+    * of the centrality loop. Same execution shape as [[pageRank]] (one
+    * |E| shuffle-join + one aggregation per iteration, fixed-point long
+    * sums, loop-invariant relation persisted once); the per-node reset
+    * vector is a node-sized cached indicator joined after each
+    * aggregation. Seeds outside the node set are ignored.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
+    val seedNodes = nodes.join(
+      seeds.select(col(seedCol).as("node")).distinct(), Seq("node"), "left_semi")
+    val nS = seedNodes.count()
+    require(nS > 0, "no seed intersects the node set")
+    val base = (1.0 - damping) / nS
+    // node-sized reset vector: base mass on seeds, 0 elsewhere
+    val reset = nodes
+      .join(seedNodes.withColumn("s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("s").isNotNull, lit(base)).otherwise(lit(0.0)).as("base"),
+        when(col("s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("seed0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    reset.count()
+    val eDeg = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = reset.select(col("node"), col("seed0").as("rank"))
+    var prev: DataFrame = null
+    for (it <- 1 to iters) {
+      val contribs = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
+      val next = contribs.groupBy("node")
+        .agg(sum(col("c")).as("in_mass"))
+        .join(reset.select(col("node"), col("base")), Seq("node"))
+        .select(col("node"),
+          (col("base") + lit(damping) *
+            (col("in_mass").cast("double") / lit(1e18))).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (it == 1) e.unpersist()
+      if (prev != null) prev.unpersist()
+      prev = next
+      ranks = next
+    }
+    eDeg.unpersist(); deg.unpersist(); reset.unpersist()
+    // final ranks stay persisted; caller/clearCache owns release
+    ranks
+  }
+
   /** Co-purchase edge list from (basket, item) rows: undirected item pairs
     * that share a basket, emitted in BOTH directions, with the same
     * min-item-support prefilter as Baskets.frequentPairs so the per-basket

@@ -5628,6 +5628,60 @@ object Queries {
       |SELECT id AS c_custkey, min(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin)
 
+  /** Personalized PageRank ([[graft.ops.Graph.personalizedPageRank]]):
+    * reset mass lands only on a seed set (parts ≡ 0 mod 97), so rank
+    * concentrates in the seeds' co-purchase neighborhood — the
+    * "related items" form of the centrality loop. Same bit-exactness
+    * contract as q_pagerank (fixed-point long sums, shared IEEE scalar
+    * steps); the seed predicate is intersected with the node set on
+    * both sides, so any superset seed source gives the same vector. */
+  val qPpr: Q = "q_ppr" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      val seeds = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("part")).distinct()
+        .filter(col("part") % 97 === 0)
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "part", iters = 3, damping = 0.85)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("part")).limit(15)
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+      |  WHERE node % 97 = 0),
+      |r0 AS (SELECT node, CASE WHEN node % 97 = 0
+      |    THEN CAST(1 AS DOUBLE) / ns.n ELSE CAST(0 AS DOUBLE) END AS rank
+      |  FROM nodes, ns),
+      |m1 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r0.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT m1.node, CASE WHEN m1.node % 97 = 0
+      |    THEN (CAST(1 AS DOUBLE) - 0.85) / ns.n ELSE CAST(0 AS DOUBLE) END
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m1, ns),
+      |m2 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r1.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT m2.node, CASE WHEN m2.node % 97 = 0
+      |    THEN (CAST(1 AS DOUBLE) - 0.85) / ns.n ELSE CAST(0 AS DOUBLE) END
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m2, ns),
+      |m3 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r2.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT m3.node, CASE WHEN m3.node % 97 = 0
+      |    THEN (CAST(1 AS DOUBLE) - 0.85) / ns.n ELSE CAST(0 AS DOUBLE) END
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m3, ns)
+      |SELECT node AS part, round(rank, 6) AS rank FROM r3
+      |ORDER BY round(rank, 6) DESC, part LIMIT 15""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -5669,6 +5723,6 @@ object Queries {
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
-    qEntityClusters,
+    qEntityClusters, qPpr,
   )
 }

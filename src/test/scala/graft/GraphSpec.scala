@@ -64,4 +64,23 @@ class GraphSpec extends SparkTestBase {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(math.abs(r(1L) - 0.5) < 1e-12)
   }
+
+  test("personalized PageRank: mass concentrates at the seed, zero off-component") {
+    // two disconnected 2-cycles; seed only in the first
+    val und = Seq((1L, 2L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("part")
+    val r = Graph.personalizedPageRank(edges, "src", "dst", seeds, "part",
+      iters = 6).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(3L) === 0.0 && r(4L) === 0.0,
+      "no reset mass and no path => exactly zero")
+    assert(r(1L) > r(2L), "seed holds the reset mass")
+    assert(math.abs(r(1L) + r(2L) - 1.0) < 1e-9, "mass conserved on the component")
+    // seeds outside the node set are ignored; all-seeds == uniform reset
+    val seeds2 = Seq(1L, 2L, 99L).map(Tuple1(_)).toDF("part")
+    val r2 = Graph.personalizedPageRank(edges.filter(col("src") <= 2 && col("dst") <= 2),
+      "src", "dst", seeds2, "part", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r2(1L) - 0.5) < 1e-12 && math.abs(r2(2L) - 0.5) < 1e-12)
+  }
 }
