@@ -43,8 +43,8 @@ object Plans {
         "q_user_features", "q_dq_checks", "q_lookback_partitioned",
         "q_media_card", "q_editdup", "q_salted_sum", "q_scd2",
         "q_dq_stored", "q_editdup_stored", "q_ivfpq_compact",
-        "q_aggview_union", "q_bm25", "q_pii_scrub", "q_pagerank",
-        "q_entity_match", "q_domain_terms", "q_ewma")
+        "q_aggview_union", "q_bm25", "q_pii_scrub",
+        "q_entity_match", "q_domain_terms", "q_ewma", "q_entity_clusters")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
@@ -55,6 +55,30 @@ object Plans {
     // query at nProbe=1 probes exactly one cell — the IN-list below
     // must name a strict subset (PqIndexSpec pins this plus the
     // files-read metric).
+    // Iterative queries (q_pagerank, q_ppr): the final DataFrame's
+    // printed tree recursively inlines every cached iteration's stored
+    // plan (tens of thousands of lines of repetition), so the audit
+    // dump shows the two plans that actually matter — the edge build
+    // and ONE power iteration, the shape every iteration repeats.
+    if (names("q_dashboard")) {
+      import org.apache.spark.sql.functions._
+      val li = graft.core.Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.ops.Graph.copurchaseEdges(li, "l_orderkey",
+        "l_partkey", 5)
+      println(s"\n========== q_pagerank / q_ppr (edge build) ==========")
+      edges.explain("formatted")
+      val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      val ranks = deg.select(col("src").as("node"))
+        .withColumn("rank", lit(1.0 / 1000))
+      val iter = edges.join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      println(s"\n========== q_pagerank / q_ppr (one power iteration) ==========")
+      iter.explain("formatted")
+    }
     if (names("q_ivfpq_stored")) {
       import org.apache.spark.sql.functions._
       val emb = graft.core.Tables.embeddings(spark, d)
