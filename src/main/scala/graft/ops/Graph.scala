@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over plain edge lists.
@@ -40,7 +40,6 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
     // The raw edge list feeds the degree table and the loop relation —
     // persist it so an expensive upstream lineage (e.g. the co-purchase
     // pair build) runs ONCE, not once per branch.
@@ -107,23 +106,24 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
-    val seedNodes = nodes.join(
-      seeds.select(col(seedCol).as("node")).distinct(), Seq("node"), "left_semi")
-    val nS = seedNodes.count()
+    // node-sized seed indicator; ONE materializing action serves both the
+    // seed count and the loop's reset joins (node ∈ seeds ⇔ s non-null —
+    // intersecting here is what makes superset seed sources equivalent)
+    val reset = nodes
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("s", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("s").isNotNull.as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nS = reset.filter(col("is_seed")).count()
     require(nS > 0, "no seed intersects the node set")
     val base = (1.0 - damping) / nS
-    // node-sized reset vector: base mass on seeds, 0 elsewhere
-    val reset = nodes
-      .join(seedNodes.withColumn("s", lit(1)), Seq("node"), "left")
-      .select(col("node"),
-        when(col("s").isNotNull, lit(base)).otherwise(lit(0.0)).as("base"),
-        when(col("s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("seed0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    reset.count()
+    val baseDf = reset.select(col("node"),
+      when(col("is_seed"), lit(base)).otherwise(lit(0.0)).as("base"))
     val eDeg = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = reset.select(col("node"), col("seed0").as("rank"))
+    var ranks = reset.select(col("node"),
+      when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
     var prev: DataFrame = null
     for (it <- 1 to iters) {
       val contribs = eDeg
@@ -132,7 +132,7 @@ object Graph {
           floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
       val next = contribs.groupBy("node")
         .agg(sum(col("c")).as("in_mass"))
-        .join(reset.select(col("node"), col("base")), Seq("node"))
+        .join(baseDf, Seq("node"))
         .select(col("node"),
           (col("base") + lit(damping) *
             (col("in_mass").cast("double") / lit(1e18))).as("rank"))
