@@ -49,13 +49,7 @@ object Plans {
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")
     }
-    // Stored-index pruning demonstrated, not just asserted: at the
-    // fixture's 10 probes × nProbe=4 the IN-list covers all 8 cells, so
-    // the q_ivfpq_stored dump above can't show pruning doing work. One
-    // query at nProbe=1 probes exactly one cell — the IN-list below
-    // must name a strict subset (PqIndexSpec pins this plus the
-    // files-read metric).
-    // Iterative queries (q_pagerank, q_ppr): the final DataFrame's
+    // Iterative queries (q_pagerank, q_ppr, q_katz): the final DataFrame's
     // printed tree recursively inlines every cached iteration's stored
     // plan (tens of thousands of lines of repetition), so the audit
     // dump shows the two plans that actually matter — the edge build
@@ -66,7 +60,7 @@ object Plans {
         .select(col("l_orderkey"), col("l_partkey"))
       val edges = graft.ops.Graph.copurchaseEdges(li, "l_orderkey",
         "l_partkey", 5)
-      println(s"\n========== q_pagerank / q_ppr (edge build) ==========")
+      println(s"\n========== q_pagerank / q_ppr / q_katz (edge build) ==========")
       edges.explain("formatted")
       val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
       val ranks = deg.select(col("src").as("node"))
@@ -76,9 +70,15 @@ object Plans {
         .select(col("dst").as("node"),
           floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
-      println(s"\n========== q_pagerank / q_ppr (one power iteration) ==========")
+      println(s"\n========== q_pagerank / q_ppr / q_katz (one power iteration) ==========")
       iter.explain("formatted")
     }
+    // Stored-index pruning demonstrated, not just asserted: at the
+    // fixture's 10 probes × nProbe=4 the IN-list covers all 8 cells, so
+    // the q_ivfpq_stored dump above can't show pruning doing work. One
+    // query at nProbe=1 probes exactly one cell — the IN-list below
+    // must name a strict subset (PqIndexSpec pins this plus the
+    // files-read metric).
     if (names("q_ivfpq_stored")) {
       import org.apache.spark.sql.functions._
       val emb = graft.core.Tables.embeddings(spark, d)

@@ -5682,6 +5682,37 @@ object Queries {
       |SELECT node AS part, round(rank, 6) AS rank FROM r3
       |ORDER BY round(rank, 6) DESC, part LIMIT 15""".stripMargin)
 
+  /** Truncated Katz centrality ([[graft.ops.Graph.katzCentrality]]):
+    * walk-counting influence over the co-purchase graph, three hops,
+    * dyadic α=1/4 — every value is an exact multiple of 4⁻³, so plain
+    * double sums are order-free exact and the unrolled oracle
+    * recurrence matches bit-for-bit with NO fixed-point scaling (the
+    * third exactness discipline in the graph family, next to
+    * q_pagerank's floor·1e18 longs and q_ewma's dyadic weights). */
+  val qKatz: Q = "q_katz" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.katzCentrality(edges, "src", "dst", iters = 3)
+        .select(col("node").as("part"), round(col("x"), 6).as("katz"))
+        .orderBy(col("katz").desc, col("part")).limit(20)
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |x1 AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) / 4 AS x
+      |  FROM e GROUP BY 1),
+      |x2 AS (SELECT e.dst AS node, sum(1 + x1.x) / 4 AS x
+      |  FROM e JOIN x1 ON x1.node = e.src GROUP BY 1),
+      |x3 AS (SELECT e.dst AS node, sum(1 + x2.x) / 4 AS x
+      |  FROM e JOIN x2 ON x2.node = e.src GROUP BY 1)
+      |SELECT node AS part, round(x, 6) AS katz FROM x3
+      |ORDER BY round(x, 6) DESC, part LIMIT 20""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -5723,6 +5754,6 @@ object Queries {
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
-    qEntityClusters, qPpr,
+    qEntityClusters, qPpr, qKatz,
   )
 }

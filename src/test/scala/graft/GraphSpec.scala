@@ -83,4 +83,20 @@ class GraphSpec extends SparkTestBase {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(math.abs(r2(1L) - 0.5) < 1e-12 && math.abs(r2(2L) - 0.5) < 1e-12)
   }
+
+  test("katzCentrality: hand-exact values on a 2-cycle; hub dominates") {
+    // single undirected edge a<->b: x1 = 1/4; x2 = (1 + 1/4)/4 = 0.3125;
+    // x3 = (1 + 0.3125)/4 = 0.328125 — all exact dyadic doubles
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.katzCentrality(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) === 0.328125 && r(2L) === 0.328125, s"got $r")
+    // star: center 1 with leaves 2,3,4 — center counts 3 one-hop walks
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val star = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val k = Graph.katzCentrality(star, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(k(1L) > k(2L), "hub counts more damped walks")
+    assert(k(2L) === k(3L) && k(3L) === k(4L), "leaves tie exactly")
+  }
 }
