@@ -381,7 +381,9 @@ object BenchScale {
         val (tEdge, nE) = time(edges.count())
         val (tPr, _) = time(
           graft.ops.Graph.pageRank(edges, "src", "dst", 3).count())
-        println(s"""{"k":$k,"edges":$nE,"edge_build_sec":${f"$tEdge%.2f"},"pagerank3_sec":${f"$tPr%.2f"}}""")
+        val (tKz, _) = time(
+          graft.ops.Graph.katzCentrality(edges, "src", "dst", 3).count())
+        println(s"""{"k":$k,"edges":$nE,"edge_build_sec":${f"$tEdge%.2f"},"pagerank3_sec":${f"$tPr%.2f"},"katz3_sec":${f"$tKz%.2f"}}""")
         spark.catalog.clearCache()
       }
       spark.stop(); return
