@@ -44,7 +44,8 @@ object Plans {
         "q_media_card", "q_editdup", "q_salted_sum", "q_scd2",
         "q_dq_stored", "q_editdup_stored", "q_ivfpq_compact",
         "q_aggview_union", "q_bm25", "q_pii_scrub",
-        "q_entity_match", "q_domain_terms", "q_ewma", "q_entity_clusters")
+        "q_entity_match", "q_domain_terms", "q_ewma", "q_entity_clusters",
+        "q_kanon", "q_normalize")
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

@@ -5713,6 +5713,60 @@ object Queries {
       |SELECT node AS part, round(x, 6) AS katz FROM x3
       |ORDER BY round(x, 6) DESC, part LIMIT 20""".stripMargin)
 
+  /** k-anonymity / l-diversity audit ([[graft.ops.Privacy]]): before a
+    * per-group view of the customer table ships, every (nation,
+    * segment) quasi-identifier combination must cover ≥ k customers and
+    * ≥ l distinct balance buckets — the governance gate next to
+    * q_pii_scrub's content scrubbing. One hash aggregation; all-integer
+    * output. */
+  val qKanon: Q = "q_kanon" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Privacy.kAnonymityAudit(
+          Tables.customer(s, d)
+            .withColumn("bal_bucket",
+              floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 10L, l = 3L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+      |    AS BIGINT) AS l,
+      |  CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) AS k_risk,
+      |  CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3
+      |    THEN 1 ELSE 0 END AS BIGINT) AS l_risk
+      |FROM customer GROUP BY 1, 2
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+
+  /** Normalization effect card: the corpus-prep first stage
+    * (lower/trim/whitespace-collapse, the engine-wide $NORM) measured
+    * per source — how many characters and tokens the pass removes.
+    * Integer-sum-only output, so the oracle comparison is exact; one
+    * map-only projection + one hash aggregation. */
+  val qNormalize: Q = "q_normalize" -> (
+    (s: SparkSession, d: String) => {
+      val norm = Text.normText(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          length(col("text")).cast("long").as("raw_chars"),
+          length(norm).cast("long").as("norm_chars"),
+          size(split(col("text"), "\\s+")).cast("long").as("raw_tokens"),
+          size(split(norm, " ")).cast("long").as("norm_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw_chars")).as("raw_chars"),
+          sum(col("norm_chars")).as("norm_chars"),
+          sum(col("raw_tokens")).as("raw_tokens"),
+          sum(col("norm_tokens")).as("norm_tokens"))
+        .orderBy(col("source"))
+    },
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS raw_chars,
+       |  CAST(sum(length($NORM)) AS BIGINT) AS norm_chars,
+       |  CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+       |    AS raw_tokens,
+       |  CAST(sum(len($TOKS)) AS BIGINT) AS norm_tokens
+       |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -5754,6 +5808,6 @@ object Queries {
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
-    qEntityClusters, qPpr, qKatz,
+    qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
   )
 }
