@@ -79,4 +79,20 @@ class GraphPropertySpec extends SparkTestBase {
       spark.catalog.clearCache()
     }
   }
+
+  test("katzCentrality: bit-identical under relabeling; dyadic grid exactness") {
+    val es = undirected(321L, n = 10, m = 14)
+    val base = Graph.katzCentrality(es.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.catalog.clearCache()
+    val rel = Graph.katzCentrality(es.map(p => (1000L - p._1, 1000L - p._2))
+        .toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => (1000L - r.getLong(0)) -> r.getDouble(1)).toMap
+    assert(rel === base, "plain double sums must still be order-free exact")
+    // every value is an exact multiple of 4^-3 (the dyadic grid claim)
+    base.values.foreach { v =>
+      assert(v * 64.0 == math.rint(v * 64.0), s"$v is off the 1/64 grid")
+    }
+    spark.catalog.clearCache()
+  }
 }
