@@ -28,29 +28,64 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** PageRank over a DIRECTED edge list; pass both directions for an
-    * undirected graph (then every node has out-degree >= 1, so no dangling-
-    * mass correction is needed — this helper requires that invariant and
-    * filters rank mass to nodes that appear as a source).
+  /** PageRank over a DIRECTED edge list.
     *
-    * @param edges   two columns, (srcCol, dstCol); duplicates are collapsed
-    * @param iters   fixed number of power iterations (deterministic output)
-    * @param damping PageRank damping factor d; rank = (1-d)/n + d * inMass
+    * Two modes:
+    *  - `dangling = false` (default): the node set is the distinct SOURCE
+    *    set, i.e. the helper assumes every node has out-degree >= 1 (true
+    *    by construction when both directions of an undirected graph are
+    *    passed, as [[copurchaseEdges]] does). Rank mass leaving the graph
+    *    through sink nodes is NOT redistributed; a directed edge list
+    *    with sinks should use `dangling = true` instead.
+    *  - `dangling = true`: the node set is `distinct(src) ∪ distinct(dst)`
+    *    and each iteration redistributes the rank mass sitting on
+    *    out-degree-0 nodes uniformly over all nodes (the standard
+    *    dangling-node correction, Brin & Page 1998 §2.1.1) — the
+    *    directed-graph-with-sinks form. The dangling share stays on the
+    *    fixed-point grid (integer `floor(dm / n)` division), so the
+    *    result is still bit-replayable by an unrolled oracle.
+    *
+    * In BOTH modes every iteration left-joins the aggregated inbound mass
+    * back onto the full node set, so a node with in-degree 0 keeps its
+    * rank row (rank = base + redistributed share) and its outgoing
+    * contributions survive into later iterations — the "one row per
+    * distinct node" contract holds for any directed input.
+    *
+    * @param edges    two columns, (srcCol, dstCol); duplicates are collapsed
+    * @param iters    fixed number of power iterations (>= 1; deterministic)
+    * @param damping  PageRank damping factor d; rank = (1-d)/n + d * inMass
+    * @param dangling redistribute sink-node mass (directed graphs with sinks)
     * @return (node, rank) — one row per distinct node, rank a raw double
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85,
+               dangling: Boolean = false): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
     // The raw edge list feeds the degree table and the loop relation —
     // persist it so an expensive upstream lineage (e.g. the co-purchase
     // pair build) runs ONCE, not once per branch.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deg doubles as the NODE SET (its keys are the distinct sources,
-    // which under the every-node-has-out-degree invariant is every node)
-    // — no separate distinct pass.
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count() // one driver scalar (node count), not row data
+    // Without dangling handling, deg doubles as the NODE SET (its keys
+    // are the distinct sources — every node, under the out-degree>=1
+    // invariant); with it, sinks appear only as destinations and the
+    // node set is the union of both sides.
+    val nodes0 =
+      if (!dangling) deg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = nodes0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // one driver scalar (node count), not row data
+    // out-degree-0 nodes: their whole rank is redistributed each round.
+    // Node-sized, loop-invariant — persist once.
+    val sinks =
+      if (!dangling) null
+      else nodes.join(deg.withColumnRenamed("src", "node"), Seq("node"),
+          "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (src, dst, deg) is the loop-invariant relation: persist once, reuse
     // every iteration (re-shuffling |E| per iteration is the naive cost).
     // Materialized by iteration 1's action — no dedicated warm-up job.
@@ -58,7 +93,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = (1.0 - damping) / n
 
-    var ranks = deg.select(col("src").as("node")).withColumn("rank", lit(1.0 / n))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var prev: DataFrame = null
     for (it <- 1 to iters) {
       val contribs = eDeg
@@ -69,11 +104,27 @@ object Graph {
           // per-node mass ≤ total mass 1, so the scaled sum fits a long;
           // long sums codegen far faster than Decimal128)
           floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
-      val next = contribs.groupBy("node")
-        .agg(sum(col("c")).as("in_mass"))
+      val inMass = contribs.groupBy("node").agg(sum(col("c")).as("in_mass"))
+      // dangling mode: per-node share of the sink mass = integer
+      // floor(dm / n) on the same fixed-point grid (1-row aggregate,
+      // broadcast by the cross join — never a driver-side collect)
+      val joined =
+        if (!dangling) nodes.join(inMass, Seq("node"), "left")
+        else nodes.join(inMass, Seq("node"), "left").crossJoin(
+          ranks.join(sinks, Seq("node"))
+            .agg(coalesce(sum(floor(col("rank") * lit(1e18)).cast("long")),
+              lit(0L)).as("dm"))
+            // integer div, NOT floor(double /): dm ≈ 1e18 exceeds 2^53,
+            // so double division would round the share off the grid
+            .select(expr(s"dm div ${n}L").cast("long").as("dshare")))
+      // left join onto the FULL node set: a zero-in-degree node keeps its
+      // row (in_mass 0), so its out-edges keep contributing next round
+      val next = joined
         .select(col("node"),
           (lit(base) + lit(damping) *
-            (col("in_mass").cast("double") / lit(1e18))).as("rank"))
+            ((coalesce(col("in_mass"), lit(0L)) +
+              (if (dangling) col("dshare") else lit(0L))).cast("double") /
+              lit(1e18))).as("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the previous iteration
       if (it == 1) e.unpersist() // eDeg is cached now; drop its input
@@ -83,6 +134,8 @@ object Graph {
     }
     eDeg.unpersist()
     deg.unpersist()
+    nodes.unpersist()
+    if (sinks != null) sinks.unpersist()
     // the final iteration's ranks stay persisted (already materialized);
     // the CALLER owns releasing them (or Verify's between-query
     // clearCache) — the bm25TopK/tokenTable convention.
@@ -101,6 +154,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String,
                            iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
@@ -130,12 +184,16 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
-      val next = contribs.groupBy("node")
-        .agg(sum(col("c")).as("in_mass"))
-        .join(baseDf, Seq("node"))
+      val inMass = contribs.groupBy("node").agg(sum(col("c")).as("in_mass"))
+      // left join onto the FULL node set (baseDf covers every node): a
+      // zero-in-degree node keeps its row and reset mass, so its
+      // out-edges keep contributing next round — same contract as
+      // pageRank's node-set left join
+      val next = baseDf.join(inMass, Seq("node"), "left")
         .select(col("node"),
           (col("base") + lit(damping) *
-            (col("in_mass").cast("double") / lit(1e18))).as("rank"))
+            (coalesce(col("in_mass"), lit(0L)).cast("double") /
+              lit(1e18))).as("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       if (it == 1) e.unpersist()
@@ -156,9 +214,17 @@ object Graph {
     * 4^-iters: plain double sums are order-free EXACT (each partial sum
     * is an integer multiple of the grid < 2^53) and the result is
     * bit-identical to the oracle's unrolled recurrence — no fixed-point
-    * scaling needed. Caller picks iters/α so maxdeg^iters · 4^iters
-    * stays under 2^53 (document-level bound; 3 hops over a
-    * 5000-max-degree graph is ~2^47).
+    * scaling needed. The 2^53 grid bound is now VALIDATED, not just
+    * documented: max in-degree is read off the first hop's aggregate
+    * (one driver scalar) and iters·max(maxdeg, alphaInv)^iters — a
+    * conservative majorant of x_iters·alphaInv^iters — must stay under
+    * 2^53, else the call fails loudly instead of returning quietly
+    * rounded values.
+    *
+    * The recurrence holds on any DIRECTED input: each hop LEFT-joins
+    * x_{m-1} onto the edge relation, so an in-neighbor that itself has
+    * zero in-degree (no x row) still contributes its `+1` walk — the
+    * output node set is the distinct-destination set.
     *
     * Same loop shape as [[pageRank]]: persisted edge relation, one
     * |E| join + aggregation per hop.
@@ -169,15 +235,33 @@ object Graph {
       "alphaInv must be a power of two (dyadic α keeps sums exact)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = e.groupBy(col("dst").as("node"))
-      .agg((count(lit(1)).cast("double") / lit(alphaInv)).as("x")) // α·indeg
+    val indeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).cast("long").as("indeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grid-exactness guard: every partial sum at hop m is an integer
+    // multiple of alphaInv^-m bounded by Σ_{k≤m} maxdeg^k·alphaInv^(m-k)
+    // ≤ m·max(maxdeg, alphaInv)^m; checked in log2 so the check itself
+    // cannot overflow
+    val maxDeg = indeg.agg(max(col("indeg"))).head().getLong(0)
+    val log2Bound = (math.log(iters.toDouble) +
+      iters * math.log(math.max(maxDeg, alphaInv).toDouble)) / math.log(2.0)
+    require(log2Bound < 53.0,
+      s"katzCentrality: iters=$iters over max in-degree $maxDeg exceeds the " +
+        s"2^53 dyadic grid (bound 2^${log2Bound.ceil.toInt}); lower iters " +
+        "or raise alphaInv")
+    var ranks = indeg
+      .select(col("node"),
+        (col("indeg").cast("double") / lit(alphaInv)).as("x")) // α·indeg
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranks.count()
+    indeg.unpersist()
     var prev: DataFrame = ranks
     for (_ <- 2 to iters) {
-      val next = e.join(ranks.withColumnRenamed("node", "src"), "src")
+      // LEFT join: an in-neighbor with no x row (zero in-degree) still
+      // contributes its +1 walk — x_m = α·Σ_in (1 + x_{m-1}) exactly
+      val next = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"), "left")
         .groupBy(col("dst").as("node"))
-        .agg((sum(lit(1.0) + col("x")) / lit(alphaInv)).as("x"))
+        .agg((sum(lit(1.0) + coalesce(col("x"), lit(0.0))) / lit(alphaInv)).as("x"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       prev.unpersist()

@@ -5713,6 +5713,65 @@ object Queries {
       |SELECT node AS part, round(x, 6) AS katz FROM x3
       |ORDER BY round(x, 6) DESC, part LIMIT 20""".stripMargin)
 
+  /** PageRank with dangling-node redistribution
+    * ([[graft.ops.Graph.pageRank]] `dangling = true`) on a genuinely
+    * DIRECTED graph with sinks: part → supplier "stocked by" edges
+    * (suppliers never appear as sources, so every supplier is a sink;
+    * parts have in-degree 0, so this also pins the keep-every-node-row
+    * left join). Supplier ids are offset by 1e6 to keep the two key
+    * spaces disjoint. Each iteration redistributes the sink mass
+    * uniformly on the fixed-point grid — the dangling share is an
+    * integer `dm div n`, NOT a double division (dm ≈ 1e18 > 2^53), so
+    * ranks stay bit-replayable by the unrolled oracle. */
+  val qPageRankDirected: Q = "q_pagerank_directed" -> (
+    (s: SparkSession, d: String) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3,
+          damping = 0.85, dangling = true)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(25)
+    },
+    """WITH e AS (SELECT DISTINCT l_partkey AS src,
+      |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst FROM lineitem),
+      |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |sinks AS (SELECT node FROM nodes
+      |  WHERE node NOT IN (SELECT src FROM e)),
+      |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+      |m1 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r0.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |ds1 AS (SELECT COALESCE(CAST(sum(CAST(floor(r0.rank * 1e18) AS BIGINT))
+      |    AS BIGINT), 0) // nn.n AS dshare
+      |  FROM r0 JOIN sinks USING (node), nn GROUP BY nn.n),
+      |r1 AS (SELECT nodes.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(COALESCE(m1.im, 0) + ds1.dshare AS DOUBLE) / 1e18) AS rank
+      |  FROM nodes LEFT JOIN m1 USING (node), nn, ds1),
+      |m2 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r1.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |ds2 AS (SELECT COALESCE(CAST(sum(CAST(floor(r1.rank * 1e18) AS BIGINT))
+      |    AS BIGINT), 0) // nn.n AS dshare
+      |  FROM r1 JOIN sinks USING (node), nn GROUP BY nn.n),
+      |r2 AS (SELECT nodes.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(COALESCE(m2.im, 0) + ds2.dshare AS DOUBLE) / 1e18) AS rank
+      |  FROM nodes LEFT JOIN m2 USING (node), nn, ds2),
+      |m3 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r2.rank / d.deg * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |ds3 AS (SELECT COALESCE(CAST(sum(CAST(floor(r2.rank * 1e18) AS BIGINT))
+      |    AS BIGINT), 0) // nn.n AS dshare
+      |  FROM r2 JOIN sinks USING (node), nn GROUP BY nn.n),
+      |r3 AS (SELECT nodes.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(COALESCE(m3.im, 0) + ds3.dshare AS DOUBLE) / 1e18) AS rank
+      |  FROM nodes LEFT JOIN m3 USING (node), nn, ds3)
+      |SELECT node, round(rank, 6) AS rank FROM r3
+      |ORDER BY round(rank, 6) DESC, node LIMIT 25""".stripMargin)
+
   /** k-anonymity / l-diversity audit ([[graft.ops.Privacy]]): before a
     * per-group view of the customer table ships, every (nation,
     * segment) quasi-identifier combination must cover ≥ k customers and
@@ -5809,5 +5868,6 @@ object Queries {
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
+    qPageRankDirected,
   )
 }

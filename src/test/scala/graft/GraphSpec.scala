@@ -84,6 +84,77 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(r2(1L) - 0.5) < 1e-12 && math.abs(r2(2L) - 0.5) < 1e-12)
   }
 
+  test("pageRank dangling: hand-exact on 1->2, mass conserved with sinks") {
+    // nodes {1,2}, n=2, sink {2}; r0 = 0.5 each
+    // dm = floor(0.5e18) = 5e17, dshare = dm div 2 = 2.5e17
+    // r1(1) = 0.15/2 + 0.85*0.25        = 0.2875   (in_mass 0, share only)
+    // r1(2) = 0.15/2 + 0.85*(0.5+0.25)  = 0.7125
+    val r = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        iters = 1, dangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(1L, 2L), "zero-in-degree node 1 keeps its row")
+    assert(math.abs(r(1L) - 0.2875) < 1e-12 && math.abs(r(2L) - 0.7125) < 1e-12,
+      s"got $r")
+    // deeper run: total mass stays ~1 (fixed-point floors lose < n*1e-18/it)
+    val r5 = Graph.pageRank(Seq((1L, 2L), (3L, 2L)).toDF("src", "dst"),
+        "src", "dst", iters = 5, dangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r5.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(r5.values.sum - 1.0) < 1e-9, s"mass conserved, got $r5")
+    assert(math.abs(r5(1L) - r5(3L)) < 1e-15, "symmetric sources tie")
+  }
+
+  test("pageRank non-dangling: zero-in-degree source keeps its row and feeds later hops") {
+    // 3 -> 2 -> 1 -> 2: node 3 has out-degree 1 but in-degree 0; it must
+    // keep rank rows every iteration (base mass) and keep contributing
+    val edges = Seq((3L, 2L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L), s"got $r")
+    assert(math.abs(r(3L) - 0.05) < 1e-12, "in-degree-0 node sits at (1-d)/n")
+    // mass cycles between 1 and 2 (parity decides the leader); what
+    // matters is that 3's contribution keeps flowing in: both cycle
+    // nodes hold more than the bare base mass
+    assert(r(1L) > 0.05 + 1e-9 && r(2L) > 0.05 + 1e-9, s"got $r")
+  }
+
+  test("personalized PageRank: zero-in-degree seed keeps reset mass on directed input") {
+    // 3 -> 2, 2 -> 1, 1 -> 2: seed 3 never receives mass but must keep
+    // its reset row (and its outgoing contribution) every iteration
+    val edges = Seq((3L, 2L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(3L)).toDF("part")
+    val r = Graph.personalizedPageRank(edges, "src", "dst", seeds, "part",
+        iters = 4).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L), s"seed row survives, got $r")
+    assert(math.abs(r(3L) - 0.15) < 1e-12, "seed holds exactly (1-d)/nS")
+    assert(r(2L) > 0.0 && r(1L) > 0.0, "mass flows out of the seed")
+  }
+
+  test("katzCentrality: directed chain — +1 from zero-in-degree neighbor survives") {
+    // 1 -> 2 -> 3: x1 = {2: 1/4, 3: 1/4};
+    // x2(2) = (1 + x1(1)=0)/4 = 0.25 (node 1 has NO x row — left join),
+    // x2(3) = (1 + x1(2)=0.25)/4 = 0.3125
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.katzCentrality(edges, "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(2L, 3L), s"got $r")
+    assert(r(2L) === 0.25 && r(3L) === 0.3125, s"got $r")
+  }
+
+  test("katzCentrality: 2^53 dyadic-grid bound is enforced, not just documented") {
+    // star: 16 leaves -> center, max in-degree 16; iters=13 puts the
+    // conservative majorant at ~2^55.7 > 2^53 -> loud failure
+    val star = (1L to 16L).map(l => (l, 100L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.katzCentrality(star, "src", "dst", iters = 13)
+    }
+    assert(ex.getMessage.contains("2^53"))
+    // same graph, 3 hops: comfortably on-grid
+    val ok = Graph.katzCentrality(star, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ok(100L) === 16.0 / 4, "one-hop walks only (leaves have no in-edges)")
+  }
+
   test("katzCentrality: hand-exact values on a 2-cycle; hub dominates") {
     // single undirected edge a<->b: x1 = 1/4; x2 = (1 + 1/4)/4 = 0.3125;
     // x3 = (1 + 0.3125)/4 = 0.328125 — all exact dyadic doubles
