@@ -56,6 +56,10 @@ object Stores {
                   (write: String => Unit): Unit = {
     val fs = fileSystem(spark, path)
     val store = new HPath(path)
+    // heal a crashed rewrite FIRST: if a committed swap were left
+    // pending, completing it after this append landed new files would
+    // delete them (recovery keeps only the swap's own generation)
+    recover(spark, path)
     val marker = new HPath(store, s"_appended_$batchTag")
     val staging = new HPath(store, s"_staging_$batchTag")
     if (fs.exists(marker)) {
@@ -99,89 +103,203 @@ object Stores {
     ()
   }
 
+  // ---------------------------------------------------------------------
+  // In-place swap protocol (rewrites: retraction, compaction)
+  //
+  // Every rewrite below replaces a directory's data files WITHOUT ever
+  // renaming a directory. The only primitives it relies on are ATOMIC
+  // PER-FILE operations — create-empty-file, single-file rename, and
+  // single-file delete — which hold on the local filesystem, on HDFS,
+  // and on object-store connectors (an S3 PUT/COPY lands a key whole or
+  // not at all). Atomic DIRECTORY rename — which local-FS code gets for
+  // free and object stores do NOT provide — is never assumed, so the
+  // crash-convergence story transfers to a 100 TB deployment unchanged.
+  //
+  // Protocol, for a target dir (the store root, or one `cell=` dir):
+  //   1. write the full rewrite into `<root>/._swap_<tag>` (dot-prefixed
+  //      ⇒ hidden from every parquet/hive read; never a phantom
+  //      partition value), then strip job artifacts (_SUCCESS) so the
+  //      tmp content is final;
+  //   2. create the empty COMMIT MARKER `<root>/._swapcommit_<gen>_<tag>`
+  //      — the single atomic commit point (gen = 1 + max generation
+  //      seen in the target's `swap<g>-` file names);
+  //   3. complete the swap: delete the target's `.parquet` data files
+  //      not prefixed `swap<gen>-`, rename each tmp file to
+  //      `<target>/swap<gen>-<name>`, delete the tmp dir, delete the
+  //      marker (strictly last).
+  //
+  // Crash anywhere:
+  //   - before 2: originals untouched; the orphan tmp is discarded by
+  //     the next [[recover]] — no data was ever deleted;
+  //   - after 2: the tmp is by construction the COMPLETE rewrite, and
+  //     [[recover]] re-runs step 3 idempotently (a file both renamed
+  //     and still present in tmp — the non-atomic-rename case — is
+  //     resolved dest-wins; deletes and renames of already-processed
+  //     files no-op). No interleaving loses rows: deletion of original
+  //     data only ever happens under a marker whose tmp is complete.
+  //
+  // The `_appended_*` replay markers and `_SUCCESS` live in the store
+  // root and are never touched by a swap — a replayed batch still
+  // no-ops after any rewrite. Same single-writer, run-between-batches
+  // contract as the appends; a crash is healed by the NEXT store
+  // operation (appendCommit/compact/rewriteWhere all run [[recover]]
+  // on entry).
+  // ---------------------------------------------------------------------
+
+  private val SwapTmp = "._swap_"
+  private val SwapCommit = "._swapcommit_"
+  private val SwapGenRe = "^swap(\\d+)-.*".r
+
+  /** Tag for a swap of the store root itself (vs a `cell=` subdir). */
+  private val RootTag = "root"
+
+  private def listDataParquet(fs: FileSystem, dir: HPath) =
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+        n.endsWith(".parquet")
+    }
+
+  /** Step 3 above — idempotent under arbitrary re-entry. */
+  private def completeSwap(fs: FileSystem, target: HPath, tmp: HPath,
+                           marker: HPath, gen: Long): Unit = {
+    val pre = s"swap$gen-"
+    listDataParquet(fs, target).foreach { st =>
+      if (!st.getPath.getName.startsWith(pre)) fs.delete(st.getPath, false)
+    }
+    if (fs.exists(tmp)) {
+      fs.mkdirs(target) // no-op when present; swaps never delete dirs
+      fs.listStatus(tmp).toSeq.filter(_.isFile).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith("."))
+          fs.delete(st.getPath, false)
+        else {
+          val dest = new HPath(target, pre + name)
+          // dest-wins: src+dest both present = a rename that copied but
+          // did not yet delete (object-store rename is copy+delete)
+          if (fs.exists(dest)) fs.delete(st.getPath, false)
+          else require(fs.rename(st.getPath, dest),
+            s"swap: rename ${st.getPath} -> $dest failed")
+        }
+      }
+      fs.delete(tmp, true)
+    }
+    fs.delete(marker, false) // strictly last: marker present ⇒ tmp complete
+    ()
+  }
+
+  /** Converge any crashed rewrite at `path`: complete committed swaps
+    * (marker present ⇒ tmp was fully written), discard uncommitted tmp
+    * dirs (no marker ⇒ originals are untouched). Ran automatically at
+    * the entry of every store mutation; also safe to call directly
+    * before reading a store whose maintainer may have crashed. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = fileSystem(spark, path)
+    val root = new HPath(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(SwapCommit))
+      .foreach { st =>
+        val rest = st.getPath.getName.stripPrefix(SwapCommit)
+        val cut = rest.indexOf('_')
+        require(cut > 0, s"unparseable swap marker ${st.getPath}")
+        val gen = rest.substring(0, cut).toLong
+        val tag = rest.substring(cut + 1)
+        val target = if (tag == RootTag) root else new HPath(root, tag)
+        completeSwap(fs, target, new HPath(root, SwapTmp + tag),
+          st.getPath, gen)
+      }
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(SwapTmp))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Steps 1–3 for one target dir; `write` materializes the rewrite at
+    * the given tmp location (caller uses mode OVERWRITE). */
+  private def swapRewrite(spark: SparkSession, root: HPath, target: HPath,
+                          tag: String)(write: String => Unit): Unit = {
+    val fs = fileSystem(spark, root.toString)
+    val tmp = new HPath(root, SwapTmp + tag)
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.listStatus(tmp).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith("."))
+        fs.delete(st.getPath, st.isDirectory)
+    }
+    val gen = 1L + listDataParquet(fs, target).map(_.getPath.getName).flatMap {
+      case SwapGenRe(g) => Some(g.toLong)
+      case _ => None
+    }.foldLeft(0L)(math.max)
+    val marker = new HPath(root, s"$SwapCommit${gen}_$tag")
+    fs.create(marker, true).close() // the commit point
+    completeSwap(fs, target, tmp, marker, gen)
+  }
+
+  private def hivePartitionDirs(fs: FileSystem, root: HPath) =
+    fs.listStatus(root).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.contains("=") && !n.startsWith(".")
+    }
+
   /** Targeted store REWRITE — the takedown/retraction lifecycle
     * ([[graft.ops.Retention]]'s file-targeted deletes, applied to the
     * row-level case an append store needs: remove one document's
     * signatures/fingerprints/pairs from a store that is otherwise
-    * append-only). Keeps only rows satisfying `keep`; same two-phase
-    * swap as [[compact]], and the `_appended_*` markers are CARRIED —
-    * a replayed batch must still no-op after a retraction, or
-    * at-least-once delivery would re-insert the retracted rows from a
-    * redelivered batch that contained them (the marker is the record
+    * append-only). Keeps only rows satisfying `keep`, via the in-place
+    * swap protocol above; the `_appended_*` markers stay in place
+    * untouched — a replayed batch must still no-op after a retraction,
+    * or at-least-once delivery would re-insert the retracted rows from
+    * a redelivered batch that contained them (the marker is the record
     * that the batch landed; retraction is a later, separate fact).
     * Single-writer contract as everywhere; run between batches.
     * Returns the kept row count. */
   def rewriteWhere(spark: SparkSession, path: String,
                    keep: org.apache.spark.sql.Column): Long = {
-    val dir = new java.io.File(path)
-    require(new java.io.File(dir, "_SUCCESS").isFile, s"no store at $path")
-    require(!Option(dir.listFiles()).getOrElse(Array.empty).exists(f =>
-      f.isDirectory && f.getName.contains("=")),
+    val fs = fileSystem(spark, path)
+    val root = new HPath(path)
+    require(fs.exists(new HPath(root, "_SUCCESS")), s"no store at $path")
+    recover(spark, path)
+    require(hivePartitionDirs(fs, root).isEmpty,
       s"$path is hive-partitioned — retract per partition or rebuild")
-    val markers = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_appended_"))
-      .map(_.getName)
-    val tmp = path + "_retracting"
     val kept = spark.read.parquet(path).filter(keep)
     val n = kept.count()
-    kept.write.mode("overwrite").parquet(tmp)
-    markers.foreach(m => new java.io.File(tmp, m).createNewFile())
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    swapRewrite(spark, root, root, RootTag) { tmpPath =>
+      kept.write.mode("overwrite").parquet(tmpPath)
     }
-    rm(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"retraction swap failed: could not rename $tmp to $path")
     spark.catalog.refreshByPath(path)
     n
   }
 
-  /** Rewrite `path` into ⌈bytes / targetFileBytes⌉ files.
+  /** Rewrite `path` into ⌈bytes / targetFileBytes⌉ files via the
+    * in-place swap protocol above (per-file atomic ops only — works on
+    * HDFS/object-store filesystems, where directory rename is not
+    * atomic). The `_appended_*` markers never move, so a replayed batch
+    * still finds its marker AFTER compaction and no-ops instead of
+    * re-appending rows the compacted files already hold. Span-store
+    * delta sidecars live OUTSIDE the store dir and stay valid: they
+    * record hash sets, which compaction preserves by construction.
     *
-    * Procedure: write the compacted copy to a sibling dir, then swap
-    * (delete original, rename copy) carrying the `_appended_*` markers
-    * over — a replayed batch must still find its marker AFTER
-    * compaction or it would re-append rows the compacted files already
-    * hold. Local-filesystem directory swap (this environment's store
-    * contract, like the `_SUCCESS`-probe lifecycle); on object storage
-    * the same two phases are a table-format transaction (rewrite +
-    * atomic manifest swap). Span-store delta sidecars live OUTSIDE the
-    * store dir and stay valid: they record hash sets, which compaction
-    * preserves by construction.
-    *
-    * Readers racing the swap see a missing dir for the rename instant —
-    * the streams that own these stores read them inside foreachBatch
-    * bodies, and compaction is run BETWEEN batches (same single-writer
-    * contract the appends already assume). Returns the new file count. */
+    * Run BETWEEN batches under the single-writer contract the appends
+    * already assume; a crash mid-swap is healed by the next store
+    * operation ([[recover]]). Returns the new file count. */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val dir = new java.io.File(path)
-    require(new java.io.File(dir, "_SUCCESS").isFile, s"no store at $path")
-    require(!Option(dir.listFiles()).getOrElse(Array.empty).exists(f =>
-      f.isDirectory && f.getName.contains("=")),
+    val fs = fileSystem(spark, path)
+    val root = new HPath(path)
+    require(fs.exists(new HPath(root, "_SUCCESS")), s"no store at $path")
+    recover(spark, path)
+    require(hivePartitionDirs(fs, root).isEmpty,
       s"$path is hive-partitioned (e.g. the IVF-PQ index) — a flat " +
         "rewrite would destroy partition pruning; use compactPartitioned")
-    val dataFiles = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val totalBytes = dataFiles.map(_.length()).sum
+    val totalBytes = listDataParquet(fs, root).map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val markers = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_appended_"))
-      .map(_.getName)
-    val tmp = path + "_compacting"
-    spark.read.parquet(path).repartition(n)
-      .write.mode("overwrite").parquet(tmp)
-    markers.foreach { m =>
-      new java.io.File(tmp, m).createNewFile()
+    swapRewrite(spark, root, root, RootTag) { tmpPath =>
+      spark.read.parquet(path).repartition(n)
+        .write.mode("overwrite").parquet(tmpPath)
     }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(dir)
-    require(new java.io.File(tmp).renameTo(dir),
-      s"compaction swap failed: could not rename $tmp to $path")
-    // the swapped dir is a NEW file set at the same path: drop any plan
-    // or cache still pointing at the deleted files
+    // the swap is a NEW file set at the same path: drop any plan or
+    // cache still pointing at the deleted files
     spark.catalog.refreshByPath(path)
     n
   }
@@ -189,72 +307,39 @@ object Stores {
   /** [[compact]] for HIVE-PARTITIONED stores (the IVF-PQ index layout:
     * `cell=<k>/` directories fed by [[graft.ops.Pq.indexAppend]], which
     * accrues one small file set per batch exactly like the flat stores
-    * did). Each partition directory is rewritten INDEPENDENTLY into
-    * ⌈bytes / targetFileBytes⌉ files and swapped in place — the
-    * directory name carries the partition value, so pruning is
-    * preserved by construction, and the root's `_appended_*` markers
-    * are never touched (they live outside the partition dirs), so a
-    * replayed batch still no-ops after compaction.
-    *
-    * Crash windows, all convergent on re-run: the per-cell rewrite
-    * lands in a DOT-PREFIXED sibling (`._compact_cell=<k>` — hidden
-    * from every parquet read; a bare `cell=<k>_compacting` name would
-    * be parsed as a PHANTOM PARTITION VALUE by the next hive-layout
-    * scan), the swap is delete-then-rename, and the recovery pass at
-    * the top completes or discards leftovers: a leftover WITH its
-    * cell dir still present is a partial rewrite (discard, redo); a
-    * leftover WITHOUT its cell dir means the crash hit between the
-    * delete and the rename, and the leftover is by construction the
-    * complete stripped rewrite (the delete only ever runs after the
-    * write finished) — rename it into place. A crash between cells
-    * leaves some compacted and some not: row-identical either way.
+    * did). Each partition directory is rewritten INDEPENDENTLY through
+    * the same in-place swap protocol (tag = the cell dir name, tmp and
+    * marker in the store ROOT — dot-prefixed, so never a phantom
+    * partition value to a hive-layout scan). The directory name carries
+    * the partition value, so pruning is preserved by construction, and
+    * the root's `_appended_*` markers are never touched. A crash
+    * between cells leaves some compacted and some not — row-identical
+    * either way; a crash INSIDE a cell's swap converges via
+    * [[recover]] with no row ever lost (original cell files are only
+    * deleted under a commit marker whose tmp rewrite is complete).
     * Same single-writer, run-between-batches contract as everywhere.
     * Returns the total data-file count across partitions. */
   def compactPartitioned(spark: SparkSession, path: String,
                          targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val dir = new java.io.File(path)
-    require(new java.io.File(dir, "_SUCCESS").isFile, s"no store at $path")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    val TMP = "._compact_"
-    // recovery pass: converge leftovers from a crashed prior run
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(TMP))
-      .foreach { tmp =>
-        val cd = new java.io.File(dir, tmp.getName.stripPrefix(TMP))
-        if (!cd.exists())
-          require(tmp.renameTo(cd),
-            s"compaction recovery failed: could not rename $tmp to $cd")
-        else rm(tmp)
-      }
-    val cellDirs = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("=") &&
-        !f.getName.startsWith("."))
+    val fs = fileSystem(spark, path)
+    val root = new HPath(path)
+    require(fs.exists(new HPath(root, "_SUCCESS")), s"no store at $path")
+    recover(spark, path)
+    val cellDirs = hivePartitionDirs(fs, root)
     require(cellDirs.nonEmpty,
       s"$path has no partition directories — use compact for flat stores")
     var total = 0
     cellDirs.foreach { cd =>
-      val files = Option(cd.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val files = listDataParquet(fs, cd.getPath)
       val n = math.max(1,
-        math.ceil(files.map(_.length()).sum.toDouble / targetFileBytes).toInt)
+        math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
       if (files.length > n) {
-        val tmp = new java.io.File(dir, TMP + cd.getName)
         // the cell's files carry the non-partition columns only; the
         // rewrite keeps that shape and the dir name keeps the value
-        spark.read.parquet(cd.getPath).repartition(n)
-          .write.mode("overwrite").parquet(tmp.getPath)
-        // strip parquet job artifacts (_SUCCESS) so the swapped dir is
-        // exactly what partitionBy would have written; MUST run before
-        // the delete — recovery relies on a cell-less leftover being
-        // the finished, stripped rewrite
-        Option(tmp.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-          .foreach(rm)
-        rm(cd)
-        require(tmp.renameTo(cd),
-          s"cell compaction swap failed: could not rename $tmp to $cd")
+        swapRewrite(spark, root, cd.getPath, cd.getPath.getName) { tmpPath =>
+          spark.read.parquet(cd.getPath.toString).repartition(n)
+            .write.mode("overwrite").parquet(tmpPath)
+        }
         total += n
       } else total += files.length
     }

@@ -155,6 +155,28 @@ object DqStream {
       // carries tag == batchTag and is excluded from the probe; full
       // redelivery after the marker no-ops in appendCommit anyway.
       val storeExists = graft.ops.Stores.exists(spark, path, "_SUCCESS")
+      // schema-version guard: the tag column (and its zero-padded
+      // format) arrived in v4 of this store layout. A pre-tag store
+      // would fail at analysis with an opaque missing-column error, and
+      // a store mixing bare `batch_10` with padded `batch_000000010`
+      // tags would silently mis-sort the strictly-earlier cut — fail
+      // loudly with a migration message instead.
+      if (storeExists) {
+        val st = spark.read.parquet(path)
+        require(st.schema.fieldNames.contains("tag"),
+          s"DQ store at $path predates the tag column (layout < v4): " +
+            "recreate the store at a new path (or bump the store name " +
+            "version) — in-place migration is not supported")
+        val badTag = st.select(col("tag")).distinct()
+          .filter(col("tag").rlike("^batch_\\d{1,8}$"))
+          .limit(1).collect()
+        require(badTag.isEmpty,
+          s"DQ store at $path holds a non-zero-padded tag " +
+            s"('${badTag.headOption.map(_.getString(0)).getOrElse("")}'):" +
+            " written by a pre-v4 DqStream — recreate the store at a " +
+            "new path; mixing padded and bare tags would mis-sort the " +
+            "strictly-earlier crash guard")
+      }
       val keyRows: Seq[DataFrame] = checks.collect {
         case DupKeyCheck(n, c) =>
           val batchKeys = cached.select(col(c).cast("string").as("key"))

@@ -111,6 +111,28 @@ class DqStreamSpec extends SparkTestBase {
       s"crash-retried run $streamed must equal uninterrupted $oneShot")
   }
 
+  test("pre-v4 store layouts are rejected with a migration message") {
+    // layout v3: no tag column at all — the guard must name the
+    // migration path, not die on an opaque missing-column analysis error
+    val noTag = java.nio.file.Files.createTempDirectory("dq_v3").toString
+    Seq(("dup_order", "101", 1L)).toDF("check", "key", "n")
+      .write.mode("overwrite").parquet(noTag)
+    val e1 = intercept[IllegalArgumentException] {
+      DqStream.processBatch(df(rows.take(2)), noTag, "batch_000000001", checks)
+    }
+    assert(e1.getMessage.contains("recreate the store"), e1.getMessage)
+
+    // tag column present but holding a bare (non-zero-padded) id —
+    // mixing formats would mis-sort the strictly-earlier cut
+    val bare = java.nio.file.Files.createTempDirectory("dq_bare").toString
+    Seq(("dup_order", "101", 1L, "batch_10")).toDF("check", "key", "n", "tag")
+      .write.mode("overwrite").parquet(bare)
+    val e2 = intercept[IllegalArgumentException] {
+      DqStream.processBatch(df(rows.take(2)), bare, "batch_000000011", checks)
+    }
+    assert(e2.getMessage.contains("non-zero-padded"), e2.getMessage)
+  }
+
   test("store compaction preserves the report and the replay markers") {
     val path = java.nio.file.Files.createTempDirectory("dq_compact").toString
     val slices = Seq(rows.slice(0, 3), rows.slice(3, 5), rows.slice(5, 8))

@@ -150,13 +150,14 @@ class PqIndexSpec extends SparkTestBase {
       .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
       === rowsAfter, "post-compaction replay must no-op on the carried marker")
 
-    // crash window 1: a leftover rewrite whose cell dir still exists
-    // (crash mid-write) — the recovery pass must DISCARD it, and its
-    // dot prefix must hide it from reads in the meantime (a bare
-    // cell=X_compacting name would read back as a phantom partition)
+    // crash window 1: an UNCOMMITTED rewrite tmp (crash before the
+    // commit marker) — the dot prefix must hide it from reads (a bare
+    // cell=X sibling name would read back as a phantom partition), the
+    // recovery pass must DISCARD it, and the originals are untouched
+    // because nothing is ever deleted without a marker
     val someCell = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
-    val junk = new java.io.File(dir, "._compact_" + someCell.getName)
+    val junk = new java.io.File(dir, "._swap_" + someCell.getName)
     junk.mkdirs()
     spark.read.parquet(someCell.getPath).limit(1)
       .write.mode("overwrite").parquet(junk.getPath)
@@ -165,23 +166,43 @@ class PqIndexSpec extends SparkTestBase {
       .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
       === rowsAfter, "a dot-prefixed leftover must be invisible to reads")
     graft.ops.Stores.compactPartitioned(spark, dir)
-    assert(!junk.exists(), "partial-rewrite leftover discarded")
+    assert(!junk.exists(), "uncommitted leftover discarded")
     assert(spark.read.parquet(dir)
       .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
       === rowsAfter)
 
-    // crash window 2: the crash hit between the cell delete and the
-    // rename — cell dir gone, finished rewrite stranded under the
-    // hidden name. Recovery must complete the swap, restoring rows.
+    // crash window 2 (the non-atomic-rename hazard the old
+    // delete-then-rename-dir protocol could NOT survive): a COMMITTED
+    // swap — complete stripped tmp + commit marker — that crashed
+    // midway through the per-file replacement: one original cell file
+    // already deleted, one tmp file copied into place but not yet
+    // removed from tmp (an object-store rename = copy + delete that
+    // lost its delete). Recovery must finish the swap: rows are exactly
+    // the rewrite, nothing lost, nothing doubled.
     val victim = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
-    val stranded = new java.io.File(dir, "._compact_" + victim.getName)
-    assert(victim.renameTo(stranded))
+    val tmp = new java.io.File(dir, "._swap_" + victim.getName)
+    spark.read.parquet(victim.getPath).repartition(2)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    tmp.listFiles()
+      .filter(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .foreach(_.delete())
+    val gen = 1 + victim.listFiles().map(_.getName).collect {
+      case n if n.startsWith("swap") && n.contains("-") =>
+        n.stripPrefix("swap").takeWhile(_.isDigit).toLong
+    }.foldLeft(0L)(math.max)
+    new java.io.File(dir, s"._swapcommit_${gen}_" + victim.getName)
+      .createNewFile()
+    val origs = victim.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(origs.head.delete(), "simulate: one original already deleted")
+    val half = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(half.toPath,
+      new java.io.File(victim, s"swap$gen-" + half.getName).toPath)
     spark.catalog.refreshByPath(dir)
-    assert(spark.read.parquet(dir).count() < rowsAfter.size,
-      "precondition: the victim cell's rows are missing")
     graft.ops.Stores.compactPartitioned(spark, dir)
-    assert(victim.isDirectory && !stranded.exists())
+    assert(!tmp.exists(), "committed tmp consumed")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("._swapcommit_")), "marker cleared")
     assert(spark.read.parquet(dir)
       .select("n_id", "cell", "codes").collect().map(_.toString).sorted.toSeq
       === rowsAfter, "recovery completes the crashed swap, rows restored")
