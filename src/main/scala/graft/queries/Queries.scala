@@ -2484,6 +2484,63 @@ object Queries {
        |SELECT q_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank FROM r
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
 
+  /** BM25 with a BITING df cap — the production stop-list path q_bm25
+    * cannot exercise (its synthetic 31-term vocabulary forces the cap
+    * off). Each document is ENRICHED with two low-frequency group tags
+    * (`grpa<id%97>`, `grpb<id%89>`, df ≈ N/97 and N/89) identically in
+    * both engines; the cap is N/8, so every base-vocabulary term
+    * (df ≈ 0.8N) is DROPPED from the postings and scoring runs on the
+    * rare tags alone. This pins the mechanism that makes bm25TopK
+    * survive a real corpus: candidates bounded by |query terms| × cap,
+    * stop-terms never join. Same driver-computed idf side-table
+    * discipline as q_bm25 (no in-engine `ln`). */
+  val qBm25Capped: Q = "q_bm25_capped" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val enriched = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" grpa"), (col("doc_id") % 97).cast("string"),
+          lit(" grpb"), (col("doc_id") % 89).cast("string")).as("text"))
+      val n = docs.count()
+      val cap = math.max(1L, n / 8)
+      graft.ops.TextStats.bm25IdfRows(n, maxDf = cap)
+        .toDF("df", "idf").coalesce(1)
+        .write.mode("overwrite").parquet(codebookPath(d, "bm25_idf_cap"))
+      graft.ops.TextStats.bm25TopK(enriched,
+          enriched.filter(col("doc_id") < 5).select(col("doc_id")),
+          k = 3, maxDf = cap)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH docs AS (SELECT doc_id, text || ' grpa' ||
+       |    CAST(doc_id % 97 AS VARCHAR) || ' grpb' ||
+       |    CAST(doc_id % 89 AS VARCHAR) AS text FROM documents),
+       |cap AS (SELECT count(*) // 8 AS cap FROM documents),
+       |toks AS (SELECT doc_id AS id, unnest($TOKS) AS term FROM docs),
+       |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf
+       |  GROUP BY 1 HAVING count(*) <= (SELECT cap FROM cap)),
+       |idf AS (SELECT df, idf
+       |  FROM read_parquet('/root/repo/artifacts/bm25_idf_cap_${SF}/*.parquet')),
+       |qt AS (SELECT id AS q_id, term FROM tf WHERE id < 5),
+       |cand AS (SELECT q.q_id, t.id AS doc_id, t.term, t.tf, d.dl, i.idf
+       |  FROM qt q JOIN dfq f USING (term) JOIN idf i USING (df)
+       |  JOIN tf t ON t.term = q.term AND t.id <> q.q_id
+       |  JOIN dl d ON d.id = t.id),
+       |sc AS (SELECT q_id, doc_id, list_sum(list(
+       |    idf * (CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 *
+       |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |    ORDER BY term)) AS score
+       |  FROM cand CROSS JOIN stats GROUP BY 1, 2),
+       |r AS (SELECT q_id, doc_id, round(score, 6) AS bm25, row_number()
+       |    OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM sc)
+       |SELECT q_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank FROM r
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+
   /** PII scrub ([[graft.ops.Redact.scrub]]): redacted text + per-kind
     * match counts, map-only codegen'd regexes, no shuffle. The
     * synthetic corpus carries no PII, so the query ENRICHES each doc
@@ -5866,6 +5923,7 @@ object Queries {
     qWinnowStored, qProcrustes, qAnnMetrics, qAnnMultiProbe,
     qCohort, qFunnelSteps, qResample, qNgramPrefix, qRollingZ,
     qRateLimit, qFunnelWindowed, qIvfPqCompact, qAggViewUnion, qBm25,
+    qBm25Capped,
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
     qPageRankDirected,
