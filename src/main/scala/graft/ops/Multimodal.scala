@@ -12,15 +12,21 @@ import org.apache.spark.sql.functions._
   * decodes PNG/JPEG/GIF/BMP bytes to true dimensions, channel
   * statistics, and a down-sampled luminance grid;
   * `javax.sound.sampled` parses WAV/AIFF/AU PCM to sample rate,
-  * channel count, frame count, RMS/zero-crossing features. Undecodable
-  * bytes — and VIDEO, the one modality the JDK ships no codec for —
-  * fall back to `byteFeatures`, a loudly-labeled deterministic STUB
-  * deriving pseudo-features from the sha256 of the bytes, so the
-  * distributed plumbing (schema, batching, partition-parallel
-  * extraction) stays exercised end-to-end either way; `decoded`
-  * records which path a row took. Swapping in a video codec changes
-  * only the closure body (in PySpark this would be `mapInPandas` over
-  * an Arrow batch of the same shape).
+  * channel count, frame count, RMS/zero-crossing features. VIDEO
+  * container metadata (AVI/MP4 header walks) is always real, and two
+  * codec-free frame formats get REAL pixel features — MJPEG (each
+  * frame chunk is a plain JPEG the stock reader decodes) and
+  * uncompressed BI_RGB DIB (raw BGR bytes, no decoder needed at all).
+  * Everything else — undecodable bytes and compressed video codecs
+  * the JDK ships no decoder for (H.264/VP9/...) — falls back to
+  * `byteFeatures`, a loudly-labeled deterministic STUB deriving
+  * pseudo-features from the sha256 of the bytes, so the distributed
+  * plumbing (schema, batching, partition-parallel extraction) stays
+  * exercised end-to-end either way; `decoded` records which path a
+  * row took. That codec boundary is the pluggable decoder seam:
+  * swapping in a native codec changes only the closure body (in
+  * PySpark this would be `mapInPandas` over an Arrow batch of the
+  * same shape).
   */
 object Multimodal {
 
@@ -59,39 +65,49 @@ object Multimodal {
       else {
         val w = img.getWidth; val h = img.getHeight
         if (w <= 0 || h <= 0) return None
-        val stride = math.max(1, math.max(w, h) / 512)
-        val sumC = new Array[Double](3)
-        val lum = new Array[Double](GRID * GRID)
-        val cnt = new Array[Long](GRID * GRID)
-        var n = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-            sumC(0) += r; sumC(1) += g; sumC(2) += b
-            // gx/gy in [0, GRID): multiply-then-divide keeps cell edges
-            // exact for any w,h (x * GRID / w is monotone, hits GRID-1 max)
-            val cell = (y.toLong * GRID / h).toInt * GRID + (x.toLong * GRID / w).toInt
-            lum(cell) += 0.299 * r + 0.587 * g + 0.114 * b
-            cnt(cell) += 1
-            n += 1
-            x += stride
-          }
-          y += stride
-        }
-        val feat = new Array[Float](3 + GRID * GRID)
-        var i = 0
-        while (i < 3) { feat(i) = (sumC(i) / n / 255.0).toFloat; i += 1 }
-        i = 0
-        while (i < GRID * GRID) {
-          feat(3 + i) = if (cnt(i) == 0) 0f else (lum(i) / cnt(i) / 255.0).toFloat
-          i += 1
-        }
-        Some((w, h, feat))
+        Some((w, h, rasterFeatures(w, h, img.getRGB)))
       }
     } catch { case _: Exception => None } // e.g. CMYK JPEG on a stock reader
+
+  /** The image-feature loop over any packed-RGB pixel accessor —
+    * shared by [[decodeImage]] (ImageIO raster) and the raw-DIB video
+    * frame path, so both produce the IDENTICAL feature contract:
+    * 3 channel means + GRID² luminance cells, stride-sampled above
+    * ~512×512 (deterministic, no RNG). */
+  private def rasterFeatures(w: Int, h: Int,
+                             pixAt: (Int, Int) => Int): Array[Float] = {
+    val stride = math.max(1, math.max(w, h) / 512)
+    val sumC = new Array[Double](3)
+    val lum = new Array[Double](GRID * GRID)
+    val cnt = new Array[Long](GRID * GRID)
+    var n = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = pixAt(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sumC(0) += r; sumC(1) += g; sumC(2) += b
+        // gx/gy in [0, GRID): multiply-then-divide keeps cell edges
+        // exact for any w,h (x * GRID / w is monotone, hits GRID-1 max)
+        val cell = (y.toLong * GRID / h).toInt * GRID + (x.toLong * GRID / w).toInt
+        lum(cell) += 0.299 * r + 0.587 * g + 0.114 * b
+        cnt(cell) += 1
+        n += 1
+        x += stride
+      }
+      y += stride
+    }
+    val feat = new Array[Float](3 + GRID * GRID)
+    var i = 0
+    while (i < 3) { feat(i) = (sumC(i) / n / 255.0).toFloat; i += 1 }
+    i = 0
+    while (i < GRID * GRID) {
+      feat(3 + i) = if (cnt(i) == 0) 0f else (lum(i) / cnt(i) / 255.0).toFloat
+      i += 1
+    }
+    feat
+  }
 
   /** REAL audio decode via the JDK's javax.sound.sampled — WAV/AIFF/AU
     * container parsing plus PCM sample access, no external dependency,
@@ -331,6 +347,12 @@ object Multimodal {
       decodeImage(java.util.Arrays.copyOfRange(b, off, off + size))
         .map(_._3)
     }
+    meanFeatures(feats)
+  }
+
+  /** Element-wise mean of equal-length feature vectors (the
+    * first/middle/last frame fold); None when none decoded. */
+  private def meanFeatures(feats: Seq[Array[Float]]): Option[Array[Float]] =
     if (feats.isEmpty) None
     else {
       val acc = new Array[Float](feats.head.length)
@@ -341,7 +363,73 @@ object Multimodal {
       while (i < acc.length) { acc(i) /= feats.size; i += 1 }
       Some(acc)
     }
+
+  /** The vids stream's `strf` BITMAPINFOHEADER: (biWidth, biHeight
+    * SIGNED — positive = bottom-up rows, negative = top-down,
+    * biBitCount, biCompression). By the RIFF strl contract the strf
+    * immediately concerns the preceding strh, so the walk arms on a
+    * `vids` strh and captures the next strf. */
+  private def aviVidsBitmapInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    var armed = false
+    var out: Option[(Int, Int, Int, Long)] = None
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to && out.isEmpty) {
+        val id = fourccAt(b, off)
+        val size = u32le(b, off + 4).toInt
+        val payload = off + 8
+        if (size < 0 || payload + size > to) return
+        if (id == "LIST" && size >= 4) walk(payload + 4, payload + size)
+        else if (id == "strh" && size >= 8)
+          armed = fourccAt(b, payload) == "vids"
+        else if (id == "strf" && armed && size >= 20) {
+          out = Some((u32le(b, payload + 4).toInt,
+            u32le(b, payload + 8).toInt,
+            ((b(payload + 14) & 0xff) | ((b(payload + 15) & 0xff) << 8)),
+            u32le(b, payload + 16)))
+          armed = false
+        }
+        off = payload + size + (size & 1)
+      }
+    }
+    walk(12, math.min(b.length.toLong, 8L + u32le(b, 4)).toInt)
+    out
   }
+
+  /** REAL pixel features for UNCOMPRESSED (BI_RGB) AVI — the last
+    * codec-free video format: each `00db` chunk is a raw device-
+    * independent bitmap (BGR/BGRX rows, 4-byte-aligned, bottom-up
+    * unless biHeight < 0), so feature extraction is pure byte
+    * arithmetic with no decoder at all. Gated on the strf saying
+    * biCompression == 0 (BI_RGB) at 24 or 32 bpp AND each sampled
+    * chunk having exactly the computed frame size — a malformed or
+    * mislabeled stream degrades to the container-only path, never a
+    * throw. Same first/middle/last sampling and [[rasterFeatures]]
+    * contract as MJPEG. */
+  private def dibFrameFeatures(b: Array[Byte]): Option[Array[Float]] =
+    aviVidsBitmapInfo(b) match {
+      case Some((w, hSigned, bpp, comp))
+          if comp == 0L && (bpp == 24 || bpp == 32) && w > 0 && hSigned != 0 =>
+        val h = math.abs(hSigned)
+        val bottomUp = hSigned > 0
+        val bytesPP = bpp / 8
+        val rowBytes = ((w * bytesPP + 3) / 4) * 4
+        val frameBytes = rowBytes.toLong * h
+        val chunks = aviFrameChunks(b).filter(_._2.toLong == frameBytes)
+        if (chunks.isEmpty) None
+        else {
+          val picks = Vector(0, chunks.size / 2, chunks.size - 1).distinct
+          meanFeatures(picks.map { i =>
+            val off = chunks(i)._1
+            rasterFeatures(w, h, (x, y) => {
+              val row = if (bottomUp) h - 1 - y else y
+              val p = off + row * rowBytes + x * bytesPP
+              ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+            })
+          })
+        }
+      case _ => None
+    }
 
   /** ISO BMFF box walk. Boxes are `[size u32 BE][type 4cc]`; size 1 →
     * 64-bit largesize follows; size 0 → box runs to the end. Containers
@@ -429,8 +517,9 @@ object Multimodal {
           // every emitted value is parsed or arithmetic over parsed
           // values — duration (s), fps, mean bytes/frame: the triage
           // features a curation filter runs before any pixel work.
-          // MJPEG-in-AVI additionally gets REAL pixel features (the
-          // frame chunks are plain JPEGs the stock reader decodes):
+          // MJPEG-in-AVI and uncompressed (BI_RGB) AVI additionally
+          // get REAL pixel features (plain-JPEG frame chunks the stock
+          // reader decodes; raw-DIB chunks needing no decoder at all):
           // the 3 triage floats are followed by the image-grade
           // channel-mean + luminance-grid vector averaged over the
           // first/middle/last frames — feature.length distinguishes
@@ -441,7 +530,7 @@ object Multimodal {
             (bytes.length.toDouble / math.max(m.nFrames, 1)).toFloat)
           val pixels =
             if (m.fourcc.equalsIgnoreCase("MJPG")) mjpegFrameFeatures(bytes)
-            else None
+            else dibFrameFeatures(bytes)
           MediaFeatures(mediaId, modality, bytes.length.toLong, sha,
             width = m.width, height = m.height, n_frames = m.nFrames,
             decoded = true,
