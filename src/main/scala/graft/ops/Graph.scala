@@ -273,6 +273,226 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts and local clustering coefficient over an
+    * UNDIRECTED graph (the edge list may carry either direction, both,
+    * or canonical pairs — reverses, duplicates, and self-loops are
+    * collapsed here first).
+    *
+    * Algorithm: degree-ordered orientation (Chiba & Nishizeki 1985;
+    * the MapReduce form in Suri & Vassilvitskii 2011, "Counting
+    * triangles and the curse of the last reducer"): orient every
+    * undirected edge from the endpoint with the smaller (degree, id)
+    * to the larger. Each triangle then has exactly ONE wedge rooted at
+    * its minimum-(deg, id) corner, so the wedge self-join emits every
+    * triangle once, and — the scale property — the oriented out-degree
+    * is O(√|E|), so the wedge count is bounded by Σ_v outdeg(v)² ≤
+    * O(|E|^1.5) REGARDLESS of skew. A naive neighbor self-join on a
+    * star graph is quadratic in the hub degree; oriented, the hub has
+    * out-degree ~0 and the star contributes no wedges at all — this is
+    * the "curse of the last reducer" fix, and it is what lets the same
+    * plan run at 100 TB.
+    *
+    * Plan shape: canonical pairs → degree agg → two joins pin both
+    * endpoint degrees → one self-join on the wedge root + one join
+    * against the oriented edge set closes each wedge → explode the 3
+    * corners → count per node. All-integer throughout; the clustering
+    * coefficient 2T/(deg·(deg−1)) is one IEEE division at the end.
+    *
+    * @return (node, deg, triangles, lcc) — one row per node of the
+    *         undirected graph, lcc 0.0 when deg < 2
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // orientation by (deg, id): u -> v iff (deg_u, u) < (deg_v, v);
+    // carry dv so the wedge join can order its two far endpoints the
+    // same way without a third degree join
+    val o = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"),
+        greatest(col("da"), col("db")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges rooted at u, far endpoints ordered by the SAME (deg, id)
+    // order the orientation uses — the closing edge is then oriented
+    // x -> y by construction, so one equi-join against o closes it
+    val e1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val triangles = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    val corners = triangles.select(col("u").as("node"))
+      .unionAll(triangles.select(col("x").as("node")))
+      .unionAll(triangles.select(col("y").as("node")))
+    val counts = corners.groupBy("node").agg(count(lit(1)).cast("long").as("t"))
+    val out = deg.join(counts, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+    // e/deg/o stay persisted until the caller's action completes;
+    // caller (or Verify's between-query clearCache) owns the release —
+    // the bm25TopK/tokenTable convention. Unpersisting here would
+    // drop the caches before the lazy result ever ran.
+    out
+  }
+
+  /** Truncated HITS (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") over a DIRECTED edge list, with EXACT
+    * integer iterates: both scores start at 1 on every node, then
+    * `iters` rounds of
+    *
+    *   auth_m(v) = Σ_{u→v} hub_{m-1}(u);  hub_m(u) = Σ_{u→v} auth_m(v)
+    *
+    * with NO per-round normalization — every iterate is a walk count
+    * (an integer), so long sums are order-free exact and the unrolled
+    * oracle replays them bit-for-bit. One L1 normalization at the END
+    * (a single IEEE long→double division per score) makes the output
+    * comparable across graphs; the [[katzCentrality]]-style grid guard
+    * validates n·(maxInDeg·maxOutDeg)^iters < 2^53 — conservative
+    * majorant of the normalizing sums — so overflow fails loudly.
+    *
+    * Scale: node-sized score vectors, one |E| join + one agg per half-
+    * round over a persisted edge relation — the pageRank loop shape.
+    *
+    * @return (node, hub, auth) — one row per node (src ∪ dst), scores
+    *         L1-normalized doubles (each sums to 1 over the graph)
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val maxIn = e.groupBy("dst").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    val maxOut = e.groupBy("src").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    val log2Bound = (math.log(n.toDouble) +
+      iters * math.log(maxIn.toDouble * maxOut)) / math.log(2.0)
+    require(log2Bound < 53.0,
+      s"hits: $iters iterations over maxInDeg=$maxIn × maxOutDeg=$maxOut " +
+        s"exceeds the exact-long bound (2^${log2Bound.ceil.toInt}); lower iters")
+    var hub = nodes.withColumn("h", lit(1L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var auth: DataFrame = null
+    var prevH: DataFrame = hub
+    var prevA: DataFrame = null
+    for (_ <- 1 to iters) {
+      // full-node-set left joins: a node with no in-edges keeps an
+      // auth row of 0 (and symmetrically for hubs) — the pageRank
+      // row-keep contract, so the output is one row per node
+      val a = nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      if (prevA != null) prevA.unpersist()
+      val h = nodes.join(
+          e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      h.count()
+      prevH.unpersist()
+      prevA = a; prevH = h
+      auth = a; hub = h
+    }
+    // one-row L1 totals, broadcast by the cross join (never a collect
+    // of row data); guarded above, both totals fit exactly in a long
+    // and (being < 2^53) convert to double losslessly
+    val totals = hub.join(auth, "node")
+      .agg(sum(col("h")).as("th"), sum(col("a")).as("ta"))
+    val out = hub.join(auth, "node").crossJoin(totals)
+      .select(col("node"),
+        (col("h").cast("double") / col("th").cast("double")).as("hub"),
+        (col("a").cast("double") / col("ta").cast("double")).as("auth"))
+    e.unpersist(); nodes.unpersist()
+    // final hub/auth stay persisted; caller/clearCache owns release
+    out
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    * "Near linear time algorithm to detect community structures") with
+    * a DETERMINISTIC tie-break: every node starts labeled with itself;
+    * each round every node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken toward the SMALLEST label
+    * (the published algorithm breaks ties randomly — a fixed order
+    * makes the result a pure function of the edge list, replayable by
+    * the unrolled oracle). Fixed `iters` rounds; a node with no
+    * neighbors keeps its current label. The community signal LPA finds
+    * (dense neighborhoods agreeing on a label) is finer than connected
+    * components — [[graft.ops.Dedup]]'s union-find merges any path,
+    * LPA splits a sparse bridge between two dense clusters.
+    *
+    * Input is treated as UNDIRECTED: both directions are unioned in.
+    * Per round: one |E| join onto the label vector, one (node, label)
+    * count agg, one per-node argmax (count desc, label asc) — all
+    * integer, no RNG, no driver iteration.
+    *
+    * @return (node, label) — final community label per node
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = labels
+    for (it <- 1 to iters) {
+      val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val top = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+      val next = nodes.join(top, Seq("node"), "left")
+        // isolated node (no in-rows after symmetrization can only mean
+        // no neighbors at all): keeps its own id as label
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (it == 1) () // labels == the init frame; released below as prev
+      prev.unpersist()
+      prev = next
+      labels = next
+    }
+    e.unpersist(); nodes.unpersist()
+    // final labels stay persisted; caller/clearCache owns release
+    labels
+  }
+
   /** Co-purchase edge list from (basket, item) rows: undirected item pairs
     * that share a basket, emitted in BOTH directions, with the same
     * min-item-support prefilter as Baskets.frequentPairs so the per-basket
