@@ -15,7 +15,19 @@ import org.apache.spark.sql.functions._
   * length-difference prune runs before the O(len²) edit distance (an edit
   * distance of k changes length by at most k, so |len(a) − len(b)| > maxDist
   * disqualifies without the DP). A hot block is the same skew problem as any
-  * hot join key — salt it with [[SkewJoin]] if one block dominates.
+  * hot join key — and dirty data MANUFACTURES hot blocks (a NULL/empty/
+  * default blocking key collects every malformed record into one block whose
+  * candidate count is quadratic). Both entry points therefore take a
+  * `maxBlockSize` cap: blocks whose MASTER-side population exceeds it are
+  * excluded from candidate generation entirely (the standard block-filtering
+  * move — an oversized block is a useless discriminator, and record-linkage
+  * practice drops rather than salts it because its candidates are almost all
+  * non-matches anyway; Christen 2012 §4.2). With the cap, total candidates
+  * are ≤ |P| × cap (best-match) / ≤ |M| × cap (pairs) — LINEAR in the input
+  * for any key distribution. The size table is one cheap aggregation joined
+  * back on the block key; excluded probes simply report no match, exactly as
+  * if the block had no candidates. Pass `maxBlockSize = Long.MaxValue`
+  * (default) for uncapped semantics.
   */
 object Linkage {
 
@@ -35,9 +47,11 @@ object Linkage {
     */
   def blockedPairs(records: DataFrame, blockCols: Seq[String],
                    idCol: String, nameCol: String,
-                   maxDist: Int): DataFrame = {
-    val m = records.select(
+                   maxDist: Int,
+                   maxBlockSize: Long = Long.MaxValue): DataFrame = {
+    val m0 = records.select(
       (blockCols.map(col) :+ col(idCol).as("rid") :+ col(nameCol).as("rname")): _*)
+    val m = capBlocks(m0, blockCols, maxBlockSize)
     val joinCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .reduce(_ && _) && col("x.rid") < col("y.rid")
     m.as("x").join(m.as("y"), joinCond)
@@ -50,13 +64,15 @@ object Linkage {
                        blockCols: Seq[String],
                        probeIdCol: String, probeNameCol: String,
                        masterIdCol: String, masterNameCol: String,
-                       maxDist: Int): DataFrame = {
+                       maxDist: Int,
+                       maxBlockSize: Long = Long.MaxValue): DataFrame = {
     val p = probes.select(
       (blockCols.map(col) :+ col(probeIdCol).as("probe_id")
         :+ col(probeNameCol).as("probe_name")): _*)
-    val m = master.select(
+    val m0 = master.select(
       (blockCols.map(col) :+ col(masterIdCol).as("master_id")
         :+ col(masterNameCol).as("master_name")): _*)
+    val m = capBlocks(m0, blockCols, maxBlockSize)
     val cand = p.join(m, blockCols)
       .filter(abs(length(col("probe_name")) - length(col("master_name")))
         <= maxDist)
@@ -73,4 +89,24 @@ object Linkage {
       .select(col("probe_id"), col("master_id"), col("dist"),
         col("n_candidates"))
   }
+
+  /** Drop rows whose block exceeds `cap` members — the hot-block guard.
+    * One aggregation over the block keys + one join back; the size table
+    * has block-key cardinality (broadcast-sized in practice — AQE picks
+    * it up, and at worst it co-shuffles with the candidate join's own
+    * block-key exchange, adding no new shuffle stage). NULL block keys
+    * group together like any equal keys, so a NULL-key flood is capped
+    * too (equi-joins drop NULL keys later regardless — the cap keeps the
+    * size table itself honest). */
+  private def capBlocks(rows: DataFrame, blockCols: Seq[String],
+                        cap: Long): DataFrame =
+    if (cap == Long.MaxValue) rows
+    else {
+      require(cap > 0, s"maxBlockSize must be positive, got $cap")
+      val keep = rows.groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= cap)
+        .drop("_bn")
+      rows.join(keep, blockCols, "left_semi")
+    }
 }

@@ -122,4 +122,40 @@ class LinkageSpec extends SparkTestBase {
       "transitive closure labels the chain with the component minimum")
     assert(!clusters.contains(4L), "unmatched records stay out of the cluster map")
   }
+
+  test("maxBlockSize: a degenerate hot block is excluded, cold blocks unaffected") {
+    // block 99 is the NULL-key-flood shape: 6 identical-name masters;
+    // block 10 is a normal block of 2
+    val hotMaster = (Seq((1L, 10, "alice cooper"), (2L, 10, "alice cooperr")) ++
+      (100L to 105L).map(i => (i, 99, "dirty record"))).toDF("id", "nation", "name")
+    val probes = Seq(
+      (500L, 10, "alice cooper"),   // cold block: must still match
+      (501L, 99, "dirty record")    // hot block: capped away -> no row
+    ).toDF("pid", "nation", "pname")
+    val r = Linkage.blockedBestMatch(probes, hotMaster, Seq("nation"),
+      "pid", "pname", "id", "name", maxDist = 2, maxBlockSize = 5L)
+      .collect().map(x => x.getAs[Long]("probe_id") -> x.getAs[Long]("master_id")).toMap
+    assert(r === Map(500L -> 1L),
+      "probe in the oversized block reports no match; cold block intact")
+    // uncapped default: the hot-block probe matches (semantics differ only
+    // where the cap bites)
+    val u = Linkage.blockedBestMatch(probes, hotMaster, Seq("nation"),
+      "pid", "pname", "id", "name", maxDist = 2)
+      .collect().map(x => x.getAs[Long]("probe_id")).toSet
+    assert(u === Set(500L, 501L))
+  }
+
+  test("maxBlockSize on blockedPairs: Σ|b|² stays linear when one block floods") {
+    val recs = ((1L to 8L).map(i => (i, 1, "flooded")) ++
+      Seq((20L, 2, "abcd"), (21L, 2, "abce"))).toDF("id", "nation", "name")
+    val pairs = Linkage.blockedPairs(recs, Seq("nation"), "id", "name",
+      maxDist = 2, maxBlockSize = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((20L, 21L)), "only the cold block pairs survive the cap")
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.blockedPairs(recs, Seq("nation"), "id", "name",
+        maxDist = 2, maxBlockSize = 0L).collect()
+    }
+    assert(ex.getMessage.contains("positive"))
+  }
 }
