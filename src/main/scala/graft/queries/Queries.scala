@@ -5570,6 +5570,61 @@ object Queries {
       |SELECT d_key, match_key, dist, n_candidates FROM best
       |WHERE rn = 1 ORDER BY d_key""".stripMargin)
 
+  /** Record linkage under a BITING hot-block cap
+    * ([[graft.ops.Linkage.blockedBestMatch]] `maxBlockSize`): three
+    * quarters of the master table collapses into one degenerate 'junk'
+    * block (the NULL-/default-key flood shape of dirty data), which the
+    * cap excludes from candidate generation — candidates stay ≤ |P|×cap
+    * instead of going quadratic in the flood. Probes landing in the
+    * capped block report no match (exactly the empty-block semantics);
+    * char-blocked probes match as usual. The cap changes the candidate
+    * set here by construction — this fixture pins the production path,
+    * not the disabled-cap default. */
+  val qEntityMatchCapped: Q = "q_entity_match_capped" -> (
+    (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d)
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("d_key"),
+          expr("concat(substring(c_name, 1, cast(c_custkey % 8 as int) + 9), " +
+            "substring(c_name, cast(c_custkey % 8 as int) + 11, 100))")
+            .as("d_name"))
+        .withColumn("blk", when(col("d_key") % 4 === 1,
+          expr("right(d_name, 2)")).otherwise(lit("junk")))
+      val masters = cust.withColumn("blk", when(col("c_custkey") % 4 === 1,
+        expr("right(c_name, 2)")).otherwise(lit("junk")))
+      graft.ops.Linkage.blockedBestMatch(dirty, masters, Seq("blk"),
+          "d_key", "d_name", "c_custkey", "c_name",
+          maxDist = 2, maxBlockSize = 500L)
+        .select(col("probe_id").as("d_key"),
+          col("master_id").as("match_key"), col("dist"), col("n_candidates"))
+        .orderBy(col("d_key"))
+    },
+    """WITH m AS (SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 4 = 1 THEN right(c_name, 2)
+      |      ELSE 'junk' END AS blk
+      |  FROM customer),
+      |keep AS (SELECT blk FROM m GROUP BY blk HAVING count(*) <= 500),
+      |mk AS (SELECT m.c_custkey, m.c_name, m.blk FROM m JOIN keep USING (blk)),
+      |dirty AS (SELECT c_custkey AS d_key,
+      |    substr(c_name, 1, CAST(c_custkey % 8 AS INT) + 9)
+      |      || substr(c_name, CAST(c_custkey % 8 AS INT) + 11, 100) AS d_name
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |dp AS (SELECT d_key, d_name,
+      |    CASE WHEN d_key % 4 = 1 THEN right(d_name, 2)
+      |      ELSE 'junk' END AS blk
+      |  FROM dirty),
+      |cand AS (SELECT dp.d_key, mk.c_custkey,
+      |    CAST(levenshtein(dp.d_name, mk.c_name) AS BIGINT) AS dist
+      |  FROM dp JOIN mk USING (blk)
+      |  WHERE abs(length(dp.d_name) - length(mk.c_name)) <= 2
+      |    AND levenshtein(dp.d_name, mk.c_name) <= 2),
+      |best AS (SELECT d_key, c_custkey AS match_key, dist,
+      |    CAST(count(*) OVER (PARTITION BY d_key) AS BIGINT) AS n_candidates,
+      |    row_number() OVER (PARTITION BY d_key ORDER BY dist, c_custkey) AS rn
+      |  FROM cand)
+      |SELECT d_key, match_key, dist, n_candidates FROM best
+      |WHERE rn = 1 ORDER BY d_key""".stripMargin)
+
   /** Distinctive-terms card per source
     * ([[graft.ops.TextStats.distinctiveTerms]]): top terms by in-group
     * vs rest-of-corpus odds ratio — the interpretability pass run over
@@ -5883,6 +5938,154 @@ object Queries {
        |  CAST(sum(len($TOKS)) AS BIGINT) AS norm_tokens
        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)
 
+  /** Per-node triangle counts + local clustering coefficient
+    * ([[graft.ops.Graph.triangleCounts]]) over the co-purchase graph:
+    * the cohesion card next to q_pagerank's centrality. The op orients
+    * every edge from the smaller-(degree, id) endpoint, so each
+    * triangle is emitted by exactly one wedge and the wedge volume is
+    * bounded by O(|E|^1.5) REGARDLESS of hub skew — the oracle mirrors
+    * the same orientation, so both engines enumerate identical wedge
+    * sets. All-integer until one IEEE division per node at the end. */
+  val qTriangles: Q = "q_triangles" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+        .select(col("node").as("part"), col("deg"), col("triangles"),
+          round(col("lcc"), 6).as("lcc"))
+        .orderBy(col("part"))
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT DISTINCT least(x.item, y.item) AS a,
+      |    greatest(x.item, y.item) AS b
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+      |      THEN e.a ELSE e.b END AS u,
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+      |      THEN e.b ELSE e.a END AS v,
+      |    greatest(x.deg, y.deg) AS dv
+      |  FROM e JOIN deg x ON x.node = e.a JOIN deg y ON y.node = e.b),
+      |tri AS (SELECT w1.u AS u, w1.v AS x, w2.v AS y
+      |  FROM o w1 JOIN o w2 ON w1.u = w2.u
+      |    AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+      |  JOIN o w3 ON w3.u = w1.v AND w3.v = w2.v),
+      |c AS (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri
+      |  UNION ALL SELECT y FROM tri),
+      |t AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM c GROUP BY 1)
+      |SELECT deg.node AS part, deg.deg AS deg,
+      |  COALESCE(t.t, 0) AS triangles,
+      |  CASE WHEN deg.deg >= 2
+      |    THEN round(2.0 * COALESCE(t.t, 0)
+      |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+      |    ELSE 0.0 END AS lcc
+      |FROM deg LEFT JOIN t USING (node) ORDER BY part""".stripMargin)
+
+  /** Truncated HITS hubs/authorities ([[graft.ops.Graph.hits]]) on the
+    * genuinely DIRECTED part → supplier "stocked by" graph (supplier
+    * keys offset 1e6 to keep the id spaces disjoint, the
+    * q_pagerank_directed convention): parts are pure hubs, suppliers
+    * pure authorities, so the query pins both zero-score row-keep
+    * contracts at once. Iterates are exact walk-count longs (no
+    * per-round normalization — the 2^53 guard bounds them), one L1
+    * division per score at the end. */
+  val qHits: Q = "q_hits" -> (
+    (s: SparkSession, d: String) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy(col("auth").desc, col("hub").desc, col("node")).limit(30)
+    },
+    """WITH e AS (SELECT DISTINCT l_partkey AS src,
+      |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst FROM lineitem),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+      |a1 AS (SELECT nodes.node, COALESCE(s.s, CAST(0 AS BIGINT)) AS a
+      |  FROM nodes LEFT JOIN (SELECT e.dst AS node,
+      |      CAST(sum(h0.h) AS BIGINT) AS s
+      |    FROM e JOIN h0 ON h0.node = e.src GROUP BY 1) s USING (node)),
+      |h1 AS (SELECT nodes.node, COALESCE(s.s, CAST(0 AS BIGINT)) AS h
+      |  FROM nodes LEFT JOIN (SELECT e.src AS node,
+      |      CAST(sum(a1.a) AS BIGINT) AS s
+      |    FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1) s USING (node)),
+      |a2 AS (SELECT nodes.node, COALESCE(s.s, CAST(0 AS BIGINT)) AS a
+      |  FROM nodes LEFT JOIN (SELECT e.dst AS node,
+      |      CAST(sum(h1.h) AS BIGINT) AS s
+      |    FROM e JOIN h1 ON h1.node = e.src GROUP BY 1) s USING (node)),
+      |h2 AS (SELECT nodes.node, COALESCE(s.s, CAST(0 AS BIGINT)) AS h
+      |  FROM nodes LEFT JOIN (SELECT e.src AS node,
+      |      CAST(sum(a2.a) AS BIGINT) AS s
+      |    FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1) s USING (node)),
+      |tot AS (SELECT CAST(sum(h2.h) AS BIGINT) AS th,
+      |    CAST(sum(a2.a) AS BIGINT) AS ta
+      |  FROM h2 JOIN a2 USING (node))
+      |SELECT h2.node AS node,
+      |  round(CAST(h2.h AS DOUBLE) / CAST(tot.th AS DOUBLE), 6) AS hub,
+      |  round(CAST(a2.a AS DOUBLE) / CAST(tot.ta AS DOUBLE), 6) AS auth
+      |FROM h2 JOIN a2 USING (node), tot
+      |ORDER BY round(CAST(a2.a AS DOUBLE) / CAST(tot.ta AS DOUBLE), 6) DESC,
+      |  round(CAST(h2.h AS DOUBLE) / CAST(tot.th AS DOUBLE), 6) DESC, node
+      |LIMIT 30""".stripMargin)
+
+  /** Synchronous label-propagation communities
+    * ([[graft.ops.Graph.labelPropagation]]) over the co-purchase graph
+    * with the deterministic smallest-label tie-break: finer structure
+    * than q_dup_clusters' connected components (a sparse bridge between
+    * two dense neighborhoods splits), coarser than q_triangles' local
+    * view. Three synchronous rounds, unrolled bit-for-bit by the
+    * oracle — all-integer, no RNG. Output: the full per-node label
+    * assignment (every node checked, not a summary). */
+  val qLpa: Q = "q_lpa" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("node").as("part"), col("label").as("community"))
+        .orderBy(col("part"))
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |c1 AS (SELECT e.dst AS node, l0.label, count(*) AS cnt
+      |  FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+      |t1 AS (SELECT node, label FROM (SELECT node, label, row_number()
+      |    OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+      |  WHERE rn = 1),
+      |l1 AS (SELECT nodes.node, COALESCE(t1.label, nodes.node) AS label
+      |  FROM nodes LEFT JOIN t1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, l1.label, count(*) AS cnt
+      |  FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+      |t2 AS (SELECT node, label FROM (SELECT node, label, row_number()
+      |    OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+      |  WHERE rn = 1),
+      |l2 AS (SELECT nodes.node, COALESCE(t2.label, nodes.node) AS label
+      |  FROM nodes LEFT JOIN t2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, l2.label, count(*) AS cnt
+      |  FROM e JOIN l2 ON l2.node = e.src GROUP BY 1, 2),
+      |t3 AS (SELECT node, label FROM (SELECT node, label, row_number()
+      |    OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c3)
+      |  WHERE rn = 1),
+      |l3 AS (SELECT nodes.node, COALESCE(t3.label, nodes.node) AS label
+      |  FROM nodes LEFT JOIN t3 USING (node))
+      |SELECT node AS part, label AS community FROM l3
+      |ORDER BY part""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -5926,6 +6129,6 @@ object Queries {
     qBm25Capped,
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
-    qPageRankDirected,
+    qPageRankDirected, qTriangles, qHits, qLpa, qEntityMatchCapped,
   )
 }

@@ -170,4 +170,88 @@ class GraphSpec extends SparkTestBase {
     assert(k(1L) > k(2L), "hub counts more damped walks")
     assert(k(2L) === k(3L) && k(3L) === k(4L), "leaves tie exactly")
   }
+
+  test("triangleCounts: K4 is all-triangles, a star is none") {
+    // K4: every node sits in C(3,2) = 3 triangles, lcc = 1.0 exactly
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(k4, "src", "dst")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    r.values.foreach { case (deg, t, lcc) =>
+      assert(deg === 3L && t === 3L && lcc === 1.0)
+    }
+    // star: hub + 5 spokes, zero triangles; the degree-ordered
+    // orientation gives the hub out-degree 0, so the wedge join sees
+    // no hub-rooted wedges at all (the last-reducer guard)
+    val star = (1L to 5L).map(l => (100L, l)).toDF("src", "dst")
+    val s = Graph.triangleCounts(star, "src", "dst")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(s(100L) === ((5L, 0L, 0.0)))
+    (1L to 5L).foreach(l => assert(s(l) === ((1L, 0L, 0.0))))
+  }
+
+  test("triangleCounts: triangle + pendant; duplicates/reverses/self-loops collapse") {
+    // triangle 1-2-3 with pendant 4 on node 1, fed as a messy mix of
+    // directions, duplicates, and a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (1L, 4L), (4L, 4L)).toDF("src", "dst")
+    val r = Graph.triangleCounts(messy, "src", "dst")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((3L, 1L, 2.0 * 1 / (3 * 2))))
+    assert(r(2L) === ((2L, 1L, 1.0)))
+    assert(r(3L) === ((2L, 1L, 1.0)))
+    assert(r(4L) === ((1L, 0L, 0.0)), "pendant: deg 1 -> lcc 0.0 by contract")
+  }
+
+  test("hits: one-iteration bipartite scores match the hand fold") {
+    // 1 -> 3, 2 -> 3, 3 -> 4:
+    //   auth_1 = in-sums of hub_0=1: a(3)=2, a(4)=1, a(1)=a(2)=0
+    //   hub_1  = out-sums of auth_1: h(1)=h(2)=a(3)=2, h(3)=a(4)=1, h(4)=0
+    //   L1:     th=5, ta=3
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.hits(edges, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L), "one row per node incl. zero-score")
+    assert(r(1L) === ((0.4, 0.0)) && r(2L) === ((0.4, 0.0)), s"got $r")
+    assert(r(3L) === ((0.2, 2.0 / 3)) && r(4L) === ((0.0, 1.0 / 3)), s"got $r")
+  }
+
+  test("hits: 2^53 exact-long bound is enforced") {
+    // K2,2 both directions: maxIn = maxOut = 2, n = 4 ->
+    // log2 bound = 2 + iters*2; iters = 26 -> 54 > 53 -> loud failure
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hits(e, "src", "dst", iters = 26)
+    }
+    assert(ex.getMessage.contains("2^"))
+    val ok = Graph.hits(e, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ok.values.toSet.size === 1, "fully symmetric K2,2: all hubs tie")
+  }
+
+  test("labelPropagation: two triangles over a bridge split into two communities") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; smallest-label
+    // tie-break, 3 synchronous rounds -> labels {1,1,1, 3,3,3}
+    // (hand-rolled: l1 = (2,1,1,3,4,4); l2 = (1,1,1,4,3,3); l3 converged)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = und.toDF("src", "dst") // one direction only: op symmetrizes
+    val r = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $r")
+  }
+
+  test("labelPropagation: deterministic under input order and direction mix") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val a = Graph.labelPropagation(und.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = Graph.labelPropagation(
+      (und.reverse.map(_.swap) ++ und).toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a === b, "pure function of the undirected edge set")
+  }
 }
