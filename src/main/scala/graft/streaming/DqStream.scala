@@ -20,6 +20,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    each row is judged once against the broadcastable dim, so
   *    per-batch anti-join counts are additive too (stream-static
   *    join, the watermark-free kind);
+  *  - [[DqStream.OrphanStoreCheck]] (foreign key into a MAINTAINED
+  *    dimension store): same additive anti-join, but the dim is
+  *    re-read lazily each batch, so rows are judged against the
+  *    dimension as of their batch — the check stays current while the
+  *    dimension evolves;
   *  - [[DqStream.DupKeyCheck]]: `count(*) − count(DISTINCT key)` is
   *    NOT batch-additive, but both terms are: the store keeps a
   *    first-seen key set (new keys anti-joined against the store
@@ -67,6 +72,22 @@ object DqStream {
     * count as orphans — the batch report's left_anti semantics). */
   final case class OrphanCheck(name: String, column: String,
                                dim: DataFrame, dimColumn: String) extends Check
+  /** [[OrphanCheck]] against a MAINTAINED dimension: the referenced
+    * side is a parquet store some other loop keeps appending to (the
+    * [[LinkageStream]] stream-static shape), read LAZILY inside each
+    * batch — so referential checks stay current as the dimension
+    * evolves, without restarting this stream. Each event row is judged
+    * ONCE, against the dimension AS OF its batch: a key the dimension
+    * gains later does not retro-heal earlier batches' counts (the
+    * additive contract — re-judging history would mean rescanning it),
+    * and a key later retracted does not invalidate old passes. Crash
+    * retry: the count is recomputed against the dimension as of the
+    * RETRY (no self-read of the DQ store, and appendCommit's exact
+    * per-tag cleanup discards any partial first attempt wholesale), so
+    * the committed contribution is always one attempt's consistent
+    * judgment. */
+  final case class OrphanStoreCheck(name: String, column: String,
+                                    dimPath: String, dimColumn: String) extends Check
   /** Violation: `column` outside [lo, hi] (NULLs don't count — range
     * violations and null violations are separate signals). */
   final case class RangeCheck(name: String, column: String,
@@ -93,6 +114,11 @@ object DqStream {
         df.agg((count(lit(1)) - countDistinct(col(c))).as("violations"))
           .select(lit(n).as("check"), col("violations"))
       case OrphanCheck(n, c, dim, dc) =>
+        df.join(dim, df(c) === dim(dc), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(n).as("check"), col("violations"))
+      case OrphanStoreCheck(n, c, dp, dc) =>
+        val dim = spark.read.parquet(dp).select(col(dc))
         df.join(dim, df(c) === dim(dc), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit(n).as("check"), col("violations"))
@@ -134,6 +160,15 @@ object DqStream {
             .agg(count(lit(1)).as("n"))
             .select(lit(n).as("check"), lit(null).cast("string").as("key"),
               col("n")))
+        case OrphanStoreCheck(n, c, dp, dc) => Seq({
+          // lazy per-batch read: the dimension's CURRENT committed rows
+          // (a _SUCCESS'd parquet dir any other loop maintains)
+          val dim = spark.read.parquet(dp).select(col(dc))
+          cached.join(dim, cached(c) === dim(dc), "left_anti")
+            .agg(count(lit(1)).as("n"))
+            .select(lit(n).as("check"), lit(null).cast("string").as("key"),
+              col("n"))
+        })
         case DupKeyCheck(n, _) => Seq(
           cached.agg(count(lit(1)).as("n"))
             .select(lit(ROWS_PREFIX + n).as("check"),

@@ -76,6 +76,38 @@ class DqStreamSpec extends SparkTestBase {
       "split-batch range/match counts must sum to the one-shot report")
   }
 
+  test("OrphanStoreCheck: rows are judged against the dimension AS OF their batch") {
+    val dimPath = java.nio.file.Files.createTempDirectory("dq_dim").toString
+    val path = java.nio.file.Files.createTempDirectory("dq_orph").toString
+    // maintained dimension starts with keys {1, 2}
+    Seq(1L, 2L).toDF("c_id").write.mode("overwrite").parquet(dimPath)
+    val cks = Seq(OrphanStoreCheck("orphan_cust", "cust_id", dimPath, "c_id"))
+    // batch 0: cust 3 and 9 are orphans against dim v1 -> 2 violations
+    DqStream.processBatch(
+      Seq((1L, 1L), (2L, 3L), (3L, 9L)).toDF("order_id", "cust_id"),
+      path, "b0", cks)
+    assert(reportMap(DqStream.report(spark, path, cks)) === Map("orphan_cust" -> 2L))
+    // the dimension GAINS key 3 mid-stream (another loop appends)
+    Seq(1L, 2L, 3L).toDF("c_id").write.mode("overwrite").parquet(dimPath)
+    // batch 1: cust 3 is no longer an orphan; cust 9 still is -> +1
+    DqStream.processBatch(
+      Seq((4L, 3L), (5L, 9L)).toDF("order_id", "cust_id"),
+      path, "b1", cks)
+    assert(reportMap(DqStream.report(spark, path, cks)) === Map("orphan_cust" -> 3L),
+      "batch-0 judgment of key 3 is NOT retro-healed; batch 1 sees the new dim")
+    // batchReport twin against the current dim state matches the same rule
+    val oneShot = reportMap(DqStream.batchReport(
+      Seq((4L, 3L), (5L, 9L)).toDF("order_id", "cust_id"), cks))
+    assert(oneShot === Map("orphan_cust" -> 1L))
+    // replay of b1 after the dim evolved again: marker no-op, unchanged
+    Seq(1L, 2L, 3L, 9L).toDF("c_id").write.mode("overwrite").parquet(dimPath)
+    DqStream.processBatch(
+      Seq((4L, 3L), (5L, 9L)).toDF("order_id", "cust_id"),
+      path, "b1", cks)
+    assert(reportMap(DqStream.report(spark, path, cks)) === Map("orphan_cust" -> 3L),
+      "redelivery must not re-judge against the newer dimension")
+  }
+
   test("empty batches contribute zeros; report before any batch fails loudly") {
     val path = java.nio.file.Files.createTempDirectory("dq_empty").toString
     val err = intercept[IllegalArgumentException] {
