@@ -893,6 +893,151 @@ object Multimodal {
           lit(stride.toLong * (maxFrames - 1))),
         lit(stride.toLong)).as("sampled_frames"))
 
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing (dHash) and hash-banded image near-dup
+  // ---------------------------------------------------------------------
+
+  private val DH_COLS = 9 // dHash grid: 9 columns x 8 rows -> 8x8 = 64 bits
+  private val DH_ROWS = 8
+
+  /** 64-bit difference hash (dHash — the classic cheap perceptual image
+    * signature; Krawetz's "kind of like that" construction): mean
+    * luminance (ITU-R BT.601, the [[decodeImage]] weights) over a 9×8
+    * grid, bit (r·8+c) set iff cell (r, c+1) is STRICTLY brighter than
+    * cell (r, c). Horizontal gradients survive re-encoding, scaling and
+    * brightness shifts, so equal/near hashes flag visually-duplicate
+    * images across format variants — the image twin of a text SimHash.
+    * Stride-sampled above ~512×512 like [[decodeImage]] (deterministic,
+    * no RNG). None when ImageIO accepts no reader for the bytes. */
+  def dhash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        val stride = math.max(1, math.max(w, h) / 512)
+        val lum = new Array[Double](DH_COLS * DH_ROWS)
+        val cnt = new Array[Long](DH_COLS * DH_ROWS)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            // multiply-then-divide cell edges, the rasterFeatures contract
+            val cell = (y.toLong * DH_ROWS / h).toInt * DH_COLS +
+              (x.toLong * DH_COLS / w).toInt
+            lum(cell) += 0.299 * r + 0.587 * g + 0.114 * b
+            cnt(cell) += 1
+            x += stride
+          }
+          y += stride
+        }
+        var hash = 0L
+        var r = 0
+        while (r < DH_ROWS) {
+          var c = 0
+          while (c < DH_COLS - 1) {
+            val a = if (cnt(r * DH_COLS + c) == 0) 0.0
+              else lum(r * DH_COLS + c) / cnt(r * DH_COLS + c)
+            val b = if (cnt(r * DH_COLS + c + 1) == 0) 0.0
+              else lum(r * DH_COLS + c + 1) / cnt(r * DH_COLS + c + 1)
+            if (b > a) hash |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-image dHash table: `(id, dhash)`, decodable images only — a
+    * map-only pass (one decode per row, no shuffle), the signature step
+    * every image-dedup pipeline runs first. */
+  def imageDhash(media: DataFrame, idCol: String = "media_id",
+                 binCol: String = "content"): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long)]
+    media.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          dhash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
+        }
+      }.toDF(idCol, "dhash")
+  }
+
+  /** Visually-near-duplicate image pairs: dHash Hamming distance ≤
+    * `maxHamming`, found by 4×16-bit BAND BUCKETING — two hashes within
+    * Hamming 3 differ in ≤ 3 of the 4 bands, so by pigeonhole they
+    * SHARE at least one band and meet in its bucket: the candidate
+    * volume is Σ_bucket |bucket|² per band, never all-pairs (the
+    * [[graft.ops.Dedup]] simhash banding, applied to pixels). Exact,
+    * not approximate, for maxHamming ≤ 3 (enforced). Map-only hash →
+    * one band-keyed exchange → popcount verify.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, one row per pair
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int,
+                   idCol: String = "media_id",
+                   binCol: String = "content"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding is exact only for maxHamming <= 3, got $maxHamming")
+    val sig = imageDhash(media, idCol, binCol)
+      .select(col(idCol).as("id"), col("dhash"))
+    val banded = sig.select(col("id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL))
+          .as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("dhash"), col("bb.band"), col("bb.bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("id").as("id_a"), col("dhash").as("h_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("id").as("id_b"), col("dhash").as("h_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Minimal 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte row
+    * padding — the format [[decodeImage]]'s stock ImageIO reader
+    * round-trips losslessly): test scaffolding and synthetic-corpus
+    * generation for the REAL decode path, with `rgbAt(x, y)` supplying
+    * packed 0xRRGGBB pixels. */
+  def encodeBmp(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, "encodeBmp needs positive dimensions")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54)   // file size, reserved, data offset
+    buf.putInt(40).putInt(w).putInt(h)               // BITMAPINFOHEADER, +h = bottom-up
+    buf.putShort(1).putShort(24)                     // planes, bpp
+    buf.putInt(0).putInt(dataSize)                   // BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val p = rgbAt(x, y)
+        buf.put((p & 0xff).toByte)          // B
+        buf.put(((p >> 8) & 0xff).toByte)   // G
+        buf.put(((p >> 16) & 0xff).toByte)  // R
+        x += 1
+      }
+      var i = 0
+      while (i < pad) { buf.put(0.toByte); i += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
   /** Build a synthetic media table from the documents corpus (UTF-8 bytes
     * as payload) — test scaffolding for the binary pipeline. Text bytes
     * are not a decodable image, so "image" rows exercise the fallback;

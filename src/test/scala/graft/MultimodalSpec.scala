@@ -605,6 +605,82 @@ class MultimodalSpec extends SparkTestBase {
       assert(math.abs(m - 1.0 / 3) < 0.06, s"sampled means $mr $mg $mb"))
   }
 
+  test("dhash64: gradients map to bits; constant image hashes to zero") {
+    // strictly increasing left-to-right luminance: every comparison
+    // fires -> all 64 bits set
+    val ramp = Multimodal.encodeBmp(9, 8, (x, _) => {
+      val v = x * 28; (v << 16) | (v << 8) | v
+    })
+    assert(Multimodal.dhash64(ramp) === Some(-1L), "64 one-bits == -1L")
+    // constant image: no strict increase anywhere -> 0
+    val flat = Multimodal.encodeBmp(9, 8, (_, _) => 0x808080)
+    assert(Multimodal.dhash64(flat) === Some(0L))
+    // right-to-left ramp: reversed gradients -> also 0 (strictness)
+    val down = Multimodal.encodeBmp(9, 8, (x, _) => {
+      val v = (8 - x) * 28; (v << 16) | (v << 8) | v
+    })
+    assert(Multimodal.dhash64(down) === Some(0L))
+    assert(Multimodal.dhash64("not an image".getBytes) === None)
+  }
+
+  test("dhash64: invariant under re-encode and under 4x upscale") {
+    // a deterministic per-pixel pattern, BMP vs PNG vs 4x nearest-ish
+    // scale (each 9x8 cell becomes a uniform 4x4 block -> identical
+    // cell means -> identical hash)
+    def pix(x: Int, y: Int): Int = {
+      val r = (x * 31 + y * 17) % 256
+      val g = (x * 13 + y * 41) % 256
+      val b = (x * 7 + y * 29) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val bmp = Multimodal.encodeBmp(9, 8, pix)
+    val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) img.setRGB(x, y, pix(x, y))
+    val asPng = png(img)
+    val big = Multimodal.encodeBmp(36, 32, (x, y) => pix(x / 4, y / 4))
+    val h = Multimodal.dhash64(bmp)
+    assert(h.isDefined && h === Multimodal.dhash64(asPng),
+      "same pixels, different container -> same hash")
+    assert(h === Multimodal.dhash64(big),
+      "4x upscale preserves cell means -> same hash")
+  }
+
+  test("imageNearDup: banding finds exactly the Hamming<=k pairs, never all-pairs semantics") {
+    def pix(seed: Int)(x: Int, y: Int): Int = {
+      val r = (seed * 37 + x * 11 + y * 7) % 256
+      val g = (seed * 53 + x * 13 + y * 3) % 256
+      val b = (seed * 29 + x * 5 + y * 17) % 256
+      (r << 16) | (g << 8) | b
+    }
+    // 1,2: identical; 3: one-pixel tweak of 1 (<=2 bits); 4: unrelated
+    val rows = Seq(
+      1L -> Multimodal.encodeBmp(9, 8, pix(5)),
+      2L -> Multimodal.encodeBmp(9, 8, pix(5)),
+      3L -> Multimodal.encodeBmp(9, 8, (x, y) =>
+        if (x == 4 && y == 4) pix(5)(x, y) ^ 0xe0e0e0 else pix(5)(x, y)),
+      4L -> Multimodal.encodeBmp(9, 8, pix(23)),
+      5L -> "junk, not an image".getBytes("UTF-8")
+    ).toDF("media_id", "content")
+    val sig = Multimodal.imageDhash(rows)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.keySet === Set(1L, 2L, 3L, 4L), "undecodable rows drop out")
+    assert(sig(1L) === sig(2L))
+    val got = Multimodal.imageNearDup(rows, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: brute-force over the collected signatures
+    val ids = sig.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      hd = java.lang.Long.bitCount(sig(i) ^ sig(j)) if hd <= 3
+    } yield (i, j, hd.toLong)).toSet
+    assert(got === want, s"got $got want $want")
+    assert(got.contains((1L, 2L, 0L)), "identical images pair at distance 0")
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDup(rows, maxHamming = 4)
+    }
+    assert(ex.getMessage.contains("maxHamming"))
+  }
+
   test("audioSpectral: pure sine centers the spectrum at its frequency") {
     val rate = 16000f
     val bytes = wav(rate, 16, 0.5, i => 0.5 * math.sin(2 * math.Pi * 440 * i / rate))
