@@ -388,6 +388,78 @@ object BenchScale {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("graph2")) {
+      // second graph family ladder (r13 ops): triangle counting must be
+      // wedge-bounded by the degree orientation (disjoint K copies keep
+      // per-node degree constant ⇒ wedge volume linear in K), LPA is one
+      // |E| join + one argmax per round, link prediction is center-capped
+      // wedges — all three must track |E| linearly.
+      val warm = graft.ops.Graph.copurchaseEdges(
+        scaledGraphBaskets(spark, sfDir, 1).limit(5000), "basket", "item", 2)
+      graft.ops.Graph.triangleCounts(warm, "src", "dst").count() // JIT warmup
+      graft.ops.Graph.labelPropagation(warm, "src", "dst", 2).count()
+      graft.ops.Graph.commonNeighborLinks(warm, "src", "dst", 96, 4).count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val baskets = scaledGraphBaskets(spark, sfDir, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        baskets.count()
+        val edges = graft.ops.Graph.copurchaseEdges(baskets, "basket", "item", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nE = edges.count()
+        val (tTri, _) = time(
+          graft.ops.Graph.triangleCounts(edges, "src", "dst").count())
+        spark.catalog.clearCache()
+        edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val (tLpa, _) = time(
+          graft.ops.Graph.labelPropagation(edges, "src", "dst", 3).count())
+        spark.catalog.clearCache()
+        edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val (tLp, nP) = time(
+          graft.ops.Graph.commonNeighborLinks(edges, "src", "dst", 96, 4).count())
+        println(s"""{"k":$k,"edges":$nE,"triangles_sec":${f"$tTri%.2f"},"lpa3_sec":${f"$tLpa%.2f"},"linkpred_sec":${f"$tLp%.2f"},"predicted":$nP}""")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("hotblock")) {
+      // hot-block guard ladder: a flood of K·1000 records lands in ONE
+      // degenerate block next to the normal blocked customers. Uncapped,
+      // blockedPairs' candidate volume is |flood|² — quadratic in K (run
+      // only to K=8); with maxBlockSize=2000 the flood block is excluded
+      // and cost must stay FLAT while K·1000 grows past the cap.
+      import graft.core.Tables
+      val base = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+        .withColumn("blk", expr("right(c_name, 1)"))
+      def flood(k: Int): DataFrame =
+        spark.range(k * 1000L).select(
+          (col("id") + lit(2000000000L)).as("c_custkey"),
+          lit(99999).as("c_nationkey"),
+          format_string("FloodRec#%09d", col("id")).as("c_name"),
+          lit("junk").as("blk"))
+      graft.ops.Linkage.blockedPairs(base.limit(2000).unionAll(flood(1)),
+        Seq("c_nationkey", "blk"), "c_custkey", "c_name", 2,
+        maxBlockSize = 2000L).count() // JIT warmup
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val recs = base.unionAll(flood(k))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nR = recs.count()
+        val (tCap, nPC) = time(graft.ops.Linkage.blockedPairs(recs,
+          Seq("c_nationkey", "blk"), "c_custkey", "c_name", 2,
+          maxBlockSize = 2000L).count())
+        val (tUncap, nPU) =
+          if (k <= 8) time(graft.ops.Linkage.blockedPairs(recs,
+            Seq("c_nationkey", "blk"), "c_custkey", "c_name", 2).count())
+          else (-1.0, -1L)
+        println(s"""{"k":$k,"records":$nR,"capped_sec":${f"$tCap%.2f"},"capped_pairs":$nPC,"uncapped_sec":${f"$tUncap%.2f"},"uncapped_pairs":$nPU}""")
+        recs.unpersist(); spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("linkage")) {
       // linkage ladder: K customer copies with SHIFTED nation keys —
       // blocks grow in COUNT, not size (candidates = Σ_b |block_b|², so

@@ -499,6 +499,54 @@ object Graph {
     * pair blow-up is bounded by frequent items only (the df-cap pattern —
     * rare long-tail items never enter the quadratic step).
     */
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
+    * "The link prediction problem for social networks") over an
+    * UNDIRECTED graph: for every NON-adjacent pair (a, b), the number of
+    * shared neighbors — the classic "people/items you may also like"
+    * score (its integer core; Adamic-Adar just log-weights the same
+    * wedge set, traded away here for cross-engine exactness).
+    *
+    * Scale: candidate pairs are generated per wedge CENTER w (one row
+    * per unordered neighbor pair of w), so raw volume is Σ_w deg(w)² —
+    * quadratic in the hubbiest node. `maxCenterDeg` caps it: nodes with
+    * degree > cap certify nothing about affinity (a hub is connected to
+    * everyone — sharing it is weak evidence, the same reasoning as
+    * [[graft.ops.TextStats]]' BM25 df cap) and are EXCLUDED as wedge
+    * centers, bounding volume to ≤ maxCenterDeg·2|E| — linear in |E| for
+    * a fixed cap. They still appear as endpoints. One map-side explode-
+    * free self-join on the center + one count agg + one anti-join
+    * against the edge set; all-integer output.
+    *
+    * @return (node_a, node_b, common) — non-adjacent pairs (a < b) with
+    *         ≥ minCommon shared (non-hub) neighbors
+    */
+  def commonNeighborLinks(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxCenterDeg: Long, minCommon: Long): DataFrame = {
+    require(maxCenterDeg >= 1, "maxCenterDeg must be >= 1")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val centers = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxCenterDeg).select("w")
+    val adjK = adj.join(centers, Seq("w"), "left_semi")
+    val wedges = adjK.select(col("w"), col("n").as("node_a"))
+      .join(adjK.select(col("w"), col("n").as("node_b")), Seq("w"))
+      .filter(col("node_a") < col("node_b"))
+    val cn = wedges.groupBy("node_a", "node_b")
+      .agg(count(lit(1)).cast("long").as("common"))
+      .filter(col("common") >= minCommon)
+    // predicted = NOT already an edge (e is canonical a<b, like the pair)
+    val out = cn.join(e,
+      cn("node_a") === e("a") && cn("node_b") === e("b"), "left_anti")
+    // e stays persisted until the caller's action; clearCache convention
+    out
+  }
+
   def copurchaseEdges(baskets: DataFrame, basketCol: String, itemCol: String,
                       minItemSupport: Long): DataFrame = {
     // Collected-set shape, NOT a basket self-join: one shuffle collapses

@@ -6086,6 +6086,122 @@ object Queries {
       |SELECT node AS part, label AS community FROM l3
       |ORDER BY part""".stripMargin)
 
+  /** Visually-near-duplicate image detection end-to-end
+    * ([[graft.ops.Multimodal.imageNearDup]]): every document id becomes
+    * a REAL 9×8 BMP (deterministic per-pixel arithmetic → real encode →
+    * real ImageIO decode → 64-bit dHash), grouped into families of four
+    * where three members carry a one-pixel perturbation — the re-encoded
+    * /slightly-retouched duplicate shape an image-dedup pass must catch.
+    * Pairs via 4×16-bit hash banding (exact for Hamming ≤ 3 by
+    * pigeonhole, never all-pairs); the oracle replays the pixel→
+    * luminance→gradient-bit arithmetic in SQL (the BMP round-trip is
+    * lossless, so pixels are computable on both sides) and verifies with
+    * a direct all-pairs Hamming filter. */
+  val qImageNearDup: Q = "q_image_neardup" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val f = id / 4; val v = (id % 4).toInt
+          // per-pixel NONLINEAR byte hash (multiply → xor-fold →
+          // multiply, exact in the 2^32/2^16 rings both engines share):
+          // a purely multiplicative byte is a golden-rotation Sturmian
+          // sequence in k whose gradient-sign windows take only ~65
+          // distinct values (three-distance theorem) — whole families
+          // collide. The xor-fold breaks linearity, decorrelating
+          // families to ~random 64-bit hashes, so only true
+          // within-family variants pair.
+          def hb(k: Long, c1: Long, add: Long): Long = {
+            val u0 = (k * c1 + add) % 4294967296L
+            val u1 = (u0 ^ (u0 >> 16)) % 65536L
+            (u1 * 40503L) % 65536L / 256L
+          }
+          val bytes = Multimodal.encodeBmp(9, 8, (x, y) => {
+            val k = f * 72 + y * 9 + x
+            val pr = if (x == v && y == v) v * 77 else 0
+            val r = (hb(k, 2654435761L, 1) + pr) % 256
+            val g = hb(k, 2246822519L, 7)
+            val b = hb(k, 3266489917L, 13)
+            ((r << 16) | (g << 8) | b).toInt
+          })
+          (id, bytes)
+        }
+      }.toDF("media_id", "content")
+      Multimodal.imageNearDup(media, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    doc_id // 4 AS f, doc_id % 4 AS v FROM documents),
+      |px AS (SELECT id, v, r, c, f*72 + r*9 + c AS k
+      |  FROM ids, unnest(range(0, 8)) t1(r), unnest(range(0, 9)) t2(c)),
+      |u0 AS (SELECT id, v, r, c,
+      |    (k*2654435761 + 1) % 4294967296 AS ur,
+      |    (k*2246822519 + 7) % 4294967296 AS ug,
+      |    (k*3266489917 + 13) % 4294967296 AS ub
+      |  FROM px),
+      |ch AS (SELECT id, v, r, c,
+      |    ((xor(ur, ur // 65536) % 65536) * 40503) % 65536 // 256 AS rb,
+      |    ((xor(ug, ug // 65536) % 65536) * 40503) % 65536 // 256 AS gb,
+      |    ((xor(ub, ub // 65536) % 65536) * 40503) % 65536 // 256 AS bb
+      |  FROM u0),
+      |lum AS (SELECT id, r, c,
+      |    0.299 * ((rb + CASE WHEN c = v AND r = v THEN v*77 ELSE 0 END) % 256)
+      |  + 0.587 * gb
+      |  + 0.114 * bb AS l
+      |  FROM ch),
+      |bits AS (SELECT a.id, a.r, a.c
+      |  FROM lum a JOIN lum b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+      |  WHERE a.c < 8 AND b.l > a.l),
+      |h AS (SELECT ids.id,
+      |    COALESCE(sum(CAST(1 AS HUGEINT) << (bits.r * 8 + bits.c)),
+      |      CAST(0 AS HUGEINT)) AS dh
+      |  FROM ids LEFT JOIN bits ON bits.id = ids.id GROUP BY ids.id)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.id < b.id
+      |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin)
+
+  /** Common-neighbor link prediction
+    * ([[graft.ops.Graph.commonNeighborLinks]]) over the co-purchase
+    * graph: the strongest NOT-yet-co-purchased part pairs by shared
+    * neighborhood — the "customers also bought" candidate generator.
+    * Hub parts (degree > 96) are excluded as wedge centers (sharing a
+    * hub certifies nothing — the BM25-df-cap reasoning), which is also
+    * the scale lever: wedge volume ≤ cap·2|E|, linear in |E|. All-
+    * integer scores, deterministic top-25. */
+  val qLinkPredict: Q = "q_link_predict" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.commonNeighborLinks(edges, "src", "dst",
+          maxCenterDeg = 96, minCommon = 4)
+        .orderBy(col("common").desc, col("node_a"), col("node_b"))
+        .limit(25)
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e0 AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e0),
+      |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      |ctr AS (SELECT w FROM adj GROUP BY w HAVING count(*) <= 96),
+      |ak AS (SELECT adj.w, adj.n FROM adj JOIN ctr USING (w)),
+      |wg AS (SELECT x.n AS node_a, y.n AS node_b
+      |  FROM ak x JOIN ak y ON x.w = y.w AND x.n < y.n),
+      |cn AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS common
+      |  FROM wg GROUP BY 1, 2 HAVING count(*) >= 4),
+      |p AS (SELECT cn.node_a, cn.node_b, cn.common FROM cn
+      |  WHERE NOT EXISTS (SELECT 1 FROM e
+      |    WHERE e.a = cn.node_a AND e.b = cn.node_b))
+      |SELECT node_a, node_b, common FROM p
+      |ORDER BY common DESC, node_a, node_b LIMIT 25""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6130,5 +6246,6 @@ object Queries {
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
     qPageRankDirected, qTriangles, qHits, qLpa, qEntityMatchCapped,
+    qImageNearDup, qLinkPredict,
   )
 }

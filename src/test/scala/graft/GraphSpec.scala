@@ -244,6 +244,39 @@ class GraphSpec extends SparkTestBase {
       s"got $r")
   }
 
+  test("commonNeighborLinks: cycle diagonals score 2; adjacent pairs never predicted") {
+    // square 1-2-3-4-1: the two diagonals are the only non-adjacent
+    // pairs, each sharing both its opposite corners
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.commonNeighborLinks(sq, "src", "dst",
+      maxCenterDeg = 10, minCommon = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map((1L, 3L) -> 2L, (2L, 4L) -> 2L), s"got $r")
+  }
+
+  test("commonNeighborLinks: hub cap removes hub-certified pairs only") {
+    // hub 100 touches 1..5; 1-2 are also directly linked; 3-4 share a
+    // second (non-hub) neighbor 6
+    val e = (Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), (100L, 5L),
+      (1L, 2L), (3L, 6L), (4L, 6L))).toDF("src", "dst")
+    // uncapped (hub deg 5 <= 10): all non-adjacent spoke pairs predicted
+    val un = Graph.commonNeighborLinks(e, "src", "dst",
+      maxCenterDeg = 10, minCommon = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(un((3L, 4L)) === 2L, "hub + node 6")
+    assert(un((1L, 3L)) === 1L && un((4L, 5L)) === 1L)
+    assert(!un.contains((1L, 2L)), "existing edge is never a prediction")
+    // cap 4 excludes the hub as a CENTER: pairs certified only by the
+    // hub vanish; 3-4 survives via 6, and the hub itself still appears
+    // as an ENDPOINT — (6, 100) share the two non-hub centers 3 and 4
+    val cap = Graph.commonNeighborLinks(e, "src", "dst",
+      maxCenterDeg = 4, minCommon = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(cap === Map((3L, 4L) -> 1L, (6L, 100L) -> 2L), s"got $cap")
+    assert(!cap.contains((1L, 3L)) && !cap.contains((4L, 5L)),
+      "hub-only-certified pairs are gone under the cap")
+  }
+
   test("labelPropagation: deterministic under input order and direction mix") {
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
