@@ -45,7 +45,12 @@ object Plans {
         "q_dq_stored", "q_editdup_stored", "q_ivfpq_compact",
         "q_aggview_union", "q_bm25", "q_pii_scrub",
         "q_entity_match", "q_domain_terms", "q_ewma", "q_entity_clusters",
-        "q_kanon", "q_normalize")
+        "q_kanon", "q_normalize",
+        "q_triangles", "q_hits", "q_entity_match_capped",
+        "q_image_neardup", "q_link_predict", "q_readability")
+        // q_lpa / q_kcore are iterative like q_pagerank: the final frame
+        // inlines every checkpointed round — audited via GraphSpec/
+        // PlanShapeSpec instead of a dump that would be all repetition
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

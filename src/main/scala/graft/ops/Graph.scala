@@ -499,6 +499,65 @@ object Graph {
     * pair blow-up is bounded by frequent items only (the df-cap pattern —
     * rare long-tail items never enter the quadratic step).
     */
+  /** k-core decomposition (Seidman 1983, "Network structure and minimum
+    * degree") of an UNDIRECTED graph: the maximal subgraph where every
+    * node keeps degree ≥ k, found by synchronous peeling — drop all
+    * nodes below k, recompute degrees, repeat to the FIXPOINT. The
+    * fixpoint is unique (independent of peel order), so the result is a
+    * pure function of the edge set; peeling a converged core is a no-op,
+    * which is what lets an oracle replay with any unrolled round count
+    * ≥ the actual convergence depth.
+    *
+    * Scale: each round is one degree aggregation + two semi joins over
+    * the CURRENT edge set (monotonically shrinking) — |E| linear per
+    * round, node-count-sized driver state, never a per-node loop. Round
+    * count is bounded by the cascade depth; `maxRounds` bounds it
+    * loudly (a graph needing more rounds fails with instructions, never
+    * returns a half-peeled subgraph).
+    *
+    * @return (node, core_deg) — nodes of the k-core with their in-core
+    *         degree (≥ k), empty when the core is empty
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Long, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    require(maxRounds >= 1, "kCore needs maxRounds >= 1")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // localCheckpoint per round, NOT persist (the duplicateClusters
+    // discipline): each round reads `cur` three times (degree agg + both
+    // semi joins), so an un-truncated lineage TRIPLES the logical plan
+    // every round and the plan string itself OOMs the driver long before
+    // the data is large — checkpointing pins the round's edges as cached
+    // blocks behind a leaf plan.
+    var cur = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var nNodes = cur.select("src").distinct().count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds && nNodes > 0) {
+      round += 1
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select(col("src").as("node"))
+      val next = cur
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val n = next.select("src").distinct().count()
+      if (n == nNodes) { next.unpersist(); converged = true }
+      else { cur.unpersist(); cur = next; nNodes = n }
+    }
+    require(converged || nNodes == 0,
+      s"kCore did not converge within $maxRounds rounds (still $nNodes " +
+        "nodes changing) — raise maxRounds; the fixpoint is unique, more " +
+        "rounds only peel further")
+    val out = cur.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+    // cur stays persisted until the caller's action; clearCache convention
+    out
+  }
+
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
     * "The link prediction problem for social networks") over an
     * UNDIRECTED graph: for every NON-adjacent pair (a, b), the number of

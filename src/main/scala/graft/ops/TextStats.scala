@@ -519,4 +519,40 @@ object TextStats {
       .select(col("grp").as(groupCol), col("term"), col("n_st"),
         round(col("odds"), 6).as("odds"), col("rank"))
   }
+
+  /** Per-group readability card: Automated Readability Index (Senter &
+    * Smith 1967 — chosen over Flesch-Kincaid because it needs NO
+    * syllable counting, only characters/words/sentences, so every input
+    * to the formula is an exact integer sum and the one double formula
+    * at the end is bit-identical across engines). Counting conventions
+    * (deterministic, oracle-mirrorable):
+    *   - words = [[graft.functions.Text.tokens]] count;
+    *   - chars = non-space length of the normalized text, i.e.
+    *     `length(norm) − words + 1` (norm joins tokens with single
+    *     spaces);
+    *   - sentences = occurrences of `.` `!` `?` (clamped to ≥ 1 per
+    *     doc — a fragment is one sentence).
+    * One map-only projection + one hash aggregation; ARI =
+    * 4.71·chars/words + 0.5·words/sentences − 21.43 on the group sums. */
+  def readability(docs: DataFrame, groupCol: String,
+                  textCol: String = "text"): DataFrame = {
+    val norm = graft.functions.Text.normText(col(textCol))
+    val words = size(split(norm, " ")).cast("long")
+    val noPunct = regexp_replace(col(textCol), "[.!?]", "")
+    val sentences = greatest(lit(1L),
+      (length(col(textCol)) - length(noPunct)).cast("long"))
+    docs
+      .select(col(groupCol),
+        words.as("w"),
+        (length(norm).cast("long") - words + lit(1L)).as("c"),
+        sentences.as("s"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("chars"),
+        sum(col("w")).as("words"), sum(col("s")).as("sentences"))
+      .select(col(groupCol), col("n_docs"), col("chars"), col("words"),
+        col("sentences"),
+        round(lit(4.71) * col("chars").cast("double") / col("words").cast("double")
+          + lit(0.5) * col("words").cast("double") / col("sentences").cast("double")
+          - lit(21.43), 6).as("ari"))
+  }
 }

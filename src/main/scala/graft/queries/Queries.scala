@@ -6202,6 +6202,80 @@ object Queries {
       |SELECT node_a, node_b, common FROM p
       |ORDER BY common DESC, node_a, node_b LIMIT 25""".stripMargin)
 
+  /** k-core decomposition ([[graft.ops.Graph.kCore]]) of the
+    * co-purchase graph: the dense trading core that survives when every
+    * part must keep ≥ 80 in-core neighbors — the subgraph a
+    * recommendation/curriculum pass would mine first. Spark iterates
+    * the peel to the (unique, order-independent) fixpoint; the oracle
+    * unrolls 8 peels — more than the measured convergence depth at both
+    * graded scales (6), and EXTRA peels of a converged core are no-ops,
+    * so the unroll count only needs to be ≥ the true depth. */
+  val qKcore: Q = "q_kcore" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.kCore(edges, "src", "dst", k = 80L)
+        .select(col("node").as("part"), col("core_deg"))
+        .orderBy(col("part"))
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e0 AS MATERIALIZED (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |k1 AS MATERIALIZED (SELECT src AS node FROM e0 GROUP BY src HAVING count(*) >= 80),
+      |e1 AS MATERIALIZED (SELECT e0.src, e0.dst FROM e0
+      |  JOIN k1 a ON a.node = e0.src JOIN k1 b ON b.node = e0.dst),
+      |k2 AS MATERIALIZED (SELECT src AS node FROM e1 GROUP BY src HAVING count(*) >= 80),
+      |e2 AS MATERIALIZED (SELECT e1.src, e1.dst FROM e1
+      |  JOIN k2 a ON a.node = e1.src JOIN k2 b ON b.node = e1.dst),
+      |k3 AS MATERIALIZED (SELECT src AS node FROM e2 GROUP BY src HAVING count(*) >= 80),
+      |e3 AS MATERIALIZED (SELECT e2.src, e2.dst FROM e2
+      |  JOIN k3 a ON a.node = e2.src JOIN k3 b ON b.node = e2.dst),
+      |k4 AS MATERIALIZED (SELECT src AS node FROM e3 GROUP BY src HAVING count(*) >= 80),
+      |e4 AS MATERIALIZED (SELECT e3.src, e3.dst FROM e3
+      |  JOIN k4 a ON a.node = e3.src JOIN k4 b ON b.node = e3.dst),
+      |k5 AS MATERIALIZED (SELECT src AS node FROM e4 GROUP BY src HAVING count(*) >= 80),
+      |e5 AS MATERIALIZED (SELECT e4.src, e4.dst FROM e4
+      |  JOIN k5 a ON a.node = e4.src JOIN k5 b ON b.node = e4.dst),
+      |k6 AS MATERIALIZED (SELECT src AS node FROM e5 GROUP BY src HAVING count(*) >= 80),
+      |e6 AS MATERIALIZED (SELECT e5.src, e5.dst FROM e5
+      |  JOIN k6 a ON a.node = e5.src JOIN k6 b ON b.node = e5.dst),
+      |k7 AS MATERIALIZED (SELECT src AS node FROM e6 GROUP BY src HAVING count(*) >= 80),
+      |e7 AS MATERIALIZED (SELECT e6.src, e6.dst FROM e6
+      |  JOIN k7 a ON a.node = e6.src JOIN k7 b ON b.node = e6.dst),
+      |k8 AS MATERIALIZED (SELECT src AS node FROM e7 GROUP BY src HAVING count(*) >= 80),
+      |e8 AS MATERIALIZED (SELECT e7.src, e7.dst FROM e7
+      |  JOIN k8 a ON a.node = e7.src JOIN k8 b ON b.node = e7.dst)
+      |SELECT src AS part, CAST(count(*) AS BIGINT) AS core_deg
+      |FROM e8 GROUP BY src ORDER BY part""".stripMargin)
+
+  /** Per-source readability card ([[graft.ops.TextStats.readability]]):
+    * Automated Readability Index over exact integer counts (no syllable
+    * heuristics — ARI needs only chars/words/sentences, so the group
+    * sums are bit-exact and the single double formula replays
+    * identically). The corpus-mixing signal next to q_quality's
+    * length/punct ratios. */
+  val qReadability: Q = "q_readability" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.readability(Tables.documents(s, d), "source")
+        .orderBy(col("source")),
+    s"""WITH d AS (SELECT source,
+       |    CAST(len($TOKS) AS BIGINT) AS w,
+       |    CAST(length($NORM) AS BIGINT) - CAST(len($TOKS) AS BIGINT) + 1 AS c,
+       |    greatest(CAST(1 AS BIGINT), CAST(length(text) -
+       |      length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT)) AS s
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(c) AS BIGINT) AS chars, CAST(sum(w) AS BIGINT) AS words,
+       |  CAST(sum(s) AS BIGINT) AS sentences,
+       |  round(4.71 * CAST(sum(c) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+       |    + 0.5 * CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE)
+       |    - 21.43, 6) AS ari
+       |FROM d GROUP BY source ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6246,6 +6320,6 @@ object Queries {
     qPiiScrub, qPageRank, qEntityMatch, qDomainTerms, qEwma,
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
     qPageRankDirected, qTriangles, qHits, qLpa, qEntityMatchCapped,
-    qImageNearDup, qLinkPredict,
+    qImageNearDup, qLinkPredict, qKcore, qReadability,
   )
 }

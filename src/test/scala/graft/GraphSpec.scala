@@ -277,6 +277,32 @@ class GraphSpec extends SparkTestBase {
       "hub-only-certified pairs are gone under the cap")
   }
 
+  test("kCore: pendant peels, triangle survives, chains cascade to empty") {
+    // triangle 1-2-3 with pendant 4: the 2-core is exactly the triangle
+    val t = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val core = Graph.kCore(t, "src", "dst", k = 2L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core")
+    // a path unravels COMPLETELY under k=2 — each peel exposes new
+    // endpoints (the cascade the fixpoint loop must follow to the end)
+    val path = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    assert(Graph.kCore(path, "src", "dst", k = 2L).count() === 0L)
+    // k=1 keeps every non-isolated node at its full degree
+    val k1 = Graph.kCore(t, "src", "dst", k = 1L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(k1 === Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("kCore: maxRounds bounds the cascade loudly, never half-peeled output") {
+    val path = (1L to 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(path, "src", "dst", k = 2L, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
   test("labelPropagation: deterministic under input order and direction mix") {
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))

@@ -140,4 +140,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
     spark.catalog.clearCache()
   }
+
+  test("triangleCounts: wedge self-join + closing join are equi-joins, never cartesian") {
+    import spark.implicits._
+    val und = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i + 7) % 40 + 1)))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val plan = planString(graft.ops.Graph.triangleCounts(edges, "src", "dst"))
+    assert(!plan.contains("CartesianProduct"), "wedge join went all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("commonNeighborLinks: center-keyed wedge join + anti-join, no cartesian/nested-loop") {
+    import spark.implicits._
+    val und = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i + 11) % 40 + 1)))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val plan = planString(graft.ops.Graph.commonNeighborLinks(
+      edges, "src", "dst", maxCenterDeg = 10, minCommon = 1))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("imageNearDup: band-bucket hash join, no cartesian; hash stage is map-only up to the exchange") {
+    import spark.implicits._
+    val rows = (1L to 30L).map { i =>
+      i -> graft.ops.Multimodal.encodeBmp(9, 8, (x, y) =>
+        (((i % 7) * 37 + x * 11 + y * 29) % 256).toInt * 0x010101)
+    }.toDF("media_id", "content")
+    val plan = planString(graft.ops.Multimodal.imageNearDup(rows, maxHamming = 3))
+    assert(!plan.contains("CartesianProduct"), "band join went all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
 }

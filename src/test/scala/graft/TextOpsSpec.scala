@@ -381,4 +381,23 @@ class TextOpsSpec extends SparkTestBase {
     // short/non-alpha tokens never enter the card
     assert(card.filter(length(col("term")) < 3).count() === 0)
   }
+
+  test("readability: hand-exact ARI from integer counts; fragment clamps to one sentence") {
+    // source X: "one two three. four five!" -> words 5, chars 21
+    // (norm length 25 - 5 + 1), sentences 2
+    // source Y: "no punctuation here" -> words 3, chars 17, sentences
+    // clamped to 1
+    val docs = Seq(
+      ("X", "one two three. four five!"),
+      ("Y", "no punctuation here")).toDF("source", "text")
+    val r = graft.ops.TextStats.readability(docs, "source")
+      .collect().map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("chars"), x.getAs[Long]("words"),
+          x.getAs[Long]("sentences"), x.getAs[Double]("ari")))).toMap
+    val (cx, wx, sx, ax) = r("X")
+    assert((cx, wx, sx) === ((21L, 5L, 2L)), s"got ${r("X")}")
+    assert(ax === -0.398, s"4.71*21/5 + 0.5*5/2 - 21.43 rounded, got $ax")
+    val (cy, wy, sy, _) = r("Y")
+    assert((cy, wy, sy) === ((17L, 3L, 1L)), "fragment counts as one sentence")
+  }
 }
