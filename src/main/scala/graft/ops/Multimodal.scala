@@ -1003,6 +1003,84 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The 4×16-bit band rows of a dHash column: (band, bv, id, dhash) —
+    * shared by [[imageNearDup]] and [[dhashStoreAppend]] so the batch
+    * and incremental paths bucket identically. */
+  private def dhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL))
+          .as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("dhash"), col("bb.band"), col("bb.bv"))
+
+  /** INCREMENTAL image near-dup — [[graft.ops.Dedup.simhashStoreAppend]]
+    * for the dHash family: each batch hashes only ITS images, emits
+    * exactly the NEW pairs (within-batch plus batch-vs-earlier-store at
+    * the exact pigeonhole bound), and appends its `(id, dhash, tag)`
+    * signature rows. The union of emissions over batches equals the
+    * one-shot [[imageNearDup]] over everything ingested; each unordered
+    * pair surfaces exactly once, in its LATER image's batch.
+    *
+    * Same two replay guards as the simhash store: the append no-ops on
+    * the batch marker, and the cross probe reads only tags STRICTLY
+    * BEFORE this batch's — a replayed batch recomputes the identical
+    * emission even after later batches landed. Caller contract: tags
+    * unique per batch, lexicographically ordered by arrival.
+    *
+    * Per-batch cost is batch×(batch + store-probe): the corpus side is
+    * a 17-byte/image parquet read band-joined on the batch's own band
+    * keys — the images themselves are NEVER re-decoded. The returned
+    * emission is persisted (the count barrier materialized it); the
+    * caller owns the unpersist. */
+  def dhashStoreAppend(media: DataFrame, path: String, batchTag: String,
+                       maxHamming: Int = 3, idCol: String = "media_id",
+                       binCol: String = "content"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding is exact only for maxHamming <= 3, got $maxHamming")
+    val spark = media.sparkSession
+    val sigs = imageDhash(media, idCol, binCol)
+      .select(col(idCol).as("id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = dhashBands(sigs)
+    val within = bb.select(col("band"), col("bv"), col("id").as("id_a"),
+        col("dhash").as("h_a"))
+      .join(bb.select(col("band"), col("bv"), col("id").as("id_b"),
+        col("dhash").as("h_b")).hint("shuffle_hash"), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+    val crossOpt =
+      if (!Stores.exists(spark, path, "_SUCCESS")) None
+      else Some {
+        val bs = dhashBands(spark.read.parquet(path)
+          .filter(col("tag") < lit(batchTag)) // earlier batches only
+          .select(col("id"), col("dhash")))
+          .select(col("band"), col("bv"), col("id").as("sid"),
+            col("dhash").as("ssh"))
+        bb.select(col("band"), col("bv"), col("id").as("bid"),
+            col("dhash").as("bsh"))
+          .join(bs.hint("shuffle_hash"), Seq("band", "bv"))
+          .select(least(col("bid"), col("sid")).as("id_a"),
+            greatest(col("bid"), col("sid")).as("id_b"),
+            col("bsh").as("h_a"), col("ssh").as("h_b"))
+      }
+    val pairs = (within +: crossOpt.toSeq).reduce(_ unionAll _)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // force BEFORE the append: the emission reads the pre-batch store
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      sigs.select(col("id"), col("dhash"), lit(batchTag).as("tag"))
+        .limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      sigs.select(col("id"), col("dhash"), lit(batchTag).as("tag"))
+        .write.mode("overwrite").parquet(staging)
+    }
+    sigs.unpersist()
+    pairs
+  }
+
   /** Minimal 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte row
     * padding — the format [[decodeImage]]'s stock ImageIO reader
     * round-trips losslessly): test scaffolding and synthetic-corpus

@@ -6097,40 +6097,46 @@ object Queries {
     * luminance→gradient-bit arithmetic in SQL (the BMP round-trip is
     * lossless, so pixels are computable on both sides) and verifies with
     * a direct all-pairs Hamming filter. */
-  val qImageNearDup: Q = "q_image_neardup" -> (
-    (s: SparkSession, d: String) => {
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long]
-      val media = ids.mapPartitions { it =>
-        it.map { id =>
-          val f = id / 4; val v = (id % 4).toInt
-          // per-pixel NONLINEAR byte hash (multiply → xor-fold →
-          // multiply, exact in the 2^32/2^16 rings both engines share):
-          // a purely multiplicative byte is a golden-rotation Sturmian
-          // sequence in k whose gradient-sign windows take only ~65
-          // distinct values (three-distance theorem) — whole families
-          // collide. The xor-fold breaks linearity, decorrelating
-          // families to ~random 64-bit hashes, so only true
-          // within-family variants pair.
-          def hb(k: Long, c1: Long, add: Long): Long = {
-            val u0 = (k * c1 + add) % 4294967296L
-            val u1 = (u0 ^ (u0 >> 16)) % 65536L
-            (u1 * 40503L) % 65536L / 256L
-          }
-          val bytes = Multimodal.encodeBmp(9, 8, (x, y) => {
-            val k = f * 72 + y * 9 + x
-            val pr = if (x == v && y == v) v * 77 else 0
-            val r = (hb(k, 2654435761L, 1) + pr) % 256
-            val g = hb(k, 2246822519L, 7)
-            val b = hb(k, 3266489917L, 13)
-            ((r << 16) | (g << 8) | b).toInt
-          })
-          (id, bytes)
+  /** Synthetic image corpus for the perceptual-hash queries: every doc
+    * id becomes a real 9×8 BMP in a family of four (f = id/4) where
+    * members 1..3 carry a one-pixel perturbation. Pixels come from a
+    * per-pixel NONLINEAR byte hash (multiply → xor-fold → multiply,
+    * exact in the 2^32/2^16 rings both engines share): a purely
+    * multiplicative byte is a golden-rotation Sturmian sequence in k
+    * whose gradient-sign windows take only ~65 distinct values
+    * (three-distance theorem) — whole families would collide. The
+    * xor-fold breaks linearity, decorrelating families to ~random
+    * 64-bit hashes, so only true within-family variants pair. */
+  private def syntheticImages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val f = id / 4; val v = (id % 4).toInt
+        def hb(k: Long, c1: Long, add: Long): Long = {
+          val u0 = (k * c1 + add) % 4294967296L
+          val u1 = (u0 ^ (u0 >> 16)) % 65536L
+          (u1 * 40503L) % 65536L / 256L
         }
-      }.toDF("media_id", "content")
-      Multimodal.imageNearDup(media, maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    },
+        val bytes = Multimodal.encodeBmp(9, 8, (x, y) => {
+          val k = f * 72 + y * 9 + x
+          val pr = if (x == v && y == v) v * 77 else 0
+          val r = (hb(k, 2654435761L, 1) + pr) % 256
+          val g = hb(k, 2246822519L, 7)
+          val b = hb(k, 3266489917L, 13)
+          ((r << 16) | (g << 8) | b).toInt
+        })
+        (id, bytes)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Shared oracle for the image near-dup pair set (one-shot AND the
+    * stored lifecycle — the union of per-batch emissions equals the
+    * one-shot pair set by the strictly-earlier-tag contract): replays
+    * the pixel→luminance→gradient-bit arithmetic in SQL and verifies
+    * with a direct all-pairs Hamming filter. */
+  private val IMG_PAIRS_SQL: String =
     """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id,
       |    doc_id // 4 AS f, doc_id % 4 AS v FROM documents),
       |px AS (SELECT id, v, r, c, f*72 + r*9 + c AS k
@@ -6161,7 +6167,35 @@ object Queries {
       |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
       |FROM h a JOIN h b ON a.id < b.id
       |WHERE bit_count(xor(a.dh, b.dh)) <= 3
-      |ORDER BY id_a, id_b""".stripMargin)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val qImageNearDup: Q = "q_image_neardup" -> (
+    (s: SparkSession, d: String) =>
+      Multimodal.imageNearDup(syntheticImages(s, d), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b")),
+    IMG_PAIRS_SQL)
+
+  /** Incremental image near-dup lifecycle
+    * ([[graft.ops.Multimodal.dhashStoreAppend]]): the synthetic corpus
+    * arrives in three slices, each appending its dHash signatures and
+    * emitting exactly its new pairs against the strictly-earlier store —
+    * the union of emissions must equal the ONE-SHOT pair set (the same
+    * oracle as q_image_neardup), which is the whole exactly-once
+    * contract in one hash comparison. Store at a content-addressed
+    * artifact path, so a testdata regeneration invalidates it. */
+  val qImageNearDupStored: Q = "q_image_neardup_stored" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "dhash_sig_store")
+      val media = syntheticImages(s, d)
+      (0 until 3).map { i =>
+        Multimodal.dhashStoreAppend(
+          media.filter(pmod(col("media_id"), lit(3)) === i),
+          path, s"slice_$i")
+      }.reduce(_ unionAll _)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    IMG_PAIRS_SQL)
 
   /** Common-neighbor link prediction
     * ([[graft.ops.Graph.commonNeighborLinks]]) over the co-purchase
@@ -6276,6 +6310,66 @@ object Queries {
        |    - 21.43, 6) AS ari
        |FROM d GROUP BY source ORDER BY source""".stripMargin)
 
+  /** MMR diversified re-rank ([[graft.ops.Ann.mmrRerank]]): greedy
+    * relevance-minus-redundancy selection over an 8-deep exact
+    * shortlist, λ = 1/2 (dyadic ⇒ both score terms are exact halvings,
+    * so the oracle's unrolled two-step greedy replays bit-identically).
+    * The pass between ANN and the consumer that stops near-identical
+    * top hits from monopolizing the result slots. */
+  val qAnnMmr: Q = "q_ann_mmr" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.mmrRerank(emb, emb.filter(col("vec_id") < 8),
+          kShortlist = 8, kOut = 3, lambda = 0.5)
+        .orderBy(col("q_id"), col("mmr_rank"))
+    },
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v
+       |    FROM embeddings WHERE vec_id < 8),
+       |sc AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    round(${cosSql("q.q_v", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+       |sl AS (SELECT q_id, n_id, cos FROM (SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) WHERE rank <= 8),
+       |slv AS (SELECT sl.q_id, sl.n_id, sl.cos, e.embedding AS n_v
+       |  FROM sl JOIN embeddings e ON e.vec_id = sl.n_id),
+       |pw AS (SELECT x.q_id, x.n_id AS id_x, y.n_id AS id_y,
+       |    round(${cosSql("x.n_v", "y.n_v")}, 6) AS sim
+       |  FROM slv x JOIN slv y ON x.q_id = y.q_id AND x.n_id <> y.n_id),
+       |s1 AS (SELECT q_id, n_id, cos FROM (SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM sl) WHERE rn = 1),
+       |p2 AS (SELECT pw.q_id, pw.id_x AS n_id, max(pw.sim) AS pen
+       |  FROM pw JOIN s1 ON s1.q_id = pw.q_id AND s1.n_id = pw.id_y
+       |  GROUP BY 1, 2),
+       |c2 AS (SELECT sl.q_id, sl.n_id, sl.cos, p2.pen
+       |  FROM sl JOIN p2 USING (q_id, n_id)
+       |  WHERE NOT EXISTS (SELECT 1 FROM s1
+       |    WHERE s1.q_id = sl.q_id AND s1.n_id = sl.n_id)),
+       |s2 AS (SELECT q_id, n_id, cos FROM (SELECT c2.q_id, c2.n_id, c2.cos,
+       |    row_number() OVER (PARTITION BY c2.q_id
+       |      ORDER BY 0.5 * c2.cos - 0.5 * c2.pen DESC, c2.n_id) AS rn
+       |  FROM c2) WHERE rn = 1),
+       |sel2 AS (SELECT q_id, n_id FROM s1 UNION ALL SELECT q_id, n_id FROM s2),
+       |p3 AS (SELECT pw.q_id, pw.id_x AS n_id, max(pw.sim) AS pen
+       |  FROM pw JOIN sel2 ON sel2.q_id = pw.q_id AND sel2.n_id = pw.id_y
+       |  GROUP BY 1, 2),
+       |c3 AS (SELECT sl.q_id, sl.n_id, sl.cos, p3.pen
+       |  FROM sl JOIN p3 USING (q_id, n_id)
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel2
+       |    WHERE sel2.q_id = sl.q_id AND sel2.n_id = sl.n_id)),
+       |s3 AS (SELECT q_id, n_id, cos FROM (SELECT c3.q_id, c3.n_id, c3.cos,
+       |    row_number() OVER (PARTITION BY c3.q_id
+       |      ORDER BY 0.5 * c3.cos - 0.5 * c3.pen DESC, c3.n_id) AS rn
+       |  FROM c3) WHERE rn = 1)
+       |SELECT q_id, n_id, cos, mmr_rank FROM (
+       |  SELECT q_id, n_id, cos, CAST(1 AS BIGINT) AS mmr_rank FROM s1
+       |  UNION ALL
+       |  SELECT q_id, n_id, cos, CAST(2 AS BIGINT) FROM s2
+       |  UNION ALL
+       |  SELECT q_id, n_id, cos, CAST(3 AS BIGINT) FROM s3)
+       |ORDER BY q_id, mmr_rank""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6321,5 +6415,6 @@ object Queries {
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
     qPageRankDirected, qTriangles, qHits, qLpa, qEntityMatchCapped,
     qImageNearDup, qLinkPredict, qKcore, qReadability,
+    qImageNearDupStored, qAnnMmr,
   )
 }
