@@ -369,4 +369,71 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998,
+    * "The use of MMR, diversity-based reranking"): greedy selection of
+    * `kOut` results per query from a `kShortlist`-deep exact shortlist,
+    * each step taking the candidate maximizing
+    * `λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)` — relevance
+    * penalized by redundancy against what is already picked. This is
+    * THE diversified-retrieval pass a RAG/eval pipeline runs between
+    * ANN and the consumer: near-identical top hits collapse to one
+    * representative, freeing slots for distinct neighborhoods.
+    *
+    * Determinism: cosines round to 6 places (the [[bruteTopK]]
+    * contract), scores are two IEEE multiplies and a subtract, ties
+    * break by id — a dyadic λ (0.5, 0.25, …) makes λ·x and (1−λ)·y
+    * exact halvings/quarterings, so the oracle's unrolled replay is
+    * bit-identical.
+    *
+    * Scale: the greedy loop runs over SHORTLIST-sized frames only —
+    * pairwise sims are kShortlist² rows per query built once, each of
+    * the kOut−1 unrolled steps is one join + one windowed argmax over
+    * ≤ kShortlist rows per query. The corpus is touched exactly once
+    * (the shortlist build). Queries with fewer than kOut shortlist
+    * rows return as many ranks as they have candidates. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, kShortlist: Int,
+                kOut: Int, lambda: Double = 0.5,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kOut >= 1 && kOut <= kShortlist,
+      s"need 1 <= kOut <= kShortlist, got $kOut / $kShortlist")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = bruteTopK(corpus, queries, kShortlist, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_id")
+      .select(col("q_id"), col("n_id"), col("cos"), col("n_v"))
+      .persist(lvl)
+    val pw = sl.select(col("q_id"), col("n_id").as("id_x"), col("n_v").as("v_x"))
+      .join(sl.select(col("q_id"), col("n_id").as("id_y"), col("n_v").as("v_y")),
+        Seq("q_id"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(col("q_id"), col("id_x"), col("id_y"),
+        round(Vectors.cosine(col("v_x"), col("v_y")), 6).as("sim"))
+      .persist(lvl)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val first = sl
+      .withColumn("score", col("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), col("cos"), lit(1L).as("mmr_rank"))
+    var acc = first
+    for (t <- 2 to kOut) {
+      val pen = pw
+        .join(acc.select(col("q_id"), col("n_id").as("id_y")), Seq("q_id", "id_y"))
+        .groupBy(col("q_id"), col("id_x").as("n_id"))
+        .agg(max(col("sim")).as("pen"))
+      val next = sl.select("q_id", "n_id", "cos")
+        .join(acc.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+        .join(pen, Seq("q_id", "n_id"))
+        .withColumn("score",
+          lit(lambda) * col("cos") - lit(1.0 - lambda) * col("pen"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), col("cos"), lit(t.toLong).as("mmr_rank"))
+      acc = acc.unionAll(next)
+    }
+    // sl/pw stay persisted until the caller's action; clearCache owns release
+    acc
+  }
 }

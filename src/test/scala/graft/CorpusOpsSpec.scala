@@ -1016,4 +1016,34 @@ class CorpusOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
     assert(again.toSet === out.toSet)
   }
+
+  test("mmrRerank: redundancy penalty promotes the diverse candidate over the closer twin") {
+    // q leans toward a; b is a near-twin of a (high relevance, maximal
+    // redundancy once a is picked); c is orthogonal (low relevance,
+    // zero redundancy). Pure top-2 = (a, b); MMR at lambda=1/2 must
+    // pick c at rank 2 and push b to rank 3.
+    val vecs = Seq(
+      1L -> Array(1f, 0.05f),    // query
+      10L -> Array(1f, 0f),      // a
+      11L -> Array(0.98f, 0.199f), // b: near-twin of a
+      12L -> Array(0f, 1f)       // c: orthogonal
+    ).toDF("vec_id", "embedding")
+    val mmr = graft.ops.Ann.mmrRerank(vecs, vecs.filter($"vec_id" === 1L),
+        kShortlist = 3, kOut = 3, lambda = 0.5)
+      .select("mmr_rank", "n_id").as[(Long, Long)].collect().toMap
+    assert(mmr === Map(1L -> 10L, 2L -> 12L, 3L -> 11L), s"got $mmr")
+    // pure relevance order differs: b outranks c
+    val brute = graft.ops.Ann.bruteTopK(vecs, vecs.filter($"vec_id" === 1L), 3)
+      .select("rank", "n_id").as[(Int, Long)].collect().toMap
+    assert(brute(2) === 11L && brute(3) === 12L)
+    // kOut = 1 degenerates to the relevance argmax
+    val k1 = graft.ops.Ann.mmrRerank(vecs, vecs.filter($"vec_id" === 1L),
+      kShortlist = 3, kOut = 1).select("n_id").as[Long].collect().toSeq
+    assert(k1 === Seq(10L))
+    spark.catalog.clearCache()
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Ann.mmrRerank(vecs, vecs, kShortlist = 2, kOut = 3)
+    }
+    assert(ex.getMessage.contains("kOut"))
+  }
 }
