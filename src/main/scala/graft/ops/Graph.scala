@@ -472,11 +472,14 @@ object Graph {
       val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("label").asc)
-      val top = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("node"), col("label"))
+      // per-node argmax by (cnt desc, label asc) as a HASH AGGREGATE
+      // (max_by over the struct (cnt, -label); struct order is
+      // lexicographic, so negating the label flips its tie direction) —
+      // a row_number window here would SORT every partition per round,
+      // the q_dashboard max_by-over-window reasoning applied to the loop
+      val top = counts.groupBy(col("node"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
       val next = nodes.join(top, Seq("node"), "left")
         // isolated node (no in-rows after symmetrization can only mean
         // no neighbors at all): keeps its own id as label
@@ -532,10 +535,15 @@ object Graph {
     var cur = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    var nNodes = cur.select("src").distinct().count()
+    // convergence on EDGE count, not a distinct node count: removing any
+    // node removes >= 1 of its edges (every cur node has degree >= 1 by
+    // construction), so edge-count equality <=> node-set equality — and
+    // counting a checkpointed frame is a cached-block scan, no
+    // distinct exchange per round
+    var nEdges = cur.count()
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds && nNodes > 0) {
+    while (!converged && round < maxRounds && nEdges > 0) {
       round += 1
       val keep = cur.groupBy("src").agg(count(lit(1)).as("_d"))
         .filter(col("_d") >= k).select(col("src").as("node"))
@@ -544,13 +552,13 @@ object Graph {
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
         .localCheckpoint(true)
-      val n = next.select("src").distinct().count()
-      if (n == nNodes) { next.unpersist(); converged = true }
-      else { cur.unpersist(); cur = next; nNodes = n }
+      val n = next.count()
+      if (n == nEdges) { next.unpersist(); converged = true }
+      else { cur.unpersist(); cur = next; nEdges = n }
     }
-    require(converged || nNodes == 0,
-      s"kCore did not converge within $maxRounds rounds (still $nNodes " +
-        "nodes changing) — raise maxRounds; the fixpoint is unique, more " +
+    require(converged || nEdges == 0,
+      s"kCore did not converge within $maxRounds rounds ($nEdges edges " +
+        "still changing) — raise maxRounds; the fixpoint is unique, more " +
         "rounds only peel further")
     val out = cur.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("core_deg"))

@@ -520,6 +520,64 @@ object TextStats {
         round(col("odds"), 6).as("odds"), col("rank"))
   }
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic keyword extraction from individual documents"), corpus
+    * form: candidate phrases are maximal runs of content tokens between
+    * boundaries (stopwords or non-alphabetic tokens), capped at
+    * `maxPhraseLen` words; word degree = Σ phrase length over the
+    * word's phrase occurrences, word frequency = occurrence count; a
+    * phrase scores by its words' degree/frequency mass. This
+    * implementation uses the RATIO-OF-SUMS variant — score =
+    * (Σ_w deg(w)) / (Σ_w freq(w)) over the phrase's words — so the
+    * score is ONE division of two exact integer sums (classic RAKE
+    * sums per-word ratios, whose float fold order no two engines
+    * guarantee; same trade as distinctiveTerms' log-free odds).
+    *
+    * Scale: one posexplode + one per-doc window (partition bound =
+    * one document's token count), two hash aggregations, one join of
+    * phrase words against the word-stat table — all map-side
+    * combinable; no self-joins, no all-pairs anything.
+    *
+    * @return top-K (phrase, n, score) by (score desc, n desc, phrase) —
+    *         deterministic
+    */
+  def rakeKeywords(docs: DataFrame, stop: Seq[String], maxPhraseLen: Int,
+                   topK: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(maxPhraseLen >= 1 && topK >= 1)
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.Text.tokens(col(textCol))).as(Seq("pos", "term")))
+    val marked = toks.withColumn("boundary",
+      col("term").isin(stop: _*) || !col("term").rlike("^[a-z]+$"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val grouped = marked
+      .withColumn("grp", sum(when(col("boundary"), 1L).otherwise(0L)).over(w))
+      .filter(!col("boundary"))
+    val occ = grouped.groupBy(col("id"), col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("term")))).as("pt"))
+      .select(transform(col("pt"), x => x.getField("term")).as("words"))
+      .filter(size(col("words")).between(1, maxPhraseLen))
+      .select(col("words"), concat_ws(" ", col("words")).as("phrase"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wordStats = occ
+      .select(explode(col("words")).as("term"), size(col("words")).as("len"))
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("len")).cast("long").as("deg"))
+    val phrases = occ.groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n"), first(col("words")).as("words"))
+    val scored = phrases
+      .select(col("phrase"), col("n"), explode(col("words")).as("term"))
+      .join(wordStats, "term")
+      .groupBy(col("phrase"), col("n"))
+      .agg(sum(col("deg")).as("sd"), sum(col("freq")).as("sf"))
+      .select(col("phrase"), col("n"),
+        round(col("sd").cast("double") / col("sf").cast("double"), 6).as("score"))
+    // occ stays persisted until the caller's action; clearCache convention
+    scored.orderBy(col("score").desc, col("n").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Per-group readability card: Automated Readability Index (Senter &
     * Smith 1967 — chosen over Flesch-Kincaid because it needs NO
     * syllable counting, only characters/words/sentences, so every input

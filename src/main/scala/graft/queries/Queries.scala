@@ -6370,6 +6370,43 @@ object Queries {
        |  SELECT q_id, n_id, cos, CAST(3 AS BIGINT) FROM s3)
        |ORDER BY q_id, mmr_rank""".stripMargin)
 
+  /** RAKE keyword extraction ([[graft.ops.TextStats.rakeKeywords]]):
+    * top corpus keyphrases — maximal content-token runs between
+    * stopword/non-alpha boundaries, scored by word degree/frequency
+    * mass in the exact ratio-of-sums form (one division of two integer
+    * sums; classic RAKE's per-word float fold has no cross-engine
+    * order guarantee). The keyword card next to q_domain_terms'
+    * per-source odds and q_tfidf's per-doc weights. */
+  val qKeywords: Q = "q_keywords" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.rakeKeywords(Tables.documents(s, d),
+        graft.functions.Text.EN_STOPWORDS, maxPhraseLen = 3, topK = 15),
+    s"""WITH tk AS (SELECT doc_id, toks[t.pos] AS term, t.pos
+       |  FROM (SELECT doc_id, $TOKS AS toks FROM documents),
+       |  unnest(range(1, len(toks) + 1)) AS t(pos)),
+       |m AS (SELECT doc_id, pos, term,
+       |    CASE WHEN term IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+       |      OR NOT regexp_matches(term, '^[a-z]+$$') THEN 1 ELSE 0 END AS b
+       |  FROM tk),
+       |g AS (SELECT doc_id, pos, term, b,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+       |occ AS (SELECT list(term ORDER BY pos) AS words,
+       |    array_to_string(list(term ORDER BY pos), ' ') AS phrase
+       |  FROM g WHERE b = 0 GROUP BY doc_id, grp
+       |  HAVING count(*) BETWEEN 1 AND 3),
+       |ws AS (SELECT t.term, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(len(occ.words)) AS BIGINT) AS deg
+       |  FROM occ, unnest(occ.words) AS t(term) GROUP BY 1),
+       |ph AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+       |    any_value(words) AS words
+       |  FROM occ GROUP BY phrase),
+       |sc AS (SELECT ph.phrase, ph.n,
+       |    CAST(sum(ws.deg) AS DOUBLE) / CAST(sum(ws.freq) AS DOUBLE) AS s0
+       |  FROM ph, unnest(ph.words) AS t(term) JOIN ws ON ws.term = t.term
+       |  GROUP BY ph.phrase, ph.n)
+       |SELECT phrase, n, round(s0, 6) AS score FROM sc
+       |ORDER BY round(s0, 6) DESC, n DESC, phrase LIMIT 15""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6415,6 +6452,6 @@ object Queries {
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
     qPageRankDirected, qTriangles, qHits, qLpa, qEntityMatchCapped,
     qImageNearDup, qLinkPredict, qKcore, qReadability,
-    qImageNearDupStored, qAnnMmr,
+    qImageNearDupStored, qAnnMmr, qKeywords,
   )
 }

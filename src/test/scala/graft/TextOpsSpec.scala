@@ -382,6 +382,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(card.filter(length(col("term")) < 3).count() === 0)
   }
 
+  test("rakeKeywords: phrase runs split at stopword/non-alpha boundaries; ratio-of-sums scores") {
+    // doc1 phrases: [quick brown fox], [lazy dog] (split at 'the'/'and')
+    // doc2 phrase:  [quick dog]
+    // doc3: 4-word run exceeds maxPhraseLen -> dropped entirely
+    // doc4: 'jumps!' is a non-alpha boundary -> phrase [over]
+    val docs = Seq(
+      (1L, "the quick brown fox and lazy dog"),
+      (2L, "quick dog"),
+      (3L, "one two three four"),
+      (4L, "jumps! over")).toDF("doc_id", "text")
+    val got = graft.ops.TextStats.rakeKeywords(docs,
+        graft.functions.Text.EN_STOPWORDS, maxPhraseLen = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+    // word stats: quick f2 d5, brown f1 d3, fox f1 d3, lazy f1 d2,
+    // dog f2 d4, over f1 d1
+    val expect = Seq(
+      "quick brown fox" -> ((1L, 2.75)), // (5+3+3)/(2+1+1)
+      "quick dog" -> ((1L, 2.25)),       // (5+4)/(2+2)
+      "lazy dog" -> ((1L, 2.0)),         // (2+4)/(1+2)
+      "over" -> ((1L, 1.0)))
+    assert(got.toSeq === expect, s"got ${got.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("readability: hand-exact ARI from integer counts; fragment clamps to one sentence") {
     // source X: "one two three. four five!" -> words 5, chars 21
     // (norm length 25 - 5 + 1), sentences 2
