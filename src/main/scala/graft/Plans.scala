@@ -47,7 +47,8 @@ object Plans {
         "q_entity_match", "q_domain_terms", "q_ewma", "q_entity_clusters",
         "q_kanon", "q_normalize",
         "q_triangles", "q_hits", "q_entity_match_capped",
-        "q_image_neardup", "q_link_predict", "q_readability")
+        "q_image_neardup", "q_link_predict", "q_readability",
+        "q_keywords", "q_ann_mmr", "q_hybrid_rrf")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition

@@ -370,6 +370,44 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009, "RRF
+    * outperforms Condorcet and individual rank learning methods"):
+    * fuse two per-query rankings — canonically a LEXICAL one (BM25)
+    * and a SEMANTIC one (embedding top-k) — by
+    * `score = Σ_lists 1/(kConst + rank)`, the standard hybrid-search
+    * combiner. Rank-only fusion needs no score calibration between
+    * lists, and the constant damps the head so one list's #1 cannot
+    * drown the other's consensus.
+    *
+    * Determinism: ranks are exact integers, each term is one IEEE
+    * division, the sum is two terms in fixed order — bit-identical
+    * across engines; ties break by id. An item on only one list keeps
+    * that list's term (the other contributes 0).
+    *
+    * Scale: one full-outer join of two (queries × k)-sized rank tables
+    * + one windowed top-k — shortlist-sized everything; the corpus was
+    * only touched by the upstream rankers.
+    *
+    * @param a,b rankings with columns (q_id, n_id, rank)
+    * @return (q_id, n_id, rrf, rank) — top `topK` fused per query
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int, topK: Int): DataFrame = {
+    require(kConst >= 1 && topK >= 1, "need kConst >= 1 and topK >= 1")
+    val ar = a.select(col("q_id"), col("n_id"), col("rank").cast("long").as("ra"))
+    val br = b.select(col("q_id"), col("n_id"), col("rank").cast("long").as("rb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    ar.join(br, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"),
+        (coalesce(lit(1.0) / (lit(kConst.toDouble) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst.toDouble) + col("rb")), lit(0.0)))
+          .as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"),
+        round(col("score"), 6).as("rrf"), col("rank"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998,
     * "The use of MMR, diversity-based reranking"): greedy selection of
     * `kOut` results per query from a `kShortlist`-deep exact shortlist,

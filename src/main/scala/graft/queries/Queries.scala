@@ -6407,6 +6407,74 @@ object Queries {
        |SELECT phrase, n, round(s0, 6) AS score FROM sc
        |ORDER BY round(s0, 6) DESC, n DESC, phrase LIMIT 15""".stripMargin)
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion
+    * ([[graft.ops.Ann.rrfFuse]]): the BM25 lexical top-10 and the
+    * embedding-cosine semantic top-10 fused by Σ 1/(60 + rank) — the
+    * standard hybrid-search combiner (rank-only, so no score
+    * calibration between the two lists). Each fusion term is one IEEE
+    * division of exact integers, summed in fixed order — bit-identical
+    * across engines. Same driver-computed idf side-table discipline as
+    * q_bm25. */
+  val qHybridRrf: Q = "q_hybrid_rrf" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      graft.ops.TextStats.bm25IdfRows(n, maxDf = n)
+        .toDF("df", "idf").coalesce(1)
+        .write.mode("overwrite").parquet(codebookPath(d, "bm25_idf"))
+      val lex = graft.ops.TextStats.bm25TopK(docs,
+          docs.filter(col("doc_id") < 5).select(col("doc_id")),
+          k = 10, maxDf = n)
+        .select(col("q_id"), col("doc_id").as("n_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val sem = Ann.bruteTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("q_id"), col("n_id"), col("rank"))
+      Ann.rrfFuse(lex, sem, kConst = 60, topK = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH toks AS (SELECT doc_id AS id, unnest($TOKS) AS term FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf
+       |  GROUP BY 1 HAVING count(*) <= (SELECT count(*) FROM documents)),
+       |idf AS (SELECT df, idf
+       |  FROM read_parquet('/root/repo/artifacts/bm25_idf_${SF}/*.parquet')),
+       |qt AS (SELECT id AS q_id, term FROM tf WHERE id < 5),
+       |cand AS (SELECT q.q_id, t.id AS n_id, t.term, t.tf, d.dl, i.idf
+       |  FROM qt q JOIN dfq f USING (term) JOIN idf i USING (df)
+       |  JOIN tf t ON t.term = q.term AND t.id <> q.q_id
+       |  JOIN dl d ON d.id = t.id),
+       |lsc AS (SELECT q_id, n_id, list_sum(list(
+       |    idf * (CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 *
+       |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |    ORDER BY term)) AS score
+       |  FROM cand CROSS JOIN stats GROUP BY 1, 2),
+       |lex AS (SELECT q_id, n_id, ra FROM (SELECT q_id, n_id, row_number()
+       |    OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS ra
+       |  FROM lsc) WHERE ra <= 10),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_v
+       |  FROM embeddings WHERE vec_id < 5),
+       |ssc AS (SELECT q.q_id, e.vec_id AS n_id,
+       |    round(${cosSql("q.q_v", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+       |sem AS (SELECT q_id, n_id, rs FROM (SELECT q_id, n_id, row_number()
+       |    OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rs
+       |  FROM ssc) WHERE rs <= 10),
+       |fused AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+       |    COALESCE(l.n_id, s.n_id) AS n_id,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.ra), CAST(0 AS DOUBLE))
+       |    + COALESCE(CAST(1 AS DOUBLE) / (60 + s.rs), CAST(0 AS DOUBLE))
+       |      AS score
+       |  FROM lex l FULL JOIN sem s ON s.q_id = l.q_id AND s.n_id = l.n_id),
+       |r AS (SELECT q_id, n_id, round(score, 6) AS rrf, row_number()
+       |    OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+       |  FROM fused)
+       |SELECT q_id, n_id, rrf, CAST(rank AS BIGINT) AS rank FROM r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6452,6 +6520,6 @@ object Queries {
     qEntityClusters, qPpr, qKatz, qKanon, qNormalize,
     qPageRankDirected, qTriangles, qHits, qLpa, qEntityMatchCapped,
     qImageNearDup, qLinkPredict, qKcore, qReadability,
-    qImageNearDupStored, qAnnMmr, qKeywords,
+    qImageNearDupStored, qAnnMmr, qKeywords, qHybridRrf,
   )
 }

@@ -1017,6 +1017,19 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again.toSet === out.toSet)
   }
 
+  test("rrfFuse: consensus item outranks either list's solo head; one-list items keep their term") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "n_id", "rank")
+    val sem = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q_id", "n_id", "rank")
+    val got = graft.ops.Ann.rrfFuse(lex, sem, kConst = 60, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // n11 = 1/62 + 1/61 (consensus), n10 = 1/61, n12 = 1/62
+    val e11 = math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6
+    assert(got.map(_._1).toSeq === Seq(11L, 10L, 12L), s"got ${got.toSeq}")
+    assert(got.head._2 === e11 && got.head._3 === 1L)
+    assert(got(1)._2 === math.rint(1.0 / 61 * 1e6) / 1e6,
+      "lex-only item scores its single term")
+  }
+
   test("mmrRerank: redundancy penalty promotes the diverse candidate over the closer twin") {
     // q leans toward a; b is a near-twin of a (high relevance, maximal
     // redundancy once a is picked); c is orthogonal (low relevance,
