@@ -48,7 +48,7 @@ object Plans {
         "q_kanon", "q_normalize",
         "q_triangles", "q_hits", "q_entity_match_capped",
         "q_image_neardup", "q_link_predict", "q_readability",
-        "q_keywords", "q_ann_mmr", "q_hybrid_rrf")
+        "q_keywords", "q_ann_mmr", "q_hybrid_rrf", "q_harmonic")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition

@@ -502,6 +502,61 @@ object Graph {
     * pair blow-up is bounded by frequent items only (the df-cap pattern —
     * rare long-tail items never enter the quadratic step).
     */
+  /** WEIGHTED PageRank over a directed edge list with a positive weight
+    * column: each node distributes its rank proportionally to edge
+    * weight — contribution = rank · w / Σ_out w — instead of uniformly
+    * (the co-purchase-strength form: an edge backed by 40 shared
+    * baskets should carry 40× the endorsement of a one-off). Same loop
+    * shape, exactness discipline (fixed-point long partial sums over
+    * floor(rank·w/sw·1e18) — the per-edge scalar is identical IEEE
+    * arithmetic in any engine), per-iteration persist/release, and
+    * keep-every-node-row left join as [[pageRank]]; non-dangling mode
+    * only (every node must appear as a source — the undirected
+    * both-directions invariant).
+    *
+    * @param edges (srcCol, dstCol, weightCol) — parallel edges should be
+    *              pre-aggregated (duplicates are NOT collapsed here;
+    *              they'd each carry their weight, which is usually what
+    *              a weighted builder means anyway)
+    * @return (node, rank)
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRankWeighted needs at least one iteration")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w")).persist(lvl)
+    val sw = e.groupBy("src").agg(sum(col("w")).as("sw")).persist(lvl)
+    val nodes = sw.select(col("src").as("node")).persist(lvl)
+    val n = nodes.count()
+    val eW = e.join(sw, "src").persist(lvl)
+    val base = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var prev: DataFrame = null
+    for (it <- 1 to iters) {
+      val inMass = eW
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          floor(col("rank") * col("w") / col("sw") * lit(1e18))
+            .cast("long").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("in_mass"), lit(0L)).cast("double") / lit(1e18)))
+            .as("rank"))
+        .persist(lvl)
+      next.count()
+      if (it == 1) e.unpersist()
+      if (prev != null) prev.unpersist()
+      prev = next
+      ranks = next
+    }
+    eW.unpersist(); sw.unpersist(); nodes.unpersist()
+    ranks
+  }
+
   /** k-core decomposition (Seidman 1983, "Network structure and minimum
     * degree") of an UNDIRECTED graph: the maximal subgraph where every
     * node keeps degree ≥ k, found by synchronous peeling — drop all
@@ -564,6 +619,69 @@ object Graph {
       .agg(count(lit(1)).cast("long").as("core_deg"))
     // cur stays persisted until the caller's action; clearCache convention
     out
+  }
+
+  /** Seed-truncated harmonic centrality (Boldi & Vigna 2014, "Axioms
+    * for centrality" — harmonic is the closeness variant that handles
+    * disconnection): for every node, Σ_{s ∈ seeds} 1/d(s, node) over
+    * the seeds that reach it within `maxHops` — computed by one
+    * MULTI-SOURCE BFS carrying (seed, node) state, the exact truncated
+    * form of the sketch-based estimators (HyperBall) used when the seed
+    * set is the whole graph. Distances follow edge direction; pass a
+    * symmetrized edge list for the undirected reading.
+    *
+    * Scale: hop t joins the (seed, node) frontier — ≤ |seeds|·|V| rows,
+    * the explicit state bound — against the edge list once, then
+    * anti-joins the reached set; |seeds| is the caller's lever (this is
+    * the landmark/pivot form of centrality estimation — exact per
+    * seed, sampled over sources). Each hop's reached set is
+    * `localCheckpoint`ed (the kCore lineage discipline).
+    *
+    * @return (node, hops × count columns n1..n`maxHops`, harmonic) for
+    *         nodes reached by ≥ 1 seed in 1..maxHops hops; the
+    *         harmonic sum folds n1/1 + n2/2 + … in fixed hop order
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"maxHops in [1, 8] (hop columns are materialized), got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed rows restricted to actual graph nodes, so a superset seed
+    // source gives the same result (the personalizedPageRank contract)
+    val s0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .join(e.select(col("src").as("seed")).distinct(), Seq("seed"), "left_semi")
+    var reached = s0.select(col("seed"), col("seed").as("node"))
+      .localCheckpoint(true)
+    var frontier = reached
+    val hopCounts = (1 to maxHops).map { t =>
+      val next = frontier.withColumnRenamed("node", "src")
+        .join(e, "src")
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(reached, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      val counts = next.groupBy("node")
+        .agg(count(lit(1)).cast("long").as(s"n$t"))
+      reached = reached.unionAll(next).localCheckpoint(true)
+      frontier = next
+      counts
+    }
+    e.unpersist()
+    val joined = hopCounts.reduce { (a, b) =>
+      a.join(b, Seq("node"), "full_outer")
+    }
+    val filled = (1 to maxHops).foldLeft(joined) { (df, t) =>
+      df.withColumn(s"n$t", coalesce(col(s"n$t"), lit(0L)))
+    }
+    // fixed-order fold: ((n1/1 + n2/2) + n3/3) + … — each term one IEEE
+    // division of exact longs, replayable in any engine
+    val harmonic = (1 to maxHops).map(t =>
+        col(s"n$t").cast("double") / lit(t.toDouble))
+      .reduce(_ + _)
+    filled.select((col("node") +: (1 to maxHops).map(t => col(s"n$t"))
+      :+ harmonic.as("harmonic")): _*)
   }
 
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
@@ -640,5 +758,29 @@ object Graph {
       .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
+
+  /** [[copurchaseEdges]] with EDGE WEIGHTS: w = number of shared baskets
+    * per directed item pair (symmetric by construction). Same
+    * collected-set shape and support prefilter; the final step is a
+    * count aggregation instead of a distinct — identical exchange, one
+    * extra long per row. Feed to [[pageRankWeighted]]. */
+  def copurchaseWeightedEdges(baskets: DataFrame, basketCol: String,
+                              itemCol: String,
+                              minItemSupport: Long): DataFrame = {
+    val sets0 = baskets
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .groupBy("basket").agg(collect_set(col("item")).as("items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = sets0.select(col("basket"), explode(col("items")).as("item"))
+    val freq = b.groupBy("item").agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minItemSupport)
+      .select("item")
+    val fsets = b.join(freq, "item")
+      .groupBy("basket").agg(collect_set(col("item")).as("items"))
+    fsets.select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
   }
 }

@@ -6475,6 +6475,97 @@ object Queries {
        |SELECT q_id, n_id, rrf, CAST(rank AS BIGINT) AS rank FROM r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** Weighted PageRank ([[graft.ops.Graph.pageRankWeighted]]) over the
+    * co-purchase graph with shared-basket counts as edge weights
+    * ([[graft.ops.Graph.copurchaseWeightedEdges]]): endorsement
+    * proportional to co-purchase strength, not mere adjacency — an edge
+    * backed by 40 baskets carries 40× a one-off. Same fixed-point-long
+    * exactness contract as q_pagerank; the per-edge scalar
+    * rank·w/sw·1e18 is the identical IEEE expression in both engines. */
+  val qPageRankWeighted: Q = "q_pagerank_weighted" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseWeightedEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.pageRankWeighted(edges, "src", "dst", "w",
+          iters = 3, damping = 0.85)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("part")).limit(20)
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT x.item AS src, y.item AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item
+      |  GROUP BY 1, 2),
+      |d AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+      |m1 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r0.rank * e.w / d.sw * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT m1.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m1, nn),
+      |m2 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r1.rank * e.w / d.sw * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT m2.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m2, nn),
+      |m3 AS (SELECT e.dst AS node,
+      |    CAST(sum(CAST(floor(r2.rank * e.w / d.sw * 1e18) AS BIGINT)) AS BIGINT) AS im
+      |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT m3.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+      |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m3, nn)
+      |SELECT node AS part, round(rank, 6) AS rank FROM r3
+      |ORDER BY round(rank, 6) DESC, part LIMIT 20""".stripMargin)
+
+  /** Seed-truncated harmonic centrality
+    * ([[graft.ops.Graph.harmonicCentrality]]): Σ 1/d(seed, part) over a
+    * deterministic seed set within 2 hops of the co-purchase graph —
+    * the landmark form of closeness (exact per seed, sampled over
+    * sources; the seed-count is the scale lever). Hop counts are exact
+    * integers; the harmonic fold is two IEEE divisions in fixed hop
+    * order. */
+  val qHarmonic: Q = "q_harmonic" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      val seeds = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("part")).distinct()
+        .filter(col("part") % 97 === 0)
+      graft.ops.Graph.harmonicCentrality(edges, "src", "dst",
+          seeds, "part", maxHops = 2)
+        .select(col("node").as("part"), col("n1"), col("n2"),
+          round(col("harmonic"), 6).as("harmonic"))
+        .orderBy(col("part"))
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |sd AS (SELECT DISTINCT src AS seed FROM e WHERE src % 97 = 0),
+      |d1 AS MATERIALIZED (SELECT DISTINCT sd.seed, e.dst AS node
+      |  FROM sd JOIN e ON e.src = sd.seed WHERE e.dst <> sd.seed),
+      |d2 AS MATERIALIZED (SELECT DISTINCT d1.seed, e.dst AS node
+      |  FROM d1 JOIN e ON e.src = d1.node
+      |  WHERE e.dst <> d1.seed AND NOT EXISTS (SELECT 1 FROM d1 x
+      |    WHERE x.seed = d1.seed AND x.node = e.dst)),
+      |c1 AS (SELECT node, CAST(count(*) AS BIGINT) AS n1 FROM d1 GROUP BY 1),
+      |c2 AS (SELECT node, CAST(count(*) AS BIGINT) AS n2 FROM d2 GROUP BY 1),
+      |j AS (SELECT COALESCE(c1.node, c2.node) AS node,
+      |    COALESCE(c1.n1, CAST(0 AS BIGINT)) AS n1,
+      |    COALESCE(c2.n2, CAST(0 AS BIGINT)) AS n2
+      |  FROM c1 FULL JOIN c2 ON c2.node = c1.node)
+      |SELECT node AS part, n1, n2,
+      |  round(CAST(n1 AS DOUBLE) / 1.0 + CAST(n2 AS DOUBLE) / 2.0, 6)
+      |    AS harmonic
+      |FROM j ORDER BY part""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6521,5 +6612,6 @@ object Queries {
     qPageRankDirected, qTriangles, qHits, qLpa, qEntityMatchCapped,
     qImageNearDup, qLinkPredict, qKcore, qReadability,
     qImageNearDupStored, qAnnMmr, qKeywords, qHybridRrf,
+    qPageRankWeighted, qHarmonic,
   )
 }

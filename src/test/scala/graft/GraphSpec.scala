@@ -277,6 +277,65 @@ class GraphSpec extends SparkTestBase {
       "hub-only-certified pairs are gone under the cap")
   }
 
+  test("pageRankWeighted: uniform weights reproduce pageRank bit-for-bit") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val w1 = edges.withColumn("w", lit(1L))
+    val a = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Graph.pageRankWeighted(w1, "src", "dst", "w", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(a === b, "rank*1/deg is the identical IEEE expression")
+  }
+
+  test("pageRankWeighted: rank follows the heavy edge") {
+    // a sends 3/4 of its mass to b, 1/4 to c; b and c return everything
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(e, "src", "dst", "w", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // r1(b) = 0.05 + 0.85 * (1/3 * 3/4); r1(c) = 0.05 + 0.85 * (1/3 * 1/4)
+    assert(math.abs(r(2L) - (0.05 + 0.85 * 0.25)) < 1e-12, s"got $r")
+    assert(math.abs(r(3L) - (0.05 + 0.85 / 12)) < 1e-12, s"got $r")
+    assert(r(2L) > r(3L), "the heavier edge carries more endorsement")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "mass conserved")
+  }
+
+  test("copurchaseWeightedEdges: w counts shared baskets; support prefilter holds") {
+    val baskets = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 99L)).toDF("basket", "item")
+    val e = Graph.copurchaseWeightedEdges(baskets, "basket", "item",
+        minItemSupport = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(e === Map((10L, 11L) -> 3L, (11L, 10L) -> 3L),
+      s"99 is below support; 10-11 share three baskets — got $e")
+  }
+
+  test("harmonicCentrality: hop counts and the 1/d fold on a directed path") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("s")
+    val r = Graph.harmonicCentrality(path, "src", "dst", seeds, "s", maxHops = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r === Map(
+      2L -> ((1L, 0L, 0L, 1.0)),
+      3L -> ((0L, 1L, 0L, 0.5)),
+      4L -> ((0L, 0L, 1L, 1.0 / 3))), s"got $r")
+    // two seeds: node 3 is 2 hops from seed 1 AND 1 hop from seed 2
+    val r2 = Graph.harmonicCentrality(path, "src", "dst",
+        Seq(1L, 2L).toDF("s"), "s", maxHops = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    assert(r2(3L) === 1.5 && r2(4L) === 0.5 + 1.0 / 3, s"got $r2")
+  }
+
+  test("harmonicCentrality: BFS never revisits — a cycle stops at the reached set") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.harmonicCentrality(cyc, "src", "dst",
+        Seq(1L).toDF("s"), "s", maxHops = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(r === Map(2L -> 1.0), "seed itself is never re-counted")
+  }
+
   test("kCore: pendant peels, triangle survives, chains cascade to empty") {
     // triangle 1-2-3 with pendant 4: the 2-core is exactly the triangle
     val t = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")

@@ -53,6 +53,69 @@ class ImageDupStreamSpec extends SparkTestBase {
       "union of streamed emissions must equal the one-shot pair set")
   }
 
+  test("crash after append, before checkpoint commit: restart converges to the uninterrupted run") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val root = java.nio.file.Files.createTempDirectory("im_restart").toString
+    val batch0: Seq[(Long, Array[Byte])] = Seq(1L -> imgA, 2L -> imgB)
+    val batch1: Seq[(Long, Array[Byte])] = Seq(3L -> imgA2, 4L -> imgB)
+
+    def feed(in: String, name: String, rows: Seq[(Long, Array[Byte])]): Unit = {
+      val stage = s"$root/stage-$name"
+      rows.toDF("media_id", "content").coalesce(1).write.mode("overwrite").parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(in, s"$name-$i.parquet"))
+        }
+    }
+
+    def run(store: String, in: String, ckpt: String, crash: Boolean)
+        : Map[Long, Set[(Long, Long, Long)]] = {
+      new java.io.File(in).mkdirs()
+      val out = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long)]]
+      @volatile var armed = crash
+      def start() = ImageDupStream.selfMaintaining(
+          spark.readStream.schema(schema).parquet(in), store) { (bid, pairs) =>
+          val r = pairsOf(pairs)
+          if (bid == 1L && armed) {
+            armed = false
+            throw new RuntimeException("injected crash: append done, checkpoint commit not")
+          }
+          out(bid) = r
+        }.option("checkpointLocation", ckpt).start()
+      feed(in, "b0", batch0)
+      val q1 = start()
+      q1.processAllAvailable()
+      feed(in, "b1", batch1)
+      if (crash) {
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+        assert(!q1.isActive, "query must have died on the injected crash")
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      } else {
+        try q1.processAllAvailable() finally q1.stop()
+      }
+      if (q1.isActive) q1.stop()
+      out.toMap
+    }
+
+    val crashed = run(s"$root/store", s"$root/inA", s"$root/ckpt", crash = true)
+    val clean = run(s"$root/storeRef", s"$root/inB", s"$root/ckptRef", crash = false)
+    assert(crashed === clean,
+      s"replayed batch must emit the uninterrupted run's pairs: $crashed vs $clean")
+    assert(crashed(1L) === Set((1L, 3L, 1L), (2L, 4L, 0L)),
+      "both cross pairs must survive the replay")
+    def storeRows(p: String) =
+      spark.read.parquet(p).select("id", "dhash", "tag")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(storeRows(s"$root/store") === storeRows(s"$root/storeRef"),
+      "store after crash+restart must equal the uninterrupted store bit-for-bit")
+  }
+
   test("replay recomputes the identical emission; undecodable rows drop out") {
     val store = java.nio.file.Files.createTempDirectory("im_rp").toString + "/st"
     val b0 = Seq(1L -> imgA, 2L -> imgB).toDF("media_id", "content")
