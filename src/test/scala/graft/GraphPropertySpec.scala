@@ -95,4 +95,51 @@ class GraphPropertySpec extends SparkTestBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("triangleCounts and kCore: equivariant under ARBITRARY relabeling") {
+    // both are pure graph invariants — no tie-break leaks into the
+    // output — so ANY bijection must map results exactly. phi is
+    // non-monotone (multiplication mod a prime scrambles order).
+    def phi(x: Long): Long = (x * 37L) % 1009L
+    for (s <- 1 to 3) {
+      val es = undirected(2000L * s, n = 14, m = 22)
+      val esP = es.map { case (a, b) => (phi(a), phi(b)) }
+      val tri = Graph.triangleCounts(es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      spark.catalog.clearCache()
+      val triP = Graph.triangleCounts(esP.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      spark.catalog.clearCache()
+      assert(tri.map { case (k, v) => phi(k) -> v } === triP,
+        s"seed $s: triangle counts must follow the relabeling")
+      val core = Graph.kCore(es.toDF("src", "dst"), "src", "dst", k = 3L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      val coreP = Graph.kCore(esP.toDF("src", "dst"), "src", "dst", k = 3L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      assert(core.map { case (k, v) => phi(k) -> v } === coreP,
+        s"seed $s: the k-core must follow the relabeling")
+    }
+  }
+
+  test("labelPropagation: equivariant under MONOTONE relabeling") {
+    // the smallest-label tie-break makes LPA a function of the id ORDER,
+    // so equivariance holds exactly for order-preserving maps (and that
+    // is the right property to pin: a non-monotone map may change which
+    // label wins a tie, by design)
+    def phi(x: Long): Long = 3 * x + 7
+    for (s <- 1 to 3) {
+      val es = undirected(3000L * s, n = 12, m = 16)
+      val esP = es.map { case (a, b) => (phi(a), phi(b)) }
+      val l = Graph.labelPropagation(es.toDF("src", "dst"), "src", "dst", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      val lP = Graph.labelPropagation(esP.toDF("src", "dst"), "src", "dst", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      assert(l.map { case (k, v) => (phi(k), phi(v)) } === lP,
+        s"seed $s: labels must follow an order-preserving relabeling")
+    }
+  }
 }
