@@ -783,4 +783,108 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
   }
+
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009,
+    * "Predicting missing links via local information"): like
+    * [[commonNeighborLinks]] but each shared neighbor w contributes
+    * 1/deg(w) instead of 1 — a hub shared by everyone certifies almost
+    * nothing, a low-degree shared neighbor is strong evidence. RA
+    * outperformed Adamic-Adar (1/ln deg) in the paper's evaluations and
+    * has the cross-engine-exactness property AA lacks: the weight is
+    * computed in FIXED-POINT (2^20/deg by integer division), so scores
+    * are plain long sums — order-free, bit-identical in any engine — and
+    * the score RANKING equals the rational Σ2^20/deg ranking up to the
+    * 2^-20 truncation granularity (documented, deterministic).
+    *
+    * Same wedge machinery and `maxCenterDeg` volume bound as
+    * [[commonNeighborLinks]] (Σ wedges ≤ cap·2|E|); the degree used for
+    * the weight is the FULL degree (hubs excluded as centers still have
+    * their true degree — the cap governs candidate generation, not the
+    * score definition).
+    *
+    * @return (node_a, node_b, score_fp, common) — non-adjacent pairs
+    *         (a < b) with ≥ minCommon shared (non-hub) neighbors;
+    *         score_fp = Σ_w (2^20 div deg(w)), descending = strongest
+    */
+  def resourceAllocationLinks(edges: DataFrame, srcCol: String,
+                              dstCol: String, maxCenterDeg: Long,
+                              minCommon: Long): DataFrame = {
+    require(maxCenterDeg >= 1, "maxCenterDeg must be >= 1")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val degrees = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    val centers = degrees.filter(col("deg") <= maxCenterDeg)
+      .select(col("w"), expr("1048576 div deg").cast("long").as("wt"))
+    val adjK = adj.join(centers, Seq("w"))
+    val wedges = adjK.select(col("w"), col("wt"), col("n").as("node_a"))
+      .join(adjK.select(col("w"), col("n").as("node_b")), Seq("w"))
+      .filter(col("node_a") < col("node_b"))
+    val scored = wedges.groupBy("node_a", "node_b")
+      .agg(sum(col("wt")).cast("long").as("score_fp"),
+        count(lit(1)).cast("long").as("common"))
+      .filter(col("common") >= minCommon)
+    scored.join(e,
+      scored("node_a") === e("a") && scored("node_b") === e("b"), "left_anti")
+  }
+
+  /** Degree assortativity coefficient (Newman 2002, "Assortative mixing
+    * in networks"): the Pearson correlation of the degrees at the two
+    * ends of an edge — positive = hubs link to hubs (social networks),
+    * negative = hubs link to leaves (technological/co-occurrence
+    * graphs). One number that summarizes whether a graph's dense core
+    * is hub-hub or hub-periphery — the first diagnostic to read before
+    * choosing between the engine's hub-cap levers (BM25 df cap, wedge
+    * center cap, hot-block cap).
+    *
+    * Exactness: every sum is an integer (degree products of long
+    * degrees) accumulated in DECIMAL(38,0) — order-free exact at any
+    * scale (Σ x·y at 10^12 edges with 10^6-degree hubs needs ~10^24,
+    * past long range) — and `r` is a fixed arithmetic expression over
+    * those exact sums (correctly-rounded IEEE steps, engine-identical).
+    * Both orientations of every undirected edge are summed, so
+    * Σx = Σy by construction (the standard undirected formulation).
+    *
+    * @return one row: (m_ends, sum_x, sum_xy, sum_x2, r)
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degrees = adj.groupBy("w").agg(count(lit(1)).cast("long").as("deg"))
+    val ends = adj
+      .join(degrees.withColumnRenamed("w", "jw")
+        .withColumnRenamed("deg", "deg_x"), col("w") === col("jw"))
+      .drop("jw")
+      .join(degrees.withColumnRenamed("w", "jn")
+        .withColumnRenamed("deg", "deg_y"), col("n") === col("jn"))
+      .select(col("deg_x").cast("decimal(38,0)").as("x"),
+        col("deg_y").cast("decimal(38,0)").as("y"))
+    val sums = ends.agg(
+      count(lit(1)).cast("long").as("m_ends"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sx2"))
+    // r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — undirected symmetric form
+    // (Σx = Σy, Σx² = Σy²); exact integer sums, then IEEE steps only
+    sums.select(col("m_ends"),
+      col("sx").cast("long").as("sum_x"),
+      col("sxy").cast("long").as("sum_xy"),
+      col("sx2").cast("long").as("sum_x2"),
+      ((col("m_ends").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) /
+        (col("m_ends").cast("double") * col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))).as("r"))
+  }
 }

@@ -109,4 +109,54 @@ object Linkage {
         .drop("_bn")
       rows.join(keep, blockCols, "left_semi")
     }
+
+  /** GOLDEN-RECORD consolidation (survivorship): collapse each entity
+    * cluster (from [[blockedPairs]] →
+    * [[graft.ops.Dedup.duplicateClusters]]) to one canonical record —
+    * the step after matching that master-data practice calls merge
+    * rules (Christen 2012 §2.5; Talburt's "survivorship"). Rules here,
+    * each deterministic and engine-replayable:
+    *
+    *  - canonical id  = MIN member id (the cluster id itself — the
+    *    hash-min contract [[graft.ops.Dedup.duplicateClusters]] already
+    *    guarantees);
+    *  - each requested string field = the MODAL non-null value,
+    *    ties to the lexicographically smallest (frequency is the
+    *    standard survivorship vote; the tie rule makes it a pure
+    *    function of the multiset);
+    *  - `n_members`, and per-field `n_distinct` (how contested the
+    *    vote was — the audit column reviewers ask for first).
+    *
+    * One aggregation per field over cluster-sized groups (clusters are
+    * small by construction — blocking bounds them), then a thin join of
+    * the ≤ |fields| vote tables on cluster_id. Only multi-member
+    * clusters are emitted: a singleton IS its own golden record, and at
+    * 100 TB emitting them would duplicate the input for no information.
+    *
+    * @param clusters (id, cluster_id) from duplicateClusters
+    * @param records  the master table carrying `idCol` + `fields`
+    */
+  def goldenRecords(records: DataFrame, clusters: DataFrame,
+                    idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to consolidate")
+    val members = clusters
+      .join(records.withColumnRenamed(idCol, "_gid"),
+        clusters("id") === col("_gid"))
+    val sizes = members.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .filter(col("n_members") >= 2L)
+    val votes = fields.map { f =>
+      members.filter(col(f).isNotNull)
+        .groupBy(col("cluster_id"), col(f))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("cluster_id")
+        .agg(
+          // min over (−count, value): largest count, then smallest value
+          min_by(col(f), struct((col("cnt") * -1).as("nc"), col(f)))
+            .as(s"golden_$f"),
+          count(lit(1)).cast("long").as(s"n_distinct_$f"))
+    }
+    votes.foldLeft(sizes)((acc, v) => acc.join(v, Seq("cluster_id")))
+      .orderBy(col("cluster_id"))
+  }
 }

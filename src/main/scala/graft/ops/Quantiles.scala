@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-bucket histogram as a MERGEABLE QUANTILE SUMMARY — the exact,
+  * engine-replayable alternative to order-dependent quantile sketches
+  * (t-digest / KLL / `approx_percentile`, whose buffers merge
+  * nondeterministically): bucket = value div width, merge = per-bucket
+  * SUM (associative/commutative — the [[Cms]] algebra), quantile
+  * answers exact to ±width by construction.
+  *
+  * This is the monitoring shape for training pipelines — "p50/p95/p99
+  * document token count per day, maintained incrementally as shards
+  * arrive" — where the value RANGE is known and bounded (lengths,
+  * latencies, scores) and a fixed resolution beats a sketch: the
+  * histogram is ≤ range/width rows FOREVER, answers any quantile after
+  * the fact, and two engines computing it can be hash-compared, which
+  * no merged t-digest survives.
+  *
+  * Quantile rule (all-integer): target rank = ⌈q·N⌉ computed as
+  * `(N·num + den − 1) div den` for the rational q = num/den; the
+  * answer is the smallest bucket whose cumulative count reaches the
+  * target — the standard lower-empirical-quantile definition, exact on
+  * bucket boundaries and deterministic under ties.
+  *
+  * Scale: the build is one map-side-combinable hash aggregation to
+  * ≤ range/width rows; the cumulative pass runs over the HISTOGRAM
+  * (model-sized — thousands of rows for any sane width), not the data.
+  * The store lifecycle is [[Cms]]'s: additive cells, exactly-once per
+  * batch via [[Stores.appendCommit]] markers (sum is not idempotent).
+  */
+object Quantiles {
+
+  /** (bucket, cnt) histogram of the long-valued `valueExpr`, bucket =
+    * value div `bucketWidth`. Negative values bucket by floor division
+    * (Spark/DuckDB `div` truncates toward zero — keep values
+    * non-negative, the length/latency/score domain this targets). */
+  def histogram(df: DataFrame, valueExpr: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    df.select(expr(s"cast(($valueExpr) as bigint) div $bucketWidth")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Quantile labels with rational ranks: (label, num, den). */
+  val StandardQs: Seq[(String, Int, Int)] =
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  /** Answer quantiles from a (merged) histogram: one row per label —
+    * (p_label, target, bucket, lo, cum) where lo = bucket·width is the
+    * answer's lower bound and cum the cumulative count at that bucket.
+    * The cumulative window runs over the model-sized histogram (single
+    * frame — documented; never over the data). */
+  def quantiles(hist: DataFrame, qs: Seq[(String, Int, Int)],
+                bucketWidth: Long): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (l, n, d) =>
+      require(n >= 1 && d >= n, s"quantile $l: need 1 <= num <= den") }
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cum.agg(max("cum")).as[Long].head()
+    val targets = qs.map { case (label, num, den) =>
+      (label, (n * num + den - 1) / den)
+    }.toDF("p_label", "target")
+    val sel = targets.join(cum, col("cum") >= col("target"))
+      .groupBy("p_label", "target")
+      .agg(min(col("bucket")).as("bucket"))
+    val out = sel.join(cum.select(col("bucket"), col("cum")), Seq("bucket"))
+      .select(col("p_label"), col("target"), col("bucket"),
+        (col("bucket") * bucketWidth).as("lo"), col("cum"))
+    // cum stays persisted until the caller's action (clearCache
+    // convention) — it fed the count, the join, and the final lookup
+    out
+  }
+
+  /** DuckDB mirror of [[histogram]]+[[quantiles]] for a source relation
+    * `src(v)` — CTEs ending in `hq(p_label, target, bucket, lo, cum)`.
+    */
+  def oracleCtes(src: String, qs: Seq[(String, Int, Int)],
+                 bucketWidth: Long): String = {
+    val values = qs.map { case (l, n, d) => s"('$l', $n, $d)" }.mkString(", ")
+    s"""hq_h AS (SELECT v // $bucketWidth AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM $src GROUP BY 1),
+       |hq_c AS (SELECT bucket, cnt,
+       |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM hq_h),
+       |hq_n AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM hq_c),
+       |hq_t AS (SELECT t.p_label, (hq_n.n * t.num + t.den - 1) // t.den
+       |    AS target
+       |  FROM (VALUES $values) AS t(p_label, num, den), hq_n),
+       |hq_s AS (SELECT p_label, target, min(bucket) AS bucket
+       |  FROM hq_t JOIN hq_c ON hq_c.cum >= hq_t.target GROUP BY 1, 2),
+       |hq AS (SELECT hq_s.p_label, hq_s.target, hq_s.bucket,
+       |    hq_s.bucket * $bucketWidth AS lo, hq_c.cum
+       |  FROM hq_s JOIN hq_c USING (bucket))""".stripMargin
+  }
+
+  /** Append one batch's histogram into a parquet store — rows
+    * (bucket, cnt, tag); exactly-once per `batchTag` (additive merge —
+    * the marker is load-bearing, as in [[Cms.storeAppend]]). */
+  def storeAppend(df: DataFrame, path: String, batchTag: String,
+                  valueExpr: String, bucketWidth: Long): Unit = {
+    val spark = df.sparkSession
+    val h = histogram(df, valueExpr, bucketWidth)
+      .withColumn("tag", lit(batchTag))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      h.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      h.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** The merged histogram from an append store (sum across tags). */
+  def fromStore(spark: SparkSession, path: String): DataFrame = {
+    Stores.requireStore(spark, path, "append histogram batches first")
+    spark.read.parquet(path)
+      .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+}

@@ -6566,6 +6566,325 @@ object Queries {
       |    AS harmonic
       |FROM j ORDER BY part""".stripMargin)
 
+  /** HyperLogLog distinct-token cardinality per source
+    * ([[graft.ops.Hll]]): the register-table sketch whose estimate is
+    * EXACTLY replayable in SQL — Z is an integer (Σ of long shifts),
+    * the estimator two IEEE steps over exact operands, so the hash gate
+    * certifies the whole sketch, not a tolerance band. `exact_distinct`
+    * rides along as the visible accuracy witness (raw-estimator regime:
+    * the graded cardinalities are ≫ 3m). m = 256 ⇒ ≤ 256 rows/source
+    * cross the final exchange regardless of corpus size. */
+  val qHllCard: Q = "q_hll_card" -> (
+    (s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val est = graft.ops.Hll.estimate(
+        graft.ops.Hll.registers(toks, Seq("source"), "tok", 256),
+        Seq("source"), 256)
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("tok")).cast("long").as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("buckets_hit"),
+          round(col("est"), 6).as("est"), col("exact_distinct"))
+        .orderBy(col("source"))
+    },
+    s"""WITH t AS (SELECT source, unnest($TOKS) AS tok FROM documents),
+       |tf AS (SELECT source, tok AS v FROM t WHERE tok <> ''),
+       |${graft.ops.Hll.oracleCtes("tf", Seq("source"), 256)},
+       |ex AS (SELECT source, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+       |  FROM tf GROUP BY 1)
+       |SELECT source, buckets_hit, round(est, 6) AS est, exact_distinct
+       |FROM hll_est JOIN ex USING (source) ORDER BY source""".stripMargin)
+
+  /** The [[qHllCard]] sketch built INCREMENTALLY through the register
+    * store ([[graft.ops.Hll.registerStoreAppend]], three corpus slices
+    * by doc_id mod 3) and estimated from the max-merge — hash-equal to
+    * the one-shot oracle, certifying the merge algebra end-to-end. The
+    * max-merge is IDEMPOTENT, so this store has the strongest replay
+    * story in the engine: even a double-posted batch is a no-op at the
+    * algebra level, before the `_appended_*` marker ever matters. */
+  val qHllStored: Q = "q_hll_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "hll_regs")
+      def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      (0 to 2).foreach { k =>
+        graft.ops.Hll.registerStoreAppend(slice(k), store, s"b$k",
+          Seq("source"), "tok", 256)
+      }
+      val est = graft.ops.Hll.estimateFromStore(s, store, Seq("source"), 256)
+      val exact = docs
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).cast("long").as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("buckets_hit"),
+          round(col("est"), 6).as("est"), col("exact_distinct"))
+        .orderBy(col("source"))
+    },
+    s"""WITH t AS (SELECT source, unnest($TOKS) AS tok FROM documents),
+       |tf AS (SELECT source, tok AS v FROM t WHERE tok <> ''),
+       |${graft.ops.Hll.oracleCtes("tf", Seq("source"), 256)},
+       |ex AS (SELECT source, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+       |  FROM tf GROUP BY 1)
+       |SELECT source, buckets_hit, round(est, 6) AS est, exact_distinct
+       |FROM hll_est JOIN ex USING (source) ORDER BY source""".stripMargin)
+
+  /** Count-Min point-frequency estimates ([[graft.ops.Cms]]) for the
+    * corpus's top-20 tokens: the d×w additive sketch probed against
+    * exact counts — `est ≥ exact` is the CMS guarantee, visible per row
+    * (est > exact rows are real collisions at w = 1024 against a
+    * multi-thousand-token vocabulary). Build cost: one vocab-sized
+    * aggregation + a map-side 4-way cell explode; probes join the
+    * ≤ 4096-row sketch broadcast. */
+  val qCmsFreq: Q = "q_cms_freq" -> (
+    (s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("v"))
+        .filter(col("v") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = toks.groupBy("v")
+        .agg(count(lit(1)).cast("long").as("exact"))
+      val top = exact.orderBy(col("exact").desc, col("v")).limit(20)
+      val sketch = graft.ops.Cms.build(toks, "v", depth = 4, width = 1024)
+      top.join(graft.ops.Cms.probe(top.select("v"), sketch, 4, 1024), Seq("v"))
+        .select(col("v").as("tok"), col("exact"), col("est"))
+        .orderBy(col("tok"))
+    },
+    s"""WITH t AS (SELECT unnest($TOKS) AS v FROM documents),
+       |tf AS (SELECT v FROM t WHERE v <> ''),
+       |ex AS (SELECT v, CAST(count(*) AS BIGINT) AS exact FROM tf GROUP BY 1),
+       |top AS (SELECT v, exact FROM ex ORDER BY exact DESC, v LIMIT 20),
+       |${graft.ops.Cms.oracleCtes("tf", "top", 4, 1024)}
+       |SELECT top.v AS tok, top.exact, cms_est.est
+       |FROM top JOIN cms_est USING (v) ORDER BY tok""".stripMargin)
+
+  /** [[qCmsFreq]] through the ADDITIVE sketch store
+    * ([[graft.ops.Cms.storeAppend]], three slices by doc_id mod 3):
+    * per-cell SUM across batch tags reconstructs the one-shot sketch
+    * exactly (addition is associative/commutative; the `_appended_*`
+    * marker carries replay safety since sum — unlike [[qHllStored]]'s
+    * max — is not idempotent). Hash-equal to the same one-shot oracle.
+    */
+  val qCmsStored: Q = "q_cms_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "cms_cells")
+      def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+        .select(explode(Text.tokens(col("text"))).as("v"))
+        .filter(col("v") =!= "")
+      (0 to 2).foreach { k =>
+        graft.ops.Cms.storeAppend(slice(k), store, s"b$k", "v", 4, 1024)
+      }
+      val sketch = graft.ops.Cms.fromStore(s, store)
+      val toks = docs.select(explode(Text.tokens(col("text"))).as("v"))
+        .filter(col("v") =!= "")
+      val top = toks.groupBy("v")
+        .agg(count(lit(1)).cast("long").as("exact"))
+        .orderBy(col("exact").desc, col("v")).limit(20)
+      top.join(graft.ops.Cms.probe(top.select("v"), sketch, 4, 1024), Seq("v"))
+        .select(col("v").as("tok"), col("exact"), col("est"))
+        .orderBy(col("tok"))
+    },
+    s"""WITH t AS (SELECT unnest($TOKS) AS v FROM documents),
+       |tf AS (SELECT v FROM t WHERE v <> ''),
+       |ex AS (SELECT v, CAST(count(*) AS BIGINT) AS exact FROM tf GROUP BY 1),
+       |top AS (SELECT v, exact FROM ex ORDER BY exact DESC, v LIMIT 20),
+       |${graft.ops.Cms.oracleCtes("tf", "top", 4, 1024)}
+       |SELECT top.v AS tok, top.exact, cms_est.est
+       |FROM top JOIN cms_est USING (v) ORDER BY tok""".stripMargin)
+
+  /** Resource-Allocation link prediction
+    * ([[graft.ops.Graph.resourceAllocationLinks]]) — [[qLinkPredict]]'s
+    * wedge machinery with 1/deg(center) weighting in exact fixed point
+    * (2^20 div deg, long sums): a rare shared neighbor now outranks two
+    * hub-adjacent wedges, re-ordering the candidate list relative to
+    * the plain common-neighbor count. Same cap-bounded wedge volume;
+    * all-integer scores keep the hash gate strict. */
+  val qLinkPredictRa: Q = "q_link_predict_ra" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.resourceAllocationLinks(edges, "src", "dst",
+          maxCenterDeg = 96, minCommon = 4)
+        .orderBy(col("score_fp").desc, col("node_a"), col("node_b"))
+        .limit(25)
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e0 AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e0),
+      |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      |d AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      |ctr AS (SELECT w, CAST(1048576 // deg AS BIGINT) AS wt
+      |  FROM d WHERE deg <= 96),
+      |ak AS (SELECT adj.w, ctr.wt, adj.n FROM adj JOIN ctr USING (w)),
+      |wg AS (SELECT x.wt, x.n AS node_a, y.n AS node_b
+      |  FROM ak x JOIN ak y ON x.w = y.w AND x.n < y.n),
+      |cn AS (SELECT node_a, node_b, CAST(sum(wt) AS BIGINT) AS score_fp,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM wg GROUP BY 1, 2 HAVING count(*) >= 4),
+      |p AS (SELECT cn.node_a, cn.node_b, cn.score_fp, cn.common FROM cn
+      |  WHERE NOT EXISTS (SELECT 1 FROM e
+      |    WHERE e.a = cn.node_a AND e.b = cn.node_b))
+      |SELECT node_a, node_b, score_fp, common FROM p
+      |ORDER BY score_fp DESC, node_a, node_b LIMIT 25""".stripMargin)
+
+  /** Degree assortativity ([[graft.ops.Graph.degreeAssortativity]]) of
+    * the co-purchase graph: ONE number — hub-hub vs hub-periphery
+    * mixing — from exact DECIMAL(38,0) end-degree sums (the no-sqrt
+    * symmetric Pearson form), the diagnostic read before choosing any
+    * of the engine's hub-cap levers. */
+  val qAssortativity: Q = "q_assortativity" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.degreeAssortativity(edges, "src", "dst")
+        .select(col("m_ends"), col("sum_x"), col("sum_xy"), col("sum_x2"),
+          round(col("r"), 6).as("r"))
+        .orderBy(col("m_ends"))
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e0 AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e0),
+      |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      |d AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      |ends AS (SELECT dx.deg AS x, dy.deg AS y
+      |  FROM adj JOIN d dx ON dx.w = adj.w JOIN d dy ON dy.w = adj.n),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m_ends,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sx2 FROM ends)
+      |SELECT m_ends, sx AS sum_x, sxy AS sum_xy, sx2 AS sum_x2,
+      |  round((CAST(m_ends AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(m_ends AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS r
+      |FROM s ORDER BY m_ends""".stripMargin)
+
+  /** Golden-record consolidation ([[graft.ops.Linkage.goldenRecords]])
+    * over the [[qEntityClusters]] components: one canonical row per
+    * fuzzy-duplicate customer cluster — modal name and market segment
+    * (ties to the smallest value), member count, and per-field
+    * contested-vote counts. The survivorship step that turns entity
+    * RESOLUTION into a usable master table. */
+  val qGoldenRecord: Q = "q_golden_record" -> (
+    (s: SparkSession, d: String) => {
+      val m = Tables.customer(s, d)
+        .withColumn("blk", expr("right(c_name, 1)"))
+      val pairs = graft.ops.Linkage.blockedPairs(m,
+        Seq("c_nationkey", "blk"), "c_custkey", "c_name", maxDist = 2)
+      val clusters = graft.ops.Dedup.duplicateClusters(pairs)
+      graft.ops.Linkage.goldenRecords(Tables.customer(s, d), clusters,
+          "c_custkey", Seq("c_name", "c_mktsegment"))
+        .select(col("cluster_id"), col("n_members"),
+          col("golden_c_name"), col("n_distinct_c_name"),
+          col("golden_c_mktsegment"), col("n_distinct_c_mktsegment"))
+        .orderBy(col("cluster_id"))
+    },
+    """WITH RECURSIVE m AS (SELECT c_custkey, c_nationkey, c_name,
+      |    right(c_name, 1) AS blk FROM customer),
+      |p AS (SELECT x.c_custkey AS id_a, y.c_custkey AS id_b
+      |  FROM m x JOIN m y ON x.c_nationkey = y.c_nationkey
+      |    AND x.blk = y.blk AND x.c_custkey < y.c_custkey
+      |  WHERE abs(length(x.c_name) - length(y.c_name)) <= 2
+      |    AND levenshtein(x.c_name, y.c_name) <= 2),
+      |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p),
+      |v AS (SELECT DISTINCT src AS id FROM eg),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM v
+      |  UNION
+      |  SELECT eg.dst, reach.r FROM reach JOIN eg ON eg.src = reach.id),
+      |cl AS (SELECT id AS c_custkey, min(r) AS cluster_id
+      |  FROM reach GROUP BY id),
+      |mem AS (SELECT cl.cluster_id, c.c_name, c.c_mktsegment
+      |  FROM cl JOIN customer c USING (c_custkey)),
+      |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      |  FROM mem GROUP BY 1 HAVING count(*) >= 2),
+      |vn AS (SELECT cluster_id, c_name, count(*) AS cnt FROM mem
+      |  WHERE c_name IS NOT NULL GROUP BY 1, 2),
+      |gn AS (SELECT cluster_id, c_name AS golden_c_name FROM (
+      |    SELECT cluster_id, c_name, row_number() OVER (
+      |      PARTITION BY cluster_id ORDER BY cnt DESC, c_name) AS rn
+      |    FROM vn) WHERE rn = 1),
+      |gnd AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+      |    AS n_distinct_c_name FROM vn GROUP BY 1),
+      |vs AS (SELECT cluster_id, c_mktsegment, count(*) AS cnt FROM mem
+      |  WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+      |gs AS (SELECT cluster_id, c_mktsegment AS golden_c_mktsegment FROM (
+      |    SELECT cluster_id, c_mktsegment, row_number() OVER (
+      |      PARTITION BY cluster_id ORDER BY cnt DESC, c_mktsegment) AS rn
+      |    FROM vs) WHERE rn = 1),
+      |gsd AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+      |    AS n_distinct_c_mktsegment FROM vs GROUP BY 1)
+      |SELECT sz.cluster_id, sz.n_members, gn.golden_c_name,
+      |  gnd.n_distinct_c_name, gs.golden_c_mktsegment,
+      |  gsd.n_distinct_c_mktsegment
+      |FROM sz JOIN gn USING (cluster_id) JOIN gnd USING (cluster_id)
+      |  JOIN gs USING (cluster_id) JOIN gsd USING (cluster_id)
+      |ORDER BY cluster_id""".stripMargin)
+
+  /** Exact mergeable quantile summary ([[graft.ops.Quantiles]]): the
+    * corpus's token-count-per-doc distribution as a fixed-bucket
+    * histogram (width 8), answering p50/p90/p99 by the all-integer
+    * lower-empirical-quantile rule — the hash-certifiable alternative
+    * to order-dependent t-digest/KLL merges. The cumulative pass runs
+    * over the MODEL-SIZED histogram, never the corpus. */
+  val qHistQuantiles: Q = "q_hist_quantiles" -> (
+    (s: SparkSession, d: String) => {
+      val n = Tables.documents(s, d)
+        .select(Text.tokenCount(col("text")).cast("long").as("v"))
+      graft.ops.Quantiles.quantiles(
+          graft.ops.Quantiles.histogram(n, "v", 8L),
+          graft.ops.Quantiles.StandardQs, 8L)
+        .orderBy(col("p_label"))
+    },
+    s"""WITH src AS (SELECT CAST(len($TOKS) AS BIGINT) AS v FROM documents),
+       |${graft.ops.Quantiles.oracleCtes("src", graft.ops.Quantiles.StandardQs, 8L)}
+       |SELECT p_label, target, bucket, lo, cum FROM hq
+       |ORDER BY p_label""".stripMargin)
+
+  /** [[qHistQuantiles]] maintained through the ADDITIVE histogram store
+    * (three slices by doc_id mod 3, summed across batch tags) — the
+    * length-distribution drift monitor a 100 TB ingest runs per shard:
+    * the histogram never re-scans history, yet any quantile is
+    * answerable at any time, hash-equal to the one-shot oracle. */
+  val qHistStored: Q = "q_hist_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "hist_tokcnt")
+      (0 to 2).foreach { k =>
+        graft.ops.Quantiles.storeAppend(
+          docs.filter(col("doc_id") % 3 === k)
+            .select(Text.tokenCount(col("text")).cast("long").as("v")),
+          store, s"b$k", "v", 8L)
+      }
+      graft.ops.Quantiles.quantiles(
+          graft.ops.Quantiles.fromStore(s, store),
+          graft.ops.Quantiles.StandardQs, 8L)
+        .orderBy(col("p_label"))
+    },
+    s"""WITH src AS (SELECT CAST(len($TOKS) AS BIGINT) AS v FROM documents),
+       |${graft.ops.Quantiles.oracleCtes("src", graft.ops.Quantiles.StandardQs, 8L)}
+       |SELECT p_label, target, bucket, lo, cum FROM hq
+       |ORDER BY p_label""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6613,5 +6932,8 @@ object Queries {
     qImageNearDup, qLinkPredict, qKcore, qReadability,
     qImageNearDupStored, qAnnMmr, qKeywords, qHybridRrf,
     qPageRankWeighted, qHarmonic,
+    qHllCard, qHllStored, qCmsFreq, qCmsStored,
+    qLinkPredictRa, qAssortativity, qGoldenRecord,
+    qHistQuantiles, qHistStored,
   )
 }

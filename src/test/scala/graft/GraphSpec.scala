@@ -372,4 +372,56 @@ class GraphSpec extends SparkTestBase {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(a === b, "pure function of the undirected edge set")
   }
+
+  test("resourceAllocationLinks: star wedges score 2^20 div deg(center); hub cap empties them") {
+    // star 1—{2,3,4}: center 1 (deg 3) makes each leaf pair a candidate
+    // with score 1048576 div 3 = 349525 and common = 1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val ra = Graph.resourceAllocationLinks(star, "src", "dst",
+        maxCenterDeg = 10L, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(ra === Map((2L, 3L) -> (349525L, 1L), (2L, 4L) -> (349525L, 1L),
+      (3L, 4L) -> (349525L, 1L)))
+    // cap below the hub's degree: no wedge centers remain
+    assert(Graph.resourceAllocationLinks(star, "src", "dst",
+      maxCenterDeg = 2L, minCommon = 1L).count() === 0L)
+  }
+
+  test("resourceAllocationLinks: rare shared neighbor outranks a busier one") {
+    // pair (10,11) shares low-degree 1 (deg 2); pair (20,21) shares
+    // 2 whose degree is inflated to 4 — RA must rank (10,11) higher
+    // though both have common = 1
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (2L, 30L), (2L, 31L)).toDF("src", "dst")
+    val ra = Graph.resourceAllocationLinks(e, "src", "dst",
+        maxCenterDeg = 10L, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ra((10L, 11L)) === 1048576L / 2)
+    assert(ra((20L, 21L)) === 1048576L / 4)
+    assert(ra((10L, 11L)) > ra((20L, 21L)))
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative, P4 is -0.5") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rStar = Graph.degreeAssortativity(star, "src", "dst")
+      .select("r").collect().head.getDouble(0)
+    assert(rStar === -1.0)
+    // path 1-2-3-4: by hand m=6, Σx=10, Σxy=16, Σx²=18 →
+    // r = (6·16 − 100)/(6·18 − 100) = −4/8
+    val p4 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val row = Graph.degreeAssortativity(p4, "src", "dst").collect().head
+    assert(row.getLong(0) === 6L && row.getLong(1) === 10L &&
+      row.getLong(2) === 16L && row.getLong(3) === 18L)
+    assert(row.getDouble(4) === -0.5)
+  }
+
+  test("degreeAssortativity: direction and duplicate edges are canonicalized away") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L))
+      .toDF("src", "dst")
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val a = Graph.degreeAssortativity(messy, "src", "dst").collect().head
+    val b = Graph.degreeAssortativity(clean, "src", "dst").collect().head
+    assert(a === b)
+  }
 }

@@ -158,4 +158,36 @@ class LinkageSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("positive"))
   }
+
+  test("goldenRecords: modal vote, lexicographic ties, null exclusion, singleton suppression") {
+    val recs = Seq(
+      // cluster 1: modal name "ann" (2 of 3); segment tie bob/rob → "bob"
+      (1L, "ann", "auto"), (2L, "ann", "build"), (3L, "anne", null),
+      // cluster 10: all-null name column is simply absent from the vote
+      (10L, "zed", "auto"), (11L, "zed", "auto"),
+      // singleton 50: no golden row
+      (50L, "solo", "x")
+    ).toDF("id", "name", "seg")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val g = Linkage.goldenRecords(recs, clusters, "id", Seq("name", "seg"))
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_members"), r.getAs[String]("golden_name"),
+          r.getAs[Long]("n_distinct_name"), r.getAs[String]("golden_seg"),
+          r.getAs[Long]("n_distinct_seg")))).toMap
+    assert(g(1L) === ((3L, "ann", 2L, "auto", 2L)),
+      "modal name wins; null seg excluded; seg tie breaks lexicographically")
+    assert(g(10L) === ((2L, "zed", 1L, "auto", 1L)))
+    assert(!g.contains(50L), "singletons are their own golden record")
+  }
+
+  test("goldenRecords: frequency beats lexicographic order when counts differ") {
+    val recs = Seq((1L, "zeta"), (2L, "zeta"), (3L, "alpha"))
+      .toDF("id", "name")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val g = Linkage.goldenRecords(recs, clusters, "id", Seq("name"))
+      .collect().head
+    assert(g.getAs[String]("golden_name") === "zeta",
+      "2×zeta outvotes 1×alpha despite sorting after it")
+  }
 }

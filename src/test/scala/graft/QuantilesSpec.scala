@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quantiles
+
+/** The fixed-bucket mergeable quantile summary: exact lower-empirical-
+  * quantile rule, ±width resolution, additive merge, store replay
+  * safety. */
+class QuantilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantiles: hand-computed ranks on a known distribution") {
+    // values 1..100, width 10: bucket b holds values [10b, 10b+9];
+    // N=100, p50 target 50 → value 50 lives in bucket 5 (cum 59),
+    // p90 target 90 → bucket 9 (cum 99... wait: bucket 9 = 90..99,
+    // cum at bucket 9 = 99; bucket 10 = {100}, cum 100)
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val q = Quantiles.quantiles(Quantiles.histogram(df, "v", 10L),
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1)), 10L)
+      .collect().map(r => r.getAs[String]("p_label") ->
+        ((r.getAs[Long]("target"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("lo"), r.getAs[Long]("cum")))).toMap
+    assert(q("p50") === ((50L, 5L, 50L, 59L)))
+    assert(q("p90") === ((90L, 9L, 90L, 99L)))
+    assert(q("p100") === ((100L, 10L, 100L, 100L)))
+  }
+
+  test("quantiles: answer is within one bucket width of the exact quantile") {
+    val vals = (1 to 997).map(i => (i * 37L) % 1000L)
+    val df = vals.toDF("v")
+    val exact50 = vals.sorted.apply((vals.size + 1) / 2 - 1)
+    val lo = Quantiles.quantiles(Quantiles.histogram(df, "v", 16L),
+        Seq(("p50", 1, 2)), 16L)
+      .select("lo").as[Long].head()
+    assert(lo <= exact50 && exact50 < lo + 16L,
+      s"exact p50 $exact50 outside [$lo, ${lo + 16})")
+  }
+
+  test("histogram merge is additive: slice sum equals one-shot") {
+    val all = (1 to 500).map(i => (i % 97).toLong).toDF("v")
+    val h0 = Quantiles.histogram(all.filter(col("v") % 2 === 0), "v", 8L)
+    val h1 = Quantiles.histogram(all.filter(col("v") % 2 === 1), "v", 8L)
+    val merged = h0.unionAll(h1).groupBy("bucket")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    val oneShot = Quantiles.histogram(all, "v", 8L)
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
+  }
+
+  test("store: redelivered batch no-ops on its marker; merged answers equal one-shot") {
+    val store = java.nio.file.Files.createTempDirectory("hist").toString + "/st"
+    val b0 = (1 to 300).map(_.toLong).toDF("v")
+    val b1 = (301 to 600).map(_.toLong).toDF("v")
+    Quantiles.storeAppend(b0, store, "b0", "v", 10L)
+    Quantiles.storeAppend(b1, store, "b1", "v", 10L)
+    Quantiles.storeAppend(b1, store, "b1", "v", 10L) // redelivery
+    val n = Quantiles.fromStore(spark, store).agg(sum("cnt")).as[Long].head()
+    assert(n === 600L, "a replayed batch must not double-count")
+    val merged = Quantiles.quantiles(Quantiles.fromStore(spark, store),
+      Quantiles.StandardQs, 10L)
+    val oneShot = Quantiles.quantiles(
+      Quantiles.histogram((1 to 600).map(_.toLong).toDF("v"), "v", 10L),
+      Quantiles.StandardQs, 10L)
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
+  }
+
+  test("guards: bucketWidth and quantile rationals validated loudly") {
+    val df = Seq(1L).toDF("v")
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.histogram(df, "v", 0L)
+    }.getMessage.contains("bucketWidth"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.quantiles(Quantiles.histogram(df, "v", 1L),
+        Seq(("bad", 3, 2)), 1L)
+    }.getMessage.contains("num <= den"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Hll, Cms}
+
+/** The relational sketches: HLL register tables (cardinality) and
+  * Count-Min cell tables (point frequency). Pins the algebra each
+  * store lifecycle depends on — HLL's max-merge is idempotent (a
+  * double-posted batch is a no-op before any marker matters), CMS's
+  * sum-merge is additive-but-not-idempotent (the marker is
+  * load-bearing) — plus the estimator guarantees (HLL within the
+  * published error at known cardinality; CMS never under-estimates).
+  */
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val M = 256
+
+  // 5000 known-distinct values, each duplicated 3× (duplicates must not
+  // move any register — rho is a pure function of the value)
+  private def known = (1 to 5000).flatMap(i => Seq.fill(3)(s"val$i"))
+    .toDF("v")
+
+  test("hll: registers are bounded by m, rho within the rank width") {
+    val regs = Hll.registers(known, Nil, "v", M)
+    assert(regs.count() <= M)
+    val (lo, hi) = regs.agg(min("rho"), max("rho")).as[(Long, Long)].head()
+    assert(lo >= 1L && hi <= Hll.rankBits(M) + 1)
+  }
+
+  test("hll: estimate within published error at known cardinality") {
+    val est = Hll.estimate(Hll.registers(known, Nil, "v", M), Nil, M)
+      .select("est").as[Double].head()
+    // 1.04/sqrt(256) = 6.5% std error; allow 3 sigma
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.20, s"est $est")
+  }
+
+  test("hll: duplicates do not move registers; merge of slices equals one-shot; merge is idempotent") {
+    val distinct = (1 to 5000).map(i => s"val$i").toDF("v")
+    val full = Hll.registers(distinct, Nil, "v", M)
+    val dup = Hll.registers(known, Nil, "v", M)
+    assert(dup.exceptAll(full).isEmpty && full.exceptAll(dup).isEmpty)
+    // slice by hash parity, sketch each, union → max-merge ≡ one-shot
+    val s0 = Hll.registers(distinct.filter(length(col("v")) % 2 === 0), Nil, "v", M)
+    val s1 = Hll.registers(distinct.filter(length(col("v")) % 2 === 1), Nil, "v", M)
+    val merged = Hll.estimate(s0.unionAll(s1).unionAll(s1), Nil, M) // s1 twice!
+    val oneShot = Hll.estimate(full, Nil, M)
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty,
+      "max-merge over slices (with one slice double-posted) must equal the one-shot")
+  }
+
+  test("hll: grouped registers estimate per group independently") {
+    // both groups sit WELL above the 3m small-range boundary (m = 256)
+    // — the documented regime of the raw estimator; below ~3m callers
+    // are told to count exactly (see the Hll class doc)
+    val df = (1 to 6000).map(i => ("a", s"x$i")) ++
+      (1 to 1500).map(i => ("b", s"y$i"))
+    val est = Hll.estimate(
+        Hll.registers(df.toDF("g", "v"), Seq("g"), "v", M), Seq("g"), M)
+      .select("g", "est").as[(String, Double)].collect().toMap
+    assert(math.abs(est("a") - 6000) / 6000.0 < 0.20, s"a ${est("a")}")
+    assert(math.abs(est("b") - 1500) / 1500.0 < 0.25, s"b ${est("b")}")
+  }
+
+  test("hll store: append lifecycle replays as a no-op (marker + idempotent algebra)") {
+    val store = java.nio.file.Files.createTempDirectory("hll").toString + "/st"
+    val b0 = (1 to 1000).map(i => s"v$i").toDF("v")
+    val b1 = (500 to 1500).map(i => s"v$i").toDF("v")
+    Hll.registerStoreAppend(b0, store, "b0", Nil, "v", M)
+    Hll.registerStoreAppend(b1, store, "b1", Nil, "v", M)
+    val est1 = Hll.estimateFromStore(spark, store, Nil, M)
+      .select("est").as[Double].head()
+    // redelivery of b1 (same tag) must change nothing
+    Hll.registerStoreAppend(b1, store, "b1", Nil, "v", M)
+    val est2 = Hll.estimateFromStore(spark, store, Nil, M)
+      .select("est").as[Double].head()
+    assert(est1 === est2)
+    // and the merged estimate equals the one-shot over the union
+    val oneShot = Hll.estimate(
+      Hll.registers((1 to 1500).map(i => s"v$i").toDF("v"), Nil, "v", M),
+      Nil, M).select("est").as[Double].head()
+    assert(est1 === oneShot)
+  }
+
+  private val D = 4; private val W = 1024
+
+  test("cms: estimates never under-estimate, and are exact without collisions") {
+    // 50 distinct values in a 1024-wide, 4-row sketch: collisions are
+    // possible per row but min-of-4 over 50 values at load 0.05 is
+    // overwhelmingly exact; the ≥ bound is unconditional either way
+    val items = (1 to 50).flatMap(i => Seq.fill(i)(s"item$i")).toDF("v")
+    val sk = Cms.build(items, "v", D, W)
+    val probes = (1 to 50).map(i => s"item$i").toDF("v")
+    val est = Cms.probe(probes, sk, D, W)
+      .select("v", "est").as[(String, Long)].collect().toMap
+    (1 to 50).foreach { i =>
+      assert(est(s"item$i") >= i.toLong, s"item$i: ${est(s"item$i")} < $i")
+    }
+    assert(est.count { case (k, v) => v == k.drop(4).toLong } >= 45,
+      "at load 0.05 nearly all probes should be collision-free")
+  }
+
+  test("cms: unseen probe estimates 0 unless it collides in every row") {
+    val sk = Cms.build(Seq("a", "b", "c").toDF("v"), "v", D, W)
+    val est = Cms.probe(Seq("zzz-unseen").toDF("v"), sk, D, W)
+      .select("est").as[Long].head()
+    assert(est === 0L, "3 items in 4×1024 cells cannot collide in all rows")
+  }
+
+  test("cms: sum-merge of slice sketches equals the one-shot sketch") {
+    val all = (1 to 300).flatMap(i => Seq.fill(1 + i % 5)(s"t$i")).toDF("v")
+    val s0 = Cms.build(all.filter(length(col("v")) % 2 === 0), "v", D, W)
+    val s1 = Cms.build(all.filter(length(col("v")) % 2 === 1), "v", D, W)
+    val merged = s0.unionAll(s1).groupBy("i", "bucket")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    val oneShot = Cms.build(all, "v", D, W)
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
+  }
+
+  test("cms store: redelivered batch no-ops on its marker (sum is not idempotent)") {
+    val store = java.nio.file.Files.createTempDirectory("cms").toString + "/st"
+    val b0 = (1 to 100).map(i => s"t$i").toDF("v")
+    Cms.storeAppend(b0, store, "b0", "v", D, W)
+    val total1 = Cms.fromStore(spark, store).agg(sum("cnt")).as[Long].head()
+    Cms.storeAppend(b0, store, "b0", "v", D, W) // redelivery
+    val total2 = Cms.fromStore(spark, store).agg(sum("cnt")).as[Long].head()
+    assert(total1 === total2,
+      "a replayed batch would double every cell it touches")
+    assert(total1 === 100L * D)
+  }
+}
