@@ -613,4 +613,68 @@ object TextStats {
           + lit(0.5) * col("words").cast("double") / col("sentences").cast("double")
           - lit(21.43), 6).as("ari"))
   }
+
+  /** TextRank chunk salience (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text", adapted to fixed token windows): rank
+    * each document's CHUNKS (consecutive `chunkLen`-token windows — the
+    * sentence stand-in for corpora without reliable sentence
+    * boundaries, and the same unit [[graft.ops.Pack]] ships to
+    * training) by weighted PageRank over the shared-vocabulary graph:
+    * edge weight between two chunks of the SAME document = number of
+    * distinct tokens they share (the paper's overlap numerator; the
+    * log-length normalizer is dropped for cross-engine exactness —
+    * rankings under fixed chunk length are unaffected by a
+    * near-constant scale).
+    *
+    * The whole corpus runs as ONE graph: node id = doc_id·65536 +
+    * chunk index (chunks beyond 65535 — docs past ~1M tokens at the
+    * default length — are dropped loudly by the id-packing filter, on
+    * both engines). Per-document components never interact, so one
+    * [[Graph.pageRankWeighted]] loop ranks every document's chunks
+    * simultaneously — the 100 TB shape: iterations are corpus-wide
+    * joins, never a per-document loop.
+    *
+    * Scale bounds: the edge build joins the distinct (doc, chunk,
+    * token) relation with itself on (doc, token) — per-token fan-out is
+    * chunks-per-doc², bounded by the document length cap upstream, and
+    * `minShared` prunes the long weak tail before the rank loop.
+    *
+    * @return (doc_id, chunk, rank, n_chunks) — the top-ranked chunk
+    *         per document (ties to the smaller chunk index), with the
+    *         count of ranked chunks; documents whose chunk graph has no
+    *         edge ≥ minShared are absent (no salience signal)
+    */
+  def centralChunks(docs: DataFrame, idCol: String, textCol: String,
+                    chunkLen: Int, minShared: Long, iters: Int,
+                    damping: Double = 0.85): DataFrame = {
+    require(chunkLen >= 1, "chunkLen must be >= 1")
+    val p = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode_outer(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val ch = p
+      .select(col("doc_id"), expr(s"pos div $chunkLen").as("chunk"),
+        col("tok"))
+      .filter(col("chunk") < 65536)
+      .distinct()
+    val a = ch.select(col("doc_id"), col("chunk").as("ca"), col("tok"))
+    val b = ch.select(col("doc_id"), col("chunk").as("cb"), col("tok"))
+    val eg = a.join(b, Seq("doc_id", "tok"))
+      .filter(col("ca") =!= col("cb"))
+      .groupBy((col("doc_id") * 65536 + col("ca")).as("src"),
+        (col("doc_id") * 65536 + col("cb")).as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+      .filter(col("w") >= minShared)
+    val ranks = Graph.pageRankWeighted(eg, "src", "dst", "w", iters, damping)
+    val w = Window.partitionBy(col("doc_id"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("rank").desc, col("chunk"))
+    ranks
+      .select(expr("node div 65536").as("doc_id"),
+        expr("node % 65536").as("chunk"), col("rank"))
+      .withColumn("n_chunks", count(lit(1)).over(w).cast("long"))
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk"), col("rank"), col("n_chunks"))
+  }
 }

@@ -6885,6 +6885,58 @@ object Queries {
        |SELECT p_label, target, bucket, lo, cum FROM hq
        |ORDER BY p_label""".stripMargin)
 
+  /** TextRank chunk salience ([[graft.ops.TextStats.centralChunks]]):
+    * the most central 16-token chunk of every document by weighted
+    * PageRank over the shared-vocabulary chunk graph — extractive
+    * salience for training-data selection, run as ONE corpus-wide graph
+    * (node id packs (doc, chunk); per-doc components never interact).
+    * The oracle replays the chunk build plus the same 3-iteration
+    * fixed-point-long loop as [[qPageRankWeighted]]. */
+  val qCentralChunks: Q = "q_central_chunks" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.centralChunks(Tables.documents(s, d),
+          "doc_id", "text", chunkLen = 16, minShared = 4L, iters = 3)
+        .select(col("doc_id"), col("chunk"),
+          round(col("rank"), 9).as("rank"), col("n_chunks"))
+        .orderBy(col("doc_id")),
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(0, len(toks))) AS pos FROM t),
+       |ch AS (SELECT DISTINCT doc_id, pos // 16 AS chunk, tok FROM p
+       |  WHERE tok <> '' AND pos // 16 < 65536),
+       |e AS (SELECT a.doc_id * 65536 + a.chunk AS src,
+       |    a.doc_id * 65536 + b.chunk AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND a.tok = b.tok
+       |    AND a.chunk <> b.chunk
+       |  GROUP BY 1, 2 HAVING count(*) >= 4),
+       |d AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+       |m1 AS (SELECT e.dst AS node,
+       |    CAST(sum(CAST(floor(r0.rank * e.w / d.sw * 1e18) AS BIGINT)) AS BIGINT) AS im
+       |  FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+       |r1 AS (SELECT m1.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+       |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m1, nn),
+       |m2 AS (SELECT e.dst AS node,
+       |    CAST(sum(CAST(floor(r1.rank * e.w / d.sw * 1e18) AS BIGINT)) AS BIGINT) AS im
+       |  FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+       |r2 AS (SELECT m2.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+       |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m2, nn),
+       |m3 AS (SELECT e.dst AS node,
+       |    CAST(sum(CAST(floor(r2.rank * e.w / d.sw * 1e18) AS BIGINT)) AS BIGINT) AS im
+       |  FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+       |r3 AS (SELECT m3.node, (CAST(1 AS DOUBLE) - 0.85) / nn.n
+       |    + 0.85 * (CAST(im AS DOUBLE) / 1e18) AS rank FROM m3, nn),
+       |rc AS (SELECT node // 65536 AS doc_id, node % 65536 AS chunk, rank,
+       |    CAST(count(*) OVER (PARTITION BY node // 65536) AS BIGINT)
+       |      AS n_chunks,
+       |    row_number() OVER (PARTITION BY node // 65536
+       |      ORDER BY rank DESC, node % 65536) AS rn
+       |  FROM r3)
+       |SELECT doc_id, chunk, round(rank, 9) AS rank, n_chunks
+       |FROM rc WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6934,6 +6986,6 @@ object Queries {
     qPageRankWeighted, qHarmonic,
     qHllCard, qHllStored, qCmsFreq, qCmsStored,
     qLinkPredictRa, qAssortativity, qGoldenRecord,
-    qHistQuantiles, qHistStored,
+    qHistQuantiles, qHistStored, qCentralChunks,
   )
 }

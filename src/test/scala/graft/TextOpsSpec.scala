@@ -424,4 +424,29 @@ class TextOpsSpec extends SparkTestBase {
     val (cy, wy, sy, _) = r("Y")
     assert((cy, wy, sy) === ((17L, 3L, 1L)), "fragment counts as one sentence")
   }
+
+  test("centralChunks: highest-total-overlap chunk wins; edge-free docs are absent") {
+    // doc 1, chunkLen 3: c0={a,b,c} c1={d,b,c} c2={a,b,x}
+    // overlaps: c0~c1=2, c0~c2=2, c1~c2=1 -> c0 strength 4 beats 3,3
+    // doc 2: fully distinct tokens -> zero-overlap chunks, no edges
+    val docs = Seq(
+      (1L, "a b c d b c a b x"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val r = graft.ops.TextStats.centralChunks(docs, "doc_id", "text",
+        chunkLen = 3, minShared = 1L, iters = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("chunk"), x.getAs[Long]("n_chunks")))).toMap
+    assert(r(1L) === ((0L, 3L)),
+      "chunk 0 carries the largest shared-vocabulary mass")
+    assert(!r.contains(2L), "no overlap -> no salience signal, not a 0-rank row")
+  }
+
+  test("centralChunks: symmetric two-chunk doc ties break to the smaller index") {
+    val docs = Seq((5L, "a b c a b d")).toDF("doc_id", "text")
+    // c0={a,b,c} c1={a,b,d}: weights symmetric -> identical ranks
+    val r = graft.ops.TextStats.centralChunks(docs, "doc_id", "text",
+      chunkLen = 3, minShared = 1L, iters = 2).collect()
+    assert(r.length === 1 && r.head.getAs[Long]("chunk") === 0L)
+    assert(r.head.getAs[Long]("n_chunks") === 2L)
+  }
 }
