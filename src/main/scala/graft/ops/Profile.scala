@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the DISCOVERY side of data quality (the
+  * [[graft.streaming.DqStream]] checks are the assertion side): what do
+  * the columns look like, and which near-functional dependencies hold?
+  * Both are the first questions asked of an unfamiliar 100 TB table,
+  * and both reduce to map-side-combinable aggregations.
+  */
+object Profile {
+
+  /** Approximate functional-dependency profile (Kivinen & Mannila 1995's
+    * g3 measure; Huhtala et al. 1999 TANE's `error`): for each
+    * (determinant → dependent) candidate, the minimum number of rows to
+    * remove for the FD to hold exactly — `violations` = Σ over
+    * determinant groups of (group size − the group's modal dependent
+    * count) — plus `conf` = 1 − violations/N, the fraction of rows the
+    * dependency explains.
+    *
+    * Two hash aggregations per pair, both map-combinable: (det, dep)
+    * counts (bounded by the pair's value-combination cardinality), then
+    * per-det max/sum. All-integer until the one `conf` division.
+    *
+    * @param pairs (determinantCol, dependentCol) candidates; NULLs
+    *              group as values (a NULL determinant is one group — a
+    *              flood of NULLs showing up as a huge low-conf group is
+    *              exactly what the profile should surface)
+    * @return one row per pair: (determinant, dependent, n_rows,
+    *         n_groups, violations, conf)
+    */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (det, dep) candidate")
+    pairs.map { case (det, dep) =>
+      val pairCounts = df
+        .groupBy(col(det).cast("string").as("dv"),
+          col(dep).cast("string").as("pv"))
+        .agg(count(lit(1)).as("c"))
+      pairCounts
+        .groupBy("dv")
+        .agg(sum(col("c")).as("n"), max(col("c")).as("keep"))
+        .agg(
+          sum(col("n")).cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_groups"),
+          sum(col("n") - col("keep")).cast("long").as("violations"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_rows"), col("n_groups"), col("violations"),
+          (lit(1.0) - col("violations").cast("double") /
+            col("n_rows").cast("double")).as("conf"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Column-profile card: one row per requested column — row/null/
+    * distinct counts, lexicographic min/max (of the string rendering —
+    * type-uniform across heterogeneous columns), and the modal value
+    * with its count (ties to the smallest value; the
+    * [[Linkage.goldenRecords]] vote rule). One (col, value) aggregation
+    * per column, value-cardinality-bounded, plus a row-count pass.
+    *
+    * @return (column, n_rows, n_null, n_distinct, min_v, max_v, top_v,
+    *         top_n) — `n_distinct` counts non-null values; min/max/top
+    *         are NULL for an all-null column
+    */
+  def columnCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { name =>
+      val vc = df.groupBy(col(name).cast("string").as("v"))
+        .agg(count(lit(1)).as("c"))
+      vc.agg(
+          sum(col("c")).cast("long").as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("c"))), lit(0L))
+            .cast("long").as("n_null"),
+          count(col("v")).cast("long").as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          // null-value group gets a +inf sort key so it can never win
+          // the vote unless the column is ALL null (then top_v = NULL)
+          min_by(col("v"), struct(
+            when(col("v").isNull, lit(Long.MaxValue))
+              .otherwise(col("c") * -1).as("nc"), col("v"))).as("top_v"),
+          max(when(col("v").isNotNull, col("c"))).cast("long").as("top_n"))
+        .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("top_v"),
+          col("top_n"))
+    }.reduce(_ unionAll _)
+  }
+}

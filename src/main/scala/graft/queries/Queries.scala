@@ -6937,6 +6937,77 @@ object Queries {
        |SELECT doc_id, chunk, round(rank, 9) AS rank, n_chunks
        |FROM rc WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 
+  /** One FD-candidate block of [[qFdProfile]]'s oracle. */
+  private def fdPairSql(table: String, det: String, dep: String): String =
+    s"""SELECT '$det' AS determinant, '$dep' AS dependent, n_rows, n_groups,
+       |  violations, round(1.0 - CAST(violations AS DOUBLE)
+       |    / CAST(n_rows AS DOUBLE), 6) AS conf
+       |FROM (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_groups,
+       |    CAST(sum(n - keep) AS BIGINT) AS violations
+       |  FROM (SELECT dv, CAST(sum(c) AS BIGINT) AS n,
+       |      CAST(max(c) AS BIGINT) AS keep
+       |    FROM (SELECT CAST($det AS VARCHAR) AS dv,
+       |        CAST($dep AS VARCHAR) AS pv, count(*) AS c
+       |      FROM $table GROUP BY 1, 2) GROUP BY 1))""".stripMargin
+
+  /** Approximate functional-dependency profile
+    * ([[graft.ops.Profile.fdProfile]], the TANE g3 error measure) over
+    * orders: which near-dependencies hold, and at what violation cost —
+    * the discovery complement of the [[qDqChecks]] assertions. The
+    * exact FD (o_orderkey → o_custkey, conf 1.0) rides along as the
+    * self-witness. Two map-combinable aggs per candidate, all-integer
+    * until the one conf division. */
+  val qFdProfile: Q = "q_fd_profile" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Profile.fdProfile(Tables.orders(s, d),
+          Seq(("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderstatus", "o_orderpriority")))
+        .select(col("determinant"), col("dependent"), col("n_rows"),
+          col("n_groups"), col("violations"), round(col("conf"), 6).as("conf"))
+        .orderBy(col("determinant"), col("dependent")),
+    s"""${fdPairSql("orders", "o_orderkey", "o_custkey")}
+       |UNION ALL
+       |${fdPairSql("orders", "o_custkey", "o_orderpriority")}
+       |UNION ALL
+       |${fdPairSql("orders", "o_orderstatus", "o_orderpriority")}
+       |ORDER BY determinant, dependent""".stripMargin)
+
+  /** One column block of [[qProfileCard]]'s oracle. */
+  private def colCardSql(table: String, c: String): String =
+    s"""SELECT '$c' AS "column",
+       |  (SELECT CAST(count(*) AS BIGINT) FROM $table) AS n_rows,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM $table WHERE $c IS NULL)
+       |    AS n_null,
+       |  (SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM $table)
+       |    AS n_distinct,
+       |  (SELECT min(CAST($c AS VARCHAR)) FROM $table) AS min_v,
+       |  (SELECT max(CAST($c AS VARCHAR)) FROM $table) AS max_v,
+       |  (SELECT CAST($c AS VARCHAR) FROM $table WHERE $c IS NOT NULL
+       |    GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1) AS top_v,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM $table WHERE $c IS NOT NULL
+       |    GROUP BY CAST($c AS VARCHAR) ORDER BY count(*) DESC,
+       |    CAST($c AS VARCHAR) LIMIT 1) AS top_n""".stripMargin
+
+  /** Column-profile card ([[graft.ops.Profile.columnCard]]) over
+    * customer: row/null/distinct counts, lexicographic min/max of the
+    * string rendering, and the modal value per column — the first
+    * profiling pass over an unfamiliar table, one value-cardinality-
+    * bounded aggregation per column. Graded columns are string/int
+    * (rendering-stable across engines by construction). */
+  val qProfileCard: Q = "q_profile_card" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Profile.columnCard(Tables.customer(s, d),
+          Seq("c_name", "c_mktsegment", "c_nationkey"))
+        .orderBy(col("column")),
+    s"""${colCardSql("customer", "c_name")}
+       |UNION ALL
+       |${colCardSql("customer", "c_mktsegment")}
+       |UNION ALL
+       |${colCardSql("customer", "c_nationkey")}
+       |ORDER BY "column"""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -6987,5 +7058,6 @@ object Queries {
     qHllCard, qHllStored, qCmsFreq, qCmsStored,
     qLinkPredictRa, qAssortativity, qGoldenRecord,
     qHistQuantiles, qHistStored, qCentralChunks,
+    qFdProfile, qProfileCard,
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+/** Dataset profiling: the TANE-g3 FD measure and the column card. */
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.ops.Profile
+
+  test("fdProfile: g3 counts minimum row removals; exact FD scores conf 1.0") {
+    // det 'a': x,x,y -> keep the modal 2, remove 1; det 'b': exact
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("d", "p")
+    val r = Profile.fdProfile(df, Seq(("d", "p"))).collect().head
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("violations") === 1L)
+    assert(r.getAs[Double]("conf") === 0.75)
+    // id column determines everything exactly
+    val ids = Seq((1, "x"), (2, "x"), (3, "y")).toDF("id", "p")
+    val ex = Profile.fdProfile(ids, Seq(("id", "p"))).collect().head
+    assert(ex.getAs[Long]("violations") === 0L &&
+      ex.getAs[Double]("conf") === 1.0)
+  }
+
+  test("fdProfile: NULL determinant is one group (the flood the profile must surface)") {
+    val df = Seq((null, "x"), (null, "y"), (null, "y"), ("k", "z"))
+      .toDF("d", "p")
+    val r = Profile.fdProfile(df, Seq(("d", "p"))).collect().head
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("violations") === 1L, "null group keeps modal y=2")
+  }
+
+  test("columnCard: counts, bounds, modal vote with null exclusion and ties") {
+    val df = Seq(
+      Some("b"), Some("b"), Some("a"), Some("c"), None
+    ).toDF("x")
+    val r = Profile.columnCard(df, Seq("x")).collect().head
+    assert(r.getAs[Long]("n_rows") === 5L)
+    assert(r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    assert(r.getAs[String]("min_v") === "a" && r.getAs[String]("max_v") === "c")
+    assert(r.getAs[String]("top_v") === "b" && r.getAs[Long]("top_n") === 2L)
+  }
+
+  test("columnCard: modal tie breaks to the smaller value; all-null column yields NULL stats") {
+    val tie = Seq("z", "y").toDF("x")
+    val t = Profile.columnCard(tie, Seq("x")).collect().head
+    assert(t.getAs[String]("top_v") === "y" && t.getAs[Long]("top_n") === 1L)
+    val nulls = Seq[Option[String]](None, None).toDF("x")
+    val n = Profile.columnCard(nulls, Seq("x")).collect().head
+    assert(n.getAs[Long]("n_null") === 2L && n.getAs[Long]("n_distinct") === 0L)
+    assert(n.getAs[String]("top_v") == null && n.getAs[String]("min_v") == null)
+  }
+
+  test("columnCard: multiple columns in one card, order preserved per input") {
+    val df = Seq((1, "u"), (2, "u")).toDF("a", "b")
+    val m = Profile.columnCard(df, Seq("a", "b")).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[String]("top_v"))).toMap
+    assert(m("a") === ((2L, "1")) && m("b") === ((1L, "u")))
+  }
+}
