@@ -73,4 +73,27 @@ class QuantilesSpec extends SparkTestBase {
         Seq(("bad", 3, 2)), 1L)
     }.getMessage.contains("num <= den"))
   }
+
+  test("streaming twin: per-batch histograms converge to the one-shot distribution") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("hq_s").toString + "/st"
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.QuantileStream.selfMaintaining(
+        mem.toDF().toDF("v"), store, "v", 10L)()
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("hq_ck").toString)
+      .start()
+    try {
+      mem.addData(1L to 300L); q.processAllAvailable()
+      mem.addData(301L to 600L); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Quantiles.quantiles(Quantiles.fromStore(spark, store),
+      Quantiles.StandardQs, 10L)
+    val oneShot = Quantiles.quantiles(
+      Quantiles.histogram((1L to 600L).toDF("v"), "v", 10L),
+      Quantiles.StandardQs, 10L)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty)
+  }
 }
