@@ -8,7 +8,12 @@ package graft
 object Plans {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(4)
-    val d = "/root/testdata/sf0.001"
+    // SPARK_GRAFT_PLANS_DIR overrides for plan checks at other scales
+    // (join strategies flip with input size — an sf0.001 dump cannot
+    // show whether sf0.1 broadcasts); default stays the committed
+    // PLANS.md contract
+    val d = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR",
+      "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSet else
       Set("q1_agg", "q3_join", "q5_join_multi", "q_dashboard", "q_lookback",
         "q_minhash_lsh", "q_ann_brute", "q_ngram_jaccard", "q_simhash_pairs",

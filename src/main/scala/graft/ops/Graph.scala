@@ -819,14 +819,23 @@ object Graph {
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     val degrees = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    // NO broadcast hint on centers: the hint would propagate smallness
+    // through adjK and flip the wedge SELF-join to broadcasting all of
+    // adjK (measured 2-3× slower); unhinted, AQE still broadcasts the
+    // center join at runtime when it is small, and the wedge join keeps
+    // its shared shuffle
     val centers = degrees.filter(col("deg") <= maxCenterDeg)
       .select(col("w"), expr("1048576 div deg").cast("long").as("wt"))
     val adjK = adj.join(centers, Seq("w"))
-    val wedges = adjK.select(col("w"), col("wt"), col("n").as("node_a"))
-      .join(adjK.select(col("w"), col("n").as("node_b")), Seq("w"))
+    // both wedge sides carry IDENTICAL projections (w, wt, n) so their
+    // shuffles canonicalize equal and Spark reuses one exchange — a
+    // wt-only-on-one-side shape would shuffle adjK twice (measured 2×)
+    val x = adjK.select(col("w"), col("wt").as("wt_a"), col("n").as("node_a"))
+    val y = adjK.select(col("w"), col("wt").as("wt_b"), col("n").as("node_b"))
+    val wedges = x.join(y, Seq("w"))
       .filter(col("node_a") < col("node_b"))
     val scored = wedges.groupBy("node_a", "node_b")
-      .agg(sum(col("wt")).cast("long").as("score_fp"),
+      .agg(sum(col("wt_a")).cast("long").as("score_fp"),
         count(lit(1)).cast("long").as("common"))
       .filter(col("common") >= minCommon)
     scored.join(e,
@@ -863,12 +872,14 @@ object Graph {
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val degrees = adj.groupBy("w").agg(count(lit(1)).cast("long").as("deg"))
+    // degrees is node-count-sized → broadcast twice; the 2|E| adj side
+    // stays map-only all the way into the single final aggregation
     val ends = adj
-      .join(degrees.withColumnRenamed("w", "jw")
-        .withColumnRenamed("deg", "deg_x"), col("w") === col("jw"))
+      .join(broadcast(degrees.withColumnRenamed("w", "jw")
+        .withColumnRenamed("deg", "deg_x")), col("w") === col("jw"))
       .drop("jw")
-      .join(degrees.withColumnRenamed("w", "jn")
-        .withColumnRenamed("deg", "deg_y"), col("n") === col("jn"))
+      .join(broadcast(degrees.withColumnRenamed("w", "jn")
+        .withColumnRenamed("deg", "deg_y")), col("n") === col("jn"))
       .select(col("deg_x").cast("decimal(38,0)").as("x"),
         col("deg_y").cast("decimal(38,0)").as("y"))
     val sums = ends.agg(
