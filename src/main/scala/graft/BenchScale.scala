@@ -363,6 +363,75 @@ object BenchScale {
       editdupLadder()
       spark.stop(); return
     }
+    if (args.lift(1).contains("r14")) {
+      // r14 families ladder. Sketches (HLL registers / CMS cells /
+      // quantile histogram): each build is ONE hash aggregation whose
+      // output is sketch-sized — time must be corpus-linear and output
+      // rows FLAT in K (registers ≤ m, cells ≤ d·w, buckets ≤ range/
+      // width: the whole point of a sketch). RA link prediction:
+      // disjoint graph copies keep degrees constant ⇒ capped wedge
+      // volume linear in |E| (the commonNeighborLinks bound with a
+      // weight rider). Assortativity: two broadcast joins + one agg
+      // over 2|E| ends — linear by construction.
+      import graft.functions.Text
+      def docToks(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val warmD = scaledDocs(spark, sfDir, 1).limit(300)
+      graft.ops.Hll.estimate(graft.ops.Hll.registers(
+        docToks(warmD).select(col("tok").as("v")), Nil, "v", 256), Nil, 256)
+        .count()
+      graft.ops.Cms.build(docToks(warmD).select(col("tok").as("v")),
+        "v", 4, 1024).count()
+      graft.ops.Quantiles.histogram(
+        warmD.select(Text.tokenCount(col("text")).cast("long").as("v")),
+        "v", 8L).count()
+      val warmE = graft.ops.Graph.copurchaseEdges(
+        scaledGraphBaskets(spark, sfDir, 1).limit(5000), "basket", "item", 2)
+      graft.ops.Graph.resourceAllocationLinks(warmE, "src", "dst", 96, 4)
+        .count()
+      graft.ops.Graph.degreeAssortativity(warmE, "src", "dst").count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val dPath = s"/root/repo/tmp/scale_docs_r14_$k"
+        scaledDocs(spark, sfDir, k).write.mode("overwrite").parquet(dPath)
+        val docs = spark.read.parquet(dPath)
+        val nDoc = docs.count()
+        val toks = docToks(docs).select(col("tok").as("v"))
+        val (tHll, nReg) = time(graft.ops.Hll.registers(
+          toks, Nil, "v", 256).count())
+        spark.catalog.clearCache()
+        val (tCms, nCell) = time(graft.ops.Cms.build(
+          toks, "v", 4, 1024).count())
+        spark.catalog.clearCache()
+        val (tHist, nBuck) = time(graft.ops.Quantiles.histogram(
+          docs.select(Text.tokenCount(col("text")).cast("long").as("v")),
+          "v", 8L).count())
+        spark.catalog.clearCache()
+        val baskets = scaledGraphBaskets(spark, sfDir, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        baskets.count()
+        val edges = graft.ops.Graph.copurchaseEdges(baskets, "basket", "item", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nE = edges.count()
+        val (tRa, nRa) = time(graft.ops.Graph.resourceAllocationLinks(
+          edges, "src", "dst", 96, 4).count())
+        spark.catalog.clearCache()
+        edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        val (tAs, _) = time(graft.ops.Graph.degreeAssortativity(
+          edges, "src", "dst").count())
+        println(s"""{"k":$k,"docs":$nDoc,"edges":$nE,""" +
+          s""""hll_sec":${f"$tHll%.2f"},"hll_regs":$nReg,""" +
+          s""""cms_sec":${f"$tCms%.2f"},"cms_cells":$nCell,""" +
+          s""""hist_sec":${f"$tHist%.2f"},"hist_buckets":$nBuck,""" +
+          s""""ra_sec":${f"$tRa%.2f"},"ra_pairs":$nRa,""" +
+          s""""assort_sec":${f"$tAs%.2f"}}""")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("graph")) {
       // graph ladder: K disjoint co-purchase graph copies — edge build
       // and per-iteration cost must both track |E| linearly (the loop

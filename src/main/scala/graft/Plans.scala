@@ -53,10 +53,15 @@ object Plans {
         "q_kanon", "q_normalize",
         "q_triangles", "q_hits", "q_entity_match_capped",
         "q_image_neardup", "q_link_predict", "q_readability",
-        "q_keywords", "q_ann_mmr", "q_hybrid_rrf", "q_harmonic")
+        "q_keywords", "q_ann_mmr", "q_hybrid_rrf", "q_harmonic",
+        "q_hll_card", "q_hll_stored", "q_cms_freq", "q_cms_stored",
+        "q_hist_quantiles", "q_hist_stored", "q_link_predict_ra",
+        "q_assortativity", "q_golden_record", "q_fd_profile",
+        "q_profile_card")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
-        // PlanShapeSpec instead of a dump that would be all repetition
+        // PlanShapeSpec instead of a dump that would be all repetition;
+        // q_central_chunks inlines the pageRankWeighted loop likewise
     graft.queries.Queries.all.filter(q => names(q._1)).foreach { case (name, (impl, _)) =>
       println(s"\n========== $name ==========")
       impl(spark, d).explain("formatted")

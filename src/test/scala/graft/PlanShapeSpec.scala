@@ -173,4 +173,56 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     spark.catalog.clearCache()
   }
+
+  test("hll registers: one exchange total (a sketch build is one hash aggregation)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => s"v$i").toDF("v")
+    val plan = planString(graft.ops.Hll.registers(df, Nil, "v", 256))
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"register build must be one partial+final agg pair:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cms build: vocab agg then map-side cell explode — two exchanges, no join") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => s"t${i % 300}").toDF("v")
+    val plan = planString(graft.ops.Cms.build(df, "v", 4, 1024))
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"build is two agg pairs (vocab, cells) with the explode between:\n$plan")
+    assert(!plan.contains("Join"), "the cell scatter must be a map-side explode, not a join")
+  }
+
+  test("cms probe: sketch side broadcast, never a shuffle of the probe relation per row") {
+    import spark.implicits._
+    val items = (1 to 500).flatMap(i => Seq.fill(2)(s"t$i")).toDF("v")
+    val sk = graft.ops.Cms.build(items, "v", 4, 1024)
+    val plan = planString(
+      graft.ops.Cms.probe((1 to 50).map(i => s"t$i").toDF("v"), sk, 4, 1024))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the d·w-row sketch must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
+  test("resourceAllocationLinks: no cartesian/nested-loop anywhere in the wedge pipeline") {
+    import spark.implicits._
+    val edges = (1L to 60L).flatMap(i => Seq((i, i % 20 + 100), (i % 15 + 100, i)))
+      .toDF("src", "dst")
+    val plan = planString(graft.ops.Graph.resourceAllocationLinks(
+      edges, "src", "dst", maxCenterDeg = 50, minCommon = 1))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("degreeAssortativity: degree table broadcast on both end joins") {
+    import spark.implicits._
+    val edges = (1L to 200L).map(i => (i, i % 40 + 500)).toDF("src", "dst")
+    val plan = planString(graft.ops.Graph.degreeAssortativity(edges, "src", "dst"))
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"both end joins must broadcast the node-sized degree table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "an SMJ here would sort 2|E| adjacency rows for a node-sized build side")
+    spark.catalog.clearCache()
+  }
 }
