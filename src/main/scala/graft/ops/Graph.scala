@@ -819,23 +819,26 @@ object Graph {
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     val degrees = adj.groupBy("w").agg(count(lit(1)).as("deg"))
-    // NO broadcast hint on centers: the hint would propagate smallness
-    // through adjK and flip the wedge SELF-join to broadcasting all of
-    // adjK (measured 2-3× slower); unhinted, AQE still broadcasts the
-    // center join at runtime when it is small, and the wedge join keeps
-    // its shared shuffle
     val centers = degrees.filter(col("deg") <= maxCenterDeg)
-      .select(col("w"), expr("1048576 div deg").cast("long").as("wt"))
-    val adjK = adj.join(centers, Seq("w"))
-    // both wedge sides carry IDENTICAL projections (w, wt, n) so their
-    // shuffles canonicalize equal and Spark reuses one exchange — a
-    // wt-only-on-one-side shape would shuffle adjK twice (measured 2×)
-    val x = adjK.select(col("w"), col("wt").as("wt_a"), col("n").as("node_a"))
-    val y = adjK.select(col("w"), col("wt").as("wt_b"), col("n").as("node_b"))
-    val wedges = x.join(y, Seq("w"))
+    // EXACTLY commonNeighborLinks' wedge pipeline (semi-joined adjK,
+    // identical projections both sides ⇒ one reusable exchange); the
+    // weight does NOT ride through the wedge self-join — it map-joins
+    // onto the wedge stream afterwards from the node-sized table.
+    // Carrying wt through the self-join instead measured ~2× (the
+    // inner-join adjK shapes defeat semi-join short-circuiting), and a
+    // broadcast hint placed on centers BEFORE adjK propagates smallness
+    // and flips the wedge join into broadcasting the full adjacency
+    // (measured 2-3×) — the hint belongs on the post-wedge weight join
+    // only, where its build side really is the node-sized table.
+    val adjK = adj.join(centers.select("w"), Seq("w"), "left_semi")
+    val wedges = adjK.select(col("w"), col("n").as("node_a"))
+      .join(adjK.select(col("w"), col("n").as("node_b")), Seq("w"))
       .filter(col("node_a") < col("node_b"))
-    val scored = wedges.groupBy("node_a", "node_b")
-      .agg(sum(col("wt_a")).cast("long").as("score_fp"),
+    val wt = centers
+      .select(col("w"), expr("1048576 div deg").cast("long").as("wt"))
+    val scored = wedges.join(broadcast(wt), Seq("w"))
+      .groupBy("node_a", "node_b")
+      .agg(sum(col("wt")).cast("long").as("score_fp"),
         count(lit(1)).cast("long").as("common"))
       .filter(col("common") >= minCommon)
     scored.join(e,
