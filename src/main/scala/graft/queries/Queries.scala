@@ -7008,6 +7008,40 @@ object Queries {
        |${colCardSql("customer", "c_nationkey")}
        |ORDER BY "column"""".stripMargin)
 
+  /** WINDOWED distinct-count from the HLL register store: append three
+    * batches, then run the TTL retention sweep
+    * ([[graft.ops.Stores.rewriteWhere]] on the batch tag — the
+    * "distinct users in the trailing window" monitor) so only the two
+    * newest batches' registers survive, and estimate from the swept
+    * store. Hash-equal to the one-shot sketch over just those slices —
+    * grading the retention path itself: the sweep preserves the
+    * `_appended_*` markers, so a re-run's redelivered batches no-op
+    * instead of resurrecting the expired registers, and the whole
+    * query converges under arbitrary re-execution. */
+  val qHllWindow: Q = "q_hll_window" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "hll_regs_win")
+      def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      (0 to 2).foreach { k =>
+        graft.ops.Hll.registerStoreAppend(slice(k), store, s"b$k",
+          Seq("source"), "tok", 256)
+      }
+      graft.ops.Stores.rewriteWhere(s, store, col("tag") >= "b1")
+      graft.ops.Hll.estimateFromStore(s, store, Seq("source"), 256)
+        .select(col("source"), col("buckets_hit"),
+          round(col("est"), 6).as("est"))
+        .orderBy(col("source"))
+    },
+    s"""WITH t AS (SELECT source, unnest($TOKS) AS tok FROM documents
+       |  WHERE doc_id % 3 <> 0),
+       |tf AS (SELECT source, tok AS v FROM t WHERE tok <> ''),
+       |${graft.ops.Hll.oracleCtes("tf", Seq("source"), 256)}
+       |SELECT source, buckets_hit, round(est, 6) AS est
+       |FROM hll_est ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7058,6 +7092,6 @@ object Queries {
     qHllCard, qHllStored, qCmsFreq, qCmsStored,
     qLinkPredictRa, qAssortativity, qGoldenRecord,
     qHistQuantiles, qHistStored, qCentralChunks,
-    qFdProfile, qProfileCard,
+    qFdProfile, qProfileCard, qHllWindow,
   )
 }
