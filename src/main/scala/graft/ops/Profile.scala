@@ -23,10 +23,12 @@ object Profile {
     * counts (bounded by the pair's value-combination cardinality), then
     * per-det max/sum. All-integer until the one `conf` division.
     *
-    * @param pairs (determinantCol, dependentCol) candidates; NULLs
-    *              group as values (a NULL determinant is one group — a
-    *              flood of NULLs showing up as a huge low-conf group is
-    *              exactly what the profile should surface)
+    * @param pairs (determinant, dependent) candidates — each side any
+    *              SQL expression, so composite keys profile as e.g.
+    *              `concat_ws('|', a, b)`; NULLs group as values (a NULL
+    *              determinant is one group — a flood of NULLs showing
+    *              up as a huge low-conf group is exactly what the
+    *              profile should surface)
     * @return one row per pair: (determinant, dependent, n_rows,
     *         n_groups, violations, conf)
     */
@@ -34,8 +36,8 @@ object Profile {
     require(pairs.nonEmpty, "need at least one (det, dep) candidate")
     pairs.map { case (det, dep) =>
       val pairCounts = df
-        .groupBy(col(det).cast("string").as("dv"),
-          col(dep).cast("string").as("pv"))
+        .groupBy(expr(det).cast("string").as("dv"),
+          expr(dep).cast("string").as("pv"))
         .agg(count(lit(1)).as("c"))
       pairCounts
         .groupBy("dv")

@@ -58,4 +58,17 @@ class ProfileSpec extends SparkTestBase {
         (r.getAs[Long]("n_distinct"), r.getAs[String]("top_v"))).toMap
     assert(m("a") === ((2L, "1")) && m("b") === ((1L, "u")))
   }
+
+  test("fdProfile: composite determinant via expression finds the key a single column misses") {
+    // (a) alone does not determine p; (a, b) does
+    val df = Seq(("x", 1, "p"), ("x", 2, "q"), ("x", 2, "q"), ("y", 1, "r"))
+      .toDF("a", "b", "p")
+    val single = Profile.fdProfile(df, Seq(("a", "p"))).collect().head
+    assert(single.getAs[Long]("violations") === 1L)
+    val composite = Profile.fdProfile(
+      df, Seq(("concat_ws('|', a, b)", "p"))).collect().head
+    assert(composite.getAs[Long]("violations") === 0L &&
+      composite.getAs[Double]("conf") === 1.0)
+    assert(composite.getAs[Long]("n_groups") === 3L)
+  }
 }
