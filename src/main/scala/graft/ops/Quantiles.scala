@@ -104,6 +104,77 @@ object Quantiles {
        |  FROM hq_s JOIN hq_c USING (bucket))""".stripMargin
   }
 
+  /** [[histogram]] per group: (group..., bucket, cnt). */
+  def histogramBy(df: DataFrame, groupCols: Seq[String], valueExpr: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    df.select((groupCols.map(col) :+
+        expr(s"cast(($valueExpr) as bigint) div $bucketWidth")
+          .as("bucket")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** [[quantiles]] per group, fully distributed (no driver action —
+    * per-group totals come from an aggregation, not a collect): one row
+    * per (group, label). The cumulative window partitions by group, so
+    * each frame is one group's model-sized histogram. */
+  def quantilesBy(hist: DataFrame, groupCols: Seq[String],
+                  qs: Seq[(String, Int, Int)],
+                  bucketWidth: Long): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (l, n, d) =>
+      require(n >= 1 && d >= n, s"quantile $l: need 1 <= num <= den") }
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val gc = groupCols.map(col)
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(
+          Window.partitionBy(gc: _*).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = hist.groupBy(gc: _*).agg(sum(col("cnt")).cast("long").as("n"))
+    val qdf = qs.toDF("p_label", "num", "den")
+    val targets = totals.crossJoin(broadcast(qdf))
+      .select((gc :+ col("p_label") :+
+        expr("(n * num + den - 1) div den") // integer ⌈q·N⌉, never a
+          .cast("long").as("target")): _*)  // double division
+    val sel = targets.join(cum, groupCols)
+      .filter(col("cum") >= col("target"))
+      .groupBy((groupCols :+ "p_label" :+ "target").map(col): _*)
+      .agg(min(col("bucket")).as("bucket"))
+    sel.join(cum.select((gc :+ col("bucket") :+ col("cum")): _*),
+        groupCols :+ "bucket")
+      .select((gc :+ col("p_label") :+ col("target") :+ col("bucket") :+
+        (col("bucket") * bucketWidth).as("lo") :+ col("cum")): _*)
+  }
+
+  /** DuckDB mirror of [[histogramBy]]+[[quantilesBy]] for a relation
+    * `src(<groupCols...>, v)` — CTEs ending in
+    * `hq(<groupCols...>, p_label, target, bucket, lo, cum)`. */
+  def oracleCtesBy(src: String, groupCols: Seq[String],
+                   qs: Seq[(String, Int, Int)],
+                   bucketWidth: Long): String = {
+    val g = groupCols.mkString(", ")
+    val values = qs.map { case (l, n, d) => s"('$l', $n, $d)" }.mkString(", ")
+    s"""hq_h AS (SELECT $g, v // $bucketWidth AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM $src GROUP BY ALL),
+       |hq_c AS (SELECT $g, bucket, cnt, CAST(sum(cnt) OVER (
+       |    PARTITION BY $g ORDER BY bucket) AS BIGINT) AS cum FROM hq_h),
+       |hq_n AS (SELECT $g, CAST(sum(cnt) AS BIGINT) AS n FROM hq_h
+       |  GROUP BY ALL),
+       |hq_t AS (SELECT $g, t.p_label,
+       |    (hq_n.n * t.num + t.den - 1) // t.den AS target
+       |  FROM hq_n, (VALUES $values) AS t(p_label, num, den)),
+       |hq_s AS (SELECT $g, p_label, target, min(bucket) AS bucket
+       |  FROM hq_t JOIN hq_c USING ($g)
+       |  WHERE hq_c.cum >= hq_t.target GROUP BY ALL),
+       |hq AS (SELECT hq_s.*, hq_s.bucket * $bucketWidth AS lo, hq_c.cum
+       |  FROM hq_s JOIN hq_c USING ($g, bucket))""".stripMargin
+  }
+
   /** Append one batch's histogram into a parquet store — rows
     * (bucket, cnt, tag); exactly-once per `batchTag` (additive merge —
     * the marker is load-bearing, as in [[Cms.storeAppend]]). */

@@ -7042,6 +7042,29 @@ object Queries {
        |SELECT source, buckets_hit, round(est, 6) AS est
        |FROM hll_est ORDER BY source""".stripMargin)
 
+  /** Per-SOURCE token-count quantiles
+    * ([[graft.ops.Quantiles.quantilesBy]]): the grouped form of
+    * [[qHistQuantiles]] — p50/p90/p99 document length per corpus
+    * source, fully distributed (group totals from an aggregation, the
+    * cumulative window partitioned per group's model-sized histogram;
+    * no driver action). The per-source length monitor a mixed-corpus
+    * ingest actually dashboards. */
+  val qHistBySource: Q = "q_hist_by_source" -> (
+    (s: SparkSession, d: String) => {
+      val n = Tables.documents(s, d)
+        .select(col("source"), Text.tokenCount(col("text")).cast("long").as("v"))
+      graft.ops.Quantiles.quantilesBy(
+          graft.ops.Quantiles.histogramBy(n, Seq("source"), "v", 8L),
+          Seq("source"), graft.ops.Quantiles.StandardQs, 8L)
+        .orderBy(col("source"), col("p_label"))
+    },
+    s"""WITH src AS (SELECT source, CAST(len($TOKS) AS BIGINT) AS v
+       |  FROM documents),
+       |${graft.ops.Quantiles.oracleCtesBy("src", Seq("source"),
+            graft.ops.Quantiles.StandardQs, 8L)}
+       |SELECT source, p_label, target, bucket, lo, cum FROM hq
+       |ORDER BY source, p_label""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7092,6 +7115,6 @@ object Queries {
     qHllCard, qHllStored, qCmsFreq, qCmsStored,
     qLinkPredictRa, qAssortativity, qGoldenRecord,
     qHistQuantiles, qHistStored, qCentralChunks,
-    qFdProfile, qProfileCard, qHllWindow,
+    qFdProfile, qProfileCard, qHllWindow, qHistBySource,
   )
 }

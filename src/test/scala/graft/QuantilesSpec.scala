@@ -96,4 +96,26 @@ class QuantilesSpec extends SparkTestBase {
     assert(streamed.exceptAll(oneShot).isEmpty &&
       oneShot.exceptAll(streamed).isEmpty)
   }
+
+  test("quantilesBy: per-group answers equal the global op run on each group alone") {
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 40).map(i => ("b", (i * 25).toLong))).toDF("g", "v")
+    val grouped = Quantiles.quantilesBy(
+        Quantiles.histogramBy(df, Seq("g"), "v", 10L),
+        Seq("g"), Quantiles.StandardQs, 10L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[String]("p_label")) ->
+        ((r.getAs[Long]("target"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("lo"), r.getAs[Long]("cum")))).toMap
+    Seq("a", "b").foreach { g =>
+      val solo = Quantiles.quantiles(
+          Quantiles.histogram(df.filter(col("g") === g).select("v"), "v", 10L),
+          Quantiles.StandardQs, 10L)
+        .collect().map(r => r.getAs[String]("p_label") ->
+          ((r.getAs[Long]("target"), r.getAs[Long]("bucket"),
+            r.getAs[Long]("lo"), r.getAs[Long]("cum")))).toMap
+      Quantiles.StandardQs.foreach { case (l, _, _) =>
+        assert(grouped((g, l)) === solo(l), s"group $g quantile $l")
+      }
+    }
+  }
 }
