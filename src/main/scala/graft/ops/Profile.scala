@@ -53,6 +53,49 @@ object Profile {
     }.reduce(_ unionAll _)
   }
 
+  /** The FD measure DECOMPOSES over an additive (dv, pv, cnt) store:
+    * violations = Σ_dv (n_dv − max_pv cnt) is a pure function of the
+    * pair counts, and pair counts merge by SUM across batches — so FD
+    * confidence is INCREMENTALLY maintainable (the "is this dependency
+    * eroding as data arrives" DQ drift monitor) without rescanning
+    * history. Store size is the pair's value-combination cardinality
+    * (the same bound the one-shot profile carries); sum-merge is not
+    * idempotent, so the [[Stores.appendCommit]] marker is load-bearing
+    * exactly as in [[Cms]]. */
+  def fdStoreAppend(df: DataFrame, path: String, batchTag: String,
+                    det: String, dep: String): Unit = {
+    val spark = df.sparkSession
+    val counts = df
+      .groupBy(expr(det).cast("string").as("dv"),
+        expr(dep).cast("string").as("pv"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("tag", lit(batchTag))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      counts.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      counts.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** The g3 profile row from an append store (sum-merged pair counts);
+    * `determinant`/`dependent` label the output as in [[fdProfile]]. */
+  def fdFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  det: String, dep: String): DataFrame = {
+    Stores.requireStore(spark, path, "append FD pair-count batches first")
+    spark.read.parquet(path)
+      .groupBy("dv", "pv").agg(sum(col("cnt")).as("c"))
+      .groupBy("dv")
+      .agg(sum(col("c")).as("n"), max(col("c")).as("keep"))
+      .agg(
+        sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(col("n") - col("keep")).cast("long").as("violations"))
+      .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+        col("n_rows"), col("n_groups"), col("violations"),
+        (lit(1.0) - col("violations").cast("double") /
+          col("n_rows").cast("double")).as("conf"))
+  }
+
   /** Column-profile card: one row per requested column — row/null/
     * distinct counts, lexicographic min/max (of the string rendering —
     * type-uniform across heterogeneous columns), and the modal value

@@ -7065,6 +7065,31 @@ object Queries {
        |SELECT source, p_label, target, bucket, lo, cum FROM hq
        |ORDER BY source, p_label""".stripMargin)
 
+  /** FD confidence maintained INCREMENTALLY
+    * ([[graft.ops.Profile.fdStoreAppend]], three order slices by
+    * o_orderkey mod 3): the g3 measure is a pure function of the
+    * additive (dv, pv, cnt) pair counts, so the merged store's profile
+    * row hash-matches the one-shot oracle — certifying the
+    * decomposition end-to-end. The DQ drift monitor: "is
+    * o_custkey → o_orderpriority eroding as orders arrive". */
+  val qFdStored: Q = "q_fd_stored" -> (
+    (s: SparkSession, d: String) => {
+      val orders = Tables.orders(s, d)
+      val store = codebookPath(d, "fd_cust_prio")
+      (0 to 2).foreach { k =>
+        graft.ops.Profile.fdStoreAppend(
+          orders.filter(col("o_orderkey") % 3 === k), store, s"b$k",
+          "o_custkey", "o_orderpriority")
+      }
+      graft.ops.Profile.fdFromStore(s, store,
+          "o_custkey", "o_orderpriority")
+        .select(col("determinant"), col("dependent"), col("n_rows"),
+          col("n_groups"), col("violations"), round(col("conf"), 6).as("conf"))
+        .orderBy(col("determinant"))
+    },
+    s"""${fdPairSql("orders", "o_custkey", "o_orderpriority")}
+       |ORDER BY determinant""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7115,6 +7140,6 @@ object Queries {
     qHllCard, qHllStored, qCmsFreq, qCmsStored,
     qLinkPredictRa, qAssortativity, qGoldenRecord,
     qHistQuantiles, qHistStored, qCentralChunks,
-    qFdProfile, qProfileCard, qHllWindow, qHistBySource,
+    qFdProfile, qProfileCard, qHllWindow, qHistBySource, qFdStored,
   )
 }

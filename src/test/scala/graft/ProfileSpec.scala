@@ -71,4 +71,41 @@ class ProfileSpec extends SparkTestBase {
       composite.getAs[Double]("conf") === 1.0)
     assert(composite.getAs[Long]("n_groups") === 3L)
   }
+
+  test("fd store: slice-merged profile equals one-shot; redelivered batch no-ops") {
+    val store = java.nio.file.Files.createTempDirectory("fd").toString + "/st"
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"), ("b", "z"))
+      .toDF("d", "p")
+    Profile.fdStoreAppend(df.limit(3), store, "b0", "d", "p")
+    Profile.fdStoreAppend(df.offset(3), store, "b1", "d", "p")
+    Profile.fdStoreAppend(df.offset(3), store, "b1", "d", "p") // redelivery
+    val merged = Profile.fdFromStore(spark, store, "d", "p").collect().head
+    val oneShot = Profile.fdProfile(df, Seq(("d", "p"))).collect().head
+    assert(merged === oneShot,
+      "g3 must be a pure function of the sum-merged pair counts")
+  }
+
+  test("fd streaming twin: confidence erodes batch over batch as violations arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("fds").toString + "/st"
+    val mem = MemoryStream[(String, String)]
+    val confs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val q = graft.streaming.FdStream.selfMaintaining(
+        mem.toDF().toDF("d", "p"), store, "d", "p") { _ =>
+        confs += Profile.fdFromStore(spark, store, "d", "p")
+          .collect().head.getAs[Double]("conf")
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("fds_ck").toString)
+      .start()
+    try {
+      mem.addData(Seq(("k1", "v"), ("k2", "v"))); q.processAllAvailable()
+      mem.addData(Seq(("k1", "OTHER"), ("k1", "OTHER"),
+        ("k1", "OTHER"), ("k1", "OTHER"))); q.processAllAvailable()
+    } finally q.stop()
+    assert(confs.head === 1.0, "batch 0 alone: exact dependency")
+    assert(confs(1) < 1.0 && confs(1) === 1.0 - 1.0 / 6.0,
+      s"k1 keeps modal OTHER=4 of 5, one violation over 6 rows: $confs")
+  }
 }
