@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group least-squares trend — "is this metric drifting, and how
+  * fast" as ONE aggregation: slope/intercept/r² of y over x per group
+  * from the closed-form normal equations, every sum accumulated
+  * EXACTLY in DECIMAL(38,6) (integer/low-scale-decimal inputs ⇒
+  * order-free exact sums at any scale — the
+  * [[Graph.degreeAssortativity]] discipline), the final statistics a
+  * fixed IEEE expression over those exact sums.
+  *
+  * This is the monitoring shape for "quality score per source over
+  * time", "tokens per doc per crawl batch", "value per event type per
+  * day": one map-side-combinable aggregation, group-count-sized output,
+  * no window, no sort.
+  */
+object Trend {
+
+  /** One row per group: (group..., n, slope, intercept, r2).
+    * `xExpr`/`yExpr` are SQL expressions cast to DECIMAL(38,6) — keep
+    * them integer-valued or low-scale decimal (epoch days, counts,
+    * money) so the casts are exact. Groups with a degenerate
+    * denominator (all-equal x, or all-equal y for r²) report NULL
+    * rather than ±Inf/NaN. */
+  def linearTrend(df: DataFrame, groupCols: Seq[String], xExpr: String,
+                  yExpr: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val d = "decimal(38,6)"
+    val sums = df
+      .select((gc :+ expr(xExpr).cast(d).as("x") :+
+        expr(yExpr).cast(d).as("y")): _*)
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(gc: _*)
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        // sums keep the NATIVE product scale (38,12) — a re-cast to
+        // scale 6 here would round real sub-scale digits and break
+        // engine parity; the one lossy step is the final cast-to-double
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+    // fixed IEEE shapes over the exact sums, shared with the oracle:
+    //   den  = n·Σx² − (Σx)²        num = n·Σxy − Σx·Σy
+    //   slope = num/den   intercept = (Σy − slope·Σx)/n
+    //   r²    = num² / (den · (n·Σy² − (Σy)²))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double"); val sx2D = col("sx2").cast("double")
+    val sy2D = col("sy2").cast("double")
+    val num = nD * sxyD - sxD * syD
+    val den = nD * sx2D - sxD * sxD
+    val denY = nD * sy2D - syD * syD
+    sums.select((gc :+ col("n") :+
+      when(den === 0.0, lit(null)).otherwise(num / den).as("slope") :+
+      when(den === 0.0, lit(null))
+        .otherwise((syD - (num / den) * sxD) / nD).as("intercept") :+
+      when(den === 0.0 || denY === 0.0, lit(null))
+        .otherwise((num * num) / (den * denY)).as("r2")): _*)
+  }
+
+  /** DuckDB mirror of [[linearTrend]] for a relation
+    * `src(<groupCols...>, x, y)` with INTEGER x/y — CTEs ending in
+    * `trend(<groupCols...>, n, slope, intercept, r2)`.
+    *
+    * The sums are HUGEINT (128-bit exact), NOT decimal: DuckDB's
+    * DECIMAL(38,12)→DOUBLE conversion divides the raw backing integer
+    * in floating point and lands ~1e-4 off once the backing exceeds
+    * 2^53 (measured: Σx² of 7.8e11 came back as …851.0001), while an
+    * integer→double cast is correctly rounded — so integer sums are
+    * the only rendering that matches Spark's (correctly-rounded)
+    * BigDecimal.toDouble bit-for-bit. Engine parity therefore holds
+    * for integer-valued inputs, the op's documented domain. */
+  def oracleCtes(src: String, groupCols: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    s"""tr_s AS (SELECT $g, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sx2,
+       |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS sy2
+       |  FROM $src WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY ALL),
+       |trend AS (SELECT $g, n,
+       |    CASE WHEN CAST(n AS DOUBLE) * sx2 - sx * sx = 0 THEN NULL
+       |      ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+       |        / (CAST(n AS DOUBLE) * sx2 - sx * sx) END AS slope,
+       |    CASE WHEN CAST(n AS DOUBLE) * sx2 - sx * sx = 0 THEN NULL
+       |      ELSE (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+       |          / (CAST(n AS DOUBLE) * sx2 - sx * sx)) * sx)
+       |        / CAST(n AS DOUBLE) END AS intercept,
+       |    CASE WHEN CAST(n AS DOUBLE) * sx2 - sx * sx = 0
+       |        OR CAST(n AS DOUBLE) * sy2 - sy * sy = 0 THEN NULL
+       |      ELSE ((CAST(n AS DOUBLE) * sxy - sx * sy)
+       |          * (CAST(n AS DOUBLE) * sxy - sx * sy))
+       |        / ((CAST(n AS DOUBLE) * sx2 - sx * sx)
+       |          * (CAST(n AS DOUBLE) * sy2 - sy * sy)) END AS r2
+       |  FROM tr_s)""".stripMargin
+  }
+}

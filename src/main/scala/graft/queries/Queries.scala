@@ -7090,6 +7090,30 @@ object Queries {
     s"""${fdPairSql("orders", "o_custkey", "o_orderpriority")}
        |ORDER BY determinant""".stripMargin)
 
+  /** Per-group least-squares trend ([[graft.ops.Trend.linearTrend]]):
+    * slope/intercept/r² of the payload metric `k` over event DAY per
+    * event type — "is this metric drifting, and how fast" as ONE
+    * map-combinable aggregation from exact DECIMAL sums (integer x/y ⇒
+    * every sum exact; the statistics are fixed IEEE shapes over them).
+    * No window, no sort, group-count-sized output. */
+  val qTrend: Q = "q_trend" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Trend.linearTrend(
+          Tables.events(s, d).filter(col("k").isNotNull),
+          Seq("event_type"), "ts_us div 86400000000", "k")
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 9).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 9).as("r2"))
+        .orderBy(col("event_type")),
+    s"""WITH $EV,
+       |src AS (SELECT event_type, ts_us // 86400000000 AS x, k AS y
+       |  FROM ev WHERE k IS NOT NULL),
+       |${graft.ops.Trend.oracleCtes("src", Seq("event_type"))}
+       |SELECT event_type, n, round(slope, 9) AS slope,
+       |  round(intercept, 6) AS intercept, round(r2, 9) AS r2
+       |FROM trend ORDER BY event_type""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7141,5 +7165,6 @@ object Queries {
     qLinkPredictRa, qAssortativity, qGoldenRecord,
     qHistQuantiles, qHistStored, qCentralChunks,
     qFdProfile, qProfileCard, qHllWindow, qHistBySource, qFdStored,
+    qTrend,
   )
 }
