@@ -144,6 +144,91 @@ object Hll {
     case _  => s"(0.7213 / (1.0 + 1.079 / ${m.toDouble}))"
   }
 
+  /** Pairwise set-overlap estimates between groups by HLL
+    * inclusion-exclusion: registers are a SET SKETCH, so the per-bucket
+    * MAX of two groups' registers IS the sketch of their union, and
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) with NO extra pass over the
+    * data (the standard HLL set-algebra move — Flajolet et al. 2007 §5;
+    * the same identity DataSketches' Theta family exposes as a
+    * first-class operation). The Jaccard estimate rides along as
+    * intersect/union — the corpus-curation question ("how redundant are
+    * these two crawls?") answered from sketches alone.
+    *
+    * Scale: everything here runs on the REGISTER table — ≤ m rows per
+    * group regardless of corpus size — so the pair matrix costs
+    * O(|pairs| · m), never a second corpus scan. The pair list is the
+    * group cardinality squared; callers with thousands of groups should
+    * pre-filter to the pairs they care about.
+    *
+    * Intersection error compounds (σ of each term adds), and small true
+    * intersections can estimate NEGATIVE — that is the honest sketch
+    * answer and is emitted as-is; consumers threshold, they don't trust
+    * the sign at the noise floor.
+    *
+    * @param regs register table from [[registers]] — (groupCol, bucket, rho)
+    * @return one row per unordered group pair (src_a < src_b):
+    *         est_a, est_b, est_union, est_intersect, jaccard_est
+    */
+  def pairOverlap(regs: DataFrame, groupCol: String, m: Int): DataFrame = {
+    val single = estimate(regs, Seq(groupCol), m)
+    val groups = regs.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("src_a"))
+      .join(groups.select(col(groupCol).as("src_b")),
+        col("src_a") < col("src_b"))
+    // two membership rows per pair -> equi-join against the registers
+    // (an OR-join would plan as a nested loop; this stays hash)
+    val members = pairs.select(col("src_a"), col("src_b"),
+      explode(array(col("src_a"), col("src_b"))).as(groupCol))
+    val unionRegs = members.join(regs, groupCol)
+      .groupBy(col("src_a"), col("src_b"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val estU = estimate(unionRegs, Seq("src_a", "src_b"), m)
+      .withColumnRenamed("est", "est_union").drop("buckets_hit")
+    estU
+      .join(single.select(col(groupCol).as("src_a"), col("est").as("est_a")),
+        Seq("src_a"))
+      .join(single.select(col(groupCol).as("src_b"), col("est").as("est_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+          .as("jaccard_est"))
+  }
+
+  /** DuckDB mirror of [[pairOverlap]] composed on top of [[oracleCtes]]'
+    * `hll_reg`/`hll_est` relations — emits a fragment ending in
+    * `hll_pair(src_a, src_b, est_a, est_b, est_union, est_intersect,
+    * jaccard_est)`. The estimator rendering repeats [[oracleCtes]]'
+    * exactly; the inclusion-exclusion arithmetic is the same fixed
+    * order as the Spark column expressions. */
+  def overlapOracleCtes(groupCol: String, m: Int): String = {
+    val w = rankBits(m)
+    val zTop = s"(CAST(1 AS BIGINT) << ${w + 1})"
+    s"""hll_pr AS (SELECT a.$groupCol AS src_a, b.$groupCol AS src_b
+       |  FROM (SELECT DISTINCT $groupCol FROM hll_reg) a
+       |  JOIN (SELECT DISTINCT $groupCol FROM hll_reg) b
+       |    ON a.$groupCol < b.$groupCol),
+       |hll_mem AS (SELECT src_a, src_b, src_a AS $groupCol FROM hll_pr
+       |  UNION ALL SELECT src_a, src_b, src_b AS $groupCol FROM hll_pr),
+       |hll_ur AS (SELECT m.src_a, m.src_b, r.bucket, max(r.rho) AS rho
+       |  FROM hll_mem m JOIN hll_reg r USING ($groupCol)
+       |  GROUP BY 1, 2, 3),
+       |hll_uz AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS buckets_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (${w + 1} - rho)) AS BIGINT) AS z_present
+       |  FROM hll_ur GROUP BY 1, 2),
+       |hll_ue AS (SELECT src_a, src_b,
+       |    ${alphaSql(m)} * CAST(${m.toLong * m} AS DOUBLE) * CAST($zTop AS DOUBLE)
+       |      / CAST(z_present + (${m} - buckets_hit) * $zTop AS DOUBLE) AS est_union
+       |  FROM hll_uz),
+       |hll_pair AS (SELECT u.src_a, u.src_b, ea.est AS est_a, eb.est AS est_b,
+       |    u.est_union, ea.est + eb.est - u.est_union AS est_intersect,
+       |    (ea.est + eb.est - u.est_union) / u.est_union AS jaccard_est
+       |  FROM hll_ue u
+       |  JOIN hll_est ea ON ea.$groupCol = u.src_a
+       |  JOIN hll_est eb ON eb.$groupCol = u.src_b)""".stripMargin
+  }
+
   /** Append one batch's registers into a parquet store at `path` —
     * rows (group..., bucket, rho, tag). Exactly-once per `batchTag` via
     * [[Stores.appendCommit]]; on top of that, the max-merge read makes

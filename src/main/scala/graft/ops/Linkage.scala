@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,39 @@ object Linkage {
       .select(col("probe_id"), col("master_id"), col("dist"),
         col("n_candidates"))
   }
+
+  /** PHONETIC blocking key: the consonant skeleton — uppercase the
+    * string and delete every vowel (w/h/y kept: unlike Soundex's
+    * drop-list they carry real signal in product/person names, and
+    * keeping the rule to one character class keeps it portable).
+    *
+    * Why this and not Soundex proper (Russell 1918) or Metaphone:
+    * their repeated-code collapse step needs either backreference
+    * regexes or an iterative scan — neither renders in RE2-class
+    * engines, so the key could not be oracle-replayed. The skeleton
+    * retains the property blocking actually needs: it is INVARIANT
+    * under vowel substitutions and vowel insertions/deletions — the
+    * dominant typo classes phonetic blocking exists for (Christen 2012
+    * §4.3 lists phonetic encodings precisely as typo-robust blocking
+    * keys, not as match scores) — while staying one `regexp_replace`
+    * that plans map-side and reads identically in any SQL engine.
+    *
+    * Recall contract: a probe whose corruption touches only vowels
+    * lands in its master's block WITH CERTAINTY, where any
+    * substring-based key (prefix, suffix, q-gram) misses whenever the
+    * corruption overlaps the key window. Precision (block size) comes
+    * from the surviving consonant/digit sequence, which at realistic
+    * name entropy is nearly unique — and the [[blockedBestMatch]]
+    * `maxBlockSize` cap guards the degenerate all-vowel key ("", the
+    * NULL-flood shape) like any other hot block. */
+  def consonantSkeleton(c: Column): Column =
+    upper(regexp_replace(c, "[aeiouAEIOU]", ""))
+
+  /** DuckDB rendering of [[consonantSkeleton]] (RE2 needs the explicit
+    * 'g' flag where Spark's regexp_replace is global by default). Kept
+    * beside the Column form so the two renderings cannot drift. */
+  def consonantSkeletonSql(e: String): String =
+    s"upper(regexp_replace($e, '[aeiouAEIOU]', '', 'g'))"
 
   /** Drop rows whose block exceeds `cap` members — the hot-block guard.
     * One aggregation over the block keys + one join back; the size table

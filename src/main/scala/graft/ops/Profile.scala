@@ -96,6 +96,84 @@ object Profile {
           col("n_rows").cast("double")).as("conf"))
   }
 
+  /** SNAPSHOT DIFF card: what changed between two versions of a keyed
+    * table — one row per tracked field with the table-level added/
+    * removed/common key counts and that field's changed-value count
+    * (null-aware: NULL→value and value→NULL are changes; NULL→NULL is
+    * not). The data-versioning question ("what did this refresh
+    * actually touch") asked of every ingest, answered as ONE full-outer
+    * join + ONE aggregation — the [[graft.sink.BatchIncremental]]
+    * snapshot-diff shape surfaced as an analytics card instead of a
+    * sink transaction.
+    *
+    * Scale: the join shuffles both snapshots by key once; the
+    * aggregation is map-side-combinable to a SINGLE row which then
+    * unpivots to |fields| rows on the driver-free `stack` generator.
+    * All counts are exact integers — trivially engine-identical.
+    *
+    * @param idCol join key, assumed NON-NULL in both snapshots (a NULL
+    *              key row never joins and would count as added+removed;
+    *              keyed tables with NULL keys have bigger problems —
+    *              profile them with [[columnCard]] first)
+    */
+  def snapshotDiff(snapA: DataFrame, snapB: DataFrame, idCol: String,
+                   fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to diff")
+    val a = snapA.select((col(idCol).as("_ida") +: lit(1).as("_pa") +:
+      fields.map(f => col(f).as(s"_a_$f"))): _*)
+    val b = snapB.select((col(idCol).as("_idb") +: lit(1).as("_pb") +:
+      fields.map(f => col(f).as(s"_b_$f"))): _*)
+    val j = a.join(b, col("_ida") === col("_idb"), "full_outer")
+    val changed = fields.map { f =>
+      sum(when(col("_pa").isNotNull && col("_pb").isNotNull &&
+        !(col(s"_a_$f") <=> col(s"_b_$f")), 1L).otherwise(0L))
+        .cast("long").as(s"_ch_$f")
+    }
+    val baseAggs = Seq(
+      sum(when(col("_pa").isNull, 1L).otherwise(0L)).cast("long")
+        .as("n_added"),
+      sum(when(col("_pb").isNull, 1L).otherwise(0L)).cast("long")
+        .as("n_removed"),
+      sum(when(col("_pa").isNotNull && col("_pb").isNotNull, 1L)
+        .otherwise(0L)).cast("long").as("n_common")) ++ changed
+    val counts = j.agg(baseAggs.head, baseAggs.tail: _*)
+    val stackArgs = fields
+      .map(f => s"'$f', _ch_$f").mkString(", ")
+    counts.select(col("n_added"), col("n_removed"), col("n_common"),
+        expr(s"stack(${fields.size}, $stackArgs) AS (field, n_changed)"))
+      .select(col("field"), col("n_added"), col("n_removed"),
+        col("n_common"), col("n_changed"))
+  }
+
+  /** DuckDB mirror of [[snapshotDiff]] over relations `srcA`/`srcB` —
+    * CTEs ending in `sdiff(field, n_added, n_removed, n_common,
+    * n_changed)`. */
+  def snapshotDiffOracleCtes(srcA: String, srcB: String, idCol: String,
+                             fields: Seq[String]): String = {
+    val aCols = fields.map(f => s"a.$f AS a_$f").mkString(", ")
+    val bCols = fields.map(f => s"b.$f AS b_$f").mkString(", ")
+    val chSums = fields.map(f =>
+      s"""CAST(sum(CASE WHEN ida IS NOT NULL AND idb IS NOT NULL
+         |      AND a_$f IS DISTINCT FROM b_$f THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ch_$f""".stripMargin).mkString(",\n    ")
+    val unions = fields.map(f =>
+      s"SELECT '$f' AS field, n_added, n_removed, n_common, ch_$f AS n_changed FROM sd_c")
+      .mkString("\n  UNION ALL ")
+    s"""sd_j AS (SELECT a.$idCol AS ida, b.$idCol AS idb, $aCols, $bCols
+       |  FROM $srcA a FULL JOIN $srcB b ON a.$idCol = b.$idCol),
+       |sd_c AS (SELECT
+       |    CAST(sum(CASE WHEN ida IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_added,
+       |    CAST(sum(CASE WHEN idb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed,
+       |    CAST(sum(CASE WHEN ida IS NOT NULL AND idb IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |    $chSums
+       |  FROM sd_j),
+       |sdiff AS (
+       |  $unions)""".stripMargin
+  }
+
   /** Column-profile card: one row per requested column — row/null/
     * distinct counts, lexicographic min/max (of the string rendering —
     * type-uniform across heterogeneous columns), and the modal value

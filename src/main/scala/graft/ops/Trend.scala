@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group least-squares trend — "is this metric drifting, and how
@@ -59,6 +60,74 @@ object Trend {
         .otherwise((syD - (num / den) * sxD) / nD).as("intercept") :+
       when(den === 0.0 || denY === 0.0, lit(null))
         .otherwise((num * num) / (den * denY)).as("r2")): _*)
+  }
+
+  /** Per-group SEASONAL profile: mean of y at each cycle position
+    * p = x mod period (day-of-week, hour-of-day, month-of-year), plus
+    * the group-level peak position and amplitude — the decomposition
+    * companion to [[linearTrend]] ("WHEN does this metric run hot, and
+    * by how much" after "is it drifting"). Classical seasonal means are
+    * the S_t of the moving-average decomposition (Kendall & Stuart);
+    * fixed integer periods make them a pure GROUP BY, no window over
+    * the data.
+    *
+    * Exactness contract (the [[linearTrend]] discipline): y sums
+    * accumulate in DECIMAL(38,6) (exact for integer-valued y), the mean
+    * is ONE double division of exact operands, and peak/amplitude are
+    * comparisons + one subtraction over the ≤ period per-position
+    * means — no order-dependent float folds anywhere, so the whole card
+    * is engine-bit-identical.
+    *
+    * Scale: one map-side-combinable aggregation to |groups|·period
+    * rows, then a window over those model-sized partitions. The 100 TB
+    * seasonality dashboard is this exact shape.
+    *
+    * @return one row per (group..., pos): n, mean_y, peak_pos (position
+    *         of the largest mean — ties to the smallest position),
+    *         amplitude (max mean − min mean across the group's
+    *         positions). */
+  def seasonalProfile(df: DataFrame, groupCols: Seq[String], xExpr: String,
+                      yExpr: String, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val gc = groupCols.map(col)
+    val agg = df
+      .select((gc :+ expr(xExpr).cast("long").as("x") :+
+        expr(yExpr).cast("decimal(38,6)").as("y")): _*)
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy((gc :+ pmod(col("x"), lit(period.toLong)).as("pos")): _*)
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).as("sy"))
+      .select((gc :+ col("pos") :+ col("n") :+
+        (col("sy").cast("double") / col("n").cast("double"))
+          .as("mean_y")): _*)
+    val part = Window.partitionBy(gc: _*)
+    val full = part.orderBy(col("mean_y").desc, col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("peak_pos", first(col("pos")).over(full))
+      .withColumn("amplitude",
+        max(col("mean_y")).over(part) - min(col("mean_y")).over(part))
+  }
+
+  /** DuckDB mirror of [[seasonalProfile]] for a relation
+    * `src(<groupCols...>, x, y)` with INTEGER x/y — CTEs ending in
+    * `seas(<groupCols...>, pos, n, mean_y, peak_pos, amplitude)`.
+    * HUGEINT sums for the same reason as [[oracleCtes]]. */
+  def seasonalOracleCtes(src: String, groupCols: Seq[String],
+                         period: Int): String = {
+    val g = groupCols.mkString(", ")
+    s"""se_a AS (SELECT $g, ((x % $period) + $period) % $period AS pos,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS mean_y
+       |  FROM $src WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY ALL),
+       |seas AS (SELECT $g, pos, n, mean_y,
+       |    first_value(pos) OVER (PARTITION BY $g
+       |      ORDER BY mean_y DESC, pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |      AS peak_pos,
+       |    max(mean_y) OVER (PARTITION BY $g)
+       |      - min(mean_y) OVER (PARTITION BY $g) AS amplitude
+       |  FROM se_a)""".stripMargin
   }
 
   /** DuckDB mirror of [[linearTrend]] for a relation

@@ -5625,6 +5625,63 @@ object Queries {
       |SELECT d_key, match_key, dist, n_candidates FROM best
       |WHERE rn = 1 ORDER BY d_key""".stripMargin)
 
+  /** Record linkage under PHONETIC blocking
+    * ([[graft.ops.Linkage.consonantSkeleton]]): probes are vowel-typo'd
+    * copies of master names (the dominant hand-entry error class), so
+    * the consonant-skeleton key lands every probe in its master's block
+    * BY CONSTRUCTION — recall 1.0 where any substring key misses
+    * whenever the typo overlaps the key window. `prefix_would_miss`
+    * rides along as the visible comparison: true on every row whose
+    * 4-char prefix block would have lost the match (the corruption
+    * touches position ≤ 4 in most names here). Same Σ|block|² candidate
+    * bound as every linkage entry — skeleton keys at name entropy are
+    * nearly unique, so blocks are O(1). */
+  val qEntityPhonetic: Q = "q_entity_phonetic" -> (
+    (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d)
+      // vowel-for-vowel typos in the first 8 chars (u->a, o->u, e->i):
+      // length-preserving, skeleton-preserving, edit distance = the
+      // number of vowels touched (<= 3 for 'Customer#...' names)
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("d_key"),
+          expr("concat(translate(substring(c_name, 1, 8), 'uoe', 'aui'), " +
+            "substring(c_name, 9, 200))").as("d_name"))
+        .withColumn("blk", graft.ops.Linkage.consonantSkeleton(col("d_name")))
+      val masters = cust
+        .withColumn("blk", graft.ops.Linkage.consonantSkeleton(col("c_name")))
+      graft.ops.Linkage.blockedBestMatch(dirty, masters, Seq("blk"),
+          "d_key", "d_name", "c_custkey", "c_name", maxDist = 3)
+        .join(cust.select(col("c_custkey").as("master_id"),
+          col("c_name").as("m_name")), Seq("master_id"))
+        .join(Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("probe_id"),
+            expr("concat(translate(substring(c_name, 1, 8), 'uoe', 'aui'), " +
+              "substring(c_name, 9, 200))").as("p_name")), Seq("probe_id"))
+        .select(col("probe_id").as("d_key"),
+          col("master_id").as("match_key"), col("dist"), col("n_candidates"),
+          (substring(col("p_name"), 1, 4) =!= substring(col("m_name"), 1, 4))
+            .as("prefix_would_miss"))
+        .orderBy(col("d_key"))
+    },
+    s"""WITH dirty AS (SELECT c_custkey AS d_key,
+       |    translate(substr(c_name, 1, 8), 'uoe', 'aui')
+       |      || substr(c_name, 9, 200) AS d_name
+       |  FROM customer WHERE c_custkey % 3 = 0),
+       |cand AS (SELECT d.d_key, d.d_name, c.c_custkey, c.c_name,
+       |    CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+       |  FROM dirty d JOIN customer c
+       |    ON ${graft.ops.Linkage.consonantSkeletonSql("d.d_name")}
+       |     = ${graft.ops.Linkage.consonantSkeletonSql("c.c_name")}
+       |  WHERE abs(length(d.d_name) - length(c.c_name)) <= 3
+       |    AND levenshtein(d.d_name, c.c_name) <= 3),
+       |best AS (SELECT d_key, c_custkey AS match_key, dist,
+       |    CAST(count(*) OVER (PARTITION BY d_key) AS BIGINT) AS n_candidates,
+       |    (substr(d_name, 1, 4) <> substr(c_name, 1, 4)) AS prefix_would_miss,
+       |    row_number() OVER (PARTITION BY d_key ORDER BY dist, c_custkey) AS rn
+       |  FROM cand)
+       |SELECT d_key, match_key, dist, n_candidates, prefix_would_miss
+       |FROM best WHERE rn = 1 ORDER BY d_key""".stripMargin)
+
   /** Distinctive-terms card per source
     * ([[graft.ops.TextStats.distinctiveTerms]]): top terms by in-group
     * vs rest-of-corpus odds ratio — the interpretability pass run over
@@ -7042,6 +7099,59 @@ object Queries {
        |SELECT source, buckets_hit, round(est, 6) AS est
        |FROM hll_est ORDER BY source""".stripMargin)
 
+  /** Pairwise source-overlap matrix by HLL inclusion-exclusion
+    * ([[graft.ops.Hll.pairOverlap]]): |A∩B| ≈ est(A)+est(B)−est(A∪B)
+    * where the union sketch is the per-bucket MAX of the two register
+    * sets — the "how redundant are these two crawls" card computed from
+    * the ≤ m-rows-per-source register tables alone, with NO second pass
+    * over the corpus (the 100 TB property: the corpus is scanned once
+    * to build registers; all 190 pair estimates are register-table
+    * algebra). `exact_intersect` rides along as the accuracy witness
+    * (a distinct-(source,token) self-join — vocabulary-sized here,
+    * exactly the join the sketch path avoids at scale). */
+  val qHllOverlap: Q = "q_hll_overlap" -> (
+    (s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ov = graft.ops.Hll.pairOverlap(
+        graft.ops.Hll.registers(toks, Seq("source"), "tok", 256),
+        "source", 256)
+      val dt = toks.distinct()
+      val exInt = dt.as("a")
+        .join(dt.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).cast("long").as("exact_intersect"))
+      ov.join(exInt, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          round(col("est_a"), 6).as("est_a"),
+          round(col("est_b"), 6).as("est_b"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("est_intersect"), 6).as("est_intersect"),
+          round(col("jaccard_est"), 9).as("jaccard_est"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    s"""WITH t AS (SELECT source, unnest($TOKS) AS tok FROM documents),
+       |tf AS (SELECT source, tok AS v FROM t WHERE tok <> ''),
+       |${graft.ops.Hll.oracleCtes("tf", Seq("source"), 256)},
+       |${graft.ops.Hll.overlapOracleCtes("source", 256)},
+       |dt AS (SELECT DISTINCT source, v FROM tf),
+       |xi AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS exact_intersect
+       |  FROM dt a JOIN dt b ON a.v = b.v AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, round(p.est_a, 6) AS est_a,
+       |  round(p.est_b, 6) AS est_b, round(p.est_union, 6) AS est_union,
+       |  round(p.est_intersect, 6) AS est_intersect,
+       |  round(p.jaccard_est, 9) AS jaccard_est,
+       |  COALESCE(xi.exact_intersect, CAST(0 AS BIGINT)) AS exact_intersect
+       |FROM hll_pair p LEFT JOIN xi
+       |  ON xi.src_a = p.src_a AND xi.src_b = p.src_b
+       |ORDER BY 1, 2""".stripMargin)
+
   /** Per-SOURCE token-count quantiles
     * ([[graft.ops.Quantiles.quantilesBy]]): the grouped form of
     * [[qHistQuantiles]] — p50/p90/p99 document length per corpus
@@ -7114,6 +7224,67 @@ object Queries {
        |  round(intercept, 6) AS intercept, round(r2, 9) AS r2
        |FROM trend ORDER BY event_type""".stripMargin)
 
+  /** Day-of-week seasonal profile per event type
+    * ([[graft.ops.Trend.seasonalProfile]]): mean payload metric at each
+    * cycle position + per-group peak position and amplitude — the
+    * "WHEN does this metric run hot" card next to [[qTrend]]'s "is it
+    * drifting". One map-side-combinable aggregation to |groups|·7 rows;
+    * the peak/amplitude window runs over those model-sized partitions,
+    * never the events. Exact decimal sums → one IEEE division, so the
+    * card is engine-bit-identical (rounds are belt-and-braces). */
+  val qSeasonal: Q = "q_seasonal" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Trend.seasonalProfile(
+          Tables.events(s, d).filter(col("k").isNotNull),
+          Seq("event_type"), "ts_us div 86400000000", "k", period = 7)
+        .select(col("event_type"), col("pos"), col("n"),
+          round(col("mean_y"), 9).as("mean_y"), col("peak_pos"),
+          round(col("amplitude"), 9).as("amplitude"))
+        .orderBy(col("event_type"), col("pos")),
+    s"""WITH $EV,
+       |src AS (SELECT event_type, ts_us // 86400000000 AS x, k AS y
+       |  FROM ev WHERE k IS NOT NULL),
+       |${graft.ops.Trend.seasonalOracleCtes("src", Seq("event_type"), 7)}
+       |SELECT event_type, pos, n, round(mean_y, 9) AS mean_y, peak_pos,
+       |  round(amplitude, 9) AS amplitude
+       |FROM seas ORDER BY event_type, pos""".stripMargin)
+
+  /** Snapshot-diff card ([[graft.ops.Profile.snapshotDiff]]): added/
+    * removed/changed between two versions of the orders table — version
+    * B drops every 7th key (A lacks every 5th), bumps the price on keys
+    * ≡ 0 mod 3 and rewrites the status on keys ≡ 0 mod 11. One
+    * key-shuffled full-outer join + one map-combinable aggregation; the
+    * per-field unpivot runs on the single aggregated row. The "what did
+    * this refresh actually touch" audit every ingest pipeline wants
+    * before promoting a snapshot. */
+  val qSnapshotDiff: Q = "q_snapshot_diff" -> (
+    (s: SparkSession, d: String) => {
+      val orders = Tables.orders(s, d)
+      val snapA = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snapB = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.ops.Profile.snapshotDiff(snapA, snapB, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("field"))
+    },
+    s"""WITH sa AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_orderkey % 5 <> 0),
+       |sb AS (SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+       |      ELSE o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+       |      ELSE o_totalprice END AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 7 <> 0),
+       |${graft.ops.Profile.snapshotDiffOracleCtes("sa", "sb", "o_orderkey",
+            Seq("o_orderstatus", "o_totalprice"))}
+       |SELECT field, n_added, n_removed, n_common, n_changed
+       |FROM sdiff ORDER BY field""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7166,5 +7337,6 @@ object Queries {
     qHistQuantiles, qHistStored, qCentralChunks,
     qFdProfile, qProfileCard, qHllWindow, qHistBySource, qFdStored,
     qTrend,
+    qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
   )
 }

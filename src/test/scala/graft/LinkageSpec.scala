@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Linkage
+import org.apache.spark.sql.functions.{col, substring}
 
 /** Blocked record linkage ([[graft.ops.Linkage.blockedBestMatch]]):
   * candidate generation stays within blocks, best-match tie-breaks are
@@ -179,6 +180,44 @@ class LinkageSpec extends SparkTestBase {
       "modal name wins; null seg excluded; seg tie breaks lexicographically")
     assert(g(10L) === ((2L, "zed", 1L, "auto", 1L)))
     assert(!g.contains(50L), "singletons are their own golden record")
+  }
+
+  test("consonantSkeleton: invariant under vowel substitution/insertion/deletion, case-folded") {
+    val df = Seq(
+      ("Jonathan", "Janithon"),   // vowel substitutions
+      ("Smith", "Smiith"),        // vowel insertion
+      ("Carter", "Cartr"),        // vowel deletion
+      ("MCDONALD", "mcdonald")    // case
+    ).toDF("a", "b")
+    val bad = df.filter(
+      Linkage.consonantSkeleton(col("a")) =!=
+        Linkage.consonantSkeleton(col("b"))).count()
+    assert(bad === 0L, "every vowel-class typo must preserve the key")
+    // and consonant edits DO move the key (the key discriminates)
+    val moved = Seq(("Smith", "Smyth-x")).toDF("a", "b").filter(
+      Linkage.consonantSkeleton(col("a")) =!=
+        Linkage.consonantSkeleton(col("b"))).count()
+    assert(moved === 1L)
+  }
+
+  test("phonetic blocking recovers vowel-typo'd probes that prefix blocking loses") {
+    val masters = Seq((1L, "Benjamin"), (2L, "Margaret"), (3L, "Theodore"))
+      .toDF("mid", "mname")
+      .withColumn("blk", Linkage.consonantSkeleton(col("mname")))
+    // typo in char 2 — inside any 4-char prefix window
+    val probes = Seq((10L, "Binjamin"), (20L, "Mergaret"), (30L, "Thiodore"))
+      .toDF("pid", "pname")
+      .withColumn("blk", Linkage.consonantSkeleton(col("pname")))
+    val got = Linkage.blockedBestMatch(probes, masters, Seq("blk"),
+        "pid", "pname", "mid", "mname", maxDist = 2)
+      .select("probe_id", "master_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L, 20L -> 2L, 30L -> 3L),
+      "skeleton blocks must contain the true master for vowel typos")
+    // the same probes under 4-char-prefix blocking find NO candidates
+    val pfxM = masters.withColumn("blk", substring(col("mname"), 1, 4))
+    val pfxP = probes.withColumn("blk", substring(col("pname"), 1, 4))
+    assert(Linkage.blockedBestMatch(pfxP, pfxM, Seq("blk"),
+      "pid", "pname", "mid", "mname", maxDist = 2).count() === 0L)
   }
 
   test("goldenRecords: frequency beats lexicographic order when counts differ") {

@@ -108,4 +108,31 @@ class ProfileSpec extends SparkTestBase {
     assert(confs(1) < 1.0 && confs(1) === 1.0 - 1.0 / 6.0,
       s"k1 keeps modal OTHER=4 of 5, one violation over 6 rows: $confs")
   }
+
+  test("snapshotDiff: added/removed/common/changed with null-aware field compare") {
+    // key 1: unchanged; key 2: name changes; key 3: removed;
+    // key 4: added; key 5: null->null unchanged, null->value changed
+    val a = Seq((1L, Some("x"), Some("p")), (2L, Some("y"), Some("q")),
+      (3L, Some("z"), Some("r")), (5L, None: Option[String], None: Option[String]))
+      .toDF("id", "name", "seg")
+    val b = Seq((1L, Some("x"), Some("p")), (2L, Some("Y"), Some("q")),
+      (4L, Some("w"), Some("s")), (5L, None: Option[String], Some("v")))
+      .toDF("id", "name", "seg")
+    val m = Profile.snapshotDiff(a, b, "id", Seq("name", "seg"))
+      .collect().map(r => r.getAs[String]("field") ->
+        ((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_common"), r.getAs[Long]("n_changed")))).toMap
+    assert(m("name") === ((1L, 1L, 3L, 1L)),
+      "key 2's y->Y is the only name change; null->null is not a change")
+    assert(m("seg") === ((1L, 1L, 3L, 1L)),
+      "key 5's null->v is a change (null-aware compare)")
+  }
+
+  test("snapshotDiff: identical snapshots diff to all zeros") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val r = Profile.snapshotDiff(a, a, "id", Seq("v")).collect().head
+    assert(r.getAs[Long]("n_added") === 0L &&
+      r.getAs[Long]("n_removed") === 0L &&
+      r.getAs[Long]("n_common") === 2L && r.getAs[Long]("n_changed") === 0L)
+  }
 }

@@ -62,6 +62,56 @@ class SketchSpec extends SparkTestBase {
     assert(math.abs(est("b") - 1500) / 1500.0 < 0.25, s"b ${est("b")}")
   }
 
+  test("hll overlap: identical groups give exact union=a=b, jaccard exactly 1") {
+    val df = ((1 to 4000).map(i => ("a", s"v$i")) ++
+      (1 to 4000).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val row = Hll.pairOverlap(Hll.registers(df, Seq("g"), "v", M), "g", M)
+      .select("est_a", "est_b", "est_union", "est_intersect", "jaccard_est")
+      .as[(Double, Double, Double, Double, Double)].head()
+    // identical value sets -> identical register tables -> the union
+    // sketch IS each side's sketch: exact equality, not a tolerance
+    assert(row._1 === row._2 && row._2 === row._3)
+    // (a+a)-a is exact in IEEE (doubling is exact), so intersect == a
+    assert(row._4 === row._1)
+    assert(row._5 === 1.0)
+  }
+
+  test("hll overlap: disjoint groups estimate a near-zero intersection") {
+    val df = ((1 to 5000).map(i => ("a", s"x$i")) ++
+      (1 to 5000).map(i => ("b", s"y$i"))).toDF("g", "v")
+    val row = Hll.pairOverlap(Hll.registers(df, Seq("g"), "v", M), "g", M)
+      .select("est_union", "est_intersect").as[(Double, Double)].head()
+    // union of two disjoint 5k sets: within 3 sigma of 10k; the
+    // intersection estimate compounds both errors — allow a wide band
+    // around zero (and accept the honest negative)
+    assert(math.abs(row._1 - 10000.0) / 10000.0 < 0.20, s"union ${row._1}")
+    assert(math.abs(row._2) < 3000.0, s"intersect ${row._2}")
+  }
+
+  test("hll overlap: 50% overlap estimated within the compounded error band") {
+    val df = ((1 to 6000).map(i => ("a", s"v$i")) ++
+      (3001 to 9000).map(i => ("b", s"v$i"))).toDF("g", "v")
+    val row = Hll.pairOverlap(Hll.registers(df, Seq("g"), "v", M), "g", M)
+      .select("est_union", "est_intersect", "jaccard_est")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(row._1 - 9000.0) / 9000.0 < 0.20, s"union ${row._1}")
+    assert(math.abs(row._2 - 3000.0) / 3000.0 < 0.60, s"intersect ${row._2}")
+    // true jaccard = 3000/9000 = 1/3
+    assert(row._3 > 0.15 && row._3 < 0.55, s"jaccard ${row._3}")
+  }
+
+  test("hll overlap: the pair union sketch is bit-identical to sketching the concatenation") {
+    val a = (1 to 4000).map(i => ("a", s"v$i"))
+    val b = (2001 to 7000).map(i => ("b", s"v$i"))
+    val regs = Hll.registers((a ++ b).toDF("g", "v"), Seq("g"), "v", M)
+    val estU = Hll.pairOverlap(regs, "g", M).select("est_union").as[Double].head()
+    val oneShot = Hll.estimate(
+      Hll.registers((a ++ b).map(_._2).toDF("v"), Nil, "v", M), Nil, M)
+      .select("est").as[Double].head()
+    assert(estU === oneShot,
+      "max-merged pair registers must BE the union's sketch")
+  }
+
   test("hll store: append lifecycle replays as a no-op (marker + idempotent algebra)") {
     val store = java.nio.file.Files.createTempDirectory("hll").toString + "/st"
     val b0 = (1 to 1000).map(i => s"v$i").toDF("v")

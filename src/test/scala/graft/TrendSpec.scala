@@ -48,4 +48,39 @@ class TrendSpec extends SparkTestBase {
     val r = Trend.linearTrend(df, Seq("grp"), "x", "y").collect().head
     assert(r.getAs[Long]("n") === 2L && r.getAs[Double]("slope") === 2.0)
   }
+
+  test("seasonalProfile: hand-computed means, peak ties to smallest position, exact amplitude") {
+    // period 3: pos 0 -> {6, 2} mean 4.0; pos 1 -> {4} mean 4.0 (ties
+    // peak to pos 0); pos 2 -> {1} mean 1.0; amplitude = 3.0
+    val df = Seq(("g", 0L, 6L), ("g", 3L, 2L), ("g", 1L, 4L), ("g", 2L, 1L))
+      .toDF("grp", "x", "y")
+    val rows = Trend.seasonalProfile(df, Seq("grp"), "x", "y", period = 3)
+      .orderBy("pos").collect()
+    assert(rows.map(_.getAs[Long]("pos")).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.map(_.getAs[Double]("mean_y")).toSeq === Seq(4.0, 4.0, 1.0))
+    assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(2L, 1L, 1L))
+    assert(rows.forall(_.getAs[Long]("peak_pos") === 0L),
+      "equal means must tie-break the peak to the smallest position")
+    assert(rows.forall(_.getAs[Double]("amplitude") === 3.0))
+  }
+
+  test("seasonalProfile: groups profile independently; negative x lands on pmod position") {
+    val df = Seq(("a", 0L, 10L), ("a", 7L, 10L), ("a", 1L, 2L),
+      ("b", -1L, 5L), ("b", 6L, 7L)) // -1 pmod 7 = 6 -> same position
+      .toDF("grp", "x", "y")
+    val m = Trend.seasonalProfile(df, Seq("grp"), "x", "y", period = 7)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("pos")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_y")))).toMap
+    assert(m(("a", 0L)) === ((2L, 10.0)) && m(("a", 1L)) === ((1L, 2.0)))
+    assert(m(("b", 6L)) === ((2L, 6.0)),
+      "x = -1 must land on position 6, merged with x = 6")
+    assert(!m.keySet.exists(_._2 < 0L), "positions are always in [0, period)")
+  }
+
+  test("seasonalProfile: period < 2 is rejected loudly") {
+    val df = Seq(("g", 0L, 1L)).toDF("grp", "x", "y")
+    intercept[IllegalArgumentException] {
+      Trend.seasonalProfile(df, Seq("grp"), "x", "y", period = 1)
+    }
+  }
 }
