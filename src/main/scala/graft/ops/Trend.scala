@@ -87,18 +87,34 @@ object Trend {
     *         amplitude (max mean − min mean across the group's
     *         positions). */
   def seasonalProfile(df: DataFrame, groupCols: Seq[String], xExpr: String,
-                      yExpr: String, period: Int): DataFrame = {
+                      yExpr: String, period: Int): DataFrame =
+    finishSeasonal(seasonalSums(df, groupCols, xExpr, yExpr, period),
+      groupCols)
+
+  /** The additive (group..., pos, n, sy) aggregation [[seasonalProfile]]
+    * is a pure function of — n and sy merge by SUM across any slicing,
+    * so the card is incrementally maintainable through the same
+    * append-store discipline as [[Profile.fdStoreAppend]]. */
+  private def seasonalSums(df: DataFrame, groupCols: Seq[String],
+                           xExpr: String, yExpr: String,
+                           period: Int): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     val gc = groupCols.map(col)
-    val agg = df
-      .select((gc :+ expr(xExpr).cast("long").as("x") :+
+    df.select((gc :+ expr(xExpr).cast("long").as("x") :+
         expr(yExpr).cast("decimal(38,6)").as("y")): _*)
       .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy((gc :+ pmod(col("x"), lit(period.toLong)).as("pos")): _*)
       .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).as("sy"))
-      .select((gc :+ col("pos") :+ col("n") :+
-        (col("sy").cast("double") / col("n").cast("double"))
-          .as("mean_y")): _*)
+  }
+
+  /** Mean + peak/amplitude windows over a merged (group..., pos, n, sy)
+    * table — the one IEEE division and the model-sized window pass. */
+  private def finishSeasonal(sums: DataFrame,
+                             groupCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    val agg = sums.select((gc :+ col("pos") :+ col("n") :+
+      (col("sy").cast("double") / col("n").cast("double"))
+        .as("mean_y")): _*)
     val part = Window.partitionBy(gc: _*)
     val full = part.orderBy(col("mean_y").desc, col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -106,6 +122,37 @@ object Trend {
       .withColumn("peak_pos", first(col("pos")).over(full))
       .withColumn("amplitude",
         max(col("mean_y")).over(part) - min(col("mean_y")).over(part))
+  }
+
+  /** Append one batch's seasonal sums into a parquet store at `path` —
+    * rows (group..., pos, n, sy, tag). Sum-merge is additive, NOT
+    * idempotent, so the [[Stores.appendCommit]] marker is load-bearing
+    * (the [[Cms]]/[[Profile.fdStoreAppend]] contract). Store size is
+    * ≤ |groups|·period rows per batch regardless of batch volume. */
+  def seasonalStoreAppend(df: DataFrame, path: String, batchTag: String,
+                          groupCols: Seq[String], xExpr: String,
+                          yExpr: String, period: Int): Unit = {
+    val spark = df.sparkSession
+    val sums = seasonalSums(df, groupCols, xExpr, yExpr, period)
+      .withColumn("tag", lit(batchTag))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      sums.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      sums.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** The seasonal card from an append store: SUM-merge the batch sums
+    * per (group, pos), then the same finishing arithmetic as the
+    * one-shot — decimal sums of decimal sums stay exact, so the stored
+    * card is bit-identical to [[seasonalProfile]] over the union. */
+  def seasonalFromStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, groupCols: Seq[String]): DataFrame = {
+    Stores.requireStore(spark, path, "append seasonal batches first")
+    val merged = spark.read.parquet(path)
+      .groupBy((groupCols.map(col) :+ col("pos")): _*)
+      .agg(sum(col("n")).cast("long").as("n"), sum(col("sy")).as("sy"))
+    finishSeasonal(merged, groupCols)
   }
 
   /** DuckDB mirror of [[seasonalProfile]] for a relation

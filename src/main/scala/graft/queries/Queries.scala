@@ -7249,6 +7249,35 @@ object Queries {
        |  round(amplitude, 9) AS amplitude
        |FROM seas ORDER BY event_type, pos""".stripMargin)
 
+  /** [[qSeasonal]] maintained INCREMENTALLY
+    * ([[graft.ops.Trend.seasonalStoreAppend]], three event slices by
+    * event_id mod 3): per-(group, position) count/sum pairs merge by
+    * SUM, decimal sums of decimal sums stay exact, so the stored card
+    * hash-matches the one-shot oracle — the arriving-shard seasonality
+    * monitor ([[graft.streaming.SeasonalStream]] is the live twin). */
+  val qSeasonalStored: Q = "q_seasonal_stored" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d).filter(col("k").isNotNull)
+      val store = codebookPath(d, "seasonal_k")
+      (0 to 2).foreach { kk =>
+        graft.ops.Trend.seasonalStoreAppend(
+          ev.filter(col("event_id") % 3 === kk), store, s"b$kk",
+          Seq("event_type"), "ts_us div 86400000000", "k", period = 7)
+      }
+      graft.ops.Trend.seasonalFromStore(s, store, Seq("event_type"))
+        .select(col("event_type"), col("pos"), col("n"),
+          round(col("mean_y"), 9).as("mean_y"), col("peak_pos"),
+          round(col("amplitude"), 9).as("amplitude"))
+        .orderBy(col("event_type"), col("pos"))
+    },
+    s"""WITH $EV,
+       |src AS (SELECT event_type, ts_us // 86400000000 AS x, k AS y
+       |  FROM ev WHERE k IS NOT NULL),
+       |${graft.ops.Trend.seasonalOracleCtes("src", Seq("event_type"), 7)}
+       |SELECT event_type, pos, n, round(mean_y, 9) AS mean_y, peak_pos,
+       |  round(amplitude, 9) AS amplitude
+       |FROM seas ORDER BY event_type, pos""".stripMargin)
+
   /** Snapshot-diff card ([[graft.ops.Profile.snapshotDiff]]): added/
     * removed/changed between two versions of the orders table — version
     * B drops every 7th key (A lacks every 5th), bumps the price on keys
@@ -7338,5 +7367,6 @@ object Queries {
     qFdProfile, qProfileCard, qHllWindow, qHistBySource, qFdStored,
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
+    qSeasonalStored,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Trend
+import org.apache.spark.sql.functions.col
 
 /** Per-group least-squares trend: closed-form exactness and the NULL
   * degenerate-denominator contract. */
@@ -82,5 +83,54 @@ class TrendSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Trend.seasonalProfile(df, Seq("grp"), "x", "y", period = 1)
     }
+  }
+
+  test("seasonal store: slice-merged card equals one-shot bit-for-bit; redelivered batch no-ops") {
+    val store = java.nio.file.Files.createTempDirectory("seas").toString + "/st"
+    val df = Seq(("g", 0L, 6L), ("g", 3L, 2L), ("g", 1L, 4L), ("g", 2L, 1L),
+      ("h", 0L, 9L), ("h", 4L, 3L)).toDF("grp", "x", "y")
+    val oneShot = Trend.seasonalProfile(df, Seq("grp"), "x", "y", period = 3)
+    Trend.seasonalStoreAppend(df.filter(col("x") % 2 === 0), store, "b0",
+      Seq("grp"), "x", "y", period = 3)
+    Trend.seasonalStoreAppend(df.filter(col("x") % 2 === 1), store, "b1",
+      Seq("grp"), "x", "y", period = 3)
+    val stored = Trend.seasonalFromStore(spark, store, Seq("grp"))
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "sum-merged slices must reproduce the one-shot card exactly")
+    // redelivery of b1 (same tag) must change nothing — the marker is
+    // load-bearing for the non-idempotent sum merge
+    Trend.seasonalStoreAppend(df.filter(col("x") % 2 === 1), store, "b1",
+      Seq("grp"), "x", "y", period = 3)
+    val replayed = Trend.seasonalFromStore(spark, store, Seq("grp"))
+    assert(replayed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(replayed).isEmpty)
+  }
+
+  test("seasonal streaming twin: two-batch live run equals the one-shot; peak can move") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("seass").toString + "/st"
+    val mem = MemoryStream[(String, Long, Long)]
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.SeasonalStream.selfMaintaining(
+        mem.toDF().toDF("grp", "x", "y"), store, Seq("grp"), "x", "y", 3) { _ =>
+        peaks += Trend.seasonalFromStore(spark, store, Seq("grp"))
+          .collect().head.getAs[Long]("peak_pos")
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("seass_ck").toString)
+      .start()
+    try {
+      mem.addData(Seq(("g", 0L, 10L), ("g", 1L, 1L))); q.processAllAvailable()
+      // batch 1 floods position 1 — the maintained peak must MOVE
+      mem.addData(Seq(("g", 1L, 50L), ("g", 4L, 40L))); q.processAllAvailable()
+    } finally q.stop()
+    assert(peaks.head === 0L && peaks(1) === 1L,
+      s"peak must move from pos 0 to pos 1 as batch 1 folds in: $peaks")
+    val oneShot = Trend.seasonalProfile(
+      Seq(("g", 0L, 10L), ("g", 1L, 1L), ("g", 1L, 50L), ("g", 4L, 40L))
+        .toDF("grp", "x", "y"), Seq("grp"), "x", "y", period = 3)
+    val stored = Trend.seasonalFromStore(spark, store, Seq("grp"))
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "live two-batch store must equal the one-shot over the union")
   }
 }
