@@ -225,4 +225,44 @@ class PlanShapeSpec extends SparkTestBase {
       "an SMJ here would sort 2|E| adjacency rows for a node-sized build side")
     spark.catalog.clearCache()
   }
+
+  test("hll pairOverlap: pure register-table algebra — membership joins hash, never cartesian") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"s${i % 4}", s"v$i")).toDF("g", "v")
+    val regs = graft.ops.Hll.registers(df, Seq("g"), "v", 256)
+    val plan = planString(graft.ops.Hll.pairOverlap(regs, "g", 256))
+    assert(!plan.contains("CartesianProduct"), s"pair matrix went all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      "only the tiny group-pair build may nest; register joins must hash")
+    spark.catalog.clearCache()
+  }
+
+  test("snapshotDiff: one keyed join (no cartesian), aggregation collapses to a single row before unpivot") {
+    import spark.implicits._
+    val a = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "f")
+    val b = (1L to 500L).map(i => (i, s"w$i")).toDF("id", "f")
+    val plan = planString(graft.ops.Profile.snapshotDiff(a, b, "id", Seq("f")))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff must join on the key only:\n$plan")
+    assert(plan.contains("Generate"),
+      "the per-field unpivot must be the stack generator over the one aggregated row")
+    spark.catalog.clearCache()
+  }
+
+  test("seasonalProfile: one data-sized exchange; windows run over model-sized partitions") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => ("g" + (i % 3), i, i % 11)).toDF("grp", "x", "y")
+    val plan = planString(
+      graft.ops.Trend.seasonalProfile(df, Seq("grp"), "x", "y", period = 7))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"the seasonal card is join-free:\n$plan")
+    // exchanges: one partial->final agg shuffle on (grp, pos) + one
+    // repartition to grp for the window pass — anything more means the
+    // aggregation stopped being map-side combinable
+    val exchanges = plan.split("Exchange").length - 1
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
