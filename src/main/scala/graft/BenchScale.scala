@@ -432,6 +432,100 @@ object BenchScale {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("r15")) {
+      // r15 ladder. Phonetic linkage: K customer copies with
+      // copy-DISTINCT names (a "Q<i>" consonant prefix survives the
+      // skeleton), so blocks grow in COUNT, not size — duplicating the
+      // same names would flood the same skeleton blocks, the quadratic
+      // trap the linkage ladder documents. Snapshot diff: two derived
+      // snapshots of K-fold orders — one keyed join + one agg, linear.
+      // HLL overlap: the corpus scan (register build) is the ONLY
+      // data-sized stage; the pair algebra runs on ≤ m-rows-per-group
+      // register tables and must be FLAT in K.
+      import graft.core.Tables
+      def scaledCustPh(k: Int): DataFrame = {
+        val base = Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_name"))
+        (0 until k).map { i =>
+          base.select(
+            (col("c_custkey") + lit(i.toLong * 1000000000L)).as("c_custkey"),
+            concat(lit(s"Q$i"), col("c_name")).as("c_name"))
+        }.reduce(_ unionAll _)
+      }
+      def dirtyPh(cust: DataFrame) = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("d_key"),
+          expr("concat(translate(substring(c_name, 1, 8), 'uoe', 'aui'), " +
+            "substring(c_name, 9, 200))").as("d_name"))
+        .withColumn("blk",
+          graft.ops.Linkage.consonantSkeleton(col("d_name")))
+      def scaledOrd(k: Int): DataFrame = {
+        val base = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        (0 until k).map { i =>
+          base.select(
+            (col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+        }.reduce(_ unionAll _)
+      }
+      import graft.functions.Text
+      // JIT warmup
+      val warmC = scaledCustPh(1).limit(1000)
+        .withColumn("blk", graft.ops.Linkage.consonantSkeleton(col("c_name")))
+      graft.ops.Linkage.blockedBestMatch(dirtyPh(warmC), warmC, Seq("blk"),
+        "d_key", "d_name", "c_custkey", "c_name", 3).count()
+      val warmO = scaledOrd(1).limit(1000)
+      graft.ops.Profile.snapshotDiff(warmO, warmO, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice")).count()
+      val warmR = graft.ops.Hll.registers(
+        scaledDocs(spark, sfDir, 1).limit(300)
+          .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= ""), Seq("lang"), "tok", 256)
+      graft.ops.Hll.pairOverlap(warmR, "lang", 256).count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val cust = scaledCustPh(k)
+          .withColumn("blk", graft.ops.Linkage.consonantSkeleton(col("c_name")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nC = cust.count()
+        val (tPh, nMatch) = time(graft.ops.Linkage.blockedBestMatch(
+          dirtyPh(cust), cust, Seq("blk"),
+          "d_key", "d_name", "c_custkey", "c_name", 3).count())
+        spark.catalog.clearCache()
+        val ord = scaledOrd(k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nO = ord.count()
+        val snapA = ord.filter(col("o_orderkey") % 5 =!= 0)
+        val snapB = ord.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 11 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        val (tSd, _) = time(graft.ops.Profile.snapshotDiff(snapA, snapB,
+          "o_orderkey", Seq("o_orderstatus", "o_totalprice")).count())
+        spark.catalog.clearCache()
+        val toks = scaledDocs(spark, sfDir, k)
+          .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val (tReg, nReg) = time {
+          val r = graft.ops.Hll.registers(toks, Seq("lang"), "tok", 256)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.count()
+        }
+        val regs = graft.ops.Hll.registers(toks, Seq("lang"), "tok", 256)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        regs.count()
+        val (tOv, nPair) = time(
+          graft.ops.Hll.pairOverlap(regs, "lang", 256).count())
+        println(s"""{"k":$k,"cust":$nC,"matches":$nMatch,""" +
+          s""""phonetic_sec":${f"$tPh%.2f"},"orders":$nO,""" +
+          s""""snapdiff_sec":${f"$tSd%.2f"},""" +
+          s""""hll_build_sec":${f"$tReg%.2f"},"regs":$nReg,""" +
+          s""""overlap_sec":${f"$tOv%.2f"},"pairs":$nPair}""")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("graph")) {
       // graph ladder: K disjoint co-purchase graph copies — edge build
       // and per-iteration cost must both track |E| linearly (the loop

@@ -196,4 +196,30 @@ object Quantiles {
     spark.read.parquet(path)
       .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
+
+  /** PERCENTILE-RANK calibration: each row's score replaced by its
+    * within-group cumulative fraction (`cume_dist` — the count of group
+    * rows with score ≤ this one over the group size, ties counted
+    * together). The cross-source comparability fix every mixed-corpus
+    * curation hits: raw quality scores are not comparable across
+    * sources (different length/style baselines), but "top 10% of ITS
+    * source" is — filtering on the calibrated rank applies the same
+    * selectivity everywhere instead of letting one source's score
+    * distribution dominate the cut.
+    *
+    * Exactness: the rank is one division of two group-local integers —
+    * engine-bit-identical, no rounding needed. Determinism under ties
+    * is structural (peers share one value regardless of row order).
+    *
+    * Scale: one sort per group partition (a window, not a global sort);
+    * the straggler bound is the LARGEST group. For corpora where one
+    * source dwarfs the rest, the sketch path is the same monitor
+    * without the sort: [[histogramBy]] + [[quantilesBy]] give
+    * bucket-resolution ranks from a mergeable store ([[storeAppend]]).
+    */
+  def percentileRank(df: DataFrame, groupCols: Seq[String],
+                     scoreExpr: String,
+                     outCol: String = "pct_rank"): DataFrame =
+    df.withColumn(outCol, cume_dist().over(
+      Window.partitionBy(groupCols.map(col): _*).orderBy(expr(scoreExpr))))
 }

@@ -7314,6 +7314,35 @@ object Queries {
        |SELECT field, n_added, n_removed, n_common, n_changed
        |FROM sdiff ORDER BY field""".stripMargin)
 
+  /** Per-source percentile-rank score calibration
+    * ([[graft.ops.Quantiles.percentileRank]]): each document's quality
+    * proxy (token count) replaced by its within-source cumulative
+    * fraction, plus the `keep_top10` cut — the same 10% selectivity
+    * applied to EVERY source, where a single global threshold would let
+    * the longest-document source dominate the kept set. One window per
+    * source partition (straggler bound = largest source; the sketch
+    * path [[qHistBySource]] is the sort-free monitor at skew). The rank
+    * is one division of two group-local integers — bit-identical across
+    * engines, no rounding. */
+  val qScoreCalibrate: Q = "q_score_calibrate" -> (
+    (s: SparkSession, d: String) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("score"))
+      graft.ops.Quantiles.percentileRank(scored, Seq("source"),
+          "score", "src_pct")
+        .select(col("doc_id"), col("source"), col("score"), col("src_pct"),
+          (col("src_pct") >= 0.9).as("keep_top10"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH sc AS (SELECT doc_id, source,
+       |    CAST(len($TOKS) AS BIGINT) AS score FROM documents),
+       |r AS (SELECT doc_id, source, score,
+       |    cume_dist() OVER (PARTITION BY source ORDER BY score) AS src_pct
+       |  FROM sc)
+       |SELECT doc_id, source, score, src_pct, (src_pct >= 0.9) AS keep_top10
+       |FROM r ORDER BY doc_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7367,6 +7396,6 @@ object Queries {
     qFdProfile, qProfileCard, qHllWindow, qHistBySource, qFdStored,
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
-    qSeasonalStored,
+    qSeasonalStored, qScoreCalibrate,
   )
 }

@@ -118,4 +118,26 @@ class QuantilesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("percentileRank: hand ranks, ties share the cumulative fraction, groups independent") {
+    import org.apache.spark.sql.functions.col
+    // group a: scores 1,2,2,5 -> ranks 0.25, 0.75, 0.75, 1.0
+    // group b: single row -> rank 1.0 regardless of a's values
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L), ("b", 9L))
+      .toDF("g", "s")
+    val got = Quantiles.percentileRank(df, Seq("g"), "s")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("s"),
+        r.getAs[Double]("pct_rank"))).toSet
+    assert(got === Set(("a", 1L, 0.25), ("a", 2L, 0.75), ("a", 2L, 0.75),
+      ("a", 5L, 1.0), ("b", 9L, 1.0)))
+    // calibration property: the same top-50% cut keeps the same COUNT
+    // per group even when raw score scales differ 100x between groups
+    val skew = (1 to 10).map(i => ("lo", i.toLong)) ++
+      (1 to 10).map(i => ("hi", i * 100L))
+    val kept = Quantiles.percentileRank(skew.toDF("g", "s"), Seq("g"), "s")
+      .filter(col("pct_rank") > 0.5).groupBy("g").count()
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("count")).toMap
+    assert(kept === Map("lo" -> 5L, "hi" -> 5L),
+      "a rank cut must be equally selective per group; a raw-score cut would keep only 'hi'")
+  }
 }
