@@ -7343,6 +7343,60 @@ object Queries {
        |SELECT doc_id, source, score, src_pct, (src_pct >= 0.9) AS keep_top10
        |FROM r ORDER BY doc_id""".stripMargin)
 
+  /** JSONL source parity ([[graft.sources.TextSources.jsonl]]): the
+    * orders table round-tripped through newline-delimited JSON (the
+    * crawl-dump arrival format) with an EXPLICIT schema — no inference
+    * pass — then aggregated; the oracle computes the same aggregate
+    * from the parquet, so the hash gate certifies the text decode
+    * end-to-end (long/string/decimal all exact through the format). */
+  val qSourceJsonl: Q = "q_source_jsonl" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "orders_jsonl")
+      if (!graft.ops.Stores.exists(s, path, "_SUCCESS"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").json(path)
+      graft.sources.TextSources.jsonl(s, path,
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DECIMAL(12,2)")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("o_totalprice") * 100).cast("long")).cast("long")
+            .as("total_cents"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+      |  min(o_orderkey) AS min_key
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** CSV source parity ([[graft.sources.TextSources.csv]]): the
+    * customer table through the export format with quoting in play
+    * (addresses carry commas), schema-first, header skipped by
+    * contract. Hash-matched against the parquet-side oracle. */
+  val qSourceCsv: Q = "q_source_csv" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "customer_csv")
+      if (!graft.ops.Stores.exists(s, path, "_SUCCESS"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+            col("c_acctbal"))
+          .write.mode("overwrite").option("header", "true").csv(path)
+      graft.sources.TextSources.csv(s, path,
+          "c_custkey BIGINT, c_nationkey BIGINT, c_name STRING, " +
+            "c_acctbal DECIMAL(12,2)")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("c_acctbal") * 100).cast("long")).cast("long")
+            .as("bal_cents"),
+          max(col("c_name")).as("max_name"))
+        .orderBy(col("c_nationkey"))
+    },
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(c_acctbal * 100 AS BIGINT)) AS BIGINT) AS bal_cents,
+      |  max(c_name) AS max_name
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7396,6 +7450,6 @@ object Queries {
     qFdProfile, qProfileCard, qHllWindow, qHistBySource, qFdStored,
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
-    qSeasonalStored, qScoreCalibrate,
+    qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
   )
 }
