@@ -39,6 +39,29 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * re-tokenized. */
 object FingerprintStream {
 
+  /** HORIZON-SCOPED exact dedup on Spark's built-in
+    * `dropDuplicatesWithinWatermark`: keyed state holds each id only
+    * until the watermark passes its event time + delay, so total state
+    * is one horizon of arrival volume — the bounded-state alternative
+    * to the store-backed loops below when "duplicate" only matters
+    * within a detection window (exactly the
+    * [[NearDupStream.pairsWindowed]] trade, here for EXACT ids on the
+    * engine's own operator instead of custom state). The honest
+    * semantics difference from a store: a duplicate arriving AFTER its
+    * original's state was evicted passes through — callers wanting
+    * stream-lifetime exactness use [[selfMaintaining]]'s store.
+    *
+    * @param idCols duplicate identity (e.g. the content fingerprint)
+    * @param tsCol  event-time column (TimestampType)
+    * @param delay  watermark delay = the detection horizon
+    */
+  def dedupWithinWatermark(docs: DataFrame, idCols: Seq[String],
+                           tsCol: String, delay: String): DataFrame = {
+    require(idCols.nonEmpty, "need at least one identity column")
+    docs.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+  }
+
   def selfMaintaining(docs: DataFrame, path: String, minShared: Int,
                       dfCap: Int, k: Int = 3, w: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text")

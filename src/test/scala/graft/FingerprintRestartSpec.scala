@@ -95,4 +95,38 @@ class FingerprintRestartSpec extends SparkTestBase {
     assert(storeRows(s"$root/store") === storeRows(s"$root/storeRef"),
       "store after crash+restart must equal the uninterrupted store bit-for-bit")
   }
+
+  test("dedupWithinWatermark: duplicates inside the horizon cut, post-eviction duplicate passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.FingerprintStream.dedupWithinWatermark(
+        mem.toDF().toDF("fp", "t_s")
+          .select(col("fp"), timestamp_seconds(col("t_s")).as("ts")),
+        Seq("fp"), "ts", "10 seconds")
+      .select(col("fp"), col("ts").cast("long").as("t_s"))
+      .writeStream.format("memory").queryName("ddww")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ddww-ck").toString)
+      .start()
+    try {
+      // batch 0: a + its same-batch duplicate; batch 1: a CROSS-batch
+      // duplicate still inside the horizon — all three collapse to one
+      mem.addData(("a", 100L), ("a", 101L)); q.processAllAvailable()
+      mem.addData(("a", 105L), ("b", 106L)); q.processAllAvailable()
+      val afterH = spark.table("ddww").as[(String, Long)].collect()
+      assert(afterH.count(_._1 == "a") === 1 && afterH.count(_._1 == "b") === 1,
+        s"in-horizon duplicates must collapse: ${afterH.toSeq}")
+      // advance the watermark far past a's state, then re-send "a":
+      // eviction means the late twin PASSES — the documented trade vs
+      // the store-backed selfMaintaining loop
+      mem.addData(("z", 10000L)); q.processAllAvailable()
+      mem.addData(("a", 10001L)); q.processAllAvailable()
+      val afterEvict = spark.table("ddww").as[(String, Long)].collect()
+      assert(afterEvict.count(_._1 == "a") === 2,
+        "a duplicate arriving after eviction is a NEW row under horizon semantics")
+    } finally q.stop()
+  }
 }
