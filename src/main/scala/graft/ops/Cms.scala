@@ -117,6 +117,67 @@ object Cms {
        |  FROM cms_keys k LEFT JOIN cms USING (i, bucket) GROUP BY 1)""".stripMargin
   }
 
+  /** EQUI-JOIN SIZE estimate from two sketches (Cormode & Muthukrishnan
+    * 2005 §4.2): |A ⋈_v B| = Σ_v fA(v)·fB(v), estimated as
+    * min_i Σ_bucket cntA[i][bucket]·cntB[i][bucket] — the inner product
+    * of each hash row, minimized over rows. Like the point estimate it
+    * is an OVER-estimate, never under (collisions only add mass), with
+    * the same (ε·N_A·N_B, δ) guarantee. This is THE planning number a
+    * join optimizer wants before committing to a shuffle — computed
+    * here from two ≤ d·w-row cell tables, with the raw relations long
+    * gone. Setting B = A gives the second frequency moment F2 =
+    * Σ_v f(v)² — the self-join size / skew statistic.
+    *
+    * Arithmetic: per-cell products accumulate in DECIMAL(38,0) (cell
+    * counts are corpus-sized longs; a long×long product can overflow
+    * where decimal cannot), min over exactly `depth` exact integers.
+    * Returns one row: `est` DECIMAL(38,0) — callers needing a long
+    * cast when their scale allows.
+    *
+    * Both sketches must share `depth`, `width`, and the hash family
+    * (anything built by [[build]] with equal parameters does). */
+  def innerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val dots = a.select(col("i"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(b.select(col("i"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("i", "bucket"))
+      .groupBy("i")
+      .agg(sum(col("cnt_a").cast(d19) * col("cnt_b").cast(d19)).as("dot"))
+    // a hash row with zero overlapping cells has dot 0 and must still
+    // participate in the min — materialize all depth rows explicitly
+    val rows = a.sparkSession.range(depth.toLong)
+      .select(col("id").cast("int").as("i"))
+    rows.join(dots, Seq("i"), "left")
+      .agg(min(coalesce(col("dot"), lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("est"))
+  }
+
+  /** DuckDB mirror of [[build]] on two sources + [[innerProduct]]:
+    * CTEs ending in `cms_ip(est BIGINT)`. */
+  def innerProductOracleCtes(srcA: String, srcB: String, depth: Int,
+                             width: Int): String = {
+    def cells(src: String, p: String) = {
+      val rowsSql = coeffs(depth).zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS i, (base * $a + $b) % ${Text.MH_P} % $width AS bucket, cnt FROM ${p}_counts"
+      }.mkString("\n  UNION ALL ")
+      s"""${p}_counts AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST('0x' || substr(md5(v), 1, 7) AS BIGINT) AS base
+         |  FROM $src GROUP BY 1, 3),
+         |${p}_cells AS ($rowsSql),
+         |$p AS (SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM ${p}_cells GROUP BY 1, 2)""".stripMargin
+    }
+    val iRows = (0 until depth).map(i => s"($i)").mkString(",")
+    s"""${cells(srcA, "cms_ipa")},
+       |${cells(srcB, "cms_ipb")},
+       |cms_dot AS (SELECT a.i,
+       |    CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS HUGEINT) AS dot
+       |  FROM cms_ipa a JOIN cms_ipb b USING (i, bucket) GROUP BY 1),
+       |cms_ir AS (SELECT i FROM (VALUES $iRows) t(i)),
+       |cms_ip AS (SELECT CAST(min(coalesce(dot, 0)) AS BIGINT) AS est
+       |  FROM cms_ir LEFT JOIN cms_dot USING (i))""".stripMargin
+  }
+
   /** Append one batch's cell counts into a parquet store — rows
     * (i, bucket, cnt, tag). Exactly-once per `batchTag` (the SUM merge
     * is not idempotent, so the marker is load-bearing here). */

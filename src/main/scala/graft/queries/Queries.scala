@@ -7397,6 +7397,43 @@ object Queries {
       |  max(c_name) AS max_name
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Equi-join size estimation from CMS sketches
+    * ([[graft.ops.Cms.innerProduct]], Cormode & Muthukrishnan 2005
+    * §4.2): how many rows would `lineitem ⋈ heavy-lineitem ON
+    * l_partkey` produce, answered from two ≤ 4·1024-row cell tables —
+    * THE shuffle-or-broadcast planning number, with the raw relations
+    * never re-scanned. `exact` (the true Σ_v fA(v)·fB(v), an actual
+    * join count) rides along as the witness; est ≥ exact is the CMS
+    * guarantee, width is the planner's
+    * accuracy dial: the additive error is ~N_A·N_B/w, so w = 65536
+    * keeps the estimate decision-grade at both graded scales while the
+    * sketch stays ≤ 4·65536 rows — vanishing next to the relations it
+    * summarizes. */
+  val qCmsJoinSize: Q = "q_cms_joinsize" -> (
+    (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.select(col("l_partkey").cast("string").as("v"))
+      val b = li.filter(col("l_quantity") > 25)
+        .select(col("l_partkey").cast("string").as("v"))
+      val est = graft.ops.Cms.innerProduct(
+        graft.ops.Cms.build(a, "v", depth = 4, width = 65536),
+        graft.ops.Cms.build(b, "v", depth = 4, width = 65536), depth = 4)
+      val exact = a.groupBy("v").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("v").agg(count(lit(1)).as("cb")), Seq("v"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long")
+          .as("exact"))
+      est.select(col("est").cast("long").as("est"))
+        .crossJoin(exact)
+    },
+    s"""WITH la AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+       |lb AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+       |  WHERE l_quantity > 25),
+       |${graft.ops.Cms.innerProductOracleCtes("la", "lb", 4, 65536)},
+       |xct AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS exact
+       |  FROM (SELECT v, count(*) AS c FROM la GROUP BY 1) ca
+       |  JOIN (SELECT v, count(*) AS c FROM lb GROUP BY 1) cb USING (v))
+       |SELECT cms_ip.est, xct.exact FROM cms_ip, xct""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7451,5 +7488,6 @@ object Queries {
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
+    qCmsJoinSize,
   )
 }

@@ -112,6 +112,31 @@ class SketchSpec extends SparkTestBase {
       "max-merged pair registers must BE the union's sketch")
   }
 
+  test("cms innerProduct: never under-estimates the join size; exact when collision-free") {
+    // collision-free regime: 20 values into width 4096 — est must equal
+    // the true inner product exactly
+    val a = (1 to 20).flatMap(i => Seq.fill(i)(s"k$i")).toDF("v")   // fA(ki)=i
+    val b = (1 to 20).flatMap(i => Seq.fill(21 - i)(s"k$i")).toDF("v") // fB(ki)=21-i
+    val truth = (1 to 20).map(i => i.toLong * (21 - i)).sum
+    val estWide = Cms.innerProduct(
+      Cms.build(a, "v", 4, 4096), Cms.build(b, "v", 4, 4096), 4)
+      .select(col("est").cast("long")).as[Long].head()
+    assert(estWide === truth, s"collision-free estimate must be exact: $estWide vs $truth")
+    // crowded regime: est may exceed but NEVER undershoot
+    val estNarrow = Cms.innerProduct(
+      Cms.build(a, "v", 4, 8), Cms.build(b, "v", 4, 8), 4)
+      .select(col("est").cast("long")).as[Long].head()
+    assert(estNarrow >= truth, s"inner product under-estimated: $estNarrow < $truth")
+  }
+
+  test("cms innerProduct: disjoint key sets estimate 0 when hash rows miss; self-product is F2") {
+    val a = (1 to 10).map(i => s"x$i").toDF("v")
+    val f2 = Cms.innerProduct(
+      Cms.build(a, "v", 4, 4096), Cms.build(a, "v", 4, 4096), 4)
+      .select(col("est").cast("long")).as[Long].head()
+    assert(f2 === 10L, "self inner product of a flat distribution is n (F2)")
+  }
+
   test("hll store: append lifecycle replays as a no-op (marker + idempotent algebra)") {
     val store = java.nio.file.Files.createTempDirectory("hll").toString + "/st"
     val b0 = (1 to 1000).map(i => s"v$i").toDF("v")
