@@ -114,26 +114,28 @@ object Hll {
     * relation `hll_est(<groupCols...>, buckets_hit, est)`. Kept beside
     * the Spark code so the two renderings of the arithmetic can never
     * drift apart silently. */
-  def oracleCtes(src: String, groupCols: Seq[String], m: Int): String = {
+  def oracleCtes(src: String, groupCols: Seq[String], m: Int,
+                 prefix: String = "hll"): String = {
     val w = rankBits(m)
     val p = log2(m)
     val g = groupCols.mkString(", ")
+    val gq = if (groupCols.isEmpty) "" else s"$g, "
     val zTop = s"(CAST(1 AS BIGINT) << ${w + 1})"
-    s"""hll_h AS (SELECT $g, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS base
+    s"""${prefix}_h AS (SELECT ${gq}CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS base
        |  FROM $src),
-       |hll_br AS (SELECT $g, base & ${m - 1} AS bucket,
+       |${prefix}_br AS (SELECT ${gq}base & ${m - 1} AS bucket,
        |    CASE WHEN (base >> $p) = 0 THEN ${w + 1}
        |      ELSE ${w + 1} - length(ltrim(bin(base >> $p), '0')) END AS rho
-       |  FROM hll_h),
-       |hll_reg AS (SELECT $g, bucket, max(rho) AS rho
-       |  FROM hll_br GROUP BY ALL),
-       |hll_z AS (SELECT $g, CAST(count(*) AS BIGINT) AS buckets_hit,
+       |  FROM ${prefix}_h),
+       |${prefix}_reg AS (SELECT ${gq}bucket, max(rho) AS rho
+       |  FROM ${prefix}_br GROUP BY ALL),
+       |${prefix}_z AS (SELECT ${gq}CAST(count(*) AS BIGINT) AS buckets_hit,
        |    CAST(sum(CAST(1 AS BIGINT) << (${w + 1} - rho)) AS BIGINT) AS z_present
-       |  FROM hll_reg GROUP BY ALL),
-       |hll_est AS (SELECT $g, buckets_hit,
+       |  FROM ${prefix}_reg GROUP BY ALL),
+       |${prefix}_est AS (SELECT ${gq}buckets_hit,
        |    ${alphaSql(m)} * CAST(${m.toLong * m} AS DOUBLE) * CAST($zTop AS DOUBLE)
        |      / CAST(z_present + (${m} - buckets_hit) * $zTop AS DOUBLE) AS est
-       |  FROM hll_z)""".stripMargin
+       |  FROM ${prefix}_z)""".stripMargin
   }
 
   /** `alpha(m)` as a SQL expression whose IEEE steps match the Scala

