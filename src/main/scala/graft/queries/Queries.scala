@@ -7478,6 +7478,31 @@ object Queries {
        |SELECT "column", n_rows, n_null, ndv_exact, round(ndv_est, 6) AS ndv_est
        |FROM stats ORDER BY "column"""".stripMargin)
 
+  /** Local-DP survey counts by randomized response
+    * ([[graft.ops.Privacy.randomizedResponse]], Warner 1965): per
+    * nation, how many customers are in debt — estimated from reports
+    * where each row flips its bit with dyadic probability 1/4 (ε =
+    * ln 3 local DP per report), debiased as (obs − p·n)/(1 − 2p). The
+    * hash-seeded flips make the whole mechanism — noise included —
+    * hash-certifiable across engines; `true_pos` rides along as the
+    * accuracy witness the real aggregator never sees. Map-only flips,
+    * one map-combinable aggregation, group-level output only. */
+  val qRrDp: Q = "q_rr_dp" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Privacy.randomizedResponse(Tables.customer(s, d),
+          Seq("c_nationkey"), "c_acctbal < 0", "c_custkey", "rr1",
+          kNum = 1, kBits = 2)
+        .select(col("c_nationkey"), col("n"), col("obs"),
+          round(col("est_true"), 6).as("est_true"), col("true_pos"))
+        .orderBy(col("c_nationkey")),
+    s"""WITH src AS (SELECT c_nationkey,
+       |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS b,
+       |    c_custkey AS uid FROM customer),
+       |${graft.ops.Privacy.rrOracleCtes("src", Seq("c_nationkey"),
+            "rr1", 1, 2)}
+       |SELECT c_nationkey, n, obs, round(est_true, 6) AS est_true, true_pos
+       |FROM rr ORDER BY c_nationkey""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7532,6 +7557,6 @@ object Queries {
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
-    qCmsJoinSize, qTableStats,
+    qCmsJoinSize, qTableStats, qRrDp,
   )
 }

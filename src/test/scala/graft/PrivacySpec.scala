@@ -41,4 +41,35 @@ class PrivacySpec extends SparkTestBase {
       Seq("nation", "seg", "n", "l", "k_risk", "l_risk"))
     assert(audit.count() === 3L)
   }
+
+  test("randomizedResponse: debias identity holds exactly; estimate tracks truth at scale") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 8000L).map(i => (i, "g", i % 5 == 0)) // 20% true
+      .toDF("uid", "grp", "bit")
+    val r = Privacy.randomizedResponse(df, Seq("grp"),
+        "bit", "uid", "s1", kNum = 1, kBits = 2).collect().head
+    val (n, obs, est, truth) = (r.getAs[Long]("n"), r.getAs[Long]("obs"),
+      r.getAs[Double]("est_true"), r.getAs[Long]("true_pos"))
+    assert(n === 8000L && truth === 1600L)
+    // the estimator IS the stated identity over the observed count
+    assert(est === (obs.toDouble - 0.25 * n.toDouble) / 0.5)
+    // with ~8000 reports at p=1/4, std err ≈ sqrt(n·p(1−p))/(1−2p) ≈ 77;
+    // allow 4 sigma
+    assert(math.abs(est - truth) < 320.0, s"est $est vs truth $truth")
+    // per-report plausible deniability: some reports actually flipped
+    assert(obs !== truth, "the mechanism must actually add noise")
+  }
+
+  test("randomizedResponse: flips are a pure function of (uid, salt); p outside (0, 1/2) rejected") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 100L).map(i => (i, "g", i % 2 == 0)).toDF("uid", "grp", "bit")
+    val a = Privacy.randomizedResponse(df, Seq("grp"), "bit", "uid", "sX", 1, 2)
+      .collect().head.getAs[Long]("obs")
+    val b = Privacy.randomizedResponse(df, Seq("grp"), "bit", "uid", "sX", 1, 2)
+      .collect().head.getAs[Long]("obs")
+    assert(a === b, "same salt must reproduce the same reports")
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(df, Seq("grp"), "bit", "uid", "s", 2, 2)
+    }
+  }
 }
