@@ -7503,6 +7503,38 @@ object Queries {
        |SELECT c_nationkey, n, obs, round(est_true, 6) AS est_true, true_pos
        |FROM rr ORDER BY c_nationkey""".stripMargin)
 
+  /** ORC source parity: lineitem through Spark's native columnar
+    * alternative to parquet (schema travels with the file; predicate
+    * pushdown and column pruning work the same — PlanShapeSpec pins the
+    * pushed filter) — with this the format surface reads parquet, ORC,
+    * JSONL, CSV, and JDBC. Money summed as integer cents per the
+    * [[qSourceJsonl]] convention. */
+  val qSourceOrc: Q = "q_source_orc" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "lineitem_orc")
+      if (!graft.ops.Stores.exists(s, path, "_SUCCESS"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"))
+          .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).cast("long").as("price_cents"),
+          sum(col("l_quantity").cast("decimal(18,2)").cast("long"))
+            .cast("long").as("qty"),
+          min(col("l_orderkey")).as("min_key"))
+        .orderBy(col("l_returnflag"))
+    },
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS price_cents,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS BIGINT)
+      |    AS qty,
+      |  min(l_orderkey) AS min_key
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7557,6 +7589,6 @@ object Queries {
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
-    qCmsJoinSize, qTableStats, qRrDp,
+    qCmsJoinSize, qTableStats, qRrDp, qSourceOrc,
   )
 }

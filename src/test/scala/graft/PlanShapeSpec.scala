@@ -226,6 +226,19 @@ class PlanShapeSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("orc scan: filter pushes down and projection prunes, like parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orcp").toString + "/t"
+    (1L to 1000L).map(i => (i, s"v$i", i % 7)).toDF("id", "s", "grp")
+      .write.mode("overwrite").orc(dir)
+    val df = spark.read.orc(dir).filter(col("id") < 10).select("id", "grp")
+    val plan = planString(df)
+    assert(plan.contains("PushedFilters: [LessThan(id,10)]"),
+      s"ORC scan must push the filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,grp:bigint>"),
+      s"ORC scan must prune the unused string column:\n$plan")
+  }
+
   test("hll pairOverlap: pure register-table algebra — membership joins hash, never cartesian") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (s"s${i % 4}", s"v$i")).toDF("g", "v")
