@@ -760,6 +760,36 @@ object Graph {
       .distinct()
   }
 
+  /** [[copurchaseEdges]] derived from a [[Baskets.pairStoreAppend]]
+    * store instead of a fresh basket scan — the 100 TB pattern for
+    * graph analytics: the quadratic-per-basket pair extraction runs
+    * ONCE per arriving batch into the additive store, and every
+    * downstream consumer (PageRank, link prediction, assortativity,
+    * the lift report) reads the merged counts instead of re-scanning
+    * history. Requires the store's batches to partition BASKETS (the
+    * store's documented contract — a basket split across batches would
+    * under-count its pairs); under it, merged item supports and pair
+    * counts equal the one-shot's, so the edge set is IDENTICAL to
+    * [[copurchaseEdges]] over the union (q_pagerank_stored puts that
+    * equality under the hash gate via the one-shot oracle). */
+  def copurchaseEdgesFromPairStore(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   minItemSupport: Long): DataFrame = {
+    Stores.requireStore(spark, path, "append basket batches first")
+    val t = spark.read.parquet(path)
+    val supp = t.filter(col("item_a").isNotNull && col("item_b").isNull)
+      .groupBy(col("item_a").as("item"))
+      .agg(sum(col("n")).as("supp"))
+      .filter(col("supp") >= minItemSupport)
+      .select("item")
+    val pairs = t.filter(col("item_a").isNotNull && col("item_b").isNotNull)
+      .groupBy("item_a", "item_b").agg(sum(col("n")).as("pn"))
+      .join(supp.withColumnRenamed("item", "item_a"), Seq("item_a"))
+      .join(supp.withColumnRenamed("item", "item_b"), Seq("item_b"))
+    pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionAll(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
+  }
+
   /** [[copurchaseEdges]] with EDGE WEIGHTS: w = number of shared baskets
     * per directed item pair (symmetric by construction). Same
     * collected-set shape and support prefilter; the final step is a

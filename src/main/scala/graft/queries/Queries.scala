@@ -5520,6 +5520,31 @@ object Queries {
       |SELECT node AS part, round(rank, 6) AS rank FROM r3
       |ORDER BY round(rank, 6) DESC, part LIMIT 20""".stripMargin)
 
+  /** [[qPageRank]] over edges derived from the INCREMENTAL pair store
+    * ([[graft.ops.Graph.copurchaseEdgesFromPairStore]], three
+    * basket-disjoint slices through [[graft.ops.Baskets.pairStoreAppend]]):
+    * the 100 TB graph pattern — the quadratic-per-basket pair
+    * extraction runs once per arriving batch, PageRank reads the merged
+    * artifact. The oracle is [[qPageRank]]'s VERBATIM: store-derived
+    * edges must be indistinguishable from the one-shot build, ranks
+    * included. */
+  val qPageRankStored: Q = "q_pagerank_stored" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "basket_pairs_pr")
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      (0 until 3).foreach { i =>
+        graft.ops.Baskets.pairStoreAppend(
+          b.filter(pmod(col("basket"), lit(3)) === i), path, s"slice_$i")
+      }
+      val edges = graft.ops.Graph.copurchaseEdgesFromPairStore(
+        s, path, minItemSupport = 5)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("part")).limit(20)
+    },
+    qPageRank._2._2)
+
   /** Blocked record linkage ([[graft.ops.Linkage.blockedBestMatch]]):
     * a deterministically corrupted copy of every third customer (one
     * digit spliced out of the name at a key-derived position) is
@@ -7589,6 +7614,6 @@ object Queries {
     qTrend,
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
-    qCmsJoinSize, qTableStats, qRrDp, qSourceOrc,
+    qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
   )
 }

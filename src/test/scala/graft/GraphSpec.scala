@@ -424,4 +424,32 @@ class GraphSpec extends SparkTestBase {
     val b = Graph.degreeAssortativity(clean, "src", "dst").collect().head
     assert(a === b)
   }
+
+  test("copurchaseEdgesFromPairStore: basket-disjoint slices reproduce the one-shot edge set exactly") {
+    val store = java.nio.file.Files.createTempDirectory("prstore").toString + "/st"
+    // 60 baskets x 2-4 items over a 12-item catalog with a support split
+    val rows = (1L to 60L).flatMap { bk =>
+      Seq((bk, bk % 12), (bk, (bk + 1) % 12)) ++
+        (if (bk % 3 == 0) Seq((bk, (bk + 5) % 12)) else Nil)
+    }.toDF("basket", "item")
+    val oneShot = Graph.copurchaseEdges(rows, "basket", "item",
+      minItemSupport = 8)
+    (0 until 2).foreach { i =>
+      graft.ops.Baskets.pairStoreAppend(
+        rows.filter(col("basket") % 2 === i), store, s"b$i")
+    }
+    val fromStore = Graph.copurchaseEdgesFromPairStore(spark, store,
+      minItemSupport = 8)
+    assert(fromStore.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(fromStore).isEmpty,
+      "store-derived edges must equal the one-shot build exactly")
+    // redelivered slice no-ops (marker) — edges unchanged
+    graft.ops.Baskets.pairStoreAppend(
+      rows.filter(col("basket") % 2 === 1), store, "b1")
+    val replayed = Graph.copurchaseEdgesFromPairStore(spark, store,
+      minItemSupport = 8)
+    assert(replayed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(replayed).isEmpty)
+    spark.catalog.clearCache()
+  }
 }
