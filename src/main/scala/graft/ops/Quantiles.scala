@@ -197,6 +197,78 @@ object Quantiles {
       .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  /** ROBUST outlier card — Tukey fences over the mergeable histogram:
+    * per group, rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR] counted
+    * as outliers, with the quartiles read from [[quantilesBy]]'s
+    * bucket lower bounds. The mean/σ z-score (q_rolling_z's shape)
+    * breaks down exactly when outliers matter most — the outliers
+    * inflate σ and hide themselves; quartiles don't move (Tukey 1977).
+    *
+    * Exactness: quartiles are integers (bucket·width), and the fences
+    * evaluate in 2×-integer form (2v < 2·p25 − 3·IQR) so the 1.5
+    * multiplier never touches floating point — the whole card is
+    * integer-exact at any scale.
+    *
+    * Scale: one histogram aggregation (model-sized output), the
+    * quantile pass over it, then ONE broadcast join of the
+    * groups-sized fence table back onto the data and a counting
+    * aggregation — no sort of the data anywhere (the [[percentileRank]]
+    * contrast: this is the sketch-resolution robust monitor that
+    * survives a dominant group).
+    *
+    * @return per group: n, p25, p50, p75, iqr, n_low, n_high
+    */
+  def tukeyOutliers(df: DataFrame, groupCols: Seq[String],
+                    valueExpr: String, bucketWidth: Long): DataFrame = {
+    val gc = groupCols.map(col)
+    val rows = df.select((gc :+ expr(s"cast(($valueExpr) as bigint)")
+      .as("v")): _*)
+    val hist = histogramBy(rows, groupCols, "v", bucketWidth)
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))
+    val piv = quantilesBy(hist, groupCols, qs, bucketWidth)
+      .groupBy(gc: _*)
+      .agg(
+        max(when(col("p_label") === "p25", col("lo"))).as("p25"),
+        max(when(col("p_label") === "p50", col("lo"))).as("p50"),
+        max(when(col("p_label") === "p75", col("lo"))).as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+    rows.join(broadcast(piv), groupCols)
+      .groupBy(gc: _*)
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        first(col("p25")).as("p25"), first(col("p50")).as("p50"),
+        first(col("p75")).as("p75"), first(col("iqr")).as("iqr"),
+        sum(when(col("v") * 2 < col("p25") * 2 - col("iqr") * 3, 1L)
+          .otherwise(0L)).cast("long").as("n_low"),
+        sum(when(col("v") * 2 > col("p75") * 2 + col("iqr") * 3, 1L)
+          .otherwise(0L)).cast("long").as("n_high"))
+  }
+
+  /** DuckDB mirror of [[tukeyOutliers]] for `src(<groupCols...>, v)` —
+    * composes [[oracleCtesBy]] and ends in relation
+    * `tk(<groupCols...>, n, p25, p50, p75, iqr, n_low, n_high)`. */
+  def tukeyOracleCtes(src: String, groupCols: Seq[String],
+                      bucketWidth: Long): String = {
+    val g = groupCols.mkString(", ")
+    s"""${oracleCtesBy(src, groupCols,
+         Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)), bucketWidth)},
+       |tk_p AS (SELECT $g,
+       |    max(CASE WHEN p_label = 'p25' THEN lo END) AS p25,
+       |    max(CASE WHEN p_label = 'p50' THEN lo END) AS p50,
+       |    max(CASE WHEN p_label = 'p75' THEN lo END) AS p75,
+       |    max(CASE WHEN p_label = 'p75' THEN lo END)
+       |      - max(CASE WHEN p_label = 'p25' THEN lo END) AS iqr
+       |  FROM hq GROUP BY ALL),
+       |tk AS (SELECT $g, CAST(count(*) AS BIGINT) AS n,
+       |    any_value(p25) AS p25, any_value(p50) AS p50,
+       |    any_value(p75) AS p75, any_value(iqr) AS iqr,
+       |    CAST(sum(CASE WHEN v * 2 < p25 * 2 - iqr * 3
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |    CAST(sum(CASE WHEN v * 2 > p75 * 2 + iqr * 3
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       |  FROM $src JOIN tk_p USING ($g) GROUP BY ALL)""".stripMargin
+  }
+
   /** PERCENTILE-RANK calibration: each row's score replaced by its
     * within-group cumulative fraction (`cume_dist` — the count of group
     * rows with score ≤ this one over the group size, ties counted

@@ -7560,6 +7560,52 @@ object Queries {
       |  min(l_orderkey) AS min_key
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Robust outlier card ([[graft.ops.Quantiles.tukeyOutliers]]):
+    * per-source document-length outliers by Tukey fences over the
+    * mergeable histogram — quartiles from bucket lower bounds, fences
+    * in 2×-integer form, so the whole monitor is integer-exact and
+    * never sorts the corpus (one histogram agg + one broadcast fence
+    * join + one count agg). The robust companion to the mean/σ z-score:
+    * outliers can't inflate the quartiles they're measured against. */
+  val qIqrOutliers: Q = "q_iqr_outliers" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Quantiles.tukeyOutliers(
+          Tables.documents(s, d)
+            .select(col("source"), Text.tokenCount(col("text")).as("v")),
+          Seq("source"), "v", bucketWidth = 4L)
+        .orderBy(col("source")),
+    s"""WITH src AS (SELECT source, CAST(len($TOKS) AS BIGINT) AS v
+       |  FROM documents),
+       |${graft.ops.Quantiles.tukeyOracleCtes("src", Seq("source"), 4L)}
+       |SELECT source, n, p25, p50, p75, iqr, n_low, n_high
+       |FROM tk ORDER BY source""".stripMargin)
+
+  /** A/B experiment readout ([[graft.ops.Abtest.readout]]): hash-
+    * bucketed unit assignment + the two-proportion z statistic on
+    * purchase conversion. With no real treatment in the corpus this IS
+    * the A/A validation — the z should sit inside ±2, and the whole
+    * card (sqrt included — IEEE correctly rounded) is hash-certified
+    * across engines. Unit grain: one hash agg; readout: one
+    * map-combinable agg to a single row. */
+  val qAbReadout: Q = "q_ab_readout" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.readout(Tables.events(s, d), Nil,
+          "user_id", "event_type = 'purchase' AND value > 110", salt = "exp1")
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(col("rate_a"), 9).as("rate_a"),
+          round(col("rate_b"), 9).as("rate_b"),
+          round(col("lift"), 9).as("lift"), round(col("z"), 6).as("z")),
+    s"""WITH $EV,
+       |src AS (SELECT user_id AS unit,
+       |    CASE WHEN event_type = 'purchase' AND value > 110
+       |      THEN 1 ELSE 0 END AS c
+       |  FROM ev),
+       |${graft.ops.Abtest.oracleCtes("src", Nil, "exp1")}
+       |SELECT n_a, conv_a, n_b, conv_b, round(rate_a, 9) AS rate_a,
+       |  round(rate_b, 9) AS rate_b, round(lift, 9) AS lift,
+       |  round(z, 6) AS z
+       |FROM ab""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7615,5 +7661,6 @@ object Queries {
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
+    qIqrOutliers, qAbReadout,
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Abtest
+
+/** A/B readout: sticky hash assignment, the two-proportion z identity
+  * on hand counts, planted effects detected, degenerate guards NULL. */
+class AbtestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("assignment is sticky per (unit, salt); unit converts if ANY row converts") {
+    val df = Seq((1L, false), (1L, true), (2L, false), (2L, false))
+      .toDF("u", "c")
+    val r = Abtest.readout(df, Nil, "u", "c", "s1").collect().head
+    // 2 units total, exactly 1 converted (unit 1 via its second row)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b") === 1L)
+    // re-running with the same salt reproduces the identical split
+    val r2 = Abtest.readout(df, Nil, "u", "c", "s1").collect().head
+    assert(r.getAs[Long]("n_a") === r2.getAs[Long]("n_a") &&
+      r.getAs[Long]("conv_a") === r2.getAs[Long]("conv_a"))
+  }
+
+  test("z identity on known counts; a planted large effect is significant") {
+    // find a salt split, then plant conversions ONLY in arm B
+    val units = (1L to 2000L).map(u => (u, false)).toDF("u", "c")
+    val base = Abtest.readout(units, Nil, "u", "c", "sZ").collect().head
+    val (nA, nB) = (base.getAs[Long]("n_a"), base.getAs[Long]("n_b"))
+    assert(nA + nB === 2000L && nA > 800L && nB > 800L,
+      s"hash split should be near-even: $nA/$nB")
+    // plant: ~60% of B converts, ~10% of A converts -> huge z
+    val planted = (1L to 2000L).map { u =>
+      (u, u % 10 == 0) // deterministic sparse baseline everywhere
+    }.toDF("u", "c")
+    val eff = Abtest.readout(planted, Nil, "u",
+      // conversion boosted in variant-1 units via the SAME hash the op uses
+      "c OR (cast(conv(substring(md5(concat(cast(u as string), 'sZ')), 1, 7), 16, 10) as bigint) % 2 = 1 AND u % 2 = 0)",
+      "sZ").collect().head
+    val z = eff.getAs[Double]("z")
+    assert(z > 5.0, s"a ~50-point lift must be significant: z = $z")
+    // identity check against the hand formula
+    val (na, ca, nb, cb) = (eff.getAs[Long]("n_a"), eff.getAs[Long]("conv_a"),
+      eff.getAs[Long]("n_b"), eff.getAs[Long]("conv_b"))
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val want = (pb - pa) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(z - want) < 1e-12, s"z $z vs hand $want")
+  }
+
+  test("degenerate pooled rate (all or none convert) yields NULL z, never Inf/NaN") {
+    val all = (1L to 100L).map((_, true)).toDF("u", "c")
+    val none = (1L to 100L).map((_, false)).toDF("u", "c")
+    assert(Abtest.readout(all, Nil, "u", "c", "s")
+      .select("z").collect().head.isNullAt(0))
+    assert(Abtest.readout(none, Nil, "u", "c", "s")
+      .select("z").collect().head.isNullAt(0))
+  }
+}

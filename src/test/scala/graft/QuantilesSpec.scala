@@ -119,6 +119,30 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
+  test("tukeyOutliers: hand fences catch the planted extremes; robust to the outliers themselves") {
+    import org.apache.spark.sql.functions.col
+    // group g: 0..99 plus two planted extremes (n = 102). Ranks are
+    // ceil(q*102) over the sorted sequence [-200, 0..99, 500]: the
+    // 26th/51st/77th values are 24/49/75 -> iqr 51, fences
+    // [2*24-3*51, 2*75+3*51]/2 = [-52.5, 151.5]
+    val vals = (0L to 99L).map(("g", _)) ++ Seq(("g", 500L), ("g", -200L))
+    val r = Quantiles.tukeyOutliers(vals.toDF("grp", "v"), Seq("grp"),
+      "v", bucketWidth = 1L).collect().head
+    assert(r.getAs[Long]("n") === 102L)
+    assert(r.getAs[Long]("p25") === 24L && r.getAs[Long]("p50") === 49L &&
+      r.getAs[Long]("p75") === 75L && r.getAs[Long]("iqr") === 51L)
+    assert(r.getAs[Long]("n_high") === 1L && r.getAs[Long]("n_low") === 1L,
+      "exactly the two planted extremes sit outside the fences")
+    // robustness: the fences barely move when the extremes get wilder
+    // (a mean/sigma z-score threshold would chase them)
+    val wild = (0L to 99L).map(("g", _)) ++ Seq(("g", 500000L), ("g", -200000L))
+    val r2 = Quantiles.tukeyOutliers(wild.toDF("grp", "v"), Seq("grp"),
+      "v", bucketWidth = 1L).collect().head
+    assert(r2.getAs[Long]("p25") === 24L && r2.getAs[Long]("p75") === 75L,
+      "quartiles must not move with outlier magnitude")
+    assert(r2.getAs[Long]("n_high") === 1L && r2.getAs[Long]("n_low") === 1L)
+  }
+
   test("percentileRank: hand ranks, ties share the cumulative fraction, groups independent") {
     import org.apache.spark.sql.functions.col
     // group a: scores 1,2,2,5 -> ranks 0.25, 0.75, 0.75, 1.0
