@@ -269,6 +269,41 @@ object Quantiles {
        |  FROM $src JOIN tk_p USING ($g) GROUP BY ALL)""".stripMargin
   }
 
+  /** SKETCH-PATH percentile rank — [[percentileRank]] at bucket
+    * resolution, computed from the mergeable histogram instead of a
+    * per-group sort: a row's rank is cum(bucket)/N, the fraction of its
+    * group with bucket ≤ its own (an upper rank, within one bucket
+    * width of the exact cume_dist). This is the documented skew escape
+    * for calibration: no partition ever sorts — the cumulative window
+    * runs over the model-sized histogram, and rows pick up their rank
+    * through ONE broadcast join on (group, bucket). Works unchanged
+    * from a [[storeAppend]]-maintained histogram, which the exact path
+    * cannot (a sort is not mergeable; a histogram is).
+    *
+    * The rank is one division of two group-local integers —
+    * engine-bit-identical, like the exact path. */
+  def histRank(df: DataFrame, groupCols: Seq[String], scoreExpr: String,
+               bucketWidth: Long, outCol: String = "hist_pct"): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val gc = groupCols.map(col)
+    val rows = df.withColumn("_hr_bucket",
+      expr(s"cast(($scoreExpr) as bigint) div $bucketWidth"))
+    val hist = rows.groupBy((gc :+ col("_hr_bucket")): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = hist.withColumn("_hr_cum",
+        sum(col("cnt")).over(
+          Window.partitionBy(gc: _*).orderBy("_hr_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .withColumn("_hr_n",
+        sum(col("cnt")).over(Window.partitionBy(gc: _*)).cast("long"))
+      .select((gc :+ col("_hr_bucket") :+ col("_hr_cum") :+ col("_hr_n")): _*)
+    rows.join(broadcast(cum), groupCols :+ "_hr_bucket")
+      .withColumn(outCol,
+        col("_hr_cum").cast("double") / col("_hr_n").cast("double"))
+      .drop("_hr_bucket", "_hr_cum", "_hr_n")
+  }
+
   /** PERCENTILE-RANK calibration: each row's score replaced by its
     * within-group cumulative fraction (`cume_dist` — the count of group
     * rows with score ≤ this one over the group size, ties counted

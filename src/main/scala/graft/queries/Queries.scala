@@ -7606,6 +7606,47 @@ object Queries {
        |  round(z, 6) AS z
        |FROM ab""".stripMargin)
 
+  /** [[qScoreCalibrate]]'s SKETCH PATH
+    * ([[graft.ops.Quantiles.histRank]]): the same per-source
+    * calibration at bucket resolution, no sort anywhere — the cumulative
+    * window runs over the model-sized histogram and rows rank through
+    * one broadcast join. `exact_pct` rides along; `upper_rank`
+    * certifies hist rank ≥ exact on every row (the bucket-resolution
+    * contract: equality exactly at bucket-final rows). */
+  val qScoreCalibrateHist: Q = "q_score_calibrate_hist" -> (
+    (s: SparkSession, d: String) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("score"))
+      val h = graft.ops.Quantiles.histRank(scored, Seq("source"),
+        "score", bucketWidth = 8L)
+      graft.ops.Quantiles.percentileRank(h, Seq("source"), "score",
+          "exact_pct")
+        .select(col("doc_id"), col("source"), col("score"),
+          round(col("hist_pct"), 9).as("hist_pct"),
+          round(col("exact_pct"), 9).as("exact_pct"),
+          (col("hist_pct") >= col("exact_pct")).as("upper_rank"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH sc AS (SELECT doc_id, source,
+       |    CAST(len($TOKS) AS BIGINT) AS score FROM documents),
+       |h AS (SELECT source, score // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY ALL),
+       |c AS (SELECT source, bucket,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM h),
+       |r AS (SELECT sc.doc_id, sc.source, sc.score,
+       |    CAST(c.cum AS DOUBLE) / CAST(c.n AS DOUBLE) AS hist_pct,
+       |    cume_dist() OVER (PARTITION BY sc.source ORDER BY sc.score)
+       |      AS exact_pct
+       |  FROM sc JOIN c ON c.source = sc.source AND c.bucket = sc.score // 8)
+       |SELECT doc_id, source, score, round(hist_pct, 9) AS hist_pct,
+       |  round(exact_pct, 9) AS exact_pct,
+       |  (hist_pct >= exact_pct) AS upper_rank
+       |FROM r ORDER BY doc_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7661,6 +7702,6 @@ object Queries {
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
-    qIqrOutliers, qAbReadout,
+    qIqrOutliers, qAbReadout, qScoreCalibrateHist,
   )
 }

@@ -143,6 +143,24 @@ class QuantilesSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_high") === 1L && r2.getAs[Long]("n_low") === 1L)
   }
 
+  test("histRank: bucket-resolution rank never undershoots exact; equal at bucket boundaries; store-mergeable shape") {
+    import org.apache.spark.sql.functions.col
+    // width 10 over 1..100: a row's hist rank = (its bucket's last
+    // value's exact rank) -> >= exact everywhere, equal at multiples
+    val df = (1L to 100L).map(("g", _)).toDF("grp", "v")
+    val both = Quantiles.percentileRank(
+        Quantiles.histRank(df, Seq("grp"), "v", 10L), Seq("grp"), "v",
+        "exact_pct")
+      .select(col("v"), col("hist_pct"), col("exact_pct"))
+      .as[(Long, Double, Double)].collect()
+    assert(both.forall { case (_, h, e) => h >= e },
+      "hist rank is an upper rank")
+    assert(both.forall { case (v, h, e) => v % 10 != 9 || h === e },
+      "bucket-final rows (v = 9 mod 10: bucket b holds 10b..10b+9) rank exactly")
+    assert(both.forall { case (_, h, e) => h - e < 0.1 + 1e-12 },
+      "gap bounded by one bucket's mass share")
+  }
+
   test("percentileRank: hand ranks, ties share the cumulative fraction, groups independent") {
     import org.apache.spark.sql.functions.col
     // group a: scores 1,2,2,5 -> ranks 0.25, 0.75, 0.75, 1.0
