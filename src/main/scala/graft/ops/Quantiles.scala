@@ -197,6 +197,63 @@ object Quantiles {
       .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  /** GROUPED [[storeAppend]]: per-(group, bucket) counts, the additive
+    * store behind per-source monitors ([[quantilesBy]],
+    * [[tukeyOutliers]], [[histRank]] all consume its merge). Same
+    * marker contract — sum-merge is not idempotent. */
+  def storeAppendBy(df: DataFrame, path: String, batchTag: String,
+                    groupCols: Seq[String], valueExpr: String,
+                    bucketWidth: Long): Unit = {
+    val spark = df.sparkSession
+    val h = histogramBy(df, groupCols, valueExpr, bucketWidth)
+      .withColumn("tag", lit(batchTag))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      h.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      h.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Merged per-group histogram from a [[storeAppendBy]] store. */
+  def fromStoreBy(spark: SparkSession, path: String,
+                  groupCols: Seq[String]): DataFrame = {
+    Stores.requireStore(spark, path, "append histogram batches first")
+    spark.read.parquet(path)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** [[tukeyOutliers]] with the quartile/fence table read from a
+    * MAINTAINED histogram store instead of a fresh aggregation — the
+    * arriving data (typically the newest batch) is flagged against
+    * fences learned from everything the store has absorbed. Cleanly
+    * splits monitor state (the store) from the monitored slice. */
+  def tukeyOutliersFromStore(df: DataFrame, path: String,
+                             groupCols: Seq[String], valueExpr: String,
+                             bucketWidth: Long): DataFrame = {
+    val gc = groupCols.map(col)
+    val hist = fromStoreBy(df.sparkSession, path, groupCols)
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))
+    val piv = quantilesBy(hist, groupCols, qs, bucketWidth)
+      .groupBy(gc: _*)
+      .agg(
+        max(when(col("p_label") === "p25", col("lo"))).as("p25"),
+        max(when(col("p_label") === "p50", col("lo"))).as("p50"),
+        max(when(col("p_label") === "p75", col("lo"))).as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+    df.select((gc :+ expr(s"cast(($valueExpr) as bigint)").as("v")): _*)
+      .join(broadcast(piv), groupCols)
+      .groupBy(gc: _*)
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        first(col("p25")).as("p25"), first(col("p50")).as("p50"),
+        first(col("p75")).as("p75"), first(col("iqr")).as("iqr"),
+        sum(when(col("v") * 2 < col("p25") * 2 - col("iqr") * 3, 1L)
+          .otherwise(0L)).cast("long").as("n_low"),
+        sum(when(col("v") * 2 > col("p75") * 2 + col("iqr") * 3, 1L)
+          .otherwise(0L)).cast("long").as("n_high"))
+  }
+
   /** ROBUST outlier card — Tukey fences over the mergeable histogram:
     * per group, rows outside [p25 − 1.5·IQR, p75 + 1.5·IQR] counted
     * as outliers, with the quartiles read from [[quantilesBy]]'s

@@ -7647,6 +7647,31 @@ object Queries {
        |  (hist_pct >= exact_pct) AS upper_rank
        |FROM r ORDER BY doc_id""".stripMargin)
 
+  /** [[qIqrOutliers]] with the fences learned from the MAINTAINED
+    * per-source histogram store
+    * ([[graft.ops.Quantiles.storeAppendBy]], three doc slices;
+    * [[graft.ops.Quantiles.tukeyOutliersFromStore]] reads the merge):
+    * histogram additivity makes the store-learned quartiles equal the
+    * one-shot's EXACTLY, so the oracle is [[qIqrOutliers]]'s verbatim —
+    * the robust monitor's state now arrives incrementally, its answers
+    * indistinguishable. */
+  val qIqrStored: Q = "q_iqr_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).as("v"))
+      val store = codebookPath(d, "hist_iqr_src")
+      (0 to 2).foreach { k =>
+        graft.ops.Quantiles.storeAppendBy(
+          docs.filter(col("doc_id") % 3 === k), store, s"b$k",
+          Seq("source"), "v", 4L)
+      }
+      graft.ops.Quantiles.tukeyOutliersFromStore(docs, store,
+          Seq("source"), "v", 4L)
+        .orderBy(col("source"))
+    },
+    qIqrOutliers._2._2)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7702,6 +7727,6 @@ object Queries {
     qHllOverlap, qEntityPhonetic, qSeasonal, qSnapshotDiff,
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
-    qIqrOutliers, qAbReadout, qScoreCalibrateHist,
+    qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
   )
 }

@@ -143,6 +143,24 @@ class QuantilesSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_high") === 1L && r2.getAs[Long]("n_low") === 1L)
   }
 
+  test("grouped store: slice-merged fences equal one-shot tukeyOutliers; redelivery no-ops") {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files.createTempDirectory("hby").toString + "/st"
+    val df = ((0L to 99L).map(("a", _)) ++ (0L to 49L).map(("b", _)) :+
+      (("a", 900L))).toDF("grp", "v")
+    val oneShot = Quantiles.tukeyOutliers(df, Seq("grp"), "v", 4L)
+    (0 to 1).foreach { k =>
+      Quantiles.storeAppendBy(df.filter(col("v") % 2 === k), store, s"b$k",
+        Seq("grp"), "v", 4L)
+    }
+    Quantiles.storeAppendBy(df.filter(col("v") % 2 === 1), store, "b1",
+      Seq("grp"), "v", 4L) // redelivery
+    val stored = Quantiles.tukeyOutliersFromStore(df, store, Seq("grp"),
+      "v", 4L)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
+      "store-learned fences must reproduce the one-shot card exactly")
+  }
+
   test("histRank: bucket-resolution rank never undershoots exact; equal at bucket boundaries; store-mergeable shape") {
     import org.apache.spark.sql.functions.col
     // width 10 over 1..100: a row's hist rank = (its bucket's last
