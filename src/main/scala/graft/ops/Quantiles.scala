@@ -119,22 +119,31 @@ object Quantiles {
     * per-group totals come from an aggregation, not a collect): one row
     * per (group, label). The cumulative window partitions by group, so
     * each frame is one group's model-sized histogram. */
+  /** @param cache persist the cumulative frame for this call's two
+    *              consumers (the default; caller clearCache owns
+    *              eviction). Pass FALSE from any loop that re-reads a
+    *              GROWING store: the cached plan can silently match a
+    *              later read and serve the pre-append file set — stale
+    *              fences with no error anywhere. Recompute cost is a
+    *              window over the model-sized histogram, negligible. */
   def quantilesBy(hist: DataFrame, groupCols: Seq[String],
                   qs: Seq[(String, Int, Int)],
-                  bucketWidth: Long): DataFrame = {
+                  bucketWidth: Long, cache: Boolean = true): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     qs.foreach { case (l, n, d) =>
       require(n >= 1 && d >= n, s"quantile $l: need 1 <= num <= den") }
     val spark = hist.sparkSession
     import spark.implicits._
     val gc = groupCols.map(col)
-    val cum = hist
+    val cum0 = hist
       .withColumn("cum",
         sum(col("cnt")).over(
           Window.partitionBy(gc: _*).orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = if (cache)
+      cum0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cum0
     val totals = hist.groupBy(gc: _*).agg(sum(col("cnt")).cast("long").as("n"))
     val qdf = qs.toDF("p_label", "num", "den")
     val targets = totals.crossJoin(broadcast(qdf))
@@ -282,7 +291,8 @@ object Quantiles {
       .as("v")): _*)
     val hist = histogramBy(rows, groupCols, "v", bucketWidth)
     val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))
-    val piv = quantilesBy(hist, groupCols, qs, bucketWidth)
+    val piv = quantilesBy(hist, groupCols, qs, bucketWidth,
+      cache = false)
       .groupBy(gc: _*)
       .agg(
         max(when(col("p_label") === "p25", col("lo"))).as("p25"),

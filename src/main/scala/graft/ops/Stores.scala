@@ -100,6 +100,14 @@ object Stores {
     // 5. commit point
     fs.create(marker, true).close()
     fs.delete(staging, true)
+    // 6. invalidate this session's cached listings/plans for the path
+    // (the rewrite protocols below already do this). Without it, a
+    // reader that scanned the store BEFORE this append — a monitor
+    // inside a stream loop is exactly that — leaves a file-status/plan
+    // cache entry that a LATER fresh read can silently match, serving
+    // the pre-append file set: stale answers with no error anywhere
+    // (caught live by QuantilesSpec's grouped streaming twin).
+    spark.catalog.refreshByPath(path)
     ()
   }
 

@@ -29,4 +29,23 @@ object QuantileStream {
         valueExpr, bucketWidth)
       onBatch(batchId)
     }
+
+  /** GROUPED twin ([[graft.ops.Quantiles.storeAppendBy]]): one
+    * histogram per (group, batch) — the per-source length monitor, and
+    * the state behind the STREAMING robust-outlier gate: each batch can
+    * be flagged against fences learned from everything before it
+    * ([[graft.ops.Quantiles.tukeyOutliersFromStore]] inside `onBatch`,
+    * reading the store BEFORE this batch folds in — or after, for
+    * fences that include it; both are one call, the caller picks the
+    * semantics). */
+  def selfMaintainingBy(rows: DataFrame, path: String,
+                        groupCols: Seq[String], valueExpr: String,
+                        bucketWidth: Long)
+                       (onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+                       : DataStreamWriter[Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.Quantiles.storeAppendBy(batch, path, tagFor(batchId),
+        groupCols, valueExpr, bucketWidth)
+      onBatch(batch, batchId)
+    }
 }

@@ -161,6 +161,40 @@ class QuantilesSpec extends SparkTestBase {
       "store-learned fences must reproduce the one-shot card exactly")
   }
 
+  test("grouped streaming twin: live batches fold per source; fences flag a later batch's outlier") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("hby_s").toString + "/st"
+    val mem = MemoryStream[(String, Long)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.QuantileStream.selfMaintainingBy(
+        mem.toDF().toDF("grp", "v"), store, Seq("grp"), "v", 4L) {
+        (batch, _) =>
+          // flag THIS batch against fences learned from all-so-far
+          val r = Quantiles.tukeyOutliersFromStore(batch, store,
+            Seq("grp"), "v", 4L).collect().head
+          flagged += ((r.getAs[Long]("n_low"), r.getAs[Long]("n_high")))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("hby_ck").toString)
+      .start()
+    try {
+      mem.addData((0L to 99L).map(("g", _)): _*); q.processAllAvailable()
+      mem.addData(("g", 50L), ("g", 5000L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(flagged.head === ((0L, 0L)), "the seed batch is fence-clean")
+    assert(flagged(1) === ((0L, 1L)),
+      s"the planted extreme must be flagged against learned fences: $flagged")
+    // and the merged store equals the one-shot over everything
+    val oneShot = Quantiles.tukeyOutliers(
+      ((0L to 99L).map(("g", _)) ++ Seq(("g", 50L), ("g", 5000L)))
+        .toDF("grp", "v"), Seq("grp"), "v", 4L)
+    val stored = Quantiles.tukeyOutliersFromStore(
+      ((0L to 99L).map(("g", _)) ++ Seq(("g", 50L), ("g", 5000L)))
+        .toDF("grp", "v"), store, Seq("grp"), "v", 4L)
+    assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty)
+  }
+
   test("histRank: bucket-resolution rank never undershoots exact; equal at bucket boundaries; store-mergeable shape") {
     import org.apache.spark.sql.functions.col
     // width 10 over 1..100: a row's hist rank = (its bucket's last
