@@ -507,14 +507,15 @@ object BenchScale {
         val toks = scaledDocs(spark, sfDir, k)
           .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
           .filter(col("tok") =!= "")
+        // build ONCE: the timed block returns the persisted frame so
+        // the overlap stage reuses it (a rebuild would double the
+        // dominant corpus-sized scan and skew the rung's wall-clock)
+        var regs: org.apache.spark.sql.DataFrame = null
         val (tReg, nReg) = time {
-          val r = graft.ops.Hll.registers(toks, Seq("lang"), "tok", 256)
+          regs = graft.ops.Hll.registers(toks, Seq("lang"), "tok", 256)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          r.count()
+          regs.count()
         }
-        val regs = graft.ops.Hll.registers(toks, Seq("lang"), "tok", 256)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        regs.count()
         val (tOv, nPair) = time(
           graft.ops.Hll.pairOverlap(regs, "lang", 256).count())
         println(s"""{"k":$k,"cust":$nC,"matches":$nMatch,""" +
@@ -585,6 +586,82 @@ object BenchScale {
         println(s"""{"k":$k,"edges":$nE,"triangles_sec":${f"$tTri%.2f"},"lpa3_sec":${f"$tLpa%.2f"},"linkpred_sec":${f"$tLp%.2f"},"predicted":$nP}""")
         spark.catalog.clearCache()
       }
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("graph3")) {
+      // r13 ladder for the two graph loops without their own rung:
+      // kCore (peel depth invariant under disjoint K copies ⇒ linear
+      // in |E|) and harmonic (state ≤ |seeds|·|V|, seeds fixed ⇒
+      // linear). Then two shape probes the K-fold CANNOT exercise:
+      // a deep-peel tree (round count grows with depth while per-round
+      // edges shrink geometrically — total work must stay ≈ 2|E|) and
+      // a link-prediction cap sweep at fixed |E| (time ∝ cap — the
+      // cap-selection rule's measured form).
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val warm = graft.ops.Graph.copurchaseEdges(
+        scaledGraphBaskets(spark, sfDir, 1).limit(5000), "basket", "item", 2)
+      graft.ops.Graph.kCore(warm, "src", "dst", 2).count() // JIT warmup
+      graft.ops.Graph.harmonicCentrality(warm, "src", "dst",
+        warm.select(col("src")).distinct().orderBy(col("src")).limit(8),
+        "src", 3).count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val edges = graft.ops.Graph.copurchaseEdges(
+            scaledGraphBaskets(spark, sfDir, k), "basket", "item", 5)
+          .persist(MEMORY_AND_DISK)
+        val nE = edges.count()
+        val peels = scala.collection.mutable.ArrayBuffer[Long]()
+        val (tKc, nCore) = time(graft.ops.Graph.kCore(edges, "src", "dst",
+          3, onRound = (_, e) => { peels += e; () }).count())
+        spark.catalog.clearCache()
+        edges.persist(MEMORY_AND_DISK); edges.count()
+        val seeds = edges.select(col("src")).distinct()
+          .orderBy(col("src")).limit(32)
+        val (tH, nH) = time(graft.ops.Graph.harmonicCentrality(
+          edges, "src", "dst", seeds, "src", 4).count())
+        println(s"""{"k":$k,"edges":$nE,"kcore_sec":${f"$tKc%.2f"},""" +
+          s""""core_nodes":$nCore,"peel_rounds":${peels.size},""" +
+          s""""round_edges":[${peels.mkString(",")}],""" +
+          s""""harmonic_sec":${f"$tH%.2f"},"reached":$nH}""")
+        spark.catalog.clearCache()
+      }
+      // deep peel: perfect binary tree of depth d — the k=2 peel eats
+      // one leaf layer per round (rounds = d, NOT constant), but each
+      // round halves the remaining edges, so Σ per-round work ≈ 2|E|.
+      // This is the rung disjoint-copy scaling can't produce: round
+      // count scaling with structure while cost stays linear in |E|.
+      Seq(10, 12, 14, 16).foreach { d =>
+        val edges = spark.range(2L, 1L << (d + 1))
+          .select((col("id") / 2).cast("long").as("src"),
+            col("id").as("dst"))
+          .persist(MEMORY_AND_DISK)
+        val nE = edges.count()
+        val peels = scala.collection.mutable.ArrayBuffer[Long]()
+        val (tKc, nCore) = time(graft.ops.Graph.kCore(edges, "src", "dst",
+          2, maxRounds = d + 2,
+          onRound = (_, e) => { peels += e; () }).count())
+        println(s"""{"tree_depth":$d,"edges":$nE,""" +
+          s""""kcore_sec":${f"$tKc%.2f"},"core_nodes":$nCore,""" +
+          s""""peel_rounds":${peels.size},""" +
+          s""""round_edges":[${peels.mkString(",")}]}""")
+        edges.unpersist(); spark.catalog.clearCache()
+      }
+      // cap sweep at fixed |E|: wedge volume ≤ cap·2|E| ⇒ time must be
+      // ∝ cap; the rung where the trend breaks upward is the machine's
+      // shuffle envelope (the scaladoc's cap ≤ M/(128·|E|) rule, read
+      // off empirically instead of guessed).
+      val capEdges = graft.ops.Graph.copurchaseEdges(
+          scaledGraphBaskets(spark, sfDir, math.min(4, maxK)),
+          "basket", "item", 5)
+        .persist(MEMORY_AND_DISK)
+      val nCapE = capEdges.count()
+      Seq(32L, 64L, 128L, 256L).foreach { cap =>
+        val (tLp, nP) = time(graft.ops.Graph.commonNeighborLinks(
+          capEdges, "src", "dst", cap, 4).count())
+        println(s"""{"cap":$cap,"edges":$nCapE,""" +
+          s""""linkpred_sec":${f"$tLp%.2f"},"predicted":$nP}""")
+      }
+      capEdges.unpersist(); spark.catalog.clearCache()
       spark.stop(); return
     }
     if (args.lift(1).contains("hotblock")) {

@@ -36,8 +36,10 @@ object Abtest {
     *                 a unit converts if ANY of its rows does
     * @param salt     experiment name/seed — new salt = new assignment
     * @return one row per group: n_a, conv_a, n_b, conv_b, rate_a,
-    *         rate_b, lift (rate_b − rate_a), z (NULL when either arm is
-    *         empty or the pooled rate is degenerate 0/1 — no ±Inf) */
+    *         rate_b, lift (rate_b − rate_a), z. rate/lift/z are NULL
+    *         when either arm is empty (z also when the pooled rate is
+    *         degenerate 0/1) — an explicit NULL on both engines, never
+    *         Spark's NULL-on-div-by-zero vs IEEE Inf/NaN divergence */
   def readout(df: DataFrame, groupCols: Seq[String], unitExpr: String,
               convExpr: String, salt: String): DataFrame = {
     val gc = groupCols.map(col)
@@ -61,10 +63,12 @@ object Abtest {
     val pB = col("conv_b").cast("double") / nB
     val pPool = (col("conv_a") + col("conv_b")).cast("double") / (nA + nB)
     val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nA + lit(1.0) / nB))
+    val emptyArm = col("n_a") === 0L || col("n_b") === 0L
     agg.select((gc ++ Seq(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-      pA.as("rate_a"), pB.as("rate_b"), (pB - pA).as("lift"),
-      when(col("n_a") === 0L || col("n_b") === 0L ||
-        pPool === 0.0 || pPool === 1.0, lit(null))
+      when(emptyArm, lit(null)).otherwise(pA).as("rate_a"),
+      when(emptyArm, lit(null)).otherwise(pB).as("rate_b"),
+      when(emptyArm, lit(null)).otherwise(pB - pA).as("lift"),
+      when(emptyArm || pPool === 0.0 || pPool === 1.0, lit(null))
         .otherwise((pB - pA) / se).as("z"))): _*)
   }
 
@@ -87,10 +91,13 @@ object Abtest {
        |      AS conv_b
        |  FROM ab_u GROUP BY ALL),
        |ab AS (SELECT $gq n_a, conv_a, n_b, conv_b,
-       |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-       |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-       |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-       |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+       |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |      ELSE CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+       |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |      ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+       |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |      ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS lift,
        |    CASE WHEN n_a = 0 OR n_b = 0
        |        OR CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) = 0.0
        |        OR CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) = 1.0

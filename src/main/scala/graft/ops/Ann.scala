@@ -286,7 +286,7 @@ object Ann {
     * (the codebook lifecycle). */
   def int8Stored(emb: DataFrame, path: String, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").isFile) {
+    if (!Stores.exists(emb.sparkSession, path, "_SUCCESS")) {
       val m = int8Scale(emb, vecCol)
       emb.select(col(idCol).as("id"), quantizeVec(col(vecCol), m).as("q"),
           lit(m).as("scale"))

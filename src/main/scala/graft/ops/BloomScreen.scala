@@ -124,22 +124,15 @@ object BloomScreen {
                     expectedItems: Long = 1L << 20,
                     numBits: Long = 1L << 23): (DataFrame, Option[Array[Byte]]) = {
     val spark = eval.sparkSession
-    val dir = new java.io.File(path)
-    val marker = new java.io.File(dir, "_SUCCESS")
-    val gramsPath = new java.io.File(dir, "grams").getPath
-    val bloomFile = new java.io.File(dir, "bloom.bin")
-    if (!marker.isFile) {
+    val gramsPath = Stores.child(path, "grams")
+    if (!Stores.exists(spark, path, "_SUCCESS")) {
       Dedup.corpusGramSet(eval, n, idCol, textCol)
         .write.mode("overwrite").parquet(gramsPath)
       buildBloom(spark.read.parquet(gramsPath), "g", expectedItems, numBits)
-        .foreach(b => java.nio.file.Files.write(bloomFile.toPath, b))
-      new java.io.FileOutputStream(marker).close()
+        .foreach(b => Stores.writeBytes(spark, path, "bloom.bin", b))
+      Stores.touch(spark, path, "_SUCCESS")
     }
-    val sketch =
-      if (bloomFile.isFile)
-        Some(java.nio.file.Files.readAllBytes(bloomFile.toPath))
-      else None
-    (spark.read.parquet(gramsPath), sketch)
+    (spark.read.parquet(gramsPath), Stores.readBytes(spark, path, "bloom.bin"))
   }
 
   /** [[corpusContaminatedBloom]] served from a [[gramSetStored]] store:
@@ -149,15 +142,10 @@ object BloomScreen {
                                   n: Int = 13, idCol: String = "doc_id",
                                   textCol: String = "text"): DataFrame = {
     val (grams, sketch) = {
-      val dir = new java.io.File(path)
-      require(new java.io.File(dir, "_SUCCESS").isFile,
-        s"no gram-set store at $path — build it with gramSetStored")
       val spark = corpus.sparkSession
-      val bloomFile = new java.io.File(dir, "bloom.bin")
-      (spark.read.parquet(new java.io.File(dir, "grams").getPath),
-        if (bloomFile.isFile)
-          Some(java.nio.file.Files.readAllBytes(bloomFile.toPath))
-        else None)
+      Stores.requireStore(spark, path, "build it with gramSetStored")
+      (spark.read.parquet(Stores.child(path, "grams")),
+        Stores.readBytes(spark, path, "bloom.bin"))
     }
     screenAndConfirm(corpus, grams, sketch, n, idCol, textCol)
   }

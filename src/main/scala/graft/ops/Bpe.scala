@@ -104,7 +104,7 @@ object Bpe {
     * reading the store. */
   def mergesStored(docs: DataFrame, k: Int, path: String,
                    textCol: String = "text"): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").isFile)
+    if (!Stores.exists(docs.sparkSession, path, "_SUCCESS"))
       trainMergesDf(docs, k, textCol).write.mode("overwrite").parquet(path)
     docs.sparkSession.read.parquet(path)
   }

@@ -162,7 +162,7 @@ object Dedup {
                          shingleLen: Int = 3, bands: Int = 8,
                          rowsPerBand: Int = 4, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").isFile)
+    if (!Stores.exists(corpus.sparkSession, path, "_SUCCESS"))
       minhashBands(corpus, idCol, textCol, shingleLen, bands, rowsPerBand)
         .select(col("id"), col("sig"), col("band"), col("band_hash"))
         .write.mode("overwrite").parquet(path)
@@ -206,8 +206,8 @@ object Dedup {
                          shingleLen: Int = 3, bands: Int = 8,
                          rowsPerBand: Int = 4, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no signature store at $path — build it with minhashBandsStored")
+    Stores.requireStore(probe.sparkSession, path,
+      "build it with minhashBandsStored")
     val a = probe.sparkSession.read.parquet(path)
       .select(col("band"), col("band_hash"),
         col("id").as("corpus_id"), col("sig").as("sig_a"))
@@ -896,7 +896,7 @@ object Dedup {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
-    if (!new java.io.File(path, "_SUCCESS").isFile)
+    if (!Stores.exists(corpus.sparkSession, path, "_SUCCESS"))
       spanOccurrences(
         corpus.filter(col(textCol).isNotNull)
           .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks")),
@@ -924,8 +924,8 @@ object Dedup {
                           batchTag: String, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no span store at $path — build it with spanSetStored")
+    Stores.requireStore(batch.sparkSession, path,
+      "build it with spanSetStored")
     spanStageDelta(batch, path, spanLen, batchTag, idCol, textCol)
     spanCommitAppend(batch.sparkSession, path, batchTag)
     batch.sparkSession.read.parquet(path)
@@ -941,10 +941,10 @@ object Dedup {
   def spanStageDelta(batch: DataFrame, path: String, spanLen: Int,
                      batchTag: String, idCol: String = "doc_id",
                      textCol: String = "text"): String = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no span store at $path — build it with spanSetStored")
+    Stores.requireStore(batch.sparkSession, path,
+      "build it with spanSetStored")
     val delta = spanDeltaPath(path, batchTag)
-    if (!new java.io.File(delta, "_SUCCESS").isFile)
+    if (!Stores.exists(batch.sparkSession, delta, "_SUCCESS"))
       spanOccurrences(
         batch.filter(col(textCol).isNotNull)
           .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks")),
@@ -989,8 +989,8 @@ object Dedup {
                            hotSpanGuard: Boolean = false,
                            replayTag: Option[String] = None): DataFrame = {
     require(spanLen >= 2, s"span length must be >= 2, got $spanLen")
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no span store at $path — build it with spanSetStored")
+    Stores.requireStore(batch.sparkSession, path,
+      "build it with spanSetStored")
     // replayTag: this batch may ALREADY have appended its spans (an
     // at-least-once redelivery after a crash downstream) — cutting the
     // batch against its own contribution would empty it. The retained
@@ -1000,7 +1000,7 @@ object Dedup {
     val rawStore = batch.sparkSession.read.parquet(path)
     val storeView = replayTag
       .map(spanDeltaPath(path, _))
-      .filter(d => new java.io.File(d, "_SUCCESS").isFile)
+      .filter(d => Stores.exists(batch.sparkSession, d, "_SUCCESS"))
       .map(d => rawStore.join(
         batch.sparkSession.read.parquet(d), Seq("h"), "left_anti"))
       .getOrElse(rawStore)

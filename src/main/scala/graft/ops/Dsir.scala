@@ -77,7 +77,7 @@ object Dsir {
     * `_SUCCESS`): train once, score every increment from the store. */
   def ratiosStored(target: DataFrame, raw: DataFrame, buckets: Int,
                    path: String, textCol: String = "text"): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").isFile)
+    if (!Stores.exists(target.sparkSession, path, "_SUCCESS"))
       trainLogRatios(target, raw, buckets, textCol)
         .write.mode("overwrite").parquet(path)
     target.sparkSession.read.parquet(path)

@@ -573,11 +573,27 @@ object Graph {
     * loudly (a graph needing more rounds fails with instructions, never
     * returns a half-peeled subgraph).
     *
+    * Peel-depth envelope (what `maxRounds` is actually bounding): round
+    * count is the graph's degeneracy-CASCADE depth, not a function of
+    * |E| — disjoint copies of a graph peel in the same rounds as one
+    * copy, a perfect binary tree peels in its DEPTH (log |V|) rounds,
+    * and the worst case is a path (diameter/2 rounds for k = 2). Total
+    * work is Σ over rounds of the CURRENT edge count, so a deep peel
+    * whose rounds shrink the graph geometrically (the tree) still costs
+    * ≈ 2|E| overall — depth alone is not a cost cliff; only a deep peel
+    * that removes o(|E|) edges per round (the path) degrades toward
+    * rounds × |E|, and `maxRounds` is the loud guard for exactly that
+    * shape (measured in BENCH_NOTES' graph3 deep-peel ladder).
+    *
+    * @param onRound observer called after every peel round with
+    *                (round, edges remaining) — the ladder's per-round
+    *                instrumentation; default no-op
     * @return (node, core_deg) — nodes of the k-core with their in-core
     *         degree (≥ k), empty when the core is empty
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Long, maxRounds: Int = 20): DataFrame = {
+            k: Long, maxRounds: Int = 20,
+            onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(maxRounds >= 1, "kCore needs maxRounds >= 1")
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -608,6 +624,7 @@ object Graph {
         .select("src", "dst")
         .localCheckpoint(true)
       val n = next.count()
+      onRound(round, n)
       if (n == nEdges) { next.unpersist(); converged = true }
       else { cur.unpersist(); cur = next; nEdges = n }
     }
@@ -701,6 +718,18 @@ object Graph {
     * a fixed cap. They still appear as endpoints. One map-side explode-
     * free self-join on the center + one count agg + one anti-join
     * against the edge set; all-integer output.
+    *
+    * Cap selection at scale: the wedge relation is ≤ maxCenterDeg·2|E|
+    * rows of three longs (~64 B serialized each), shuffled once for the
+    * count aggregation. It stays in the in-memory shuffle envelope while
+    * `maxCenterDeg ≤ M / (128·|E|)` with M = aggregate executor memory
+    * available to the exchange (per-executor shuffle fraction × executor
+    * count); past that the exchange SPILLS — a linear-constant
+    * degradation (sort-merge runs from disk), never an OOM, because the
+    * aggregation is map-side combinable and no single key's state grows
+    * with the cap. Measured: the sf0.1 K = 32 rung (~0.7 G wedge rows)
+    * runs ×3 the linear trend purely on spill I/O and completes; the
+    * graph3 cap ladder pins time ∝ cap at fixed |E| (BENCH_NOTES).
     *
     * @return (node_a, node_b, common) — non-adjacent pairs (a < b) with
     *         ≥ minCommon shared (non-hub) neighbors

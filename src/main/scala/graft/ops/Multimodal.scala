@@ -23,12 +23,40 @@ import org.apache.spark.sql.functions._
   * pseudo-features from the sha256 of the bytes, so the distributed
   * plumbing (schema, batching, partition-parallel extraction) stays
   * exercised end-to-end either way; `decoded` records which path a
-  * row took. That codec boundary is the pluggable decoder seam:
-  * swapping in a native codec changes only the closure body (in
-  * PySpark this would be `mapInPandas` over an Arrow batch of the
-  * same shape).
+  * row took. That codec boundary is the pluggable [[VideoFrameDecoder]]
+  * seam: a deployment with a native codec implements the one-method
+  * trait and passes it to [[extractFeatures]] — schema, batch shape,
+  * and the fallback are untouched (in PySpark this would be
+  * `mapInPandas` over an Arrow batch of the same shape).
   */
 object Multimodal {
+
+  /** THE pluggable video-codec seam. The in-JDK codec surface is
+    * exhausted (MJPEG frame chunks the stock JPEG reader decodes;
+    * uncompressed BI_RGB DIB chunks needing no decoder at all) —
+    * every other codec (H.264/VP9/AV1/...) needs a native decoder this
+    * container doesn't ship. A deployment that has one implements this
+    * ONE method and passes it to [[decode]]/[[extractFeatures]]; the
+    * operator's schema, batching, and `decoded=false` fallback are
+    * untouched. Contract: return the image-grade feature vector
+    * (channel means + luminance grid, the [[decodeImage]] shape)
+    * averaged over sampled frames, or None when no frame decodes —
+    * None falls through to container-only triage features exactly as
+    * the JDK path does today. Must be Serializable: it ships inside
+    * the `mapPartitions` closure, and implementations should hold
+    * codec CONTEXTS lazily/per-JVM, never serialize them. */
+  trait VideoFrameDecoder extends Serializable {
+    def frameFeatures(fourcc: String, bytes: Array[Byte]): Option[Array[Float]]
+  }
+
+  /** The in-JDK implementation of the seam: MJPEG via the stock JPEG
+    * reader, raw BI_RGB DIB via plain byte math, None for every codec
+    * fourcc the JDK cannot decode. */
+  object JdkVideoDecoder extends VideoFrameDecoder {
+    def frameFeatures(fourcc: String, bytes: Array[Byte]): Option[Array[Float]] =
+      if (fourcc.equalsIgnoreCase("MJPG")) mjpegFrameFeatures(bytes)
+      else dibFrameFeatures(bytes)
+  }
 
   /** Feature row produced by the decoder. `decoded` = the emitted
     * metadata/features were genuinely parsed from the bytes (ImageIO
@@ -493,7 +521,8 @@ object Multimodal {
     * decoder's own try/catch). Audio maps (sampleRate, channels) into
     * the width/height metadata slots and its frame count into
     * n_frames. */
-  def decode(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
+  def decode(mediaId: Long, modality: String, bytes: Array[Byte],
+             videoDecoder: VideoFrameDecoder = JdkVideoDecoder): MediaFeatures = {
     def sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map("%02x".format(_)).mkString
     modality match {
@@ -528,9 +557,7 @@ object Multimodal {
           val triage = Array(durS.toFloat,
             (if (durS > 0) m.nFrames / durS else 0.0).toFloat,
             (bytes.length.toDouble / math.max(m.nFrames, 1)).toFloat)
-          val pixels =
-            if (m.fourcc.equalsIgnoreCase("MJPG")) mjpegFrameFeatures(bytes)
-            else dibFrameFeatures(bytes)
+          val pixels = videoDecoder.frameFeatures(m.fourcc, bytes)
           MediaFeatures(mediaId, modality, bytes.length.toLong, sha,
             width = m.width, height = m.height, n_frames = m.nFrames,
             decoded = true,
@@ -547,14 +574,19 @@ object Multimodal {
     * without materializing the partition. */
   def extractFeatures(media: DataFrame, idCol: String = "media_id",
                       modalityCol: String = "modality",
-                      binCol: String = "content"): Dataset[MediaFeatures] = {
+                      binCol: String = "content",
+                      videoDecoder: VideoFrameDecoder = JdkVideoDecoder)
+      : Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     val slim = media.select(col(idCol).cast("long"), col(modalityCol), col(binCol))
     slim.mapPartitions { rows =>
       // per-partition decoder init would go here (codec contexts are
       // expensive; never per-row) — ImageIO reader instances are cheap
       // enough to create per call, but a native codec's context is not
-      rows.map { r => decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)) }
+      rows.map { r =>
+        decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2),
+          videoDecoder)
+      }
     }
   }
 

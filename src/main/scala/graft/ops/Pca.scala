@@ -175,7 +175,7 @@ object Pca {
   def fitStored(spark: SparkSession, df: DataFrame, vecCol: String,
                 dim: Int, k: Int, path: String): Model = {
     import spark.implicits._
-    if (!new java.io.File(path, "_SUCCESS").isFile) {
+    if (!Stores.exists(spark, path, "_SUCCESS")) {
       val m = fit(df, vecCol, dim, k)
       val rows = ((-1, m.n.toDouble, m.mean.toSeq) +:
         m.comps.indices.map(i => (i, m.eigvals(i), m.comps(i).toSeq)))

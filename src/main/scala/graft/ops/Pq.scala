@@ -231,7 +231,7 @@ object Pq {
                      m: Int, k: Int, iters: Int, sampleCap: Int,
                      path: String): Array[Double] = {
     val spark = corpus.sparkSession
-    if (!new java.io.File(path, "_SUCCESS").isFile) {
+    if (!Stores.exists(spark, path, "_SUCCESS")) {
       val cb = trainResidualCodebooksSampled(corpus, centroids,
         dim = dim, m = m, k = k, iters = iters, sampleCap = sampleCap)
       exportCodebook(spark, cb, m, k, path)
@@ -438,7 +438,7 @@ object Pq {
                          dim: Int, m: Int, k: Int, codebook: Array[Double],
                          path: String, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit =
-    if (!new java.io.File(path, "_SUCCESS").isFile)
+    if (!Stores.exists(corpus.sparkSession, path, "_SUCCESS"))
       writeIndex(corpus, centroids, dim, m, k, codebook, path, idCol, vecCol)
 
   /** Query a [[writeIndex]]-materialized index. The probe cells are a

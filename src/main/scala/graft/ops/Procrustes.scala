@@ -90,7 +90,7 @@ object Procrustes {
   def fitStored(spark: SparkSession, pairs: DataFrame, aCol: String,
                 bCol: String, dim: Int, path: String): Array[Array[Double]] = {
     import spark.implicits._
-    if (!new java.io.File(path, "_SUCCESS").isFile) {
+    if (!Stores.exists(spark, path, "_SUCCESS")) {
       val r = fit(pairs, aCol, bCol, dim)
       (0 until dim).map(l => (l, (0 until dim).map(i => r(i)(l))))
         .toDF("comp_id", "vec")

@@ -85,16 +85,14 @@ object QualityClassifier {
                   textCol: String = "text"): (Map[Long, Long], Long) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dir = new java.io.File(path)
-    val marker = new java.io.File(dir, "_SUCCESS")
-    val wPath = new java.io.File(dir, "weights").getPath
-    val cPath = new java.io.File(dir, "cut").getPath
-    if (!marker.isFile) {
+    val wPath = Stores.child(path, "weights")
+    val cPath = Stores.child(path, "cut")
+    if (!Stores.exists(spark, path, "_SUCCESS")) {
       val (model, cut) = train(docs, buckets, seed, labelThreshold, textCol)
       model.toSeq.sortBy(_._1).toDF("bucket", "w")
         .coalesce(1).write.mode("overwrite").parquet(wPath)
       Seq(cut).toDF("cut_ppm").coalesce(1).write.mode("overwrite").parquet(cPath)
-      new java.io.FileOutputStream(marker).close()
+      Stores.touch(spark, path, "_SUCCESS")
     }
     val model = spark.read.parquet(wPath)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

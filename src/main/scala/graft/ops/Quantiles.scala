@@ -202,7 +202,7 @@ object Quantiles {
   /** The merged histogram from an append store (sum across tags). */
   def fromStore(spark: SparkSession, path: String): DataFrame = {
     Stores.requireStore(spark, path, "append histogram batches first")
-    spark.read.parquet(path)
+    Stores.freshRead(spark, path)
       .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
@@ -227,7 +227,7 @@ object Quantiles {
   def fromStoreBy(spark: SparkSession, path: String,
                   groupCols: Seq[String]): DataFrame = {
     Stores.requireStore(spark, path, "append histogram batches first")
-    spark.read.parquet(path)
+    Stores.freshRead(spark, path)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(sum(col("cnt")).cast("long").as("cnt"))
   }
@@ -236,14 +236,25 @@ object Quantiles {
     * MAINTAINED histogram store instead of a fresh aggregation — the
     * arriving data (typically the newest batch) is flagged against
     * fences learned from everything the store has absorbed. Cleanly
-    * splits monitor state (the store) from the monitored slice. */
+    * splits monitor state (the store) from the monitored slice.
+    *
+    * Groups present in the slice but ABSENT from the store (a
+    * brand-new source arriving mid-stream — exactly the group most
+    * worth flagging) still emit a row: n is real, the fence columns
+    * and both outlier counts are NULL ("no fences learned yet"), so
+    * the monitor can route them to review instead of silently
+    * dropping them (the inner-join shape lost precisely those rows).
+    * `cache = false` on the quantile pass: this runs per batch over a
+    * GROWING store, the one consumer the cached cumulative frame must
+    * not outlive (unbounded persist churn + a stale-listing hazard if
+    * another session appends). */
   def tukeyOutliersFromStore(df: DataFrame, path: String,
                              groupCols: Seq[String], valueExpr: String,
                              bucketWidth: Long): DataFrame = {
     val gc = groupCols.map(col)
     val hist = fromStoreBy(df.sparkSession, path, groupCols)
     val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))
-    val piv = quantilesBy(hist, groupCols, qs, bucketWidth)
+    val piv = quantilesBy(hist, groupCols, qs, bucketWidth, cache = false)
       .groupBy(gc: _*)
       .agg(
         max(when(col("p_label") === "p25", col("lo"))).as("p25"),
@@ -251,7 +262,7 @@ object Quantiles {
         max(when(col("p_label") === "p75", col("lo"))).as("p75"))
       .withColumn("iqr", col("p75") - col("p25"))
     df.select((gc :+ expr(s"cast(($valueExpr) as bigint)").as("v")): _*)
-      .join(broadcast(piv), groupCols)
+      .join(broadcast(piv), groupCols, "left")
       .groupBy(gc: _*)
       .agg(
         count(lit(1)).cast("long").as("n"),
@@ -261,6 +272,12 @@ object Quantiles {
           .otherwise(0L)).cast("long").as("n_low"),
         sum(when(col("v") * 2 > col("p75") * 2 + col("iqr") * 3, 1L)
           .otherwise(0L)).cast("long").as("n_high"))
+      .withColumn("n_low",
+        when(col("iqr").isNull, lit(null).cast("long"))
+          .otherwise(col("n_low")))
+      .withColumn("n_high",
+        when(col("iqr").isNull, lit(null).cast("long"))
+          .otherwise(col("n_high")))
   }
 
   /** ROBUST outlier card — Tukey fences over the mergeable histogram:

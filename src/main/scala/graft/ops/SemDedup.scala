@@ -182,8 +182,7 @@ object SemDedup {
   def centroidsStored(emb: DataFrame, path: String, seedIds: Seq[Long],
                       iters: Int, dim: Int): Array[Double] = {
     val spark = emb.sparkSession
-    val marker = new java.io.File(path, "_SUCCESS")
-    if (!marker.isFile) {
+    if (!Stores.exists(spark, path, "_SUCCESS")) {
       val cents = Ann.kmeansCentroids(emb, seedIds = seedIds,
         iters = iters, dim = dim)
       exportCentroids(cents, dim, path)

@@ -28,6 +28,63 @@ object Stores {
   def requireStore(spark: SparkSession, path: String, hint: String): Unit =
     require(exists(spark, path, "_SUCCESS"), s"no store at $path — $hint")
 
+  /** `path/name` joined in `path`'s OWN scheme — the string a store
+    * sub-artifact (`weights/`, `grams/`, `bloom.bin`) must be addressed
+    * by. `java.io.File` path math silently mangles a scheme'd URI
+    * (`new File("file:/s", "x")` resolves under CWD), which is exactly
+    * how local-only probes sneak back in. */
+  def child(path: String, name: String): String =
+    new HPath(path, name).toString
+
+  /** Create the empty marker `path/name` (Hadoop FS, atomic create —
+    * the commit-point primitive the swap/append protocols rely on). */
+  def touch(spark: SparkSession, path: String, name: String): Unit =
+    fileSystem(spark, path).create(new HPath(path, name), true).close()
+
+  /** Write a small binary artifact `path/name` whole (Hadoop FS) —
+    * model-sized payloads only (Bloom bit arrays, codebooks), never
+    * data-sized. */
+  def writeBytes(spark: SparkSession, path: String, name: String,
+                 bytes: Array[Byte]): Unit = {
+    val out = fileSystem(spark, path).create(new HPath(path, name), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Read a small binary artifact `path/name` whole; None if absent. */
+  def readBytes(spark: SparkSession, path: String,
+                name: String): Option[Array[Byte]] = {
+    val fs = fileSystem(spark, path)
+    val p  = new HPath(path, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(buf.toByteArray)
+      } finally in.close()
+    }
+  }
+
+  /** Fresh read of a MAINTAINED store — the stream-static consumer's
+    * read primitive. `refreshByPath` first: Spark caches file listings
+    * (and any cached plans) per path, so a monitor that scanned the
+    * store in batch N can silently serve batch N's file set to batch
+    * N+1 after ANOTHER writer appended — [[appendCommit]]'s own
+    * refresh (step 6) only covers writes made through this session.
+    * The refresh is a metadata-cache invalidation (no job), so the
+    * per-batch cost is the read the consumer was doing anyway. Every
+    * per-batch store re-read (DQ dimension probes, near-dup signature
+    * stores, histogram merges) routes here so the stale-listing hazard
+    * is fixed in ONE place. */
+  def freshRead(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    spark.catalog.refreshByPath(path)
+    spark.read.parquet(path)
+  }
+
   /** EXACTLY-ONCE batch append into a parquet store, replay- and
     * crash-safe where a bare `mode("append")` + marker is not: a crash
     * between the append and the marker write would double-post the

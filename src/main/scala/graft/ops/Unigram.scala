@@ -125,7 +125,7 @@ object Unigram {
   def trainStored(spark: SparkSession, docs: DataFrame, maxLen: Int,
                   vocabSize: Int, rounds: Int, path: String,
                   textCol: String = "text"): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").isFile) {
+    if (!Stores.exists(spark, path, "_SUCCESS")) {
       // one corpus scan: the persisted distinct-word table feeds the
       // seed vocab and every EM round
       val words = Wordpiece.words(docs, textCol).persist()

@@ -1421,7 +1421,7 @@ object Queries {
     * basename (accepts a full dir path or a bare name like "sf0.01").
     * Null-sentinel (non-SQL-expressible) queries are omitted. */
   def oracleSqlFor(sfDir: String): Map[String, String] = {
-    val sfName = new java.io.File(sfDir).getName
+    val sfName = new org.apache.hadoop.fs.Path(sfDir).getName
     all.collect { case (name, (_, sql)) if sql != null =>
       name -> sql.replace(SF_NAME_TOKEN, sfName)
     }.toMap
@@ -1439,23 +1439,34 @@ object Queries {
     * protected the store but silently broke every oracle's hardcoded
     * `read_parquet` path; path-stable + guarded wipe protects both. */
   private def codebookPath(sfDir: String, name: String): String = {
-    val f = new java.io.File(sfDir)
-    val sig = Option(f.listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet"))
-        .map(x => x.getName.hashCode.toLong * 31L ^ x.length()).sum)
-      .getOrElse(0L)
-    val path = s"/root/repo/artifacts/${name}_${f.getName}"
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = SparkSession.active
+    val srcFs = graft.ops.Stores.fileSystem(spark, sfDir)
+    val src = new HPath(sfDir)
+    val sig =
+      if (srcFs.exists(src))
+        srcFs.listStatus(src).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => st.getPath.getName.hashCode.toLong * 31L ^ st.getLen).sum
+      else 0L
+    val path = s"/root/repo/artifacts/${name}_${src.getName}"
     val hex = java.lang.Long.toHexString(sig)
-    val sidecar = new java.io.File(path + "._content")
-    val fresh = sidecar.isFile &&
-      new String(java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8").trim == hex
+    val fs = graft.ops.Stores.fileSystem(spark, path)
+    val sidecar = new HPath(path + "._content")
+    val fresh = fs.exists(sidecar) && {
+      val in = fs.open(sidecar)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8").trim == hex
+      } finally in.close()
+    }
     if (!fresh) {
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-      }
-      rm(new java.io.File(path))
-      sidecar.getParentFile.mkdirs()
-      java.nio.file.Files.write(sidecar.toPath, hex.getBytes("UTF-8"))
+      fs.delete(new HPath(path), true)
+      val out = fs.create(sidecar, true)
+      try out.write(hex.getBytes("UTF-8")) finally out.close()
     }
     path
   }
@@ -5125,7 +5136,7 @@ object Queries {
         .filter(pmod(col("event_id"), lit(7)) === 0)
         .select(col("event_id"), col("user_id"), col("event_type"),
           floor(col("value") * 100).cast("long").as("cents"))
-      val db = "aggunion_" + new java.io.File(d).getName
+      val db = "aggunion_" + new org.apache.hadoop.fs.Path(d).getName
         .replaceAll("[^A-Za-z0-9]", "_")
       val url = s"jdbc:derby:memory:$db;create=true"
       val rawSpec = TableSpec("audit_events", 1, Seq(

@@ -95,7 +95,7 @@ object FingerprintStream {
     // df histogram included — so a replayed batch whose first
     // attempt already appended sees the identical pre-append store
     // (Scaladoc step 2)
-    val storedPreBatch = spark.read.parquet(path)
+    val storedPreBatch = graft.ops.Stores.freshRead(spark, path)
       .join(fps.select(col("id")).distinct(), Seq("id"), "left_anti")
     val crossPairs = graft.ops.Fingerprints
       .crossPairsFromPostings(storedPreBatch, fps, minShared, dfCap)

@@ -274,9 +274,9 @@ object NearDupStream {
   def againstStore(docs: DataFrame, path: String, tau: Double,
                    shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no signature store at $path — build it with minhashBandsStored")
-    val stored = docs.sparkSession.read.parquet(path)
+    graft.ops.Stores.requireStore(docs.sparkSession, path,
+      "build it with minhashBandsStored")
+    val stored = graft.ops.Stores.freshRead(docs.sparkSession, path)
       .select(col("band"), col("band_hash"),
         col("id").as("corpus_id"), col("sig").as("sig_a"))
     graft.ops.Dedup
@@ -319,15 +319,15 @@ object NearDupStream {
                       textCol: String = "text")
                      (onBatch: (Long, DataFrame, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no signature store at $path — seed it with minhashBandsStored")
+    graft.ops.Stores.requireStore(docs.sparkSession, path,
+      "seed it with minhashBandsStored")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       // one signing pass per batch, reused by both joins and the append
       val sigs = graft.ops.Dedup
         .minhashBands(batch, idCol, textCol, shingleLen, bands, rowsPerBand)
         .persist()
-      val stored = spark.read.parquet(path)
+      val stored = graft.ops.Stores.freshRead(spark, path)
         .select(col("band"), col("band_hash"),
           col("id").as("corpus_id"), col("sig").as("sig_a"))
       // the batch's OWN ids are excluded from the corpus side: under

@@ -30,8 +30,8 @@ object SpanStream {
   def selfMaintaining(docs: DataFrame, path: String, spanLen: Int,
                       idCol: String = "doc_id", textCol: String = "text")
                      (onBatch: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
-    require(new java.io.File(path, "_SUCCESS").isFile,
-      s"no span store at $path — seed it with spanSetStored")
+    graft.ops.Stores.requireStore(docs.sparkSession, path,
+      "seed it with spanSetStored")
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val tag = s"batch_$batchId"
       // stage FIRST: with the delta on disk before the cleaning plan is

@@ -730,4 +730,35 @@ class MultimodalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"spectral stage must not shuffle:\n$plan")
   }
+
+  test("VideoFrameDecoder seam: a plugged codec supplies pixel features for a fourcc the JDK cannot decode") {
+    // a fake H.264 "decoder": returns a fixed 19-float vector for avc1,
+    // None otherwise — stands in for a native codec behind the seam
+    object FakeAvc extends Multimodal.VideoFrameDecoder {
+      def frameFeatures(fourcc: String,
+                        bytes: Array[Byte]): Option[Array[Float]] =
+        if (fourcc.equalsIgnoreCase("avc1") || fourcc.equalsIgnoreCase("H264"))
+          Some(Array.tabulate(19)(i => i.toFloat))
+        else None
+    }
+    val rows = Seq(
+      (1L, "video", aviBytes(640, 480, 100, 40000, "H264")),
+      (2L, "video", aviBytes(640, 480, 100, 40000, "vp09")),
+      (3L, "video", "not a container at all".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.extractFeatures(rows, videoDecoder = FakeAvc)
+      .collect().map(f => f.media_id -> f).toMap
+    // plugged codec: container triage (3 floats) + the codec's 19
+    assert(out(1L).decoded && out(1L).feature.length === 3 + 19)
+    assert(out(1L).feature.drop(3).toSeq === (0 until 19).map(_.toFloat))
+    // fourcc the plugged codec declines: container-only triage, same
+    // as the default JdkVideoDecoder's fallback — never an error
+    assert(out(2L).decoded && out(2L).feature.length === 3)
+    assert(!out(3L).decoded, "unparseable bytes keep the loud stub path")
+    // and the DEFAULT decoder on the same avc1 bytes: metadata decodes,
+    // pixels stay container-only — the boundary the seam documents
+    val dflt = Multimodal.extractFeatures(rows)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(dflt(1L).decoded && dflt(1L).feature.length === 3)
+  }
 }
