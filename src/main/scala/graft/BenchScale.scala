@@ -588,6 +588,45 @@ object BenchScale {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("graph3deep")) {
+      // the two shape probes split out of graph3 (runnable alone):
+      // deep-peel tree + link-prediction cap sweep — see graph3 below.
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val warm = graft.ops.Graph.copurchaseEdges(
+        scaledGraphBaskets(spark, sfDir, 1).limit(5000), "basket", "item", 2)
+      graft.ops.Graph.kCore(warm, "src", "dst", 2).count() // JIT warmup
+      graft.ops.Graph.commonNeighborLinks(warm, "src", "dst", 96, 4).count()
+      spark.catalog.clearCache()
+      Seq(10, 12, 14, 16).foreach { d =>
+        val edges = spark.range(2L, 1L << (d + 1))
+          .select((col("id") / 2).cast("long").as("src"),
+            col("id").as("dst"))
+          .persist(MEMORY_AND_DISK)
+        val nE = edges.count()
+        val peels = scala.collection.mutable.ArrayBuffer[Long]()
+        val (tKc, nCore) = time(graft.ops.Graph.kCore(edges, "src", "dst",
+          2, maxRounds = d + 2,
+          onRound = (_, e) => { peels += e; () }).count())
+        println(s"""{"tree_depth":$d,"edges":$nE,""" +
+          s""""kcore_sec":${f"$tKc%.2f"},"core_nodes":$nCore,""" +
+          s""""peel_rounds":${peels.size},""" +
+          s""""round_edges":[${peels.mkString(",")}]}""")
+        edges.unpersist(); spark.catalog.clearCache()
+      }
+      val capEdges = graft.ops.Graph.copurchaseEdges(
+          scaledGraphBaskets(spark, sfDir, math.min(4, maxK)),
+          "basket", "item", 5)
+        .persist(MEMORY_AND_DISK)
+      val nCapE = capEdges.count()
+      Seq(32L, 64L, 128L, 256L).foreach { cap =>
+        val (tLp, nP) = time(graft.ops.Graph.commonNeighborLinks(
+          capEdges, "src", "dst", cap, 4).count())
+        println(s"""{"cap":$cap,"edges":$nCapE,""" +
+          s""""linkpred_sec":${f"$tLp%.2f"},"predicted":$nP}""")
+      }
+      capEdges.unpersist(); spark.catalog.clearCache()
+      spark.stop(); return
+    }
     if (args.lift(1).contains("graph3")) {
       // r13 ladder for the two graph loops without their own rung:
       // kCore (peel depth invariant under disjoint K copies ⇒ linear

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Blocklist screening — the policy-filter pass every production
+  * training-data pipeline runs before anything model-facing (unsafe
+  * term lists, brand exclusions, licensing blocklists): per document,
+  * how many blocklisted terms (unigrams or two-token phrases) occur,
+  * per category.
+  *
+  * Shape at 100 TB: the corpus explodes to its token stream ONCE
+  * (unigrams + adjacent bigrams, both derived array-side from the same
+  * normalized token split — no window/sort for the bigrams); the
+  * blocklist is list-sized and BROADCAST, so the join is a map-side
+  * hash probe of the token stream — no corpus shuffle at all until the
+  * per-(doc, category) count aggregation, whose output is bounded by
+  * |docs|·|categories|. Multi-token patterns beyond bigrams belong to
+  * [[graft.ops.Dedup]]'s n-gram machinery; category REGEX screens are
+  * [[graft.streaming.DqStream.MatchCheck]]'s job — this operator is
+  * deliberately the exact-term fast path (the one that covers
+  * practically all real blocklists).
+  */
+object Blocklist {
+
+  /** Per-(doc, category) blocklist hit counts; docs with zero hits (in
+    * every category) emit nothing — the screen's survivors are
+    * `docs.join(hits, Seq(idCol), "left_anti")`.
+    *
+    * @param terms (term, category): term is a single normalized token
+    *              or two tokens joined by one space
+    * @return (idCol, category, hits) — hits counts OCCURRENCES
+    *         (a term appearing 3× counts 3), the signal a
+    *         severity-weighted policy consumes */
+  def screen(docs: DataFrame, terms: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks)
+    // adjacent bigrams, array-side: zip(toks[0..n-2], toks[1..n-1])
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(concat(toks, bigrams)).as("unit"))
+      .join(broadcast(terms.select(col("term").as("unit"), col("category"))),
+        Seq("unit"))
+      .groupBy(col(idCol), col("category"))
+      .agg(count(lit(1)).cast("long").as("hits"))
+  }
+
+  /** DuckDB mirror of [[screen]]'s unit stream over `documents(doc_id,
+    * text)` with an inline blocklist — a CTE `bl_hits(doc_id, category,
+    * hits)`, for oracle replay. `terms` as (term, category) pairs. */
+  def screenSql(terms: Seq[(String, String)]): String = {
+    val vals = terms
+      .map { case (t, c) => s"('${t.replace("'", "''")}', '$c')" }
+      .mkString(", ")
+    raw"""bl_norm AS (SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+         |      AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |bl_units AS (
+         |  SELECT doc_id, unnest(toks) AS unit FROM bl_norm
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS unit FROM bl_norm),
+         |bl_terms(term, category) AS (VALUES $vals),
+         |bl_hits AS (
+         |  SELECT doc_id, category, CAST(count(*) AS BIGINT) AS hits
+         |  FROM bl_units JOIN bl_terms ON unit = term
+         |  GROUP BY doc_id, category)""".stripMargin
+  }
+}

@@ -7683,6 +7683,86 @@ object Queries {
     },
     qIqrOutliers._2._2)
 
+  /** The inline blocklist the screen fixture shares between engines:
+    * unigrams + two-token phrases over the corpus's own vocabulary. */
+  private val BlocklistTerms = Seq(
+    ("scan", "infra"), ("merge", "infra"), ("batch stream", "infra"),
+    ("join", "query"), ("sort merge", "query"), ("window filter", "query"))
+
+  /** Blocklist screening ([[graft.ops.Blocklist.screen]]): per-doc
+    * per-category hit counts of exact unigram/bigram terms — token
+    * stream exploded once, list-sized blocklist broadcast, no corpus
+    * shuffle before the bounded count agg. */
+  val qBlocklist: Q = "q_blocklist" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.ops.Blocklist.screen(
+          Tables.documents(s, d), BlocklistTerms.toDF("term", "category"))
+        .orderBy(col("doc_id"), col("category"))
+    },
+    s"""WITH ${graft.ops.Blocklist.screenSql(BlocklistTerms)}
+       |SELECT doc_id, category, hits FROM bl_hits
+       |ORDER BY doc_id, category""".stripMargin)
+
+  /** Rendezvous shard assignment ([[graft.ops.Shards]]): per-shard doc
+    * counts under an 8-shard ring plus how many of each shard's docs
+    * would MOVE growing the ring to 9 — the 1/(N+1) stability bound
+    * that makes incremental re-export possible (mod-N moves ~all).
+    * Integer md5 argmax on both engines — exact. */
+  val qRendezvous: Q = "q_rendezvous" -> (
+    (s: SparkSession, d: String) => {
+      import graft.ops.Shards
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Shards.rendezvousShard(col("doc_id"), 8, "ring").as("shard8"),
+          Shards.rendezvousShard(col("doc_id"), 9, "ring").as("shard9"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+            .cast("long").as("moved"))
+        .select(col("shard8").as("shard"), col("n"), col("moved"))
+        .orderBy(col("shard"))
+    },
+    s"""WITH a AS (SELECT doc_id,
+       |    ${graft.ops.Shards.rendezvousSql("doc_id", 8, "ring")} AS shard8,
+       |    ${graft.ops.Shards.rendezvousSql("doc_id", 9, "ring")} AS shard9
+       |  FROM documents)
+       |SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS moved
+       |FROM a GROUP BY shard8 ORDER BY shard""".stripMargin)
+
+  /** Half-life-decayed event counts ([[graft.ops.Decay]]): per
+    * event_type, recency-weighted volume with exact dyadic 2^-b
+    * weights (b = whole 7-day half-lives before the corpus's max ts) —
+    * the freshness signal a mix-weight policy consumes, with no
+    * transcendentals anywhere (integer-scaled sum, one final
+    * division). */
+  val qDecayed: Q = "q_decayed" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val asOf = ev.agg(max(col("ts_us"))).head.getLong(0)
+      graft.ops.Decay.decayedCounts(ev, Seq("event_type"), "ts_us",
+          asOf, 604800000000L)
+        .orderBy(col("event_type"))
+    },
+    s"""WITH $EV,
+       |m AS (SELECT max(ts_us) AS as_of FROM ev),
+       |b AS (SELECT event_type, ts_us // 604800000000 AS period,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ev, m WHERE ts_us <= m.as_of GROUP BY 1, 2),
+       |w AS (SELECT event_type, cnt,
+       |    CASE WHEN ((SELECT as_of FROM m) // 604800000000) - period <= 40
+       |      THEN (CAST(1 AS BIGINT) <<
+       |        (40 - (((SELECT as_of FROM m) // 604800000000) - period)))
+       |      ELSE CAST(0 AS BIGINT) END AS w
+       |  FROM b WHERE period <= (SELECT as_of FROM m) // 604800000000)
+       |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+       |  CAST(sum(cnt * w) AS BIGINT) AS decayed_scaled,
+       |  CAST(CAST(sum(cnt * w) AS BIGINT) AS DOUBLE) / 1099511627776.0
+       |    AS decayed
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7739,5 +7819,6 @@ object Queries {
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
+    qBlocklist, qRendezvous, qDecayed,
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Decay
+
+class DecaySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // half-life 100 µs for arithmetic-visible fixtures
+  private val HL = 100L
+
+  test("weights are exact dyadic 2^-b per whole half-life") {
+    // asOf 1000: ts 950 -> b 0..? period(950)=9, asOfPeriod=10 -> b=1
+    val df = Seq(("a", 1000L), ("a", 950L), ("a", 800L), ("a", 99L))
+      .toDF("g", "ts")
+    val out = Decay.decayedCounts(df, Seq("g"), "ts", asOfUs = 1000L,
+      halfLifeUs = HL, maxBuckets = 10).collect().head
+    // periods: 10, 9, 8, 0 -> buckets 0, 1, 2, 10 -> scaled 2^10+2^9+2^8+2^0
+    assert(out.getAs[Long]("n_events") === 4L)
+    assert(out.getAs[Long]("decayed_scaled") === (1L << 10) + (1L << 9) + (1L << 8) + 1L)
+    assert(out.getAs[Double]("decayed") === (1.0 + 0.5 + 0.25 + math.pow(2, -10)))
+  }
+
+  test("rows after asOf are excluded; older than maxBuckets weigh zero but still count") {
+    val df = Seq(("a", 2000L), ("a", 1000L), ("a", -5000L)).toDF("g", "ts")
+    val out = Decay.decayedCounts(df, Seq("g"), "ts", asOfUs = 1000L,
+      halfLifeUs = HL, maxBuckets = 5).collect().head
+    // 2000 excluded (future); -5000 -> period -50, b = 60 > 5 -> weight 0
+    assert(out.getAs[Long]("n_events") === 2L)
+    assert(out.getAs[Long]("decayed_scaled") === (1L << 5))
+  }
+
+  test("bucket store is additive: split batches fold to the one-shot answer") {
+    val all = (0 until 64).map(i => ("g", i.toLong * 37L)).toDF("g", "ts")
+    val (b1, b2) = (all.filter(col("ts") % 2 === 0), all.filter(col("ts") % 2 =!= 0))
+    val merged = Decay.decayedBuckets(b1, Seq("g"), "ts", HL)
+      .unionAll(Decay.decayedBuckets(b2, Seq("g"), "ts", HL))
+      .groupBy("g", "period").agg(sum("cnt").cast("long").as("cnt"))
+    val fromStore = Decay.decayedFromBuckets(merged, Seq("g"), 5000L, HL)
+      .collect().head
+    val oneShot = Decay.decayedCounts(all, Seq("g"), "ts", 5000L, HL)
+      .collect().head
+    assert(fromStore.getAs[Long]("decayed_scaled") ===
+      oneShot.getAs[Long]("decayed_scaled"))
+    assert(fromStore.getAs[Long]("n_events") === oneShot.getAs[Long]("n_events"))
+  }
+}
