@@ -82,4 +82,35 @@ object Decay {
       decayedBuckets(df.filter(expr(s"($tsUsCol) <= $asOfUs")), groupCols,
         tsUsCol, halfLifeUs),
       groupCols, asOfUs, halfLifeUs, maxBuckets)
+
+  /** Fold one batch's [[decayedBuckets]] rows into an additive append
+    * store (the [[Quantiles.storeAppendBy]] lifecycle: marker-gated
+    * exactly-once per `batchTag`, sum-merge at read). Store rows are
+    * (groupCols..., period, cnt, tag) — asOf-independent, so ANY later
+    * asOf replays against the same store. */
+  def storeAppend(df: DataFrame, path: String, batchTag: String,
+                  groupCols: Seq[String], tsUsCol: String,
+                  halfLifeUs: Long): Unit = {
+    val spark = df.sparkSession
+    val b = decayedBuckets(df, groupCols, tsUsCol, halfLifeUs)
+      .withColumn("tag", lit(batchTag))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      b.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      b.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** The decayed report from a [[storeAppend]] store: merge the
+    * per-batch period counts (plain sum — the additive contract) and
+    * fold decay against `asOfUs` at READ time. */
+  def decayedFromStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String, groupCols: Seq[String], asOfUs: Long,
+                       halfLifeUs: Long, maxBuckets: Int = 40): DataFrame = {
+    Stores.requireStore(spark, path, "append decay batches first")
+    val merged = Stores.freshRead(spark, path)
+      .groupBy((groupCols :+ "period").map(col): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    decayedFromBuckets(merged, groupCols, asOfUs, halfLifeUs, maxBuckets)
+  }
 }

@@ -7763,6 +7763,30 @@ object Queries {
        |    AS decayed
        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** [[qDecayed]] with the per-period counts arriving INCREMENTALLY
+    * through the additive append store ([[graft.ops.Decay.storeAppend]],
+    * three event slices; [[graft.ops.Decay.decayedFromStore]] merges and
+    * decays at read): period-count additivity makes the store-merged
+    * buckets equal the one-shot's exactly, so the oracle is
+    * [[qDecayed]]'s verbatim — and because the store keys on absolute
+    * periods, the same store would answer ANY later asOf without a
+    * rewrite. */
+  val qDecayedStored: Q = "q_decayed_stored" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val asOf = ev.agg(max(col("ts_us"))).head.getLong(0)
+      val store = codebookPath(d, "decay_store")
+      (0 to 2).foreach { k =>
+        graft.ops.Decay.storeAppend(
+          ev.filter(pmod(col("event_id"), lit(3)) === k), store, s"b$k",
+          Seq("event_type"), "ts_us", 604800000000L)
+      }
+      graft.ops.Decay.decayedFromStore(s, store, Seq("event_type"),
+          asOf, 604800000000L)
+        .orderBy(col("event_type"))
+    },
+    qDecayed._2._2)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7819,6 +7843,6 @@ object Queries {
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
-    qBlocklist, qRendezvous, qDecayed,
+    qBlocklist, qRendezvous, qDecayed, qDecayedStored,
   )
 }

@@ -30,6 +30,39 @@ class DecaySpec extends SparkTestBase {
     assert(out.getAs[Long]("decayed_scaled") === (1L << 5))
   }
 
+  test("streaming twin: batches folded through the append store equal the batch answer, replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("decay_store").toString +
+      "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("decay_ckpt").toString
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("g", "ts")
+    val q = graft.streaming.DecayStream
+      .selfMaintaining(stream, store, Seq("g"), "ts", HL)()
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(("a", 1000L), ("a", 950L), ("b", 10L))
+    q.processAllAvailable()
+    mem.addData(("a", 800L), ("b", 960L))
+    q.processAllAvailable()
+    q.stop()
+    val all = Seq(("a", 1000L), ("a", 950L), ("b", 10L), ("a", 800L), ("b", 960L))
+      .toDF("g", "ts")
+    val fromStore = graft.ops.Decay
+      .decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    val oneShot = graft.ops.Decay.decayedCounts(all, Seq("g"), "ts", 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    assert(fromStore === oneShot)
+    // replayed batch tag must no-op (marker-gated exactly-once)
+    graft.ops.Decay.storeAppend(Seq(("a", 1000L)).toDF("g", "ts"), store,
+      graft.streaming.DecayStream.tagFor(0L), Seq("g"), "ts", HL)
+    val after = graft.ops.Decay
+      .decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    assert(after === oneShot, "redelivered batch must not double-count")
+  }
+
   test("bucket store is additive: split batches fold to the one-shot answer") {
     val all = (0 until 64).map(i => ("g", i.toLong * 37L)).toDF("g", "ts")
     val (b1, b2) = (all.filter(col("ts") % 2 === 0), all.filter(col("ts") % 2 =!= 0))
