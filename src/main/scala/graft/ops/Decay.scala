@@ -101,6 +101,26 @@ object Decay {
     }
   }
 
+  /** RETRACT a previously-appended batch from the store — the engine's
+    * ±1 delta discipline applied to the decay family: because the read
+    * path is a plain sum over (group, period) counts, a takedown is
+    * just the batch's bucket rows with NEGATED counts appended under a
+    * retraction tag (marker-gated exactly-once like any append; the
+    * original rows stay immutable — audit-preserving, no rewrite).
+    * Caller passes the same rows/params the original append saw. */
+  def storeRetract(df: DataFrame, path: String, batchTag: String,
+                   groupCols: Seq[String], tsUsCol: String,
+                   halfLifeUs: Long): Unit = {
+    val spark = df.sparkSession
+    Stores.requireStore(spark, path, "nothing to retract from")
+    val b = decayedBuckets(df, groupCols, tsUsCol, halfLifeUs)
+      .withColumn("cnt", -col("cnt"))
+      .withColumn("tag", lit(s"retract_$batchTag"))
+    Stores.appendCommit(spark, path, s"retract_$batchTag") { staging =>
+      b.write.mode("overwrite").parquet(staging)
+    }
+  }
+
   /** The decayed report from a [[storeAppend]] store: merge the
     * per-batch period counts (plain sum — the additive contract) and
     * fold decay against `asOfUs` at READ time. */
@@ -111,6 +131,9 @@ object Decay {
     val merged = Stores.freshRead(spark, path)
       .groupBy((groupCols :+ "period").map(col): _*)
       .agg(sum(col("cnt")).cast("long").as("cnt"))
+      // a fully-retracted (group, period) nets to zero — drop it so a
+      // takedown leaves the report indistinguishable from never-ingested
+      .filter(col("cnt") =!= 0L)
     decayedFromBuckets(merged, groupCols, asOfUs, halfLifeUs, maxBuckets)
   }
 }

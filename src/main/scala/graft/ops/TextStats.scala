@@ -40,6 +40,34 @@ object TextStats {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Simpson lexical-diversity card (Simpson 1949, "Measurement of
+    * diversity") — the ENTROPY-FREE repetition/diversity signal: per
+    * doc, the probability two tokens drawn without replacement are the
+    * SAME type is Σ c·(c−1) / (n·(n−1)); diversity = 1 − that.
+    * Shannon entropy needs log (banned by the exactness discipline —
+    * not bit-replayable cross-engine); Simpson's index is the standard
+    * rational-arithmetic substitute and ranks docs near-identically
+    * for the repetition-filter use case. All-integer numerators (exact
+    * at any doc length), ONE final division.
+    *
+    * Scale: the [[termFrequencies]] pass (tokenize once, one hash agg)
+    * plus a per-doc sum — map-side combinable throughout.
+    *
+    * @return (id, n_tokens, n_types, rep_pairs = Σ c(c−1), diversity)
+    *         for docs with ≥ 2 tokens */
+  def simpsonDiversity(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    termFrequencies(docs, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(col("tf") * (col("tf") - 1)).cast("long").as("rep_pairs"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("diversity",
+        lit(1.0) - col("rep_pairs").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+
   /** Per-term document frequency (number of docs containing the term). */
   def documentFrequency(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame =

@@ -7787,6 +7787,30 @@ object Queries {
     },
     qDecayed._2._2)
 
+  /** Simpson lexical diversity ([[graft.ops.TextStats.simpsonDiversity]]):
+    * the entropy-free repetition signal — P(two tokens same type) via
+    * exact integer pair counts, one final division; ranks docs like
+    * Shannon entropy for the repetition-filter use case without a
+    * single log. */
+  val qSimpson: Q = "q_simpson" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.TextStats.simpsonDiversity(Tables.documents(s, d))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_types"),
+          col("rep_pairs"), col("diversity"))
+        .orderBy(col("doc_id")),
+    s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents
+       |  WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t GROUP BY 1, 2),
+       |card AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(tf * (tf - 1)) AS BIGINT) AS rep_pairs
+       |  FROM tf GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_types, rep_pairs,
+       |  1.0 - CAST(rep_pairs AS DOUBLE)
+       |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS diversity
+       |FROM card WHERE n_tokens >= 2 ORDER BY doc_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7843,6 +7867,6 @@ object Queries {
     qSeasonalStored, qScoreCalibrate, qSourceJsonl, qSourceCsv,
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
-    qBlocklist, qRendezvous, qDecayed, qDecayedStored,
+    qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
   )
 }

@@ -63,6 +63,28 @@ class DecaySpec extends SparkTestBase {
     assert(after === oneShot, "redelivered batch must not double-count")
   }
 
+  test("retraction: negated bucket rows heal the store to never-ingested") {
+    val store = java.nio.file.Files.createTempDirectory("decay_rt").toString + "/s"
+    val keep = Seq(("a", 900L), ("a", 950L)).toDF("g", "ts")
+    val taken = Seq(("b", 960L), ("a", 990L)).toDF("g", "ts")
+    graft.ops.Decay.storeAppend(keep, store, "b0", Seq("g"), "ts", HL)
+    graft.ops.Decay.storeAppend(taken, store, "b1", Seq("g"), "ts", HL)
+    graft.ops.Decay.storeRetract(taken, store, "b1", Seq("g"), "ts", HL)
+    val got = graft.ops.Decay.decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decayed_scaled"))).toMap
+    val want = graft.ops.Decay.decayedCounts(keep, Seq("g"), "ts", 1000L, HL)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decayed_scaled"))).toMap
+    assert(got === want, "fully-retracted group b must vanish; a must heal exactly")
+    // retraction replay no-ops (marker-gated like any append)
+    graft.ops.Decay.storeRetract(taken, store, "b1", Seq("g"), "ts", HL)
+    val again = graft.ops.Decay.decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decayed_scaled"))).toMap
+    assert(again === want)
+  }
+
   test("bucket store is additive: split batches fold to the one-shot answer") {
     val all = (0 until 64).map(i => ("g", i.toLong * 37L)).toDF("g", "ts")
     val (b1, b2) = (all.filter(col("ts") % 2 === 0), all.filter(col("ts") % 2 =!= 0))
