@@ -35,7 +35,10 @@ object Blocklist {
     *         severity-weighted policy consumes */
   def screen(docs: DataFrame, terms: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
-    val toks = Text.tokens(col(textCol))
+    // tokenize ONCE into a named column (the bigram derivation reads it
+    // twice — hoisting guarantees single evaluation without relying on
+    // codegen subexpression elimination)
+    val toks = col("_toks")
     val n = size(toks)
     // adjacent bigrams, array-side: zip(toks[0..n-2], toks[1..n-1])
     val bigrams = zip_with(
@@ -43,6 +46,7 @@ object Blocklist {
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
     docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(concat(toks, bigrams)).as("unit"))
       .join(broadcast(terms.select(col("term").as("unit"), col("category"))),
         Seq("unit"))

@@ -54,6 +54,29 @@ object Quantiles {
     * answer's lower bound and cum the cumulative count at that bucket.
     * The cumulative window runs over the model-sized histogram (single
     * frame — documented; never over the data). */
+  /** The i/N quantile ladder an N-shard RANGE EXPORT plans with: shard
+    * i receives rows in [boundary_{i−1}, boundary_i), boundaries being
+    * the i/N quantile bucket lower bounds of the merged histogram. The
+    * sampling-FREE form of what Spark's RangePartitioner estimates by
+    * reservoir sampling: exact (integer ⌈i·N_total/N⌉ selection over
+    * exact counts), mergeable across arriving shards (the
+    * [[storeAppend]] store feeds it), and bit-replayable — two planners
+    * on two engines cut identical shards. Boundary resolution is the
+    * histogram's `bucketWidth`; shard balance is within one bucket's
+    * mass (tighten the width where balance matters). */
+  def splitPoints(hist: DataFrame, nShards: Int,
+                  bucketWidth: Long): DataFrame = {
+    require(nShards >= 2 && nShards <= 9999,
+      s"nShards in [2, 9999], got $nShards")
+    quantiles(hist, splitQs(nShards), bucketWidth)
+  }
+
+  /** The (label, i, N) fraction list [[splitPoints]] selects —
+    * shared with oracle SQL generation so both engines label
+    * identically. */
+  def splitQs(nShards: Int): Seq[(String, Int, Int)] =
+    (1 until nShards).map(i => (f"s$i%04d", i, nShards))
+
   def quantiles(hist: DataFrame, qs: Seq[(String, Int, Int)],
                 bucketWidth: Long): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")

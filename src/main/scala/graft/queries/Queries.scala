@@ -7811,6 +7811,24 @@ object Queries {
        |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS diversity
        |FROM card WHERE n_tokens >= 2 ORDER BY doc_id""".stripMargin)
 
+  /** Range-export split points ([[graft.ops.Quantiles.splitPoints]]):
+    * the 8-shard boundary ladder over document token counts, read from
+    * the exact mergeable histogram — the sampling-free, engine-
+    * replayable form of range-partitioner planning (two planners cut
+    * identical shards). */
+  val qSplitPoints: Q = "q_split_points" -> (
+    (s: SparkSession, d: String) => {
+      val n = Tables.documents(s, d)
+        .select(Text.tokenCount(col("text")).cast("long").as("v"))
+      graft.ops.Quantiles.splitPoints(
+          graft.ops.Quantiles.histogram(n, "v", 8L), 8, 8L)
+        .orderBy(col("p_label"))
+    },
+    s"""WITH src AS (SELECT CAST(len($TOKS) AS BIGINT) AS v FROM documents),
+       |${graft.ops.Quantiles.oracleCtes("src", graft.ops.Quantiles.splitQs(8), 8L)}
+       |SELECT p_label, target, bucket, lo, cum FROM hq
+       |ORDER BY p_label""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7868,5 +7886,6 @@ object Queries {
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
+    qSplitPoints,
   )
 }

@@ -25,6 +25,22 @@ class QuantilesSpec extends SparkTestBase {
     assert(q("p100") === ((100L, 10L, 100L, 100L)))
   }
 
+  test("splitPoints: N-shard boundaries cut within one bucket of perfect balance") {
+    // values 1..800, width 4: 8 shards of 100 — boundary i must sit at
+    // the bucket whose cum first reaches i*100
+    val df = (1 to 800).map(_.toLong).toDF("v")
+    val sp = Quantiles.splitPoints(Quantiles.histogram(df, "v", 4L), 8, 4L)
+      .collect().map(r => r.getAs[String]("p_label") ->
+        ((r.getAs[Long]("target"), r.getAs[Long]("cum")))).toMap
+    assert(sp.keySet === (1 to 7).map(i => f"s$i%04d").toSet)
+    (1 to 7).foreach { i =>
+      val (target, cum) = sp(f"s$i%04d")
+      assert(target === i * 100L)
+      assert(cum >= target && cum < target + 4,
+        s"boundary $i: cum $cum must reach target $target within one bucket")
+    }
+  }
+
   test("quantiles: answer is within one bucket width of the exact quantile") {
     val vals = (1 to 997).map(i => (i * 37L) % 1000L)
     val df = vals.toDF("v")
