@@ -77,6 +77,68 @@ object Quantiles {
   def splitQs(nShards: Int): Seq[(String, Int, Int)] =
     (1 until nShards).map(i => (f"s$i%04d", i, nShards))
 
+  /** Trimmed (truncated) mean at histogram resolution — the robust
+    * location card that completes the Tukey-fence family: drop the
+    * lowest and highest k = ⌊N·trimNum/trimDen⌋ ranks and average what
+    * remains, evaluated over the histogram's bucket LOWER BOUNDS (the
+    * quantile family's convention). Per bucket, the kept row count is
+    * the exact rank-interval overlap min(cum, N−k) − max(cum−cnt, k)
+    * clamped at 0 — all integer; the mean is ONE final division, so
+    * the whole card is engine-replayable. The plain mean is the
+    * statistic a heavy-tailed length/latency column breaks (one 2 GB
+    * doc drags the corpus mean); the trimmed mean is what a mix policy
+    * should consume instead.
+    *
+    * @return one row: n, k_trim, kept_n, kept_mass (Σ lo·kept, exact),
+    *         trimmed_mean */
+  def trimmedMean(hist: DataFrame, trimNum: Int, trimDen: Int,
+                  bucketWidth: Long): DataFrame = {
+    require(trimNum >= 0 && trimDen >= 1 && 2 * trimNum < trimDen,
+      s"trim fraction $trimNum/$trimDen must be in [0, 1/2)")
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val tot = hist.agg(sum(col("cnt")).cast("long").as("n"))
+    cum.crossJoin(broadcast(tot)) // one-row side: the scalar-broadcast idiom
+      .withColumn("k", expr(s"n * $trimNum div $trimDen"))
+      .withColumn("kept",
+        greatest(
+          least(col("cum"), col("n") - col("k")) -
+            greatest(col("cum") - col("cnt"), col("k")),
+          lit(0L)))
+      .agg(
+        first(col("n")).as("n"), first(col("k")).as("k_trim"),
+        sum(col("kept")).cast("long").as("kept_n"),
+        sum(col("kept") * col("bucket") * bucketWidth).cast("long")
+          .as("kept_mass"))
+      .withColumn("trimmed_mean",
+        col("kept_mass").cast("double") / col("kept_n").cast("double"))
+  }
+
+  /** DuckDB mirror of [[trimmedMean]] over `src(v)` — CTEs ending in
+    * `tm(n, k_trim, kept_n, kept_mass, trimmed_mean)`. */
+  def trimmedMeanCtes(src: String, trimNum: Int, trimDen: Int,
+                      bucketWidth: Long): String =
+    s"""tm_h AS (SELECT v // $bucketWidth AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM $src GROUP BY 1),
+       |tm_c AS (SELECT bucket, cnt,
+       |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM tm_h),
+       |tm_n AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM tm_c),
+       |tm_p AS (SELECT bucket, cnt, cum, tm_n.n,
+       |    tm_n.n * $trimNum // $trimDen AS k FROM tm_c, tm_n),
+       |tm_k AS (SELECT bucket, n, k,
+       |    greatest(least(cum, n - k) - greatest(cum - cnt, k),
+       |      CAST(0 AS BIGINT)) AS kept FROM tm_p),
+       |tm AS (SELECT CAST(max(n) AS BIGINT) AS n,
+       |    CAST(max(k) AS BIGINT) AS k_trim,
+       |    CAST(sum(kept) AS BIGINT) AS kept_n,
+       |    CAST(sum(kept * bucket * $bucketWidth) AS BIGINT) AS kept_mass,
+       |    CAST(CAST(sum(kept * bucket * $bucketWidth) AS BIGINT) AS DOUBLE)
+       |      / CAST(CAST(sum(kept) AS BIGINT) AS DOUBLE) AS trimmed_mean
+       |  FROM tm_k)""".stripMargin
+
   def quantiles(hist: DataFrame, qs: Seq[(String, Int, Int)],
                 bucketWidth: Long): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")

@@ -7829,6 +7829,22 @@ object Queries {
        |SELECT p_label, target, bucket, lo, cum FROM hq
        |ORDER BY p_label""".stripMargin)
 
+  /** Trimmed mean over document token counts
+    * ([[graft.ops.Quantiles.trimmedMean]], 5% each side): the robust
+    * location card — exact rank-interval overlaps per bucket, one final
+    * division; the statistic a heavy-tailed length column breaks the
+    * plain mean on. */
+  val qTrimmedMean: Q = "q_trimmed_mean" -> (
+    (s: SparkSession, d: String) => {
+      val n = Tables.documents(s, d)
+        .select(Text.tokenCount(col("text")).cast("long").as("v"))
+      graft.ops.Quantiles.trimmedMean(
+        graft.ops.Quantiles.histogram(n, "v", 8L), 1, 20, 8L)
+    },
+    s"""WITH src AS (SELECT CAST(len($TOKS) AS BIGINT) AS v FROM documents),
+       |${graft.ops.Quantiles.trimmedMeanCtes("src", 1, 20, 8L)}
+       |SELECT n, k_trim, kept_n, kept_mass, trimmed_mean FROM tm""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7886,6 +7902,6 @@ object Queries {
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
-    qSplitPoints,
+    qSplitPoints, qTrimmedMean,
   )
 }

@@ -85,6 +85,28 @@ class DecaySpec extends SparkTestBase {
     assert(again === want)
   }
 
+  test("compaction preserves the decayed report (store lifecycle interop)") {
+    val store = java.nio.file.Files.createTempDirectory("decay_cp").toString + "/s"
+    (0 until 6).foreach { i =>
+      graft.ops.Decay.storeAppend(
+        Seq(("a", 900L + i), ("b", 800L + i)).toDF("g", "ts"),
+        store, f"b$i%03d", Seq("g"), "ts", HL)
+    }
+    val before = graft.ops.Decay.decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    val files = graft.ops.Stores.compact(spark, store)
+    assert(files >= 1)
+    val after = graft.ops.Decay.decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    assert(after === before, "compaction must not change the report")
+    // a replayed pre-compaction batch still no-ops (markers preserved)
+    graft.ops.Decay.storeAppend(Seq(("a", 900L)).toDF("g", "ts"), store,
+      "b000", Seq("g"), "ts", HL)
+    val replay = graft.ops.Decay.decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    assert(replay === before)
+  }
+
   test("bucket store is additive: split batches fold to the one-shot answer") {
     val all = (0 until 64).map(i => ("g", i.toLong * 37L)).toDF("g", "ts")
     val (b1, b2) = (all.filter(col("ts") % 2 === 0), all.filter(col("ts") % 2 =!= 0))

@@ -41,6 +41,23 @@ class QuantilesSpec extends SparkTestBase {
     }
   }
 
+  test("trimmedMean: exact rank-overlap arithmetic on a hand fixture, outlier-immune") {
+    // values 1..20 at width 1 (bucket lo = value): 10% trim each side
+    // drops ranks 1,2 and 19,20 -> mean of 3..18 = 10.5
+    val df = (1 to 20).map(_.toLong).toDF("v")
+    val r = Quantiles.trimmedMean(Quantiles.histogram(df, "v", 1L), 1, 10, 1L)
+      .collect().head
+    assert(r.getAs[Long]("n") === 20L && r.getAs[Long]("k_trim") === 2L)
+    assert(r.getAs[Long]("kept_n") === 16L)
+    assert(r.getAs[Double]("trimmed_mean") === 10.5)
+    // a planted extreme outlier moves the plain mean, not the trimmed one
+    val dirty = ((1 to 20).map(_.toLong) :+ 1000000L).toDF("v")
+    val t = Quantiles.trimmedMean(Quantiles.histogram(dirty, "v", 1L), 1, 10, 1L)
+      .collect().head
+    assert(t.getAs[Double]("trimmed_mean") < 12.0,
+      "trimmed mean must shrug off the planted 1e6 outlier")
+  }
+
   test("quantiles: answer is within one bucket width of the exact quantile") {
     val vals = (1 to 997).map(i => (i * 37L) % 1000L)
     val df = vals.toDF("v")
