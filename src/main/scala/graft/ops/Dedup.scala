@@ -1275,6 +1275,29 @@ object Dedup {
       .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
   }
 
+  /** WHICH duplicate to keep — the decision step after
+    * [[duplicateClusters]]: per cluster, the member maximizing `score`
+    * (quality, length, recency — the caller's policy column), doc id
+    * ascending as the deterministic tiebreak (ties otherwise make the
+    * kept set engine-dependent, which poisons replay). One broadcast-
+    * free join + one struct-max aggregation: the argmax rides a single
+    * hash agg (no per-cluster sort, no window over the corpus — the
+    * [[graft.flow.GroupedFlow]] `max_by` shape).
+    *
+    * @param clusters (id, cluster_id) from [[duplicateClusters]]
+    * @param scores   (id, score) — LONG score (integer discipline)
+    * @return (cluster_id, kept_id, n_docs, kept_score)
+    */
+  def canonicalPick(clusters: DataFrame, scores: DataFrame): DataFrame =
+    clusters.join(scores, "id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        max(struct(col("score").as("s"), (lit(0L) - col("id")).as("nid")))
+          .as("m"))
+      .select(col("cluster_id"), (lit(0L) - col("m.nid")).as("kept_id"),
+        col("n_docs"), col("m.s").as("kept_score"))
+
   /** Embedding near-dup pairs, DEFAULT (scale) path: banded hyperplane
     * LSH inside the blocking column prunes the candidate space, then the
     * exact cosine refine decides — output ⊆ [[embeddingNearDupExact]]'s

@@ -7845,6 +7845,45 @@ object Queries {
        |${graft.ops.Quantiles.trimmedMeanCtes("src", 1, 20, 8L)}
        |SELECT n, k_trim, kept_n, kept_mass, trimmed_mean FROM tm""".stripMargin)
 
+  /** Canonical pick ([[graft.ops.Dedup.canonicalPick]]): WHICH
+    * duplicate each near-dup cluster keeps — the member with the most
+    * tokens (the caller's policy column; id-ascending tiebreak keeps
+    * the kept set engine-replayable). The oracle replays
+    * [[qDupClusters]]' recursive components plus a windowed argmax. */
+  val qCanonicalPick: Q = "q_canonical_pick" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, tau = MH_TAU,
+        shingleLen = 3, bands = MH_BANDS, rowsPerBand = MH_ROWS)
+      Dedup.canonicalPick(
+          Dedup.duplicateClusters(pairs),
+          docs.select(col("doc_id").as("id"),
+            Text.tokenCount(col("text")).cast("long").as("score")))
+        .orderBy(col("cluster_id"))
+    },
+    s"""WITH RECURSIVE src0 AS (SELECT doc_id AS id, text FROM documents),
+       |${minhashPairsCtes("src0")},
+       |p AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= $MH_TAU),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |v AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |tk AS (SELECT doc_id AS id, CAST(len($TOKS) AS BIGINT) AS score
+       |  FROM documents),
+       |jn AS (SELECT cl.cluster_id, cl.id, tk.score
+       |  FROM cl JOIN tk USING (id)),
+       |rk AS (SELECT cluster_id, id, score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC, id ASC) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs
+       |  FROM jn)
+       |SELECT cluster_id, id AS kept_id, n_docs, score AS kept_score
+       |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7902,6 +7941,6 @@ object Queries {
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
-    qSplitPoints, qTrimmedMean,
+    qSplitPoints, qTrimmedMean, qCanonicalPick,
   )
 }

@@ -1059,4 +1059,20 @@ class CorpusOpsSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("kOut"))
   }
+
+  test("canonicalPick: max-score member kept, id-ascending on score ties") {
+    import spark.implicits._
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster_id")
+    // cluster 10: scores 5, 9, 9 -> tie between ids 2 and 3 -> keep 2
+    // cluster 7: singleton-ish pair, clear winner 8
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (8L, 4L))
+      .toDF("id", "score")
+    val out = graft.ops.Dedup.canonicalPick(clusters, scores)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("kept_id"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("kept_score")))).toMap
+    assert(out(10L) === ((2L, 3L, 9L)), "tie must break to the LOWER id")
+    assert(out(7L) === ((8L, 2L, 4L)))
+  }
 }
