@@ -49,6 +49,15 @@ object Decay {
   /** Fold decay over [[decayedBuckets]] rows against `asOfUs`: bucket
     * b = asOfPeriod − period (future rows, b < 0, are excluded — an
     * asOf read must not see events after it), weight 2^(B−b) scaled.
+    *
+    * asOf GRANULARITY: bucket rows carry whole periods, so the cut is
+    * `period ≤ asOf div halfLife` — an asOf mid-period includes that
+    * period's LATER rows too (the store cannot see inside a period).
+    * [[decayedCounts]] cuts at exact ts; the two agree whenever asOf
+    * is a period boundary − 1 or no ingested row postdates asOf within
+    * its period — the natural state of a streaming ingest, whose
+    * batches only ever contain past rows ([[storeAppend]]'s caller
+    * contract; the property spec pins the agreement).
     * @return per group: n_events, decayed_scaled (Σ 2^(B−b), exact
     *         long), decayed (scaled / 2^B, double) */
   def decayedFromBuckets(buckets: DataFrame, groupCols: Seq[String],
