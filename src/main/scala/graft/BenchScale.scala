@@ -588,6 +588,67 @@ object BenchScale {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("r13ops")) {
+      // r13 additions' ladder — every op is map-only or one hash agg,
+      // so each curve must be ~linear in rows with no shuffle growth:
+      // blocklist = explode + broadcast probe + bounded agg; simpson =
+      // the termFrequencies agg; rendezvous = N md5s per row + one agg;
+      // decayed = map-side bucket + one agg (one-shot AND via the
+      // additive store).
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      import graft.ops.{Blocklist, Shards, Decay, TextStats}
+      val termsDf = {
+        import spark.implicits._
+        // scaledDocs prefixes corpus tokens with c<i> but appends an
+        // UNprefixed "lorem ipsum dolor sit amet" — terms drawn from
+        // that suffix guarantee the probe side actually matches, so the
+        // rung times real hit aggregation, not just a missed probe
+        Seq(("lorem", "infra"), ("ipsum", "infra"), ("dolor sit", "query"),
+          ("sit amet", "query"), ("amet", "policy"))
+          .toDF("term", "category")
+      }
+      val warmDocs = scaledDocs(spark, sfDir, 1).limit(2000)
+      Blocklist.screen(warmDocs, termsDf).count() // JIT warmup
+      TextStats.simpsonDiversity(warmDocs).count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val docs = scaledDocs(spark, sfDir, k).persist(MEMORY_AND_DISK)
+        val nD = docs.count()
+        val (tBl, nBl) = time(Blocklist.screen(docs, termsDf).count())
+        val (tSi, _) = time(TextStats.simpsonDiversity(docs).count())
+        val (tRv, _) = time(docs.select(
+            Shards.rendezvousShard(col("doc_id"), 8, "ring").as("s"))
+          .groupBy("s").count().count())
+        docs.unpersist()
+        val evDir = scaledEventsDir(spark, sfDir, k)
+        val ev = graft.core.Tables.events(spark, evDir)
+          .persist(MEMORY_AND_DISK)
+        val nE = ev.count()
+        val asOf = ev.agg(max(col("ts_us"))).head.getLong(0)
+        val (tDc, _) = time(Decay.decayedCounts(ev, Seq("event_type"),
+          "ts_us", asOf, 604800000000L).count())
+        val store = s"/root/repo/tmp/decay_ladder_$k"
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(store))
+        val (tDs, _) = time {
+          (0 to 2).foreach { i =>
+            Decay.storeAppend(ev.filter(pmod(col("event_id"), lit(3)) === i),
+              store, s"b$i", Seq("event_type"), "ts_us", 604800000000L)
+          }
+          Decay.decayedFromStore(spark, store, Seq("event_type"),
+            asOf, 604800000000L).count()
+        }
+        ev.unpersist()
+        println(s"""{"k":$k,"docs":$nD,"blocklist_sec":${f"$tBl%.2f"},""" +
+          s""""bl_hits":$nBl,"simpson_sec":${f"$tSi%.2f"},""" +
+          s""""rendezvous_sec":${f"$tRv%.2f"},"events":$nE,""" +
+          s""""decayed_sec":${f"$tDc%.2f"},"decayed_store_sec":${f"$tDs%.2f"}}""")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("graph3deep")) {
       // the two shape probes split out of graph3 (runnable alone):
       // deep-peel tree + link-prediction cap sweep — see graph3 below.

@@ -7884,6 +7884,87 @@ object Queries {
        |SELECT cluster_id, id AS kept_id, n_docs, score AS kept_score
        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
 
+  /** End-to-end curation pipeline over the r13 operators: blocklist
+    * screen (policy filter) → near-dup clustering → canonical pick
+    * (keep the longest member, id tiebreak) → Simpson diversity floor
+    * (≥ 0.96, the corpus median region — it bites) → per-source kept
+    * counts and token mass. The oracle replays every stage (blocklist
+    * units, MinHash bands, recursive components, windowed argmax,
+    * integer diversity) — one hash certifying the stages COMPOSE, not
+    * just work alone. */
+  val qCurationV2: Q = "q_curation_v2" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hits = graft.ops.Blocklist.screen(docs,
+        BlocklistTerms.toDF("term", "category"))
+      val clean = docs
+        .join(hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .persist()
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLsh(clean, tau = MH_TAU, shingleLen = 3,
+          bands = MH_BANDS, rowsPerBand = MH_ROWS))
+      val keptFromClusters = Dedup.canonicalPick(clusters,
+          clean.select(col("doc_id").as("id"),
+            Text.tokenCount(col("text")).cast("long").as("score")))
+        .select(col("kept_id").as("doc_id"))
+      val unclustered = clean
+        .join(clusters.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+      val kept = clean.join(
+        unclustered.unionAll(keptFromClusters), Seq("doc_id"), "left_semi")
+      val card = graft.ops.TextStats.simpsonDiversity(kept)
+        .filter(col("diversity") >= 0.96)
+        .select(col("id").as("doc_id"), col("n_tokens"))
+      kept.select(col("doc_id"), col("source"))
+        .join(card, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+    s"""WITH RECURSIVE
+       |${graft.ops.Blocklist.screenSql(BlocklistTerms)},
+       |clean AS (SELECT doc_id, source, text FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM bl_hits)),
+       |src0 AS (SELECT doc_id AS id, text FROM clean),
+       |${minhashPairsCtes("src0")},
+       |p AS (SELECT id_a, id_b FROM mh_pairs WHERE jaccard_est >= $MH_TAU),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |v AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |tk AS (SELECT doc_id AS id, CAST(len($TOKS) AS BIGINT) AS score
+       |  FROM clean),
+       |jn AS (SELECT cl.cluster_id, cl.id, tk.score
+       |  FROM cl JOIN tk USING (id)),
+       |rk AS (SELECT cluster_id, id, score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC, id ASC) AS rn FROM jn),
+       |kept AS (SELECT id FROM rk WHERE rn = 1
+       |  UNION ALL
+       |  SELECT doc_id AS id FROM clean
+       |  WHERE doc_id NOT IN (SELECT id FROM cl)),
+       |t2 AS (SELECT c.doc_id, unnest($TOKS) AS term
+       |  FROM clean c JOIN kept ON kept.id = c.doc_id
+       |  WHERE c.text IS NOT NULL),
+       |tf2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t2 GROUP BY 1, 2),
+       |card AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tf * (tf - 1)) AS BIGINT) AS rep_pairs
+       |  FROM tf2 GROUP BY doc_id),
+       |fl AS (SELECT doc_id, n_tokens FROM card WHERE n_tokens >= 2
+       |  AND 1.0 - CAST(rep_pairs AS DOUBLE)
+       |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) >= 0.96)
+       |SELECT c.source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(fl.n_tokens) AS BIGINT) AS tokens_kept
+       |FROM fl JOIN clean c USING (doc_id)
+       |GROUP BY c.source ORDER BY c.source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -7941,6 +8022,6 @@ object Queries {
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
-    qSplitPoints, qTrimmedMean, qCanonicalPick,
+    qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2,
   )
 }
