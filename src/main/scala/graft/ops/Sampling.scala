@@ -319,4 +319,84 @@ object Sampling {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col(fpCol).as("fp")))),
           x => x.getField("fp")), "")).as("content_fp"))
+
+  /** Neyman-optimal sample-size allocation (Neyman 1934: sampling a
+    * fixed budget across strata minimizes the estimator's variance when
+    * n_h ∝ N_h·σ_h) — the planner an eval-set builder runs before
+    * [[stratifiedK]]: high-variance strata (mixed-quality crawl
+    * sources) get proportionally more of the label budget than uniform
+    * ones; proportional-to-size allocation wastes budget on big uniform
+    * strata.
+    *
+    * Engine-replayable by construction, which naive implementations are
+    * NOT: σ_h needs one sqrt (IEEE correctly rounded — fine), but
+    * summing the double weights across strata is ORDER-DEPENDENT, and
+    * two engines disagreeing in the 15th digit can flip a largest-
+    * remainder rank. So the weight is floored to an INTEGER
+    * (⌊N_h·σ_h·2^scaleBits⌋) immediately after the one per-stratum
+    * double step, and everything downstream — the weight total, the
+    * floor allocations, the remainders, the leftover distribution — is
+    * exact integer/decimal arithmetic with stratum-ascending tiebreaks.
+    * Moments use decimal(38,0) sums (order-free); variance is the one
+    * division. Σ alloc = budget exactly (largest-remainder invariant).
+    *
+    * Strata tables are model-sized, so the ranking window is a
+    * driver-trivial aggregate; the corpus itself is touched once by the
+    * moment aggregation (map-side combinable).
+    *
+    * @return per stratum: n_rows, weight_scaled, alloc (Σ = budget)
+    */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+                       valueExpr: String, budget: Long,
+                       scaleBits: Int = 20): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(scaleBits >= 0 && scaleBits <= 40, "scaleBits in [0, 40]")
+    val gc = strataCols.map(col)
+    val m = df
+      .select((gc :+ expr(s"cast(($valueExpr) as decimal(18,0))").as("v")): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("v")).cast("decimal(18,0)").as("sv"),
+        sum(col("v") * col("v")).cast("decimal(27,0)").as("sv2"))
+    // population variance (N_h·Σv² − (Σv)²) / N_h², then the ONE double
+    // step σ·N_h·2^bits, floored to the integer weight. The decimal
+    // widths are chosen so every intermediate TYPE stays ≤ 38 digits in
+    // BOTH engines (DuckDB rejects wider products at analysis time):
+    // 10+27+1 and 18+18+1 — the documented envelope (per-stratum
+    // Σv ≤ 1e18, Σv² ≤ 1e27, N ≤ 1e10)
+    val varExpr =
+      ((col("n_rows").cast("decimal(10,0)") * col("sv2")).cast("decimal(38,0)")
+        - (col("sv") * col("sv")).cast("decimal(38,0)"))
+        .cast("double") /
+      (col("n_rows") * col("n_rows")).cast("double")
+    val weighted = m.withColumn("weight_scaled",
+      floor(sqrt(varExpr) * col("n_rows").cast("double") *
+        lit(math.pow(2.0, scaleBits.toDouble))).cast("long"))
+    val total = weighted
+      .agg(sum(col("weight_scaled")).cast("decimal(38,0)").as("wtot"))
+    val based = weighted.crossJoin(broadcast(total)) // one-row side
+      // exact floor division: decimal `/` rounds the quotient at its
+      // result scale (can flip a floor near an integer), so take the
+      // exact modulo FIRST and divide the exactly-divisible difference
+      .withColumn("bw",
+        lit(budget).cast("decimal(38,0)") * col("weight_scaled"))
+      .withColumn("rem",
+        when(col("wtot") > 0, col("bw") % col("wtot"))
+          .otherwise(lit(0L)).cast("decimal(38,0)"))
+      .withColumn("base",
+        when(col("wtot") > 0,
+          ((col("bw") - col("rem")) / col("wtot")).cast("long"))
+          .otherwise(lit(0L)))
+    // leftover = budget − Σ base, handed to the largest remainders
+    // (stratum-ascending tiebreak keeps ranks engine-stable)
+    val leftover = based
+      .agg((lit(budget) - coalesce(sum(col("base")), lit(0L))).as("left"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy((col("rem").desc +: gc.map(_.asc)): _*)))
+      .withColumn("alloc",
+        (col("base") + when(col("rk") <= col("left"), 1L).otherwise(0L))
+          .cast("long"))
+      .select((gc :+ col("n_rows") :+ col("weight_scaled") :+ col("alloc")): _*)
+  }
 }

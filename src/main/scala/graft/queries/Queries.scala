@@ -7965,6 +7965,53 @@ object Queries {
        |FROM fl JOIN clean c USING (doc_id)
        |GROUP BY c.source ORDER BY c.source""".stripMargin)
 
+  /** Neyman-optimal label-budget allocation
+    * ([[graft.ops.Sampling.neymanAllocation]]): 1000 samples across the
+    * 20 sources, n_h ∝ N_h·σ_h over token counts — high-variance
+    * sources get more budget. Integer-scaled weights + exact
+    * largest-remainder make the allocation engine-replayable (a naive
+    * double weight sum is order-dependent and can flip a remainder
+    * rank). */
+  val qNeyman: Q = "q_neyman" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Sampling.neymanAllocation(
+          Tables.documents(s, d)
+            .select(col("source"), Text.tokenCount(col("text")).as("v")),
+          Seq("source"), "v", budget = 1000L)
+        .orderBy(col("source")),
+    s"""WITH src AS (SELECT source, CAST(len($TOKS) AS DECIMAL(18,0)) AS v
+       |  FROM documents),
+       |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(v) AS DECIMAL(18,0)) AS sv,
+       |    CAST(sum(v * v) AS DECIMAL(27,0)) AS sv2
+       |  FROM src GROUP BY source),
+       |w AS (SELECT source, n_rows,
+       |    CAST(floor(sqrt(CAST(
+       |        CAST(CAST(n_rows AS DECIMAL(10,0)) * sv2 AS DECIMAL(38,0))
+       |        - CAST(sv * sv AS DECIMAL(38,0)) AS DOUBLE)
+       |      / CAST(n_rows * n_rows AS DOUBLE))
+       |      * CAST(n_rows AS DOUBLE) * 1048576.0) AS BIGINT)
+       |      AS weight_scaled
+       |  FROM m),
+       |t AS (SELECT CAST(sum(weight_scaled) AS DECIMAL(38,0)) AS wtot FROM w),
+       |b AS (SELECT source, n_rows, weight_scaled,
+       |    CAST(1000 AS DECIMAL(38,0)) * weight_scaled AS bw, t.wtot
+       |  FROM w, t),
+       |c AS (SELECT source, n_rows, weight_scaled,
+       |    CASE WHEN wtot > 0 THEN bw % wtot ELSE 0 END AS rem,
+       |    CASE WHEN wtot > 0
+       |      THEN CAST((bw - (bw % wtot)) / wtot AS BIGINT)
+       |      ELSE 0 END AS base
+       |  FROM b),
+       |l AS (SELECT 1000 - COALESCE(sum(base), 0) AS leftover FROM c),
+       |r AS (SELECT c.source, c.n_rows, c.weight_scaled, c.base, l.leftover,
+       |    row_number() OVER (ORDER BY c.rem DESC, c.source ASC) AS rk
+       |  FROM c, l)
+       |SELECT source, n_rows, weight_scaled,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8022,6 +8069,6 @@ object Queries {
     qCmsJoinSize, qTableStats, qRrDp, qSourceOrc, qPageRankStored,
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
-    qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2,
+    qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
   )
 }

@@ -74,4 +74,29 @@ class CurationSpec extends SparkTestBase {
     assert(st === Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("neymanAllocation: sums to budget exactly; variance drives the split; degenerate strata allowed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two equal-size strata: "wild" values 0/200 alternating (sigma 100),
+    // "flat" constant 100 (sigma 0) -> the whole budget goes to wild
+    val rows = (0 until 200).map { i =>
+      if (i < 100) ("wild", if (i % 2 == 0) 0L else 200L)
+      else ("flat", 100L)
+    }.toDF("s", "v")
+    val out = graft.ops.Sampling
+      .neymanAllocation(rows, Seq("s"), "v", budget = 50L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(out("wild") === 50L && out("flat") === 0L)
+    // three strata with distinct sigmas: sum is exactly the budget and
+    // ordering follows N_h * sigma_h
+    val mixed = ((0 until 90).map(i => ("a", (i % 3).toLong * 50L)) ++
+      (0 until 90).map(i => ("b", (i % 2).toLong * 10L)) ++
+      (0 until 90).map(_ => ("c", 7L))).toDF("s", "v")
+    val m = graft.ops.Sampling
+      .neymanAllocation(mixed, Seq("s"), "v", budget = 97L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(m.values.sum === 97L, s"largest remainder must conserve: $m")
+    assert(m("a") > m("b") && m("b") > m("c"), s"allocation must follow sigma: $m")
+  }
 }
