@@ -130,6 +130,26 @@ object Decay {
     }
   }
 
+  /** TIME-TRAVEL [[decayedFromStore]]: the report AS OF a batch tag
+    * (lexicographic cut on the stored `tag` — the zero-padded scheme
+    * orders by arrival; a retraction tagged `retract_<t>` sorts after
+    * every `b...`/`batch_...` tag, so an as-of read BEFORE the
+    * retraction shows the pre-takedown state — the audit trail a
+    * takedown must not erase). Combined with an explicit `asOfUs`, this
+    * answers "what would the freshness report have said then" exactly. */
+  def decayedFromStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, groupCols: Seq[String],
+                           asOfUs: Long, halfLifeUs: Long, asOfTag: String,
+                           maxBuckets: Int = 40): DataFrame = {
+    Stores.requireStore(spark, path, "append decay batches first")
+    val merged = Stores.freshRead(spark, path)
+      .filter(col("tag") <= asOfTag)
+      .groupBy((groupCols :+ "period").map(col): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .filter(col("cnt") =!= 0L)
+    decayedFromBuckets(merged, groupCols, asOfUs, halfLifeUs, maxBuckets)
+  }
+
   /** The decayed report from a [[storeAppend]] store: merge the
     * per-batch period counts (plain sum — the additive contract) and
     * fold decay against `asOfUs` at READ time. */

@@ -291,6 +291,34 @@ object Quantiles {
       .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  /** TIME-TRAVEL read of a [[storeAppend]] store: the merged histogram
+    * AS OF a batch tag — every batch's rows carry their `tag`, so
+    * filtering `tag <= asOfTag` (lexicographic; the zero-padded
+    * [[graft.streaming.SimHashStream.tagFor]] scheme makes that arrival
+    * order) reconstructs exactly the histogram any PAST read saw. The
+    * audit/reproducibility primitive a maintained store gets for free
+    * from its idempotence tags: re-grade yesterday's report, bisect a
+    * drift alarm to the batch that introduced it, or pin an experiment
+    * to a data state — no snapshots, no copies, one predicate that
+    * PRUNES on the tag column's parquet min/max. */
+  def fromStoreAsOf(spark: SparkSession, path: String,
+                    asOfTag: String): DataFrame = {
+    Stores.requireStore(spark, path, "append histogram batches first")
+    Stores.freshRead(spark, path)
+      .filter(col("tag") <= asOfTag)
+      .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** GROUPED [[fromStoreAsOf]]. */
+  def fromStoreByAsOf(spark: SparkSession, path: String,
+                      groupCols: Seq[String], asOfTag: String): DataFrame = {
+    Stores.requireStore(spark, path, "append histogram batches first")
+    Stores.freshRead(spark, path)
+      .filter(col("tag") <= asOfTag)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
   /** GROUPED [[storeAppend]]: per-(group, bucket) counts, the additive
     * store behind per-source monitors ([[quantilesBy]],
     * [[tukeyOutliers]], [[histRank]] all consume its merge). Same

@@ -8012,6 +8012,69 @@ object Queries {
        |    AS alloc
        |FROM r ORDER BY source""".stripMargin)
 
+  /** TIME-TRAVEL histogram read ([[graft.ops.Quantiles.fromStoreAsOf]]):
+    * three slices land in the store, the quantile card is read AS OF the
+    * second batch tag — the oracle recomputes from the first two slices'
+    * raw rows, so the hash certifies the tag cut reconstructs exactly
+    * the state a past reader saw (audit/bisect/repro without
+    * snapshots). */
+  val qHistAsof: Q = "q_hist_asof" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "hist_tokcnt_asof")
+      (0 to 2).foreach { k =>
+        graft.ops.Quantiles.storeAppend(
+          docs.filter(col("doc_id") % 3 === k)
+            .select(Text.tokenCount(col("text")).cast("long").as("v")),
+          store, s"b$k", "v", 8L)
+      }
+      graft.ops.Quantiles.quantiles(
+          graft.ops.Quantiles.fromStoreAsOf(s, store, "b1"),
+          graft.ops.Quantiles.StandardQs, 8L)
+        .orderBy(col("p_label"))
+    },
+    s"""WITH src AS (SELECT CAST(len($TOKS) AS BIGINT) AS v FROM documents
+       |  WHERE doc_id % 3 < 2),
+       |${graft.ops.Quantiles.oracleCtes("src", graft.ops.Quantiles.StandardQs, 8L)}
+       |SELECT p_label, target, bucket, lo, cum FROM hq
+       |ORDER BY p_label""".stripMargin)
+
+  /** TIME-TRAVEL decayed read
+    * ([[graft.ops.Decay.decayedFromStoreAsOf]]): the freshness report
+    * as of the second batch tag — the takedown-proof audit read (a
+    * later retraction tag sorts after and is excluded). */
+  val qDecayedAsof: Q = "q_decayed_asof" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val asOf = ev.agg(max(col("ts_us"))).head.getLong(0)
+      val store = codebookPath(d, "decay_store_asof")
+      (0 to 2).foreach { k =>
+        graft.ops.Decay.storeAppend(
+          ev.filter(pmod(col("event_id"), lit(3)) === k), store, s"b$k",
+          Seq("event_type"), "ts_us", 604800000000L)
+      }
+      graft.ops.Decay.decayedFromStoreAsOf(s, store, Seq("event_type"),
+          asOf, 604800000000L, asOfTag = "b1")
+        .orderBy(col("event_type"))
+    },
+    s"""WITH $EV,
+       |m AS (SELECT max(ts_us) AS as_of FROM ev),
+       |sl AS (SELECT * FROM ev WHERE event_id % 3 < 2),
+       |b AS (SELECT event_type, ts_us // 604800000000 AS period,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM sl, m WHERE ts_us <= m.as_of GROUP BY 1, 2),
+       |w AS (SELECT event_type, cnt,
+       |    CASE WHEN ((SELECT as_of FROM m) // 604800000000) - period <= 40
+       |      THEN (CAST(1 AS BIGINT) <<
+       |        (40 - (((SELECT as_of FROM m) // 604800000000) - period)))
+       |      ELSE CAST(0 AS BIGINT) END AS w
+       |  FROM b WHERE period <= (SELECT as_of FROM m) // 604800000000)
+       |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+       |  CAST(sum(cnt * w) AS BIGINT) AS decayed_scaled,
+       |  CAST(CAST(sum(cnt * w) AS BIGINT) AS DOUBLE) / 1099511627776.0
+       |    AS decayed
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8070,5 +8133,6 @@ object Queries {
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
     qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
+    qHistAsof, qDecayedAsof,
   )
 }

@@ -85,6 +85,33 @@ class DecaySpec extends SparkTestBase {
     assert(again === want)
   }
 
+  test("as-of read is takedown-proof: the pre-retraction state stays auditable") {
+    val store = java.nio.file.Files.createTempDirectory("decay_ao").toString + "/s"
+    val b0 = Seq(("a", 900L)).toDF("g", "ts")
+    val b1 = Seq(("a", 950L), ("b", 960L)).toDF("g", "ts")
+    graft.ops.Decay.storeAppend(b0, store, "b0", Seq("g"), "ts", HL)
+    graft.ops.Decay.storeAppend(b1, store, "b1", Seq("g"), "ts", HL)
+    val preTakedown = graft.ops.Decay
+      .decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    graft.ops.Decay.storeRetract(b1, store, "b1", Seq("g"), "ts", HL)
+    // current read: healed to b0-only
+    val now = graft.ops.Decay.decayedFromStore(spark, store, Seq("g"), 1000L, HL)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    assert(!now.contains("b"))
+    // as-of b1: the state any pre-retraction reader saw, intact
+    val asOf = graft.ops.Decay
+      .decayedFromStoreAsOf(spark, store, Seq("g"), 1000L, HL, asOfTag = "b1")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    assert(asOf === preTakedown)
+    // as-of b0: before b1 ever landed
+    val asOf0 = graft.ops.Decay
+      .decayedFromStoreAsOf(spark, store, Seq("g"), 1000L, HL, asOfTag = "b0")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("decayed_scaled")).toMap
+    assert(asOf0.keySet === Set("a"))
+    assert(asOf0("a") !== preTakedown("a"))
+  }
+
   test("compaction preserves the decayed report (store lifecycle interop)") {
     val store = java.nio.file.Files.createTempDirectory("decay_cp").toString + "/s"
     (0 until 6).foreach { i =>
