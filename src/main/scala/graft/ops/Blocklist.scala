@@ -54,6 +54,61 @@ object Blocklist {
       .agg(count(lit(1)).cast("long").as("hits"))
   }
 
+  /** Fold a term-list change into the MAINTAINED policy store — real
+    * blocklists are living documents (new unsafe terms, appeals,
+    * licensing changes), and restarting every screen pipeline per edit
+    * is exactly what a store avoids. Rows are ±1 deltas (`w`): the
+    * engine's delta discipline on the policy list itself. Marker-gated
+    * exactly-once per tag ([[Stores.appendCommit]]). */
+  def termStoreAppend(terms: DataFrame, path: String,
+                      batchTag: String): Unit = {
+    val spark = terms.sparkSession
+    val rows = terms.select(col("term"), col("category"),
+      lit(1L).as("w"), lit(batchTag).as("tag"))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      rows.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      rows.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Remove terms from the policy store: −1 delta rows under a
+    * retraction tag (originals stay immutable — the audit trail an
+    * appeal decision must not erase; an as-of tag read reconstructs
+    * any past list). */
+  def termStoreRetract(terms: DataFrame, path: String,
+                       batchTag: String): Unit = {
+    val spark = terms.sparkSession
+    Stores.requireStore(spark, path, "nothing to retract from")
+    val rows = terms.select(col("term"), col("category"),
+      lit(-1L).as("w"), lit(s"retract_$batchTag").as("tag"))
+    Stores.appendCommit(spark, path, s"retract_$batchTag") { staging =>
+      rows.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** The CURRENT policy list: net-positive (term, category) rows. */
+  def currentTerms(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    Stores.requireStore(spark, path, "append terms first")
+    Stores.freshRead(spark, path)
+      .groupBy(col("term"), col("category"))
+      .agg(sum(col("w")).as("net"))
+      .filter(col("net") > 0)
+      .select(col("term"), col("category"))
+  }
+
+  /** [[screen]] against the maintained store's CURRENT list — each
+    * call (or each micro-batch, via
+    * [[graft.streaming.BlocklistStream]]) screens with the list as of
+    * now; a policy edit lands in the next batch with no pipeline
+    * restart (the [[graft.streaming.DqStream.OrphanStoreCheck]]
+    * stream-static contract on the policy side). */
+  def screenFromStore(docs: DataFrame, path: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    screen(docs, currentTerms(docs.sparkSession, path), idCol, textCol)
+
   /** DuckDB mirror of [[screen]]'s unit stream over `documents(doc_id,
     * text)` with an inline blocklist — a CTE `bl_hits(doc_id, category,
     * hits)`, for oracle replay. `terms` as (term, category) pairs. */

@@ -8075,6 +8075,29 @@ object Queries {
        |    AS decayed
        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  /** [[qBlocklist]] with the term list arriving through the MAINTAINED
+    * policy store ([[graft.ops.Blocklist.termStoreAppend]]): two term
+    * batches plus a decoy term appended and then RETRACTED — the final
+    * net list equals the inline fixture's, so the oracle is
+    * [[qBlocklist]]'s verbatim and the hash certifies the whole
+    * append/retract/current-list algebra. */
+  val qBlocklistStored: Q = "q_blocklist_stored" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val store = codebookPath(d, "blocklist_terms")
+      val (first, rest) = BlocklistTerms.splitAt(3)
+      graft.ops.Blocklist.termStoreAppend(
+        first.toDF("term", "category"), store, "b0")
+      graft.ops.Blocklist.termStoreAppend(
+        rest.toDF("term", "category"), store, "b1")
+      val decoy = Seq(("the", "decoy")).toDF("term", "category")
+      graft.ops.Blocklist.termStoreAppend(decoy, store, "b2")
+      graft.ops.Blocklist.termStoreRetract(decoy, store, "b2")
+      graft.ops.Blocklist.screenFromStore(Tables.documents(s, d), store)
+        .orderBy(col("doc_id"), col("category"))
+    },
+    qBlocklist._2._2)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8133,6 +8156,6 @@ object Queries {
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
     qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
-    qHistAsof, qDecayedAsof,
+    qHistAsof, qDecayedAsof, qBlocklistStored,
   )
 }

@@ -32,6 +32,40 @@ class BlocklistSpec extends SparkTestBase {
     assert(survivors.toSeq === Seq(2L, 3L))
   }
 
+  test("streaming twin: each batch screened with the policy list AS OF that batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("bl_terms").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("bl_ckpt").toString
+    graft.ops.Blocklist.termStoreAppend(
+      Seq(("bad", "cat1")).toDF("term", "category"), store, "b0")
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map.empty[Long, Set[(Long, String)]]
+    val q = graft.streaming.BlocklistStream.attach(
+        mem.toDF().toDF("doc_id", "text"), store) { (bid, hits) =>
+        seen(bid) = hits.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        ()
+      }.option("checkpointLocation", ckpt).start()
+    mem.addData((1L, "bad and worse"), (2L, "clean"))
+    q.processAllAvailable()
+    // policy edit BETWEEN batches: add "worse", retract "bad"
+    graft.ops.Blocklist.termStoreAppend(
+      Seq(("worse", "cat1")).toDF("term", "category"), store, "b1")
+    graft.ops.Blocklist.termStoreRetract(
+      Seq(("bad", "cat1")).toDF("term", "category"), store, "b1")
+    mem.addData((3L, "bad and worse"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen(0L) === Set((1L, "cat1")), "batch 0 judged by the b0 list")
+    assert(seen(1L) === Set((3L, "cat1")),
+      "batch 1 hits 'worse' only — the edit took effect with no restart")
+    // current-list algebra: net-positive only
+    val cur = graft.ops.Blocklist.currentTerms(spark, store)
+      .collect().map(_.getString(0)).toSet
+    assert(cur === Set("worse"))
+  }
+
   test("plan: blocklist side is broadcast, no corpus-side shuffle before the count agg") {
     val docs = Seq((1L, "bad bad")).toDF("doc_id", "text")
     val plan = Blocklist.screen(docs, terms).queryExecution.executedPlan.toString
