@@ -66,7 +66,8 @@ object Plans {
         "q_blocklist", "q_rendezvous", "q_decayed", "q_decayed_stored",
         "q_simpson", "q_split_points", "q_trimmed_mean",
         "q_canonical_pick", "q_curation_v2", "q_neyman",
-        "q_hist_asof", "q_decayed_asof", "q_blocklist_stored")
+        "q_hist_asof", "q_decayed_asof", "q_blocklist_stored",
+        "q_rendezvous_weighted")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition;

@@ -43,6 +43,56 @@ object Shards {
     (best % 16).cast("int")
   }
 
+  /** CAPACITY-WEIGHTED rendezvous: shard i with integer capacity
+    * `capacities(i)` owns that many VIRTUAL SLOTS of the ring (slot
+    * scores stay independent hashes), so expected load is proportional
+    * to capacity — heterogeneous export targets (a big shard and two
+    * small ones) without the float-weighted form's transcendental
+    * (−w/ln u) that the exactness discipline bans. All the unweighted
+    * form's properties survive: growing ONE shard's capacity moves only
+    * the keys its NEW replica slot wins (replica slots are addressed
+    * (shard, replica), never renumbered); integer argmax, tie-free,
+    * engine-replayable. ≤ [[MaxShards]] shards per ring (the shard id
+    * rides the low 4 bits); capacities are small integers — only the
+    * RATIOS matter, and each unit of capacity costs one md5 per row. */
+  def rendezvousShardWeighted(key: Column, capacities: Seq[Int],
+                              salt: String): Column = {
+    require(capacities.nonEmpty && capacities.forall(_ >= 1),
+      "capacities must all be >= 1")
+    require(capacities.size <= MaxShards,
+      s"<= $MaxShards shards per ring (the shard id rides the low 4 " +
+        s"bits), got ${capacities.size}")
+    // one independent score per (shard, replica), SHARD id in the low
+    // bits — replica slots are addressed by (i, r), never by a global
+    // slot index, so growing one shard's capacity appends scores
+    // without renumbering anything (a sequential slot numbering would
+    // silently remap existing slots and break the stability bound)
+    val scores = capacities.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map { r =>
+        conv(substring(md5(concat(key.cast("string"), lit(s":$i:$r:$salt"))),
+          1, 14), 16, 10).cast("long") * 16 + i
+      }
+    }
+    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+    (best % 16).cast("int")
+  }
+
+  /** DuckDB mirror of [[rendezvousShardWeighted]]. */
+  def rendezvousWeightedSql(keyExpr: String, capacities: Seq[Int],
+                            salt: String): String = {
+    require(capacities.nonEmpty && capacities.size <= MaxShards)
+    val scores = capacities.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map { r =>
+        s"CAST('0x' || substr(md5(CAST(($keyExpr) AS VARCHAR) " +
+          s"|| ':$i:$r:$salt'), 1, 14) AS BIGINT) * 16 + $i"
+      }
+    }
+    val best =
+      if (scores.size == 1) scores.head
+      else scores.mkString("greatest(", ", ", ")")
+    s"CAST(($best) % 16 AS INT)"
+  }
+
   /** DuckDB mirror of [[rendezvousShard]] over `keyExpr` — the exact
     * same md5-prefix integer argmax, for oracle replay. */
   def rendezvousSql(keyExpr: String, nShards: Int, salt: String): String = {

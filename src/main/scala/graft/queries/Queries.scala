@@ -8098,6 +8098,25 @@ object Queries {
     },
     qBlocklist._2._2)
 
+  /** Capacity-weighted rendezvous
+    * ([[graft.ops.Shards.rendezvousShardWeighted]], capacities 4:2:1:1):
+    * per-shard doc counts must track capacity RATIOS — heterogeneous
+    * export targets without the float-weighted form's banned
+    * transcendental. */
+  val qRendezvousWeighted: Q = "q_rendezvous_weighted" -> (
+    (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(graft.ops.Shards.rendezvousShardWeighted(
+          col("doc_id"), Seq(4, 2, 1, 1), "wring").as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("shard"))
+    },
+    s"""SELECT ${graft.ops.Shards.rendezvousWeightedSql(
+            "doc_id", Seq(4, 2, 1, 1), "wring")} AS shard,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8156,6 +8175,6 @@ object Queries {
     qIqrOutliers, qAbReadout, qScoreCalibrateHist, qIqrStored,
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
     qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
-    qHistAsof, qDecayedAsof, qBlocklistStored,
+    qHistAsof, qDecayedAsof, qBlocklistStored, qRendezvousWeighted,
   )
 }

@@ -34,6 +34,25 @@ class ShardsSpec extends SparkTestBase {
     assert(m > 2000 / 9 / 2 && m < 2000 / 9 * 2, s"moved $m of 2000")
   }
 
+  test("weighted: load tracks capacity ratios; growing one capacity moves only keys to that shard") {
+    val caps = Seq(4, 2, 1, 1)
+    val a = keys.select(
+      graft.ops.Shards.rendezvousShardWeighted(col("k"), caps, "w").as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a.keySet.subsetOf(Set(0, 1, 2, 3)) && a.values.sum === 2000L)
+    // expected 1000/500/250/250 — binomial-loose bounds
+    assert(a(0) > 800 && a(0) < 1200, s"$a")
+    assert(a(1) > 380 && a(1) < 650, s"$a")
+    // capacity bump 4:2:1:1 -> 4:2:2:1 (shard 2 gains a slot): every
+    // moved key must land on shard 2
+    val b = keys.select(col("k"),
+      graft.ops.Shards.rendezvousShardWeighted(col("k"), caps, "w").as("s1"),
+      graft.ops.Shards.rendezvousShardWeighted(col("k"), Seq(4, 2, 2, 1), "w")
+        .as("s2"))
+    assert(b.filter(col("s1") =!= col("s2") && col("s2") =!= 2).count() === 0L)
+  }
+
   test("per-ring shard bound is loud") {
     intercept[IllegalArgumentException] {
       Shards.rendezvousShard(col("k"), 17, "s")
