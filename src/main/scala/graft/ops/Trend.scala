@@ -189,6 +189,59 @@ object Trend {
     * the only rendering that matches Spark's (correctly-rounded)
     * BigDecimal.toDouble bit-for-bit. Engine parity therefore holds
     * for integer-valued inputs, the op's documented domain. */
+  /** One-sided CUSUM drift detector (Page 1954, "Continuous inspection
+    * schemes") over a per-(group, period) count series — the
+    * change-point monitor a volume/freshness pipeline runs where a
+    * threshold-on-the-raw-count misses SLOW drifts: CUSUM accumulates
+    * every period's excess over `allowance` and alarms when the
+    * accumulation crosses `threshold`, catching a persistent small
+    * shift long before any single period looks anomalous.
+    *
+    * Exactness: the textbook recurrence S_t = max(0, S_{t−1} + (x_t −
+    * allowance)) is not a window aggregate, but its classical closed
+    * form IS: with prefix sums P_t of (x_t − allowance),
+    * S_t = P_t − min(0, min_{j≤t} P_j) — two running integer windows,
+    * bit-identical in any engine, no recursion and no UDAF. All
+    * integer; alarms are exact.
+    *
+    * Scale: the input is the MONITORING table (|groups|·|periods|,
+    * bounded — e.g. [[Decay.decayedBuckets]]' store merge), not the
+    * corpus; the one shuffle is the per-group window sort of that
+    * bounded table.
+    *
+    * @return (groupCols..., period, x, cusum, alarm) per period
+    */
+  def cusum(counts: DataFrame, groupCols: Seq[String], periodCol: String,
+            cntCol: String, allowance: Long, threshold: Long): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col(periodCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select((gc :+ col(periodCol).as("period") :+
+        col(cntCol).cast("long").as("x")): _*)
+      .withColumn("_p", sum(col("x") - allowance).over(w).cast("long"))
+      .withColumn("_m", min(col("_p")).over(w).cast("long"))
+      .withColumn("cusum", col("_p") - least(col("_m"), lit(0L)))
+      .withColumn("alarm", col("cusum") >= threshold)
+      .drop("_p", "_m")
+  }
+
+  /** [[cusum]] fed from a [[Decay.storeAppend]] per-period count store
+    * — the maintained monitor: batches fold in, the detector reads the
+    * merged series at any moment (and at any PAST tag via the as-of
+    * read). */
+  def cusumFromStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String, groupCols: Seq[String],
+                     allowance: Long, threshold: Long): DataFrame = {
+    Stores.requireStore(spark, path, "append period-count batches first")
+    val merged = Stores.freshRead(spark, path)
+      .groupBy((groupCols :+ "period").map(col): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .filter(col("cnt") =!= 0L)
+    cusum(merged, groupCols, "period", "cnt", allowance, threshold)
+  }
+
   def oracleCtes(src: String, groupCols: Seq[String]): String = {
     val g = groupCols.mkString(", ")
     s"""tr_s AS (SELECT $g, CAST(count(*) AS BIGINT) AS n,

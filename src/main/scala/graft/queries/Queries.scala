@@ -8117,6 +8117,77 @@ object Queries {
        |  CAST(count(*) AS BIGINT) AS n
        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)
 
+  /** CUSUM drift detection ([[graft.ops.Trend.cusum]]) over daily event
+    * volumes: per type, accumulate each day's excess over the type's
+    * integer mean and alarm when the accumulation crosses 5 — the
+    * change-point monitor that catches a persistent small shift no
+    * single day reveals. The recurrence is evaluated via its
+    * prefix-sum closed form (two running integer windows), so both
+    * engines replay it bit-exactly. */
+  val qCusum: Q = "q_cusum" -> (
+    (s: SparkSession, d: String) => {
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("period"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val allow = c.groupBy(col("event_type"))
+        .agg(expr("(sum(c) + count(1) - 1) div count(1)")
+          .cast("long").as("allow"))
+      val excess = c.join(broadcast(allow), "event_type")
+        .select(col("event_type"), col("period"),
+          (col("c") - col("allow")).as("excess"))
+      graft.ops.Trend.cusum(excess, Seq("event_type"), "period", "excess",
+          allowance = 0L, threshold = 5L)
+        .orderBy(col("event_type"), col("period"))
+    },
+    s"""WITH $EV,
+       |c AS (SELECT event_type, ts_us // 86400000000 AS period,
+       |    CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+       |a AS (SELECT event_type,
+       |    CAST((sum(c) + count(*) - 1) // count(*) AS BIGINT) AS allow
+       |  FROM c GROUP BY 1),
+       |x AS (SELECT c.event_type, period, CAST(c.c - a.allow AS BIGINT) AS x
+       |  FROM c JOIN a USING (event_type)),
+       |p AS (SELECT event_type, period, x,
+       |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY period)
+       |      AS BIGINT) AS pp FROM x),
+       |m AS (SELECT event_type, period, x, pp,
+       |    CAST(min(pp) OVER (PARTITION BY event_type ORDER BY period)
+       |      AS BIGINT) AS mm FROM p)
+       |SELECT event_type, period, x,
+       |  CAST(pp - least(mm, 0) AS BIGINT) AS cusum,
+       |  (pp - least(mm, 0)) >= 5 AS alarm
+       |FROM m ORDER BY event_type, period""".stripMargin)
+
+  /** [[qCusum]] with the per-day counts arriving through the additive
+    * period store ([[graft.ops.Decay.storeAppend]] at a one-day
+    * half-life: `period = day`, three event slices) — the maintained
+    * drift monitor; additivity makes the merged series equal the
+    * one-shot's, so the oracle is [[qCusum]]'s verbatim. */
+  val qCusumStored: Q = "q_cusum_stored" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val store = codebookPath(d, "cusum_daily")
+      (0 to 2).foreach { k =>
+        graft.ops.Decay.storeAppend(
+          ev.filter(pmod(col("event_id"), lit(3)) === k), store, s"b$k",
+          Seq("event_type"), "ts_us", 86400000000L)
+      }
+      val c = graft.ops.Stores.freshRead(s, store)
+        .groupBy(col("event_type"), col("period"))
+        .agg(sum(col("cnt")).cast("long").as("c"))
+      val allow = c.groupBy(col("event_type"))
+        .agg(expr("(sum(c) + count(1) - 1) div count(1)")
+          .cast("long").as("allow"))
+      val excess = c.join(broadcast(allow), "event_type")
+        .select(col("event_type"), col("period"),
+          (col("c") - col("allow")).as("excess"))
+      graft.ops.Trend.cusum(excess, Seq("event_type"), "period", "excess",
+          allowance = 0L, threshold = 5L)
+        .orderBy(col("event_type"), col("period"))
+    },
+    qCusum._2._2)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8176,5 +8247,6 @@ object Queries {
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
     qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
     qHistAsof, qDecayedAsof, qBlocklistStored, qRendezvousWeighted,
+    qCusum, qCusumStored,
   )
 }

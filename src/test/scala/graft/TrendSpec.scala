@@ -133,4 +133,42 @@ class TrendSpec extends SparkTestBase {
     assert(stored.exceptAll(oneShot).isEmpty && oneShot.exceptAll(stored).isEmpty,
       "live two-batch store must equal the one-shot over the union")
   }
+
+  test("cusum: window closed form equals the textbook recurrence (hand fold, reset included)") {
+    // series with a dip (forces the max(0,·) reset) then a slow drift
+    val xs = Seq(3L, -5L, 1L, 1L, 1L, 1L, 1L, -2L, 4L, 4L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("grp", "period", "x")
+    val got = Trend.cusum(df, Seq("grp"), "period", "x",
+        allowance = 0L, threshold = 6L)
+      .orderBy("period")
+      .collect().map(r => (r.getAs[Long]("cusum"), r.getAs[Boolean]("alarm")))
+    val want = xs.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+      .map(s => (s, s >= 6L))
+    assert(got.toSeq === want,
+      s"closed form diverged from the recurrence: got ${got.toSeq}, want $want")
+    // the slow drift (ones) alarms even though no single period is big
+    assert(got.exists(_._2), "persistent small drift must alarm")
+  }
+
+  test("cusumFromStore: merged period store equals the one-shot series; planted drift alarms") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("cusum_st").toString + "/s"
+    // 20 periods of 2 events, then 10 periods of 4 — a level shift
+    val rows = ((0 until 20).flatMap(p => Seq.fill(2)(("g", p.toLong * 10L))) ++
+      (20 until 30).flatMap(p => Seq.fill(4)(("g", p.toLong * 10L))))
+      .toDF("g", "ts")
+    graft.ops.Decay.storeAppend(rows.filter(col("ts") % 20 === 0), store,
+      "b0", Seq("g"), "ts", 10L)
+    graft.ops.Decay.storeAppend(rows.filter(col("ts") % 20 =!= 0), store,
+      "b1", Seq("g"), "ts", 10L)
+    val out = Trend.cusumFromStore(spark, store, Seq("g"),
+        allowance = 2L, threshold = 6L)
+      .orderBy("period").collect()
+    assert(out.length === 30)
+    assert(!out.take(20).exists(_.getAs[Boolean]("alarm")),
+      "in-control periods must not alarm")
+    assert(out.drop(20).exists(_.getAs[Boolean]("alarm")),
+      "the level shift must alarm within the drifted window")
+  }
 }
