@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,27 @@ object Quantiles {
     * identically. */
   def splitQs(nShards: Int): Seq[(String, Int, Int)] =
     (1 until nShards).map(i => (f"s$i%04d", i, nShards))
+
+  /** ROUTE rows with the boundaries [[splitPoints]] planned: shard i =
+    * number of boundaries ≤ v (boundaries ascending), a map-only CASE
+    * chain over the driver-sized boundary list — plan once, route any
+    * number of arriving shards/streams against the same cut, and two
+    * engines route identically because the boundaries themselves are
+    * exact. This is the APPLY half of the sampling-free range
+    * partitioner; `boundaries` is `lo` from [[splitPoints]] sorted
+    * ascending. */
+  def assignRange(v: Column, boundaries: Seq[Long]): Column = {
+    require(boundaries.nonEmpty, "need at least one boundary")
+    require(boundaries == boundaries.sorted, "boundaries must ascend")
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(v >= b, 1).otherwise(0)
+    }.cast("int")
+  }
+
+  /** DuckDB mirror of [[assignRange]]. */
+  def assignRangeSql(vExpr: String, boundaries: Seq[Long]): String =
+    boundaries.map(b => s"(CASE WHEN ($vExpr) >= $b THEN 1 ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS INT)")
 
   /** Trimmed (truncated) mean at histogram resolution — the robust
     * location card that completes the Tukey-fence family: drop the

@@ -8188,6 +8188,37 @@ object Queries {
     },
     qCusum._2._2)
 
+  /** Plan-then-route range export ([[graft.ops.Quantiles.splitPoints]]
+    * + [[graft.ops.Quantiles.assignRange]]): boundaries planned from
+    * the exact histogram, every doc routed map-only, per-shard counts
+    * and value extents — non-overlapping extents certify the cut. The
+    * oracle recomputes the boundaries AND the routing, so the hash
+    * covers plan → route end to end. */
+  val qRangeAssign: Q = "q_range_assign" -> (
+    (s: SparkSession, d: String) => {
+      val n = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("v"))
+      val bounds = graft.ops.Quantiles.splitPoints(
+          graft.ops.Quantiles.histogram(n, "v", 8L), 8, 8L)
+        .select(col("lo")).collect().map(_.getLong(0)).toSeq.sorted
+      n.select(graft.ops.Quantiles.assignRange(col("v"), bounds).as("shard"),
+          col("v"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+        .orderBy(col("shard"))
+    },
+    s"""WITH src AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS v
+       |  FROM documents),
+       |${graft.ops.Quantiles.oracleCtes("src", graft.ops.Quantiles.splitQs(8), 8L)},
+       |bd AS (SELECT lo FROM hq)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+       |  min(v) AS v_min, max(v) AS v_max
+       |FROM (SELECT v, CAST((SELECT count(*) FROM bd WHERE bd.lo <= s2.v)
+       |    AS INT) AS shard
+       |  FROM src s2)
+       |GROUP BY shard ORDER BY shard""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8247,6 +8278,6 @@ object Queries {
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
     qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
     qHistAsof, qDecayedAsof, qBlocklistStored, qRendezvousWeighted,
-    qCusum, qCusumStored,
+    qCusum, qCusumStored, qRangeAssign,
   )
 }

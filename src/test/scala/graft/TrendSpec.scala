@@ -151,6 +151,32 @@ class TrendSpec extends SparkTestBase {
     assert(got.exists(_._2), "persistent small drift must alarm")
   }
 
+  test("live loop: DecayStream maintains the period store, cusumFromStore alarms mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("cusum_live").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum_ck").toString
+    val mem = MemoryStream[(String, Long)]
+    val alarmsAt = scala.collection.mutable.Map.empty[Long, Boolean]
+    val q = graft.streaming.DecayStream.selfMaintaining(
+        mem.toDF().toDF("g", "ts"), store, Seq("g"), "ts", 10L) { bid =>
+        alarmsAt(bid) = graft.ops.Trend
+          .cusumFromStore(spark, store, Seq("g"), allowance = 2L, threshold = 6L)
+          .agg(max(when(col("alarm"), 1).otherwise(0))).head.getInt(0) == 1
+        ()
+      }.option("checkpointLocation", ckpt).start()
+    // batch 0: in-control (2 per period)
+    mem.addData((0 until 10).flatMap(p => Seq.fill(2)(("g", p.toLong * 10L))): _*)
+    q.processAllAvailable()
+    // batch 1: drifted (4 per period)
+    mem.addData((10 until 16).flatMap(p => Seq.fill(4)(("g", p.toLong * 10L))): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(alarmsAt(0L) === false, "in-control batch must not alarm")
+    assert(alarmsAt(1L) === true, "the drifted batch must trip the monitor")
+  }
+
   test("cusumFromStore: merged period store equals the one-shot series; planted drift alarms") {
     import org.apache.spark.sql.functions._
     val store = java.nio.file.Files.createTempDirectory("cusum_st").toString + "/s"
