@@ -241,4 +241,43 @@ object Profile {
           col("top_n"))
     }.reduce(_ unionAll _)
   }
+
+  /** Gini concentration of a mass column over groups — "is this corpus
+    * dominated by one source/domain/license" as one number: G = 0 is a
+    * perfectly even split, G → 1 is single-group domination (the
+    * curation red flag a domain cap exists to fix — this card is how
+    * you notice you need one). Computed from the exact sorted-cumsum
+    * identity G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx), x ascending —
+    * integer numerator/denominator, ONE double division; the sort and
+    * window run over the GROUP table (model-sized), never the corpus
+    * (which is touched once by the mass aggregation the caller already
+    * did).
+    * @param masses one row per group: (groupCol, massCol ≥ 0)
+    * @return one row: n_groups, total, gini_num, gini_den, gini */
+  def giniConcentration(masses: DataFrame, groupCol: String,
+                        massCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic ascending order with the group name as tiebreak —
+    // equal masses otherwise rank arbitrarily and flip i·x terms
+    val w = Window.orderBy(col("x").asc, col(groupCol).asc)
+    masses
+      .select(col(groupCol), col(massCol).cast("decimal(18,0)").as("x"))
+      .withColumn("i", row_number().over(w).cast("decimal(10,0)"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("x")).cast("decimal(18,0)").as("sx"),
+        sum(col("i") * col("x")).cast("decimal(38,0)").as("six"))
+      .filter(col("sx") > 0)
+      .withColumn("gini_num",
+        (lit(2).cast("decimal(10,0)") * col("six")).cast("decimal(38,0)")
+          - ((col("n_groups") + 1).cast("decimal(10,0)") * col("sx"))
+            .cast("decimal(38,0)"))
+      .withColumn("gini_den",
+        (col("n_groups").cast("decimal(10,0)") * col("sx"))
+          .cast("decimal(38,0)"))
+      .withColumn("gini",
+        col("gini_num").cast("double") / col("gini_den").cast("double"))
+      .select(col("n_groups"), col("sx").cast("long").as("total"),
+        col("gini_num").cast("long"), col("gini_den").cast("long"),
+        col("gini"))
+  }
 }

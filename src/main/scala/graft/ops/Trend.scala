@@ -242,6 +242,40 @@ object Trend {
     cusum(merged, groupCols, "period", "cnt", allowance, threshold)
   }
 
+  /** Fano factor (index of dispersion, variance/mean) of a per-period
+    * count series — the BURSTINESS card that characterizes what
+    * [[cusum]] detects: F ≈ 1 is Poisson-like arrival (organic
+    * traffic), F ≫ 1 is bursty/clumped (bot floods, batch re-ingests,
+    * scraper storms), F ≪ 1 is suspiciously regular (synthetic or
+    * rate-limited). Exact: F = (n·Σx² − (Σx)²) / (n·Σx) emitted as its
+    * integer numerator and denominator plus ONE double division — the
+    * decimal-exact-sums discipline.
+    * @return per group: n_periods, total, fano_num, fano_den, fano */
+  def fanoFactor(counts: DataFrame, groupCols: Seq[String],
+                 cntCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    counts
+      .select((gc :+ col(cntCol).cast("decimal(18,0)").as("x")): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).cast("long").as("n_periods"),
+        sum(col("x")).cast("decimal(18,0)").as("sx"),
+        sum(col("x") * col("x")).cast("decimal(27,0)").as("sx2"))
+      .filter(col("sx") > 0)
+      .withColumn("fano_num",
+        ((col("n_periods").cast("decimal(10,0)") * col("sx2"))
+          .cast("decimal(38,0)")
+          - (col("sx") * col("sx")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+      .withColumn("fano_den",
+        (col("n_periods").cast("decimal(10,0)") * col("sx"))
+          .cast("decimal(38,0)"))
+      .withColumn("fano",
+        col("fano_num").cast("double") / col("fano_den").cast("double"))
+      .select((gc :+ col("n_periods") :+ col("sx").cast("long").as("total") :+
+        col("fano_num").cast("long") :+ col("fano_den").cast("long") :+
+        col("fano")): _*)
+  }
+
   def oracleCtes(src: String, groupCols: Seq[String]): String = {
     val g = groupCols.mkString(", ")
     s"""tr_s AS (SELECT $g, CAST(count(*) AS BIGINT) AS n,

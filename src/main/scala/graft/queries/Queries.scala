@@ -8219,6 +8219,69 @@ object Queries {
        |  FROM src s2)
        |GROUP BY shard ORDER BY shard""".stripMargin)
 
+  /** Fano burstiness card ([[graft.ops.Trend.fanoFactor]]) over daily
+    * per-type event volumes — characterizes what [[qCusum]] detects:
+    * F ≈ 1 Poisson-organic, F ≫ 1 bursty, F ≪ 1 suspiciously regular.
+    * Exact integer numerator/denominator, one division. */
+  val qFano: Q = "q_fano" -> (
+    (s: SparkSession, d: String) => {
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("period"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      graft.ops.Trend.fanoFactor(c, Seq("event_type"), "c")
+        .orderBy(col("event_type"))
+    },
+    s"""WITH $EV,
+       |c AS (SELECT event_type, ts_us // 86400000000 AS period,
+       |    CAST(count(*) AS DECIMAL(18,0)) AS x FROM ev GROUP BY 1, 2),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
+       |    CAST(sum(x) AS DECIMAL(18,0)) AS sx,
+       |    CAST(sum(x * x) AS DECIMAL(27,0)) AS sx2
+       |  FROM c GROUP BY 1)
+       |SELECT event_type, n_periods, CAST(sx AS BIGINT) AS total,
+       |  CAST(CAST(CAST(n_periods AS DECIMAL(10,0)) * sx2 AS DECIMAL(38,0))
+       |    - CAST(sx * sx AS DECIMAL(38,0)) AS BIGINT) AS fano_num,
+       |  CAST(CAST(CAST(n_periods AS DECIMAL(10,0)) * sx AS DECIMAL(38,0))
+       |    AS BIGINT) AS fano_den,
+       |  CAST(CAST(CAST(n_periods AS DECIMAL(10,0)) * sx2 AS DECIMAL(38,0))
+       |      - CAST(sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(CAST(n_periods AS DECIMAL(10,0)) * sx
+       |      AS DECIMAL(38,0)) AS DOUBLE) AS fano
+       |FROM m WHERE sx > 0 ORDER BY event_type""".stripMargin)
+
+  /** Gini concentration ([[graft.ops.Profile.giniConcentration]]) of
+    * token mass across sources — "is the corpus dominated by one
+    * domain" as one exact number (the card that says whether a domain
+    * cap is needed). */
+  val qGini: Q = "q_gini" -> (
+    (s: SparkSession, d: String) => {
+      val masses = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(Text.tokenCount(col("text"))).cast("long").as("mass"))
+      graft.ops.Profile.giniConcentration(masses, "source", "mass")
+    },
+    s"""WITH masses AS (SELECT source,
+       |    CAST(sum(len($TOKS)) AS DECIMAL(18,0)) AS x
+       |  FROM documents GROUP BY source),
+       |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x ASC, source ASC)
+       |    AS DECIMAL(10,0)) AS i FROM masses),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |    CAST(sum(x) AS DECIMAL(18,0)) AS sx,
+       |    CAST(sum(i * x) AS DECIMAL(38,0)) AS six FROM r)
+       |SELECT n_groups, CAST(sx AS BIGINT) AS total,
+       |  CAST(CAST(CAST(2 AS DECIMAL(10,0)) * six AS DECIMAL(38,0))
+       |    - CAST(CAST(n_groups + 1 AS DECIMAL(10,0)) * sx AS DECIMAL(38,0))
+       |    AS BIGINT) AS gini_num,
+       |  CAST(CAST(CAST(n_groups AS DECIMAL(10,0)) * sx AS DECIMAL(38,0))
+       |    AS BIGINT) AS gini_den,
+       |  CAST(CAST(CAST(2 AS DECIMAL(10,0)) * six AS DECIMAL(38,0))
+       |      - CAST(CAST(n_groups + 1 AS DECIMAL(10,0)) * sx
+       |        AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(CAST(n_groups AS DECIMAL(10,0)) * sx
+       |      AS DECIMAL(38,0)) AS DOUBLE) AS gini
+       |FROM agg WHERE sx > 0""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8278,6 +8341,6 @@ object Queries {
     qBlocklist, qRendezvous, qDecayed, qDecayedStored, qSimpson,
     qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
     qHistAsof, qDecayedAsof, qBlocklistStored, qRendezvousWeighted,
-    qCusum, qCusumStored, qRangeAssign,
+    qCusum, qCusumStored, qRangeAssign, qFano, qGini,
   )
 }

@@ -151,4 +151,23 @@ class ProfileSpec extends SparkTestBase {
       r.getAs[Long]("n_removed") === 0L &&
       r.getAs[Long]("n_common") === 2L && r.getAs[Long]("n_changed") === 0L)
   }
+
+  test("giniConcentration: even split -> 0, single dominator -> (n-1)/n, exact integers") {
+    import spark.implicits._
+    val even = Seq(("a", 50L), ("b", 50L), ("c", 50L), ("d", 50L))
+      .toDF("g", "m")
+    val g0 = graft.ops.Profile.giniConcentration(even, "g", "m").collect().head
+    assert(g0.getAs[Long]("gini_num") === 0L && g0.getAs[Double]("gini") === 0.0)
+    val dom = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L)).toDF("g", "m")
+    val g1 = graft.ops.Profile.giniConcentration(dom, "g", "m").collect().head
+    // G = (2*4*100 - 5*100) / (4*100) = 300/400 = (n-1)/n
+    assert(g1.getAs[Long]("gini_num") === 300L &&
+      g1.getAs[Long]("gini_den") === 400L)
+    assert(g1.getAs[Double]("gini") === 0.75)
+    // equal masses rank by the group tiebreak — result invariant anyway
+    val tie = Seq(("z", 10L), ("a", 10L), ("m", 30L)).toDF("g", "m")
+    val g2 = graft.ops.Profile.giniConcentration(tie, "g", "m").collect().head
+    // sorted (a10,z10,m30): six = 10+20+90 = 120; num = 240 - 4*50 = 40; den = 150
+    assert(g2.getAs[Long]("gini_num") === 40L && g2.getAs[Long]("gini_den") === 150L)
+  }
 }

@@ -134,6 +134,19 @@ class TrendSpec extends SparkTestBase {
       "live two-batch store must equal the one-shot over the union")
   }
 
+  test("fanoFactor: constant series -> 0, planted burst inflates F, exact integers") {
+    val flat = (0 until 10).map(p => ("g", p.toLong, 5L)).toDF("grp", "p", "c")
+    val f0 = Trend.fanoFactor(flat, Seq("grp"), "c").collect().head
+    assert(f0.getAs[Long]("fano_num") === 0L && f0.getAs[Double]("fano") === 0.0)
+    // 9 periods of 5 + one of 50: n*sx2 - sx^2 = 10*(225+2500) - 95^2 = 18225
+    val burst = ((0 until 9).map(p => ("g", p.toLong, 5L)) :+ ("g", 9L, 50L))
+      .toDF("grp", "p", "c")
+    val f1 = Trend.fanoFactor(burst, Seq("grp"), "c").collect().head
+    assert(f1.getAs[Long]("fano_num") === 18225L &&
+      f1.getAs[Long]("fano_den") === 950L)
+    assert(f1.getAs[Double]("fano") > 15.0, "the burst must dominate F")
+  }
+
   test("cusum: window closed form equals the textbook recurrence (hand fold, reset included)") {
     // series with a dip (forces the max(0,·) reset) then a slow drift
     val xs = Seq(3L, -5L, 1L, 1L, 1L, 1L, 1L, -2L, 4L, 4L)
