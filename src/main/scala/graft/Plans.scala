@@ -67,7 +67,11 @@ object Plans {
         "q_simpson", "q_split_points", "q_trimmed_mean",
         "q_canonical_pick", "q_curation_v2", "q_neyman",
         "q_hist_asof", "q_decayed_asof", "q_blocklist_stored",
-        "q_rendezvous_weighted")
+        "q_rendezvous_weighted",
+        "q_cusum", "q_cusum_stored", "q_range_assign", "q_fano", "q_gini",
+        "q_mannwhitney", "q_ks_test", "q_kappa_langid", "q_chi2_assoc",
+        "q_gk_lambda", "q_spearman", "q_ks_drift_stored",
+        "q_wilcoxon", "q_mcnemar", "q_fleiss_kappa", "q_median_test")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition;

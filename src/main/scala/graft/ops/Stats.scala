@@ -1,0 +1,495 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical testing — the hypothesis-test cards a data pipeline
+  * reads before trusting a corpus change: rank-sum (did the new
+  * source shift the length/value distribution?), Kolmogorov–Smirnov
+  * (where exactly do two distributions diverge?), Cohen's kappa (does
+  * the cheap classifier agree with ground truth beyond chance?), a
+  * 2×2 chi-square (are two boolean properties associated?),
+  * Goodman–Kruskal lambda (how much does knowing X reduce error
+  * predicting Y?), Spearman rank correlation (are two per-entity
+  * metrics monotonically related?), and a KS drift monitor fed by the
+  * additive histogram store (is today's batch distributed like the
+  * corpus the model was trained on?).
+  *
+  * Every statistic here is EXACT-RATIONAL in the engine's exactness
+  * discipline: counts, doubled midranks (midranks of tied values are
+  * half-integers — doubling makes every rank sum an integer), and
+  * integer cross-products aggregated in DECIMAL, with one final
+  * double division (plus IEEE-exact `sqrt` where a test demands it,
+  * the same allowance [[Abtest]]'s z uses). No `ln`/`exp`/erf — the
+  * cards emit the exact integer numerator/denominator next to the
+  * quotient so two engines (and two runs) hash-match bit-for-bit.
+  *
+  * Scale: everything aggregates to value-cardinality- or
+  * class-cardinality-bounded relations before any window runs. The
+  * rank-based tests' single cumulative pass is over the DISTINCT
+  * value axis (the histogram family's convention — quantize the
+  * value expression to bound it; ranks over a quantized value are the
+  * midranks of the quantized test, still exact). Long-emitted
+  * numerators document their bounds; grouped forms keep each group
+  * under them.
+  */
+object Stats {
+
+  /** Distinct-value pooled counts with cumulative + total windows:
+    * (groupCols..., v, cnt, cnt_a, cum, cum_a, n, n_a). The window
+    * runs over distinct values only. */
+  private def ranked(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    val pc = df.groupBy((gc :+ col("v")): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("a")).cast("long").as("cnt_a"))
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pc.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("cum_a", sum(col("cnt_a")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("n_a", sum(col("cnt_a")).over(wAll))
+  }
+
+  private def prep(df: DataFrame, groupCols: Seq[String], valueExpr: String,
+                   isAExpr: String): DataFrame =
+    df.select((groupCols.map(col) :+
+      expr(valueExpr).cast("long").as("v") :+
+      when(expr(isAExpr), 1L).otherwise(0L).as("a")): _*)
+
+  /** Mann–Whitney rank-sum test: is arm A's value distribution
+    * stochastically shifted vs arm B's? (Mann & Whitney 1947; the
+    * nonparametric two-sample test that needs no normality — the right
+    * readout for heavy-tailed value/latency/length metrics where the
+    * t-test's mean is meaningless.)
+    *
+    * Doubled midrank of distinct value v = 2·cum(v) − cnt(v) + 1 (an
+    * integer even under ties); `u2_a` = 2·U_A = Σ_A doubled-ranks −
+    * n_a·(n_a+1) — the EXACT test statistic in half-units. z is the
+    * tie-corrected normal approximation
+    * (U − n_a·n_b/2)/sqrt(Var), Var = n_a·n_b·[(n+1)·n·(n−1) − Σ(t³−t)]
+    * / (12·n·(n−1)), evaluated as one division of two DECIMAL-exact
+    * integers under an IEEE sqrt. NULL z on an empty arm or an
+    * all-tied pool.
+    *
+    * Long-fit bounds on emitted columns: u2_a ≤ 2n², tie_t ≤ n³ —
+    * long-safe to n ≈ 2M rows per group (group or quantize beyond;
+    * the internal variance product is DECIMAL(38), safe to n ≈ 10^7).
+    *
+    * @return groupCols..., n_a, n_b, u2_a (= 2·U_A, exact), u_a,
+    *         tie_t (= Σ t³−t), z */
+  def mannWhitney(df: DataFrame, groupCols: Seq[String], valueExpr: String,
+                  isAExpr: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val r = ranked(prep(df, groupCols, valueExpr, isAExpr), groupCols)
+      .withColumn("d2", lit(2L) * col("cum") - col("cnt") + 1L)
+    val agg = r.groupBy(gc: _*).agg(
+      max(col("n")).as("n"), max(col("n_a")).as("n_a"),
+      sum(col("cnt_a").cast("decimal(19,0)") * col("d2").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("r2a"),
+      sum((col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)")
+          * col("cnt").cast("decimal(19,0)") - col("cnt").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("tie_t"))
+    val nA = col("n_a"); val nB = col("n") - col("n_a")
+    val u2 = (col("r2a") - (nA.cast("decimal(19,0)") *
+      (nA + 1L).cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val vNum = ((nA.cast("decimal(19,0)") * nB.cast("decimal(19,0)"))
+      .cast("decimal(38,0)") *
+      (((col("n") + 1L).cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+        .cast("decimal(38,0)") * (col("n") - 1L).cast("decimal(19,0)")
+        - col("tie_t")).cast("decimal(38,0)")).cast("decimal(38,0)")
+    val vDen = lit(3L) * col("n") * (col("n") - 1L)
+    agg.select((gc :+ nA.as("n_a") :+ nB.as("n_b") :+
+      u2.cast("long").as("u2_a") :+
+      (u2.cast("double") / lit(2.0)).as("u_a") :+
+      col("tie_t").cast("long").as("tie_t") :+
+      when(nA === 0L || nB === 0L || vNum === lit(0).cast("decimal(38,0)"),
+        lit(null).cast("double"))
+        .otherwise((u2.cast("double") - (nA * nB).cast("double")) /
+          sqrt(vNum.cast("double") / vDen.cast("double"))).as("z")): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov: D = sup_x |F_A(x) − F_B(x)|,
+    * attained at a pooled data point, so evaluated exactly over the
+    * distinct-value axis: ks_num = max |cum_a·n_b − cum_b·n_a|,
+    * ks_den = n_a·n_b, and `at_v` the SMALLEST value attaining the
+    * max (deterministic argmax tie-break). Unlike a mean-shift test,
+    * D localizes WHERE two distributions diverge — the drift-triage
+    * card. d is NULL (den 0) on an empty arm.
+    *
+    * @return groupCols..., n_a, n_b, ks_num, ks_den, d, at_v */
+  def ksTest(df: DataFrame, groupCols: Seq[String], valueExpr: String,
+             isAExpr: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val r = ranked(prep(df, groupCols, valueExpr, isAExpr), groupCols)
+      .withColumn("diff_num",
+        abs(col("cum_a") * (col("n") - col("n_a")) -
+          (col("cum") - col("cum_a")) * col("n_a")))
+    r.groupBy(gc: _*).agg(
+        max(col("n_a")).as("n_a"),
+        (max(col("n")) - max(col("n_a"))).as("n_b"),
+        max(col("diff_num")).as("ks_num"),
+        max_by(col("v"), struct(col("diff_num"), negate(col("v"))))
+          .as("at_v"))
+      .select((gc :+ col("n_a") :+ col("n_b") :+ col("ks_num") :+
+        (col("n_a") * col("n_b")).as("ks_den") :+
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("ks_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("d") :+
+        col("at_v")): _*)
+  }
+
+  /** Cohen's kappa (Cohen 1960): agreement between two labelings
+    * beyond chance — THE eval card for a cheap heuristic classifier
+    * against ground truth (raw accuracy flatters any classifier that
+    * just predicts the majority class; kappa debits chance agreement).
+    * kappa = (N·Σ O_kk − Σ r_k·c_k) / (N² − Σ r_k·c_k) — all integer
+    * but the final division. Marginal products aggregate over the
+    * CLASS axis (cardinality-bounded). NULL kappa when chance
+    * agreement is total (den 0). Long-safe to N ≈ 3·10^9 rows.
+    *
+    * @return one row: n, n_agree, pe_num (= Σ r_k·c_k), kappa_num,
+    *         kappa_den, kappa */
+  def kappa(df: DataFrame, actualExpr: String, predExpr: String): DataFrame = {
+    val cells = df.select(expr(actualExpr).as("ka"), expr(predExpr).as("kp"))
+      .groupBy(col("ka"), col("kp")).agg(count(lit(1)).cast("long").as("cnt"))
+      .persist()
+    val rm = cells.groupBy(col("ka").as("k")).agg(sum(col("cnt")).as("r"))
+    val cm = cells.groupBy(col("kp").as("k")).agg(sum(col("cnt")).as("c"))
+    val pe = rm.join(cm, "k")
+      .agg(coalesce(sum((col("r").cast("decimal(19,0)") *
+          col("c").cast("decimal(19,0)")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
+    val tot = cells.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      coalesce(sum(when(col("ka") === col("kp"), col("cnt"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    val j = tot.crossJoin(pe)
+    val num = ((col("n").cast("decimal(19,0)") *
+      col("n_agree").cast("decimal(19,0)")).cast("decimal(38,0)") -
+      col("pe_num")).cast("decimal(38,0)")
+    val den = ((col("n").cast("decimal(19,0)") *
+      col("n").cast("decimal(19,0)")).cast("decimal(38,0)") -
+      col("pe_num")).cast("decimal(38,0)")
+    val out = j.select(col("n"), col("n_agree"),
+      col("pe_num").cast("long").as("pe_num"),
+      num.cast("long").as("kappa_num"), den.cast("long").as("kappa_den"),
+      when(den === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
+    out
+  }
+
+  /** 2×2 chi-square association between two boolean properties —
+    * exact-rational in the 2×2 case: chi2 = N·det² / (r1·r0·c1·c0)
+    * with det = o11·o00 − o10·o01 (the general r×c chi-square's
+    * per-cell denominators don't share a bounded common denominator;
+    * the 2×2 determinant form does). phi = det / (√(r1·r0)·√(c1·c0))
+    * is the signed ±1-bounded effect size. NULL on any zero margin.
+    * DECIMAL(38)-exact to N ≈ 3·10^7 per table (group beyond).
+    *
+    * @return one row: n, o11, o10, o01, o00, det, chi2, phi */
+  def chi2x2(df: DataFrame, aExpr: String, bExpr: String): DataFrame = {
+    val f = df.select(expr(aExpr).cast("boolean").as("a"),
+      expr(bExpr).cast("boolean").as("b"))
+    val agg = f.agg(
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).cast("long").as("o11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).cast("long").as("o10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).cast("long").as("o01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).cast("long").as("o00"))
+    val n = col("o11") + col("o10") + col("o01") + col("o00")
+    val det = ((col("o11").cast("decimal(19,0)") * col("o00").cast("decimal(19,0)"))
+      .cast("decimal(38,0)") -
+      (col("o10").cast("decimal(19,0)") * col("o01").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)")
+    val r1 = col("o11") + col("o10"); val r0 = col("o01") + col("o00")
+    val c1 = col("o11") + col("o01"); val c0 = col("o10") + col("o00")
+    val chiNum = (n.cast("decimal(19,0)") * (det * det).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val chiDen = ((r1.cast("decimal(19,0)") * r0.cast("decimal(19,0)"))
+      .cast("decimal(38,0)") *
+      (c1.cast("decimal(19,0)") * c0.cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val degenerate = r1 === 0L || r0 === 0L || c1 === 0L || c0 === 0L
+    agg.select(n.as("n"), col("o11"), col("o10"), col("o01"), col("o00"),
+      det.cast("long").as("det"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(chiNum.cast("double") / chiDen.cast("double")).as("chi2"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(det.cast("double") /
+          (sqrt((r1 * r0).cast("double")) * sqrt((c1 * c0).cast("double"))))
+        .as("phi"))
+  }
+
+  /** Goodman–Kruskal lambda (1954): proportional reduction in error
+    * predicting Y once X is known — the general-r×c association card
+    * that stays integer-exact (unlike the general chi-square):
+    * lambda = (Σ_x max_y O_xy − max_y c_y) / (N − max_y c_y). 0 = X
+    * tells you nothing; 1 = X determines Y. NULL when Y is constant
+    * (den 0). Aggregates over the (x,y) cell axis only.
+    *
+    * @return one row: n, sum_modal (= Σ_x max_y O_xy), modal_y (the
+    *         majority-class count max_y c_y), lambda_num, lambda_den,
+    *         lambda_gk */
+  def gkLambda(df: DataFrame, xExpr: String, yExpr: String): DataFrame = {
+    val cells = df.select(expr(xExpr).as("x"), expr(yExpr).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).cast("long").as("cnt"))
+      .persist()
+    val perX = cells.groupBy(col("x")).agg(max(col("cnt")).as("mx"))
+      .agg(coalesce(sum(col("mx")), lit(0L)).as("sum_modal"))
+    val perY = cells.groupBy(col("y")).agg(sum(col("cnt")).as("cy"))
+      .agg(coalesce(max(col("cy")), lit(0L)).as("modal_y"))
+    val tot = cells.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    tot.crossJoin(perX).crossJoin(perY)
+      .select(col("n"), col("sum_modal"), col("modal_y"),
+        (col("sum_modal") - col("modal_y")).as("lambda_num"),
+        (col("n") - col("modal_y")).as("lambda_den"),
+        when(col("n") === col("modal_y"), lit(null).cast("double"))
+          .otherwise((col("sum_modal") - col("modal_y")).cast("double") /
+            (col("n") - col("modal_y")).cast("double")).as("lambda_gk"))
+  }
+
+  /** Spearman rank correlation between two long-valued columns of one
+    * relation — Pearson over doubled midranks, so ties are handled
+    * exactly and every sum is an integer: rho = (n·Σdxdy − Σdx·Σdy) /
+    * (√(n·Σdx²−(Σdx)²)·√(n·Σdy²−(Σdy)²)). The monotone-association
+    * card (is doc length related to quality score? user activity to
+    * spend?) that Pearson's raw-value covariance gets wrong under
+    * heavy tails. Per-axis rank tables are distinct-value-sized and
+    * broadcast back onto the rows. Emitted integer pieces are
+    * DECIMAL-exact and long-emitted — long-safe to n ≈ 38k rows per
+    * relation (this targets per-entity AGGREGATE relations, which are
+    * entity-bounded; group or sample beyond).
+    *
+    * @return one row: n, s_xy (= n·Σdxdy − Σdx·Σdy), s_x, s_y, rho */
+  def spearman(df: DataFrame, xExpr: String, yExpr: String): DataFrame = {
+    val base = df.select(expr(xExpr).cast("long").as("x"),
+      expr(yExpr).cast("long").as("y"))
+    def rankTable(c: String): DataFrame = {
+      val w = Window.orderBy(col(c).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(c)).agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col(c), (lit(2L) * col("cum") - col("cnt") + 1L).as(s"d$c"))
+    }
+    val withRanks = base
+      .join(broadcast(rankTable("x")), "x")
+      .join(broadcast(rankTable("y")), "y")
+    val dx = col("dx").cast("decimal(19,0)"); val dy = col("dy").cast("decimal(19,0)")
+    val agg = withRanks.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dx).cast("decimal(38,0)").as("sdx"),
+      sum(dy).cast("decimal(38,0)").as("sdy"),
+      sum((dx * dy).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
+      sum((dx * dx).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
+      sum((dy * dy).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy"))
+    val nD = col("n").cast("decimal(19,0)")
+    val num = (nD * col("sxy") - (col("sdx") * col("sdy")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val sx = (nD * col("sxx") - (col("sdx") * col("sdx")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val sy = (nD * col("syy") - (col("sdy") * col("sdy")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    agg.select(col("n"), num.cast("long").as("s_xy"),
+      sx.cast("long").as("s_x"), sy.cast("long").as("s_y"),
+      when(sx === lit(0).cast("decimal(38,0)") ||
+          sy === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          (sqrt(sx.cast("double")) * sqrt(sy.cast("double")))).as("rho"))
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945): the PAIRED two-sample
+    * shift test — per unit a before/after (x, y), d = y − x, zeros
+    * dropped (the standard treatment), |d| midranked (doubled, so
+    * integer under ties), W+ = rank mass of the positive side. The
+    * within-unit pairing removes between-unit variance the unpaired
+    * rank-sum test would drown in. z is the tie-corrected normal
+    * approximation in doubled units:
+    * (w2_pos − n_r(n_r+1)/2) / sqrt((2·n_r(n_r+1)(2n_r+1) − T)/12),
+    * NULL when no non-zero pairs or all |d| tied into a zero variance.
+    * Cumulative pass over the distinct-|d| axis only.
+    *
+    * @return one row: n_pairs, n_zero, n_r, w2_pos (= 2·W+, exact),
+    *         w_pos, tie_t, z */
+  def wilcoxonSignedRank(df: DataFrame, xExpr: String,
+                         yExpr: String): DataFrame = {
+    val dd = df.select((expr(yExpr).cast("long") - expr(xExpr).cast("long"))
+      .as("dv"))
+    val nz = dd.filter(col("dv") =!= 0L)
+      .select(abs(col("dv")).as("v"),
+        when(col("dv") > 0L, 1L).otherwise(0L).as("a"))
+    val r = ranked(nz, Seq())
+      .withColumn("d2", lit(2L) * col("cum") - col("cnt") + 1L)
+    val zeros = dd.agg(count(lit(1)).cast("long").as("n_pairs"),
+      sum(when(col("dv") === 0L, 1L).otherwise(0L)).cast("long").as("n_zero"))
+    val agg = r.agg(
+      coalesce(max(col("n")), lit(0L)).as("n_r"),
+      coalesce(sum(col("cnt_a").cast("decimal(19,0)") *
+          col("d2").cast("decimal(19,0)")).cast("decimal(38,0)"),
+        lit(0).cast("decimal(38,0)")).as("w2_pos"),
+      coalesce(sum((col("cnt").cast("decimal(19,0)") *
+          col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)")
+          - col("cnt").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")).as("tie_t"))
+    val nr = col("n_r").cast("decimal(19,0)")
+    // n_r(n_r+1) is even, so the integer div is exact (and dodges
+    // engine-specific decimal-division scale rules entirely)
+    val mean2 = expr("(n_r * (n_r + 1)) div 2")
+    val vNum = (lit(2).cast("decimal(19,0)") *
+      ((nr * (col("n_r") + 1L).cast("decimal(19,0)")).cast("decimal(38,0)") *
+        (lit(2L) * col("n_r") + 1L).cast("decimal(19,0)")).cast("decimal(38,0)")
+      - col("tie_t")).cast("decimal(38,0)")
+    zeros.crossJoin(agg).select(
+      col("n_pairs"), col("n_zero"), col("n_r"),
+      col("w2_pos").cast("long").as("w2_pos"),
+      (col("w2_pos").cast("double") / lit(2.0)).as("w_pos"),
+      col("tie_t").cast("long").as("tie_t"),
+      when(col("n_r") === 0L || vNum === lit(0).cast("decimal(38,0)"),
+        lit(null).cast("double"))
+        .otherwise((col("w2_pos").cast("double") - mean2.cast("double")) /
+          sqrt(vNum.cast("double") / lit(12.0))).as("z"))
+  }
+
+  /** McNemar's test (1947): do two classifiers graded on the SAME
+    * items differ? Only the discordant counts matter — b = #(1 right,
+    * 2 wrong), c = #(1 wrong, 2 right); statistic (b−c)²/(b+c), all
+    * integer but the division (the chi-square form without continuity
+    * correction, mirrored exactly engine-to-engine). The upgrade-gate
+    * card: accuracy deltas on overlapping test sets double-count the
+    * items both get right. NULL when b + c = 0 (no discordant items).
+    *
+    * @return one row: n, b, c, mcnemar_num (= (b−c)²), mcnemar_den
+    *         (= b+c), mcnemar */
+  def mcnemar(df: DataFrame, correct1Expr: String,
+              correct2Expr: String): DataFrame = {
+    val f = df.select(expr(correct1Expr).cast("boolean").as("c1"),
+      expr(correct2Expr).cast("boolean").as("c2"))
+    f.agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("c1") && !col("c2"), 1L).otherwise(0L)).cast("long")
+          .as("b"),
+        sum(when(!col("c1") && col("c2"), 1L).otherwise(0L)).cast("long")
+          .as("c"))
+      .select(col("n"), col("b"), col("c"),
+        ((col("b") - col("c")) * (col("b") - col("c"))).as("mcnemar_num"),
+        (col("b") + col("c")).as("mcnemar_den"),
+        when(col("b") + col("c") === 0L, lit(null).cast("double"))
+          .otherwise(((col("b") - col("c")) * (col("b") - col("c")))
+            .cast("double") / (col("b") + col("c")).cast("double"))
+          .as("mcnemar"))
+  }
+
+  /** Fleiss' kappa (1971): chance-debited agreement among r raters
+    * per item (the multi-annotator card a labeling pipeline reads
+    * before trusting majority vote). Input: one row per VOTE (item,
+    * category); every item must carry exactly `raters` votes (the
+    * fixed-panel design Fleiss assumes — enforced with a loud count).
+    * With S2 = Σ_ij n_ij², T_j = Σ_i n_ij, N items:
+    * P̄ = (S2 − N·r)/(N·r·(r−1)), P_e = Σ T_j²/(N·r)², and
+    * kappa = (P̄ − P_e)/(1 − P_e) reduced over the common denominator:
+    * kappa_num = (S2 − Nr)·(Nr)² − Nr(r−1)·ΣT_j²,
+    * kappa_den = Nr(r−1)·((Nr)² − ΣT_j²) — integers, one division.
+    * NULL when every vote lands in one category (den 0). Long-emitted
+    * pieces are exact to N ≈ 400k items at r=3 (kappa_num ~ N³r⁴;
+    * DECIMAL(38)-exact far beyond — shard by item domain if the longs
+    * matter at larger N).
+    *
+    * @return one row: n_items, bad_items (items whose vote count ≠
+    *         raters — MUST be 0 for the statistic to mean anything),
+    *         s2, pe_num (= Σ T_j²), kappa_num, kappa_den, kappa */
+  def fleissKappa(df: DataFrame, itemExpr: String, categoryExpr: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, s"need >= 2 raters, got $raters")
+    val cells = df.select(expr(itemExpr).as("item"),
+        expr(categoryExpr).as("cat"))
+      .groupBy(col("item"), col("cat"))
+      .agg(count(lit(1)).cast("long").as("nij"))
+      .persist()
+    val perItem = cells.groupBy(col("item"))
+      .agg(sum(col("nij")).as("votes"),
+        sum((col("nij").cast("decimal(19,0)") * col("nij")
+          .cast("decimal(19,0)")).cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sq"))
+    val items = perItem.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      coalesce(sum(when(col("votes") =!= raters.toLong, 1L).otherwise(0L)),
+        lit(0L)).as("bad_items"),
+      coalesce(sum(col("sq")), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("s2"))
+    val perCat = cells.groupBy(col("cat")).agg(sum(col("nij")).as("tj"))
+      .agg(coalesce(sum((col("tj").cast("decimal(19,0)") *
+          col("tj").cast("decimal(19,0)")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pe_num"))
+    val j = items.crossJoin(perCat)
+    val nr = (col("n_items").cast("decimal(19,0)") *
+      lit(raters).cast("decimal(19,0)")).cast("decimal(38,0)")
+    val nr2 = (nr * nr).cast("decimal(38,0)")
+    val pBarNum = (col("s2") - nr).cast("decimal(38,0)")
+    val pBarDen = (nr * lit(raters - 1).cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
+    val num = (pBarNum * nr2 - (pBarDen * col("pe_num")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val den = (pBarDen * (nr2 - col("pe_num")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    j.select(col("n_items"), col("bad_items"),
+      col("s2").cast("long").as("s2"),
+      col("pe_num").cast("long").as("pe_num"),
+      num.cast("long").as("kappa_num"), den.cast("long").as("kappa_den"),
+      when(den === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
+  }
+
+  /** KS drift monitor against the ADDITIVE histogram store
+    * ([[Quantiles.storeAppend]]): D between the store's merged
+    * reference CDF and an incoming batch's, at the store's bucket
+    * resolution — exact for the bucketed distributions, and the
+    * CDF-shape complement to [[Trend.cusum]]'s count-level detector.
+    * The threshold is a RATIONAL thrNum/thrDen compared in integers
+    * (ks_num·thrDen > thrNum·ks_den), so the drift verdict itself is
+    * engine-exact, not a float comparison. The reference never
+    * re-scans history (that is the store's contract); the batch is
+    * scanned once into a model-sized histogram.
+    *
+    * @return one row: n_ref, n_batch, ks_num, ks_den, d, at_bucket
+    *         (smallest bucket attaining D), drift */
+  def ksDriftFromStore(spark: SparkSession, path: String, batch: DataFrame,
+                       valueExpr: String, bucketWidth: Long,
+                       thrNum: Long, thrDen: Long): DataFrame = {
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    val ref = Quantiles.fromStore(spark, path)
+      .withColumnRenamed("cnt", "cnt_ref")
+    val b = Quantiles.histogram(batch, valueExpr, bucketWidth)
+      .withColumnRenamed("cnt", "cnt_b")
+    val joined = ref.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cr"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    val wCum = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cum = joined
+      .withColumn("cum_r", sum(col("cr")).over(wCum))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_ref", sum(col("cr")).over(wAll))
+      .withColumn("n_batch", sum(col("cb")).over(wAll))
+      .withColumn("diff_num",
+        abs(col("cum_r") * col("n_batch") - col("cum_b") * col("n_ref")))
+    cum.agg(
+        max(col("n_ref")).as("n_ref"), max(col("n_batch")).as("n_batch"),
+        max(col("diff_num")).as("ks_num"),
+        max_by(col("bucket"), struct(col("diff_num"), negate(col("bucket"))))
+          .as("at_bucket"))
+      .select(col("n_ref"), col("n_batch"), col("ks_num"),
+        (col("n_ref") * col("n_batch")).as("ks_den"),
+        when(col("n_ref") === 0L || col("n_batch") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("ks_num").cast("double") /
+            (col("n_ref") * col("n_batch")).cast("double")).as("d"),
+        col("at_bucket"),
+        (col("ks_num") * lit(thrDen) > lit(thrNum) *
+          (col("n_ref") * col("n_batch"))).as("drift"))
+  }
+}

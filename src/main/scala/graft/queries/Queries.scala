@@ -8282,6 +8282,572 @@ object Queries {
        |      AS DECIMAL(38,0)) AS DOUBLE) AS gini
        |FROM agg WHERE sx > 0""".stripMargin)
 
+  // ------------------------------------------------------ statistical tests
+
+  /** Mann–Whitney rank-sum ([[graft.ops.Stats.mannWhitney]]): did the
+    * 'purchase' value distribution shift vs 'error'? Exact doubled-rank
+    * U (integer even under ties) + tie-corrected z — the nonparametric
+    * readout heavy-tailed value metrics need (a mean test is dominated
+    * by the tail). The cumulative pass runs over the DISTINCT-value
+    * axis only (cents here — quantization is the scale lever). */
+  val qMannWhitney: Q = "q_mannwhitney" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("event_type"))
+      graft.ops.Stats.mannWhitney(ev, Seq(), "cents",
+        "event_type = 'purchase'")
+    },
+    s"""WITH $EV,
+       |f AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+       |  FROM ev WHERE event_type IN ('purchase', 'error')),
+       |pc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a) AS BIGINT) AS cnt_a FROM f GROUP BY v),
+       |cw AS (SELECT v, cnt, cnt_a,
+       |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+       |    CAST(sum(cnt_a) OVER () AS BIGINT) AS n_a
+       |  FROM pc),
+       |ag AS (SELECT max(n) AS n, max(n_a) AS n_a,
+       |    CAST(sum(CAST(cnt_a AS DECIMAL(19,0))
+       |      * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS r2a,
+       |    CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+       |        * CAST(cnt AS DECIMAL(19,0)) - CAST(cnt AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS tie_t
+       |  FROM cw),
+       |st AS (SELECT n, n_a, n - n_a AS n_b,
+       |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0))
+       |      * CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |      AS DECIMAL(38,0)) AS u2,
+       |    tie_t,
+       |    CAST(CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n - n_a AS DECIMAL(19,0))
+       |        AS DECIMAL(38,0))
+       |      * CAST(CAST(CAST(n + 1 AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+       |          AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(19,0)) - tie_t
+       |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS v_num,
+       |    3 * n * (n - 1) AS v_den
+       |  FROM ag)
+       |SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2_a,
+       |  CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       |  CAST(tie_t AS BIGINT) AS tie_t,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR v_num = 0 THEN NULL
+       |    ELSE (CAST(u2 AS DOUBLE) - CAST(n_a * n_b AS DOUBLE))
+       |      / sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE)) END AS z
+       |FROM st""".stripMargin)
+
+  /** Two-sample Kolmogorov–Smirnov ([[graft.ops.Stats.ksTest]]):
+    * WHERE do 'purchase' and 'view' value distributions diverge most?
+    * D as an exact rational (max |cum_a·n_b − cum_b·n_a| / n_a·n_b)
+    * with the smallest attaining value — the drift-triage complement
+    * to the rank-sum's single shift verdict. */
+  val qKsTest: Q = "q_ks_test" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("event_type"))
+      graft.ops.Stats.ksTest(ev, Seq(), "cents", "event_type = 'purchase'")
+    },
+    s"""WITH $EV,
+       |f AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+       |  FROM ev WHERE event_type IN ('purchase', 'view')),
+       |pc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a) AS BIGINT) AS cnt_a FROM f GROUP BY v),
+       |cw AS (SELECT v,
+       |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(cnt_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+       |    CAST(sum(cnt_a) OVER () AS BIGINT) AS n_a
+       |  FROM pc),
+       |dd AS (SELECT v, n_a, n - n_a AS n_b,
+       |    abs(cum_a * (n - n_a) - (cum - cum_a) * n_a) AS diff_num FROM cw),
+       |top AS (SELECT * FROM dd ORDER BY diff_num DESC, v ASC LIMIT 1)
+       |SELECT n_a, n_b, CAST(diff_num AS BIGINT) AS ks_num,
+       |  n_a * n_b AS ks_den,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE CAST(diff_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END AS d,
+       |  v AS at_v
+       |FROM top""".stripMargin)
+
+  /** Cohen's kappa ([[graft.ops.Stats.kappa]]) between the lang-ID
+    * heuristic and ground-truth `lang` — the chance-debited eval card
+    * for the classifier [[qLangId]] grades raw: 'zh' is never
+    * predicted (no lexicon), so kappa sits meaningfully below raw
+    * accuracy. All-integer but the final division. */
+  val qKappaLangid: Q = "q_kappa_langid" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.kappa(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred"),
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT lang, $de AS h_de, $en AS h_en, $es AS h_es,
+         |    $fr AS h_fr FROM documents),
+         |pred AS (SELECT lang AS ka, CASE
+         |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS kp
+         |  FROM h),
+         |cells AS (SELECT ka, kp, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pred GROUP BY 1, 2),
+         |rm AS (SELECT ka AS k, CAST(sum(cnt) AS BIGINT) AS r FROM cells GROUP BY 1),
+         |cm AS (SELECT kp AS k, CAST(sum(cnt) AS BIGINT) AS c FROM cells GROUP BY 1),
+         |pe AS (SELECT COALESCE(CAST(sum(CAST(r AS DECIMAL(19,0))
+         |      * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+         |    CAST(0 AS DECIMAL(38,0))) AS pe_num
+         |  FROM rm JOIN cm USING (k)),
+         |tot AS (SELECT COALESCE(CAST(sum(cnt) AS BIGINT), 0) AS n,
+         |    COALESCE(CAST(sum(CASE WHEN ka = kp THEN cnt ELSE 0 END)
+         |      AS BIGINT), 0) AS n_agree
+         |  FROM cells)
+         |SELECT n, n_agree, CAST(pe_num AS BIGINT) AS pe_num,
+         |  CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n_agree AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0)) - pe_num AS BIGINT) AS kappa_num,
+         |  CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0)) - pe_num AS BIGINT) AS kappa_den,
+         |  CASE WHEN CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0)) - pe_num = 0 THEN NULL
+         |    ELSE CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n_agree AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) - pe_num AS DOUBLE)
+         |      / CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) - pe_num AS DOUBLE) END AS kappa
+         |FROM tot, pe""".stripMargin
+    })
+
+  /** 2×2 chi-square ([[graft.ops.Stats.chi2x2]]): is "doc is English"
+    * associated with "doc is long" (n_chars ≥ 300)? Exact-rational via
+    * the determinant form (N·det²/(r1·r0·c1·c0)) plus the signed phi
+    * effect size — the curation card for "does this filter interact
+    * with language balance". */
+  val qChi2Assoc: Q = "q_chi2_assoc" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.chi2x2(Tables.documents(s, d),
+        "lang = 'en'", "n_chars >= 300"),
+    s"""WITH f AS (SELECT (lang = 'en') AS a, (n_chars >= 300) AS b
+       |  FROM documents),
+       |ct AS (SELECT
+       |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o11,
+       |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o10,
+       |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o01,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o00
+       |  FROM f),
+       |st AS (SELECT o11, o10, o01, o00, o11 + o10 + o01 + o00 AS n,
+       |    CAST(CAST(o11 AS DECIMAL(19,0)) * CAST(o00 AS DECIMAL(19,0))
+       |      - CAST(o10 AS DECIMAL(19,0)) * CAST(o01 AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) AS det,
+       |    o11 + o10 AS r1, o01 + o00 AS r0, o11 + o01 AS c1, o10 + o00 AS c0
+       |  FROM ct)
+       |SELECT n, o11, o10, o01, o00, CAST(det AS BIGINT) AS det,
+       |  CASE WHEN r1 = 0 OR r0 = 0 OR c1 = 0 OR c0 = 0 THEN NULL
+       |    ELSE CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(det * det
+       |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / CAST(CAST(CAST(CAST(r1 AS DECIMAL(19,0)) * CAST(r0 AS DECIMAL(19,0))
+       |          AS DECIMAL(38,0)) * CAST(CAST(c1 AS DECIMAL(19,0))
+       |          * CAST(c0 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        AS DECIMAL(38,0)) AS DOUBLE) END AS chi2,
+       |  CASE WHEN r1 = 0 OR r0 = 0 OR c1 = 0 OR c0 = 0 THEN NULL
+       |    ELSE CAST(det AS DOUBLE)
+       |      / (sqrt(CAST(r1 * r0 AS DOUBLE)) * sqrt(CAST(c1 * c0 AS DOUBLE)))
+       |    END AS phi
+       |FROM st""".stripMargin)
+
+  /** Goodman–Kruskal lambda ([[graft.ops.Stats.gkLambda]]): how much
+    * does the lang-ID prediction reduce error guessing true `lang`?
+    * The general-r×c association card that stays integer-exact; 0
+    * would mean the classifier never beats always-guessing the
+    * majority language. */
+  val qGkLambda: Q = "q_gk_lambda" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.gkLambda(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.langId(col("text")).as("lang_pred")),
+        "lang_pred", "lang"),
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT lang, $de AS h_de, $en AS h_en, $es AS h_es,
+         |    $fr AS h_fr FROM documents),
+         |pred AS (SELECT CASE
+         |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS x, lang AS y
+         |  FROM h),
+         |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pred GROUP BY 1, 2),
+         |sm AS (SELECT COALESCE(CAST(sum(mx) AS BIGINT), 0) AS sum_modal
+         |  FROM (SELECT x, max(cnt) AS mx FROM cells GROUP BY x)),
+         |my AS (SELECT COALESCE(max(cy), 0) AS modal_y
+         |  FROM (SELECT y, CAST(sum(cnt) AS BIGINT) AS cy FROM cells GROUP BY y)),
+         |tot AS (SELECT COALESCE(CAST(sum(cnt) AS BIGINT), 0) AS n FROM cells)
+         |SELECT n, sum_modal, modal_y,
+         |  sum_modal - modal_y AS lambda_num, n - modal_y AS lambda_den,
+         |  CASE WHEN n = modal_y THEN NULL
+         |    ELSE CAST(sum_modal - modal_y AS DOUBLE)
+         |      / CAST(n - modal_y AS DOUBLE) END AS lambda_gk
+         |FROM tot, sm, my""".stripMargin
+    })
+
+  /** Spearman rank correlation ([[graft.ops.Stats.spearman]]) between
+    * per-user activity (event count) and spend (total value cents) —
+    * doubled-midrank-exact monotone association over the per-entity
+    * aggregate relation (entity-bounded, the op's documented scale
+    * contract). */
+  val qSpearman: Q = "q_spearman" -> (
+    (s: SparkSession, d: String) => {
+      val dec2 = col("value").cast("decimal(18,2)")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          (sum(dec2) * 100).cast("long").as("cents"))
+      graft.ops.Stats.spearman(u, "n_events", "cents")
+    },
+    s"""WITH $EV,
+       |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM ev GROUP BY 1),
+       |rx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY x),
+       |rx2 AS (SELECT x, 2 * CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT)
+       |    - cnt + 1 AS dx FROM rx),
+       |ry AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY y),
+       |ry2 AS (SELECT y, 2 * CAST(sum(cnt) OVER (ORDER BY y) AS BIGINT)
+       |    - cnt + 1 AS dy FROM ry),
+       |j AS (SELECT u.x, u.y, rx2.dx, ry2.dy
+       |  FROM u JOIN rx2 USING (x) JOIN ry2 USING (y)),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdx,
+       |    CAST(sum(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdy,
+       |    CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxy,
+       |    CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxx,
+       |    CAST(sum(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS syy
+       |  FROM j),
+       |st AS (SELECT n,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sdx * sdy
+       |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS num,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sdx * sdx
+       |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS sx,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sdy * sdy
+       |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS sy
+       |  FROM ag)
+       |SELECT n, CAST(num AS BIGINT) AS s_xy, CAST(sx AS BIGINT) AS s_x,
+       |  CAST(sy AS BIGINT) AS s_y,
+       |  CASE WHEN sx = 0 OR sy = 0 THEN NULL
+       |    ELSE CAST(num AS DOUBLE)
+       |      / (sqrt(CAST(sx AS DOUBLE)) * sqrt(CAST(sy AS DOUBLE))) END AS rho
+       |FROM st""".stripMargin)
+
+  /** KS drift vs the additive histogram store
+    * ([[graft.ops.Stats.ksDriftFromStore]]): the token-count reference
+    * CDF is maintained incrementally (two appended slices, never
+    * re-scanned); an incoming biased batch (the 'zh' docs) is graded
+    * against it at bucket resolution with an INTEGER-compared rational
+    * threshold — the CDF-shape drift monitor complementing
+    * [[qCusum]]'s count-level detector. The oracle replays both
+    * histograms and the argmax from the raw corpus. */
+  val qKsDriftStored: Q = "q_ks_drift_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "ks_ref_hist")
+      (0 to 1).foreach { k =>
+        graft.ops.Quantiles.storeAppend(
+          docs.filter(col("doc_id") % 3 === k)
+            .select(Text.tokenCount(col("text")).cast("long").as("v")),
+          store, s"b$k", "v", 8L)
+      }
+      val batch = docs.filter(col("lang") === "zh")
+        .select(Text.tokenCount(col("text")).cast("long").as("v"))
+      graft.ops.Stats.ksDriftFromStore(s, store, batch, "v", 8L, 1L, 10L)
+    },
+    s"""WITH ref AS (SELECT CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cr
+       |  FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY 1),
+       |bt AS (SELECT CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cb
+       |  FROM documents WHERE lang = 'zh' GROUP BY 1),
+       |j AS (SELECT COALESCE(ref.bucket, bt.bucket) AS bucket,
+       |    COALESCE(cr, 0) AS cr, COALESCE(cb, 0) AS cb
+       |  FROM ref FULL OUTER JOIN bt ON ref.bucket = bt.bucket),
+       |cw AS (SELECT bucket,
+       |    CAST(sum(cr) OVER (ORDER BY bucket) AS BIGINT) AS cum_r,
+       |    CAST(sum(cb) OVER (ORDER BY bucket) AS BIGINT) AS cum_b,
+       |    CAST(sum(cr) OVER () AS BIGINT) AS n_ref,
+       |    CAST(sum(cb) OVER () AS BIGINT) AS n_batch
+       |  FROM j),
+       |dd AS (SELECT bucket, n_ref, n_batch,
+       |    abs(cum_r * n_batch - cum_b * n_ref) AS diff_num FROM cw),
+       |top AS (SELECT * FROM dd ORDER BY diff_num DESC, bucket ASC LIMIT 1)
+       |SELECT n_ref, n_batch, CAST(diff_num AS BIGINT) AS ks_num,
+       |  n_ref * n_batch AS ks_den,
+       |  CASE WHEN n_ref = 0 OR n_batch = 0 THEN NULL
+       |    ELSE CAST(diff_num AS DOUBLE)
+       |      / CAST(n_ref * n_batch AS DOUBLE) END AS d,
+       |  bucket AS at_bucket,
+       |  diff_num * 10 > 1 * (n_ref * n_batch) AS drift
+       |FROM top""".stripMargin)
+
+  /** Wilcoxon signed-rank ([[graft.ops.Stats.wilcoxonSignedRank]]):
+    * paired per-user activity on even vs odd days — the within-unit
+    * pairing removes the between-user variance an unpaired rank-sum
+    * would drown in. Doubled |d| midranks exact; zeros dropped and
+    * counted. */
+  val qWilcoxon: Q = "q_wilcoxon" -> (
+    (s: SparkSession, d: String) => {
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(expr("(ts_us div 86400000000) % 2") === 0, 1L)
+            .otherwise(0L)).cast("long").as("x_even"),
+          sum(when(expr("(ts_us div 86400000000) % 2") === 1, 1L)
+            .otherwise(0L)).cast("long").as("y_odd"))
+      graft.ops.Stats.wilcoxonSignedRank(u, "x_even", "y_odd")
+    },
+    s"""WITH $EV,
+       |u AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 0 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 1 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS y
+       |  FROM ev GROUP BY 1),
+       |dd AS (SELECT y - x AS dv FROM u),
+       |zz AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN dv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |  FROM dd),
+       |nz AS (SELECT abs(dv) AS v, CASE WHEN dv > 0 THEN 1 ELSE 0 END AS a
+       |  FROM dd WHERE dv <> 0),
+       |pc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a) AS BIGINT) AS cnt_a FROM nz GROUP BY v),
+       |cw AS (SELECT v, cnt, cnt_a,
+       |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n FROM pc),
+       |ag AS (SELECT COALESCE(max(n), 0) AS n_r,
+       |    COALESCE(CAST(sum(CAST(cnt_a AS DECIMAL(19,0))
+       |      * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+       |      CAST(0 AS DECIMAL(38,0))) AS w2_pos,
+       |    COALESCE(CAST(sum(CAST(cnt AS DECIMAL(19,0))
+       |        * CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+       |        - CAST(cnt AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+       |      CAST(0 AS DECIMAL(38,0))) AS tie_t
+       |  FROM cw),
+       |st AS (SELECT n_pairs, n_zero, n_r, w2_pos, tie_t,
+       |    (n_r * (n_r + 1)) // 2 AS mean2,
+       |    CAST(CAST(2 AS DECIMAL(19,0))
+       |      * CAST(CAST(CAST(n_r AS DECIMAL(19,0))
+       |          * CAST(n_r + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        * CAST(2 * n_r + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |      - tie_t AS DECIMAL(38,0)) AS v_num
+       |  FROM zz, ag)
+       |SELECT n_pairs, n_zero, n_r, CAST(w2_pos AS BIGINT) AS w2_pos,
+       |  CAST(w2_pos AS DOUBLE) / 2.0 AS w_pos,
+       |  CAST(tie_t AS BIGINT) AS tie_t,
+       |  CASE WHEN n_r = 0 OR v_num = 0 THEN NULL
+       |    ELSE (CAST(w2_pos AS DOUBLE) - CAST(mean2 AS DOUBLE))
+       |      / sqrt(CAST(v_num AS DOUBLE) / 12.0) END AS z
+       |FROM st""".stripMargin)
+
+  /** McNemar's paired classifier comparison
+    * ([[graft.ops.Stats.mcnemar]]): does the lang-ID heuristic differ
+    * from the always-'en' majority baseline, graded on the SAME docs?
+    * Only the discordant counts matter — the upgrade-gate card. */
+  val qMcnemar: Q = "q_mcnemar" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.mcnemar(
+        Tables.documents(s, d)
+          .select(col("lang"), Text.langId(col("text")).as("lang_pred")),
+        "lang_pred = lang", "lang = 'en'"),
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT lang, $de AS h_de, $en AS h_en, $es AS h_es,
+         |    $fr AS h_fr FROM documents),
+         |pred AS (SELECT lang AS ka, CASE
+         |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS kp
+         |  FROM h),
+         |f AS (SELECT (kp = ka) AS c1, (ka = 'en') AS c2 FROM pred),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN NOT c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM f)
+         |SELECT n, b, c, (b - c) * (b - c) AS mcnemar_num,
+         |  b + c AS mcnemar_den,
+         |  CASE WHEN b + c = 0 THEN NULL
+         |    ELSE CAST((b - c) * (b - c) AS DOUBLE)
+         |      / CAST(b + c AS DOUBLE) END AS mcnemar
+         |FROM ct""".stripMargin
+    })
+
+  /** Fleiss' kappa ([[graft.ops.Stats.fleissKappa]]) over a
+    * three-rater panel (the full lang-ID chain, an English-only
+    * variant, a no-English variant) voting per doc — the
+    * multi-annotator agreement card a labeling pipeline reads before
+    * trusting majority vote. All-integer but the final division. */
+  val qFleissKappa: Q = "q_fleiss_kappa" -> (
+    (s: SparkSession, d: String) => {
+      val t = col("text")
+      def h(lex: Seq[String]) = Text.stopwordHits(t, lex)
+      val hEn = h(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val hEs = h(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val hFr = h(Seq("le", "la", "de", "et", "un", "une", "est"))
+      val hDe = h(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val v1 = Text.langId(t)
+      val v2 = when(hEn > 0, lit("en")).otherwise(lit("und"))
+      val v3 = when(hDe > 0 && hDe >= hEs && hDe >= hFr, lit("de"))
+        .when(hEs > 0 && hEs >= hFr, lit("es"))
+        .when(hFr > 0, lit("fr")).otherwise(lit("und"))
+      val votes = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(v1, v2, v3)).as("vote"))
+      graft.ops.Stats.fleissKappa(votes, "doc_id", "vote", raters = 3)
+    },
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT doc_id, $de AS h_de, $en AS h_en, $es AS h_es,
+         |    $fr AS h_fr FROM documents),
+         |votes AS (
+         |  SELECT doc_id, CASE
+         |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS vote FROM h
+         |  UNION ALL SELECT doc_id,
+         |    CASE WHEN h_en > 0 THEN 'en' ELSE 'und' END FROM h
+         |  UNION ALL SELECT doc_id, CASE
+         |    WHEN h_de > 0 AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END FROM h),
+         |cells AS (SELECT doc_id AS item, vote AS cat,
+         |    CAST(count(*) AS BIGINT) AS nij FROM votes GROUP BY 1, 2),
+         |pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS votes_n,
+         |    CAST(sum(CAST(nij AS DECIMAL(19,0)) * CAST(nij AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS sq
+         |  FROM cells GROUP BY 1),
+         |it AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    COALESCE(CAST(sum(CASE WHEN votes_n <> 3 THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS bad_items,
+         |    COALESCE(CAST(sum(sq) AS DECIMAL(38,0)),
+         |      CAST(0 AS DECIMAL(38,0))) AS s2
+         |  FROM pi),
+         |pcat AS (SELECT COALESCE(CAST(sum(CAST(tj AS DECIMAL(19,0))
+         |      * CAST(tj AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+         |    CAST(0 AS DECIMAL(38,0))) AS pe_num
+         |  FROM (SELECT cat, CAST(sum(nij) AS BIGINT) AS tj
+         |    FROM cells GROUP BY 1)),
+         |st AS (SELECT n_items, bad_items, s2, pe_num,
+         |    CAST(CAST(n_items AS DECIMAL(19,0)) * CAST(3 AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0)) AS nr
+         |  FROM it, pcat),
+         |st2 AS (SELECT n_items, bad_items, s2, pe_num,
+         |    CAST(nr * nr AS DECIMAL(38,0)) AS nr2,
+         |    CAST(s2 - nr AS DECIMAL(38,0)) AS pbar_num,
+         |    CAST(nr * CAST(2 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS pbar_den
+         |  FROM st)
+         |SELECT n_items, bad_items, CAST(s2 AS BIGINT) AS s2,
+         |  CAST(pe_num AS BIGINT) AS pe_num,
+         |  CAST(CAST(pbar_num * nr2 AS DECIMAL(38,0))
+         |    - CAST(pbar_den * pe_num AS DECIMAL(38,0)) AS BIGINT) AS kappa_num,
+         |  CAST(CAST(pbar_den * CAST(nr2 - pe_num AS DECIMAL(38,0))
+         |    AS DECIMAL(38,0)) AS BIGINT) AS kappa_den,
+         |  CASE WHEN CAST(pbar_den * CAST(nr2 - pe_num AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) = 0 THEN NULL
+         |    ELSE CAST(CAST(pbar_num * nr2 AS DECIMAL(38,0))
+         |        - CAST(pbar_den * pe_num AS DECIMAL(38,0)) AS DOUBLE)
+         |      / CAST(CAST(pbar_den * CAST(nr2 - pe_num AS DECIMAL(38,0))
+         |        AS DECIMAL(38,0)) AS DOUBLE) END AS kappa
+         |FROM st2""".stripMargin
+    })
+
+  /** Mood's median test as a COMPOSITION: the pooled median from the
+    * exact mergeable histogram ([[graft.ops.Quantiles.quantiles]],
+    * width-1 buckets = exact value), then the 2×2 chi-square of
+    * (arm × above-median) — two existing exact primitives chained;
+    * the oracle replays the median AND the table. */
+  val qMedianTest: Q = "q_median_test" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("event_type"))
+      val med = graft.ops.Quantiles.quantiles(
+          graft.ops.Quantiles.histogram(ev, "cents", 1L),
+          Seq(("p50", 1, 2)), 1L)
+        .select(col("lo")).collect().head.getLong(0)
+      graft.ops.Stats.chi2x2(ev, "event_type = 'purchase'",
+        s"cents >= ${med}L")
+    },
+    s"""WITH $EV,
+       |src AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |    event_type FROM ev WHERE event_type IN ('purchase', 'view')),
+       |${graft.ops.Quantiles.oracleCtes("src", Seq(("p50", 1, 2)), 1L)},
+       |f AS (SELECT (event_type = 'purchase') AS a,
+       |    (v >= (SELECT lo FROM hq)) AS b FROM src),
+       |ct AS (SELECT
+       |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o11,
+       |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o10,
+       |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o01,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o00
+       |  FROM f),
+       |st AS (SELECT o11, o10, o01, o00, o11 + o10 + o01 + o00 AS n,
+       |    CAST(CAST(o11 AS DECIMAL(19,0)) * CAST(o00 AS DECIMAL(19,0))
+       |      - CAST(o10 AS DECIMAL(19,0)) * CAST(o01 AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) AS det,
+       |    o11 + o10 AS r1, o01 + o00 AS r0, o11 + o01 AS c1, o10 + o00 AS c0
+       |  FROM ct)
+       |SELECT n, o11, o10, o01, o00, CAST(det AS BIGINT) AS det,
+       |  CASE WHEN r1 = 0 OR r0 = 0 OR c1 = 0 OR c0 = 0 THEN NULL
+       |    ELSE CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(det * det
+       |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / CAST(CAST(CAST(CAST(r1 AS DECIMAL(19,0)) * CAST(r0 AS DECIMAL(19,0))
+       |          AS DECIMAL(38,0)) * CAST(CAST(c1 AS DECIMAL(19,0))
+       |          * CAST(c0 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        AS DECIMAL(38,0)) AS DOUBLE) END AS chi2,
+       |  CASE WHEN r1 = 0 OR r0 = 0 OR c1 = 0 OR c0 = 0 THEN NULL
+       |    ELSE CAST(det AS DOUBLE)
+       |      / (sqrt(CAST(r1 * r0 AS DOUBLE)) * sqrt(CAST(c1 * c0 AS DOUBLE)))
+       |    END AS phi
+       |FROM st""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8342,5 +8908,8 @@ object Queries {
     qSplitPoints, qTrimmedMean, qCanonicalPick, qCurationV2, qNeyman,
     qHistAsof, qDecayedAsof, qBlocklistStored, qRendezvousWeighted,
     qCusum, qCusumStored, qRangeAssign, qFano, qGini,
+    qMannWhitney, qKsTest, qKappaLangid, qChi2Assoc, qGkLambda,
+    qSpearman, qKsDriftStored,
+    qWilcoxon, qMcnemar, qFleissKappa, qMedianTest,
   )
 }

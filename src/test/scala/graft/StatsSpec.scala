@@ -1,0 +1,305 @@
+package graft
+
+import graft.ops.{Quantiles, Stats}
+import org.apache.spark.sql.functions._
+
+/** Statistical testing family: hand-computed fixtures for the exact
+  * rational statistics (doubled midranks, determinant chi-square,
+  * chance-debited kappa) and the NULL degenerate contracts. */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------- Mann–Whitney
+
+  test("mannWhitney: hand fixture with a tie (doubled ranks exact)") {
+    // A = {1, 2}, B = {2, 3}: midranks 1, 2.5, 2.5, 4 → R_A = 3.5,
+    // U_A = 0.5 → u2_a = 1; tie term T = 2³−2 = 6;
+    // Var = 4·(5·4·3 − 6)/(12·4·3) = 1.5 → z = −1.5/√1.5 = −3/√6
+    val df = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")).toDF("v", "arm")
+    val r = Stats.mannWhitney(df, Seq(), "v", "arm = 'a'").collect().head
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("u2_a") === 1L)
+    assert(r.getAs[Double]("u_a") === 0.5)
+    assert(r.getAs[Long]("tie_t") === 6L)
+    assert(math.abs(r.getAs[Double]("z") - (-3.0 / math.sqrt(6.0))) < 1e-12)
+  }
+
+  test("mannWhitney: all-tied pool and empty arm give NULL z") {
+    val tied = Seq((5L, "a"), (5L, "b")).toDF("v", "arm")
+    val rt = Stats.mannWhitney(tied, Seq(), "v", "arm = 'a'").collect().head
+    assert(rt.getAs[Long]("u2_a") === 1L) // U = 0.5: the half-win tie
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+    val solo = Seq((1L, "a"), (2L, "a")).toDF("v", "arm")
+    val rs = Stats.mannWhitney(solo, Seq(), "v", "arm = 'a'").collect().head
+    assert(rs.getAs[Long]("n_b") === 0L)
+    assert(rs.isNullAt(rs.fieldIndex("z")))
+  }
+
+  test("mannWhitney: grouped arms are independent") {
+    val df = (Seq((1L, "a"), (2L, "b")).map { case (v, m) => ("g1", v, m) } ++
+      Seq((9L, "a"), (1L, "b")).map { case (v, m) => ("g2", v, m) })
+      .toDF("grp", "v", "arm")
+    val m = Stats.mannWhitney(df, Seq("grp"), "v", "arm = 'a'").collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("u2_a")).toMap
+    // g1: A below B → U_A = 0 → u2 = 0; g2: A above B → U_A = 1 → u2 = 2
+    assert(m === Map("g1" -> 0L, "g2" -> 2L))
+  }
+
+  // ------------------------------------------------ Kolmogorov–Smirnov
+
+  test("ksTest: hand fixture D = 5/12 at v = 2") {
+    // A = {1,2,3}, B = {2,3,3,4}: diffs 4, 5, 3, 0 → max 5 at v=2
+    val df = (Seq(1L, 2L, 3L).map((_, "a")) ++
+      Seq(2L, 3L, 3L, 4L).map((_, "b"))).toDF("v", "arm")
+    val r = Stats.ksTest(df, Seq(), "v", "arm = 'a'").collect().head
+    assert(r.getAs[Long]("ks_num") === 5L)
+    assert(r.getAs[Long]("ks_den") === 12L)
+    assert(r.getAs[Double]("d") === 5.0 / 12.0)
+    assert(r.getAs[Long]("at_v") === 2L)
+  }
+
+  test("ksTest: argmax tie reports the SMALLEST value") {
+    // A = {1,3}, B = {2,4}: diff 2 at v=1 and v=3 → at_v = 1
+    val df = (Seq(1L, 3L).map((_, "a")) ++ Seq(2L, 4L).map((_, "b")))
+      .toDF("v", "arm")
+    val r = Stats.ksTest(df, Seq(), "v", "arm = 'a'").collect().head
+    assert(r.getAs[Long]("ks_num") === 2L)
+    assert(r.getAs[Long]("at_v") === 1L)
+  }
+
+  test("ksTest: empty arm gives NULL d") {
+    val df = Seq((1L, "a"), (2L, "a")).toDF("v", "arm")
+    val r = Stats.ksTest(df, Seq(), "v", "arm = 'a'").collect().head
+    assert(r.getAs[Long]("ks_den") === 0L)
+    assert(r.isNullAt(r.fieldIndex("d")))
+  }
+
+  // ----------------------------------------------------- Cohen's kappa
+
+  test("kappa: textbook 2×2 fixture = 0.4") {
+    // (y,y)=20 (y,n)=5 (n,y)=10 (n,n)=15: po=0.7, pe=0.5 → kappa=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Stats.kappa(rows.toDF("truth", "pred"), "truth", "pred")
+      .collect().head
+    assert(r.getAs[Long]("n") === 50L)
+    assert(r.getAs[Long]("n_agree") === 35L)
+    assert(r.getAs[Long]("pe_num") === 1250L)
+    assert(r.getAs[Long]("kappa_num") === 500L)
+    assert(r.getAs[Long]("kappa_den") === 1250L)
+    assert(r.getAs[Double]("kappa") === 0.4)
+  }
+
+  test("kappa: perfect agreement = 1; constant labels = NULL") {
+    val perfect = (Seq.fill(3)(("a", "a")) ++ Seq.fill(2)(("b", "b")))
+      .toDF("t", "p")
+    assert(Stats.kappa(perfect, "t", "p").collect().head
+      .getAs[Double]("kappa") === 1.0)
+    val const = Seq.fill(4)(("a", "a")).toDF("t", "p")
+    val rc = Stats.kappa(const, "t", "p").collect().head
+    assert(rc.getAs[Long]("kappa_den") === 0L)
+    assert(rc.isNullAt(rc.fieldIndex("kappa")))
+  }
+
+  // -------------------------------------------------- 2×2 chi-square
+
+  test("chi2x2: perfect association chi2 = n, phi = 1; balanced = 0") {
+    val perfect = (Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false)))
+      .toDF("a", "b")
+    val rp = Stats.chi2x2(perfect, "a", "b").collect().head
+    assert(rp.getAs[Long]("det") === 100L)
+    assert(rp.getAs[Double]("chi2") === 20.0)
+    assert(rp.getAs[Double]("phi") === 1.0)
+    val flat = (Seq.fill(5)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(5)((false, false))).toDF("a", "b")
+    val rf = Stats.chi2x2(flat, "a", "b").collect().head
+    assert(rf.getAs[Long]("det") === 0L)
+    assert(rf.getAs[Double]("chi2") === 0.0)
+    assert(rf.getAs[Double]("phi") === 0.0)
+  }
+
+  test("chi2x2: zero margin gives NULL chi2/phi, never Inf") {
+    val df = Seq((true, true), (true, false)).toDF("a", "b") // r0 = 0
+    val r = Stats.chi2x2(df, "a", "b").collect().head
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+    assert(r.isNullAt(r.fieldIndex("phi")))
+  }
+
+  // -------------------------------------------- Goodman–Kruskal lambda
+
+  test("gkLambda: determination = 1, independence = 0, constant = NULL") {
+    val det = (Seq.fill(3)((1L, "a")) ++ Seq.fill(2)((2L, "b"))).toDF("x", "y")
+    assert(Stats.gkLambda(det, "x", "y").collect().head
+      .getAs[Double]("lambda_gk") === 1.0)
+    val indep = (Seq.fill(2)((1L, "a")) ++ Seq.fill(1)((1L, "b")) ++
+      Seq.fill(2)((2L, "a")) ++ Seq.fill(1)((2L, "b"))).toDF("x", "y")
+    val ri = Stats.gkLambda(indep, "x", "y").collect().head
+    assert(ri.getAs[Long]("sum_modal") === 4L)
+    assert(ri.getAs[Long]("modal_y") === 4L)
+    assert(ri.getAs[Double]("lambda_gk") === 0.0)
+    val const = Seq.fill(3)((1L, "a")).toDF("x", "y")
+    val rcst = Stats.gkLambda(const, "x", "y").collect().head
+    assert(rcst.isNullAt(rcst.fieldIndex("lambda_gk")))
+  }
+
+  // ------------------------------------------------------- Spearman
+
+  test("spearman: monotone = 1, reversed = −1") {
+    // rho's denominator is √s_x·√s_y — deterministic IEEE, but √18²
+    // ≠ 18 exactly, so the QUOTIENT carries one ulp (the integer
+    // pieces s_xy/s_x/s_y are the exact part of the contract)
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(math.abs(Stats.spearman(up, "x", "y").collect().head
+      .getAs[Double]("rho") - 1.0) < 1e-12)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(math.abs(Stats.spearman(down, "x", "y").collect().head
+      .getAs[Double]("rho") - (-1.0)) < 1e-12)
+  }
+
+  test("spearman: tied fixture = 0.5 (doubled midranks exact)") {
+    // x = {1,1,2}, y = {5,6,6}: midranks rx = 1.5,1.5,3, ry = 1,2.5,2.5
+    // → Pearson over ranks = 0.75/1.5 = 0.5
+    val df = Seq((1L, 5L), (1L, 6L), (2L, 6L)).toDF("x", "y")
+    val r = Stats.spearman(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("s_xy") === 9L)
+    assert(r.getAs[Long]("s_x") === 18L)
+    assert(r.getAs[Long]("s_y") === 18L)
+    assert(math.abs(r.getAs[Double]("rho") - 0.5) < 1e-12)
+  }
+
+  test("spearman: constant axis gives NULL rho") {
+    val df = Seq((1L, 7L), (2L, 7L)).toDF("x", "y")
+    val r = Stats.spearman(df, "x", "y").collect().head
+    assert(r.getAs[Long]("s_y") === 0L)
+    assert(r.isNullAt(r.fieldIndex("rho")))
+  }
+
+  // --------------------------------------------- Wilcoxon signed-rank
+
+  test("wilcoxon: hand fixture, zeros dropped and counted") {
+    // d = {+1, +2, −3, 0}: n_r = 3, doubled ranks 2/4/6, W+ = 3,
+    // mean = 3, Var·4 = 2·3·4·7/12·… → z = 0 exactly
+    val df = Seq((0L, 1L), (0L, 2L), (3L, 0L), (5L, 5L)).toDF("x", "y")
+    val r = Stats.wilcoxonSignedRank(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Long]("n_r") === 3L)
+    assert(r.getAs[Long]("w2_pos") === 6L)
+    assert(r.getAs[Double]("w_pos") === 3.0)
+    assert(r.getAs[Double]("z") === 0.0)
+  }
+
+  test("wilcoxon: one-sided shift and |d| ties") {
+    // all positive d = {1,2,3}: W+ = 6, mean = 3, 4Var = 168/12 = 14
+    val up = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("x", "y")
+    val ru = Stats.wilcoxonSignedRank(up, "x", "y").collect().head
+    assert(ru.getAs[Long]("w2_pos") === 12L)
+    assert(math.abs(ru.getAs[Double]("z") - 6.0 / math.sqrt(14.0)) < 1e-12)
+    // d = {+1, +1, −2}: |d| midranks 1.5, 1.5, 3 → W+ = 3, T = 6
+    val tied = Seq((0L, 1L), (0L, 1L), (2L, 0L)).toDF("x", "y")
+    val rt = Stats.wilcoxonSignedRank(tied, "x", "y").collect().head
+    assert(rt.getAs[Long]("w2_pos") === 6L)
+    assert(rt.getAs[Long]("tie_t") === 6L)
+    // all-zero d: n_r = 0 → NULL z
+    val zz = Seq((1L, 1L), (2L, 2L)).toDF("x", "y")
+    val rz = Stats.wilcoxonSignedRank(zz, "x", "y").collect().head
+    assert(rz.getAs[Long]("n_r") === 0L)
+    assert(rz.isNullAt(rz.fieldIndex("z")))
+  }
+
+  // -------------------------------------------------------- McNemar
+
+  test("mcnemar: only discordant pairs matter") {
+    // b = 5, c = 1, 4 concordant → (b−c)²/(b+c) = 16/6
+    val rows = Seq.fill(5)((true, false)) ++ Seq.fill(1)((false, true)) ++
+      Seq.fill(2)((true, true)) ++ Seq.fill(2)((false, false))
+    val r = Stats.mcnemar(rows.toDF("c1", "c2"), "c1", "c2").collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("b") === 5L)
+    assert(r.getAs[Long]("c") === 1L)
+    assert(r.getAs[Long]("mcnemar_num") === 16L)
+    assert(r.getAs[Long]("mcnemar_den") === 6L)
+    assert(r.getAs[Double]("mcnemar") === 16.0 / 6.0)
+    // fully concordant → NULL (no evidence either way)
+    val conc = Seq((true, true), (false, false)).toDF("c1", "c2")
+    val rc = Stats.mcnemar(conc, "c1", "c2").collect().head
+    assert(rc.getAs[Long]("mcnemar_den") === 0L)
+    assert(rc.isNullAt(rc.fieldIndex("mcnemar")))
+  }
+
+  // -------------------------------------------------- Fleiss' kappa
+
+  test("fleissKappa: hand fixture −1/3, perfect = 1, degenerate NULL") {
+    // items: i1 votes (a,a), i2 votes (a,b), r = 2:
+    // P̄ = (6−4)/4 = 0.5, Pe = (9+1)/16 = 0.625 → kappa = −1/3
+    val mixed = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "cat")
+    val rm = Stats.fleissKappa(mixed, "item", "cat", raters = 2)
+      .collect().head
+    assert(rm.getAs[Long]("n_items") === 2L)
+    assert(rm.getAs[Long]("bad_items") === 0L)
+    assert(rm.getAs[Long]("s2") === 6L)
+    assert(rm.getAs[Long]("pe_num") === 10L)
+    assert(rm.getAs[Long]("kappa_num") === -8L)
+    assert(rm.getAs[Long]("kappa_den") === 24L)
+    assert(math.abs(rm.getAs[Double]("kappa") - (-1.0 / 3.0)) < 1e-15)
+    // unanimous per item, split across: kappa = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cat")
+    assert(Stats.fleissKappa(perfect, "item", "cat", raters = 2)
+      .collect().head.getAs[Double]("kappa") === 1.0)
+    // every vote one category: den = 0 → NULL
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "cat")
+    val rmono = Stats.fleissKappa(mono, "item", "cat", raters = 2)
+      .collect().head
+    assert(rmono.isNullAt(rmono.fieldIndex("kappa")))
+  }
+
+  test("fleissKappa: bad_items counts panel-size violations loudly") {
+    val uneven = Seq((1L, "a"), (1L, "a"), (2L, "a")).toDF("item", "cat")
+    val r = Stats.fleissKappa(uneven, "item", "cat", raters = 2)
+      .collect().head
+    assert(r.getAs[Long]("bad_items") === 1L)
+  }
+
+  // ---------------------------------------------- KS drift from store
+
+  test("ksDriftFromStore: identical batch is flat, shifted batch drifts") {
+    val store = java.nio.file.Files.createTempDirectory("ksdrift")
+      .toString + "/st"
+    Quantiles.storeAppend((0L until 10L).toDF("v"), store, "b0", "v", 2L)
+    val same = Stats.ksDriftFromStore(spark, store,
+      (0L until 10L).toDF("v"), "v", 2L, 1L, 2L).collect().head
+    assert(same.getAs[Long]("ks_num") === 0L)
+    assert(same.getAs[Double]("d") === 0.0)
+    assert(!same.getAs[Boolean]("drift"))
+    val shifted = Stats.ksDriftFromStore(spark, store,
+      (10L until 20L).toDF("v"), "v", 2L, 1L, 2L).collect().head
+    // disjoint supports: D = 1 at the reference's last bucket (4)
+    assert(shifted.getAs[Long]("ks_num") === 100L)
+    assert(shifted.getAs[Long]("ks_den") === 100L)
+    assert(shifted.getAs[Double]("d") === 1.0)
+    assert(shifted.getAs[Long]("at_bucket") === 4L)
+    assert(shifted.getAs[Boolean]("drift"))
+  }
+
+  test("ksDriftFromStore: threshold verdict is the integer compare") {
+    val store = java.nio.file.Files.createTempDirectory("ksthr")
+      .toString + "/st"
+    Quantiles.storeAppend((0L until 4L).toDF("v"), store, "b0", "v", 1L)
+    // batch {0,1,2,7}: max diff at bucket 2: |3·4 − 3·4| = 0… compute:
+    // ref cum 1,2,3,4 (buckets 0..3); batch cum 1,2,3 at 0..2, 4 at 7.
+    // diff at bucket 3: |4·4 − 3·4| = 4 → d = 4/16 = 0.25
+    val b = Seq(0L, 1L, 2L, 7L).toDF("v")
+    val strict = Stats.ksDriftFromStore(spark, store, b, "v", 1L, 1L, 5L)
+      .collect().head // 0.25 > 0.2 → drift
+    assert(strict.getAs[Long]("ks_num") === 4L)
+    assert(strict.getAs[Boolean]("drift"))
+    val loose = Stats.ksDriftFromStore(spark, store, b, "v", 1L, 1L, 4L)
+      .collect().head // 0.25 > 0.25 is false — strict inequality
+    assert(!loose.getAs[Boolean]("drift"))
+  }
+}
