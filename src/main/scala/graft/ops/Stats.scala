@@ -456,10 +456,36 @@ object Stats {
     *         (smallest bucket attaining D), drift */
   def ksDriftFromStore(spark: SparkSession, path: String, batch: DataFrame,
                        valueExpr: String, bucketWidth: Long,
-                       thrNum: Long, thrDen: Long): DataFrame = {
+                       thrNum: Long, thrDen: Long): DataFrame =
+    ksAgainstRef(Quantiles.fromStore(spark, path), batch, valueExpr,
+      bucketWidth, thrNum, thrDen)
+
+  /** [[ksDriftFromStore]] with the reference cut STRICTLY BEFORE a
+    * batch tag (`tag < beforeTag` on the store's version axis) — the
+    * REPLAY-STABLE form a streaming monitor needs: after a
+    * crash-and-replay the store may already contain the batch being
+    * graded, and the merged read would quietly grade it against
+    * itself (drift understated exactly on the replay). The
+    * strictly-before cut reconstructs the reference any FIRST
+    * evaluation saw, so verdict and replay verdict are bit-identical.
+    * Prunes on the tag column's parquet min/max like every as-of
+    * read. */
+  def ksDriftFromStoreBefore(spark: SparkSession, path: String,
+                             beforeTag: String, batch: DataFrame,
+                             valueExpr: String, bucketWidth: Long,
+                             thrNum: Long, thrDen: Long): DataFrame = {
+    Stores.requireStore(spark, path, "append histogram batches first")
+    val ref = Stores.freshRead(spark, path)
+      .filter(col("tag") < beforeTag)
+      .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
+    ksAgainstRef(ref, batch, valueExpr, bucketWidth, thrNum, thrDen)
+  }
+
+  private def ksAgainstRef(ref0: DataFrame, batch: DataFrame,
+                           valueExpr: String, bucketWidth: Long,
+                           thrNum: Long, thrDen: Long): DataFrame = {
     require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
-    val ref = Quantiles.fromStore(spark, path)
-      .withColumnRenamed("cnt", "cnt_ref")
+    val ref = ref0.withColumnRenamed("cnt", "cnt_ref")
     val b = Quantiles.histogram(batch, valueExpr, bucketWidth)
       .withColumnRenamed("cnt", "cnt_b")
     val joined = ref.join(b, Seq("bucket"), "full_outer")

@@ -8610,6 +8610,54 @@ object Queries {
        |  diff_num * 10 > 1 * (n_ref * n_batch) AS drift
        |FROM top""".stripMargin)
 
+  /** Time-travel KS drift ([[graft.ops.Stats.ksDriftFromStoreBefore]]):
+    * the same monitor as [[qKsDriftStored]] but graded against the
+    * store STRICTLY BEFORE tag `b1` — the replay-stable read the
+    * streaming twin ([[graft.streaming.KsDriftStream]]) uses so a
+    * crash-and-replay never grades a batch against itself. The oracle
+    * replays only the first slice as reference. */
+  val qKsDriftAsof: Q = "q_ks_drift_asof" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "ks_ref_hist")
+      (0 to 1).foreach { k =>
+        graft.ops.Quantiles.storeAppend(
+          docs.filter(col("doc_id") % 3 === k)
+            .select(Text.tokenCount(col("text")).cast("long").as("v")),
+          store, s"b$k", "v", 8L)
+      }
+      val batch = docs.filter(col("lang") === "zh")
+        .select(Text.tokenCount(col("text")).cast("long").as("v"))
+      graft.ops.Stats.ksDriftFromStoreBefore(s, store, "b1", batch,
+        "v", 8L, 1L, 10L)
+    },
+    s"""WITH ref AS (SELECT CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cr
+       |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+       |bt AS (SELECT CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cb
+       |  FROM documents WHERE lang = 'zh' GROUP BY 1),
+       |j AS (SELECT COALESCE(ref.bucket, bt.bucket) AS bucket,
+       |    COALESCE(cr, 0) AS cr, COALESCE(cb, 0) AS cb
+       |  FROM ref FULL OUTER JOIN bt ON ref.bucket = bt.bucket),
+       |cw AS (SELECT bucket,
+       |    CAST(sum(cr) OVER (ORDER BY bucket) AS BIGINT) AS cum_r,
+       |    CAST(sum(cb) OVER (ORDER BY bucket) AS BIGINT) AS cum_b,
+       |    CAST(sum(cr) OVER () AS BIGINT) AS n_ref,
+       |    CAST(sum(cb) OVER () AS BIGINT) AS n_batch
+       |  FROM j),
+       |dd AS (SELECT bucket, n_ref, n_batch,
+       |    abs(cum_r * n_batch - cum_b * n_ref) AS diff_num FROM cw),
+       |top AS (SELECT * FROM dd ORDER BY diff_num DESC, bucket ASC LIMIT 1)
+       |SELECT n_ref, n_batch, CAST(diff_num AS BIGINT) AS ks_num,
+       |  n_ref * n_batch AS ks_den,
+       |  CASE WHEN n_ref = 0 OR n_batch = 0 THEN NULL
+       |    ELSE CAST(diff_num AS DOUBLE)
+       |      / CAST(n_ref * n_batch AS DOUBLE) END AS d,
+       |  bucket AS at_bucket,
+       |  diff_num * 10 > 1 * (n_ref * n_batch) AS drift
+       |FROM top""".stripMargin)
+
   /** Wilcoxon signed-rank ([[graft.ops.Stats.wilcoxonSignedRank]]):
     * paired per-user activity on even vs odd days — the within-unit
     * pairing removes the between-user variance an unpaired rank-sum
@@ -8910,6 +8958,6 @@ object Queries {
     qCusum, qCusumStored, qRangeAssign, qFano, qGini,
     qMannWhitney, qKsTest, qKappaLangid, qChi2Assoc, qGkLambda,
     qSpearman, qKsDriftStored,
-    qWilcoxon, qMcnemar, qFleissKappa, qMedianTest,
+    qWilcoxon, qMcnemar, qFleissKappa, qMedianTest, qKsDriftAsof,
   )
 }
