@@ -588,6 +588,53 @@ object BenchScale {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("stats")) {
+      // statistical-test ladder over K-duplicated events. The scale
+      // claim under test: each statistic is one corpus-scan hash
+      // aggregation (to distinct values / per-user aggregates) plus a
+      // window over the DISTINCT-VALUE axis only — duplication grows
+      // the scan ~linearly while the cents domain (and so the
+      // single-partition cumulative pass) stays CONSTANT, so every
+      // curve must be ~linear with a flat window share. spearman/
+      // wilcoxon additionally grow the per-user relation K-fold (users
+      // are offset per copy), exercising the rank-table broadcast path.
+      import graft.ops.Stats
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val evDir = scaledEventsDir(spark, sfDir, k)
+        val ev = graft.core.Tables.events(spark, evDir)
+        val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+        val nEv = ev.count()
+        val (tMw, _) = time(Stats.mannWhitney(
+          ev.filter(col("event_type").isin("purchase", "error"))
+            .select(cents.as("cents"), col("event_type")),
+          Seq(), "cents", "event_type = 'purchase'").count())
+        spark.catalog.clearCache()
+        val (tKs, _) = time(Stats.ksTest(
+          ev.filter(col("event_type").isin("purchase", "view"))
+            .select(cents.as("cents"), col("event_type")),
+          Seq(), "cents", "event_type = 'purchase'").count())
+        spark.catalog.clearCache()
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+              .as("cents"))
+        val (tSp, _) = time(
+          Stats.spearman(perUser, "n_events", "cents").count())
+        spark.catalog.clearCache()
+        val pairs = ev.groupBy(col("user_id"))
+          .agg(sum(when(expr("(ts_us div 86400000000) % 2") === 0, 1L)
+              .otherwise(0L)).cast("long").as("x_even"),
+            sum(when(expr("(ts_us div 86400000000) % 2") === 1, 1L)
+              .otherwise(0L)).cast("long").as("y_odd"))
+        val (tWx, _) = time(
+          Stats.wilcoxonSignedRank(pairs, "x_even", "y_odd").count())
+        spark.catalog.clearCache()
+        println(s"""{"k":$k,"events":$nEv,""" +
+          s""""mannwhitney_sec":${f"$tMw%.2f"},"ks_sec":${f"$tKs%.2f"},""" +
+          s""""spearman_sec":${f"$tSp%.2f"},"wilcoxon_sec":${f"$tWx%.2f"}}""")
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("r13ops")) {
       // r13 additions' ladder — every op is map-only or one hash agg,
       // so each curve must be ~linear in rows with no shuffle growth:
