@@ -280,4 +280,40 @@ object Profile {
         col("gini_num").cast("long"), col("gini_den").cast("long"),
         col("gini"))
   }
+
+  /** Leave-one-group-out influence: how much does dropping each group
+    * (source/domain/shard) move the corpus mean of `valueExpr`? The
+    * jackknife-style data-attribution card behind "which domain is
+    * dragging the length/quality distribution" — the per-group numbers
+    * a domain-cap decision reads. Exact: every leave-one-out mean is
+    * one division of two integers ((T − T_g)/(n − n_g)); `delta` is
+    * the deterministic difference of two such quotients. One hash
+    * aggregation to group grain plus a broadcast of the single overall
+    * row. NULL loo_mean/delta for a group that IS the whole corpus.
+    *
+    * @return per group: <groupCol>, n_g, t_g, loo_num (= T − T_g),
+    *         loo_den (= n − n_g), loo_mean, delta (loo − overall) */
+  def leaveOneOutInfluence(df: DataFrame, groupCol: String,
+                           valueExpr: String): DataFrame = {
+    val g = df.select(col(groupCol),
+        expr(valueExpr).cast("long").as("v"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_g"),
+        sum(col("v")).cast("long").as("t_g"))
+    val overall = g.agg(sum(col("n_g")).cast("long").as("n_all"),
+      sum(col("t_g")).cast("long").as("t_all"))
+    g.crossJoin(broadcast(overall))
+      .select(col(groupCol), col("n_g"), col("t_g"),
+        (col("t_all") - col("t_g")).as("loo_num"),
+        (col("n_all") - col("n_g")).as("loo_den"),
+        when(col("n_all") === col("n_g"), lit(null).cast("double"))
+          .otherwise((col("t_all") - col("t_g")).cast("double") /
+            (col("n_all") - col("n_g")).cast("double")).as("loo_mean"),
+        when(col("n_all") === col("n_g") || col("n_all") === 0L,
+          lit(null).cast("double"))
+          .otherwise((col("t_all") - col("t_g")).cast("double") /
+            (col("n_all") - col("n_g")).cast("double") -
+            col("t_all").cast("double") / col("n_all").cast("double"))
+          .as("delta"))
+  }
 }

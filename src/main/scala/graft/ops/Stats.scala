@@ -441,6 +441,75 @@ object Stats {
         .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
   }
 
+  /** Dyadic Poisson(1) CDF thresholds in units of 2^-28: multiplicity
+    * = #(u ≥ t_k) over a 28-bit md5 draw u. The distribution is the
+    * documented APPROXIMATION (Poisson(1) quantized to 2^-28, tail
+    * truncated at 6, P ≈ 5.9·10^-4 of mass mapped to 6) — the
+    * approximation lives in the resampling DESIGN; the arithmetic is
+    * exact and both engines compute the identical multiplicity. */
+  val PoissonThresholds: Seq[Long] =
+    Seq(98751885L, 197503771L, 246879713L, 263338361L, 267453023L,
+      268275955L)
+
+  /** Poisson bootstrap (the resampling scheme that works on a stream
+    * or a 100 TB scan: each row's multiplicity in replicate r is an
+    * independent ~Poisson(1) draw — no global n needed, so no
+    * coordination; Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): standard error of the corpus
+    * TOTAL (and mean) of `valueExpr` under resampling. Multiplicities
+    * are pure functions of (id, replicate, salt) — one md5, 28 bits,
+    * [[PoissonThresholds]] — so the whole card replays bit-identically
+    * anywhere. Replicate totals are integers; the spread
+    * R·ΣT² − (ΣT)² is DECIMAL-exact; one division + one IEEE sqrt at
+    * the end.
+    *
+    * Scale: the R-fold explode is transient map-side CPU — partial
+    * aggregation collapses each partition to ≤ R rows, so the shuffle
+    * carries R rows per partition regardless of corpus size.
+    *
+    * @return one row: r (replicates), n (corpus rows), total (the
+    *         un-resampled Σ value), boot_mean_total (= ΣT_r/R),
+    *         se_total (sd of T_r), se_mean (= se_total/n) */
+  def poissonBootstrap(df: DataFrame, idExpr: String, valueExpr: String,
+                       replicates: Int, salt: String): DataFrame = {
+    require(replicates >= 2 && replicates <= 1024,
+      s"replicates in [2, 1024], got $replicates")
+    val base = df.select(expr(idExpr).cast("string").as("id"),
+      expr(valueExpr).cast("long").as("v"))
+    val overall = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("v")).cast("long").as("total"))
+    val rep = base.select(col("id"), col("v"),
+      explode(expr(s"sequence(0, ${replicates - 1})")).as("r"))
+    val withU = rep.withColumn("u",
+      expr("cast(conv(substring(md5(concat(id, '_', cast(r as string)" +
+        s", '$salt')), 1, 7), 16, 10) as bigint)"))
+    val m = PoissonThresholds
+      .foldLeft(lit(0L)) { (acc, t) =>
+        acc + when(col("u") >= t, 1L).otherwise(0L)
+      }
+    val totals = withU.select(col("r"), (m * col("v")).as("mv"))
+      .groupBy(col("r")).agg(sum(col("mv")).cast("long").as("t"))
+    val spread = totals.agg(
+      count(lit(1)).cast("long").as("r_n"),
+      sum(col("t").cast("decimal(19,0)")).cast("decimal(38,0)").as("st"),
+      sum((col("t").cast("decimal(19,0)") * col("t").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("st2"))
+    val vNum = ((col("r_n").cast("decimal(19,0)") * col("st2"))
+      .cast("decimal(38,0)") - (col("st") * col("st")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val vDen = col("r_n") * (col("r_n") - 1L)
+    overall.crossJoin(spread).select(
+      col("r_n").as("r"), col("n"), col("total"),
+      (col("st").cast("double") / col("r_n").cast("double"))
+        .as("boot_mean_total"),
+      when(col("r_n") < 2L, lit(null).cast("double"))
+        .otherwise(sqrt(vNum.cast("double") / vDen.cast("double")))
+        .as("se_total"),
+      when(col("r_n") < 2L || col("n") === 0L, lit(null).cast("double"))
+        .otherwise(sqrt(vNum.cast("double") / vDen.cast("double")) /
+          col("n").cast("double")).as("se_mean"))
+  }
+
   /** KS drift monitor against the ADDITIVE histogram store
     * ([[Quantiles.storeAppend]]): D between the store's merged
     * reference CDF and an incoming batch's, at the store's bucket

@@ -8896,6 +8896,84 @@ object Queries {
        |    END AS phi
        |FROM st""".stripMargin)
 
+  /** Poisson-bootstrap uncertainty ([[graft.ops.Stats.poissonBootstrap]]):
+    * standard error of the corpus value total (and mean) under
+    * hash-deterministic resampling — per-row Poisson(1) multiplicities
+    * need no global n, so the card runs on a stream or a 100 TB scan
+    * with zero coordination; the R-fold explode collapses map-side to
+    * R rows per partition. The oracle replays every draw. */
+  val qBootstrapSe: Q = "q_bootstrap_se" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      graft.ops.Stats.poissonBootstrap(ev, "event_id", "cents",
+        replicates = 64, salt = "boot13")
+    },
+    {
+      val mSql = graft.ops.Stats.PoissonThresholds
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $EV,
+         |base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM ev),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS total FROM base),
+         |rep AS (SELECT id, v, unnest(range(64)) AS r FROM base),
+         |uu AS (SELECT r, v, CAST('0x' || substr(md5(id || '_'
+         |    || CAST(r AS VARCHAR) || 'boot13'), 1, 7) AS BIGINT) AS u
+         |  FROM rep),
+         |mm AS (SELECT r, CAST(($mSql) AS BIGINT) * v AS mv FROM uu),
+         |tt AS (SELECT r, CAST(sum(mv) AS BIGINT) AS t FROM mm GROUP BY r),
+         |sp AS (SELECT CAST(count(*) AS BIGINT) AS r_n,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS st2
+         |  FROM tt),
+         |vv AS (SELECT r_n, st, st2,
+         |    CAST(CAST(CAST(r_n AS DECIMAL(19,0)) * st2 AS DECIMAL(38,0))
+         |      - CAST(st * st AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS v_num,
+         |    r_n * (r_n - 1) AS v_den
+         |  FROM sp)
+         |SELECT r_n AS r, n, total,
+         |  CAST(st AS DOUBLE) / CAST(r_n AS DOUBLE) AS boot_mean_total,
+         |  CASE WHEN r_n < 2 THEN NULL
+         |    ELSE sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE))
+         |    END AS se_total,
+         |  CASE WHEN r_n < 2 OR n = 0 THEN NULL
+         |    ELSE sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE))
+         |      / CAST(n AS DOUBLE) END AS se_mean
+         |FROM ov, vv""".stripMargin
+    })
+
+  /** Leave-one-source-out influence
+    * ([[graft.ops.Profile.leaveOneOutInfluence]]): which source moves
+    * the corpus mean token count most — the jackknife-style
+    * data-attribution card a domain-cap decision reads. Every
+    * leave-one-out mean is one exact division. */
+  val qLooInfluence: Q = "q_loo_influence" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Profile.leaveOneOutInfluence(
+        Tables.documents(s, d)
+          .select(col("source"),
+            Text.tokenCount(col("text")).cast("long").as("toks")),
+        "source", "toks")
+        .orderBy(col("source")),
+    s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+       |    CAST(sum(len($TOKS)) AS BIGINT) AS t_g
+       |  FROM documents GROUP BY source),
+       |ov AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_all,
+       |    CAST(sum(t_g) AS BIGINT) AS t_all FROM g)
+       |SELECT source, n_g, t_g, t_all - t_g AS loo_num,
+       |  n_all - n_g AS loo_den,
+       |  CASE WHEN n_all = n_g THEN NULL
+       |    ELSE CAST(t_all - t_g AS DOUBLE) / CAST(n_all - n_g AS DOUBLE)
+       |    END AS loo_mean,
+       |  CASE WHEN n_all = n_g OR n_all = 0 THEN NULL
+       |    ELSE CAST(t_all - t_g AS DOUBLE) / CAST(n_all - n_g AS DOUBLE)
+       |      - CAST(t_all AS DOUBLE) / CAST(n_all AS DOUBLE) END AS delta
+       |FROM g, ov ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -8959,5 +9037,6 @@ object Queries {
     qMannWhitney, qKsTest, qKappaLangid, qChi2Assoc, qGkLambda,
     qSpearman, qKsDriftStored,
     qWilcoxon, qMcnemar, qFleissKappa, qMedianTest, qKsDriftAsof,
+    qBootstrapSe, qLooInfluence,
   )
 }

@@ -265,6 +265,50 @@ class StatsSpec extends SparkTestBase {
     assert(r.getAs[Long]("bad_items") === 1L)
   }
 
+  // ------------------------------------------------ Poisson bootstrap
+
+  test("poissonBootstrap: deterministic replay, sane estimates") {
+    val df = (1L to 400L).map(i => (i, 10L)).toDF("id", "v")
+    val r1 = Stats.poissonBootstrap(df, "id", "v", replicates = 32,
+      salt = "s1").collect().head
+    val r2 = Stats.poissonBootstrap(df, "id", "v", replicates = 32,
+      salt = "s1").collect().head
+    assert(r1 === r2, "same salt must replay bit-identically")
+    assert(r1.getAs[Long]("r") === 32L)
+    assert(r1.getAs[Long]("n") === 400L)
+    assert(r1.getAs[Long]("total") === 4000L)
+    // E[multiplicity] ≈ 1 → bootstrap totals center on the real total
+    assert(math.abs(r1.getAs[Double]("boot_mean_total") - 4000.0) < 400.0)
+    // constant v = 10: T_r = 10·Poisson(n) → se_total ≈ 10·√400 = 200
+    val se = r1.getAs[Double]("se_total")
+    assert(se > 100.0 && se < 320.0, s"se_total $se implausible for n=400")
+    assert(r1.getAs[Double]("se_mean") === se / 400.0)
+    // a different salt is a fresh randomization
+    val r3 = Stats.poissonBootstrap(df, "id", "v", replicates = 32,
+      salt = "s2").collect().head
+    assert(r3.getAs[Double]("se_total") !== se)
+  }
+
+  // ------------------------------------------- leave-one-out influence
+
+  test("leaveOneOutInfluence: hand fixture and whole-corpus NULL") {
+    import graft.ops.Profile
+    // a: {1,3} (n=2, T=4), b: {5}: overall mean 3; drop a → 5, drop b → 2
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L)).toDF("src", "v")
+    val m = Profile.leaveOneOutInfluence(df, "src", "v").collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    assert(m("a").getAs[Long]("loo_num") === 5L)
+    assert(m("a").getAs[Long]("loo_den") === 1L)
+    assert(m("a").getAs[Double]("loo_mean") === 5.0)
+    assert(m("a").getAs[Double]("delta") === 2.0)
+    assert(m("b").getAs[Double]("loo_mean") === 2.0)
+    assert(m("b").getAs[Double]("delta") === -1.0)
+    val solo = Seq(("only", 7L)).toDF("src", "v")
+    val rs = Profile.leaveOneOutInfluence(solo, "src", "v").collect().head
+    assert(rs.isNullAt(rs.fieldIndex("loo_mean")))
+    assert(rs.isNullAt(rs.fieldIndex("delta")))
+  }
+
   // ---------------------------------------------- KS drift from store
 
   test("ksDriftFromStore: identical batch is flat, shifted batch drifts") {
