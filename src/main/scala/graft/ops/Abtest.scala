@@ -72,6 +72,80 @@ object Abtest {
         .otherwise((pB - pA) / se).as("z"))): _*)
   }
 
+  /** CUPED-adjusted experiment readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013): reduce metric variance with a pre-experiment
+    * covariate — adjusted metric y' = y − θ(x − x̄) with
+    * θ = cov(x,y)/var(x) pooled across arms. The LIFT on y' needs no
+    * per-row adjusted values at all: algebraically
+    * lift_cuped = (ȳ_b − ȳ_a) − θ·(x̄_b − x̄_a), so the whole card is
+    * a handful of deterministic double ops over DECIMAL-exact integer
+    * moment sums (per-unit metric/covariate totals are integers) —
+    * engine-replayable where a per-row adjusted-sum would be an
+    * order-dependent float fold. var_reduction = ρ²(x,y) is the
+    * fraction of metric variance the covariate removes (the
+    * sample-size multiplier the experimenter reads).
+    *
+    * Assignment is the same sticky md5-bit bucketing as [[readout]].
+    * θ/lift_cuped/var_reduction are NULL on an empty arm or a
+    * zero-variance covariate (falls back to reading lift_raw).
+    *
+    * @param yExpr per-row metric contribution (summed per unit; integer)
+    * @param xExpr per-row PRE-EXPERIMENT covariate contribution (must
+    *              be causally prior to assignment — same unit's metric
+    *              last period is the standard choice)
+    * @return one row: n_a, n_b, sy_a, sy_b, theta, lift_raw,
+    *         lift_cuped, var_reduction */
+  def cupedReadout(df: DataFrame, unitExpr: String, yExpr: String,
+                   xExpr: String, salt: String): DataFrame = {
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(yExpr).cast("long").as("yr"),
+        expr(xExpr).cast("long").as("xr"))
+      .groupBy(col("unit"))
+      .agg(sum(col("yr")).cast("long").as("y"),
+        sum(col("xr")).cast("long").as("x"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val agg = units.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).cast("long")
+        .as("sy_a"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).cast("long")
+        .as("sy_b"),
+      sum(when(col("variant") === 0, col("x")).otherwise(0L)).cast("long")
+        .as("sx_a"),
+      sum(when(col("variant") === 1, col("x")).otherwise(0L)).cast("long")
+        .as("sx_b"),
+      sum(col("x").cast(d19) * col("x").cast(d19)).cast(d38).as("sxx"),
+      sum(col("x").cast(d19) * col("y").cast(d19)).cast(d38).as("sxy"),
+      sum(col("y").cast(d19) * col("y").cast(d19)).cast(d38).as("syy"))
+    val n = col("n_a") + col("n_b")
+    val sx = (col("sx_a") + col("sx_b")).cast(d19)
+    val sy = (col("sy_a") + col("sy_b")).cast(d19)
+    val thNum = (n.cast(d19) * col("sxy") - (sx * sy).cast(d38)).cast(d38)
+    val thDen = (n.cast(d19) * col("sxx") - (sx * sx).cast(d38)).cast(d38)
+    val syc = (n.cast(d19) * col("syy") - (sy * sy).cast(d38)).cast(d38)
+    val theta = thNum.cast("double") / thDen.cast("double")
+    val meanDiffY = col("sy_b").cast("double") / col("n_b").cast("double") -
+      col("sy_a").cast("double") / col("n_a").cast("double")
+    val meanDiffX = col("sx_b").cast("double") / col("n_b").cast("double") -
+      col("sx_a").cast("double") / col("n_a").cast("double")
+    val emptyArm = col("n_a") === 0L || col("n_b") === 0L
+    val degenerate = emptyArm || thDen === lit(0).cast(d38)
+    agg.select(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
+      when(degenerate, lit(null).cast("double")).otherwise(theta).as("theta"),
+      when(emptyArm, lit(null).cast("double")).otherwise(meanDiffY)
+        .as("lift_raw"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(meanDiffY - theta * meanDiffX).as("lift_cuped"),
+      when(degenerate || syc === lit(0).cast(d38), lit(null).cast("double"))
+        .otherwise((thNum.cast("double") * thNum.cast("double")) /
+          (thDen.cast("double") * syc.cast("double"))).as("var_reduction"))
+  }
+
   /** DuckDB mirror over `src(<groupCols...>, unit, c)` with c already
     * 0/1 — CTEs ending in `ab(<groupCols...>, n_a, conv_a, n_b, conv_b,
     * rate_a, rate_b, lift, z)`. */

@@ -8974,6 +8974,80 @@ object Queries {
        |      - CAST(t_all AS DOUBLE) / CAST(n_all AS DOUBLE) END AS delta
        |FROM g, ov ORDER BY source""".stripMargin)
 
+  /** CUPED-adjusted A/B readout ([[graft.ops.Abtest.cupedReadout]]):
+    * per-user late-window spend adjusted by early-window spend (the
+    * standard pre-experiment covariate). The lift needs no per-row
+    * adjusted values — algebra reduces it to exact moment sums, so
+    * the card is engine-replayable where a per-row adjusted fold is
+    * order-dependent. Run without a real treatment this is the
+    * CUPED A/A instrument check. */
+  val qCuped: Q = "q_cuped" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          when(expr("(ts_us div 86400000000) % 2") === 1, cents)
+            .otherwise(0L).as("y_late"),
+          when(expr("(ts_us div 86400000000) % 2") === 0, cents)
+            .otherwise(0L).as("x_early"))
+      graft.ops.Abtest.cupedReadout(ev, "user_id", "y_late", "x_early",
+        salt = "cuped13")
+    },
+    s"""WITH $EV,
+       |un AS (SELECT user_id AS unit,
+       |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 1
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS y,
+       |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 0
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS x
+       |  FROM ev GROUP BY 1),
+       |va AS (SELECT y, x, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+       |    || 'cuped13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+       |ag AS (SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+       |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+       |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxx,
+       |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxy,
+       |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS syy
+       |  FROM va),
+       |st AS (SELECT *, n_a + n_b AS n,
+       |    CAST(sx_a + sx_b AS DECIMAL(19,0)) AS sx,
+       |    CAST(sy_a + sy_b AS DECIMAL(19,0)) AS sy FROM ag),
+       |st2 AS (SELECT *,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx * sy AS DECIMAL(38,0))
+       |      AS DECIMAL(38,0)) AS th_num,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx * sx AS DECIMAL(38,0))
+       |      AS DECIMAL(38,0)) AS th_den,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy * sy AS DECIMAL(38,0))
+       |      AS DECIMAL(38,0)) AS syc
+       |  FROM st)
+       |SELECT n_a, n_b, sy_a, sy_b,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR th_den = 0 THEN NULL
+       |    ELSE CAST(th_num AS DOUBLE) / CAST(th_den AS DOUBLE) END AS theta,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |      - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS lift_raw,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR th_den = 0 THEN NULL
+       |    ELSE CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |      - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |      - CAST(th_num AS DOUBLE) / CAST(th_den AS DOUBLE)
+       |        * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |          - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       |    END AS lift_cuped,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR th_den = 0 OR syc = 0 THEN NULL
+       |    ELSE (CAST(th_num AS DOUBLE) * CAST(th_num AS DOUBLE))
+       |      / (CAST(th_den AS DOUBLE) * CAST(syc AS DOUBLE))
+       |    END AS var_reduction
+       |FROM st2""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9037,6 +9111,6 @@ object Queries {
     qMannWhitney, qKsTest, qKappaLangid, qChi2Assoc, qGkLambda,
     qSpearman, qKsDriftStored,
     qWilcoxon, qMcnemar, qFleissKappa, qMedianTest, qKsDriftAsof,
-    qBootstrapSe, qLooInfluence,
+    qBootstrapSe, qLooInfluence, qCuped,
   )
 }

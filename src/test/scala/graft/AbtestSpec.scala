@@ -54,4 +54,34 @@ class AbtestSpec extends SparkTestBase {
     assert(Abtest.readout(none, Nil, "u", "c", "s")
       .select("z").collect().head.isNullAt(0))
   }
+
+  test("cuped: a perfect covariate removes all variance and all lift") {
+    // x ≡ y: θ = cov(y,y)/var(y) = 1 exactly (integer rationals),
+    // adjusted metric is constant → lift_cuped = 0, var_reduction = 1
+    val df = (1L to 200L).map(u => (u, u % 37 * 10L)).toDF("u", "m")
+      .selectExpr("u", "m as y", "m as x")
+    val r = Abtest.cupedReadout(df, "u", "y", "x", "s").collect().head
+    assert(r.getAs[Double]("theta") === 1.0)
+    assert(r.getAs[Double]("lift_cuped") === 0.0)
+    assert(r.getAs[Double]("var_reduction") === 1.0)
+  }
+
+  test("cuped: constant covariate degrades loudly to NULL, lift_raw intact") {
+    val df = (1L to 100L).map(u => (u, u % 11, 5L)).toDF("u", "y", "x")
+    val r = Abtest.cupedReadout(df, "u", "y", "x", "s").collect().head
+    assert(r.isNullAt(r.fieldIndex("theta")))
+    assert(r.isNullAt(r.fieldIndex("lift_cuped")))
+    assert(!r.isNullAt(r.fieldIndex("lift_raw")))
+  }
+
+  test("cuped: per-row contributions aggregate to unit grain first") {
+    // two rows per unit sum to the same (y, x) as the one-row form
+    val twoRow = (1L to 60L).flatMap(u =>
+      Seq((u, u % 7, u % 5), (u, u % 7, u % 5))).toDF("u", "y", "x")
+    val oneRow = (1L to 60L).map(u =>
+      (u, 2L * (u % 7), 2L * (u % 5))).toDF("u", "y", "x")
+    val a = Abtest.cupedReadout(twoRow, "u", "y", "x", "s").collect().head
+    val b = Abtest.cupedReadout(oneRow, "u", "y", "x", "s").collect().head
+    assert(a === b)
+  }
 }
