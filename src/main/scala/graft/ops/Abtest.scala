@@ -146,6 +146,48 @@ object Abtest {
           (thDen.cast("double") * syc.cast("double"))).as("var_reduction"))
   }
 
+  /** Minimum-detectable-effect planner: given the traffic THIS
+    * assignment actually produced and the pooled base rate, the
+    * smallest absolute lift the two-proportion z test would flag —
+    * mde = (z_α/2 + z_β)·√(2·p(1−p)/n_harm), n_harm the harmonic
+    * per-arm size 2/(1/n_a + 1/n_b). The answer to "is it worth
+    * launching this experiment yet". z quantiles are caller-supplied
+    * CONSTANTS (defaults: two-sided α = 0.05, power 0.80 → 1.959964 +
+    * 0.841621), so the card is deterministic doubles over exact
+    * counts, no erf anywhere. NULL on an empty arm or degenerate
+    * pooled rate.
+    *
+    * @return one row: n_a, n_b, conv_a, conv_b, p_pool, mde_abs */
+  def mdeCard(df: DataFrame, unitExpr: String, convExpr: String,
+              salt: String, zAlpha: Double = 1.959964,
+              zBeta: Double = 0.841621): DataFrame = {
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(convExpr).cast("boolean").as("c"))
+      .groupBy(col("unit"))
+      .agg(max(when(col("c"), 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val agg = units.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+        .cast("long").as("conv_a"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+        .cast("long").as("conv_b"))
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val degenerate = col("n_a") === 0L || col("n_b") === 0L
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(degenerate, lit(null).cast("double")).otherwise(p).as("p_pool"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(lit(zAlpha + zBeta) *
+          sqrt(p * (lit(1.0) - p) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double")))).as("mde_abs"))
+  }
+
   /** DuckDB mirror over `src(<groupCols...>, unit, c)` with c already
     * 0/1 — CTEs ending in `ab(<groupCols...>, n_a, conv_a, n_b, conv_b,
     * rate_a, rate_b, lift, z)`. */

@@ -9048,6 +9048,142 @@ object Queries {
        |    END AS var_reduction
        |FROM st2""".stripMargin)
 
+  /** Per-category specific agreement
+    * ([[graft.ops.Stats.specificAgreement]]) over the same 3-rater
+    * panel as [[qFleissKappa]] — WHICH label do the raters actually
+    * disagree on (the drill-down the single kappa number summarizes
+    * away). */
+  val qSpecificAgreement: Q = "q_specific_agreement" -> (
+    (s: SparkSession, d: String) => {
+      val t = col("text")
+      def h(lex: Seq[String]) = Text.stopwordHits(t, lex)
+      val hEn = h(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val hEs = h(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val hFr = h(Seq("le", "la", "de", "et", "un", "une", "est"))
+      val hDe = h(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val v1 = Text.langId(t)
+      val v2 = when(hEn > 0, lit("en")).otherwise(lit("und"))
+      val v3 = when(hDe > 0 && hDe >= hEs && hDe >= hFr, lit("de"))
+        .when(hEs > 0 && hEs >= hFr, lit("es"))
+        .when(hFr > 0, lit("fr")).otherwise(lit("und"))
+      val votes = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(v1, v2, v3)).as("vote"))
+      graft.ops.Stats.specificAgreement(votes, "doc_id", "vote", raters = 3)
+        .orderBy(col("cat"))
+    },
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT doc_id, $de AS h_de, $en AS h_en, $es AS h_es,
+         |    $fr AS h_fr FROM documents),
+         |votes AS (
+         |  SELECT doc_id, CASE
+         |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS vote FROM h
+         |  UNION ALL SELECT doc_id,
+         |    CASE WHEN h_en > 0 THEN 'en' ELSE 'und' END FROM h
+         |  UNION ALL SELECT doc_id, CASE
+         |    WHEN h_de > 0 AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END FROM h),
+         |cells AS (SELECT doc_id AS item, vote AS cat,
+         |    CAST(count(*) AS BIGINT) AS nij FROM votes GROUP BY 1, 2)
+         |SELECT cat, CAST(sum(nij) AS BIGINT) AS t_j,
+         |  CAST(sum(nij * (nij - 1)) AS BIGINT) AS s_num,
+         |  2 * CAST(sum(nij) AS BIGINT) AS s_den,
+         |  CASE WHEN CAST(sum(nij) AS BIGINT) = 0 THEN NULL
+         |    ELSE CAST(sum(nij * (nij - 1)) AS DOUBLE)
+         |      / CAST(2 * CAST(sum(nij) AS BIGINT) AS DOUBLE)
+         |    END AS specific_agreement
+         |FROM cells GROUP BY cat ORDER BY cat""".stripMargin
+    })
+
+  /** Benford first-digit audit ([[graft.ops.Stats.benfordDigits]]) of
+    * the event value column — the fabricated/corrupted-feed screen:
+    * per digit, observed vs the dyadic-exact Benford expectation with
+    * an all-integer deviation. */
+  val qBenford: Q = "q_benford" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      graft.ops.Stats.benfordDigits(ev, "cents").orderBy(col("digit"))
+    },
+    {
+      val p20 = graft.ops.Stats.Benford20.mkString("[", ", ", "]")
+      s"""WITH $EV,
+         |v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM ev),
+         |tot AS (SELECT
+         |    CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN v > 0 THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_excluded
+         |  FROM v),
+         |cnt AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS obs
+         |  FROM v WHERE v > 0 GROUP BY 1),
+         |dig AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit,
+         |    CAST(unnest($p20) AS BIGINT) AS p20)
+         |SELECT digit, COALESCE(obs, 0) AS obs, n, n_excluded,
+         |  n * p20 AS exp_num,
+         |  abs(COALESCE(obs, 0) * 1048576 - n * p20) AS dev_num,
+         |  CASE WHEN n = 0 THEN NULL
+         |    ELSE CAST(COALESCE(obs, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+         |    END AS share,
+         |  CAST(p20 AS DOUBLE) / 1048576.0 AS benford_p
+         |FROM dig LEFT JOIN cnt USING (digit) CROSS JOIN tot
+         |ORDER BY digit""".stripMargin
+    })
+
+  /** Minimum-detectable-effect planner ([[graft.ops.Abtest.mdeCard]]):
+    * with this traffic and base rate, what lift could the z test even
+    * see — the "is the experiment worth launching" card; deterministic
+    * doubles over exact counts (the z quantiles are shared literal
+    * constants, no erf anywhere). */
+  val qMde: Q = "q_mde" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.mdeCard(Tables.events(s, d), "user_id",
+        "event_type = 'purchase' AND value >= 100.0", salt = "exp13"),
+    s"""WITH $EV,
+       |un AS (SELECT user_id AS unit,
+       |    max(CASE WHEN event_type = 'purchase' AND value >= 100.0
+       |      THEN 1 ELSE 0 END) AS converted
+       |  FROM ev GROUP BY 1),
+       |va AS (SELECT converted,
+       |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp13'), 1, 7)
+       |      AS BIGINT) % 2 AS variant FROM un),
+       |ag AS (SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_b
+       |  FROM va)
+       |SELECT n_a, n_b, conv_a, conv_b,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+       |    END AS p_pool,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE (1.959964 + 0.841621)
+       |      * sqrt(CAST(conv_a + conv_b AS DOUBLE)
+       |          / CAST(n_a + n_b AS DOUBLE)
+       |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+       |          / CAST(n_a + n_b AS DOUBLE))
+       |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |    END AS mde_abs
+       |FROM ag""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9112,5 +9248,6 @@ object Queries {
     qSpearman, qKsDriftStored,
     qWilcoxon, qMcnemar, qFleissKappa, qMedianTest, qKsDriftAsof,
     qBootstrapSe, qLooInfluence, qCuped,
+    qSpecificAgreement, qBenford, qMde,
   )
 }

@@ -265,6 +265,66 @@ class StatsSpec extends SparkTestBase {
     assert(r.getAs[Long]("bad_items") === 1L)
   }
 
+  // ------------------------------------------- specific agreement
+
+  test("specificAgreement: per-category drill-down of the Fleiss fixture") {
+    // i1 (a,a), i2 (a,b), r=2: cat a → Σn(n−1)=2 over t=3 → 2/3;
+    // cat b → 0/1 = 0 (the label raters never co-pick)
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "cat")
+    val m = Stats.specificAgreement(df, "item", "cat", raters = 2)
+      .collect().map(r => r.getAs[String]("cat") -> r).toMap
+    assert(m("a").getAs[Long]("t_j") === 3L)
+    assert(m("a").getAs[Long]("s_num") === 2L)
+    assert(m("a").getAs[Long]("s_den") === 3L)
+    assert(m("a").getAs[Double]("specific_agreement") === 2.0 / 3.0)
+    assert(m("b").getAs[Double]("specific_agreement") === 0.0)
+  }
+
+  // --------------------------------------------------------- Benford
+
+  test("benfordDigits: all 9 rows, absent digits at zero, exclusions counted") {
+    val df = Seq(1L, 1L, 2L, 0L, -5L).toDF("v")
+    val rows = Stats.benfordDigits(df, "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(rows.size === 9, "every digit row must exist")
+    assert(rows(1).getAs[Long]("obs") === 2L)
+    assert(rows(2).getAs[Long]("obs") === 1L)
+    assert(rows(9).getAs[Long]("obs") === 0L)
+    assert(rows(1).getAs[Long]("n") === 3L)
+    assert(rows(1).getAs[Long]("n_excluded") === 2L)
+    // exact integer deviation: |2·2^20 − 3·315652| = |2097152 − 946956|
+    assert(rows(1).getAs[Long]("dev_num") === 2097152L - 3L * 315652L)
+    assert(rows(1).getAs[Double]("share") === 2.0 / 3.0)
+  }
+
+  test("benfordDigits: a Benford-ish geometric sample lands near expectation") {
+    // powers-of-2 first digits follow Benford closely
+    val df = (0 until 64).map(i => BigInt(2).pow(i).toString.take(1).toLong)
+      .toDF("v")
+    val rows = Stats.benfordDigits(df, "v").collect()
+    val d1 = rows.find(_.getAs[Int]("digit") == 1).get
+    assert(math.abs(d1.getAs[Double]("share") -
+      d1.getAs[Double]("benford_p")) < 0.02)
+  }
+
+  // ------------------------------------------------------------ MDE
+
+  test("mdeCard: identity with the hand formula; more traffic = smaller MDE") {
+    import graft.ops.Abtest
+    def card(n: Long) = Abtest.mdeCard(
+      (1L to n).map(u => (u, u % 10 == 0)).toDF("u", "c"),
+      "u", "c", "s").collect().head
+    val small = card(200L); val big = card(2000L)
+    val (na, nb) = (small.getAs[Long]("n_a"), small.getAs[Long]("n_b"))
+    val p = (small.getAs[Long]("conv_a") + small.getAs[Long]("conv_b"))
+      .toDouble / (na + nb)
+    val want = (1.959964 + 0.841621) *
+      math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(small.getAs[Double]("mde_abs") - want) < 1e-12)
+    assert(big.getAs[Double]("mde_abs") < small.getAs[Double]("mde_abs"))
+  }
+
   // ------------------------------------------------ Poisson bootstrap
 
   test("poissonBootstrap: deterministic replay, sane estimates") {
