@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A/B experiment readout — deterministic unit-level variant
@@ -144,6 +144,80 @@ object Abtest {
       when(degenerate || syc === lit(0).cast(d38), lit(null).cast("double"))
         .otherwise((thNum.cast("double") * thNum.cast("double")) /
           (thDen.cast("double") * syc.cast("double"))).as("var_reduction"))
+  }
+
+  /** Ratio-metric experiment readout with the DELTA-METHOD variance
+    * (Deng, Knoblich & Lu, KDD 2018 — the standard for metrics like
+    * clicks-per-view or revenue-per-session where the unit of analysis
+    * is not the unit of randomization): per arm R = ΣY/ΣX over units,
+    * Var(R̂) ≈ (s_yy − 2R·s_xy + R²·s_xx)/(n·x̄²), z on the arm
+    * difference. A naive per-unit y_i/x_i mean is BIASED (Jensen) and
+    * explodes on x_i = 0; the ratio-of-sums with delta variance is the
+    * estimator that survives review.
+    *
+    * Exactness: per-unit sums are integers, every centered moment
+    * n·S_ab − S_a·S_b is DECIMAL-exact, and the handful of remaining
+    * ops are deterministic IEEE doubles mirrored verbatim in the
+    * oracle. NULL ratio/z on an empty arm, an arm with ΣX = 0, or
+    * n < 2 per arm (no variance to estimate).
+    *
+    * @return one row: n_a, n_b, sx_a, sy_a, sx_b, sy_b, ratio_a,
+    *         ratio_b, diff, z */
+  def ratioReadout(df: DataFrame, unitExpr: String, xExpr: String,
+                   yExpr: String, salt: String): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(xExpr).cast("long").as("xr"),
+        expr(yExpr).cast("long").as("yr"))
+      .groupBy(col("unit"))
+      .agg(sum(col("xr")).cast("long").as("x"),
+        sum(col("yr")).cast("long").as("y"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    def arm(v: Int, sfx: String): DataFrame = units
+      .filter(col("variant") === v)
+      .agg(count(lit(1)).cast("long").as(s"n_$sfx"),
+        coalesce(sum(col("x")), lit(0L)).cast("long").as(s"sx_$sfx"),
+        coalesce(sum(col("y")), lit(0L)).cast("long").as(s"sy_$sfx"),
+        coalesce(sum((col("x").cast(d19) * col("x").cast(d19)).cast(d38)),
+          lit(0).cast(d38)).cast(d38).as(s"sxx_$sfx"),
+        coalesce(sum((col("x").cast(d19) * col("y").cast(d19)).cast(d38)),
+          lit(0).cast(d38)).cast(d38).as(s"sxy_$sfx"),
+        coalesce(sum((col("y").cast(d19) * col("y").cast(d19)).cast(d38)),
+          lit(0).cast(d38)).cast(d38).as(s"syy_$sfx"))
+    val j = arm(0, "a").crossJoin(arm(1, "b"))
+    // per-arm pieces, each mirrored verbatim in the oracle SQL
+    def pieces(s: String): (Column, Column) = {
+      val n = col(s"n_$s"); val sx = col(s"sx_$s"); val sy = col(s"sy_$s")
+      val r = sy.cast("double") / sx.cast("double")
+      def cm(sab: Column, sa: Column, sb: Column): Column =
+        (n.cast(d19) * sab - (sa.cast(d19) * sb.cast(d19)).cast(d38))
+          .cast(d38).cast("double") /
+          (n.cast("double") * (n - 1L).cast("double"))
+      val xbar = sx.cast("double") / n.cast("double")
+      val v = (cm(col(s"syy_$s"), sy, sy) -
+        lit(2.0) * r * cm(col(s"sxy_$s"), sx, sy) +
+        r * r * cm(col(s"sxx_$s"), sx, sx)) /
+        (n.cast("double") * xbar * xbar)
+      (r, v)
+    }
+    val (ra, va) = pieces("a"); val (rb, vb) = pieces("b")
+    val bad = col("n_a") < 2L || col("n_b") < 2L ||
+      col("sx_a") === 0L || col("sx_b") === 0L
+    val nullD = lit(null).cast("double")
+    j.select(col("n_a"), col("n_b"), col("sx_a"), col("sy_a"),
+      col("sx_b"), col("sy_b"),
+      when(bad, nullD).otherwise(ra).as("ratio_a"),
+      when(bad, nullD).otherwise(rb).as("ratio_b"),
+      when(bad, nullD).otherwise(rb - ra).as("diff"),
+      // nested guard: the variance condition itself divides by per-arm
+      // denominators, so it must only evaluate once `bad` is cleared
+      // (ANSI division errors are eager inside a flat OR condition)
+      when(bad, nullD).otherwise(
+        when(va + vb <= lit(0.0), nullD)
+          .otherwise((rb - ra) / sqrt(va + vb))).as("z"))
   }
 
   /** Minimum-detectable-effect planner: given the traffic THIS

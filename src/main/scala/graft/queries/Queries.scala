@@ -9184,6 +9184,81 @@ object Queries {
        |    END AS mde_abs
        |FROM ag""".stripMargin)
 
+  /** Ratio-metric A/B readout ([[graft.ops.Abtest.ratioReadout]]):
+    * purchase cents PER VIEW with the delta-method variance — the
+    * estimator for metrics whose analysis unit (views) differs from
+    * the randomization unit (users); a naive per-user ratio mean is
+    * Jensen-biased and explodes on zero-view users. */
+  val qAbRatio: Q = "q_ab_ratio" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("user_id"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("views"),
+        when(col("event_type") === "purchase", cents).otherwise(0L)
+          .as("purch"))
+      graft.ops.Abtest.ratioReadout(ev, "user_id", "views", "purch",
+        salt = "exp13")
+    },
+    {
+      def armCte(v: Int, s: String) =
+        s"""a$s AS (SELECT CAST(count(*) AS BIGINT) AS n_$s,
+           |    COALESCE(CAST(sum(x) AS BIGINT), 0) AS sx_$s,
+           |    COALESCE(CAST(sum(y) AS BIGINT), 0) AS sy_$s,
+           |    COALESCE(CAST(sum(CAST(x AS DECIMAL(19,0))
+           |      * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+           |      CAST(0 AS DECIMAL(38,0))) AS sxx_$s,
+           |    COALESCE(CAST(sum(CAST(x AS DECIMAL(19,0))
+           |      * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+           |      CAST(0 AS DECIMAL(38,0))) AS sxy_$s,
+           |    COALESCE(CAST(sum(CAST(y AS DECIMAL(19,0))
+           |      * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+           |      CAST(0 AS DECIMAL(38,0))) AS syy_$s
+           |  FROM va WHERE variant = $v)""".stripMargin
+      def cm(s: String, sab: String, sa: String, sb: String) =
+        s"""CAST(CAST(CAST(n_$s AS DECIMAL(19,0)) * $sab
+           | - CAST(CAST($sa AS DECIMAL(19,0)) * CAST($sb AS DECIMAL(19,0))
+           |   AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE)
+           | / (CAST(n_$s AS DOUBLE) * CAST(n_$s - 1 AS DOUBLE))"""
+          .stripMargin.replace("\n", "")
+      def pieceCte(s: String) =
+        s"""p$s AS (SELECT n_$s, sx_$s, sy_$s,
+           |    CAST(sy_$s AS DOUBLE) / CAST(sx_$s AS DOUBLE) AS r_$s,
+           |    ${cm(s, s"syy_$s", s"sy_$s", s"sy_$s")} AS cyy_$s,
+           |    ${cm(s, s"sxy_$s", s"sx_$s", s"sy_$s")} AS cxy_$s,
+           |    ${cm(s, s"sxx_$s", s"sx_$s", s"sx_$s")} AS cxx_$s,
+           |    CAST(sx_$s AS DOUBLE) / CAST(n_$s AS DOUBLE) AS xb_$s
+           |  FROM a$s),
+           |q$s AS (SELECT *,
+           |    (cyy_$s - 2.0 * r_$s * cxy_$s + r_$s * r_$s * cxx_$s)
+           |      / (CAST(n_$s AS DOUBLE) * xb_$s * xb_$s) AS v_$s
+           |  FROM p$s)""".stripMargin
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y
+         |  FROM ev GROUP BY 1),
+         |va AS (SELECT x, y, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+         |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+         |${armCte(0, "a")},
+         |${armCte(1, "b")},
+         |${pieceCte("a")},
+         |${pieceCte("b")}
+         |SELECT n_a, n_b, sx_a, sy_a, sx_b, sy_b,
+         |  CASE WHEN n_a < 2 OR n_b < 2 OR sx_a = 0 OR sx_b = 0 THEN NULL
+         |    ELSE r_a END AS ratio_a,
+         |  CASE WHEN n_a < 2 OR n_b < 2 OR sx_a = 0 OR sx_b = 0 THEN NULL
+         |    ELSE r_b END AS ratio_b,
+         |  CASE WHEN n_a < 2 OR n_b < 2 OR sx_a = 0 OR sx_b = 0 THEN NULL
+         |    ELSE r_b - r_a END AS diff,
+         |  CASE WHEN n_a < 2 OR n_b < 2 OR sx_a = 0 OR sx_b = 0
+         |      OR v_a + v_b <= 0.0 THEN NULL
+         |    ELSE (r_b - r_a) / sqrt(v_a + v_b) END AS z
+         |FROM qa, qb""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9248,6 +9323,6 @@ object Queries {
     qSpearman, qKsDriftStored,
     qWilcoxon, qMcnemar, qFleissKappa, qMedianTest, qKsDriftAsof,
     qBootstrapSe, qLooInfluence, qCuped,
-    qSpecificAgreement, qBenford, qMde,
+    qSpecificAgreement, qBenford, qMde, qAbRatio,
   )
 }

@@ -74,6 +74,54 @@ class AbtestSpec extends SparkTestBase {
     assert(!r.isNullAt(r.fieldIndex("lift_raw")))
   }
 
+  test("ratioReadout: delta-method identity against a Scala replay") {
+    def variantOf(u: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((u.toString + salt).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % 2
+    }
+    val units = (1L to 300L).map(u => (u, 1L + u % 9, (u % 23) * 7L))
+    val df = units.toDF("u", "x", "y")
+    val r = Abtest.ratioReadout(df, "u", "x", "y", "salt7").collect().head
+    def armStats(v: Long) = {
+      val rows = units.filter { case (u, _, _) => variantOf(u, "salt7") == v }
+      val n = rows.size.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(t => BigInt(t._2) * t._2).sum
+      val sxy = rows.map(t => BigInt(t._2) * t._3).sum
+      val syy = rows.map(t => BigInt(t._3) * t._3).sum
+      val rr = sy.toDouble / sx.toDouble
+      def cm(sab: BigInt, sa: Long, sb: Long) =
+        (BigInt(n) * sab - BigInt(sa) * BigInt(sb)).toDouble /
+          (n.toDouble * (n - 1).toDouble)
+      val xb = sx.toDouble / n.toDouble
+      val v0 = (cm(syy, sy, sy) - 2.0 * rr * cm(sxy, sx, sy) +
+        rr * rr * cm(sxx, sx, sx)) / (n.toDouble * xb * xb)
+      (n, sx, sy, rr, v0)
+    }
+    val (na, sxa, sya, ra, va) = armStats(0)
+    val (nb, _, _, rb, vb) = armStats(1)
+    assert(r.getAs[Long]("n_a") === na)
+    assert(r.getAs[Long]("sx_a") === sxa)
+    assert(r.getAs[Long]("sy_a") === sya)
+    assert(math.abs(r.getAs[Double]("diff") - (rb - ra)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") -
+      (rb - ra) / math.sqrt(va + vb)) < 1e-12)
+  }
+
+  test("ratioReadout: zero-denominator arm and tiny arms degrade to NULL") {
+    // every unit has x = 0 → sx = 0 on both arms
+    val zeroX = (1L to 50L).map(u => (u, 0L, u)).toDF("u", "x", "y")
+    val rz = Abtest.ratioReadout(zeroX, "u", "x", "y", "s").collect().head
+    assert(rz.isNullAt(rz.fieldIndex("ratio_a")))
+    assert(rz.isNullAt(rz.fieldIndex("z")))
+    // a single unit cannot yield n >= 2 on both arms
+    val one = Seq((1L, 2L, 3L)).toDF("u", "x", "y")
+    val ro = Abtest.ratioReadout(one, "u", "x", "y", "s").collect().head
+    assert(ro.isNullAt(ro.fieldIndex("z")))
+  }
+
   test("cuped: per-row contributions aggregate to unit grain first") {
     // two rows per unit sum to the same (y, x) as the one-row form
     val twoRow = (1L to 60L).flatMap(u =>
