@@ -262,6 +262,60 @@ object Abtest {
               lit(1.0) / col("n_b").cast("double")))).as("mde_abs"))
   }
 
+  /** Wilson score intervals for both arms' conversion rates (Wilson
+    * 1927 — the interval that behaves at small n and extreme p where
+    * the Wald ±z√(p(1−p)/n) collapses to zero width or exits [0,1]):
+    * center (p + z²/2n)/(1 + z²/n), half-width
+    * z·√(p(1−p)/n + z²/4n²)/(1 + z²/n). Deterministic doubles over
+    * exact counts, z a shared literal constant; `overlap` is the
+    * quick non-significance read (interval overlap is CONSERVATIVE —
+    * arms can overlap yet differ significantly; [[readout]]'s z is
+    * the test). NULL bounds on an empty arm.
+    *
+    * @return one row: n_a, conv_a, rate_a, lo_a, hi_a, n_b, conv_b,
+    *         rate_b, lo_b, hi_b, overlap */
+  def wilsonCi(df: DataFrame, unitExpr: String, convExpr: String,
+               salt: String, z: Double = 1.959964): DataFrame = {
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(convExpr).cast("boolean").as("c"))
+      .groupBy(col("unit"))
+      .agg(max(when(col("c"), 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val agg = units.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+        .cast("long").as("conv_a"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+        .cast("long").as("conv_b"))
+    def bounds(nC: Column, convC: Column): (Column, Column, Column) = {
+      val n = nC.cast("double"); val p = convC.cast("double") / n
+      val z2 = lit(z) * lit(z)
+      val denom = lit(1.0) + z2 / n
+      val center = (p + z2 / (lit(2.0) * n)) / denom
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+        z2 / (lit(4.0) * n * n)) / denom
+      (p, center - half, center + half)
+    }
+    val (ra, loA, hiA) = bounds(col("n_a"), col("conv_a"))
+    val (rb, loB, hiB) = bounds(col("n_b"), col("conv_b"))
+    val emptyArm = col("n_a") === 0L || col("n_b") === 0L
+    val nullD = lit(null).cast("double")
+    agg.select(col("n_a"), col("conv_a"),
+      when(emptyArm, nullD).otherwise(ra).as("rate_a"),
+      when(emptyArm, nullD).otherwise(loA).as("lo_a"),
+      when(emptyArm, nullD).otherwise(hiA).as("hi_a"),
+      col("n_b"), col("conv_b"),
+      when(emptyArm, nullD).otherwise(rb).as("rate_b"),
+      when(emptyArm, nullD).otherwise(loB).as("lo_b"),
+      when(emptyArm, nullD).otherwise(hiB).as("hi_b"),
+      when(emptyArm, lit(null).cast("boolean"))
+        .otherwise(loB <= hiA && loA <= hiB).as("overlap"))
+  }
+
   /** DuckDB mirror over `src(<groupCols...>, unit, c)` with c already
     * 0/1 — CTEs ending in `ab(<groupCols...>, n_a, conv_a, n_b, conv_b,
     * rate_a, rate_b, lift, z)`. */

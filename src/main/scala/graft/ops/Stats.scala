@@ -551,13 +551,57 @@ object Stats {
     *         un-resampled Σ value), boot_mean_total (= ΣT_r/R),
     *         se_total (sd of T_r), se_mean (= se_total/n) */
   def poissonBootstrap(df: DataFrame, idExpr: String, valueExpr: String,
-                       replicates: Int, salt: String): DataFrame = {
+                       replicates: Int, salt: String): DataFrame =
+    bootstrapReadout(bootstrapTotals(df, idExpr, valueExpr, replicates,
+      salt))
+
+  /** ADDITIVE store for [[poissonBootstrap]]: per-batch replicate
+    * totals. The Poisson bootstrap's deep property is that T_r is a
+    * SUM of per-row terms with per-(id, replicate) deterministic
+    * multiplicities — so replicate totals from disjoint batches ADD to
+    * exactly the one-shot totals over the union, and the maintained
+    * readout is bit-identical to rescanning everything (the spec pins
+    * it). Store rows: (r, t, n, tot) per replicate per batch; merge =
+    * plain sum per r. Exactly-once via [[Stores.appendCommit]] markers
+    * (sums are not idempotent), the [[Cms]] lifecycle. */
+  def bootstrapStoreAppend(df: DataFrame, path: String, batchTag: String,
+                           idExpr: String, valueExpr: String,
+                           replicates: Int, salt: String): Unit = {
+    val spark = df.sparkSession
+    val rows = bootstrapTotals(df, idExpr, valueExpr, replicates, salt)
+      .withColumn("tag", lit(batchTag))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      rows.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      rows.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** [[poissonBootstrap]]'s readout over the merged store — the SE of
+    * the CUMULATIVE corpus so far, maintained per arriving batch
+    * without ever rescanning history. */
+  def bootstrapFromStore(spark: SparkSession, path: String): DataFrame = {
+    Stores.requireStore(spark, path, "append bootstrap batches first")
+    val merged = Stores.freshRead(spark, path)
+      .groupBy(col("r"))
+      .agg(sum(col("t")).cast("long").as("t"),
+        sum(col("n")).cast("long").as("n"),
+        sum(col("tot")).cast("long").as("tot"))
+    bootstrapReadout(merged)
+  }
+
+  /** Per-replicate totals (r, t, n, tot) — n/tot are the batch's row
+    * count and un-resampled total, carried on every replicate row so
+    * the store's per-r sums reconstruct them for the union. */
+  private def bootstrapTotals(df: DataFrame, idExpr: String,
+                              valueExpr: String, replicates: Int,
+                              salt: String): DataFrame = {
     require(replicates >= 2 && replicates <= 1024,
       s"replicates in [2, 1024], got $replicates")
     val base = df.select(expr(idExpr).cast("string").as("id"),
       expr(valueExpr).cast("long").as("v"))
     val overall = base.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("v")).cast("long").as("total"))
+      coalesce(sum(col("v")), lit(0L)).cast("long").as("tot"))
     val rep = base.select(col("id"), col("v"),
       explode(expr(s"sequence(0, ${replicates - 1})")).as("r"))
     val withU = rep.withColumn("u",
@@ -567,10 +611,15 @@ object Stats {
       .foldLeft(lit(0L)) { (acc, t) =>
         acc + when(col("u") >= t, 1L).otherwise(0L)
       }
-    val totals = withU.select(col("r"), (m * col("v")).as("mv"))
+    withU.select(col("r"), (m * col("v")).as("mv"))
       .groupBy(col("r")).agg(sum(col("mv")).cast("long").as("t"))
+      .crossJoin(broadcast(overall))
+  }
+
+  private def bootstrapReadout(totals: DataFrame): DataFrame = {
     val spread = totals.agg(
       count(lit(1)).cast("long").as("r_n"),
+      max(col("n")).as("n"), max(col("tot")).as("total"),
       sum(col("t").cast("decimal(19,0)")).cast("decimal(38,0)").as("st"),
       sum((col("t").cast("decimal(19,0)") * col("t").cast("decimal(19,0)"))
         .cast("decimal(38,0)")).cast("decimal(38,0)").as("st2"))
@@ -578,7 +627,7 @@ object Stats {
       .cast("decimal(38,0)") - (col("st") * col("st")).cast("decimal(38,0)"))
       .cast("decimal(38,0)")
     val vDen = col("r_n") * (col("r_n") - 1L)
-    overall.crossJoin(spread).select(
+    spread.select(
       col("r_n").as("r"), col("n"), col("total"),
       (col("st").cast("double") / col("r_n").cast("double"))
         .as("boot_mean_total"),

@@ -9259,6 +9259,166 @@ object Queries {
          |FROM qa, qb""".stripMargin
     })
 
+  /** [[qBootstrapSe]] maintained through the ADDITIVE bootstrap store
+    * ([[graft.ops.Stats.bootstrapStoreAppend]], two event slices):
+    * replicate totals are sums of per-(id, replicate)-deterministic
+    * terms, so per-batch totals ADD to exactly the one-shot totals
+    * over the union — the oracle is the one-shot SQL verbatim, and
+    * hash equality IS the additivity theorem. */
+  val qBootstrapStored: Q = "q_bootstrap_stored" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "boot_store")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      (0 to 1).foreach { k =>
+        graft.ops.Stats.bootstrapStoreAppend(
+          ev.filter(col("event_id") % 2 === k), store, s"b$k",
+          "event_id", "cents", replicates = 64, salt = "boot13")
+      }
+      graft.ops.Stats.bootstrapFromStore(s, store)
+    },
+    {
+      val mSql = graft.ops.Stats.PoissonThresholds
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $EV,
+         |base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM ev),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS total FROM base),
+         |rep AS (SELECT id, v, unnest(range(64)) AS r FROM base),
+         |uu AS (SELECT r, v, CAST('0x' || substr(md5(id || '_'
+         |    || CAST(r AS VARCHAR) || 'boot13'), 1, 7) AS BIGINT) AS u
+         |  FROM rep),
+         |mm AS (SELECT r, CAST(($mSql) AS BIGINT) * v AS mv FROM uu),
+         |tt AS (SELECT r, CAST(sum(mv) AS BIGINT) AS t FROM mm GROUP BY r),
+         |sp AS (SELECT CAST(count(*) AS BIGINT) AS r_n,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS st2
+         |  FROM tt),
+         |vv AS (SELECT r_n, st, st2,
+         |    CAST(CAST(CAST(r_n AS DECIMAL(19,0)) * st2 AS DECIMAL(38,0))
+         |      - CAST(st * st AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS v_num,
+         |    r_n * (r_n - 1) AS v_den
+         |  FROM sp)
+         |SELECT r_n AS r, n, total,
+         |  CAST(st AS DOUBLE) / CAST(r_n AS DOUBLE) AS boot_mean_total,
+         |  CASE WHEN r_n < 2 THEN NULL
+         |    ELSE sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE))
+         |    END AS se_total,
+         |  CASE WHEN r_n < 2 OR n = 0 THEN NULL
+         |    ELSE sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE))
+         |      / CAST(n AS DOUBLE) END AS se_mean
+         |FROM ov, vv""".stripMargin
+    })
+
+  /** GROUPED Mann–Whitney ([[graft.ops.Stats.mannWhitney]] with
+    * groupCols): the purchase-vs-error shift PER DAY-OF-WEEK — the
+    * partitioned form every per-segment monitor runs; windows
+    * partition by the group, so each group's distinct-value pass is
+    * independent. */
+  val qMannWhitneyBy: Q = "q_mannwhitney_by" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(expr("(ts_us div 86400000000) % 7").as("dow"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("event_type"))
+      graft.ops.Stats.mannWhitney(ev, Seq("dow"), "cents",
+          "event_type = 'purchase'")
+        .orderBy(col("dow"))
+    },
+    s"""WITH $EV,
+       |f AS (SELECT (ts_us // 86400000000) % 7 AS dow,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+       |  FROM ev WHERE event_type IN ('purchase', 'error')),
+       |pc AS (SELECT dow, v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a) AS BIGINT) AS cnt_a FROM f GROUP BY dow, v),
+       |cw AS (SELECT dow, v, cnt, cnt_a,
+       |    CAST(sum(cnt) OVER (PARTITION BY dow ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY dow) AS BIGINT) AS n,
+       |    CAST(sum(cnt_a) OVER (PARTITION BY dow) AS BIGINT) AS n_a
+       |  FROM pc),
+       |ag AS (SELECT dow, max(n) AS n, max(n_a) AS n_a,
+       |    CAST(sum(CAST(cnt_a AS DECIMAL(19,0))
+       |      * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS r2a,
+       |    CAST(sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+       |        * CAST(cnt AS DECIMAL(19,0)) - CAST(cnt AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS tie_t
+       |  FROM cw GROUP BY dow),
+       |st AS (SELECT dow, n, n_a, n - n_a AS n_b,
+       |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0))
+       |      * CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |      AS DECIMAL(38,0)) AS u2,
+       |    tie_t,
+       |    CAST(CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n - n_a AS DECIMAL(19,0))
+       |        AS DECIMAL(38,0))
+       |      * CAST(CAST(CAST(n + 1 AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+       |          AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(19,0)) - tie_t
+       |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS v_num,
+       |    3 * n * (n - 1) AS v_den
+       |  FROM ag)
+       |SELECT dow, n_a, n_b, CAST(u2 AS BIGINT) AS u2_a,
+       |  CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       |  CAST(tie_t AS BIGINT) AS tie_t,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR v_num = 0 THEN NULL
+       |    ELSE (CAST(u2 AS DOUBLE) - CAST(n_a * n_b AS DOUBLE))
+       |      / sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE)) END AS z
+       |FROM st ORDER BY dow""".stripMargin)
+
+  /** Wilson score intervals ([[graft.ops.Abtest.wilsonCi]]) for both
+    * arms of the [[qMde]] experiment — the small-n-safe CI the Wald
+    * interval isn't, with the conservative overlap read. */
+  val qAbCi: Q = "q_ab_ci" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.wilsonCi(Tables.events(s, d), "user_id",
+        "event_type = 'purchase' AND value >= 100.0", salt = "exp13"),
+    {
+      def w(n: String, c: String): (String, String, String) = {
+        val p = s"(CAST($c AS DOUBLE) / CAST($n AS DOUBLE))"
+        val z2 = "(1.959964 * 1.959964)"
+        val den = s"(1.0 + $z2 / CAST($n AS DOUBLE))"
+        val ctr = s"(($p + $z2 / (2.0 * CAST($n AS DOUBLE))) / $den)"
+        val half = s"(1.959964 * sqrt($p * (1.0 - $p) / CAST($n AS DOUBLE)" +
+          s" + $z2 / (4.0 * CAST($n AS DOUBLE) * CAST($n AS DOUBLE))) / $den)"
+        (p, s"($ctr - $half)", s"($ctr + $half)")
+      }
+      val (ra, loA, hiA) = w("n_a", "conv_a")
+      val (rb, loB, hiB) = w("n_b", "conv_b")
+      val g = "n_a = 0 OR n_b = 0"
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit,
+         |    max(CASE WHEN event_type = 'purchase' AND value >= 100.0
+         |      THEN 1 ELSE 0 END) AS converted
+         |  FROM ev GROUP BY 1),
+         |va AS (SELECT converted,
+         |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp13'), 1, 7)
+         |      AS BIGINT) % 2 AS variant FROM un),
+         |ag AS (SELECT
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM va)
+         |SELECT n_a, conv_a,
+         |  CASE WHEN $g THEN NULL ELSE $ra END AS rate_a,
+         |  CASE WHEN $g THEN NULL ELSE $loA END AS lo_a,
+         |  CASE WHEN $g THEN NULL ELSE $hiA END AS hi_a,
+         |  n_b, conv_b,
+         |  CASE WHEN $g THEN NULL ELSE $rb END AS rate_b,
+         |  CASE WHEN $g THEN NULL ELSE $loB END AS lo_b,
+         |  CASE WHEN $g THEN NULL ELSE $hiB END AS hi_b,
+         |  CASE WHEN $g THEN NULL
+         |    ELSE ($loB <= $hiA AND $loA <= $hiB) END AS overlap
+         |FROM ag""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9324,5 +9484,6 @@ object Queries {
     qWilcoxon, qMcnemar, qFleissKappa, qMedianTest, qKsDriftAsof,
     qBootstrapSe, qLooInfluence, qCuped,
     qSpecificAgreement, qBenford, qMde, qAbRatio,
+    qBootstrapStored, qMannWhitneyBy, qAbCi,
   )
 }

@@ -122,6 +122,26 @@ class AbtestSpec extends SparkTestBase {
     assert(ro.isNullAt(ro.fieldIndex("z")))
   }
 
+  test("wilsonCi: hand formula identity and containment") {
+    val df = (1L to 400L).map(u => (u, u % 8 == 0)).toDF("u", "c")
+    val r = Abtest.wilsonCi(df, "u", "c", "s").collect().head
+    val (n, c) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"))
+    val z = 1.959964; val p = c.toDouble / n
+    val den = 1.0 + z * z / n
+    val ctr = (p + z * z / (2.0 * n)) / den
+    val half = z * math.sqrt(p * (1.0 - p) / n +
+      z * z / (4.0 * n * n)) / den
+    assert(math.abs(r.getAs[Double]("lo_a") - (ctr - half)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hi_a") - (ctr + half)) < 1e-12)
+    // Wilson stays inside [0, 1] even at extreme p — the Wald failure
+    val allConv = (1L to 60L).map(u => (u, true)).toDF("u", "c")
+    val re = Abtest.wilsonCi(allConv, "u", "c", "s").collect().head
+    assert(re.getAs[Double]("hi_a") <= 1.0)
+    assert(re.getAs[Double]("lo_a") > 0.0 && re.getAs[Double]("lo_a") < 1.0)
+    // an A/A split of one population must overlap
+    assert(r.getAs[Boolean]("overlap"))
+  }
+
   test("cuped: per-row contributions aggregate to unit grain first") {
     // two rows per unit sum to the same (y, x) as the one-row form
     val twoRow = (1L to 60L).flatMap(u =>

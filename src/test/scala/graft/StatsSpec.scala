@@ -369,6 +369,52 @@ class StatsSpec extends SparkTestBase {
     assert(rs.isNullAt(rs.fieldIndex("delta")))
   }
 
+  test("bootstrap store: split batches reproduce the one-shot bit-for-bit") {
+    val store = java.nio.file.Files.createTempDirectory("boot_st")
+      .toString + "/s"
+    val all = (1L to 300L).map(i => (i, i % 17 * 3L))
+    val df = all.toDF("id", "v")
+    Stats.bootstrapStoreAppend(df.filter($"id" % 2 === 0), store, "b0",
+      "id", "v", replicates = 16, salt = "s1")
+    Stats.bootstrapStoreAppend(df.filter($"id" % 2 === 1), store, "b1",
+      "id", "v", replicates = 16, salt = "s1")
+    val stored = Stats.bootstrapFromStore(spark, store).collect().head
+    val oneShot = Stats.poissonBootstrap(df, "id", "v", replicates = 16,
+      salt = "s1").collect().head
+    assert(stored === oneShot,
+      "replicate totals must ADD across batches — the additivity theorem")
+    // a redelivered batch tag is a no-op (marker-gated)
+    Stats.bootstrapStoreAppend(df.filter($"id" % 2 === 1), store, "b1",
+      "id", "v", replicates = 16, salt = "s1")
+    assert(Stats.bootstrapFromStore(spark, store).collect().head === oneShot)
+  }
+
+  test("bootstrap live loop: per-batch readout tracks the cumulative corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("boot_live")
+      .toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("boot_ck").toString
+    val mem = MemoryStream[(Long, Long)]
+    val reads = scala.collection.mutable.Map.empty[Long, org.apache.spark.sql.Row]
+    val q = graft.streaming.BootstrapStream.selfMaintaining(
+        mem.toDF().toDF("id", "v"), store, "id", "v",
+        replicates = 8, salt = "s2") { (bid, r) => reads(bid) = r; () }
+      .option("checkpointLocation", ckpt).start()
+    mem.addData((1L to 100L).map(i => (i, 5L)): _*)
+    q.processAllAvailable()
+    mem.addData((101L to 200L).map(i => (i, 5L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(reads(0L).getAs[Long]("n") === 100L)
+    assert(reads(1L).getAs[Long]("n") === 200L)
+    assert(reads(1L).getAs[Long]("total") === 1000L)
+    val oneShot = Stats.poissonBootstrap(
+      (1L to 200L).map(i => (i, 5L)).toDF("id", "v"), "id", "v",
+      replicates = 8, salt = "s2").collect().head
+    assert(reads(1L) === oneShot, "live readout must equal the one-shot")
+  }
+
   // ---------------------------------------------- KS drift from store
 
   test("ksDriftFromStore: identical batch is flat, shifted batch drifts") {
