@@ -74,7 +74,8 @@ object Plans {
         "q_wilcoxon", "q_mcnemar", "q_fleiss_kappa", "q_median_test",
         "q_ks_drift_asof", "q_bootstrap_se", "q_loo_influence", "q_cuped",
         "q_specific_agreement", "q_benford", "q_mde", "q_ab_ratio",
-        "q_bootstrap_stored", "q_mannwhitney_by", "q_ab_ci")
+        "q_bootstrap_stored", "q_mannwhitney_by", "q_ab_ci",
+        "q_rank_biserial", "q_odds_ratio")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition;

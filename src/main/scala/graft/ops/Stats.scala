@@ -143,6 +143,65 @@ object Stats {
         col("at_v")): _*)
   }
 
+  /** Rank-biserial correlation (= Cliff's delta): the EFFECT SIZE for
+    * the rank-sum test — r_rb = 2U_A/(n_a·n_b) − 1 ∈ [−1, 1], the
+    * probability a random A value beats a random B value minus the
+    * reverse. The number to report NEXT TO [[mannWhitney]]'s z: at
+    * corpus scale everything is "significant"; this says whether the
+    * shift is big enough to care. Exact: one division of the doubled-U
+    * integer. NULL on an empty arm.
+    *
+    * @return groupCols..., n_a, n_b, u2_a, rank_biserial */
+  def rankBiserial(df: DataFrame, groupCols: Seq[String], valueExpr: String,
+                   isAExpr: String): DataFrame = {
+    val gc = groupCols.map(col)
+    mannWhitney(df, groupCols, valueExpr, isAExpr)
+      .select((gc :+ col("n_a") :+ col("n_b") :+ col("u2_a") :+
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("u2_a").cast("double") /
+            (col("n_a") * col("n_b")).cast("double") - lit(1.0))
+          .as("rank_biserial")): _*)
+  }
+
+  /** Exact odds ratio for a 2×2 table — [[chi2x2]]'s effect-size
+    * companion: OR = (o11·o00)/(o10·o01) as an exact integer fraction
+    * plus one division. NULL when a discordant cell is empty (the
+    * fraction is undefined/infinite; report the counts and decide —
+    * no Haldane fudge baked in silently).
+    *
+    * @return one row: n, o11, o10, o01, o00, or_num, or_den,
+    *         odds_ratio */
+  def oddsRatio2x2(df: DataFrame, aExpr: String, bExpr: String): DataFrame = {
+    val f = df.select(expr(aExpr).cast("boolean").as("a"),
+      expr(bExpr).cast("boolean").as("b"))
+    f.agg(
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).cast("long")
+          .as("o11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).cast("long")
+          .as("o10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).cast("long")
+          .as("o01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).cast("long")
+          .as("o00"))
+      .select(
+        (col("o11") + col("o10") + col("o01") + col("o00")).as("n"),
+        col("o11"), col("o10"), col("o01"), col("o00"),
+        ((col("o11").cast("decimal(19,0)") * col("o00").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).cast("long").as("or_num"),
+        ((col("o10").cast("decimal(19,0)") * col("o01").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).cast("long").as("or_den"),
+        when((col("o10") === 0L) || (col("o01") === 0L),
+          lit(null).cast("double"))
+          .otherwise(
+            ((col("o11").cast("decimal(19,0)") *
+              col("o00").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .cast("double") /
+            ((col("o10").cast("decimal(19,0)") *
+              col("o01").cast("decimal(19,0)")).cast("decimal(38,0)"))
+              .cast("double")).as("odds_ratio"))
+  }
+
   /** Cohen's kappa (Cohen 1960): agreement between two labelings
     * beyond chance — THE eval card for a cheap heuristic classifier
     * against ground truth (raw accuracy flatters any classifier that

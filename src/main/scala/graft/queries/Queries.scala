@@ -9419,6 +9419,73 @@ object Queries {
          |FROM ag""".stripMargin
     })
 
+  /** Rank-biserial effect size ([[graft.ops.Stats.rankBiserial]]) for
+    * the [[qMannWhitney]] comparison — at corpus scale everything is
+    * "significant"; this is the magnitude card (P(A beats B) −
+    * P(B beats A), exact). */
+  val qRankBiserial: Q = "q_rank_biserial" -> (
+    (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("event_type"))
+      graft.ops.Stats.rankBiserial(ev, Seq(), "cents",
+        "event_type = 'purchase'")
+    },
+    s"""WITH $EV,
+       |f AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+       |  FROM ev WHERE event_type IN ('purchase', 'error')),
+       |pc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(a) AS BIGINT) AS cnt_a FROM f GROUP BY v),
+       |cw AS (SELECT v, cnt, cnt_a,
+       |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+       |    CAST(sum(cnt_a) OVER () AS BIGINT) AS n_a
+       |  FROM pc),
+       |ag AS (SELECT max(n) AS n, max(n_a) AS n_a,
+       |    CAST(sum(CAST(cnt_a AS DECIMAL(19,0))
+       |      * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS r2a
+       |  FROM cw),
+       |st AS (SELECT n_a, n - n_a AS n_b,
+       |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0))
+       |      * CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |      AS DECIMAL(38,0)) AS u2
+       |  FROM ag)
+       |SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2_a,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE CAST(u2 AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) - 1.0
+       |    END AS rank_biserial
+       |FROM st""".stripMargin)
+
+  /** Exact odds ratio ([[graft.ops.Stats.oddsRatio2x2]]) for the
+    * [[qChi2Assoc]] table — the effect-size fraction next to the
+    * significance number, no Haldane fudge. */
+  val qOddsRatio: Q = "q_odds_ratio" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.oddsRatio2x2(Tables.documents(s, d),
+        "lang = 'en'", "n_chars >= 300"),
+    s"""WITH f AS (SELECT (lang = 'en') AS a, (n_chars >= 300) AS b
+       |  FROM documents),
+       |ct AS (SELECT
+       |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o11,
+       |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o10,
+       |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o01,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o00
+       |  FROM f)
+       |SELECT o11 + o10 + o01 + o00 AS n, o11, o10, o01, o00,
+       |  CAST(CAST(CAST(o11 AS DECIMAL(19,0)) * CAST(o00 AS DECIMAL(19,0))
+       |    AS DECIMAL(38,0)) AS BIGINT) AS or_num,
+       |  CAST(CAST(CAST(o10 AS DECIMAL(19,0)) * CAST(o01 AS DECIMAL(19,0))
+       |    AS DECIMAL(38,0)) AS BIGINT) AS or_den,
+       |  CASE WHEN o10 = 0 OR o01 = 0 THEN NULL
+       |    ELSE CAST(CAST(CAST(o11 AS DECIMAL(19,0)) * CAST(o00 AS DECIMAL(19,0))
+       |        AS DECIMAL(38,0)) AS DOUBLE)
+       |      / CAST(CAST(CAST(o10 AS DECIMAL(19,0)) * CAST(o01 AS DECIMAL(19,0))
+       |        AS DECIMAL(38,0)) AS DOUBLE) END AS odds_ratio
+       |FROM ct""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9484,6 +9551,6 @@ object Queries {
     qWilcoxon, qMcnemar, qFleissKappa, qMedianTest, qKsDriftAsof,
     qBootstrapSe, qLooInfluence, qCuped,
     qSpecificAgreement, qBenford, qMde, qAbRatio,
-    qBootstrapStored, qMannWhitneyBy, qAbCi,
+    qBootstrapStored, qMannWhitneyBy, qAbCi, qRankBiserial, qOddsRatio,
   )
 }

@@ -75,6 +75,32 @@ class StatsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("d")))
   }
 
+  // --------------------------------------------- effect-size cards
+
+  test("rankBiserial: MW fixture gives u2/4 − 1 = −0.75; NULL empty arm") {
+    val df = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")).toDF("v", "arm")
+    val r = Stats.rankBiserial(df, Seq(), "v", "arm = 'a'").collect().head
+    assert(r.getAs[Long]("u2_a") === 1L)
+    assert(r.getAs[Double]("rank_biserial") === 1.0 / 4.0 - 1.0)
+    val solo = Seq((1L, "a")).toDF("v", "arm")
+    val rs = Stats.rankBiserial(solo, Seq(), "v", "arm = 'a'").collect().head
+    assert(rs.isNullAt(rs.fieldIndex("rank_biserial")))
+  }
+
+  test("oddsRatio2x2: textbook fraction, NULL on an empty discordant cell") {
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = Stats.oddsRatio2x2(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("or_num") === 300L)
+    assert(r.getAs[Long]("or_den") === 50L)
+    assert(r.getAs[Double]("odds_ratio") === 6.0)
+    val perfect = (Seq.fill(5)((true, true)) ++ Seq.fill(5)((false, false)))
+      .toDF("a", "b")
+    val rp = Stats.oddsRatio2x2(perfect, "a", "b").collect().head
+    assert(rp.getAs[Long]("or_den") === 0L)
+    assert(rp.isNullAt(rp.fieldIndex("odds_ratio")))
+  }
+
   // ----------------------------------------------------- Cohen's kappa
 
   test("kappa: textbook 2×2 fixture = 0.4") {
