@@ -176,18 +176,30 @@ object Abtest {
       .withColumn("variant",
         expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
           s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
-    def arm(v: Int, sfx: String): DataFrame = units
-      .filter(col("variant") === v)
-      .agg(count(lit(1)).cast("long").as(s"n_$sfx"),
-        coalesce(sum(col("x")), lit(0L)).cast("long").as(s"sx_$sfx"),
-        coalesce(sum(col("y")), lit(0L)).cast("long").as(s"sy_$sfx"),
-        coalesce(sum((col("x").cast(d19) * col("x").cast(d19)).cast(d38)),
-          lit(0).cast(d38)).cast(d38).as(s"sxx_$sfx"),
-        coalesce(sum((col("x").cast(d19) * col("y").cast(d19)).cast(d38)),
-          lit(0).cast(d38)).cast(d38).as(s"sxy_$sfx"),
-        coalesce(sum((col("y").cast(d19) * col("y").cast(d19)).cast(d38)),
-          lit(0).cast(d38)).cast(d38).as(s"syy_$sfx"))
-    val j = arm(0, "a").crossJoin(arm(1, "b"))
+    // ONE pass over the unit grain — CASE-gated sums per arm (the
+    // cupedReadout shape), not two filtered re-aggregations of the
+    // same per-unit groupBy + md5 bucketing
+    def armAggs(v: Int, sfx: String): Seq[Column] = {
+      val in = col("variant") === v
+      Seq(
+        coalesce(sum(when(in, 1L).otherwise(0L)), lit(0L)).cast("long")
+          .as(s"n_$sfx"),
+        coalesce(sum(when(in, col("x")).otherwise(0L)), lit(0L))
+          .cast("long").as(s"sx_$sfx"),
+        coalesce(sum(when(in, col("y")).otherwise(0L)), lit(0L))
+          .cast("long").as(s"sy_$sfx"),
+        coalesce(sum(when(in, (col("x").cast(d19) * col("x").cast(d19))
+            .cast(d38)).otherwise(lit(0).cast(d38))), lit(0).cast(d38))
+          .cast(d38).as(s"sxx_$sfx"),
+        coalesce(sum(when(in, (col("x").cast(d19) * col("y").cast(d19))
+            .cast(d38)).otherwise(lit(0).cast(d38))), lit(0).cast(d38))
+          .cast(d38).as(s"sxy_$sfx"),
+        coalesce(sum(when(in, (col("y").cast(d19) * col("y").cast(d19))
+            .cast(d38)).otherwise(lit(0).cast(d38))), lit(0).cast(d38))
+          .cast(d38).as(s"syy_$sfx"))
+    }
+    val aggs = armAggs(0, "a") ++ armAggs(1, "b")
+    val j = units.agg(aggs.head, aggs.tail: _*)
     // per-arm pieces, each mirrored verbatim in the oracle SQL
     def pieces(s: String): (Column, Column) = {
       val n = col(s"n_$s"); val sx = col(s"sx_$s"); val sy = col(s"sy_$s")
@@ -228,8 +240,10 @@ object Abtest {
     * launching this experiment yet". z quantiles are caller-supplied
     * CONSTANTS (defaults: two-sided α = 0.05, power 0.80 → 1.959964 +
     * 0.841621), so the card is deterministic doubles over exact
-    * counts, no erf anywhere. NULL on an empty arm or degenerate
-    * pooled rate.
+    * counts, no erf anywhere. p_pool is NULL on an empty arm; mde_abs
+    * is ALSO NULL on a degenerate pooled rate (0 or 1 — a zero
+    * binomial variance means "nothing to test", not "any effect is
+    * detectable", which is what an mde_abs of 0.0 would read as).
     *
     * @return one row: n_a, n_b, conv_a, conv_b, p_pool, mde_abs */
   def mdeCard(df: DataFrame, unitExpr: String, convExpr: String,
@@ -252,9 +266,12 @@ object Abtest {
         .cast("long").as("conv_b"))
     val p = (col("conv_a") + col("conv_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
-    val degenerate = col("n_a") === 0L || col("n_b") === 0L
+    val emptyArm = col("n_a") === 0L || col("n_b") === 0L
+    val degenerate = emptyArm ||
+      col("conv_a") + col("conv_b") === 0L ||
+      col("conv_a") + col("conv_b") === col("n_a") + col("n_b")
     agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-      when(degenerate, lit(null).cast("double")).otherwise(p).as("p_pool"),
+      when(emptyArm, lit(null).cast("double")).otherwise(p).as("p_pool"),
       when(degenerate, lit(null).cast("double"))
         .otherwise(lit(zAlpha + zBeta) *
           sqrt(p * (lit(1.0) - p) *

@@ -30,15 +30,54 @@ import org.apache.spark.sql.functions._
   * rank-based tests' single cumulative pass is over the DISTINCT
   * value axis (the histogram family's convention — quantize the
   * value expression to bound it; ranks over a quantized value are the
-  * midranks of the quantized test, still exact). Long-emitted
-  * numerators document their bounds; grouped forms keep each group
-  * under them.
+  * midranks of the quantized test, still exact). That contract is
+  * CHECKED, not advisory: every rank window counts its distinct axis
+  * on the same exchange and fails loudly above
+  * [[Stats.MaxRankAxisKey]] (default 2^22) instead of letting an
+  * unquantized high-cardinality value single-partition-sort a 100×
+  * corpus. Long-emitted numerators document their bounds; grouped
+  * forms keep each group under them.
   */
 object Stats {
 
+  /** Session conf key for the per-group distinct-value-axis ceiling
+    * the rank windows enforce ([[DefaultMaxRankAxis]] when unset). A
+    * window over more distinct values than this is a scale bug, not a
+    * statistics question — the loud failure tells the caller to
+    * quantize (ranks over a quantized value are the quantized test's
+    * exact midranks). */
+  val MaxRankAxisKey = "graft.stats.maxRankAxis"
+
+  /** Default distinct-value-axis ceiling: 2^22 ≈ 4.2M distinct values
+    * per group — comfortably one executor's sort, far above any
+    * sanely-quantized metric axis. */
+  val DefaultMaxRankAxis: Long = 1L << 22
+
+  /** Loud axis-cardinality check riding an existing unbounded window
+    * (`wAll` must partition exactly like the rank window): evaluates
+    * to 0L when the group's distinct-value count is within the
+    * ceiling, raises otherwise. Added to a rank/cumulative column so
+    * it is evaluated wherever ranks are consumed, at zero plan cost
+    * (same exchange, no extra scan). */
+  private def axisGuard(df: DataFrame,
+                        wAll: org.apache.spark.sql.expressions.WindowSpec)
+                       : org.apache.spark.sql.Column = {
+    val maxAxis = df.sparkSession.conf
+      .get(MaxRankAxisKey, DefaultMaxRankAxis.toString).toLong
+    coalesce(
+      assert_true(count(lit(1)).over(wAll) <= lit(maxAxis),
+        lit(s"Stats: distinct value axis exceeds $MaxRankAxisKey=" +
+          s"$maxAxis for one group — quantize the value expression " +
+          "(ranks over a quantized value are the quantized test's " +
+          "exact midranks)")).cast("long"),
+      lit(0L))
+  }
+
   /** Distinct-value pooled counts with cumulative + total windows:
     * (groupCols..., v, cnt, cnt_a, cum, cum_a, n, n_a). The window
-    * runs over distinct values only. */
+    * runs over distinct values only, and the [[axisGuard]] on `cum`
+    * enforces the quantization contract (adds exact 0L when within the
+    * ceiling, fails loudly when a group's axis is unquantized). */
   private def ranked(df: DataFrame, groupCols: Seq[String]): DataFrame = {
     val gc = groupCols.map(col)
     val pc = df.groupBy((gc :+ col("v")): _*)
@@ -48,7 +87,7 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(gc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    pc.withColumn("cum", sum(col("cnt")).over(wCum))
+    pc.withColumn("cum", sum(col("cnt")).over(wCum) + axisGuard(pc, wAll))
       .withColumn("cum_a", sum(col("cnt_a")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
       .withColumn("n_a", sum(col("cnt_a")).over(wAll))
@@ -330,8 +369,10 @@ object Stats {
     def rankTable(c: String): DataFrame = {
       val w = Window.orderBy(col(c).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.groupBy(col(c)).agg(count(lit(1)).cast("long").as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(w))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val t = base.groupBy(col(c)).agg(count(lit(1)).cast("long").as("cnt"))
+      t.withColumn("cum", sum(col("cnt")).over(w) + axisGuard(t, wAll))
         .select(col(c), (lit(2L) * col("cum") - col("cnt") + 1L).as(s"d$c"))
     }
     val withRanks = base
@@ -754,7 +795,8 @@ object Stats {
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val cum = joined
-      .withColumn("cum_r", sum(col("cr")).over(wCum))
+      .withColumn("cum_r", sum(col("cr")).over(wCum) +
+        axisGuard(joined, wAll))
       .withColumn("cum_b", sum(col("cb")).over(wCum))
       .withColumn("n_ref", sum(col("cr")).over(wAll))
       .withColumn("n_batch", sum(col("cb")).over(wAll))

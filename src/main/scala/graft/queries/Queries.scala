@@ -9174,7 +9174,8 @@ object Queries {
        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
        |    ELSE CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
        |    END AS p_pool,
-       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+       |      OR conv_a + conv_b = n_a + n_b THEN NULL
        |    ELSE (1.959964 + 0.841621)
        |      * sqrt(CAST(conv_a + conv_b AS DOUBLE)
        |          / CAST(n_a + n_b AS DOUBLE)

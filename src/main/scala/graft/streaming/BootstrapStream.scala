@@ -22,15 +22,18 @@ object BootstrapStream {
 
   def tagFor(batchId: Long): String = f"batch_$batchId%09d"
 
+  /** @param onBatch optional per-batch readout callback — when None
+    *                (a pure store maintainer), the readout Spark job
+    *                is SKIPPED entirely, not run and discarded */
   def selfMaintaining(rows: DataFrame, path: String, idExpr: String,
                       valueExpr: String, replicates: Int, salt: String)
-                     (onBatch: (Long, Row) => Unit = (_, _) => ())
+                     (onBatch: Option[(Long, Row) => Unit] = None)
                      : DataStreamWriter[Row] =
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.ops.Stats.bootstrapStoreAppend(batch, path, tagFor(batchId),
         idExpr, valueExpr, replicates, salt)
-      onBatch(batchId,
-        graft.ops.Stats.bootstrapFromStore(spark, path).collect().head)
+      onBatch.foreach(f => f(batchId,
+        graft.ops.Stats.bootstrapFromStore(spark, path).collect().head))
     }
 }

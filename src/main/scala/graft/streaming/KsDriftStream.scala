@@ -29,7 +29,11 @@ object KsDriftStream {
   def tagFor(batchId: Long): String = f"batch_$batchId%09d"
 
   /** @param onVerdict called per batch with (batchId, verdict row) —
-    *                  None only before any store exists (batch 0) */
+    *                  None whenever no reference data exists strictly
+    *                  before the batch (batch 0 on a first run AND on
+    *                  a crash-replay where batch 0's own append already
+    *                  committed: the verdict contract is bit-identical
+    *                  across replays) */
   def selfMaintaining(rows: DataFrame, path: String, valueExpr: String,
                       bucketWidth: Long, thrNum: Long, thrDen: Long)
                      (onVerdict: (Long, Option[Row]) => Unit)
@@ -42,6 +46,11 @@ object KsDriftStream {
           Some(graft.ops.Stats.ksDriftFromStoreBefore(spark, path,
             tagFor(batchId), batch, valueExpr, bucketWidth,
             thrNum, thrDen).collect().head)
+            // an empty strictly-before reference is exactly what the
+            // first evaluation of batch 0 saw — report None on the
+            // replay too (store exists but holds only this batch's own
+            // committed fold), never a zero-reference pseudo-verdict
+            .filter(_.getAs[Long]("n_ref") > 0L)
         else None
       graft.ops.Quantiles.storeAppend(batch, path, tagFor(batchId),
         valueExpr, bucketWidth)

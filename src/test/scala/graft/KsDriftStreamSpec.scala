@@ -40,6 +40,33 @@ class KsDriftStreamSpec extends SparkTestBase {
     assert(v2.getAs[Boolean]("drift"), "disjoint support must trip")
   }
 
+  test("batch-0 replay: a committed self-fold still reports None") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("ksd_b0")
+      .toString + "/s"
+    def runOnce(): Option[Row] = {
+      // fresh checkpoint each time = the crash-before-checkpoint replay:
+      // the stream re-delivers batch 0 against a store that already
+      // holds batch 0's own committed fold
+      val ckpt = java.nio.file.Files.createTempDirectory("ksd_b0ck").toString
+      val mem = MemoryStream[Long]
+      var verdict: Option[Row] = Some(null)
+      val q = graft.streaming.KsDriftStream.selfMaintaining(
+          mem.toDF().toDF("v"), store, "v", 2L, thrNum = 1L, thrDen = 2L) {
+          (_, v) => verdict = v; ()
+        }.option("checkpointLocation", ckpt).start()
+      mem.addData(0L until 10L: _*)
+      q.processAllAvailable()
+      q.stop()
+      verdict
+    }
+    assert(runOnce().isEmpty, "first evaluation of batch 0: no reference")
+    assert(runOnce().isEmpty,
+      "replayed batch 0 must see the same None — an n_ref=0 row would " +
+        "break the bit-identical replay contract")
+  }
+
   test("strictly-before read: a replayed batch never grades against itself") {
     val store = java.nio.file.Files.createTempDirectory("ksd_replay")
       .toString + "/s"

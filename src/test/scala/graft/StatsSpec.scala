@@ -25,6 +25,42 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("z") - (-3.0 / math.sqrt(6.0))) < 1e-12)
   }
 
+  test("rank-axis guard: an unquantized high-cardinality axis fails loudly") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq()
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    spark.conf.set(Stats.MaxRankAxisKey, "16")
+    try {
+      // 100 distinct values in one group: over the (test-lowered)
+      // ceiling → the card must fail LOUDLY, not silently sort
+      val df = (1L to 100L).map(i => (i, i % 2 == 0)).toDF("v", "isa")
+      val exMw = intercept[Exception] {
+        Stats.mannWhitney(df, Seq(), "v", "isa").collect()
+      }
+      assert(msgs(exMw).exists(_.contains("maxRankAxis")),
+        s"expected the axis-guard message, got: ${msgs(exMw)}")
+      val exKs = intercept[Exception] {
+        Stats.ksTest(df, Seq(), "v", "isa").collect()
+      }
+      assert(msgs(exKs).exists(_.contains("maxRankAxis")))
+      val xy = (1L to 100L).map(i => (i, i * 2)).toDF("x", "y")
+      val exSp = intercept[Exception] {
+        Stats.spearman(xy, "x", "y").collect()
+      }
+      assert(msgs(exSp).exists(_.contains("maxRankAxis")))
+      // the guard is PER GROUP: 100 values spread over 10 groups of 10
+      // distinct values each stays under the ceiling
+      val grouped = (1L to 100L).map(i => (i % 10, i % 10 * 10 + i % 7,
+        i % 2 == 0)).toDF("g", "v", "isa")
+      assert(Stats.mannWhitney(grouped, Seq("g"), "v", "isa")
+        .collect().length === 10)
+      // within the ceiling the guard is exact 0: same card as before
+      spark.conf.set(Stats.MaxRankAxisKey, "4096")
+      val ok = Stats.mannWhitney(df, Seq(), "v", "isa").collect().head
+      assert(ok.getAs[Long]("n_a") === 50L)
+    } finally spark.conf.unset(Stats.MaxRankAxisKey)
+  }
+
   test("mannWhitney: all-tied pool and empty arm give NULL z") {
     val tied = Seq((5L, "a"), (5L, "b")).toDF("v", "arm")
     val rt = Stats.mannWhitney(tied, Seq(), "v", "arm = 'a'").collect().head
@@ -425,7 +461,8 @@ class StatsSpec extends SparkTestBase {
     val reads = scala.collection.mutable.Map.empty[Long, org.apache.spark.sql.Row]
     val q = graft.streaming.BootstrapStream.selfMaintaining(
         mem.toDF().toDF("id", "v"), store, "id", "v",
-        replicates = 8, salt = "s2") { (bid, r) => reads(bid) = r; () }
+        replicates = 8, salt = "s2")(
+        Some((bid, r) => { reads(bid) = r; () }))
       .option("checkpointLocation", ckpt).start()
     mem.addData((1L to 100L).map(i => (i, 5L)): _*)
     q.processAllAvailable()
