@@ -281,6 +281,54 @@ object Stats {
     out
   }
 
+  /** GROUPED [[kappa]] — one agreement card per group (the per-source
+    * classifier-drift screen: which ingest source is the heuristic
+    * quietly failing on?). Same exact arithmetic per group; marginal
+    * products aggregate over each group's class axis, and groups with
+    * no class present in both labelings get pe_num = 0 via the outer
+    * join (never dropped). groupCols must be non-empty — use the
+    * ungrouped form otherwise.
+    *
+    * @return per group: groupCols..., n, n_agree, pe_num, kappa_num,
+    *         kappa_den, kappa */
+  def kappa(df: DataFrame, groupCols: Seq[String], actualExpr: String,
+            predExpr: String): DataFrame = {
+    require(groupCols.nonEmpty, "grouped kappa needs groupCols")
+    val gc = groupCols.map(col)
+    val cells = df
+      .select((gc :+ expr(actualExpr).as("ka") :+ expr(predExpr).as("kp")): _*)
+      .groupBy((gc :+ col("ka") :+ col("kp")): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .persist()
+    val rm = cells.groupBy((gc :+ col("ka").as("k")): _*)
+      .agg(sum(col("cnt")).as("r"))
+    val cm = cells.groupBy((gc :+ col("kp").as("k")): _*)
+      .agg(sum(col("cnt")).as("c"))
+    val pe = rm.join(cm, groupCols :+ "k")
+      .groupBy(gc: _*)
+      .agg(sum((col("r").cast("decimal(19,0)") *
+          col("c").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("pe0"))
+    val tot = cells.groupBy(gc: _*).agg(
+      sum(col("cnt")).cast("long").as("n"),
+      sum(when(col("ka") === col("kp"), col("cnt")).otherwise(0L))
+        .cast("long").as("n_agree"))
+    val j = tot.join(pe, groupCols, "left_outer")
+      .withColumn("pe_num",
+        coalesce(col("pe0"), lit(0).cast("decimal(38,0)")))
+    val num = ((col("n").cast("decimal(19,0)") *
+      col("n_agree").cast("decimal(19,0)")).cast("decimal(38,0)") -
+      col("pe_num")).cast("decimal(38,0)")
+    val den = ((col("n").cast("decimal(19,0)") *
+      col("n").cast("decimal(19,0)")).cast("decimal(38,0)") -
+      col("pe_num")).cast("decimal(38,0)")
+    j.select((gc :+ col("n") :+ col("n_agree") :+
+      col("pe_num").cast("long").as("pe_num") :+
+      num.cast("long").as("kappa_num") :+ den.cast("long").as("kappa_den") :+
+      when(den === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("kappa")): _*)
+  }
+
   /** 2×2 chi-square association between two boolean properties —
     * exact-rational in the 2×2 case: chi2 = N·det² / (r1·r0·c1·c0)
     * with det = o11·o00 − o10·o01 (the general r×c chi-square's
@@ -322,6 +370,49 @@ object Stats {
         .as("phi"))
   }
 
+  /** GROUPED [[chi2x2]] — one association card per group (the
+    * per-segment interaction screen: does "converted × long-doc"
+    * association hold in every segment, or is one driving it —
+    * Simpson's-paradox triage). Same determinant-exact arithmetic per
+    * group; each group's table aggregates map-side to four counts.
+    *
+    * @return per group: groupCols..., n, o11, o10, o01, o00, det,
+    *         chi2, phi */
+  def chi2x2(df: DataFrame, groupCols: Seq[String], aExpr: String,
+             bExpr: String): DataFrame = {
+    require(groupCols.nonEmpty, "grouped chi2x2 needs groupCols")
+    val gc = groupCols.map(col)
+    val f = df.select((gc :+ expr(aExpr).cast("boolean").as("a") :+
+      expr(bExpr).cast("boolean").as("b")): _*)
+    val agg = f.groupBy(gc: _*).agg(
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).cast("long").as("o11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).cast("long").as("o10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).cast("long").as("o01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).cast("long").as("o00"))
+    val n = col("o11") + col("o10") + col("o01") + col("o00")
+    val det = ((col("o11").cast("decimal(19,0)") * col("o00").cast("decimal(19,0)"))
+      .cast("decimal(38,0)") -
+      (col("o10").cast("decimal(19,0)") * col("o01").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)")
+    val r1 = col("o11") + col("o10"); val r0 = col("o01") + col("o00")
+    val c1 = col("o11") + col("o01"); val c0 = col("o10") + col("o00")
+    val chiNum = (n.cast("decimal(19,0)") * (det * det).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val chiDen = ((r1.cast("decimal(19,0)") * r0.cast("decimal(19,0)"))
+      .cast("decimal(38,0)") *
+      (c1.cast("decimal(19,0)") * c0.cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val degenerate = r1 === 0L || r0 === 0L || c1 === 0L || c0 === 0L
+    agg.select((gc :+ n.as("n") :+ col("o11") :+ col("o10") :+ col("o01") :+
+      col("o00") :+ det.cast("long").as("det") :+
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(chiNum.cast("double") / chiDen.cast("double")).as("chi2") :+
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(det.cast("double") /
+          (sqrt((r1 * r0).cast("double")) * sqrt((c1 * c0).cast("double"))))
+        .as("phi")): _*)
+  }
+
   /** Goodman–Kruskal lambda (1954): proportional reduction in error
     * predicting Y once X is known — the general-r×c association card
     * that stays integer-exact (unlike the general chi-square):
@@ -348,6 +439,39 @@ object Stats {
         when(col("n") === col("modal_y"), lit(null).cast("double"))
           .otherwise((col("sum_modal") - col("modal_y")).cast("double") /
             (col("n") - col("modal_y")).cast("double")).as("lambda_gk"))
+  }
+
+  /** GROUPED [[gkLambda]] — one proportional-reduction-in-error card
+    * per group (does the predictor's value hold across segments, or
+    * only where one segment's majority class happens to align?).
+    * Inner joins are safe: every group has at least one cell in each
+    * derived relation.
+    *
+    * @return per group: groupCols..., n, sum_modal, modal_y,
+    *         lambda_num, lambda_den, lambda_gk */
+  def gkLambda(df: DataFrame, groupCols: Seq[String], xExpr: String,
+               yExpr: String): DataFrame = {
+    require(groupCols.nonEmpty, "grouped gkLambda needs groupCols")
+    val gc = groupCols.map(col)
+    val cells = df
+      .select((gc :+ expr(xExpr).as("x") :+ expr(yExpr).as("y")): _*)
+      .groupBy((gc :+ col("x") :+ col("y")): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .persist()
+    val perX = cells.groupBy((gc :+ col("x")): _*)
+      .agg(max(col("cnt")).as("mx"))
+      .groupBy(gc: _*).agg(sum(col("mx")).cast("long").as("sum_modal"))
+    val perY = cells.groupBy((gc :+ col("y")): _*)
+      .agg(sum(col("cnt")).as("cy"))
+      .groupBy(gc: _*).agg(max(col("cy")).cast("long").as("modal_y"))
+    val tot = cells.groupBy(gc: _*).agg(sum(col("cnt")).cast("long").as("n"))
+    tot.join(perX, groupCols).join(perY, groupCols)
+      .select((gc :+ col("n") :+ col("sum_modal") :+ col("modal_y") :+
+        (col("sum_modal") - col("modal_y")).as("lambda_num") :+
+        (col("n") - col("modal_y")).as("lambda_den") :+
+        when(col("n") === col("modal_y"), lit(null).cast("double"))
+          .otherwise((col("sum_modal") - col("modal_y")).cast("double") /
+            (col("n") - col("modal_y")).cast("double")).as("lambda_gk")): _*)
   }
 
   /** Spearman rank correlation between two long-valued columns of one
@@ -399,6 +523,58 @@ object Stats {
           sy === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
         .otherwise(num.cast("double") /
           (sqrt(sx.cast("double")) * sqrt(sy.cast("double")))).as("rho"))
+  }
+
+  /** GROUPED [[spearman]] — one monotone-association card per group
+    * (is the activity↔spend relation the same every day-of-week /
+    * per segment?). Rank tables partition by the group, so each
+    * group's distinct-value pass is independent and the [[axisGuard]]
+    * ceiling applies per group; no broadcast hint — the rank join
+    * shuffles on (group, value), co-partitioned with the row side.
+    *
+    * @return per group: groupCols..., n, s_xy, s_x, s_y, rho */
+  def spearman(df: DataFrame, groupCols: Seq[String], xExpr: String,
+               yExpr: String): DataFrame = {
+    require(groupCols.nonEmpty, "grouped spearman needs groupCols")
+    val gc = groupCols.map(col)
+    val base = df.select((gc :+ expr(xExpr).cast("long").as("x") :+
+      expr(yExpr).cast("long").as("y")): _*)
+    def rankTable(c: String): DataFrame = {
+      val w = Window.partitionBy(gc: _*).orderBy(col(c).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(gc: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val t = base.groupBy((gc :+ col(c)): _*)
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      t.withColumn("cum", sum(col("cnt")).over(w) + axisGuard(t, wAll))
+        .select((gc :+ col(c) :+
+          (lit(2L) * col("cum") - col("cnt") + 1L).as(s"d$c")): _*)
+    }
+    val withRanks = base
+      .join(rankTable("x"), groupCols :+ "x")
+      .join(rankTable("y"), groupCols :+ "y")
+    val dx = col("dx").cast("decimal(19,0)")
+    val dy = col("dy").cast("decimal(19,0)")
+    val agg = withRanks.groupBy(gc: _*).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dx).cast("decimal(38,0)").as("sdx"),
+      sum(dy).cast("decimal(38,0)").as("sdy"),
+      sum((dx * dy).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
+      sum((dx * dx).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
+      sum((dy * dy).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy"))
+    val nD = col("n").cast("decimal(19,0)")
+    val num = (nD * col("sxy") - (col("sdx") * col("sdy")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val sx = (nD * col("sxx") - (col("sdx") * col("sdx")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val sy = (nD * col("syy") - (col("sdy") * col("sdy")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    agg.select((gc :+ col("n") :+ num.cast("long").as("s_xy") :+
+      sx.cast("long").as("s_x") :+ sy.cast("long").as("s_y") :+
+      when(sx === lit(0).cast("decimal(38,0)") ||
+          sy === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          (sqrt(sx.cast("double")) * sqrt(sy.cast("double")))).as("rho")): _*)
   }
 
   /** Wilcoxon signed-rank test (Wilcoxon 1945): the PAIRED two-sample

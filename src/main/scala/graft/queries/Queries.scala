@@ -9487,6 +9487,218 @@ object Queries {
        |        AS DECIMAL(38,0)) AS DOUBLE) END AS odds_ratio
        |FROM ct""".stripMargin)
 
+  /** GROUPED Cohen's kappa ([[graft.ops.Stats.kappa]] with groupCols):
+    * the lang-ID agreement card PER LENGTH CLASS — the per-segment
+    * classifier-drift screen (short docs carry fewer stopword hits, so
+    * the heuristic's chance-debited agreement should differ visibly
+    * between classes; one pooled kappa hides that). */
+  val qKappaBy: Q = "q_kappa_by" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.kappa(
+        Tables.documents(s, d)
+          .select((col("n_chars") >= 300).as("long_doc"),
+            col("lang"), Text.langId(col("text")).as("lang_pred")),
+        Seq("long_doc"), "lang", "lang_pred")
+        .orderBy(col("long_doc")),
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT (n_chars >= 300) AS long_doc, lang,
+         |    $de AS h_de, $en AS h_en, $es AS h_es, $fr AS h_fr
+         |  FROM documents),
+         |pred AS (SELECT long_doc, lang AS ka, CASE
+         |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS kp
+         |  FROM h),
+         |cells AS (SELECT long_doc, ka, kp, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pred GROUP BY 1, 2, 3),
+         |rm AS (SELECT long_doc, ka AS k, CAST(sum(cnt) AS BIGINT) AS r
+         |  FROM cells GROUP BY 1, 2),
+         |cm AS (SELECT long_doc, kp AS k, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM cells GROUP BY 1, 2),
+         |pe AS (SELECT long_doc, CAST(sum(CAST(r AS DECIMAL(19,0))
+         |      * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS pe0
+         |  FROM rm JOIN cm USING (long_doc, k) GROUP BY 1),
+         |tot AS (SELECT long_doc, CAST(sum(cnt) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN ka = kp THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM cells GROUP BY 1),
+         |j AS (SELECT tot.long_doc AS long_doc, n, n_agree,
+         |    COALESCE(pe0, CAST(0 AS DECIMAL(38,0))) AS pe_num
+         |  FROM tot LEFT JOIN pe ON tot.long_doc = pe.long_doc)
+         |SELECT long_doc, n, n_agree, CAST(pe_num AS BIGINT) AS pe_num,
+         |  CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n_agree AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0)) - pe_num AS BIGINT) AS kappa_num,
+         |  CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0)) - pe_num AS BIGINT) AS kappa_den,
+         |  CASE WHEN CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0)) - pe_num = 0 THEN NULL
+         |    ELSE CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n_agree AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) - pe_num AS DOUBLE)
+         |      / CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) - pe_num AS DOUBLE) END AS kappa
+         |FROM j ORDER BY long_doc""".stripMargin
+    })
+
+  /** GROUPED 2×2 chi-square ([[graft.ops.Stats.chi2x2]] with
+    * groupCols): the purchase×big-ticket association PER DAY-OF-WEEK —
+    * Simpson's-paradox triage (does the pooled association hold every
+    * day, or is one day driving it?). */
+  val qChi2By: Q = "q_chi2_by" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.chi2x2(
+        Tables.events(s, d)
+          .select(expr("(ts_us div 86400000000) % 7").as("dow"),
+            col("event_type"), col("value")),
+        Seq("dow"), "event_type = 'purchase'", "value >= 100.0")
+        .orderBy(col("dow")),
+    s"""WITH $EV,
+       |f AS (SELECT (ts_us // 86400000000) % 7 AS dow,
+       |    (event_type = 'purchase') AS a, (value >= 100.0) AS b
+       |  FROM ev),
+       |ct AS (SELECT dow,
+       |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o11,
+       |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o10,
+       |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS o01,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS o00
+       |  FROM f GROUP BY 1),
+       |st AS (SELECT dow, o11, o10, o01, o00, o11 + o10 + o01 + o00 AS n,
+       |    CAST(CAST(o11 AS DECIMAL(19,0)) * CAST(o00 AS DECIMAL(19,0))
+       |      - CAST(o10 AS DECIMAL(19,0)) * CAST(o01 AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) AS det,
+       |    o11 + o10 AS r1, o01 + o00 AS r0, o11 + o01 AS c1, o10 + o00 AS c0
+       |  FROM ct)
+       |SELECT dow, n, o11, o10, o01, o00, CAST(det AS BIGINT) AS det,
+       |  CASE WHEN r1 = 0 OR r0 = 0 OR c1 = 0 OR c0 = 0 THEN NULL
+       |    ELSE CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(det * det
+       |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE)
+       |      / CAST(CAST(CAST(CAST(r1 AS DECIMAL(19,0)) * CAST(r0 AS DECIMAL(19,0))
+       |          AS DECIMAL(38,0)) * CAST(CAST(c1 AS DECIMAL(19,0))
+       |          * CAST(c0 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        AS DECIMAL(38,0)) AS DOUBLE) END AS chi2,
+       |  CASE WHEN r1 = 0 OR r0 = 0 OR c1 = 0 OR c0 = 0 THEN NULL
+       |    ELSE CAST(det AS DOUBLE)
+       |      / (sqrt(CAST(r1 * r0 AS DOUBLE)) * sqrt(CAST(c1 * c0 AS DOUBLE)))
+       |    END AS phi
+       |FROM st ORDER BY dow""".stripMargin)
+
+  /** GROUPED Goodman–Kruskal lambda ([[graft.ops.Stats.gkLambda]] with
+    * groupCols): does the lang-ID prediction reduce error in BOTH
+    * length classes, or only where stopword evidence is plentiful? */
+  val qGkLambdaBy: Q = "q_gk_lambda_by" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.gkLambda(
+        Tables.documents(s, d)
+          .select((col("n_chars") >= 300).as("long_doc"),
+            col("lang"), Text.langId(col("text")).as("lang_pred")),
+        Seq("long_doc"), "lang_pred", "lang")
+        .orderBy(col("long_doc")),
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT (n_chars >= 300) AS long_doc, lang,
+         |    $de AS h_de, $en AS h_en, $es AS h_es, $fr AS h_fr
+         |  FROM documents),
+         |pred AS (SELECT long_doc, CASE
+         |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |    WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |    WHEN h_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS x, lang AS y
+         |  FROM h),
+         |cells AS (SELECT long_doc, x, y, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pred GROUP BY 1, 2, 3),
+         |sm AS (SELECT long_doc, CAST(sum(mx) AS BIGINT) AS sum_modal
+         |  FROM (SELECT long_doc, x, max(cnt) AS mx FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |my AS (SELECT long_doc, max(cy) AS modal_y
+         |  FROM (SELECT long_doc, y, CAST(sum(cnt) AS BIGINT) AS cy
+         |    FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |tot AS (SELECT long_doc, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1)
+         |SELECT long_doc, n, sum_modal, modal_y,
+         |  sum_modal - modal_y AS lambda_num, n - modal_y AS lambda_den,
+         |  CASE WHEN n = modal_y THEN NULL
+         |    ELSE CAST(sum_modal - modal_y AS DOUBLE)
+         |      / CAST(n - modal_y AS DOUBLE) END AS lambda_gk
+         |FROM tot JOIN sm USING (long_doc) JOIN my USING (long_doc)
+         |ORDER BY long_doc""".stripMargin
+    })
+
+  /** GROUPED Spearman ([[graft.ops.Stats.spearman]] with groupCols):
+    * the per-user activity↔spend monotone association PER DAY-OF-WEEK
+    * — rank tables partition by the group, so each day's distinct-value
+    * pass is independent (and under the checked axis ceiling). */
+  val qSpearmanBy: Q = "q_spearman_by" -> (
+    (s: SparkSession, d: String) => {
+      val dec2 = col("value").cast("decimal(18,2)")
+      val u = Tables.events(s, d)
+        .groupBy(expr("(ts_us div 86400000000) % 7").as("dow"),
+          col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          (sum(dec2) * 100).cast("long").as("cents"))
+      graft.ops.Stats.spearman(u, Seq("dow"), "n_events", "cents")
+        .orderBy(col("dow"))
+    },
+    s"""WITH $EV,
+       |u AS (SELECT (ts_us // 86400000000) % 7 AS dow, user_id,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM ev GROUP BY 1, 2),
+       |rx AS (SELECT dow, x, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM u GROUP BY 1, 2),
+       |rx2 AS (SELECT dow, x, 2 * CAST(sum(cnt)
+       |    OVER (PARTITION BY dow ORDER BY x) AS BIGINT) - cnt + 1 AS dx
+       |  FROM rx),
+       |ry AS (SELECT dow, y, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM u GROUP BY 1, 2),
+       |ry2 AS (SELECT dow, y, 2 * CAST(sum(cnt)
+       |    OVER (PARTITION BY dow ORDER BY y) AS BIGINT) - cnt + 1 AS dy
+       |  FROM ry),
+       |j AS (SELECT u.dow, u.x, u.y, rx2.dx, ry2.dy
+       |  FROM u JOIN rx2 ON u.dow = rx2.dow AND u.x = rx2.x
+       |    JOIN ry2 ON u.dow = ry2.dow AND u.y = ry2.y),
+       |ag AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdx,
+       |    CAST(sum(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sdy,
+       |    CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxy,
+       |    CAST(sum(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS sxx,
+       |    CAST(sum(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS syy
+       |  FROM j GROUP BY 1),
+       |st AS (SELECT dow, n,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sdx * sdy
+       |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS num,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sdx * sdx
+       |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS sx,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sdy * sdy
+       |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS sy
+       |  FROM ag)
+       |SELECT dow, n, CAST(num AS BIGINT) AS s_xy, CAST(sx AS BIGINT) AS s_x,
+       |  CAST(sy AS BIGINT) AS s_y,
+       |  CASE WHEN sx = 0 OR sy = 0 THEN NULL
+       |    ELSE CAST(num AS DOUBLE)
+       |      / (sqrt(CAST(sx AS DOUBLE)) * sqrt(CAST(sy AS DOUBLE))) END AS rho
+       |FROM st ORDER BY dow""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9553,5 +9765,6 @@ object Queries {
     qBootstrapSe, qLooInfluence, qCuped,
     qSpecificAgreement, qBenford, qMde, qAbRatio,
     qBootstrapStored, qMannWhitneyBy, qAbCi, qRankBiserial, qOddsRatio,
+    qKappaBy, qChi2By, qGkLambdaBy, qSpearmanBy,
   )
 }

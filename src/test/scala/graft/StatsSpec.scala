@@ -231,6 +231,44 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("rho") - 0.5) < 1e-12)
   }
 
+  test("grouped kappa/chi2x2/gkLambda/spearman: per-group cards are independent") {
+    // kappa — group p: perfect agreement (kappa 1); group q: constant
+    // prediction (chance-level, kappa 0 via pe_num = 2, num = 0)
+    val lab = Seq(("p", "x", "x"), ("p", "y", "y"),
+      ("q", "x", "x"), ("q", "y", "x")).toDF("g", "act", "pred")
+    val k = Stats.kappa(lab, Seq("g"), "act", "pred").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(k("p").getAs[Double]("kappa") === 1.0)
+    assert(k("q").getAs[Long]("pe_num") === 2L)
+    assert(k("q").getAs[Double]("kappa") === 0.0)
+    // chi2x2 — group p: perfect association (chi2 = n, phi = 1);
+    // group q: zero margin (all a) → NULL, never Inf
+    val cc = Seq(("p", true, true), ("p", true, true), ("p", false, false),
+      ("p", false, false), ("q", true, true), ("q", true, false))
+      .toDF("g", "a", "b")
+    val c = Stats.chi2x2(cc, Seq("g"), "a", "b").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(c("p").getAs[Double]("chi2") === 4.0)
+    assert(c("p").getAs[Double]("phi") === 1.0)
+    assert(c("q").isNullAt(c("q").fieldIndex("chi2")))
+    // gkLambda — group p: x determines y (lambda 1); group q: constant
+    // y (NULL, nothing to predict)
+    val xy = Seq(("p", "a", "u"), ("p", "b", "v"), ("q", "a", "u"),
+      ("q", "b", "u")).toDF("g", "x", "y")
+    val l = Stats.gkLambda(xy, Seq("g"), "x", "y").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(l("p").getAs[Double]("lambda_gk") === 1.0)
+    assert(l("q").isNullAt(l("q").fieldIndex("lambda_gk")))
+    // spearman — group p monotone (rho 1), group q reversed (rho −1):
+    // the groups must not contaminate each other's rank tables
+    val sp = Seq(("p", 1L, 10L), ("p", 2L, 20L), ("p", 3L, 30L),
+      ("q", 1L, 30L), ("q", 2L, 20L), ("q", 3L, 10L)).toDF("g", "x", "y")
+    val s = Stats.spearman(sp, Seq("g"), "x", "y").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(math.abs(s("p").getAs[Double]("rho") - 1.0) < 1e-12)
+    assert(math.abs(s("q").getAs[Double]("rho") + 1.0) < 1e-12)
+  }
+
   test("spearman: constant axis gives NULL rho") {
     val df = Seq((1L, 7L), (2L, 7L)).toDF("x", "y")
     val r = Stats.spearman(df, "x", "y").collect().head
