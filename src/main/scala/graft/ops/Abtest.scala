@@ -58,6 +58,14 @@ object Abtest {
       sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
       sum(when(col("variant") === 1, col("converted")).otherwise(0L))
         .cast("long").as("conv_b"))
+    readoutCard(agg, gc)
+  }
+
+  /** The conversion-readout card over pre-aggregated arm counts
+    * (groupCols..., n_a, conv_a, n_b, conv_b) — shared by the one-shot
+    * [[readout]] and [[readoutFromStore]] so both emit the SAME double
+    * expressions bit-for-bit. */
+  private def readoutCard(agg: DataFrame, gc: Seq[Column]): DataFrame = {
     val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
     val pA = col("conv_a").cast("double") / nA
     val pB = col("conv_b").cast("double") / nB
@@ -122,6 +130,16 @@ object Abtest {
       sum(col("x").cast(d19) * col("x").cast(d19)).cast(d38).as("sxx"),
       sum(col("x").cast(d19) * col("y").cast(d19)).cast(d38).as("sxy"),
       sum(col("y").cast(d19) * col("y").cast(d19)).cast(d38).as("syy"))
+    cupedCard(agg)
+  }
+
+  /** The CUPED card over pre-aggregated moment sums (n_a, n_b, sy_a,
+    * sy_b, sx_a, sx_b, sxx, sxy, syy — the last three POOLED across
+    * arms) — shared by the one-shot [[cupedReadout]] and
+    * [[cupedFromStore]] so both emit the SAME double expressions
+    * bit-for-bit. */
+  private def cupedCard(agg: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
     val n = col("n_a") + col("n_b")
     val sx = (col("sx_a") + col("sx_b")).cast(d19)
     val sy = (col("sy_a") + col("sy_b")).cast(d19)
@@ -331,6 +349,121 @@ object Abtest {
       when(emptyArm, nullD).otherwise(hiB).as("hi_b"),
       when(emptyArm, lit(null).cast("boolean"))
         .otherwise(loB <= hiA && loA <= hiB).as("overlap"))
+  }
+
+  /** ADDITIVE experiment store: one row per (variant, batch) carrying
+    * the unit count, conversion count, and metric/covariate moment
+    * sums — everything [[readout]] and [[cupedReadout]] consume, in
+    * the order-free additive shape the bootstrap/decay/histogram
+    * stores proved (merge = plain sum per variant). The live
+    * experiment dashboard: each arriving ingest shard folds in one
+    * model-sized row pair; the readout after any batch is
+    * BIT-IDENTICAL to the one-shot readout over everything so far.
+    *
+    * CONTRACT: batches must PARTITION the randomization units (shard
+    * ingest by unit hash, the natural layout) — per-unit conversion
+    * (an OR across the unit's rows) and per-unit squared moment sums
+    * only add across batches when no unit spans two. Exactly-once via
+    * [[Stores.appendCommit]] markers (sums are not idempotent), the
+    * [[graft.ops.Stats.bootstrapStoreAppend]] lifecycle. */
+  def momentsStoreAppend(df: DataFrame, path: String, batchTag: String,
+                         unitExpr: String, convExpr: String, yExpr: String,
+                         xExpr: String, salt: String): Unit = {
+    val spark = df.sparkSession
+    val rows = armMoments(df, unitExpr, convExpr, yExpr, xExpr, salt)
+      .withColumn("tag", lit(batchTag))
+    if (!Stores.exists(spark, path, "_SUCCESS"))
+      rows.limit(0).write.mode("overwrite").parquet(path)
+    Stores.appendCommit(spark, path, batchTag) { staging =>
+      rows.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Per-arm accumulator rows (variant, n, conv, sy, sx, sxx, sxy,
+    * syy) for one batch — unit grain first (conversion = ANY row,
+    * metric/covariate summed), then one row per arm. */
+  private def armMoments(df: DataFrame, unitExpr: String, convExpr: String,
+                         yExpr: String, xExpr: String,
+                         salt: String): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(convExpr).cast("boolean").as("c"),
+        expr(yExpr).cast("long").as("yr"),
+        expr(xExpr).cast("long").as("xr"))
+      .groupBy(col("unit"))
+      .agg(max(when(col("c"), 1L).otherwise(0L)).as("converted"),
+        sum(col("yr")).cast("long").as("y"),
+        sum(col("xr")).cast("long").as("x"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    units.groupBy(col("variant")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("converted")).cast("long").as("conv"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("x").cast(d19) * col("x").cast(d19)).cast(d38).as("sxx"),
+      sum(col("x").cast(d19) * col("y").cast(d19)).cast(d38).as("sxy"),
+      sum(col("y").cast(d19) * col("y").cast(d19)).cast(d38).as("syy"))
+  }
+
+  /** The store's merged per-arm state (plain sums — the additive
+    * contract). */
+  private def mergedArms(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    Stores.requireStore(spark, path, "append experiment batches first")
+    val d38 = "decimal(38,0)"
+    Stores.freshRead(spark, path).groupBy(col("variant")).agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("conv")).cast("long").as("conv"),
+      sum(col("sy")).cast("long").as("sy"),
+      sum(col("sx")).cast("long").as("sx"),
+      sum(col("sxx")).cast(d38).as("sxx"),
+      sum(col("sxy")).cast(d38).as("sxy"),
+      sum(col("syy")).cast(d38).as("syy"))
+  }
+
+  /** [[readout]]'s card over the merged store — the maintained
+    * conversion dashboard (rates, lift, z), never rescanning unit
+    * history. */
+  def readoutFromStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val agg = mergedArms(spark, path).agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_a"),
+      coalesce(sum(when(col("variant") === 0L, col("conv")).otherwise(0L)),
+        lit(0L)).cast("long").as("conv_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_b"),
+      coalesce(sum(when(col("variant") === 1L, col("conv")).otherwise(0L)),
+        lit(0L)).cast("long").as("conv_b"))
+    readoutCard(agg, Nil)
+  }
+
+  /** [[cupedReadout]]'s card over the merged store — the maintained
+    * variance-reduced lift (theta re-estimated from the cumulative
+    * pooled moments at every read, exactly as the one-shot does). */
+  def cupedFromStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val agg = mergedArms(spark, path).agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_b"),
+      coalesce(sum(when(col("variant") === 0L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("sy_a"),
+      coalesce(sum(when(col("variant") === 1L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("sy_b"),
+      coalesce(sum(when(col("variant") === 0L, col("sx")).otherwise(0L)),
+        lit(0L)).cast("long").as("sx_a"),
+      coalesce(sum(when(col("variant") === 1L, col("sx")).otherwise(0L)),
+        lit(0L)).cast("long").as("sx_b"),
+      coalesce(sum(col("sxx")), lit(0).cast(d38)).cast(d38).as("sxx"),
+      coalesce(sum(col("sxy")), lit(0).cast(d38)).cast(d38).as("sxy"),
+      coalesce(sum(col("syy")), lit(0).cast(d38)).cast(d38).as("syy"))
+    cupedCard(agg)
   }
 
   /** DuckDB mirror over `src(<groupCols...>, unit, c)` with c already

@@ -98,6 +98,31 @@ object Blocklist {
       .select(col("term"), col("category"))
   }
 
+  /** The policy list AS OF a batch tag (`tag <= asOfTag`) — the
+    * takedown audit trail: retraction rows land under
+    * `retract_<tag>` tags which sort AFTER every plain batch tag, so
+    * an as-of read at the original tag reconstructs the list any past
+    * screen actually used, appeals and later edits excluded. The
+    * answer to "what did the screen see when doc X shipped". */
+  def currentTermsAsOf(spark: org.apache.spark.sql.SparkSession,
+                       path: String, asOfTag: String): DataFrame = {
+    Stores.requireStore(spark, path, "append terms first")
+    Stores.freshRead(spark, path)
+      .filter(col("tag") <= asOfTag)
+      .groupBy(col("term"), col("category"))
+      .agg(sum(col("w")).as("net"))
+      .filter(col("net") > 0)
+      .select(col("term"), col("category"))
+  }
+
+  /** [[screen]] with the list as of a tag ([[currentTermsAsOf]]) —
+    * replay any past policy decision against today's documents. */
+  def screenFromStoreAsOf(docs: DataFrame, path: String, asOfTag: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    screen(docs, currentTermsAsOf(docs.sparkSession, path, asOfTag),
+      idCol, textCol)
+
   /** [[screen]] against the maintained store's CURRENT list — each
     * call (or each micro-batch, via
     * [[graft.streaming.BlocklistStream]]) screens with the list as of

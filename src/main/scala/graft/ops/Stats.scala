@@ -866,6 +866,24 @@ object Stats {
     bootstrapReadout(merged)
   }
 
+  /** [[bootstrapFromStore]] cut at a batch tag (`tag <= asOfTag` on
+    * the store's version axis) — time travel for the uncertainty
+    * gauge: "what did the CI say as of batch N", the audit read the
+    * decay/histogram stores already answer. Append-only rows make the
+    * cut exact (nothing after N can perturb sums up to N); prunes on
+    * the tag column's parquet min/max like every as-of read. */
+  def bootstrapFromStoreAsOf(spark: SparkSession, path: String,
+                             asOfTag: String): DataFrame = {
+    Stores.requireStore(spark, path, "append bootstrap batches first")
+    val merged = Stores.freshRead(spark, path)
+      .filter(col("tag") <= asOfTag)
+      .groupBy(col("r"))
+      .agg(sum(col("t")).cast("long").as("t"),
+        sum(col("n")).cast("long").as("n"),
+        sum(col("tot")).cast("long").as("tot"))
+    bootstrapReadout(merged)
+  }
+
   /** Per-replicate totals (r, t, n, tot) — n/tot are the batch's row
     * count and un-resampled total, carried on every replicate row so
     * the store's per-r sums reconstruct them for the union. */

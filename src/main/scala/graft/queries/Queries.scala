@@ -9699,6 +9699,138 @@ object Queries {
        |      / (sqrt(CAST(sx AS DOUBLE)) * sqrt(CAST(sy AS DOUBLE))) END AS rho
        |FROM st ORDER BY dow""".stripMargin)
 
+  /** [[qAbReadout]] maintained through the ADDITIVE experiment store
+    * ([[graft.ops.Abtest.momentsStoreAppend]], three USER-disjoint
+    * event slices — the store's unit-partitioning contract): per-arm
+    * counts and conversions add across batches, so the dashboard read
+    * equals the one-shot readout bit-for-bit and the oracle is
+    * [[qAbReadout]]'s verbatim. */
+  val qAbStored: Q = "q_ab_stored" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "ab_store")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp1")
+      }
+      graft.ops.Abtest.readoutFromStore(s, store)
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(col("rate_a"), 9).as("rate_a"),
+          round(col("rate_b"), 9).as("rate_b"),
+          round(col("lift"), 9).as("lift"), round(col("z"), 6).as("z"))
+    },
+    qAbReadout._2._2)
+
+  /** [[qCuped]] maintained through the same ADDITIVE experiment store
+    * (three user-disjoint slices): per-arm metric/covariate moment
+    * sums add across batches, theta is re-estimated from the
+    * cumulative pooled moments at read time, and the variance-reduced
+    * lift equals the one-shot CUPED card bit-for-bit — the oracle is
+    * [[qCuped]]'s verbatim. */
+  val qCupedStored: Q = "q_cuped_stored" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "cuped_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          when(expr("(ts_us div 86400000000) % 2") === 1, cents)
+            .otherwise(0L).as("y_late"),
+          when(expr("(ts_us div 86400000000) % 2") === 0, cents)
+            .otherwise(0L).as("x_early"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "false", "y_late", "x_early", salt = "cuped13")
+      }
+      graft.ops.Abtest.cupedFromStore(s, store)
+    },
+    qCuped._2._2)
+
+  /** TIME-TRAVEL bootstrap read
+    * ([[graft.ops.Stats.bootstrapFromStoreAsOf]]): the uncertainty
+    * gauge as of the FIRST batch tag — a later appended slice must not
+    * perturb the audited CI (append-only rows make the cut exact).
+    * The oracle is the one-shot bootstrap over slice 0 alone. */
+  val qBootstrapAsof: Q = "q_bootstrap_asof" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "boot_store_asof")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      (0 to 1).foreach { k =>
+        graft.ops.Stats.bootstrapStoreAppend(
+          ev.filter(col("event_id") % 2 === k), store, s"b$k",
+          "event_id", "cents", replicates = 64, salt = "boot13")
+      }
+      graft.ops.Stats.bootstrapFromStoreAsOf(s, store, "b0")
+    },
+    {
+      val mSql = graft.ops.Stats.PoissonThresholds
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $EV,
+         |base AS (SELECT CAST(event_id AS VARCHAR) AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM ev WHERE event_id % 2 = 0),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS total FROM base),
+         |rep AS (SELECT id, v, unnest(range(64)) AS r FROM base),
+         |uu AS (SELECT r, v, CAST('0x' || substr(md5(id || '_'
+         |    || CAST(r AS VARCHAR) || 'boot13'), 1, 7) AS BIGINT) AS u
+         |  FROM rep),
+         |mm AS (SELECT r, CAST(($mSql) AS BIGINT) * v AS mv FROM uu),
+         |tt AS (SELECT r, CAST(sum(mv) AS BIGINT) AS t FROM mm GROUP BY r),
+         |sp AS (SELECT CAST(count(*) AS BIGINT) AS r_n,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS st2
+         |  FROM tt),
+         |vv AS (SELECT r_n, st, st2,
+         |    CAST(CAST(CAST(r_n AS DECIMAL(19,0)) * st2 AS DECIMAL(38,0))
+         |      - CAST(st * st AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS v_num,
+         |    r_n * (r_n - 1) AS v_den
+         |  FROM sp)
+         |SELECT r_n AS r, n, total,
+         |  CAST(st AS DOUBLE) / CAST(r_n AS DOUBLE) AS boot_mean_total,
+         |  CASE WHEN r_n < 2 THEN NULL
+         |    ELSE sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE))
+         |    END AS se_total,
+         |  CASE WHEN r_n < 2 OR n = 0 THEN NULL
+         |    ELSE sqrt(CAST(v_num AS DOUBLE) / CAST(v_den AS DOUBLE))
+         |      / CAST(n AS DOUBLE) END AS se_mean
+         |FROM ov, vv""".stripMargin
+    })
+
+  /** TIME-TRAVEL blocklist read
+    * ([[graft.ops.Blocklist.currentTermsAsOf]]): the screen as of the
+    * decoy's APPEND tag — the retraction (tagged `retract_b2`, sorting
+    * after `b2`) is excluded, so the as-of list still contains the
+    * decoy and the audit answers "what did the screen see then", not
+    * "what would it see now". Oracle: the inline fixture PLUS the
+    * decoy term. */
+  val qBlocklistAsof: Q = "q_blocklist_asof" -> (
+    (s: SparkSession, d: String) => {
+      import s.implicits._
+      val store = codebookPath(d, "blocklist_terms_asof")
+      val (first, rest) = BlocklistTerms.splitAt(3)
+      graft.ops.Blocklist.termStoreAppend(
+        first.toDF("term", "category"), store, "b0")
+      graft.ops.Blocklist.termStoreAppend(
+        rest.toDF("term", "category"), store, "b1")
+      val decoy = Seq(("the", "decoy")).toDF("term", "category")
+      graft.ops.Blocklist.termStoreAppend(decoy, store, "b2")
+      graft.ops.Blocklist.termStoreRetract(decoy, store, "b2")
+      graft.ops.Blocklist.screenFromStoreAsOf(
+          Tables.documents(s, d), store, "b2")
+        .orderBy(col("doc_id"), col("category"))
+    },
+    s"""WITH ${graft.ops.Blocklist.screenSql(
+            BlocklistTerms :+ (("the", "decoy")))}
+       |SELECT doc_id, category, hits FROM bl_hits
+       |ORDER BY doc_id, category""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9766,5 +9898,6 @@ object Queries {
     qSpecificAgreement, qBenford, qMde, qAbRatio,
     qBootstrapStored, qMannWhitneyBy, qAbCi, qRankBiserial, qOddsRatio,
     qKappaBy, qChi2By, qGkLambdaBy, qSpearmanBy,
+    qAbStored, qCupedStored, qBootstrapAsof, qBlocklistAsof,
   )
 }

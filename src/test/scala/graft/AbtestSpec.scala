@@ -142,6 +142,56 @@ class AbtestSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("overlap"))
   }
 
+  test("experiment store: unit-disjoint batches reproduce both one-shot cards") {
+    val store = java.nio.file.Files.createTempDirectory("ab_store")
+      .toString + "/s"
+    val rows = (1L to 300L)
+      .map(u => (u, u % 9 == 0, u % 7 * 2L, u % 5 * 3L))
+      .toDF("u", "c", "y", "x")
+    // batches PARTITION the units — the store's additivity contract
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "c", "y", "x", salt = "st1")
+    }
+    val oneShotR = Abtest.readout(rows, Nil, "u", "c", "st1")
+      .collect().head
+    assert(Abtest.readoutFromStore(spark, store).collect().head === oneShotR,
+      "per-arm counts/conversions must ADD across unit-disjoint batches")
+    val oneShotC = Abtest.cupedReadout(rows, "u", "y", "x", "st1")
+      .collect().head
+    assert(Abtest.cupedFromStore(spark, store).collect().head === oneShotC,
+      "pooled moments must ADD — theta re-estimated at read time")
+    // a redelivered batch tag is a no-op (marker-gated)
+    Abtest.momentsStoreAppend(rows.filter($"u" % 3 === 1L), store, "b1",
+      "u", "c", "y", "x", salt = "st1")
+    assert(Abtest.readoutFromStore(spark, store).collect().head === oneShotR)
+  }
+
+  test("experiment live loop: per-batch dashboard tracks the cumulative units") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("ab_live")
+      .toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("ab_ck").toString
+    val mem = MemoryStream[(Long, Boolean, Long, Long)]
+    val reads = scala.collection.mutable.Map.empty[Long, org.apache.spark.sql.Row]
+    val q = graft.streaming.AbStream.selfMaintaining(
+        mem.toDF().toDF("u", "c", "y", "x"), store, "u", "c", "y", "x",
+        salt = "st2")(Some((bid, r) => { reads(bid) = r; () }))
+      .option("checkpointLocation", ckpt).start()
+    mem.addData((1L to 100L).map(u => (u, u % 4 == 0, u % 3, 0L)): _*)
+    q.processAllAvailable()
+    mem.addData((101L to 200L).map(u => (u, u % 4 == 0, u % 3, 0L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(reads(0L).getAs[Long]("n_a") + reads(0L).getAs[Long]("n_b")
+      === 100L)
+    val oneShot = Abtest.readout(
+      (1L to 200L).map(u => (u, u % 4 == 0)).toDF("u", "c"),
+      Nil, "u", "c", "st2").collect().head
+    assert(reads(1L) === oneShot, "live dashboard must equal the one-shot")
+  }
+
   test("cuped: per-row contributions aggregate to unit grain first") {
     // two rows per unit sum to the same (y, x) as the one-row form
     val twoRow = (1L to 60L).flatMap(u =>

@@ -66,6 +66,29 @@ class BlocklistSpec extends SparkTestBase {
     assert(cur === Set("worse"))
   }
 
+  test("as-of read: the takedown audit sees the list as it was, not as it is") {
+    val store = java.nio.file.Files.createTempDirectory("bl_asof")
+      .toString + "/s"
+    graft.ops.Blocklist.termStoreAppend(
+      Seq(("bad", "cat1")).toDF("term", "category"), store, "b0")
+    graft.ops.Blocklist.termStoreAppend(
+      Seq(("worse", "cat1")).toDF("term", "category"), store, "b1")
+    graft.ops.Blocklist.termStoreRetract(
+      Seq(("bad", "cat1")).toDF("term", "category"), store, "b1")
+    def terms(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSet
+    // as of b0: only the original term, the later append invisible
+    assert(terms(graft.ops.Blocklist.currentTermsAsOf(spark, store, "b0"))
+      === Set("bad"))
+    // as of b1: the retraction tag `retract_b1` sorts AFTER b1, so the
+    // audit read still contains the since-retracted term
+    assert(terms(graft.ops.Blocklist.currentTermsAsOf(spark, store, "b1"))
+      === Set("bad", "worse"))
+    // the current list reflects the retraction
+    assert(terms(graft.ops.Blocklist.currentTerms(spark, store))
+      === Set("worse"))
+  }
+
   test("plan: blocklist side is broadcast, no corpus-side shuffle before the count agg") {
     val docs = Seq((1L, "bad bad")).toDF("doc_id", "text")
     val plan = Blocklist.screen(docs, terms).queryExecution.executedPlan.toString

@@ -489,6 +489,24 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.bootstrapFromStore(spark, store).collect().head === oneShot)
   }
 
+  test("bootstrap as-of read: a later batch cannot perturb the audited CI") {
+    val store = java.nio.file.Files.createTempDirectory("boot_asof")
+      .toString + "/s"
+    val all = (1L to 300L).map(i => (i, i % 17 * 3L))
+    val df = all.toDF("id", "v")
+    Stats.bootstrapStoreAppend(df.filter($"id" % 2 === 0), store, "b0",
+      "id", "v", replicates = 16, salt = "s1")
+    val atB0 = Stats.bootstrapFromStore(spark, store).collect().head
+    Stats.bootstrapStoreAppend(df.filter($"id" % 2 === 1), store, "b1",
+      "id", "v", replicates = 16, salt = "s1")
+    assert(Stats.bootstrapFromStoreAsOf(spark, store, "b0").collect().head
+      === atB0, "the as-of cut must reconstruct the pre-b1 readout")
+    // and equals the one-shot over the cut's slice
+    val oneShot = Stats.poissonBootstrap(df.filter($"id" % 2 === 0),
+      "id", "v", replicates = 16, salt = "s1").collect().head
+    assert(atB0 === oneShot)
+  }
+
   test("bootstrap live loop: per-batch readout tracks the cumulative corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
