@@ -76,6 +76,50 @@ class MssqlLiveSpec extends SparkTestBase {
     assert(!bag(ms).contains("k3") && ms.getOffsets() === Map("s" -> 3L))
   }
 
+  test("property: shuffled column orders drive the shim to the Postgres-identical state") {
+    assume(TestJdbc.duckdbReady, "duckdb_jdbc jar not in the local build cache — env-blocked")
+    // the golden-string suite pins one column order; this pins that a
+    // GENERATED statement binds its parameters in spec order for ANY
+    // order — the silent regression class the shim can actually witness
+    val rnd = new scala.util.Random(1405L)
+    val baseCols = Seq(
+      ("k", "VARCHAR(64)"), ("n", "BIGINT"), ("m", "INTEGER"),
+      ("s", "VARCHAR(32)"), ("p", "BIGINT"))
+    def valueOf(name: String, i: Int): Any = name match {
+      case "k" => s"k$i"
+      case "n" => i.toLong * 3L
+      case "m" => i * 7
+      case "s" => s"s${i % 5}"
+      case "p" => i.toLong % 11L
+    }
+    (0 until 6).foreach { trial =>
+      val order = rnd.shuffle(baseCols)
+      val spec = TableSpec(s"t_perm$trial", 1,
+        order.zipWithIndex.map { case ((nm, tp), pos) =>
+          ColumnSpec(nm, tp, index = pos == 0) })
+      val (tsqlUrl, _) = freshUrl(s"perm$trial")
+      val ms = new JdbcDeltaSink(tsqlUrl, spec, MssqlDialect)
+      val pg = new JdbcDeltaSink(freshUrl(s"permref$trial")._2, spec,
+        PostgresDialect)
+      def row(i: Int): Seq[Any] = spec.columns.map(c => valueOf(c.name, i))
+      // inserts incl. a doubled row, then a partial + a full retraction:
+      // every statement shape that binds row parameters
+      val b0 = (1 to 30).map(i => (row(i), 1L)) :+ ((row(2), 1L))
+      val b1 = Seq((row(2), -1L), (row(1), -1L))
+      for (s <- Seq(ms, pg)) {
+        assert(s.bootstrap())
+        assert(s.applyDeltas(Map("src" -> 1L), 0L, b0))
+        assert(s.applyDeltas(Map("src" -> 2L), 1L, b1))
+      }
+      def state(s: JdbcDeltaSink): Seq[String] =
+        s.readRows().map(_.map(String.valueOf).mkString("|")).sorted
+      assert(state(ms) === state(pg),
+        s"trial $trial, order ${spec.colNames.mkString(",")}: " +
+          "parameter-order divergence between the T-SQL and Postgres paths")
+      assert(ms.getOffsets() === pg.getOffsets())
+    }
+  }
+
   test("MSSQL schema-version bump drops and rebuilds live") {
     assume(TestJdbc.duckdbReady, "duckdb_jdbc jar not in the local build cache — env-blocked")
     val (tsqlUrl, _) = freshUrl("ver")
