@@ -696,6 +696,75 @@ object BenchScale {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("r13ops2")) {
+      // fourth-wave ladder (r13 follow-up): blocklist under HOT terms
+      // (every doc hits several times — the join fan-out worst case the
+      // broadcast-probe design must absorb linearly, vs the selective
+      // terms the r13ops rung used), CAPACITY-WEIGHTED rendezvous
+      // (cost = Σcapacities md5s per row — laddered in rows at fixed
+      // capacities AND swept in Σcapacities at fixed rows), and
+      // decayedFromBuckets over a GROWING group domain (the report
+      // relation is groups × ≤40 periods: "model-sized" is a function
+      // of the group domain, so the curve must be linear in it).
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      import graft.ops.{Blocklist, Decay, Shards}
+      val hotTerms = {
+        import spark.implicits._
+        // every scaled doc ends in the unprefixed "lorem ipsum dolor
+        // sit amet" suffix: these unigrams/bigrams hit EVERY doc
+        Seq(("lorem", "hot"), ("ipsum", "hot"), ("dolor", "hot"),
+          ("dolor sit", "hot"), ("sit amet", "hot")).toDF("term", "category")
+      }
+      val warm = scaledDocs(spark, sfDir, 1).limit(2000)
+      Blocklist.screen(warm, hotTerms).count() // JIT warmup
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val docs = scaledDocs(spark, sfDir, k).persist(MEMORY_AND_DISK)
+        val nD = docs.count()
+        val (tHot, nHits) = time(Blocklist.screen(docs, hotTerms)
+          .agg(coalesce(sum(col("hits")), lit(0L))).head.getLong(0))
+        spark.catalog.clearCache()
+        val (tRw, _) = time(docs.select(
+            Shards.rendezvousShardWeighted(col("doc_id"), Seq(4, 2, 1, 1),
+              "wring").as("sh"))
+          .groupBy("sh").count().count())
+        docs.unpersist()
+        // pre-bucketed decay input: k·4000 groups × 40 periods
+        val buckets = spark.range(k.toLong * 4000L)
+          .select(concat(lit("g"), col("id")).as("g"),
+            explode(expr("sequence(0L, 39L)")).as("period"))
+          .withColumn("cnt",
+            pmod(col("period") * 7L + length(col("g")), lit(13L)) + 1L)
+          .persist(MEMORY_AND_DISK)
+        val nB = buckets.count()
+        val (tDb, nG) = time(Decay.decayedFromBuckets(buckets, Seq("g"),
+          40L * 604800000000L, 604800000000L).count())
+        buckets.unpersist()
+        println(s"""{"k":$k,"docs":$nD,"hot_hits":$nHits,""" +
+          s""""blocklist_hot_sec":${f"$tHot%.2f"},""" +
+          s""""rendezvous_weighted_sec":${f"$tRw%.2f"},""" +
+          s""""decay_buckets":$nB,"decay_groups":$nG,""" +
+          s""""decayed_from_buckets_sec":${f"$tDb%.2f"}}""")
+        spark.catalog.clearCache()
+      }
+      // Σcapacities sweep at fixed rows: one md5 per unit capacity →
+      // time ∝ cap_total (the weighted form's documented cost model)
+      val fixed = scaledDocs(spark, sfDir, math.min(4, maxK))
+        .persist(MEMORY_AND_DISK)
+      val nF = fixed.count()
+      Seq(8, 16, 32, 64).foreach { s =>
+        val caps = Seq.fill(4)(s / 4)
+        val (t, _) = time(fixed.select(
+            Shards.rendezvousShardWeighted(col("doc_id"), caps, "wring")
+              .as("sh"))
+          .groupBy("sh").count().count())
+        println(s"""{"cap_total":$s,"docs":$nF,""" +
+          s""""rendezvous_weighted_sec":${f"$t%.2f"}}""")
+        spark.catalog.clearCache()
+      }
+      fixed.unpersist()
+      spark.stop(); return
+    }
     if (args.lift(1).contains("graph3deep")) {
       // the two shape probes split out of graph3 (runnable alone):
       // deep-peel tree + link-prediction cap sweep — see graph3 below.
