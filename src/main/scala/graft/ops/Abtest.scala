@@ -351,6 +351,165 @@ object Abtest {
         .otherwise(loB <= hiA && loA <= hiB).as("overlap"))
   }
 
+  /** Sample-ratio-mismatch guardrail — the FIRST check a trustworthy
+    * experiment platform runs (Kohavi et al.: a small assignment
+    * imbalance correlated with anything invalidates every downstream
+    * readout): chi-square of the observed arm split against the
+    * designed 50/50, chi2 = (n_a − n_b)²/(n_a + n_b), 1 df. All
+    * integers but one division, and the verdict itself is a RATIONAL
+    * compare (srm_num·thrDen > thrNum·srm_den) so both engines agree
+    * bit-for-bit — the [[graft.ops.Stats.ksDriftFromStore]] threshold
+    * convention. Default threshold 384/100 ≈ the 3.84 α = 0.05 cut;
+    * platforms commonly alarm stricter (p < 0.001 → 1083/100).
+    *
+    * @return one row: n_units, n_a, n_b, srm_num (= (n_a−n_b)²),
+    *         srm_den (= n_a+n_b), srm_chi2, mismatch */
+  def srmCheck(df: DataFrame, unitExpr: String, salt: String,
+               thrNum: Long = 384L, thrDen: Long = 100L): DataFrame = {
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    val units = df.select(expr(unitExpr).as("unit")).distinct()
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val agg = units.agg(
+      count(lit(1)).cast("long").as("n_units"),
+      coalesce(sum(when(col("variant") === 0L, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_a"),
+      coalesce(sum(when(col("variant") === 1L, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_b"))
+    val d = col("n_a") - col("n_b")
+    agg.select(col("n_units"), col("n_a"), col("n_b"),
+      (d * d).as("srm_num"),
+      (col("n_a") + col("n_b")).as("srm_den"),
+      when(col("n_a") + col("n_b") === 0L, lit(null).cast("double"))
+        .otherwise((d * d).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")).as("srm_chi2"),
+      ((d * d) * lit(thrDen) > lit(thrNum) * (col("n_a") + col("n_b")))
+        .as("mismatch"))
+  }
+
+  /** Deterministic permutation test on the conversion lift — the
+    * re-randomization significance check that needs NO normal
+    * approximation and no erf (the exactness-friendly alternative to
+    * [[readout]]'s z when arms are small or rates extreme): units'
+    * conversions are FIXED, assignment is re-drawn under `rounds`
+    * alternative salts `<salt>#<r>`, and
+    * p = (1 + #{r : |lift_r| ≥ |lift_obs|}) / (rounds + 1) — the
+    * add-one form that counts the observed assignment as one of its
+    * own permutations (Phipson & Smyth 2010), never reporting p = 0.
+    * Every lift is the same deterministic double expression in both
+    * engines, so the comparison count — and with it p_num/p_den — is
+    * engine-exact. A permutation that lands an empty arm counts as
+    * |lift| ≥ anything (conservative, deterministic); p_value is NULL
+    * when the OBSERVED assignment has an empty arm.
+    *
+    * Scale: the rounds-fold explode is transient map-side CPU —
+    * partial aggregation collapses each partition to ≤ rounds+1 rows
+    * before the shuffle (the [[graft.ops.Stats.poissonBootstrap]]
+    * shape); everything after is model-sized.
+    *
+    * @return one row: rounds, n_units, lift_obs, p_num, p_den,
+    *         p_value */
+  def permutationTest(df: DataFrame, unitExpr: String, convExpr: String,
+                      salt: String, rounds: Int = 199): DataFrame = {
+    require(rounds >= 1 && rounds <= 9999,
+      s"rounds in [1, 9999], got $rounds")
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(convExpr).cast("boolean").as("c"))
+      .groupBy(col("unit"))
+      .agg(max(when(col("c"), 1L).otherwise(0L)).as("converted"))
+    // r = -1 is the observed assignment (the salt itself); r ≥ 0 the
+    // re-draws — one explode, one keyed aggregation
+    val rep = units.select(col("unit"), col("converted"),
+        explode(expr(s"sequence(-1, ${rounds - 1})")).as("r"))
+      .withColumn("saltr",
+        when(col("r") === -1L, lit(salt))
+          .otherwise(concat(lit(s"$salt#"), col("r").cast("string"))))
+      .withColumn("variant",
+        expr("cast(conv(substring(md5(concat(cast(unit as string), " +
+          "saltr)), 1, 7), 16, 10) as bigint) % 2"))
+    val perR = rep.groupBy(col("r")).agg(
+      sum(when(col("variant") === 0L, 1L).otherwise(0L)).cast("long")
+        .as("n_a"),
+      sum(when(col("variant") === 0L, col("converted")).otherwise(0L))
+        .cast("long").as("conv_a"),
+      sum(when(col("variant") === 1L, 1L).otherwise(0L)).cast("long")
+        .as("n_b"),
+      sum(when(col("variant") === 1L, col("converted")).otherwise(0L))
+        .cast("long").as("conv_b"))
+    val lift = when(col("n_a") === 0L || col("n_b") === 0L,
+        lit(null).cast("double"))
+      .otherwise(col("conv_b").cast("double") / col("n_b").cast("double") -
+        col("conv_a").cast("double") / col("n_a").cast("double"))
+    val lifted = perR.select(col("r"), lift.as("lift"))
+    val obs = lifted.filter(col("r") === -1L)
+      .select(col("lift").as("lift_obs"))
+    val nu = units.agg(count(lit(1)).cast("long").as("n_units"))
+    val counted = lifted.filter(col("r") >= 0L)
+      .crossJoin(broadcast(obs))
+      .agg(count(lit(1)).cast("long").as("rounds"),
+        max(col("lift_obs")).as("lift_obs"),
+        sum(when(col("lift").isNull ||
+            abs(col("lift")) >= abs(col("lift_obs")), 1L).otherwise(0L))
+          .cast("long").as("ge"))
+    counted.crossJoin(nu).select(
+      col("rounds"), col("n_units"), col("lift_obs"),
+      (col("ge") + 1L).as("p_num"),
+      (col("rounds") + 1L).as("p_den"),
+      when(col("lift_obs").isNull, lit(null).cast("double"))
+        .otherwise((col("ge") + 1L).cast("double") /
+          (col("rounds") + 1L).cast("double")).as("p_value"))
+  }
+
+  /** MDE planner for a CONTINUOUS per-unit metric — [[mdeCard]]'s
+    * companion for revenue/length/latency outcomes: with the traffic
+    * this assignment produced and the POOLED unit-level variance
+    * s² = (n·Σy² − (Σy)²)/(n·(n−1)) (DECIMAL-exact), the smallest
+    * absolute mean shift the two-sample z test would flag:
+    * mde_abs = (z_α/2 + z_β)·√(s²·(1/n_a + 1/n_b)). NULL on an empty
+    * arm, n < 2, or zero variance (a constant metric: nothing to
+    * test). The centered moment n·Σy² − (Σy)² stays DECIMAL(38)
+    * internally (it exceeds long at corpus scale); only the one-shot
+    * double s² is emitted.
+    *
+    * @return one row: n_a, n_b, sy, s2, mde_abs */
+  def mdeMeanCard(df: DataFrame, unitExpr: String, yExpr: String,
+                  salt: String, zAlpha: Double = 1.959964,
+                  zBeta: Double = 0.841621): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val units = df
+      .select(expr(unitExpr).as("unit"), expr(yExpr).cast("long").as("yr"))
+      .groupBy(col("unit"))
+      .agg(sum(col("yr")).cast("long").as("y"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val agg = units.agg(
+      sum(when(col("variant") === 0L, 1L).otherwise(0L)).cast("long")
+        .as("n_a"),
+      sum(when(col("variant") === 1L, 1L).otherwise(0L)).cast("long")
+        .as("n_b"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(col("y").cast(d19) * col("y").cast(d19)).cast(d38).as("syy"))
+    val n = col("n_a") + col("n_b")
+    val s2num = (n.cast(d19) * col("syy") -
+      (col("sy").cast(d19) * col("sy").cast(d19)).cast(d38)).cast(d38)
+    val s2 = s2num.cast("double") /
+      (n.cast("double") * (n - 1L).cast("double"))
+    val bad = col("n_a") === 0L || col("n_b") === 0L || n < 2L
+    val nullD = lit(null).cast("double")
+    agg.select(col("n_a"), col("n_b"), col("sy"),
+      // nested guard: s2 divides by n(n−1) — ANSI evaluates eagerly
+      // inside a flat condition, so clear `bad` first
+      when(bad, nullD).otherwise(s2).as("s2"),
+      when(bad, nullD).otherwise(
+        when(s2num === lit(0).cast(d38), nullD)
+          .otherwise(lit(zAlpha + zBeta) *
+            sqrt(s2 * (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double"))))).as("mde_abs"))
+  }
+
   /** ADDITIVE experiment store: one row per (variant, batch) carrying
     * the unit count, conversion count, and metric/covariate moment
     * sums — everything [[readout]] and [[cupedReadout]] consume, in
@@ -409,12 +568,16 @@ object Abtest {
   }
 
   /** The store's merged per-arm state (plain sums — the additive
-    * contract). */
+    * contract), optionally cut at a batch tag (`tag <= asOfTag`) for
+    * the time-travel reads. */
   private def mergedArms(spark: org.apache.spark.sql.SparkSession,
-                         path: String): DataFrame = {
+                         path: String,
+                         asOfTag: Option[String] = None): DataFrame = {
     Stores.requireStore(spark, path, "append experiment batches first")
     val d38 = "decimal(38,0)"
-    Stores.freshRead(spark, path).groupBy(col("variant")).agg(
+    val read = Stores.freshRead(spark, path)
+    asOfTag.fold(read)(t => read.filter(col("tag") <= t))
+      .groupBy(col("variant")).agg(
       sum(col("n")).cast("long").as("n"),
       sum(col("conv")).cast("long").as("conv"),
       sum(col("sy")).cast("long").as("sy"),
@@ -428,8 +591,18 @@ object Abtest {
     * conversion dashboard (rates, lift, z), never rescanning unit
     * history. */
   def readoutFromStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame = {
-    val agg = mergedArms(spark, path).agg(
+                       path: String): DataFrame =
+    readoutOverArms(mergedArms(spark, path))
+
+  /** [[readoutFromStore]] cut at a batch tag — "what did the dashboard
+    * say as of batch N": the decision-audit read (append-only rows
+    * make the cut exact; prunes on the tag column's min/max). */
+  def readoutFromStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, asOfTag: String): DataFrame =
+    readoutOverArms(mergedArms(spark, path, Some(asOfTag)))
+
+  private def readoutOverArms(merged: DataFrame): DataFrame = {
+    val agg = merged.agg(
       coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
         lit(0L)).cast("long").as("n_a"),
       coalesce(sum(when(col("variant") === 0L, col("conv")).otherwise(0L)),
@@ -445,9 +618,18 @@ object Abtest {
     * variance-reduced lift (theta re-estimated from the cumulative
     * pooled moments at every read, exactly as the one-shot does). */
   def cupedFromStore(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame = {
+                     path: String): DataFrame =
+    cupedOverArms(mergedArms(spark, path))
+
+  /** [[cupedFromStore]] cut at a batch tag — the CUPED card's
+    * decision-audit read. */
+  def cupedFromStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+                         path: String, asOfTag: String): DataFrame =
+    cupedOverArms(mergedArms(spark, path, Some(asOfTag)))
+
+  private def cupedOverArms(merged: DataFrame): DataFrame = {
     val d38 = "decimal(38,0)"
-    val agg = mergedArms(spark, path).agg(
+    val agg = merged.agg(
       coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
         lit(0L)).cast("long").as("n_a"),
       coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),

@@ -9831,6 +9831,186 @@ object Queries {
        |SELECT doc_id, category, hits FROM bl_hits
        |ORDER BY doc_id, category""".stripMargin)
 
+  /** Sample-ratio-mismatch guardrail ([[graft.ops.Abtest.srmCheck]]):
+    * the first check any readout must pass — is the md5 split actually
+    * 50/50 on this population? Integer chi-square, rational-compared
+    * verdict (the drift monitors' threshold convention). */
+  val qSrm: Q = "q_srm" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.srmCheck(Tables.events(s, d), "user_id",
+        salt = "exp13"),
+    s"""WITH $EV,
+       |un AS (SELECT DISTINCT user_id AS unit FROM ev),
+       |va AS (SELECT CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+       |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM va)
+       |SELECT n_units, n_a, n_b,
+       |  (n_a - n_b) * (n_a - n_b) AS srm_num,
+       |  n_a + n_b AS srm_den,
+       |  CASE WHEN n_a + n_b = 0 THEN NULL
+       |    ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |      / CAST(n_a + n_b AS DOUBLE) END AS srm_chi2,
+       |  ((n_a - n_b) * (n_a - n_b)) * 100 > 384 * (n_a + n_b) AS mismatch
+       |FROM ag""".stripMargin)
+
+  /** Deterministic permutation test
+    * ([[graft.ops.Abtest.permutationTest]], 99 re-randomization
+    * salts): the erf-free significance check — p as an exact integer
+    * fraction of re-drawn assignments whose |lift| meets the observed
+    * one. The whole null distribution is a pure function of
+    * (unit ids, salt), so both engines count the same set. */
+  val qPermutation: Q = "q_permutation" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.permutationTest(Tables.events(s, d), "user_id",
+        "event_type = 'purchase' AND value > 110", salt = "exp1",
+        rounds = 99),
+    s"""WITH $EV,
+       |un AS (SELECT user_id AS unit,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 110
+       |      THEN 1 ELSE 0 END) AS converted
+       |  FROM ev GROUP BY 1),
+       |rep AS (SELECT unit, converted, unnest(range(-1, 99)) AS r FROM un),
+       |va AS (SELECT r, converted,
+       |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) ||
+       |      CASE WHEN r = -1 THEN 'exp1'
+       |        ELSE 'exp1#' || CAST(r AS VARCHAR) END), 1, 7)
+       |      AS BIGINT) % 2 AS variant
+       |  FROM rep),
+       |pr AS (SELECT r,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_b
+       |  FROM va GROUP BY r),
+       |lf AS (SELECT r, CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS lift
+       |  FROM pr),
+       |ob AS (SELECT lift AS lift_obs FROM lf WHERE r = -1),
+       |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM un),
+       |ct AS (SELECT CAST(count(*) AS BIGINT) AS rounds,
+       |    max(lift_obs) AS lift_obs,
+       |    CAST(sum(CASE WHEN lift IS NULL OR abs(lift) >= abs(lift_obs)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ge
+       |  FROM lf, ob WHERE r >= 0)
+       |SELECT rounds, n_units, lift_obs, ge + 1 AS p_num,
+       |  rounds + 1 AS p_den,
+       |  CASE WHEN lift_obs IS NULL THEN NULL
+       |    ELSE CAST(ge + 1 AS DOUBLE) / CAST(rounds + 1 AS DOUBLE)
+       |    END AS p_value
+       |FROM ct, nu""".stripMargin)
+
+  /** Continuous-metric MDE planner ([[graft.ops.Abtest.mdeMeanCard]]):
+    * the smallest per-user-cents mean shift this traffic could detect,
+    * from the DECIMAL-exact pooled unit-level variance — [[qMde]]'s
+    * companion for revenue-style outcomes. */
+  val qMdeMean: Q = "q_mde_mean" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      graft.ops.Abtest.mdeMeanCard(
+        Tables.events(s, d).select(col("user_id"), cents.as("cents")),
+        "user_id", "cents", salt = "exp13")
+    },
+    s"""WITH $EV,
+       |un AS (SELECT user_id AS unit,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS y
+       |  FROM ev GROUP BY 1),
+       |va AS (SELECT y, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+       |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+       |ag AS (SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS syy
+       |  FROM va),
+       |st AS (SELECT n_a, n_b, sy, n_a + n_b AS n,
+       |    CAST(CAST(n_a + n_b AS DECIMAL(19,0)) * syy
+       |      - CAST(CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+       |        AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS s2num
+       |  FROM ag)
+       |SELECT n_a, n_b, sy,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR n < 2 THEN NULL
+       |    ELSE CAST(s2num AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) END AS s2,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR n < 2 THEN NULL
+       |    ELSE CASE WHEN s2num = 0 THEN NULL
+       |      ELSE (1.959964 + 0.841621)
+       |        * sqrt(CAST(s2num AS DOUBLE)
+       |            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+       |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |      END END AS mde_abs
+       |FROM st""".stripMargin)
+
+  /** TIME-TRAVEL experiment read
+    * ([[graft.ops.Abtest.readoutFromStoreAsOf]]): the dashboard as of
+    * the SECOND batch tag — the decision audit ("what did the
+    * experimenter see when they shipped?"); the third slice, appended
+    * later, must not perturb it. Oracle: the one-shot readout over the
+    * first two user-disjoint slices. */
+  val qAbAsof: Q = "q_ab_asof" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "ab_store_asof")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp1")
+      }
+      graft.ops.Abtest.readoutFromStoreAsOf(s, store, "b1")
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(col("rate_a"), 9).as("rate_a"),
+          round(col("rate_b"), 9).as("rate_b"),
+          round(col("lift"), 9).as("lift"), round(col("z"), 6).as("z"))
+    },
+    s"""WITH $EV,
+       |src AS (SELECT user_id AS unit,
+       |    CASE WHEN event_type = 'purchase' AND value > 110
+       |      THEN 1 ELSE 0 END AS c
+       |  FROM ev WHERE user_id % 3 < 2),
+       |${graft.ops.Abtest.oracleCtes("src", Nil, "exp1")}
+       |SELECT n_a, conv_a, n_b, conv_b, round(rate_a, 9) AS rate_a,
+       |  round(rate_b, 9) AS rate_b, round(lift, 9) AS lift,
+       |  round(z, 6) AS z
+       |FROM ab""".stripMargin)
+
+  /** GROUPED experiment readout ([[graft.ops.Abtest.readout]] with
+    * groupCols, exercised per day-of-week): the per-segment readout
+    * every launch review asks for next to the pooled number — a unit
+    * active in k segments contributes to each (the standard
+    * segment-cut semantics). */
+  val qAbBy: Q = "q_ab_by" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.readout(
+        Tables.events(s, d)
+          .select(expr("(ts_us div 86400000000) % 7").as("dow"),
+            col("user_id"), col("event_type"), col("value")),
+        Seq("dow"), "user_id", "event_type = 'purchase' AND value > 110",
+        salt = "exp1")
+        .select(col("dow"), col("n_a"), col("conv_a"), col("n_b"),
+          col("conv_b"),
+          round(col("rate_a"), 9).as("rate_a"),
+          round(col("rate_b"), 9).as("rate_b"),
+          round(col("lift"), 9).as("lift"), round(col("z"), 6).as("z"))
+        .orderBy(col("dow")),
+    s"""WITH $EV,
+       |src AS (SELECT (ts_us // 86400000000) % 7 AS dow, user_id AS unit,
+       |    CASE WHEN event_type = 'purchase' AND value > 110
+       |      THEN 1 ELSE 0 END AS c
+       |  FROM ev),
+       |${graft.ops.Abtest.oracleCtes("src", Seq("dow"), "exp1")}
+       |SELECT dow, n_a, conv_a, n_b, conv_b, round(rate_a, 9) AS rate_a,
+       |  round(rate_b, 9) AS rate_b, round(lift, 9) AS lift,
+       |  round(z, 6) AS z
+       |FROM ab ORDER BY dow""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -9899,5 +10079,6 @@ object Queries {
     qBootstrapStored, qMannWhitneyBy, qAbCi, qRankBiserial, qOddsRatio,
     qKappaBy, qChi2By, qGkLambdaBy, qSpearmanBy,
     qAbStored, qCupedStored, qBootstrapAsof, qBlocklistAsof,
+    qSrm, qPermutation, qMdeMean, qAbAsof, qAbBy,
   )
 }

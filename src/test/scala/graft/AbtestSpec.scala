@@ -192,6 +192,83 @@ class AbtestSpec extends SparkTestBase {
     assert(reads(1L) === oneShot, "live dashboard must equal the one-shot")
   }
 
+  test("srmCheck: chi-square identity, rational verdict, unit dedup") {
+    val df = (1L to 400L).flatMap(u => Seq(u, u)).toDF("u") // dup rows
+    val r = Abtest.srmCheck(df, "u", "s1").collect().head
+    assert(r.getAs[Long]("n_units") === 400L, "units counted once")
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na + nb === 400L)
+    assert(r.getAs[Long]("srm_num") === (na - nb) * (na - nb))
+    assert(math.abs(r.getAs[Double]("srm_chi2") -
+      ((na - nb) * (na - nb)).toDouble / 400.0) < 1e-12)
+    // an honest md5 A/A split must not alarm at the 3.84 cut
+    assert(!r.getAs[Boolean]("mismatch"))
+    // thrNum = 0: any imbalance at all alarms — the verdict is the
+    // integer compare, not a float
+    val strict = Abtest.srmCheck(df, "u", "s1", thrNum = 0L, thrDen = 1L)
+      .collect().head
+    assert(strict.getAs[Boolean]("mismatch") === (na != nb))
+  }
+
+  test("permutationTest: exact fraction, add-one floor, NULL on empty-arm observed") {
+    val df = (1L to 200L).map(u => (u, u % 10 == 0)).toDF("u", "c")
+    val r = Abtest.permutationTest(df, "u", "c", "s1", rounds = 49)
+      .collect().head
+    assert(r.getAs[Long]("rounds") === 49L)
+    assert(r.getAs[Long]("p_den") === 50L)
+    val pNum = r.getAs[Long]("p_num")
+    assert(pNum >= 1L && pNum <= 50L, "add-one form never reports p = 0")
+    assert(r.getAs[Double]("p_value") === pNum.toDouble / 50.0)
+    // deterministic: the whole null distribution is a function of
+    // (unit ids, salt)
+    val r2 = Abtest.permutationTest(df, "u", "c", "s1", rounds = 49)
+      .collect().head
+    assert(r === r2)
+    // single unit: the observed assignment has an empty arm → NULL p
+    val one = Seq((1L, true)).toDF("u", "c")
+    val ro = Abtest.permutationTest(one, "u", "c", "s1", rounds = 9)
+      .collect().head
+    assert(ro.isNullAt(ro.fieldIndex("p_value")))
+    assert(ro.getAs[Long]("p_den") === 10L)
+  }
+
+  test("mdeMeanCard: constant metric degrades to NULL; more traffic shrinks the MDE") {
+    val df = (1L to 300L).map(u => (u, u % 13 * 10L)).toDF("u", "y")
+    val r = Abtest.mdeMeanCard(df, "u", "y", "s1").collect().head
+    // identity with the hand formula over the emitted pieces
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val s2 = r.getAs[Double]("s2")
+    val expected = (1.959964 + 0.841621) *
+      math.sqrt(s2 * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("mde_abs") - expected) < 1e-12)
+    // 4× the units (fresh ids, same value distribution) → smaller MDE
+    val big = (1L to 1200L).map(u => (u, u % 13 * 10L)).toDF("u", "y")
+    val rb = Abtest.mdeMeanCard(big, "u", "y", "s1").collect().head
+    assert(rb.getAs[Double]("mde_abs") < r.getAs[Double]("mde_abs"))
+    // constant metric: zero variance, NULL (nothing to test)
+    val const = (1L to 100L).map(u => (u, 7L)).toDF("u", "y")
+    val rc = Abtest.mdeMeanCard(const, "u", "y", "s1").collect().head
+    assert(math.abs(rc.getAs[Double]("s2")) === 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("mde_abs")))
+  }
+
+  test("experiment store as-of: a later batch cannot perturb the audited cards") {
+    val store = java.nio.file.Files.createTempDirectory("ab_asof")
+      .toString + "/s"
+    val rows = (1L to 300L)
+      .map(u => (u, u % 9 == 0, u % 7 * 2L, u % 5 * 3L))
+      .toDF("u", "c", "y", "x")
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "c", "y", "x", salt = "st1")
+    }
+    val slice01 = rows.filter($"u" % 3 < 2)
+    assert(Abtest.readoutFromStoreAsOf(spark, store, "b1").collect().head
+      === Abtest.readout(slice01, Nil, "u", "c", "st1").collect().head)
+    assert(Abtest.cupedFromStoreAsOf(spark, store, "b1").collect().head
+      === Abtest.cupedReadout(slice01, "u", "y", "x", "st1").collect().head)
+  }
+
   test("cuped: per-row contributions aggregate to unit grain first") {
     // two rows per unit sum to the same (y, x) as the one-row form
     val twoRow = (1L to 60L).flatMap(u =>
