@@ -577,6 +577,200 @@ object Stats {
           (sqrt(sx.cast("double")) * sqrt(sy.cast("double")))).as("rho")): _*)
   }
 
+  /** Kruskal–Wallis H (1952): the k-GROUP extension of
+    * [[mannWhitney]] — did ANY of k named sources/arms shift the value
+    * distribution? Midranks are doubled (integer under ties, the
+    * engine's rank convention); per-group rank masses r2_g = Σ doubled
+    * ranks are EXACT longs, and H is assembled from them in ONE
+    * deterministic left-to-right double expression over the CALLER'S
+    * group order (groups are named explicitly, the [[benfordDigits]]
+    * fixed-domain convention — no order-nondeterministic float
+    * aggregation anywhere):
+    * H = 3·Σ_g (r2_g²/(4·n_g))·4/(n(n+1)) − 3(n+1), tie-corrected by
+    * 1 − ΣT/(n³−n). NULL h when any named group is empty or the pool
+    * is all-tied. Values outside the named groups are EXCLUDED and
+    * counted loudly in n_other.
+    *
+    * @return one row: n, n_other, n_<g>..., r2_<g>... (exact), tie_t,
+    *         h, h_corrected */
+  def kruskalWallis(df: DataFrame, valueExpr: String, groupExpr: String,
+                    groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2 && groups.size <= 16,
+      s"2..16 named groups, got ${groups.size}")
+    require(groups.distinct.size == groups.size, "duplicate group names")
+    val f = df.select(expr(valueExpr).cast("long").as("v"),
+      expr(groupExpr).cast("string").as("g"))
+    val inG = col("g").isin(groups.map(_.asInstanceOf[Any]): _*)
+    val other = f.agg(coalesce(sum(when(!inG || col("g").isNull, 1L)
+      .otherwise(0L)), lit(0L)).cast("long").as("n_other"))
+    val kept = f.filter(inG)
+    // distinct-value pass (the ranked convention, axis-guarded):
+    // per-(value) counts + per-(value, group) counts in one relation
+    val pcAggs = count(lit(1)).cast("long").as("cnt") +:
+      groups.map(g => sum(when(col("g") === g, 1L).otherwise(0L))
+        .cast("long").as(s"cnt_$g"))
+    val pc = kept.groupBy(col("v")).agg(pcAggs.head, pcAggs.tail: _*)
+    val wCum = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = pc
+      .withColumn("cum", sum(col("cnt")).over(wCum) + axisGuard(pc, wAll))
+      .withColumn("d2", lit(2L) * col("cum") - col("cnt") + 1L)
+    val aggCols =
+      Seq(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n"),
+        coalesce(sum((col("cnt").cast("decimal(19,0)") *
+            col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)")
+            - col("cnt").cast("decimal(19,0)")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("tie_t")) ++
+      groups.flatMap { g =>
+        Seq(coalesce(sum(col(s"cnt_$g")), lit(0L)).cast("long").as(s"n_$g"),
+          coalesce(sum((col(s"cnt_$g").cast("decimal(19,0)") *
+              col("d2").cast("decimal(19,0)")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")
+            .cast("long").as(s"r2_$g"))
+      }
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val n = col("n").cast("double")
+    // Σ_g r2_g²/(4 n_g), folded in the caller's declared group order —
+    // each term and the fold mirrored verbatim in the oracle SQL
+    val sumTerms = groups.map { g =>
+      (col(s"r2_$g").cast("double") * col(s"r2_$g").cast("double")) /
+        (lit(4.0) * col(s"n_$g").cast("double"))
+    }.reduce(_ + _)
+    val h = lit(12.0) * sumTerms / (n * (n + lit(1.0))) -
+      lit(3.0) * (n + lit(1.0))
+    val tieFrac = col("tie_t").cast("double") / (n * n * n - n)
+    val anyEmpty = groups.map(g => col(s"n_$g") === 0L).reduce(_ || _)
+    val allTied = (col("n").cast("decimal(19,0)") *
+      col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)") -
+      col("n").cast("decimal(19,0)")).cast("decimal(38,0)") === col("tie_t")
+    val nullD = lit(null).cast("double")
+    agg.crossJoin(broadcast(other)).select(
+      (Seq(col("n"), col("n_other")) ++
+        groups.map(g => col(s"n_$g")) ++ groups.map(g => col(s"r2_$g")) ++
+        Seq(col("tie_t").cast("long").as("tie_t"),
+          when(anyEmpty, nullD).otherwise(h).as("h"),
+          // nested guard: the tie divisor n³−n is 0 when n < 2
+          when(anyEmpty || col("n") < 2L, nullD).otherwise(
+            when(allTied, nullD)
+              .otherwise(h / (lit(1.0) - tieFrac))).as("h_corrected"))): _*)
+  }
+
+  /** Cochran's Q (1950): did ANY of k classifiers/treatments graded on
+    * the SAME items differ — the k-way [[mcnemar]] (k = 2 reduces to
+    * it). With column successes T_j, row successes u_i, N = ΣT_j:
+    * Q = (k−1)·(k·ΣT_j² − N²) / (k·N − Σu_i²) — ENTIRELY integer but
+    * the final division (no variance estimate, no normal machinery:
+    * the cleanest exact-rational omnibus test there is). Input: one
+    * row per (item, treatment, success 0/1); every item must carry all
+    * k treatments — violations counted loudly in bad_items. NULL q on
+    * a zero denominator (every item all-success or all-failure: no
+    * discordance to test).
+    *
+    * @return one row: k, n_items, bad_items, n_success (= N),
+    *         sum_tj2 (= ΣT_j²), sum_ui2 (= Σu_i²), q_num, q_den, q */
+  def cochranQ(df: DataFrame, itemExpr: String, treatmentExpr: String,
+               successExpr: String, k: Int): DataFrame = {
+    require(k >= 2, s"need >= 2 treatments, got $k")
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val cells = df.select(expr(itemExpr).as("item"),
+        expr(treatmentExpr).as("t"),
+        when(expr(successExpr), 1L).otherwise(0L).as("s"))
+      .persist()
+    val perItem = cells.groupBy(col("item"))
+      .agg(count(lit(1)).cast("long").as("votes"),
+        sum(col("s")).cast("long").as("u"))
+    val items = perItem.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      coalesce(sum(when(col("votes") =!= k.toLong, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("bad_items"),
+      coalesce(sum((col("u").cast(d19) * col("u").cast(d19)).cast(d38)),
+        lit(0).cast(d38)).cast(d38).cast("long").as("sum_ui2"))
+    val perT = cells.groupBy(col("t")).agg(sum(col("s")).cast("long").as("tj"))
+      .agg(coalesce(sum(col("tj")), lit(0L)).cast("long").as("n_success"),
+        coalesce(sum((col("tj").cast(d19) * col("tj").cast(d19)).cast(d38)),
+          lit(0).cast(d38)).cast(d38).cast("long").as("sum_tj2"))
+    val j = items.crossJoin(perT)
+    val qNum = (lit(k.toLong - 1L).cast(d19) *
+      ((lit(k.toLong).cast(d19) * col("sum_tj2").cast(d19)).cast(d38) -
+        (col("n_success").cast(d19) * col("n_success").cast(d19)).cast(d38))
+        .cast(d38)).cast(d38)
+    val qDen = lit(k.toLong) * col("n_success") - col("sum_ui2")
+    j.select(lit(k).as("k"), col("n_items"), col("bad_items"),
+      col("n_success"), col("sum_tj2"), col("sum_ui2"),
+      qNum.cast("long").as("q_num"), qDen.as("q_den"),
+      when(qDen === 0L, lit(null).cast("double"))
+        .otherwise(qNum.cast("double") / qDen.cast("double")).as("q"))
+  }
+
+  /** Kendall concordance over the QUANTIZED cell relation — the
+    * ordinal-association card: concordant/discordant pair masses C, D
+    * computed EXACTLY from (x, y, cnt) cells (one ordered-pair pass:
+    * x1 < x2 vs both y directions, tie masses from the margins), then
+    * Goodman–Kruskal gamma = (C − D)/(C + D) (pure rational — THE
+    * number when ties abound) and Kendall tau-b =
+    * (C − D)/√((n0 − n1)(n0 − n2)) (one IEEE sqrt). Quantize both
+    * axes first (the histogram convention): the cell self-join is
+    * |cells|²/2 — bounded and broadcastable when the contract is kept,
+    * quadratic in the corpus when it is not. NULL gamma when C + D =
+    * 0; NULL tau_b on a zero tie-adjusted denominator.
+    *
+    * @return one row: n, n_cells, c_pairs, d_pairs, gamma, tau_b */
+  def kendallCells(df: DataFrame, xExpr: String, yExpr: String): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val cells = df.select(expr(xExpr).cast("long").as("x"),
+        expr(yExpr).cast("long").as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .persist()
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+      col("cnt").as("c1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("cnt").as("c2"))
+    // ordered on x so every cross-x pair is visited once
+    val pairs = a.join(broadcast(b), col("x1") < col("x2"))
+      .agg(
+        coalesce(sum(when(col("y1") < col("y2"),
+            (col("c1").cast(d19) * col("c2").cast(d19)).cast(d38))
+          .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+          .as("c_pairs"),
+        coalesce(sum(when(col("y1") > col("y2"),
+            (col("c1").cast(d19) * col("c2").cast(d19)).cast(d38))
+          .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+          .as("d_pairs"))
+    val tot = cells.agg(
+      coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_cells"))
+    def tieMass(c: String): DataFrame = cells.groupBy(col(c))
+      .agg(sum(col("cnt")).cast("long").as("m"))
+      .agg(coalesce(sum(((col("m").cast(d19) * (col("m") - 1L).cast(d19))
+        .cast(d38))), lit(0).cast(d38)).cast(d38).as(s"t2_$c"))
+    val j = tot.crossJoin(pairs).crossJoin(tieMass("x"))
+      .crossJoin(tieMass("y"))
+    // doubled pair masses (avoid /2 everywhere): 2n0 = n(n−1),
+    // 2n1 = Σ m_x(m_x−1), 2n2 = Σ m_y(m_y−1)
+    val n02 = (col("n").cast(d19) * (col("n") - 1L).cast(d19)).cast(d38)
+    val cd = (col("c_pairs") - col("d_pairs")).cast(d38)
+    val den1 = (n02 - col("t2_x")).cast(d38)
+    val den2 = (n02 - col("t2_y")).cast(d38)
+    val nullD = lit(null).cast("double")
+    j.select(col("n"), col("n_cells"),
+      col("c_pairs").cast("long").as("c_pairs"),
+      col("d_pairs").cast("long").as("d_pairs"),
+      when((col("c_pairs") + col("d_pairs")).cast(d38) ===
+          lit(0).cast(d38), nullD)
+        .otherwise(cd.cast("double") /
+          (col("c_pairs") + col("d_pairs")).cast("double")).as("gamma"),
+      when(den1 === lit(0).cast(d38) || den2 === lit(0).cast(d38), nullD)
+        // pair masses above are UNDOUBLED (each unordered pair once),
+        // denominators doubled — scale by 2 to match: tau = 2(C−D)/
+        // √(2n0−2n1)·√(2n0−2n2)
+        .otherwise(lit(2.0) * cd.cast("double") /
+          (sqrt(den1.cast("double")) * sqrt(den2.cast("double"))))
+        .as("tau_b"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945): the PAIRED two-sample
     * shift test — per unit a before/after (x, y), d = y − x, zeros
     * dropped (the standard treatment), |d| midranked (doubled, so

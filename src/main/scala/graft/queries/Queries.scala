@@ -10011,6 +10011,204 @@ object Queries {
        |  round(z, 6) AS z
        |FROM ab ORDER BY dow""".stripMargin)
 
+  /** Kruskal–Wallis H ([[graft.ops.Stats.kruskalWallis]]) across the
+    * three named event types: did ANY arm shift the cents
+    * distribution — the k-group omnibus before pairwise rank-sums.
+    * Exact doubled-rank masses per group; H assembled in ONE
+    * deterministic left-to-right double expression over the declared
+    * group order, mirrored verbatim. */
+  val qKruskal: Q = "q_kruskal" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      graft.ops.Stats.kruskalWallis(
+        Tables.events(s, d).select(cents.as("cents"), col("event_type")),
+        "cents", "event_type", Seq("error", "purchase", "view"))
+    },
+    {
+      val gs = Seq("error", "purchase", "view")
+      val cnts = gs.map(g =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+           | AS cnt_$g""".stripMargin.replace("\n", "")).mkString(",\n|    ")
+      val aggs = gs.map(g =>
+        s"""COALESCE(CAST(sum(cnt_$g) AS BIGINT), 0) AS n_$g,
+           |    COALESCE(CAST(CAST(sum(CAST(cnt_$g AS DECIMAL(19,0))
+           |      * CAST(d2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS BIGINT), 0)
+           |      AS r2_$g""".stripMargin).mkString(",\n|    ")
+      val terms = gs.map(g =>
+        s"""CAST(r2_$g AS DOUBLE) * CAST(r2_$g AS DOUBLE)
+           | / (4.0 * CAST(n_$g AS DOUBLE))""".stripMargin.replace("\n", ""))
+        .mkString(" + ")
+      val anyEmpty = gs.map(g => s"n_$g = 0").mkString(" OR ")
+      val nD = "CAST(n AS DOUBLE)"
+      val h = s"12.0 * ($terms) / ($nD * ($nD + 1.0)) - 3.0 * ($nD + 1.0)"
+      val allTied = s"""CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+        | * CAST(n AS DECIMAL(19,0)) - CAST(n AS DECIMAL(19,0))
+        | AS DECIMAL(38,0)) = tie_dec""".stripMargin.replace("\n", "")
+      val tieFrac = s"CAST(tie_dec AS DOUBLE) / ($nD * $nD * $nD - $nD)"
+      s"""WITH $EV,
+         |f AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    event_type AS g FROM ev),
+         |oth AS (SELECT COALESCE(CAST(sum(CASE WHEN g IS NULL
+         |      OR g NOT IN ('error', 'purchase', 'view') THEN 1 ELSE 0 END)
+         |    AS BIGINT), 0) AS n_other FROM f),
+         |k AS (SELECT * FROM f WHERE g IN ('error', 'purchase', 'view')),
+         |pc AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    $cnts
+         |  FROM k GROUP BY v),
+         |cw AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+         |  FROM pc),
+         |r AS (SELECT *, 2 * cum - cnt + 1 AS d2 FROM cw),
+         |ag AS (SELECT COALESCE(CAST(sum(cnt) AS BIGINT), 0) AS n,
+         |    COALESCE(CAST(sum(CAST(cnt AS DECIMAL(19,0))
+         |      * CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+         |      - CAST(cnt AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+         |      CAST(0 AS DECIMAL(38,0))) AS tie_dec,
+         |    $aggs
+         |  FROM r)
+         |SELECT n, n_other, ${gs.map(g => s"n_$g").mkString(", ")},
+         |  ${gs.map(g => s"r2_$g").mkString(", ")},
+         |  CAST(tie_dec AS BIGINT) AS tie_t,
+         |  CASE WHEN $anyEmpty THEN NULL ELSE $h END AS h,
+         |  CASE WHEN $anyEmpty OR n < 2 THEN NULL
+         |    ELSE CASE WHEN $allTied THEN NULL
+         |      ELSE ($h) / (1.0 - $tieFrac) END END AS h_corrected
+         |FROM ag, oth""".stripMargin
+    })
+
+  /** Cochran's Q ([[graft.ops.Stats.cochranQ]]) across the THREE
+    * lang-ID voters graded on the same documents (success = vote
+    * matches ground truth): the k-way McNemar — do the heuristics
+    * differ at all, before pairwise drill-downs? Entirely integer but
+    * one division. */
+  val qCochranQ: Q = "q_cochran_q" -> (
+    (s: SparkSession, d: String) => {
+      val t = col("text")
+      def h(lex: Seq[String]) = Text.stopwordHits(t, lex)
+      val hEn = h(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val hEs = h(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val hFr = h(Seq("le", "la", "de", "et", "un", "une", "est"))
+      val hDe = h(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val v1 = Text.langId(t)
+      val v2 = when(hEn > 0, lit("en")).otherwise(lit("und"))
+      val v3 = when(hDe > 0 && hDe >= hEs && hDe >= hFr, lit("de"))
+        .when(hEs > 0 && hEs >= hFr, lit("es"))
+        .when(hFr > 0, lit("fr")).otherwise(lit("und"))
+      val votes = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(
+          struct(lit("v1").as("t"), (v1 === col("lang")).as("s")),
+          struct(lit("v2").as("t"), (v2 === col("lang")).as("s")),
+          struct(lit("v3").as("t"), (v3 === col("lang")).as("s"))))
+          .as("e"))
+        .select(col("doc_id"), col("e.t").as("t"), col("e.s").as("s"))
+      graft.ops.Stats.cochranQ(votes, "doc_id", "t", "s", k = 3)
+    },
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT lang, $de AS h_de, $en AS h_en, $es AS h_es,
+         |    $fr AS h_fr FROM documents),
+         |sc AS (SELECT
+         |    CASE WHEN (CASE
+         |      WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |      WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |      WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |      WHEN h_fr > 0 THEN 'fr'
+         |      ELSE 'und' END) = lang THEN 1 ELSE 0 END AS s1,
+         |    CASE WHEN (CASE WHEN h_en > 0 THEN 'en' ELSE 'und' END) = lang
+         |      THEN 1 ELSE 0 END AS s2,
+         |    CASE WHEN (CASE
+         |      WHEN h_de > 0 AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |      WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |      WHEN h_fr > 0 THEN 'fr'
+         |      ELSE 'und' END) = lang THEN 1 ELSE 0 END AS s3
+         |  FROM h),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(s2) AS BIGINT) AS t2,
+         |    CAST(sum(s3) AS BIGINT) AS t3,
+         |    CAST(sum((s1 + s2 + s3) * (s1 + s2 + s3)) AS BIGINT) AS sum_ui2
+         |  FROM sc),
+         |st AS (SELECT n_items, CAST(0 AS BIGINT) AS bad_items,
+         |    t1 + t2 + t3 AS n_success,
+         |    t1 * t1 + t2 * t2 + t3 * t3 AS sum_tj2, sum_ui2
+         |  FROM ag),
+         |qq AS (SELECT *,
+         |    CAST(CAST(2 AS DECIMAL(19,0)) * CAST(CAST(3 AS DECIMAL(19,0))
+         |      * CAST(sum_tj2 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+         |      - CAST(2 AS DECIMAL(19,0)) * CAST(CAST(n_success AS DECIMAL(19,0))
+         |      * CAST(n_success AS DECIMAL(19,0)) AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS q_num_dec,
+         |    3 * n_success - sum_ui2 AS q_den
+         |  FROM st)
+         |SELECT 3 AS k, n_items, bad_items, n_success, sum_tj2, sum_ui2,
+         |  CAST(q_num_dec AS BIGINT) AS q_num, q_den,
+         |  CASE WHEN q_den = 0 THEN NULL
+         |    ELSE CAST(q_num_dec AS DOUBLE) / CAST(q_den AS DOUBLE)
+         |    END AS q
+         |FROM qq""".stripMargin
+    })
+
+  /** Kendall concordance ([[graft.ops.Stats.kendallCells]]) between
+    * bucketed token count and bucketed char count over documents —
+    * gamma (pure rational) + tau-b (one sqrt) from exact
+    * concordant/discordant pair masses over the quantized cell
+    * relation (|cells|² bounded by the two bucket domains, never by
+    * the corpus). */
+  val qKendall: Q = "q_kendall" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.kendallCells(
+        Tables.documents(s, d)
+          .select(Text.tokenCount(col("text")).cast("long").as("tc"),
+            col("n_chars")),
+        "tc div 8", "n_chars div 64"),
+    s"""WITH cells AS (SELECT CAST(len($TOKS) AS BIGINT) // 8 AS x,
+       |    CAST(n_chars AS BIGINT) // 64 AS y,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |pr AS (SELECT
+       |    COALESCE(CAST(sum(CASE WHEN a.y < b.y
+       |        THEN CAST(CAST(a.cnt AS DECIMAL(19,0))
+       |          * CAST(b.cnt AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)),
+       |      CAST(0 AS DECIMAL(38,0))) AS c_pairs,
+       |    COALESCE(CAST(sum(CASE WHEN a.y > b.y
+       |        THEN CAST(CAST(a.cnt AS DECIMAL(19,0))
+       |          * CAST(b.cnt AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)),
+       |      CAST(0 AS DECIMAL(38,0))) AS d_pairs
+       |  FROM cells a JOIN cells b ON a.x < b.x),
+       |tot AS (SELECT COALESCE(CAST(sum(cnt) AS BIGINT), 0) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+       |tx AS (SELECT COALESCE(CAST(sum(CAST(m AS DECIMAL(19,0))
+       |      * CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+       |    CAST(0 AS DECIMAL(38,0))) AS t2_x
+       |  FROM (SELECT CAST(sum(cnt) AS BIGINT) AS m FROM cells GROUP BY x)),
+       |ty AS (SELECT COALESCE(CAST(sum(CAST(m AS DECIMAL(19,0))
+       |      * CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+       |    CAST(0 AS DECIMAL(38,0))) AS t2_y
+       |  FROM (SELECT CAST(sum(cnt) AS BIGINT) AS m FROM cells GROUP BY y)),
+       |st AS (SELECT n, n_cells, c_pairs, d_pairs,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) - t2_x AS den1,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) - t2_y AS den2
+       |  FROM tot, pr, tx, ty)
+       |SELECT n, n_cells, CAST(c_pairs AS BIGINT) AS c_pairs,
+       |  CAST(d_pairs AS BIGINT) AS d_pairs,
+       |  CASE WHEN c_pairs + d_pairs = 0 THEN NULL
+       |    ELSE CAST(c_pairs - d_pairs AS DOUBLE)
+       |      / CAST(c_pairs + d_pairs AS DOUBLE) END AS gamma,
+       |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+       |    ELSE 2.0 * CAST(c_pairs - d_pairs AS DOUBLE)
+       |      / (sqrt(CAST(den1 AS DOUBLE)) * sqrt(CAST(den2 AS DOUBLE)))
+       |    END AS tau_b
+       |FROM st""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10080,5 +10278,6 @@ object Queries {
     qKappaBy, qChi2By, qGkLambdaBy, qSpearmanBy,
     qAbStored, qCupedStored, qBootstrapAsof, qBlocklistAsof,
     qSrm, qPermutation, qMdeMean, qAbAsof, qAbBy,
+    qKruskal, qCochranQ, qKendall,
   )
 }

@@ -311,6 +311,81 @@ class StatsSpec extends SparkTestBase {
 
   // -------------------------------------------------------- McNemar
 
+  test("kruskalWallis: separated-groups hand fixture; empty named group NULL") {
+    // a={1,2}, b={3,4}, c={5,6}: doubled ranks 2i, r2 = (6, 14, 22),
+    // H = 12·(9/2 + 49/2 + 121/2)/42 − 21 = 1074/42 − 21 = 4.5714…
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+      (5L, "c"), (6L, "c"), (9L, "zz")).toDF("v", "g")
+    val r = Stats.kruskalWallis(df, "v", "g", Seq("a", "b", "c"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("n_other") === 1L, "unnamed groups counted loudly")
+    assert(r.getAs[Long]("r2_a") === 6L)
+    assert(r.getAs[Long]("r2_b") === 14L)
+    assert(r.getAs[Long]("r2_c") === 22L)
+    assert(r.getAs[Long]("tie_t") === 0L)
+    assert(math.abs(r.getAs[Double]("h") - (1074.0 / 42.0 - 21.0)) < 1e-12)
+    assert(r.getAs[Double]("h_corrected") === r.getAs[Double]("h"))
+    // an empty NAMED group nulls the card (it is a data bug, not 0)
+    val re = Stats.kruskalWallis(df, "v", "g", Seq("a", "b", "missing"))
+      .collect().head
+    assert(re.isNullAt(re.fieldIndex("h")))
+    // all-tied pool: corrected form NULL (zero tie-adjusted variance)
+    val tied = Seq((5L, "a"), (5L, "b"), (5L, "c")).toDF("v", "g")
+    val rt = Stats.kruskalWallis(tied, "v", "g", Seq("a", "b", "c"))
+      .collect().head
+    assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
+  }
+
+  test("cochranQ: textbook fixture Q = 4; all-concordant items NULL") {
+    val rows = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", true), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", false), (4L, "C", false))
+      .toDF("item", "t", "s")
+    val r = Stats.cochranQ(rows, "item", "t", "s", k = 3).collect().head
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("bad_items") === 0L)
+    assert(r.getAs[Long]("n_success") === 7L)
+    assert(r.getAs[Long]("sum_tj2") === 19L)
+    assert(r.getAs[Long]("sum_ui2") === 17L)
+    // Q = (k−1)(k·ΣT² − N²)/(kN − Σu²) = 2·(57 − 49)/(21 − 17) = 4
+    assert(r.getAs[Long]("q_num") === 16L)
+    assert(r.getAs[Long]("q_den") === 4L)
+    assert(r.getAs[Double]("q") === 4.0)
+    // every item unanimous → zero discordance, NULL q
+    val unan = Seq((1L, "A", true), (1L, "B", true), (1L, "C", true),
+      (2L, "A", false), (2L, "B", false), (2L, "C", false))
+      .toDF("item", "t", "s")
+    val ru = Stats.cochranQ(unan, "item", "t", "s", k = 3).collect().head
+    assert(ru.isNullAt(ru.fieldIndex("q")))
+    // a short panel is counted loudly
+    val bad = unan.filter(!(col("item") === 2L && col("t") === "C"))
+    assert(Stats.cochranQ(bad, "item", "t", "s", k = 3).collect().head
+      .getAs[Long]("bad_items") === 1L)
+  }
+
+  test("kendallCells: perfect concordance/discordance; tie-only NULL gamma") {
+    // cells (1,1)×2, (2,2)×1, (3,3)×1: C = 2+2+1 = 5, D = 0,
+    // tau-b = 2·5/(√10·√10) = 1
+    val con = Seq((1L, 1L), (1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val rc = Stats.kendallCells(con, "x", "y").collect().head
+    assert(rc.getAs[Long]("n") === 4L && rc.getAs[Long]("n_cells") === 3L)
+    assert(rc.getAs[Long]("c_pairs") === 5L && rc.getAs[Long]("d_pairs") === 0L)
+    assert(rc.getAs[Double]("gamma") === 1.0)
+    assert(math.abs(rc.getAs[Double]("tau_b") - 1.0) < 1e-12)
+    val dis = Seq((1L, 3L), (1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val rd = Stats.kendallCells(dis, "x", "y").collect().head
+    assert(rd.getAs[Double]("gamma") === -1.0)
+    assert(math.abs(rd.getAs[Double]("tau_b") + 1.0) < 1e-12)
+    // constant x: every pair tied on x → C + D = 0 → NULL
+    val flat = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("x", "y")
+    val rf = Stats.kendallCells(flat, "x", "y").collect().head
+    assert(rf.isNullAt(rf.fieldIndex("gamma")))
+    assert(rf.isNullAt(rf.fieldIndex("tau_b")))
+  }
+
   test("mcnemar: only discordant pairs matter") {
     // b = 5, c = 1, 4 concordant → (b−c)²/(b+c) = 16/6
     val rows = Seq.fill(5)((true, false)) ++ Seq.fill(1)((false, true)) ++
