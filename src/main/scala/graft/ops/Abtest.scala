@@ -372,13 +372,34 @@ object Abtest {
         expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
           s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
     val agg = units.agg(
-      count(lit(1)).cast("long").as("n_units"),
       coalesce(sum(when(col("variant") === 0L, 1L).otherwise(0L)), lit(0L))
         .cast("long").as("n_a"),
       coalesce(sum(when(col("variant") === 1L, 1L).otherwise(0L)), lit(0L))
         .cast("long").as("n_b"))
+    srmCard(agg, thrNum, thrDen)
+  }
+
+  /** [[srmCheck]] read off the experiment store's merged per-arm unit
+    * counts — the guardrail ON the live dashboard: every
+    * [[readoutFromStore]] consumer checks this first, and it costs one
+    * scan of the model-sized store. Inherits the store's
+    * unit-partitioning contract. */
+  def srmFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                   thrNum: Long = 384L, thrDen: Long = 100L): DataFrame = {
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    val agg = mergedArms(spark, path).agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_b"))
+    srmCard(agg, thrNum, thrDen)
+  }
+
+  private def srmCard(agg: DataFrame, thrNum: Long,
+                      thrDen: Long): DataFrame = {
     val d = col("n_a") - col("n_b")
-    agg.select(col("n_units"), col("n_a"), col("n_b"),
+    agg.select((col("n_a") + col("n_b")).as("n_units"),
+      col("n_a"), col("n_b"),
       (d * d).as("srm_num"),
       (col("n_a") + col("n_b")).as("srm_den"),
       when(col("n_a") + col("n_b") === 0L, lit(null).cast("double"))

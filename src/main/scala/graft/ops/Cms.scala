@@ -199,4 +199,14 @@ object Cms {
     spark.read.parquet(path)
       .groupBy("i", "bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
+
+  /** [[fromStore]] cut at a batch tag (`tag <= asOfTag`) — frequency
+    * time-travel: cell sums over an append-only prefix reconstruct the
+    * sketch any reader probed after batch N, exactly. */
+  def fromStoreAsOf(spark: SparkSession, path: String,
+                    asOfTag: String): DataFrame = {
+    Stores.requireStore(spark, path, "append sketch batches first")
+    Stores.freshRead(spark, path).filter(col("tag") <= asOfTag)
+      .groupBy("i", "bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
 }

@@ -256,4 +256,17 @@ object Hll {
     Stores.requireStore(spark, path, "append registers first")
     estimate(spark.read.parquet(path), groupCols, m)
   }
+
+  /** [[estimateFromStore]] cut at a batch tag (`tag <= asOfTag`) —
+    * cardinality time-travel: the max-merge of an append-only prefix
+    * is EXACTLY the estimate any reader computed after batch N (the
+    * audit read the decay/bootstrap/blocklist stores already answer).
+    * Prunes on the tag column's parquet min/max. */
+  def estimateFromStoreAsOf(spark: SparkSession, path: String,
+                            groupCols: Seq[String], m: Int,
+                            asOfTag: String): DataFrame = {
+    Stores.requireStore(spark, path, "append registers first")
+    estimate(Stores.freshRead(spark, path).filter(col("tag") <= asOfTag),
+      groupCols, m)
+  }
 }

@@ -10209,6 +10209,114 @@ object Queries {
        |    END AS tau_b
        |FROM st""".stripMargin)
 
+  /** [[qSrm]] read OFF the experiment store
+    * ([[graft.ops.Abtest.srmFromStore]], same three user-disjoint
+    * slices as [[qAbStored]]): the live dashboard's guardrail — one
+    * scan of the model-sized store, answer identical to re-deriving
+    * the split from raw events. Oracle: the one-shot SRM over all
+    * units under the store's salt. */
+  val qSrmStored: Q = "q_srm_stored" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "ab_store")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp1")
+      }
+      graft.ops.Abtest.srmFromStore(s, store)
+    },
+    s"""WITH $EV,
+       |un AS (SELECT DISTINCT user_id AS unit FROM ev),
+       |va AS (SELECT CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+       |    || 'exp1'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+       |ag AS (SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM va)
+       |SELECT n_a + n_b AS n_units, n_a, n_b,
+       |  (n_a - n_b) * (n_a - n_b) AS srm_num,
+       |  n_a + n_b AS srm_den,
+       |  CASE WHEN n_a + n_b = 0 THEN NULL
+       |    ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |      / CAST(n_a + n_b AS DOUBLE) END AS srm_chi2,
+       |  ((n_a - n_b) * (n_a - n_b)) * 100 > 384 * (n_a + n_b) AS mismatch
+       |FROM ag""".stripMargin)
+
+  /** TIME-TRAVEL cardinality read
+    * ([[graft.ops.Hll.estimateFromStoreAsOf]]): per-source distinct
+    * tokens as of the SECOND register batch — a later appended slice
+    * must not perturb the audited estimate (max-merge of an
+    * append-only prefix). Oracle replays the sketch over the first two
+    * slices, with the exact count alongside. */
+  val qHllAsof: Q = "q_hll_asof" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "hll_regs_asof")
+      def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      (0 to 2).foreach { k =>
+        graft.ops.Hll.registerStoreAppend(slice(k), store, s"b$k",
+          Seq("source"), "tok", 256)
+      }
+      val est = graft.ops.Hll.estimateFromStoreAsOf(s, store,
+        Seq("source"), 256, asOfTag = "b1")
+      val exact = docs.filter(col("doc_id") % 3 < 2)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).cast("long").as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("buckets_hit"),
+          round(col("est"), 6).as("est"), col("exact_distinct"))
+        .orderBy(col("source"))
+    },
+    s"""WITH t AS (SELECT source, unnest($TOKS) AS tok FROM documents
+       |  WHERE doc_id % 3 < 2),
+       |tf AS (SELECT source, tok AS v FROM t WHERE tok <> ''),
+       |${graft.ops.Hll.oracleCtes("tf", Seq("source"), 256)},
+       |ex AS (SELECT source, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+       |  FROM tf GROUP BY 1)
+       |SELECT source, buckets_hit, round(est, 6) AS est, exact_distinct
+       |FROM hll_est JOIN ex USING (source) ORDER BY source""".stripMargin)
+
+  /** TIME-TRAVEL frequency read ([[graft.ops.Cms.fromStoreAsOf]]):
+    * token frequencies as of the SECOND cell batch — cell sums over an
+    * append-only prefix reconstruct the sketch any reader probed after
+    * batch N. Top-20 of the cut corpus probed against the cut
+    * sketch. */
+  val qCmsAsof: Q = "q_cms_asof" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "cms_cells_asof")
+      def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+        .select(explode(Text.tokens(col("text"))).as("v"))
+        .filter(col("v") =!= "")
+      (0 to 2).foreach { k =>
+        graft.ops.Cms.storeAppend(slice(k), store, s"b$k", "v", 4, 1024)
+      }
+      val sketch = graft.ops.Cms.fromStoreAsOf(s, store, asOfTag = "b1")
+      val toks = docs.filter(col("doc_id") % 3 < 2)
+        .select(explode(Text.tokens(col("text"))).as("v"))
+        .filter(col("v") =!= "")
+      val top = toks.groupBy("v")
+        .agg(count(lit(1)).cast("long").as("exact"))
+        .orderBy(col("exact").desc, col("v")).limit(20)
+      top.join(graft.ops.Cms.probe(top.select("v"), sketch, 4, 1024), Seq("v"))
+        .select(col("v").as("tok"), col("exact"), col("est"))
+        .orderBy(col("tok"))
+    },
+    s"""WITH t AS (SELECT unnest($TOKS) AS v FROM documents
+       |  WHERE doc_id % 3 < 2),
+       |tf AS (SELECT v FROM t WHERE v <> ''),
+       |ex AS (SELECT v, CAST(count(*) AS BIGINT) AS exact FROM tf GROUP BY 1),
+       |top AS (SELECT v, exact FROM ex ORDER BY exact DESC, v LIMIT 20),
+       |${graft.ops.Cms.oracleCtes("tf", "top", 4, 1024)}
+       |SELECT top.v AS tok, top.exact, cms_est.est
+       |FROM top JOIN cms_est USING (v) ORDER BY tok""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10279,5 +10387,6 @@ object Queries {
     qAbStored, qCupedStored, qBootstrapAsof, qBlocklistAsof,
     qSrm, qPermutation, qMdeMean, qAbAsof, qAbBy,
     qKruskal, qCochranQ, qKendall,
+    qSrmStored, qHllAsof, qCmsAsof,
   )
 }

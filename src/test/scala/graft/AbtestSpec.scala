@@ -167,6 +167,19 @@ class AbtestSpec extends SparkTestBase {
     assert(Abtest.readoutFromStore(spark, store).collect().head === oneShotR)
   }
 
+  test("srmFromStore: the store-side guardrail equals the raw-scan check") {
+    val store = java.nio.file.Files.createTempDirectory("ab_srm")
+      .toString + "/s"
+    val rows = (1L to 300L).map(u => (u, false, 0L, 0L))
+      .toDF("u", "c", "y", "x")
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "c", "y", "x", salt = "st1")
+    }
+    assert(Abtest.srmFromStore(spark, store).collect().head
+      === Abtest.srmCheck(rows, "u", "st1").collect().head)
+  }
+
   test("experiment live loop: per-batch dashboard tracks the cumulative units") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -157,6 +157,32 @@ class SketchSpec extends SparkTestBase {
     assert(est1 === oneShot)
   }
 
+  test("hll/cms as-of reads: a later batch cannot perturb the audited sketch") {
+    val hs = java.nio.file.Files.createTempDirectory("hll_asof")
+      .toString + "/st"
+    val b0 = (1 to 1000).map(i => s"v$i").toDF("v")
+    val b1 = (5000 to 5400).map(i => s"v$i").toDF("v")
+    Hll.registerStoreAppend(b0, hs, "b0", Nil, "v", M)
+    val at0 = Hll.estimateFromStore(spark, hs, Nil, M)
+      .select("est").as[Double].head()
+    Hll.registerStoreAppend(b1, hs, "b1", Nil, "v", M)
+    assert(Hll.estimateFromStoreAsOf(spark, hs, Nil, M, "b0")
+      .select("est").as[Double].head() === at0,
+      "the as-of cut must reconstruct the pre-b1 estimate")
+    val cs = java.nio.file.Files.createTempDirectory("cms_asof")
+      .toString + "/st"
+    Cms.storeAppend(b0, cs, "b0", "v", 4, 1024)
+    val probe = Seq("v1").toDF("v")
+    val p0 = Cms.probe(probe, Cms.fromStore(spark, cs), 4, 1024)
+      .select("est").as[Long].head()
+    Cms.storeAppend(b0, cs, "b1", "v", 4, 1024) // same values again
+    assert(Cms.probe(probe, Cms.fromStoreAsOf(spark, cs, "b0"), 4, 1024)
+      .select("est").as[Long].head() === p0,
+      "as-of must not see the doubled counts")
+    assert(Cms.probe(probe, Cms.fromStore(spark, cs), 4, 1024)
+      .select("est").as[Long].head() === 2L * p0)
+  }
+
   private val D = 4; private val W = 1024
 
   test("cms: estimates never under-estimate, and are exact without collisions") {
