@@ -118,6 +118,93 @@ class StatsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("kruskalWallis: k = 2 reduces to the squared tie-corrected rank-sum z") {
+    for (s <- 1 to 3) {
+      val as = longs(40L * s, 16, 0, 7)
+      val bs = longs(800L * s, 13, 0, 7)
+      val df = (as.map((_, "a")) ++ bs.map((_, "b"))).toDF("v", "g")
+      val kw = Stats.kruskalWallis(df, "v", "g", Seq("a", "b"))
+        .collect().head
+      val mw = Stats.mannWhitney(df, Seq(), "v", "g = 'a'").collect().head
+      val z = mw.getAs[Double]("z")
+      assert(math.abs(kw.getAs[Double]("h_corrected") - z * z) < 1e-9,
+        s"seed $s: H(corrected, k=2) must equal z² of the rank-sum test")
+    }
+  }
+
+  test("cochranQ: k = 2 reduces to McNemar's statistic exactly") {
+    for (s <- 1 to 3) {
+      val n = 25
+      val c1 = longs(50L * s, n, 0, 1).map(_ == 1L)
+      val c2 = longs(600L * s, n, 0, 1).map(_ == 1L)
+      val rows = (0 until n).flatMap(i =>
+        Seq((i.toLong, "t1", c1(i)), (i.toLong, "t2", c2(i))))
+        .toDF("item", "t", "s")
+      val q = Stats.cochranQ(rows, "item", "t", "s", k = 2).collect().head
+      val mc = Stats.mcnemar(
+        (0 until n).map(i => (c1(i), c2(i))).toDF("c1", "c2"),
+        "c1", "c2").collect().head
+      val qNull = q.isNullAt(q.fieldIndex("q"))
+      val mNull = mc.isNullAt(mc.fieldIndex("mcnemar"))
+      assert(qNull === mNull, s"seed $s: degenerate cases must agree")
+      if (!qNull)
+        assert(math.abs(q.getAs[Double]("q") -
+          mc.getAs[Double]("mcnemar")) < 1e-12,
+          s"seed $s: Q(k=2) = (b−c)²/(b+c)")
+    }
+  }
+
+  test("kendallCells: gamma on a 2×2 table is Yule's Q") {
+    for (s <- 1 to 3) {
+      val n = 40
+      val xs = longs(70L * s, n, 0, 1)
+      val ys = longs(500L * s, n, 0, 1)
+      val df = xs.zip(ys).toDF("x", "y")
+      val r = Stats.kendallCells(df, "x", "y").collect().head
+      def cell(a: Long, b: Long): Long =
+        xs.zip(ys).count { case (x, y) => x == a && y == b }.toLong
+      val (o11, o10, o01, o00) = (cell(1, 1), cell(1, 0), cell(0, 1),
+        cell(0, 0))
+      val (con, dis) = (o00 * o11, o01 * o10)
+      if (con + dis > 0)
+        assert(r.getAs[Double]("gamma") ===
+          (con - dis).toDouble / (con + dis).toDouble,
+          s"seed $s: gamma(2×2) = Yule's Q = (ad−bc)/(ad+bc)")
+      else assert(r.isNullAt(r.fieldIndex("gamma")))
+    }
+  }
+
+  test("permutationTest: p is invariant to conversion-label complement") {
+    // |lift| is symmetric under flipping every unit's conversion bit
+    // relative to... not in general; instead pin the exact p against a
+    // brute-force recount of the same deterministic lifts
+    val units = (1L to 80L).map(u => (u, u % 5 == 0))
+    val df = units.toDF("u", "c")
+    val r = graft.ops.Abtest.permutationTest(df, "u", "c", "ps", rounds = 19)
+      .collect().head
+    def liftFor(salt: String): Option[Double] = {
+      def variant(u: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest((u.toString + salt).getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.substring(0, 7)
+        java.lang.Long.parseLong(hex, 16) % 2
+      }
+      val (aU, bU) = units.partition { case (u, _) => variant(u) == 0L }
+      if (aU.isEmpty || bU.isEmpty) None
+      else Some(bU.count(_._2).toDouble / bU.size -
+        aU.count(_._2).toDouble / aU.size)
+    }
+    val obs = liftFor("ps")
+    val ge = (0 until 19).count { i =>
+      liftFor(s"ps#$i") match {
+        case None => true
+        case Some(l) => obs.exists(o => math.abs(l) >= math.abs(o))
+      }
+    }
+    assert(r.getAs[Long]("p_num") === ge.toLong + 1L,
+      "p_num must equal the brute-force recount of the null set")
+  }
+
   test("benfordDigits: rows conserve n and total expectation mass") {
     for (s <- 1 to 3) {
       val vs = longs(210L * s, 40, -5, 99999)
