@@ -75,7 +75,13 @@ object Plans {
         "q_ks_drift_asof", "q_bootstrap_se", "q_loo_influence", "q_cuped",
         "q_specific_agreement", "q_benford", "q_mde", "q_ab_ratio",
         "q_bootstrap_stored", "q_mannwhitney_by", "q_ab_ci",
-        "q_rank_biserial", "q_odds_ratio")
+        "q_rank_biserial", "q_odds_ratio",
+        "q_kappa_by", "q_chi2_by", "q_gk_lambda_by", "q_spearman_by",
+        "q_ab_stored", "q_cuped_stored", "q_bootstrap_asof",
+        "q_blocklist_asof",
+        "q_srm", "q_permutation", "q_mde_mean", "q_ab_asof", "q_ab_by",
+        "q_kruskal", "q_cochran_q", "q_kendall",
+        "q_srm_stored", "q_hll_asof", "q_cms_asof")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition;
