@@ -1167,6 +1167,110 @@ object Stats {
     ksAgainstRef(ref, batch, valueExpr, bucketWidth, thrNum, thrDen)
   }
 
+  /** Total-variation drift vs the additive histogram store — the L1
+    * complement to [[ksDriftFromStore]]'s sup: KS sees one localized
+    * shift; TVD sees TOTAL mass displacement even when no single
+    * bucket diverges much (many small leaks). Exactly the statistic
+    * the exactness discipline wants: TVD = ½ Σ_b |p_b − q_b| evaluates
+    * as tvd_num = Σ_b |cnt_ref·n_batch − cnt_b·n_ref| — an ORDER-FREE
+    * integer sum (chi-square/PSI need per-bucket divisions/logs, which
+    * are banned or order-dependent) — over tvd_den = 2·n_ref·n_batch,
+    * verdict rationally compared. No window anywhere: one full-outer
+    * bucket join + one hash agg. Long-emitted num/den are safe to
+    * ~2·10⁹ rows per side (the ks_den bound); the internal sum is
+    * DECIMAL-exact far beyond.
+    *
+    * @return one row: n_ref, n_batch, tvd_num, tvd_den, tvd, drift */
+  def tvdDriftFromStore(spark: SparkSession, path: String, batch: DataFrame,
+                        valueExpr: String, bucketWidth: Long,
+                        thrNum: Long, thrDen: Long): DataFrame = {
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val ref = Quantiles.fromStore(spark, path)
+      .withColumnRenamed("cnt", "cnt_ref")
+    val b = Quantiles.histogram(batch, valueExpr, bucketWidth)
+      .withColumnRenamed("cnt", "cnt_b")
+    val joined = ref.join(b, Seq("bucket"), "full_outer")
+      .select(coalesce(col("cnt_ref"), lit(0L)).as("cr"),
+        coalesce(col("cnt_b"), lit(0L)).as("cb"))
+    val tot = joined.agg(
+      coalesce(sum(col("cr")), lit(0L)).cast("long").as("n_ref"),
+      coalesce(sum(col("cb")), lit(0L)).cast("long").as("n_batch"))
+    val agg = joined.crossJoin(broadcast(tot)).agg(
+      max(col("n_ref")).as("n_ref"), max(col("n_batch")).as("n_batch"),
+      coalesce(sum(abs((col("cr").cast(d19) * col("n_batch").cast(d19))
+          .cast(d38) - (col("cb").cast(d19) * col("n_ref").cast(d19))
+          .cast(d38))).cast(d38), lit(0).cast(d38)).as("tvd_dec"))
+    agg.select(col("n_ref"), col("n_batch"),
+      col("tvd_dec").cast("long").as("tvd_num"),
+      (lit(2L) * col("n_ref") * col("n_batch")).as("tvd_den"),
+      when(col("n_ref") === 0L || col("n_batch") === 0L,
+        lit(null).cast("double"))
+        .otherwise(col("tvd_dec").cast("double") /
+          (lit(2L) * col("n_ref") * col("n_batch")).cast("double"))
+        .as("tvd"),
+      // long compare like the KS verdict (ANSI overflow is loud, and
+      // the long emission bound already applies to tvd_num/tvd_den)
+      (col("tvd_dec").cast("long") * lit(thrDen) >
+        lit(thrNum) * (lit(2L) * col("n_ref") * col("n_batch")))
+        .as("drift"))
+  }
+
+  /** GROUPED [[ksDriftFromStore]] — one verdict PER GROUP from the
+    * per-group histogram store ([[Quantiles.storeAppendBy]]): the
+    * per-source ingest gate a multi-feed pipeline runs on every
+    * arriving shard. Windows partition by the group (each group's
+    * bucket axis is independent and axis-guarded). A group with an
+    * empty reference (a brand-new source — exactly the one worth
+    * flagging) or an empty batch emits NULL d/drift: "no reference
+    * yet" must route to review, not read as a pass.
+    *
+    * @return per group: groupCols..., n_ref, n_batch, ks_num, ks_den,
+    *         d, at_bucket, drift */
+  def ksDriftFromStoreBy(spark: SparkSession, path: String,
+                         groupCols: Seq[String], batch: DataFrame,
+                         valueExpr: String, bucketWidth: Long,
+                         thrNum: Long, thrDen: Long): DataFrame = {
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    require(groupCols.nonEmpty, "use ksDriftFromStore for the global form")
+    val gc = groupCols.map(col)
+    val ref = Quantiles.fromStoreBy(spark, path, groupCols)
+      .withColumnRenamed("cnt", "cnt_ref")
+    val b = Quantiles.histogramBy(batch, groupCols, valueExpr, bucketWidth)
+      .withColumnRenamed("cnt", "cnt_b")
+    val joined = ref.join(b, groupCols :+ "bucket", "full_outer")
+      .select((gc :+ col("bucket") :+
+        coalesce(col("cnt_ref"), lit(0L)).as("cr") :+
+        coalesce(col("cnt_b"), lit(0L)).as("cb")): _*)
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = joined
+      .withColumn("cum_r", sum(col("cr")).over(wCum) +
+        axisGuard(joined, wAll))
+      .withColumn("cum_b", sum(col("cb")).over(wCum))
+      .withColumn("n_ref", sum(col("cr")).over(wAll))
+      .withColumn("n_batch", sum(col("cb")).over(wAll))
+      .withColumn("diff_num",
+        abs(col("cum_r") * col("n_batch") - col("cum_b") * col("n_ref")))
+    val emptySide = col("n_ref") === 0L || col("n_batch") === 0L
+    cum.groupBy(gc: _*).agg(
+        max(col("n_ref")).as("n_ref"), max(col("n_batch")).as("n_batch"),
+        max(col("diff_num")).as("ks_num"),
+        max_by(col("bucket"), struct(col("diff_num"), negate(col("bucket"))))
+          .as("at_bucket"))
+      .select((gc :+ col("n_ref") :+ col("n_batch") :+ col("ks_num") :+
+        (col("n_ref") * col("n_batch")).as("ks_den") :+
+        when(emptySide, lit(null).cast("double"))
+          .otherwise(col("ks_num").cast("double") /
+            (col("n_ref") * col("n_batch")).cast("double")).as("d") :+
+        col("at_bucket") :+
+        when(emptySide, lit(null).cast("boolean"))
+          .otherwise(col("ks_num") * lit(thrDen) > lit(thrNum) *
+            (col("n_ref") * col("n_batch"))).as("drift")): _*)
+  }
+
   private def ksAgainstRef(ref0: DataFrame, batch: DataFrame,
                            valueExpr: String, bucketWidth: Long,
                            thrNum: Long, thrDen: Long): DataFrame = {

@@ -10317,6 +10317,108 @@ object Queries {
        |SELECT top.v AS tok, top.exact, cms_est.est
        |FROM top JOIN cms_est USING (v) ORDER BY tok""".stripMargin)
 
+  /** Total-variation drift vs the histogram store
+    * ([[graft.ops.Stats.tvdDriftFromStore]]): the L1 mass-displacement
+    * complement to [[qKsDriftStored]]'s sup, and the drift statistic
+    * that is an ORDER-FREE integer sum end-to-end (chi-square/PSI need
+    * per-bucket divisions/logs — banned or order-dependent). Same
+    * store, same biased 'zh' batch. */
+  val qTvdStored: Q = "q_tvd_stored" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "ks_ref_hist")
+      (0 to 1).foreach { k =>
+        graft.ops.Quantiles.storeAppend(
+          docs.filter(col("doc_id") % 3 === k)
+            .select(Text.tokenCount(col("text")).cast("long").as("v")),
+          store, s"b$k", "v", 8L)
+      }
+      val batch = docs.filter(col("lang") === "zh")
+        .select(Text.tokenCount(col("text")).cast("long").as("v"))
+      graft.ops.Stats.tvdDriftFromStore(s, store, batch, "v", 8L, 1L, 10L)
+    },
+    s"""WITH ref AS (SELECT CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cr
+       |  FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY 1),
+       |bt AS (SELECT CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cb
+       |  FROM documents WHERE lang = 'zh' GROUP BY 1),
+       |j AS (SELECT COALESCE(ref.bucket, bt.bucket) AS bucket,
+       |    COALESCE(cr, 0) AS cr, COALESCE(cb, 0) AS cb
+       |  FROM ref FULL OUTER JOIN bt ON ref.bucket = bt.bucket),
+       |tt AS (SELECT COALESCE(CAST(sum(cr) AS BIGINT), 0) AS n_ref,
+       |    COALESCE(CAST(sum(cb) AS BIGINT), 0) AS n_batch FROM j),
+       |ag AS (SELECT n_ref, n_batch,
+       |    COALESCE(CAST(sum(abs(CAST(CAST(cr AS DECIMAL(19,0))
+       |      * CAST(n_batch AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |      - CAST(CAST(cb AS DECIMAL(19,0)) * CAST(n_ref AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)))) AS DECIMAL(38,0)),
+       |      CAST(0 AS DECIMAL(38,0))) AS tvd_dec
+       |  FROM j, tt GROUP BY n_ref, n_batch)
+       |SELECT n_ref, n_batch, CAST(tvd_dec AS BIGINT) AS tvd_num,
+       |  2 * n_ref * n_batch AS tvd_den,
+       |  CASE WHEN n_ref = 0 OR n_batch = 0 THEN NULL
+       |    ELSE CAST(tvd_dec AS DOUBLE)
+       |      / CAST(2 * n_ref * n_batch AS DOUBLE) END AS tvd,
+       |  CAST(tvd_dec AS BIGINT) * 10 > 1 * (2 * n_ref * n_batch) AS drift
+       |FROM ag""".stripMargin)
+
+  /** PER-SOURCE KS drift ([[graft.ops.Stats.ksDriftFromStoreBy]]):
+    * one verdict per source from the maintained per-source histogram
+    * store — the multi-feed ingest gate. Reference = two doc slices
+    * per source; batch = the third slice (same distribution →
+    * everything should pass at the 1/10 threshold, per source). */
+  val qKsDriftBy: Q = "q_ks_drift_by" -> (
+    (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("v"))
+      val store = codebookPath(d, "hist_drift_src")
+      (0 to 1).foreach { k =>
+        graft.ops.Quantiles.storeAppendBy(
+          docs.filter(col("doc_id") % 3 === k), store, s"b$k",
+          Seq("source"), "v", 8L)
+      }
+      val batch = docs.filter(col("doc_id") % 3 === 2)
+      graft.ops.Stats.ksDriftFromStoreBy(s, store, Seq("source"), batch,
+          "v", 8L, 1L, 10L)
+        .orderBy(col("source"))
+    },
+    s"""WITH ref AS (SELECT source, CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cr
+       |  FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY 1, 2),
+       |bt AS (SELECT source, CAST(len($TOKS) AS BIGINT) // 8 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cb
+       |  FROM documents WHERE doc_id % 3 = 2 GROUP BY 1, 2),
+       |j AS (SELECT COALESCE(ref.source, bt.source) AS source,
+       |    COALESCE(ref.bucket, bt.bucket) AS bucket,
+       |    COALESCE(cr, 0) AS cr, COALESCE(cb, 0) AS cb
+       |  FROM ref FULL OUTER JOIN bt
+       |    ON ref.source = bt.source AND ref.bucket = bt.bucket),
+       |cw AS (SELECT source, bucket,
+       |    CAST(sum(cr) OVER (PARTITION BY source ORDER BY bucket)
+       |      AS BIGINT) AS cum_r,
+       |    CAST(sum(cb) OVER (PARTITION BY source ORDER BY bucket)
+       |      AS BIGINT) AS cum_b,
+       |    CAST(sum(cr) OVER (PARTITION BY source) AS BIGINT) AS n_ref,
+       |    CAST(sum(cb) OVER (PARTITION BY source) AS BIGINT) AS n_batch
+       |  FROM j),
+       |dd AS (SELECT source, bucket, n_ref, n_batch,
+       |    abs(cum_r * n_batch - cum_b * n_ref) AS diff_num FROM cw),
+       |top AS (SELECT source, n_ref, n_batch,
+       |    CAST(diff_num AS BIGINT) AS ks_num, bucket AS at_bucket,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY diff_num DESC, bucket ASC) AS rk
+       |  FROM dd)
+       |SELECT source, n_ref, n_batch, ks_num, n_ref * n_batch AS ks_den,
+       |  CASE WHEN n_ref = 0 OR n_batch = 0 THEN NULL
+       |    ELSE CAST(ks_num AS DOUBLE)
+       |      / CAST(n_ref * n_batch AS DOUBLE) END AS d,
+       |  at_bucket,
+       |  CASE WHEN n_ref = 0 OR n_batch = 0 THEN NULL
+       |    ELSE ks_num * 10 > 1 * (n_ref * n_batch) END AS drift
+       |FROM top WHERE rk = 1 ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10388,5 +10490,6 @@ object Queries {
     qSrm, qPermutation, qMdeMean, qAbAsof, qAbBy,
     qKruskal, qCochranQ, qKendall,
     qSrmStored, qHllAsof, qCmsAsof,
+    qTvdStored, qKsDriftBy,
   )
 }

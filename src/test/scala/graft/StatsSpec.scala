@@ -630,6 +630,55 @@ class StatsSpec extends SparkTestBase {
     assert(shifted.getAs[Boolean]("drift"))
   }
 
+  test("tvdDriftFromStore: exact L1 displacement; sees what KS's sup underrates") {
+    val store = java.nio.file.Files.createTempDirectory("tvd")
+      .toString + "/st"
+    // ref occupies buckets {0, 2, 4, 6}, batch {1, 3, 5, 7}: every
+    // OTHER bucket leaks — KS's sup reads 0.5, TVD reads the truth (1.0)
+    val ref = (0 until 40).map(i => (i % 4) * 2L).toDF("v")
+    Quantiles.storeAppend(ref, store, "b0", "v", 1L)
+    val batch = (0 until 40).map(i => (i % 4) * 2L + 1L).toDF("v")
+    val r = Stats.tvdDriftFromStore(spark, store, batch, "v", 1L, 1L, 2L)
+      .collect().head
+    assert(r.getAs[Long]("n_ref") === 40L && r.getAs[Long]("n_batch") === 40L)
+    assert(r.getAs[Long]("tvd_num") === 3200L) // 8 buckets × |10·40 − 0|
+    assert(r.getAs[Long]("tvd_den") === 3200L)
+    assert(r.getAs[Double]("tvd") === 1.0)
+    assert(r.getAs[Boolean]("drift"))
+    val ks = Stats.ksDriftFromStore(spark, store, batch, "v", 1L, 1L, 2L)
+      .collect().head
+    assert(ks.getAs[Double]("d") === 0.25,
+      "KS underrates the oscillating leak TVD catches")
+    // identical batch: zero displacement, no drift
+    val same = Stats.tvdDriftFromStore(spark, store, ref, "v", 1L, 1L, 2L)
+      .collect().head
+    assert(same.getAs[Long]("tvd_num") === 0L)
+    assert(same.getAs[Double]("tvd") === 0.0)
+    assert(!same.getAs[Boolean]("drift"))
+  }
+
+  test("ksDriftFromStoreBy: per-group verdicts; a reference-less group is NULL") {
+    val store = java.nio.file.Files.createTempDirectory("ksby")
+      .toString + "/st"
+    val ref = ((0L until 10L).map(v => ("flat", v)) ++
+      (0L until 10L).map(v => ("shift", v))).toDF("g", "v")
+    Quantiles.storeAppendBy(ref, store, "b0", Seq("g"), "v", 2L)
+    val batch = ((0L until 10L).map(v => ("flat", v)) ++
+      (10L until 20L).map(v => ("shift", v)) ++
+      (0L until 5L).map(v => ("brand_new", v))).toDF("g", "v")
+    val out = Stats.ksDriftFromStoreBy(spark, store, Seq("g"), batch,
+        "v", 2L, 1L, 2L)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(!out("flat").getAs[Boolean]("drift"))
+    assert(out("flat").getAs[Double]("d") === 0.0)
+    assert(out("shift").getAs[Boolean]("drift"))
+    assert(out("shift").getAs[Double]("d") === 1.0)
+    val nw = out("brand_new")
+    assert(nw.getAs[Long]("n_ref") === 0L)
+    assert(nw.isNullAt(nw.fieldIndex("d")), "no reference → review, not pass")
+    assert(nw.isNullAt(nw.fieldIndex("drift")))
+  }
+
   test("ksDriftFromStore: threshold verdict is the integer compare") {
     val store = java.nio.file.Files.createTempDirectory("ksthr")
       .toString + "/st"
