@@ -531,6 +531,123 @@ object Abtest {
               lit(1.0) / col("n_b").cast("double"))))).as("mde_abs"))
   }
 
+  /** Post-stratified experiment readout over CALLER-NAMED strata (the
+    * [[graft.ops.Stats.kruskalWallis]] fixed-domain convention, so the
+    * stratum fold is deterministic left-to-right — never an
+    * order-dependent float aggregation): lift_post = Σ_s w_s·(p_bs −
+    * p_as) with w_s = n_s/n, the variance-reduction CUPED's continuous
+    * covariate cannot give a categorical one (country, platform,
+    * acquisition channel — measured BEFORE assignment), plus
+    * z_post from Var = Σ_s w_s²·(p_as(1−p_as)/n_as + p_bs(1−p_bs)/n_bs).
+    * A unit's stratum is its MINIMUM label across rows (deterministic
+    * under mixed labels); units outside the named strata are excluded
+    * and counted loudly in n_other. All counts exact; the handful of
+    * double ops are mirrored verbatim. NULL post columns when any
+    * named stratum has an empty arm (w_s is still defined, the
+    * stratum lift is not).
+    *
+    * @return one row: n_a, n_b, n_other, conv_a, conv_b, lift_raw,
+    *         lift_post, z_post */
+  def stratifiedReadout(df: DataFrame, unitExpr: String, convExpr: String,
+                        strataExpr: String, strata: Seq[String],
+                        salt: String): DataFrame = {
+    require(strata.size >= 2 && strata.size <= 16,
+      s"2..16 named strata, got ${strata.size}")
+    require(strata.distinct.size == strata.size, "duplicate stratum names")
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(convExpr).cast("boolean").as("c"),
+        expr(strataExpr).cast("string").as("st"))
+      .groupBy(col("unit"))
+      .agg(max(when(col("c"), 1L).otherwise(0L)).as("converted"),
+        min(col("st")).as("st"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val named = col("st").isin(strata.map(_.asInstanceOf[Any]): _*)
+    val aggs = Seq(
+      coalesce(sum(when(!named || col("st").isNull, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("n_other")) ++
+      strata.flatMap { s =>
+        val in = named && col("st") === s
+        Seq(
+          coalesce(sum(when(in && col("variant") === 0L, 1L).otherwise(0L)),
+            lit(0L)).cast("long").as(s"na_$s"),
+          coalesce(sum(when(in && col("variant") === 0L, col("converted"))
+            .otherwise(0L)), lit(0L)).cast("long").as(s"ca_$s"),
+          coalesce(sum(when(in && col("variant") === 1L, 1L).otherwise(0L)),
+            lit(0L)).cast("long").as(s"nb_$s"),
+          coalesce(sum(when(in && col("variant") === 1L, col("converted"))
+            .otherwise(0L)), lit(0L)).cast("long").as(s"cb_$s"))
+      }
+    val agg = units.agg(aggs.head, aggs.tail: _*)
+    val nA = strata.map(s => col(s"na_$s")).reduce(_ + _)
+    val nB = strata.map(s => col(s"nb_$s")).reduce(_ + _)
+    val cA = strata.map(s => col(s"ca_$s")).reduce(_ + _)
+    val cB = strata.map(s => col(s"cb_$s")).reduce(_ + _)
+    val n = nA + nB
+    def w(s: String) = (col(s"na_$s") + col(s"nb_$s")).cast("double") /
+      n.cast("double")
+    def pA(s: String) = col(s"ca_$s").cast("double") /
+      col(s"na_$s").cast("double")
+    def pB(s: String) = col(s"cb_$s").cast("double") /
+      col(s"nb_$s").cast("double")
+    val liftPost = strata.map(s => w(s) * (pB(s) - pA(s))).reduce(_ + _)
+    val varPost = strata.map(s => w(s) * w(s) *
+      (pA(s) * (lit(1.0) - pA(s)) / col(s"na_$s").cast("double") +
+        pB(s) * (lit(1.0) - pB(s)) / col(s"nb_$s").cast("double")))
+      .reduce(_ + _)
+    val anyEmpty = strata.map(s =>
+      col(s"na_$s") === 0L || col(s"nb_$s") === 0L).reduce(_ || _)
+    val liftRaw = cB.cast("double") / nB.cast("double") -
+      cA.cast("double") / nA.cast("double")
+    val nullD = lit(null).cast("double")
+    agg.select(nA.as("n_a"), nB.as("n_b"), col("n_other"),
+      cA.as("conv_a"), cB.as("conv_b"),
+      when(nA === 0L || nB === 0L, nullD).otherwise(liftRaw).as("lift_raw"),
+      when(anyEmpty, nullD).otherwise(liftPost).as("lift_post"),
+      // nested guard: a zero post-variance (all-converted strata)
+      // must read NULL, never Inf
+      when(anyEmpty, nullD).otherwise(
+        when(varPost === 0.0, nullD)
+          .otherwise(liftPost / sqrt(varPost))).as("z_post"))
+  }
+
+  /** Quantile treatment effects at bucket resolution — the readout for
+    * HEAVY-TAILED metrics where the mean lift is one whale's noise:
+    * per-arm exact bucketed quantiles ([[graft.ops.Quantiles]]'s
+    * ⌈q·N⌉ integer selection over the per-arm histogram — no
+    * sampling, no interpolation) at caller-named levels, and
+    * qte = lo_b − lo_a per level, all integers. An empty arm leaves
+    * that arm's columns NULL (full-outer on the level axis — a
+    * one-sided card still reads). One histogram aggregation per arm,
+    * windows over the bucket axis only.
+    *
+    * @return per level: p_label, target_a, lo_a, target_b, lo_b, qte */
+  def quantileLift(df: DataFrame, unitExpr: String, yExpr: String,
+                   salt: String, bucketWidth: Long,
+                   qs: Seq[(String, Int, Int)]): DataFrame = {
+    val units = df
+      .select(expr(unitExpr).as("unit"), expr(yExpr).cast("long").as("yr"))
+      .groupBy(col("unit"))
+      .agg(sum(col("yr")).cast("long").as("y"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val hist = Quantiles.histogramBy(units, Seq("variant"), "y", bucketWidth)
+    val q = Quantiles.quantilesBy(hist, Seq("variant"), qs, bucketWidth)
+    val a = q.filter(col("variant") === 0L)
+      .select(col("p_label"), col("target").as("target_a"),
+        col("lo").as("lo_a"))
+    val b = q.filter(col("variant") === 1L)
+      .select(col("p_label"), col("target").as("target_b"),
+        col("lo").as("lo_b"))
+    a.join(b, Seq("p_label"), "full_outer")
+      .select(col("p_label"), col("target_a"), col("lo_a"),
+        col("target_b"), col("lo_b"),
+        (col("lo_b") - col("lo_a")).as("qte"))
+  }
+
   /** ADDITIVE experiment store: one row per (variant, batch) carrying
     * the unit count, conversion count, and metric/covariate moment
     * sums — everything [[readout]] and [[cupedReadout]] consume, in

@@ -10419,6 +10419,101 @@ object Queries {
        |    ELSE ks_num * 10 > 1 * (n_ref * n_batch) END AS drift
        |FROM top WHERE rk = 1 ORDER BY source""".stripMargin)
 
+  /** Post-stratified readout ([[graft.ops.Abtest.stratifiedReadout]])
+    * over three hash strata: the categorical-covariate variance
+    * reducer next to [[qCuped]]'s continuous one — deterministic
+    * stratum fold over the declared order, mirrored verbatim. */
+  val qAbStratified: Q = "q_ab_stratified" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.stratifiedReadout(Tables.events(s, d), "user_id",
+        "event_type = 'purchase' AND value > 110",
+        "concat('s', user_id % 3)", Seq("s0", "s1", "s2"), salt = "exp1"),
+    {
+      val gs = Seq("s0", "s1", "s2")
+      val aggs = gs.map(g =>
+        s"""COALESCE(CAST(sum(CASE WHEN st = '$g' AND variant = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS na_$g,
+           |    COALESCE(CAST(sum(CASE WHEN st = '$g' AND variant = 0
+           |      THEN converted ELSE 0 END) AS BIGINT), 0) AS ca_$g,
+           |    COALESCE(CAST(sum(CASE WHEN st = '$g' AND variant = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS nb_$g,
+           |    COALESCE(CAST(sum(CASE WHEN st = '$g' AND variant = 1
+           |      THEN converted ELSE 0 END) AS BIGINT), 0) AS cb_$g"""
+          .stripMargin).mkString(",\n|    ")
+      val nA = gs.map(g => s"na_$g").mkString(" + ")
+      val nB = gs.map(g => s"nb_$g").mkString(" + ")
+      val cA = gs.map(g => s"ca_$g").mkString(" + ")
+      val cB = gs.map(g => s"cb_$g").mkString(" + ")
+      val nD = s"CAST($nA + $nB AS DOUBLE)"
+      def w(g: String) = s"(CAST(na_$g + nb_$g AS DOUBLE) / $nD)"
+      def pA(g: String) = s"(CAST(ca_$g AS DOUBLE) / CAST(na_$g AS DOUBLE))"
+      def pB(g: String) = s"(CAST(cb_$g AS DOUBLE) / CAST(nb_$g AS DOUBLE))"
+      val liftPost = gs.map(g => s"${w(g)} * (${pB(g)} - ${pA(g)})")
+        .mkString(" + ")
+      val varPost = gs.map(g =>
+        s"""${w(g)} * ${w(g)} * (${pA(g)} * (1.0 - ${pA(g)})
+           | / CAST(na_$g AS DOUBLE) + ${pB(g)} * (1.0 - ${pB(g)})
+           | / CAST(nb_$g AS DOUBLE))""".stripMargin.replace("\n", ""))
+        .mkString(" + ")
+      val anyEmpty = gs.map(g => s"na_$g = 0 OR nb_$g = 0").mkString(" OR ")
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 110
+         |      THEN 1 ELSE 0 END) AS converted,
+         |    min('s' || CAST(user_id % 3 AS VARCHAR)) AS st
+         |  FROM ev GROUP BY 1),
+         |va AS (SELECT converted, st,
+         |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp1'), 1, 7)
+         |      AS BIGINT) % 2 AS variant FROM un),
+         |ag AS (SELECT
+         |    COALESCE(CAST(sum(CASE WHEN st IS NULL
+         |      OR st NOT IN ('s0', 's1', 's2') THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS n_other,
+         |    $aggs
+         |  FROM va)
+         |SELECT $nA AS n_a, $nB AS n_b, n_other,
+         |  $cA AS conv_a, $cB AS conv_b,
+         |  CASE WHEN $nA = 0 OR $nB = 0 THEN NULL
+         |    ELSE CAST($cB AS DOUBLE) / CAST($nB AS DOUBLE)
+         |      - CAST($cA AS DOUBLE) / CAST($nA AS DOUBLE) END AS lift_raw,
+         |  CASE WHEN $anyEmpty THEN NULL ELSE $liftPost END AS lift_post,
+         |  CASE WHEN $anyEmpty THEN NULL
+         |    ELSE CASE WHEN ($varPost) = 0.0 THEN NULL
+         |      ELSE ($liftPost) / sqrt($varPost) END END AS z_post
+         |FROM ag""".stripMargin
+    })
+
+  /** Quantile treatment effects ([[graft.ops.Abtest.quantileLift]]):
+    * per-arm EXACT bucketed p50/p90/p99 of per-user spend and their
+    * differences — the heavy-tail readout where the mean lift is one
+    * whale's noise; integers end to end at bucket resolution. */
+  val qQte: Q = "q_qte" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      graft.ops.Abtest.quantileLift(
+          Tables.events(s, d).select(col("user_id"), cents.as("cents")),
+          "user_id", "cents", salt = "exp13", bucketWidth = 1000L,
+          qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("p_label"))
+    },
+    s"""WITH $EV,
+       |un AS (SELECT user_id AS unit,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS v
+       |  FROM ev GROUP BY 1),
+       |src AS (SELECT CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+       |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant, v FROM un),
+       |${graft.ops.Quantiles.oracleCtesBy("src", Seq("variant"),
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)), 1000L)},
+       |qa AS (SELECT p_label, target AS target_a, lo AS lo_a FROM hq
+       |  WHERE variant = 0),
+       |qb AS (SELECT p_label, target AS target_b, lo AS lo_b FROM hq
+       |  WHERE variant = 1)
+       |SELECT COALESCE(qa.p_label, qb.p_label) AS p_label,
+       |  target_a, lo_a, target_b, lo_b, lo_b - lo_a AS qte
+       |FROM qa FULL OUTER JOIN qb ON qa.p_label = qb.p_label
+       |ORDER BY p_label""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10491,5 +10586,6 @@ object Queries {
     qKruskal, qCochranQ, qKendall,
     qSrmStored, qHllAsof, qCmsAsof,
     qTvdStored, qKsDriftBy,
+    qAbStratified, qQte,
   )
 }
