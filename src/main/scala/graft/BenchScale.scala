@@ -765,6 +765,77 @@ object BenchScale {
       fixed.unpersist()
       spark.stop(); return
     }
+    if (args.lift(1).contains("r14exp")) {
+      // experimentation + stats-v2 ladder over K-duplicated users
+      // (fresh user ids per copy — the honest growth axis). Design
+      // claims under test: srm/stratified = one unit-grain hash agg;
+      // permutation = a (rounds+1)-fold map-side explode that partial-
+      // aggregates to ≤ rounds+1 rows per partition (the bootstrap
+      // shape — linear in units at fixed rounds); qte = per-arm
+      // histogram + bucket-axis window (bucket domain constant under
+      // duplication); kruskal = one distinct-value pass (cents domain
+      // constant); kendall = cell-bounded self-join (cell grid
+      // constant); tvd = bucket join + one agg. Every curve must be
+      // ~linear-to-flat.
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      import graft.ops.{Abtest, Quantiles, Stats}
+      val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+      val warmEv = graft.core.Tables.events(spark, sfDir).limit(5000)
+      Abtest.srmCheck(warmEv, "user_id", "lad").count() // JIT warmup
+      Abtest.permutationTest(warmEv, "user_id",
+        "event_type = 'purchase'", "lad", rounds = 9).count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val evDir = scaledEventsDir(spark, sfDir, k)
+        val ev = graft.core.Tables.events(spark, evDir)
+          .persist(MEMORY_AND_DISK)
+        val nEv = ev.count()
+        val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+        val (tSrm, _) = time(Abtest.srmCheck(ev, "user_id", "lad").count())
+        spark.catalog.clearCache()
+        val (tPerm, _) = time(Abtest.permutationTest(ev, "user_id",
+          "event_type = 'purchase'", "lad", rounds = 49).count())
+        spark.catalog.clearCache()
+        val (tStrat, _) = time(Abtest.stratifiedReadout(ev, "user_id",
+          "event_type = 'purchase'", "concat('s', user_id % 3)",
+          Seq("s0", "s1", "s2"), "lad").count())
+        spark.catalog.clearCache()
+        val (tQte, _) = time(Abtest.quantileLift(
+          ev.select(col("user_id"), cents.as("cents")),
+          "user_id", "cents", "lad", 1000L, qs).count())
+        spark.catalog.clearCache()
+        val (tKw, _) = time(Stats.kruskalWallis(
+          ev.select(cents.as("cents"), col("event_type")),
+          "cents", "event_type", Seq("error", "purchase", "view")).count())
+        spark.catalog.clearCache()
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+              .as("cents"))
+        val (tKen, _) = time(Stats.kendallCells(perUser,
+          "n_events", "cents div 1000").count())
+        spark.catalog.clearCache()
+        val store = s"/root/repo/tmp/tvd_ladder_$k"
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(store))
+        Quantiles.storeAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(cents.as("v")), store, "b0", "v", 1000L)
+        val (tTvd, _) = time(Stats.tvdDriftFromStore(spark, store,
+          ev.filter(pmod(col("event_id"), lit(2)) === 1)
+            .select(cents.as("v")),
+          "v", 1000L, 1L, 10L).count())
+        ev.unpersist()
+        println(s"""{"k":$k,"events":$nEv,"srm_sec":${f"$tSrm%.2f"},""" +
+          s""""permutation49_sec":${f"$tPerm%.2f"},""" +
+          s""""stratified_sec":${f"$tStrat%.2f"},"qte_sec":${f"$tQte%.2f"},""" +
+          s""""kruskal_sec":${f"$tKw%.2f"},"kendall_sec":${f"$tKen%.2f"},""" +
+          s""""tvd_sec":${f"$tTvd%.2f"}}""")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("graph3deep")) {
       // the two shape probes split out of graph3 (runnable alone):
       // deep-peel tree + link-prediction cap sweep — see graph3 below.
