@@ -531,6 +531,109 @@ object Abtest {
               lit(1.0) / col("n_b").cast("double"))))).as("mde_abs"))
   }
 
+  /** Continuous-metric experiment readout — Welch's unequal-variance t
+    * (the default the equal-variance pooled t is not: arms routinely
+    * differ in variance when the treatment works) over per-unit metric
+    * sums: mean lift, t = (ȳ_b − ȳ_a)/√(s²_a/n_a + s²_b/n_b), and the
+    * Welch–Satterthwaite df the reader needs to interpret t at small
+    * n. Per-arm variances are DECIMAL-exact centered moments
+    * ((n·Σy² − (Σy)²)/(n(n−1))); t and df are the same handful of
+    * deterministic double ops in both engines. NULL t/df on an empty
+    * arm, an arm with n < 2, or two zero variances (nothing to test —
+    * but lift still reads).
+    *
+    * @return one row: n_a, n_b, sy_a, sy_b, mean_a, mean_b, lift,
+    *         t_welch, df_welch */
+  def meanReadout(df: DataFrame, unitExpr: String, yExpr: String,
+                  salt: String): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val units = df
+      .select(expr(unitExpr).as("unit"), expr(yExpr).cast("long").as("yr"))
+      .groupBy(col("unit"))
+      .agg(sum(col("yr")).cast("long").as("y"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    def arm(v: Int, sfx: String): Seq[Column] = {
+      val in = col("variant") === v
+      Seq(
+        coalesce(sum(when(in, 1L).otherwise(0L)), lit(0L)).cast("long")
+          .as(s"n_$sfx"),
+        coalesce(sum(when(in, col("y")).otherwise(0L)), lit(0L))
+          .cast("long").as(s"sy_$sfx"),
+        coalesce(sum(when(in, (col("y").cast(d19) * col("y").cast(d19))
+            .cast(d38)).otherwise(lit(0).cast(d38))), lit(0).cast(d38))
+          .cast(d38).as(s"syy_$sfx"))
+    }
+    val aggs = arm(0, "a") ++ arm(1, "b")
+    meanCard(units.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** [[meanReadout]]'s card over the merged experiment store (per-arm
+    * n/sy/syy are exactly what [[momentsStoreAppend]] maintains) — the
+    * live continuous-metric dashboard next to [[readoutFromStore]]'s
+    * conversion one. */
+  def meanReadoutFromStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    meanCard(armsToMeanAgg(mergedArms(spark, path)))
+
+  /** [[meanReadoutFromStore]] cut at a batch tag — the audit read. */
+  def meanReadoutFromStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+                               path: String, asOfTag: String): DataFrame =
+    meanCard(armsToMeanAgg(mergedArms(spark, path, Some(asOfTag))))
+
+  private def armsToMeanAgg(merged: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    merged.agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_a"),
+      coalesce(sum(when(col("variant") === 0L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("sy_a"),
+      coalesce(sum(when(col("variant") === 0L, col("syy"))
+        .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+        .as("syy_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_b"),
+      coalesce(sum(when(col("variant") === 1L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("sy_b"),
+      coalesce(sum(when(col("variant") === 1L, col("syy"))
+        .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+        .as("syy_b"))
+  }
+
+  private def meanCard(agg: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    def v(sfx: String): Column = {
+      val n = col(s"n_$sfx")
+      ((n.cast(d19) * col(s"syy_$sfx")).cast(d38) -
+        (col(s"sy_$sfx").cast(d19) * col(s"sy_$sfx").cast(d19)).cast(d38))
+        .cast(d38).cast("double") /
+        (n.cast("double") * (n - 1L).cast("double"))
+    }
+    val meanA = col("sy_a").cast("double") / col("n_a").cast("double")
+    val meanB = col("sy_b").cast("double") / col("n_b").cast("double")
+    val emptyArm = col("n_a") === 0L || col("n_b") === 0L
+    val tiny = emptyArm || col("n_a") < 2L || col("n_b") < 2L
+    val ua = v("a") / col("n_a").cast("double")
+    val ub = v("b") / col("n_b").cast("double")
+    val nullD = lit(null).cast("double")
+    agg.select(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
+      when(emptyArm, nullD).otherwise(meanA).as("mean_a"),
+      when(emptyArm, nullD).otherwise(meanB).as("mean_b"),
+      when(emptyArm, nullD).otherwise(meanB - meanA).as("lift"),
+      // nested guards: the variance terms divide by n(n−1) — clear
+      // `tiny` before evaluating them (the ANSI eager-OR rule)
+      when(tiny, nullD).otherwise(
+        when(ua + ub <= lit(0.0), nullD)
+          .otherwise((meanB - meanA) / sqrt(ua + ub))).as("t_welch"),
+      when(tiny, nullD).otherwise(
+        when(ua + ub <= lit(0.0), nullD)
+          .otherwise((ua + ub) * (ua + ub) /
+            (ua * ua / (col("n_a").cast("double") - lit(1.0)) +
+              ub * ub / (col("n_b").cast("double") - lit(1.0)))))
+        .as("df_welch"))
+  }
+
   /** Post-stratified experiment readout over CALLER-NAMED strata (the
     * [[graft.ops.Stats.kruskalWallis]] fixed-domain convention, so the
     * stratum fold is deterministic left-to-right — never an

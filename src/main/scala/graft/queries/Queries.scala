@@ -10514,6 +10514,91 @@ object Queries {
        |FROM qa FULL OUTER JOIN qb ON qa.p_label = qb.p_label
        |ORDER BY p_label""".stripMargin)
 
+  /** Welch-t continuous-metric readout
+    * ([[graft.ops.Abtest.meanReadout]]): per-user spend lift with the
+    * unequal-variance t and Welch–Satterthwaite df — the significance
+    * card [[qCuped]]'s lift_raw lacks; DECIMAL-exact per-arm variances,
+    * deterministic doubles mirrored verbatim. */
+  val qAbMean: Q = "q_ab_mean" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      graft.ops.Abtest.meanReadout(
+        Tables.events(s, d).select(col("user_id"), cents.as("cents")),
+        "user_id", "cents", salt = "exp13")
+    },
+    {
+      def vr(s: String) =
+        s"""(CAST(CAST(CAST(CAST(n_$s AS DECIMAL(19,0)) * syy_$s
+           | AS DECIMAL(38,0)) - CAST(CAST(sy_$s AS DECIMAL(19,0))
+           | * CAST(sy_$s AS DECIMAL(19,0)) AS DECIMAL(38,0))
+           | AS DECIMAL(38,0)) AS DOUBLE)
+           | / (CAST(n_$s AS DOUBLE) * CAST(n_$s - 1 AS DOUBLE)))"""
+          .stripMargin.replace("\n", "")
+      val ua = s"(${vr("a")} / CAST(n_a AS DOUBLE))"
+      val ub = s"(${vr("b")} / CAST(n_b AS DOUBLE))"
+      val mA = "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val mB = "(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val tiny = "n_a = 0 OR n_b = 0 OR n_a < 2 OR n_b < 2"
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS y
+         |  FROM ev GROUP BY 1),
+         |va AS (SELECT y, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+         |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+         |ag AS (SELECT
+         |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS n_a,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
+         |      AS BIGINT), 0) AS sy_a,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 0
+         |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+         |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_a,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS n_b,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END)
+         |      AS BIGINT), 0) AS sy_b,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 1
+         |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+         |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_b
+         |  FROM va)
+         |SELECT n_a, n_b, sy_a, sy_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $mA END AS mean_a,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $mB END AS mean_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |    ELSE $mB - $mA END AS lift,
+         |  CASE WHEN $tiny THEN NULL
+         |    ELSE CASE WHEN $ua + $ub <= 0.0 THEN NULL
+         |      ELSE ($mB - $mA) / sqrt($ua + $ub) END END AS t_welch,
+         |  CASE WHEN $tiny THEN NULL
+         |    ELSE CASE WHEN $ua + $ub <= 0.0 THEN NULL
+         |      ELSE ($ua + $ub) * ($ua + $ub)
+         |        / ($ua * $ua / (CAST(n_a AS DOUBLE) - 1.0)
+         |          + $ub * $ub / (CAST(n_b AS DOUBLE) - 1.0)) END
+         |    END AS df_welch
+         |FROM ag""".stripMargin
+    })
+
+  /** [[qAbMean]] read off the ADDITIVE experiment store (three
+    * user-disjoint slices): per-arm n/Σy/Σy² add across batches, so
+    * the live continuous-metric dashboard equals the one-shot Welch
+    * card bit-for-bit — the oracle is [[qAbMean]]'s verbatim. */
+  val qAbMeanStored: Q = "q_ab_mean_stored" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "ab_mean_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "false", "cents", "0", salt = "exp13")
+      }
+      graft.ops.Abtest.meanReadoutFromStore(s, store)
+    },
+    qAbMean._2._2)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10587,5 +10672,6 @@ object Queries {
     qSrmStored, qHllAsof, qCmsAsof,
     qTvdStored, qKsDriftBy,
     qAbStratified, qQte,
+    qAbMean, qAbMeanStored,
   )
 }

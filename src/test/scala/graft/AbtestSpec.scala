@@ -212,6 +212,53 @@ class AbtestSpec extends SparkTestBase {
     }
   }
 
+  test("meanReadout: Welch identity against a Scala replay; store twin matches") {
+    val units = (1L to 500L).map(u => (u, u % 13 * 10L))
+    val df = units.toDF("u", "y")
+    val r = Abtest.meanReadout(df, "u", "y", "w1").collect().head
+    def variant(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((u.toString + "w1").getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.substring(0, 7), 16) % 2
+    }
+    val (aU, bU) = units.partition { case (u, _) => variant(u) == 0L }
+    def stats(vs: Seq[Long]): (Int, Double, Double) = {
+      val n = vs.size; val m = vs.sum.toDouble / n
+      val v = vs.map(x => (x - m) * (x - m)).sum / (n - 1.0)
+      (n, m, v)
+    }
+    val (na, ma, va) = stats(aU.map(_._2))
+    val (nb, mb, vb) = stats(bU.map(_._2))
+    assert(r.getAs[Long]("n_a") === na.toLong)
+    assert(math.abs(r.getAs[Double]("lift") - (mb - ma)) < 1e-9)
+    val (ua, ub) = (va / na, vb / nb)
+    assert(math.abs(r.getAs[Double]("t_welch") -
+      (mb - ma) / math.sqrt(ua + ub)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df_welch") -
+      (ua + ub) * (ua + ub) /
+        (ua * ua / (na - 1.0) + ub * ub / (nb - 1.0))) < 1e-6)
+    // constant metric: zero variance → NULL t/df, lift still reads
+    val const = (1L to 100L).map(u => (u, 5L)).toDF("u", "y")
+    val rc = Abtest.meanReadout(const, "u", "y", "w1").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("t_welch")))
+    assert(rc.getAs[Double]("lift") === 0.0)
+    // unit-disjoint store twin folds to the one-shot
+    val store = java.nio.file.Files.createTempDirectory("ab_mean")
+      .toString + "/s"
+    import org.apache.spark.sql.functions.lit
+    val rows = df.withColumn("c", lit(false)).withColumn("x", lit(0L))
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "c", "y", "x", salt = "w1")
+    }
+    assert(Abtest.meanReadoutFromStore(spark, store).collect().head === r)
+    assert(Abtest.meanReadoutFromStoreAsOf(spark, store, "b1")
+      .collect().head ===
+      Abtest.meanReadout(df.filter($"u" % 3 < 2), "u", "y", "w1")
+        .collect().head)
+  }
+
   test("experiment store: unit-disjoint batches reproduce both one-shot cards") {
     val store = java.nio.file.Files.createTempDirectory("ab_store")
       .toString + "/s"
