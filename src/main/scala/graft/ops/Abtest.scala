@@ -835,6 +835,41 @@ object Abtest {
                        path: String): DataFrame =
     readoutOverArms(mergedArms(spark, path))
 
+  /** The dashboard's HISTORY — one [[readout]] row per batch tag over
+    * the cumulative store prefix (every tag' ≤ tag): the
+    * group-sequential monitoring trace an experiment review reads
+    * ("when did z cross, and did it STAY crossed — or did we ship on a
+    * random excursion"), computed entirely from the model-sized store
+    * rows (one window over ≤ #batches rows; unit history is never
+    * rescanned). Each row is bit-identical to [[readoutFromStoreAsOf]]
+    * at that tag.
+    *
+    * @return per tag: tag, n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+    *         lift, z */
+  def readoutTrace(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    Stores.requireStore(spark, path, "append experiment batches first")
+    val rows = Stores.freshRead(spark, path)
+    val perTag = rows.groupBy(col("tag")).agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_a"),
+      coalesce(sum(when(col("variant") === 0L, col("conv")).otherwise(0L)),
+        lit(0L)).cast("long").as("dc_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_b"),
+      coalesce(sum(when(col("variant") === 1L, col("conv")).otherwise(0L)),
+        lit(0L)).cast("long").as("dc_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perTag.select(col("tag"),
+      sum(col("dn_a")).over(w).cast("long").as("n_a"),
+      sum(col("dc_a")).over(w).cast("long").as("conv_a"),
+      sum(col("dn_b")).over(w).cast("long").as("n_b"),
+      sum(col("dc_b")).over(w).cast("long").as("conv_b"))
+    readoutCard(cum, Seq(col("tag")))
+  }
+
   /** [[readoutFromStore]] cut at a batch tag — "what did the dashboard
     * say as of batch N": the decision-audit read (append-only rows
     * make the cut exact; prunes on the tag column's min/max). */

@@ -10599,6 +10599,72 @@ object Queries {
     },
     qAbMean._2._2)
 
+  /** Group-sequential monitoring trace
+    * ([[graft.ops.Abtest.readoutTrace]]): the dashboard's HISTORY —
+    * one cumulative readout per batch tag, from the model-sized store
+    * alone. The oracle recomputes each prefix readout from raw events
+    * and unions them: hash equality certifies every prefix row equals
+    * its as-of read. */
+  val qAbTrace: Q = "q_ab_trace" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "ab_store")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp1")
+      }
+      graft.ops.Abtest.readoutTrace(s, store)
+        .select(col("tag"), col("n_a"), col("conv_a"), col("n_b"),
+          col("conv_b"),
+          round(col("rate_a"), 9).as("rate_a"),
+          round(col("rate_b"), 9).as("rate_b"),
+          round(col("lift"), 9).as("lift"), round(col("z"), 6).as("z"))
+        .orderBy(col("tag"))
+    },
+    {
+      val blocks = (0 to 2).map { k =>
+        s"""ag$k AS (SELECT 'b$k' AS tag,
+           |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+           |      AS BIGINT) AS conv_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b,
+           |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+           |      AS BIGINT) AS conv_b
+           |  FROM va WHERE m3 <= $k)""".stripMargin
+      }.mkString(",\n|")
+      val pP = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+      val rA = "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val rB = "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit, user_id % 3 AS m3,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 110
+         |      THEN 1 ELSE 0 END) AS converted
+         |  FROM ev GROUP BY 1, 2),
+         |va AS (SELECT m3, converted,
+         |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp1'), 1, 7)
+         |      AS BIGINT) % 2 AS variant FROM un),
+         |$blocks,
+         |uu AS (SELECT * FROM ag0 UNION ALL SELECT * FROM ag1
+         |  UNION ALL SELECT * FROM ag2)
+         |SELECT tag, n_a, conv_a, n_b, conv_b,
+         |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $rA END, 9)
+         |    AS rate_a,
+         |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $rB END, 9)
+         |    AS rate_b,
+         |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |    ELSE $rB - $rA END, 9) AS lift,
+         |  round(CASE WHEN n_a = 0 OR n_b = 0 OR $pP = 0.0 OR $pP = 1.0
+         |      THEN NULL
+         |    ELSE ($rB - $rA) / sqrt($pP * (1.0 - $pP)
+         |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         |    END, 6) AS z
+         |FROM uu ORDER BY tag""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10672,6 +10738,6 @@ object Queries {
     qSrmStored, qHllAsof, qCmsAsof,
     qTvdStored, qKsDriftBy,
     qAbStratified, qQte,
-    qAbMean, qAbMeanStored,
+    qAbMean, qAbMeanStored, qAbTrace,
   )
 }
