@@ -297,6 +297,27 @@ class AbtestSpec extends SparkTestBase {
       === Abtest.srmCheck(rows, "u", "st1").collect().head)
   }
 
+  test("readoutTrace: each trace row equals the as-of read at that tag") {
+    val store = java.nio.file.Files.createTempDirectory("ab_trace")
+      .toString + "/s"
+    val rows = (1L to 300L).map(u => (u, u % 9 == 0, 0L, 0L))
+      .toDF("u", "c", "y", "x")
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "c", "y", "x", salt = "st1")
+    }
+    val trace = Abtest.readoutTrace(spark, store).collect()
+      .map(r => r.getAs[String]("tag") -> r).toMap
+    assert(trace.size === 3)
+    (0 to 2).foreach { k =>
+      val asOf = Abtest.readoutFromStoreAsOf(spark, store, s"b$k")
+        .collect().head
+      val t = trace(s"b$k")
+      assert(t.toSeq.drop(1) === asOf.toSeq,
+        s"trace row b$k must equal the as-of read")
+    }
+  }
+
   test("experiment live loop: per-batch dashboard tracks the cumulative units") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
