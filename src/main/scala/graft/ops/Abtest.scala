@@ -395,8 +395,15 @@ object Abtest {
     srmCard(agg, thrNum, thrDen)
   }
 
+  /** Emission bound: srm_num = (n_a−n_b)² is a long, so the card
+    * dies loudly (ANSI overflow) at |n_a−n_b| > 3.03e9 — far beyond
+    * any survivable imbalance. The VERDICT compare runs in
+    * DECIMAL(38,0) so it holds to the same bound (a long compare
+    * would die 10× earlier at the default thrDen = 100, killing the
+    * guardrail exactly when it should alarm). */
   private def srmCard(agg: DataFrame, thrNum: Long,
                       thrDen: Long): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
     val d = col("n_a") - col("n_b")
     agg.select((col("n_a") + col("n_b")).as("n_units"),
       col("n_a"), col("n_b"),
@@ -405,7 +412,9 @@ object Abtest {
       when(col("n_a") + col("n_b") === 0L, lit(null).cast("double"))
         .otherwise((d * d).cast("double") /
           (col("n_a") + col("n_b")).cast("double")).as("srm_chi2"),
-      ((d * d) * lit(thrDen) > lit(thrNum) * (col("n_a") + col("n_b")))
+      ((d.cast(d19) * d.cast(d19)).cast(d38) * lit(thrDen).cast(d19) >
+        (lit(thrNum).cast(d19) * (col("n_a") + col("n_b")).cast(d19))
+          .cast(d38))
         .as("mismatch"))
   }
 
@@ -474,10 +483,16 @@ object Abtest {
         sum(when(col("lift").isNull ||
             abs(col("lift")) >= abs(col("lift_obs")), 1L).otherwise(0L))
           .cast("long").as("ge"))
+    // p_num/p_den NULL alongside p_value when the observed assignment
+    // has an empty arm: ge then counts only empty-arm permutations, so
+    // the integer fraction would read as a plausible exact p while
+    // meaning nothing
     counted.crossJoin(nu).select(
       col("rounds"), col("n_units"), col("lift_obs"),
-      (col("ge") + 1L).as("p_num"),
-      (col("rounds") + 1L).as("p_den"),
+      when(col("lift_obs").isNull, lit(null).cast("long"))
+        .otherwise(col("ge") + 1L).as("p_num"),
+      when(col("lift_obs").isNull, lit(null).cast("long"))
+        .otherwise(col("rounds") + 1L).as("p_den"),
       when(col("lift_obs").isNull, lit(null).cast("double"))
         .otherwise((col("ge") + 1L).cast("double") /
           (col("rounds") + 1L).cast("double")).as("p_value"))
@@ -601,7 +616,8 @@ object Abtest {
         .as("syy_b"))
   }
 
-  private def meanCard(agg: DataFrame): DataFrame = {
+  private def meanCard(agg: DataFrame,
+                       gc: Seq[Column] = Nil): DataFrame = {
     val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
     def v(sfx: String): Column = {
       val n = col(s"n_$sfx")
@@ -617,7 +633,7 @@ object Abtest {
     val ua = v("a") / col("n_a").cast("double")
     val ub = v("b") / col("n_b").cast("double")
     val nullD = lit(null).cast("double")
-    agg.select(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
+    agg.select((gc ++ Seq(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
       when(emptyArm, nullD).otherwise(meanA).as("mean_a"),
       when(emptyArm, nullD).otherwise(meanB).as("mean_b"),
       when(emptyArm, nullD).otherwise(meanB - meanA).as("lift"),
@@ -631,7 +647,7 @@ object Abtest {
           .otherwise((ua + ub) * (ua + ub) /
             (ua * ua / (col("n_a").cast("double") - lit(1.0)) +
               ub * ub / (col("n_b").cast("double") - lit(1.0)))))
-        .as("df_welch"))
+        .as("df_welch"))): _*)
   }
 
   /** Post-stratified experiment readout over CALLER-NAMED strata (the
@@ -738,6 +754,14 @@ object Abtest {
         expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
           s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
     val hist = Quantiles.histogramBy(units, Seq("variant"), "y", bucketWidth)
+    qteCard(hist, bucketWidth, qs)
+  }
+
+  /** The QTE card over a per-arm histogram — shared by the one-shot
+    * [[quantileLift]] and the store reads so all emit the SAME
+    * integer selection bit-for-bit. */
+  private def qteCard(hist: DataFrame, bucketWidth: Long,
+                      qs: Seq[(String, Int, Int)]): DataFrame = {
     val q = Quantiles.quantilesBy(hist, Seq("variant"), qs, bucketWidth)
     val a = q.filter(col("variant") === 0L)
       .select(col("p_label"), col("target").as("target_a"),
@@ -750,6 +774,48 @@ object Abtest {
         col("target_b"), col("lo_b"),
         (col("lo_b") - col("lo_a")).as("qte"))
   }
+
+  /** Append one batch's PER-ARM metric histogram into a
+    * [[Quantiles.storeAppendBy]] store keyed on the variant — the
+    * additive-store lifecycle for [[quantileLift]], the one experiment
+    * card that otherwise rescans raw events per read: per-(arm,
+    * bucket) counts add across batches, so the stored QTE equals the
+    * one-shot over everything appended so far, by histogram
+    * additivity. Same CONTRACT as [[momentsStoreAppend]]: batches
+    * must PARTITION the randomization units (per-unit metric sums
+    * only land in one bucket when no unit spans two batches);
+    * exactly-once via the store's markers. */
+  def quantileLiftStoreAppend(df: DataFrame, path: String, batchTag: String,
+                              unitExpr: String, yExpr: String, salt: String,
+                              bucketWidth: Long): Unit = {
+    val units = df
+      .select(expr(unitExpr).as("unit"), expr(yExpr).cast("long").as("yr"))
+      .groupBy(col("unit"))
+      .agg(sum(col("yr")).cast("long").as("y"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    Quantiles.storeAppendBy(units, path, batchTag, Seq("variant"), "y",
+      bucketWidth)
+  }
+
+  /** [[quantileLift]]'s card over the merged per-arm histogram store —
+    * the maintained heavy-tail dashboard: reads only the model-sized
+    * (arm × bucket) rows, never unit history. */
+  def quantileLiftFromStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, bucketWidth: Long,
+                            qs: Seq[(String, Int, Int)]): DataFrame =
+    qteCard(Quantiles.fromStoreBy(spark, path, Seq("variant")),
+      bucketWidth, qs)
+
+  /** [[quantileLiftFromStore]] cut at a batch tag — the QTE card's
+    * decision-audit read. */
+  def quantileLiftFromStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+                                path: String, asOfTag: String,
+                                bucketWidth: Long,
+                                qs: Seq[(String, Int, Int)]): DataFrame =
+    qteCard(Quantiles.fromStoreByAsOf(spark, path, Seq("variant"), asOfTag),
+      bucketWidth, qs)
 
   /** ADDITIVE experiment store: one row per (variant, batch) carrying
     * the unit count, conversion count, and metric/covariate moment
@@ -868,6 +934,111 @@ object Abtest {
       sum(col("dn_b")).over(w).cast("long").as("n_b"),
       sum(col("dc_b")).over(w).cast("long").as("conv_b"))
     readoutCard(cum, Seq(col("tag")))
+  }
+
+  /** [[readoutTrace]]'s CONTINUOUS-metric twin — one Welch-t
+    * [[meanReadout]] row per batch tag over the cumulative store
+    * prefix, from the same per-arm (n, Σy, Σy²) moment rows
+    * [[momentsStoreAppend]] maintains: the revenue/latency dashboard's
+    * history next to the conversion one. Each row is bit-identical to
+    * [[meanReadoutFromStoreAsOf]] at that tag (the [[readoutTrace]]
+    * contract), and the whole trace is one window over ≤ #batches
+    * store rows — unit history is never rescanned.
+    *
+    * @return per tag: tag, n_a, n_b, sy_a, sy_b, mean_a, mean_b,
+    *         lift, t_welch, df_welch */
+  def meanReadoutTrace(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    Stores.requireStore(spark, path, "append experiment batches first")
+    val d38 = "decimal(38,0)"
+    val rows = Stores.freshRead(spark, path)
+    val perTag = rows.groupBy(col("tag")).agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_a"),
+      coalesce(sum(when(col("variant") === 0L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("dsy_a"),
+      coalesce(sum(when(col("variant") === 0L, col("syy"))
+        .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+        .as("dsyy_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_b"),
+      coalesce(sum(when(col("variant") === 1L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("dsy_b"),
+      coalesce(sum(when(col("variant") === 1L, col("syy"))
+        .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+        .as("dsyy_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perTag.select(col("tag"),
+      sum(col("dn_a")).over(w).cast("long").as("n_a"),
+      sum(col("dsy_a")).over(w).cast("long").as("sy_a"),
+      sum(col("dsyy_a")).over(w).cast(d38).as("syy_a"),
+      sum(col("dn_b")).over(w).cast("long").as("n_b"),
+      sum(col("dsy_b")).over(w).cast("long").as("sy_b"),
+      sum(col("dsyy_b")).over(w).cast(d38).as("syy_b"))
+    meanCard(cum, Seq(col("tag")))
+  }
+
+  /** O'Brien–Fleming two-sided group-sequential z boundaries for
+    * K = 3 equally-spaced looks at overall α = 0.05 (O'Brien &
+    * Fleming 1979; c·√(K/k) with the tabulated c₃ = 2.004, e.g.
+    * Jennison & Turnbull, "Group Sequential Methods", Table 2.3) —
+    * PRECOMPUTED literal constants, the [[mdeCard]] z-literal
+    * convention: no erf/quantile machinery at runtime, and both
+    * engines compare against the identical double. */
+  val ObrienFleming3: Seq[Double] = Seq(3.471, 2.454, 2.004)
+
+  /** Sequential DECISION boundary over the monitoring trace — the
+    * guard [[readoutTrace]] itself invites readers to skip: peeking at
+    * every batch with the fixed-sample |z| ≥ 1.96 cut inflates the
+    * false-positive rate several-fold (the classic unadjusted-peeking
+    * error), so each look k gets an alpha-spending bound z_k instead
+    * (O'Brien–Fleming-style: brutal early, ≈ nominal at the final
+    * look). Emits one row per batch tag: the look index, the 6-dp z
+    * the dashboard displays, its bound, whether THIS look crosses,
+    * and the cumulative stop/continue verdict ("had we followed the
+    * schedule, were we stopped by now"). `cross` compares the ROUNDED
+    * z (the displayed statistic) so the boolean is engine-exact by
+    * the same rounding contract the trace itself rides; a look with
+    * NULL z (empty arm, degenerate pooled rate) reads NULL cross and
+    * counts as continue. A trace longer than the spending schedule
+    * raises loudly — extra unplanned looks are exactly the protocol
+    * violation the boundary exists to prevent.
+    *
+    * @param bounds two-sided |z| bound per look, outermost first;
+    *               defaults to [[ObrienFleming3]]
+    * @return per tag: tag, look, n_a, conv_a, n_b, conv_b, z (6-dp),
+    *         z_bound, cross, stop */
+  def boundaryTrace(spark: org.apache.spark.sql.SparkSession, path: String,
+                    bounds: Seq[Double] = ObrienFleming3): DataFrame = {
+    require(bounds.nonEmpty && bounds.size <= 64,
+      s"1..64 planned looks, got ${bounds.size}")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val looked = readoutTrace(spark, path)
+      .withColumn("look", row_number().over(wOrd).cast("long"))
+    val bound = bounds.zipWithIndex.tail
+      .foldLeft(when(col("look") === 1L, lit(bounds.head))) {
+        case (acc, (b, i)) => acc.when(col("look") === (i + 1).toLong, lit(b))
+      }
+      .otherwise(raise_error(concat(
+        lit("boundaryTrace: look "), col("look").cast("string"),
+        lit(s" exceeds the ${bounds.size}-look spending schedule")))
+        .cast("double"))
+    val zr = round(col("z"), 6)
+    looked
+      .withColumn("z_bound", bound)
+      .withColumn("cross",
+        when(col("z").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(zr) >= col("z_bound")))
+      .withColumn("stop",
+        max(coalesce(col("cross"), lit(false)).cast("int")).over(wCum) === 1)
+      .select(col("tag"), col("look"), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"), zr.as("z"), col("z_bound"),
+        col("cross"), col("stop"))
   }
 
   /** [[readoutFromStore]] cut at a batch tag — "what did the dashboard

@@ -664,12 +664,18 @@ object Stats {
     * the final division (no variance estimate, no normal machinery:
     * the cleanest exact-rational omnibus test there is). Input: one
     * row per (item, treatment, success 0/1); every item must carry all
-    * k treatments — violations counted loudly in bad_items. NULL q on
-    * a zero denominator (every item all-success or all-failure: no
-    * discordance to test).
+    * k treatments — violations counted loudly in bad_items AND
+    * EXCLUDED from every sum (n_success, sum_tj2, sum_ui2), so Q is
+    * the statistic over the complete cases only: an item with a
+    * duplicate or missing treatment cannot silently bias it (the
+    * caller still sees bad_items > 0 and decides whether to trust the
+    * complete-case Q at all). NULL q on a zero denominator (every
+    * complete item all-success or all-failure: no discordance to
+    * test).
     *
     * @return one row: k, n_items, bad_items, n_success (= N),
-    *         sum_tj2 (= ΣT_j²), sum_ui2 (= Σu_i²), q_num, q_den, q */
+    *         sum_tj2 (= ΣT_j²), sum_ui2 (= Σu_i²) — all three sums
+    *         over complete items only — q_num, q_den, q */
   def cochranQ(df: DataFrame, itemExpr: String, treatmentExpr: String,
                successExpr: String, k: Int): DataFrame = {
     require(k >= 2, s"need >= 2 treatments, got $k")
@@ -685,9 +691,17 @@ object Stats {
       count(lit(1)).cast("long").as("n_items"),
       coalesce(sum(when(col("votes") =!= k.toLong, 1L).otherwise(0L)),
         lit(0L)).cast("long").as("bad_items"),
-      coalesce(sum((col("u").cast(d19) * col("u").cast(d19)).cast(d38)),
+      coalesce(sum(when(col("votes") === k.toLong,
+          (col("u").cast(d19) * col("u").cast(d19)).cast(d38))
+          .otherwise(lit(0).cast(d38))),
         lit(0).cast(d38)).cast(d38).cast("long").as("sum_ui2"))
-    val perT = cells.groupBy(col("t")).agg(sum(col("s")).cast("long").as("tj"))
+    // per-treatment sums over COMPLETE items only (semi-join on the
+    // item axis — item-hash-partitioned both sides, no skew hazard)
+    val goodCells = cells.join(
+      perItem.filter(col("votes") === k.toLong).select(col("item")),
+      Seq("item"), "left_semi")
+    val perT = goodCells.groupBy(col("t"))
+      .agg(sum(col("s")).cast("long").as("tj"))
       .agg(coalesce(sum(col("tj")), lit(0L)).cast("long").as("n_success"),
         coalesce(sum((col("tj").cast(d19) * col("tj").cast(d19)).cast(d38)),
           lit(0).cast(d38)).cast(d38).cast("long").as("sum_tj2"))
@@ -1210,9 +1224,14 @@ object Stats {
           (lit(2L) * col("n_ref") * col("n_batch")).cast("double"))
         .as("tvd"),
       // long compare like the KS verdict (ANSI overflow is loud, and
-      // the long emission bound already applies to tvd_num/tvd_den)
-      (col("tvd_dec").cast("long") * lit(thrDen) >
-        lit(thrNum) * (lit(2L) * col("n_ref") * col("n_batch")))
+      // the long emission bound already applies to tvd_num/tvd_den).
+      // An empty reference or batch routes to review (NULL), not to a
+      // pass — same contract as [[ksDriftFromStoreBy]]: tvd_num is 0
+      // on an empty side, which a boolean would misread as healthy.
+      when(col("n_ref") === 0L || col("n_batch") === 0L,
+        lit(null).cast("boolean"))
+        .otherwise(col("tvd_dec").cast("long") * lit(thrDen) >
+          lit(thrNum) * (lit(2L) * col("n_ref") * col("n_batch")))
         .as("drift"))
   }
 

@@ -9707,6 +9707,12 @@ object Queries {
     * [[qAbReadout]]'s verbatim. */
   val qAbStored: Q = "q_ab_stored" -> (
     (s: SparkSession, d: String) => {
+      // SHARED STORE: q_ab_stored / q_srm_stored / q_ab_trace /
+      // q_ab_boundary all append to 'ab_store' and their appendCommit
+      // calls are marker-gated — whichever runs first wins, so all
+      // four sites MUST stay parameter-identical (same slices, salt,
+      // conversion predicate, tags b0..b2). Changing one means
+      // renaming its store path.
       val store = codebookPath(d, "ab_store")
       val ev = Tables.events(s, d)
       (0 to 2).foreach { k =>
@@ -9898,8 +9904,9 @@ object Queries {
        |    CAST(sum(CASE WHEN lift IS NULL OR abs(lift) >= abs(lift_obs)
        |      THEN 1 ELSE 0 END) AS BIGINT) AS ge
        |  FROM lf, ob WHERE r >= 0)
-       |SELECT rounds, n_units, lift_obs, ge + 1 AS p_num,
-       |  rounds + 1 AS p_den,
+       |SELECT rounds, n_units, lift_obs,
+       |  CASE WHEN lift_obs IS NULL THEN NULL ELSE ge + 1 END AS p_num,
+       |  CASE WHEN lift_obs IS NULL THEN NULL ELSE rounds + 1 END AS p_den,
        |  CASE WHEN lift_obs IS NULL THEN NULL
        |    ELSE CAST(ge + 1 AS DOUBLE) / CAST(rounds + 1 AS DOUBLE)
        |    END AS p_value
@@ -10079,7 +10086,10 @@ object Queries {
     * lang-ID voters graded on the same documents (success = vote
     * matches ground truth): the k-way McNemar — do the heuristics
     * differ at all, before pairwise drill-downs? Entirely integer but
-    * one division. */
+    * one division. The explode guarantees every item carries exactly
+    * k = 3 votes, so bad_items = 0 structurally and the oracle's
+    * complete-case sums (cochranQ excludes incomplete items) equal
+    * the all-item sums it computes. */
   val qCochranQ: Q = "q_cochran_q" -> (
     (s: SparkSession, d: String) => {
       val t = col("text")
@@ -10217,6 +10227,9 @@ object Queries {
     * units under the store's salt. */
   val qSrmStored: Q = "q_srm_stored" -> (
     (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_stored/q_ab_trace/q_ab_boundary: the
+      // append parameters here MUST stay identical to those sites
+      // (marker-gated appendCommit keeps the first writer's content).
       val store = codebookPath(d, "ab_store")
       val ev = Tables.events(s, d)
       (0 to 2).foreach { k =>
@@ -10360,7 +10373,9 @@ object Queries {
        |  CASE WHEN n_ref = 0 OR n_batch = 0 THEN NULL
        |    ELSE CAST(tvd_dec AS DOUBLE)
        |      / CAST(2 * n_ref * n_batch AS DOUBLE) END AS tvd,
-       |  CAST(tvd_dec AS BIGINT) * 10 > 1 * (2 * n_ref * n_batch) AS drift
+       |  CASE WHEN n_ref = 0 OR n_batch = 0 THEN NULL
+       |    ELSE CAST(tvd_dec AS BIGINT) * 10 > 1 * (2 * n_ref * n_batch)
+       |  END AS drift
        |FROM ag""".stripMargin)
 
   /** PER-SOURCE KS drift ([[graft.ops.Stats.ksDriftFromStoreBy]]):
@@ -10607,6 +10622,9 @@ object Queries {
     * its as-of read. */
   val qAbTrace: Q = "q_ab_trace" -> (
     (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_stored/q_srm_stored/q_ab_boundary: the
+      // append parameters here MUST stay identical to those sites
+      // (marker-gated appendCommit keeps the first writer's content).
       val store = codebookPath(d, "ab_store")
       val ev = Tables.events(s, d)
       (0 to 2).foreach { k =>
