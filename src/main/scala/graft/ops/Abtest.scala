@@ -998,18 +998,18 @@ object Abtest {
     * look). Emits one row per batch tag: the look index, the 6-dp z
     * the dashboard displays, its bound, whether THIS look crosses,
     * and the cumulative stop/continue verdict ("had we followed the
-    * schedule, were we stopped by now"). `cross` compares the ROUNDED
+    * schedule, were we stopped by now"). `crossed` compares the ROUNDED
     * z (the displayed statistic) so the boolean is engine-exact by
     * the same rounding contract the trace itself rides; a look with
-    * NULL z (empty arm, degenerate pooled rate) reads NULL cross and
-    * counts as continue. A trace longer than the spending schedule
+    * NULL z (empty arm, degenerate pooled rate) reads NULL crossed
+    * and counts as continue. A trace longer than the spending schedule
     * raises loudly — extra unplanned looks are exactly the protocol
     * violation the boundary exists to prevent.
     *
     * @param bounds two-sided |z| bound per look, outermost first;
     *               defaults to [[ObrienFleming3]]
     * @return per tag: tag, look, n_a, conv_a, n_b, conv_b, z (6-dp),
-    *         z_bound, cross, stop */
+    *         z_bound, crossed, stopped */
   def boundaryTrace(spark: org.apache.spark.sql.SparkSession, path: String,
                     bounds: Seq[Double] = ObrienFleming3): DataFrame = {
     require(bounds.nonEmpty && bounds.size <= 64,
@@ -1031,14 +1031,15 @@ object Abtest {
     val zr = round(col("z"), 6)
     looked
       .withColumn("z_bound", bound)
-      .withColumn("cross",
+      .withColumn("crossed",
         when(col("z").isNull, lit(null).cast("boolean"))
           .otherwise(abs(zr) >= col("z_bound")))
-      .withColumn("stop",
-        max(coalesce(col("cross"), lit(false)).cast("int")).over(wCum) === 1)
+      .withColumn("stopped",
+        max(coalesce(col("crossed"), lit(false)).cast("int")).over(wCum)
+          === 1)
       .select(col("tag"), col("look"), col("n_a"), col("conv_a"),
         col("n_b"), col("conv_b"), zr.as("z"), col("z_bound"),
-        col("cross"), col("stop"))
+        col("crossed"), col("stopped"))
   }
 
   /** [[readoutFromStore]] cut at a batch tag — "what did the dashboard

@@ -10683,6 +10683,222 @@ object Queries {
          |FROM uu ORDER BY tag""".stripMargin
     })
 
+  /** [[qQte]] read off a MAINTAINED per-arm histogram store
+    * ([[graft.ops.Abtest.quantileLiftStoreAppend]], three
+    * user-disjoint slices — the experiment store's unit-partitioning
+    * contract): per-(arm, bucket) counts add across batches, so the
+    * stored QTE equals the one-shot by histogram additivity and the
+    * oracle is [[qQte]]'s verbatim. Closes the one experiment card
+    * that re-scanned raw events per read. */
+  val qQteStored: Q = "q_qte_stored" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_qte_asof: append parameters MUST stay
+      // identical there (marker-gated appendCommit keeps the first
+      // writer's content).
+      val store = codebookPath(d, "qte_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.quantileLiftStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "cents", salt = "exp13", bucketWidth = 1000L)
+      }
+      graft.ops.Abtest.quantileLiftFromStore(s, store, 1000L,
+          qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("p_label"))
+    },
+    qQte._2._2)
+
+  /** The QTE card's TIME-TRAVEL read
+    * ([[graft.ops.Abtest.quantileLiftFromStoreAsOf]]) at the second
+    * batch tag: what the heavy-tail dashboard showed before the third
+    * slice arrived. Oracle: the one-shot QTE over the first two
+    * user-disjoint slices. */
+  val qQteAsof: Q = "q_qte_asof" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_qte_stored: append parameters MUST stay
+      // identical there.
+      val store = codebookPath(d, "qte_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.quantileLiftStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "cents", salt = "exp13", bucketWidth = 1000L)
+      }
+      graft.ops.Abtest.quantileLiftFromStoreAsOf(s, store, asOfTag = "b1",
+          bucketWidth = 1000L,
+          qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("p_label"))
+    },
+    s"""WITH $EV,
+       |un AS (SELECT user_id AS unit,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS v
+       |  FROM ev WHERE user_id % 3 IN (0, 1) GROUP BY 1),
+       |src AS (SELECT CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+       |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant, v FROM un),
+       |${graft.ops.Quantiles.oracleCtesBy("src", Seq("variant"),
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)), 1000L)},
+       |qa AS (SELECT p_label, target AS target_a, lo AS lo_a FROM hq
+       |  WHERE variant = 0),
+       |qb AS (SELECT p_label, target AS target_b, lo AS lo_b FROM hq
+       |  WHERE variant = 1)
+       |SELECT COALESCE(qa.p_label, qb.p_label) AS p_label,
+       |  target_a, lo_a, target_b, lo_b, lo_b - lo_a AS qte
+       |FROM qa FULL OUTER JOIN qb ON qa.p_label = qb.p_label
+       |ORDER BY p_label""".stripMargin)
+
+  /** CONTINUOUS-metric monitoring trace
+    * ([[graft.ops.Abtest.meanReadoutTrace]]): one cumulative Welch-t
+    * readout per batch tag off the same moment store as
+    * [[qAbMeanStored]] — [[qAbTrace]]'s twin for revenue-style
+    * outcomes. The oracle recomputes each prefix Welch card from raw
+    * events and unions them: hash equality certifies every trace row
+    * equals its [[graft.ops.Abtest.meanReadoutFromStoreAsOf]] read. */
+  val qAbMeanTrace: Q = "q_ab_mean_trace" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_mean_stored: the append parameters here
+      // MUST stay identical to that site (marker-gated appendCommit
+      // keeps the first writer's content).
+      val store = codebookPath(d, "ab_mean_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "false", "cents", "0", salt = "exp13")
+      }
+      graft.ops.Abtest.meanReadoutTrace(s, store).orderBy(col("tag"))
+    },
+    {
+      def vr(s: String) =
+        s"""(CAST(CAST(CAST(CAST(n_$s AS DECIMAL(19,0)) * syy_$s
+           | AS DECIMAL(38,0)) - CAST(CAST(sy_$s AS DECIMAL(19,0))
+           | * CAST(sy_$s AS DECIMAL(19,0)) AS DECIMAL(38,0))
+           | AS DECIMAL(38,0)) AS DOUBLE)
+           | / (CAST(n_$s AS DOUBLE) * CAST(n_$s - 1 AS DOUBLE)))"""
+          .stripMargin.replace("\n", "")
+      val ua = s"(${vr("a")} / CAST(n_a AS DOUBLE))"
+      val ub = s"(${vr("b")} / CAST(n_b AS DOUBLE))"
+      val mA = "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val mB = "(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val tiny = "n_a = 0 OR n_b = 0 OR n_a < 2 OR n_b < 2"
+      val blocks = (0 to 2).map { k =>
+        s"""ag$k AS (SELECT 'b$k' AS tag,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT), 0) AS n_a,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
+           |      AS BIGINT), 0) AS sy_a,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 0
+           |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+           |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+           |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_a,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT), 0) AS n_b,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END)
+           |      AS BIGINT), 0) AS sy_b,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 1
+           |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+           |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+           |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_b
+           |  FROM va WHERE m3 <= $k)""".stripMargin
+      }.mkString(",\n|")
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit, user_id % 3 AS m3,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS y
+         |  FROM ev GROUP BY 1, 2),
+         |va AS (SELECT m3, y, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+         |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+         |$blocks,
+         |uu AS (SELECT * FROM ag0 UNION ALL SELECT * FROM ag1
+         |  UNION ALL SELECT * FROM ag2)
+         |SELECT tag, n_a, n_b, sy_a, sy_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $mA END AS mean_a,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $mB END AS mean_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |    ELSE $mB - $mA END AS lift,
+         |  CASE WHEN $tiny THEN NULL
+         |    ELSE CASE WHEN $ua + $ub <= 0.0 THEN NULL
+         |      ELSE ($mB - $mA) / sqrt($ua + $ub) END END AS t_welch,
+         |  CASE WHEN $tiny THEN NULL
+         |    ELSE CASE WHEN $ua + $ub <= 0.0 THEN NULL
+         |      ELSE ($ua + $ub) * ($ua + $ub)
+         |        / ($ua * $ua / (CAST(n_a AS DOUBLE) - 1.0)
+         |          + $ub * $ub / (CAST(n_b AS DOUBLE) - 1.0)) END
+         |    END AS df_welch
+         |FROM uu ORDER BY tag""".stripMargin
+    })
+
+  /** Alpha-spending sequential decision boundary
+    * ([[graft.ops.Abtest.boundaryTrace]], O'Brien–Fleming literal
+    * bounds for 3 planned looks): joins [[qAbTrace]]'s monitoring
+    * trace with the per-look |z| bound and emits crossed/stopped per
+    * tag — the peeking-correct verdict the raw trace invites readers
+    * to skip. Oracle replays the trace and the literal bound table. */
+  val qAbBoundary: Q = "q_ab_boundary" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_stored/q_srm_stored/q_ab_trace: the
+      // append parameters here MUST stay identical to those sites
+      // (marker-gated appendCommit keeps the first writer's content).
+      val store = codebookPath(d, "ab_store")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp1")
+      }
+      graft.ops.Abtest.boundaryTrace(s, store).orderBy(col("tag"))
+    },
+    {
+      val blocks = (0 to 2).map { k =>
+        s"""ag$k AS (SELECT 'b$k' AS tag,
+           |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+           |      AS BIGINT) AS conv_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b,
+           |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+           |      AS BIGINT) AS conv_b
+           |  FROM va WHERE m3 <= $k)""".stripMargin
+      }.mkString(",\n|")
+      val pP = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+      val rA = "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val rB = "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit, user_id % 3 AS m3,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 110
+         |      THEN 1 ELSE 0 END) AS converted
+         |  FROM ev GROUP BY 1, 2),
+         |va AS (SELECT m3, converted,
+         |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp1'), 1, 7)
+         |      AS BIGINT) % 2 AS variant FROM un),
+         |$blocks,
+         |uu AS (SELECT * FROM ag0 UNION ALL SELECT * FROM ag1
+         |  UNION ALL SELECT * FROM ag2),
+         |tz AS (SELECT tag, n_a, conv_a, n_b, conv_b,
+         |    round(CASE WHEN n_a = 0 OR n_b = 0 OR $pP = 0.0 OR $pP = 1.0
+         |        THEN NULL
+         |      ELSE ($rB - $rA) / sqrt($pP * (1.0 - $pP)
+         |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         |      END, 6) AS z
+         |  FROM uu),
+         |lk AS (SELECT *, row_number() OVER (ORDER BY tag) AS look FROM tz),
+         |bd AS (SELECT *, CASE WHEN look = 1 THEN 3.471
+         |    WHEN look = 2 THEN 2.454 WHEN look = 3 THEN 2.004 END AS z_bound
+         |  FROM lk),
+         |cr AS (SELECT *, CASE WHEN z IS NULL THEN NULL
+         |    ELSE abs(z) >= z_bound END AS crossed FROM bd)
+         |SELECT tag, look, n_a, conv_a, n_b, conv_b, z, z_bound, crossed,
+         |  max(CASE WHEN COALESCE(crossed, false) THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY tag ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) = 1 AS stopped
+         |FROM cr ORDER BY tag""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10757,5 +10973,6 @@ object Queries {
     qTvdStored, qKsDriftBy,
     qAbStratified, qQte,
     qAbMean, qAbMeanStored, qAbTrace,
+    qQteStored, qQteAsof, qAbMeanTrace, qAbBoundary,
   )
 }

@@ -375,12 +375,16 @@ class AbtestSpec extends SparkTestBase {
     val r2 = Abtest.permutationTest(df, "u", "c", "s1", rounds = 49)
       .collect().head
     assert(r === r2)
-    // single unit: the observed assignment has an empty arm → NULL p
+    // single unit: the observed assignment has an empty arm → NULL p,
+    // and NULL p_num/p_den too (the fraction would count only
+    // empty-arm permutations — a plausible-looking number meaning
+    // nothing)
     val one = Seq((1L, true)).toDF("u", "c")
     val ro = Abtest.permutationTest(one, "u", "c", "s1", rounds = 9)
       .collect().head
     assert(ro.isNullAt(ro.fieldIndex("p_value")))
-    assert(ro.getAs[Long]("p_den") === 10L)
+    assert(ro.isNullAt(ro.fieldIndex("p_num")))
+    assert(ro.isNullAt(ro.fieldIndex("p_den")))
   }
 
   test("mdeMeanCard: constant metric degrades to NULL; more traffic shrinks the MDE") {
@@ -418,6 +422,107 @@ class AbtestSpec extends SparkTestBase {
       === Abtest.readout(slice01, Nil, "u", "c", "st1").collect().head)
     assert(Abtest.cupedFromStoreAsOf(spark, store, "b1").collect().head
       === Abtest.cupedReadout(slice01, "u", "y", "x", "st1").collect().head)
+  }
+
+  test("meanReadoutTrace: each trace row equals the mean as-of read at that tag") {
+    val store = java.nio.file.Files.createTempDirectory("ab_mtrace")
+      .toString + "/s"
+    val rows = (1L to 300L).map(u => (u, false, u % 13 * 10L, 0L))
+      .toDF("u", "c", "y", "x")
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "c", "y", "x", salt = "st1")
+    }
+    val trace = Abtest.meanReadoutTrace(spark, store).collect()
+      .map(r => r.getAs[String]("tag") -> r).toMap
+    assert(trace.size === 3)
+    (0 to 2).foreach { k =>
+      val asOf = Abtest.meanReadoutFromStoreAsOf(spark, store, s"b$k")
+        .collect().head
+      assert(trace(s"b$k").toSeq.drop(1) === asOf.toSeq,
+        s"mean trace row b$k must equal the as-of Welch read")
+    }
+    // and the final row is the full one-shot Welch card
+    assert(trace("b2").toSeq.drop(1) ===
+      Abtest.meanReadout(rows, "u", "y", "st1").collect().head.toSeq)
+  }
+
+  test("boundaryTrace: crossing at the spending boundary, not at naive z=1.96") {
+    val store = java.nio.file.Files.createTempDirectory("ab_bound")
+      .toString + "/s"
+    // plant a moderate lift via the SAME hash the op uses: arm A
+    // converts at ~10% (u%10), arm B boosted by u%14 (both moduli
+    // coprime to the batch slicer 3, so per-slice rates hold). The
+    // replayed trace is z = [2.906, 2.099, 2.046]: naive-significant
+    // (> 1.96) at EVERY look, but crossing its O'Brien–Fleming bound
+    // [3.471, 2.454, 2.004] only at the final one — the exact misread
+    // the boundary exists to prevent.
+    val vExpr = "cast(conv(substring(md5(concat(cast(u as string), " +
+      "'sB')), 1, 7), 16, 10) as bigint) % 2"
+    val conv = s"u % 10 = 0 OR (($vExpr) = 1 AND u % 14 = 0)"
+    val rows = (1L to 900L).map(u => (u, false)).toDF("u", "c0")
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", conv, "0", "0", salt = "sB")
+    }
+    val t = Abtest.boundaryTrace(spark, store).orderBy("look").collect()
+    assert(t.length === 3)
+    val bounds = Abtest.ObrienFleming3
+    t.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("look") === i + 1L)
+      assert(r.getAs[Double]("z_bound") === bounds(i))
+      // crossed is exactly the displayed-z-vs-bound compare
+      val z = r.getAs[Double]("z")
+      assert(r.getAs[Boolean]("crossed") === (math.abs(z) >= bounds(i)))
+    }
+    // the fixture's point: every look is naive-significant, the first
+    // two are NOT crossed, only the final look is
+    t.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(z > 1.96, s"every look must be naive-significant, z = $z")
+    }
+    assert(t.take(2).forall(r => !r.getAs[Boolean]("crossed") &&
+      !r.getAs[Boolean]("stopped")),
+      "the brutal early bounds must hold the first two looks")
+    assert(t.last.getAs[Boolean]("crossed") &&
+      t.last.getAs[Boolean]("stopped"),
+      s"cumulative z ${t.last.getAs[Double]("z")} must cross 2.004")
+    // stopped is monotone: once true, stays true
+    val stops = t.map(_.getAs[Boolean]("stopped"))
+    assert(stops.zip(stops.tail).forall { case (a, b) => !a || b })
+    // an unplanned fourth look violates the schedule loudly
+    Abtest.momentsStoreAppend(rows.filter($"u" % 3 === 0L), store,
+      "b3", "u", conv, "0", "0", salt = "sB")
+    intercept[Exception] {
+      Abtest.boundaryTrace(spark, store).collect()
+    }
+  }
+
+  test("quantileLift store: unit-disjoint batches reproduce the one-shot QTE; as-of audits") {
+    val store = java.nio.file.Files.createTempDirectory("qte_store")
+      .toString + "/s"
+    val rows = (1L to 300L).map(u => (u, u % 23 * 100L)).toDF("u", "y")
+    val qs = Seq(("p50", 1, 2), ("p90", 9, 10))
+    (0L to 2L).foreach { k =>
+      Abtest.quantileLiftStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "y", salt = "st1", bucketWidth = 50L)
+    }
+    val oneShot = Abtest.quantileLift(rows, "u", "y", "st1", 50L, qs)
+      .orderBy("p_label").collect()
+    assert(Abtest.quantileLiftFromStore(spark, store, 50L, qs)
+      .orderBy("p_label").collect() === oneShot,
+      "per-(arm, bucket) counts must ADD across unit-disjoint batches")
+    // as-of the second batch = one-shot over the first two slices
+    val slice01 = rows.filter($"u" % 3 < 2)
+    assert(Abtest.quantileLiftFromStoreAsOf(spark, store, "b1", 50L, qs)
+      .orderBy("p_label").collect() ===
+      Abtest.quantileLift(slice01, "u", "y", "st1", 50L, qs)
+        .orderBy("p_label").collect())
+    // a redelivered batch tag is a no-op (marker-gated)
+    Abtest.quantileLiftStoreAppend(rows.filter($"u" % 3 === 1L), store,
+      "b1", "u", "y", salt = "st1", bucketWidth = 50L)
+    assert(Abtest.quantileLiftFromStore(spark, store, 50L, qs)
+      .orderBy("p_label").collect() === oneShot)
   }
 
   test("cuped: per-row contributions aggregate to unit grain first") {

@@ -360,10 +360,17 @@ class StatsSpec extends SparkTestBase {
       .toDF("item", "t", "s")
     val ru = Stats.cochranQ(unan, "item", "t", "s", k = 3).collect().head
     assert(ru.isNullAt(ru.fieldIndex("q")))
-    // a short panel is counted loudly
+    // a short panel is counted loudly AND excluded from every sum:
+    // complete-case Q, never silently computed over corrupt rows
     val bad = unan.filter(!(col("item") === 2L && col("t") === "C"))
-    assert(Stats.cochranQ(bad, "item", "t", "s", k = 3).collect().head
-      .getAs[Long]("bad_items") === 1L)
+    val rb = Stats.cochranQ(bad, "item", "t", "s", k = 3).collect().head
+    assert(rb.getAs[Long]("bad_items") === 1L)
+    assert(rb.getAs[Long]("n_items") === 2L)
+    // only item 1 (all-true, complete) contributes: N = 3, ΣT² = 3,
+    // Σu² = 9 — item 2's two remaining false votes are out
+    assert(rb.getAs[Long]("n_success") === 3L)
+    assert(rb.getAs[Long]("sum_tj2") === 3L)
+    assert(rb.getAs[Long]("sum_ui2") === 9L)
   }
 
   test("kendallCells: perfect concordance/discordance; tie-only NULL gamma") {
@@ -655,6 +662,13 @@ class StatsSpec extends SparkTestBase {
     assert(same.getAs[Long]("tvd_num") === 0L)
     assert(same.getAs[Double]("tvd") === 0.0)
     assert(!same.getAs[Boolean]("drift"))
+    // an EMPTY batch routes to review (NULL), never reads as a pass —
+    // the grouped-KS contract
+    val empty = Stats.tvdDriftFromStore(spark, store, ref.limit(0), "v",
+      1L, 1L, 2L).collect().head
+    assert(empty.getAs[Long]("n_batch") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("drift")))
+    assert(empty.isNullAt(empty.fieldIndex("tvd")))
   }
 
   test("ksDriftFromStoreBy: per-group verdicts; a reference-less group is NULL") {
