@@ -10899,6 +10899,114 @@ object Queries {
          |FROM cr ORDER BY tag""".stripMargin
     })
 
+  /** URL canonicalization ([[graft.ops.Web]]): the crawl-curation step
+    * BEFORE per-domain caps and URL-level dedup — synthesized crawl
+    * URLs (both engines build the identical strings) exercising mixed
+    * case, default vs explicit ports, co.uk-class multi-part suffixes,
+    * utm_-prefixed and gclid tracking params, shuffled query order,
+    * and fragments;
+    * the canonical form and registrable domain must match DuckDB's
+    * string-op replay byte-for-byte. Map-only — no shuffle. */
+  val qUrlCanon: Q = "q_url_canon" -> (
+    (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      val hostPick = element_at(array(
+        lit("News.Example.co.uk"), lit("a.example.com"),
+        lit("example.com:443"), lit("sub.shop.example.com.au"),
+        lit("example.org:8080")), (pmod(id, lit(5)) + 1).cast("int"))
+      val url = concat(
+        when(pmod(id, lit(2)) === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        hostPick,
+        lit("/p/"), pmod(id, lit(50)).cast("string"),
+        lit("?b="), pmod(id, lit(7)).cast("string"),
+        lit("&utm_source=feed&a="), pmod(id, lit(3)).cast("string"),
+        when(pmod(id, lit(4)) === 0, lit("&gclid=xyz")).otherwise(lit("")),
+        lit("#frag"))
+      Tables.documents(s, d)
+        .select(id, url.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.Web.canonicalUrl(col("url")).as("canon"),
+          graft.ops.Web.registrableDomain(col("url")).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+    {
+      val urlSql =
+        """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+          | || (CASE doc_id % 5 WHEN 0 THEN 'News.Example.co.uk'
+          |   WHEN 1 THEN 'a.example.com' WHEN 2 THEN 'example.com:443'
+          |   WHEN 3 THEN 'sub.shop.example.com.au'
+          |   ELSE 'example.org:8080' END)
+          | || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+          | || '?b=' || CAST(doc_id % 7 AS VARCHAR)
+          | || '&utm_source=feed&a=' || CAST(doc_id % 3 AS VARCHAR)
+          | || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=xyz' ELSE '' END)
+          | || '#frag'""".stripMargin.replace("\n", "")
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents)
+         |SELECT doc_id, url,
+         |  ${graft.ops.Web.canonicalUrlSql("url")} AS canon,
+         |  ${graft.ops.Web.registrableDomainSql(graft.ops.Web.hostSql("url"))}
+         |    AS domain
+         |FROM u ORDER BY doc_id""".stripMargin
+    })
+
+  /** Canonical-URL EXACT dedup feeding the curation chain
+    * ([[graft.ops.Web.canonicalUrl]] → md5-groupBy, the [[qDedupExact]]
+    * path): same synthesized crawl as [[qUrlCanon]], where distinct
+    * doc_ids alias to one page once tracking params and query order
+    * are normalized — per canonical URL keep the smallest doc_id and
+    * count the crawl duplicates, with the registrable domain as the
+    * downstream cap key. One hash aggregation on the canonical
+    * string. */
+  val qUrlDedup: Q = "q_url_dedup" -> (
+    (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      val hostPick = element_at(array(
+        lit("News.Example.co.uk"), lit("a.example.com"),
+        lit("example.com:443"), lit("sub.shop.example.com.au"),
+        lit("example.org:8080")), (pmod(id, lit(5)) + 1).cast("int"))
+      val url = concat(
+        when(pmod(id, lit(2)) === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        hostPick,
+        lit("/p/"), pmod(id, lit(25)).cast("string"),
+        lit("?b="), pmod(id, lit(5)).cast("string"),
+        lit("&utm_source=feed&a="), pmod(id, lit(3)).cast("string"),
+        when(pmod(id, lit(4)) === 0, lit("&gclid=xyz")).otherwise(lit("")),
+        lit("#frag"))
+      Tables.documents(s, d)
+        .select(id, url.as("url"))
+        .select(col("doc_id"),
+          graft.ops.Web.canonicalUrl(col("url")).as("canon"),
+          graft.ops.Web.registrableDomain(col("url")).as("domain"))
+        .groupBy(col("canon"), col("domain"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).cast("long").as("n_crawled"))
+        .orderBy(col("canon"))
+    },
+    {
+      val urlSql =
+        """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+          | || (CASE doc_id % 5 WHEN 0 THEN 'News.Example.co.uk'
+          |   WHEN 1 THEN 'a.example.com' WHEN 2 THEN 'example.com:443'
+          |   WHEN 3 THEN 'sub.shop.example.com.au'
+          |   ELSE 'example.org:8080' END)
+          | || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+          | || '?b=' || CAST(doc_id % 5 AS VARCHAR)
+          | || '&utm_source=feed&a=' || CAST(doc_id % 3 AS VARCHAR)
+          | || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=xyz' ELSE '' END)
+          | || '#frag'""".stripMargin.replace("\n", "")
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |c AS (SELECT doc_id,
+         |    ${graft.ops.Web.canonicalUrlSql("url")} AS canon,
+         |    ${graft.ops.Web.registrableDomainSql(
+                graft.ops.Web.hostSql("url"))} AS domain
+         |  FROM u)
+         |SELECT canon, domain, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_crawled
+         |FROM c GROUP BY 1, 2 ORDER BY canon""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -10974,5 +11082,6 @@ object Queries {
     qAbStratified, qQte,
     qAbMean, qAbMeanStored, qAbTrace,
     qQteStored, qQteAsof, qAbMeanTrace, qAbBoundary,
+    qUrlCanon, qUrlDedup,
   )
 }

@@ -1075,4 +1075,61 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(10L) === ((2L, 3L, 9L)), "tie must break to the LOWER id")
     assert(out(7L) === ((8L, 2L, 4L)))
   }
+
+  test("canonicalUrl: tracking strip, param sort, default ports, case, fragments") {
+    import graft.ops.Web
+    def canon(u: String): Any = {
+      val r = Seq(u).toDF("u")
+        .select(Web.canonicalUrl(col("u")).as("c")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // query-param ORDER normalizes; utm_* and gclid are stripped
+    assert(canon("https://Example.com/p?z=2&utm_source=x&a=1&gclid=g")
+      === "https://example.com/p?a=1&z=2")
+    assert(canon("https://example.com/p?a=1&z=2")
+      === canon("HTTPS://EXAMPLE.COM/p?z=2&a=1&utm_campaign=c"),
+      "the same page under shuffled/tracked params must collide")
+    // default port dropped per scheme; explicit non-default kept
+    assert(canon("http://example.com:80/x") === "http://example.com/x")
+    assert(canon("https://example.com:443/x") === "https://example.com/x")
+    assert(canon("http://example.com:443/x") === "http://example.com:443/x")
+    assert(canon("https://example.com:8080/x")
+      === "https://example.com:8080/x")
+    // empty path → '/'; fragment dropped; userinfo and trailing dot out
+    assert(canon("https://example.com") === "https://example.com/")
+    assert(canon("https://example.com/a#sec") === "https://example.com/a")
+    assert(canon("https://bob:pw@example.com./a") === "https://example.com/a")
+    // path case is PRESERVED (only scheme/host fold)
+    assert(canon("https://example.com/CaseSensitive")
+      === "https://example.com/CaseSensitive")
+    // all params tracking → no '?' at all
+    assert(canon("https://example.com/p?utm_a=1&utm_b=2&ref=r")
+      === "https://example.com/p")
+    // not a URL → NULL, loudly distinguishable from any canonical
+    assert(canon("not a url") === null)
+    assert(canon("mailto:a@b.com") === null)
+  }
+
+  test("registrableDomain: co.uk-class suffixes, plain TLDs, IPv4, single label") {
+    import graft.ops.Web
+    def dom(u: String): Any = {
+      val r = Seq(u).toDF("u")
+        .select(Web.registrableDomain(col("u")).as("d")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // multi-part suffix: eTLD+1 is THREE labels
+    assert(dom("https://news.bbc.co.uk/x") === "bbc.co.uk")
+    assert(dom("https://a.b.shop.example.com.au/") === "example.com.au")
+    assert(dom("http://www.example.gov.uk") === "example.gov.uk")
+    // plain TLD: two labels, however deep the host
+    assert(dom("https://a.b.c.example.com/x") === "example.com")
+    assert(dom("https://example.org") === "example.org")
+    // the suffix itself ≠ a registrable domain of a DEEPER host only
+    assert(dom("https://co.uk") === "co.uk",
+      "a bare two-label host passes through as-is")
+    // IPv4 and single-label hosts pass through; ports stripped
+    assert(dom("http://192.168.0.1:8080/x") === "192.168.0.1")
+    assert(dom("http://localhost:3000/") === "localhost")
+    assert(dom("nope") === null)
+  }
 }
