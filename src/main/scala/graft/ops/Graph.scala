@@ -94,7 +94,6 @@ object Graph {
     val base = (1.0 - damping) / n
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var prev: DataFrame = null
     for (it <- 1 to iters) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -125,11 +124,15 @@ object Graph {
             ((coalesce(col("in_mass"), lit(0L)) +
               (if (dangling) col("dshare") else lit(0L))).cast("double") /
               lit(1e18))).as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous iteration
+        // localCheckpoint per round, NOT persist (the kCore lineage
+        // discipline): each round's plan nests the previous round's,
+        // and the cache substitutes only AFTER the whole grown tree is
+        // re-analyzed — driver planning cost quadratic in rounds
+        // (measured at sf0.1: iters=8 cost 9× iters=2 under persist;
+        // linear after this change, GraphProbe/BENCH_NOTES r15).
+        // Checkpointing pins the round behind a leaf plan.
+        .localCheckpoint(true)
       if (it == 1) e.unpersist() // eDeg is cached now; drop its input
-      if (prev != null) prev.unpersist()
-      prev = next
       ranks = next
     }
     eDeg.unpersist()
@@ -178,7 +181,6 @@ object Graph {
 
     var ranks = reset.select(col("node"),
       when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
-    var prev: DataFrame = null
     for (it <- 1 to iters) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -194,15 +196,14 @@ object Graph {
           (col("base") + lit(damping) *
             (coalesce(col("in_mass"), lit(0L)).cast("double") /
               lit(1e18))).as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
+        // localCheckpoint per round, NOT persist — the pageRank/kCore
+        // lineage discipline (quadratic driver planning otherwise)
+        .localCheckpoint(true)
       if (it == 1) e.unpersist()
-      if (prev != null) prev.unpersist()
-      prev = next
       ranks = next
     }
     eDeg.unpersist(); deg.unpersist(); reset.unpersist()
-    // final ranks stay persisted; caller/clearCache owns release
+    // final ranks stay checkpointed; caller/clearCache owns release
     ranks
   }
 
@@ -255,21 +256,19 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranks.count()
     indeg.unpersist()
-    var prev: DataFrame = ranks
     for (_ <- 2 to iters) {
       // LEFT join: an in-neighbor with no x row (zero in-degree) still
       // contributes its +1 walk — x_m = α·Σ_in (1 + x_{m-1}) exactly
       val next = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"), "left")
         .groupBy(col("dst").as("node"))
         .agg((sum(lit(1.0) + coalesce(col("x"), lit(0.0))) / lit(alphaInv)).as("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      prev.unpersist()
-      prev = next
+        // localCheckpoint per round, NOT persist — the pageRank/kCore
+        // lineage discipline (quadratic driver planning otherwise)
+        .localCheckpoint(true)
       ranks = next
     }
     e.unpersist()
-    // final frame stays persisted; caller/clearCache owns release
+    // final frame stays checkpointed; caller/clearCache owns release
     ranks
   }
 
@@ -397,29 +396,24 @@ object Graph {
     var hub = nodes.withColumn("h", lit(1L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var auth: DataFrame = null
-    var prevH: DataFrame = hub
-    var prevA: DataFrame = null
     for (_ <- 1 to iters) {
       // full-node-set left joins: a node with no in-edges keeps an
       // auth row of 0 (and symmetrically for hubs) — the pageRank
-      // row-keep contract, so the output is one row per node
+      // row-keep contract, so the output is one row per node.
+      // localCheckpoint per half-round, NOT persist — the pageRank/
+      // kCore lineage discipline (quadratic driver planning otherwise)
       val a = nodes.join(
           e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      a.count()
-      if (prevA != null) prevA.unpersist()
+        .localCheckpoint(true)
       val h = nodes.join(
           e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      h.count()
-      prevH.unpersist()
-      prevA = a; prevH = h
+        .localCheckpoint(true)
       auth = a; hub = h
     }
     // one-row L1 totals, broadcast by the cross join (never a collect
@@ -465,9 +459,9 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init labels: a cheap projection of the cached node set — round 1
+    // reads it once, the per-round checkpoints own everything after
     var labels = nodes.select(col("node"), col("node").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prev: DataFrame = labels
     for (it <- 1 to iters) {
       val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
@@ -484,15 +478,13 @@ object Graph {
         // isolated node (no in-rows after symmetrization can only mean
         // no neighbors at all): keeps its own id as label
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      if (it == 1) () // labels == the init frame; released below as prev
-      prev.unpersist()
-      prev = next
+        // localCheckpoint per round, NOT persist — the pageRank/kCore
+        // lineage discipline (quadratic driver planning otherwise)
+        .localCheckpoint(true)
       labels = next
     }
     e.unpersist(); nodes.unpersist()
-    // final labels stay persisted; caller/clearCache owns release
+    // final labels stay checkpointed; caller/clearCache owns release
     labels
   }
 
@@ -533,7 +525,6 @@ object Graph {
     val eW = e.join(sw, "src").persist(lvl)
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    var prev: DataFrame = null
     for (it <- 1 to iters) {
       val inMass = eW
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -546,11 +537,10 @@ object Graph {
           (lit(base) + lit(damping) *
             (coalesce(col("in_mass"), lit(0L)).cast("double") / lit(1e18)))
             .as("rank"))
-        .persist(lvl)
-      next.count()
+        // localCheckpoint per round, NOT persist — the pageRank/kCore
+        // lineage discipline (quadratic driver planning otherwise)
+        .localCheckpoint(true)
       if (it == 1) e.unpersist()
-      if (prev != null) prev.unpersist()
-      prev = next
       ranks = next
     }
     eW.unpersist(); sw.unpersist(); nodes.unpersist()

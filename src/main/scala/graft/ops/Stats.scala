@@ -657,6 +657,88 @@ object Stats {
               .otherwise(h / (lit(1.0) - tieFrac))).as("h_corrected"))): _*)
   }
 
+  /** GROUPED [[kruskalWallis]] — one k-group omnibus card PER SEGMENT
+    * (the drift-triage completion the grouped kappa/chi2/lambda/
+    * spearman cards started: which segment do the named sources
+    * actually differ in?). Same doubled-midrank exact arithmetic per
+    * segment; windows partition by the segment (each segment's
+    * distinct-value axis is independent and axis-guarded). A segment
+    * whose rows are ALL outside the named groups still emits a row
+    * (n = 0, NULL h — routed to review, never dropped).
+    *
+    * @return per segment: groupCols..., n, n_other, n_<g>...,
+    *         r2_<g>..., tie_t, h, h_corrected */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String],
+                    valueExpr: String, groupExpr: String,
+                    groups: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "use the ungrouped kruskalWallis")
+    require(groups.size >= 2 && groups.size <= 16,
+      s"2..16 named groups, got ${groups.size}")
+    require(groups.distinct.size == groups.size, "duplicate group names")
+    val gc = groupCols.map(col)
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val f = df.select((gc :+ expr(valueExpr).cast("long").as("v") :+
+      expr(groupExpr).cast("string").as("g")): _*)
+    val inG = col("g").isin(groups.map(_.asInstanceOf[Any]): _*)
+    val other = f.groupBy(gc: _*).agg(
+      coalesce(sum(when(!inG || col("g").isNull, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("n_other"))
+    val kept = f.filter(inG)
+    val pcAggs = count(lit(1)).cast("long").as("cnt") +:
+      groups.map(g => sum(when(col("g") === g, 1L).otherwise(0L))
+        .cast("long").as(s"cnt_$g"))
+    val pc = kept.groupBy((gc :+ col("v")): _*)
+      .agg(pcAggs.head, pcAggs.tail: _*)
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = pc
+      .withColumn("cum", sum(col("cnt")).over(wCum) + axisGuard(pc, wAll))
+      .withColumn("d2", lit(2L) * col("cum") - col("cnt") + 1L)
+    val aggCols =
+      Seq(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n"),
+        coalesce(sum((col("cnt").cast(d19) * col("cnt").cast(d19) *
+            col("cnt").cast(d19) - col("cnt").cast(d19)).cast(d38)),
+          lit(0).cast(d38)).cast(d38).as("tie_dec")) ++
+      groups.flatMap { g =>
+        Seq(coalesce(sum(col(s"cnt_$g")), lit(0L)).cast("long").as(s"n_$g"),
+          coalesce(sum((col(s"cnt_$g").cast(d19) * col("d2").cast(d19))
+              .cast(d38)), lit(0).cast(d38)).cast(d38)
+            .cast("long").as(s"r2_$g"))
+      }
+    val agg = ranked.groupBy(gc: _*).agg(aggCols.head, aggCols.tail: _*)
+    // every segment seen anywhere emits a row: left from `other`
+    // (which sees all rows), zero-filled where no named-group rows
+    val j = other.join(agg, groupCols, "left_outer")
+      .select((gc :+ col("n_other") :+
+        coalesce(col("n"), lit(0L)).as("n") :+
+        coalesce(col("tie_dec"), lit(0).cast(d38)).as("tie_dec")) ++
+        groups.flatMap(g => Seq(
+          coalesce(col(s"n_$g"), lit(0L)).as(s"n_$g"),
+          coalesce(col(s"r2_$g"), lit(0L)).as(s"r2_$g"))): _*)
+    val n = col("n").cast("double")
+    val sumTerms = groups.map { g =>
+      (col(s"r2_$g").cast("double") * col(s"r2_$g").cast("double")) /
+        (lit(4.0) * col(s"n_$g").cast("double"))
+    }.reduce(_ + _)
+    val h = lit(12.0) * sumTerms / (n * (n + lit(1.0))) -
+      lit(3.0) * (n + lit(1.0))
+    val tieFrac = col("tie_dec").cast("double") / (n * n * n - n)
+    val anyEmpty = groups.map(g => col(s"n_$g") === 0L).reduce(_ || _)
+    val allTied = (col("n").cast(d19) * col("n").cast(d19) *
+      col("n").cast(d19) - col("n").cast(d19)).cast(d38) === col("tie_dec")
+    val nullD = lit(null).cast("double")
+    j.select(
+      (gc ++ Seq(col("n"), col("n_other")) ++
+        groups.map(g => col(s"n_$g")) ++ groups.map(g => col(s"r2_$g")) ++
+        Seq(col("tie_dec").cast("long").as("tie_t"),
+          when(anyEmpty, nullD).otherwise(h).as("h"),
+          when(anyEmpty || col("n") < 2L, nullD).otherwise(
+            when(allTied, nullD)
+              .otherwise(h / (lit(1.0) - tieFrac))).as("h_corrected"))): _*)
+  }
+
   /** Cochran's Q (1950): did ANY of k classifiers/treatments graded on
     * the SAME items differ — the k-way [[mcnemar]] (k = 2 reduces to
     * it). With column successes T_j, row successes u_i, N = ΣT_j:

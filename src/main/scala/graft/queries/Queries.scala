@@ -11007,6 +11007,83 @@ object Queries {
          |FROM c GROUP BY 1, 2 ORDER BY canon""".stripMargin
     })
 
+  /** GROUPED Kruskal–Wallis
+    * ([[graft.ops.Stats.kruskalWallis]] groupCols overload): one
+    * k-group omnibus card per day-of-week segment — completes the
+    * drift-triage set the grouped kappa/chi2/lambda/spearman cards
+    * started (which segment do the event classes actually differ
+    * in?). Same doubled-midrank exact arithmetic per segment, windows
+    * partitioned by the segment. */
+  val qKruskalBy: Q = "q_kruskal_by" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      graft.ops.Stats.kruskalWallis(
+          Tables.events(s, d).select(
+            expr("(ts_us div 86400000000) % 7").as("dow"),
+            cents.as("cents"), col("event_type")),
+          Seq("dow"), "cents", "event_type",
+          Seq("error", "purchase", "view"))
+        .orderBy(col("dow"))
+    },
+    {
+      val gs = Seq("error", "purchase", "view")
+      val cnts = gs.map(g =>
+        s"""CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT)
+           | AS cnt_$g""".stripMargin.replace("\n", "")).mkString(",\n|    ")
+      val aggs = gs.map(g =>
+        s"""COALESCE(CAST(sum(cnt_$g) AS BIGINT), 0) AS n_$g,
+           |    COALESCE(CAST(CAST(sum(CAST(cnt_$g AS DECIMAL(19,0))
+           |      * CAST(d2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS BIGINT), 0)
+           |      AS r2_$g""".stripMargin).mkString(",\n|    ")
+      val zfill = gs.map(g =>
+        s"""COALESCE(n_$g, 0) AS n_$g, COALESCE(r2_$g, 0) AS r2_$g""")
+        .mkString(",\n|    ")
+      val terms = gs.map(g =>
+        s"""CAST(r2_$g AS DOUBLE) * CAST(r2_$g AS DOUBLE)
+           | / (4.0 * CAST(n_$g AS DOUBLE))""".stripMargin.replace("\n", ""))
+        .mkString(" + ")
+      val anyEmpty = gs.map(g => s"n_$g = 0").mkString(" OR ")
+      val nD = "CAST(n AS DOUBLE)"
+      val h = s"12.0 * ($terms) / ($nD * ($nD + 1.0)) - 3.0 * ($nD + 1.0)"
+      val allTied = s"""CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+        | * CAST(n AS DECIMAL(19,0)) - CAST(n AS DECIMAL(19,0))
+        | AS DECIMAL(38,0)) = tie_dec""".stripMargin.replace("\n", "")
+      val tieFrac = s"CAST(tie_dec AS DOUBLE) / ($nD * $nD * $nD - $nD)"
+      s"""WITH $EV,
+         |f AS (SELECT (ts_us // 86400000000) % 7 AS dow,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    event_type AS g FROM ev),
+         |oth AS (SELECT dow, COALESCE(CAST(sum(CASE WHEN g IS NULL
+         |      OR g NOT IN ('error', 'purchase', 'view') THEN 1 ELSE 0 END)
+         |    AS BIGINT), 0) AS n_other FROM f GROUP BY 1),
+         |k AS (SELECT * FROM f WHERE g IN ('error', 'purchase', 'view')),
+         |pc AS (SELECT dow, v, CAST(count(*) AS BIGINT) AS cnt,
+         |    $cnts
+         |  FROM k GROUP BY 1, 2),
+         |cw AS (SELECT *, CAST(sum(cnt)
+         |    OVER (PARTITION BY dow ORDER BY v) AS BIGINT) AS cum FROM pc),
+         |r AS (SELECT *, 2 * cum - cnt + 1 AS d2 FROM cw),
+         |ag AS (SELECT dow, COALESCE(CAST(sum(cnt) AS BIGINT), 0) AS n,
+         |    COALESCE(CAST(sum(CAST(cnt AS DECIMAL(19,0))
+         |      * CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+         |      - CAST(cnt AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+         |      CAST(0 AS DECIMAL(38,0))) AS tie_dec,
+         |    $aggs
+         |  FROM r GROUP BY dow),
+         |j AS (SELECT oth.dow, oth.n_other, COALESCE(n, 0) AS n,
+         |    COALESCE(tie_dec, CAST(0 AS DECIMAL(38,0))) AS tie_dec,
+         |    $zfill
+         |  FROM oth LEFT JOIN ag ON oth.dow = ag.dow)
+         |SELECT dow, n, n_other, ${gs.map(g => s"n_$g").mkString(", ")},
+         |  ${gs.map(g => s"r2_$g").mkString(", ")},
+         |  CAST(tie_dec AS BIGINT) AS tie_t,
+         |  CASE WHEN $anyEmpty THEN NULL ELSE $h END AS h,
+         |  CASE WHEN $anyEmpty OR n < 2 THEN NULL
+         |    ELSE CASE WHEN $allTied THEN NULL
+         |      ELSE ($h) / (1.0 - $tieFrac) END END AS h_corrected
+         |FROM j ORDER BY dow""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -11082,6 +11159,6 @@ object Queries {
     qAbStratified, qQte,
     qAbMean, qAbMeanStored, qAbTrace,
     qQteStored, qQteAsof, qAbMeanTrace, qAbBoundary,
-    qUrlCanon, qUrlDedup,
+    qUrlCanon, qUrlDedup, qKruskalBy,
   )
 }

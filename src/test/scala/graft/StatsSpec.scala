@@ -337,6 +337,42 @@ class StatsSpec extends SparkTestBase {
     assert(rt.isNullAt(rt.fieldIndex("h_corrected")))
   }
 
+  test("grouped kruskalWallis: per-segment cards equal per-segment ungrouped runs") {
+    // two segments with DIFFERENT group effects + one segment whose
+    // rows are all outside the named groups
+    val rows = ((1L to 90L).map { i =>
+      val g = Seq("a", "b", "c")((i % 3).toInt)
+      val v = if (g == "b") i % 7 + 10L else i % 7 // seg s0: b shifted
+      ("s0", v, g)
+    } ++ (1L to 90L).map { i =>
+      ("s1", i % 5, Seq("a", "b", "c")((i % 3).toInt)) // s1: no effect
+    } ++ (1L to 10L).map(i => ("s2", i, "zzz"))).toDF("seg", "v", "g")
+    val by = Stats.kruskalWallis(rows, Seq("seg"), "v", "g",
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(by.size === 3)
+    // each segment's card equals the ungrouped run on that slice alone
+    Seq("s0", "s1").foreach { s =>
+      val solo = Stats.kruskalWallis(rows.filter($"seg" === s), "v", "g",
+        Seq("a", "b", "c")).collect().head
+      val grouped = by(s)
+      // same columns modulo the leading seg and the n/n_other swap
+      assert(grouped.getAs[Long]("n") === solo.getAs[Long]("n"))
+      assert(grouped.getAs[Double]("h") === solo.getAs[Double]("h"))
+      assert(grouped.getAs[Double]("h_corrected")
+        === solo.getAs[Double]("h_corrected"))
+      Seq("a", "b", "c").foreach { g =>
+        assert(grouped.getAs[Long](s"r2_$g") === solo.getAs[Long](s"r2_$g"))
+      }
+    }
+    // the planted shift is visible only in s0
+    assert(by("s0").getAs[Double]("h") > by("s1").getAs[Double]("h"))
+    // an all-other segment still emits a row: n = 0, loud NULL h
+    assert(by("s2").getAs[Long]("n") === 0L)
+    assert(by("s2").getAs[Long]("n_other") === 10L)
+    assert(by("s2").isNullAt(by("s2").fieldIndex("h")))
+  }
+
   test("cochranQ: textbook fixture Q = 4; all-concordant items NULL") {
     val rows = Seq(
       (1L, "A", true), (1L, "B", true), (1L, "C", false),
