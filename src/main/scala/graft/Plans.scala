@@ -83,7 +83,10 @@ object Plans {
         "q_kruskal", "q_cochran_q", "q_kendall",
         "q_srm_stored", "q_hll_asof", "q_cms_asof",
         "q_tvd_stored", "q_ks_drift_by", "q_ab_stratified", "q_qte",
-        "q_ab_mean", "q_ab_mean_stored", "q_ab_trace")
+        "q_ab_mean", "q_ab_mean_stored", "q_ab_trace",
+        "q_qte_stored", "q_qte_asof", "q_ab_mean_trace", "q_ab_boundary",
+        "q_url_canon", "q_url_dedup", "q_kruskal_by",
+        "q_srm_trace", "q_cuped_trace", "q_kendall_by")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition;

@@ -138,7 +138,8 @@ object Abtest {
     * arms) — shared by the one-shot [[cupedReadout]] and
     * [[cupedFromStore]] so both emit the SAME double expressions
     * bit-for-bit. */
-  private def cupedCard(agg: DataFrame): DataFrame = {
+  private def cupedCard(agg: DataFrame,
+                        gc: Seq[Column] = Nil): DataFrame = {
     val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
     val n = col("n_a") + col("n_b")
     val sx = (col("sx_a") + col("sx_b")).cast(d19)
@@ -153,7 +154,7 @@ object Abtest {
       col("sx_a").cast("double") / col("n_a").cast("double")
     val emptyArm = col("n_a") === 0L || col("n_b") === 0L
     val degenerate = emptyArm || thDen === lit(0).cast(d38)
-    agg.select(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
+    agg.select((gc ++ Seq(col("n_a"), col("n_b"), col("sy_a"), col("sy_b"),
       when(degenerate, lit(null).cast("double")).otherwise(theta).as("theta"),
       when(emptyArm, lit(null).cast("double")).otherwise(meanDiffY)
         .as("lift_raw"),
@@ -161,7 +162,54 @@ object Abtest {
         .otherwise(meanDiffY - theta * meanDiffX).as("lift_cuped"),
       when(degenerate || syc === lit(0).cast(d38), lit(null).cast("double"))
         .otherwise((thNum.cast("double") * thNum.cast("double")) /
-          (thDen.cast("double") * syc.cast("double"))).as("var_reduction"))
+          (thDen.cast("double") * syc.cast("double")))
+        .as("var_reduction"))): _*)
+  }
+
+  /** [[cupedFromStore]]'s HISTORY — the variance-reduced lift per
+    * batch tag over the cumulative store prefix, theta re-estimated
+    * from each prefix's pooled moments exactly as the as-of read does
+    * (each row ≡ [[cupedFromStoreAsOf]] at that tag): did the CUPED
+    * adjustment STAY stable as data arrived, or did an early theta
+    * flatter the lift? One window over the model-sized store rows.
+    *
+    * @return per tag: tag, n_a, n_b, sy_a, sy_b, theta, lift_raw,
+    *         lift_cuped, var_reduction */
+  def cupedTrace(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame = {
+    Stores.requireStore(spark, path, "append experiment batches first")
+    val d38 = "decimal(38,0)"
+    val rows = Stores.freshRead(spark, path)
+    val perTag = rows.groupBy(col("tag")).agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_b"),
+      coalesce(sum(when(col("variant") === 0L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("dsy_a"),
+      coalesce(sum(when(col("variant") === 1L, col("sy")).otherwise(0L)),
+        lit(0L)).cast("long").as("dsy_b"),
+      coalesce(sum(when(col("variant") === 0L, col("sx")).otherwise(0L)),
+        lit(0L)).cast("long").as("dsx_a"),
+      coalesce(sum(when(col("variant") === 1L, col("sx")).otherwise(0L)),
+        lit(0L)).cast("long").as("dsx_b"),
+      coalesce(sum(col("sxx")), lit(0).cast(d38)).cast(d38).as("dsxx"),
+      coalesce(sum(col("sxy")), lit(0).cast(d38)).cast(d38).as("dsxy"),
+      coalesce(sum(col("syy")), lit(0).cast(d38)).cast(d38).as("dsyy"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perTag.select(col("tag"),
+      sum(col("dn_a")).over(w).cast("long").as("n_a"),
+      sum(col("dn_b")).over(w).cast("long").as("n_b"),
+      sum(col("dsy_a")).over(w).cast("long").as("sy_a"),
+      sum(col("dsy_b")).over(w).cast("long").as("sy_b"),
+      sum(col("dsx_a")).over(w).cast("long").as("sx_a"),
+      sum(col("dsx_b")).over(w).cast("long").as("sx_b"),
+      sum(col("dsxx")).over(w).cast(d38).as("sxx"),
+      sum(col("dsxy")).over(w).cast(d38).as("sxy"),
+      sum(col("dsyy")).over(w).cast(d38).as("syy"))
+    cupedCard(cum, Seq(col("tag")))
   }
 
   /** Ratio-metric experiment readout with the DELTA-METHOD variance
@@ -401,11 +449,11 @@ object Abtest {
     * DECIMAL(38,0) so it holds to the same bound (a long compare
     * would die 10× earlier at the default thrDen = 100, killing the
     * guardrail exactly when it should alarm). */
-  private def srmCard(agg: DataFrame, thrNum: Long,
-                      thrDen: Long): DataFrame = {
+  private def srmCard(agg: DataFrame, thrNum: Long, thrDen: Long,
+                      gc: Seq[Column] = Nil): DataFrame = {
     val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
     val d = col("n_a") - col("n_b")
-    agg.select((col("n_a") + col("n_b")).as("n_units"),
+    agg.select((gc ++ Seq((col("n_a") + col("n_b")).as("n_units"),
       col("n_a"), col("n_b"),
       (d * d).as("srm_num"),
       (col("n_a") + col("n_b")).as("srm_den"),
@@ -415,7 +463,35 @@ object Abtest {
       ((d.cast(d19) * d.cast(d19)).cast(d38) * lit(thrDen).cast(d19) >
         (lit(thrNum).cast(d19) * (col("n_a") + col("n_b")).cast(d19))
           .cast(d38))
-        .as("mismatch"))
+        .as("mismatch"))): _*)
+  }
+
+  /** [[srmFromStore]]'s HISTORY — the guardrail per batch tag over the
+    * cumulative store prefix (the [[readoutTrace]] window over the
+    * same model-sized rows): WHEN did the split break, not just
+    * whether it is broken now — the first alarming tag localizes the
+    * ingest batch that skewed the assignment. Each row ≡
+    * [[srmFromStore]] cut at that tag.
+    *
+    * @return per tag: tag, n_units, n_a, n_b, srm_num, srm_den,
+    *         srm_chi2, mismatch */
+  def srmTrace(spark: org.apache.spark.sql.SparkSession, path: String,
+               thrNum: Long = 384L, thrDen: Long = 100L): DataFrame = {
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    Stores.requireStore(spark, path, "append experiment batches first")
+    val rows = Stores.freshRead(spark, path)
+    val perTag = rows.groupBy(col("tag")).agg(
+      coalesce(sum(when(col("variant") === 0L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_a"),
+      coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
+        lit(0L)).cast("long").as("dn_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = perTag.select(col("tag"),
+      sum(col("dn_a")).over(w).cast("long").as("n_a"),
+      sum(col("dn_b")).over(w).cast("long").as("n_b"))
+    srmCard(cum, thrNum, thrDen, Seq(col("tag")))
   }
 
   /** Deterministic permutation test on the conversion lift — the

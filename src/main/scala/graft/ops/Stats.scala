@@ -867,6 +867,80 @@ object Stats {
         .as("tau_b"))
   }
 
+  /** GROUPED [[kendallCells]] — one ordinal-association card per
+    * segment over the per-segment quantized cell relation: the
+    * grouped Spearman's tie-robust companion in the per-segment
+    * drift-triage set. The cell self-join is an EQUI-join on the
+    * segment with the x-order predicate on top, so each segment pays
+    * its own |cells_g|²/2 and segments never cross; a segment with a
+    * single distinct x (no cross-x pairs) emits zero pair masses and
+    * NULL gamma, never a dropped row.
+    *
+    * @return per segment: groupCols..., n, n_cells, c_pairs, d_pairs,
+    *         gamma, tau_b */
+  def kendallCells(df: DataFrame, groupCols: Seq[String], xExpr: String,
+                   yExpr: String): DataFrame = {
+    require(groupCols.nonEmpty, "use the ungrouped kendallCells")
+    val gc = groupCols.map(col)
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val cells = df.select((gc :+ expr(xExpr).cast("long").as("x") :+
+        expr(yExpr).cast("long").as("y")): _*)
+      .groupBy((gc :+ col("x") :+ col("y")): _*)
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .persist()
+    val a = cells.select((gc :+ col("x").as("x1") :+ col("y").as("y1") :+
+      col("cnt").as("c1")): _*)
+    val b = cells.select((groupCols.map(g => col(g).as(s"r_$g")) :+
+      col("x").as("x2") :+ col("y").as("y2") :+ col("cnt").as("c2")): _*)
+    val joinCond = groupCols.map(g => col(g) === col(s"r_$g"))
+      .reduce(_ && _) && col("x1") < col("x2")
+    val pairs = a.join(b, joinCond)
+      .groupBy(gc: _*)
+      .agg(
+        coalesce(sum(when(col("y1") < col("y2"),
+            (col("c1").cast(d19) * col("c2").cast(d19)).cast(d38))
+          .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+          .as("c_pairs"),
+        coalesce(sum(when(col("y1") > col("y2"),
+            (col("c1").cast(d19) * col("c2").cast(d19)).cast(d38))
+          .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
+          .as("d_pairs"))
+    val tot = cells.groupBy(gc: _*).agg(
+      coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_cells"))
+    def tieMass(c: String): DataFrame = cells
+      .groupBy((gc :+ col(c)): _*)
+      .agg(sum(col("cnt")).cast("long").as("m"))
+      .groupBy(gc: _*)
+      .agg(coalesce(sum(((col("m").cast(d19) * (col("m") - 1L).cast(d19))
+        .cast(d38))), lit(0).cast(d38)).cast(d38).as(s"t2_$c"))
+    // a single-x segment has no cross-x pairs: left join, zero-fill
+    val j = tot
+      .join(pairs, groupCols, "left_outer")
+      .join(tieMass("x"), groupCols)
+      .join(tieMass("y"), groupCols)
+      .select((gc :+ col("n") :+ col("n_cells") :+
+        coalesce(col("c_pairs"), lit(0).cast(d38)).as("c_pairs") :+
+        coalesce(col("d_pairs"), lit(0).cast(d38)).as("d_pairs") :+
+        col("t2_x") :+ col("t2_y")): _*)
+    val n02 = (col("n").cast(d19) * (col("n") - 1L).cast(d19)).cast(d38)
+    val cd = (col("c_pairs") - col("d_pairs")).cast(d38)
+    val den1 = (n02 - col("t2_x")).cast(d38)
+    val den2 = (n02 - col("t2_y")).cast(d38)
+    val nullD = lit(null).cast("double")
+    j.select((gc :+ col("n") :+ col("n_cells") :+
+      col("c_pairs").cast("long").as("c_pairs") :+
+      col("d_pairs").cast("long").as("d_pairs") :+
+      when((col("c_pairs") + col("d_pairs")).cast(d38) ===
+          lit(0).cast(d38), nullD)
+        .otherwise(cd.cast("double") /
+          (col("c_pairs") + col("d_pairs")).cast("double")).as("gamma") :+
+      when(den1 === lit(0).cast(d38) || den2 === lit(0).cast(d38), nullD)
+        .otherwise(lit(2.0) * cd.cast("double") /
+          (sqrt(den1.cast("double")) * sqrt(den2.cast("double"))))
+        .as("tau_b")): _*)
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945): the PAIRED two-sample
     * shift test — per unit a before/after (x, y), d = y − x, zeros
     * dropped (the standard treatment), |d| midranked (doubled, so

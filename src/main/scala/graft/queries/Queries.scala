@@ -9708,11 +9708,11 @@ object Queries {
   val qAbStored: Q = "q_ab_stored" -> (
     (s: SparkSession, d: String) => {
       // SHARED STORE: q_ab_stored / q_srm_stored / q_ab_trace /
-      // q_ab_boundary all append to 'ab_store' and their appendCommit
-      // calls are marker-gated — whichever runs first wins, so all
-      // four sites MUST stay parameter-identical (same slices, salt,
-      // conversion predicate, tags b0..b2). Changing one means
-      // renaming its store path.
+      // q_ab_boundary / q_srm_trace all append to 'ab_store' and their
+      // appendCommit calls are marker-gated — whichever runs first
+      // wins, so all five sites MUST stay parameter-identical (same
+      // slices, salt, conversion predicate, tags b0..b2). Changing one
+      // means renaming its store path.
       val store = codebookPath(d, "ab_store")
       val ev = Tables.events(s, d)
       (0 to 2).foreach { k =>
@@ -9737,6 +9737,9 @@ object Queries {
     * [[qCuped]]'s verbatim. */
   val qCupedStored: Q = "q_cuped_stored" -> (
     (s: SparkSession, d: String) => {
+      // SHARED STORE with q_cuped_trace: the append parameters here
+      // MUST stay identical to that site (marker-gated appendCommit
+      // keeps the first writer's content).
       val store = codebookPath(d, "cuped_store")
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       val ev = Tables.events(s, d)
@@ -10602,6 +10605,9 @@ object Queries {
     * card bit-for-bit — the oracle is [[qAbMean]]'s verbatim. */
   val qAbMeanStored: Q = "q_ab_mean_stored" -> (
     (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_mean_trace: the append parameters here
+      // MUST stay identical to that site (marker-gated appendCommit
+      // keeps the first writer's content).
       val store = codebookPath(d, "ab_mean_store")
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
@@ -11084,6 +11090,213 @@ object Queries {
          |FROM j ORDER BY dow""".stripMargin
     })
 
+  /** SRM guardrail TRACE ([[graft.ops.Abtest.srmTrace]]): the split
+    * check per batch tag over the cumulative store prefix — WHEN did
+    * the assignment break, localizing the ingest batch that skewed
+    * it. Same store and window as [[qAbTrace]]; oracle replays each
+    * prefix's unit counts. */
+  val qSrmTrace: Q = "q_srm_trace" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_stored/q_srm_stored/q_ab_trace/
+      // q_ab_boundary: the append parameters here MUST stay identical
+      // to those sites (marker-gated appendCommit keeps the first
+      // writer's content).
+      val store = codebookPath(d, "ab_store")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp1")
+      }
+      graft.ops.Abtest.srmTrace(s, store).orderBy(col("tag"))
+    },
+    {
+      val blocks = (0 to 2).map { k =>
+        s"""ag$k AS (SELECT 'b$k' AS tag,
+           |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b
+           |  FROM va WHERE m3 <= $k)""".stripMargin
+      }.mkString(",\n|")
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit, user_id % 3 AS m3 FROM ev
+         |  GROUP BY 1, 2),
+         |va AS (SELECT m3,
+         |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp1'), 1, 7)
+         |      AS BIGINT) % 2 AS variant FROM un),
+         |$blocks,
+         |uu AS (SELECT * FROM ag0 UNION ALL SELECT * FROM ag1
+         |  UNION ALL SELECT * FROM ag2)
+         |SELECT tag, n_a + n_b AS n_units, n_a, n_b,
+         |  (n_a - n_b) * (n_a - n_b) AS srm_num,
+         |  n_a + n_b AS srm_den,
+         |  CASE WHEN n_a + n_b = 0 THEN NULL
+         |    ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+         |      / CAST(n_a + n_b AS DOUBLE) END AS srm_chi2,
+         |  ((n_a - n_b) * (n_a - n_b)) * 100 > 384 * (n_a + n_b) AS mismatch
+         |FROM uu ORDER BY tag""".stripMargin
+    })
+
+  /** CUPED monitoring trace ([[graft.ops.Abtest.cupedTrace]]): the
+    * variance-reduced lift per batch tag, theta re-estimated from
+    * each cumulative prefix's pooled moments — did the adjustment
+    * stay stable as data arrived? Same store as [[qCupedStored]];
+    * oracle replays each prefix's full CUPED card. */
+  val qCupedTrace: Q = "q_cuped_trace" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_cuped_stored: the append parameters here
+      // MUST stay identical to that site (marker-gated appendCommit
+      // keeps the first writer's content).
+      val store = codebookPath(d, "cuped_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          when(expr("(ts_us div 86400000000) % 2") === 1, cents)
+            .otherwise(0L).as("y_late"),
+          when(expr("(ts_us div 86400000000) % 2") === 0, cents)
+            .otherwise(0L).as("x_early"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "false", "y_late", "x_early", salt = "cuped13")
+      }
+      graft.ops.Abtest.cupedTrace(s, store).orderBy(col("tag"))
+    },
+    {
+      val blocks = (0 to 2).map { k =>
+        s"""ag$k AS (SELECT 'b$k' AS tag,
+           |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_b,
+           |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT)
+           |      AS sy_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT)
+           |      AS sy_b,
+           |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+           |      AS sx_a,
+           |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+           |      AS sx_b,
+           |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+           |      AS DECIMAL(38,0)) AS sxx,
+           |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+           |      AS DECIMAL(38,0)) AS sxy,
+           |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+           |      AS DECIMAL(38,0)) AS syy
+           |  FROM va WHERE m3 <= $k)""".stripMargin
+      }.mkString(",\n|")
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit, user_id % 3 AS m3,
+         |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 1
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 0
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS x
+         |  FROM ev GROUP BY 1, 2),
+         |va AS (SELECT m3, y, x, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+         |    || 'cuped13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+         |$blocks,
+         |uu AS (SELECT * FROM ag0 UNION ALL SELECT * FROM ag1
+         |  UNION ALL SELECT * FROM ag2),
+         |st AS (SELECT *, n_a + n_b AS n,
+         |    CAST(sx_a + sx_b AS DECIMAL(19,0)) AS sx,
+         |    CAST(sy_a + sy_b AS DECIMAL(19,0)) AS sy FROM uu),
+         |st2 AS (SELECT *,
+         |    CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx * sy AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS th_num,
+         |    CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx * sx AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS th_den,
+         |    CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy * sy AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS syc
+         |  FROM st)
+         |SELECT tag, n_a, n_b, sy_a, sy_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR th_den = 0 THEN NULL
+         |    ELSE CAST(th_num AS DOUBLE) / CAST(th_den AS DOUBLE) END AS theta,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |    ELSE CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |      - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS lift_raw,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR th_den = 0 THEN NULL
+         |    ELSE CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |      - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |      - CAST(th_num AS DOUBLE) / CAST(th_den AS DOUBLE)
+         |        * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |          - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |    END AS lift_cuped,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR th_den = 0 OR syc = 0 THEN NULL
+         |    ELSE (CAST(th_num AS DOUBLE) * CAST(th_num AS DOUBLE))
+         |      / (CAST(th_den AS DOUBLE) * CAST(syc AS DOUBLE))
+         |    END AS var_reduction
+         |FROM st2 ORDER BY tag""".stripMargin
+    })
+
+  /** GROUPED Kendall concordance
+    * ([[graft.ops.Stats.kendallCells]] groupCols overload): one
+    * gamma/tau-b card per source over the per-source quantized cell
+    * relation — the tie-robust ordinal companion to [[qSpearmanBy]]
+    * in the per-segment drift-triage set. */
+  val qKendallBy: Q = "q_kendall_by" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Stats.kendallCells(
+          Tables.documents(s, d)
+            .select(col("source"),
+              Text.tokenCount(col("text")).cast("long").as("tc"),
+              col("n_chars")),
+          Seq("source"), "tc div 8", "n_chars div 64")
+        .orderBy(col("source")),
+    s"""WITH cells AS (SELECT source, CAST(len($TOKS) AS BIGINT) // 8 AS x,
+       |    CAST(n_chars AS BIGINT) // 64 AS y,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2, 3),
+       |pr AS (SELECT a.source,
+       |    COALESCE(CAST(sum(CASE WHEN a.y < b.y
+       |        THEN CAST(CAST(a.cnt AS DECIMAL(19,0))
+       |          * CAST(b.cnt AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)),
+       |      CAST(0 AS DECIMAL(38,0))) AS c_pairs,
+       |    COALESCE(CAST(sum(CASE WHEN a.y > b.y
+       |        THEN CAST(CAST(a.cnt AS DECIMAL(19,0))
+       |          * CAST(b.cnt AS DECIMAL(19,0)) AS DECIMAL(38,0))
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)),
+       |      CAST(0 AS DECIMAL(38,0))) AS d_pairs
+       |  FROM cells a JOIN cells b
+       |    ON a.source = b.source AND a.x < b.x
+       |  GROUP BY 1),
+       |tot AS (SELECT source, COALESCE(CAST(sum(cnt) AS BIGINT), 0) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_cells FROM cells GROUP BY 1),
+       |tx AS (SELECT source, COALESCE(CAST(sum(CAST(m AS DECIMAL(19,0))
+       |      * CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+       |    CAST(0 AS DECIMAL(38,0))) AS t2_x
+       |  FROM (SELECT source, CAST(sum(cnt) AS BIGINT) AS m FROM cells
+       |    GROUP BY source, x) GROUP BY 1),
+       |ty AS (SELECT source, COALESCE(CAST(sum(CAST(m AS DECIMAL(19,0))
+       |      * CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)),
+       |    CAST(0 AS DECIMAL(38,0))) AS t2_y
+       |  FROM (SELECT source, CAST(sum(cnt) AS BIGINT) AS m FROM cells
+       |    GROUP BY source, y) GROUP BY 1),
+       |st AS (SELECT tot.source, n, n_cells,
+       |    COALESCE(c_pairs, CAST(0 AS DECIMAL(38,0))) AS c_pairs,
+       |    COALESCE(d_pairs, CAST(0 AS DECIMAL(38,0))) AS d_pairs,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) - t2_x AS den1,
+       |    CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+       |      AS DECIMAL(38,0)) - t2_y AS den2
+       |  FROM tot LEFT JOIN pr ON tot.source = pr.source
+       |    JOIN tx ON tot.source = tx.source
+       |    JOIN ty ON tot.source = ty.source)
+       |SELECT source, n, n_cells, CAST(c_pairs AS BIGINT) AS c_pairs,
+       |  CAST(d_pairs AS BIGINT) AS d_pairs,
+       |  CASE WHEN c_pairs + d_pairs = 0 THEN NULL
+       |    ELSE CAST(c_pairs - d_pairs AS DOUBLE)
+       |      / CAST(c_pairs + d_pairs AS DOUBLE) END AS gamma,
+       |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+       |    ELSE 2.0 * CAST(c_pairs - d_pairs AS DOUBLE)
+       |      / (sqrt(CAST(den1 AS DOUBLE)) * sqrt(CAST(den2 AS DOUBLE)))
+       |    END AS tau_b
+       |FROM st ORDER BY source""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -11160,5 +11373,6 @@ object Queries {
     qAbMean, qAbMeanStored, qAbTrace,
     qQteStored, qQteAsof, qAbMeanTrace, qAbBoundary,
     qUrlCanon, qUrlDedup, qKruskalBy,
+    qSrmTrace, qCupedTrace, qKendallBy,
   )
 }

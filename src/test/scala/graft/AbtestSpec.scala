@@ -447,6 +447,36 @@ class AbtestSpec extends SparkTestBase {
       Abtest.meanReadout(rows, "u", "y", "st1").collect().head.toSeq)
   }
 
+  test("srmTrace and cupedTrace: each trace row equals the as-of read at that tag") {
+    val store = java.nio.file.Files.createTempDirectory("ab_strace")
+      .toString + "/s"
+    val rows = (1L to 300L)
+      .map(u => (u, u % 9 == 0, u % 7 * 2L, u % 5 * 3L))
+      .toDF("u", "c", "y", "x")
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "c", "y", "x", salt = "st1")
+    }
+    val st = Abtest.srmTrace(spark, store).collect()
+      .map(r => r.getAs[String]("tag") -> r).toMap
+    val ct = Abtest.cupedTrace(spark, store).collect()
+      .map(r => r.getAs[String]("tag") -> r).toMap
+    assert(st.size === 3 && ct.size === 3)
+    (0 to 2).foreach { k =>
+      // SRM as-of = the one-shot check over the first k+1 slices
+      val srmAsOf = Abtest.srmCheck(rows.filter($"u" % 3 <= k), "u", "st1")
+        .collect().head
+      assert(st(s"b$k").toSeq.drop(1) === srmAsOf.toSeq,
+        s"srm trace row b$k must equal the sliced one-shot check")
+      assert(ct(s"b$k").toSeq.drop(1) ===
+        Abtest.cupedFromStoreAsOf(spark, store, s"b$k").collect().head.toSeq,
+        s"cuped trace row b$k must equal the as-of read")
+    }
+    // and the final cuped row is the full one-shot card
+    assert(ct("b2").toSeq.drop(1) ===
+      Abtest.cupedReadout(rows, "u", "y", "x", "st1").collect().head.toSeq)
+  }
+
   test("boundaryTrace: crossing at the spending boundary, not at naive z=1.96") {
     val store = java.nio.file.Files.createTempDirectory("ab_bound")
       .toString + "/s"

@@ -106,16 +106,33 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("pageRank: iteration join is hash-based on the edge relation, no cartesian") {
+    // the returned frame is a checkpointed LEAF (the linear-rounds
+    // lineage discipline truncates every round's plan), so the join
+    // shape is pinned on the ITERATION construction itself — the same
+    // (edges ⋈ deg ⋈ ranks → agg) relation every round repeats and
+    // Plans.scala dumps
     val edges = graft.ops.Graph.copurchaseEdges(
       graft.core.Tables.lineitem(spark, sf0001)
         .select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", minItemSupport = 2)
-    val ranks = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 2)
-    val plan = planString(ranks)
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val ranks0 = deg.select(col("src").as("node"))
+      .withColumn("rank", lit(1.0 / 1000))
+    val iter = edges.join(deg, "src")
+      .join(ranks0.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"),
+        floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("in_mass"))
+    val plan = planString(iter)
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("SortMergeJoin"), "rank join must be an equi-join")
+    // and the RETURNED frame is indeed leaf-checkpointed: no join
+    // re-execution rides on every downstream read of the final ranks
+    val ranks = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 2)
+    assert(planString(ranks).contains("Scan ExistingRDD"),
+      "final ranks must be a checkpointed leaf (O(1) planning per round)")
     spark.catalog.clearCache()
   }
 
