@@ -893,6 +893,42 @@ object Abtest {
     qteCard(Quantiles.fromStoreByAsOf(spark, path, Seq("variant"), asOfTag),
       bucketWidth, qs)
 
+  /** The QTE card per batch tag over the cumulative store prefix —
+    * the heavy-tail dashboard's HISTORY, completing the trace
+    * lifecycle every other experiment card has: did the p99 lift hold
+    * as data arrived, or did one whale batch mint it? Each (tag, level)
+    * row ≡ [[quantileLiftFromStoreAsOf]] at that tag. One broadcast
+    * range-join of the model-sized (arm × bucket × tag) store rows
+    * against the ≤ #tags tag axis, then per-(tag, arm) integer
+    * selection.
+    *
+    * @return per (tag, level): tag, p_label, target_a, lo_a,
+    *         target_b, lo_b, qte */
+  def quantileLiftTrace(spark: org.apache.spark.sql.SparkSession,
+                        path: String, bucketWidth: Long,
+                        qs: Seq[(String, Int, Int)]): DataFrame = {
+    Stores.requireStore(spark, path, "append experiment batches first")
+    val rows = Stores.freshRead(spark, path)
+    val tags = rows.select(col("tag")).distinct()
+      .withColumnRenamed("tag", "at")
+    val cum = rows.join(broadcast(tags), col("tag") <= col("at"))
+      .groupBy(col("at"), col("variant"), col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .withColumnRenamed("at", "tag")
+    val q = Quantiles.quantilesBy(cum, Seq("tag", "variant"), qs,
+      bucketWidth, cache = false)
+    val a = q.filter(col("variant") === 0L)
+      .select(col("tag"), col("p_label"), col("target").as("target_a"),
+        col("lo").as("lo_a"))
+    val b = q.filter(col("variant") === 1L)
+      .select(col("tag"), col("p_label"), col("target").as("target_b"),
+        col("lo").as("lo_b"))
+    a.join(b, Seq("tag", "p_label"), "full_outer")
+      .select(col("tag"), col("p_label"), col("target_a"), col("lo_a"),
+        col("target_b"), col("lo_b"),
+        (col("lo_b") - col("lo_a")).as("qte"))
+  }
+
   /** ADDITIVE experiment store: one row per (variant, batch) carrying
     * the unit count, conversion count, and metric/covariate moment
     * sums — everything [[readout]] and [[cupedReadout]] consume, in

@@ -950,4 +950,61 @@ object Graph {
         (col("m_ends").cast("double") * col("sx2").cast("double") -
           col("sx").cast("double") * col("sx").cast("double"))).as("r"))
   }
+
+  /** DETERMINISTIC random walks — the node2vec/DeepWalk corpus
+    * generator (Perozzi et al. 2014; Grover & Leskovec 2016) with the
+    * engine's hash-not-RNG discipline: one walk per start node, hop t
+    * from node c picks neighbor index md5(start, t, c, salt) % deg(c)
+    * over the dst-sorted adjacency — a pure function of (graph, salt),
+    * so walks are sticky across reruns, shard-order-independent, and
+    * exactly replayable by an unrolled oracle (the [[pageRank]]
+    * replay convention applied to sampling). A dead-end node (no
+    * out-edges, possible on directed inputs) truncates the walk: later
+    * steps stay NULL.
+    *
+    * Scale: the indexed adjacency (src, idx, dst) is built once
+    * (one row_number window partitioned by src) and persisted;
+    * each hop is ONE equi-join on (src, idx) — walkLen joins total,
+    * never a per-node driver loop. State is one row per walk.
+    *
+    * @param walkLen number of hops (1..8; output columns step_0 =
+    *                start .. step_<walkLen>)
+    * @return per start node: node, step_0..step_<walkLen> */
+  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                         walkLen: Int, salt: String): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 8, s"walkLen in [1, 8], got $walkLen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+        .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var walks = nodes.select(col("node"), col("node").as("step_0"))
+    (1 to walkLen).foreach { t =>
+      val cur = col(s"step_${t - 1}")
+      val keep = walks.columns.map(col)
+      // hop choice hashes (start, step, current): per-walk randomness,
+      // byte-replayable — conv(md5) % deg is the srmCheck assignment
+      // convention
+      val withPick = walks
+        .join(adj.select(col("src").as("h_src"), col("deg").as("h_deg"))
+          .distinct(), cur === col("h_src"), "left")
+        .select((keep :+ when(col("h_deg").isNull,
+          lit(null).cast("long")).otherwise(
+          expr(("cast(conv(substring(md5(concat(cast(node as string), " +
+            s"'#$t#', cast(step_${t - 1} as string), '$salt')), 1, 7), " +
+            "16, 10) as bigint)")) % col("h_deg")).as("pick")): _*)
+      walks = withPick
+        .join(adj.select(col("src").as("j_src"), col("idx").as("j_idx"),
+          col("dst").as("j_dst")),
+          cur === col("j_src") && col("pick") === col("j_idx"), "left")
+        .select((keep :+ col("j_dst").as(s"step_$t")): _*)
+    }
+    walks
+  }
 }

@@ -330,6 +330,32 @@ object Quantiles {
       .groupBy("bucket").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  /** TRACE read of a [[storeAppend]] store: the merged histogram's
+    * quantiles AS OF every batch tag — the drift-review companion to
+    * [[fromStoreAsOf]] ("how did p50/p99 move as batches arrived"),
+    * each row bit-identical to the as-of read at that tag. One
+    * broadcast range-join of the model-sized store rows against the
+    * ≤ #tags tag axis (rows × tags stays model-sized), then the usual
+    * integer ⌈q·N⌉ selection per tag.
+    *
+    * @return per (tag, quantile): tag, p_label, target, bucket, lo,
+    *         cum */
+  def quantilesTraceFromStore(spark: SparkSession, path: String,
+                              qs: Seq[(String, Int, Int)],
+                              bucketWidth: Long): DataFrame = {
+    Stores.requireStore(spark, path, "append histogram batches first")
+    val rows = Stores.freshRead(spark, path)
+    val tags = rows.select(col("tag")).distinct()
+      .withColumnRenamed("tag", "at")
+    val cum = rows.join(broadcast(tags), col("tag") <= col("at"))
+      .groupBy(col("at"), col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .withColumnRenamed("at", "tag")
+    // no caching: this runs per review over a growing store (the
+    // tukeyOutliersFromStore cache=false reasoning)
+    quantilesBy(cum, Seq("tag"), qs, bucketWidth, cache = false)
+  }
+
   /** GROUPED [[fromStoreAsOf]]. */
   def fromStoreByAsOf(spark: SparkSession, path: String,
                       groupCols: Seq[String], asOfTag: String): DataFrame = {

@@ -6960,6 +6960,9 @@ object Queries {
     * answerable at any time, hash-equal to the one-shot oracle. */
   val qHistStored: Q = "q_hist_stored" -> (
     (s: SparkSession, d: String) => {
+      // SHARED STORE with q_hist_trace: append parameters MUST stay
+      // identical there (marker-gated appendCommit keeps the first
+      // writer's content).
       val docs = Tables.documents(s, d)
       val store = codebookPath(d, "hist_tokcnt")
       (0 to 2).foreach { k =>
@@ -10698,9 +10701,9 @@ object Queries {
     * that re-scanned raw events per read. */
   val qQteStored: Q = "q_qte_stored" -> (
     (s: SparkSession, d: String) => {
-      // SHARED STORE with q_qte_asof: append parameters MUST stay
-      // identical there (marker-gated appendCommit keeps the first
-      // writer's content).
+      // SHARED STORE with q_qte_asof/q_qte_trace: append parameters
+      // MUST stay identical there (marker-gated appendCommit keeps the
+      // first writer's content).
       val store = codebookPath(d, "qte_store")
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
@@ -10722,8 +10725,8 @@ object Queries {
     * user-disjoint slices. */
   val qQteAsof: Q = "q_qte_asof" -> (
     (s: SparkSession, d: String) => {
-      // SHARED STORE with q_qte_stored: append parameters MUST stay
-      // identical there.
+      // SHARED STORE with q_qte_stored/q_qte_trace: append parameters
+      // MUST stay identical there.
       val store = codebookPath(d, "qte_store")
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
@@ -11297,6 +11300,131 @@ object Queries {
        |    END AS tau_b
        |FROM st ORDER BY source""".stripMargin)
 
+  /** QTE monitoring trace ([[graft.ops.Abtest.quantileLiftTrace]]):
+    * the heavy-tail lift per batch tag — did the p99 effect hold as
+    * data arrived? Same store as [[qQteStored]]; oracle replays every
+    * prefix through one grouped quantile selection with the tag as a
+    * group axis. */
+  val qQteTrace: Q = "q_qte_trace" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_qte_stored/q_qte_asof: append parameters
+      // MUST stay identical there (marker-gated appendCommit keeps the
+      // first writer's content).
+      val store = codebookPath(d, "qte_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.quantileLiftStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "cents", salt = "exp13", bucketWidth = 1000L)
+      }
+      graft.ops.Abtest.quantileLiftTrace(s, store, 1000L,
+          qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("tag"), col("p_label"))
+    },
+    s"""WITH $EV,
+       |un AS (SELECT user_id AS unit, user_id % 3 AS m3,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS v
+       |  FROM ev GROUP BY 1, 2),
+       |va AS (SELECT m3, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+       |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant, v FROM un),
+       |src AS (SELECT 'b0' AS tag, variant, v FROM va WHERE m3 <= 0
+       |  UNION ALL SELECT 'b1' AS tag, variant, v FROM va WHERE m3 <= 1
+       |  UNION ALL SELECT 'b2' AS tag, variant, v FROM va WHERE m3 <= 2),
+       |${graft.ops.Quantiles.oracleCtesBy("src", Seq("tag", "variant"),
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)), 1000L)},
+       |qa AS (SELECT tag, p_label, target AS target_a, lo AS lo_a FROM hq
+       |  WHERE variant = 0),
+       |qb AS (SELECT tag, p_label, target AS target_b, lo AS lo_b FROM hq
+       |  WHERE variant = 1)
+       |SELECT COALESCE(qa.tag, qb.tag) AS tag,
+       |  COALESCE(qa.p_label, qb.p_label) AS p_label,
+       |  target_a, lo_a, target_b, lo_b, lo_b - lo_a AS qte
+       |FROM qa FULL OUTER JOIN qb
+       |  ON qa.tag = qb.tag AND qa.p_label = qb.p_label
+       |ORDER BY tag, p_label""".stripMargin)
+
+  /** Histogram-store quantile trace
+    * ([[graft.ops.Quantiles.quantilesTraceFromStore]]): p50/p90/p99 of
+    * the maintained token-count distribution AS OF every batch tag —
+    * the drift-review history next to [[qHistAsof]]'s single cut.
+    * Oracle replays every prefix through one grouped selection with
+    * the tag as a group axis. */
+  val qHistTrace: Q = "q_hist_trace" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_hist_stored: append parameters MUST stay
+      // identical there (marker-gated appendCommit keeps the first
+      // writer's content).
+      val docs = Tables.documents(s, d)
+      val store = codebookPath(d, "hist_tokcnt")
+      (0 to 2).foreach { k =>
+        graft.ops.Quantiles.storeAppend(
+          docs.filter(col("doc_id") % 3 === k)
+            .select(Text.tokenCount(col("text")).cast("long").as("v")),
+          store, s"b$k", "v", 8L)
+      }
+      graft.ops.Quantiles.quantilesTraceFromStore(s, store,
+          graft.ops.Quantiles.StandardQs, 8L)
+        .orderBy(col("tag"), col("p_label"))
+    },
+    s"""WITH base AS (SELECT doc_id % 3 AS m3,
+       |    CAST(len($TOKS) AS BIGINT) AS v FROM documents),
+       |src AS (SELECT 'b0' AS tag, v FROM base WHERE m3 <= 0
+       |  UNION ALL SELECT 'b1' AS tag, v FROM base WHERE m3 <= 1
+       |  UNION ALL SELECT 'b2' AS tag, v FROM base WHERE m3 <= 2),
+       |${graft.ops.Quantiles.oracleCtesBy("src", Seq("tag"),
+            graft.ops.Quantiles.StandardQs, 8L)}
+       |SELECT tag, p_label, target, bucket, lo, cum FROM hq
+       |ORDER BY tag, p_label""".stripMargin)
+
+  /** Deterministic random walks
+    * ([[graft.ops.Graph.deterministicWalks]]): the node2vec/DeepWalk
+    * training-corpus generator under the hash-not-RNG discipline —
+    * hop t from node c picks dst-sorted neighbor
+    * md5(start, t, c, salt) % deg(c), so the walk table is a pure
+    * function of (graph, salt) and the oracle replays every hop. Over
+    * the co-purchase graph; 3 hops. */
+  val qRandomWalks: Q = "q_random_walks" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.deterministicWalks(edges, "src", "dst",
+          walkLen = 3, salt = "walk1")
+        .orderBy(col("node"))
+    },
+    {
+      def hop(t: Int): String = {
+        val prev = s"step_${t - 1}"
+        val cols = (0 until t).map(i => s"w.step_$i").mkString(", ")
+        // continuation lines must not START with '||': the outer
+        // query string's stripMargin would eat one pipe
+        s"""w$t AS (SELECT w.node, $cols, a.dst AS step_$t
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.$prev
+           |    AND a.idx = CAST('0x' || substr(md5(CAST(w.node AS VARCHAR) ||
+           |      '#$t#' || CAST(w.$prev AS VARCHAR) || 'walk1'), 1, 7)
+           |      AS BIGINT) % a.deg)""".stripMargin
+      }
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |    FROM lineitem),
+         |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+         |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+         |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+         |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+         |adj AS (SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+         |      AS BIGINT) - 1 AS idx,
+         |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+         |  FROM e),
+         |w0 AS (SELECT DISTINCT src AS node, src AS step_0 FROM adj),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT node, step_0, step_1, step_2, step_3 FROM w3
+         |ORDER BY node""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -11374,5 +11502,6 @@ object Queries {
     qQteStored, qQteAsof, qAbMeanTrace, qAbBoundary,
     qUrlCanon, qUrlDedup, qKruskalBy,
     qSrmTrace, qCupedTrace, qKendallBy,
+    qQteTrace, qHistTrace, qRandomWalks,
   )
 }

@@ -452,4 +452,47 @@ class GraphSpec extends SparkTestBase {
       oneShot.exceptAll(replayed).isEmpty)
     spark.catalog.clearCache()
   }
+
+  test("deterministicWalks: hops are real neighbors, md5-replayable, dead-end truncates") {
+    // 1 and 2 have out-edges; 3 is a dead end
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val walks = Graph.deterministicWalks(edges, "src", "dst",
+        walkLen = 2, salt = "wt")
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    assert(walks.keySet === Set(1L, 2L), "one walk per node WITH out-edges")
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L)) // dst-sorted
+    def pick(start: Long, t: Int, cur: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$start#$t#${cur}wt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val nbrs = adj(cur)
+      nbrs((java.lang.Long.parseLong(hex, 16) % nbrs.size).toInt)
+    }
+    walks.foreach { case (start, r) =>
+      assert(r.getAs[Long]("step_0") === start)
+      val s1 = r.getAs[Long]("step_1")
+      assert(s1 === pick(start, 1, start), "hop 1 must replay the md5 pick")
+      if (adj.contains(s1)) {
+        assert(r.getAs[Long]("step_2") === pick(start, 2, s1))
+      } else {
+        // dead end: the walk truncates with NULL, never fabricates
+        assert(r.isNullAt(r.fieldIndex("step_2")))
+      }
+    }
+    // sticky: same (graph, salt) reproduces the identical walk table
+    val again = Graph.deterministicWalks(edges, "src", "dst", 2, "wt")
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    assert(walks.view.mapValues(_.toSeq).toMap === again)
+    // a new salt is a fresh sample: some hop differs on a graph with
+    // genuine choice (salt sweep — at least one of several salts must
+    // diverge, else the hash is ignoring its inputs)
+    val diverged = Seq("w2", "w3", "w4", "w5").exists { s2 =>
+      Graph.deterministicWalks(edges, "src", "dst", 2, s2)
+        .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap !=
+        walks.view.mapValues(_.toSeq).toMap
+    }
+    assert(diverged, "re-salting must eventually re-draw some hop")
+    spark.catalog.clearCache()
+  }
 }
