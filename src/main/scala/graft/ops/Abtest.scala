@@ -660,6 +660,84 @@ object Abtest {
     meanCard(units.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** WINSORIZED [[meanReadout]] — the heavy-tail-robust Welch card:
+    * per-unit metric sums are capped at the POOLED distribution's
+    * caller-chosen quantile (capNum/capDen, e.g. 99/100) before the
+    * moment sums, so one whale cannot own the lift. The cap is the
+    * exact bucketed quantile ([[Quantiles]]' integer ⌈q·N⌉ selection
+    * at `bucketWidth` resolution — an INTEGER, so the winsorized sums
+    * stay integers and the card stays engine-exact; the bucket
+    * rounding is part of the estimator's definition, the dyadic-table
+    * convention). One extra model-sized aggregation for the cap
+    * (broadcast back as a one-row cross join); everything else is
+    * [[meanReadout]]'s shape.
+    *
+    * @return one row: cap, n_a, n_b, sy_a, sy_b, mean_a, mean_b,
+    *         lift, t_welch, df_welch — sy/means/t over capped values */
+  def winsorizedMeanReadout(df: DataFrame, unitExpr: String, yExpr: String,
+                            salt: String, bucketWidth: Long,
+                            capNum: Int, capDen: Int): DataFrame = {
+    require(capNum >= 1 && capDen >= capNum,
+      s"cap quantile $capNum/$capDen invalid")
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val units = df
+      .select(expr(unitExpr).as("unit"), expr(yExpr).cast("long").as("yr"))
+      .groupBy(col("unit"))
+      .agg(sum(col("yr")).cast("long").as("y"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+      .persist()
+    val capRow = Quantiles.quantiles(
+        Quantiles.histogram(units, "y", bucketWidth),
+        Seq(("cap", capNum, capDen)), bucketWidth)
+      .select(col("lo").as("cap"))
+    val capped = units.crossJoin(broadcast(capRow))
+      .select(col("variant"), col("cap"),
+        least(col("y"), col("cap")).as("y"))
+    def arm(v: Int, sfx: String): Seq[Column] = {
+      val in = col("variant") === v
+      Seq(
+        coalesce(sum(when(in, 1L).otherwise(0L)), lit(0L)).cast("long")
+          .as(s"n_$sfx"),
+        coalesce(sum(when(in, col("y")).otherwise(0L)), lit(0L))
+          .cast("long").as(s"sy_$sfx"),
+        coalesce(sum(when(in, (col("y").cast(d19) * col("y").cast(d19))
+            .cast(d38)).otherwise(lit(0).cast(d38))), lit(0).cast(d38))
+          .cast(d38).as(s"syy_$sfx"))
+    }
+    val aggs = max(col("cap")).as("cap") +: (arm(0, "a") ++ arm(1, "b"))
+    meanCard(capped.agg(aggs.head, aggs.tail: _*), Seq(col("cap")))
+  }
+
+  /** GROUPED [[srmCheck]] — one sample-ratio verdict per SEGMENT (the
+    * per-cohort/per-platform guardrail drill-down: a global split can
+    * pass while one segment's is broken by a segment-local logging or
+    * bucketing bug). The segment expression must be a UNIT attribute
+    * (constant per unit) — a unit landing in two segments is counted
+    * in both, which is exactly the data bug the per-segment card then
+    * surfaces as paired mismatches.
+    *
+    * @return per segment: segment, n_units, n_a, n_b, srm_num,
+    *         srm_den, srm_chi2, mismatch */
+  def srmCheckBy(df: DataFrame, segmentExpr: String, unitExpr: String,
+                 salt: String, thrNum: Long = 384L,
+                 thrDen: Long = 100L): DataFrame = {
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    val units = df
+      .select(expr(segmentExpr).as("segment"), expr(unitExpr).as("unit"))
+      .distinct()
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+    val agg = units.groupBy(col("segment")).agg(
+      coalesce(sum(when(col("variant") === 0L, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_a"),
+      coalesce(sum(when(col("variant") === 1L, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_b"))
+    srmCard(agg, thrNum, thrDen, Seq(col("segment")))
+  }
+
   /** [[meanReadout]]'s card over the merged experiment store (per-arm
     * n/sy/syy are exactly what [[momentsStoreAppend]] maintains) — the
     * live continuous-metric dashboard next to [[readoutFromStore]]'s

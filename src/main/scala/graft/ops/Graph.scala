@@ -1007,4 +1007,32 @@ object Graph {
     }
     walks
   }
+
+  /** Skip-gram pair extraction over a [[deterministicWalks]] table —
+    * the actual DeepWalk/node2vec TRAINING CORPUS: every ordered
+    * (center, context) position pair within `window` hops of each
+    * other, aggregated to (center, context, cnt). Map-only (one
+    * explode over the ≤ (L+1)·2w literal index pairs per walk) into a
+    * single hash aggregation; truncated walks contribute only their
+    * non-NULL prefix.
+    *
+    * @param walkLen the walk table's hop count (columns step_0..L)
+    * @param window  max |i − j| between paired positions (>= 1)
+    * @return (center, context, cnt), one row per observed pair */
+  def walkPairs(walks: DataFrame, walkLen: Int,
+                window: Int): DataFrame = {
+    require(window >= 1, s"window >= 1, got $window")
+    val idx = 0 to walkLen
+    val pairs = for {
+      i <- idx; j <- idx
+      if i != j && math.abs(i - j) <= window
+    } yield struct(col(s"step_$i").as("center"),
+      col(s"step_$j").as("context"))
+    walks
+      .select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .filter(col("center").isNotNull && col("context").isNotNull)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
 }

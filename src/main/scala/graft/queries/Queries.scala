@@ -11425,6 +11425,160 @@ object Queries {
          |ORDER BY node""".stripMargin
     })
 
+  /** Skip-gram training pairs over the deterministic walk table
+    * ([[graft.ops.Graph.walkPairs]]): the DeepWalk corpus itself —
+    * ordered (center, context) pairs within 1 hop, aggregated. Oracle
+    * replays the walks and the per-position pair union. */
+  val qWalkPairs: Q = "q_walk_pairs" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      val walks = graft.ops.Graph.deterministicWalks(edges, "src", "dst",
+        walkLen = 3, salt = "walk1")
+      graft.ops.Graph.walkPairs(walks, walkLen = 3, window = 1)
+        .orderBy(col("center"), col("context"))
+    },
+    {
+      def hop(t: Int): String = {
+        val prev = s"step_${t - 1}"
+        val cols = (0 until t).map(i => s"w.step_$i").mkString(", ")
+        s"""w$t AS (SELECT w.node, $cols, a.dst AS step_$t
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.$prev
+           |    AND a.idx = CAST('0x' || substr(md5(CAST(w.node AS VARCHAR) ||
+           |      '#$t#' || CAST(w.$prev AS VARCHAR) || 'walk1'), 1, 7)
+           |      AS BIGINT) % a.deg)""".stripMargin
+      }
+      val ij = for {
+        i <- 0 to 3; j <- 0 to 3
+        if i != j && math.abs(i - j) <= 1
+      } yield s"SELECT step_$i AS center, step_$j AS context FROM w3"
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |    FROM lineitem),
+         |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+         |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+         |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+         |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+         |adj AS (SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+         |      AS BIGINT) - 1 AS idx,
+         |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+         |  FROM e),
+         |w0 AS (SELECT DISTINCT src AS node, src AS step_0 FROM adj),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)},
+         |pr AS (${ij.mkString("\n|  UNION ALL ")})
+         |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pr WHERE center IS NOT NULL AND context IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+    })
+
+  /** Winsorized Welch readout
+    * ([[graft.ops.Abtest.winsorizedMeanReadout]]): the heavy-tail
+    * robust continuous-metric card — per-user revenue capped at the
+    * pooled p99 (exact bucketed quantile, an integer) before the
+    * moment sums, so the winsorized arithmetic stays engine-exact and
+    * one whale cannot own the lift. */
+  val qAbWinsorized: Q = "q_ab_winsorized" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      graft.ops.Abtest.winsorizedMeanReadout(
+        Tables.events(s, d).select(col("user_id"), cents.as("cents")),
+        "user_id", "cents", salt = "exp13", bucketWidth = 1000L,
+        capNum = 99, capDen = 100)
+    },
+    {
+      def vr(s: String) =
+        s"""(CAST(CAST(CAST(CAST(n_$s AS DECIMAL(19,0)) * syy_$s
+           | AS DECIMAL(38,0)) - CAST(CAST(sy_$s AS DECIMAL(19,0))
+           | * CAST(sy_$s AS DECIMAL(19,0)) AS DECIMAL(38,0))
+           | AS DECIMAL(38,0)) AS DOUBLE)
+           | / (CAST(n_$s AS DOUBLE) * CAST(n_$s - 1 AS DOUBLE)))"""
+          .stripMargin.replace("\n", "")
+      val ua = s"(${vr("a")} / CAST(n_a AS DOUBLE))"
+      val ub = s"(${vr("b")} / CAST(n_b AS DOUBLE))"
+      val mA = "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val mB = "(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val tiny = "n_a = 0 OR n_b = 0 OR n_a < 2 OR n_b < 2"
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS y
+         |  FROM ev GROUP BY 1),
+         |src AS (SELECT y AS v FROM un),
+         |${graft.ops.Quantiles.oracleCtes("src",
+              Seq(("cap", 99, 100)), 1000L)},
+         |cp AS (SELECT lo AS cap FROM hq),
+         |va AS (SELECT cp.cap, LEAST(un.y, cp.cap) AS y,
+         |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp13'),
+         |      1, 7) AS BIGINT) % 2 AS variant
+         |  FROM un, cp),
+         |ag AS (SELECT max(cap) AS cap,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS n_a,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
+         |      AS BIGINT), 0) AS sy_a,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 0
+         |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+         |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_a,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT), 0) AS n_b,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END)
+         |      AS BIGINT), 0) AS sy_b,
+         |    COALESCE(CAST(sum(CASE WHEN variant = 1
+         |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+         |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+         |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_b
+         |  FROM va)
+         |SELECT cap, n_a, n_b, sy_a, sy_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $mA END AS mean_a,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE $mB END AS mean_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |    ELSE $mB - $mA END AS lift,
+         |  CASE WHEN $tiny THEN NULL
+         |    ELSE CASE WHEN $ua + $ub <= 0.0 THEN NULL
+         |      ELSE ($mB - $mA) / sqrt($ua + $ub) END END AS t_welch,
+         |  CASE WHEN $tiny THEN NULL
+         |    ELSE CASE WHEN $ua + $ub <= 0.0 THEN NULL
+         |      ELSE ($ua + $ub) * ($ua + $ub)
+         |        / ($ua * $ua / (CAST(n_a AS DOUBLE) - 1.0)
+         |          + $ub * $ub / (CAST(n_b AS DOUBLE) - 1.0)) END
+         |    END AS df_welch
+         |FROM ag""".stripMargin
+    })
+
+  /** GROUPED SRM ([[graft.ops.Abtest.srmCheckBy]]): the sample-ratio
+    * guardrail per cohort — a global split can pass while one
+    * segment's is broken by a segment-local logging bug. Segment =
+    * a unit attribute (user cohort). */
+  val qSrmBy: Q = "q_srm_by" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.srmCheckBy(Tables.events(s, d),
+          "user_id % 5", "user_id", salt = "exp1")
+        .orderBy(col("segment")),
+    s"""WITH $EV,
+       |un AS (SELECT DISTINCT user_id % 5 AS segment, user_id AS unit
+       |  FROM ev),
+       |va AS (SELECT segment,
+       |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp1'), 1, 7)
+       |      AS BIGINT) % 2 AS variant FROM un),
+       |ag AS (SELECT segment,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM va GROUP BY 1)
+       |SELECT segment, n_a + n_b AS n_units, n_a, n_b,
+       |  (n_a - n_b) * (n_a - n_b) AS srm_num,
+       |  n_a + n_b AS srm_den,
+       |  CASE WHEN n_a + n_b = 0 THEN NULL
+       |    ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       |      / CAST(n_a + n_b AS DOUBLE) END AS srm_chi2,
+       |  ((n_a - n_b) * (n_a - n_b)) * 100 > 384 * (n_a + n_b) AS mismatch
+       |FROM ag ORDER BY segment""".stripMargin)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -11503,5 +11657,6 @@ object Queries {
     qUrlCanon, qUrlDedup, qKruskalBy,
     qSrmTrace, qCupedTrace, qKendallBy,
     qQteTrace, qHistTrace, qRandomWalks,
+    qWalkPairs, qAbWinsorized, qSrmBy,
   )
 }

@@ -555,6 +555,43 @@ class AbtestSpec extends SparkTestBase {
       .orderBy("p_label").collect() === oneShot)
   }
 
+  test("winsorizedMeanReadout: the cap is the exact bucketed quantile and it bites") {
+    // 200 modest units + one whale; cap at p90 so the whale is capped
+    val rows = ((1L to 200L).map(u => (u, u % 13 * 10L)) :+ (777L, 100000L))
+      .toDF("u", "y")
+    val r = Abtest.winsorizedMeanReadout(rows, "u", "y", "sW",
+      bucketWidth = 10L, capNum = 9, capDen = 10).collect().head
+    val cap = r.getAs[Long]("cap")
+    // replay the ⌈q·N⌉ selection by hand: 201 values, target = ⌈0.9·201⌉
+    val vals = ((1L to 200L).map(u => u % 13 * 10L) :+ 100000L)
+      .map(_ / 10L).sorted // bucketized
+    val target = (201 * 9 + 9) / 10
+    assert(cap === vals(target - 1) * 10L, "cap = exact bucketed quantile")
+    assert(cap < 100000L, "the whale must be above the cap")
+    // winsorized total equals the hand-capped sum
+    val handSum = ((1L to 200L).map(u => u % 13 * 10L) :+ 100000L)
+      .map(math.min(_, cap)).sum
+    assert(r.getAs[Long]("sy_a") + r.getAs[Long]("sy_b") === handSum)
+    // and the whale's arm no longer dominates: winsorized |lift| is
+    // below the raw card's
+    val raw = Abtest.meanReadout(rows, "u", "y", "sW").collect().head
+    assert(math.abs(r.getAs[Double]("lift"))
+      < math.abs(raw.getAs[Double]("lift")))
+  }
+
+  test("srmCheckBy: per-segment cards equal per-slice ungrouped checks") {
+    val rows = (1L to 400L).map(u => (u, u % 3)).toDF("u", "seg")
+    val by = Abtest.srmCheckBy(rows, "seg", "u", "sS")
+      .collect().map(r => r.getAs[Long]("segment") -> r).toMap
+    assert(by.size === 3)
+    (0L to 2L).foreach { g =>
+      val solo = Abtest.srmCheck(rows.filter($"seg" === g), "u", "sS")
+        .collect().head
+      assert(by(g).toSeq.drop(1) === solo.toSeq,
+        s"segment $g must equal the ungrouped check on its slice")
+    }
+  }
+
   test("cuped: per-row contributions aggregate to unit grain first") {
     // two rows per unit sum to the same (y, x) as the one-row form
     val twoRow = (1L to 60L).flatMap(u =>

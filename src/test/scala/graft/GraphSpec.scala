@@ -495,4 +495,23 @@ class GraphSpec extends SparkTestBase {
     assert(diverged, "re-salting must eventually re-draw some hop")
     spark.catalog.clearCache()
   }
+
+  test("walkPairs: windowed positions only, NULL-truncated tails drop out") {
+    // hand walk table: (10, 20, 30, NULL) and (40, 50, NULL, NULL)
+    val walks = Seq(
+      (10L, 10L, Some(20L), Some(30L), Option.empty[Long]),
+      (40L, 40L, Some(50L), Option.empty[Long], Option.empty[Long]))
+      .toDF("node", "step_0", "step_1", "step_2", "step_3")
+    val got = Graph.walkPairs(walks, walkLen = 3, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // adjacent ordered pairs from walk 1: (10,20),(20,10),(20,30),(30,20)
+    // from walk 2: (40,50),(50,40); nothing pairs with NULL
+    assert(got === Map((10L, 20L) -> 1L, (20L, 10L) -> 1L,
+      (20L, 30L) -> 1L, (30L, 20L) -> 1L,
+      (40L, 50L) -> 1L, (50L, 40L) -> 1L))
+    // window=2 adds the distance-2 pairs
+    val w2 = Graph.walkPairs(walks, 3, 2).count()
+    assert(w2 === 8L, "two extra (10,30)/(30,10) rows at window 2")
+  }
 }
