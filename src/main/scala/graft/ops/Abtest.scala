@@ -80,6 +80,100 @@ object Abtest {
         .otherwise((pB - pA) / se).as("z"))): _*)
   }
 
+  /** K-ARM experiment readout — variant = md5 % k (arm 0 is the
+    * CONTROL), one row per arm with its two-proportion z against the
+    * control: the A/B/n form every real platform runs (testing k − 1
+    * treatments against one control with the SAME sticky bucketing as
+    * [[readout]]; k = 2 reduces to it exactly, arm columns aside).
+    * Every arm emits a row even when empty (literal 0..k−1 axis —
+    * an arm nobody landed in is a fact worth seeing, not a missing
+    * row). NULL rate on an empty arm; NULL lift/z on the control row,
+    * an empty pair side, or a degenerate pooled rate — the
+    * [[readout]] guard set per pair.
+    *
+    * Scale: one hash aggregation to unit grain, one to k rows; the
+    * control row broadcasts onto the arm axis. Nothing unit-level
+    * leaves the second aggregation.
+    *
+    * @return per arm: variant, n, conv, rate, lift_vs_ctrl, z_vs_ctrl */
+  def readoutK(df: DataFrame, unitExpr: String, convExpr: String,
+               salt: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
+    val spark = df.sparkSession
+    val units = df
+      .select(expr(unitExpr).as("unit"),
+        expr(convExpr).cast("boolean").as("c"))
+      .groupBy(col("unit"))
+      .agg(max(when(col("c"), 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % $k"))
+    val agg = units.groupBy(col("variant")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("converted")).cast("long").as("conv"))
+    val axis = spark.range(k).select(col("id").as("variant"))
+    val arms = axis.join(agg, Seq("variant"), "left")
+      .select(col("variant"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+    val ctrl = arms.filter(col("variant") === 0L)
+      .select(col("n").as("n0"), col("conv").as("c0"))
+    val n0 = col("n0").cast("double"); val ni = col("n").cast("double")
+    val r0 = col("c0").cast("double") / n0
+    val ri = col("conv").cast("double") / ni
+    val pp = (col("c0") + col("conv")).cast("double") / (n0 + ni)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / ni))
+    val noPair = col("variant") === 0L || col("n") === 0L || col("n0") === 0L
+    val nullD = lit(null).cast("double")
+    arms.crossJoin(broadcast(ctrl)).select(
+      col("variant"), col("n"), col("conv"),
+      when(col("n") === 0L, nullD).otherwise(ri).as("rate"),
+      when(noPair, nullD).otherwise(ri - r0).as("lift_vs_ctrl"),
+      // nested guard: pp divides by n0+ni — clear noPair first (the
+      // ANSI eager-OR rule)
+      when(noPair, nullD).otherwise(
+        when(pp === 0.0 || pp === 1.0, nullD)
+          .otherwise((ri - r0) / se)).as("z_vs_ctrl"))
+  }
+
+  /** K-ARM [[srmCheck]] — the uniform-split chi-square over k arms:
+    * chi2 = Σ(n_i − n/k)²/(n/k) = Σ(k·n_i − n)²/(k·n), all-integer
+    * numerator (the srm_num convention generalized), DECIMAL verdict
+    * compare. The threshold is REQUIRED (df = k − 1 varies: 599/100
+    * for k = 3, 781/100 for k = 4 at α = 0.05, stricter in production).
+    *
+    * @return one row: k, n_units, n_0..n_<k-1>, chi2_num (= Σ(k·n_i −
+    *         n)²), chi2_den (= k·n), srm_chi2, mismatch */
+  def srmCheckK(df: DataFrame, unitExpr: String, salt: String, k: Int,
+                thrNum: Long, thrDen: Long): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val units = df.select(expr(unitExpr).as("unit")).distinct()
+      .withColumn("variant",
+        expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
+          s"'$salt')), 1, 7), 16, 10) as bigint) % $k"))
+    val aggs = (0 until k).map(i =>
+      coalesce(sum(when(col("variant") === i.toLong, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as(s"n_$i"))
+    val agg = units.agg(aggs.head, aggs.tail: _*)
+    val n = (0 until k).map(i => col(s"n_$i")).reduce(_ + _)
+    val chi2num = (0 until k).map { i =>
+      val d = lit(k.toLong) * col(s"n_$i") - n
+      (d.cast(d19) * d.cast(d19)).cast(d38)
+    }.reduce(_ + _).cast(d38)
+    val chi2den = lit(k.toLong) * n
+    agg.select((Seq(lit(k).as("k"), n.as("n_units")) ++
+      (0 until k).map(i => col(s"n_$i")) ++
+      Seq(chi2num.cast("long").as("chi2_num"), chi2den.as("chi2_den"),
+        when(n === 0L, lit(null).cast("double"))
+          .otherwise(chi2num.cast("double") / chi2den.cast("double"))
+          .as("srm_chi2"),
+        (chi2num * lit(thrDen).cast(d19) >
+          (lit(thrNum).cast(d19) * chi2den.cast(d19)).cast(d38))
+          .as("mismatch"))): _*)
+  }
+
   /** CUPED-adjusted experiment readout (Deng, Xu, Kohavi & Walker,
     * WSDM 2013): reduce metric variance with a pre-experiment
     * covariate — adjusted metric y' = y − θ(x − x̄) with

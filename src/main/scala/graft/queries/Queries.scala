@@ -11579,6 +11579,85 @@ object Queries {
        |  ((n_a - n_b) * (n_a - n_b)) * 100 > 384 * (n_a + n_b) AS mismatch
        |FROM ag ORDER BY segment""".stripMargin)
 
+  /** K-ARM readout ([[graft.ops.Abtest.readoutK]], k = 4): the A/B/n
+    * dashboard — one row per arm with its two-proportion z against
+    * the control, empty arms still emitting rows. */
+  val qAbKarm: Q = "q_ab_karm" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.readoutK(Tables.events(s, d), "user_id",
+          "event_type = 'purchase' AND value > 110", salt = "exp4", k = 4)
+        .select(col("variant"), col("n"), col("conv"),
+          round(col("rate"), 9).as("rate"),
+          round(col("lift_vs_ctrl"), 9).as("lift_vs_ctrl"),
+          round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"))
+        .orderBy(col("variant")),
+    {
+      val rI = "(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))"
+      val r0 = "(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+      val pp = "(CAST(c0 + conv AS DOUBLE) / CAST(n0 + n AS DOUBLE))"
+      val noPair = "variant = 0 OR n = 0 OR n0 = 0"
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 110
+         |      THEN 1 ELSE 0 END) AS converted
+         |  FROM ev GROUP BY 1),
+         |va AS (SELECT converted,
+         |    CAST('0x' || substr(md5(CAST(unit AS VARCHAR) || 'exp4'), 1, 7)
+         |      AS BIGINT) % 4 AS variant FROM un),
+         |ag AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(converted) AS BIGINT) AS conv FROM va GROUP BY 1),
+         |ax AS (SELECT range AS variant FROM range(4)),
+         |ar AS (SELECT ax.variant, COALESCE(n, 0) AS n,
+         |    COALESCE(conv, 0) AS conv
+         |  FROM ax LEFT JOIN ag ON ax.variant = ag.variant),
+         |ct AS (SELECT n AS n0, conv AS c0 FROM ar WHERE variant = 0)
+         |SELECT variant, n, conv,
+         |  round(CASE WHEN n = 0 THEN NULL ELSE $rI END, 9) AS rate,
+         |  round(CASE WHEN $noPair THEN NULL
+         |    ELSE $rI - $r0 END, 9) AS lift_vs_ctrl,
+         |  round(CASE WHEN $noPair THEN NULL
+         |    ELSE CASE WHEN $pp = 0.0 OR $pp = 1.0 THEN NULL
+         |      ELSE ($rI - $r0) / sqrt($pp * (1.0 - $pp)
+         |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n AS DOUBLE)))
+         |      END END, 6) AS z_vs_ctrl
+         |FROM ar, ct ORDER BY variant""".stripMargin
+    })
+
+  /** K-ARM SRM ([[graft.ops.Abtest.srmCheckK]], k = 4 at the
+    * χ²(3, 0.05) = 7.81 cut): the uniform-split guardrail for A/B/n —
+    * all-integer chi-square numerator, decimal verdict compare. */
+  val qSrmKarm: Q = "q_srm_karm" -> (
+    (s: SparkSession, d: String) =>
+      graft.ops.Abtest.srmCheckK(Tables.events(s, d), "user_id",
+        salt = "exp4", k = 4, thrNum = 781L, thrDen = 100L),
+    {
+      val cnts = (0 until 4).map(i =>
+        s"""CAST(sum(CASE WHEN variant = $i THEN 1 ELSE 0 END) AS BIGINT)
+           | AS n_$i""".stripMargin.replace("\n", "")).mkString(",\n|    ")
+      val n = (0 until 4).map(i => s"n_$i").mkString(" + ")
+      val chi2num = (0 until 4).map(i =>
+        s"""CAST(CAST(4 * n_$i - ($n) AS DECIMAL(19,0))
+           | * CAST(4 * n_$i - ($n) AS DECIMAL(19,0)) AS DECIMAL(38,0))"""
+          .stripMargin.replace("\n", "")).mkString(" + ")
+      s"""WITH $EV,
+         |un AS (SELECT DISTINCT user_id AS unit FROM ev),
+         |va AS (SELECT CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+         |    || 'exp4'), 1, 7) AS BIGINT) % 4 AS variant FROM un),
+         |ag AS (SELECT
+         |    $cnts
+         |  FROM va),
+         |st AS (SELECT *, CAST($chi2num AS DECIMAL(38,0)) AS chi2_dec,
+         |    4 * ($n) AS chi2_den, ($n) AS n_units FROM ag)
+         |SELECT 4 AS k, n_units, n_0, n_1, n_2, n_3,
+         |  CAST(chi2_dec AS BIGINT) AS chi2_num, chi2_den,
+         |  CASE WHEN n_units = 0 THEN NULL
+         |    ELSE CAST(chi2_dec AS DOUBLE) / CAST(chi2_den AS DOUBLE)
+         |    END AS srm_chi2,
+         |  chi2_dec * 100 > CAST(781 AS DECIMAL(19,0))
+         |    * CAST(chi2_den AS DECIMAL(19,0)) AS mismatch
+         |FROM st""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -11658,5 +11737,6 @@ object Queries {
     qSrmTrace, qCupedTrace, qKendallBy,
     qQteTrace, qHistTrace, qRandomWalks,
     qWalkPairs, qAbWinsorized, qSrmBy,
+    qAbKarm, qSrmKarm,
   )
 }

@@ -41,4 +41,24 @@ object AbStream {
       onBatch.foreach(f => f(batchId,
         graft.ops.Abtest.readoutFromStore(spark, path).collect().head))
     }
+
+  /** Streaming twin of the QTE store
+    * ([[graft.ops.Abtest.quantileLiftStoreAppend]]) — the live
+    * heavy-tail dashboard: each micro-batch's per-arm metric histogram
+    * folds into the additive store, and
+    * [[graft.ops.Abtest.quantileLiftFromStore]] after any batch equals
+    * the one-shot QTE over every unit that has arrived. Same
+    * unit-partitioning contract and marker discipline as
+    * [[selfMaintaining]]; per-batch state: (arm × bucket) rows. */
+  def selfMaintainingQte(rows: DataFrame, path: String, unitExpr: String,
+                         yExpr: String, salt: String, bucketWidth: Long)
+                        (onBatch: Option[(Long, Long) => Unit] = None)
+                        : DataStreamWriter[Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.ops.Abtest.quantileLiftStoreAppend(batch, path, tagFor(batchId),
+        unitExpr, yExpr, salt, bucketWidth)
+      onBatch.foreach(f => f(batchId,
+        graft.ops.Stores.freshRead(spark, path).count()))
+    }
 }
