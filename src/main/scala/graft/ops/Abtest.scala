@@ -111,6 +111,14 @@ object Abtest {
     val agg = units.groupBy(col("variant")).agg(
       count(lit(1)).cast("long").as("n"),
       sum(col("converted")).cast("long").as("conv"))
+    karmCard(spark, agg, k)
+  }
+
+  /** The k-arm card over pre-aggregated (variant, n, conv) rows —
+    * shared by the one-shot [[readoutK]] and [[readoutKFromStore]] so
+    * both emit the SAME double expressions bit-for-bit. */
+  private def karmCard(spark: org.apache.spark.sql.SparkSession,
+                       agg: DataFrame, k: Int): DataFrame = {
     val axis = spark.range(k).select(col("id").as("variant"))
     val arms = axis.join(agg, Seq("variant"), "left")
       .select(col("variant"),
@@ -136,6 +144,31 @@ object Abtest {
           .otherwise((ri - r0) / se)).as("z_vs_ctrl"))
   }
 
+  /** [[readoutK]]'s card over the merged experiment store — the live
+    * A/B/n dashboard: [[momentsStoreAppend]] with the same k maintains
+    * per-arm rows, and the stored card equals the one-shot
+    * bit-for-bit by additivity. */
+  def readoutKFromStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
+    karmCard(spark,
+      mergedArms(spark, path).select(col("variant"), col("n"), col("conv")),
+      k)
+  }
+
+  /** [[srmCheckK]]'s verdict over the merged store's per-arm unit
+    * counts — the A/B/n guardrail on the live dashboard. */
+  def srmKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                    k: Int, thrNum: Long, thrDen: Long): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
+    require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
+    val merged = mergedArms(spark, path)
+    val aggs = (0 until k).map(i =>
+      coalesce(sum(when(col("variant") === i.toLong, col("n"))
+        .otherwise(0L)), lit(0L)).cast("long").as(s"n_$i"))
+    srmKCard(merged.agg(aggs.head, aggs.tail: _*), k, thrNum, thrDen)
+  }
+
   /** K-ARM [[srmCheck]] — the uniform-split chi-square over k arms:
     * chi2 = Σ(n_i − n/k)²/(n/k) = Σ(k·n_i − n)²/(k·n), all-integer
     * numerator (the srm_num convention generalized), DECIMAL verdict
@@ -156,7 +189,12 @@ object Abtest {
     val aggs = (0 until k).map(i =>
       coalesce(sum(when(col("variant") === i.toLong, 1L).otherwise(0L)),
         lit(0L)).cast("long").as(s"n_$i"))
-    val agg = units.agg(aggs.head, aggs.tail: _*)
+    srmKCard(units.agg(aggs.head, aggs.tail: _*), k, thrNum, thrDen)
+  }
+
+  private def srmKCard(agg: DataFrame, k: Int, thrNum: Long,
+                       thrDen: Long): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
     val n = (0 until k).map(i => col(s"n_$i")).reduce(_ + _)
     val chi2num = (0 until k).map { i =>
       val d = lit(k.toLong) * col(s"n_$i") - n
@@ -1118,9 +1156,10 @@ object Abtest {
     * [[graft.ops.Stats.bootstrapStoreAppend]] lifecycle. */
   def momentsStoreAppend(df: DataFrame, path: String, batchTag: String,
                          unitExpr: String, convExpr: String, yExpr: String,
-                         xExpr: String, salt: String): Unit = {
+                         xExpr: String, salt: String, k: Int = 2): Unit = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
     val spark = df.sparkSession
-    val rows = armMoments(df, unitExpr, convExpr, yExpr, xExpr, salt)
+    val rows = armMoments(df, unitExpr, convExpr, yExpr, xExpr, salt, k)
       .withColumn("tag", lit(batchTag))
     if (!Stores.exists(spark, path, "_SUCCESS"))
       rows.limit(0).write.mode("overwrite").parquet(path)
@@ -1133,8 +1172,8 @@ object Abtest {
     * syy) for one batch — unit grain first (conversion = ANY row,
     * metric/covariate summed), then one row per arm. */
   private def armMoments(df: DataFrame, unitExpr: String, convExpr: String,
-                         yExpr: String, xExpr: String,
-                         salt: String): DataFrame = {
+                         yExpr: String, xExpr: String, salt: String,
+                         k: Int = 2): DataFrame = {
     val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
     val units = df
       .select(expr(unitExpr).as("unit"),
@@ -1147,7 +1186,7 @@ object Abtest {
         sum(col("xr")).cast("long").as("x"))
       .withColumn("variant",
         expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
-          s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
+          s"'$salt')), 1, 7), 16, 10) as bigint) % $k"))
     units.groupBy(col("variant")).agg(
       count(lit(1)).cast("long").as("n"),
       sum(col("converted")).cast("long").as("conv"),

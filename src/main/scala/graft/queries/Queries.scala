@@ -11658,6 +11658,54 @@ object Queries {
          |FROM st""".stripMargin
     })
 
+  /** [[qAbKarm]] read off the ADDITIVE experiment store
+    * ([[graft.ops.Abtest.momentsStoreAppend]] with k = 4, three
+    * user-disjoint slices): per-arm counts add across batches, so the
+    * A/B/n dashboard equals the one-shot bit-for-bit and the oracle is
+    * [[qAbKarm]]'s verbatim. */
+  val qAbKarmStored: Q = "q_ab_karm_stored" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_srm_karm_stored: append parameters MUST
+      // stay identical there (marker-gated appendCommit keeps the
+      // first writer's content).
+      val store = codebookPath(d, "ab_karm_store")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp4", k = 4)
+      }
+      graft.ops.Abtest.readoutKFromStore(s, store, k = 4)
+        .select(col("variant"), col("n"), col("conv"),
+          round(col("rate"), 9).as("rate"),
+          round(col("lift_vs_ctrl"), 9).as("lift_vs_ctrl"),
+          round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"))
+        .orderBy(col("variant"))
+    },
+    qAbKarm._2._2)
+
+  /** [[qSrmKarm]]'s verdict off the same k-arm store — the A/B/n
+    * guardrail on the live dashboard; oracle is [[qSrmKarm]]'s
+    * verbatim. */
+  val qSrmKarmStored: Q = "q_srm_karm_stored" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_karm_stored: append parameters MUST
+      // stay identical there (marker-gated appendCommit keeps the
+      // first writer's content).
+      val store = codebookPath(d, "ab_karm_store")
+      val ev = Tables.events(s, d)
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "event_type = 'purchase' AND value > 110",
+          "0", "0", salt = "exp4", k = 4)
+      }
+      graft.ops.Abtest.srmKFromStore(s, store, k = 4,
+        thrNum = 781L, thrDen = 100L)
+    },
+    qSrmKarm._2._2)
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -11737,6 +11785,6 @@ object Queries {
     qSrmTrace, qCupedTrace, qKendallBy,
     qQteTrace, qHistTrace, qRandomWalks,
     qWalkPairs, qAbWinsorized, qSrmBy,
-    qAbKarm, qSrmKarm,
+    qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored,
   )
 }

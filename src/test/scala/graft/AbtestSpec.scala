@@ -639,6 +639,25 @@ class AbtestSpec extends SparkTestBase {
       "an arm missing 90% of its units must alarm")
   }
 
+  test("k-arm store: unit-disjoint batches reproduce the one-shot A/B/n cards") {
+    val store = java.nio.file.Files.createTempDirectory("karm_store")
+      .toString + "/s"
+    val rows = (1L to 400L).map(u => (u, u % 11 == 0, 0L, 0L))
+      .toDF("u", "c", "y", "x")
+    (0L to 2L).foreach { g =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === g), store,
+        s"b$g", "u", "c", "y", "x", salt = "sK", k = 4)
+    }
+    assert(Abtest.readoutKFromStore(spark, store, k = 4)
+      .orderBy("variant").collect() ===
+      Abtest.readoutK(rows, "u", "c", "sK", k = 4)
+        .orderBy("variant").collect(),
+      "per-arm counts must ADD across unit-disjoint batches, all k arms")
+    assert(Abtest.srmKFromStore(spark, store, 4, 781L, 100L)
+      .collect().head ===
+      Abtest.srmCheckK(rows, "u", "sK", 4, 781L, 100L).collect().head)
+  }
+
   test("streaming QTE twin: per-batch store equals the one-shot after each batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
