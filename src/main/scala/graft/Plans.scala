@@ -89,7 +89,8 @@ object Plans {
         "q_srm_trace", "q_cuped_trace", "q_kendall_by",
         "q_qte_trace", "q_hist_trace", "q_random_walks",
         "q_walk_pairs", "q_ab_winsorized", "q_srm_by",
-        "q_ab_karm", "q_srm_karm", "q_ab_karm_stored", "q_srm_karm_stored")
+        "q_ab_karm", "q_srm_karm", "q_ab_karm_stored", "q_srm_karm_stored",
+        "q_mrl_recall", "q_ab_mean_boundary", "q_cochran_by")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition;

@@ -1303,6 +1303,49 @@ object Abtest {
     meanCard(cum, Seq(col("tag")))
   }
 
+  /** [[boundaryTrace]]'s CONTINUOUS-metric twin — the alpha-spending
+    * decision boundary over [[meanReadoutTrace]]'s Welch-t rows: each
+    * look k compares the displayed 6-dp |t| against its spending bound
+    * (the z-table bounds, the standard large-n practice where t ≈ z;
+    * at experiment-platform unit counts the t/z gap is far below the
+    * boundary's own design tolerance — documented approximation, the
+    * dyadic-table convention). Same crossed/stopped semantics, same
+    * loud raise on unplanned looks.
+    *
+    * @return per tag: tag, look, n_a, n_b, t (6-dp), t_bound,
+    *         crossed, stopped */
+  def boundaryTraceMean(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        bounds: Seq[Double] = ObrienFleming3): DataFrame = {
+    require(bounds.nonEmpty && bounds.size <= 64,
+      s"1..64 planned looks, got ${bounds.size}")
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val looked = meanReadoutTrace(spark, path)
+      .withColumn("look", row_number().over(wOrd).cast("long"))
+    val bound = bounds.zipWithIndex.tail
+      .foldLeft(when(col("look") === 1L, lit(bounds.head))) {
+        case (acc, (b, i)) => acc.when(col("look") === (i + 1).toLong, lit(b))
+      }
+      .otherwise(raise_error(concat(
+        lit("boundaryTraceMean: look "), col("look").cast("string"),
+        lit(s" exceeds the ${bounds.size}-look spending schedule")))
+        .cast("double"))
+    val tr = round(col("t_welch"), 6)
+    looked
+      .withColumn("t_bound", bound)
+      .withColumn("crossed",
+        when(col("t_welch").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(tr) >= col("t_bound")))
+      .withColumn("stopped",
+        max(coalesce(col("crossed"), lit(false)).cast("int")).over(wCum)
+          === 1)
+      .select(col("tag"), col("look"), col("n_a"), col("n_b"),
+        tr.as("t"), col("t_bound"), col("crossed"), col("stopped"))
+  }
+
   /** O'Brien–Fleming two-sided group-sequential z boundaries for
     * K = 3 equally-spaced looks at overall α = 0.05 (O'Brien &
     * Fleming 1979; c·√(K/k) with the tabulated c₃ = 2.004, e.g.

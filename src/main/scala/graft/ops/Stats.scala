@@ -800,6 +800,66 @@ object Stats {
         .otherwise(qNum.cast("double") / qDen.cast("double")).as("q"))
   }
 
+  /** GROUPED [[cochranQ]] — one k-way agreement omnibus PER SEGMENT
+    * (which ingest source do the k classifiers actually disagree on?):
+    * completes the per-segment omnibus set next to the grouped
+    * Kruskal–Wallis and Kendall cards. Same complete-case discipline
+    * per segment (items with votes ≠ k are counted in that segment's
+    * bad_items and excluded from its sums).
+    *
+    * @return per segment: groupCols..., k, n_items, bad_items,
+    *         n_success, sum_tj2, sum_ui2, q_num, q_den, q */
+  def cochranQ(df: DataFrame, groupCols: Seq[String], itemExpr: String,
+               treatmentExpr: String, successExpr: String,
+               k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "use the ungrouped cochranQ")
+    require(k >= 2, s"need >= 2 treatments, got $k")
+    val gc = groupCols.map(col)
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val cells = df.select((gc :+ expr(itemExpr).as("item") :+
+        expr(treatmentExpr).as("t") :+
+        when(expr(successExpr), 1L).otherwise(0L).as("s")): _*)
+      .persist()
+    val perItem = cells.groupBy((gc :+ col("item")): _*)
+      .agg(count(lit(1)).cast("long").as("votes"),
+        sum(col("s")).cast("long").as("u"))
+    val items = perItem.groupBy(gc: _*).agg(
+      count(lit(1)).cast("long").as("n_items"),
+      coalesce(sum(when(col("votes") =!= k.toLong, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("bad_items"),
+      coalesce(sum(when(col("votes") === k.toLong,
+          (col("u").cast(d19) * col("u").cast(d19)).cast(d38))
+          .otherwise(lit(0).cast(d38))),
+        lit(0).cast(d38)).cast(d38).cast("long").as("sum_ui2"))
+    val goodCells = cells.join(
+      perItem.filter(col("votes") === k.toLong)
+        .select((gc :+ col("item")): _*),
+      groupCols :+ "item", "left_semi")
+    val perT = goodCells.groupBy((gc :+ col("t")): _*)
+      .agg(sum(col("s")).cast("long").as("tj"))
+      .groupBy(gc: _*)
+      .agg(coalesce(sum(col("tj")), lit(0L)).cast("long").as("n_success"),
+        coalesce(sum((col("tj").cast(d19) * col("tj").cast(d19)).cast(d38)),
+          lit(0).cast(d38)).cast(d38).cast("long").as("sum_tj2"))
+    // a segment whose items are ALL incomplete has no perT row: left
+    // join, zero-fill — it still emits (bad_items loud, NULL q)
+    val j = items.join(perT, groupCols, "left_outer")
+      .select((gc :+ col("n_items") :+ col("bad_items") :+
+        col("sum_ui2") :+
+        coalesce(col("n_success"), lit(0L)).as("n_success") :+
+        coalesce(col("sum_tj2"), lit(0L)).as("sum_tj2")): _*)
+    val qNum = (lit(k.toLong - 1L).cast(d19) *
+      ((lit(k.toLong).cast(d19) * col("sum_tj2").cast(d19)).cast(d38) -
+        (col("n_success").cast(d19) * col("n_success").cast(d19)).cast(d38))
+        .cast(d38)).cast(d38)
+    val qDen = lit(k.toLong) * col("n_success") - col("sum_ui2")
+    j.select((gc :+ lit(k).as("k") :+ col("n_items") :+ col("bad_items") :+
+      col("n_success") :+ col("sum_tj2") :+ col("sum_ui2") :+
+      qNum.cast("long").as("q_num") :+ qDen.as("q_den") :+
+      when(qDen === 0L, lit(null).cast("double"))
+        .otherwise(qNum.cast("double") / qDen.cast("double")).as("q")): _*)
+  }
+
   /** Kendall concordance over the QUANTIZED cell relation — the
     * ordinal-association card: concordant/discordant pair masses C, D
     * computed EXACTLY from (x, y, cnt) cells (one ordered-pair pass:

@@ -10608,9 +10608,9 @@ object Queries {
     * card bit-for-bit — the oracle is [[qAbMean]]'s verbatim. */
   val qAbMeanStored: Q = "q_ab_mean_stored" -> (
     (s: SparkSession, d: String) => {
-      // SHARED STORE with q_ab_mean_trace: the append parameters here
-      // MUST stay identical to that site (marker-gated appendCommit
-      // keeps the first writer's content).
+      // SHARED STORE with q_ab_mean_trace/q_ab_mean_boundary: the
+      // append parameters here MUST stay identical to those sites
+      // (marker-gated appendCommit keeps the first writer's content).
       val store = codebookPath(d, "ab_mean_store")
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
@@ -10767,9 +10767,9 @@ object Queries {
     * equals its [[graft.ops.Abtest.meanReadoutFromStoreAsOf]] read. */
   val qAbMeanTrace: Q = "q_ab_mean_trace" -> (
     (s: SparkSession, d: String) => {
-      // SHARED STORE with q_ab_mean_stored: the append parameters here
-      // MUST stay identical to that site (marker-gated appendCommit
-      // keeps the first writer's content).
+      // SHARED STORE with q_ab_mean_stored/q_ab_mean_boundary: the
+      // append parameters here MUST stay identical to those sites
+      // (marker-gated appendCommit keeps the first writer's content).
       val store = codebookPath(d, "ab_mean_store")
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
@@ -11706,6 +11706,212 @@ object Queries {
     },
     qSrmKarm._2._2)
 
+  /** Matryoshka truncation eval — recall@3 of TRUNCATED-dimension
+    * cosine (first 16 of 64 dims, the MRL deployment question: how
+    * much retrieval quality do the cheap prefix dims keep?) against
+    * full-dimension brute-force truth, per probe. Same harness shape
+    * as [[qAnnRecall]]; the truncation is a map-only `slice`. */
+  val qMrlRecall: Q = "q_mrl_recall" -> (
+    (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") < 10)
+      val truth = Ann.bruteTopK(emb, probes, k = 3)
+        .select(col("q_id"), col("n_id"))
+      val tEmb = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = Ann.bruteTopK(tEmb, tEmb.filter(col("vec_id") < 10),
+          k = 3)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("q_id", "n_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("k"))
+        .orderBy(col("q_id"))
+    },
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+       |  WHERE vec_id < 10),
+       |scored_b AS (SELECT q_id, c.vec_id AS n_id,
+       |    round(${cosSql("q_v", "c.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+       |b AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored_b) WHERE rank <= 3),
+       |tq AS (SELECT vec_id AS q_id, embedding[1:16] AS q_v FROM embeddings
+       |  WHERE vec_id < 10),
+       |scored_t AS (SELECT q_id, c.vec_id AS n_id,
+       |    round(${cosSql("q_v", "c.embedding[1:16]")}, 6) AS cos
+       |  FROM tq JOIN embeddings c ON c.vec_id <> q_id),
+       |t AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored_t) WHERE rank <= 3)
+       |SELECT b.q_id,
+       |  CAST(count(t.n_id) AS BIGINT) AS n_hit,
+       |  CAST(count(*) AS BIGINT) AS k
+       |FROM b LEFT JOIN t USING (q_id, n_id)
+       |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)
+
+  /** Mean-metric sequential boundary
+    * ([[graft.ops.Abtest.boundaryTraceMean]]): the alpha-spending
+    * verdict over the Welch-t monitoring trace — [[qAbBoundary]]'s
+    * twin for revenue-style outcomes, same O'Brien–Fleming literal
+    * bounds. Oracle replays the mean trace and the bound table. */
+  val qAbMeanBoundary: Q = "q_ab_mean_boundary" -> (
+    (s: SparkSession, d: String) => {
+      // SHARED STORE with q_ab_mean_stored/q_ab_mean_trace: the append
+      // parameters here MUST stay identical to those sites
+      // (marker-gated appendCommit keeps the first writer's content).
+      val store = codebookPath(d, "ab_mean_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("user_id"), cents.as("cents"))
+      (0 to 2).foreach { k =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === k), store, s"b$k",
+          "user_id", "false", "cents", "0", salt = "exp13")
+      }
+      graft.ops.Abtest.boundaryTraceMean(s, store).orderBy(col("tag"))
+    },
+    {
+      def vr(s: String) =
+        s"""(CAST(CAST(CAST(CAST(n_$s AS DECIMAL(19,0)) * syy_$s
+           | AS DECIMAL(38,0)) - CAST(CAST(sy_$s AS DECIMAL(19,0))
+           | * CAST(sy_$s AS DECIMAL(19,0)) AS DECIMAL(38,0))
+           | AS DECIMAL(38,0)) AS DOUBLE)
+           | / (CAST(n_$s AS DOUBLE) * CAST(n_$s - 1 AS DOUBLE)))"""
+          .stripMargin.replace("\n", "")
+      val ua = s"(${vr("a")} / CAST(n_a AS DOUBLE))"
+      val ub = s"(${vr("b")} / CAST(n_b AS DOUBLE))"
+      val mA = "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val mB = "(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val tiny = "n_a = 0 OR n_b = 0 OR n_a < 2 OR n_b < 2"
+      val blocks = (0 to 2).map { k =>
+        s"""ag$k AS (SELECT 'b$k' AS tag,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT), 0) AS n_a,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END)
+           |      AS BIGINT), 0) AS sy_a,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 0
+           |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+           |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+           |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_a,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT), 0) AS n_b,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END)
+           |      AS BIGINT), 0) AS sy_b,
+           |    COALESCE(CAST(sum(CASE WHEN variant = 1
+           |      THEN CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+           |        AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)
+           |      AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0))) AS syy_b
+           |  FROM va WHERE m3 <= $k)""".stripMargin
+      }.mkString(",\n|")
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit, user_id % 3 AS m3,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS y
+         |  FROM ev GROUP BY 1, 2),
+         |va AS (SELECT m3, y, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+         |    || 'exp13'), 1, 7) AS BIGINT) % 2 AS variant FROM un),
+         |$blocks,
+         |uu AS (SELECT * FROM ag0 UNION ALL SELECT * FROM ag1
+         |  UNION ALL SELECT * FROM ag2),
+         |tz AS (SELECT tag, n_a, n_b,
+         |    round(CASE WHEN $tiny THEN NULL
+         |      ELSE CASE WHEN $ua + $ub <= 0.0 THEN NULL
+         |        ELSE ($mB - $mA) / sqrt($ua + $ub) END END, 6) AS t
+         |  FROM uu),
+         |lk AS (SELECT *, row_number() OVER (ORDER BY tag) AS look FROM tz),
+         |bd AS (SELECT *, CASE WHEN look = 1 THEN 3.471
+         |    WHEN look = 2 THEN 2.454 WHEN look = 3 THEN 2.004 END AS t_bound
+         |  FROM lk),
+         |cr AS (SELECT *, CASE WHEN t IS NULL THEN NULL
+         |    ELSE abs(t) >= t_bound END AS crossed FROM bd)
+         |SELECT tag, look, n_a, n_b, t, t_bound, crossed,
+         |  max(CASE WHEN COALESCE(crossed, false) THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY tag ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) = 1 AS stopped
+         |FROM cr ORDER BY tag""".stripMargin
+    })
+
+  /** GROUPED Cochran's Q ([[graft.ops.Stats.cochranQ]] groupCols
+    * overload): the k-voter agreement omnibus PER SOURCE — which
+    * ingest source do the three lang-ID heuristics actually disagree
+    * on? Same voters as [[qCochranQ]]; complete by construction, so
+    * the complete-case sums equal the all-item sums per source. */
+  val qCochranBy: Q = "q_cochran_by" -> (
+    (s: SparkSession, d: String) => {
+      val t = col("text")
+      def h(lex: Seq[String]) = Text.stopwordHits(t, lex)
+      val hEn = h(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val hEs = h(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val hFr = h(Seq("le", "la", "de", "et", "un", "une", "est"))
+      val hDe = h(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val v1 = Text.langId(t)
+      val v2 = when(hEn > 0, lit("en")).otherwise(lit("und"))
+      val v3 = when(hDe > 0 && hDe >= hEs && hDe >= hFr, lit("de"))
+        .when(hEs > 0 && hEs >= hFr, lit("es"))
+        .when(hFr > 0, lit("fr")).otherwise(lit("und"))
+      val votes = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), explode(array(
+          struct(lit("v1").as("t"), (v1 === col("lang")).as("s")),
+          struct(lit("v2").as("t"), (v2 === col("lang")).as("s")),
+          struct(lit("v3").as("t"), (v3 === col("lang")).as("s"))))
+          .as("e"))
+        .select(col("source"), col("doc_id"), col("e.t").as("t"),
+          col("e.s").as("s"))
+      graft.ops.Stats.cochranQ(votes, Seq("source"), "doc_id", "t", "s",
+          k = 3)
+        .orderBy(col("source"))
+    },
+    {
+      def hits(lex: Seq[String]) = {
+        val lst = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($TOKS, t -> list_contains($lst, t)))"
+      }
+      val de = hits(Seq("der", "die", "das", "und", "ein", "ist", "zu"))
+      val en = hits(Seq("the", "a", "of", "and", "to", "in", "is"))
+      val es = hits(Seq("el", "la", "de", "y", "un", "una", "es"))
+      val fr = hits(Seq("le", "la", "de", "et", "un", "une", "est"))
+      s"""WITH h AS (SELECT source, lang, $de AS h_de, $en AS h_en,
+         |    $es AS h_es, $fr AS h_fr FROM documents),
+         |sc AS (SELECT source,
+         |    CASE WHEN (CASE
+         |      WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |      WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |      WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |      WHEN h_fr > 0 THEN 'fr'
+         |      ELSE 'und' END) = lang THEN 1 ELSE 0 END AS s1,
+         |    CASE WHEN (CASE WHEN h_en > 0 THEN 'en' ELSE 'und' END) = lang
+         |      THEN 1 ELSE 0 END AS s2,
+         |    CASE WHEN (CASE
+         |      WHEN h_de > 0 AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |      WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+         |      WHEN h_fr > 0 THEN 'fr'
+         |      ELSE 'und' END) = lang THEN 1 ELSE 0 END AS s3
+         |  FROM h),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+         |    CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(s2) AS BIGINT) AS t2,
+         |    CAST(sum(s3) AS BIGINT) AS t3,
+         |    CAST(sum((s1 + s2 + s3) * (s1 + s2 + s3)) AS BIGINT) AS sum_ui2
+         |  FROM sc GROUP BY 1),
+         |st AS (SELECT source, n_items, CAST(0 AS BIGINT) AS bad_items,
+         |    t1 + t2 + t3 AS n_success,
+         |    t1 * t1 + t2 * t2 + t3 * t3 AS sum_tj2, sum_ui2
+         |  FROM ag),
+         |qq AS (SELECT *,
+         |    CAST(CAST(2 AS DECIMAL(19,0)) * CAST(CAST(CAST(3 AS DECIMAL(19,0))
+         |      * CAST(sum_tj2 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+         |      - CAST(CAST(n_success AS DECIMAL(19,0))
+         |        * CAST(n_success AS DECIMAL(19,0)) AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS q_dec,
+         |    3 * n_success - sum_ui2 AS q_den
+         |  FROM st)
+         |SELECT source, 3 AS k, n_items, bad_items, n_success, sum_tj2,
+         |  sum_ui2, CAST(q_dec AS BIGINT) AS q_num, q_den,
+         |  CASE WHEN q_den = 0 THEN NULL
+         |    ELSE CAST(q_dec AS DOUBLE) / CAST(q_den AS DOUBLE) END AS q
+         |FROM qq ORDER BY source""".stripMargin
+    })
+
   /** All oracle-checked queries, in SURVEY §2 inventory order. */
   val all: Seq[Q] = Seq(
     qDashboard, qUsage, qProduction,
@@ -11785,6 +11991,7 @@ object Queries {
     qSrmTrace, qCupedTrace, qKendallBy,
     qQteTrace, qHistTrace, qRandomWalks,
     qWalkPairs, qAbWinsorized, qSrmBy,
-    qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored,
+    qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored, qMrlRecall,
+    qAbMeanBoundary, qCochranBy,
   )
 }

@@ -528,6 +528,39 @@ class AbtestSpec extends SparkTestBase {
     }
   }
 
+  test("boundaryTraceMean: crossed compares the displayed t; stopped is cumulative") {
+    val store = java.nio.file.Files.createTempDirectory("ab_mbound")
+      .toString + "/s"
+    // plant a mean shift via the hash: variant-1 units earn +40
+    val vExpr = "cast(conv(substring(md5(concat(cast(u as string), " +
+      "'sM')), 1, 7), 16, 10) as bigint) % 2"
+    val rows = (1L to 900L).map(u => (u, u % 13 * 10L)).toDF("u", "y0")
+    (0L to 2L).foreach { k =>
+      Abtest.momentsStoreAppend(rows.filter($"u" % 3 === k), store,
+        s"b$k", "u", "false",
+        s"y0 + (CASE WHEN ($vExpr) = 1 THEN 40 ELSE 0 END)", "0",
+        salt = "sM")
+    }
+    val t = Abtest.boundaryTraceMean(spark, store).orderBy("look").collect()
+    assert(t.length === 3)
+    val trace = Abtest.meanReadoutTrace(spark, store)
+      .orderBy("tag").collect()
+    t.zip(trace).zipWithIndex.foreach { case ((b, m), i) =>
+      // t is the 6-dp displayed Welch statistic from the trace
+      val shown = BigDecimal(m.getAs[Double]("t_welch"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(b.getAs[Double]("t") === shown)
+      assert(b.getAs[Double]("t_bound") === Abtest.ObrienFleming3(i))
+      assert(b.getAs[Boolean]("crossed") ===
+        (math.abs(b.getAs[Double]("t")) >= Abtest.ObrienFleming3(i)))
+    }
+    // stopped is monotone
+    val stops = t.map(_.getAs[Boolean]("stopped"))
+    assert(stops.zip(stops.tail).forall { case (a, b) => !a || b })
+    // a planted +40-cent shift on ~450 units/arm crosses by look 3
+    assert(stops.last, s"t trace = ${t.map(_.getAs[Double]("t")).toSeq}")
+  }
+
   test("quantileLift store: unit-disjoint batches reproduce the one-shot QTE; as-of audits") {
     val store = java.nio.file.Files.createTempDirectory("qte_store")
       .toString + "/s"

@@ -409,6 +409,37 @@ class StatsSpec extends SparkTestBase {
     assert(rb.getAs[Long]("sum_ui2") === 9L)
   }
 
+  test("grouped cochranQ: per-segment cards equal per-slice ungrouped runs") {
+    // segment A: the textbook Q = 4 fixture; segment B: unanimous
+    // (NULL q); segment C: one incomplete panel (complete-case sums)
+    val segA = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", true), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", false), (4L, "C", false))
+      .map { case (i, t, s) => ("sA", i, t, s) }
+    val segB = Seq((1L, "A", true), (1L, "B", true), (1L, "C", true))
+      .map { case (i, t, s) => ("sB", i, t, s) }
+    val segC = Seq((1L, "A", true), (1L, "B", true), (1L, "C", true),
+      (2L, "A", false), (2L, "B", false))
+      .map { case (i, t, s) => ("sC", i, t, s) }
+    val rows = (segA ++ segB ++ segC).toDF("seg", "item", "t", "s")
+    val by = Stats.cochranQ(rows, Seq("seg"), "item", "t", "s", k = 3)
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(by.size === 3)
+    Seq("sA", "sB", "sC").foreach { g =>
+      val solo = Stats.cochranQ(rows.filter($"seg" === g), "item", "t",
+        "s", k = 3).collect().head
+      assert(by(g).toSeq.drop(1) === solo.toSeq,
+        s"segment $g must equal the ungrouped run on its slice")
+    }
+    assert(by("sA").getAs[Double]("q") === 4.0)
+    assert(by("sB").isNullAt(by("sB").fieldIndex("q")))
+    assert(by("sC").getAs[Long]("bad_items") === 1L)
+    assert(by("sC").getAs[Long]("n_success") === 3L,
+      "incomplete item 2 must be excluded from the segment's sums")
+  }
+
   test("kendallCells: perfect concordance/discordance; tie-only NULL gamma") {
     // cells (1,1)×2, (2,2)×1, (3,3)×1: C = 2+2+1 = 5, D = 0,
     // tau-b = 2·5/(√10·√10) = 1
