@@ -58,6 +58,14 @@ object GraphProbe {
     val tK40 = time(graft.ops.Graph
       .kCore(edges, "src", "dst", k = 40L).count())
     println(f"kcore k=80 $tK80%.3f s; k=40 $tK40%.3f s (build excluded)")
+    // walks: per-hop cost (each hop = one equi-join on the indexed
+    // adjacency; should be linear in walkLen)
+    val tW3 = time(graft.ops.Graph
+      .deterministicWalks(edges, "src", "dst", 3, "p").count())
+    val tW6 = time(graft.ops.Graph
+      .deterministicWalks(edges, "src", "dst", 6, "p").count())
+    println(f"walks L=3 $tW3%.3f s; L=6 $tW6%.3f s; " +
+      f"per_hop ${(tW6 - tW3) / 3}%.3f s")
     spark.stop()
   }
 }
