@@ -1110,6 +1110,38 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(canon("mailto:a@b.com") === null)
   }
 
+  test("canonicalUrl is IDEMPOTENT over generated crawl URLs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.ops.Web
+    def gen[A](g: Gen[A], seed: Long): A =
+      g(Gen.Parameters.default, Seed(seed)).get
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      host <- Gen.oneOf("Example.com", "a.b.example.co.uk",
+        "shop.example.com.au.", "EXAMPLE.org", "x.example.net:8080",
+        "example.com:443", "example.com:80")
+      path <- Gen.oneOf("", "/", "/a/b", "/Case/Sensitive", "/p%20q")
+      params <- Gen.listOf(Gen.oneOf("a=1", "z=9", "b=", "utm_source=x",
+        "utm_campaign=y", "gclid=g", "ref=r", "k=v&"))
+      frag <- Gen.oneOf("", "#top", "#a/b?c=d")
+    } yield s"$scheme://$host$path" +
+      (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag
+    val urls = (0 until 8).flatMap(i =>
+      gen(Gen.listOfN(25, urlGen), 1000L + i))
+    val out = urls.toDF("u")
+      .select(Web.canonicalUrl(col("u")).as("c1"))
+      .select(col("c1"), Web.canonicalUrl(col("c1")).as("c2"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!r.isNullAt(0), "every generated URL must canonicalize")
+      assert(r.getString(0) === r.getString(1),
+        s"canonical form must be a FIXED POINT, got ${r.getString(0)}"
+          + s" -> ${r.getString(1)}")
+    }
+  }
+
   test("registrableDomain: co.uk-class suffixes, plain TLDs, IPv4, single label") {
     import graft.ops.Web
     def dom(u: String): Any = {
