@@ -114,9 +114,36 @@ object Abtest {
     karmCard(spark, agg, k)
   }
 
+  /** Two-sided Bonferroni z thresholds at FAMILY α = 0.05 for
+    * m = 1..63 simultaneous comparisons (index m−1): z_m =
+    * Φ⁻¹(1 − 0.025/m) — PRECOMPUTED literal constants, the
+    * [[ObrienFleming3]]/[[mdeCard]] z-literal convention (no
+    * erf/quantile machinery at runtime; both engines compare against
+    * the identical double). m = 1 is the plain 1.959964 cut. */
+  val BonferroniZ05: Vector[Double] = Vector(
+    1.959964, 2.241403, 2.393980, 2.497705, 2.575829, 2.638257, 2.690110,
+    2.734369, 2.772921, 2.807034, 2.837597, 2.865260, 2.890512, 2.913726,
+    2.935199, 2.955167, 2.973820, 2.991316, 3.007787, 3.023341, 3.038074,
+    3.052065, 3.065383, 3.078088, 3.090232, 3.101862, 3.113017, 3.123735,
+    3.134046, 3.143980, 3.153563, 3.162818, 3.171766, 3.180426, 3.188815,
+    3.196950, 3.204845, 3.212514, 3.219968, 3.227218, 3.234277, 3.241152,
+    3.247854, 3.254389, 3.260767, 3.266995, 3.273078, 3.279024, 3.284839,
+    3.290527, 3.296094, 3.301545, 3.306885, 3.312118, 3.317247, 3.322278,
+    3.327213, 3.332056, 3.336810, 3.341479, 3.346065, 3.350571, 3.355000)
+
   /** The k-arm card over pre-aggregated (variant, n, conv) rows —
     * shared by the one-shot [[readoutK]] and [[readoutKFromStore]] so
-    * both emit the SAME double expressions bit-for-bit. */
+    * both emit the SAME double expressions bit-for-bit.
+    *
+    * MULTIPLICITY: testing k−1 treatments against one control at the
+    * naive per-pair 1.96 cut inflates the family false-positive rate
+    * ≈ (k−1)·α — the A/B/n twin of the unadjusted-peeking error the
+    * boundary ops guard. The card therefore emits BOTH verdicts:
+    * `sig_naive` (|z| ≥ 1.959964, what a two-arm dashboard would say)
+    * and `sig_adjusted` (|z| ≥ [[BonferroniZ05]](k−1), family-α
+    * controlled). Each compares the ROUNDED displayed statistic
+    * (round 6) so the boolean is engine-exact — the boundary-crossed
+    * convention; NULL z reads NULL on both. */
   private def karmCard(spark: org.apache.spark.sql.SparkSession,
                        agg: DataFrame, k: Int): DataFrame = {
     val axis = spark.range(k).select(col("id").as("variant"))
@@ -133,15 +160,22 @@ object Abtest {
     val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / ni))
     val noPair = col("variant") === 0L || col("n") === 0L || col("n0") === 0L
     val nullD = lit(null).cast("double")
+    val nullB = lit(null).cast("boolean")
+    val z = when(noPair, nullD).otherwise(
+      when(pp === 0.0 || pp === 1.0, nullD)
+        .otherwise((ri - r0) / se))
+    val zr = abs(round(z, 6))
     arms.crossJoin(broadcast(ctrl)).select(
       col("variant"), col("n"), col("conv"),
       when(col("n") === 0L, nullD).otherwise(ri).as("rate"),
       when(noPair, nullD).otherwise(ri - r0).as("lift_vs_ctrl"),
       // nested guard: pp divides by n0+ni — clear noPair first (the
       // ANSI eager-OR rule)
-      when(noPair, nullD).otherwise(
-        when(pp === 0.0 || pp === 1.0, nullD)
-          .otherwise((ri - r0) / se)).as("z_vs_ctrl"))
+      z.as("z_vs_ctrl"),
+      when(z.isNull, nullB)
+        .otherwise(zr >= lit(BonferroniZ05.head)).as("sig_naive"),
+      when(z.isNull, nullB)
+        .otherwise(zr >= lit(BonferroniZ05(k - 2))).as("sig_adjusted"))
   }
 
   /** [[readoutK]]'s card over the merged experiment store — the live
@@ -152,7 +186,8 @@ object Abtest {
                         path: String, k: Int): DataFrame = {
     require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
     karmCard(spark,
-      mergedArms(spark, path).select(col("variant"), col("n"), col("conv")),
+      mergedArms(spark, path, maxVariant = k - 1L)
+        .select(col("variant"), col("n"), col("conv")),
       k)
   }
 
@@ -162,7 +197,7 @@ object Abtest {
                     k: Int, thrNum: Long, thrDen: Long): DataFrame = {
     require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
     require(thrNum >= 0 && thrDen >= 1, s"threshold $thrNum/$thrDen invalid")
-    val merged = mergedArms(spark, path)
+    val merged = mergedArms(spark, path, maxVariant = k - 1L)
     val aggs = (0 until k).map(i =>
       coalesce(sum(when(col("variant") === i.toLong, col("n"))
         .otherwise(0L)), lit(0L)).cast("long").as(s"n_$i"))
@@ -820,10 +855,21 @@ object Abtest {
         expr(s"cast(conv(substring(md5(concat(cast(unit as string), " +
           s"'$salt')), 1, 7), 16, 10) as bigint) % 2"))
       .persist()
-    val capRow = Quantiles.quantiles(
-        Quantiles.histogram(units, "y", bucketWidth),
-        Seq(("cap", capNum, capDen)), bucketWidth)
-      .select(col("lo").as("cap"))
+    // EAGER count: (a) materializes the persisted unit grain once for
+    // its two consumers (the cap histogram and the moment sums), and
+    // (b) guards the empty-input case — Quantiles.quantiles takes a
+    // driver-side max(cum) that has no value on an empty histogram.
+    // Empty input degrades to the NULL card (meanCard's emptyArm
+    // path, cap NULL), exactly like meanReadout.
+    val nUnits = units.count()
+    val capRow =
+      if (nUnits == 0L)
+        df.sparkSession.range(1).select(lit(null).cast("long").as("cap"))
+      else
+        Quantiles.quantiles(
+            Quantiles.histogram(units, "y", bucketWidth),
+            Seq(("cap", capNum, capDen)), bucketWidth)
+          .select(col("lo").as("cap"))
     val capped = units.crossJoin(broadcast(capRow))
       .select(col("variant"), col("cap"),
         least(col("y"), col("cap")).as("y"))
@@ -839,7 +885,12 @@ object Abtest {
           .cast(d38).as(s"syy_$sfx"))
     }
     val aggs = max(col("cap")).as("cap") +: (arm(0, "a") ++ arm(1, "b"))
-    meanCard(capped.agg(aggs.head, aggs.tail: _*), Seq(col("cap")))
+    // the card is ONE row: materialize it (leaf plan), then release
+    // the unit grain deterministically — no caller clearCache debt
+    val out = meanCard(capped.agg(aggs.head, aggs.tail: _*),
+      Seq(col("cap"))).localCheckpoint(true)
+    units.unpersist()
+    out
   }
 
   /** GROUPED [[srmCheck]] — one sample-ratio verdict per SEGMENT (the
@@ -1199,10 +1250,18 @@ object Abtest {
 
   /** The store's merged per-arm state (plain sums — the additive
     * contract), optionally cut at a batch tag (`tag <= asOfTag`) for
-    * the time-travel reads. */
+    * the time-travel reads.
+    *
+    * `maxVariant` is a LOUD guard, not a filter: [[momentsStoreAppend]]'s
+    * k is caller-chosen per append, so a store appended with a larger k
+    * than the reader expects would otherwise silently drop the extra
+    * arms from the 0..k−1 axis — plausible-but-wrong dashboard numbers.
+    * The assert rides the model-sized per-arm rows at zero plan cost
+    * (the axisGuard convention); two-arm readers keep the default 1. */
   private def mergedArms(spark: org.apache.spark.sql.SparkSession,
                          path: String,
-                         asOfTag: Option[String] = None): DataFrame = {
+                         asOfTag: Option[String] = None,
+                         maxVariant: Long = 1L): DataFrame = {
     Stores.requireStore(spark, path, "append experiment batches first")
     val d38 = "decimal(38,0)"
     val read = Stores.freshRead(spark, path)
@@ -1215,6 +1274,12 @@ object Abtest {
       sum(col("sxx")).cast(d38).as("sxx"),
       sum(col("sxy")).cast(d38).as("sxy"),
       sum(col("syy")).cast(d38).as("syy"))
+      .withColumn("n", col("n") + coalesce(assert_true(
+        col("variant") >= 0L && col("variant") <= lit(maxVariant),
+        concat(lit(s"experiment store $path holds variant "),
+          col("variant").cast("string"),
+          lit(s" outside 0..$maxVariant — was it appended with a" +
+            " larger k than this reader's?"))).cast("long"), lit(0L)))
   }
 
   /** [[readout]]'s card over the merged store — the maintained
@@ -1247,12 +1312,20 @@ object Abtest {
       coalesce(sum(when(col("variant") === 1L, col("n")).otherwise(0L)),
         lit(0L)).cast("long").as("dn_b"),
       coalesce(sum(when(col("variant") === 1L, col("conv")).otherwise(0L)),
-        lit(0L)).cast("long").as("dc_b"))
+        lit(0L)).cast("long").as("dc_b"),
+      max(col("variant")).as("max_var"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // loud two-arm guard (the mergedArms maxVariant convention): a
+    // store appended with k > 2 must not render a silently-wrong trace
+    val varGuard = coalesce(assert_true(col("max_var") <= 1L,
+      concat(lit(s"experiment store $path holds variant "),
+        col("max_var").cast("string"),
+        lit(" — readoutTrace reads two-arm stores only"))).cast("long"),
+      lit(0L))
     val cum = perTag.select(col("tag"),
-      sum(col("dn_a")).over(w).cast("long").as("n_a"),
+      (sum(col("dn_a")).over(w).cast("long") + varGuard).as("n_a"),
       sum(col("dc_a")).over(w).cast("long").as("conv_a"),
       sum(col("dn_b")).over(w).cast("long").as("n_b"),
       sum(col("dc_b")).over(w).cast("long").as("conv_b"))
@@ -1289,12 +1362,19 @@ object Abtest {
         lit(0L)).cast("long").as("dsy_b"),
       coalesce(sum(when(col("variant") === 1L, col("syy"))
         .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).cast(d38)
-        .as("dsyy_b"))
+        .as("dsyy_b"),
+      max(col("variant")).as("max_var"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("tag"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // loud two-arm guard — the readoutTrace/mergedArms convention
+    val varGuard = coalesce(assert_true(col("max_var") <= 1L,
+      concat(lit(s"experiment store $path holds variant "),
+        col("max_var").cast("string"),
+        lit(" — meanReadoutTrace reads two-arm stores only"))).cast("long"),
+      lit(0L))
     val cum = perTag.select(col("tag"),
-      sum(col("dn_a")).over(w).cast("long").as("n_a"),
+      (sum(col("dn_a")).over(w).cast("long") + varGuard).as("n_a"),
       sum(col("dsy_a")).over(w).cast("long").as("sy_a"),
       sum(col("dsyy_a")).over(w).cast(d38).as("syy_a"),
       sum(col("dn_b")).over(w).cast("long").as("n_b"),
@@ -1323,8 +1403,22 @@ object Abtest {
     val wCum = wOrd.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
+    // look indices ride lexicographic tag order, and the spending
+    // schedule attaches statistical meaning to that order: 'b10'
+    // sorting before 'b2' would hand looks the WRONG bounds silently.
+    // Fixed-width (zero-padded) tags make lexicographic = append
+    // order; mixed widths raise loudly ([[boundaryTrace]]'s guard).
+    val wAll = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val widthGuard = coalesce(assert_true(
+      min(length(col("tag"))).over(wAll) ===
+        max(length(col("tag"))).over(wAll),
+      lit("boundaryTraceMean: batch tags must be fixed-width " +
+        "(zero-padded) so lexicographic look order is append order"))
+      .cast("long"), lit(0L))
     val looked = meanReadoutTrace(spark, path)
-      .withColumn("look", row_number().over(wOrd).cast("long"))
+      .withColumn("look", row_number().over(wOrd).cast("long") + widthGuard)
     val bound = bounds.zipWithIndex.tail
       .foldLeft(when(col("look") === 1L, lit(bounds.head))) {
         case (acc, (b, i)) => acc.when(col("look") === (i + 1).toLong, lit(b))
@@ -1384,8 +1478,20 @@ object Abtest {
     val wCum = wOrd.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
+    // the spending schedule attaches statistical meaning to the trace's
+    // lexicographic tag order — require fixed-width (zero-padded) tags
+    // so look k provably maps to append k (see boundaryTraceMean)
+    val wAll = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val widthGuard = coalesce(assert_true(
+      min(length(col("tag"))).over(wAll) ===
+        max(length(col("tag"))).over(wAll),
+      lit("boundaryTrace: batch tags must be fixed-width " +
+        "(zero-padded) so lexicographic look order is append order"))
+      .cast("long"), lit(0L))
     val looked = readoutTrace(spark, path)
-      .withColumn("look", row_number().over(wOrd).cast("long"))
+      .withColumn("look", row_number().over(wOrd).cast("long") + widthGuard)
     val bound = bounds.zipWithIndex.tail
       .foldLeft(when(col("look") === 1L, lit(bounds.head))) {
         case (acc, (b, i)) => acc.when(col("look") === (i + 1).toLong, lit(b))

@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Deterministically release the block-manager storage behind a
+    * `localCheckpoint(true)`'d ROUND frame once the loop no longer
+    * reads it. `Dataset.unpersist` and `spark.catalog.clearCache` both
+    * operate on the CACHE MANAGER and do NOT free RDD-level local-
+    * checkpoint blocks — without this, every iterative loop's storage
+    * footprint grows with the round count until JVM GC + ContextCleaner
+    * happen to reclaim the unreferenced RDDs. A frame that was never
+    * checkpointed has no `LogicalRDD` leaf and the call is a no-op, so
+    * the loops may pass their round-0 (persisted or projected) state
+    * through the same release point. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+        case _ => ()
+      }
+
   /** PageRank over a DIRECTED edge list.
     *
     * Two modes:
@@ -133,6 +151,7 @@ object Graph {
         // Checkpointing pins the round behind a leaf plan.
         .localCheckpoint(true)
       if (it == 1) e.unpersist() // eDeg is cached now; drop its input
+      releaseCheckpoint(ranks) // prev round's blocks (no-op on round 0)
       ranks = next
     }
     eDeg.unpersist()
@@ -200,6 +219,7 @@ object Graph {
         // lineage discipline (quadratic driver planning otherwise)
         .localCheckpoint(true)
       if (it == 1) e.unpersist()
+      releaseCheckpoint(ranks) // prev round's blocks (no-op on round 0)
       ranks = next
     }
     eDeg.unpersist(); deg.unpersist(); reset.unpersist()
@@ -265,6 +285,7 @@ object Graph {
         // localCheckpoint per round, NOT persist — the pageRank/kCore
         // lineage discipline (quadratic driver planning otherwise)
         .localCheckpoint(true)
+      releaseCheckpoint(ranks) // prev round's blocks (no-op on round 0)
       ranks = next
     }
     e.unpersist()
@@ -414,6 +435,10 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
         .localCheckpoint(true)
+      // both half-round reads are done: release the PREVIOUS round's
+      // blocks (round-1 hub is the persisted init — no-op there)
+      if (auth != null) releaseCheckpoint(auth)
+      releaseCheckpoint(hub)
       auth = a; hub = h
     }
     // one-row L1 totals, broadcast by the cross join (never a collect
@@ -481,6 +506,7 @@ object Graph {
         // localCheckpoint per round, NOT persist — the pageRank/kCore
         // lineage discipline (quadratic driver planning otherwise)
         .localCheckpoint(true)
+      releaseCheckpoint(labels) // prev round's blocks (no-op on round 0)
       labels = next
     }
     e.unpersist(); nodes.unpersist()
@@ -541,6 +567,7 @@ object Graph {
         // lineage discipline (quadratic driver planning otherwise)
         .localCheckpoint(true)
       if (it == 1) e.unpersist()
+      releaseCheckpoint(ranks) // prev round's blocks (no-op on round 0)
       ranks = next
     }
     eW.unpersist(); sw.unpersist(); nodes.unpersist()
@@ -615,8 +642,10 @@ object Graph {
         .localCheckpoint(true)
       val n = next.count()
       onRound(round, n)
-      if (n == nEdges) { next.unpersist(); converged = true }
-      else { cur.unpersist(); cur = next; nEdges = n }
+      // releaseCheckpoint, NOT Dataset.unpersist: unpersist talks to
+      // the cache manager and leaves localCheckpoint RDD blocks behind
+      if (n == nEdges) { releaseCheckpoint(next); converged = true }
+      else { releaseCheckpoint(cur); cur = next; nEdges = n }
     }
     require(converged || nEdges == 0,
       s"kCore did not converge within $maxRounds rounds ($nEdges edges " +
@@ -671,7 +700,12 @@ object Graph {
         .localCheckpoint(true)
       val counts = next.groupBy("node")
         .agg(count(lit(1)).cast("long").as(s"n$t"))
-      reached = reached.unionAll(next).localCheckpoint(true)
+      val grown = reached.unionAll(next).localCheckpoint(true)
+      // old cumulative set's blocks are dead once the union is
+      // materialized; `next` stays — `counts` reads it lazily at the
+      // caller's action
+      releaseCheckpoint(reached)
+      reached = grown
       frontier = next
       counts
     }
@@ -963,22 +997,39 @@ object Graph {
     * steps stay NULL.
     *
     * Scale: the indexed adjacency (src, idx, dst) is built once
-    * (one row_number window partitioned by src) and persisted;
-    * each hop is ONE equi-join on (src, idx) — walkLen joins total,
-    * never a per-node driver loop. State is one row per walk.
+    * (one row_number window partitioned by src) and persisted; each
+    * hop is TWO equi-joins on the walk frontier — a degree lookup on
+    * src (to draw the pick) and the indexed pick on (src, idx) —
+    * 2·walkLen joins total, never a per-node driver loop. State is
+    * one row per walk. The row_number window puts each node's FULL
+    * neighbor list into one task's sort, so a raw web-graph hub
+    * (degree 10⁸) is a straggler: pass `maxDeg` to cap hop choice to
+    * the first `maxDeg` dst-sorted neighbors (the
+    * [[commonNeighborLinks]] `maxCenterDeg` precedent) — the pick
+    * hashes over min(deg, maxDeg), so walks stay deterministic and
+    * any graph whose max degree is below the cap is bit-identical to
+    * the uncapped run. The cap bounds every DOWNSTREAM join and the
+    * persisted adjacency; the one remaining full-list sort is the
+    * price of a deterministic "first by dst" selection.
     *
     * @param walkLen number of hops (1..8; output columns step_0 =
     *                start .. step_<walkLen>)
+    * @param maxDeg  optional per-node out-degree cap (>= 1); hop
+    *                choice draws from the first `maxDeg` dst-sorted
+    *                neighbors only
     * @return per start node: node, step_0..step_<walkLen> */
   def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
-                         walkLen: Int, salt: String): DataFrame = {
+                         walkLen: Int, salt: String,
+                         maxDeg: Option[Long] = None): DataFrame = {
     require(walkLen >= 1 && walkLen <= 8, s"walkLen in [1, 8], got $walkLen")
+    require(maxDeg.forall(_ >= 1L), s"maxDeg >= 1, got $maxDeg")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
-    val adj = e
-      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+    val indexed = e.withColumn("idx", row_number().over(w).cast("long") - 1L)
+    val capped = maxDeg.fold(indexed)(m => indexed.filter(col("idx") < m))
+    val adj = capped
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
         .cast("long"))
@@ -1003,6 +1054,78 @@ object Graph {
         .join(adj.select(col("src").as("j_src"), col("idx").as("j_idx"),
           col("dst").as("j_dst")),
           cur === col("j_src") && col("pick") === col("j_idx"), "left")
+        .select((keep :+ col("j_dst").as(s"step_$t")): _*)
+    }
+    walks
+  }
+
+  /** [[deterministicWalks]] with WEIGHTED hop choice — the node2vec
+    * edge-weight bias under the same hash-not-RNG discipline: hop t
+    * from node c draws r = md5(start, t, c, salt) % totalW(c) and
+    * steps to the dst-sorted neighbor whose cumulative-weight range
+    * [cum − w, cum) contains r, so a neighbor is chosen with
+    * probability w / totalW and the walk table stays a pure function
+    * of (graph, weights, salt) — exactly replayable by the unrolled
+    * oracle. With all weights = 1 the ranges are unit-width
+    * (cum − w = idx, totalW = deg), so the walks are BIT-IDENTICAL to
+    * [[deterministicWalks]] on the same salt — the degenerate case
+    * GraphPropertySpec pins. Scaling all weights by a constant changes
+    * the draw (r is taken modulo the SUM, not the distribution), the
+    * documented price of keeping the arithmetic in exact longs.
+    *
+    * Scale: one cumulative-weight window (same partitioning as the
+    * unweighted row_number) builds the indexed adjacency once; each
+    * hop is the same two frontier joins — a total-weight lookup on src
+    * and the range pick on (src, cum) — with the range condition
+    * evaluated inside the src equi-join. Parallel (src, dst)
+    * duplicates merge additively (one aggregation) before indexing;
+    * weights must be >= 1 (loud per-row guard, the axisGuard
+    * convention).
+    *
+    * @param wCol    long-valued positive edge weight column
+    * @return per start node: node, step_0..step_<walkLen> */
+  def deterministicWalksWeighted(edges: DataFrame, srcCol: String,
+                                 dstCol: String, wCol: String,
+                                 walkLen: Int, salt: String): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 8, s"walkLen in [1, 8], got $walkLen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .withColumn("w", col("w") + coalesce(assert_true(col("w") >= 1L,
+        concat(lit("deterministicWalksWeighted: merged weight "),
+          col("w").cast("string"),
+          lit(" < 1 — weights must be positive longs"))).cast("long"),
+        lit(0L)))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e
+      .withColumn("cum", sum(col("w")).over(wOrd
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast("long"))
+      .withColumn("tot", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+        .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var walks = nodes.select(col("node"), col("node").as("step_0"))
+    (1 to walkLen).foreach { t =>
+      val cur = col(s"step_${t - 1}")
+      val keep = walks.columns.map(col)
+      // IDENTICAL hash string to deterministicWalks — the degenerate
+      // all-weights-1 equivalence depends on it
+      val withPick = walks
+        .join(adj.select(col("src").as("h_src"), col("tot").as("h_tot"))
+          .distinct(), cur === col("h_src"), "left")
+        .select((keep :+ when(col("h_tot").isNull,
+          lit(null).cast("long")).otherwise(
+          expr(("cast(conv(substring(md5(concat(cast(node as string), " +
+            s"'#$t#', cast(step_${t - 1} as string), '$salt')), 1, 7), " +
+            "16, 10) as bigint)")) % col("h_tot")).as("pick")): _*)
+      walks = withPick
+        .join(adj.select(col("src").as("j_src"), col("cum").as("j_cum"),
+          col("w").as("j_w"), col("dst").as("j_dst")),
+          cur === col("j_src") && col("pick") >= col("j_cum") - col("j_w")
+            && col("pick") < col("j_cum"), "left")
         .select((keep :+ col("j_dst").as(s"step_$t")): _*)
     }
     walks

@@ -10911,23 +10911,29 @@ object Queries {
   /** URL canonicalization ([[graft.ops.Web]]): the crawl-curation step
     * BEFORE per-domain caps and URL-level dedup — synthesized crawl
     * URLs (both engines build the identical strings) exercising mixed
-    * case, default vs explicit ports, co.uk-class multi-part suffixes,
-    * utm_-prefixed and gclid tracking params, shuffled query order,
-    * and fragments;
-    * the canonical form and registrable domain must match DuckDB's
+    * case, default vs explicit ports, a trailing host dot before the
+    * default port, co.uk-class multi-part suffixes, a wildcard-rule
+    * ccTLD, dot-segments (`/../`, `/./`), percent triplets (unreserved
+    * `%7E`/`%7e`, reserved `%2f`, mixed case), utm_-prefixed and gclid
+    * tracking params, shuffled query order, and fragments; the
+    * canonical form and registrable domain must match DuckDB's
     * string-op replay byte-for-byte. Map-only — no shuffle. */
   val qUrlCanon: Q = "q_url_canon" -> (
     (s: SparkSession, d: String) => {
       val id = col("doc_id")
       val hostPick = element_at(array(
         lit("News.Example.co.uk"), lit("a.example.com"),
-        lit("example.com:443"), lit("sub.shop.example.com.au"),
-        lit("example.org:8080")), (pmod(id, lit(5)) + 1).cast("int"))
+        lit("example.com.:443"), lit("sub.shop.example.com.au"),
+        lit("example.org:8080"), lit("shop.acme.ck"),
+        lit("mail.www.ck")), (pmod(id, lit(7)) + 1).cast("int"))
+      val segPick = element_at(array(
+        lit(""), lit("a/../"), lit("./"), lit("%7Ex/"), lit("%7ex/"),
+        lit("b%2fc/")), (pmod(id, lit(6)) + 1).cast("int"))
       val url = concat(
         when(pmod(id, lit(2)) === 0, lit("https://"))
           .otherwise(lit("HTTP://")),
         hostPick,
-        lit("/p/"), pmod(id, lit(50)).cast("string"),
+        lit("/p/"), segPick, pmod(id, lit(50)).cast("string"),
         lit("?b="), pmod(id, lit(7)).cast("string"),
         lit("&utm_source=feed&a="), pmod(id, lit(3)).cast("string"),
         when(pmod(id, lit(4)) === 0, lit("&gclid=xyz")).otherwise(lit("")),
@@ -10942,11 +10948,15 @@ object Queries {
     {
       val urlSql =
         """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
-          | || (CASE doc_id % 5 WHEN 0 THEN 'News.Example.co.uk'
-          |   WHEN 1 THEN 'a.example.com' WHEN 2 THEN 'example.com:443'
+          | || (CASE doc_id % 7 WHEN 0 THEN 'News.Example.co.uk'
+          |   WHEN 1 THEN 'a.example.com' WHEN 2 THEN 'example.com.:443'
           |   WHEN 3 THEN 'sub.shop.example.com.au'
-          |   ELSE 'example.org:8080' END)
-          | || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+          |   WHEN 4 THEN 'example.org:8080' WHEN 5 THEN 'shop.acme.ck'
+          |   ELSE 'mail.www.ck' END)
+          | || '/p/' || (CASE doc_id % 6 WHEN 0 THEN ''
+          |   WHEN 1 THEN 'a/../' WHEN 2 THEN './' WHEN 3 THEN '%7Ex/'
+          |   WHEN 4 THEN '%7ex/' ELSE 'b%2fc/' END)
+          | || CAST(doc_id % 50 AS VARCHAR)
           | || '?b=' || CAST(doc_id % 7 AS VARCHAR)
           | || '&utm_source=feed&a=' || CAST(doc_id % 3 AS VARCHAR)
           | || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=xyz' ELSE '' END)
@@ -10978,7 +10988,10 @@ object Queries {
         when(pmod(id, lit(2)) === 0, lit("https://"))
           .otherwise(lit("HTTP://")),
         hostPick,
-        lit("/p/"), pmod(id, lit(25)).cast("string"),
+        lit("/p/"),
+        element_at(array(lit(""), lit("a/../"), lit("./")),
+          (pmod(id, lit(3)) + 1).cast("int")),
+        pmod(id, lit(25)).cast("string"),
         lit("?b="), pmod(id, lit(5)).cast("string"),
         lit("&utm_source=feed&a="), pmod(id, lit(3)).cast("string"),
         when(pmod(id, lit(4)) === 0, lit("&gclid=xyz")).otherwise(lit("")),
@@ -11000,7 +11013,9 @@ object Queries {
           |   WHEN 1 THEN 'a.example.com' WHEN 2 THEN 'example.com:443'
           |   WHEN 3 THEN 'sub.shop.example.com.au'
           |   ELSE 'example.org:8080' END)
-          | || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+          | || '/p/' || (CASE doc_id % 3 WHEN 0 THEN ''
+          |   WHEN 1 THEN 'a/../' ELSE './' END)
+          | || CAST(doc_id % 25 AS VARCHAR)
           | || '?b=' || CAST(doc_id % 5 AS VARCHAR)
           | || '&utm_source=feed&a=' || CAST(doc_id % 3 AS VARCHAR)
           | || (CASE WHEN doc_id % 4 = 0 THEN '&gclid=xyz' ELSE '' END)
@@ -11474,6 +11489,107 @@ object Queries {
          |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
     })
 
+  /** [[qRandomWalks]] over edges derived from the INCREMENTAL pair
+    * store ([[graft.ops.Graph.copurchaseEdgesFromPairStore]]) — the
+    * 100 TB walk-corpus pattern: pair extraction runs once per
+    * arriving basket batch, every consumer (PageRank, the walk
+    * generator) reads the merged artifact instead of re-scanning
+    * history. SAME store path + slice tags as [[qPageRankStored]]
+    * (one store, many consumers; appendCommit is idempotent by tag,
+    * so whichever query runs first builds it). The oracle is
+    * [[qRandomWalks]]'s VERBATIM: the store's edge-set-identity
+    * contract means the walk table must be indistinguishable from the
+    * one-shot build, every hop included. */
+  val qRandomWalksStored: Q = "q_random_walks_stored" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "basket_pairs_pr")
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      (0 until 3).foreach { i =>
+        graft.ops.Baskets.pairStoreAppend(
+          b.filter(pmod(col("basket"), lit(3)) === i), path, s"slice_$i")
+      }
+      val edges = graft.ops.Graph.copurchaseEdgesFromPairStore(
+        s, path, minItemSupport = 5)
+      graft.ops.Graph.deterministicWalks(edges, "src", "dst",
+          walkLen = 3, salt = "walk1")
+        .orderBy(col("node"))
+    },
+    qRandomWalks._2._2)
+
+  /** [[qWalkPairs]] from the stored edge set — the skip-gram corpus
+    * read off the SAME merged pair store as [[qRandomWalksStored]];
+    * oracle is [[qWalkPairs]]'s verbatim (edge-set identity ⇒
+    * identical walks ⇒ identical pair counts). */
+  val qWalkPairsStored: Q = "q_walk_pairs_stored" -> (
+    (s: SparkSession, d: String) => {
+      val path = codebookPath(d, "basket_pairs_pr")
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      (0 until 3).foreach { i =>
+        graft.ops.Baskets.pairStoreAppend(
+          b.filter(pmod(col("basket"), lit(3)) === i), path, s"slice_$i")
+      }
+      val edges = graft.ops.Graph.copurchaseEdgesFromPairStore(
+        s, path, minItemSupport = 5)
+      val walks = graft.ops.Graph.deterministicWalks(edges, "src", "dst",
+        walkLen = 3, salt = "walk1")
+      graft.ops.Graph.walkPairs(walks, walkLen = 3, window = 1)
+        .orderBy(col("center"), col("context"))
+    },
+    qWalkPairs._2._2)
+
+  /** WEIGHTED deterministic walks
+    * ([[graft.ops.Graph.deterministicWalksWeighted]]) over the
+    * co-purchase graph with shared-basket counts as edge weights
+    * ([[graft.ops.Graph.copurchaseWeightedEdges]]): hop t draws
+    * r = md5(start, t, c, salt) % totalW(c) and steps to the
+    * dst-sorted neighbor whose cumulative-weight range contains r —
+    * node2vec's weight bias under the hash-not-RNG discipline, every
+    * hop replayed by the oracle's unrolled cumulative-window joins. */
+  val qWalksWeighted: Q = "q_walks_weighted" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseWeightedEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.deterministicWalksWeighted(edges, "src", "dst", "w",
+          walkLen = 3, salt = "walkw1")
+        .orderBy(col("node"))
+    },
+    {
+      def hash(t: Int): String =
+        s"""CAST('0x' || substr(md5(CAST(w.node AS VARCHAR) ||
+           |      '#$t#' || CAST(w.step_${t - 1} AS VARCHAR) || 'walkw1'),
+           |      1, 7) AS BIGINT)""".stripMargin
+      def hop(t: Int): String = {
+        val cols = (0 until t).map(i => s"w.step_$i").mkString(", ")
+        s"""w$t AS (SELECT w.node, $cols, a.dst AS step_$t
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.step_${t - 1}
+           |    AND ${hash(t)} % a.tot >= a.cum - a.w
+           |    AND ${hash(t)} % a.tot < a.cum)""".stripMargin
+      }
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |    FROM lineitem),
+         |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+         |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+         |e AS (SELECT x.item AS src, y.item AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item
+         |  GROUP BY 1, 2),
+         |adj AS (SELECT src, dst, w,
+         |    CAST(sum(w) OVER (PARTITION BY src ORDER BY dst
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS tot
+         |  FROM e),
+         |w0 AS (SELECT DISTINCT src AS node, src AS step_0 FROM adj),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT node, step_0, step_1, step_2, step_3 FROM w3
+         |ORDER BY node""".stripMargin
+    })
+
   /** Winsorized Welch readout
     * ([[graft.ops.Abtest.winsorizedMeanReadout]]): the heavy-tail
     * robust continuous-metric card — per-user revenue capped at the
@@ -11581,7 +11697,11 @@ object Queries {
 
   /** K-ARM readout ([[graft.ops.Abtest.readoutK]], k = 4): the A/B/n
     * dashboard — one row per arm with its two-proportion z against
-    * the control, empty arms still emitting rows. */
+    * the control, empty arms still emitting rows, plus the
+    * multiplicity pair: `sig_naive` (per-pair 1.96 cut) and
+    * `sig_adjusted` (Bonferroni family-α over the k−1 comparisons,
+    * the [[graft.ops.Abtest.BonferroniZ05]] literal) — both compare
+    * the ROUNDED displayed z, so the booleans are engine-exact. */
   val qAbKarm: Q = "q_ab_karm" -> (
     (s: SparkSession, d: String) =>
       graft.ops.Abtest.readoutK(Tables.events(s, d), "user_id",
@@ -11589,13 +11709,22 @@ object Queries {
         .select(col("variant"), col("n"), col("conv"),
           round(col("rate"), 9).as("rate"),
           round(col("lift_vs_ctrl"), 9).as("lift_vs_ctrl"),
-          round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"))
+          round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"),
+          col("sig_naive"), col("sig_adjusted"))
         .orderBy(col("variant")),
     {
       val rI = "(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))"
       val r0 = "(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
       val pp = "(CAST(c0 + conv AS DOUBLE) / CAST(n0 + n AS DOUBLE))"
       val noPair = "variant = 0 OR n = 0 OR n0 = 0"
+      val zSql =
+        s"""CASE WHEN $noPair THEN NULL
+           |    ELSE CASE WHEN $pp = 0.0 OR $pp = 1.0 THEN NULL
+           |      ELSE ($rI - $r0) / sqrt($pp * (1.0 - $pp)
+           |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n AS DOUBLE)))
+           |      END END""".stripMargin
+      val zNaive = graft.ops.Abtest.BonferroniZ05.head
+      val zAdj = graft.ops.Abtest.BonferroniZ05(2)
       s"""WITH $EV,
          |un AS (SELECT user_id AS unit,
          |    max(CASE WHEN event_type = 'purchase' AND value > 110
@@ -11610,17 +11739,19 @@ object Queries {
          |ar AS (SELECT ax.variant, COALESCE(n, 0) AS n,
          |    COALESCE(conv, 0) AS conv
          |  FROM ax LEFT JOIN ag ON ax.variant = ag.variant),
-         |ct AS (SELECT n AS n0, conv AS c0 FROM ar WHERE variant = 0)
-         |SELECT variant, n, conv,
-         |  round(CASE WHEN n = 0 THEN NULL ELSE $rI END, 9) AS rate,
-         |  round(CASE WHEN $noPair THEN NULL
-         |    ELSE $rI - $r0 END, 9) AS lift_vs_ctrl,
-         |  round(CASE WHEN $noPair THEN NULL
-         |    ELSE CASE WHEN $pp = 0.0 OR $pp = 1.0 THEN NULL
-         |      ELSE ($rI - $r0) / sqrt($pp * (1.0 - $pp)
-         |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n AS DOUBLE)))
-         |      END END, 6) AS z_vs_ctrl
-         |FROM ar, ct ORDER BY variant""".stripMargin
+         |ct AS (SELECT n AS n0, conv AS c0 FROM ar WHERE variant = 0),
+         |zc AS (SELECT variant, n, conv,
+         |    round(CASE WHEN n = 0 THEN NULL ELSE $rI END, 9) AS rate,
+         |    round(CASE WHEN $noPair THEN NULL
+         |      ELSE $rI - $r0 END, 9) AS lift_vs_ctrl,
+         |    ($zSql) AS z FROM ar, ct)
+         |SELECT variant, n, conv, rate, lift_vs_ctrl,
+         |  round(z, 6) AS z_vs_ctrl,
+         |  CASE WHEN z IS NULL THEN NULL
+         |    ELSE abs(round(z, 6)) >= $zNaive END AS sig_naive,
+         |  CASE WHEN z IS NULL THEN NULL
+         |    ELSE abs(round(z, 6)) >= $zAdj END AS sig_adjusted
+         |FROM zc ORDER BY variant""".stripMargin
     })
 
   /** K-ARM SRM ([[graft.ops.Abtest.srmCheckK]], k = 4 at the
@@ -11680,7 +11811,8 @@ object Queries {
         .select(col("variant"), col("n"), col("conv"),
           round(col("rate"), 9).as("rate"),
           round(col("lift_vs_ctrl"), 9).as("lift_vs_ctrl"),
-          round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"))
+          round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"),
+          col("sig_naive"), col("sig_adjusted"))
         .orderBy(col("variant"))
     },
     qAbKarm._2._2)
@@ -11993,5 +12125,6 @@ object Queries {
     qWalkPairs, qAbWinsorized, qSrmBy,
     qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored, qMrlRecall,
     qAbMeanBoundary, qCochranBy,
+    qRandomWalksStored, qWalkPairsStored, qWalksWeighted,
   )
 }

@@ -672,6 +672,101 @@ class AbtestSpec extends SparkTestBase {
       "an arm missing 90% of its units must alarm")
   }
 
+  test("readoutK multiplicity: a z between the naive and Bonferroni cuts splits the verdicts") {
+    // deterministic construction: compute each unit's arm with the
+    // SAME md5 the op uses, then choose WHICH units convert so arm 1's
+    // z lands strictly between 1.959964 (naive) and the k=3 Bonferroni
+    // cut 2.241403 — sig_naive must fire, sig_adjusted must not.
+    def arm(u: Long, salt: String, k: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$u$salt".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % k
+    }
+    val salt = "sMx"
+    val units = (1L to 3000L).toVector
+    val byArm = units.groupBy(u => arm(u, salt, 3))
+    val (a0, a1, a2) = (byArm(0L), byArm(1L), byArm(2L))
+    val c0 = a0.size / 10
+    // mirror the card's double expression to FIND a c1 in the window
+    def z(n0: Int, cc0: Int, n1: Int, cc1: Int): Double = {
+      val r0 = cc0.toDouble / n0; val r1 = cc1.toDouble / n1
+      val pp = (cc0 + cc1).toDouble / (n0 + n1)
+      (r1 - r0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    }
+    val c1 = (c0 to a1.size).find(c =>
+      z(a0.size, c0, a1.size, c) > 1.961 &&
+        z(a0.size, c0, a1.size, c) < 2.24).getOrElse(
+      fail(s"no c1 lands in the (naive, Bonferroni) window for " +
+        s"n0=${a0.size}, n1=${a1.size}, c0=$c0"))
+    val c2 = a2.size / 10 // ~control rate: nowhere near either cut
+    val converted = (a0.take(c0) ++ a1.take(c1) ++ a2.take(c2)).toSet
+    val df = units.map(u => (u, converted(u))).toDF("u", "c")
+    val card = Abtest.readoutK(df, "u", "c", salt, k = 3)
+      .orderBy("variant").collect()
+    val r1 = card(1)
+    assert(r1.getAs[Boolean]("sig_naive") === true,
+      s"z=${r1.getAs[Double]("z_vs_ctrl")} crosses the per-pair cut")
+    assert(r1.getAs[Boolean]("sig_adjusted") === false,
+      s"z=${r1.getAs[Double]("z_vs_ctrl")} must NOT cross the k=3 " +
+        s"family cut ${Abtest.BonferroniZ05(1)}")
+    val r2 = card(2)
+    assert(r2.getAs[Boolean]("sig_naive") === false &&
+      r2.getAs[Boolean]("sig_adjusted") === false,
+      "a control-rate arm crosses neither cut")
+    // the control row reads NULL on both verdicts (no pair)
+    assert(card(0).isNullAt(card(0).fieldIndex("sig_naive")) &&
+      card(0).isNullAt(card(0).fieldIndex("sig_adjusted")))
+  }
+
+  test("experiment store k-guard: a reader expecting fewer arms dies loudly") {
+    val store = java.nio.file.Files.createTempDirectory("karm_guard")
+      .toString + "/s"
+    val rows = (1L to 300L).map(u => (u, u % 7 == 0, 0L, 0L))
+      .toDF("u", "c", "y", "x")
+    Abtest.momentsStoreAppend(rows, store, "b0", "u", "c", "y", "x",
+      salt = "sG", k = 3)
+    // the matching-k readers work
+    assert(Abtest.readoutKFromStore(spark, store, k = 3).count() === 3L)
+    // a two-arm reader must raise, not render a plausible-wrong card
+    val e = intercept[Exception] {
+      Abtest.readoutFromStore(spark, store).collect()
+    }
+    assert(e.getMessage.contains("outside 0..1"),
+      s"expected the variant-range guard, got: ${e.getMessage}")
+    // a k=2 k-arm reader must raise too (axis would drop arm 2)
+    val e2 = intercept[Exception] {
+      Abtest.readoutKFromStore(spark, store, k = 2).collect()
+    }
+    assert(e2.getMessage.contains("outside 0..1"))
+    // the traces carry the same two-arm guard
+    val e3 = intercept[Exception] {
+      Abtest.readoutTrace(spark, store).collect()
+    }
+    assert(e3.getMessage.contains("two-arm"))
+  }
+
+  test("boundaryTrace: mixed-width batch tags die loudly (look order = tag order)") {
+    val store = java.nio.file.Files.createTempDirectory("bnd_guard")
+      .toString + "/s"
+    val rows = (1L to 200L).map(u => (u, u % 9 == 0, 0L, 0L))
+      .toDF("u", "c", "y", "x")
+    // 'b2' sorts AFTER 'b10' lexicographically — the silent-bound bug
+    Abtest.momentsStoreAppend(rows.filter($"u" % 2 === 0), store, "b2",
+      "u", "c", "y", "x", salt = "sW")
+    Abtest.momentsStoreAppend(rows.filter($"u" % 2 === 1), store, "b10",
+      "u", "c", "y", "x", salt = "sW")
+    val e = intercept[Exception] {
+      Abtest.boundaryTrace(spark, store).collect()
+    }
+    assert(e.getMessage.contains("fixed-width"),
+      s"expected the tag-width guard, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      Abtest.boundaryTraceMean(spark, store).collect()
+    }
+    assert(e2.getMessage.contains("fixed-width"))
+  }
+
   test("k-arm store: unit-disjoint batches reproduce the one-shot A/B/n cards") {
     val store = java.nio.file.Files.createTempDirectory("karm_store")
       .toString + "/s"

@@ -1121,9 +1121,12 @@ class CorpusOpsSpec extends SparkTestBase {
       host <- Gen.oneOf("Example.com", "a.b.example.co.uk",
         "shop.example.com.au.", "EXAMPLE.org", "x.example.net:8080",
         "example.com:443", "example.com:80")
-      path <- Gen.oneOf("", "/", "/a/b", "/Case/Sensitive", "/p%20q")
+      path <- Gen.oneOf("", "/", "/a/b", "/Case/Sensitive", "/p%20q",
+        "/a/./b", "/a/../b", "/x/y/../../z", "/../top", "/a/.", "/a/..",
+        "/a//b", "/%7euser", "/%41bc", "/p%2fq", "/m%2Fn%20o", "/100%25",
+        "/odd%zz", "/a/%2E%2E/b", "/%2e/k")
       params <- Gen.listOf(Gen.oneOf("a=1", "z=9", "b=", "utm_source=x",
-        "utm_campaign=y", "gclid=g", "ref=r", "k=v&"))
+        "utm_campaign=y", "gclid=g", "ref=r", "k=v&", "q=%7ex", "r=%2Fs"))
       frag <- Gen.oneOf("", "#top", "#a/b?c=d")
     } yield s"$scheme://$host$path" +
       (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag
@@ -1163,5 +1166,67 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(dom("http://192.168.0.1:8080/x") === "192.168.0.1")
     assert(dom("http://localhost:3000/") === "localhost")
     assert(dom("nope") === null)
+  }
+
+  test("registrableDomain: wildcard ccTLD (*.ck) and its exception (!www.ck)") {
+    import graft.ops.Web
+    def dom(u: String): Any = {
+      val r = Seq(u).toDF("u")
+        .select(Web.registrableDomain(col("u")).as("d")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // *.ck: every second-level label is a public suffix → eTLD+1 is
+    // the last THREE labels, however deep the host
+    assert(dom("https://shop.acme.ck/x") === "shop.acme.ck")
+    assert(dom("https://a.b.shop.acme.ck/") === "shop.acme.ck")
+    // a bare two-label host under a wildcard TLD IS the suffix itself
+    assert(dom("https://acme.ck") === "acme.ck")
+    // !www.ck: the exception re-registers www.ck despite *.ck
+    assert(dom("https://www.ck/") === "www.ck")
+    assert(dom("https://mail.www.ck/") === "www.ck")
+    assert(dom("https://a.mail.www.ck/") === "www.ck")
+    // other pinned wildcard TLDs behave alike
+    assert(dom("http://x.y.gov.np") === "y.gov.np")
+    // wildcard precedence does not disturb the multi-part table
+    assert(dom("https://news.bbc.co.uk/x") === "bbc.co.uk")
+  }
+
+  test("canonicalUrl: dot-segment removal and percent normalization (RFC 3986 §6.2.2)") {
+    import graft.ops.Web
+    def canon(u: String): Any = {
+      val r = Seq(u).toDF("u")
+        .select(Web.canonicalUrl(col("u")).as("c")).collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // dot-segments: '.' drops, '..' pops, leading '..' clamps at root
+    assert(canon("https://example.com/a/./b") === "https://example.com/a/b")
+    assert(canon("https://example.com/a/../b") === "https://example.com/b")
+    assert(canon("https://example.com/a/b/../../c")
+      === "https://example.com/c")
+    assert(canon("https://example.com/../a") === "https://example.com/a")
+    // trailing '/.' and '/..' keep their slash (the RFC's output)
+    assert(canon("https://example.com/a/.") === "https://example.com/a/")
+    assert(canon("https://example.com/a/..") === "https://example.com/")
+    // empty segments ('//') are preserved verbatim, and '..' pops them
+    assert(canon("https://example.com/a//b") === "https://example.com/a//b")
+    // percent normalization: unreserved decodes, retained upcases
+    assert(canon("https://example.com/%7euser") === "https://example.com/~user")
+    assert(canon("https://example.com/%41%62c") === "https://example.com/Abc")
+    assert(canon("https://example.com/p%2fq") === "https://example.com/p%2Fq",
+      "reserved characters stay encoded, hex uppercased")
+    assert(canon("https://example.com/p%20q") === "https://example.com/p%20q")
+    // a lone '%' not followed by two hex digits passes through
+    assert(canon("https://example.com/100%25") === "https://example.com/100%25")
+    assert(canon("https://example.com/a%zz") === "https://example.com/a%zz")
+    // %2E decodes to '.' and THEN dot-removal applies (whatwg order)
+    assert(canon("https://example.com/a/%2E%2E/b") === "https://example.com/b")
+    // query strings get the same percent normalization before sorting
+    assert(canon("https://example.com/p?k=%7ev&a=1")
+      === "https://example.com/p?a=1&k=~v")
+    // the ADVICE case: trailing host dot BEFORE the default port must
+    // still collide with the bare host (port first, dot second)
+    assert(canon("https://example.com.:443/x") === "https://example.com/x")
+    assert(canon("http://example.com.:8080/x")
+      === "http://example.com:8080/x")
   }
 }

@@ -514,4 +514,95 @@ class GraphSpec extends SparkTestBase {
     val w2 = Graph.walkPairs(walks, 3, 2).count()
     assert(w2 === 8L, "two extra (10,30)/(30,10) rows at window 2")
   }
+
+  test("deterministicWalks maxDeg: hub hops stay within the dst-sorted cap; " +
+      "a cap above the max degree is a no-op") {
+    // hub node 1 with 6 neighbors; everything links back to the hub
+    val nbrs = (2L to 7L)
+    val edges = (nbrs.map(n => (1L, n)) ++ nbrs.map(n => (n, 1L)))
+      .toDF("src", "dst")
+    val capped = Graph.deterministicWalks(edges, "src", "dst",
+        walkLen = 3, salt = "cap", maxDeg = Some(2L))
+      .collect()
+    // hop choice from the hub draws only from {2, 3} (first 2 by dst)
+    capped.foreach { r =>
+      (1 to 3).foreach { t =>
+        if (!r.isNullAt(r.fieldIndex(s"step_${t - 1}")) &&
+            r.getAs[Long](s"step_${t - 1}") == 1L &&
+            !r.isNullAt(r.fieldIndex(s"step_$t")))
+          assert(Set(2L, 3L).contains(r.getAs[Long](s"step_$t")),
+            s"capped hub hop must stay in the first maxDeg neighbors: $r")
+      }
+    }
+    spark.catalog.clearCache()
+    // cap above every node's degree: bit-identical to the uncapped run
+    val un = Graph.deterministicWalks(edges, "src", "dst", 3, "cap")
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    spark.catalog.clearCache()
+    val hi = Graph.deterministicWalks(edges, "src", "dst", 3, "cap",
+        maxDeg = Some(100L))
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    assert(un === hi, "a cap above max degree must not change any hop")
+    spark.catalog.clearCache()
+  }
+
+  test("deterministicWalksWeighted: range picks replay md5 over cumulative " +
+      "weights; all-weights-1 is bit-identical to unweighted") {
+    // weighted triangle: 1→2 (w=3), 1→3 (w=1), 2→{1,3}, 3→{1,2} all w=1
+    val wEdges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (2L, 3L, 1L), (3L, 1L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    val adj = Map( // dst-sorted (dst, w, cum); tot = last cum
+      1L -> Seq((2L, 3L, 3L), (3L, 1L, 4L)),
+      2L -> Seq((1L, 1L, 1L), (3L, 1L, 2L)),
+      3L -> Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+    def pick(start: Long, t: Int, cur: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$start#$t#$cur$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val tot = adj(cur).last._3
+      val r = java.lang.Long.parseLong(hex, 16) % tot
+      adj(cur).find { case (_, w, cum) => r >= cum - w && r < cum }.get._1
+    }
+    val walks = Graph.deterministicWalksWeighted(wEdges, "src", "dst", "w",
+        walkLen = 2, salt = "ww")
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    assert(walks.keySet === Set(1L, 2L, 3L))
+    walks.foreach { case (start, r) =>
+      val s1 = r.getAs[Long]("step_1")
+      assert(s1 === pick(start, 1, start, "ww"), "hop 1 replays the range pick")
+      assert(r.getAs[Long]("step_2") === pick(start, 2, s1, "ww"))
+    }
+    spark.catalog.clearCache()
+    // degenerate case: all weights 1 ⇒ unit ranges ⇒ the unweighted picks
+    val flat = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (3L, 2L)).toDF("src", "dst")
+    val w1 = Graph.deterministicWalksWeighted(
+        flat.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        "src", "dst", "w", walkLen = 3, salt = "eq")
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    spark.catalog.clearCache()
+    val uw = Graph.deterministicWalks(flat, "src", "dst", 3, "eq")
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    assert(w1 === uw, "all-weights-1 must be bit-identical to unweighted")
+    spark.catalog.clearCache()
+    // parallel (src,dst) duplicates merge additively: splitting the w=3
+    // edge into 3 unit rows is the same graph
+    val split = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val merged = Graph.deterministicWalksWeighted(split, "src", "dst", "w",
+        walkLen = 2, salt = "ww")
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    assert(merged === walks.view.mapValues(_.toSeq).toMap,
+      "parallel duplicates must merge additively before indexing")
+    spark.catalog.clearCache()
+    // weights below 1 die loudly (the axisGuard convention)
+    val bad = intercept[Exception] {
+      Graph.deterministicWalksWeighted(
+        Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", walkLen = 1, salt = "x").collect()
+    }
+    assert(bad.getMessage != null)
+    spark.catalog.clearCache()
+  }
 }
