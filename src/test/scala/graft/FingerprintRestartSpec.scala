@@ -129,4 +129,74 @@ class FingerprintRestartSpec extends SparkTestBase {
         "a duplicate arriving after eviction is a NEW row under horizon semantics")
     } finally q.stop()
   }
+
+  test("UrlFrontierStream: spellings collapse across batches, replayed batch " +
+      "is bit-identical, store unchanged") {
+    val store = java.nio.file.Files
+      .createTempDirectory("url_frontier").toString + "/store"
+    graft.streaming.UrlFrontierStream.seed(spark, store)
+    def emit(rows: Seq[String], id: Long): Set[String] = {
+      var out = Set.empty[String]
+      graft.streaming.UrlFrontierStream.processBatch(
+        rows.toDF("url"), id, store, "url") { (_, novel) =>
+        out = novel.as[String].collect().toSet
+      }
+      out
+    }
+    // batch 0: two spellings of example.com/b (dot-segment + tracking
+    // params + host case + default port) plus one distinct page
+    val b0 = emit(Seq(
+      "HTTP://Example.com/a/../b?utm_source=x&b=1",
+      "http://example.com:80/b?b=1",
+      "https://other.org/p"), 0L)
+    assert(b0 === Set("http://example.com/b?b=1", "https://other.org/p"),
+      s"within-batch spellings must share one canonical key: $b0")
+    // batch 1: a THIRD spelling of the same page (percent-encoded path
+    // char + fragment) is suppressed by the store; one new page passes
+    val b1 = emit(Seq(
+      "http://EXAMPLE.com/./b?b=1#frag",
+      "https://new.net/q?x=2"), 1L)
+    assert(b1 === Set("https://new.net/q?x=2"),
+      s"the store must suppress a later batch's re-spelling: $b1")
+    def storeRows = spark.read.parquet(store)
+      .as[(String, String)].collect().sorted.toSeq
+    val afterB1 = storeRows
+    // at-least-once replay: same (batch, id) again — identical novel
+    // set, store bit-identical (tag-scoped pre-batch view + marker)
+    val b1again = emit(Seq(
+      "http://EXAMPLE.com/./b?b=1#frag",
+      "https://new.net/q?x=2"), 1L)
+    assert(b1again === b1, "replayed batch must emit the identical novel set")
+    assert(storeRows === afterB1,
+      "replayed append must leave the store bit-for-bit unchanged")
+    spark.catalog.clearCache()
+  }
+
+  test("horizon composition: dedupWithinWatermark keyed on canonicalUrl " +
+      "collapses cross-batch spellings") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Long)]
+    val canon = mem.toDF().toDF("url", "t_s")
+      .select(col("url"),
+        graft.ops.Web.canonicalUrl(col("url")).as("curl"),
+        timestamp_seconds(col("t_s")).as("ts"))
+    val q = graft.streaming.FingerprintStream.dedupWithinWatermark(
+        canon, Seq("curl"), "ts", "10 seconds")
+      .select(col("curl"))
+      .writeStream.format("memory").queryName("urlddw")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("urlddw-ck").toString)
+      .start()
+    try {
+      mem.addData(("HTTP://Example.com/a/../b?utm_source=x&b=1", 100L))
+      q.processAllAvailable()
+      mem.addData(("http://example.com:80/b?b=1", 103L)) // same page
+      q.processAllAvailable()
+      val rows = spark.table("urlddw").as[String].collect().toSeq
+      assert(rows === Seq("http://example.com/b?b=1"),
+        s"cross-batch spellings inside the horizon must collapse: $rows")
+    } finally q.stop()
+  }
 }
