@@ -141,9 +141,16 @@ object Abtest {
     * boundary ops guard. The card therefore emits BOTH verdicts:
     * `sig_naive` (|z| ≥ 1.959964, what a two-arm dashboard would say)
     * and `sig_adjusted` (|z| ≥ [[BonferroniZ05]](k−1), family-α
-    * controlled). Each compares the ROUNDED displayed statistic
-    * (round 6) so the boolean is engine-exact — the boundary-crossed
-    * convention; NULL z reads NULL on both. */
+    * controlled), plus `sig_holm` — the Holm (1979) step-down, which
+    * controls the SAME family-wise α uniformly more powerfully: rank
+    * the testable arms by |z| descending (ties by variant id), compare
+    * rank j against [[BonferroniZ05]](k−1−j), and reject only while
+    * every earlier rank also rejected (a cumulative min over the rank
+    * order). m stays the PLANNED k−1 comparisons even when some arms
+    * are untestable (empty / degenerate pooled rate) — conservative,
+    * never anti-conservative. Each verdict compares the ROUNDED
+    * displayed statistic (round 6) so the boolean is engine-exact —
+    * the boundary-crossed convention; NULL z reads NULL on all three. */
   private def karmCard(spark: org.apache.spark.sql.SparkSession,
                        agg: DataFrame, k: Int): DataFrame = {
     val axis = spark.range(k).select(col("id").as("variant"))
@@ -165,7 +172,7 @@ object Abtest {
       when(pp === 0.0 || pp === 1.0, nullD)
         .otherwise((ri - r0) / se))
     val zr = abs(round(z, 6))
-    arms.crossJoin(broadcast(ctrl)).select(
+    val base = arms.crossJoin(broadcast(ctrl)).select(
       col("variant"), col("n"), col("conv"),
       when(col("n") === 0L, nullD).otherwise(ri).as("rate"),
       when(noPair, nullD).otherwise(ri - r0).as("lift_vs_ctrl"),
@@ -176,6 +183,28 @@ object Abtest {
         .otherwise(zr >= lit(BonferroniZ05.head)).as("sig_naive"),
       when(z.isNull, nullB)
         .otherwise(zr >= lit(BonferroniZ05(k - 2))).as("sig_adjusted"))
+    // Holm step-down over the card's k rows (model-sized: the
+    // single-partition windows are free). thresholds[j] = Z(k−1−j+1)
+    // for rank j, i.e. the Bonferroni table reversed.
+    val thr = array(BonferroniZ05.take(k - 1).reverse.map(lit): _*)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(round(col("z_vs_ctrl"), 6)).desc, col("variant"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rk"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val holm = base.filter(col("z_vs_ctrl").isNotNull)
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("_pass",
+        when(abs(round(col("z_vs_ctrl"), 6)) >=
+          element_at(thr, col("_rk").cast("int")), 1L).otherwise(0L))
+      .withColumn("sig_holm", min(col("_pass")).over(wCum) === 1L)
+      .select(col("variant"), col("sig_holm"))
+    base.join(holm, Seq("variant"), "left")
+      .select(col("variant"), col("n"), col("conv"), col("rate"),
+        col("lift_vs_ctrl"), col("z_vs_ctrl"), col("sig_naive"),
+        col("sig_adjusted"), col("sig_holm"))
   }
 
   /** [[readoutK]]'s card over the merged experiment store — the live

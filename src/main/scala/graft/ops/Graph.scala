@@ -1131,6 +1131,110 @@ object Graph {
     walks
   }
 
+  /** SECOND-ORDER deterministic walks — node2vec's p/q search bias
+    * (Grover & Leskovec 2016 §3.2) under the hash-not-RNG discipline.
+    * Hop t ≥ 2 from node c with previous node b weights each neighbor
+    * x of c by the RATIONAL bias α_pq, kept in exact longs by
+    * cross-multiplying the user's p = pNum/pDen and q = qNum/qDen:
+    *
+    *   x = b (return)          → pDen·qNum   (∝ 1/p)
+    *   x ∈ N(b) (triangle)     → pNum·qNum   (∝ 1)
+    *   otherwise (explore)     → pNum·qDen   (∝ 1/q)
+    *
+    * then draws r = md5(start, t, c, salt) % totalW and steps to the
+    * dst-sorted neighbor whose cumulative range contains r — the
+    * [[deterministicWalksWeighted]] range pick with per-(b, c) weights
+    * instead of static edge weights. Hop 1 has no previous node and is
+    * the uniform [[deterministicWalks]] pick (the paper's convention).
+    * With p = q = 1 all three biases collapse to 1, every range is
+    * unit-width and the hash strings are identical, so the walk table
+    * is BIT-IDENTICAL to [[deterministicWalks]] on the same salt — the
+    * degenerate case the spec pins.
+    *
+    * Scale: hop t ≥ 2 is (a) one frontier × adjacency equi-join on the
+    * current node (Σ deg(frontier) candidate rows — the second-order
+    * state node2vec inherently needs), (b) ONE keyed equality join of
+    * the candidates against the edge set on (prev, x) for the triangle
+    * test — never an all-pairs product, (c) one per-walk window for
+    * the cumulative ranges. A dead end truncates with NULLs, exactly
+    * like the first-order walks.
+    *
+    * @param pNum,pDen return parameter p as a positive rational
+    * @param qNum,qDen in-out parameter q as a positive rational
+    * @return per start node: node, step_0..step_<walkLen> */
+  def deterministicWalksNode2vec(edges: DataFrame, srcCol: String,
+                                 dstCol: String, walkLen: Int, salt: String,
+                                 pNum: Long, pDen: Long,
+                                 qNum: Long, qDen: Long): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 8, s"walkLen in [1, 8], got $walkLen")
+    require(pNum >= 1 && pDen >= 1 && qNum >= 1 && qDen >= 1,
+      s"p and q must be positive rationals, got $pNum/$pDen, $qNum/$qDen")
+    val wReturn = pDen * qNum
+    val wCommon = pNum * qNum
+    val wFar = pNum * qDen
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+        .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def hash(t: Int, curName: String): org.apache.spark.sql.Column =
+      expr("cast(conv(substring(md5(concat(cast(node as string), " +
+        s"'#$t#', cast($curName as string), '$salt')), 1, 7), " +
+        "16, 10) as bigint)")
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var walks = nodes.select(col("node"), col("node").as("step_0"))
+    // hop 1: uniform over the adjacency — no previous node yet
+    walks = walks
+      .join(adj.select(col("src").as("h_src"), col("deg").as("h_deg"))
+        .distinct(), col("step_0") === col("h_src"), "left")
+      .withColumn("pick", when(col("h_deg").isNull,
+        lit(null).cast("long"))
+        .otherwise(hash(1, "step_0") % col("h_deg")))
+      .join(adj.select(col("src").as("j_src"), col("idx").as("j_idx"),
+        col("dst").as("j_dst")),
+        col("step_0") === col("j_src") && col("pick") === col("j_idx"),
+        "left")
+      .select(col("node"), col("step_0"), col("j_dst").as("step_1"))
+    (2 to walkLen).foreach { t =>
+      val prev = s"step_${t - 2}"
+      val cur = s"step_${t - 1}"
+      val keep = walks.columns.map(col)
+      val cand = walks
+        .filter(col(cur).isNotNull)
+        .select(col("node"), col(prev).as("p"), col(cur).as("c"))
+        .join(adj.select(col("src").as("c"), col("dst").as("x")), Seq("c"))
+        .join(e.select(col("src").as("p"), col("dst").as("x"),
+          lit(1L).as("is_nb")), Seq("p", "x"), "left")
+        .withColumn("wt",
+          when(col("x") === col("p"), lit(wReturn))
+            .otherwise(when(col("is_nb").isNotNull, lit(wCommon))
+              .otherwise(lit(wFar))).cast("long"))
+      val wWalk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("x"))
+      val picked = cand
+        .withColumn("cum", sum(col("wt")).over(wWalk
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("long"))
+        .withColumn("tot", sum(col("wt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("node")))
+          .cast("long"))
+        .withColumn("r", hash(t, "c") % col("tot"))
+        .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+        .select(col("node"), col("x").as(s"step_$t"))
+      walks = walks.join(picked, Seq("node"), "left")
+        .select((keep :+ col(s"step_$t")): _*)
+    }
+    walks
+  }
+
   /** Skip-gram pair extraction over a [[deterministicWalks]] table —
     * the actual DeepWalk/node2vec TRAINING CORPUS: every ordered
     * (center, context) position pair within `window` hops of each

@@ -11590,6 +11590,73 @@ object Queries {
          |ORDER BY node""".stripMargin
     })
 
+  /** node2vec SECOND-ORDER walks
+    * ([[graft.ops.Graph.deterministicWalksNode2vec]]) over the
+    * co-purchase graph at p = 4, q = 1/4 (explore-heavy: return
+    * weight 1, triangle 4, explore 16 after cross-multiplying —
+    * exact longs): hop t ≥ 2 weights each neighbor by whether it
+    * returns to, triangulates with, or leaves the previous node's
+    * neighborhood, then draws the same md5 range pick as the
+    * weighted walks. The oracle unrolls all three hops with the
+    * identical candidate join + LEFT JOIN triangle test + cumulative
+    * windows. */
+  val qWalksNode2vec: Q = "q_walks_node2vec" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.deterministicWalksNode2vec(edges, "src", "dst",
+          walkLen = 3, salt = "n2v1", pNum = 4L, pDen = 1L,
+          qNum = 1L, qDen = 4L)
+        .orderBy(col("node"))
+    },
+    {
+      def hash(t: Int, cur: String): String =
+        s"""CAST('0x' || substr(md5(CAST(node AS VARCHAR) ||
+           |      '#$t#' || CAST($cur AS VARCHAR) || 'n2v1'),
+           |      1, 7) AS BIGINT)""".stripMargin
+      def hop(t: Int): String = {
+        val prev = s"step_${t - 2}"
+        val cur = s"step_${t - 1}"
+        val cols = (0 until t).map(i => s"step_$i").mkString(", ")
+        val wcols = (0 until t).map(i => s"w.step_$i").mkString(", ")
+        s"""c$t AS (SELECT w.node, $wcols, a.dst AS x,
+           |    CAST(CASE WHEN a.dst = w.$prev THEN 1
+           |      WHEN nb.src IS NOT NULL THEN 4 ELSE 16 END AS BIGINT) AS wt
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.$cur
+           |  LEFT JOIN e nb ON nb.src = w.$prev AND nb.dst = a.dst),
+           |k$t AS (SELECT *, CAST(sum(wt) OVER (PARTITION BY node
+           |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(wt) OVER (PARTITION BY node) AS BIGINT) AS tot
+           |  FROM c$t),
+           |w$t AS (SELECT node, $cols, x AS step_$t FROM k$t
+           |  WHERE ${hash(t, cur)} % tot >= cum - wt
+           |    AND ${hash(t, cur)} % tot < cum)""".stripMargin
+      }
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |    FROM lineitem),
+         |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+         |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+         |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+         |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+         |adj AS (SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+         |      AS BIGINT) - 1 AS idx,
+         |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+         |  FROM e),
+         |w0 AS (SELECT DISTINCT src AS node, src AS step_0 FROM adj),
+         |w1 AS (SELECT w.node, w.step_0, a.dst AS step_1
+         |  FROM w0 w JOIN adj a ON a.src = w.step_0
+         |    AND a.idx = CAST('0x' || substr(md5(CAST(w.node AS VARCHAR) ||
+         |      '#1#' || CAST(w.step_0 AS VARCHAR) || 'n2v1'), 1, 7)
+         |      AS BIGINT) % a.deg),
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT node, step_0, step_1, step_2, step_3 FROM w3
+         |ORDER BY node""".stripMargin
+    })
+
   /** Winsorized Welch readout
     * ([[graft.ops.Abtest.winsorizedMeanReadout]]): the heavy-tail
     * robust continuous-metric card — per-user revenue capped at the
@@ -11710,7 +11777,7 @@ object Queries {
           round(col("rate"), 9).as("rate"),
           round(col("lift_vs_ctrl"), 9).as("lift_vs_ctrl"),
           round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"),
-          col("sig_naive"), col("sig_adjusted"))
+          col("sig_naive"), col("sig_adjusted"), col("sig_holm"))
         .orderBy(col("variant")),
     {
       val rI = "(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))"
@@ -11744,14 +11811,28 @@ object Queries {
          |    round(CASE WHEN n = 0 THEN NULL ELSE $rI END, 9) AS rate,
          |    round(CASE WHEN $noPair THEN NULL
          |      ELSE $rI - $r0 END, 9) AS lift_vs_ctrl,
-         |    ($zSql) AS z FROM ar, ct)
-         |SELECT variant, n, conv, rate, lift_vs_ctrl,
+         |    ($zSql) AS z FROM ar, ct),
+         |rk AS (SELECT variant, abs(round(z, 6)) AS zr,
+         |    row_number() OVER (ORDER BY abs(round(z, 6)) DESC, variant)
+         |      AS rk
+         |  FROM zc WHERE z IS NOT NULL),
+         |hm AS (SELECT variant,
+         |    min(CASE WHEN zr >= (CASE rk WHEN 1 THEN $zAdj
+         |        WHEN 2 THEN ${graft.ops.Abtest.BonferroniZ05(1)}
+         |        ELSE $zNaive END) THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY rk
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |      AS sig_holm
+         |  FROM rk)
+         |SELECT zc.variant, n, conv, rate, lift_vs_ctrl,
          |  round(z, 6) AS z_vs_ctrl,
          |  CASE WHEN z IS NULL THEN NULL
          |    ELSE abs(round(z, 6)) >= $zNaive END AS sig_naive,
          |  CASE WHEN z IS NULL THEN NULL
-         |    ELSE abs(round(z, 6)) >= $zAdj END AS sig_adjusted
-         |FROM zc ORDER BY variant""".stripMargin
+         |    ELSE abs(round(z, 6)) >= $zAdj END AS sig_adjusted,
+         |  hm.sig_holm
+         |FROM zc LEFT JOIN hm ON zc.variant = hm.variant
+         |ORDER BY zc.variant""".stripMargin
     })
 
   /** K-ARM SRM ([[graft.ops.Abtest.srmCheckK]], k = 4 at the
@@ -11812,7 +11893,7 @@ object Queries {
           round(col("rate"), 9).as("rate"),
           round(col("lift_vs_ctrl"), 9).as("lift_vs_ctrl"),
           round(col("z_vs_ctrl"), 6).as("z_vs_ctrl"),
-          col("sig_naive"), col("sig_adjusted"))
+          col("sig_naive"), col("sig_adjusted"), col("sig_holm"))
         .orderBy(col("variant"))
     },
     qAbKarm._2._2)
@@ -12125,6 +12206,6 @@ object Queries {
     qWalkPairs, qAbWinsorized, qSrmBy,
     qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored, qMrlRecall,
     qAbMeanBoundary, qCochranBy,
-    qRandomWalksStored, qWalkPairsStored, qWalksWeighted,
+    qRandomWalksStored, qWalkPairsStored, qWalksWeighted, qWalksNode2vec,
   )
 }

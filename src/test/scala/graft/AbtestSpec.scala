@@ -714,9 +714,35 @@ class AbtestSpec extends SparkTestBase {
     assert(r2.getAs[Boolean]("sig_naive") === false &&
       r2.getAs[Boolean]("sig_adjusted") === false,
       "a control-rate arm crosses neither cut")
-    // the control row reads NULL on both verdicts (no pair)
+    // Holm: arm 1 is rank 1 (largest |z|), threshold Z(2) — same as
+    // Bonferroni here, so it must NOT reject either
+    assert(r1.getAs[Boolean]("sig_holm") === false,
+      "rank-1 Holm threshold equals the Bonferroni cut")
+    assert(r2.getAs[Boolean]("sig_holm") === false)
+    // the control row reads NULL on all three verdicts (no pair)
     assert(card(0).isNullAt(card(0).fieldIndex("sig_naive")) &&
-      card(0).isNullAt(card(0).fieldIndex("sig_adjusted")))
+      card(0).isNullAt(card(0).fieldIndex("sig_adjusted")) &&
+      card(0).isNullAt(card(0).fieldIndex("sig_holm")))
+
+    // SECOND scenario — Holm's extra power: arm 2 decisively crosses
+    // Z(2) (rank 1 rejects), so arm 1's rank-2 Holm threshold steps
+    // down to the naive Z(1) cut and its in-between z now REJECTS
+    // under Holm while staying non-significant under Bonferroni.
+    val c2b = (a2.size / 2 to a2.size).find(c =>
+        z(a0.size, c0, a2.size, c) > 3.5).getOrElse(
+      fail("no c2 makes arm 2 decisive"))
+    val converted2 = (a0.take(c0) ++ a1.take(c1) ++ a2.take(c2b)).toSet
+    val df2 = units.map(u => (u, converted2(u))).toDF("u", "c")
+    val card2 = Abtest.readoutK(df2, "u", "c", salt, k = 3)
+      .orderBy("variant").collect()
+    val s1 = card2(1); val s2 = card2(2)
+    assert(s2.getAs[Boolean]("sig_adjusted") === true &&
+      s2.getAs[Boolean]("sig_holm") === true,
+      "the decisive arm rejects under both adjustments")
+    assert(s1.getAs[Boolean]("sig_adjusted") === false &&
+      s1.getAs[Boolean]("sig_holm") === true,
+      s"z=${s1.getAs[Double]("z_vs_ctrl")}: Holm's step-down must " +
+        "reject where single-step Bonferroni cannot")
   }
 
   test("experiment store k-guard: a reader expecting fewer arms dies loudly") {

@@ -605,4 +605,75 @@ class GraphSpec extends SparkTestBase {
     assert(bad.getMessage != null)
     spark.catalog.clearCache()
   }
+
+  test("deterministicWalksNode2vec: p/q biases replay over cumulative ranges; " +
+      "p=q=1 is bit-identical to first-order") {
+    // square 1-2-4-3-1 plus the 1-2-3 triangle: from c with prev b the
+    // neighbor classes (return / triangle / explore) are all exercised
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L, 4L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(2L, 3L))
+    val nbr = adj // undirected: N(b) = adj(b)
+    val (pN, pD, qN, qD) = (4L, 1L, 1L, 4L) // p=4, q=1/4 — explore-heavy
+    def h(start: Long, t: Int, cur: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$start#$t#$cur$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def replay(start: Long, len: Int, salt: String): Seq[Long] = {
+      var path = Seq(start)
+      (1 to len).foreach { t =>
+        val c = path.last
+        val x =
+          if (t == 1) adj(c)((h(start, 1, c, salt) % adj(c).size).toInt)
+          else {
+            val b = path(path.size - 2)
+            val wts = adj(c).map { n =>
+              if (n == b) pD * qN
+              else if (nbr(b).contains(n)) pN * qN
+              else pN * qD
+            }
+            val tot = wts.sum
+            val r = h(start, t, c, salt) % tot
+            val cums = wts.scanLeft(0L)(_ + _).tail
+            adj(c)(cums.indexWhere(r < _))
+          }
+        path = path :+ x
+      }
+      path
+    }
+    val got = Graph.deterministicWalksNode2vec(edges, "src", "dst",
+        walkLen = 3, salt = "n2v", pNum = pN, pDen = pD, qNum = qN, qDen = qD)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (0 to 3).map(i => r.getAs[Long](s"step_$i"))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    got.foreach { case (start, path) =>
+      assert(path === replay(start, 3, "n2v"),
+        s"walk from $start must replay the biased range picks")
+    }
+    spark.catalog.clearCache()
+    // degenerate: p = q = 1 collapses every bias to 1 ⇒ bit-identical
+    // to the first-order walk on the same salt
+    val flatN2v = Graph.deterministicWalksNode2vec(edges, "src", "dst",
+        3, "eqn", 1L, 1L, 1L, 1L)
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    spark.catalog.clearCache()
+    val firstOrder = Graph.deterministicWalks(edges, "src", "dst", 3, "eqn")
+      .collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    assert(flatN2v === firstOrder,
+      "p=q=1 must be bit-identical to the first-order walk")
+    spark.catalog.clearCache()
+    // dead ends truncate with NULLs (directed chain 1→2→3, 3 dead)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val trunc = Graph.deterministicWalksNode2vec(chain, "src", "dst",
+        3, "tr", 2L, 1L, 1L, 2L).collect()
+      .map(r => r.getAs[Long]("node") -> r).toMap
+    val w1 = trunc(1L)
+    assert(w1.getAs[Long]("step_1") === 2L &&
+      w1.getAs[Long]("step_2") === 3L && w1.isNullAt(w1.fieldIndex("step_3")),
+      "a dead end must truncate the second-order walk with NULLs")
+    spark.catalog.clearCache()
+  }
 }
