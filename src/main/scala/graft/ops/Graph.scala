@@ -1235,6 +1235,85 @@ object Graph {
     walks
   }
 
+  /** DETERMINISTIC word2vec-style negative sampling over a
+    * (center, context, cnt) pair corpus — the third leg of the
+    * DeepWalk/node2vec training pipeline after [[deterministicWalks]]
+    * and [[walkPairs]] (Mikolov et al. 2013 §2.2): each positive pair
+    * draws `numNeg` negatives from the SMOOTHED unigram distribution
+    * P(x) ∝ f(x)^¾ over context frequencies, under the engine's
+    * hash-not-RNG discipline so the sample table is a pure function of
+    * (corpus, salt).
+    *
+    * EXACTNESS: f^¾ = f / f^¼ = f / sqrt(sqrt(f)) — two IEEE square
+    * roots and one division, every step correctly rounded, so both
+    * engines integerize the identical weight wl = floor(f/√√f · 1024).
+    * Draw j for pair (c, x) is r = md5(c, x, j, salt) % Σwl, resolved
+    * to the node whose cumulative range [cum − wl, cum) contains r.
+    *
+    * SCALE — the bucket-join inverse-CDF: the vocabulary table rows
+    * are exploded onto fixed-width buckets of the cumulative axis
+    * (each row spans ~1 bucket; ≤ vocab + nBuckets replicas), the
+    * draws compute their bucket as r div width, and the lookup is an
+    * EQUI-join on the bucket id with the range condition as a filter —
+    * never a nested-loop range probe. The vocab table is model-sized
+    * by construction (word2vec's sampling table is vocab-resident by
+    * design); its one global cumulative window is the documented
+    * vocab-sized step, while the pair × numNeg side stays a map-side
+    * explode into a broadcastable hash join.
+    *
+    * @param numNeg negatives per positive pair (1..16)
+    * @return (center, context, j, neg) — one row per (pair, draw) */
+  def negativeSamples(pairs: DataFrame, centerCol: String,
+                      contextCol: String, cntCol: String,
+                      numNeg: Int, salt: String,
+                      nBuckets: Int = 1024): DataFrame = {
+    require(numNeg >= 1 && numNeg <= 16, s"numNeg in [1, 16], got $numNeg")
+    require(nBuckets >= 1, s"nBuckets >= 1, got $nBuckets")
+    val p = pairs.select(col(centerCol).as("center"),
+      col(contextCol).as("context"), col(cntCol).cast("long").as("cnt"))
+    val freq = p.groupBy(col("context").as("node"))
+      .agg(sum(col("cnt")).as("f"))
+    // f^(3/4) scaled to integer weights: every step correctly-rounded
+    // IEEE (sqrt, sqrt, divide, multiply, floor) — bit-identical in
+    // the oracle's replay
+    val fD = col("f").cast("double")
+    val wt = freq.select(col("node"),
+      floor(fD / sqrt(sqrt(fD)) * lit(1024.0)).cast("long").as("wl"))
+    val cum = wt
+      .withColumn("cum", sum(col("wl")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("node"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+        .cast("long"))
+    val totRow = cum.agg(max(col("cum")).as("tot"))
+      .select(col("tot"),
+        expr(s"(tot + ${nBuckets.toLong - 1}) div ${nBuckets.toLong}")
+          .as("width"))
+    // vocab rows onto their overlapped buckets (scalar-broadcast of the
+    // one-row totals — the established pattern, never a collect).
+    // Bucket ids use EXACT integer division (div), not double `/`:
+    // a rounded-up quotient near 2^53 would land a row one bucket off.
+    val buckets = cum.crossJoin(broadcast(totRow))
+      .select(col("node"), col("wl"), col("cum"),
+        explode(sequence(
+          expr("(cum - wl) div width"),
+          expr("(cum - 1) div width"))).as("b"))
+    val draws = p
+      .select(col("center"), col("context"),
+        explode(sequence(lit(1), lit(numNeg))).as("j"))
+      .crossJoin(broadcast(totRow))
+      .withColumn("r",
+        expr(("cast(conv(substring(md5(concat(cast(center as string), " +
+          "'#', cast(context as string), '#', cast(j as string), " +
+          s"'#$salt')), 1, 7), 16, 10) as bigint)")) % col("tot"))
+      .withColumn("b", expr("r div width"))
+    draws
+      .join(buckets, Seq("b"))
+      .filter(col("r") >= col("cum") - col("wl") && col("r") < col("cum"))
+      .select(col("center"), col("context"), col("j"), col("node").as("neg"))
+  }
+
   /** Skip-gram pair extraction over a [[deterministicWalks]] table —
     * the actual DeepWalk/node2vec TRAINING CORPUS: every ordered
     * (center, context) position pair within `window` hops of each

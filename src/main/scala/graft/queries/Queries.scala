@@ -11590,6 +11590,54 @@ object Queries {
          |ORDER BY node""".stripMargin
     })
 
+  /** Deterministic word2vec negative sampling
+    * ([[graft.ops.Graph.negativeSamples]]) over the weighted
+    * co-purchase pair corpus: every positive (center, context) pair
+    * draws 2 negatives from the smoothed unigram P(x) ∝ f(x)^¾ —
+    * f^¾ = f/√√f is correctly-rounded IEEE in both engines, the draw
+    * is the md5 range pick over the integerized cumulative table. The
+    * Spark side resolves draws with the bucket-join inverse-CDF (an
+    * EQUI-join on bucket id); the oracle uses DuckDB's native range
+    * join — same table, same picks. */
+  val qNegativeSamples: Q = "q_negative_samples" -> (
+    (s: SparkSession, d: String) => {
+      val pairs = graft.ops.Graph.copurchaseWeightedEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.negativeSamples(pairs, "src", "dst", "w",
+          numNeg = 2, salt = "neg1")
+        .select(col("center"), col("context"),
+          col("j").cast("long").as("j"), col("neg"))
+        .orderBy(col("center"), col("context"), col("j"))
+    },
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+       |    FROM lineitem),
+       |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+       |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+       |e AS (SELECT x.item AS src, y.item AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item
+       |  GROUP BY 1, 2),
+       |fr AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS fq
+       |  FROM e GROUP BY 1),
+       |wt AS (SELECT node, CAST(floor(CAST(fq AS DOUBLE)
+       |    / sqrt(sqrt(CAST(fq AS DOUBLE))) * 1024.0) AS BIGINT) AS wl
+       |  FROM fr),
+       |cm AS (SELECT node, wl, CAST(sum(wl) OVER (ORDER BY node
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum FROM wt),
+       |tt AS (SELECT CAST(max(cum) AS BIGINT) AS tot FROM cm),
+       |js AS (SELECT unnest(generate_series(1, 2)) AS j),
+       |dr AS (SELECT e.src AS center, e.dst AS context,
+       |    CAST(j AS BIGINT) AS j,
+       |    CAST('0x' || substr(md5(CAST(e.src AS VARCHAR) || '#' ||
+       |      CAST(e.dst AS VARCHAR) || '#' || CAST(j AS VARCHAR) ||
+       |      '#neg1'), 1, 7) AS BIGINT) % tot AS r
+       |  FROM e, tt, js)
+       |SELECT center, context, j, cm.node AS neg
+       |FROM dr JOIN cm ON dr.r >= cm.cum - cm.wl AND dr.r < cm.cum
+       |ORDER BY center, context, j""".stripMargin)
+
   /** node2vec SECOND-ORDER walks
     * ([[graft.ops.Graph.deterministicWalksNode2vec]]) over the
     * co-purchase graph at p = 4, q = 1/4 (explore-heavy: return
@@ -12207,5 +12255,6 @@ object Queries {
     qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored, qMrlRecall,
     qAbMeanBoundary, qCochranBy,
     qRandomWalksStored, qWalkPairsStored, qWalksWeighted, qWalksNode2vec,
+    qNegativeSamples,
   )
 }

@@ -676,4 +676,43 @@ class GraphSpec extends SparkTestBase {
       "a dead end must truncate the second-order walk with NULLs")
     spark.catalog.clearCache()
   }
+
+  test("negativeSamples: draws replay the smoothed-unigram range pick; " +
+      "bucket count is an implementation detail") {
+    val pairs = Seq((1L, 10L, 3L), (2L, 10L, 1L), (1L, 20L, 1L),
+      (3L, 30L, 2L)).toDF("center", "context", "cnt")
+    // hand table: f(10)=4, f(20)=1, f(30)=2; wl = floor(f/√√f · 1024)
+    def wl(f: Long): Long =
+      math.floor(f.toDouble / math.sqrt(math.sqrt(f.toDouble)) * 1024.0)
+        .toLong
+    val vocab = Seq(10L, 20L, 30L)
+    val fs = Map(10L -> 4L, 20L -> 1L, 30L -> 2L)
+    val cums = vocab.scanLeft(0L)((acc, n) => acc + wl(fs(n))).tail
+    val tot = cums.last
+    def neg(c: Long, x: Long, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$c#$x#$j#ng".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val r = java.lang.Long.parseLong(hex, 16) % tot
+      vocab(cums.indexWhere(r < _))
+    }
+    val got = Graph.negativeSamples(pairs, "center", "context", "cnt",
+        numNeg = 2, salt = "ng")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got.size === 8, "one row per (pair, draw)")
+    got.foreach { case ((c, x, j), n) =>
+      assert(n === neg(c, x, j), s"draw ($c, $x, $j) must replay the pick")
+    }
+    // bucketing is an implementation detail: any nBuckets gives the
+    // identical sample table
+    val one = Graph.negativeSamples(pairs, "center", "context", "cnt",
+        2, "ng", nBuckets = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(one === got, "nBuckets must not change any draw")
+    spark.catalog.clearCache()
+  }
 }
