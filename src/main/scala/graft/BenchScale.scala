@@ -527,6 +527,57 @@ object BenchScale {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("r16")) {
+      // r16 ladder over K copy-DISJOINT co-purchase graphs (basket and
+      // item ids offset per copy): |E| grows ×K while per-node degree,
+      // walk length and walks-per-node stay constant, so every stage
+      // is designed ~linear — weighted walks (2 joins/hop + the
+      // cumulative-weight window over per-src lists of constant size),
+      // node2vec (adds the Σdeg candidate rows and the (prev, x)
+      // triangle equi-join per hop, both ∝ |E|), and the skip-gram +
+      // negative-sampling chain (map-side explode into a
+      // vocab-bucketed equi-join; vocab grows ×K but stays
+      // model-sized). A superlinear rung here means a shuffle started
+      // spilling or a window partition grew — the trap the ladder
+      // exists to catch.
+      import graft.ops.Graph
+      val warmB = scaledGraphBaskets(spark, sfDir, 1).limit(2000)
+      val warmE = Graph.copurchaseWeightedEdges(warmB, "basket", "item", 3)
+      Graph.deterministicWalksWeighted(warmE, "src", "dst", "w", 2, "w0")
+        .count()
+      Graph.deterministicWalksNode2vec(warmE, "src", "dst", 2, "w0",
+        4L, 1L, 1L, 4L).count()
+      Graph.negativeSamples(warmE, "src", "dst", "w", 2, "w0").count()
+      spark.catalog.clearCache()
+      Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).foreach { k =>
+        val b = scaledGraphBaskets(spark, sfDir, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        var ew: DataFrame = null
+        val (tE, nE) = time {
+          ew = Graph.copurchaseWeightedEdges(b, "basket", "item", 5)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ew.count()
+        }
+        val (tWw, nW) = time(Graph.deterministicWalksWeighted(
+          ew, "src", "dst", "w", walkLen = 3, salt = "lw").count())
+        val (tN2, _) = time(Graph.deterministicWalksNode2vec(
+          ew, "src", "dst", walkLen = 3, salt = "ln",
+          pNum = 4L, pDen = 1L, qNum = 1L, qDen = 4L).count())
+        val (tNeg, nS) = time(Graph.negativeSamples(
+          ew, "src", "dst", "w", numNeg = 2, salt = "ns").count())
+        val (tWk, _) = time {
+          val walks = Graph.deterministicWalks(ew, "src", "dst", 3, "lp")
+          Graph.walkPairs(walks, 3, 1).count()
+        }
+        println(s"""{"k":$k,"edges":$nE,"edge_build_sec":${f"$tE%.2f"},""" +
+          s""""walks":$nW,"weighted_sec":${f"$tWw%.2f"},""" +
+          s""""node2vec_sec":${f"$tN2%.2f"},"neg_samples":$nS,""" +
+          s""""neg_sec":${f"$tNeg%.2f"},"pairs_sec":${f"$tWk%.2f"}}""")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("graph")) {
       // graph ladder: K disjoint co-purchase graph copies — edge build
       // and per-iteration cost must both track |E| linearly (the loop
