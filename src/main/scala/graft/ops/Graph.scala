@@ -677,6 +677,118 @@ object Graph {
     *         nodes reached by ≥ 1 seed in 1..maxHops hops; the
     *         harmonic sum folds n1/1 + n2/2 + … in fixed hop order
     */
+  /** Seed-sampled BETWEENNESS centrality (Brandes 2001, "A faster
+    * algorithm for betweenness centrality"; sampled-source form per
+    * Brandes & Pich 2007) truncated at `maxHops`: for every non-seed
+    * node v, Σ over seeds s of the dependency δ_s(v) = Σ_{w}
+    * σ_sv/σ_sw · (1 + δ_s(w)) accumulated over the BFS DAG's
+    * successor levels — the path-counting centrality PageRank and
+    * harmonic cannot express (how much SHORTEST-PATH traffic routes
+    * THROUGH v). |seeds| is the sampling lever (exact per seed,
+    * sampled over sources — the harmonicCentrality contract);
+    * distances follow edge direction, pass a symmetrized list for the
+    * undirected reading.
+    *
+    * EXACTNESS: forward path counts σ are exact longs (order-free
+    * integer sums over predecessor levels; exact while Π level
+    * out-degrees < 2⁶³ — document/raise maxHops with care on dense
+    * graphs). Backward dependencies are NOT rational-friendly, so each
+    * per-edge contribution quantizes ONCE to fixed-point
+    * floor(σv/σw · (1 + δw) · 2³⁰) and sums as longs (the pageRank
+    * inbound-mass discipline): δw reconstitutes as num/2³⁰ with one
+    * double division, every step the identical IEEE expression in the
+    * oracle, and the final per-node betweenness is ONE division of an
+    * exact long total — order-free, bit-replayable.
+    *
+    * Scale: forward = harmonicCentrality's multi-source BFS carrying
+    * (seed, node, σ) state (≤ |seeds|·|V| rows, each hop one edge join
+    * + one anti-join, per-level frames checkpointed); backward = one
+    * (v, w) edge join + one (seed, w) equi-join + one hash aggregation
+    * per level, L ≤ 8 levels. No all-pairs stage anywhere.
+    *
+    * @return (node, betweenness) for every node reached at hop ≥ 1 by
+    *         any seed (seeds themselves excluded, Brandes' endpoint
+    *         convention); betweenness = Σ num / 2³⁰ */
+  def betweennessSeeded(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: DataFrame, seedCol: String,
+                        maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"maxHops in [1, 8] (levels are materialized), got $maxHops")
+    val Q = 1073741824.0 // 2^30, the fixed-point scale
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .join(e.select(col("src").as("seed")).distinct(), Seq("seed"),
+        "left_semi")
+    // forward: levels(t) = (seed, node, sig) of nodes FIRST reached at
+    // hop t; sig = number of shortest s→node paths (exact longs)
+    var reached = s0.select(col("seed"), col("seed").as("node"))
+      .localCheckpoint(true)
+    var level = s0.select(col("seed"), col("seed").as("node"),
+      lit(1L).as("sig")).localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(level)
+    (1 to maxHops).foreach { _ =>
+      val next = level.withColumnRenamed("node", "src")
+        .join(e, "src")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(reached, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      val grown = reached.unionAll(next.select("seed", "node"))
+        .localCheckpoint(true)
+      releaseCheckpoint(reached) // levels keep their own blocks
+      reached = grown
+      level = next
+      levels += next
+    }
+    // deepest non-empty level index (driver-side level sizes — L ≤ 8
+    // model-sized counts, not row data)
+    val sizes = levels.map(_.limit(1).count())
+    val lMax = sizes.lastIndexWhere(_ > 0L)
+    // lMax = 0: seeds reach nothing (or no valid seed at all, -1) —
+    // no non-seed node exists, the result is the empty frame
+    if (lMax < 1) {
+      e.unpersist()
+      return s0.limit(0).select(col("seed").as("node"),
+        lit(0.0).as("betweenness"))
+    }
+    // backward: delta(t) = (seed, node, sig, num) with δ = num / 2^30
+    var delta = levels(lMax).withColumn("num", lit(0L))
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (lMax >= 1) perLevel += delta.select(col("node"), col("num"))
+    // stop at level 1: level 0 is the seeds, excluded by the endpoint
+    // convention, and nothing consumes their delta
+    (lMax - 1 to 1 by -1).foreach { t =>
+      val succ = delta.select(col("seed"), col("node").as("w"),
+        col("sig").as("sig_w"), col("num").as("num_w"))
+      val contrib = levels(t)
+        .join(e.select(col("src").as("node"), col("dst").as("w")),
+          Seq("node"))
+        .join(succ, Seq("seed", "w"))
+        .select(col("seed"), col("node"),
+          // ONE quantization per (v, w) contribution — the identical
+          // IEEE expression in the oracle: σv/σw · (1 + num_w/2³⁰) · 2³⁰
+          floor(col("sig").cast("double") / col("sig_w").cast("double")
+            * (lit(1.0) + col("num_w").cast("double") / lit(Q)) * lit(Q))
+            .cast("long").as("c"))
+        .groupBy("seed", "node").agg(sum(col("c")).as("num"))
+      delta = levels(t).join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sig"),
+          coalesce(col("num"), lit(0L)).as("num"))
+        .localCheckpoint(true)
+      if (t >= 1) perLevel += delta.select(col("node"), col("num"))
+    }
+    e.unpersist()
+    // each (seed, node) lives in exactly ONE level (BFS first-visit),
+    // so the cross-seed total is an exact long sum; ONE division at
+    // the end
+    perLevel.reduce(_ unionAll _)
+      .groupBy("node").agg(sum(col("num")).as("num"))
+      .select(col("node"),
+        (col("num").cast("double") / lit(Q)).as("betweenness"))
+  }
+
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, seedCol: String,
                          maxHops: Int): DataFrame = {
@@ -1260,6 +1372,13 @@ object Graph {
     * design); its one global cumulative window is the documented
     * vocab-sized step, while the pair × numNeg side stays a map-side
     * explode into a broadcastable hash join.
+    *
+    * A draw may land on the pair's own context (or center) — the
+    * word2vec reference implementation re-draws those; here a re-draw
+    * would break the pure-function-of-(corpus, salt) contract, so the
+    * collision ships and the TRAINER skips it (collisions are
+    * frequency-weighted rare; filtering `neg = context` downstream is
+    * one predicate and keeps the table replayable).
     *
     * @param numNeg negatives per positive pair (1..16)
     * @return (center, context, j, neg) — one row per (pair, draw) */

@@ -6659,6 +6659,64 @@ object Queries {
       |    AS harmonic
       |FROM j ORDER BY part""".stripMargin)
 
+  /** Seed-sampled betweenness centrality
+    * ([[graft.ops.Graph.betweennessSeeded]], Brandes 2001 truncated at
+    * 2 hops, seeds = parts ≡ 0 mod 97): which parts shortest-path
+    * traffic routes THROUGH — the path-counting centrality the
+    * PageRank family cannot express. Forward σ path counts are exact
+    * longs; each backward dependency contribution quantizes once to
+    * fixed-point 2³⁰ (the pageRank inbound-mass discipline) so the
+    * cross-seed total is an order-free long sum and the oracle replays
+    * both sweeps with the identical IEEE expressions. */
+  val qBetweenness: Q = "q_betweenness" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      val seeds = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("part")).distinct()
+        .filter(col("part") % 97 === 0)
+      graft.ops.Graph.betweennessSeeded(edges, "src", "dst",
+          seeds, "part", maxHops = 2)
+        .select(col("node").as("part"),
+          round(col("betweenness"), 6).as("betweenness"))
+        .orderBy(col("part"))
+    },
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |    FROM lineitem),
+      |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+      |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+      |e AS (SELECT DISTINCT x.item AS src, y.item AS dst
+      |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item),
+      |l0 AS (SELECT DISTINCT src AS seed, src AS node,
+      |    CAST(1 AS BIGINT) AS sig FROM e WHERE src % 97 = 0),
+      |l1 AS MATERIALIZED (SELECT l0.seed, e.dst AS node,
+      |    CAST(sum(l0.sig) AS BIGINT) AS sig
+      |  FROM l0 JOIN e ON e.src = l0.node
+      |  WHERE e.dst <> l0.seed GROUP BY 1, 2),
+      |l2 AS MATERIALIZED (SELECT l1.seed, e.dst AS node,
+      |    CAST(sum(l1.sig) AS BIGINT) AS sig
+      |  FROM l1 JOIN e ON e.src = l1.node
+      |  WHERE e.dst <> l1.seed AND NOT EXISTS (SELECT 1 FROM l1 x
+      |    WHERE x.seed = l1.seed AND x.node = e.dst)
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT l1.seed, l1.node,
+      |    CAST(sum(CAST(floor(CAST(l1.sig AS DOUBLE)
+      |      / CAST(l2.sig AS DOUBLE) * (1.0 + 0.0 / 1073741824.0)
+      |      * 1073741824.0) AS BIGINT)) AS BIGINT) AS num
+      |  FROM l1 JOIN e ON e.src = l1.node
+      |  JOIN l2 ON l2.seed = l1.seed AND l2.node = e.dst
+      |  GROUP BY 1, 2),
+      |d1 AS (SELECT l1.seed, l1.node,
+      |    COALESCE(c1.num, CAST(0 AS BIGINT)) AS num
+      |  FROM l1 LEFT JOIN c1 ON c1.seed = l1.seed AND c1.node = l1.node),
+      |un AS (SELECT node, CAST(0 AS BIGINT) AS num FROM l2
+      |  UNION ALL SELECT node, num FROM d1)
+      |SELECT node AS part,
+      |  round(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE) / 1073741824.0, 6)
+      |    AS betweenness
+      |FROM un GROUP BY node ORDER BY part""".stripMargin)
+
   /** HyperLogLog distinct-token cardinality per source
     * ([[graft.ops.Hll]]): the register-table sketch whose estimate is
     * EXACTLY replayable in SQL — Z is an integer (Σ of long shifts),
@@ -12255,6 +12313,6 @@ object Queries {
     qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored, qMrlRecall,
     qAbMeanBoundary, qCochranBy,
     qRandomWalksStored, qWalkPairsStored, qWalksWeighted, qWalksNode2vec,
-    qNegativeSamples,
+    qNegativeSamples, qBetweenness,
   )
 }

@@ -677,6 +677,42 @@ class GraphSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("betweennessSeeded: diamond-with-tail hand values, truncation, " +
+      "multi-seed additivity") {
+    // diamond 1→{2,3}→4 plus tail 4→5: σ(1,4)=σ(1,5)=2.
+    // Brandes from seed 1: δ(4)=σ4/σ5·(1+0)=1; δ(2)=σ2/σ4·(1+δ4)=1;
+    // δ(3)=1; b = {2→1, 3→1, 4→1, 5→0}.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds1 = Seq(1L).toDF("s")
+    val got = Graph.betweennessSeeded(edges, "src", "dst", seeds1, "s",
+        maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(2L -> 1.0, 3L -> 1.0, 4L -> 1.0, 5L -> 0.0),
+      s"hand Brandes values must match exactly: $got")
+    spark.catalog.clearCache()
+    // truncation: maxHops=2 cuts the tail — 4 becomes a leaf (δ=0),
+    // 2 and 3 each carry only the 4-dependency: δ = 1/2·(1+0) = 0.5
+    val t2 = Graph.betweennessSeeded(edges, "src", "dst", seeds1, "s", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t2 === Map(2L -> 0.5, 3L -> 0.5, 4L -> 0.0),
+      s"truncated dependencies must stop at the horizon: $t2")
+    spark.catalog.clearCache()
+    // multi-seed additivity: seed 2 contributes δ(4) = 1 (path 2→4→5),
+    // δ(5) = 0; totals are the per-seed sums
+    val both = Graph.betweennessSeeded(edges, "src", "dst",
+        Seq(1L, 2L).toDF("s"), "s", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(both(4L) === 2.0 && both(2L) === 1.0 && both(3L) === 1.0,
+      s"dependencies must add across seeds: $both")
+    spark.catalog.clearCache()
+    // a seed with no out-edges is dropped (the harmonic seed contract)
+    val leafSeed = Graph.betweennessSeeded(edges, "src", "dst",
+        Seq(5L).toDF("s"), "s", 3)
+    assert(leafSeed.count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("negativeSamples: draws replay the smoothed-unigram range pick; " +
       "bucket count is an implementation detail") {
     val pairs = Seq((1L, 10L, 3L), (2L, 10L, 1L), (1L, 20L, 1L),
