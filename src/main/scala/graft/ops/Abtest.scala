@@ -220,6 +220,90 @@ object Abtest {
       k)
   }
 
+  /** K-arm CUPED readout — [[cupedReadout]]'s variance reduction on
+    * the A/B/n axis: θ is estimated ONCE from the POOLED (all-arm)
+    * covariate/outcome moments (assignment ⊥ x, so pooling is the
+    * standard Deng-Xu-Kohavi-Walker practice and keeps every arm's
+    * adjustment on the same scale), then each treatment arm's adjusted
+    * lift vs control is (ȳᵢ − ȳ₀) − θ(x̄ᵢ − x̄₀). Same exactness
+    * contract as the two-arm card: integer moment sums in decimal, a
+    * handful of deterministic double steps, NULL degrade per arm
+    * (empty arm / zero covariate variance). k = 2 reduces exactly to
+    * [[cupedReadout]]'s card (the spec pins it).
+    *
+    * @return per arm: variant, n, sy, sx, theta (pooled, repeated),
+    *         lift_raw, lift_cuped, var_reduction (pooled ρ², repeated) */
+  def cupedReadoutK(df: DataFrame, unitExpr: String, yExpr: String,
+                    xExpr: String, salt: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
+    cupedKCard(df.sparkSession,
+      armMoments(df, unitExpr, "false", yExpr, xExpr, salt, k), k)
+  }
+
+  /** [[cupedReadoutK]]'s card over the merged experiment store — the
+    * variance-reduced A/B/n dashboard; additivity gives the one-shot
+    * card bit-for-bit (arms partition units, so pooled moments are the
+    * per-arm sums). */
+  def cupedKFromStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
+    cupedKCard(spark, mergedArms(spark, path, maxVariant = k - 1L), k)
+  }
+
+  /** The k-arm CUPED card over per-arm moment rows (variant, n, sy,
+    * sx, sxx, sxy, syy) — shared by [[cupedReadoutK]] and
+    * [[cupedKFromStore]] so both emit the SAME double expressions
+    * bit-for-bit. */
+  private def cupedKCard(spark: org.apache.spark.sql.SparkSession,
+                         agg: DataFrame, k: Int): DataFrame = {
+    val d19 = "decimal(19,0)"; val d38 = "decimal(38,0)"
+    val zero38 = lit(0).cast(d38)
+    val axis = spark.range(k).select(col("id").as("variant"))
+    val arms = axis.join(agg, Seq("variant"), "left")
+      .select(col("variant"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sy"), lit(0L)).as("sy"),
+        coalesce(col("sx"), lit(0L)).as("sx"),
+        coalesce(col("sxx"), zero38).as("sxx"),
+        coalesce(col("sxy"), zero38).as("sxy"),
+        coalesce(col("syy"), zero38).as("syy"))
+    // pooled one-row moments → θ, exactly the two-arm card's algebra
+    val pooled = arms.agg(
+      sum(col("n")).cast("long").as("nn"),
+      sum(col("sy")).cast(d19).as("sy_p"),
+      sum(col("sx")).cast(d19).as("sx_p"),
+      sum(col("sxx")).cast(d38).as("sxx_p"),
+      sum(col("sxy")).cast(d38).as("sxy_p"),
+      sum(col("syy")).cast(d38).as("syy_p"))
+    val ctrl = arms.filter(col("variant") === 0L)
+      .select(col("n").as("n0"), col("sy").as("sy0"), col("sx").as("sx0"))
+    val thNum = (col("nn").cast(d19) * col("sxy_p")
+      - (col("sx_p") * col("sy_p")).cast(d38)).cast(d38)
+    val thDen = (col("nn").cast(d19) * col("sxx_p")
+      - (col("sx_p") * col("sx_p")).cast(d38)).cast(d38)
+    val syc = (col("nn").cast(d19) * col("syy_p")
+      - (col("sy_p") * col("sy_p")).cast(d38)).cast(d38)
+    val theta = thNum.cast("double") / thDen.cast("double")
+    val noPair = col("variant") === 0L || col("n") === 0L || col("n0") === 0L
+    val nullD = lit(null).cast("double")
+    val meanDiffY = col("sy").cast("double") / col("n").cast("double") -
+      col("sy0").cast("double") / col("n0").cast("double")
+    val meanDiffX = col("sx").cast("double") / col("n").cast("double") -
+      col("sx0").cast("double") / col("n0").cast("double")
+    arms.crossJoin(broadcast(ctrl)).crossJoin(broadcast(pooled)).select(
+      col("variant"), col("n"), col("sy"), col("sx"),
+      // nested guards: theta divides by thDen — clear the degenerate
+      // case first (the ANSI eager-OR rule)
+      when(thDen === zero38, nullD).otherwise(theta).as("theta"),
+      when(noPair, nullD).otherwise(meanDiffY).as("lift_raw"),
+      when(noPair, nullD).otherwise(
+        when(thDen === zero38, nullD)
+          .otherwise(meanDiffY - theta * meanDiffX)).as("lift_cuped"),
+      when(thDen === zero38 || syc === zero38, nullD)
+        .otherwise((thNum.cast("double") * thNum.cast("double")) /
+          (thDen.cast("double") * syc.cast("double"))).as("var_reduction"))
+  }
+
   /** [[srmCheckK]]'s verdict over the merged store's per-arm unit
     * counts — the A/B/n guardrail on the live dashboard. */
   def srmKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -11096,6 +11096,118 @@ object Queries {
     * started (which segment do the event classes actually differ
     * in?). Same doubled-midrank exact arithmetic per segment, windows
     * partitioned by the segment. */
+  /** K-arm CUPED readout ([[graft.ops.Abtest.cupedReadoutK]], k = 4):
+    * variance-reduced A/B/n lifts — θ estimated ONCE from the pooled
+    * (all-arm) moments, each treatment arm's adjusted lift vs control
+    * is (ȳᵢ − ȳ₀) − θ(x̄ᵢ − x̄₀); same decimal-exact moment algebra as
+    * [[qCuped]], unrounded doubles under the bit-identity contract. */
+  val qAbCupedKarm: Q = "q_ab_cuped_karm" -> (
+    (s: SparkSession, d: String) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          when(expr("(ts_us div 86400000000) % 2") === 1, cents)
+            .otherwise(0L).as("y_late"),
+          when(expr("(ts_us div 86400000000) % 2") === 0, cents)
+            .otherwise(0L).as("x_early"))
+      graft.ops.Abtest.cupedReadoutK(ev, "user_id", "y_late", "x_early",
+          salt = "cupedk", k = 4)
+        .orderBy(col("variant"))
+    },
+    {
+      val mdY = """(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        | - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"""
+        .stripMargin.replace("\n", "")
+      val mdX = """(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        | - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"""
+        .stripMargin.replace("\n", "")
+      val noPair = "ar.variant = 0 OR n = 0 OR n0 = 0"
+      s"""WITH $EV,
+         |un AS (SELECT user_id AS unit,
+         |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 1
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(CASE WHEN (ts_us // 86400000000) % 2 = 0
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS x
+         |  FROM ev GROUP BY 1),
+         |va AS (SELECT y, x, CAST('0x' || substr(md5(CAST(unit AS VARCHAR)
+         |    || 'cupedk'), 1, 7) AS BIGINT) % 4 AS variant FROM un),
+         |ag AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS sxy,
+         |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS syy
+         |  FROM va GROUP BY 1),
+         |ax AS (SELECT range AS variant FROM range(4)),
+         |ar AS (SELECT ax.variant, COALESCE(n, 0) AS n,
+         |    COALESCE(sy, 0) AS sy, COALESCE(sx, 0) AS sx,
+         |    COALESCE(sxx, CAST(0 AS DECIMAL(38,0))) AS sxx,
+         |    COALESCE(sxy, CAST(0 AS DECIMAL(38,0))) AS sxy,
+         |    COALESCE(syy, CAST(0 AS DECIMAL(38,0))) AS syy
+         |  FROM ax LEFT JOIN ag ON ax.variant = ag.variant),
+         |pl AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(sy) AS DECIMAL(19,0)) AS sy_p,
+         |    CAST(sum(sx) AS DECIMAL(19,0)) AS sx_p,
+         |    CAST(sum(sxx) AS DECIMAL(38,0)) AS sxx_p,
+         |    CAST(sum(sxy) AS DECIMAL(38,0)) AS sxy_p,
+         |    CAST(sum(syy) AS DECIMAL(38,0)) AS syy_p FROM ar),
+         |th AS (SELECT
+         |    CAST(CAST(nn AS DECIMAL(19,0)) * sxy_p
+         |      - CAST(sx_p * sy_p AS DECIMAL(38,0)) AS DECIMAL(38,0))
+         |      AS th_num,
+         |    CAST(CAST(nn AS DECIMAL(19,0)) * sxx_p
+         |      - CAST(sx_p * sx_p AS DECIMAL(38,0)) AS DECIMAL(38,0))
+         |      AS th_den,
+         |    CAST(CAST(nn AS DECIMAL(19,0)) * syy_p
+         |      - CAST(sy_p * sy_p AS DECIMAL(38,0)) AS DECIMAL(38,0))
+         |      AS syc FROM pl),
+         |ct AS (SELECT n AS n0, sy AS sy0, sx AS sx0 FROM ar
+         |  WHERE variant = 0)
+         |SELECT ar.variant, ar.n, ar.sy, ar.sx,
+         |  CASE WHEN th_den = 0 THEN NULL
+         |    ELSE CAST(th_num AS DOUBLE) / CAST(th_den AS DOUBLE) END
+         |    AS theta,
+         |  CASE WHEN $noPair THEN NULL ELSE $mdY END AS lift_raw,
+         |  CASE WHEN $noPair THEN NULL
+         |    ELSE CASE WHEN th_den = 0 THEN NULL
+         |      ELSE $mdY - CAST(th_num AS DOUBLE) / CAST(th_den AS DOUBLE)
+         |        * $mdX END END AS lift_cuped,
+         |  CASE WHEN th_den = 0 OR syc = 0 THEN NULL
+         |    ELSE CAST(th_num AS DOUBLE) * CAST(th_num AS DOUBLE)
+         |      / (CAST(th_den AS DOUBLE) * CAST(syc AS DOUBLE)) END
+         |    AS var_reduction
+         |FROM ar, th, ct ORDER BY ar.variant""".stripMargin
+    })
+
+  /** [[qAbCupedKarm]]'s card off a k = 4 experiment store (three
+    * unit-partitioned slices through
+    * [[graft.ops.Abtest.momentsStoreAppend]]): the live variance-
+    * reduced A/B/n dashboard; additivity makes it the one-shot card
+    * bit-for-bit, the oracle is [[qAbCupedKarm]]'s verbatim. */
+  val qAbCupedKarmStored: Q = "q_ab_cuped_karm_stored" -> (
+    (s: SparkSession, d: String) => {
+      val store = codebookPath(d, "ab_cupedk_store")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          when(expr("(ts_us div 86400000000) % 2") === 1, cents)
+            .otherwise(0L).as("y_late"),
+          when(expr("(ts_us div 86400000000) % 2") === 0, cents)
+            .otherwise(0L).as("x_early"))
+      (0 to 2).foreach { i =>
+        graft.ops.Abtest.momentsStoreAppend(
+          ev.filter(pmod(col("user_id"), lit(3)) === i), store, s"b$i",
+          "user_id", "false", "y_late", "x_early", salt = "cupedk", k = 4)
+      }
+      graft.ops.Abtest.cupedKFromStore(s, store, k = 4)
+        .orderBy(col("variant"))
+    },
+    qAbCupedKarm._2._2)
+
   val qKruskalBy: Q = "q_kruskal_by" -> (
     (s: SparkSession, d: String) => {
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -12313,6 +12425,6 @@ object Queries {
     qAbKarm, qSrmKarm, qAbKarmStored, qSrmKarmStored, qMrlRecall,
     qAbMeanBoundary, qCochranBy,
     qRandomWalksStored, qWalkPairsStored, qWalksWeighted, qWalksNode2vec,
-    qNegativeSamples, qBetweenness,
+    qNegativeSamples, qBetweenness, qAbCupedKarm, qAbCupedKarmStored,
   )
 }

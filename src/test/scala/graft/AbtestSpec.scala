@@ -74,6 +74,46 @@ class AbtestSpec extends SparkTestBase {
     assert(!r.isNullAt(r.fieldIndex("lift_raw")))
   }
 
+  test("cupedReadoutK: k=2 reduces to the two-arm card; perfect covariate " +
+      "zeroes every arm's lift; store round-trip is bit-identical") {
+    val df = (1L to 300L).map(u => (u, (u % 37) * 10L, (u % 23) * 7L))
+      .toDF("u", "y", "x")
+    val two = Abtest.cupedReadout(df, "u", "y", "x", "sK").collect().head
+    val k2 = Abtest.cupedReadoutK(df, "u", "y", "x", "sK", k = 2)
+      .orderBy("variant").collect()
+    assert(k2(1).getAs[Double]("theta") === two.getAs[Double]("theta"))
+    assert(k2(1).getAs[Double]("lift_raw") === two.getAs[Double]("lift_raw"))
+    assert(k2(1).getAs[Double]("lift_cuped") ===
+      two.getAs[Double]("lift_cuped"))
+    assert(k2(1).getAs[Double]("var_reduction") ===
+      two.getAs[Double]("var_reduction"))
+    // control row: NULL lifts, pooled theta still shown
+    assert(k2(0).isNullAt(k2(0).fieldIndex("lift_cuped")) &&
+      !k2(0).isNullAt(k2(0).fieldIndex("theta")))
+    // perfect covariate at k=3: every treatment arm's adjusted lift is
+    // exactly zero, pooled rho^2 = 1
+    val perfect = df.selectExpr("u", "y", "y as x")
+    val k3 = Abtest.cupedReadoutK(perfect, "u", "y", "x", "sK", k = 3)
+      .orderBy("variant").collect()
+    (1 until 3).foreach { i =>
+      assert(k3(i).getAs[Double]("lift_cuped") === 0.0)
+      assert(k3(i).getAs[Double]("var_reduction") === 1.0)
+    }
+    // store round-trip: three unit-partitioned slices merge to the
+    // one-shot card bit-for-bit (additivity)
+    val store = java.nio.file.Files.createTempDirectory("cupedk")
+      .toString + "/s"
+    (0 to 2).foreach { i =>
+      Abtest.momentsStoreAppend(df.filter($"u" % 3 === i), store, s"b$i",
+        "u", "false", "y", "x", salt = "sK", k = 2)
+    }
+    val stored = Abtest.cupedKFromStore(spark, store, k = 2)
+      .orderBy("variant").collect()
+    assert(stored.map(_.toSeq).toSeq === k2.map(_.toSeq).toSeq,
+      "merged store card must equal the one-shot bit-for-bit")
+    spark.catalog.clearCache()
+  }
+
   test("ratioReadout: delta-method identity against a Scala replay") {
     def variantOf(u: Long, salt: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
