@@ -93,7 +93,7 @@ object Plans {
         "q_mrl_recall", "q_ab_mean_boundary", "q_cochran_by",
         "q_random_walks_stored", "q_walk_pairs_stored", "q_walks_weighted",
         "q_walks_node2vec", "q_negative_samples", "q_betweenness",
-        "q_ab_cuped_karm", "q_ab_cuped_karm_stored")
+        "q_ab_cuped_karm", "q_ab_cuped_karm_stored", "q_walks_n2v_weighted")
         // q_lpa / q_kcore are iterative like q_pagerank: the final frame
         // inlines every checkpointed round — audited via GraphSpec/
         // PlanShapeSpec instead of a dump that would be all repetition;

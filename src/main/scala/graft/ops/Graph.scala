@@ -1347,6 +1347,105 @@ object Graph {
     walks
   }
 
+  /** [[deterministicWalksNode2vec]] with EDGE WEIGHTS — the paper's
+    * full transition kernel π(x | b, c) ∝ α_pq(b, x) · w(c, x): the
+    * second-order p/q bias multiplied by the first-order edge weight,
+    * both exact longs, drawn with the same cumulative-range md5 pick.
+    * Hop 1 is the [[deterministicWalksWeighted]] draw (no previous
+    * node). Degenerate equivalences the spec pins: p = q = 1 is
+    * BIT-IDENTICAL to [[deterministicWalksWeighted]]; all weights 1 is
+    * BIT-IDENTICAL to [[deterministicWalksNode2vec]] — the four walk
+    * generators form a commuting square. Same per-hop join shape as
+    * the unweighted second-order walk (candidates ∝ |E|, one triangle
+    * equi-join, one per-walk window); parallel (src, dst) duplicates
+    * merge additively; weights must be ≥ 1 (loud guard). */
+  def deterministicWalksNode2vecWeighted(edges: DataFrame, srcCol: String,
+                                         dstCol: String, wCol: String,
+                                         walkLen: Int, salt: String,
+                                         pNum: Long, pDen: Long,
+                                         qNum: Long, qDen: Long)
+      : DataFrame = {
+    require(walkLen >= 1 && walkLen <= 8, s"walkLen in [1, 8], got $walkLen")
+    require(pNum >= 1 && pDen >= 1 && qNum >= 1 && qDen >= 1,
+      s"p and q must be positive rationals, got $pNum/$pDen, $qNum/$qDen")
+    val wReturn = pDen * qNum
+    val wCommon = pNum * qNum
+    val wFar = pNum * qDen
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .withColumn("w", col("w") + coalesce(assert_true(col("w") >= 1L,
+        concat(lit("deterministicWalksNode2vecWeighted: merged weight "),
+          col("w").cast("string"),
+          lit(" < 1 — weights must be positive longs"))).cast("long"),
+        lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e
+      .withColumn("cum", sum(col("w")).over(wOrd
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+        .cast("long"))
+      .withColumn("tot", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+        .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def hash(t: Int, curName: String): org.apache.spark.sql.Column =
+      expr("cast(conv(substring(md5(concat(cast(node as string), " +
+        s"'#$t#', cast($curName as string), '$salt')), 1, 7), " +
+        "16, 10) as bigint)")
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var walks = nodes.select(col("node"), col("node").as("step_0"))
+    // hop 1: the deterministicWalksWeighted draw — no previous node
+    walks = walks
+      .join(adj.select(col("src").as("h_src"), col("tot").as("h_tot"))
+        .distinct(), col("step_0") === col("h_src"), "left")
+      .withColumn("pick", when(col("h_tot").isNull,
+        lit(null).cast("long"))
+        .otherwise(hash(1, "step_0") % col("h_tot")))
+      .join(adj.select(col("src").as("j_src"), col("cum").as("j_cum"),
+        col("w").as("j_w"), col("dst").as("j_dst")),
+        col("step_0") === col("j_src")
+          && col("pick") >= col("j_cum") - col("j_w")
+          && col("pick") < col("j_cum"), "left")
+      .select(col("node"), col("step_0"), col("j_dst").as("step_1"))
+    (2 to walkLen).foreach { t =>
+      val prev = s"step_${t - 2}"
+      val cur = s"step_${t - 1}"
+      val keep = walks.columns.map(col)
+      val cand = walks
+        .filter(col(cur).isNotNull)
+        .select(col("node"), col(prev).as("p"), col(cur).as("c"))
+        .join(adj.select(col("src").as("c"), col("dst").as("x"),
+          col("w").as("ew")), Seq("c"))
+        .join(e.select(col("src").as("p"), col("dst").as("x"),
+          lit(1L).as("is_nb")), Seq("p", "x"), "left")
+        .withColumn("wt",
+          (when(col("x") === col("p"), lit(wReturn))
+            .otherwise(when(col("is_nb").isNotNull, lit(wCommon))
+              .otherwise(lit(wFar))) * col("ew")).cast("long"))
+      val wWalk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("x"))
+      val picked = cand
+        .withColumn("cum", sum(col("wt")).over(wWalk
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("long"))
+        .withColumn("tot", sum(col("wt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("node")))
+          .cast("long"))
+        .withColumn("r", hash(t, "c") % col("tot"))
+        .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+        .select(col("node"), col("x").as(s"step_$t"))
+      walks = walks.join(picked, Seq("node"), "left")
+        .select((keep :+ col(s"step_$t")): _*)
+    }
+    walks
+  }
+
   /** DETERMINISTIC word2vec-style negative sampling over a
     * (center, context, cnt) pair corpus — the third leg of the
     * DeepWalk/node2vec training pipeline after [[deterministicWalks]]

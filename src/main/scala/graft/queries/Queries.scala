@@ -11760,6 +11760,78 @@ object Queries {
          |ORDER BY node""".stripMargin
     })
 
+  /** Weighted node2vec walks
+    * ([[graft.ops.Graph.deterministicWalksNode2vecWeighted]], p = 4,
+    * q = 1/4 over shared-basket edge weights): the paper's full
+    * transition kernel α_pq(b, x)·w(c, x) in exact longs — hop 1 is
+    * the weighted first-order draw, hops 2–3 multiply the
+    * return/triangle/explore bias into the edge weight before the
+    * cumulative-range md5 pick. Oracle unrolls both sweeps with the
+    * identical candidate + triangle joins and windows. */
+  val qWalksN2vWeighted: Q = "q_walks_n2v_weighted" -> (
+    (s: SparkSession, d: String) => {
+      val edges = graft.ops.Graph.copurchaseWeightedEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minItemSupport = 5)
+      graft.ops.Graph.deterministicWalksNode2vecWeighted(edges, "src",
+          "dst", "w", walkLen = 3, salt = "n2vw",
+          pNum = 4L, pDen = 1L, qNum = 1L, qDen = 4L)
+        .orderBy(col("node"))
+    },
+    {
+      def hash(t: Int, cur: String): String =
+        s"""CAST('0x' || substr(md5(CAST(node AS VARCHAR) ||
+           |      '#$t#' || CAST($cur AS VARCHAR) || 'n2vw'),
+           |      1, 7) AS BIGINT)""".stripMargin
+      def hash1(cur: String): String =
+        s"""CAST('0x' || substr(md5(CAST(w.node AS VARCHAR) ||
+           |      '#1#' || CAST(w.$cur AS VARCHAR) || 'n2vw'),
+           |      1, 7) AS BIGINT)""".stripMargin
+      def hop(t: Int): String = {
+        val prev = s"step_${t - 2}"
+        val cur = s"step_${t - 1}"
+        val cols = (0 until t).map(i => s"step_$i").mkString(", ")
+        val wcols = (0 until t).map(i => s"w.step_$i").mkString(", ")
+        s"""c$t AS (SELECT w.node, $wcols, a.dst AS x,
+           |    CAST((CASE WHEN a.dst = w.$prev THEN 1
+           |      WHEN nb.src IS NOT NULL THEN 4 ELSE 16 END) * a.w
+           |      AS BIGINT) AS wt
+           |  FROM w${t - 1} w JOIN adj a ON a.src = w.$cur
+           |  LEFT JOIN e nb ON nb.src = w.$prev AND nb.dst = a.dst),
+           |k$t AS (SELECT *, CAST(sum(wt) OVER (PARTITION BY node
+           |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(wt) OVER (PARTITION BY node) AS BIGINT) AS tot
+           |  FROM c$t),
+           |w$t AS (SELECT node, $cols, x AS step_$t FROM k$t
+           |  WHERE ${hash(t, cur)} % tot >= cum - wt
+           |    AND ${hash(t, cur)} % tot < cum)""".stripMargin
+      }
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+         |    FROM lineitem),
+         |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 5),
+         |fb AS (SELECT b.basket, b.item FROM b JOIN f USING (item)),
+         |e AS (SELECT x.item AS src, y.item AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item <> y.item
+         |  GROUP BY 1, 2),
+         |adj AS (SELECT src, dst, w,
+         |    CAST(sum(w) OVER (PARTITION BY src ORDER BY dst
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS tot
+         |  FROM e),
+         |w0 AS (SELECT DISTINCT src AS node, src AS step_0 FROM adj),
+         |w1 AS (SELECT w.node, w.step_0, a.dst AS step_1
+         |  FROM w0 w JOIN adj a ON a.src = w.step_0
+         |    AND ${hash1("step_0")} % a.tot >= a.cum - a.w
+         |    AND ${hash1("step_0")} % a.tot < a.cum),
+         |${hop(2)},
+         |${hop(3)}
+         |SELECT node, step_0, step_1, step_2, step_3 FROM w3
+         |ORDER BY node""".stripMargin
+    })
+
   /** Deterministic word2vec negative sampling
     * ([[graft.ops.Graph.negativeSamples]]) over the weighted
     * co-purchase pair corpus: every positive (center, context) pair
@@ -12426,5 +12498,6 @@ object Queries {
     qAbMeanBoundary, qCochranBy,
     qRandomWalksStored, qWalkPairsStored, qWalksWeighted, qWalksNode2vec,
     qNegativeSamples, qBetweenness, qAbCupedKarm, qAbCupedKarmStored,
+    qWalksN2vWeighted,
   )
 }

@@ -713,6 +713,40 @@ class GraphSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("deterministicWalksNode2vecWeighted: the four walk generators " +
+      "form a commuting square") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val flat = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val w3 = (und ++ und.map(_.swap))
+      .map { case (a, b) => (a, b, if (a.min(b) == 1L) 3L else 1L) }
+      .toDF("src", "dst", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") -> r.toSeq).toMap
+    // p = q = 1: weighted second-order ≡ weighted first-order
+    val a = m(Graph.deterministicWalksNode2vecWeighted(w3, "src", "dst",
+      "w", 3, "sq", 1L, 1L, 1L, 1L))
+    spark.catalog.clearCache()
+    val b = m(Graph.deterministicWalksWeighted(w3, "src", "dst", "w",
+      3, "sq"))
+    spark.catalog.clearCache()
+    assert(a === b, "p=q=1 must reduce to the weighted first-order walk")
+    // all weights 1: weighted second-order ≡ unweighted second-order
+    val c = m(Graph.deterministicWalksNode2vecWeighted(
+      flat.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      "src", "dst", "w", 3, "sq", 4L, 1L, 1L, 4L))
+    spark.catalog.clearCache()
+    val d = m(Graph.deterministicWalksNode2vec(flat, "src", "dst",
+      3, "sq", 4L, 1L, 1L, 4L))
+    spark.catalog.clearCache()
+    assert(c === d, "unit weights must reduce to the unweighted " +
+      "second-order walk")
+    // and the genuinely-biased weighted walk differs from both
+    val full = m(Graph.deterministicWalksNode2vecWeighted(w3, "src", "dst",
+      "w", 3, "sq", 4L, 1L, 1L, 4L))
+    assert(full.nonEmpty && (full != c || full != a))
+    spark.catalog.clearCache()
+  }
+
   test("negativeSamples: draws replay the smoothed-unigram range pick; " +
       "bucket count is an implementation detail") {
     val pairs = Seq((1L, 10L, 3L), (2L, 10L, 1L), (1L, 20L, 1L),
