@@ -73,16 +73,24 @@ object Graph {
     * @param iters    fixed number of power iterations (>= 1; deterministic)
     * @param damping  PageRank damping factor d; rank = (1-d)/n + d * inMass
     * @param dangling redistribute sink-node mass (directed graphs with sinks)
+    * @param edgesDistinct input has NO duplicate (src, dst) rows — a
+    *                 construction guarantee (e.g. [[copurchaseEdges]]'
+    *                 distinct-by-build output), skipping the |E|-row
+    *                 dedup exchange (optimization r16, guide §2.4:
+    *                 "a distinct on data that is already unique").
+    *                 Results are identical when the guarantee holds.
     * @return (node, rank) — one row per distinct node, rank a raw double
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               dangling: Boolean = false): DataFrame = {
+               dangling: Boolean = false,
+               edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     // The raw edge list feeds the degree table and the loop relation —
     // persist it so an expensive upstream lineage (e.g. the co-purchase
     // pair build) runs ONCE, not once per branch.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -175,9 +183,13 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String,
-                           iters: Int, damping: Double = 0.85): DataFrame = {
+                           iters: Int, damping: Double = 0.85,
+                           edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // edgesDistinct: the pageRank precondition — input construction-
+    // guaranteed duplicate-free, dedup exchange skipped (r16)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -251,10 +263,14 @@ object Graph {
     * |E| join + aggregation per hop.
     */
   def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-                     iters: Int, alphaInv: Int = 4): DataFrame = {
+                     iters: Int, alphaInv: Int = 4,
+                     edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && alphaInv >= 2 && (alphaInv & (alphaInv - 1)) == 0,
       "alphaInv must be a power of two (dyadic α keeps sums exact)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // edgesDistinct: the pageRank precondition — input construction-
+    // guaranteed duplicate-free, dedup exchange skipped (r16)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indeg = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).cast("long").as("indeg"))
@@ -321,12 +337,23 @@ object Graph {
     * @return (node, deg, triangles, lcc) — one row per node of the
     *         undirected graph, lcc 0.0 when deg < 2
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     symmetricDistinct: Boolean = false): DataFrame = {
+    // symmetricDistinct: input construction-guaranteed to hold BOTH
+    // directions of every undirected edge exactly once with no self
+    // loops ([[copurchaseEdges]]' contract) — the canonical (a < b)
+    // pair set is then a MAP-SIDE filter (each unordered pair appears
+    // exactly once with src < dst), skipping the least/greatest dedup
+    // exchange over 2|E| rows (optimization r16, guide §2.4). Results
+    // identical when the guarantee holds.
+    val e = (if (symmetricDistinct)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+          .filter(col("a") < col("b"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
@@ -397,9 +424,12 @@ object Graph {
     *         L1-normalized doubles (each sums to 1 over the graph)
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int): DataFrame = {
+           iters: Int, edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // edgesDistinct: the pageRank precondition — input construction-
+    // guaranteed duplicate-free, dedup exchange skipped (r16)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -476,11 +506,18 @@ object Graph {
     * @return (node, label) — final community label per node
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int): DataFrame = {
+                       iters: Int,
+                       symmetricDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one iteration")
+    // symmetricDistinct: input construction-guaranteed to already hold
+    // both directions exactly once, no self loops ([[copurchaseEdges]]'
+    // contract) — the symmetrize-union + dedup exchange over 4|E| rows
+    // is then the identity and is skipped (optimization r16). Results
+    // identical when the guarantee holds.
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
+    val e = (if (symmetricDistinct) dir
+      else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -610,7 +647,8 @@ object Graph {
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Long, maxRounds: Int = 20,
-            onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+            onRound: (Int, Long) => Unit = (_, _) => (),
+            symmetricDistinct: Boolean = false): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(maxRounds >= 1, "kCore needs maxRounds >= 1")
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -620,8 +658,13 @@ object Graph {
     // every round and the plan string itself OOMs the driver long before
     // the data is large — checkpointing pins the round's edges as cached
     // blocks behind a leaf plan.
-    var cur = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
+    // symmetricDistinct: the labelPropagation precondition — input
+    // already both-directions + distinct + no self loops, so the
+    // symmetrize-union + dedup exchange is the identity and is skipped
+    // (optimization r16); round 0 still checkpoints for the loop reads.
+    var cur = (if (symmetricDistinct) dir
+      else dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
       .localCheckpoint(true)
     // convergence on EDGE count, not a distinct node count: removing any
     // node removes >= 1 of its edges (every cur node has degree >= 1 by
@@ -711,12 +754,15 @@ object Graph {
     *         convention); betweenness = Σ num / 2³⁰ */
   def betweennessSeeded(edges: DataFrame, srcCol: String, dstCol: String,
                         seeds: DataFrame, seedCol: String,
-                        maxHops: Int): DataFrame = {
+                        maxHops: Int,
+                        edgesDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8,
       s"maxHops in [1, 8] (levels are materialized), got $maxHops")
     val Q = 1073741824.0 // 2^30, the fixed-point scale
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    // edgesDistinct: the pageRank precondition — input construction-
+    // guaranteed duplicate-free, dedup exchange skipped (r16)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s0 = seeds.select(col(seedCol).as("seed")).distinct()
       .join(e.select(col("src").as("seed")).distinct(), Seq("seed"),
@@ -791,11 +837,14 @@ object Graph {
 
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, seedCol: String,
-                         maxHops: Int): DataFrame = {
+                         maxHops: Int,
+                         edgesDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8,
       s"maxHops in [1, 8] (hop columns are materialized), got $maxHops")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    // edgesDistinct: the pageRank precondition — input construction-
+    // guaranteed duplicate-free, dedup exchange skipped (r16)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed rows restricted to actual graph nodes, so a superset seed
     // source gives the same result (the personalizedPageRank contract)
@@ -871,14 +920,25 @@ object Graph {
     *         ≥ minCommon shared (non-hub) neighbors
     */
   def commonNeighborLinks(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxCenterDeg: Long, minCommon: Long): DataFrame = {
+                          maxCenterDeg: Long, minCommon: Long,
+                          symmetricDistinct: Boolean = false): DataFrame = {
     require(maxCenterDeg >= 1, "maxCenterDeg must be >= 1")
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    // symmetricDistinct: input already both-directions + distinct + no
+    // self loops ([[copurchaseEdges]]' contract) — canonical pairs are
+    // a map-side a < b filter and the adjacency is the input itself,
+    // skipping the dedup exchange AND the 2× union re-expansion (r16)
+    val e = (if (symmetricDistinct)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+          .filter(col("a") < col("b"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both directions re-expand MAP-SIDE from the persisted canonical
+    // set (for symmetric input these are exactly the input rows, read
+    // from cache instead of re-running the upstream build)
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     val centers = adj.groupBy("w").agg(count(lit(1)).as("deg"))
@@ -919,10 +979,17 @@ object Graph {
       .select("item")
     val fsets = b.join(freq, "item")
       .groupBy("basket").agg(collect_set(col("item")).as("items"))
-    fsets.select(explode(col("items")).as("src"), col("items"))
+    // Canonical (src < dst) pairs only through the dedup exchange — the
+    // build's heaviest shuffle halves (each unordered basket pair used
+    // to enter it twice); the mirrored direction is re-added MAP-SIDE
+    // after the distinct, so the emitted edge SET is byte-identical
+    // (guide §2.3: shuffle fewer bytes). The union of the two disjoint
+    // halves is itself distinct, preserving the documented contract.
+    val half = fsets.select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") < col("dst"))
       .distinct()
+    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** [[copurchaseEdges]] derived from a [[Baskets.pairStoreAppend]]
@@ -973,10 +1040,16 @@ object Graph {
       .select("item")
     val fsets = b.join(freq, "item")
       .groupBy("basket").agg(collect_set(col("item")).as("items"))
-    fsets.select(explode(col("items")).as("src"), col("items"))
+    // same canonical halving as [[copurchaseEdges]]: the count exchange
+    // carries each unordered pair once (w is symmetric by construction —
+    // shared-basket count does not depend on direction), and the mirror
+    // is re-added map-side with the same w. Output set byte-identical.
+    val half = fsets.select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
+    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"),
+      col("w")))
   }
 
   /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009,
@@ -1003,13 +1076,19 @@ object Graph {
     */
   def resourceAllocationLinks(edges: DataFrame, srcCol: String,
                               dstCol: String, maxCenterDeg: Long,
-                              minCommon: Long): DataFrame = {
+                              minCommon: Long,
+                              symmetricDistinct: Boolean = false): DataFrame = {
     require(maxCenterDeg >= 1, "maxCenterDeg must be >= 1")
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    // symmetricDistinct: the commonNeighborLinks precondition — the
+    // canonical pair set is a map-side a < b filter over the input (r16)
+    val e = (if (symmetricDistinct)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+          .filter(col("a") < col("b"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
@@ -1060,14 +1139,22 @@ object Graph {
     * @return one row: (m_ends, sum_x, sum_xy, sum_x2, r)
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val adj = e.select(col("a").as("w"), col("b").as("n"))
-      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+                          dstCol: String,
+                          symmetricDistinct: Boolean = false): DataFrame = {
+    // symmetricDistinct: input already both-directions + distinct + no
+    // self loops — the input IS the (w, n) end list; the canonicalize +
+    // re-expand round trip (one 2|E| dedup exchange) is skipped (r16)
+    val adj = (if (symmetricDistinct)
+        edges.select(col(srcCol).as("w"), col(dstCol).as("n"))
+      else {
+        val e = edges
+          .select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+        e.select(col("a").as("w"), col("b").as("n"))
+          .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+      })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val degrees = adj.groupBy("w").agg(count(lit(1)).cast("long").as("deg"))
     // degrees is node-count-sized → broadcast twice; the 2|E| adj side
@@ -1134,39 +1221,47 @@ object Graph {
                          walkLen: Int, salt: String,
                          maxDeg: Option[Long] = None): DataFrame = {
     require(walkLen >= 1 && walkLen <= 8, s"walkLen in [1, 8], got $walkLen")
-    require(maxDeg.forall(_ >= 1L), s"maxDeg >= 1, got $maxDeg")
+    require(maxDeg.forall(m => m >= 1L && m <= Int.MaxValue.toLong),
+      s"maxDeg in [1, ${Int.MaxValue}], got $maxDeg")
+    // ARRAY adjacency — one (src, dst-sorted neighbor array) row per
+    // node instead of one indexed row per edge (optimization r16,
+    // guide §2.3/§2.4): collect_set dedups INSIDE the aggregation (the
+    // standalone distinct exchange is gone), sort_array replaces the
+    // row_number + count windows (no per-src sort exchange), and each
+    // hop becomes ONE equi-join against the node-sized array relation
+    // with a codegen'd element_at pick — the per-hop (src, deg)
+    // distinct and the second (src, idx) join are gone. Hop values are
+    // BIT-IDENTICAL to the indexed form: element_at(nbrs, pick + 1) is
+    // the dst at row_number idx = pick in the same dst order. The
+    // whole-neighbor-list row is the same hub exposure the window sort
+    // had; `maxDeg` (slice of the first maxDeg dst-sorted neighbors,
+    // exactly the old idx < maxDeg filter) remains the raw-web-graph
+    // guard.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dst"))
-    val indexed = e.withColumn("idx", row_number().over(w).cast("long") - 1L)
-    val capped = maxDeg.fold(indexed)(m => indexed.filter(col("idx") < m))
-    val adj = capped
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
-        .cast("long"))
+    val nbrs0 = e.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    val adj = maxDeg.fold(nbrs0)(m =>
+        nbrs0.select(col("src"), slice(col("nbrs"), 1, m.toInt).as("nbrs")))
+      .select(col("src"), col("nbrs"),
+        size(col("nbrs")).cast("long").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = adj.select(col("src").as("node")).distinct()
-    var walks = nodes.select(col("node"), col("node").as("step_0"))
+    var walks = adj.select(col("src").as("node"), col("src").as("step_0"))
     (1 to walkLen).foreach { t =>
       val cur = col(s"step_${t - 1}")
       val keep = walks.columns.map(col)
       // hop choice hashes (start, step, current): per-walk randomness,
       // byte-replayable — conv(md5) % deg is the srmCheck assignment
-      // convention
-      val withPick = walks
-        .join(adj.select(col("src").as("h_src"), col("deg").as("h_deg"))
-          .distinct(), cur === col("h_src"), "left")
-        .select((keep :+ when(col("h_deg").isNull,
-          lit(null).cast("long")).otherwise(
-          expr(("cast(conv(substring(md5(concat(cast(node as string), " +
-            s"'#$t#', cast(step_${t - 1} as string), '$salt')), 1, 7), " +
-            "16, 10) as bigint)")) % col("h_deg")).as("pick")): _*)
-      walks = withPick
-        .join(adj.select(col("src").as("j_src"), col("idx").as("j_idx"),
-          col("dst").as("j_dst")),
-          cur === col("j_src") && col("pick") === col("j_idx"), "left")
-        .select((keep :+ col("j_dst").as(s"step_$t")): _*)
+      // convention. A dead end (no adjacency row) leaves h_deg NULL, so
+      // the pick and the step stay NULL — the documented truncation.
+      val pick =
+        expr(("cast(conv(substring(md5(concat(cast(node as string), " +
+          s"'#$t#', cast(step_${t - 1} as string), '$salt')), 1, 7), " +
+          "16, 10) as bigint)")) % col("h_deg")
+      walks = walks
+        .join(adj.select(col("src").as("h_src"), col("nbrs").as("h_nbrs"),
+          col("deg").as("h_deg")), cur === col("h_src"), "left")
+        .select((keep :+ element_at(col("h_nbrs"),
+          (pick + lit(1L)).cast("int")).as(s"step_$t")): _*)
     }
     walks
   }
@@ -1208,26 +1303,37 @@ object Graph {
           col("w").cast("string"),
           lit(" < 1 — weights must be positive longs"))).cast("long"),
         lit(0L)))
+    // ONE Window operator (optimization r16): tot shares cum's
+    // (partition src, order dst) spec with an unbounded-following
+    // frame, so both aggregates run in the same pass over the same
+    // sort — the old order-less tot window was a SECOND Window pass.
+    // Same values: Σw over the whole partition.
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
     val adj = e
       .withColumn("cum", sum(col("w")).over(wOrd
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)).cast("long"))
-      .withColumn("tot", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+      .withColumn("tot", sum(col("w")).over(wOrd
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing))
         .cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = adj.select(col("src").as("node")).distinct()
-    var walks = nodes.select(col("node"), col("node").as("step_0"))
+    // node-sized (src, tot) lookup hoisted OUT of the loop (the old
+    // shape re-ran a |E|-row distinct every hop); max(cum) = tot and
+    // the aggregate reuses the window's src partitioning — no exchange
+    val totTab = adj.groupBy("src").agg(max(col("cum")).as("tot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var walks = totTab.select(col("src").as("node"),
+      col("src").as("step_0"))
     (1 to walkLen).foreach { t =>
       val cur = col(s"step_${t - 1}")
       val keep = walks.columns.map(col)
       // IDENTICAL hash string to deterministicWalks — the degenerate
       // all-weights-1 equivalence depends on it
       val withPick = walks
-        .join(adj.select(col("src").as("h_src"), col("tot").as("h_tot"))
-          .distinct(), cur === col("h_src"), "left")
+        .join(totTab.select(col("src").as("h_src"),
+          col("tot").as("h_tot")), cur === col("h_src"), "left")
         .select((keep :+ when(col("h_tot").isNull,
           lit(null).cast("long")).otherwise(
           expr(("cast(conv(substring(md5(concat(cast(node as string), " +
@@ -1284,49 +1390,73 @@ object Graph {
     val wReturn = pDen * qNum
     val wCommon = pNum * qNum
     val wFar = pNum * qDen
+    // ARRAY adjacency (optimization r16, the deterministicWalks shape):
+    // one (src, dst-sorted neighbor array, deg) row per node replaces
+    // BOTH edge-sized relations the old plan broadcast per query (the
+    // indexed adjacency AND the raw edge set for the triangle test).
+    // Per second-order hop:
+    //   (a) the Σdeg candidate set is generated MAP-SIDE — one equi-join
+    //       against the node-sized array relation + explode, instead of
+    //       a join against the 2|E|-row indexed adjacency;
+    //   (b) the triangle test x ∈ N(prev) is a codegen'd array_contains
+    //       against the prev node's sorted array (fetched by the same
+    //       node-sized join) — the (prev, x) equi-join against the full
+    //       edge set is gone;
+    //   (c) cum and tot share ONE Window operator (same partition+order
+    //       spec, unbounded-following frame for tot) — one sort pass;
+    //   (d) survivors and dead-end walks re-assemble by MAP-SIDE union —
+    //       the per-hop (walks ⟕ picked) join is gone; the walk's step
+    //       columns ride through the window exchange instead (≤ 8 longs).
+    // Weights, hash strings, and the dst-sorted cumulative order are
+    // byte-identical to the joined form — the oracle replay is unchanged.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dst"))
-    val adj = e
-      .withColumn("idx", row_number().over(w).cast("long") - 1L)
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
-        .cast("long"))
+    val adj = e.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .select(col("src"), col("nbrs"),
+        size(col("nbrs")).cast("long").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def hash(t: Int, curName: String): org.apache.spark.sql.Column =
       expr("cast(conv(substring(md5(concat(cast(node as string), " +
         s"'#$t#', cast($curName as string), '$salt')), 1, 7), " +
         "16, 10) as bigint)")
-    val nodes = adj.select(col("src").as("node")).distinct()
-    var walks = nodes.select(col("node"), col("node").as("step_0"))
-    // hop 1: uniform over the adjacency — no previous node yet
+    var walks = adj.select(col("src").as("node"), col("src").as("step_0"))
+    // hop 1: uniform over the adjacency — no previous node yet; the
+    // element_at pick is the deterministicWalks hop (identical hash).
+    // EVERY hop's frontier is localCheckpoint'ed (the pageRank/kCore
+    // lineage discipline): hop t ≥ 2 reads its predecessor TWICE
+    // (candidate branch + dead branch), so an un-truncated chain
+    // re-executes the whole walk history 2^t times — checkpointing
+    // makes each hop run exactly once.
     walks = walks
-      .join(adj.select(col("src").as("h_src"), col("deg").as("h_deg"))
-        .distinct(), col("step_0") === col("h_src"), "left")
-      .withColumn("pick", when(col("h_deg").isNull,
-        lit(null).cast("long"))
-        .otherwise(hash(1, "step_0") % col("h_deg")))
-      .join(adj.select(col("src").as("j_src"), col("idx").as("j_idx"),
-        col("dst").as("j_dst")),
-        col("step_0") === col("j_src") && col("pick") === col("j_idx"),
-        "left")
-      .select(col("node"), col("step_0"), col("j_dst").as("step_1"))
+      .join(adj.select(col("src").as("h_src"), col("nbrs").as("h_nbrs"),
+        col("deg").as("h_deg")), col("step_0") === col("h_src"), "left")
+      .select(col("node"), col("step_0"),
+        element_at(col("h_nbrs"),
+          ((hash(1, "step_0") % col("h_deg")) + lit(1L)).cast("int"))
+          .as("step_1"))
+    // the FINAL hop is read once by the caller — no checkpoint needed
+    if (walkLen > 1) walks = walks.localCheckpoint(true)
     (2 to walkLen).foreach { t =>
       val prev = s"step_${t - 2}"
       val cur = s"step_${t - 1}"
       val keep = walks.columns.map(col)
-      val cand = walks
-        .filter(col(cur).isNotNull)
-        .select(col("node"), col(prev).as("p"), col(cur).as("c"))
-        .join(adj.select(col("src").as("c"), col("dst").as("x")), Seq("c"))
-        .join(e.select(col("src").as("p"), col("dst").as("x"),
-          lit(1L).as("is_nb")), Seq("p", "x"), "left")
-        .withColumn("wt",
-          when(col("x") === col("p"), lit(wReturn))
-            .otherwise(when(col("is_nb").isNotNull, lit(wCommon))
-              .otherwise(lit(wFar))).cast("long"))
+      // one node-sized join fetches BOTH neighbor arrays: N(cur) to
+      // explode into candidates, N(prev) for the triangle test. A walk
+      // whose cur is NULL (truncated earlier) or has no adjacency row
+      // (dead end — impossible on symmetrized inputs, possible on
+      // directed ones) takes the map-side dead branch below.
+      val frontier = walks
+        .join(adj.select(col("src").as("c_src"), col("nbrs").as("c_nbrs")),
+          col(cur) === col("c_src"), "left")
+        .join(adj.select(col("src").as("p_src"), col("nbrs").as("p_nbrs")),
+          col(prev) === col("p_src"), "left")
+      val cand = frontier.filter(col("c_nbrs").isNotNull)
+        .select((keep :+ col("p_nbrs") :+
+          explode(col("c_nbrs")).as("x")): _*)
+        .select((keep :+ col("x") :+
+          when(col("x") === col(prev), lit(wReturn))
+            .otherwise(when(array_contains(col("p_nbrs"), col("x")),
+              lit(wCommon)).otherwise(lit(wFar))).cast("long").as("wt")): _*)
       val wWalk = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node")).orderBy(col("x"))
       val picked = cand
@@ -1335,14 +1465,26 @@ object Graph {
             org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow))
           .cast("long"))
-        .withColumn("tot", sum(col("wt")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("node")))
+        .withColumn("tot", sum(col("wt")).over(wWalk
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing))
           .cast("long"))
-        .withColumn("r", hash(t, "c") % col("tot"))
+        .withColumn("r", hash(t, cur) % col("tot"))
         .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
-        .select(col("node"), col("x").as(s"step_$t"))
-      walks = walks.join(picked, Seq("node"), "left")
-        .select((keep :+ col(s"step_$t")): _*)
+        .select((keep :+ col("x").as(s"step_$t")): _*)
+      val dead = frontier.filter(col("c_nbrs").isNull)
+        .select((keep :+ lit(null).cast(e.schema("dst").dataType)
+          .as(s"step_$t")): _*)
+      // the FINAL hop is read once by the caller — no checkpoint needed
+      val next =
+        if (t < walkLen) picked.unionAll(dead).localCheckpoint(true)
+        else picked.unionAll(dead)
+      // prev hop's blocks: safe to release only once `next` is itself
+      // materialized; the final (lazy) hop still READS its predecessor —
+      // that last checkpoint is the caller's/clearCache's to release
+      if (t < walkLen) releaseCheckpoint(walks)
+      walks = next
     }
     walks
   }
@@ -1379,69 +1521,85 @@ object Graph {
           col("w").cast("string"),
           lit(" < 1 — weights must be positive longs"))).cast("long"),
         lit(0L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dst"))
-    val adj = e
-      .withColumn("cum", sum(col("w")).over(wOrd
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow))
-        .cast("long"))
-      .withColumn("tot", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
-        .cast("long"))
+    // ARRAY adjacency (optimization r16, the deterministicWalksNode2vec
+    // shape): one row per node with the dst-sorted (dst, w) struct array
+    // plus the dst-only array for the codegen'd triangle membership
+    // test — replaces both edge-sized relations (the cum-indexed
+    // adjacency and the raw weighted edge set). Every hop — hop 1
+    // included — explodes the current node's array MAP-SIDE and draws
+    // through ONE shared-spec Window (cum + tot in one sort pass); for
+    // hop 1 the per-element weight is just w (no previous node), which
+    // is exactly the deterministicWalksWeighted draw over the same
+    // dst-sorted cumulative order. Survivors and dead walks re-assemble
+    // by map-side union (no per-hop re-join).
+    val adj = e.groupBy("src")
+      .agg(sort_array(collect_set(struct(col("dst"), col("w"))))
+          .as("nbrs"),
+        sort_array(collect_set(col("dst"))).as("nbrsD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def hash(t: Int, curName: String): org.apache.spark.sql.Column =
       expr("cast(conv(substring(md5(concat(cast(node as string), " +
         s"'#$t#', cast($curName as string), '$salt')), 1, 7), " +
         "16, 10) as bigint)")
-    val nodes = adj.select(col("src").as("node")).distinct()
-    var walks = nodes.select(col("node"), col("node").as("step_0"))
-    // hop 1: the deterministicWalksWeighted draw — no previous node
-    walks = walks
-      .join(adj.select(col("src").as("h_src"), col("tot").as("h_tot"))
-        .distinct(), col("step_0") === col("h_src"), "left")
-      .withColumn("pick", when(col("h_tot").isNull,
-        lit(null).cast("long"))
-        .otherwise(hash(1, "step_0") % col("h_tot")))
-      .join(adj.select(col("src").as("j_src"), col("cum").as("j_cum"),
-        col("w").as("j_w"), col("dst").as("j_dst")),
-        col("step_0") === col("j_src")
-          && col("pick") >= col("j_cum") - col("j_w")
-          && col("pick") < col("j_cum"), "left")
-      .select(col("node"), col("step_0"), col("j_dst").as("step_1"))
-    (2 to walkLen).foreach { t =>
-      val prev = s"step_${t - 2}"
+    val wWalk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("x"))
+    // one hop: explode the (dst, w) array of `cur`, weight each
+    // candidate (hop 1: w alone; hop ≥ 2: α_pq(prev, x) · w), cumulative
+    // range pick at r = md5 % tot — all weights exact longs
+    def hop(t: Int, walks: DataFrame): DataFrame = {
       val cur = s"step_${t - 1}"
       val keep = walks.columns.map(col)
-      val cand = walks
-        .filter(col(cur).isNotNull)
-        .select(col("node"), col(prev).as("p"), col(cur).as("c"))
-        .join(adj.select(col("src").as("c"), col("dst").as("x"),
-          col("w").as("ew")), Seq("c"))
-        .join(e.select(col("src").as("p"), col("dst").as("x"),
-          lit(1L).as("is_nb")), Seq("p", "x"), "left")
-        .withColumn("wt",
-          (when(col("x") === col("p"), lit(wReturn))
-            .otherwise(when(col("is_nb").isNotNull, lit(wCommon))
-              .otherwise(lit(wFar))) * col("ew")).cast("long"))
-      val wWalk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node")).orderBy(col("x"))
+      val frontier0 = walks
+        .join(adj.select(col("src").as("c_src"), col("nbrs").as("c_nbrs")),
+          col(cur) === col("c_src"), "left")
+      val frontier =
+        if (t == 1) frontier0.withColumn("p_nbrsD",
+          lit(null).cast(org.apache.spark.sql.types.ArrayType(
+            e.schema("dst").dataType))) // unused at hop 1
+        else frontier0.join(
+          adj.select(col("src").as("p_src"), col("nbrsD").as("p_nbrsD")),
+          col(s"step_${t - 2}") === col("p_src"), "left")
+      val cand = frontier.filter(col("c_nbrs").isNotNull)
+        .select((keep :+ col("p_nbrsD") :+
+          explode(col("c_nbrs")).as("s")): _*)
+        .select((keep :+ col("s.dst").as("x") :+
+          (if (t == 1) col("s.w").cast("long")
+           else (when(col("s.dst") === col(s"step_${t - 2}"), lit(wReturn))
+             .otherwise(when(array_contains(col("p_nbrsD"), col("s.dst")),
+               lit(wCommon)).otherwise(lit(wFar))) * col("s.w"))
+             .cast("long")).as("wt")): _*)
       val picked = cand
         .withColumn("cum", sum(col("wt")).over(wWalk
           .rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow))
           .cast("long"))
-        .withColumn("tot", sum(col("wt")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("node")))
+        .withColumn("tot", sum(col("wt")).over(wWalk
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing))
           .cast("long"))
-        .withColumn("r", hash(t, "c") % col("tot"))
+        .withColumn("r", hash(t, cur) % col("tot"))
         .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
-        .select(col("node"), col("x").as(s"step_$t"))
-      walks = walks.join(picked, Seq("node"), "left")
-        .select((keep :+ col(s"step_$t")): _*)
+        .select((keep :+ col("x").as(s"step_$t")): _*)
+      val dead = frontier.filter(col("c_nbrs").isNull)
+        .select((keep :+ lit(null).cast(e.schema("dst").dataType)
+          .as(s"step_$t")): _*)
+      // localCheckpoint per hop (the pageRank/kCore lineage discipline):
+      // hop t reads its predecessor twice (candidate + dead branches) —
+      // un-truncated, the walk history would re-execute 2^t times. The
+      // FINAL hop is read once by the caller — no checkpoint needed.
+      if (t < walkLen) picked.unionAll(dead).localCheckpoint(true)
+      else picked.unionAll(dead)
+    }
+    var walks = adj.select(col("src").as("node"), col("src").as("step_0"))
+    (1 to walkLen).foreach { t =>
+      val next = hop(t, walks)
+      // prev hop's blocks: safe to release only once `next` is itself
+      // materialized (t < walkLen — the final hop is lazy and still
+      // reads its predecessor; that checkpoint is clearCache's to free)
+      if (t < walkLen) releaseCheckpoint(walks)
+      walks = next
     }
     walks
   }

@@ -5499,7 +5499,8 @@ object Queries {
       val edges = graft.ops.Graph.copurchaseEdges(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
-      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85,
+          edgesDistinct = true)
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("part")).limit(20)
     },
@@ -5550,7 +5551,8 @@ object Queries {
       }
       val edges = graft.ops.Graph.copurchaseEdgesFromPairStore(
         s, path, minItemSupport = 5)
-      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85,
+          edgesDistinct = true)
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("part")).limit(20)
     },
@@ -5849,7 +5851,7 @@ object Queries {
         .select(col("l_partkey").as("part")).distinct()
         .filter(col("part") % 97 === 0)
       graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
-          seeds, "part", iters = 3, damping = 0.85)
+          seeds, "part", iters = 3, damping = 0.85, edgesDistinct = true)
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("part")).limit(15)
     },
@@ -5899,7 +5901,8 @@ object Queries {
       val edges = graft.ops.Graph.copurchaseEdges(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
-      graft.ops.Graph.katzCentrality(edges, "src", "dst", iters = 3)
+      graft.ops.Graph.katzCentrality(edges, "src", "dst", iters = 3,
+          edgesDistinct = true)
         .select(col("node").as("part"), round(col("x"), 6).as("katz"))
         .orderBy(col("katz").desc, col("part")).limit(20)
     },
@@ -5935,7 +5938,7 @@ object Queries {
           (col("l_suppkey") + lit(1000000L)).as("dst"))
         .distinct()
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3,
-          damping = 0.85, dangling = true)
+          damping = 0.85, dangling = true, edgesDistinct = true)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(25)
     },
@@ -6044,7 +6047,8 @@ object Queries {
       val edges = graft.ops.Graph.copurchaseEdges(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
-      graft.ops.Graph.triangleCounts(edges, "src", "dst")
+      graft.ops.Graph.triangleCounts(edges, "src", "dst",
+          symmetricDistinct = true)
         .select(col("node").as("part"), col("deg"), col("triangles"),
           round(col("lcc"), 6).as("lcc"))
         .orderBy(col("part"))
@@ -6094,7 +6098,8 @@ object Queries {
         .select(col("l_partkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
         .distinct()
-      graft.ops.Graph.hits(edges, "src", "dst", iters = 2)
+      graft.ops.Graph.hits(edges, "src", "dst", iters = 2,
+          edgesDistinct = true)
         .select(col("node"), round(col("hub"), 6).as("hub"),
           round(col("auth"), 6).as("auth"))
         .orderBy(col("auth").desc, col("hub").desc, col("node")).limit(30)
@@ -6143,7 +6148,8 @@ object Queries {
       val edges = graft.ops.Graph.copurchaseEdges(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
-      graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 3,
+          symmetricDistinct = true)
         .select(col("node").as("part"), col("label").as("community"))
         .orderBy(col("part"))
     },
@@ -6304,7 +6310,7 @@ object Queries {
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
       graft.ops.Graph.commonNeighborLinks(edges, "src", "dst",
-          maxCenterDeg = 96, minCommon = 4)
+          maxCenterDeg = 96, minCommon = 4, symmetricDistinct = true)
         .orderBy(col("common").desc, col("node_a"), col("node_b"))
         .limit(25)
     },
@@ -6342,7 +6348,8 @@ object Queries {
       val edges = graft.ops.Graph.copurchaseEdges(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
-      graft.ops.Graph.kCore(edges, "src", "dst", k = 80L)
+      graft.ops.Graph.kCore(edges, "src", "dst", k = 80L,
+          symmetricDistinct = true)
         .select(col("node").as("part"), col("core_deg"))
         .orderBy(col("part"))
     },
@@ -6630,7 +6637,7 @@ object Queries {
         .select(col("l_partkey").as("part")).distinct()
         .filter(col("part") % 97 === 0)
       graft.ops.Graph.harmonicCentrality(edges, "src", "dst",
-          seeds, "part", maxHops = 2)
+          seeds, "part", maxHops = 2, edgesDistinct = true)
         .select(col("node").as("part"), col("n1"), col("n2"),
           round(col("harmonic"), 6).as("harmonic"))
         .orderBy(col("part"))
@@ -6677,7 +6684,7 @@ object Queries {
         .select(col("l_partkey").as("part")).distinct()
         .filter(col("part") % 97 === 0)
       graft.ops.Graph.betweennessSeeded(edges, "src", "dst",
-          seeds, "part", maxHops = 2)
+          seeds, "part", maxHops = 2, edgesDistinct = true)
         .select(col("node").as("part"),
           round(col("betweenness"), 6).as("betweenness"))
         .orderBy(col("part"))
@@ -6863,7 +6870,7 @@ object Queries {
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
       graft.ops.Graph.resourceAllocationLinks(edges, "src", "dst",
-          maxCenterDeg = 96, minCommon = 4)
+          maxCenterDeg = 96, minCommon = 4, symmetricDistinct = true)
         .orderBy(col("score_fp").desc, col("node_a"), col("node_b"))
         .limit(25)
     },
@@ -6901,7 +6908,8 @@ object Queries {
       val edges = graft.ops.Graph.copurchaseEdges(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minItemSupport = 5)
-      graft.ops.Graph.degreeAssortativity(edges, "src", "dst")
+      graft.ops.Graph.degreeAssortativity(edges, "src", "dst",
+          symmetricDistinct = true)
         .select(col("m_ends"), col("sum_x"), col("sum_xy"), col("sum_x2"),
           round(col("r"), 6).as("r"))
         .orderBy(col("m_ends"))

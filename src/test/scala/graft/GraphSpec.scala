@@ -785,4 +785,56 @@ class GraphSpec extends SparkTestBase {
     assert(one === got, "nBuckets must not change any draw")
     spark.catalog.clearCache()
   }
+
+  test("precondition flags: flagged ≡ unflagged on symmetric-distinct input") {
+    // r16 optimization contract: when the input already holds both
+    // directions of every undirected edge exactly once (no self loops,
+    // no duplicates — copurchaseEdges' construction guarantee), the
+    // edgesDistinct / symmetricDistinct fast paths must be value-
+    // IDENTICAL to the generic paths they shortcut.
+    val undirected = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L))
+    val e = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Graph.pageRank(e, "src", "dst", 3, edgesDistinct = true))
+      === rows(Graph.pageRank(e, "src", "dst", 3)), "pageRank")
+    assert(rows(Graph.katzCentrality(e, "src", "dst", 3,
+        edgesDistinct = true))
+      === rows(Graph.katzCentrality(e, "src", "dst", 3)), "katz")
+    assert(rows(Graph.hits(e, "src", "dst", 2, edgesDistinct = true))
+      === rows(Graph.hits(e, "src", "dst", 2)), "hits")
+    assert(rows(Graph.labelPropagation(e, "src", "dst", 3,
+        symmetricDistinct = true))
+      === rows(Graph.labelPropagation(e, "src", "dst", 3)), "lpa")
+    assert(rows(Graph.kCore(e, "src", "dst", 2, symmetricDistinct = true))
+      === rows(Graph.kCore(e, "src", "dst", 2)), "kCore")
+    assert(rows(Graph.triangleCounts(e, "src", "dst",
+        symmetricDistinct = true))
+      === rows(Graph.triangleCounts(e, "src", "dst")), "triangles")
+    assert(rows(Graph.commonNeighborLinks(e, "src", "dst", 10, 1,
+        symmetricDistinct = true))
+      === rows(Graph.commonNeighborLinks(e, "src", "dst", 10, 1)), "cnl")
+    assert(rows(Graph.resourceAllocationLinks(e, "src", "dst", 10, 1,
+        symmetricDistinct = true))
+      === rows(Graph.resourceAllocationLinks(e, "src", "dst", 10, 1)), "ra")
+    assert(rows(Graph.degreeAssortativity(e, "src", "dst",
+        symmetricDistinct = true))
+      === rows(Graph.degreeAssortativity(e, "src", "dst")), "assortativity")
+    val seeds = Seq(1L, 4L).toDF("node")
+    assert(rows(Graph.harmonicCentrality(e, "src", "dst", seeds, "node", 3,
+        edgesDistinct = true))
+      === rows(Graph.harmonicCentrality(e, "src", "dst", seeds, "node", 3)),
+      "harmonic")
+    assert(rows(Graph.betweennessSeeded(e, "src", "dst", seeds, "node", 3,
+        edgesDistinct = true))
+      === rows(Graph.betweennessSeeded(e, "src", "dst", seeds, "node", 3)),
+      "betweenness")
+    assert(rows(Graph.personalizedPageRank(e, "src", "dst", seeds, "node", 3,
+        edgesDistinct = true))
+      === rows(Graph.personalizedPageRank(e, "src", "dst", seeds, "node", 3)),
+      "ppr")
+    spark.catalog.clearCache()
+  }
 }
