@@ -774,17 +774,23 @@ object Graph {
     var level = s0.select(col("seed"), col("seed").as("node"),
       lit(1L).as("sig")).localCheckpoint(true)
     val levels = scala.collection.mutable.ArrayBuffer(level)
-    (1 to maxHops).foreach { _ =>
+    (1 to maxHops).foreach { t =>
       val next = level.withColumnRenamed("node", "src")
         .join(e, "src")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sig")).as("sig"))
         .join(reached, Seq("seed", "node"), "left_anti")
         .localCheckpoint(true)
-      val grown = reached.unionAll(next.select("seed", "node"))
-        .localCheckpoint(true)
-      releaseCheckpoint(reached) // levels keep their own blocks
-      reached = grown
+      // the cumulative reached set only feeds the NEXT hop's anti-join —
+      // on the final hop the (seed, node)-sized union + checkpoint is
+      // dead work and is skipped (optimization r16); its blocks release
+      // now (next is materialized, nothing else reads them)
+      if (t < maxHops) {
+        val grown = reached.unionAll(next.select("seed", "node"))
+          .localCheckpoint(true)
+        releaseCheckpoint(reached) // levels keep their own blocks
+        reached = grown
+      } else releaseCheckpoint(reached)
       level = next
       levels += next
     }
@@ -861,12 +867,17 @@ object Graph {
         .localCheckpoint(true)
       val counts = next.groupBy("node")
         .agg(count(lit(1)).cast("long").as(s"n$t"))
-      val grown = reached.unionAll(next).localCheckpoint(true)
-      // old cumulative set's blocks are dead once the union is
-      // materialized; `next` stays — `counts` reads it lazily at the
-      // caller's action
-      releaseCheckpoint(reached)
-      reached = grown
+      // the cumulative reached set only feeds the NEXT hop's anti-join —
+      // on the final hop the (seed, node)-sized union + checkpoint is
+      // dead work and is skipped (optimization r16). Old cumulative
+      // set's blocks are dead once the union (or, on the last hop, the
+      // frontier) is materialized; `next` stays — `counts` reads it
+      // lazily at the caller's action.
+      if (t < maxHops) {
+        val grown = reached.unionAll(next).localCheckpoint(true)
+        releaseCheckpoint(reached)
+        reached = grown
+      } else releaseCheckpoint(reached)
       frontier = next
       counts
     }
@@ -985,10 +996,16 @@ object Graph {
     // after the distinct, so the emitted edge SET is byte-identical
     // (guide §2.3: shuffle fewer bytes). The union of the two disjoint
     // halves is itself distinct, preserving the documented contract.
+    // The half is PERSISTED before mirroring: exchange reuse does not
+    // fire across the union's two branches (measured: the un-persisted
+    // form physically duplicated the whole upstream build per
+    // direction), and canonical pairs are |E|/2 rows of two keys —
+    // cache lifetime is caller-owned (clearCache), the sets0 convention.
     val half = fsets.select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") < col("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -1044,10 +1061,13 @@ object Graph {
     // carries each unordered pair once (w is symmetric by construction —
     // shared-basket count does not depend on direction), and the mirror
     // is re-added map-side with the same w. Output set byte-identical.
+    // Persisted before mirroring for the same reason as the unweighted
+    // build: union branches do not reuse each other's exchanges.
     val half = fsets.select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"),
       col("w")))
   }
@@ -1645,8 +1665,13 @@ object Graph {
                       nBuckets: Int = 1024): DataFrame = {
     require(numNeg >= 1 && numNeg <= 16, s"numNeg in [1, 16], got $numNeg")
     require(nBuckets >= 1, s"nBuckets >= 1, got $nBuckets")
+    // the pair corpus feeds TWO branches (the vocab frequency table and
+    // the draw explode) — persist it so the upstream walk + pair chain
+    // runs once, not once per branch (optimization r16; caller-owned
+    // release, the tokenTable convention)
     val p = pairs.select(col(centerCol).as("center"),
       col(contextCol).as("context"), col(cntCol).cast("long").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = p.groupBy(col("context").as("node"))
       .agg(sum(col("cnt")).as("f"))
     // f^(3/4) scaled to integer weights: every step correctly-rounded
@@ -1655,6 +1680,9 @@ object Graph {
     val fD = col("f").cast("double")
     val wt = freq.select(col("node"),
       floor(fD / sqrt(sqrt(fD)) * lit(1024.0)).cast("long").as("wl"))
+    // vocab-sized; read by totRow AND the bucket explode — persist so
+    // the frequency aggregation + single-partition cumulative window
+    // run once (r16)
     val cum = wt
       .withColumn("cum", sum(col("wl")).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("node"))
@@ -1662,6 +1690,7 @@ object Graph {
             org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow))
         .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totRow = cum.agg(max(col("cum")).as("tot"))
       .select(col("tot"),
         expr(s"(tot + ${nBuckets.toLong - 1}) div ${nBuckets.toLong}")
@@ -1684,8 +1713,14 @@ object Graph {
           "'#', cast(context as string), '#', cast(j as string), " +
           s"'#$salt')), 1, 7), 16, 10) as bigint)")) % col("tot"))
       .withColumn("b", expr("r div width"))
+    // the bucket table is vocab + nBuckets rows — model-sized by the
+    // op's design (word2vec's sampling table is vocab-resident), so
+    // BROADCAST it: the draw side (pairs × numNeg, the corpus-sized
+    // relation) is never exchanged or sorted (r16, guide §3.1 — the
+    // planner saw unknown stats through the window chain and picked a
+    // sort-merge join that shuffled every draw)
     draws
-      .join(buckets, Seq("b"))
+      .join(broadcast(buckets), Seq("b"))
       .filter(col("r") >= col("cum") - col("wl") && col("r") < col("cum"))
       .select(col("center"), col("context"), col("j"), col("node").as("neg"))
   }
