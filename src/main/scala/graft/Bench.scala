@@ -97,6 +97,18 @@ object Bench {
         println(s"[bench] could not write BENCH_QUERIES.json: ${t.getMessage}")
         None
     }
+    // Penultimate SHORT line: the top-15 slowest queries (r17, judge
+    // request). PERF's per-query comparison was blind in r15/r16 because
+    // the full per-query line exceeds the driver's bounded tail window —
+    // this line keeps the hot set tail-visible every round (15 entries
+    // ≈ 500 chars) without touching the timed methodology or the final
+    // summary line the driver parses.
+    val top = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"slowest","top":$top}""")
     val failedArr = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fileField = queriesFile.map(p => s""","queries_file":"$p"""").getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedArr,"pass_totals":$passes,"sf":"$sfDir"$fileField}""")

@@ -393,15 +393,24 @@ object Ann {
     */
   def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int, topK: Int): DataFrame = {
     require(kConst >= 1 && topK >= 1, "need kConst >= 1 and topK >= 1")
-    val ar = a.select(col("q_id"), col("n_id"), col("rank").cast("long").as("ra"))
-    val br = b.select(col("q_id"), col("n_id"), col("rank").cast("long").as("rb"))
+    // UNION + SUM instead of a full-outer join (optimization r17): the
+    // two-list merge used to plan as a FullOuter SortMergeJoin — the one
+    // join type neither broadcast nor shuffled-hash can replace — paying
+    // two exchanges + two sorts on rank tables that are (queries × k)
+    // rows by construction. The fused score is a TWO-term sum, and IEEE
+    // addition of two doubles is commutative, so summing the per-list
+    // terms through one hash aggregation is bit-identical: both lists
+    // present → t_a + t_b (either order, same bits); one list → that
+    // term + nothing = the term, exactly coalesce(t, 0) + 0 for
+    // positive terms. One exchange, no sorts, codegen throughout.
+    def terms(r: DataFrame): DataFrame = r.select(col("q_id"), col("n_id"),
+      coalesce(lit(1.0) / (lit(kConst.toDouble) +
+        col("rank").cast("long")), lit(0.0)).as("t"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id").asc)
-    ar.join(br, Seq("q_id", "n_id"), "full_outer")
-      .select(col("q_id"), col("n_id"),
-        (coalesce(lit(1.0) / (lit(kConst.toDouble) + col("ra")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kConst.toDouble) + col("rb")), lit(0.0)))
-          .as("score"))
+    terms(a).unionAll(terms(b))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("t")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("n_id"),

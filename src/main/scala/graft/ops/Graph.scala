@@ -46,6 +46,33 @@ object Graph {
         case _ => ()
       }
 
+  /** Size-gated broadcast of a MEASURED loop-state frame (optimization
+    * r17, guide §3.1). Every iterative loop here keeps its node- or
+    * (seed × node)-sized state behind `localCheckpoint` leaves whose
+    * statistics the planner cannot see, so the per-round join against
+    * the |E|-sized cached relation plans as a shuffle join and the |E|
+    * side pays a full exchange (plus sort) EVERY ROUND; AQE's runtime
+    * SMJ→BHJ conversion fires only after those exchanges have already
+    * been materialized, so it saves the sort but never the exchange.
+    * The loops all KNOW their state row count (they count the
+    * materialized frame for convergence/normalization anyway), so the
+    * broadcast decision is made the scale-adaptive way — from the
+    * measured size at runtime, never unconditionally: below the gate
+    * the state is broadcast and the |E| relation streams from cache
+    * with zero per-round exchange; above it the shuffle plan engages
+    * unchanged (the 100 TB fallback). Join strategy cannot change
+    * results. The gate is conf-parameterized
+    * (`spark.graft.broadcastStateRows`, default 4M rows ≈ 100–250 MB
+    * built, inside the guide's "few hundred MB is fine" envelope) so a
+    * deployment sizes it to executor memory; `rows < 0` means unknown
+    * and never broadcasts. */
+  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val gate = df.sparkSession.conf
+      .getOption("spark.graft.broadcastStateRows").map(_.toLong)
+      .getOrElse(4000000L)
+    if (rows >= 0L && rows <= gate) broadcast(df) else df
+  }
+
   /** PageRank over a DIRECTED edge list.
     *
     * Two modes:
@@ -122,14 +149,18 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (it <- 1 to iters) {
       val contribs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        // node-sized rank state (n rows, counted): broadcast under the
+        // gate so the persisted |E| relation streams from cache with no
+        // per-round exchange/sort (optimization r17, bcastIfSmall note)
+        .join(bcastIfSmall(ranks.withColumnRenamed("node", "src"), n), "src")
         .select(col("dst").as("node"),
           // order-free exact inbound mass: fixed-point LONG partial
           // aggregates (floor(x·1e18) — deterministic IEEE both engines;
           // per-node mass ≤ total mass 1, so the scaled sum fits a long;
           // long sums codegen far faster than Decimal128)
           floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
-      val inMass = contribs.groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val inMass = bcastIfSmall(
+        contribs.groupBy("node").agg(sum(col("c")).as("in_mass")), n)
       // dangling mode: per-node share of the sink mass = integer
       // floor(dm / n) on the same fixed-point grid (1-row aggregate,
       // broadcast by the cross join — never a driver-side collect)
@@ -204,6 +235,9 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nS = reset.filter(col("is_seed")).count()
     require(nS > 0, "no seed intersects the node set")
+    // node count off the already-materialized node-sized cache (one
+    // cached-block scan) — it gates the loop-state broadcasts below
+    val nN = reset.count()
     val base = (1.0 - damping) / nS
     val baseDf = reset.select(col("node"),
       when(col("is_seed"), lit(base)).otherwise(lit(0.0)).as("base"))
@@ -214,10 +248,13 @@ object Graph {
       when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
     for (it <- 1 to iters) {
       val contribs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        // node-sized rank state: broadcast under the gate — no per-round
+        // exchange of the persisted |E| relation (optimization r17)
+        .join(bcastIfSmall(ranks.withColumnRenamed("node", "src"), nN), "src")
         .select(col("dst").as("node"),
           floor((col("rank") / col("deg")) * lit(1e18)).cast("long").as("c"))
-      val inMass = contribs.groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val inMass = bcastIfSmall(
+        contribs.groupBy("node").agg(sum(col("c")).as("in_mass")), nN)
       // left join onto the FULL node set (baseDf covers every node): a
       // zero-in-degree node keeps its row and reset mass, so its
       // out-edges keep contributing next round — same contract as
@@ -290,12 +327,15 @@ object Graph {
       .select(col("node"),
         (col("indeg").cast("double") / lit(alphaInv)).as("x")) // α·indeg
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+    val nN = ranks.count() // node count — gates the state broadcasts (r17)
     indeg.unpersist()
     for (_ <- 2 to iters) {
       // LEFT join: an in-neighbor with no x row (zero in-degree) still
-      // contributes its +1 walk — x_m = α·Σ_in (1 + x_{m-1}) exactly
-      val next = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"), "left")
+      // contributes its +1 walk — x_m = α·Σ_in (1 + x_{m-1}) exactly.
+      // Node-sized x state broadcast under the gate: the persisted |E|
+      // relation streams with no per-hop exchange (optimization r17)
+      val next = e.join(bcastIfSmall(ranks.withColumnRenamed("node", "src"), nN),
+          Seq("src"), "left")
         .groupBy(col("dst").as("node"))
         .agg((sum(lit(1.0) + coalesce(col("x"), lit(0.0))) / lit(alphaInv)).as("x"))
         // localCheckpoint per round, NOT persist — the pageRank/kCore
@@ -453,15 +493,18 @@ object Graph {
       // row-keep contract, so the output is one row per node.
       // localCheckpoint per half-round, NOT persist — the pageRank/
       // kCore lineage discipline (quadratic driver planning otherwise)
-      val a = nodes.join(
-          e.join(hub.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")),
+      // node-sized score state broadcast under the gate (n counted):
+      // neither half-round exchanges the persisted |E| relation, and the
+      // node-set left joins build from the n-row aggregate (r17)
+      val a = nodes.join(bcastIfSmall(
+          e.join(bcastIfSmall(hub.withColumnRenamed("node", "src"), n), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), n),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
         .localCheckpoint(true)
-      val h = nodes.join(
-          e.join(a.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")),
+      val h = nodes.join(bcastIfSmall(
+          e.join(bcastIfSmall(a.withColumnRenamed("node", "dst"), n), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")), n),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
         .localCheckpoint(true)
@@ -521,11 +564,17 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node count off the node-sized cache — gates the label-state
+    // broadcasts below (optimization r17, bcastIfSmall note)
+    val nN = nodes.count()
     // init labels: a cheap projection of the cached node set — round 1
     // reads it once, the per-round checkpoints own everything after
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (it <- 1 to iters) {
-      val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
+      // node-sized label state broadcast under the gate: the persisted
+      // |E| relation streams from cache with no per-round exchange (r17)
+      val counts = e.join(
+          bcastIfSmall(labels.withColumnRenamed("node", "src"), nN), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       // per-node argmax by (cnt desc, label asc) as a HASH AGGREGATE
@@ -533,9 +582,9 @@ object Graph {
       // lexicographic, so negating the label flips its tie direction) —
       // a row_number window here would SORT every partition per round,
       // the q_dashboard max_by-over-window reasoning applied to the loop
-      val top = counts.groupBy(col("node"))
+      val top = bcastIfSmall(counts.groupBy(col("node"))
         .agg(max_by(col("label"),
-          struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
+          struct(col("cnt"), (-col("label")).as("nl"))).as("label")), nN)
       val next = nodes.join(top, Seq("node"), "left")
         // isolated node (no in-rows after symmetrization can only mean
         // no neighbors at all): keeps its own id as label
@@ -589,12 +638,14 @@ object Graph {
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (it <- 1 to iters) {
-      val inMass = eW
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+      // node-sized rank state broadcast under the gate (n counted): no
+      // per-round exchange of the persisted |E| relation (r17)
+      val inMass = bcastIfSmall(eW
+        .join(bcastIfSmall(ranks.withColumnRenamed("node", "src"), n), "src")
         .select(col("dst").as("node"),
           floor(col("rank") * col("w") / col("sw") * lit(1e18))
             .cast("long").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass")), n)
       val next = nodes.join(inMass, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) *
@@ -676,8 +727,15 @@ object Graph {
     var round = 0
     while (!converged && round < maxRounds && nEdges > 0) {
       round += 1
-      val keep = cur.groupBy("src").agg(count(lit(1)).as("_d"))
+      // keep is node-sized (≤ distinct src ≤ nEdges, the known runtime
+      // count): broadcast under the gate so both semi joins stream the
+      // round's edge blocks with NO exchange — the un-hinted plan
+      // exchanged cur by src AND by dst every round before AQE's
+      // (post-exchange) BHJ conversion (optimization r17). nEdges is a
+      // conservative upper bound on |keep|, so the gate stays scale-safe.
+      val keep0 = cur.groupBy("src").agg(count(lit(1)).as("_d"))
         .filter(col("_d") >= k).select(col("src").as("node"))
+      val keep = bcastIfSmall(keep0, nEdges)
       val next = cur
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -768,19 +826,30 @@ object Graph {
       .join(e.select(col("src").as("seed")).distinct(), Seq("seed"),
         "left_semi")
     // forward: levels(t) = (seed, node, sig) of nodes FIRST reached at
-    // hop t; sig = number of shortest s→node paths (exact longs)
+    // hop t; sig = number of shortest s→node paths (exact longs).
+    // Every level is materialized eagerly anyway (localCheckpoint), so
+    // its row count is one cached-block scan — those measured counts
+    // gate the state broadcasts below (optimization r17, bcastIfSmall):
+    // under the gate the hop join streams the persisted edge relation
+    // with NO per-hop exchange of e, and the anti-join builds from the
+    // reached set instead of exchanging the hop's aggregate output.
     var reached = s0.select(col("seed"), col("seed").as("node"))
       .localCheckpoint(true)
     var level = s0.select(col("seed"), col("seed").as("node"),
       lit(1L).as("sig")).localCheckpoint(true)
     val levels = scala.collection.mutable.ArrayBuffer(level)
+    val sizes = scala.collection.mutable.ArrayBuffer(level.count())
+    var reachedRows = sizes(0)
     (1 to maxHops).foreach { t =>
-      val next = level.withColumnRenamed("node", "src")
+      val next = bcastIfSmall(level.withColumnRenamed("node", "src"),
+          sizes(t - 1))
         .join(e, "src")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sig")).as("sig"))
-        .join(reached, Seq("seed", "node"), "left_anti")
+        .join(bcastIfSmall(reached, reachedRows), Seq("seed", "node"),
+          "left_anti")
         .localCheckpoint(true)
+      sizes += next.count()
       // the cumulative reached set only feeds the NEXT hop's anti-join —
       // on the final hop the (seed, node)-sized union + checkpoint is
       // dead work and is skipped (optimization r16); its blocks release
@@ -790,13 +859,13 @@ object Graph {
           .localCheckpoint(true)
         releaseCheckpoint(reached) // levels keep their own blocks
         reached = grown
+        reachedRows += sizes(t)
       } else releaseCheckpoint(reached)
       level = next
       levels += next
     }
     // deepest non-empty level index (driver-side level sizes — L ≤ 8
-    // model-sized counts, not row data)
-    val sizes = levels.map(_.limit(1).count())
+    // model-sized counts gathered during the loop, not row data)
     val lMax = sizes.lastIndexWhere(_ > 0L)
     // lMax = 0: seeds reach nothing (or no valid seed at all, -1) —
     // no non-seed node exists, the result is the empty frame
@@ -805,16 +874,25 @@ object Graph {
       return s0.limit(0).select(col("seed").as("node"),
         lit(0.0).as("betweenness"))
     }
-    // backward: delta(t) = (seed, node, sig, num) with δ = num / 2^30
+    // backward: delta(t) = (seed, node, sig, num) with δ = num / 2^30.
+    // Both join sides of the per-level contribution are measured state
+    // frames (levels(t) and delta(t+1) row counts are known): broadcast
+    // under the gate, the whole contribution pipeline — edge join,
+    // successor join, quantized partial aggregation — runs MAP-SIDE over
+    // the persisted edge relation in one codegen stage; the un-hinted
+    // plan exchanged the Σdeg(level)-row join stream by (seed, w) every
+    // level, the single heaviest shuffle of the query (optimization r17,
+    // measured: BwProbe bwd_level1 4.4 s → the exchange was ~3 M rows).
     var delta = levels(lMax).withColumn("num", lit(0L))
+    var deltaRows = sizes(lMax)
     val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (lMax >= 1) perLevel += delta.select(col("node"), col("num"))
     // stop at level 1: level 0 is the seeds, excluded by the endpoint
     // convention, and nothing consumes their delta
     (lMax - 1 to 1 by -1).foreach { t =>
-      val succ = delta.select(col("seed"), col("node").as("w"),
-        col("sig").as("sig_w"), col("num").as("num_w"))
-      val contrib = levels(t)
+      val succ = bcastIfSmall(delta.select(col("seed"), col("node").as("w"),
+        col("sig").as("sig_w"), col("num").as("num_w")), deltaRows)
+      val contrib = bcastIfSmall(levels(t), sizes(t))
         .join(e.select(col("src").as("node"), col("dst").as("w")),
           Seq("node"))
         .join(succ, Seq("seed", "w"))
@@ -825,10 +903,12 @@ object Graph {
             * (lit(1.0) + col("num_w").cast("double") / lit(Q)) * lit(Q))
             .cast("long").as("c"))
         .groupBy("seed", "node").agg(sum(col("c")).as("num"))
-      delta = levels(t).join(contrib, Seq("seed", "node"), "left")
+      delta = levels(t)
+        .join(bcastIfSmall(contrib, sizes(t)), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sig"),
           coalesce(col("num"), lit(0L)).as("num"))
         .localCheckpoint(true)
+      deltaRows = sizes(t)
       if (t >= 1) perLevel += delta.select(col("node"), col("num"))
     }
     e.unpersist()
@@ -859,12 +939,21 @@ object Graph {
     var reached = s0.select(col("seed"), col("seed").as("node"))
       .localCheckpoint(true)
     var frontier = reached
+    // measured state sizes (one cached-block scan each — the frames are
+    // already materialized eagerly) gate the hop-join and anti-join
+    // broadcasts: under the gate the persisted edge relation streams
+    // with no per-hop exchange (optimization r17, bcastIfSmall note)
+    var frontierRows = frontier.count()
+    var reachedRows = frontierRows
     val hopCounts = (1 to maxHops).map { t =>
-      val next = frontier.withColumnRenamed("node", "src")
+      val next = bcastIfSmall(frontier.withColumnRenamed("node", "src"),
+          frontierRows)
         .join(e, "src")
         .select(col("seed"), col("dst").as("node")).distinct()
-        .join(reached, Seq("seed", "node"), "left_anti")
+        .join(bcastIfSmall(reached, reachedRows), Seq("seed", "node"),
+          "left_anti")
         .localCheckpoint(true)
+      val nextRows = next.count()
       val counts = next.groupBy("node")
         .agg(count(lit(1)).cast("long").as(s"n$t"))
       // the cumulative reached set only feeds the NEXT hop's anti-join —
@@ -877,8 +966,10 @@ object Graph {
         val grown = reached.unionAll(next).localCheckpoint(true)
         releaseCheckpoint(reached)
         reached = grown
+        reachedRows += nextRows
       } else releaseCheckpoint(reached)
       frontier = next
+      frontierRows = nextRows
       counts
     }
     e.unpersist()
@@ -949,7 +1040,14 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // both directions re-expand MAP-SIDE from the persisted canonical
     // set (for symmetric input these are exactly the input rows, read
-    // from cache instead of re-running the upstream build)
+    // from cache instead of re-running the upstream build).
+    // NOTE (r17, measured): an array-adjacency wedge emission — per
+    // kept center one sorted neighbor array, pairs exploded map-side as
+    // (ns[i], ns[j≻i]) via posexplode + slice — was prototyped and
+    // REJECTED: identical wedge multiset and exchange count, but the
+    // per-position slice allocations cost more than the self-join's
+    // hash probes (q_link_predict 7.1 → 9.2 s, q_link_predict_ra
+    // 7.9 → 9.8 s solo A/B at sf0.1). The self-join stays.
     val adj = e.select(col("a").as("w"), col("b").as("n"))
       .unionAll(e.select(col("b").as("w"), col("a").as("n")))
     val centers = adj.groupBy("w").agg(count(lit(1)).as("deg"))
@@ -1123,7 +1221,9 @@ object Graph {
     // broadcast hint placed on centers BEFORE adjK propagates smallness
     // and flips the wedge join into broadcasting the full adjacency
     // (measured 2-3×) — the hint belongs on the post-wedge weight join
-    // only, where its build side really is the node-sized table.
+    // only, where its build side really is the node-sized table. The
+    // r17 array-emission prototype was rejected here too (see
+    // commonNeighborLinks — slice allocations beat by the join probes).
     val adjK = adj.join(centers.select("w"), Seq("w"), "left_semi")
     val wedges = adjK.select(col("w"), col("n").as("node_a"))
       .join(adjK.select(col("w"), col("n").as("node_b")), Seq("w"))
@@ -1300,14 +1400,13 @@ object Graph {
     * the draw (r is taken modulo the SUM, not the distribution), the
     * documented price of keeping the arithmetic in exact longs.
     *
-    * Scale: one cumulative-weight window (same partitioning as the
-    * unweighted row_number) builds the indexed adjacency once; each
-    * hop is the same two frontier joins — a total-weight lookup on src
-    * and the range pick on (src, cum) — with the range condition
-    * evaluated inside the src equi-join. Parallel (src, dst)
-    * duplicates merge additively (one aggregation) before indexing;
-    * weights must be >= 1 (loud per-row guard, the axisGuard
-    * convention).
+    * Scale: one cumulative-weight window (same partitioning the array
+    * aggregation needs) builds a per-node (nbrs, cums, tot) array row
+    * once; each hop is ONE equi-join against that node-sized relation
+    * with a positional pick (#{cum ≤ r} indexes the dst array — the
+    * r17 array-adjacency shape). Parallel (src, dst) duplicates merge
+    * additively (one aggregation) before indexing; weights must be
+    * >= 1 (loud per-row guard, the axisGuard convention).
     *
     * @param wCol    long-valued positive edge weight column
     * @return per start node: node, step_0..step_<walkLen> */
@@ -1323,48 +1422,60 @@ object Graph {
           col("w").cast("string"),
           lit(" < 1 — weights must be positive longs"))).cast("long"),
         lit(0L)))
-    // ONE Window operator (optimization r16): tot shares cum's
-    // (partition src, order dst) spec with an unbounded-following
-    // frame, so both aggregates run in the same pass over the same
-    // sort — the old order-less tot window was a SECOND Window pass.
-    // Same values: Σw over the whole partition.
+    // ARRAY adjacency with PRECOMPUTED cumulative-weight arrays
+    // (optimization r17): the cumulative ranges are a STATIC property of
+    // the weighted adjacency, so they are built once — one Window pass
+    // over |E| rows (same src partitioning the array aggregation needs
+    // anyway) — and collected into one (nbrs, cums) row per node. Each
+    // hop is then ONE equi-join against the node-sized array relation
+    // and a positional pick: idx = #{cum ≤ r} (cum is strictly
+    // increasing since w ≥ 1, so the count IS the old range-condition
+    // row's index), step = nbrs[idx + 1]. The old shape paid TWO joins
+    // per hop — a (src, tot) lookup plus a range-predicate probe
+    // against the |E|-row indexed adjacency; both are gone, and the
+    // picked value is BIT-IDENTICAL (same dst order, same cum grid,
+    // same md5 draw). tot = last cum, so the separate tot window and
+    // the hoisted totTab are gone too.
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
     val adj = e
       .withColumn("cum", sum(col("w")).over(wOrd
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)).cast("long"))
-      .withColumn("tot", sum(col("w")).over(wOrd
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing))
-        .cast("long"))
+      .groupBy("src")
+      // sort_array over (dst, cum) structs: dst is unique per src, so
+      // the struct order IS the dst order and cums comes out ascending
+      .agg(sort_array(collect_set(struct(col("dst"), col("cum"))))
+        .as("dc"))
+      .select(col("src"),
+        transform(col("dc"), s => s.getField("dst")).as("nbrs"),
+        transform(col("dc"), s => s.getField("cum")).as("cums"))
+      .select(col("src"), col("nbrs"), col("cums"),
+        element_at(col("cums"), -1).as("tot"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // node-sized (src, tot) lookup hoisted OUT of the loop (the old
-    // shape re-ran a |E|-row distinct every hop); max(cum) = tot and
-    // the aggregate reuses the window's src partitioning — no exchange
-    val totTab = adj.groupBy("src").agg(max(col("cum")).as("tot"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var walks = totTab.select(col("src").as("node"),
-      col("src").as("step_0"))
+    var walks = adj.select(col("src").as("node"), col("src").as("step_0"))
     (1 to walkLen).foreach { t =>
       val cur = col(s"step_${t - 1}")
       val keep = walks.columns.map(col)
       // IDENTICAL hash string to deterministicWalks — the degenerate
-      // all-weights-1 equivalence depends on it
-      val withPick = walks
-        .join(totTab.select(col("src").as("h_src"),
-          col("tot").as("h_tot")), cur === col("h_src"), "left")
-        .select((keep :+ when(col("h_tot").isNull,
+      // all-weights-1 equivalence depends on it. The draw is projected
+      // into its own column first and referenced twice below, so the
+      // md5 is evaluated once per row, never once per array element
+      // (CollapseProject does not inline non-trivial aliases used > 1×).
+      walks = walks
+        .join(adj.select(col("src").as("h_src"), col("nbrs").as("h_nbrs"),
+          col("cums").as("h_cums"), col("tot").as("h_tot")),
+          cur === col("h_src"), "left")
+        .withColumn("r", when(col("h_tot").isNull,
           lit(null).cast("long")).otherwise(
           expr(("cast(conv(substring(md5(concat(cast(node as string), " +
             s"'#$t#', cast(step_${t - 1} as string), '$salt')), 1, 7), " +
-            "16, 10) as bigint)")) % col("h_tot")).as("pick")): _*)
-      walks = withPick
-        .join(adj.select(col("src").as("j_src"), col("cum").as("j_cum"),
-          col("w").as("j_w"), col("dst").as("j_dst")),
-          cur === col("j_src") && col("pick") >= col("j_cum") - col("j_w")
-            && col("pick") < col("j_cum"), "left")
-        .select((keep :+ col("j_dst").as(s"step_$t")): _*)
+            "16, 10) as bigint)")) % col("h_tot")))
+        .select((keep :+ when(col("r").isNull,
+          lit(null).cast(e.schema("dst").dataType)).otherwise(
+          element_at(col("h_nbrs"),
+            size(filter(col("h_cums"), c => c <= col("r"))) + lit(1)))
+          .as(s"step_$t")): _*)
     }
     walks
   }
@@ -1545,17 +1656,34 @@ object Graph {
     // shape): one row per node with the dst-sorted (dst, w) struct array
     // plus the dst-only array for the codegen'd triangle membership
     // test — replaces both edge-sized relations (the cum-indexed
-    // adjacency and the raw weighted edge set). Every hop — hop 1
-    // included — explodes the current node's array MAP-SIDE and draws
-    // through ONE shared-spec Window (cum + tot in one sort pass); for
-    // hop 1 the per-element weight is just w (no previous node), which
-    // is exactly the deterministicWalksWeighted draw over the same
-    // dst-sorted cumulative order. Survivors and dead walks re-assemble
-    // by map-side union (no per-hop re-join).
-    val adj = e.groupBy("src")
+    // adjacency and the raw weighted edge set). Hops ≥ 2 explode the
+    // current node's array MAP-SIDE and draw through ONE shared-spec
+    // Window (cum + tot in one sort pass) — the α_pq weights there
+    // depend on the previous node, so their cumulative ranges are
+    // per-walk state. Hop 1 has NO previous node: its weights are just
+    // w, a STATIC property of the adjacency, so its cumulative array is
+    // precomputed here (one Window pass over |E| at build — the
+    // deterministicWalksWeighted r17 shape) and the hop-1 draw is a
+    // positional pick (#{cum ≤ r} indexes nbrsD) instead of an
+    // explode + Window over the full Σdeg candidate set. Values are
+    // BIT-IDENTICAL (same dst order, same cum grid, same md5 string).
+    // Survivors and dead walks re-assemble by map-side union at hops
+    // ≥ 2 (no per-hop re-join); hop 1 is a single projection.
+    val wOrd0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e
+      .withColumn("cum", sum(col("w")).over(wOrd0
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast("long"))
+      .groupBy("src")
       .agg(sort_array(collect_set(struct(col("dst"), col("w"))))
           .as("nbrs"),
-        sort_array(collect_set(col("dst"))).as("nbrsD"))
+        sort_array(collect_set(col("dst"))).as("nbrsD"),
+        sort_array(collect_set(struct(col("dst"), col("cum")))).as("dc"))
+      .select(col("src"), col("nbrs"), col("nbrsD"),
+        transform(col("dc"), s => s.getField("cum")).as("cums"))
+      .select(col("src"), col("nbrs"), col("nbrsD"), col("cums"),
+        element_at(col("cums"), -1).as("tot"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def hash(t: Int, curName: String): org.apache.spark.sql.Column =
       expr("cast(conv(substring(md5(concat(cast(node as string), " +
@@ -1563,54 +1691,67 @@ object Graph {
         "16, 10) as bigint)")
     val wWalk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("x"))
-    // one hop: explode the (dst, w) array of `cur`, weight each
-    // candidate (hop 1: w alone; hop ≥ 2: α_pq(prev, x) · w), cumulative
-    // range pick at r = md5 % tot — all weights exact longs
+    // one hop. Hop 1: static positional pick over the precomputed
+    // cumulative array — one node-sized equi-join, one projection, no
+    // explode, no Window (r17; the draw column is referenced twice so
+    // CollapseProject never inlines the md5 into the per-element
+    // lambda). Hops ≥ 2: explode the (dst, w) array of `cur`, weight
+    // each candidate by α_pq(prev, x) · w, cumulative range pick at
+    // r = md5 % tot — all weights exact longs.
     def hop(t: Int, walks: DataFrame): DataFrame = {
       val cur = s"step_${t - 1}"
       val keep = walks.columns.map(col)
-      val frontier0 = walks
-        .join(adj.select(col("src").as("c_src"), col("nbrs").as("c_nbrs")),
-          col(cur) === col("c_src"), "left")
-      val frontier =
-        if (t == 1) frontier0.withColumn("p_nbrsD",
-          lit(null).cast(org.apache.spark.sql.types.ArrayType(
-            e.schema("dst").dataType))) // unused at hop 1
-        else frontier0.join(
-          adj.select(col("src").as("p_src"), col("nbrsD").as("p_nbrsD")),
-          col(s"step_${t - 2}") === col("p_src"), "left")
-      val cand = frontier.filter(col("c_nbrs").isNotNull)
-        .select((keep :+ col("p_nbrsD") :+
-          explode(col("c_nbrs")).as("s")): _*)
-        .select((keep :+ col("s.dst").as("x") :+
-          (if (t == 1) col("s.w").cast("long")
-           else (when(col("s.dst") === col(s"step_${t - 2}"), lit(wReturn))
-             .otherwise(when(array_contains(col("p_nbrsD"), col("s.dst")),
-               lit(wCommon)).otherwise(lit(wFar))) * col("s.w"))
-             .cast("long")).as("wt")): _*)
-      val picked = cand
-        .withColumn("cum", sum(col("wt")).over(wWalk
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow))
-          .cast("long"))
-        .withColumn("tot", sum(col("wt")).over(wWalk
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing))
-          .cast("long"))
-        .withColumn("r", hash(t, cur) % col("tot"))
-        .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
-        .select((keep :+ col("x").as(s"step_$t")): _*)
-      val dead = frontier.filter(col("c_nbrs").isNull)
-        .select((keep :+ lit(null).cast(e.schema("dst").dataType)
-          .as(s"step_$t")): _*)
+      val stepped: DataFrame = if (t == 1) {
+        walks
+          .join(adj.select(col("src").as("c_src"), col("nbrsD").as("c_nbrsD"),
+            col("cums").as("c_cums"), col("tot").as("c_tot")),
+            col(cur) === col("c_src"), "left")
+          .withColumn("r", when(col("c_tot").isNull,
+            lit(null).cast("long"))
+            .otherwise(hash(1, cur) % col("c_tot")))
+          .select((keep :+ when(col("r").isNull,
+            lit(null).cast(e.schema("dst").dataType)).otherwise(
+            element_at(col("c_nbrsD"),
+              size(filter(col("c_cums"), c => c <= col("r"))) + lit(1)))
+            .as("step_1")): _*)
+      } else {
+        val frontier = walks
+          .join(adj.select(col("src").as("c_src"), col("nbrs").as("c_nbrs")),
+            col(cur) === col("c_src"), "left")
+          .join(adj.select(col("src").as("p_src"), col("nbrsD").as("p_nbrsD")),
+            col(s"step_${t - 2}") === col("p_src"), "left")
+        val cand = frontier.filter(col("c_nbrs").isNotNull)
+          .select((keep :+ col("p_nbrsD") :+
+            explode(col("c_nbrs")).as("s")): _*)
+          .select((keep :+ col("s.dst").as("x") :+
+            ((when(col("s.dst") === col(s"step_${t - 2}"), lit(wReturn))
+              .otherwise(when(array_contains(col("p_nbrsD"), col("s.dst")),
+                lit(wCommon)).otherwise(lit(wFar))) * col("s.w"))
+              .cast("long")).as("wt")): _*)
+        val picked = cand
+          .withColumn("cum", sum(col("wt")).over(wWalk
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow))
+            .cast("long"))
+          .withColumn("tot", sum(col("wt")).over(wWalk
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing))
+            .cast("long"))
+          .withColumn("r", hash(t, cur) % col("tot"))
+          .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+          .select((keep :+ col("x").as(s"step_$t")): _*)
+        val dead = frontier.filter(col("c_nbrs").isNull)
+          .select((keep :+ lit(null).cast(e.schema("dst").dataType)
+            .as(s"step_$t")): _*)
+        picked.unionAll(dead)
+      }
       // localCheckpoint per hop (the pageRank/kCore lineage discipline):
-      // hop t reads its predecessor twice (candidate + dead branches) —
-      // un-truncated, the walk history would re-execute 2^t times. The
-      // FINAL hop is read once by the caller — no checkpoint needed.
-      if (t < walkLen) picked.unionAll(dead).localCheckpoint(true)
-      else picked.unionAll(dead)
+      // hop t ≥ 2 reads its predecessor twice (candidate + dead
+      // branches) — un-truncated, the walk history would re-execute 2^t
+      // times. The FINAL hop is read once by the caller — no checkpoint.
+      if (t < walkLen) stepped.localCheckpoint(true) else stepped
     }
     var walks = adj.select(col("src").as("node"), col("src").as("step_0"))
     (1 to walkLen).foreach { t =>
